@@ -1,47 +1,17 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
-import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.classic.ExpressionUtils
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{AbstractDataType, DataType, IntegerType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
-/** Indel-weighted fuzzy ratio (the reference's `fuzz.ratio`).
-  *
-  * The reference scores candidate place names with fuzzywuzzy's `fuzz.ratio`
-  * (reference: src/ingest_places_data.py:58-59), which with python-Levenshtein
-  * installed is `round(100 * (la + lb - d) / (la + lb))` where `d` is edit
-  * distance with substitution cost 2 — equivalently `100 * 2*LCS / (la + lb)`.
-  * That is NOT plain Levenshtein (SURVEY.md §2.9/F1), so Spark's builtin
-  * `levenshtein()` can only approximate it.
-  *
-  * Implemented as a native Catalyst Expression whose generated code calls the
-  * static [[FuzzyImpl.ratio]] — keeps the hot loop inside whole-stage codegen
-  * instead of a boxed Scala UDF.
+/** fuzz.ratio runtime (shared by the native expression's interpreted and
+  * generated code paths — see org.apache.spark.sql.graft.FuzzRatio).
   */
-case class FuzzRatio(left: Expression, right: Expression)
-    extends BinaryExpression {
-
-  override def dataType: DataType = IntegerType
-  override def inputTypes: Seq[AbstractDataType] = Seq(StringType, StringType)
-  override def nullIntolerant: Boolean = true
-  override def prettyName: String = "fuzz_ratio"
-
-  override protected def nullSafeEval(l: Any, r: Any): Any =
-    FuzzyImpl.ratio(l.asInstanceOf[UTF8String], r.asInstanceOf[UTF8String])
-
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.FuzzyImpl.ratio($a, $b)")
-
-  override protected def withNewChildrenInternal(
-      newLeft: Expression, newRight: Expression): Expression =
-    copy(left = newLeft, right = newRight)
-}
-
 object FuzzyImpl {
-  /** fuzz.ratio == round(100 * 2*LCS(a,b) / (|a|+|b|)), on unicode code points. */
+  /** fuzz.ratio == round(100 * 2*LCS(a,b) / (|a|+|b|)), on unicode code
+    * points, with Python-style half-to-even rounding (fuzzywuzzy uses
+    * Python's `round`, which is banker's rounding — `Math.rint` matches).
+    */
   def ratio(a: UTF8String, b: UTF8String): Int = {
     val s = a.toString
     val t = b.toString
@@ -49,7 +19,7 @@ object FuzzyImpl {
     val lb = t.codePointCount(0, t.length)
     if (la + lb == 0) return 100
     val lcs = lcsLen(s, t)
-    Math.round(100.0 * 2.0 * lcs / (la + lb)).toInt
+    Math.rint(100.0 * 2.0 * lcs / (la + lb)).toInt
   }
 
   /** Two-row DP LCS over code points; O(|a|*|b|) time, O(min) space. */
@@ -75,11 +45,13 @@ object FuzzyImpl {
   }
 }
 
+/** Fuzzy string similarity (the reference's `fuzz.ratio`,
+  * reference: src/ingest_places_data.py:58-59). See SURVEY.md §2.9/F1.
+  */
 object Fuzzy {
-  /** Exact fuzz.ratio as a Column (native expression, codegen'd). */
+  /** Exact fuzz.ratio as a Column (native codegen'd expression). */
   def fuzzRatio(a: Column, b: Column): Column =
-    ExpressionUtils.column(FuzzRatio(
-      ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+    org.apache.spark.sql.graft.GraftColumns.fuzzRatio(a, b)
 
   /** Oracle-expressible approximation on plain Levenshtein (SURVEY.md §2.9
     * option 1): `100 - ceil(100*lev/(|a|+|b|))`. DuckDB computes the identical

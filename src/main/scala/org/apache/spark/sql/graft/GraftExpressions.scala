@@ -1,0 +1,119 @@
+/*
+ * Native Catalyst expressions for the graft engine.
+ *
+ * This file lives in a subpackage of `org.apache.spark.sql` on purpose: the
+ * Column <-> Expression bridge (`ExpressionUtils`) and the `AbstractDataType`
+ * hierarchy are `private[sql]` in Spark 4.x, so the glue that turns our
+ * expressions into user-facing `Column`s must be compiled inside the sql
+ * package tree. Everything user-facing re-exports through `graft.functions`.
+ */
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.classic.ExpressionUtils
+import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, DoubleType, IntegerType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.functions.{FuzzyImpl, VectorImpl}
+
+/** Indel-weighted fuzzy ratio (the reference's `fuzz.ratio`).
+  *
+  * The reference scores candidate place names with fuzzywuzzy's `fuzz.ratio`
+  * (reference: src/ingest_places_data.py:58-59), which with python-Levenshtein
+  * installed is `round(100 * (la + lb - d) / (la + lb))` where `d` is edit
+  * distance with substitution cost 2 — equivalently `100 * 2*LCS / (la + lb)`.
+  * That is NOT plain Levenshtein (SURVEY.md §2.9/F1), so Spark's builtin
+  * `levenshtein()` can only approximate it.
+  *
+  * Implemented as a native Catalyst Expression whose generated code calls the
+  * static [[graft.functions.FuzzyImpl.ratio]] — keeps the hot loop inside
+  * whole-stage codegen instead of a boxed Scala UDF.
+  */
+case class FuzzRatio(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+
+  override def dataType: DataType = IntegerType
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType, StringType)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "fuzz_ratio"
+
+  override protected def nullSafeEval(l: Any, r: Any): Any =
+    FuzzyImpl.ratio(l.asInstanceOf[UTF8String], r.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.FuzzyImpl.ratio($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Fused cosine similarity over two `array<double>` columns: dot product and
+  * both norms in a single pass, no intermediate array allocation — unlike a
+  * `zip_with` + `aggregate` composition. The difference is the whole game when
+  * the fan-out is |queries| x |corpus| rows at 100 TB (SURVEY.md §7
+  * llm/SimSearch).
+  */
+case class CosineSimilarity(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+
+  override def dataType: DataType = DoubleType
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(DoubleType), ArrayType(DoubleType))
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "cosine_similarity"
+
+  override protected def nullSafeEval(l: Any, r: Any): Any =
+    VectorImpl.cosine(
+      l.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      r.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.VectorImpl.cosine($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Plain dot product, same fused-loop rationale as [[CosineSimilarity]]. */
+case class DotProduct(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+
+  override def dataType: DataType = DoubleType
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(DoubleType), ArrayType(DoubleType))
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "dot_product"
+
+  override protected def nullSafeEval(l: Any, r: Any): Any =
+    VectorImpl.dot(
+      l.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      r.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.VectorImpl.dot($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** The only legal Column<->Expression crossing point (private[sql] bridge). */
+object GraftColumns {
+  def fuzzRatio(a: Column, b: Column): Column =
+    ExpressionUtils.column(FuzzRatio(
+      ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+
+  def cosineSim(a: Column, b: Column): Column =
+    ExpressionUtils.column(CosineSimilarity(
+      ExpressionUtils.expression(a.cast("array<double>")),
+      ExpressionUtils.expression(b.cast("array<double>"))))
+
+  def dotProduct(a: Column, b: Column): Column =
+    ExpressionUtils.column(DotProduct(
+      ExpressionUtils.expression(a.cast("array<double>")),
+      ExpressionUtils.expression(b.cast("array<double>"))))
+}
