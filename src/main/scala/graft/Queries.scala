@@ -1,0 +1,503 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.functions.Fuzzy
+import graft.llm.{Dedup, Multimodal, SimSearch, TextStats}
+import graft.ops.{Flatten, FuzzyJoin, Integrity, Upsert}
+
+/** The oracle-checked query registry — one entry per implemented operator
+  * from SURVEY.md §2 plus the LLM-pipeline operators. Each Spark query is
+  * paired with ANSI SQL the driver runs on DuckDB over the same parquet;
+  * results must match on rows, schema, and value hash.
+  *
+  * Cross-engine determinism rules used throughout:
+  *   - double SUMs go through `decimal(18,6)` (exact, order-independent) and
+  *     back to double, because naive double summation is accumulation-order-
+  *     dependent and Spark/DuckDB would differ in the last bits;
+  *   - every top-1/top-k is pinned by explicit tie-break columns;
+  *   - timestamps are µs in both engines (oracle CASTs DuckDB's ns reads).
+  */
+object Queries {
+
+  private def t(s: SparkSession, d: String, name: String): DataFrame =
+    Tables(s, d, name)
+
+  /** Exact cross-engine double aggregation (see object scaladoc). */
+  private def dsum(c: Column): Column = sum(c.cast("decimal(18,6)")).cast("double")
+  private def dsumSql(e: String): String = s"CAST(SUM(CAST(($e) AS DECIMAL(18,6))) AS DOUBLE)"
+
+  /** DuckDB reads the ns-typed events.ts as TIMESTAMP_NS; Spark truncates to
+    * µs on read. The data carries no sub-µs digits, but the CAST keeps the
+    * oracle's output type aligned.
+    */
+  private val tsUs = "CAST(ts AS TIMESTAMP)"
+  private val eventCols = s"event_id, user_id, $tsUs AS ts, event_type, value, props"
+
+  val all: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
+
+    // ================= scans / projections / classic OLAP =================
+
+    ("q01_pricing_agg", (s: SparkSession, d: String) => {
+      t(s, d, "lineitem")
+        .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_base_price"),
+          dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("sum_disc_price"),
+          count(lit(1)).as("n_rows"))
+    }, Some(s"""SELECT l_returnflag, l_linestatus,
+      ${dsumSql("l_quantity")} AS sum_qty,
+      ${dsumSql("l_extendedprice")} AS sum_base_price,
+      ${dsumSql("l_extendedprice * (CAST(1.0 AS DOUBLE) - l_discount)")} AS sum_disc_price,
+      count(*) AS n_rows
+      FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+      GROUP BY l_returnflag, l_linestatus""")),
+
+    ("q02_mkt_join_agg", (s: SparkSession, d: String) => {
+      t(s, d, "orders")
+        .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("revenue"))
+    }, Some(s"""SELECT c_mktsegment, count(*) AS n_orders,
+      ${dsumSql("o_totalprice")} AS revenue
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY c_mktsegment""")),
+
+    ("q03_top_orders", (s: SparkSession, d: String) => {
+      t(s, d, "lineitem")
+        .join(t(s, d, "orders").filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp")),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy("l_orderkey")
+        .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+    }, Some(s"""SELECT l_orderkey,
+      ${dsumSql("l_extendedprice * (CAST(1.0 AS DOUBLE) - l_discount)")} AS revenue
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      GROUP BY l_orderkey ORDER BY revenue DESC, l_orderkey LIMIT 10""")),
+
+    // S5: projected scan — filter + 2-column projection both reach the
+    // parquet reader (PushedFilters / ReadSchema in .explain).
+    ("q05_scan_project", (s: SparkSession, d: String) => {
+      t(s, d, "lineitem")
+        .filter(col("l_shipdate") < lit("1996-01-01").cast("timestamp"))
+        .select("l_orderkey", "l_extendedprice")
+    }, Some("""SELECT l_orderkey, l_extendedprice FROM lineitem
+      WHERE l_shipdate < TIMESTAMP '1996-01-01 00:00:00'""")),
+
+    // S6: point lookup by key — a pushed equality predicate.
+    ("q06_point_lookup", (s: SparkSession, d: String) => {
+      t(s, d, "events").filter(col("event_id") === 500)
+    }, Some(s"SELECT $eventCols FROM events WHERE event_id = 500")),
+
+    // ======================= the flagship pipeline ========================
+
+    // SURVEY §7.2 minimum slice: hour-truncate, FK-validate, dedup — the
+    // reference's lake→warehouse promotion restated on the events table.
+    ("q04_flatten_validate", (s: SparkSession, d: String) => {
+      val ev = t(s, d, "events").withColumn("hour", date_trunc("hour", col("ts")))
+      Integrity.fkValid(ev, t(s, d, "customer"), "user_id", "c_custkey")
+        .dropDuplicates("event_id")
+    }, Some(s"""SELECT $eventCols,
+      CAST(date_trunc('hour', $tsUs) AS TIMESTAMP) AS hour
+      FROM events e WHERE EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = e.user_id)""")),
+
+    // ====================== integrity joins (J1-J3, A2-A4) ================
+
+    ("q07_new_rows_anti", (s: SparkSession, d: String) => {
+      val ev = t(s, d, "events")
+      Integrity.newRowsOnly(ev, ev.filter(col("event_id") % 3 === 0), "event_id")
+    }, Some(s"SELECT $eventCols FROM events WHERE event_id % 3 <> 0")),
+
+    ("q08_fk_valid", (s: SparkSession, d: String) => {
+      Integrity.fkValid(t(s, d, "orders"), t(s, d, "customer"), "o_custkey", "c_custkey")
+    }, Some("""SELECT o_custkey, o_orderkey, o_orderstatus, o_totalprice,
+      CAST(o_orderdate AS TIMESTAMP) AS o_orderdate, o_orderpriority
+      FROM orders o WHERE EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)""")),
+
+    ("q09_fk_violations", (s: SparkSession, d: String) => {
+      Integrity.fkViolations(t(s, d, "events"),
+        t(s, d, "customer").filter(col("c_custkey") >= 50), "user_id", "c_custkey")
+    }, Some(s"""SELECT user_id, event_id, $tsUs AS ts, event_type, value, props
+      FROM events e WHERE NOT EXISTS
+      (SELECT 1 FROM customer c WHERE c.c_custkey = e.user_id AND c.c_custkey >= 50)""")),
+
+    ("q10_dup_audit", (s: SparkSession, d: String) => {
+      Integrity.dupAudit(t(s, d, "orders"), "o_custkey")
+    }, Some("SELECT o_custkey, count(*) AS n FROM orders GROUP BY o_custkey HAVING count(*) > 1")),
+
+    ("q11_batch_dedup", (s: SparkSession, d: String) => {
+      Integrity.batchDedup(
+        t(s, d, "events"),
+        t(s, d, "customer").filter(col("c_custkey") % 2 === 0)
+          .select(col("c_custkey").as("user_id")),
+        "user_id", "event_id")
+    }, Some("""WITH f AS (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS rn FROM events)
+      SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, event_type, value, props FROM f
+      WHERE rn = 1 AND NOT EXISTS
+      (SELECT 1 FROM customer WHERE c_custkey = user_id AND c_custkey % 2 = 0)""")),
+
+    // ================== windows / argmax / set ops (W1, A1, SET1) =========
+
+    ("q12_window_top1", (s: SparkSession, d: String) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      t(s, d, "orders").withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+    }, Some("""WITH w AS (SELECT o_custkey, o_orderkey, o_totalprice,
+      row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn FROM orders)
+      SELECT o_custkey, o_orderkey, o_totalprice FROM w WHERE rn = 1""")),
+
+    ("q13_argmax", (s: SparkSession, d: String) => {
+      t(s, d, "customer").groupBy("c_nationkey").agg(
+        max_by(col("c_name"), struct(col("c_acctbal"), (-col("c_custkey")).as("nk"))).as("best_name"),
+        max(col("c_acctbal")).as("best_acctbal"))
+    }, Some("""WITH w AS (SELECT c_nationkey, c_name, c_acctbal,
+      row_number() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey) AS rn FROM customer)
+      SELECT c_nationkey, c_name AS best_name, c_acctbal AS best_acctbal FROM w WHERE rn = 1""")),
+
+    ("q14_except_keys", (s: SparkSession, d: String) => {
+      t(s, d, "customer").select("c_custkey")
+        .join(t(s, d, "events").select(col("user_id").as("c_custkey")).distinct(),
+          Seq("c_custkey"), "left_anti")
+    }, Some("""SELECT c_custkey FROM customer
+      WHERE NOT EXISTS (SELECT 1 FROM events WHERE user_id = c_custkey)""")),
+
+    ("q15_distinct_users", (s: SparkSession, d: String) => {
+      t(s, d, "events").select("user_id").distinct()
+    }, Some("SELECT DISTINCT user_id FROM events")),
+
+    ("q16_count_gate", (s: SparkSession, d: String) => {
+      t(s, d, "events").agg(
+        count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"))
+    }, Some("SELECT count(*) AS n_events, count(DISTINCT user_id) AS n_users FROM events")),
+
+    // ===================== scalar-function surface ========================
+
+    ("q17_json_props", (s: SparkSession, d: String) => {
+      t(s, d, "events").select(
+        col("event_id"),
+        from_json(col("props"), Schemas.eventProps).getField("k").as("prop_k"))
+    }, Some("SELECT event_id, CAST(props->>'k' AS BIGINT) AS prop_k FROM events")),
+
+    ("q33_trunc_hour", (s: SparkSession, d: String) => {
+      t(s, d, "events")
+        .groupBy(Flatten.truncHourShifted(col("ts"), 7).as("hour7"))
+        .agg(count(lit(1)).as("n"))
+    }, Some(s"""SELECT CAST(date_trunc('hour', $tsUs + INTERVAL 7 HOUR) AS TIMESTAMP) AS hour7,
+      count(*) AS n FROM events GROUP BY 1""")),
+
+    ("q34_render_shift", (s: SparkSession, d: String) => {
+      t(s, d, "events").filter(col("event_id") < 100).select(
+        col("event_id"),
+        Flatten.renderShifted(col("ts"), 7).as("rendered"),
+        Flatten.fileSafe(Flatten.renderShifted(col("ts"), 7)).as("fname"))
+    }, Some(s"""SELECT event_id,
+      strftime($tsUs + INTERVAL 7 HOUR, '%Y-%m-%d %H:%M:%S') AS rendered,
+      regexp_replace(strftime($tsUs + INTERVAL 7 HOUR, '%Y-%m-%d %H:%M:%S'), '[-\\s:]', '', 'g') AS fname
+      FROM events WHERE event_id < 100""")),
+
+    ("q35_strip_suffix", (s: SparkSession, d: String) => {
+      val latStr = concat(col("c_acctbal").cast("string"), lit("N"))
+      t(s, d, "customer").select(
+        col("c_custkey"), latStr.as("lat_str"), Flatten.stripSuffixCast(latStr).as("lat"))
+    }, Some("""SELECT c_custkey, CAST(c_acctbal AS VARCHAR) || 'N' AS lat_str,
+      CAST(substr(CAST(c_acctbal AS VARCHAR) || 'N', 1,
+                  length(CAST(c_acctbal AS VARCHAR) || 'N') - 1) AS DOUBLE) AS lat
+      FROM customer""")),
+
+    // The reference's whole process_document flatten/cast pipeline (P1-P8)
+    // over a nested document constructed from events, landed on the declared
+    // warehouse schema — then verified field-by-field by the oracle.
+    ("q36_flatten_weather", (s: SparkSession, d: String) => {
+      val ev = t(s, d, "events")
+      val raw = ev.select(
+        col("event_id").cast("string").as("_id"),
+        col("user_id").cast("string").as("place_id"),
+        struct(col("event_type").as("name"), col("value").as("lat"), col("value").as("lon")).as("location"),
+        struct(
+          date_format(col("ts"), "yyyy-MM-dd HH:mm").as("last_updated"),
+          unix_seconds(col("ts")).as("last_updated_epoch"),
+          col("value").as("temp_c"),
+          (col("value") * lit(1.8) + lit(32.0)).as("temp_f"),
+          (col("event_id") % 2).as("is_day"),
+          struct(col("event_type").as("text"), lit("i").as("icon"), lit(0L).as("code")).as("condition"),
+          col("value").as("wind_mph"),
+          (col("value") * lit(1.609344)).as("wind_kph"),
+          (col("event_id") % 360).as("wind_degree"),
+          col("event_type").as("wind_dir"),
+          col("value").as("pressure_mb"),
+          col("value").as("pressure_in"),
+          col("value").as("precip_mm"),
+          col("value").as("precip_in"),
+          (col("event_id") % 100).as("humidity"),
+          (col("event_id") % 100).as("cloud"),
+          col("value").as("feelslike_c"),
+          col("value").as("feelslike_f"),
+          col("value").as("vis_km"),
+          col("value").as("vis_miles"),
+          col("value").as("uv"),
+          col("value").as("gust_mph"),
+          col("value").as("gust_kph")).as("current"))
+      Flatten.promoteWeather(raw)
+    }, Some(s"""SELECT CAST(event_id AS VARCHAR) AS id, CAST(user_id AS VARCHAR) AS place_id,
+      CAST(date_trunc('minute', $tsUs) AS TIMESTAMP) AS last_updated,
+      epoch_us($tsUs) // 1000000 AS last_updated_epoch,
+      value AS temp_c, value * CAST(1.8 AS DOUBLE) + CAST(32.0 AS DOUBLE) AS temp_f,
+      (event_id % 2 = 1) AS is_day, event_type AS condition,
+      value AS wind_mph, value * CAST(1.609344 AS DOUBLE) AS wind_kph,
+      event_id % 360 AS wind_degree, event_type AS wind_dir,
+      value AS pressure_mb, value AS pressure_in, value AS precip_mm, value AS precip_in,
+      event_id % 100 AS humidity, event_id % 100 AS cloud,
+      value AS feelslike_c, value AS feelslike_f, value AS vis_km, value AS vis_miles,
+      value AS uv, value AS gust_mph, value AS gust_kph FROM events""")),
+
+    // ====================== fuzzy matching (J4/A1/F1) =====================
+
+    ("q21_fuzzy_top1", (s: SparkSession, d: String) => {
+      val left = t(s, d, "part").filter(col("p_partkey") < 50).select("p_partkey", "p_name")
+      val right = t(s, d, "part").filter(col("p_partkey") >= 100)
+        .select(col("p_name").as("cand_name")).distinct()
+      FuzzyJoin.top1(left, right, "p_partkey",
+          Fuzzy.ratioApprox(lower(col("p_name")), lower(col("cand_name"))),
+          Seq(col("cand_name")))
+        .select("p_partkey", "p_name", "cand_name", "score")
+    }, Some("""WITH l AS (SELECT p_partkey, p_name FROM part WHERE p_partkey < 50),
+      r AS (SELECT DISTINCT p_name AS cand_name FROM part WHERE p_partkey >= 100),
+      sc AS (SELECT l.p_partkey, l.p_name, r.cand_name,
+        CAST(100 - CEIL(100.0 * levenshtein(lower(l.p_name), lower(r.cand_name))
+             / GREATEST(length(l.p_name) + length(r.cand_name), 1)) AS INTEGER) AS score
+        FROM l CROSS JOIN r),
+      w AS (SELECT *, row_number() OVER (PARTITION BY p_partkey ORDER BY score DESC, cand_name) AS rn FROM sc)
+      SELECT p_partkey, p_name, cand_name, score FROM w WHERE rn = 1""")),
+
+    // Exact fuzz.ratio (native codegen'd expression) — the indel-weighted
+    // ratio has no DuckDB equivalent, so this entry is rows-only; exactness
+    // is covered by the ScalaTest suite against known fuzzywuzzy values.
+    ("q22_fuzz_native", (s: SparkSession, d: String) => {
+      val left = t(s, d, "part").filter(col("p_partkey") < 20).select("p_partkey", "p_name")
+      val right = t(s, d, "part").filter(col("p_partkey") >= 100)
+        .select(col("p_name").as("cand_name")).distinct()
+      left.crossJoin(broadcast(right)).select(
+        col("p_partkey"), col("cand_name"),
+        Fuzzy.fuzzRatio(lower(col("p_name")), lower(col("cand_name"))).as("fuzz"))
+    }, None),
+
+    // ========================= upsert / CDC (ST1-ST7) =====================
+
+    ("q19_upsert_merge", (s: SparkSession, d: String) => {
+      val ev = t(s, d, "events")
+      Upsert.merge(ev.filter(col("event_id") % 3 === 0), ev.filter(col("event_id") % 2 === 0),
+        "event_id", "ts", "event_id")
+    }, Some(s"""SELECT $eventCols FROM events WHERE event_id % 3 = 0 AND event_id % 2 <> 0
+      UNION ALL SELECT $eventCols FROM events WHERE event_id % 2 = 0""")),
+
+    ("q20_upsert_pruned", (s: SparkSession, d: String) => {
+      val ev = t(s, d, "events")
+      Upsert.mergePartitionPruned(ev.filter(col("event_id") % 3 === 0),
+        ev.filter(col("event_id") % 2 === 0), "event_id", "user_id")
+    }, Some(s"""WITH u AS (SELECT * FROM events WHERE event_id % 2 = 0),
+      tg AS (SELECT * FROM events WHERE event_id % 3 = 0)
+      SELECT $eventCols FROM tg t WHERE t.user_id IN (SELECT DISTINCT user_id FROM u)
+        AND NOT EXISTS (SELECT 1 FROM u WHERE u.event_id = t.event_id)
+      UNION ALL SELECT $eventCols FROM u""")),
+
+    // The CDC flagship in batch form: events become insert/update/delete
+    // envelopes (fullDocument as JSON), dispatched, deletes dropped (ST5),
+    // last-wins per key by clusterTime (ST3/ST4), merged into an empty target.
+    ("q18_cdc_batch", (s: SparkSession, d: String) => {
+      val ev = t(s, d, "events")
+      val docSchema = StructType(Seq(
+        StructField("event_id", LongType), StructField("user_id", LongType),
+        StructField("ts_us", LongType), StructField("event_type", StringType),
+        StructField("value", DoubleType)))
+      val env = ev.select(
+        when(col("event_id") % 10 === 0, "delete")
+          .when(col("event_id") % 3 === 0, "update")
+          .otherwise("insert").as("operationType"),
+        col("user_id").cast("string").as("documentKey"),
+        to_json(struct(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("ts_us"), col("event_type"), col("value"))).as("fullDocument"),
+        col("ts").as("clusterTime"))
+      val empty = s.createDataFrame(s.sparkContext.emptyRDD[Row], docSchema)
+      graft.cdc.Dispatch.applyBatch(empty, env, docSchema, identity,
+        rawKey = "user_id", mergeKey = "user_id", tieCol = "event_id")
+    }, Some(s"""WITH nv AS (SELECT event_id, user_id, epoch_us($tsUs) AS ts_us, event_type, value, ts AS ct
+        FROM events WHERE event_id % 10 <> 0),
+      r AS (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ct DESC, event_id DESC) AS rn FROM nv)
+      SELECT event_id, user_id, ts_us, event_type, value FROM r WHERE rn = 1""")),
+
+    ("q37_stream_hourly", (s: SparkSession, d: String) => {
+      t(s, d, "events")
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+        .select(col("window.start").as("hour"), col("event_type"), col("n"), col("sum_value"))
+    }, Some(s"""SELECT CAST(date_trunc('hour', $tsUs) AS TIMESTAMP) AS hour, event_type,
+      count(*) AS n, ${dsumSql("value")} AS sum_value FROM events GROUP BY 1, 2""")),
+
+    // ===================== LLM-pipeline: dedup ============================
+
+    ("q24_exact_dedup", (s: SparkSession, d: String) => {
+      Dedup.exact(t(s, d, "documents"), "text", "doc_id")
+    }, Some("""SELECT md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp,
+      min(doc_id) AS doc_id, count(*) AS n_dups FROM documents GROUP BY 1""")),
+
+    ("q25_ngram_jaccard", (s: SparkSession, d: String) => {
+      Dedup.bruteForceJaccardPairs(
+        t(s, d, "documents").filter(col("doc_id") < 100), "text", "doc_id", 3, 0.02)
+    }, Some("""WITH dd AS (SELECT doc_id,
+        list_filter(string_split_regex(trim(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')), ' '),
+                    x -> x <> '') AS w
+        FROM documents WHERE doc_id < 100),
+      sh AS (SELECT doc_id, CASE WHEN len(w) >= 3
+          THEN list_distinct(list_transform(range(1, len(w) - 1), i -> array_to_string(w[i:i+2], ' ')))
+          ELSE [array_to_string(w, ' ')] END AS sh FROM dd),
+      p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        round(CAST(len(list_filter(a.sh, x -> list_contains(b.sh, x))) AS DOUBLE)
+              / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE), 6) AS jaccard
+        FROM sh a CROSS JOIN sh b WHERE a.doc_id < b.doc_id)
+      SELECT id_a, id_b, jaccard FROM p WHERE jaccard >= 0.02""")),
+
+    // MinHash+LSH over a corpus with planted near-duplicates (the raw docs
+    // carry none). The md5-based signature is deterministic, so the oracle
+    // replays the ENTIRE pipeline — shingle, sign, band, join, verify — in
+    // DuckDB SQL and must match exactly.
+    ("q27_minhash_pairs", (s: SparkSession, d: String) => {
+      val docs = t(s, d, "documents").select("doc_id", "text")
+      val planted = docs.select((col("doc_id") + 10000).as("doc_id"),
+        concat(col("text"), lit(" extra token")).as("text"))
+      Dedup.minhashPairs(docs.unionByName(planted), "text", "doc_id",
+        shingleN = 3, k = 16, bands = 4, threshold = 0.5)
+    }, Some("""WITH corpus AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL SELECT doc_id + 10000 AS doc_id, text || ' extra token' AS text FROM documents),
+      dd AS (SELECT doc_id,
+        list_filter(string_split_regex(trim(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')), ' '),
+                    x -> x <> '') AS w FROM corpus),
+      sh AS (SELECT doc_id, CASE WHEN len(w) >= 3
+          THEN list_distinct(list_transform(range(1, len(w) - 1), i -> array_to_string(w[i:i+2], ' ')))
+          ELSE [array_to_string(w, ' ')] END AS sh FROM dd),
+      sig AS (SELECT doc_id, sh,
+        list_transform(range(0, 16), s -> list_min(list_transform(sh, x -> md5(CAST(s AS VARCHAR) || ':' || x)))) AS sig
+        FROM sh),
+      band AS (SELECT doc_id, sh,
+        unnest(list_transform(range(0, 4), b -> CAST(b AS VARCHAR) || '|' || md5(array_to_string(sig[b*4+1:b*4+4], ',')))) AS band
+        FROM sig),
+      pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+        CAST(len(list_filter(a.sh, x -> list_contains(b.sh, x))) AS DOUBLE)
+          / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) AS jaccard
+        FROM band a JOIN band b ON a.band = b.band AND a.doc_id < b.doc_id)
+      SELECT id_a, id_b, jaccard FROM pairs WHERE jaccard >= 0.5""")),
+
+    // SimHash near-dup pairs — native codegen'd simhash64 has no DuckDB
+    // twin; rows-only here, exactness covered in ScalaTest.
+    ("q26_simhash_pairs", (s: SparkSession, d: String) => {
+      val docs = t(s, d, "documents").select("doc_id", "text")
+      val planted = docs.select((col("doc_id") + 10000).as("doc_id"),
+        concat(col("text"), lit(" extra token")).as("text"))
+      Dedup.simhashPairs(docs.unionByName(planted), "text", "doc_id",
+        prefixBits = 8, maxHamming = 6)
+    }, None),
+
+    ("q28_embedding_pairs", (s: SparkSession, d: String) => {
+      Dedup.embeddingPairs(t(s, d, "embeddings"), "embedding", "vec_id",
+        signBits = 4, threshold = 0.3)
+    }, Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      b AS (SELECT vec_id, v,
+        list_sum(list_transform(range(1, 5), i -> CASE WHEN v[i] > 0 THEN CAST(power(2, 4 - i) AS BIGINT) ELSE 0 END)) AS bucket
+        FROM e)
+      SELECT a.vec_id AS id_a, b2.vec_id AS id_b,
+        round(list_cosine_similarity(a.v, b2.v), 6) AS cosine
+      FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
+      WHERE round(list_cosine_similarity(a.v, b2.v), 6) >= 0.3""")),
+
+    // ===================== LLM-pipeline: similarity search ================
+
+    ("q23_cosine_topk", (s: SparkSession, d: String) => {
+      val emb = t(s, d, "embeddings")
+      SimSearch.bruteForceTopK(
+        emb.filter(col("vec_id") < 8).select(col("vec_id").as("query_id"), col("embedding")),
+        emb, 5, "query_id", "vec_id")
+    }, Some("""WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 8),
+      c AS (SELECT vec_id, embedding::DOUBLE[] AS cv FROM embeddings),
+      sc AS (SELECT query_id, vec_id, round(list_cosine_similarity(qv, cv), 6) AS cosine
+        FROM c CROSS JOIN q),
+      w AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rnk FROM sc)
+      SELECT query_id, vec_id, cosine, CAST(rnk AS INTEGER) AS rank FROM w WHERE rnk <= 5""")),
+
+    // ===================== LLM-pipeline: text analysis ====================
+
+    ("q29_text_stats", (s: SparkSession, d: String) => {
+      t(s, d, "documents").select(
+        col("doc_id"),
+        TextStats.tokenCount(col("text")).as("n_tokens"),
+        TextStats.bpeIshTokenCount(col("text")).as("n_bpeish"),
+        TextStats.punctCount(col("text")).as("n_punct"),
+        TextStats.qualityScore(col("text")).as("quality"))
+    }, Some("""WITH b AS (SELECT doc_id, text,
+        list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS toks FROM documents),
+      c AS (SELECT doc_id,
+        CAST(len(toks) AS INTEGER) AS n_tokens,
+        CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS INTEGER) AS n_bpeish,
+        CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS INTEGER) AS n_punct,
+        CAST(len(toks) AS DOUBLE) AS ntok,
+        CAST(length(text) AS DOUBLE) AS nchar,
+        CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS DOUBLE) AS npunct,
+        CAST(len(list_distinct(toks)) AS DOUBLE) AS ndist
+        FROM b)
+      SELECT doc_id, n_tokens, n_bpeish, n_punct,
+        round((least(ntok / 100.0, 1.0)
+               + (1.0 - least(npunct / greatest(nchar, 1.0) * 10.0, 1.0))
+               + ndist / greatest(ntok, 1.0)) / 3.0, 4) AS quality
+      FROM c""")),
+
+    ("q30_lang_id", (s: SparkSession, d: String) => {
+      t(s, d, "documents").select(col("doc_id"), TextStats.langId(col("text")).as("lang"))
+    }, Some("""WITH b AS (SELECT doc_id,
+        list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> x <> '') AS toks FROM documents),
+      h AS (SELECT doc_id,
+        len(list_filter(toks, x -> x IN ('der','die','das','und','ist','nicht','mit','ein','ich','zu'))) AS h_de,
+        len(list_filter(toks, x -> x IN ('the','and','of','to','a','in','is','it','you','that'))) AS h_en,
+        len(list_filter(toks, x -> x IN ('el','la','que','los','y','en','un','ser','se','no'))) AS h_es,
+        len(list_filter(toks, x -> x IN ('le','les','des','et','dans','en','un','du','une','est'))) AS h_fr,
+        len(list_filter(toks, x -> x IN ('的','一','是','不','了','人','我','在','有','他'))) AS h_zh
+        FROM b)
+      SELECT doc_id, CASE
+        WHEN h_de = 0 AND h_en = 0 AND h_es = 0 AND h_fr = 0 AND h_zh = 0 THEN 'und'
+        WHEN h_de >= h_en AND h_de >= h_es AND h_de >= h_fr AND h_de >= h_zh THEN 'de'
+        WHEN h_en >= h_es AND h_en >= h_fr AND h_en >= h_zh THEN 'en'
+        WHEN h_es >= h_fr AND h_es >= h_zh THEN 'es'
+        WHEN h_fr >= h_zh THEN 'fr'
+        ELSE 'zh' END AS lang FROM h""")),
+
+    ("q31_fingerprint", (s: SparkSession, d: String) => {
+      t(s, d, "documents").select(col("doc_id"), TextStats.fingerprint(col("text")).as("fp"))
+    }, Some("""SELECT doc_id, md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp
+      FROM documents""")),
+
+    // ===================== LLM-pipeline: multimodal =======================
+
+    ("q32_multimodal_meta", (s: SparkSession, d: String) => {
+      Multimodal.decodeMeta(Multimodal.withPayload(t(s, d, "documents"), "text", "doc_id"))
+        .select("doc_id", "n_bytes", "width", "height", "channels")
+    }, Some("""SELECT doc_id,
+      CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+      CAST(octet_length(encode(text)) % 640 + 1 AS INTEGER) AS width,
+      CAST((octet_length(encode(text)) * 7) % 480 + 1 AS INTEGER) AS height,
+      CAST(3 AS INTEGER) AS channels FROM documents"""))
+  )
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] =
+    all.map { case (n, f, _) => n -> f }.toMap
+
+  val oracleSql: Map[String, String] =
+    all.collect { case (n, _, Some(sql)) => n -> sql.replaceAll("\\s+", " ").trim }.toMap
+}

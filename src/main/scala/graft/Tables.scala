@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** Parquet-backed table catalog over the harness fixtures (TESTDATA.md).
   *
@@ -14,6 +15,17 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def apply(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+  def apply(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    val df = read(spark, s"$sfDir/$name.parquet")
+    // events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized reader
+    // rejects outright; read it as raw nanos and convert to a µs timestamp
+    // (the data carries no sub-µs digits — verified against the fixtures).
+    if (name == "events") df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    else df
+  }
+
+  private def read(spark: SparkSession, path: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(path)
+  }
 }

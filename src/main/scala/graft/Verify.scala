@@ -11,14 +11,25 @@ object Verify {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      try {
+        val out = fn(spark, sfDir)
+        // Dump timestamps as NTZ: with session TZ pinned to UTC the cast is
+        // value-identity, and the parquet carries isAdjustedToUTC=false so
+        // pandas/DuckDB both read tz-naive values matching the oracle's.
+        val naive = out.schema.fields.foldLeft(out) { (df, f) =>
+          if (f.dataType == org.apache.spark.sql.types.TimestampType)
+            df.withColumn(f.name, org.apache.spark.sql.functions.col(f.name)
+              .cast(org.apache.spark.sql.types.TimestampNTZType))
+          else df
+        }
+        naive.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }

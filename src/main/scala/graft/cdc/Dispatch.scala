@@ -1,0 +1,108 @@
+package graft.cdc
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types.StructType
+
+import graft.Schemas
+import graft.ops.Upsert
+
+/** The reference's flagship dataflow — MongoDB change stream → dispatch on
+  * operationType → warehouse (reference:
+  * src/process_insert_update_weather_data.py:166-187) — restated as
+  * Structured Streaming over a CDC-envelope source (ST1-ST7).
+  *
+  * Per-EVENT probes become per-BATCH joins: the reference pays 2-3 remote
+  * queries per change event; here one micro-batch pays one anti-join (insert
+  * dedup), one semi-join (FK), and one merge, regardless of batch size
+  * (SURVEY.md §3.2).
+  */
+object Dispatch {
+
+  val knownOps = Seq("insert", "update", "delete")
+
+  /** ST2: split a batch of envelopes by operationType, failing fast on ops
+    * outside the known set — the reference `os._exit(1)`s on unknown types
+    * (reference: src/process_insert_update_weather_data.py:184-187).
+    */
+  def dispatch(batch: DataFrame): Map[String, DataFrame] = {
+    val unknown = batch.filter(!col("operationType").isin(knownOps: _*))
+    if (!unknown.isEmpty) {
+      val op = unknown.select("operationType").head().getString(0)
+      throw new IllegalStateException(s"unknown CDC operationType: $op")
+    }
+    knownOps.map(op => op -> batch.filter(col("operationType") === op)).toMap
+  }
+
+  /** The batch form of one micro-batch apply: parse `fullDocument` with the
+    * given lake schema, drop deletes (ST5 — the reference never propagates
+    * them, reference: src/process_insert_update_weather_data.py:181-183;
+    * README.md:15), collapse to last-wins per key (ST3 idempotence over
+    * replays), and merge into the target (ST4).
+    *
+    * `rawKey` names the key in the LAKE document, `mergeKey` the same key in
+    * the PROMOTED row (the reference renames `_id`→`id` during promotion);
+    * `promote` must map `rawKey` injectively to `mergeKey`. Dedup runs
+    * BEFORE promotion — row-wise promotion commutes with per-key top-1, and
+    * promoting only the surviving rows is strictly cheaper.
+    */
+  def applyBatch(target: DataFrame, envelopes: DataFrame, docSchema: StructType,
+                 promote: DataFrame => DataFrame, rawKey: String,
+                 mergeKey: String, tieCol: String): DataFrame = {
+    val byOp = dispatch(envelopes)
+    val upserts = byOp("insert").unionByName(byOp("update"))
+      .withColumn("doc", from_json(col("fullDocument"), docSchema))
+      .select(col("clusterTime").as("__ct"), col("doc.*"))
+    // last-wins inside the batch by stream time, then merge over the target
+    val deduped = Upsert.lastWins(upserts, rawKey, "__ct", tieCol).drop("__ct")
+    Upsert.mergeUnique(target, promote(deduped), mergeKey)
+  }
+
+  /** ST1: a file-replayed CDC-envelope stream — the offline stand-in for
+    * `collection.watch()`. Any directory of JSON envelope files becomes the
+    * change stream; Structured Streaming's checkpointing supplies replay.
+    */
+  def fileCdcSource(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.schema(Schemas.cdcEnvelope).json(dir)
+
+  /** ST1-ST7 wired end-to-end: stream envelopes → foreachBatch(applyBatch) →
+    * parquet target. `Trigger.AvailableNow` is the reference's hourly cron
+    * (ST7) in streaming clothes; pass `ProcessingTime` for a long-running
+    * tail.
+    */
+  def run(spark: SparkSession, envelopeDir: String, targetPath: String,
+          checkpoint: String, docSchema: StructType,
+          promote: DataFrame => DataFrame, rawKey: String, mergeKey: String,
+          tieCol: String,
+          trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    fileCdcSource(spark, envelopeDir).writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val target =
+          if (new java.io.File(targetPath).exists())
+            spark.read.schema(promoteSchema(spark, docSchema, promote)).parquet(targetPath)
+          else
+            spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+              promoteSchema(spark, docSchema, promote))
+        val merged = applyBatch(target, batch, docSchema, promote, rawKey, mergeKey, tieCol)
+        // Can't overwrite the path we're reading: distributed write to a tmp
+        // dir, then directory swap. No driver-side collect on the data path.
+        val tmp = targetPath + ".tmp"
+        merged.write.mode("overwrite").parquet(tmp)
+        val fs = org.apache.hadoop.fs.FileSystem.get(
+          spark.sparkContext.hadoopConfiguration)
+        val tgt = new org.apache.hadoop.fs.Path(targetPath)
+        fs.delete(tgt, true)
+        fs.rename(new org.apache.hadoop.fs.Path(tmp), tgt)
+        ()
+      }
+      .start()
+  }
+
+  private def promoteSchema(spark: SparkSession, docSchema: StructType,
+                            promote: DataFrame => DataFrame): StructType =
+    promote(spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], docSchema)).schema
+}

@@ -1,0 +1,75 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** Multimodal columns: image/audio/video as opaque `binary` columns with
+  * typed metadata, plus the decode / feature-extract / frame-sample plumbing
+  * a training pipeline hangs off them.
+  *
+  * The actual codecs are NOT in this container, so the decode kernel is a
+  * clearly-marked DETERMINISTIC FAKE (see [[fakeDecode]]); everything Spark-
+  * side — schema, batch iteration, partitioning, explode shape — is real and
+  * tested. Swapping the fake for a JNI/FFI codec changes one function.
+  */
+object Multimodal {
+
+  /** Media row: opaque payload + source metadata. */
+  case class MediaRow(doc_id: Long, payload: Array[Byte], mime: String)
+
+  /** Decoded metadata a real image decoder would return. */
+  case class DecodedMeta(doc_id: Long, width: Int, height: Int,
+                         channels: Int, n_bytes: Long)
+
+  /** Attach a binary payload column (here derived from text — the harness
+    * has no real media; a production reader maps parquet `binary` directly).
+    */
+  def withPayload(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.select(
+      col(idCol).cast("long").as("doc_id"),
+      col(textCol).cast("binary").as("payload"),
+      lit("application/octet-stream").as("mime"))
+
+  /** Columnar "decode": deterministic metadata from the payload bytes, kept
+    * as pure expressions so the scan+decode stays whole-stage-codegen'd.
+    * width/height formulas are the FAKE — a real decoder reads the header.
+    */
+  def decodeMeta(df: DataFrame): DataFrame =
+    df.withColumn("n_bytes", length(col("payload")).cast("long"))
+      .withColumn("width", (pmod(col("n_bytes"), lit(640)) + 1).cast("int"))
+      .withColumn("height", (pmod(col("n_bytes") * 7, lit(480)) + 1).cast("int"))
+      .withColumn("channels", lit(3))
+
+  /** FAKE image decode for one payload — stands in for the real codec call
+    * (libjpeg/ffmpeg are not in this container). Deterministic in the bytes.
+    */
+  def fakeDecode(payload: Array[Byte]): (Int, Int, Int) = {
+    val n = payload.length.toLong
+    ((n % 640 + 1).toInt, (n * 7 % 480 + 1).toInt, 3)
+  }
+
+  /** The batch-decode plumbing a real codec needs: `mapPartitions` so the
+    * (expensive, native) decoder initializes ONCE per partition and streams
+    * the partition's rows through — the Scala analogue of a pandas-batched
+    * UDF. This is the hot-path shape at 100 TB: no per-row codec setup, no
+    * driver involvement, partition-parallel.
+    */
+  def decodePartitioned(media: Dataset[MediaRow]): Dataset[DecodedMeta] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      // real impl: open codec context here, close at iterator end
+      rows.map { m =>
+        val (w, h, c) = fakeDecode(m.payload)
+        DecodedMeta(m.doc_id, w, h, c, m.payload.length.toLong)
+      }
+    }
+  }
+
+  /** Frame sampling: one row per sampled frame index — `explode(sequence)`
+    * keeps it a generator (no shuffle), and downstream per-frame decode
+    * parallelizes over the exploded rows.
+    */
+  def sampleFrames(df: DataFrame, everyNth: Int, totalFramesCol: String): DataFrame =
+    df.withColumn("frame_idx",
+      explode(sequence(lit(0), greatest(col(totalFramesCol) - 1, lit(0)), lit(everyNth))))
+}

@@ -1,0 +1,63 @@
+package graft.llm
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions
+
+/** Similarity search over an embedding column (SURVEY.md §7:
+  * llm/SimSearch): brute-force cosine top-k as the exact baseline, a
+  * sign-bucketed (LSH) variant as the 100 TB path.
+  *
+  * Scale design: brute force is |Q| x |C| — correct and fine when |Q| is a
+  * broadcastable query batch (the common "embed a prompt batch, search the
+  * corpus" shape: one pass over the corpus, queries replicated to every
+  * executor, NO corpus shuffle). The bucketed variant turns the fan-out into
+  * an equi-join on the LSH bucket: each corpus row is compared only against
+  * queries landing in its bucket — sublinear candidate sets at the cost of
+  * recall, the standard IVF/LSH trade.
+  */
+object SimSearch {
+
+  /** Exact top-k: every query vs every corpus row, fused-cosine scored,
+    * row_number-pruned. `queries` is broadcast — the corpus never shuffles;
+    * the only exchange is the final per-query top-k, which AQE collapses at
+    * |Q|·k rows.
+    */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+                     queryId: String = "query_id", vecId: String = "vec_id"): DataFrame = {
+    val q = queries.select(col(queryId), col("embedding").as("q_emb"))
+    val c = corpus.select(col(vecId), col("embedding").as("c_emb"))
+    val scored = c.crossJoin(broadcast(q))
+      .withColumn("cosine",
+        round(VectorFunctions.cosineSim(col("q_emb"), col("c_emb")), 6))
+    val w = Window.partitionBy(col(queryId))
+      .orderBy(col("cosine").desc, col(vecId))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(queryId, vecId, "cosine", "rank")
+  }
+
+  /** LSH-bucketed top-k: queries and corpus equi-join on the sign bucket of
+    * the leading dimensions. Recall < 1 by construction (a production sweep
+    * probes neighboring buckets / multiple hash tables); the payoff is that
+    * the per-bucket candidate set — not the whole corpus — is scored.
+    */
+  def bucketedTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+                   signBits: Int = 8,
+                   queryId: String = "query_id", vecId: String = "vec_id"): DataFrame = {
+    val q = queries.select(col(queryId), col("embedding").as("q_emb"))
+      .withColumn("bucket", Dedup.signBucket(col("q_emb").cast("array<double>"), signBits))
+    val c = corpus.select(col(vecId), col("embedding").as("c_emb"))
+      .withColumn("bucket", Dedup.signBucket(col("c_emb").cast("array<double>"), signBits))
+    val scored = c.join(broadcast(q), Seq("bucket"))
+      .withColumn("cosine",
+        round(VectorFunctions.cosineSim(col("q_emb"), col("c_emb")), 6))
+    val w = Window.partitionBy(col(queryId))
+      .orderBy(col("cosine").desc, col(vecId))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(queryId, vecId, "cosine", "rank")
+  }
+}

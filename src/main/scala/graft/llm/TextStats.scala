@@ -1,0 +1,80 @@
+package graft.llm
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text analysis for training-data pipelines: token counting, quality
+  * scoring, language ID, fingerprinting. All pure column expressions —
+  * whole-stage-codegen'd, no UDFs, so a 100 TB scan stays one fused pipeline
+  * over the parquet reader.
+  */
+object TextStats {
+
+  /** Whitespace tokens, empty-safe (split of "" yields [""], which we drop). */
+  def tokens(text: Column): Column =
+    filter(split(trim(text), "\\s+"), t => t =!= lit(""))
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish subword count: letter runs, digit runs, and single punctuation
+    * marks each count as one token — the cheap public approximation of a BPE
+    * pre-tokenizer's segment count.
+    */
+  def bpeIshTokenCount(text: Column): Column =
+    regexp_count(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"))
+
+  def punctCount(text: Column): Column =
+    regexp_count(text, lit("[^A-Za-z0-9\\s]"))
+
+  /** Quality score in [0,1]: long-enough docs with low punctuation density
+    * and diverse vocabulary score high — the standard cheap pre-filter
+    * before expensive dedup/model scoring.
+    * All integer ratios are computed in double then rounded to 4 places so
+    * the DuckDB oracle hashes identically.
+    */
+  def qualityScore(text: Column): Column = {
+    val nTok = tokenCount(text).cast("double")
+    val nChar = length(text).cast("double")
+    val lenScore = least(nTok / lit(100.0), lit(1.0))
+    val punctScore = lit(1.0) - least(
+      punctCount(text).cast("double") / greatest(nChar, lit(1.0)) * lit(10.0), lit(1.0))
+    val diversity = size(array_distinct(tokens(text))).cast("double") /
+      greatest(nTok, lit(1.0))
+    round((lenScore + punctScore + diversity) / lit(3.0), 4)
+  }
+
+  /** Stopword tables for the n-gram/stopword language-ID heuristic. */
+  val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "a", "in", "is", "it", "you", "that"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "mit", "ein", "ich", "zu"),
+    "es" -> Seq("el", "la", "que", "los", "y", "en", "un", "ser", "se", "no"),
+    "fr" -> Seq("le", "les", "des", "et", "dans", "en", "un", "du", "une", "est"),
+    "zh" -> Seq("的", "一", "是", "不", "了", "人", "我", "在", "有", "他"))
+
+  /** Language ID: argmax over per-language stopword hit counts, ties broken
+    * by language code (deterministic); no hits at all → "und".
+    */
+  def langId(text: Column): Column = {
+    val toks = tokens(lower(text))
+    val langs = stopwords.toSeq.sortBy(_._1)
+    // struct compare is field-by-field: (hits, rank) with rank descending by
+    // alphabetical position makes greatest() an argmax over hits with
+    // alphabetically-FIRST language winning ties — deterministic, and
+    // expressible identically in the DuckDB oracle.
+    val scored = langs.zipWithIndex.map { case ((lang, words), i) =>
+      struct(
+        size(filter(toks, t => t.isin(words: _*))).as("hits"),
+        lit(langs.size - i).as("rank"),
+        lit(lang).as("lang"))
+    }
+    val best = greatest(scored: _*)
+    when(best.getField("hits") > 0, best.getField("lang")).otherwise(lit("und"))
+  }
+
+  /** Document fingerprint: md5 of whitespace-normalized lowercase text —
+    * byte-identical in every engine (the rolling-hash/winnowing variant for
+    * partial-overlap detection lives in Dedup.wordShingles + minhash).
+    */
+  def fingerprint(text: Column): Column =
+    md5(regexp_replace(trim(lower(text)), "\\s+", " "))
+}

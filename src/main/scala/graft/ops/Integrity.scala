@@ -7,33 +7,44 @@ import org.apache.spark.sql.functions._
   * PK/FK constraints would, by per-row probe queries; here each becomes one
   * set-oriented join per batch (SURVEY.md §2.3 J1-J3, §2.4 A2-A3).
   *
-  * Scale note: the probe side of each join is a key set, not full rows — at
-  * 100 TB the target's key column is still small enough to broadcast in most
-  * CDC settings (bounded dimension); when it isn't, Catalyst falls back to a
-  * shuffled join on the key, which is the right plan anyway.
+  * Scale note: the probe side of each join is a key set, not full rows. We do
+  * NOT hardcode a broadcast hint — an explicit hint overrides
+  * `autoBroadcastJoinThreshold`, and broadcasting the key set of a 100 TB fact
+  * table would OOM the driver. Callers that KNOW the probe side is a bounded
+  * dimension (the reference's places table is 63 rows) pass
+  * `broadcastDim = true`; otherwise AQE picks broadcast vs shuffle from
+  * measured sizes at runtime.
   */
 object Integrity {
+
+  private def keySet(df: DataFrame, cols: Seq[String], broadcastDim: Boolean): DataFrame = {
+    val k = df.select(cols.map(col): _*).distinct()
+    if (broadcastDim) broadcast(k) else k
+  }
 
   /** J1: rows whose key is NOT already in the target (insert dedup).
     * Reference probes `SELECT 1 FROM t WHERE id=x` per document
     * (reference: src/process_insert_update_weather_data.py:49-62); one
     * left_anti join replaces N round trips.
     */
-  def newRowsOnly(incoming: DataFrame, target: DataFrame, key: String): DataFrame =
-    incoming.join(broadcast(target.select(key).distinct()), Seq(key), "left_anti")
+  def newRowsOnly(incoming: DataFrame, target: DataFrame, key: String,
+                  broadcastDim: Boolean = false): DataFrame =
+    incoming.join(keySet(target, Seq(key), broadcastDim), Seq(key), "left_anti")
 
   /** J2: rows whose foreign key exists in the dimension (FK validation).
     * Reference: src/process_insert_update_weather_data.py:66-79.
     */
-  def fkValid(facts: DataFrame, dim: DataFrame, factKey: String, dimKey: String): DataFrame =
+  def fkValid(facts: DataFrame, dim: DataFrame, factKey: String, dimKey: String,
+              broadcastDim: Boolean = false): DataFrame =
     facts.join(
-      broadcast(dim.select(col(dimKey).as(factKey)).distinct()),
+      keySet(dim.select(col(dimKey).as(factKey)), Seq(factKey), broadcastDim),
       Seq(factKey), "left_semi")
 
   /** J2 rejected leg: FK violations, for the dead-letter/skip log. */
-  def fkViolations(facts: DataFrame, dim: DataFrame, factKey: String, dimKey: String): DataFrame =
+  def fkViolations(facts: DataFrame, dim: DataFrame, factKey: String, dimKey: String,
+                   broadcastDim: Boolean = false): DataFrame =
     facts.join(
-      broadcast(dim.select(col(dimKey).as(factKey)).distinct()),
+      keySet(dim.select(col(dimKey).as(factKey)), Seq(factKey), broadcastDim),
       Seq(factKey), "left_anti")
 
   /** A2: duplicate audit — keys appearing more than once.
@@ -47,11 +58,12 @@ object Integrity {
     * scan-order winner is nondeterministic; we pin by `orderCol`).
     * Reference: src/process_insert_places_data.py:36-46.
     */
-  def batchDedup(batch: DataFrame, existing: DataFrame, key: String, orderCol: String): DataFrame = {
+  def batchDedup(batch: DataFrame, existing: DataFrame, key: String, orderCol: String,
+                 broadcastDim: Boolean = false): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col(key)).orderBy(col(orderCol))
     batch.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1).drop("__rn")
-      .join(broadcast(existing.select(key).distinct()), Seq(key), "left_anti")
+      .join(keySet(existing, Seq(key), broadcastDim), Seq(key), "left_anti")
   }
 }

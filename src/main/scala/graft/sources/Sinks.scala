@@ -1,0 +1,41 @@
+package graft.sources
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Sinks (SURVEY.md §2.1 S9-S14). Spark's parallel task writes ARE the
+  * reference's `insert_many(ordered=False)` — unordered, per-partition
+  * parallel, per-task failure isolated by task retry.
+  */
+object Sinks {
+
+  /** S9/S10/S11: bulk append. One API covers the reference's three insert
+    * shapes (single-row, multi-row, bulk) because batching is the engine's
+    * default, not an optimization (SURVEY.md §4).
+    */
+  def append(df: DataFrame, path: String): Unit =
+    df.write.mode("append").parquet(path)
+
+  /** Partitioned append — the 100 TB shape: co-locate by the column later
+    * merges/point-lookups prune on.
+    */
+  def appendPartitioned(df: DataFrame, path: String, partCol: String): Unit =
+    df.write.mode("append").partitionBy(partCol).parquet(path)
+
+  /** S13: dead-letter sink — failed rows as JSON, enumerated (P12) and
+    * stamped the way the reference names its S3 objects
+    * (reference: src/ingest_weather_data.py:35-45).
+    */
+  def deadLetter(failed: DataFrame, path: String, runTs: java.sql.Timestamp): Unit = {
+    val stamp = failed.sparkSession.range(1).select(
+      graft.ops.Flatten.fileSafe(date_format(lit(runTs), "yyyy-MM-dd HH:mm:ss"))
+    ).head().getString(0)
+    failed
+      .withColumn("failed_index", monotonically_increasing_id())
+      .write.mode("append").json(s"$path/failed_$stamp")
+  }
+
+  /** S14: local JSON dump (reference: src/extract_coordinates.py:21-24). */
+  def jsonDump(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").json(path)
+}

@@ -1,0 +1,36 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{MapType, StringType, StructType}
+
+/** File sources (SURVEY.md §2.1 S2-S5). The reference's REST fetches (S1)
+  * are replaced by file sources per SURVEY §0 — the engine's inputs are
+  * parquet/JSON on a shared filesystem, the shape a 1000-executor cluster
+  * actually reads.
+  */
+object Sources {
+
+  /** S4: full table scan from the parquet catalog. */
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    graft.Tables(spark, sfDir, name)
+
+  /** S3: array-shaped JSON file (the reference's place_names.json — a JSON
+    * array of structs, reference: src/ingest_places_data.py:17-20).
+    * `multiLine` because a single array literal spans lines.
+    */
+  def jsonArrayFile(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.option("multiLine", true).schema(schema).json(path)
+
+  /** S2: map-shaped JSON file (the reference's place_coordinates.json — one
+    * object keyed by place_id, reference: src/ingest_weather_data.py:145-153),
+    * exploded to (key, value-struct) rows.
+    */
+  def jsonMapFile(spark: SparkSession, path: String, valueSchema: StructType): DataFrame = {
+    val raw = spark.read.option("multiLine", true)
+      .option("wholetext", true).text(path)
+    raw.select(explode(from_json(col("value"),
+        MapType(StringType, valueSchema))).as(Seq("key", "value")))
+      .select(col("key"), col("value.*"))
+  }
+}

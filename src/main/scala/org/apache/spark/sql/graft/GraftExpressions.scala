@@ -101,8 +101,36 @@ case class DotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** 64-bit SimHash of a token array: FNV-1a hash per token, bitwise majority
+  * vote across tokens. Near-duplicate documents differ in few bits, so
+  * `bit_count(a ^ b)` is a Hamming-distance verifier (llm/Dedup). Native
+  * expression — the per-token loop stays inside whole-stage codegen.
+  */
+case class SimHash64(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with ExpectsInputTypes {
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "simhash64"
+
+  override protected def nullSafeEval(in: Any): Any =
+    graft.functions.TextImpl.simhash64(
+      in.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.functions.TextImpl.simhash64($a)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** The only legal Column<->Expression crossing point (private[sql] bridge). */
 object GraftColumns {
+  def simHash64(tokens: Column): Column =
+    ExpressionUtils.column(SimHash64(ExpressionUtils.expression(tokens)))
+
   def fuzzRatio(a: Column, b: Column): Column =
     ExpressionUtils.column(FuzzRatio(
       ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
