@@ -1,0 +1,99 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.cdc.Dispatch
+
+/** Golden CDC-sequence coverage (SURVEY.md §5.5): a scripted
+  * insert/update/delete/unknown envelope stream must produce a known final
+  * table, drop deletes, fail fast on unknown ops, and be idempotent under
+  * replay.
+  */
+class CdcSpec extends SparkSuite {
+
+  private val docSchema = StructType(Seq(
+    StructField("id", StringType), StructField("v", LongType)))
+
+  private def env(op: String, key: String, doc: String, t: String) =
+    (op, key, doc, java.sql.Timestamp.valueOf(t))
+
+  private def envelopes(rows: Seq[(String, String, String, java.sql.Timestamp)]) = {
+    import spark.implicits._
+    rows.toDF("operationType", "documentKey", "fullDocument", "clusterTime")
+  }
+
+  private def emptyTarget = spark.createDataFrame(
+    spark.sparkContext.emptyRDD[Row], docSchema)
+
+  test("golden sequence: insert, update, delete -> final state") {
+    import spark.implicits._
+    val batch = envelopes(Seq(
+      env("insert", "a", """{"id":"a","v":1}""", "2024-01-01 00:00:00"),
+      env("update", "a", """{"id":"a","v":2}""", "2024-01-01 00:00:01"),
+      env("insert", "b", """{"id":"b","v":7}""", "2024-01-01 00:00:02"),
+      env("delete", "c", null, "2024-01-01 00:00:03")))
+    val got = Dispatch.applyBatch(emptyTarget, batch, docSchema, identity,
+      rawKey = "id", mergeKey = "id", tieCol = "v")
+      .as[(String, Long)].collect().toSet
+    assert(got == Set(("a", 2L), ("b", 7L))) // last-wins for a; delete ignored
+  }
+
+  test("unknown operationType fails fast like the reference's os._exit(1)") {
+    val batch = envelopes(Seq(
+      env("insert", "a", """{"id":"a","v":1}""", "2024-01-01 00:00:00"),
+      env("replace", "a", """{"id":"a","v":9}""", "2024-01-01 00:00:01")))
+    val e = intercept[IllegalStateException] {
+      Dispatch.applyBatch(emptyTarget, batch, docSchema, identity, "id", "id", "v")
+    }
+    assert(e.getMessage.contains("replace"))
+  }
+
+  test("ST3 idempotence: replaying the same batch is a no-op") {
+    import spark.implicits._
+    val batch = envelopes(Seq(
+      env("insert", "a", """{"id":"a","v":1}""", "2024-01-01 00:00:00"),
+      env("update", "a", """{"id":"a","v":2}""", "2024-01-01 00:00:01")))
+    val once = Dispatch.applyBatch(emptyTarget, batch, docSchema, identity, "id", "id", "v")
+    val twice = Dispatch.applyBatch(once, batch, docSchema, identity, "id", "id", "v")
+    assert(once.as[(String, Long)].collect().toSet ==
+      twice.as[(String, Long)].collect().toSet)
+  }
+
+  test("promotion with key rename: rawKey _id -> mergeKey id") {
+    import spark.implicits._
+    val rawSchema = StructType(Seq(
+      StructField("_id", StringType), StructField("v", LongType)))
+    val batch = envelopes(Seq(
+      env("insert", "a", """{"_id":"a","v":1}""", "2024-01-01 00:00:00"),
+      env("update", "a", """{"_id":"a","v":5}""", "2024-01-01 00:00:01")))
+    val promote = (df: org.apache.spark.sql.DataFrame) =>
+      df.withColumnRenamed("_id", "id")
+    val target = spark.createDataFrame(spark.sparkContext.emptyRDD[Row], docSchema)
+    val got = Dispatch.applyBatch(target, batch, rawSchema, promote, "_id", "id", "v")
+      .as[(String, Long)].collect().toSet
+    assert(got == Set(("a", 5L)))
+  }
+
+  test("ST1-ST7 end-to-end: file-replayed stream -> foreachBatch -> parquet target") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("cdc-env").toFile
+    val tgt = Files.createTempDirectory("cdc-tgt").toFile.getAbsolutePath + "/target"
+    val ckpt = Files.createTempDirectory("cdc-ckpt").toFile.getAbsolutePath
+    val lines = Seq(
+      """{"operationType":"insert","documentKey":"a","fullDocument":"{\"id\":\"a\",\"v\":1}","clusterTime":"2024-01-01T00:00:00.000Z"}""",
+      """{"operationType":"update","documentKey":"a","fullDocument":"{\"id\":\"a\",\"v\":3}","clusterTime":"2024-01-01T00:00:01.000Z"}""",
+      """{"operationType":"insert","documentKey":"b","fullDocument":"{\"id\":\"b\",\"v\":7}","clusterTime":"2024-01-01T00:00:02.000Z"}""",
+      """{"operationType":"delete","documentKey":"b","fullDocument":null,"clusterTime":"2024-01-01T00:00:03.000Z"}""")
+    Files.write(new java.io.File(dir, "batch1.json").toPath,
+      lines.mkString("\n").getBytes("UTF-8"))
+    val q = Dispatch.run(spark, dir.getAbsolutePath, tgt, ckpt, docSchema,
+      identity, rawKey = "id", mergeKey = "id", tieCol = "v")
+    q.awaitTermination(60000)
+    val got = spark.read.parquet(tgt).as[(String, Long)].collect().toSet
+    assert(got == Set(("a", 3L), ("b", 7L)))
+  }
+}

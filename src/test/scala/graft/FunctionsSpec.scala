@@ -1,0 +1,112 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.functions.{Fuzzy, FuzzyImpl, TextImpl, VectorFunctions, VectorImpl}
+
+/** Unit + property coverage for the hand-rolled scalar runtimes (F1 fuzz
+  * ratio, cosine/dot, simhash) — SURVEY.md §5.3.
+  */
+class FunctionsSpec extends SparkSuite {
+
+  private def ratio(a: String, b: String): Int =
+    FuzzyImpl.ratio(UTF8String.fromString(a), UTF8String.fromString(b))
+
+  // --- F1 fuzz.ratio: parity with fuzzywuzzy's published values -----------
+
+  test("fuzz.ratio matches fuzzywuzzy on known pairs") {
+    assert(ratio("this is a test", "this is a test!") == 97)
+    assert(ratio("kitten", "sitting") == 62)
+    assert(ratio("", "") == 100)
+    assert(ratio("abc", "") == 0)
+    assert(ratio("new york mets", "new york mets") == 100)
+  }
+
+  test("fuzz.ratio uses banker's rounding like Python round()") {
+    // lcs=5, |a|+|b|=16 -> 100*10/16 = 62.5 -> half-to-even -> 62
+    assert(ratio("abcdefgh", "abcdexyz") == 62)
+  }
+
+  test("fuzz.ratio properties: range, symmetry, identity") {
+    val rnd = new scala.util.Random(42)
+    for (_ <- 1 to 300) {
+      val a = rnd.alphanumeric.take(rnd.nextInt(20)).mkString
+      val b = rnd.alphanumeric.take(rnd.nextInt(20)).mkString
+      val r = ratio(a, b)
+      assert(r >= 0 && r <= 100, s"range: $a / $b -> $r")
+      assert(r == ratio(b, a), s"symmetry: $a / $b")
+      assert(ratio(a, a) == 100, s"identity: $a")
+    }
+  }
+
+  test("fuzz.ratio handles non-ascii code points") {
+    assert(ratio("héllo", "héllo") == 100)
+    assert(ratio("日本語", "日本語") == 100)
+    assert(ratio("日本語", "日本") == 80) // lcs=2, 2*2/5 = 0.8
+  }
+
+  test("native FuzzRatio expression evaluates in a query (codegen path)") {
+    import spark.implicits._
+    val df = Seq(("kitten", "sitting"), ("abc", "abc")).toDF("a", "b")
+    val got = df.select(Fuzzy.fuzzRatio(col("a"), col("b"))).as[Int].collect()
+    assert(got.toSeq == Seq(62, 100))
+  }
+
+  test("ratioApprox stays within [0,100] and equals 100 on identity") {
+    import spark.implicits._
+    val df = Seq(("cold widget", "cold widget"), ("cold widget", "warm gear"), ("", "")).toDF("a", "b")
+    val got = df.select(Fuzzy.ratioApprox(col("a"), col("b"))).as[Int].collect()
+    assert(got(0) == 100 && got(2) == 100)
+    assert(got.forall(r => r >= 0 && r <= 100))
+  }
+
+  // --- cosine / dot -------------------------------------------------------
+
+  test("cosine/dot on known vectors, via the native expression") {
+    import spark.implicits._
+    val df = Seq((Array(1.0, 2.0, 3.0), Array(3.0, 2.0, 1.0))).toDF("a", "b")
+    val Array(cos) = df.select(VectorFunctions.cosineSim(col("a"), col("b"))).as[Double].collect()
+    assert(math.abs(cos - 10.0 / 14.0) < 1e-12)
+    val Array(dot) = df.select(VectorFunctions.dotProduct(col("a"), col("b"))).as[Double].collect()
+    assert(dot == 10.0)
+  }
+
+  test("cosine throws on dimension mismatch; NaN on zero norm") {
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    def arr(xs: Double*) = ArrayData.toArrayData(xs.toArray)
+    intercept[IllegalArgumentException](VectorImpl.cosine(arr(1.0, 2.0), arr(1.0)))
+    assert(VectorImpl.cosine(arr(0.0, 0.0), arr(1.0, 2.0)).isNaN)
+  }
+
+  test("cosine of a vector with itself is 1") {
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    val rnd = new scala.util.Random(7)
+    for (_ <- 1 to 50) {
+      val v = Array.fill(16)(rnd.nextGaussian())
+      val c = VectorImpl.cosine(ArrayData.toArrayData(v), ArrayData.toArrayData(v))
+      assert(math.abs(c - 1.0) < 1e-12)
+    }
+  }
+
+  // --- simhash ------------------------------------------------------------
+
+  test("simhash is deterministic and identical docs collide exactly") {
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    def sh(tokens: String*) =
+      TextImpl.simhash64(ArrayData.toArrayData(tokens.map(UTF8String.fromString).toArray))
+    assert(sh("a", "b", "c") == sh("a", "b", "c"))
+    assert(sh("a", "b", "c") != sh("x", "y", "z"))
+    // near-duplicate token sets land within a small hamming distance
+    val base = (1 to 40).map(i => s"tok$i")
+    val near = base.drop(1) :+ "extra"
+    val h = java.lang.Long.bitCount(sh(base: _*) ^ sh(near: _*))
+    assert(h <= 16, s"hamming $h too large for near-dup")
+  }
+
+  test("fnv1a64 matches the published test vector") {
+    // FNV-1a 64-bit of empty input is the offset basis
+    assert(TextImpl.fnv1a64(Array.emptyByteArray) == 0xcbf29ce484222325L)
+    assert(TextImpl.fnv1a64("a".getBytes("UTF-8")) == 0xaf63dc4c8601ec8cL)
+  }
+}

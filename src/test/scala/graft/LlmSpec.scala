@@ -1,0 +1,167 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.llm.{Dedup, Multimodal, SimSearch, TextStats}
+
+/** LLM-pipeline operators on planted fixtures: dedup variants find planted
+  * near-duplicates and nothing else; similarity search ranks correctly;
+  * text stats match hand-computed values.
+  */
+class LlmSpec extends SparkSuite {
+
+  private def docs(rows: (Long, String)*) = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  test("exact dedup groups byte-identical normalized text, min id wins") {
+    import spark.implicits._
+    val df = docs((1L, "Hello  World"), (2L, "  hello world "), (3L, "other text"))
+    val got = Dedup.exact(df, "text", "doc_id")
+      .select("doc_id", "n_dups").as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 2L), (3L, 1L)))
+  }
+
+  test("wordShingles produces distinct n-grams; short docs fall back to whole text") {
+    import spark.implicits._
+    val df = docs((1L, "a b c d"), (2L, "a b"))
+    val got = df.select(Dedup.wordShingles(col("text"), 3)).as[Seq[String]].collect()
+    assert(got(0).toSet == Set("a b c", "b c d"))
+    assert(got(1) == Seq("a b"))
+  }
+
+  test("minhash LSH finds the planted near-duplicate pair and no false positives") {
+    import spark.implicits._
+    val base = (1 to 50).map(i => s"word$i").mkString(" ")
+    val near = base + " tail"
+    val other = (100 to 150).map(i => s"tok$i").mkString(" ")
+    val df = docs((1L, base), (2L, near), (3L, other))
+    val got = Dedup.minhashPairs(df, "text", "doc_id", shingleN = 3, k = 16,
+      bands = 4, threshold = 0.5).select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 2L)))
+  }
+
+  test("minhash agrees with brute-force jaccard on a small corpus") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val rows = (1L to 20L).map { i =>
+      val words = (1 to 30).map(_ => s"w${rnd.nextInt(40)}").mkString(" ")
+      (i, words)
+    } ++ Seq((21L, "plant plant plant dup dup dup x y z a b c"),
+             (22L, "plant plant plant dup dup dup x y z a b d"))
+    val df = docs(rows: _*)
+    val brute = Dedup.bruteForceJaccardPairs(df, "text", "doc_id", 3, 0.6)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val lsh = Dedup.minhashPairs(df, "text", "doc_id", 3, 16, 8, 0.6)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // verification filters exact jaccard, so LSH ⊆ brute; with b=8,r=2 the
+    // planted j≈0.9 pair is found w.p. ~1-1e-7
+    assert(lsh.subsetOf(brute))
+    assert(lsh.contains((21L, 22L)))
+  }
+
+  test("simhash pairs find planted near-dups via prefix buckets") {
+    import spark.implicits._
+    val base = (1 to 60).map(i => s"word$i").mkString(" ")
+    val near = base + " tail"
+    val df = docs((1L, base), (2L, near))
+    val got = Dedup.simhashPairs(df, "text", "doc_id", prefixBits = 4, maxHamming = 10)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 2L)))
+  }
+
+  test("embedding pairs: sign-bucketed candidates verified by cosine") {
+    import spark.implicits._
+    val a = Array(1.0f, 1.0f, 1.0f, 1.0f, 0.1f)
+    val b = Array(0.9f, 1.1f, 1.0f, 0.95f, 0.12f) // near-dup of a, same signs
+    val c = Array(-1.0f, 1.0f, -1.0f, 1.0f, -0.5f) // different bucket
+    val df = Seq((1L, a), (2L, b), (3L, c)).toDF("vec_id", "embedding")
+    val got = Dedup.embeddingPairs(df, "embedding", "vec_id", signBits = 4, threshold = 0.9)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 2L)))
+  }
+
+  test("brute-force top-k ranks by cosine with pinned ties") {
+    import spark.implicits._
+    val q = Seq((100L, Array(1.0f, 0.0f))).toDF("query_id", "embedding")
+    val corpus = Seq(
+      (1L, Array(1.0f, 0.0f)),   // cos 1.0
+      (2L, Array(1.0f, 1.0f)),   // cos ~0.707
+      (3L, Array(0.0f, 1.0f)),   // cos 0
+      (4L, Array(-1.0f, 0.0f))). // cos -1
+      toDF("vec_id", "embedding")
+    val got = SimSearch.bruteForceTopK(q, corpus, 3)
+      .orderBy("rank").select("vec_id").as[Long].collect().toSeq
+    assert(got == Seq(1L, 2L, 3L))
+  }
+
+  test("bucketed top-k returns same top hit when buckets align") {
+    import spark.implicits._
+    val q = Seq((100L, Array(1.0f, 2.0f, 3.0f, 4.0f))).toDF("query_id", "embedding")
+    val corpus = Seq(
+      (1L, Array(1.0f, 2.0f, 3.0f, 4.1f)),
+      (2L, Array(1.0f, 2.1f, 2.9f, 4.0f))).toDF("vec_id", "embedding")
+    val got = SimSearch.bucketedTopK(q, corpus, 1, signBits = 4)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(got == Seq(1L))
+  }
+
+  test("text stats: token counts, punct, quality bounds") {
+    import spark.implicits._
+    val df = docs((1L, "Hello, world! 42 times."), (2L, ""))
+    val got = df.select(
+      TextStats.tokenCount(col("text")).as("t"),
+      TextStats.bpeIshTokenCount(col("text")).as("b"),
+      TextStats.punctCount(col("text")).as("p"),
+      TextStats.qualityScore(col("text")).as("q")).collect()
+    assert(got(0).getAs[Int]("t") == 4)
+    // Hello , world ! 42 times . -> 7 bpe-ish segments
+    assert(got(0).getAs[Int]("b") == 7)
+    assert(got(0).getAs[Int]("p") == 3)
+    val q1 = got(0).getAs[Double]("q")
+    assert(q1 >= 0.0 && q1 <= 1.0)
+    assert(got(1).getAs[Int]("t") == 0)
+  }
+
+  test("langId picks the stopword-argmax language, und on no hits") {
+    import spark.implicits._
+    val df = docs(
+      (1L, "the cat and the dog in a house"),
+      (2L, "der hund und die katze ist nicht da"),
+      (3L, "zzz qqq xxx"))
+    val got = df.select(TextStats.langId(col("text"))).as[String].collect().toSeq
+    assert(got == Seq("en", "de", "und"))
+  }
+
+  test("fingerprint is whitespace/case-insensitive") {
+    import spark.implicits._
+    val df = docs((1L, "A  B\tC"), (2L, "a b c"), (3L, "a b d"))
+    val fps = df.select(TextStats.fingerprint(col("text"))).as[String].collect()
+    assert(fps(0) == fps(1))
+    assert(fps(0) != fps(2))
+  }
+
+  test("multimodal: payload plumbing and partition-wise decode") {
+    import spark.implicits._
+    val df = docs((1L, "hello"), (2L, "a longer document body"))
+    val meta = Multimodal.decodeMeta(Multimodal.withPayload(df, "text", "doc_id"))
+    val m = meta.orderBy("doc_id").select("n_bytes", "width", "height", "channels")
+      .as[(Long, Int, Int, Int)].collect()
+    assert(m(0) == ((5L, 6, 36, 3)))
+    // typed mapPartitions path agrees with the columnar fake
+    val ds = Multimodal.withPayload(df, "text", "doc_id")
+      .as[Multimodal.MediaRow]
+    val decoded = Multimodal.decodePartitioned(ds).collect().map(d => d.doc_id -> d).toMap
+    assert(decoded(1L).width == 6 && decoded(1L).n_bytes == 5L)
+    assert(decoded(2L).channels == 3)
+  }
+
+  test("sampleFrames explodes every nth frame index") {
+    import spark.implicits._
+    val df = Seq((1L, 10L)).toDF("doc_id", "n_frames")
+    val got = Multimodal.sampleFrames(df, 3, "n_frames")
+      .select("frame_idx").as[Long].collect().toSeq
+    assert(got == Seq(0L, 3L, 6L, 9L))
+  }
+}

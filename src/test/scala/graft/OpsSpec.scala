@@ -1,0 +1,139 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Flatten, FuzzyJoin, Integrity, Upsert}
+
+/** Operator semantics on tiny literal fixtures — SURVEY.md §5.2. */
+class OpsSpec extends SparkSuite {
+
+  private def keys(df: org.apache.spark.sql.DataFrame, c: String): Set[Long] = {
+    import spark.implicits._
+    df.select(col(c).cast("long")).as[Long].collect().toSet
+  }
+
+  test("J1 newRowsOnly keeps only keys absent from the target") {
+    import spark.implicits._
+    val incoming = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v")
+    val target = Seq((2L, "old")).toDF("id", "v")
+    assert(keys(Integrity.newRowsOnly(incoming, target, "id"), "id") == Set(1L, 3L))
+  }
+
+  test("J2 fkValid / fkViolations split facts by dimension membership") {
+    import spark.implicits._
+    val facts = Seq((1L, 10L), (2L, 20L), (3L, 99L)).toDF("id", "fk")
+    val dim = Seq((10L, "x"), (20L, "y")).toDF("k", "name")
+    assert(keys(Integrity.fkValid(facts, dim, "fk", "k"), "id") == Set(1L, 2L))
+    assert(keys(Integrity.fkViolations(facts, dim, "fk", "k"), "id") == Set(3L))
+    // valid ∪ violations == facts, always
+    assert(Integrity.fkValid(facts, dim, "fk", "k").count() +
+      Integrity.fkViolations(facts, dim, "fk", "k").count() == facts.count())
+  }
+
+  test("A2 dupAudit reports only keys with count > 1") {
+    import spark.implicits._
+    val df = Seq(1L, 2L, 2L, 3L, 3L, 3L).toDF("k")
+    val got = Integrity.dupAudit(df, "k").as[(Long, Long)].collect().toMap
+    assert(got == Map(2L -> 2L, 3L -> 3L))
+  }
+
+  test("J3 batchDedup: first-wins within batch by order column, then anti-join") {
+    import spark.implicits._
+    val batch = Seq((1L, 10L, "first"), (1L, 20L, "second"), (2L, 5L, "only"),
+      (3L, 1L, "existing")).toDF("k", "ord", "v")
+    val existing = Seq(3L).toDF("k")
+    val got = Integrity.batchDedup(batch, existing, "k", "ord")
+      .as[(Long, Long, String)].collect().toSet
+    assert(got == Set((1L, 10L, "first"), (2L, 5L, "only")))
+  }
+
+  test("ST4 merge: updates win, multi-version batches collapse last-wins") {
+    import spark.implicits._
+    val target = Seq((1L, 1L, "t1"), (2L, 1L, "t2")).toDF("k", "ver", "v")
+    val updates = Seq((2L, 2L, "u2a"), (2L, 3L, "u2b"), (9L, 1L, "u9")).toDF("k", "ver", "v")
+    val got = Upsert.merge(target, updates, "k", "ver", "v")
+      .as[(Long, Long, String)].collect().toSet
+    assert(got == Set((1L, 1L, "t1"), (2L, 3L, "u2b"), (9L, 1L, "u9")))
+    // no duplicate keys survive (the r01 advice bug)
+    val merged = Upsert.merge(target, updates, "k", "ver", "v")
+    assert(merged.groupBy("k").count().filter(col("count") > 1).isEmpty)
+  }
+
+  test("ST4 mergePartitionPruned only returns touched partitions") {
+    import spark.implicits._
+    // partition column p; partition 100 untouched -> absent from the delta
+    val target = Seq((1L, 100L, "a"), (2L, 200L, "b"), (3L, 200L, "c")).toDF("k", "p", "v")
+    val updates = Seq((3L, 200L, "c2"), (4L, 200L, "d")).toDF("k", "p", "v")
+    val got = Upsert.mergePartitionPruned(target, updates, "k", "p")
+      .as[(Long, Long, String)].collect().toSet
+    assert(got == Set((2L, 200L, "b"), (3L, 200L, "c2"), (4L, 200L, "d")))
+  }
+
+  test("lastWins is idempotent and deterministic under ties") {
+    import spark.implicits._
+    val df = Seq((1L, 5L, 1L), (1L, 5L, 2L), (1L, 4L, 9L)).toDF("k", "ver", "tie")
+    val once = Upsert.lastWins(df, "k", "ver", "tie")
+    assert(once.as[(Long, Long, Long)].collect().toSeq == Seq((1L, 5L, 2L)))
+    val twice = Upsert.lastWins(once, "k", "ver", "tie")
+    assert(twice.as[(Long, Long, Long)].collect().toSeq == Seq((1L, 5L, 2L)))
+  }
+
+  test("J4 top1 fuzzy join picks the argmax with pinned ties") {
+    import spark.implicits._
+    val left = Seq((1L, "cold widget"), (2L, "warm gear")).toDF("id", "name")
+    val right = Seq("cold widgets", "warm gears", "cold widget x").toDF("cand")
+    val got = FuzzyJoin.top1(left, right, "id",
+        graft.functions.Fuzzy.ratioApprox(lower(col("name")), lower(col("cand"))),
+        Seq(col("cand")))
+      .select("id", "cand").as[(Long, String)].collect().toMap
+    assert(got(1L) == "cold widgets") // 1-char edit beats 2-char suffix
+    assert(got(2L) == "warm gears")
+  }
+
+  test("P1-P8 promoteWeather flattens, extracts, casts onto the DDL schema") {
+    import spark.implicits._
+    val raw = spark.sql("""SELECT
+      '64f001' AS _id, 'p1' AS place_id,
+      named_struct('name', 'Hanoi', 'lat', 21.0, 'lon', 105.8) AS location,
+      named_struct(
+        'last_updated', '2024-03-01 07:30', 'last_updated_epoch', 1709276400L,
+        'temp_c', 25.5D, 'temp_f', 77.9D, 'is_day', 1L,
+        'condition', named_struct('text', 'Sunny', 'icon', 'i', 'code', 1000L),
+        'wind_mph', 5.0D, 'wind_kph', 8.0D, 'wind_degree', 90L, 'wind_dir', 'E',
+        'pressure_mb', 1010.0D, 'pressure_in', 29.8D, 'precip_mm', 0.0D,
+        'precip_in', 0.0D, 'humidity', 60L, 'cloud', 10L, 'feelslike_c', 26.0D,
+        'feelslike_f', 78.8D, 'vis_km', 10.0D, 'vis_miles', 6.0D, 'uv', 7.0D,
+        'gust_mph', 7.0D, 'gust_kph', 11.3D) AS current""")
+    val flat = Flatten.promoteWeather(raw)
+    // literal fixtures infer non-nullable; compare names+types, not nullability
+    assert(flat.schema.fields.map(f => (f.name, f.dataType)).toSeq ==
+      Schemas.weatherFlat.fields.map(f => (f.name, f.dataType)).toSeq)
+    val row = flat.head()
+    assert(row.getAs[String]("id") == "64f001")
+    assert(row.getAs[String]("condition") == "Sunny")
+    assert(row.getAs[Boolean]("is_day"))
+    assert(row.getAs[java.sql.Timestamp]("last_updated").toString == "2024-03-01 07:30:00.0")
+    assert(row.getAs[Double]("temp_c") == 25.5)
+  }
+
+  test("P7 stripSuffixCast drops the hemisphere char like float(lat[:-1])") {
+    import spark.implicits._
+    val got = Seq("21.03N", "105.85E").toDF("lat")
+      .select(Flatten.stripSuffixCast(col("lat"))).as[Double].collect()
+    assert(got.toSeq == Seq(21.03, 105.85))
+  }
+
+  test("P13/P14 hour truncation and GMT+7 render are explicit shifts") {
+    import spark.implicits._
+    val df = Seq("2024-03-01 23:45:10").toDF("s")
+      .select(to_timestamp(col("s")).as("ts"))
+    val hour = df.select(Flatten.truncHourShifted(col("ts"), 7).cast("string"))
+      .as[String].head()
+    assert(hour == "2024-03-02 06:00:00") // +7h crosses midnight, then trunc
+    val rendered = df.select(Flatten.renderShifted(col("ts"), 7)).as[String].head()
+    assert(rendered == "2024-03-02 06:45:10")
+    val fname = df.select(Flatten.fileSafe(Flatten.renderShifted(col("ts"), 7)))
+      .as[String].head()
+    assert(fname == "20240302064510")
+  }
+}

@@ -1,0 +1,70 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.sources.{Sinks, Sources}
+
+/** File sources and sinks (S2/S3/S9/S13/S14) against real temp files —
+  * the reference's place_names.json / place_coordinates.json shapes.
+  */
+class SourcesSpec extends SparkSuite {
+
+  test("S3 array-shaped JSON file reads one row per element") {
+    import spark.implicits._
+    val f = Files.createTempFile("names", ".json")
+    Files.writeString(f,
+      """[{"id":"p1","en":"Hanoi","vi":"Ha Noi"},
+         {"id":"p2","en":"Da Nang","vi":"Da Nang"}]""")
+    val schema = StructType(Seq(StructField("id", StringType),
+      StructField("en", StringType), StructField("vi", StringType)))
+    val got = Sources.jsonArrayFile(spark, f.toString, schema)
+      .as[(String, String, String)].collect().toSet
+    assert(got == Set(("p1", "Hanoi", "Ha Noi"), ("p2", "Da Nang", "Da Nang")))
+  }
+
+  test("S2 map-shaped JSON file explodes to (key, value) rows") {
+    import spark.implicits._
+    val f = Files.createTempFile("coords", ".json")
+    Files.writeString(f,
+      """{"p1": {"lat": "21.03N", "lon": "105.85E"},
+         "p2": {"lat": "16.07N", "lon": "108.22E"}}""")
+    val valueSchema = StructType(Seq(StructField("lat", StringType),
+      StructField("lon", StringType)))
+    val got = Sources.jsonMapFile(spark, f.toString, valueSchema)
+      .as[(String, String, String)].collect().toSet
+    assert(got == Set(("p1", "21.03N", "105.85E"), ("p2", "16.07N", "108.22E")))
+  }
+
+  test("S9 append sink accumulates batches like insert_many(ordered=False)") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("sink").toString + "/t"
+    Sinks.append(Seq((1L, "a")).toDF("id", "v"), dir)
+    Sinks.append(Seq((2L, "b")).toDF("id", "v"), dir)
+    assert(spark.read.parquet(dir).count() == 2)
+  }
+
+  test("S13 dead-letter sink writes enumerated JSON under a stamped path") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("dlq").toString
+    val failed = Seq((1L, "bad row")).toDF("id", "why")
+    Sinks.deadLetter(failed, dir, java.sql.Timestamp.valueOf("2024-03-01 07:30:00"))
+    val out = new java.io.File(dir).listFiles().map(_.getName).toSeq
+    assert(out.contains("failed_20240301073000"))
+    val rows = spark.read.json(s"$dir/failed_20240301073000")
+    assert(rows.columns.toSet == Set("id", "why", "failed_index"))
+    assert(rows.count() == 1)
+  }
+
+  test("queries registry and oracle map stay consistent") {
+    // every oracle refers to a registered query; both maps non-trivial
+    assert(Queries.oracleSql.keySet.subsetOf(Queries.queries.keySet))
+    assert(Queries.queries.size >= 35)
+    assert(Queries.oracleSql.size >= 30)
+    // entry() must be one of the registered queries on sf0.001 (smoke)
+    val df = SparkEntry.entry(spark)
+    assert(df.count() > 0)
+  }
+}
