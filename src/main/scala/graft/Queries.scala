@@ -385,11 +385,17 @@ object Queries {
       sh AS (SELECT doc_id, CASE WHEN len(w) >= 3
           THEN list_distinct(list_transform(range(1, len(w) - 1), i -> array_to_string(w[i:i+2], ' ')))
           ELSE [array_to_string(w, ' ')] END AS sh FROM dd),
-      sig AS (SELECT doc_id, sh,
-        list_transform(range(0, 16), s -> list_min(list_transform(sh, x -> md5(CAST(s AS VARCHAR) || ':' || x)))) AS sig
+      hv AS (SELECT doc_id, sh,
+        list_transform(sh, x -> ('0x' || substr(md5(x), 1, 14))::BIGINT) AS h1,
+        list_transform(sh, x -> ('0x' || substr(md5(x), 17, 14))::BIGINT) AS h2
         FROM sh),
+      sig AS (SELECT doc_id, sh,
+        list_transform(range(1, 17), i -> list_min(
+          list_transform(range(1, len(h1) + 1), j -> (h1[j] + i * h2[j]) % 1000000007))) AS sig
+        FROM hv),
       band AS (SELECT doc_id, sh,
-        unnest(list_transform(range(0, 4), b -> CAST(b AS VARCHAR) || '|' || md5(array_to_string(sig[b*4+1:b*4+4], ',')))) AS band
+        unnest(list_transform(range(0, 4), b -> CAST(b AS VARCHAR) || '|' ||
+          array_to_string(list_transform(sig[b*4+1:b*4+4], x -> CAST(x AS VARCHAR)), ','))) AS band
         FROM sig),
       pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
         CAST(len(list_filter(a.sh, x -> list_contains(b.sh, x))) AS DOUBLE)

@@ -22,17 +22,25 @@ object Dispatch {
 
   val knownOps = Seq("insert", "update", "delete")
 
-  /** ST2: split a batch of envelopes by operationType, failing fast on ops
-    * outside the known set — the reference `os._exit(1)`s on unknown types
-    * (reference: src/process_insert_update_weather_data.py:184-187).
+  /** ST2: validate + split a batch of envelopes by operationType, failing
+    * fast on ops outside the known set — the reference `os._exit(1)`s on
+    * unknown types (reference:
+    * src/process_insert_update_weather_data.py:184-187).
+    *
+    * The check is a lazy `raise_error` folded into the one scan the batch
+    * already pays — an eager `isEmpty` probe would cost a full extra
+    * evaluation of the envelope source per micro-batch, which at 100 TB is a
+    * second pass over every batch for nothing.
     */
+  def checked(batch: DataFrame): DataFrame =
+    batch.withColumn("operationType",
+      when(col("operationType").isin(knownOps: _*), col("operationType"))
+        .otherwise(raise_error(concat(
+          lit("unknown CDC operationType: "), col("operationType")))))
+
   def dispatch(batch: DataFrame): Map[String, DataFrame] = {
-    val unknown = batch.filter(!col("operationType").isin(knownOps: _*))
-    if (!unknown.isEmpty) {
-      val op = unknown.select("operationType").head().getString(0)
-      throw new IllegalStateException(s"unknown CDC operationType: $op")
-    }
-    knownOps.map(op => op -> batch.filter(col("operationType") === op)).toMap
+    val c = checked(batch)
+    knownOps.map(op => op -> c.filter(col("operationType") === op)).toMap
   }
 
   /** The batch form of one micro-batch apply: parse `fullDocument` with the
@@ -50,8 +58,10 @@ object Dispatch {
   def applyBatch(target: DataFrame, envelopes: DataFrame, docSchema: StructType,
                  promote: DataFrame => DataFrame, rawKey: String,
                  mergeKey: String, tieCol: String): DataFrame = {
-    val byOp = dispatch(envelopes)
-    val upserts = byOp("insert").unionByName(byOp("update"))
+    // single pass over the envelopes: validate (lazy fail-fast), drop deletes
+    // (ST5), parse — a per-op filter+union would evaluate the source per leg
+    val upserts = checked(envelopes)
+      .filter(col("operationType").isin("insert", "update"))
       .withColumn("doc", from_json(col("fullDocument"), docSchema))
       .select(col("clusterTime").as("__ct"), col("doc.*"))
     // last-wins inside the batch by stream time, then merge over the target

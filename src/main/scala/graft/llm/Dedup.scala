@@ -27,58 +27,78 @@ object Dedup {
     df.groupBy(md5(normalize(col(textCol))).as("fp"))
       .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_dups"))
 
-  /** n-word shingles (distinct), the unit set for Jaccard/MinHash. Documents
-    * shorter than n words get their whole text as the single shingle so they
-    * still participate.
+  /** n-word shingles (distinct) from a MATERIALIZED token-array column.
+    * Documents shorter than n words get their whole text as the single
+    * shingle so they still participate.
+    *
+    * Takes tokens, not text, on purpose: an expression nested inside an array
+    * lambda is re-evaluated per element, so tokenizing inline here would re-run
+    * the regex split once per shingle index — measured as the dominant cost of
+    * the whole minhash pipeline. Materialize tokens in their own projection
+    * (see [[minhashPairs]]) and pass the attribute.
     */
-  def wordShingles(text: Column, n: Int): Column = {
-    val w = TextStats.tokens(normalize(text))
+  def shinglesFromTokens(w: Column, n: Int): Column =
     when(size(w) >= n,
       array_distinct(transform(sequence(lit(1), size(w) - (n - 1)),
         i => concat_ws(" ", slice(w, i, lit(n))))))
       .otherwise(array(concat_ws(" ", w)))
-  }
+
+  /** Convenience single-expression form — ONLY for one-off/small inputs; see
+    * the evaluation-order warning on [[shinglesFromTokens]].
+    */
+  def wordShingles(text: Column, n: Int): Column =
+    shinglesFromTokens(TextStats.tokens(normalize(text)), n)
 
   /** Exact Jaccard between two shingle sets. */
   def jaccard(a: Column, b: Column): Column =
     size(array_intersect(a, b)).cast("double") /
       size(array_union(a, b)).cast("double")
 
-  /** MinHash signature of a shingle set: k independent hash functions, each
-    * `h_i(s) = md5(i || ':' || s)` minimized over the set. md5-as-random-
-    * oracle keeps the signature engine-portable (DuckDB computes the same
-    * bytes), at ~2x the cost of a murmur family — the right trade while the
-    * correctness harness is differential.
-    */
-  def minhashSignature(shingles: Column, k: Int): Column =
-    transform(sequence(lit(0), lit(k - 1)),
-      seed => array_min(transform(shingles,
-        s => md5(concat(seed.cast("string"), lit(":"), s)))))
-
-  /** LSH band keys: the signature split into `bands` bands of `rows` hashes,
-    * each band collapsed to one key. Two docs sharing ANY band key become a
-    * candidate pair — the classic (b,r) S-curve trade-off.
-    */
-  def bandKeys(sig: Column, bands: Int, rows: Int): Column =
-    transform(sequence(lit(0), lit(bands - 1)),
-      b => concat(b.cast("string"), lit("|"),
-        md5(concat_ws(",", slice(sig, b * rows + 1, lit(rows))))))
-
   /** MinHash+LSH near-dup pairs: shingle → sign → band → equi-join on band
-    * key → exact-Jaccard verify. The only shuffle keys are band hashes, so
-    * the plan is a pair of hash-partitioned exchanges — no crossJoin at any
-    * scale. Returns (id_a, id_b, jaccard) with id_a < id_b.
+    * key → exact-Jaccard verify. Returns (id_a, id_b, jaccard), id_a < id_b.
+    *
+    * Signature design (the 100 TB-relevant part):
+    *   - ONE md5 per shingle, split into two 56-bit halves (v1, v2); the k
+    *     hash functions are derived as `h_i = (v1 + i*v2) mod P`
+    *     (Kirsch–Mitzenmacher double hashing — preserves MinHash collision
+    *     bounds at 1/k-th the digest cost) and stay engine-portable: DuckDB
+    *     derives identical ints from the same md5 hex.
+    *   - shingles are EXPLODED to rows and the signature is a hash
+    *     aggregation with k `min` columns: flat expressions stay inside
+    *     whole-stage codegen (array lambdas do not), the partial aggregation
+    *     is map-side, and the only exchanges are hash-partitioned on doc id
+    *     and band key. No crossJoin at any scale.
+    *   - the shingle-set relation is persisted: the LSH self-join's two
+    *     branches and the verify step scan one materialization.
     */
   def minhashPairs(df: DataFrame, textCol: String, idCol: String,
                    shingleN: Int = 3, k: Int = 16, bands: Int = 4,
                    threshold: Double = 0.7): DataFrame = {
-    val withSig = df.select(
+    require(k % bands == 0, s"k=$k must be divisible by bands=$bands")
+    val rows = k / bands
+    val base = df.select(
       col(idCol).as("id"),
-      wordShingles(col(textCol), shingleN).as("sh"))
-      .withColumn("sig", minhashSignature(col("sh"), k))
-      .withColumn("band", explode(bandKeys(col("sig"), bands, k / bands)))
-    val a = withSig.select(col("band"), col("id").as("id_a"), col("sh").as("sh_a"))
-    val b = withSig.select(col("band"), col("id").as("id_b"), col("sh").as("sh_b"))
+      TextStats.tokens(normalize(col(textCol))).as("w"))
+      .select(col("id"), shinglesFromTokens(col("w"), shingleN).as("sh"))
+      .persist()
+    // md5 is referenced twice (v1, v2), which stops Catalyst from inlining it
+    // twice — one digest per (doc, shingle) row, fully codegen'd
+    val hashed = base.select(col("id"), explode(col("sh")).as("s"))
+      .select(col("id"), md5(col("s")).as("m"))
+      .select(col("id"),
+        conv(substring(col("m"), 1, 14), 16, 10).cast("long").as("v1"),
+        conv(substring(col("m"), 17, 14), 16, 10).cast("long").as("v2"))
+    val sigAggs = (1 to k).map(i =>
+      min(pmod(col("v1") + col("v2") * i, lit(1000000007L))).as(s"s_$i"))
+    val sigs = hashed.groupBy("id").agg(sigAggs.head, sigAggs.tail: _*)
+    val bandCols = (0 until bands).map { b =>
+      val slice = (1 to rows).map(r => col(s"s_${b * rows + r}").cast("string"))
+      concat(lit(s"$b|"), concat_ws(",", slice: _*))
+    }
+    val banded = sigs.select(col("id"), explode(array(bandCols: _*)).as("band"))
+      .join(base, Seq("id"))
+    val a = banded.select(col("band"), col("id").as("id_a"), col("sh").as("sh_a"))
+    val b = banded.select(col("band"), col("id").as("id_b"), col("sh").as("sh_b"))
     a.join(b, Seq("band"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"), jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
@@ -92,7 +112,9 @@ object Dedup {
     */
   def bruteForceJaccardPairs(df: DataFrame, textCol: String, idCol: String,
                              shingleN: Int, threshold: Double): DataFrame = {
-    val s = df.select(col(idCol).as("id"), wordShingles(col(textCol), shingleN).as("sh"))
+    val s = df.select(col(idCol).as("id"),
+        TextStats.tokens(normalize(col(textCol))).as("w"))
+      .select(col("id"), shinglesFromTokens(col("w"), shingleN).as("sh"))
     val a = s.select(col("id").as("id_a"), col("sh").as("sh_a"))
     val b = s.select(col("id").as("id_b"), col("sh").as("sh_b"))
     a.crossJoin(b).filter(col("id_a") < col("id_b"))

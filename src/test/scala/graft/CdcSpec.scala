@@ -46,10 +46,15 @@ class CdcSpec extends SparkSuite {
     val batch = envelopes(Seq(
       env("insert", "a", """{"id":"a","v":1}""", "2024-01-01 00:00:00"),
       env("replace", "a", """{"id":"a","v":9}""", "2024-01-01 00:00:01")))
-    val e = intercept[IllegalStateException] {
+    // the check is a lazy raise_error folded into the batch's single scan, so
+    // it surfaces when the batch executes (same point the reference exits)
+    val e = intercept[Throwable] {
       Dispatch.applyBatch(emptyTarget, batch, docSchema, identity, "id", "id", "v")
+        .collect()
     }
-    assert(e.getMessage.contains("replace"))
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("replace")))
   }
 
   test("ST3 idempotence: replaying the same batch is a no-op") {
