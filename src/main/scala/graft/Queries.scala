@@ -442,12 +442,14 @@ object Queries {
     // ===================== LLM-pipeline: text analysis ====================
 
     ("q29_text_stats", (s: SparkSession, d: String) => {
-      t(s, d, "documents").select(
-        col("doc_id"),
-        TextStats.tokenCount(col("text")).as("n_tokens"),
-        TextStats.bpeIshTokenCount(col("text")).as("n_bpeish"),
-        TextStats.punctCount(col("text")).as("n_punct"),
-        TextStats.qualityScore(col("text")).as("quality"))
+      t(s, d, "documents")
+        .select(col("doc_id"), col("text"), TextStats.tokens(col("text")).as("toks"))
+        .select(
+          col("doc_id"),
+          size(col("toks")).as("n_tokens"),
+          TextStats.bpeIshTokenCount(col("text")).as("n_bpeish"),
+          TextStats.punctCount(col("text")).as("n_punct"),
+          TextStats.qualityScoreFromTokens(col("text"), col("toks")).as("quality"))
     }, Some("""WITH b AS (SELECT doc_id, text,
         list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS toks FROM documents),
       c AS (SELECT doc_id,
@@ -466,7 +468,9 @@ object Queries {
       FROM c""")),
 
     ("q30_lang_id", (s: SparkSession, d: String) => {
-      t(s, d, "documents").select(col("doc_id"), TextStats.langId(col("text")).as("lang"))
+      t(s, d, "documents")
+        .select(col("doc_id"), TextStats.tokens(lower(col("text"))).as("toks"))
+        .select(col("doc_id"), TextStats.langIdFromTokens(col("toks")).as("lang"))
     }, Some("""WITH b AS (SELECT doc_id,
         list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> x <> '') AS toks FROM documents),
       h AS (SELECT doc_id,
@@ -490,6 +494,40 @@ object Queries {
       FROM documents""")),
 
     // ===================== LLM-pipeline: multimodal =======================
+
+    // P10/P12: string-equality predicate + deterministic row enumeration
+    // (the reference's enumerate-the-failed-batch, pinned by a total order so
+    // the oracle can replay it).
+    ("q38_enumerate", (s: SparkSession, d: String) => {
+      val w = Window.orderBy(col("event_id"))
+      t(s, d, "events").filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("value"))
+        .withColumn("idx", row_number().over(w).cast("long") - 1)
+    }, Some("""SELECT event_id, user_id, value,
+      row_number() OVER (ORDER BY event_id) - 1 AS idx
+      FROM events WHERE event_type = 'purchase'""")),
+
+    // The SQL entry point (spark.sql over registered views) — same engine,
+    // text-plan front door; exercises S15-style catalog registration.
+    ("q39_sql_api", (s: SparkSession, d: String) => {
+      t(s, d, "orders").createOrReplaceTempView("v_orders")
+      t(s, d, "customer").createOrReplaceTempView("v_customer")
+      s.sql("""SELECT c_nationkey, count(*) AS n,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+        FROM v_orders JOIN v_customer ON o_custkey = c_custkey
+        GROUP BY c_nationkey""")
+    }, Some(s"""SELECT c_nationkey, count(*) AS n, ${dsumSql("o_totalprice")} AS revenue
+      FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY c_nationkey""")),
+
+    // Dedup applied end-to-end: keep one surviving row per normalized text
+    // (min doc_id wins), returning full surviving documents.
+    ("q40_dedup_apply", (s: SparkSession, d: String) => {
+      val docs = t(s, d, "documents")
+      val survivors = Dedup.exact(docs, "text", "doc_id").select("doc_id")
+      docs.join(survivors, Seq("doc_id"), "left_semi")
+    }, Some("""SELECT * FROM documents WHERE doc_id IN (
+      SELECT min(doc_id) FROM documents
+      GROUP BY md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')))""")),
 
     ("q32_multimodal_meta", (s: SparkSession, d: String) => {
       Multimodal.decodeMeta(Multimodal.withPayload(t(s, d, "documents"), "text", "doc_id"))

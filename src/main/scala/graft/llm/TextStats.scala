@@ -31,17 +31,26 @@ object TextStats {
     * before expensive dedup/model scoring.
     * All integer ratios are computed in double then rounded to 4 places so
     * the DuckDB oracle hashes identically.
+    *
+    * `toks` should be a MATERIALIZED token-array column (an expression here
+    * would be re-evaluated for every reference); pass
+    * `tokens(text)` through its own projection first — see
+    * [[qualityScore(text* qualityScore(text)]] for the one-shot form.
     */
-  def qualityScore(text: Column): Column = {
-    val nTok = tokenCount(text).cast("double")
+  def qualityScoreFromTokens(text: Column, toks: Column): Column = {
+    val nTok = size(toks).cast("double")
     val nChar = length(text).cast("double")
     val lenScore = least(nTok / lit(100.0), lit(1.0))
     val punctScore = lit(1.0) - least(
       punctCount(text).cast("double") / greatest(nChar, lit(1.0)) * lit(10.0), lit(1.0))
-    val diversity = size(array_distinct(tokens(text))).cast("double") /
+    val diversity = size(array_distinct(toks)).cast("double") /
       greatest(nTok, lit(1.0))
     round((lenScore + punctScore + diversity) / lit(3.0), 4)
   }
+
+  /** One-expression convenience form; re-tokenizes per reference. */
+  def qualityScore(text: Column): Column =
+    qualityScoreFromTokens(text, tokens(text))
 
   /** Stopword tables for the n-gram/stopword language-ID heuristic. */
   val stopwords: Map[String, Seq[String]] = Map(
@@ -53,9 +62,10 @@ object TextStats {
 
   /** Language ID: argmax over per-language stopword hit counts, ties broken
     * by language code (deterministic); no hits at all → "und".
+    * `toks` should be a materialized lowercase token-array column (see
+    * [[qualityScoreFromTokens]] on why).
     */
-  def langId(text: Column): Column = {
-    val toks = tokens(lower(text))
+  def langIdFromTokens(toks: Column): Column = {
     val langs = stopwords.toSeq.sortBy(_._1)
     // struct compare is field-by-field: (hits, rank) with rank descending by
     // alphabetical position makes greatest() an argmax over hits with
@@ -70,6 +80,9 @@ object TextStats {
     val best = greatest(scored: _*)
     when(best.getField("hits") > 0, best.getField("lang")).otherwise(lit("und"))
   }
+
+  /** One-expression convenience form; re-tokenizes per language. */
+  def langId(text: Column): Column = langIdFromTokens(tokens(lower(text)))
 
   /** Document fingerprint: md5 of whitespace-normalized lowercase text —
     * byte-identical in every engine (the rolling-hash/winnowing variant for
