@@ -493,6 +493,47 @@ object Queries {
     }, Some("""SELECT doc_id, md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp
       FROM documents""")),
 
+    // Winnowing fingerprints (rolling-hash selection): any shared substring
+    // of length >= w+k-1 chars between two docs yields a shared fingerprint.
+    ("q41_winnow", (s: SparkSession, d: String) => {
+      t(s, d, "documents")
+        .select(col("doc_id"), TextStats.gramHashes(col("text"), 8).as("gh"))
+        .select(col("doc_id"), explode(TextStats.winnowMins(col("gh"), 16)).as("fp"))
+    }, Some("""WITH g AS (SELECT doc_id,
+        list_transform(range(1, greatest(length(text) - 7, 1) + 1),
+          i -> ('0x' || substr(md5(substr(text, CAST(i AS INTEGER), 8)), 1, 14))::BIGINT) AS gh
+        FROM documents),
+      wm AS (SELECT doc_id,
+        list_distinct(list_transform(range(1, greatest(len(gh) - 15, 1) + 1),
+          j -> list_min(gh[j:j+15]))) AS fps FROM g)
+      SELECT doc_id, unnest(fps) AS fp FROM wm""")),
+
+    // IVF approximate-nearest-neighbor: two-level centroid index, nprobe=2 —
+    // the oracle replays the exact same assignment/probe/rank pipeline.
+    ("q42_ivf_topk", (s: SparkSession, d: String) => {
+      val emb = t(s, d, "embeddings")
+      SimSearch.ivfTopK(
+        emb.filter(col("vec_id") < 8).select(col("vec_id").as("query_id"), col("embedding")),
+        emb, 5, centroidStride = 64, nprobe = 2, "query_id", "vec_id")
+    }, Some("""WITH cents AS (SELECT vec_id AS cent_id, embedding::DOUBLE[] AS cent
+        FROM embeddings WHERE vec_id % 64 = 0),
+      corp AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      ca AS (SELECT vec_id, v, cell FROM (
+        SELECT c.vec_id, c.v, ct.cent_id AS cell,
+          row_number() OVER (PARTITION BY c.vec_id
+            ORDER BY round(list_cosine_similarity(c.v, ct.cent), 6) DESC, ct.cent_id) AS rn
+        FROM corp c CROSS JOIN cents ct) WHERE rn = 1),
+      q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 8),
+      qa AS (SELECT query_id, qv, cell FROM (
+        SELECT q.query_id, q.qv, ct.cent_id AS cell,
+          row_number() OVER (PARTITION BY q.query_id
+            ORDER BY round(list_cosine_similarity(q.qv, ct.cent), 6) DESC, ct.cent_id) AS rn
+        FROM q CROSS JOIN cents ct) WHERE rn <= 2),
+      sc AS (SELECT qa.query_id, ca.vec_id, round(list_cosine_similarity(qa.qv, ca.v), 6) AS cosine
+        FROM ca JOIN qa ON ca.cell = qa.cell),
+      w AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rnk FROM sc)
+      SELECT query_id, vec_id, cosine, CAST(rnk AS INTEGER) AS rank FROM w WHERE rnk <= 5""")),
+
     // ===================== LLM-pipeline: multimodal =======================
 
     // P10/P12: string-equality predicate + deterministic row enumeration

@@ -39,6 +39,49 @@ object SimSearch {
       .select(queryId, vecId, "cosine", "rank")
   }
 
+  /** IVF (inverted-file) top-k: the classic two-level ANN index, expressed as
+    * pure DataFrame ops.
+    *
+    *   1. centroid set = a deterministic corpus sample (every `centroidStride`-th
+    *      id) — bounded, broadcast. A production build would k-means these;
+    *      the partition/probe mechanics are identical.
+    *   2. each corpus vector is assigned to its nearest centroid (broadcast
+    *      crossJoin + top-1 window: |corpus| x |centroids| fused-cosine scores,
+    *      corpus never shuffles until the single cell-partitioned exchange).
+    *   3. each query probes its `nprobe` nearest cells; candidates are the
+    *      equi-join on cell id — the scored set is |corpus|/nlist * nprobe
+    *      per query instead of |corpus|.
+    *
+    * Recall < 1 by construction (the IVF trade); determinism is pinned by
+    * rounding scores to 6 places and tie-breaking on ids, so the exact same
+    * algorithm is replayable in the DuckDB oracle.
+    */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+              centroidStride: Int = 64, nprobe: Int = 2,
+              queryId: String = "query_id", vecId: String = "vec_id"): DataFrame = {
+    val cents = corpus.filter(col(vecId) % centroidStride === 0)
+      .select(col(vecId).as("cent_id"), col("embedding").as("cent_emb"))
+    def assign(df: DataFrame, id: String, emb: String, keep: Int): DataFrame = {
+      val scored = df.crossJoin(broadcast(cents))
+        .withColumn("cscore", round(VectorFunctions.cosineSim(col(emb), col("cent_emb")), 6))
+      val w = Window.partitionBy(col(id)).orderBy(col("cscore").desc, col("cent_id"))
+      scored.withColumn("crank", row_number().over(w))
+        .filter(col("crank") <= keep)
+        .drop("cent_emb", "cscore", "crank")
+    }
+    val corpusCells = assign(corpus.select(col(vecId), col("embedding").as("c_emb")),
+      vecId, "c_emb", 1).withColumnRenamed("cent_id", "cell")
+    val queryCells = assign(queries.select(col(queryId), col("embedding").as("q_emb")),
+      queryId, "q_emb", nprobe).withColumnRenamed("cent_id", "cell")
+    val scored = corpusCells.join(broadcast(queryCells), Seq("cell"))
+      .withColumn("cosine", round(VectorFunctions.cosineSim(col("q_emb"), col("c_emb")), 6))
+    val w = Window.partitionBy(col(queryId))
+      .orderBy(col("cosine").desc, col(vecId))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(queryId, vecId, "cosine", "rank")
+  }
+
   /** LSH-bucketed top-k: queries and corpus equi-join on the sign bucket of
     * the leading dimensions. Recall < 1 by construction (a production sweep
     * probes neighboring buckets / multiple hash tables); the payoff is that

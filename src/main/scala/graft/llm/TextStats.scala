@@ -85,9 +85,29 @@ object TextStats {
   def langId(text: Column): Column = langIdFromTokens(tokens(lower(text)))
 
   /** Document fingerprint: md5 of whitespace-normalized lowercase text —
-    * byte-identical in every engine (the rolling-hash/winnowing variant for
-    * partial-overlap detection lives in Dedup.wordShingles + minhash).
+    * byte-identical in every engine. For partial-overlap detection see
+    * [[winnowMins]] (winnowing) and Dedup.minhashPairs.
     */
   def fingerprint(text: Column): Column =
     md5(regexp_replace(trim(lower(text)), "\\s+", " "))
+
+  /** Character k-gram hashes of `text`: one 56-bit md5-derived int per
+    * position — the "rolling hash" stream winnowing selects from. `text`
+    * should be a materialized column (cheap attribute reference inside the
+    * lambda); the md5s are the per-element work itself, evaluated once each.
+    */
+  def gramHashes(text: Column, k: Int): Column =
+    transform(sequence(lit(1), greatest(length(text) - (k - 1), lit(1))),
+      i => conv(substring(md5(text.substr(i, lit(k))), 1, 14), 16, 10).cast("long"))
+
+  /** Winnowing (Schleimer/Wilkerson/Aiken): slide a window of `w` hashes and
+    * keep each window's minimum; the distinct minima are the document's
+    * fingerprint set. Guarantees any shared substring of length >= w+k-1
+    * yields a shared fingerprint. `hashes` MUST be a materialized array
+    * column — inlining [[gramHashes]] here would re-run the md5s per window.
+    */
+  def winnowMins(hashes: Column, w: Int): Column =
+    array_distinct(transform(
+      sequence(lit(1), greatest(size(hashes) - (w - 1), lit(1))),
+      j => array_min(slice(hashes, j, lit(w)))))
 }

@@ -107,6 +107,38 @@ class LlmSpec extends SparkSuite {
     assert(got == Seq(1L))
   }
 
+  test("ivf top-k: probing the right cells recovers the true neighbor") {
+    import spark.implicits._
+    // two well-separated directions; centroid stride picks vec_id 0 and 64
+    def v(x: Float, y: Float) = Array(x, y)
+    val corpus = Seq(
+      (0L, v(1f, 0f)), (1L, v(0.9f, 0.1f)), (2L, v(0.95f, 0.05f)),
+      (64L, v(0f, 1f)), (65L, v(0.1f, 0.9f))).toDF("vec_id", "embedding")
+    val q = Seq((1000L, v(1f, 0.05f))).toDF("query_id", "embedding")
+    val got = SimSearch.ivfTopK(q, corpus, 2, centroidStride = 64, nprobe = 1)
+      .orderBy("rank").select("vec_id").as[Long].collect().toSeq
+    // query lands in the x-direction cell; (0.95,0.05) is near-parallel to
+    // (1,0.05) so vec 2 outranks vec 0, and the y-cell members never score
+    assert(got == Seq(2L, 0L))
+  }
+
+  test("winnowing: shared substrings yield shared fingerprints, disjoint texts don't") {
+    import spark.implicits._
+    val shared = "the quick brown fox jumps over the lazy dog again and again"
+    val df = Seq(
+      (1L, s"PREFIX-A $shared SUFFIX-A"),
+      (2L, s"completely different lead-in $shared trailing text"),
+      (3L, "no overlap here at all, entirely unrelated content body")).toDF("doc_id", "text")
+    val fps = df
+      .select(col("doc_id"), TextStats.gramHashes(col("text"), 8).as("gh"))
+      .select(col("doc_id"), TextStats.winnowMins(col("gh"), 16).as("fps"))
+      .as[(Long, Seq[Long])].collect().toMap
+    val s12 = fps(1L).toSet.intersect(fps(2L).toSet)
+    val s13 = fps(1L).toSet.intersect(fps(3L).toSet)
+    assert(s12.nonEmpty, "docs sharing a long substring must share fingerprints")
+    assert(s13.isEmpty, "unrelated docs should not collide")
+  }
+
   test("text stats: token counts, punct, quality bounds") {
     import spark.implicits._
     val df = docs((1L, "Hello, world! 42 times."), (2L, ""))
