@@ -496,9 +496,7 @@ object Queries {
     // Winnowing fingerprints (rolling-hash selection): any shared substring
     // of length >= w+k-1 chars between two docs yields a shared fingerprint.
     ("q41_winnow", (s: SparkSession, d: String) => {
-      t(s, d, "documents")
-        .select(col("doc_id"), TextStats.gramHashes(col("text"), 8).as("gh"))
-        .select(col("doc_id"), explode(TextStats.winnowMins(col("gh"), 16)).as("fp"))
+      TextStats.winnowFingerprints(t(s, d, "documents"), "doc_id", "text", 8, 16)
     }, Some("""WITH g AS (SELECT doc_id,
         list_transform(range(1, greatest(length(text) - 7, 1) + 1),
           i -> ('0x' || substr(md5(substr(text, CAST(i AS INTEGER), 8)), 1, 14))::BIGINT) AS gh

@@ -137,6 +137,10 @@ class LlmSpec extends SparkSuite {
     val s13 = fps(1L).toSet.intersect(fps(3L).toSet)
     assert(s12.nonEmpty, "docs sharing a long substring must share fingerprints")
     assert(s13.isEmpty, "unrelated docs should not collide")
+    // the relational (windowed) form computes the identical fingerprint set
+    val relational = TextStats.winnowFingerprints(df, "doc_id", "text", 8, 16)
+      .as[(Long, Long)].collect().groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    assert(relational == fps.map { case (k, v) => k -> v.toSet })
   }
 
   test("text stats: token counts, punct, quality bounds") {
