@@ -123,6 +123,33 @@ class OpsSpec extends SparkSuite {
     assert(got.toSeq == Seq(21.03, 105.85))
   }
 
+  test("salted join equals the plain join on a skewed key distribution") {
+    import spark.implicits._
+    // hot key 1 carries 90% of the facts
+    val facts = ((1 to 90).map(i => (1L, i.toLong)) ++ Seq((2L, 500L), (3L, 600L)))
+      .toDF("k", "v")
+    val dim = Seq((1L, "hot"), (2L, "warm"), (9L, "unmatched")).toDF("k", "name")
+    val plain = facts.join(dim, Seq("k")).select("k", "v", "name")
+      .as[(Long, Long, String)].collect().toSet
+    val salted = graft.ops.Skew.saltedJoin(facts, dim, "k", 8)
+      .select("k", "v", "name").as[(Long, Long, String)].collect().toSet
+    assert(salted == plain)
+    assert(salted.size == 91)
+  }
+
+  test("two-phase salted aggregation equals the direct aggregation") {
+    import spark.implicits._
+    val df = ((1 to 1000).map(i => (1L, i.toLong)) ++ Seq((2L, 7L))).toDF("k", "v")
+    val direct = df.groupBy("k").agg(count(lit(1)).as("n"), sum(col("v")).as("s"),
+      max(col("v")).as("mx")).as[(Long, Long, Long, Long)].collect().toSet
+    val salted = graft.ops.Skew.twoPhaseAgg(df, "k", 16, Map(
+      "n" -> (count(lit(1)), sum(col("n"))),
+      "s" -> (sum(col("v")), sum(col("s"))),
+      "mx" -> (max(col("v")), max(col("mx")))))
+      .select("k", "n", "s", "mx").as[(Long, Long, Long, Long)].collect().toSet
+    assert(salted == direct)
+  }
+
   test("P13/P14 hour truncation and GMT+7 render are explicit shifts") {
     import spark.implicits._
     val df = Seq("2024-03-01 23:45:10").toDF("s")
