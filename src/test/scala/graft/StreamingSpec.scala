@@ -1,0 +1,73 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.streaming.Streams
+import graft.streaming.Streams.EventRow
+
+/** Streaming semantics over MemoryStream sources: watermarked hourly
+  * windows, watermark-bounded dedup, and mapGroupsWithState running state.
+  */
+class StreamingSpec extends SparkSuite {
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private def row(id: Long, uid: Long, t: String, typ: String, v: Double) =
+    EventRow(id, uid, ts(t), typ, v)
+
+  test("watermarked hourly tumbling counts aggregate by event time") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val src = MemoryStream[EventRow]
+    src.addData(
+      row(1, 1, "2024-01-01 10:05:00", "click", 1.0),
+      row(2, 1, "2024-01-01 10:55:00", "click", 2.0),
+      row(3, 2, "2024-01-01 11:05:00", "view", 5.0),
+      row(4, 2, "2024-01-01 14:00:00", "view", 1.0))
+    Streams.runToMemory(Streams.hourlyTypeCounts(src.toDF()), "hourly2", OutputMode.Complete())
+    val got = spark.table("hourly2")
+      .select($"hour".cast("string"), $"event_type", $"n", $"sum_value")
+      .as[(String, String, Long, Double)].collect().toSet
+    assert(got.contains(("2024-01-01 10:00:00", "click", 2L, 3.0)))
+    assert(got.contains(("2024-01-01 11:00:00", "view", 1L, 5.0)))
+  }
+
+  test("dropDuplicatesWithinWatermark suppresses replayed event ids") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val src = MemoryStream[EventRow]
+    src.addData(
+      row(1, 1, "2024-01-01 10:00:00", "click", 1.0),
+      row(1, 1, "2024-01-01 10:00:00", "click", 1.0), // exact replay
+      row(2, 1, "2024-01-01 10:01:00", "view", 2.0))
+    Streams.runToMemory(Streams.dedupById(src.toDF()), "dedup", OutputMode.Append())
+    val got = spark.table("dedup").select($"event_id").as[Long].collect().toSeq.sorted
+    assert(got == Seq(1L, 2L))
+  }
+
+  test("mapGroupsWithState keeps running per-user stats across micro-batches") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val src = MemoryStream[EventRow]
+    val stats = Streams.runningUserStats(src.toDS())
+    val q = stats.writeStream.format("memory").queryName("ustats")
+      .outputMode(OutputMode.Update()).start()
+    src.addData(row(1, 7, "2024-01-01 10:00:00", "click", 1.5))
+    q.processAllAvailable()
+    src.addData(
+      row(2, 7, "2024-01-01 11:00:00", "view", 2.5),
+      row(3, 8, "2024-01-01 11:30:00", "click", 4.0))
+    q.processAllAvailable()
+    q.stop()
+    val byUser = spark.table("ustats")
+      .groupBy("user_id").agg(org.apache.spark.sql.functions.max("n_events").as("n"),
+        org.apache.spark.sql.functions.max("sum_value").as("s"))
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    // user 7 accumulated across two micro-batches: state survived
+    assert(byUser(7L) == ((2L, 4.0)))
+    assert(byUser(8L) == ((1L, 4.0)))
+  }
+}
