@@ -425,6 +425,25 @@ object Queries {
       FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
       WHERE round(list_cosine_similarity(a.v, b2.v), 6) >= 0.3""")),
 
+    // Native expressions through the SQL front door: cosine_similarity is a
+    // registered function, so the whole top-k is plain SQL text.
+    ("q43_sql_cosine", (s: SparkSession, d: String) => {
+      org.apache.spark.sql.graft.GraftFunctions.registerAll(s)
+      t(s, d, "embeddings").createOrReplaceTempView("v_embeddings")
+      s.sql("""
+        WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb FROM v_embeddings WHERE vec_id < 4),
+        sc AS (SELECT query_id, e.vec_id,
+          round(cosine_similarity(q_emb, e.embedding), 6) AS cosine
+          FROM v_embeddings e CROSS JOIN q),
+        w AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank FROM sc)
+        SELECT query_id, vec_id, cosine, rank FROM w WHERE rank <= 3""")
+    }, Some("""WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 4),
+      c AS (SELECT vec_id, embedding::DOUBLE[] AS cv FROM embeddings),
+      sc AS (SELECT query_id, vec_id, round(list_cosine_similarity(qv, cv), 6) AS cosine
+        FROM c CROSS JOIN q),
+      w AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rnk FROM sc)
+      SELECT query_id, vec_id, cosine, CAST(rnk AS INTEGER) AS rank FROM w WHERE rnk <= 3""")),
+
     // ===================== LLM-pipeline: similarity search ================
 
     ("q23_cosine_topk", (s: SparkSession, d: String) => {

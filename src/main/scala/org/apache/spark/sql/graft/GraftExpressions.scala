@@ -126,6 +126,53 @@ case class SimHash64(child: Expression)
     copy(child = newChild)
 }
 
+/** SQL-surface registration of the native expressions, so `spark.sql` text
+  * can call `fuzz_ratio`, `cosine_similarity`, `dot_product`, `simhash64`.
+  * Two entry points: [[GraftExtensions]] for
+  * `spark.sql.extensions=org.apache.spark.sql.graft.GraftExtensions` at
+  * session build, and [[GraftFunctions.registerAll]] for sessions the caller
+  * doesn't construct (the harness driver's).
+  */
+object GraftFunctions {
+  import org.apache.spark.sql.catalyst.FunctionIdentifier
+  import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
+  import org.apache.spark.sql.catalyst.expressions.{Cast, ExpressionInfo}
+  import org.apache.spark.sql.SparkSession
+
+  private def toDoubleArray(e: Expression): Expression =
+    Cast(e, ArrayType(DoubleType))
+
+  val all: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier("fuzz_ratio"),
+      new ExpressionInfo(classOf[FuzzRatio].getName, "fuzz_ratio"),
+      (es: Seq[Expression]) => FuzzRatio(es(0), es(1))),
+    (FunctionIdentifier("cosine_similarity"),
+      new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_similarity"),
+      (es: Seq[Expression]) => CosineSimilarity(toDoubleArray(es(0)), toDoubleArray(es(1)))),
+    (FunctionIdentifier("dot_product"),
+      new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
+      (es: Seq[Expression]) => DotProduct(toDoubleArray(es(0)), toDoubleArray(es(1)))),
+    (FunctionIdentifier("simhash64"),
+      new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
+      (es: Seq[Expression]) => SimHash64(es(0))))
+
+  /** Register on an existing session (temp functions in its registry). */
+  def registerAll(spark: SparkSession): Unit = {
+    val reg: FunctionRegistry = spark.sessionState.functionRegistry
+    all.foreach { case (id, _, builder) =>
+      reg.createOrReplaceTempFunction(id.funcName, builder, "built-in")
+    }
+  }
+}
+
+/** `spark.sql.extensions` hook: injects the native functions at session
+  * build, the zero-code-change path for spark-submit users.
+  */
+class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+    GraftFunctions.all.foreach(ext.injectFunction)
+}
+
 /** The only legal Column<->Expression crossing point (private[sql] bridge). */
 object GraftColumns {
   def simHash64(tokens: Column): Column =

@@ -104,6 +104,33 @@ class FunctionsSpec extends SparkSuite {
     assert(h <= 16, s"hamming $h too large for near-dup")
   }
 
+  test("native expressions are callable from SQL text after registration") {
+    import spark.implicits._
+    org.apache.spark.sql.graft.GraftFunctions.registerAll(spark)
+    val got = spark.sql(
+      "SELECT fuzz_ratio('kitten', 'sitting') AS f, " +
+        "dot_product(array(1.0, 2.0), array(3.0, 4.0)) AS d, " +
+        "simhash64(array('a','b')) = simhash64(array('a','b')) AS same")
+      .as[(Int, Double, Boolean)].head()
+    assert(got == ((62, 11.0, true)))
+  }
+
+  test("GraftExtensions injects functions at session build") {
+    val s2 = org.apache.spark.sql.SparkSession.builder()
+      .master("local[2]")
+      .config("spark.sql.extensions", "org.apache.spark.sql.graft.GraftExtensions")
+      .config("spark.ui.enabled", "false")
+      .appName("graft-ext-test")
+      .getOrCreate()
+    try {
+      val r = s2.sql("SELECT fuzz_ratio('abc', 'abc') AS f").head().getInt(0)
+      assert(r == 100)
+    } finally {
+      // shared JVM: don't stop the context, just drop the extra session
+      org.apache.spark.sql.SparkSession.clearActiveSession()
+    }
+  }
+
   test("fnv1a64 matches the published test vector") {
     // FNV-1a 64-bit of empty input is the offset basis
     assert(TextImpl.fnv1a64(Array.emptyByteArray) == 0xcbf29ce484222325L)
