@@ -38,4 +38,14 @@ object Sinks {
   /** S14: local JSON dump (reference: src/extract_coordinates.py:21-24). */
   def jsonDump(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").json(path)
+
+  /** Bucketed catalog table: pre-hash-partitioned and sorted on the join/
+    * merge key so repeated joins between co-bucketed tables run with NO
+    * shuffle exchange on either side — the co-location strategy for the
+    * fact-to-fact joins that dominate at 100 TB (asserted shuffle-free in
+    * SinksSpec).
+    */
+  def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int): Unit =
+    df.write.bucketBy(buckets, key).sortBy(key)
+      .mode("overwrite").format("parquet").saveAsTable(table)
 }

@@ -58,6 +58,22 @@ class SourcesSpec extends SparkSuite {
     assert(rows.count() == 1)
   }
 
+  test("co-bucketed tables join without a shuffle exchange") {
+    import spark.implicits._
+    val facts = (1L to 200L).map(i => (i % 40, i, s"f$i")).toDF("k", "id", "v")
+    val dim = (0L to 39L).map(i => (i, s"d$i")).toDF("k", "name")
+    Sinks.writeBucketed(facts, "b_facts", "k", 8)
+    Sinks.writeBucketed(dim, "b_dim", "k", 8)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("b_facts").join(spark.table("b_dim"), Seq("k"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"bucketed join should not shuffle:\n$plan")
+      assert(joined.count() == 200)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("queries registry and oracle map stay consistent") {
     // every oracle refers to a registered query; both maps non-trivial
     assert(Queries.oracleSql.keySet.subsetOf(Queries.queries.keySet))
