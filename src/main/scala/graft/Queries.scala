@@ -279,9 +279,10 @@ object Queries {
       w AS (SELECT *, row_number() OVER (PARTITION BY p_partkey ORDER BY score DESC, cand_name) AS rn FROM sc)
       SELECT p_partkey, p_name, cand_name, score FROM w WHERE rn = 1""")),
 
-    // Exact fuzz.ratio (native codegen'd expression) — the indel-weighted
-    // ratio has no DuckDB equivalent, so this entry is rows-only; exactness
-    // is covered by the ScalaTest suite against known fuzzywuzzy values.
+    // Exact fuzz.ratio (native codegen'd expression). The oracle replays the
+    // indel-weighted ratio in pure SQL: LCS via a nested list_reduce DP
+    // (list-typed accumulators), then `round(200*lcs/(|a|+|b|))` with
+    // Python-style half-to-even rounding — bit-exact against FuzzRatio.
     ("q22_fuzz_native", (s: SparkSession, d: String) => {
       val left = t(s, d, "part").filter(col("p_partkey") < 20).select("p_partkey", "p_name")
       val right = t(s, d, "part").filter(col("p_partkey") >= 100)
@@ -289,7 +290,33 @@ object Queries {
       left.crossJoin(broadcast(right)).select(
         col("p_partkey"), col("cand_name"),
         Fuzzy.fuzzRatio(lower(col("p_name")), lower(col("cand_name"))).as("fuzz"))
-    }, None),
+    }, Some("""WITH l AS (SELECT p_partkey, lower(p_name) AS a FROM part WHERE p_partkey < 20),
+      r AS (SELECT DISTINCT p_name AS cand_name FROM part WHERE p_partkey >= 100),
+      cp AS (SELECT l.p_partkey, r.cand_name, l.a, lower(r.cand_name) AS b FROM l CROSS JOIN r),
+      lc AS (SELECT p_partkey, cand_name, length(a) + length(b) AS lab,
+        list_reduce(
+          list_concat(
+            [list_transform(range(0, length(b) + 1), x -> 0)],
+            list_transform(range(1, length(a) + 1), i -> [i])),
+          (prev, e) -> CASE WHEN len(e) = 1 THEN
+            list_reduce(
+              list_concat([[0]], list_transform(range(1, length(b) + 1), j -> [j])),
+              (rr, je) -> CASE WHEN len(je) = 1 THEN
+                list_append(rr, CASE WHEN substr(a, e[1], 1) = substr(b, je[1], 1)
+                  THEN prev[je[1]] + 1
+                  ELSE greatest(prev[je[1] + 1], rr[len(rr)]) END)
+              ELSE je END)
+          ELSE e END) AS row
+        FROM cp),
+      v AS (SELECT p_partkey, cand_name,
+        CASE WHEN lab = 0 THEN 100.0 ELSE (200.0 * row[len(row)]) / lab END AS val
+        FROM lc)
+      SELECT p_partkey, cand_name,
+        CAST(CASE WHEN val - floor(val) > 0.5 THEN floor(val) + 1
+                  WHEN val - floor(val) < 0.5 THEN floor(val)
+                  WHEN CAST(floor(val) AS BIGINT) % 2 = 0 THEN floor(val)
+                  ELSE floor(val) + 1 END AS INTEGER) AS fuzz
+      FROM v""")),
 
     // ========================= upsert / CDC (ST1-ST7) =====================
 
@@ -403,15 +430,43 @@ object Queries {
         FROM band a JOIN band b ON a.band = b.band AND a.doc_id < b.doc_id)
       SELECT id_a, id_b, jaccard FROM pairs WHERE jaccard >= 0.5""")),
 
-    // SimHash near-dup pairs — native codegen'd simhash64 has no DuckDB
-    // twin; rows-only here, exactness covered in ScalaTest.
+    // SimHash near-dup pairs. The native simhash64 expression (FNV-1a per
+    // token + bitwise majority vote) is replayed EXACTLY in the oracle via
+    // HUGEINT mod-2^64 arithmetic — every dedup variant is hash-checked.
     ("q26_simhash_pairs", (s: SparkSession, d: String) => {
       val docs = t(s, d, "documents").select("doc_id", "text")
       val planted = docs.select((col("doc_id") + 10000).as("doc_id"),
         concat(col("text"), lit(" extra token")).as("text"))
       Dedup.simhashPairs(docs.unionByName(planted), "text", "doc_id",
         prefixBits = 8, maxHamming = 6)
-    }, None),
+    }, Some("""WITH corpus AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL SELECT doc_id + 10000 AS doc_id, text || ' extra token' AS text FROM documents),
+      tok AS (SELECT doc_id,
+        list_filter(string_split_regex(trim(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')), ' '), x -> x <> '') AS toks
+        FROM corpus),
+      th AS (SELECT doc_id,
+        list_transform(toks, t ->
+          list_reduce(
+            list_concat([14695981039346656037::HUGEINT],
+              list_transform(range(1, length(t) + 1), i -> ascii(substr(t, CAST(i AS INTEGER), 1))::HUGEINT)),
+            (a, b) -> (xor(a, b) * 1099511628211::HUGEINT) % 18446744073709551616::HUGEINT)) AS hs
+        FROM tok),
+      shh AS (SELECT doc_id,
+        list_reduce(list_transform(range(0, 64), b ->
+          CASE WHEN 2 * len(list_filter(hs, h -> ((h >> CAST(b AS INTEGER)) % 2) = 1)) > len(hs)
+               THEN (1::HUGEINT << CAST(b AS INTEGER)) ELSE 0::HUGEINT END),
+          (a, b) -> a + b) AS u
+        FROM th),
+      sgn AS (SELECT doc_id,
+        CASE WHEN u >= 9223372036854775808::HUGEINT
+             THEN CAST(u - 18446744073709551616::HUGEINT AS BIGINT) ELSE CAST(u AS BIGINT) END AS sh,
+        CAST(u >> 56 AS BIGINT) AS bucket
+        FROM shh)
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        CAST(bit_count(xor(a.sh, b.sh)) AS INTEGER) AS hamming
+      FROM sgn a JOIN sgn b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.sh, b.sh)) <= 6""")),
 
     ("q28_embedding_pairs", (s: SparkSession, d: String) => {
       Dedup.embeddingPairs(t(s, d, "embeddings"), "embedding", "vec_id",
