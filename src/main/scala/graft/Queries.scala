@@ -606,6 +606,56 @@ object Queries {
       w AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rnk FROM sc)
       SELECT query_id, vec_id, cosine, CAST(rnk AS INTEGER) AS rank FROM w WHERE rnk <= 5""")),
 
+    // The composite curation pipeline — the engine's headline use case:
+    // language-gate, quality-gate, exact-dedup, and per-source accounting in
+    // one plan. Catalyst fuses the scalar gates into the scan; the only
+    // shuffles are the dedup and final aggregations.
+    ("q44_curation", (s: SparkSession, d: String) => {
+      val scored = t(s, d, "documents")
+        .select(col("doc_id"), col("text"), col("source"),
+          TextStats.tokens(lower(col("text"))).as("ltoks"),
+          TextStats.tokens(col("text")).as("toks"))
+        .select(col("doc_id"), col("text"), col("source"),
+          TextStats.langIdFromTokens(col("ltoks")).as("lang"),
+          TextStats.qualityScoreFromTokens(col("text"), col("toks")).as("quality"))
+      val gated = scored.filter(col("lang") === "en" && col("quality") >= 0.5)
+      val survivors = gated
+        .groupBy(md5(regexp_replace(trim(lower(col("text"))), "\\s+", " ")).as("fp"))
+        .agg(min(col("doc_id")).as("doc_id"))
+      gated.join(survivors.select("doc_id"), Seq("doc_id"), "left_semi")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          dsum(col("quality")).as("sum_quality"))
+    }, Some("""WITH b AS (SELECT doc_id, text, source,
+        list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> x <> '') AS ltoks,
+        list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS toks
+        FROM documents),
+      h AS (SELECT doc_id, text, source, toks,
+        len(list_filter(ltoks, x -> x IN ('der','die','das','und','ist','nicht','mit','ein','ich','zu'))) AS h_de,
+        len(list_filter(ltoks, x -> x IN ('the','and','of','to','a','in','is','it','you','that'))) AS h_en,
+        len(list_filter(ltoks, x -> x IN ('el','la','que','los','y','en','un','ser','se','no'))) AS h_es,
+        len(list_filter(ltoks, x -> x IN ('le','les','des','et','dans','en','un','du','une','est'))) AS h_fr,
+        len(list_filter(ltoks, x -> x IN ('的','一','是','不','了','人','我','在','有','他'))) AS h_zh
+        FROM b),
+      sc AS (SELECT doc_id, text, source,
+        CASE WHEN h_de = 0 AND h_en = 0 AND h_es = 0 AND h_fr = 0 AND h_zh = 0 THEN 'und'
+             WHEN h_de >= h_en AND h_de >= h_es AND h_de >= h_fr AND h_de >= h_zh THEN 'de'
+             WHEN h_en >= h_es AND h_en >= h_fr AND h_en >= h_zh THEN 'en'
+             WHEN h_es >= h_fr AND h_es >= h_zh THEN 'es'
+             WHEN h_fr >= h_zh THEN 'fr' ELSE 'zh' END AS lang,
+        round((least(CAST(len(toks) AS DOUBLE) / 100.0, 1.0)
+          + (1.0 - least(CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS DOUBLE)
+              / greatest(CAST(length(text) AS DOUBLE), 1.0) * 10.0, 1.0))
+          + CAST(len(list_distinct(toks)) AS DOUBLE) / greatest(CAST(len(toks) AS DOUBLE), 1.0)) / 3.0, 4) AS quality
+        FROM h),
+      gated AS (SELECT * FROM sc WHERE lang = 'en' AND quality >= 0.5),
+      surv AS (SELECT min(doc_id) AS doc_id FROM gated
+        GROUP BY md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')))
+      SELECT source, count(*) AS n_docs,
+        CAST(SUM(CAST(quality AS DECIMAL(18,6))) AS DOUBLE) AS sum_quality
+      FROM gated WHERE doc_id IN (SELECT doc_id FROM surv)
+      GROUP BY source""")),
+
     // ===================== LLM-pipeline: multimodal =======================
 
     // P10/P12: string-equality predicate + deterministic row enumeration
