@@ -69,6 +69,23 @@ object Dispatch {
     Upsert.mergeUnique(target, promote(deduped), mergeKey)
   }
 
+  /** ST6 variant of [[applyBatch]]: instead of fail-stopping on unknown ops
+    * (the reference's transfer leg), route them to a dead-letter JSON sink
+    * and process the known ops — the reference's INGEST leg behavior
+    * (reference: src/ingest_weather_data.py:35-45). Returns the merged
+    * target; unknown envelopes land under `deadLetterPath`.
+    */
+  def applyBatchOrDeadLetter(target: DataFrame, envelopes: DataFrame,
+                             docSchema: StructType, promote: DataFrame => DataFrame,
+                             rawKey: String, mergeKey: String, tieCol: String,
+                             deadLetterPath: String,
+                             runTs: java.sql.Timestamp): DataFrame = {
+    val unknown = envelopes.filter(!col("operationType").isin(knownOps: _*))
+    graft.sources.Sinks.deadLetter(unknown, deadLetterPath, runTs)
+    val known = envelopes.filter(col("operationType").isin(knownOps: _*))
+    applyBatch(target, known, docSchema, promote, rawKey, mergeKey, tieCol)
+  }
+
   /** ST1: a file-replayed CDC-envelope stream — the offline stand-in for
     * `collection.watch()`. Any directory of JSON envelope files becomes the
     * change stream; Structured Streaming's checkpointing supplies replay.

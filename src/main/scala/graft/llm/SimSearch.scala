@@ -82,6 +82,32 @@ object SimSearch {
       .select(queryId, vecId, "cosine", "rank")
   }
 
+  /** One Lloyd iteration for IVF centroid training: assign every corpus
+    * vector to its nearest centroid (same mechanics as [[ivfTopK]]'s
+    * assignment) and emit the per-cell mean vector. Run a handful of
+    * iterations offline to turn the deterministic-sample centroids into
+    * proper k-means cells; the per-cell mean is a single hash aggregation
+    * over `posexplode`d components — one shuffle keyed on (cell, dim),
+    * no vector ever collected to the driver.
+    */
+  def kmeansIter(corpus: DataFrame, centroids: DataFrame,
+                 vecId: String = "vec_id"): DataFrame = {
+    val cents = centroids.select(col("cent_id"), col("cent_emb"))
+    val scored = corpus.select(col(vecId), col("embedding").cast("array<double>").as("v"))
+      .crossJoin(broadcast(cents))
+      .withColumn("cscore", VectorFunctions.cosineSim(col("v"), col("cent_emb")))
+    val w = Window.partitionBy(col(vecId)).orderBy(col("cscore").desc, col("cent_id"))
+    val assigned = scored.withColumn("crank", row_number().over(w))
+      .filter(col("crank") === 1)
+      .select(col("cent_id"), col("v"))
+    assigned
+      .select(col("cent_id"), posexplode(col("v")).as(Seq("dim", "x")))
+      .groupBy("cent_id", "dim").agg(avg(col("x")).as("m"))
+      .groupBy("cent_id")
+      .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("dm"))
+      .select(col("cent_id"), transform(col("dm"), _.getField("m")).as("cent_emb"))
+  }
+
   /** LSH-bucketed top-k: queries and corpus equi-join on the sign bucket of
     * the leading dimensions. Recall < 1 by construction (a production sweep
     * probes neighboring buckets / multiple hash tables); the payoff is that

@@ -83,6 +83,21 @@ class CdcSpec extends SparkSuite {
     assert(got == Set(("a", 5L)))
   }
 
+  test("ST6 dead-letter variant processes known ops and banks the unknown") {
+    import spark.implicits._
+    val dlq = Files.createTempDirectory("cdc-dlq").toString
+    val batch = envelopes(Seq(
+      env("insert", "a", """{"id":"a","v":1}""", "2024-01-01 00:00:00"),
+      env("replace", "z", """{"id":"z","v":9}""", "2024-01-01 00:00:01")))
+    val got = Dispatch.applyBatchOrDeadLetter(emptyTarget, batch, docSchema,
+      identity, "id", "id", "v", dlq, java.sql.Timestamp.valueOf("2024-03-01 07:30:00"))
+      .as[(String, Long)].collect().toSet
+    assert(got == Set(("a", 1L)))
+    val banked = spark.read.json(s"$dlq/failed_20240301073000")
+    assert(banked.count() == 1)
+    assert(banked.select("operationType").head().getString(0) == "replace")
+  }
+
   test("ST1-ST7 end-to-end: file-replayed stream -> foreachBatch -> parquet target") {
     import spark.implicits._
     val dir = Files.createTempDirectory("cdc-env").toFile

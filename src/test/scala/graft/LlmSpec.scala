@@ -122,6 +122,22 @@ class LlmSpec extends SparkSuite {
     assert(got == Seq(2L, 0L))
   }
 
+  test("kmeansIter moves centroids to cluster means") {
+    import spark.implicits._
+    // two tight clusters around (1,0) and (0,1); seed centroids off-center
+    val corpus = Seq(
+      (1L, Array(1.0f, 0.1f)), (2L, Array(1.0f, -0.1f)), (3L, Array(0.9f, 0.0f)),
+      (4L, Array(0.1f, 1.0f)), (5L, Array(-0.1f, 1.0f)), (6L, Array(0.0f, 0.9f)))
+      .toDF("vec_id", "embedding")
+    val seeds = Seq((0L, Array(0.8, 0.3)), (1L, Array(0.3, 0.8)))
+      .toDF("cent_id", "cent_emb")
+    val moved = SimSearch.kmeansIter(corpus, seeds)
+      .as[(Long, Seq[Double])].collect().toMap
+    // cell 0 mean ~ (0.9667, 0.0), cell 1 mean ~ (0.0, 0.9667)
+    assert(math.abs(moved(0L).head - 29.0 / 30.0) < 1e-6 && math.abs(moved(0L)(1)) < 1e-6)
+    assert(math.abs(moved(1L)(1) - 29.0 / 30.0) < 1e-6 && math.abs(moved(1L).head) < 1e-6)
+  }
+
   test("winnowing: shared substrings yield shared fingerprints, disjoint texts don't") {
     import spark.implicits._
     val shared = "the quick brown fox jumps over the lazy dog again and again"
