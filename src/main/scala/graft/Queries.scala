@@ -619,10 +619,7 @@ object Queries {
           TextStats.langIdFromTokens(col("ltoks")).as("lang"),
           TextStats.qualityScoreFromTokens(col("text"), col("toks")).as("quality"))
       val gated = scored.filter(col("lang") === "en" && col("quality") >= 0.5)
-      val survivors = gated
-        .groupBy(md5(regexp_replace(trim(lower(col("text"))), "\\s+", " ")).as("fp"))
-        .agg(min(col("doc_id")).as("doc_id"))
-      gated.join(survivors.select("doc_id"), Seq("doc_id"), "left_semi")
+      Dedup.exactApply(gated, "text", "doc_id")
         .groupBy("source")
         .agg(count(lit(1)).as("n_docs"),
           dsum(col("quality")).as("sum_quality"))
@@ -685,9 +682,7 @@ object Queries {
     // Dedup applied end-to-end: keep one surviving row per normalized text
     // (min doc_id wins), returning full surviving documents.
     ("q40_dedup_apply", (s: SparkSession, d: String) => {
-      val docs = t(s, d, "documents")
-      val survivors = Dedup.exact(docs, "text", "doc_id").select("doc_id")
-      docs.join(survivors, Seq("doc_id"), "left_semi")
+      Dedup.exactApply(t(s, d, "documents"), "text", "doc_id")
     }, Some("""SELECT * FROM documents WHERE doc_id IN (
       SELECT min(doc_id) FROM documents
       GROUP BY md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')))""")),

@@ -27,6 +27,17 @@ object Dedup {
     df.groupBy(md5(normalize(col(textCol))).as("fp"))
       .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_dups"))
 
+  /** Exact dedup APPLIED: the full surviving rows (min `idCol` per
+    * normalized text). A window top-1, not groupBy+self-join — one scan and
+    * one shuffle instead of scanning (and re-scoring) the input twice.
+    */
+  def exactApply(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(md5(normalize(col(textCol)))).orderBy(col(idCol))
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+  }
+
   /** n-word shingles (distinct) from a MATERIALIZED token-array column.
     * Documents shorter than n words get their whole text as the single
     * shingle so they still participate.

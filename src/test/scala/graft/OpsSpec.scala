@@ -30,6 +30,23 @@ class OpsSpec extends SparkSuite {
       Integrity.fkViolations(facts, dim, "fk", "k").count() == facts.count())
   }
 
+  test("broadcastDim=true forces a broadcast plan for bounded dimensions") {
+    import spark.implicits._
+    val facts = (1L to 100L).map(i => (i, i % 5)).toDF("id", "fk")
+    val dim = Seq((0L, "a"), (1L, "b")).toDF("k", "name")
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // even with auto-broadcast off, the explicit hint wins
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val plan = Integrity.fkValid(facts, dim, "fk", "k", broadcastDim = true)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"))
+      val planDefault = Integrity.fkValid(facts, dim, "fk", "k")
+        .queryExecution.executedPlan.toString
+      assert(!planDefault.contains("BroadcastHashJoin"))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("A2 dupAudit reports only keys with count > 1") {
     import spark.implicits._
     val df = Seq(1L, 2L, 2L, 3L, 3L, 3L).toDF("k")
