@@ -93,9 +93,10 @@ object Dedup {
       .select(col("id"), shinglesFromTokens(col("w"), shingleN).as("sh"))
       .persist()
     // md5 is referenced twice (v1, v2), which stops Catalyst from inlining it
-    // twice — one digest per (doc, shingle) row, fully codegen'd
+    // twice — one digest per (doc, shingle) row, fully codegen'd; fastMd5
+    // reuses a thread-local digest instead of allocating one per row
     val hashed = base.select(col("id"), explode(col("sh")).as("s"))
-      .select(col("id"), md5(col("s")).as("m"))
+      .select(col("id"), org.apache.spark.sql.graft.GraftColumns.fastMd5(col("s")).as("m"))
       .select(col("id"),
         conv(substring(col("m"), 1, 14), 16, 10).cast("long").as("v1"),
         conv(substring(col("m"), 17, 14), 16, 10).cast("long").as("v2"))

@@ -125,7 +125,8 @@ object TextStats {
       .select(col(idCol), col("__t"), col("__ng"),
         explode(sequence(lit(1), col("__ng"))).as("__i"))
       .select(col(idCol), col("__ng"), col("__i"),
-        conv(substring(md5(col("__t").substr(col("__i"), lit(k))), 1, 14), 16, 10)
+        conv(substring(org.apache.spark.sql.graft.GraftColumns.fastMd5(
+          col("__t").substr(col("__i"), lit(k))), 1, 14), 16, 10)
           .cast("long").as("__h"))
     val win = Window.partitionBy(col(idCol)).orderBy(col("__i"))
       .rowsBetween(Window.currentRow, w - 1)

@@ -126,6 +126,29 @@ case class SimHash64(child: Expression)
     copy(child = newChild)
 }
 
+/** MD5 hex with a thread-local reused digest — byte-identical to the builtin
+  * `md5()` but without its per-row MessageDigest allocation, which dominates
+  * digest-heavy scans (minhash signatures, winnowing grams).
+  */
+case class FastMd5(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with ExpectsInputTypes {
+
+  override def dataType: DataType = StringType
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "fast_md5"
+
+  override protected def nullSafeEval(in: Any): Any =
+    graft.functions.HashImpl.md5Hex(in.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.functions.HashImpl.md5Hex($a)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** SQL-surface registration of the native expressions, so `spark.sql` text
   * can call `fuzz_ratio`, `cosine_similarity`, `dot_product`, `simhash64`.
   * Two entry points: [[GraftExtensions]] for
@@ -177,6 +200,9 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
 object GraftColumns {
   def simHash64(tokens: Column): Column =
     ExpressionUtils.column(SimHash64(ExpressionUtils.expression(tokens)))
+
+  def fastMd5(c: Column): Column =
+    ExpressionUtils.column(FastMd5(ExpressionUtils.expression(c)))
 
   def fuzzRatio(a: Column, b: Column): Column =
     ExpressionUtils.column(FuzzRatio(

@@ -131,6 +131,19 @@ class FunctionsSpec extends SparkSuite {
     }
   }
 
+  test("fastMd5 is byte-identical to the builtin md5") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(3)
+    val strs = ("" +: (1 to 200).map(_ => rnd.alphanumeric.take(rnd.nextInt(40)).mkString)) ++
+      Seq("héllo wörld", "日本語テキスト")
+    val df = strs.toDF("s")
+    val mismatches = df.select(
+      org.apache.spark.sql.graft.GraftColumns.fastMd5(col("s")).as("fast"),
+      md5(col("s")).as("builtin"))
+      .filter(col("fast") =!= col("builtin")).count()
+    assert(mismatches == 0)
+  }
+
   test("fnv1a64 matches the published test vector") {
     // FNV-1a 64-bit of empty input is the offset basis
     assert(TextImpl.fnv1a64(Array.emptyByteArray) == 0xcbf29ce484222325L)
