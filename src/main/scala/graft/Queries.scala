@@ -362,6 +362,62 @@ object Queries {
       r AS (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ct DESC, event_id DESC) AS rn FROM nv)
       SELECT event_id, user_id, ts_us, event_type, value FROM r WHERE rn = 1""")),
 
+    // As-of join (no native Spark operator): each event picks the latest
+    // prior order of its user. Implemented union-tag + window (one shuffle);
+    // the oracle is DuckDB's NATIVE ASOF JOIN — two independent
+    // implementations of the semantics must agree.
+    ("q45_asof_join", (s: SparkSession, d: String) => {
+      val w = Window.partitionBy(col("o_custkey"), col("o_orderdate"))
+        .orderBy(col("o_orderkey").desc)
+      val ords = t(s, d, "orders")
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("o_custkey").as("user_id"), col("o_orderdate"),
+          col("o_orderkey"), col("o_totalprice"))
+      graft.ops.TemporalJoin.asOf(
+        t(s, d, "events").select("event_id", "user_id", "ts", "value"),
+        ords, "user_id", "ts", "o_orderdate")
+    }, Some("""WITH ords AS (SELECT * FROM (
+        SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice,
+          row_number() OVER (PARTITION BY o_custkey, o_orderdate ORDER BY o_orderkey DESC) AS rn
+        FROM orders) WHERE rn = 1)
+      SELECT e.event_id, e.user_id, CAST(e.ts AS TIMESTAMP) AS ts, e.value,
+        CAST(o.o_orderdate AS TIMESTAMP) AS o_orderdate, o.o_orderkey, o.o_totalprice
+      FROM events e ASOF JOIN ords o
+        ON e.user_id = o.o_custkey AND CAST(e.ts AS TIMESTAMP) >= o.o_orderdate""")),
+
+    // Range (interval-containment) join, bin-bucketed — the equi-join
+    // decomposition of what would otherwise plan as a nested loop.
+    ("q46_range_join", (s: SparkSession, d: String) => {
+      val ev = t(s, d, "events")
+      val wins = ev.filter(col("event_id") % 50 === 0)
+        .select(col("event_id").as("win_id"), col("ts").as("w_start"),
+          (col("ts") + expr("INTERVAL 2 HOURS")).as("w_end"))
+      graft.ops.TemporalJoin.range(
+        ev.select("event_id", "user_id", "ts"), wins, "ts", "w_start", "w_end", 7200L)
+        .select("event_id", "user_id", "ts", "win_id", "w_start", "w_end")
+    }, Some("""WITH wins AS (SELECT event_id AS win_id, CAST(ts AS TIMESTAMP) AS w_start,
+        CAST(ts AS TIMESTAMP) + INTERVAL 2 HOUR AS w_end
+        FROM events WHERE event_id % 50 = 0)
+      SELECT e.event_id, e.user_id, CAST(e.ts AS TIMESTAMP) AS ts,
+        w.win_id, w.w_start, w.w_end
+      FROM events e JOIN wins w
+        ON CAST(e.ts AS TIMESTAMP) >= w.w_start AND CAST(e.ts AS TIMESTAMP) < w.w_end""")),
+
+    // Sessionization: gaps-and-islands in one window pass; 1h inactivity gap.
+    ("q47_sessionize", (s: SparkSession, d: String) => {
+      graft.ops.TemporalJoin.sessionize(
+        t(s, d, "events").select("event_id", "user_id", "ts"),
+        "user_id", "ts", 3600L, "event_id")
+    }, Some("""WITH s AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+        lag(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id) AS prev
+        FROM events)
+      SELECT event_id, user_id, ts,
+        sum(CASE WHEN prev IS NULL
+                 OR epoch_us(ts) // 1000000 - epoch_us(prev) // 1000000 > 3600
+                 THEN 1 ELSE 0 END)
+          OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM s""")),
+
     ("q37_stream_hourly", (s: SparkSession, d: String) => {
       t(s, d, "events")
         .groupBy(window(col("ts"), "1 hour"), col("event_type"))

@@ -1,0 +1,84 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Temporal joins Spark has no native operator for, composed from existing
+  * ops per the preference order in the build brief: union-tag + window for
+  * as-of, bin-bucketed equi-join for range — both single-shuffle shapes that
+  * survive 100 TB, instead of the O(n*m) broadcast-nested-loop Spark would
+  * pick for a raw inequality join.
+  */
+object TemporalJoin {
+
+  /** As-of join: for each left row, the LATEST right row with the same key
+    * and `rightTs <= leftTs` (inner semantics — left rows with no prior
+    * right row are dropped).
+    *
+    * Plan shape: pack each side into a struct, tag, union, and run ONE
+    * window partitioned by key ordered by (ts, side) — right sorts before
+    * left on equal timestamps so a right row AT the left timestamp matches —
+    * with `last(_, ignoreNulls)` carrying the most recent right struct
+    * forward. One shuffle on the key, no theta-join.
+    *
+    * `right` should be unique per (key, rightTs) — pre-collapse with
+    * [[Upsert.lastWins]] otherwise (the winner among equal right timestamps
+    * is undefined in every engine's as-of).
+    */
+  def asOf(left: DataFrame, right: DataFrame, key: String,
+           leftTs: String, rightTs: String): DataFrame = {
+    val lCols = left.columns.toSeq
+    val rPayload = right.columns.filter(_ != key).toSeq
+    val leftPart = left.select(col(key), col(leftTs).as("__ts"),
+      lit(1).as("__side"), struct(lCols.map(col): _*).as("__l"))
+    val rightPart = right.select(col(key), col(rightTs).as("__ts"),
+      lit(0).as("__side"), struct(rPayload.map(col): _*).as("__r"))
+    val w = Window.partitionBy(col(key))
+      .orderBy(col("__ts"), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    leftPart.unionByName(rightPart, allowMissingColumns = true)
+      .withColumn("__r", last(col("__r"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1 && col("__r").isNotNull)
+      .select(lCols.map(c => col(s"__l.$c")) ++ rPayload.map(c => col(s"__r.$c")): _*)
+  }
+
+  /** Range join: left rows paired with right rows whose `[startCol, endCol)`
+    * interval contains `leftTs`. Implemented as a bin-bucketed equi-join:
+    * each right interval explodes into the time bins it covers, the left
+    * side computes its bin, and the bin equi-join bounds the verify set —
+    * the standard interval-join decomposition. `binSeconds` should be on the
+    * order of the typical interval length (too small multiplies the right
+    * side's explode fan-out, too large inflates the verify set).
+    */
+  def range(left: DataFrame, right: DataFrame, leftTs: String,
+            startCol: String, endCol: String, binSeconds: Long): DataFrame = {
+    val lBinned = left.withColumn("__bin",
+      floor(unix_timestamp(col(leftTs)) / binSeconds))
+    val rBinned = right.withColumn("__bin", explode(sequence(
+      floor(unix_timestamp(col(startCol)) / binSeconds),
+      floor(unix_timestamp(col(endCol)) / binSeconds))))
+    lBinned.join(rBinned, Seq("__bin"))
+      .filter(col(leftTs) >= col(startCol) && col(leftTs) < col(endCol))
+      .drop("__bin")
+  }
+
+  /** Sessionization: assign each (key, ts) event a session id such that
+    * events within `gapSeconds` of the previous event share a session —
+    * gaps-and-islands via one window pass (lag → new-session flag →
+    * running sum), one shuffle on the key. Session ids are 1-based and
+    * ordered by time within each key.
+    */
+  def sessionize(df: DataFrame, key: String, tsCol: String,
+                 gapSeconds: Long, tieCol: String): DataFrame = {
+    val byKey = Window.partitionBy(col(key)).orderBy(col(tsCol), col(tieCol))
+    df.withColumn("__prev", lag(col(tsCol), 1).over(byKey))
+      .withColumn("__new",
+        when(col("__prev").isNull ||
+          unix_timestamp(col(tsCol)) - unix_timestamp(col("__prev")) > gapSeconds, 1L)
+          .otherwise(0L))
+      .withColumn("session_id", sum(col("__new")).over(
+        byKey.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .drop("__prev", "__new")
+  }
+}

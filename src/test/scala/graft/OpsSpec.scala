@@ -167,6 +167,52 @@ class OpsSpec extends SparkSuite {
     assert(salted == direct)
   }
 
+  test("asOf picks the latest right row at-or-before each left timestamp") {
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val quotes = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 100.0),
+      (1L, ts("2024-01-01 11:00:00"), 110.0),
+      (2L, ts("2024-01-01 10:30:00"), 200.0)).toDF("k", "qts", "px")
+    val trades = Seq(
+      (1L, ts("2024-01-01 10:30:00"), "early"),   // after 10:00 quote
+      (1L, ts("2024-01-01 11:00:00"), "attime"),  // exactly at 11:00 quote
+      (2L, ts("2024-01-01 10:00:00"), "nomatch"), // before any quote -> drop
+      (3L, ts("2024-01-01 12:00:00"), "nokey")).  // key absent -> drop
+      toDF("k", "tts", "tag")
+    val got = graft.ops.TemporalJoin.asOf(trades, quotes, "k", "tts", "qts")
+      .select("tag", "px").as[(String, Double)].collect().toMap
+    assert(got == Map("early" -> 100.0, "attime" -> 110.0))
+  }
+
+  test("range join respects [start, end) boundaries through the bin bucketing") {
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val points = Seq((1L, ts("2024-01-01 10:00:00")), (2L, ts("2024-01-01 11:59:59")),
+      (3L, ts("2024-01-01 12:00:00")), (4L, ts("2024-01-02 09:00:00")))
+      .toDF("id", "pts")
+    val ivals = Seq((10L, ts("2024-01-01 10:00:00"), ts("2024-01-01 12:00:00")))
+      .toDF("iv", "st", "en")
+    val got = graft.ops.TemporalJoin.range(points, ivals, "pts", "st", "en", 3600L)
+      .select("id").as[Long].collect().toSet
+    assert(got == Set(1L, 2L)) // start inclusive, end exclusive, far point excluded
+  }
+
+  test("sessionize splits on gaps strictly greater than the threshold") {
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val ev = Seq(
+      (1L, 7L, ts("2024-01-01 10:00:00")),
+      (2L, 7L, ts("2024-01-01 10:30:00")),  // within 1h -> session 1
+      (3L, 7L, ts("2024-01-01 11:30:00")),  // exactly 1h  -> still session 1
+      (4L, 7L, ts("2024-01-01 13:00:01")),  // > 1h gap    -> session 2
+      (5L, 8L, ts("2024-01-01 10:00:00"))). // other key   -> its own session 1
+      toDF("event_id", "user_id", "ts")
+    val got = graft.ops.TemporalJoin.sessionize(ev, "user_id", "ts", 3600L, "event_id")
+      .select("event_id", "session_id").as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 2L, 5L -> 1L))
+  }
+
   test("P13/P14 hour truncation and GMT+7 render are explicit shifts") {
     import spark.implicits._
     val df = Seq("2024-03-01 23:45:10").toDF("s")
