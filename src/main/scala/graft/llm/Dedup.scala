@@ -91,7 +91,7 @@ object Dedup {
       col(idCol).as("id"),
       TextStats.tokens(normalize(col(textCol))).as("w"))
       .select(col("id"), shinglesFromTokens(col("w"), shingleN).as("sh"))
-      .persist()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     // md5 is referenced twice (v1, v2), which stops Catalyst from inlining it
     // twice — one digest per (doc, shingle) row, fully codegen'd; fastMd5
     // reuses a thread-local digest instead of allocating one per row
@@ -107,14 +107,20 @@ object Dedup {
       val slice = (1 to rows).map(r => col(s"s_${b * rows + r}").cast("string"))
       concat(lit(s"$b|"), concat_ws(",", slice: _*))
     }
+    // candidate generation runs over slim (band, id) pairs — carrying the
+    // shingle arrays through the band self-join would shuffle and cache them
+    // bands-times over; instead dedup candidate id-pairs first and fetch the
+    // two shingle sets by id only for the surviving pairs
     val banded = sigs.select(col("id"), explode(array(bandCols: _*)).as("band"))
-      .join(base, Seq("id"))
-    val a = banded.select(col("band"), col("id").as("id_a"), col("sh").as("sh_a"))
-    val b = banded.select(col("band"), col("id").as("id_b"), col("sh").as("sh_b"))
-    a.join(b, Seq("band"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    val cands = banded.select(col("band"), col("id").as("id_a"))
+      .join(banded.select(col("band"), col("id").as("id_b")), Seq("band"))
       .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    cands
+      .join(base.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(base.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"), jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
-      .distinct()
       .filter(col("jaccard") >= threshold)
   }
 
