@@ -55,9 +55,11 @@ object TemporalJoin {
             startCol: String, endCol: String, binSeconds: Long): DataFrame = {
     val lBinned = left.withColumn("__bin",
       floor(unix_timestamp(col(leftTs)) / binSeconds))
-    val rBinned = right.withColumn("__bin", explode(sequence(
-      floor(unix_timestamp(col(startCol)) / binSeconds),
-      floor(unix_timestamp(col(endCol)) / binSeconds))))
+    val rBinned = right
+      .filter(col(startCol) <= col(endCol)) // inverted intervals match nothing
+      .withColumn("__bin", explode(sequence(
+        floor(unix_timestamp(col(startCol)) / binSeconds),
+        floor(unix_timestamp(col(endCol)) / binSeconds))))
     lBinned.join(rBinned, Seq("__bin"))
       .filter(col(leftTs) >= col(startCol) && col(leftTs) < col(endCol))
       .drop("__bin")
