@@ -569,6 +569,21 @@ object Queries {
       w AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rnk FROM sc)
       SELECT query_id, vec_id, cosine, CAST(rnk AS INTEGER) AS rank FROM w WHERE rnk <= 5""")),
 
+    // Same top-k, via the custom bounded-heap TypedImperativeAggregate —
+    // map-side partial top-k (|queries|*k shuffle rows, not |corpus|). Same
+    // oracle as the window form: two Spark implementations and DuckDB agree.
+    ("q48_topk_agg", (s: SparkSession, d: String) => {
+      val emb = t(s, d, "embeddings")
+      SimSearch.bruteForceTopKAgg(
+        emb.filter(col("vec_id") < 8).select(col("vec_id").as("query_id"), col("embedding")),
+        emb, 5, "query_id", "vec_id")
+    }, Some("""WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 8),
+      c AS (SELECT vec_id, embedding::DOUBLE[] AS cv FROM embeddings),
+      sc AS (SELECT query_id, vec_id, round(list_cosine_similarity(qv, cv), 6) AS cosine
+        FROM c CROSS JOIN q),
+      w AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rnk FROM sc)
+      SELECT query_id, vec_id, cosine, CAST(rnk AS INTEGER) AS rank FROM w WHERE rnk <= 5""")),
+
     // ===================== LLM-pipeline: text analysis ====================
 
     ("q29_text_stats", (s: SparkSession, d: String) => {

@@ -82,6 +82,27 @@ object SimSearch {
       .select(queryId, vecId, "cosine", "rank")
   }
 
+  /** Exact top-k via the custom bounded-heap aggregate
+    * (org.apache.spark.sql.graft.TopKByScore) instead of a window: the
+    * window form shuffles EVERY scored row and sorts whole groups; the
+    * aggregate partial-aggregates map-side, so each mapper ships at most k
+    * rows per query — |queries|*k shuffle volume instead of |corpus|.
+    * Identical results to [[bruteForceTopK]] (same rounding and tie rules).
+    */
+  def bruteForceTopKAgg(queries: DataFrame, corpus: DataFrame, k: Int,
+                        queryId: String = "query_id", vecId: String = "vec_id"): DataFrame = {
+    val q = queries.select(col(queryId), col("embedding").as("q_emb"))
+    val c = corpus.select(col(vecId), col("embedding").as("c_emb"))
+    val scored = c.crossJoin(broadcast(q))
+      .withColumn("cosine", round(VectorFunctions.cosineSim(col("q_emb"), col("c_emb")), 6))
+    scored.groupBy(col(queryId))
+      .agg(org.apache.spark.sql.graft.TopKColumns
+        .topKByScore(col("cosine"), col(vecId), k).as("top"))
+      .select(col(queryId), posexplode(col("top")).as(Seq("pos", "entry")))
+      .select(col(queryId), col("entry.id").as(vecId),
+        col("entry.score").as("cosine"), (col("pos") + 1).cast("int").as("rank"))
+  }
+
   /** One Lloyd iteration for IVF centroid training: assign every corpus
     * vector to its nearest centroid (same mechanics as [[ivfTopK]]'s
     * assignment) and emit the per-cell mean vector. Run a handful of

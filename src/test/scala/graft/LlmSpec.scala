@@ -96,6 +96,21 @@ class LlmSpec extends SparkSuite {
     assert(got == Seq(1L, 2L, 3L))
   }
 
+  test("bounded-heap aggregate top-k equals the window top-k exactly") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(5)
+    val corpus = (1L to 300L).map(i => (i, Array.fill(8)(rnd.nextGaussian().toFloat)))
+      .toDF("vec_id", "embedding")
+    val q = corpus.filter(col("vec_id") <= 3)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val viaWindow = SimSearch.bruteForceTopK(q, corpus, 7)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    val viaAgg = SimSearch.bruteForceTopKAgg(q, corpus, 7)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(viaAgg == viaWindow)
+    assert(viaAgg.size == 3 * 7)
+  }
+
   test("bucketed top-k returns same top hit when buckets align") {
     import spark.implicits._
     val q = Seq((100L, Array(1.0f, 2.0f, 3.0f, 4.0f))).toDF("query_id", "embedding")
