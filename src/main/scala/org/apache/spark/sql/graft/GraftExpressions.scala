@@ -13,7 +13,7 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.classic.ExpressionUtils
-import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, DoubleType, IntegerType, StringType}
+import org.apache.spark.sql.types.{AbstractDataType, ArrayType, BinaryType, DataType, DoubleType, IntegerType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 import graft.functions.{FuzzyImpl, VectorImpl}
@@ -186,14 +186,47 @@ object GraftFunctions {
       reg.createOrReplaceTempFunction(id.funcName, builder, "built-in")
     }
   }
+
+  /** Install the graft optimizer rules on an existing session. (The
+    * [[GraftExtensions]] path only works at context creation —
+    * `spark.sql.extensions` is a static conf — so harness-provided sessions
+    * use this runtime hook instead.)
+    */
+  def installOptimizations(spark: SparkSession): Unit =
+    if (!spark.experimental.extraOptimizations.contains(ReplaceMd5WithFast))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ ReplaceMd5WithFast
 }
 
-/** `spark.sql.extensions` hook: injects the native functions at session
-  * build, the zero-code-change path for spark-submit users.
+/** Optimizer rule: replace the builtin `md5` expression with [[FastMd5]]
+  * everywhere in the plan — byte-identical output, but without the builtin's
+  * per-row MessageDigest allocation. A deliberately small, strictly
+  * semantics-preserving example of `Rule[LogicalPlan]` injection; fires on
+  * StringType inputs only (the builtin also accepts binary).
+  */
+object ReplaceMd5WithFast
+    extends org.apache.spark.sql.catalyst.rules.Rule[
+      org.apache.spark.sql.catalyst.plans.logical.LogicalPlan] {
+  import org.apache.spark.sql.catalyst.expressions.Md5
+  import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.transformAllExpressions {
+      case Md5(child) if child.dataType == StringType => FastMd5(child)
+      case Md5(org.apache.spark.sql.catalyst.expressions.Cast(child, BinaryType, tz, mode))
+          if child.dataType == StringType => FastMd5(child)
+    }
+}
+
+/** `spark.sql.extensions` hook: injects the native functions and the
+  * optimizer rule at session build, the zero-code-change path for
+  * spark-submit users.
   */
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
-  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     GraftFunctions.all.foreach(ext.injectFunction)
+    ext.injectOptimizerRule(_ => ReplaceMd5WithFast)
+  }
 }
 
 /** The only legal Column<->Expression crossing point (private[sql] bridge). */

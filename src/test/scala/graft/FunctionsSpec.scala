@@ -115,20 +115,20 @@ class FunctionsSpec extends SparkSuite {
     assert(got == ((62, 11.0, true)))
   }
 
-  test("GraftExtensions injects functions at session build") {
-    val s2 = org.apache.spark.sql.SparkSession.builder()
-      .master("local[2]")
-      .config("spark.sql.extensions", "org.apache.spark.sql.graft.GraftExtensions")
-      .config("spark.ui.enabled", "false")
-      .appName("graft-ext-test")
-      .getOrCreate()
+  test("runtime installation: functions register, md5 rule rewrites plans") {
+    org.apache.spark.sql.graft.GraftFunctions.registerAll(spark)
+    assert(spark.sql("SELECT fuzz_ratio('abc', 'abc') AS f").head().getInt(0) == 100)
+    val before = spark.experimental.extraOptimizations
     try {
-      val r = s2.sql("SELECT fuzz_ratio('abc', 'abc') AS f").head().getInt(0)
-      assert(r == 100)
-    } finally {
-      // shared JVM: don't stop the context, just drop the extra session
-      org.apache.spark.sql.SparkSession.clearActiveSession()
-    }
+      org.apache.spark.sql.graft.GraftFunctions.installOptimizations(spark)
+      org.apache.spark.sql.graft.GraftFunctions.installOptimizations(spark) // idempotent
+      assert(spark.experimental.extraOptimizations
+        .count(_ == org.apache.spark.sql.graft.ReplaceMd5WithFast) == 1)
+      // non-literal input so constant folding can't collapse it first
+      val df = spark.sql("SELECT md5(CAST(id AS STRING)) AS h FROM range(1)")
+      assert(df.queryExecution.optimizedPlan.toString.contains("fast_md5"))
+      assert(df.head().getString(0) == "cfcd208495d565ef66e7dff9f98764da") // md5("0")
+    } finally spark.experimental.extraOptimizations = before
   }
 
   test("fastMd5 is byte-identical to the builtin md5") {
