@@ -96,6 +96,27 @@ object Queries {
       t(s, d, "events").filter(col("event_id") === 500)
     }, Some(s"SELECT $eventCols FROM events WHERE event_id = 500")),
 
+    // Multi-level aggregation: ROLLUP over (status, priority) — subtotals
+    // and grand total in one pass (Expand + hash aggregate).
+    ("q49_rollup", (s: SparkSession, d: String) => {
+      t(s, d, "orders")
+        .rollup("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("revenue"))
+    }, Some(s"""SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+      ${dsumSql("o_totalprice")} AS revenue
+      FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)""")),
+
+    // Interpolated percentiles — Spark's percentile() and DuckDB's
+    // quantile_cont share the linear-interpolation definition.
+    ("q50_percentiles", (s: SparkSession, d: String) => {
+      t(s, d, "orders").groupBy("o_orderstatus").agg(
+        round(expr("percentile(o_totalprice, 0.5)"), 4).as("p50"),
+        round(expr("percentile(o_totalprice, 0.95)"), 4).as("p95"))
+    }, Some("""SELECT o_orderstatus,
+      round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+      round(quantile_cont(o_totalprice, 0.95), 4) AS p95
+      FROM orders GROUP BY o_orderstatus""")),
+
     // ======================= the flagship pipeline ========================
 
     // SURVEY §7.2 minimum slice: hour-truncate, FK-validate, dedup — the
