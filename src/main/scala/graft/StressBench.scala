@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scaling-curve probe: replicate the sf0.1 inputs in-memory by factors
+  * 1/4/16 and measure the heavy operators' runtime growth. Replicated
+  * documents are salted per replica (a replica tag spliced between words) so
+  * near-dup detection faces an honestly-scaled corpus rather than a
+  * pathological everything-is-a-dup one. Results back SCALING.md's
+  * linear-growth claims with measurements.
+  *
+  * Usage: runMain graft.StressBench [sfDir]
+  */
+object StressBench {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def docsTimes(f: Int): DataFrame = {
+      val docs = Tables(spark, sfDir, "documents").select("doc_id", "text")
+      if (f == 1) docs
+      else docs.crossJoin(spark.range(f).select(col("id").as("rep")))
+        .select((col("doc_id") * f + col("rep")).as("doc_id"),
+          regexp_replace(col("text"), lit(" "),
+            concat(lit(" z"), col("rep").cast("string"), lit(" "))).as("text"))
+    }
+    def embTimes(f: Int): DataFrame = {
+      val emb = Tables(spark, sfDir, "embeddings").select("vec_id", "embedding")
+      if (f == 1) emb
+      else emb.crossJoin(spark.range(f).select(col("id").as("rep")))
+        .select((col("vec_id") * f + col("rep")).as("vec_id"), col("embedding"))
+    }
+    def lineitemTimes(f: Int): DataFrame = {
+      val l = Tables(spark, sfDir, "lineitem")
+      if (f == 1) l
+      else l.crossJoin(spark.range(f).select(col("id").as("rep"))).drop("rep")
+    }
+
+    def time(label: String, f: Int)(df: => DataFrame): Unit = {
+      df.write.format("noop").mode("overwrite").save() // warm (codegen)
+      spark.catalog.clearCache()
+      val t0 = System.nanoTime()
+      df.write.format("noop").mode("overwrite").save()
+      spark.catalog.clearCache()
+      println(f"""[stress] {"op":"$label","factor":$f,"sec":${(System.nanoTime() - t0) / 1e9}%.2f}""")
+    }
+
+    for (f <- Seq(1, 4, 16)) {
+      time("minhash_pairs", f)(
+        graft.llm.Dedup.minhashPairs(docsTimes(f), "text", "doc_id", 3, 16, 4, 0.5))
+      time("winnow", f)(
+        graft.llm.TextStats.winnowFingerprints(docsTimes(f), "doc_id", "text", 8, 16))
+      time("topk_agg", f)({
+        val e = embTimes(f)
+        graft.llm.SimSearch.bruteForceTopKAgg(
+          e.filter(col("vec_id") < 8).select(col("vec_id").as("query_id"), col("embedding")),
+          e, 5)
+      })
+      time("pricing_agg", f)(
+        lineitemTimes(f)
+          .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+          .groupBy("l_returnflag", "l_linestatus")
+          .agg(sum(col("l_quantity").cast("decimal(18,6)")).cast("double").as("sum_qty"),
+            count(lit(1)).as("n")))
+    }
+    spark.stop()
+  }
+}
