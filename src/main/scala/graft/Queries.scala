@@ -439,6 +439,23 @@ object Queries {
           OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS session_id
       FROM s""")),
 
+    // Sliding event-time windows (1h length, 15m slide): each event lands in
+    // 4 overlapping windows. The oracle expands each event into its covering
+    // window starts — same expansion Spark's window() generator performs.
+    ("q51_sliding_window", (s: SparkSession, d: String) => {
+      t(s, d, "events")
+        .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("window.start").as("w_start"), col("event_type"), col("n"))
+    }, Some(s"""WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS ts, event_type FROM events),
+      x AS (SELECT event_type,
+        unnest(list_transform(range(0, 4), i ->
+          make_timestamp(((epoch_us(ts) // 1000000 // 900 - i) * 900) * 1000000))) AS w_start,
+        ts FROM e)
+      SELECT w_start, event_type, count(*) AS n
+      FROM x WHERE ts >= w_start AND ts < w_start + INTERVAL 1 HOUR
+      GROUP BY 1, 2""")),
+
     ("q37_stream_hourly", (s: SparkSession, d: String) => {
       t(s, d, "events")
         .groupBy(window(col("ts"), "1 hour"), col("event_type"))

@@ -62,6 +62,35 @@ object Streams {
       }
   }
 
+  /** Session summaries via flatMapGroupsWithState with an event-count flush:
+    * per user, accumulate (n, sum); once `flushEvery` events arrive, emit a
+    * summary row and reset — the emit-zero-or-more shape (and explicit state
+    * reset) that mapGroupsWithState can't express. Timeout handling follows
+    * the same pattern with GroupStateTimeout in production; the flush
+    * trigger keeps the test deterministic.
+    */
+  def sessionSummaries(events: Dataset[EventRow], flushEvery: Int): Dataset[UserStats] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[UserStats, UserStats](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[EventRow], state: GroupState[UserStats]) =>
+          var cur = state.getOption.getOrElse(UserStats(uid, 0L, 0.0, new java.sql.Timestamp(0)))
+          val out = scala.collection.mutable.ArrayBuffer.empty[UserStats]
+          rows.foreach { e =>
+            cur = UserStats(uid, cur.n_events + 1, cur.sum_value + e.value,
+              if (e.ts.after(cur.last_ts)) e.ts else cur.last_ts)
+            if (cur.n_events >= flushEvery) {
+              out += cur
+              cur = UserStats(uid, 0L, 0.0, new java.sql.Timestamp(0))
+            }
+          }
+          state.update(cur)
+          out.iterator
+      }
+  }
+
   /** Convenience: run a streaming DataFrame to completion into an in-memory
     * table (tests / AvailableNow batch-over-stream runs).
     */

@@ -48,6 +48,28 @@ class StreamingSpec extends SparkSuite {
     assert(got == Seq(1L, 2L))
   }
 
+  test("flatMapGroupsWithState emits a summary per flush and resets state") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val src = MemoryStream[EventRow]
+    val q = Streams.sessionSummaries(src.toDS(), flushEvery = 2)
+      .writeStream.format("memory").queryName("flush")
+      .outputMode(OutputMode.Append()).start()
+    src.addData(row(1, 7, "2024-01-01 10:00:00", "click", 1.0))
+    q.processAllAvailable() // only 1 event -> nothing emitted yet
+    assert(spark.table("flush").count() == 0)
+    src.addData(
+      row(2, 7, "2024-01-01 10:05:00", "view", 2.0),   // 2nd -> flush (3.0)
+      row(3, 7, "2024-01-01 10:06:00", "view", 10.0))  // starts a new window
+    q.processAllAvailable()
+    src.addData(row(4, 7, "2024-01-01 10:07:00", "click", 20.0)) // 2nd -> flush (30.0)
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("flush").select($"n_events", $"sum_value")
+      .as[(Long, Double)].collect().toSet
+    assert(got == Set((2L, 3.0), (2L, 30.0)))
+  }
+
   test("mapGroupsWithState keeps running per-user stats across micro-batches") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
