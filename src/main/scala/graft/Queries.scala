@@ -106,6 +106,23 @@ object Queries {
       ${dsumSql("o_totalprice")} AS revenue
       FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)""")),
 
+    // CUBE: all grouping-set combinations in one Expand pass.
+    ("q52_cube", (s: SparkSession, d: String) => {
+      t(s, d, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("n"))
+    }, Some("""SELECT o_orderstatus, o_orderpriority, count(*) AS n
+      FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""")),
+
+    // MapType surface: parse props as a JSON map and explode to
+    // (event_id, key, value) rows.
+    ("q53_props_map", (s: SparkSession, d: String) => {
+      t(s, d, "events").select(col("event_id"),
+          explode(from_json(col("props"),
+            MapType(StringType, LongType))).as(Seq("key", "value")))
+    }, Some("""WITH k AS (SELECT event_id, props, unnest(json_keys(props)) AS key FROM events)
+      SELECT event_id, key, CAST(json_extract_string(props, key) AS BIGINT) AS value FROM k""")),
+
     // Interpolated percentiles — Spark's percentile() and DuckDB's
     // quantile_cont share the linear-interpolation definition.
     ("q50_percentiles", (s: SparkSession, d: String) => {
