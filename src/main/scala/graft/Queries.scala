@@ -783,12 +783,13 @@ object Queries {
 
     // P10/P12: string-equality predicate + deterministic row enumeration
     // (the reference's enumerate-the-failed-batch, pinned by a total order so
-    // the oracle can replay it).
+    // the oracle can replay it). Scalable zipWithIndex form — a global
+    // row_number window would single-reducer the whole table.
     ("q38_enumerate", (s: SparkSession, d: String) => {
-      val w = Window.orderBy(col("event_id"))
-      t(s, d, "events").filter(col("event_type") === "purchase")
-        .select(col("event_id"), col("user_id"), col("value"))
-        .withColumn("idx", row_number().over(w).cast("long") - 1)
+      graft.ops.Enumerate.withIndex(
+        t(s, d, "events").filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), col("value")),
+        Seq(col("event_id")))
     }, Some("""SELECT event_id, user_id, value,
       row_number() OVER (ORDER BY event_id) - 1 AS idx
       FROM events WHERE event_type = 'purchase'""")),

@@ -140,6 +140,14 @@ class OpsSpec extends SparkSuite {
     assert(got.toSeq == Seq(21.03, 105.85))
   }
 
+  test("enumerate assigns dense 0-based indexes in sort order, no global window") {
+    import spark.implicits._
+    val df = Seq((30L, "c"), (10L, "a"), (20L, "b")).toDF("k", "v").repartition(3)
+    val got = graft.ops.Enumerate.withIndex(df, Seq(col("k")))
+      .select("k", "idx").as[(Long, Long)].collect().toSet
+    assert(got == Set((10L, 0L), (20L, 1L), (30L, 2L)))
+  }
+
   test("salted join equals the plain join on a skewed key distribution") {
     import spark.implicits._
     // hot key 1 carries 90% of the facts
