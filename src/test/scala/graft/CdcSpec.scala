@@ -83,6 +83,30 @@ class CdcSpec extends SparkSuite {
     assert(got == Set(("a", 5L)))
   }
 
+  test("FIXTURES.md golden sequence: insert, replay, update, upsert-leg, delete, unknown") {
+    import spark.implicits._
+    def apply1(target: org.apache.spark.sql.DataFrame,
+               e: (String, String, String, java.sql.Timestamp)) =
+      Dispatch.applyBatch(target, envelopes(Seq(e)), docSchema, identity, "id", "id", "v")
+    var tgt: org.apache.spark.sql.DataFrame = emptyTarget
+    tgt = apply1(tgt, env("insert", "A", """{"id":"A","v":1}""", "2024-01-01 00:00:00"))
+    assert(tgt.as[(String, Long)].collect().toSet == Set(("A", 1L)))
+    // replayed insert -> dedup no-op
+    tgt = apply1(tgt, env("insert", "A", """{"id":"A","v":1}""", "2024-01-01 00:00:00"))
+    assert(tgt.as[(String, Long)].collect().toSet == Set(("A", 1L)))
+    tgt = apply1(tgt, env("update", "A", """{"id":"A","v":2}""", "2024-01-01 00:00:01"))
+    assert(tgt.as[(String, Long)].collect().toSet == Set(("A", 2L)))
+    // update of a missing key -> upsert insert leg (reference bug §2.10.1 fixed)
+    tgt = apply1(tgt, env("update", "B", """{"id":"B","v":9}""", "2024-01-01 00:00:02"))
+    assert(tgt.as[(String, Long)].collect().toSet == Set(("A", 2L), ("B", 9L)))
+    // delete -> tombstone drop, target untouched
+    tgt = apply1(tgt, env("delete", "A", null, "2024-01-01 00:00:03"))
+    assert(tgt.as[(String, Long)].collect().toSet == Set(("A", 2L), ("B", 9L)))
+    // unknown op -> raise at execution
+    val bad = apply1(tgt, env("replace", "A", """{"id":"A","v":7}""", "2024-01-01 00:00:04"))
+    intercept[Throwable](bad.collect())
+  }
+
   test("ST6 dead-letter variant processes known ops and banks the unknown") {
     import spark.implicits._
     val dlq = Files.createTempDirectory("cdc-dlq").toString
