@@ -560,7 +560,8 @@ object Queries {
         list_transform(toks, t ->
           list_reduce(
             list_concat([14695981039346656037::HUGEINT],
-              list_transform(range(1, length(t) + 1), i -> ascii(substr(t, CAST(i AS INTEGER), 1))::HUGEINT)),
+              list_transform(range(1, octet_length(encode(t)) + 1),
+                i -> (('0x' || substr(hex(encode(t)), 2 * CAST(i AS INTEGER) - 1, 2))::BIGINT)::HUGEINT)),
             (a, b) -> (xor(a, b) * 1099511628211::HUGEINT) % 18446744073709551616::HUGEINT)) AS hs
         FROM tok),
       shh AS (SELECT doc_id,

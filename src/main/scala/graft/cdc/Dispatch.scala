@@ -59,10 +59,17 @@ object Dispatch {
                  promote: DataFrame => DataFrame, rawKey: String,
                  mergeKey: String, tieCol: String): DataFrame = {
     // single pass over the envelopes: validate (lazy fail-fast), drop deletes
-    // (ST5), parse — a per-op filter+union would evaluate the source per leg
+    // (ST5), parse — a per-op filter+union would evaluate the source per leg.
+    // A null/corrupt fullDocument on an upsert parses to a null doc (or null
+    // key); left unchecked it would merge ONE all-null-key row and silently
+    // swallow every malformed event — fail fast instead, like the reference.
     val upserts = checked(envelopes)
       .filter(col("operationType").isin("insert", "update"))
       .withColumn("doc", from_json(col("fullDocument"), docSchema))
+      .withColumn("doc",
+        when(col("doc").isNotNull && col("doc").getField(rawKey).isNotNull, col("doc"))
+          .otherwise(raise_error(concat(lit("malformed fullDocument: "),
+            coalesce(col("fullDocument"), lit("null"))))))
       .select(col("clusterTime").as("__ct"), col("doc.*"))
     // last-wins inside the batch by stream time, then merge over the target
     val deduped = Upsert.lastWins(upserts, rawKey, "__ct", tieCol).drop("__ct")
@@ -80,10 +87,13 @@ object Dispatch {
                              rawKey: String, mergeKey: String, tieCol: String,
                              deadLetterPath: String,
                              runTs: java.sql.Timestamp): DataFrame = {
-    val unknown = envelopes.filter(!col("operationType").isin(knownOps: _*))
-    graft.sources.Sinks.deadLetter(unknown, deadLetterPath, runTs)
-    val known = envelopes.filter(col("operationType").isin(knownOps: _*))
-    applyBatch(target, known, docSchema, promote, rawKey, mergeKey, tieCol)
+    // NULL-safe split: a bare isin() is NULL for a null operationType, which
+    // three-valued logic would drop from BOTH legs — silent loss in the exact
+    // path whose job is banking malformed envelopes
+    val isKnown = col("operationType").isNotNull &&
+      col("operationType").isin(knownOps: _*)
+    graft.sources.Sinks.deadLetter(envelopes.filter(!isKnown), deadLetterPath, runTs)
+    applyBatch(target, envelopes.filter(isKnown), docSchema, promote, rawKey, mergeKey, tieCol)
   }
 
   /** ST1: a file-replayed CDC-envelope stream — the offline stand-in for
@@ -107,22 +117,30 @@ object Dispatch {
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, _: Long) =>
+        // Hadoop FS throughout (a java.io.File check is always false on
+        // hdfs:// or s3a:// paths, which would silently treat the target as
+        // empty every batch and lose all accumulated state).
+        val tgt = new org.apache.hadoop.fs.Path(targetPath)
+        val fs = tgt.getFileSystem(spark.sparkContext.hadoopConfiguration)
         val target =
-          if (new java.io.File(targetPath).exists())
+          if (fs.exists(tgt))
             spark.read.schema(promoteSchema(spark, docSchema, promote)).parquet(targetPath)
           else
             spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
               promoteSchema(spark, docSchema, promote))
         val merged = applyBatch(target, batch, docSchema, promote, rawKey, mergeKey, tieCol)
         // Can't overwrite the path we're reading: distributed write to a tmp
-        // dir, then directory swap. No driver-side collect on the data path.
-        val tmp = targetPath + ".tmp"
-        merged.write.mode("overwrite").parquet(tmp)
-        val fs = org.apache.hadoop.fs.FileSystem.get(
-          spark.sparkContext.hadoopConfiguration)
-        val tgt = new org.apache.hadoop.fs.Path(targetPath)
-        fs.delete(tgt, true)
-        fs.rename(new org.apache.hadoop.fs.Path(tmp), tgt)
+        // dir, then swap via backup-rename so a crash mid-swap never leaves
+        // ONLY-empty state: target is recoverable from .bak at every step.
+        // (True atomic swap needs a transactional table format — the
+        // documented production endgame, SURVEY.md §7.4.2.)
+        val tmp = new org.apache.hadoop.fs.Path(targetPath + ".tmp")
+        val bak = new org.apache.hadoop.fs.Path(targetPath + ".bak")
+        merged.write.mode("overwrite").parquet(tmp.toString)
+        fs.delete(bak, true)
+        if (fs.exists(tgt)) fs.rename(tgt, bak)
+        fs.rename(tmp, tgt)
+        fs.delete(bak, true)
         ()
       }
       .start()

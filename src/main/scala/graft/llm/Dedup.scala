@@ -80,7 +80,10 @@ object Dedup {
     *     is map-side, and the only exchanges are hash-partitioned on doc id
     *     and band key. No crossJoin at any scale.
     *   - the shingle-set relation is persisted: the LSH self-join's two
-    *     branches and the verify step scan one materialization.
+    *     branches and the verify step scan one materialization. The caches
+    *     live until the session clears them — long-running callers invoking
+    *     this repeatedly should `spark.catalog.clearCache()` (or unpersist)
+    *     after consuming the result, as Bench does between queries.
     */
   def minhashPairs(df: DataFrame, textCol: String, idCol: String,
                    shingleN: Int = 3, k: Int = 16, bands: Int = 4,

@@ -70,6 +70,8 @@ object Multimodal {
     * parallelizes over the exploded rows.
     */
   def sampleFrames(df: DataFrame, everyNth: Int, totalFramesCol: String): DataFrame =
-    df.withColumn("frame_idx",
-      explode(sequence(lit(0), greatest(col(totalFramesCol) - 1, lit(0)), lit(everyNth))))
+    df.withColumn("frame_idx", explode(
+      when(col(totalFramesCol) > 0,
+        sequence(lit(0), col(totalFramesCol) - 1, lit(everyNth)))
+        .otherwise(array()))) // zero-frame media contributes no rows
 }

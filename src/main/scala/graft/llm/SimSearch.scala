@@ -29,9 +29,12 @@ object SimSearch {
                      queryId: String = "query_id", vecId: String = "vec_id"): DataFrame = {
     val q = queries.select(col(queryId), col("embedding").as("q_emb"))
     val c = corpus.select(col(vecId), col("embedding").as("c_emb"))
+    // zero-norm vectors score NaN, which Spark sorts ABOVE every real
+    // cosine in a desc ordering — drop them: they are unrankable, not best
     val scored = c.crossJoin(broadcast(q))
       .withColumn("cosine",
         round(VectorFunctions.cosineSim(col("q_emb"), col("c_emb")), 6))
+      .filter(!isnan(col("cosine")))
     val w = Window.partitionBy(col(queryId))
       .orderBy(col("cosine").desc, col(vecId))
     scored.withColumn("rank", row_number().over(w))
@@ -75,6 +78,7 @@ object SimSearch {
       queryId, "q_emb", nprobe).withColumnRenamed("cent_id", "cell")
     val scored = corpusCells.join(broadcast(queryCells), Seq("cell"))
       .withColumn("cosine", round(VectorFunctions.cosineSim(col("q_emb"), col("c_emb")), 6))
+      .filter(!isnan(col("cosine"))) // zero-norm vectors are unrankable
     val w = Window.partitionBy(col(queryId))
       .orderBy(col("cosine").desc, col(vecId))
     scored.withColumn("rank", row_number().over(w))
@@ -95,6 +99,7 @@ object SimSearch {
     val c = corpus.select(col(vecId), col("embedding").as("c_emb"))
     val scored = c.crossJoin(broadcast(q))
       .withColumn("cosine", round(VectorFunctions.cosineSim(col("q_emb"), col("c_emb")), 6))
+      .filter(!isnan(col("cosine"))) // zero-norm vectors are unrankable
     scored.groupBy(col(queryId))
       .agg(org.apache.spark.sql.graft.TopKColumns
         .topKByScore(col("cosine"), col(vecId), k).as("top"))
@@ -144,6 +149,7 @@ object SimSearch {
     val scored = c.join(broadcast(q), Seq("bucket"))
       .withColumn("cosine",
         round(VectorFunctions.cosineSim(col("q_emb"), col("c_emb")), 6))
+      .filter(!isnan(col("cosine"))) // zero-norm vectors are unrankable
     val w = Window.partitionBy(col(queryId))
       .orderBy(col("cosine").desc, col(vecId))
     scored.withColumn("rank", row_number().over(w))

@@ -18,13 +18,14 @@ import org.apache.spark.sql.functions._
   */
 object FuzzyJoin {
 
-  /** Best right-row per left key by `score` (desc), ties broken by `tieCols`
-    * so the winner is deterministic (SURVEY.md §2.10.4: the reference's
-    * first-wins/short-circuit order is scan-dependent; we pin it).
+  /** Shared post-join leg: score, pin the winner per left key, surface the
+    * score as a `score` column (inputs must not already carry one).
     */
-  def top1(left: DataFrame, right: DataFrame, leftKey: String,
-           score: Column, tieCols: Seq[Column]): DataFrame = {
-    val scored = left.crossJoin(broadcast(right)).withColumn("__score", score)
+  private def keepBest(joined: DataFrame, leftKey: String,
+                       score: Column, tieCols: Seq[Column]): DataFrame = {
+    require(!joined.columns.contains("score"),
+      "fuzzy join inputs must not already have a 'score' column")
+    val scored = joined.withColumn("__score", score)
     val w = Window.partitionBy(col(leftKey))
       .orderBy(col("__score").desc +: tieCols: _*)
     scored.withColumn("__rn", row_number().over(w))
@@ -33,6 +34,14 @@ object FuzzyJoin {
       .withColumnRenamed("__score", "score")
   }
 
+  /** Best right-row per left key by `score` (desc), ties broken by `tieCols`
+    * so the winner is deterministic (SURVEY.md §2.10.4: the reference's
+    * first-wins/short-circuit order is scan-dependent; we pin it).
+    */
+  def top1(left: DataFrame, right: DataFrame, leftKey: String,
+           score: Column, tieCols: Seq[Column]): DataFrame =
+    keepBest(left.crossJoin(broadcast(right)), leftKey, score, tieCols)
+
   /** Blocked variant: candidates restricted to equal `blockKey` values —
     * turns the crossJoin into an equi-join shuffle, the shape that survives
     * an unbounded candidate side at 100 TB. Rows whose block has no candidate
@@ -40,13 +49,6 @@ object FuzzyJoin {
     * failed_places" leg.
     */
   def top1Blocked(left: DataFrame, right: DataFrame, leftKey: String,
-                  blockKey: String, score: Column, tieCols: Seq[Column]): DataFrame = {
-    val scored = left.join(right, Seq(blockKey)).withColumn("__score", score)
-    val w = Window.partitionBy(col(leftKey))
-      .orderBy(col("__score").desc +: tieCols: _*)
-    scored.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-      .drop("__rn")
-      .withColumnRenamed("__score", "score")
-  }
+                  blockKey: String, score: Column, tieCols: Seq[Column]): DataFrame =
+    keepBest(left.join(right, Seq(blockKey)), leftKey, score, tieCols)
 }

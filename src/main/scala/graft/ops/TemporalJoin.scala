@@ -30,6 +30,10 @@ object TemporalJoin {
            leftTs: String, rightTs: String): DataFrame = {
     val lCols = left.columns.toSeq
     val rPayload = right.columns.filter(_ != key).toSeq
+    val clash = rPayload.toSet.intersect(lCols.toSet)
+    require(clash.isEmpty,
+      s"asOf would emit duplicate column names ${clash.mkString(", ")} — " +
+        "rename the right side's payload columns first")
     val leftPart = left.select(col(key), col(leftTs).as("__ts"),
       lit(1).as("__side"), struct(lCols.map(col): _*).as("__l"))
     val rightPart = right.select(col(key), col(rightTs).as("__ts"),

@@ -22,14 +22,15 @@ object Sinks {
   def appendPartitioned(df: DataFrame, path: String, partCol: String): Unit =
     df.write.mode("append").partitionBy(partCol).parquet(path)
 
-  /** S13: dead-letter sink — failed rows as JSON, enumerated (P12) and
-    * stamped the way the reference names its S3 objects
-    * (reference: src/ingest_weather_data.py:35-45).
+  /** S13: dead-letter sink — failed rows as JSON, index-tagged and stamped
+    * the way the reference names its S3 objects
+    * (reference: src/ingest_weather_data.py:35-45). The stamp is formatted
+    * driver-side (UTC, matching the session TZ) — launching a Spark job to
+    * render a constant string would tax every micro-batch.
     */
   def deadLetter(failed: DataFrame, path: String, runTs: java.sql.Timestamp): Unit = {
-    val stamp = failed.sparkSession.range(1).select(
-      graft.ops.Flatten.fileSafe(date_format(lit(runTs), "yyyy-MM-dd HH:mm:ss"))
-    ).head().getString(0)
+    val stamp = java.time.format.DateTimeFormatter.ofPattern("yyyyMMddHHmmss")
+      .withZone(java.time.ZoneOffset.UTC).format(runTs.toInstant)
     failed
       .withColumn("failed_index", monotonically_increasing_id())
       .write.mode("append").json(s"$path/failed_$stamp")

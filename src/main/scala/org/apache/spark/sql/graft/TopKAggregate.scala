@@ -55,6 +55,9 @@ case class TopKByScore(score: Expression, id: Expression, kExpr: Expression,
 
   private def offer(buf: mutable.PriorityQueue[(Double, Long)],
                     s: Double, i: Long): Unit = {
+    // NaN compares false against everything: it could neither be evicted nor
+    // ranked consistently with the window form — treat it as unrankable
+    if (s.isNaN) return
     if (buf.size < k) buf.enqueue((s, i))
     else {
       val (ws, wi) = buf.head

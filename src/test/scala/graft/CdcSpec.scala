@@ -122,6 +122,29 @@ class CdcSpec extends SparkSuite {
     assert(banked.select("operationType").head().getString(0) == "replace")
   }
 
+  test("null operationType routes to the dead-letter leg, not the void") {
+    import spark.implicits._
+    val dlq = Files.createTempDirectory("cdc-dlq-null").toString
+    val batch = envelopes(Seq(
+      env("insert", "a", """{"id":"a","v":1}""", "2024-01-01 00:00:00"),
+      env(null, "z", """{"id":"z","v":9}""", "2024-01-01 00:00:01")))
+    val got = Dispatch.applyBatchOrDeadLetter(emptyTarget, batch, docSchema,
+      identity, "id", "id", "v", dlq, java.sql.Timestamp.valueOf("2024-03-01 08:00:00"))
+      .as[(String, Long)].collect().toSet
+    assert(got == Set(("a", 1L)))
+    assert(spark.read.json(s"$dlq/failed_20240301080000").count() == 1)
+  }
+
+  test("malformed fullDocument fails fast instead of merging a null-key row") {
+    val batch = envelopes(Seq(
+      env("insert", "a", """not json at all""", "2024-01-01 00:00:00")))
+    val out = Dispatch.applyBatch(emptyTarget, batch, docSchema, identity, "id", "id", "v")
+    val e = intercept[Throwable](out.collect())
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("malformed fullDocument")))
+  }
+
   test("ST1-ST7 end-to-end: file-replayed stream -> foreachBatch -> parquet target") {
     import spark.implicits._
     val dir = Files.createTempDirectory("cdc-env").toFile

@@ -224,11 +224,25 @@ class LlmSpec extends SparkSuite {
     assert(decoded(2L).channels == 3)
   }
 
-  test("sampleFrames explodes every nth frame index") {
+  test("sampleFrames explodes every nth frame index; zero-frame media emits none") {
     import spark.implicits._
-    val df = Seq((1L, 10L)).toDF("doc_id", "n_frames")
+    val df = Seq((1L, 10L), (2L, 0L)).toDF("doc_id", "n_frames")
     val got = Multimodal.sampleFrames(df, 3, "n_frames")
-      .select("frame_idx").as[Long].collect().toSeq
-    assert(got == Seq(0L, 3L, 6L, 9L))
+      .select("doc_id", "frame_idx").as[(Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 0L), (1L, 3L), (1L, 6L), (1L, 9L)))
+  }
+
+  test("zero-norm embeddings are unrankable in both top-k implementations") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(0.0f, 0.0f)), (3L, Array(0.5f, 0.5f)))
+      .toDF("vec_id", "embedding")
+    val q = Seq((9L, Array(1.0f, 0.1f))).toDF("query_id", "embedding")
+    val viaWindow = SimSearch.bruteForceTopK(q, corpus, 3)
+      .select("vec_id").as[Long].collect().toSet
+    val viaAgg = SimSearch.bruteForceTopKAgg(q, corpus, 3)
+      .select("vec_id").as[Long].collect().toSet
+    assert(viaWindow == Set(1L, 3L)) // the zero vector never ranks (or wins)
+    assert(viaAgg == viaWindow)
   }
 }
