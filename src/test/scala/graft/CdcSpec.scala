@@ -145,6 +145,33 @@ class CdcSpec extends SparkSuite {
     assert(messages(e).exists(_.contains("malformed fullDocument")))
   }
 
+  test("restarted stream resumes from checkpoint and ACCUMULATES the target") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("cdc-env2").toFile
+    val tgt = Files.createTempDirectory("cdc-tgt2").toFile.getAbsolutePath + "/target"
+    val ckpt = Files.createTempDirectory("cdc-ckpt2").toFile.getAbsolutePath
+    Files.write(new java.io.File(dir, "b1.json").toPath,
+      """{"operationType":"insert","documentKey":"a","fullDocument":"{\"id\":\"a\",\"v\":1}","clusterTime":"2024-01-01T00:00:00.000Z"}"""
+        .getBytes("UTF-8"))
+    val q1 = Dispatch.run(spark, dir.getAbsolutePath, tgt, ckpt, docSchema,
+      identity, "id", "id", "v")
+    q1.awaitTermination(60000)
+    // second run, same checkpoint: must read the EXISTING target back (the
+    // regression fixed here: a wrong-FS existence check read it as empty and
+    // replaced all accumulated state with just the new batch)
+    Files.write(new java.io.File(dir, "b2.json").toPath,
+      """{"operationType":"insert","documentKey":"b","fullDocument":"{\"id\":\"b\",\"v\":2}","clusterTime":"2024-01-02T00:00:00.000Z"}"""
+        .getBytes("UTF-8"))
+    val q2 = Dispatch.run(spark, dir.getAbsolutePath, tgt, ckpt, docSchema,
+      identity, "id", "id", "v")
+    q2.awaitTermination(60000)
+    val got = spark.read.parquet(tgt).as[(String, Long)].collect().toSet
+    assert(got == Set(("a", 1L), ("b", 2L)))
+    // no leftover swap debris
+    assert(!new java.io.File(tgt + ".tmp").exists())
+    assert(!new java.io.File(tgt + ".bak").exists())
+  }
+
   test("ST1-ST7 end-to-end: file-replayed stream -> foreachBatch -> parquet target") {
     import spark.implicits._
     val dir = Files.createTempDirectory("cdc-env").toFile
