@@ -450,10 +450,11 @@ object Queries {
         lag(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id) AS prev
         FROM events)
       SELECT event_id, user_id, ts,
-        sum(CASE WHEN prev IS NULL
+        CAST(sum(CASE WHEN prev IS NULL
                  OR epoch_us(ts) // 1000000 - epoch_us(prev) // 1000000 > 3600
                  THEN 1 ELSE 0 END)
-          OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS session_id
+          OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)
+          AS BIGINT) AS session_id
       FROM s""")),
 
     // Sliding event-time windows (1h length, 15m slide): each event lands in

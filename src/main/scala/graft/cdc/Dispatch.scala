@@ -122,6 +122,13 @@ object Dispatch {
         // empty every batch and lose all accumulated state).
         val tgt = new org.apache.hadoop.fs.Path(targetPath)
         val fs = tgt.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val bak = new org.apache.hadoop.fs.Path(targetPath + ".bak")
+        // Crash recovery FIRST: a death between rename(tgt→bak) and
+        // rename(tmp→tgt) leaves the target missing and .bak holding the only
+        // copy of accumulated state — restore it before reading, or the
+        // replayed batch would rebuild from empty and the later delete(bak)
+        // would destroy everything (ADVICE r02).
+        if (!fs.exists(tgt) && fs.exists(bak)) fs.rename(bak, tgt)
         val target =
           if (fs.exists(tgt))
             spark.read.schema(promoteSchema(spark, docSchema, promote)).parquet(targetPath)
@@ -130,17 +137,70 @@ object Dispatch {
               promoteSchema(spark, docSchema, promote))
         val merged = applyBatch(target, batch, docSchema, promote, rawKey, mergeKey, tieCol)
         // Can't overwrite the path we're reading: distributed write to a tmp
-        // dir, then swap via backup-rename so a crash mid-swap never leaves
-        // ONLY-empty state: target is recoverable from .bak at every step.
-        // (True atomic swap needs a transactional table format — the
+        // dir, then swap via backup-rename. .bak is deleted ONLY after the new
+        // target is in place, so accumulated state survives a crash at any
+        // step. (True atomic swap needs a transactional table format — the
         // documented production endgame, SURVEY.md §7.4.2.)
         val tmp = new org.apache.hadoop.fs.Path(targetPath + ".tmp")
-        val bak = new org.apache.hadoop.fs.Path(targetPath + ".bak")
         merged.write.mode("overwrite").parquet(tmp.toString)
-        fs.delete(bak, true)
-        if (fs.exists(tgt)) fs.rename(tgt, bak)
+        if (fs.exists(tgt)) { fs.delete(bak, true); fs.rename(tgt, bak) }
         fs.rename(tmp, tgt)
         fs.delete(bak, true)
+        ()
+      }
+      .start()
+  }
+
+  /** The 100 TB form of [[run]]: the target is PARTITIONED on `partCol` and
+    * each micro-batch rewrites only the partitions its keys touch
+    * ([[Upsert.mergePartitionPruned]] + dynamic partition overwrite) — per-
+    * batch I/O is O(touched partitions), not O(target). [[run]]'s swap-rewrite
+    * of the whole target was the one remaining scale-killer (VERDICT r02).
+    *
+    * Spark refuses to overwrite a path it is reading ("Cannot overwrite a
+    * path that is also being read from"), so the merged touched partitions
+    * stage through `targetPath + ".stage"` and are re-read before the dynamic
+    * overwrite — still O(touched) I/O, twice. Crash mid-overwrite replays the
+    * batch from the checkpoint; the merge is last-wins idempotent, so a
+    * partially-replaced target re-converges.
+    */
+  def runPartitioned(spark: SparkSession, envelopeDir: String, targetPath: String,
+                     checkpoint: String, docSchema: StructType,
+                     promote: DataFrame => DataFrame, rawKey: String,
+                     mergeKey: String, tieCol: String, partCol: String,
+                     trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    fileCdcSource(spark, envelopeDir).writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val tgt = new org.apache.hadoop.fs.Path(targetPath)
+        val fs = tgt.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val schema = promoteSchema(spark, docSchema, promote)
+        // One pass over the envelopes: validate, drop deletes, parse, dedup
+        // last-wins inside the batch, promote — same leg as applyBatch.
+        val upserts = checked(batch)
+          .filter(col("operationType").isin("insert", "update"))
+          .withColumn("doc", from_json(col("fullDocument"), docSchema))
+          .withColumn("doc",
+            when(col("doc").isNotNull && col("doc").getField(rawKey).isNotNull, col("doc"))
+              .otherwise(raise_error(concat(lit("malformed fullDocument: "),
+                coalesce(col("fullDocument"), lit("null"))))))
+          .select(col("clusterTime").as("__ct"), col("doc.*"))
+        val deduped = promote(
+          Upsert.lastWins(upserts, rawKey, "__ct", tieCol).drop("__ct"))
+        if (!fs.exists(tgt)) {
+          deduped.write.partitionBy(partCol).mode("overwrite").parquet(targetPath)
+        } else {
+          val target = spark.read.schema(schema).parquet(targetPath)
+          val merged = Upsert.mergePartitionPruned(target, deduped, mergeKey, partCol)
+          val stage = targetPath + ".stage"
+          merged.write.partitionBy(partCol).mode("overwrite").parquet(stage)
+          spark.read.schema(schema).parquet(stage)
+            .write.partitionBy(partCol).mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .parquet(targetPath)
+          fs.delete(new org.apache.hadoop.fs.Path(stage), true)
+        }
         ()
       }
       .start()

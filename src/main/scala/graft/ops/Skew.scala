@@ -21,6 +21,12 @@ object Skew {
     */
   def saltedJoin(facts: DataFrame, dim: DataFrame, key: String,
                  saltFactor: Int, joinType: String = "inner"): DataFrame = {
+    // right/full outer would emit every unmatched dim row saltFactor times
+    // (the dim side is replicated); only fact-preserving types are sound.
+    require(Set("inner", "left", "left_outer", "leftouter", "left_semi",
+      "leftsemi", "left_anti", "leftanti").contains(joinType.toLowerCase),
+      s"saltedJoin: joinType '$joinType' would duplicate unmatched dim rows " +
+        "(dim side is salt-replicated); use inner/left/left_semi/left_anti")
     val saltedFacts = facts.withColumn("__salt",
       pmod(xxhash64(struct(facts.columns.map(col): _*)), lit(saltFactor)).cast("int"))
     val saltedDim = dim.withColumn("__salt",
