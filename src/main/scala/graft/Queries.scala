@@ -823,7 +823,128 @@ object Queries {
       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
       CAST(octet_length(encode(text)) % 640 + 1 AS INTEGER) AS width,
       CAST((octet_length(encode(text)) * 7) % 480 + 1 AS INTEGER) AS height,
-      CAST(3 AS INTEGER) AS channels FROM documents"""))
+      CAST(3 AS INTEGER) AS channels FROM documents""")),
+
+    // Full-recall swept SimHash: blocks=7 windows guarantee (pigeonhole) that
+    // every pair with hamming <= 6 collides in some window — so the oracle is
+    // BRUTE-FORCE all-pairs hamming, a true differential check of the
+    // bucketed path (the single-prefix q26 can only be checked against its
+    // own bucketing).
+    ("q54_simhash_swept", (s: SparkSession, d: String) => {
+      val docs = t(s, d, "documents").select("doc_id", "text")
+      val planted = docs.select((col("doc_id") + 10000).as("doc_id"),
+        concat(col("text"), lit(" extra token")).as("text"))
+      Dedup.simhashPairsSwept(docs.unionByName(planted), "text", "doc_id",
+        blocks = 7, maxHamming = 6)
+    }, Some("""WITH corpus AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL SELECT doc_id + 10000 AS doc_id, text || ' extra token' AS text FROM documents),
+      tok AS (SELECT doc_id,
+        list_filter(string_split_regex(trim(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')), ' '), x -> x <> '') AS toks
+        FROM corpus),
+      th AS (SELECT doc_id,
+        list_transform(toks, t ->
+          list_reduce(
+            list_concat([14695981039346656037::HUGEINT],
+              list_transform(range(1, octet_length(encode(t)) + 1),
+                i -> (('0x' || substr(hex(encode(t)), 2 * CAST(i AS INTEGER) - 1, 2))::BIGINT)::HUGEINT)),
+            (a, b) -> (xor(a, b) * 1099511628211::HUGEINT) % 18446744073709551616::HUGEINT)) AS hs
+        FROM tok),
+      shh AS (SELECT doc_id,
+        list_reduce(list_transform(range(0, 64), b ->
+          CASE WHEN 2 * len(list_filter(hs, h -> ((h >> CAST(b AS INTEGER)) % 2) = 1)) > len(hs)
+               THEN (1::HUGEINT << CAST(b AS INTEGER)) ELSE 0::HUGEINT END),
+          (a, b) -> a + b) AS u
+        FROM th),
+      sgn AS (SELECT doc_id,
+        CASE WHEN u >= 9223372036854775808::HUGEINT
+             THEN CAST(u - 18446744073709551616::HUGEINT AS BIGINT) ELSE CAST(u AS BIGINT) END AS sh
+        FROM shh)
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        CAST(bit_count(xor(a.sh, b.sh)) AS INTEGER) AS hamming
+      FROM sgn a JOIN sgn b ON a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.sh, b.sh)) <= 6""")),
+
+    // ===================== skew toolkit (oracled) =========================
+
+    // Salted equi-join must be value-identical to the plain join: the salt
+    // spreads a hot fact key over saltFactor reducers and is dropped on
+    // output. Oracle = the unsalted join.
+    ("q55_salted_join", (s: SparkSession, d: String) => {
+      val facts = t(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_partkey").as("k"), col("l_quantity"))
+      val dim = t(s, d, "part").select(col("p_partkey").as("k"), col("p_name"))
+      graft.ops.Skew.saltedJoin(facts, dim, "k", saltFactor = 8)
+        .select("l_orderkey", "l_linenumber", "k", "l_quantity", "p_name")
+    }, Some("""SELECT l_orderkey, l_linenumber, p_partkey AS k, l_quantity, p_name
+      FROM lineitem JOIN part ON l_partkey = p_partkey""")),
+
+    // Two-phase (salted) aggregation must equal the one-shot aggregate:
+    // phase 1 reduces per (key, salt), phase 2 combines partials per key.
+    ("q56_two_phase_agg", (s: SparkSession, d: String) => {
+      graft.ops.Skew.twoPhaseAgg(
+        t(s, d, "lineitem").select("l_returnflag", "l_quantity"),
+        "l_returnflag", saltFactor = 16,
+        Map(
+          "n" -> (count(lit(1)), sum(col("n"))),
+          "sum_qty" -> (sum(col("l_quantity").cast("decimal(18,6)")), sum(col("sum_qty")))))
+        .select(col("l_returnflag"), col("n"), col("sum_qty").cast("double").as("sum_qty"))
+    }, Some(s"""SELECT l_returnflag, count(*) AS n, ${dsumSql("l_quantity")} AS sum_qty
+      FROM lineitem GROUP BY l_returnflag""")),
+
+    // LSH-bucketed ANN top-k (recall < 1 by construction): the oracle replays
+    // the same sign-bucket + per-bucket rank pipeline.
+    ("q57_bucketed_topk", (s: SparkSession, d: String) => {
+      val emb = t(s, d, "embeddings")
+      SimSearch.bucketedTopK(
+        emb.filter(col("vec_id") < 8).select(col("vec_id").as("query_id"), col("embedding")),
+        emb, 5, signBits = 4, "query_id", "vec_id")
+    }, Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      b AS (SELECT vec_id, v,
+        list_sum(list_transform(range(1, 5), i -> CASE WHEN v[i] > 0 THEN CAST(power(2, 4 - i) AS BIGINT) ELSE 0 END)) AS bucket
+        FROM e),
+      q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM b WHERE vec_id < 8),
+      sc AS (SELECT q.query_id, c.vec_id, round(list_cosine_similarity(q.qv, c.v), 6) AS cosine
+        FROM b c JOIN q ON c.bucket = q.bucket
+        WHERE NOT isnan(list_cosine_similarity(q.qv, c.v))),
+      w AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rnk FROM sc)
+      SELECT query_id, vec_id, cosine, CAST(rnk AS INTEGER) AS rank FROM w WHERE rnk <= 5""")),
+
+    // ================ places backfill (J4 chain, end-to-end) ==============
+
+    // The reference's full get_places -> country-filtered fuzzy match ->
+    // dedup -> landed insert chain (reference:
+    // src/ingest_places_data.py:49-67,113-115), replayed on harness tables:
+    // customers are the unmatched names, suppliers the candidate places,
+    // nationkey the country filter. Blocked join (no crossJoin), ratioApprox
+    // scoring, tie-pinned top-1, then one landed row per matched candidate.
+    ("q58_places_backfill", (s: SparkSession, d: String) => {
+      val names = t(s, d, "customer").filter(col("c_custkey") < 200)
+        .select(col("c_custkey"), col("c_name"), col("c_nationkey").as("nk"))
+      val cands = t(s, d, "supplier")
+        .select(col("s_suppkey"), col("s_name"), col("s_nationkey").as("nk"))
+      val matched = FuzzyJoin.top1Blocked(names, cands, "c_custkey", "nk",
+        Fuzzy.ratioApprox(lower(col("c_name")), lower(col("s_name"))),
+        Seq(col("s_name"), col("s_suppkey")))
+      val landed = matched.select(
+        col("c_custkey").as("id"), col("c_name").as("name"),
+        col("s_suppkey").as("matched_id"), col("s_name").as("matched_name"),
+        col("score"))
+      val w = Window.partitionBy(col("matched_id")).orderBy(col("id"))
+      landed.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1).drop("__rn")
+    }, Some("""WITH l AS (SELECT c_custkey, c_name, c_nationkey AS nk FROM customer WHERE c_custkey < 200),
+      r AS (SELECT s_suppkey, s_name, s_nationkey AS nk FROM supplier),
+      sc AS (SELECT l.c_custkey, l.c_name, r.s_suppkey, r.s_name,
+        CAST(100 - CEIL(100.0 * levenshtein(lower(l.c_name), lower(r.s_name))
+             / GREATEST(length(l.c_name) + length(r.s_name), 1)) AS INTEGER) AS score
+        FROM l JOIN r ON l.nk = r.nk),
+      w AS (SELECT *, row_number() OVER (PARTITION BY c_custkey ORDER BY score DESC, s_name, s_suppkey) AS rn FROM sc),
+      t1 AS (SELECT c_custkey AS id, c_name AS name, s_suppkey AS matched_id,
+        s_name AS matched_name, score FROM w WHERE rn = 1),
+      dd AS (SELECT *, row_number() OVER (PARTITION BY matched_id ORDER BY id) AS rn2 FROM t1)
+      SELECT id, name, matched_id, matched_name, score FROM dd WHERE rn2 = 1"""))
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =

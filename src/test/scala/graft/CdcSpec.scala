@@ -172,6 +172,93 @@ class CdcSpec extends SparkSuite {
     assert(!new java.io.File(tgt + ".bak").exists())
   }
 
+  test("ST6 retry: shrinking failure set converges within the attempt budget") {
+    import spark.implicits._
+    val dlq = Files.createTempDirectory("cdc-retry").toString
+    // b and c are poisoned (uppercase op -> invalid); the repair hook fixes b
+    // on attempt 2 and c on attempt 3, so the failure set shrinks 2 -> 1 -> 0
+    val batch = envelopes(Seq(
+      env("insert", "a", """{"id":"a","v":1}""", "2024-01-01 00:00:00"),
+      env("INSERT", "b", """{"id":"b","v":2}""", "2024-01-01 00:00:01"),
+      env("INSERT", "c", """{"id":"c","v":3}""", "2024-01-01 00:00:02")))
+    val retriedCounts = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val repair = (df: org.apache.spark.sql.DataFrame, attempt: Int) => {
+      retriedCounts += df.count()
+      val fixKey = if (attempt == 2) "b" else "c"
+      df.withColumn("operationType",
+        when(col("documentKey") === fixKey, lower(col("operationType")))
+          .otherwise(col("operationType")))
+    }
+    val (tgt, failures) = graft.cdc.Retry.reprocess(emptyTarget, batch, docSchema,
+      identity, "id", "id", "v", dlq, java.sql.Timestamp.valueOf("2024-03-01 09:00:00"),
+      repair, maxAttempts = 3)
+    assert(failures.isEmpty)
+    assert(tgt.as[(String, Long)].collect().toSet ==
+      Set(("a", 1L), ("b", 2L), ("c", 3L)))
+    assert(retriedCounts.toSeq == Seq(2L, 1L)) // the set SHRINKS per attempt
+    assert(new java.io.File(dlq).listFiles() == null ||
+      new java.io.File(dlq).listFiles().isEmpty) // nothing dead-lettered
+  }
+
+  test("ST6 retry: unfixable residue is dead-lettered after the budget") {
+    import spark.implicits._
+    val dlq = Files.createTempDirectory("cdc-retry-dlq").toString
+    val batch = envelopes(Seq(
+      env("insert", "a", """{"id":"a","v":1}""", "2024-01-01 00:00:00"),
+      env("zap", "z", """{"id":"z","v":9}""", "2024-01-01 00:00:01")))
+    val (tgt, failures) = graft.cdc.Retry.reprocess(emptyTarget, batch, docSchema,
+      identity, "id", "id", "v", dlq, java.sql.Timestamp.valueOf("2024-03-01 09:30:00"),
+      maxAttempts = 3)
+    assert(tgt.as[(String, Long)].collect().toSet == Set(("a", 1L)))
+    assert(failures.count() == 1)
+    val banked = spark.read.json(s"$dlq/failed_20240301093000")
+    assert(banked.count() == 1)
+    assert(banked.select("operationType").head().getString(0) == "zap")
+  }
+
+  test("partitioned streaming sink leaves untouched partitions byte-identical") {
+    import spark.implicits._
+    val partSchema = StructType(Seq(
+      StructField("id", StringType), StructField("p", StringType),
+      StructField("v", LongType)))
+    val dir = Files.createTempDirectory("cdc-part-env").toFile
+    val tgt = Files.createTempDirectory("cdc-part-tgt").toFile.getAbsolutePath + "/target"
+    val ckpt = Files.createTempDirectory("cdc-part-ckpt").toFile.getAbsolutePath
+    Files.write(new java.io.File(dir, "b1.json").toPath,
+      Seq(
+        """{"operationType":"insert","documentKey":"a","fullDocument":"{\"id\":\"a\",\"p\":\"x\",\"v\":1}","clusterTime":"2024-01-01T00:00:00.000Z"}""",
+        """{"operationType":"insert","documentKey":"b","fullDocument":"{\"id\":\"b\",\"p\":\"y\",\"v\":2}","clusterTime":"2024-01-01T00:00:01.000Z"}"""
+      ).mkString("\n").getBytes("UTF-8"))
+    val q1 = graft.cdc.Dispatch.runPartitioned(spark, dir.getAbsolutePath, tgt, ckpt,
+      partSchema, identity, "id", "id", "v", partCol = "p")
+    q1.awaitTermination(60000)
+    def partFiles(p: String): Map[String, Long] = {
+      val d = new java.io.File(s"$tgt/p=$p")
+      d.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getName -> f.lastModified()).toMap
+    }
+    val yBefore = partFiles("y")
+    val yBytes = new java.io.File(s"$tgt/p=y").listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+      .map(f => f.getName -> java.util.Arrays.hashCode(Files.readAllBytes(f.toPath))).toMap
+    // second micro-batch touches ONLY partition x
+    Files.write(new java.io.File(dir, "b2.json").toPath,
+      """{"operationType":"update","documentKey":"a","fullDocument":"{\"id\":\"a\",\"p\":\"x\",\"v\":5}","clusterTime":"2024-01-02T00:00:00.000Z"}"""
+        .getBytes("UTF-8"))
+    val q2 = graft.cdc.Dispatch.runPartitioned(spark, dir.getAbsolutePath, tgt, ckpt,
+      partSchema, identity, "id", "id", "v", partCol = "p")
+    q2.awaitTermination(60000)
+    val got = spark.read.parquet(tgt).select("id", "p", "v")
+      .as[(String, String, Long)].collect().toSet
+    assert(got == Set(("a", "x", 5L), ("b", "y", 2L)))
+    // untouched partition p=y: same files, same mtimes, same bytes
+    assert(partFiles("y") == yBefore)
+    val yAfter = new java.io.File(s"$tgt/p=y").listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+      .map(f => f.getName -> java.util.Arrays.hashCode(Files.readAllBytes(f.toPath))).toMap
+    assert(yAfter == yBytes)
+  }
+
   test("ST1-ST7 end-to-end: file-replayed stream -> foreachBatch -> parquet target") {
     import spark.implicits._
     val dir = Files.createTempDirectory("cdc-env").toFile

@@ -61,6 +61,44 @@ class LlmSpec extends SparkSuite {
     assert(lsh.contains((21L, 22L)))
   }
 
+  test("swept simhash finds prefix-bit near-dups the single-prefix path misses") {
+    import spark.implicits._
+    // plant a pair differing ONLY inside the top-16 prefix window (bit 62):
+    // hamming 1, but the single-prefix buckets differ -> invisible there
+    val h = 0x0123456789ABCDEFL
+    val hashes = Seq((1L, h), (2L, h ^ (1L << 62)), (3L, ~h))
+      .toDF("id", "sh")
+    val single = Dedup.simhashPairsFromHashes(hashes, prefixBits = 16, maxHamming = 6)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(single.isEmpty)
+    val swept = Dedup.sweptPairsFromHashes(hashes, blocks = 7, maxHamming = 6)
+      .select("id_a", "id_b", "hamming")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(swept == Set((1L, 2L, 1)))
+  }
+
+  test("swept simhash recall is EXACT: matches brute-force all-pairs hamming") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    // random base hashes plus planted low-hamming perturbations at varied
+    // bit positions (high, low, straddling block boundaries)
+    val bases = (1L to 30L).map(i => (i, rnd.nextLong()))
+    val planted = bases.take(10).zipWithIndex.map { case ((i, h), k) =>
+      val flips = (0 until (k % 6 + 1)).map(j => 1L << ((k * 11 + j * 7) % 64))
+      (i + 100L, flips.foldLeft(h)(_ ^ _))
+    }
+    val hashes = (bases ++ planted).toDF("id", "sh")
+    val brute = hashes.select(col("id").as("id_a"), col("sh").as("sh_a"))
+      .crossJoin(hashes.select(col("id").as("id_b"), col("sh").as("sh_b")))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
+      .filter(col("hamming") <= 6)
+      .select("id_a", "id_b", "hamming").as[(Long, Long, Int)].collect().toSet
+    val swept = Dedup.sweptPairsFromHashes(hashes, blocks = 7, maxHamming = 6)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(swept == brute)
+  }
+
   test("simhash pairs find planted near-dups via prefix buckets") {
     import spark.implicits._
     val base = (1 to 60).map(i => s"word$i").mkString(" ")

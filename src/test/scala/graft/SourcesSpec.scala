@@ -58,6 +58,27 @@ class SourcesSpec extends SparkSuite {
     assert(rows.count() == 1)
   }
 
+  test("S13 dead-letter index is dense 0..n-1 and stable across replays") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("dlq-dense").toString
+    // multiple partitions: monotonically_increasing_id would jump by 2^33 at
+    // each partition boundary; the enumerated index must stay dense
+    val failed = (0L until 10L).map(i => (i, s"row$i")).toDF("id", "why")
+      .repartition(3)
+    val ts = java.sql.Timestamp.valueOf("2024-03-02 10:00:00")
+    Sinks.deadLetter(failed, dir, ts)
+    val rows = spark.read.json(s"$dir/failed_20240302100000")
+    assert(rows.select("failed_index").as[Long].collect().sorted.toSeq ==
+      (0L until 10L))
+    // stable: replaying the same batch numbers rows identically
+    val dir2 = Files.createTempDirectory("dlq-dense2").toString
+    Sinks.deadLetter(failed, dir2, ts)
+    val a = rows.select("id", "failed_index").as[(Long, Long)].collect().toSet
+    val b = spark.read.json(s"$dir2/failed_20240302100000")
+      .select("id", "failed_index").as[(Long, Long)].collect().toSet
+    assert(a == b)
+  }
+
   test("co-bucketed tables join without a shuffle exchange") {
     import spark.implicits._
     val facts = (1L to 200L).map(i => (i % 40, i, s"f$i")).toDF("k", "id", "v")

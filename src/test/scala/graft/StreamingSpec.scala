@@ -70,6 +70,69 @@ class StreamingSpec extends SparkSuite {
     assert(got == Set((2L, 3.0), (2L, 30.0)))
   }
 
+  test("supervisor listener alerts on abnormal query termination") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val alerts = new java.util.concurrent.CopyOnWriteArrayList[(String, String)]()
+    val sup = graft.streaming.Supervise.install(spark, (n, m) => alerts.add((n, m)))
+    try {
+      val src = MemoryStream[Int]
+      src.addData(1, 2, 3)
+      val q = src.toDF().writeStream
+        .foreachBatch { (_: org.apache.spark.sql.DataFrame, _: Long) =>
+          throw new RuntimeException("induced-failure")
+        }
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("sup-ckpt").toString)
+        .start()
+      intercept[Throwable](q.awaitTermination(60000))
+      // listener delivery is async: poll until the termination lands
+      val deadline = System.currentTimeMillis() + 30000
+      while (alerts.isEmpty && System.currentTimeMillis() < deadline) Thread.sleep(50)
+      assert(!alerts.isEmpty)
+      assert(alerts.get(0)._2.contains("induced-failure"))
+      assert(sup.terminations.size() >= 1)
+    } finally spark.streams.removeListener(sup)
+  }
+
+  test("superviseRun restarts a failing query within its bounded budget") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    var startsSeen = 0
+    val start = () => {
+      startsSeen += 1
+      val fail = startsSeen <= 2 // first two runs die, third succeeds
+      val src = MemoryStream[Int]
+      src.addData(1)
+      src.toDF().writeStream
+        .foreachBatch { (_: org.apache.spark.sql.DataFrame, _: Long) =>
+          if (fail) throw new RuntimeException(s"crash-$startsSeen")
+        }
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("sup-restart").toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+    }
+    val restarts = graft.streaming.Supervise.superviseRun(start, maxRestarts = 3)
+    assert(restarts == 2)
+    assert(startsSeen == 3)
+    // exhausted budget rethrows the last failure (wrapped by the stream)
+    intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      graft.streaming.Supervise.superviseRun(() => {
+        val src = MemoryStream[Int]
+        src.addData(1)
+        src.toDF().writeStream
+          .foreachBatch { (_: org.apache.spark.sql.DataFrame, _: Long) =>
+            throw new RuntimeException("always-fails")
+          }
+          .option("checkpointLocation",
+            java.nio.file.Files.createTempDirectory("sup-exhaust").toString)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+      }, maxRestarts = 1)
+    }
+  }
+
   test("mapGroupsWithState keeps running per-user stats across micro-batches") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
