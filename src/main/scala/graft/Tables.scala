@@ -16,7 +16,7 @@ object Tables {
     "orders", "lineitem", "events", "documents", "embeddings")
 
   def apply(spark: SparkSession, sfDir: String, name: String): DataFrame = {
-    val df = read(spark, s"$sfDir/$name.parquet")
+    val df = read(spark, name, s"$sfDir/$name.parquet")
     // events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized reader
     // rejects outright; read it as raw nanos and convert to a µs timestamp
     // (the data carries no sub-µs digits — verified against the fixtures).
@@ -24,8 +24,11 @@ object Tables {
     else df
   }
 
-  private def read(spark: SparkSession, path: String): DataFrame = {
+  private def read(spark: SparkSession, name: String, path: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(path)
+    // every table goes through the connector seam: a deployment points
+    // `spark.graft.conn.<table>.*` at its MongoDB/BigQuery connector and the
+    // whole engine follows (graft.sources.Connectors scaladoc).
+    graft.sources.Connectors.read(spark, name, path)
   }
 }

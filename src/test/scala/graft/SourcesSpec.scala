@@ -95,6 +95,36 @@ class SourcesSpec extends SparkSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("connector seam resolves format/path/options from session conf") {
+    import spark.implicits._
+    // offline default: plain parquet at the caller's path
+    val pq = Files.createTempDirectory("conn").toString + "/t"
+    Seq((1L, "a"), (2L, "b")).toDF("id", "v").write.parquet(pq)
+    assert(graft.sources.Connectors.read(spark, "warehouse", pq).count() == 2)
+    // flip the endpoint to a json "connector" purely via conf — no code change
+    val js = Files.createTempDirectory("conn-js").toString + "/t"
+    Seq((3L, "c")).toDF("id", "v").write.json(js)
+    spark.conf.set("spark.graft.conn.warehouse.format", "json")
+    spark.conf.set("spark.graft.conn.warehouse.path", js)
+    spark.conf.set("spark.graft.conn.warehouse.option.primitivesAsString", "true")
+    try {
+      val got = graft.sources.Connectors.read(spark, "warehouse", pq)
+      assert(got.count() == 1)
+      // the pass-through option reached the reader: primitives arrive as strings
+      assert(got.schema("id").dataType == StringType)
+      // write side follows the same resolution
+      graft.sources.Connectors.write(Seq((4L, "d")).toDF("id", "v"),
+        "warehouse", pq)
+      assert(spark.read.json(js).count() == 2)
+    } finally {
+      spark.conf.unset("spark.graft.conn.warehouse.format")
+      spark.conf.unset("spark.graft.conn.warehouse.path")
+      spark.conf.unset("spark.graft.conn.warehouse.option.primitivesAsString")
+    }
+    // Tables routes through the seam: an unconfigured name stays parquet
+    assert(Tables(spark, "/root/testdata/sf0.001", "nation").count() > 0)
+  }
+
   test("queries registry and oracle map stay consistent") {
     // every oracle refers to a registered query; both maps non-trivial
     assert(Queries.oracleSql.keySet.subsetOf(Queries.queries.keySet))
