@@ -944,7 +944,34 @@ object Queries {
       t1 AS (SELECT c_custkey AS id, c_name AS name, s_suppkey AS matched_id,
         s_name AS matched_name, score FROM w WHERE rn = 1),
       dd AS (SELECT *, row_number() OVER (PARTITION BY matched_id ORDER BY id) AS rn2 FROM t1)
-      SELECT id, name, matched_id, matched_name, score FROM dd WHERE rn2 = 1"""))
+      SELECT id, name, matched_id, matched_name, score FROM dd WHERE rn2 = 1""")),
+
+    // Prefix-filtered set-similarity join (PPJoin-style): exact recall by the
+    // prefix-filtering theorem, exact precision by the verify — so the oracle
+    // is BRUTE-FORCE all-pairs Jaccard, differential-checking the whole
+    // candidate-generation machinery (the scalable upgrade of q25, which is
+    // honest about being all-pairs-only).
+    ("q59_jaccard_prefix", (s: SparkSession, d: String) => {
+      val docs = t(s, d, "documents").filter(col("doc_id") < 60).select("doc_id", "text")
+      val planted = docs.select((col("doc_id") + 10000).as("doc_id"),
+        concat(col("text"), lit(" extra token")).as("text"))
+      Dedup.jaccardPairsPrefix(docs.unionByName(planted), "text", "doc_id",
+        shingleN = 3, threshold = 0.5)
+    }, Some("""WITH corpus AS (
+        SELECT doc_id, text FROM documents WHERE doc_id < 60
+        UNION ALL SELECT doc_id + 10000 AS doc_id, text || ' extra token' AS text
+        FROM documents WHERE doc_id < 60),
+      dd AS (SELECT doc_id,
+        list_filter(string_split_regex(trim(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')), ' '),
+                    x -> x <> '') AS w FROM corpus),
+      sh AS (SELECT doc_id, CASE WHEN len(w) >= 3
+          THEN list_distinct(list_transform(range(1, len(w) - 1), i -> array_to_string(w[i:i+2], ' ')))
+          ELSE [array_to_string(w, ' ')] END AS sh FROM dd),
+      p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        round(CAST(len(list_filter(a.sh, x -> list_contains(b.sh, x))) AS DOUBLE)
+              / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE), 6) AS jaccard
+        FROM sh a CROSS JOIN sh b WHERE a.doc_id < b.doc_id)
+      SELECT id_a, id_b, jaccard FROM p WHERE jaccard >= 0.5"""))
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -127,6 +127,59 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Prefix-filtered exact-Jaccard pairs — the SCALABLE form of
+    * [[bruteForceJaccardPairs]] (PPJoin-style prefix filtering, Bayardo et
+    * al. WWW'07 / Xiao et al. WWW'08).
+    *
+    * Correctness: for J(A,B) >= t, the overlap o satisfies
+    * o >= t(|A|+|B|)/(1+t) and |B| >= o, hence o >= t·|A| — so if the first
+    * |A| - ceil(t·|A|) + 1 tokens of A (in ANY canonical global order) all
+    * miss B, then o <= ceil(t·|A|) - 1 < t·|A|, a contradiction. Every
+    * qualifying pair therefore shares a PREFIX token: equi-joining on prefix
+    * tokens has EXACT recall, and the exact-Jaccard verify keeps precision
+    * exact — output is identical to brute force, which is what the oracle
+    * exploits.
+    *
+    * Scale design: canonical order is ascending document frequency (rare
+    * tokens first, ties by token), so prefixes are dominated by rare tokens
+    * and candidate buckets stay small — the standard trick that keeps the
+    * candidate join sub-quadratic on Zipfian corpora. Everything is keyed
+    * aggregations and equi-joins on slim (token, id) rows; candidate pairs
+    * are deduped before the verify fetches the two shingle sets by id.
+    */
+  def jaccardPairsPrefix(df: DataFrame, textCol: String, idCol: String,
+                         shingleN: Int = 3, threshold: Double = 0.5): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0, s"threshold $threshold not in (0,1]")
+    val base = df.select(
+      col(idCol).as("id"),
+      TextStats.tokens(normalize(col(textCol))).as("w"))
+      .select(col("id"), shinglesFromTokens(col("w"), shingleN).as("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    val toks = base.select(col("id"), explode(col("sh")).as("tok"))
+    val freq = toks.groupBy("tok").agg(count(lit(1)).as("df"))
+    // per doc: tokens in (df asc, tok asc) order, then keep the prefix
+    val ordered = toks.join(freq, Seq("tok"))
+      .groupBy("id")
+      .agg(array_sort(collect_list(struct(col("df"), col("tok")))).as("o"))
+      .select(col("id"),
+        transform(col("o"), e => e.getField("tok")).as("ord"))
+    val pref = ordered.select(col("id"),
+      slice(col("ord"), lit(1),
+        (size(col("ord")) - ceil(lit(threshold) * size(col("ord"))) + 1)
+          .cast("int")).as("prefix"))
+    val prefTok = pref.select(col("id"), explode(col("prefix")).as("tok"))
+    val cands = prefTok.select(col("tok"), col("id").as("id_a"))
+      .join(prefTok.select(col("tok"), col("id").as("id_b")), Seq("tok"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    cands
+      .join(base.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(base.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(jaccard(col("sh_a"), col("sh_b")), 6).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
   /** Brute-force n-gram Jaccard pairs — the differential oracle for
     * [[minhashPairs]] at small SF. All-pairs by construction: never run
     * above a bounded sample.

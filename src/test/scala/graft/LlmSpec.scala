@@ -61,6 +61,24 @@ class LlmSpec extends SparkSuite {
     assert(lsh.contains((21L, 22L)))
   }
 
+  test("prefix-filtered jaccard join equals brute force (exact recall + precision)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    val rows = (1L to 40L).map { i =>
+      (i, (1 to 25).map(_ => s"w${rnd.nextInt(60)}").mkString(" "))
+    } ++ Seq(
+      (41L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (42L, "alpha beta gamma delta epsilon zeta eta theta iota lambda"),
+      (43L, "solo")) // shorter-than-n doc exercises the whole-text fallback
+    val df = docs(rows: _*)
+    val brute = Dedup.bruteForceJaccardPairs(df, "text", "doc_id", 3, 0.4)
+      .as[(Long, Long, Double)].collect().toSet
+    val pref = Dedup.jaccardPairsPrefix(df, "text", "doc_id", 3, 0.4)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(pref == brute)
+    assert(pref.exists { case (a, b, _) => a == 41L && b == 42L })
+  }
+
   test("swept simhash finds prefix-bit near-dups the single-prefix path misses") {
     import spark.implicits._
     // plant a pair differing ONLY inside the top-16 prefix window (bit 62):
