@@ -32,6 +32,21 @@ object StressBench {
           regexp_replace(col("text"), lit(" "),
             concat(lit(" z"), col("rep").cast("string"), lit(" "))).as("text"))
     }
+    // Per-(doc, replica) salt: the shared-per-replica salt above makes every
+    // doc of a replica share ~half its token mass with every other — ALL of
+    // a replica's simhashes collapse into one near-dup cluster and the pair
+    // output itself goes quadratic (measured: 16x stress ran >28 min). A
+    // unique salt per row keeps replicas uncorrelated, so bucketed near-dup
+    // ops face honestly-scaled sparse data.
+    def docsTimesUncorr(f: Int): DataFrame = {
+      val docs = Tables(spark, sfDir, "documents").select("doc_id", "text")
+      if (f == 1) docs
+      else docs.crossJoin(spark.range(f).select(col("id").as("rep")))
+        .select((col("doc_id") * f + col("rep")).as("doc_id"),
+          regexp_replace(col("text"), lit(" "),
+            concat(lit(" z"), (col("doc_id") * f + col("rep")).cast("string"),
+              lit(" "))).as("text"))
+    }
     def embTimes(f: Int): DataFrame = {
       val emb = Tables(spark, sfDir, "embeddings").select("vec_id", "embedding")
       if (f == 1) emb
@@ -70,6 +85,16 @@ object StressBench {
           .groupBy("l_returnflag", "l_linestatus")
           .agg(sum(col("l_quantity").cast("decimal(18,6)")).cast("double").as("sum_qty"),
             count(lit(1)).as("n")))
+      time("simhash_swept", f)(
+        graft.llm.Dedup.simhashPairsSwept(docsTimesUncorr(f), "text", "doc_id", 7, 6))
+      time("jaccard_prefix", f)(
+        graft.llm.Dedup.jaccardPairsPrefix(docsTimesUncorr(f), "text", "doc_id", 3, 0.5))
+      time("salted_join", f)({
+        val facts = lineitemTimes(f)
+          .select(col("l_orderkey"), col("l_partkey").as("k"), col("l_quantity"))
+        val dim = Tables(spark, sfDir, "part").select(col("p_partkey").as("k"), col("p_name"))
+        graft.ops.Skew.saltedJoin(facts, dim, "k", 8)
+      })
     }
     spark.stop()
   }

@@ -237,14 +237,26 @@ object Dedup {
     * still slim rows and keyed equi-joins only; no crossJoin at any scale.
     */
   def simhashPairsSwept(df: DataFrame, textCol: String, idCol: String,
-                        blocks: Int = 7, maxHamming: Int = 6): DataFrame =
+                        blocks: Int = 7, maxHamming: Int = 6,
+                        maxBucket: Int = Int.MaxValue): DataFrame =
     sweptPairsFromHashes(
       df.select(col(idCol).as("id"), simhash(col(textCol)).as("sh")),
-      blocks, maxHamming)
+      blocks, maxHamming, maxBucket)
 
-  /** [[simhashPairsSwept]] over precomputed (id, sh) hashes. */
+  /** [[simhashPairsSwept]] over precomputed (id, sh) hashes.
+    *
+    * `maxBucket` (optional) caps candidate generation: buckets larger than
+    * the cap are SKIPPED. A bucket of n docs yields O(n²) candidate pairs, and
+    * on boilerplate/template-heavy corpora a hot bucket means the pair OUTPUT
+    * itself is quadratic in the cluster size — no algorithm outruns its own
+    * output. The cap bounds worst-case work at a documented recall cost
+    * (pairs visible ONLY via hot buckets are dropped); run exact dedup first
+    * so boilerplate clusters collapse before near-dup detection. The default
+    * (no cap) preserves the exact-recall guarantee the q54 oracle checks.
+    */
   def sweptPairsFromHashes(hashes: DataFrame, blocks: Int,
-                           maxHamming: Int): DataFrame = {
+                           maxHamming: Int,
+                           maxBucket: Int = Int.MaxValue): DataFrame = {
     require(blocks >= 2 && blocks <= 64, s"blocks=$blocks out of range")
     require(maxHamming <= blocks - 1,
       s"full recall needs maxHamming <= blocks-1 (got $maxHamming vs $blocks)")
@@ -255,8 +267,15 @@ object Dedup {
       concat(lit(s"$b|"), shiftrightunsigned(col("sh"), lo)
         .bitwiseAND(lit((1L << w) - 1)).cast("string"))
     }
-    val s = hashes
+    val exploded = hashes
       .select(col("id"), col("sh"), explode(array(bucketCols: _*)).as("bucket"))
+    val s =
+      if (maxBucket == Int.MaxValue) exploded
+      else {
+        val hot = exploded.groupBy("bucket").agg(count(lit(1)).as("__n"))
+          .filter(col("__n") > maxBucket).select("bucket")
+        exploded.join(hot, Seq("bucket"), "left_anti")
+      }
     // a pair colliding in several windows would surface once per window
     simhashVerify(s, maxHamming).distinct()
   }
@@ -296,4 +315,37 @@ object Dedup {
   def signBucket(vec: Column, bits: Int): Column =
     aggregate(slice(vec, 1, bits), lit(0L),
       (acc, x) => acc * 2 + when(x > 0.0, 1L).otherwise(0L))
+
+  /** Multi-probe variant of [[embeddingPairs]]: near-identical vectors whose
+    * components sit near zero can land on OPPOSITE sides of a sign plane and
+    * never share a bucket — the classic LSH boundary miss. Standard
+    * multi-probe (Lv et al., VLDB'07): ONE side additionally probes every
+    * bucket at sign-Hamming distance 1 (its bucket with each single bit
+    * flipped), so pairs separated by at most one plane always collide.
+    * Costs (signBits+1)× the probe side's slim (bucket, id) rows — the
+    * vectors themselves are fetched per surviving candidate only.
+    */
+  def embeddingPairsMultiProbe(df: DataFrame, vecCol: String, idCol: String,
+                               signBits: Int = 8, threshold: Double = 0.9): DataFrame = {
+    val bucketed = df.select(
+      col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
+      .withColumn("bucket", signBucket(col("v"), signBits))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    // probe side: base bucket + each single-bit flip (distance-1 probes)
+    val probeBuckets = array(
+      col("bucket") +: (0 until signBits).map(b =>
+        col("bucket").bitwiseXOR(lit(1L << b))): _*)
+    val probes = bucketed
+      .select(col("id"), explode(probeBuckets).as("bucket"))
+    val cands = bucketed.select(col("bucket"), col("id").as("id_a"))
+      .join(probes.select(col("bucket"), col("id").as("id_b")), Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    cands
+      .join(bucketed.select(col("id").as("id_a"), col("v").as("v_a")), Seq("id_a"))
+      .join(bucketed.select(col("id").as("id_b"), col("v").as("v_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(graft.functions.VectorFunctions.cosineSim(col("v_a"), col("v_b")), 6).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
 }

@@ -34,6 +34,20 @@ object Streams {
       .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
       .select(col("window.start").as("hour"), col("event_type"), col("n"), col("sum_value"))
 
+  /** Event-time SESSION windows (dynamic-length, gap-closed) per user —
+    * Spark's native `session_window` generator: a session closes when no
+    * event arrives within `gap`; state is bounded by the watermark. The
+    * streaming twin of the batch gaps-and-islands `q47_sessionize`.
+    */
+  def sessionAgg(events: DataFrame, gap: String = "1 hour",
+                 watermarkDelay: String = "2 hours"): DataFrame =
+    events.withWatermark("ts", watermarkDelay)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+      .select(col("session_window.start").as("s_start"),
+        col("session_window.end").as("s_end"),
+        col("user_id"), col("n_events"), col("sum_value"))
+
   /** ST3 as streaming state: replayed event ids are dropped for as long as a
     * replay can still arrive (the watermark horizon), so state can't grow
     * without bound the way a bare dropDuplicates would.

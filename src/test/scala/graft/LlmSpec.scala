@@ -61,6 +61,39 @@ class LlmSpec extends SparkSuite {
     assert(lsh.contains((21L, 22L)))
   }
 
+  test("multi-probe embedding LSH finds the boundary pair single-bucket misses") {
+    import spark.implicits._
+    // near-identical vectors straddling the first sign plane: component 1 is
+    // +eps vs -eps, so base buckets differ and the single-bucket join misses
+    val a = Array(0.001, 0.9, 0.8, 0.7)
+    val b = Array(-0.001, 0.9, 0.8, 0.7)
+    val far = Array(-0.9, -0.8, -0.7, -0.6)
+    val df = Seq((1L, a.toSeq), (2L, b.toSeq), (3L, far.toSeq))
+      .toDF("vec_id", "embedding")
+    val single = Dedup.embeddingPairs(df, "embedding", "vec_id",
+      signBits = 4, threshold = 0.9)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(!single.contains((1L, 2L)))
+    val multi = Dedup.embeddingPairsMultiProbe(df, "embedding", "vec_id",
+      signBits = 4, threshold = 0.9)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(multi == Set((1L, 2L)))
+  }
+
+  test("multi-probe embedding LSH is a superset of the single-bucket pairs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(31)
+    val rows = (1L to 60L).map { i =>
+      (i, Seq.fill(8)(rnd.nextGaussian()))
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val single = Dedup.embeddingPairs(df, "embedding", "vec_id", 4, 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val multi = Dedup.embeddingPairsMultiProbe(df, "embedding", "vec_id", 4, 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(single.subsetOf(multi))
+  }
+
   test("prefix-filtered jaccard join equals brute force (exact recall + precision)") {
     import spark.implicits._
     val rnd = new scala.util.Random(23)
@@ -93,6 +126,21 @@ class LlmSpec extends SparkSuite {
       .select("id_a", "id_b", "hamming")
       .as[(Long, Long, Int)].collect().toSet
     assert(swept == Set((1L, 2L, 1)))
+  }
+
+  test("swept simhash hot-bucket cap bounds quadratic clusters, keeps sparse pairs") {
+    import spark.implicits._
+    val h = 0x7777000012345678L
+    // a 5-doc identical cluster (hot bucket in every block) + one sparse near pair
+    val cluster = (1L to 5L).map(i => (i, h))
+    val sparse = Seq((10L, 0x0F0F0F0F0F0F0F0FL), (11L, 0x0F0F0F0F0F0F0F0EL))
+    val hashes = (cluster ++ sparse).toDF("id", "sh")
+    val uncapped = Dedup.sweptPairsFromHashes(hashes, 7, 6)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(uncapped.size == 10 + 1) // C(5,2) cluster pairs + the sparse pair
+    val capped = Dedup.sweptPairsFromHashes(hashes, 7, 6, maxBucket = 4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(capped == Set((10L, 11L))) // cluster suppressed, sparse pair kept
   }
 
   test("swept simhash recall is EXACT: matches brute-force all-pairs hamming") {

@@ -70,6 +70,26 @@ class StreamingSpec extends SparkSuite {
     assert(got == Set((2L, 3.0), (2L, 30.0)))
   }
 
+  test("session_window closes sessions at the inactivity gap") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val src = MemoryStream[EventRow]
+    src.addData(
+      row(1, 7, "2024-01-01 10:00:00", "click", 1.0),
+      row(2, 7, "2024-01-01 10:30:00", "click", 2.0),  // same session (< 1h gap)
+      row(3, 7, "2024-01-01 12:30:00", "view", 5.0),   // gap > 1h -> new session
+      row(4, 8, "2024-01-01 10:10:00", "view", 3.0))
+    Streams.runToMemory(Streams.sessionAgg(src.toDF(), gap = "1 hour"),
+      "sessions", OutputMode.Complete())
+    val got = spark.table("sessions")
+      .select($"s_start".cast("string"), $"user_id", $"n_events", $"sum_value")
+      .as[(String, Long, Long, Double)].collect().toSet
+    assert(got == Set(
+      ("2024-01-01 10:00:00", 7L, 2L, 3.0),
+      ("2024-01-01 12:30:00", 7L, 1L, 5.0),
+      ("2024-01-01 10:10:00", 8L, 1L, 3.0)))
+  }
+
   test("supervisor listener alerts on abnormal query termination") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
