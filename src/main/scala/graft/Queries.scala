@@ -971,7 +971,39 @@ object Queries {
         round(CAST(len(list_filter(a.sh, x -> list_contains(b.sh, x))) AS DOUBLE)
               / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE), 6) AS jaccard
         FROM sh a CROSS JOIN sh b WHERE a.doc_id < b.doc_id)
-      SELECT id_a, id_b, jaccard FROM p WHERE jaccard >= 0.5"""))
+      SELECT id_a, id_b, jaccard FROM p WHERE jaccard >= 0.5""")),
+
+    // Connected components over near-dup pairs: pairs -> clusters, comp = min
+    // id of each component (A~B, B~C collapse without an explicit A~C edge).
+    // Spark runs min-label propagation (one join + keyed agg per round); the
+    // oracle replays it as a recursive transitive-closure CTE — two
+    // independent formulations of the same fixpoint must agree.
+    ("q60_components", (s: SparkSession, d: String) => {
+      val docs = t(s, d, "documents").filter(col("doc_id") < 60).select("doc_id", "text")
+      val corpus = docs.unionByName(docs.select((col("doc_id") + 10000).as("doc_id"),
+        concat(col("text"), lit(" extra token")).as("text")))
+      val pairs = Dedup.jaccardPairsPrefix(corpus, "text", "doc_id",
+        shingleN = 3, threshold = 0.5)
+      Dedup.connectedComponents(pairs, corpus.select("doc_id"), "doc_id")
+    }, Some("""WITH RECURSIVE corpus AS (
+        SELECT doc_id, text FROM documents WHERE doc_id < 60
+        UNION ALL SELECT doc_id + 10000 AS doc_id, text || ' extra token' AS text
+        FROM documents WHERE doc_id < 60),
+      dd AS (SELECT doc_id,
+        list_filter(string_split_regex(trim(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')), ' '),
+                    x -> x <> '') AS w FROM corpus),
+      sh AS (SELECT doc_id, CASE WHEN len(w) >= 3
+          THEN list_distinct(list_transform(range(1, len(w) - 1), i -> array_to_string(w[i:i+2], ' ')))
+          ELSE [array_to_string(w, ' ')] END AS sh FROM dd),
+      p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM sh a CROSS JOIN sh b WHERE a.doc_id < b.doc_id
+          AND CAST(len(list_filter(a.sh, x -> list_contains(b.sh, x))) AS DOUBLE)
+              / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) >= 0.5),
+      e AS (SELECT id_a AS u, id_b AS v FROM p UNION SELECT id_b, id_a FROM p),
+      tc AS (SELECT u, v FROM e
+        UNION SELECT tc.u, e.v FROM tc JOIN e ON tc.v = e.u)
+      SELECT c.doc_id, least(c.doc_id, coalesce(min(tc.v), c.doc_id)) AS comp
+      FROM corpus c LEFT JOIN tc ON tc.u = c.doc_id GROUP BY c.doc_id"""))
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =

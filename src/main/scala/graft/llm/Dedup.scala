@@ -311,6 +311,67 @@ object Dedup {
       .select("id_a", "id_b", "cosine")
   }
 
+  /** Connected components over a near-dup pair list — the step that turns
+    * PAIRS (minhash/simhash/jaccard output) into CLUSTERS so the applied
+    * dedup can keep one canonical doc per component: A~B and B~C must
+    * collapse A,B,C together even when A~C was never emitted.
+    *
+    * Min-label propagation: each iteration every node takes the min label in
+    * its closed neighborhood, converging in O(graph diameter) rounds — each
+    * round is one equi-join + keyed aggregation (no driver-side graph). Near-
+    * dup graphs are clique-ish (diameter 1–3), so a handful of rounds
+    * suffices; for adversarially long chains the alternating large-star/
+    * small-star algorithm (Kiveris et al., MR'14) drops rounds to
+    * O(log diameter) — the documented upgrade if profiles ever show deep
+    * components. Deterministic (min), so the oracle replays it with a
+    * recursive transitive-closure CTE.
+    *
+    * Returns one (idCol, comp) row per node in `nodes`; comp = min id of the
+    * node's component (singletons map to themselves).
+    */
+  def connectedComponents(pairs: DataFrame, nodes: DataFrame, idCol: String,
+                          maxIter: Int = 15): DataFrame = {
+    val sym = pairs.select(col("id_a").as("u"), col("id_b").as("v"))
+      .unionByName(pairs.select(col("id_b").as("u"), col("id_a").as("v")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    // localCheckpoint (not persist): each round's plan references the prior
+    // round's twice (propagate + convergence diff), so an un-truncated
+    // lineage doubles per iteration — the plan tree (and AQE's explain
+    // string) grows exponentially and OOMs the driver around round 10.
+    // Checkpointing pins each round to its materialized partitions. The
+    // production caveat (non-replicated blocks; an executor loss fails the
+    // job) is acceptable: the loop is short and restartable.
+    var labels = nodes.select(col(idCol).as("u"), col(idCol).as("comp"))
+      .localCheckpoint()
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIter) {
+      val nbrMin = sym
+        .join(labels.select(col("u").as("v"), col("comp").as("vcomp")), Seq("v"))
+        .groupBy("u").agg(min(col("vcomp")).as("nmin"))
+      val next = labels.join(nbrMin, Seq("u"), "left")
+        .select(col("u"),
+          least(col("comp"), coalesce(col("nmin"), col("comp"))).as("comp"))
+        .localCheckpoint()
+      changed = next
+        .join(labels.select(col("u"), col("comp").as("old")), Seq("u"))
+        .filter(col("comp") =!= col("old")).count()
+      labels = next
+      iter += 1
+    }
+    sym.unpersist()
+    labels.select(col("u").as(idCol), col("comp"))
+  }
+
+  /** Near-dup dedup APPLIED: keep only each component's canonical (min-id)
+    * row. Pairs from any near-dup detector; rows absent from `pairs` are
+    * singletons and survive.
+    */
+  def nearDupApply(df: DataFrame, pairs: DataFrame, idCol: String): DataFrame = {
+    val comp = connectedComponents(pairs, df.select(idCol), idCol)
+    df.join(comp.filter(col(idCol) === col("comp")).select(idCol), Seq(idCol), "left_semi")
+  }
+
   /** Sign-pattern bucket of the first `bits` vector components. */
   def signBucket(vec: Column, bits: Int): Column =
     aggregate(slice(vec, 1, bits), lit(0L),

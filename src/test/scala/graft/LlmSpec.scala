@@ -61,6 +61,30 @@ class LlmSpec extends SparkSuite {
     assert(lsh.contains((21L, 22L)))
   }
 
+  test("connected components collapse chains; nearDupApply keeps canonical rows") {
+    import spark.implicits._
+    // chain 1-2, 2-3 (no 1-3 edge); separate pair 5-6; singleton 9
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id_a", "id_b")
+    val nodes = Seq(1L, 2L, 3L, 5L, 6L, 9L).toDF("doc_id")
+    val comp = Dedup.connectedComponents(pairs, nodes, "doc_id")
+      .as[(Long, Long)].collect().toMap
+    assert(comp == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 5L, 6L -> 5L, 9L -> 9L))
+    val df = Seq((1L, "a"), (2L, "b"), (3L, "c"), (5L, "d"), (6L, "e"), (9L, "f"))
+      .toDF("doc_id", "text")
+    val kept = Dedup.nearDupApply(df, pairs, "doc_id")
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 5L, 9L))
+  }
+
+  test("connected components handle a long path within the iteration budget") {
+    import spark.implicits._
+    val pairs = (1L until 12L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val nodes = (1L to 12L).toDF("doc_id")
+    val comp = Dedup.connectedComponents(pairs, nodes, "doc_id")
+      .as[(Long, Long)].collect().toMap
+    assert(comp.values.toSet == Set(1L))
+  }
+
   test("multi-probe embedding LSH finds the boundary pair single-bucket misses") {
     import spark.implicits._
     // near-identical vectors straddling the first sign plane: component 1 is
