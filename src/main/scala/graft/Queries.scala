@@ -1003,7 +1003,40 @@ object Queries {
       tc AS (SELECT u, v FROM e
         UNION SELECT tc.u, e.v FROM tc JOIN e ON tc.v = e.u)
       SELECT c.doc_id, least(c.doc_id, coalesce(min(tc.v), c.doc_id)) AS comp
-      FROM corpus c LEFT JOIN tc ON tc.u = c.doc_id GROUP BY c.doc_id"""))
+      FROM corpus c LEFT JOIN tc ON tc.u = c.doc_id GROUP BY c.doc_id""")),
+
+    // Deterministic stratified sampling: a pure hash-threshold predicate
+    // (md5-derived uniform [0,1)) with a per-stratum rate — replayable across
+    // runs AND engines, which rand()-based sampling is not. The rate here is
+    // derived from the stratum value so the oracle needs no side table.
+    ("q61_stratified_sample", (s: SparkSession, d: String) => {
+      val frac = ((length(col("source")) % 3 + 1) * lit(0.2))
+      graft.llm.Sampling.deterministicSample(
+        t(s, d, "documents").select("doc_id", "source", "text"),
+        col("doc_id"), frac)
+        .select("doc_id", "source")
+    }, Some("""SELECT doc_id, source FROM documents
+      WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS DOUBLE)
+            / 4294967296.0 < (length(source) % 3 + 1) * 0.2""")),
+
+    // Per-source percentile gate: keep docs at or above the 75th percent-rank
+    // of token count within their source (ties pinned by doc_id) — the
+    // "top X% per source" curation step as one window per stratum.
+    ("q62_percentile_gate", (s: SparkSession, d: String) => {
+      val base = t(s, d, "documents")
+        .select(col("doc_id"), col("source"),
+          size(TextStats.tokens(col("text"))).as("n_tokens"))
+      graft.llm.Sampling.percentileGate(base, "source",
+        col("n_tokens"), col("doc_id"), 0.75)
+        .select(col("doc_id"), col("source"), col("n_tokens"),
+          round(col("pr"), 6).as("pr"))
+    }, Some("""WITH b AS (SELECT doc_id, source,
+        CAST(len(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')) AS INTEGER) AS n_tokens
+        FROM documents),
+      r AS (SELECT doc_id, source, n_tokens,
+        percent_rank() OVER (PARTITION BY source ORDER BY n_tokens, doc_id) AS pr
+        FROM b)
+      SELECT doc_id, source, n_tokens, round(pr, 6) AS pr FROM r WHERE pr >= 0.75"""))
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -61,6 +61,45 @@ class LlmSpec extends SparkSuite {
     assert(lsh.contains((21L, 22L)))
   }
 
+  test("greedy packing: every doc packed once, no pack over budget, deterministic") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(17)
+    val docs = (1L to 500L).map(i => (i, 50L + rnd.nextInt(900))).toDF("doc_id", "n_tokens")
+    def run() = graft.llm.Packing.packGreedy(docs, "doc_id", "n_tokens",
+      maxTokens = 2048, partitions = 8)
+    val packs = run().collect()
+    val allIds = packs.flatMap(_.getSeq[Long](1))
+    assert(allIds.sorted.toSeq == (1L to 500L)) // exactly once each
+    assert(packs.forall(p => p.getLong(3) <= 2048))
+    assert(packs.forall(p => p.getSeq[Long](1).size == p.getInt(2)))
+    // oversized doc gets its own pack
+    val over = Seq((1L, 5000L), (2L, 100L)).toDF("doc_id", "n_tokens")
+    val op = graft.llm.Packing.packGreedy(over, "doc_id", "n_tokens", 2048, 2).collect()
+    assert(op.exists(p => p.getSeq[Long](1) == Seq(1L) && p.getLong(3) == 5000L))
+    // deterministic across runs
+    assert(run().collect().map(_.toString).sorted.toSeq ==
+      packs.map(_.toString).sorted.toSeq)
+    // padding waste is bounded: FFD on this distribution packs tightly
+    val waste = packs.map(p => 2048L - p.getLong(3)).sum.toDouble /
+      (packs.length * 2048L)
+    assert(waste < 0.25, s"padding waste $waste")
+  }
+
+  test("deterministic sample is stable and hits its rate within tolerance") {
+    import spark.implicits._
+    val df = (1L to 20000L).toDF("id")
+    val a = graft.llm.Sampling.deterministicSample(df, col("id"), lit(0.3))
+      .as[Long].collect().toSet
+    val b = graft.llm.Sampling.deterministicSample(df, col("id"), lit(0.3))
+      .as[Long].collect().toSet
+    assert(a == b) // same rows every run — no RNG state
+    assert(math.abs(a.size / 20000.0 - 0.3) < 0.02)
+    // nested rates: a 0.1 sample is a subset of the 0.3 sample
+    val c = graft.llm.Sampling.deterministicSample(df, col("id"), lit(0.1))
+      .as[Long].collect().toSet
+    assert(c.subsetOf(a))
+  }
+
   test("connected components collapse chains; nearDupApply keeps canonical rows") {
     import spark.implicits._
     // chain 1-2, 2-3 (no 1-3 edge); separate pair 5-6; singleton 9
