@@ -33,4 +33,28 @@ object Sources {
         MapType(StringType, valueSchema))).as(Seq("key", "value")))
       .select(col("key"), col("value.*"))
   }
+
+  /** Line-JSON read with corrupt-record ROUTING: well-formed rows parse
+    * against `schema`; malformed lines land in the dead-letter sink with the
+    * raw text preserved instead of crashing the batch (FAILFAST) or silently
+    * nulling out (bare PERMISSIVE) — the reference's failed-fetch banking
+    * (reference: src/ingest_weather_data.py:35-45) applied to parse errors.
+    * One pass: the corrupt-record column splits the scan into the two legs.
+    */
+  def jsonWithCorruptRouting(spark: SparkSession, path: String,
+                             schema: StructType, deadLetterPath: String,
+                             runTs: java.sql.Timestamp): DataFrame = {
+    val withCorrupt = schema.add("_corrupt_record", StringType)
+    val raw = spark.read.schema(withCorrupt)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(path)
+      // Spark refuses to filter on only the corrupt column of a lazy parse;
+      // materialize the split once
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    Sinks.deadLetter(
+      raw.filter(col("_corrupt_record").isNotNull).select(col("_corrupt_record").as("raw")),
+      deadLetterPath, runTs)
+    raw.filter(col("_corrupt_record").isNull).drop("_corrupt_record")
+  }
 }

@@ -58,6 +58,24 @@ class SourcesSpec extends SparkSuite {
     assert(rows.count() == 1)
   }
 
+  test("corrupt JSON lines route to the dead-letter sink; good rows parse") {
+    import spark.implicits._
+    val f = Files.createTempFile("mixed", ".json")
+    Files.writeString(f,
+      """{"id":"a","v":1}
+        |this is not json
+        |{"id":"b","v":2}
+        |{"id": 3, "v": "not-a-long"}""".stripMargin)
+    val dlq = Files.createTempDirectory("json-dlq").toString
+    val schema = StructType(Seq(StructField("id", StringType), StructField("v", LongType)))
+    val good = Sources.jsonWithCorruptRouting(spark, f.toString, schema, dlq,
+      java.sql.Timestamp.valueOf("2024-03-03 11:00:00"))
+    assert(good.as[(String, Long)].collect().toSet == Set(("a", 1L), ("b", 2L)))
+    val banked = spark.read.json(s"$dlq/failed_20240303110000")
+    assert(banked.count() == 2)
+    assert(banked.select("raw").as[String].collect().exists(_.contains("not json")))
+  }
+
   test("S13 dead-letter index is dense 0..n-1 and stable across replays") {
     import spark.implicits._
     val dir = Files.createTempDirectory("dlq-dense").toString
