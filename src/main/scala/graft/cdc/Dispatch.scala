@@ -194,6 +194,10 @@ object Dispatch {
           val target = spark.read.schema(schema).parquet(targetPath)
           val merged = Upsert.mergePartitionPruned(target, deduped, mergeKey, partCol)
           val stage = targetPath + ".stage"
+          // a crash between stage-write and overwrite leaves .stage behind;
+          // mode("overwrite") replaces it, but delete first so a schema or
+          // partition-layout change can't merge stale files into the re-read
+          fs.delete(new org.apache.hadoop.fs.Path(stage), true)
           merged.write.partitionBy(partCol).mode("overwrite").parquet(stage)
           spark.read.schema(schema).parquet(stage)
             .write.partitionBy(partCol).mode("overwrite")

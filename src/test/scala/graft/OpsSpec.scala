@@ -221,6 +221,23 @@ class OpsSpec extends SparkSuite {
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 2L, 5L -> 1L))
   }
 
+  test("approx sketches stay within tolerance of exact answers") {
+    import spark.implicits._
+    // HLL++ and quantile sketches are the 100 TB answer to distinct counts
+    // and percentiles: mergeable partial sketches, one keyed shuffle of
+    // sketch bytes instead of a global sort / distinct expansion. They're
+    // engine-specific (not DuckDB-oracle-able); the contract asserted here
+    // is the error bound vs the exact forms.
+    val df = (1L to 50000L).map(i => (i % 7919, (i % 1000).toDouble))
+      .toDF("k", "v")
+    val exact = df.select(countDistinct(col("k"))).head().getLong(0)
+    val approx = df.select(approx_count_distinct(col("k"), 0.02)).head().getLong(0)
+    assert(math.abs(approx - exact).toDouble / exact < 0.05,
+      s"HLL said $approx, exact $exact")
+    val Array(median) = df.stat.approxQuantile("v", Array(0.5), 0.01)
+    assert(math.abs(median - 499.5) < 25, s"approx median $median")
+  }
+
   test("P13/P14 hour truncation and GMT+7 render are explicit shifts") {
     import spark.implicits._
     val df = Seq("2024-03-01 23:45:10").toDF("s")
