@@ -57,12 +57,26 @@ object Dispatch {
     */
   def applyBatch(target: DataFrame, envelopes: DataFrame, docSchema: StructType,
                  promote: DataFrame => DataFrame, rawKey: String,
-                 mergeKey: String, tieCol: String): DataFrame = {
-    // single pass over the envelopes: validate (lazy fail-fast), drop deletes
-    // (ST5), parse — a per-op filter+union would evaluate the source per leg.
-    // A null/corrupt fullDocument on an upsert parses to a null doc (or null
-    // key); left unchecked it would merge ONE all-null-key row and silently
-    // swallow every malformed event — fail fast instead, like the reference.
+                 mergeKey: String, tieCol: String): DataFrame =
+    Upsert.mergeUnique(target,
+      promote(upsertLeg(envelopes, docSchema, rawKey, tieCol)), mergeKey)
+
+  /** The SINGLE definition of the upsert leg shared by [[applyBatch]] and
+    * [[runPartitioned]] (a second copy had already crept in — one source so
+    * the batch and partitioned sinks can't desynchronize; `Retry
+    * .envelopeValid` is the non-throwing classification twin of the same
+    * conditions).
+    *
+    * One pass over the envelopes: validate (lazy fail-fast), drop deletes
+    * (ST5), parse — a per-op filter+union would evaluate the source per leg.
+    * A null/corrupt fullDocument on an upsert parses to a null doc (or null
+    * key); left unchecked it would merge ONE all-null-key row and silently
+    * swallow every malformed event — fail fast instead, like the reference.
+    * Output: one row per surviving key (last-wins inside the batch by stream
+    * time, ties by `tieCol`), in the LAKE document shape.
+    */
+  private[cdc] def upsertLeg(envelopes: DataFrame, docSchema: StructType,
+                             rawKey: String, tieCol: String): DataFrame = {
     val upserts = checked(envelopes)
       .filter(col("operationType").isin("insert", "update"))
       .withColumn("doc", from_json(col("fullDocument"), docSchema))
@@ -71,9 +85,7 @@ object Dispatch {
           .otherwise(raise_error(concat(lit("malformed fullDocument: "),
             coalesce(col("fullDocument"), lit("null"))))))
       .select(col("clusterTime").as("__ct"), col("doc.*"))
-    // last-wins inside the batch by stream time, then merge over the target
-    val deduped = Upsert.lastWins(upserts, rawKey, "__ct", tieCol).drop("__ct")
-    Upsert.mergeUnique(target, promote(deduped), mergeKey)
+    Upsert.lastWins(upserts, rawKey, "__ct", tieCol).drop("__ct")
   }
 
   /** ST6 variant of [[applyBatch]]: instead of fail-stopping on unknown ops
@@ -157,6 +169,14 @@ object Dispatch {
     * batch I/O is O(touched partitions), not O(target). [[run]]'s swap-rewrite
     * of the whole target was the one remaining scale-killer (VERDICT r02).
     *
+    * CONTRACT: `partCol` must be IMMUTABLE PER KEY — derived from the merge
+    * key (e.g. a hash prefix) or a never-updated attribute. An update that
+    * moves a key to a new partition value would merge into the NEW partition
+    * while the stale row in the old partition is outside the pruned read and
+    * survives as a duplicate. This is the same restriction lakehouse MERGEs
+    * place on partition-evolution; [[run]] (full merge) has no such
+    * restriction.
+    *
     * Spark refuses to overwrite a path it is reading ("Cannot overwrite a
     * path that is also being read from"), so the merged touched partitions
     * stage through `targetPath + ".stage"` and are re-read before the dynamic
@@ -176,18 +196,7 @@ object Dispatch {
         val tgt = new org.apache.hadoop.fs.Path(targetPath)
         val fs = tgt.getFileSystem(spark.sparkContext.hadoopConfiguration)
         val schema = promoteSchema(spark, docSchema, promote)
-        // One pass over the envelopes: validate, drop deletes, parse, dedup
-        // last-wins inside the batch, promote — same leg as applyBatch.
-        val upserts = checked(batch)
-          .filter(col("operationType").isin("insert", "update"))
-          .withColumn("doc", from_json(col("fullDocument"), docSchema))
-          .withColumn("doc",
-            when(col("doc").isNotNull && col("doc").getField(rawKey).isNotNull, col("doc"))
-              .otherwise(raise_error(concat(lit("malformed fullDocument: "),
-                coalesce(col("fullDocument"), lit("null"))))))
-          .select(col("clusterTime").as("__ct"), col("doc.*"))
-        val deduped = promote(
-          Upsert.lastWins(upserts, rawKey, "__ct", tieCol).drop("__ct"))
+        val deduped = promote(upsertLeg(batch, docSchema, rawKey, tieCol))
         if (!fs.exists(tgt)) {
           deduped.write.partitionBy(partCol).mode("overwrite").parquet(targetPath)
         } else {

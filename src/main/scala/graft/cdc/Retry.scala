@@ -57,6 +57,11 @@ object Retry {
     var failures = envelopes
     var attempt = 0
     var exhausted = false
+    // prior attempt's pinned intermediates — provably dead once the next
+    // attempt has materialized past them; unpersisting keeps the loop from
+    // accumulating a cached target + envelope set per attempt
+    var prevTried: Option[DataFrame] = None
+    var prevTgt: Option[DataFrame] = None
     while (!exhausted) {
       attempt += 1
       val tried = (if (attempt == 1) failures else repair(failures, attempt))
@@ -68,8 +73,14 @@ object Retry {
         // repair+merge per reference to tgt
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
       tgt.count()
+      prevTgt.foreach(_.unpersist())
+      prevTried.foreach(_.unpersist())
+      prevTgt = Some(tgt)
       failures = tried.filter(!valid)
       exhausted = attempt >= maxAttempts || failures.isEmpty
+      // `failures` still reads `tried`, so the CURRENT attempt's cache must
+      // outlive the loop when it's the last one
+      prevTried = Some(tried)
       if (!exhausted && backoffMs > 0) Thread.sleep(backoffMs)
     }
     if (!failures.isEmpty)

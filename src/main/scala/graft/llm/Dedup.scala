@@ -360,6 +360,15 @@ object Dedup {
       iter += 1
     }
     sym.unpersist()
+    // fail LOUDLY on non-convergence: returning partial labels would make
+    // nearDupApply keep several "canonical" rows per component (silent
+    // under-dedup). Diameter > maxIter means the corpus has chain-shaped
+    // components this propagation wasn't budgeted for.
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter rounds " +
+          s"($changed labels still changing): component diameter exceeds the " +
+          "iteration budget — raise maxIter (rounds are O(diameter))")
     labels.select(col("u").as(idCol), col("comp"))
   }
 

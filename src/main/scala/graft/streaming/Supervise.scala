@@ -54,8 +54,11 @@ object Supervise {
     var restarts = 0
     var done = false
     while (!done) {
-      val q = start()
-      try { q.awaitTermination(); done = true }
+      // start() INSIDE the try: a synchronous failure while (re)starting —
+      // transient checkpoint-metadata or source-listing errors, exactly the
+      // flaky-infrastructure class this driver absorbs — must consume the
+      // restart budget, not escape the loop.
+      try { start().awaitTermination(); done = true }
       catch { case e: Throwable =>
         if (restarts >= maxRestarts) throw e
         restarts += 1

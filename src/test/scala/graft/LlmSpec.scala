@@ -124,6 +124,16 @@ class LlmSpec extends SparkSuite {
     assert(comp.values.toSet == Set(1L))
   }
 
+  test("connected components fail loudly instead of returning unconverged labels") {
+    import spark.implicits._
+    val pairs = (1L until 20L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val nodes = (1L to 20L).toDF("doc_id")
+    val e = intercept[IllegalStateException] {
+      Dedup.connectedComponents(pairs, nodes, "doc_id", maxIter = 3)
+    }
+    assert(e.getMessage.contains("did not converge"))
+  }
+
   test("multi-probe embedding LSH finds the boundary pair single-bucket misses") {
     import spark.implicits._
     // near-identical vectors straddling the first sign plane: component 1 is
