@@ -1036,7 +1036,24 @@ object Queries {
       r AS (SELECT doc_id, source, n_tokens,
         percent_rank() OVER (PARTITION BY source ORDER BY n_tokens, doc_id) AS pr
         FROM b)
-      SELECT doc_id, source, n_tokens, round(pr, 6) AS pr FROM r WHERE pr >= 0.75"""))
+      SELECT doc_id, source, n_tokens, round(pr, 6) AS pr FROM r WHERE pr >= 0.75""")),
+
+    // Multi-probe sign-LSH near-dup pairs: probing every distance-1 bucket is
+    // EXACTLY "bucket Hamming <= 1", so the oracle is the all-pairs filter on
+    // that predicate — a closed-form differential check of the probe
+    // machinery (q28 is the single-bucket = distance-0 special case).
+    ("q63_multiprobe_pairs", (s: SparkSession, d: String) => {
+      Dedup.embeddingPairsMultiProbe(t(s, d, "embeddings"), "embedding", "vec_id",
+        signBits = 4, threshold = 0.3)
+    }, Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      b AS (SELECT vec_id, v,
+        list_sum(list_transform(range(1, 5), i -> CASE WHEN v[i] > 0 THEN CAST(power(2, 4 - i) AS BIGINT) ELSE 0 END)) AS bucket
+        FROM e)
+      SELECT a.vec_id AS id_a, b2.vec_id AS id_b,
+        round(list_cosine_similarity(a.v, b2.v), 6) AS cosine
+      FROM b a JOIN b b2 ON a.vec_id < b2.vec_id
+        AND bit_count(xor(a.bucket, b2.bucket)) <= 1
+      WHERE round(list_cosine_similarity(a.v, b2.v), 6) >= 0.3"""))
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =

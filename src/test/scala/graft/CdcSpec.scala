@@ -259,6 +259,30 @@ class CdcSpec extends SparkSuite {
     assert(yAfter == yBytes)
   }
 
+  test("crash window between swap renames recovers from .bak (no data loss)") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("cdc-crash-env").toFile
+    val tgt = Files.createTempDirectory("cdc-crash-tgt").toFile.getAbsolutePath + "/target"
+    val ckpt = Files.createTempDirectory("cdc-crash-ckpt").toFile.getAbsolutePath
+    Files.write(new java.io.File(dir, "b1.json").toPath,
+      """{"operationType":"insert","documentKey":"a","fullDocument":"{\"id\":\"a\",\"v\":1}","clusterTime":"2024-01-01T00:00:00.000Z"}"""
+        .getBytes("UTF-8"))
+    Dispatch.run(spark, dir.getAbsolutePath, tgt, ckpt, docSchema,
+      identity, "id", "id", "v").awaitTermination(60000)
+    // simulate dying between rename(tgt -> bak) and rename(tmp -> tgt): the
+    // accumulated state exists ONLY in .bak (the ADVICE r02 total-loss window)
+    assert(new java.io.File(tgt).renameTo(new java.io.File(tgt + ".bak")))
+    Files.write(new java.io.File(dir, "b2.json").toPath,
+      """{"operationType":"insert","documentKey":"b","fullDocument":"{\"id\":\"b\",\"v\":2}","clusterTime":"2024-01-02T00:00:00.000Z"}"""
+        .getBytes("UTF-8"))
+    Dispatch.run(spark, dir.getAbsolutePath, tgt, ckpt, docSchema,
+      identity, "id", "id", "v").awaitTermination(60000)
+    // the replayed/next batch restored .bak before reading: nothing lost
+    val got = spark.read.parquet(tgt).as[(String, Long)].collect().toSet
+    assert(got == Set(("a", 1L), ("b", 2L)))
+    assert(!new java.io.File(tgt + ".bak").exists())
+  }
+
   test("ST1-ST7 end-to-end: file-replayed stream -> foreachBatch -> parquet target") {
     import spark.implicits._
     val dir = Files.createTempDirectory("cdc-env").toFile
