@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Physical-plan assertions: the scale claims in PLANS.md/SCALING.md as
+  * enforced tests, so a refactor that silently loses pushdown, broadcast, a
+  * rank-limit, or map-side partials fails CI instead of surviving as a
+  * perf-only regression.
+  */
+class PlanSpec extends SparkSuite {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String = {
+    val df = Queries.queries(name)(spark, sfDir)
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("q05: filter and projection reach the parquet scan") {
+    val p = plan("q05_scan_project")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThan(l_shipdate"), p)
+    assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_extendedprice:double"), p)
+  }
+
+  test("q21: the bounded candidate side is broadcast, the left never shuffles") {
+    val p = plan("q21_fuzzy_top1")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
+  }
+
+  test("q58: both top-1 stages use the WindowGroupLimit rank pushdown") {
+    val p = plan("q58_places_backfill")
+    assert("WindowGroupLimit".r.findAllIn(p).size >= 2, p)
+  }
+
+  test("q01: aggregation is partial map-side before the exchange") {
+    val p = plan("q01_pricing_agg")
+    assert(p.contains("partial_sum"), p)
+  }
+
+  test("AQE splits a skewed sort-merge join at runtime") {
+    import spark.implicits._
+    val prev = Map(
+      "spark.sql.autoBroadcastJoinThreshold" -> spark.conf.get("spark.sql.autoBroadcastJoinThreshold"),
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> spark.conf.get("spark.sql.adaptive.skewJoin.skewedPartitionFactor"),
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> spark.conf.get("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes"),
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> spark.conf.get("spark.sql.adaptive.advisoryPartitionSizeInBytes"))
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      // tiny thresholds so the harness-sized hot key counts as skew
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "8KB")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8KB")
+      // 95% of facts share one key -> one reducer partition dwarfs the rest
+      val facts = spark.range(200000)
+        .select(when(col("id") % 20 =!= 0, lit(7L)).otherwise(col("id") % 40).as("k"),
+          col("id").as("payload"))
+      val dim = spark.range(40).select(col("id").as("k"), (col("id") * 2).as("attr"))
+      val joined = facts.join(dim, "k")
+      // execute THIS dataframe's own QueryExecution: count() wraps it in an
+      // agg and write() in a command, both with their OWN adaptive plan —
+      // collect() is what finalizes joined.queryExecution itself
+      assert(joined.collect().length == 200000)
+      val p = joined.queryExecution.executedPlan.toString
+      assert(p.contains("isFinalPlan=true"), p)
+      assert(p.contains("skew=true"),
+        s"expected AQE skew-join split in final plan:\n$p")
+    } finally prev.foreach { case (k, v) => spark.conf.set(k, v) }
+  }
+}
