@@ -1,0 +1,117 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.llm.Dedup
+
+/** Randomized differential properties over many seeds: each distributed
+  * algorithm vs an independent driver-side reference implementation. The
+  * planted-fixture specs prove specific behaviors; these sweep the input
+  * space for the cases nobody thought to plant.
+  */
+class PropertySpec extends SparkSuite {
+
+  test("connected components match driver-side union-find on random graphs") {
+    import spark.implicits._
+    for (seed <- 1 to 8) {
+      val rnd = new scala.util.Random(seed)
+      val n = 30
+      val edges = (for {
+        a <- 1 to n; b <- (a + 1) to n if rnd.nextDouble() < 0.04
+      } yield (a.toLong, b.toLong)).toSeq
+      // reference: plain union-find with path compression
+      val parent = Array.tabulate(n + 1)(identity)
+      def find(x: Int): Int = {
+        var r = x; while (parent(r) != r) r = parent(r)
+        var c = x; while (parent(c) != c) { val nx = parent(c); parent(c) = r; c = nx }
+        r
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expected = (1 to n).map { i =>
+        // component representative = min node id in the component
+        val root = find(i)
+        val minId = (1 to n).filter(j => find(j) == root).min
+        i.toLong -> minId.toLong
+      }.toMap
+      val pairsDf =
+        if (edges.isEmpty) Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+        else edges.toDF("id_a", "id_b")
+      val got = Dedup.connectedComponents(pairsDf, (1L to n.toLong).toDF("doc_id"),
+        "doc_id", maxIter = 30).as[(Long, Long)].collect().toMap
+      assert(got == expected, s"seed $seed: $got vs $expected")
+    }
+  }
+
+  test("swept simhash equals brute-force all-pairs over random hash sets") {
+    import spark.implicits._
+    for (seed <- 1 to 4) {
+      val rnd = new scala.util.Random(100 + seed)
+      val hashes = (1L to 40L).map { i =>
+        // mix of fully random hashes and low-hamming perturbations of others
+        if (i <= 25 || rnd.nextBoolean()) (i, rnd.nextLong())
+        else {
+          val base = rnd.nextLong()
+          val flips = (0 until rnd.nextInt(7)).map(_ => 1L << rnd.nextInt(64))
+          (i, flips.foldLeft(base)(_ ^ _))
+        }
+      }
+      // perturb some EXISTING entries so qualifying pairs actually occur
+      val perturbed = hashes ++ hashes.take(8).map { case (i, h) =>
+        (i + 100L, h ^ (1L << rnd.nextInt(64)) ^ (1L << rnd.nextInt(64)))
+      }
+      val df = perturbed.toDF("id", "sh")
+      val brute = df.select(col("id").as("id_a"), col("sh").as("sh_a"))
+        .crossJoin(df.select(col("id").as("id_b"), col("sh").as("sh_b")))
+        .filter(col("id_a") < col("id_b"))
+        .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
+        .filter(col("hamming") <= 6)
+        .select("id_a", "id_b", "hamming").as[(Long, Long, Int)].collect().toSet
+      val swept = Dedup.sweptPairsFromHashes(df, 7, 6)
+        .as[(Long, Long, Int)].collect().toSet
+      assert(swept == brute, s"seed $seed")
+    }
+  }
+
+  test("prefix-filtered jaccard equals brute force on random corpora") {
+    import spark.implicits._
+    for (seed <- 1 to 3) {
+      val rnd = new scala.util.Random(200 + seed)
+      val vocab = 30 + rnd.nextInt(40)
+      val rows = (1L to 25L).map { i =>
+        (i, (1 to 10 + rnd.nextInt(20)).map(_ => s"w${rnd.nextInt(vocab)}").mkString(" "))
+      }
+      val df = rows.toDF("doc_id", "text")
+      val t = 0.3 + rnd.nextInt(4) * 0.1
+      val brute = Dedup.bruteForceJaccardPairs(df, "text", "doc_id", 3, t)
+        .as[(Long, Long, Double)].collect().toSet
+      val pref = Dedup.jaccardPairsPrefix(df, "text", "doc_id", 3, t)
+        .as[(Long, Long, Double)].collect().toSet
+      assert(pref == brute, s"seed $seed threshold $t")
+    }
+  }
+
+  test("packing invariants hold across random workloads") {
+    import spark.implicits._
+    for (seed <- 1 to 4) {
+      val rnd = new scala.util.Random(300 + seed)
+      val maxTokens = 512L + rnd.nextInt(2048)
+      val docs = (1L to (100 + rnd.nextInt(300)).toLong)
+        .map(i => (i, 1L + rnd.nextInt(3000))).toSeq
+      val packs = graft.llm.Packing.packGreedy(
+        docs.toDF("doc_id", "n_tokens"), "doc_id", "n_tokens",
+        maxTokens, partitions = 1 + rnd.nextInt(6)).collect()
+      val packed = packs.flatMap(_.getSeq[Long](1))
+      assert(packed.sorted.toSeq == docs.map(_._1), s"seed $seed: not exactly-once")
+      val sizes = docs.toMap
+      packs.foreach { p =>
+        val ids = p.getSeq[Long](1)
+        val tot = p.getLong(3)
+        assert(tot == ids.map(sizes).sum, s"seed $seed: total mismatch")
+        assert(tot <= maxTokens || ids.size == 1, s"seed $seed: over budget")
+      }
+    }
+  }
+}
