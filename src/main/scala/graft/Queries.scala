@@ -1053,7 +1053,64 @@ object Queries {
         round(list_cosine_similarity(a.v, b2.v), 6) AS cosine
       FROM b a JOIN b b2 ON a.vec_id < b2.vec_id
         AND bit_count(xor(a.bucket, b2.bucket)) <= 1
-      WHERE round(list_cosine_similarity(a.v, b2.v), 6) >= 0.3"""))
+      WHERE round(list_cosine_similarity(a.v, b2.v), 6) >= 0.3""")),
+
+    // PIVOT: long -> wide with explicit pivot values (explicit so the output
+    // schema is static — a dynamic pivot would need a pre-scan). The oracle
+    // is the engine-neutral CASE-sum formulation.
+    ("q64_pivot", (s: SparkSession, d: String) => {
+      t(s, d, "events")
+        .groupBy("user_id")
+        .pivot("event_type", Seq("click", "view", "purchase"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .withColumnsRenamed(Map("click" -> "n_click", "view" -> "n_view",
+          "purchase" -> "n_purchase"))
+    }, Some("""SELECT user_id,
+      count(*) FILTER (WHERE event_type = 'click') AS n_click,
+      count(*) FILTER (WHERE event_type = 'view') AS n_view,
+      count(*) FILTER (WHERE event_type = 'purchase') AS n_purchase
+      FROM events GROUP BY user_id""")),
+
+    // UNPIVOT: wide -> long (Dataset.unpivot / melt); oracle is UNION ALL.
+    ("q65_unpivot", (s: SparkSession, d: String) => {
+      t(s, d, "lineitem").filter(col("l_orderkey") < 100)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity"), col("l_extendedprice"), col("l_discount"))
+        .unpivot(
+          Array(col("l_orderkey"), col("l_linenumber")),
+          Array(col("l_quantity"), col("l_extendedprice"), col("l_discount")),
+          "measure", "value")
+    }, Some("""SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure, l_quantity AS value
+        FROM lineitem WHERE l_orderkey < 100
+      UNION ALL SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice
+        FROM lineitem WHERE l_orderkey < 100
+      UNION ALL SELECT l_orderkey, l_linenumber, 'l_discount', l_discount
+        FROM lineitem WHERE l_orderkey < 100""")),
+
+    // Window-function suite: lag/lead/ntile/cume_dist/running first+last in
+    // one pass over each user's event-time order.
+    ("q66_window_suite", (s: SparkSession, d: String) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      t(s, d, "events").select(
+        col("event_id"), col("user_id"),
+        lag(col("value"), 1).over(w).as("prev_value"),
+        lead(col("value"), 1).over(w).as("next_value"),
+        ntile(4).over(w).as("quartile"),
+        round(cume_dist().over(w), 6).as("cd"),
+        first(col("event_id")).over(w).as("first_event"),
+        last(col("event_id")).over(w).as("last_event"))
+    }, Some(s"""SELECT event_id, user_id,
+      lag(value, 1) OVER w AS prev_value,
+      lead(value, 1) OVER w AS next_value,
+      CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+      round(cume_dist() OVER w, 6) AS cd,
+      first_value(event_id) OVER w AS first_event,
+      last_value(event_id) OVER w AS last_event
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY $tsUs, event_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"""))
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =
