@@ -1110,7 +1110,27 @@ object Queries {
       last_value(event_id) OVER w AS last_event
       FROM events
       WINDOW w AS (PARTITION BY user_id ORDER BY $tsUs, event_id
-        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"""))
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""")),
+
+    // Time-series gap fill: hour spine x keys, missing hours as zero rows
+    // ("no row" and "zero events" are different facts). The spine is
+    // sequence-exploded from one bounds row; only the aggregated counts join
+    // against it.
+    ("q67_gap_fill", (s: SparkSession, d: String) => {
+      graft.ops.TemporalJoin.hourlyGapFill(
+        t(s, d, "events").filter(col("user_id") < 5), "ts", "event_type")
+    }, Some("""WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS ts, event_type
+        FROM events WHERE user_id < 5),
+      hourly AS (SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n
+        FROM e GROUP BY 1, 2),
+      spine AS (SELECT unnest(generate_series(
+          (SELECT date_trunc('hour', min(ts)) FROM e),
+          (SELECT date_trunc('hour', max(ts)) FROM e),
+          INTERVAL 1 HOUR)) AS hour),
+      keys AS (SELECT DISTINCT event_type FROM e)
+      SELECT s.hour, k.event_type, coalesce(h.n, 0) AS n
+      FROM spine s CROSS JOIN keys k
+      LEFT JOIN hourly h ON h.hour = s.hour AND h.event_type = k.event_type"""))
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =

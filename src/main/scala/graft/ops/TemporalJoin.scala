@@ -87,4 +87,30 @@ object TemporalJoin {
         byKey.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .drop("__prev", "__new")
   }
+
+  /** Time-series GAP FILL: hourly counts per key with missing hours emitted
+    * as zero rows — the resample step every downstream time-series consumer
+    * (alerting, charting, forecasting) needs, since "no row" and "zero
+    * events" are different facts.
+    *
+    * Scale shape: the hour SPINE is `sequence(min, max, 1 hour)` exploded
+    * from a single global-bounds row — O(hours), tiny, and the spine×keys
+    * frame is broadcast against the aggregated (not raw) counts, so the only
+    * full-data cost is the one keyed aggregation the un-filled query already
+    * pays.
+    */
+  def hourlyGapFill(df: DataFrame, tsCol: String, keyCol: String): DataFrame = {
+    val hourly = df
+      .groupBy(date_trunc("hour", col(tsCol)).as("hour"), col(keyCol))
+      .agg(count(lit(1)).as("n"))
+    val spine = df.agg(
+        date_trunc("hour", min(col(tsCol))).as("lo"),
+        date_trunc("hour", max(col(tsCol))).as("hi"))
+      .select(explode(sequence(col("lo"), col("hi"),
+        expr("INTERVAL 1 HOUR"))).as("hour"))
+    val keys = df.select(col(keyCol)).distinct()
+    spine.crossJoin(keys)
+      .join(hourly, Seq("hour", keyCol), "left")
+      .select(col("hour"), col(keyCol), coalesce(col("n"), lit(0L)).as("n"))
+  }
 }
