@@ -1130,7 +1130,19 @@ object Queries {
       keys AS (SELECT DISTINCT event_type FROM e)
       SELECT s.hour, k.event_type, coalesce(h.n, 0) AS n
       FROM spine s CROSS JOIN keys k
-      LEFT JOIN hourly h ON h.hour = s.hour AND h.event_type = k.event_type"""))
+      LEFT JOIN hourly h ON h.hour = s.hour AND h.event_type = k.event_type""")),
+
+    // Explicit GROUPING SETS (the general form rollup/cube specialize):
+    // disjoint per-dimension totals + grand total in one Expand pass. Both
+    // grouping columns are non-null in the data, so NULL markers are
+    // unambiguous.
+    ("q68_grouping_sets", (s: SparkSession, d: String) => {
+      t(s, d, "orders").createOrReplaceTempView("v_orders_gs")
+      s.sql("""SELECT o_orderstatus, o_orderpriority, count(*) AS n
+        FROM v_orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""")
+    }, Some("""SELECT o_orderstatus, o_orderpriority, count(*) AS n
+      FROM orders GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())"""))
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =
