@@ -103,12 +103,13 @@ object TemporalJoin {
     val hourly = df
       .groupBy(date_trunc("hour", col(tsCol)).as("hour"), col(keyCol))
       .agg(count(lit(1)).as("n"))
-    val spine = df.agg(
-        date_trunc("hour", min(col(tsCol))).as("lo"),
-        date_trunc("hour", max(col(tsCol))).as("hi"))
+      // bounds and keys both derive from this O(hours x keys) frame below;
+      // persisting it keeps the raw input to ONE scan + keyed aggregation
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    val spine = hourly.agg(min(col("hour")).as("lo"), max(col("hour")).as("hi"))
       .select(explode(sequence(col("lo"), col("hi"),
         expr("INTERVAL 1 HOUR"))).as("hour"))
-    val keys = df.select(col(keyCol)).distinct()
+    val keys = hourly.select(col(keyCol)).distinct()
     spine.crossJoin(keys)
       .join(hourly, Seq("hour", keyCol), "left")
       .select(col("hour"), col(keyCol), coalesce(col("n"), lit(0L)).as("n"))

@@ -11,9 +11,24 @@ class PlanSpec extends SparkSuite {
 
   private val sfDir = "/root/testdata/sf0.001"
 
+  /** Static (pre-execution) plan string: what the PLANNER emitted. Right for
+    * scan-level facts (pushdown, read schema, partial aggregation modes,
+    * rank limits) that AQE never revisits.
+    */
   private def plan(name: String): String = {
     val df = Queries.queries(name)(spark, sfDir)
     df.queryExecution.executedPlan.toString
+  }
+
+  /** FINAL adaptive plan: executes the query so AQE's runtime re-planning is
+    * reflected — required for join-strategy claims, which AQE may change.
+    */
+  private def finalPlan(name: String): String = {
+    val df = Queries.queries(name)(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("isFinalPlan=false"), s"plan never finalized:\n$p")
+    p
   }
 
   test("q05: filter and projection reach the parquet scan") {
@@ -22,8 +37,8 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_extendedprice:double"), p)
   }
 
-  test("q21: the bounded candidate side is broadcast, the left never shuffles") {
-    val p = plan("q21_fuzzy_top1")
+  test("q21: the bounded candidate side is broadcast in the FINAL plan") {
+    val p = finalPlan("q21_fuzzy_top1")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
   }
 
