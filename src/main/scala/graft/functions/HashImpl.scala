@@ -28,4 +28,44 @@ object HashImpl {
     }
     UTF8String.fromBytes(hex)
   }
+
+  /** All k-gram Karp–Rabin hashes of a string's UTF-8 bytes in ONE pass:
+    * Horner polynomial `h = h*31 + byte` over each k-byte window, maintained
+    * rolling (subtract the outgoing byte's 31^(k-1) term, shift, add the
+    * incoming byte). O(1) per position vs a full digest per position — the
+    * winnowing gram stream is the hot path this replaces. Long arithmetic
+    * wraps mod 2^64, which the DuckDB oracle replays with HUGEINT math.
+    * Strings shorter than k produce their single whole-string hash.
+    */
+  def gramHashes(s: UTF8String, k: Int): Array[Long] = {
+    val bytes = s.getBytes
+    val len = bytes.length
+    val ng = math.max(len - k + 1, 1)
+    val out = new Array[Long](ng)
+    if (len <= k) {
+      var h = 0L
+      var j = 0
+      while (j < len) { h = h * 31 + (bytes(j) & 0xff); j += 1 }
+      out(0) = h
+    } else {
+      var h = 0L
+      var j = 0
+      while (j < k) { h = h * 31 + (bytes(j) & 0xff); j += 1 }
+      out(0) = h
+      var pow = 1L
+      j = 0
+      while (j < k - 1) { pow *= 31; j += 1 }
+      var i = 1
+      while (i < ng) {
+        h = (h - (bytes(i - 1) & 0xff) * pow) * 31 + (bytes(i + k - 1) & 0xff)
+        out(i) = h
+        i += 1
+      }
+    }
+    out
+  }
+
+  /** [[gramHashes]] boxed for the codegen call site. */
+  def gramHashesData(s: UTF8String, k: Int): org.apache.spark.sql.catalyst.util.ArrayData =
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(gramHashes(s, k))
 }

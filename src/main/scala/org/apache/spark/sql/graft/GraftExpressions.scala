@@ -149,6 +149,32 @@ case class FastMd5(child: Expression)
     copy(child = newChild)
 }
 
+/** All k-gram Karp–Rabin rolling hashes of a string in one expression call:
+  * `array<long>` of length max(len-k+1, 1). O(1) amortized per position
+  * where the md5-per-position formulation pays a full digest each — the
+  * winnowing gram stream's hot path (llm/TextStats.winnowFingerprints).
+  */
+case class GramHashes(child: Expression, k: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with ExpectsInputTypes {
+  require(k >= 1, s"gram size k must be >= 1, got $k")
+
+  override def dataType: DataType = ArrayType(org.apache.spark.sql.types.LongType,
+    containsNull = false)
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "gram_hashes"
+
+  override protected def nullSafeEval(in: Any): Any =
+    graft.functions.HashImpl.gramHashesData(in.asInstanceOf[UTF8String], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.functions.HashImpl.gramHashesData($a, $k)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** SQL-surface registration of the native expressions, so `spark.sql` text
   * can call `fuzz_ratio`, `cosine_similarity`, `dot_product`, `simhash64`.
   * Two entry points: [[GraftExtensions]] for
@@ -236,6 +262,9 @@ object GraftColumns {
 
   def fastMd5(c: Column): Column =
     ExpressionUtils.column(FastMd5(ExpressionUtils.expression(c)))
+
+  def gramHashes(c: Column, k: Int): Column =
+    ExpressionUtils.column(GramHashes(ExpressionUtils.expression(c), k))
 
   def fuzzRatio(a: Column, b: Column): Column =
     ExpressionUtils.column(FuzzRatio(

@@ -349,6 +349,33 @@ class LlmSpec extends SparkSuite {
     val relational = TextStats.winnowFingerprints(df, "doc_id", "text", 8, 16)
       .as[(Long, Long)].collect().groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
     assert(relational == fps.map { case (k, v) => k -> v.toSet })
+    // the rolling-hash variant keeps the winnowing GUARANTEE (different hash
+    // values, same shared-substring property)
+    val rolling = TextStats.winnowFingerprintsRolling(df, "doc_id", "text", 8, 16)
+      .as[(Long, Long)].collect().groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    assert(rolling(1L).intersect(rolling(2L)).nonEmpty)
+    assert(rolling(1L).intersect(rolling(3L)).isEmpty)
+  }
+
+  test("rolling gram hashes match a direct Horner computation, incl. short/empty") {
+    import spark.implicits._
+    def direct(s: String, k: Int): Seq[Long] = {
+      val b = s.getBytes("UTF-8")
+      val ng = math.max(b.length - k + 1, 1)
+      (0 until ng).map { i =>
+        b.slice(i, math.min(i + k, b.length))
+          .foldLeft(0L)((h, c) => h * 31 + (c & 0xff))
+      }
+    }
+    val texts = Seq("", "ab", "exactly8", "a longer text with many grams to roll over",
+      "unicode: héllo wörld ✓")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    val got = df.select(col("id"),
+        org.apache.spark.sql.graft.GraftColumns.gramHashes(col("text"), 8).as("g"))
+      .as[(Long, Seq[Long])].collect().toMap
+    texts.zipWithIndex.foreach { case (t, i) =>
+      assert(got(i.toLong) == direct(t, 8), s"text '$t'")
+    }
   }
 
   test("text stats: token counts, punct, quality bounds") {
