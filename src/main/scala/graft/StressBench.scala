@@ -72,7 +72,7 @@ object StressBench {
       time("minhash_pairs", f)(
         graft.llm.Dedup.minhashPairs(docsTimes(f), "text", "doc_id", 3, 16, 4, 0.5))
       time("winnow", f)(
-        graft.llm.TextStats.winnowFingerprints(docsTimes(f), "doc_id", "text", 8, 16))
+        graft.llm.TextStats.winnowFingerprintsRolling(docsTimes(f), "doc_id", "text", 8, 16))
       time("topk_agg", f)({
         val e = embTimes(f)
         graft.llm.SimSearch.bruteForceTopKAgg(
