@@ -1157,7 +1157,30 @@ object Queries {
         FROM v_orders_gs
         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""")
     }, Some("""SELECT o_orderstatus, o_orderpriority, count(*) AS n
-      FROM orders GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())"""))
+      FROM orders GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""")),
+
+    // Date/time function suite: weekday (aligned to Spark's 1=Sunday),
+    // quarter, ISO week, day diff, month-end, clamped month addition.
+    ("q69_date_funcs", (s: SparkSession, d: String) => {
+      t(s, d, "orders").filter(col("o_orderkey") < 2000)
+        .select(
+          col("o_orderkey"),
+          dayofweek(col("o_orderdate")).as("dow"),
+          quarter(col("o_orderdate")).as("qtr"),
+          weekofyear(col("o_orderdate")).as("woy"),
+          datediff(lit("1998-12-31").cast("date"), col("o_orderdate")).as("days_to_end"),
+          // DATE results go out as timestamps: the dump/compare pipeline is
+          // µs-timestamp-canonical (pandas reads parquet DATE as object)
+          last_day(col("o_orderdate")).cast("timestamp").as("month_end"),
+          add_months(col("o_orderdate"), 3).cast("timestamp").as("plus3m"))
+    }, Some("""SELECT o_orderkey,
+      CAST(dayofweek(o_orderdate) + 1 AS INTEGER) AS dow,
+      CAST(quarter(o_orderdate) AS INTEGER) AS qtr,
+      CAST(weekofyear(o_orderdate) AS INTEGER) AS woy,
+      CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '1998-12-31') AS INTEGER) AS days_to_end,
+      CAST(last_day(CAST(o_orderdate AS DATE)) AS TIMESTAMP) AS month_end,
+      CAST(CAST(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS DATE) AS TIMESTAMP) AS plus3m
+      FROM orders WHERE o_orderkey < 2000"""))
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =
