@@ -34,6 +34,36 @@ object Sources {
       .select(col("key"), col("value.*"))
   }
 
+  /** CSV with declared schema and corrupt-record routing — same contract as
+    * [[jsonWithCorruptRouting]]: parse failures are banked, not crashed on or
+    * silently nulled.
+    */
+  def csvWithCorruptRouting(spark: SparkSession, path: String,
+                            schema: StructType, deadLetterPath: String,
+                            runTs: java.sql.Timestamp,
+                            header: Boolean = true): DataFrame = {
+    val withCorrupt = schema.add("_corrupt_record", StringType)
+    val raw = spark.read.schema(withCorrupt)
+      .option("header", header)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .csv(path)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    Sinks.deadLetter(
+      raw.filter(col("_corrupt_record").isNotNull).select(col("_corrupt_record").as("raw")),
+      deadLetterPath, runTs)
+    raw.filter(col("_corrupt_record").isNull).drop("_corrupt_record")
+  }
+
+  /** Whole-file binary ingestion (`binaryFile` source): one row per file with
+    * (path, modificationTime, length, content) — the ingest seam for the
+    * multimodal pipeline (llm/Multimodal expects opaque binary payloads).
+    * Spark parallelizes per file; pair with `pathGlobFilter` for extension
+    * routing.
+    */
+  def binaryDir(spark: SparkSession, dir: String, glob: String = "*"): DataFrame =
+    spark.read.format("binaryFile").option("pathGlobFilter", glob).load(dir)
+
   /** Line-JSON read with corrupt-record ROUTING: well-formed rows parse
     * against `schema`; malformed lines land in the dead-letter sink with the
     * raw text preserved instead of crashing the batch (FAILFAST) or silently

@@ -58,6 +58,62 @@ class SourcesSpec extends SparkSuite {
     assert(rows.count() == 1)
   }
 
+  test("CSV with corrupt routing parses good rows and banks bad ones") {
+    import spark.implicits._
+    val f = Files.createTempFile("rows", ".csv")
+    Files.writeString(f,
+      """id,v
+        |a,1
+        |b,not-a-number
+        |c,3""".stripMargin)
+    val dlq = Files.createTempDirectory("csv-dlq").toString
+    val schema = StructType(Seq(StructField("id", StringType), StructField("v", LongType)))
+    val good = Sources.csvWithCorruptRouting(spark, f.toString, schema, dlq,
+      java.sql.Timestamp.valueOf("2024-03-04 09:00:00"))
+    assert(good.as[(String, Long)].collect().toSet == Set(("a", 1L), ("c", 3L)))
+    assert(spark.read.json(s"$dlq/failed_20240304090000").count() == 1)
+  }
+
+  test("ORC round-trips through write and read") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("orc").toString + "/t"
+    val df = Seq((1L, "a", 1.5), (2L, "b", 2.5)).toDF("id", "name", "x")
+    df.write.orc(dir)
+    val back = spark.read.orc(dir)
+    // file formats read everything back nullable; compare names/types
+    assert(back.schema.fields.map(f => (f.name, f.dataType)).toSeq ==
+      df.schema.fields.map(f => (f.name, f.dataType)).toSeq)
+    assert(back.as[(Long, String, Double)].collect().toSet ==
+      Set((1L, "a", 1.5), (2L, "b", 2.5)))
+  }
+
+  test("binaryFile source ingests whole files with metadata, glob-filtered") {
+    val dir = Files.createTempDirectory("bin")
+    Files.write(dir.resolve("a.img"), Array[Byte](1, 2, 3))
+    Files.write(dir.resolve("b.img"), Array[Byte](4, 5))
+    Files.write(dir.resolve("skip.txt"), "text".getBytes)
+    val got = Sources.binaryDir(spark, dir.toString, "*.img")
+      .select("path", "length", "content").collect()
+    assert(got.length == 2)
+    assert(got.map(_.getLong(1)).sorted.toSeq == Seq(2L, 3L))
+    val byName = got.map(r => r.getString(0).split('/').last ->
+      r.getAs[Array[Byte]](2).toSeq).toMap
+    assert(byName("a.img") == Seq[Byte](1, 2, 3))
+  }
+
+  test("schema evolution: mergeSchema unions parquet columns across batches") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("evolve").toString + "/t"
+    Seq((1L, "a")).toDF("id", "v").write.parquet(dir)
+    Seq((2L, "b", 9.5)).toDF("id", "v", "score").write.mode("append").parquet(dir)
+    val merged = spark.read.option("mergeSchema", "true").parquet(dir)
+    assert(merged.columns.toSet == Set("id", "v", "score"))
+    import org.apache.spark.sql.functions.col
+    val rows = merged.select(col("id"), col("score")).as[(Long, Option[Double])]
+      .collect().toMap
+    assert(rows == Map(1L -> None, 2L -> Some(9.5)))
+  }
+
   test("corrupt JSON lines route to the dead-letter sink; good rows parse") {
     import spark.implicits._
     val f = Files.createTempFile("mixed", ".json")
