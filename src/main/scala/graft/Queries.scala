@@ -1180,7 +1180,51 @@ object Queries {
       CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '1998-12-31') AS INTEGER) AS days_to_end,
       CAST(last_day(CAST(o_orderdate AS DATE)) AS TIMESTAMP) AS month_end,
       CAST(CAST(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS DATE) AS TIMESTAMP) AS plus3m
-      FROM orders WHERE o_orderkey < 2000"""))
+      FROM orders WHERE o_orderkey < 2000""")),
+
+    // RANGE window frame over event-time seconds: each event's trailing
+    // 1-hour running aggregate per user — value-based frames are what ROWS
+    // frames can't express when event spacing is irregular.
+    ("q70_range_frame", (s: SparkSession, d: String) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(unix_timestamp(col("ts")))
+        .rangeBetween(-3600L, 0L)
+      t(s, d, "events").filter(col("user_id") < 20)
+        .select(col("event_id"), col("user_id"), col("ts"),
+          count(lit(1)).over(w).as("n_1h"),
+          sum(col("value").cast("decimal(18,6)")).over(w)
+            .cast("double").as("sum_1h"))
+    }, Some(s"""SELECT event_id, user_id, $tsUs AS ts,
+      count(*) OVER w AS n_1h,
+      CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE) AS sum_1h
+      FROM events WHERE user_id < 20
+      WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us($tsUs) // 1000000
+        RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)""")),
+
+    // Higher-order array functions as a surfaced operator: transform /
+    // filter / aggregate / zip_with / sort over the token array, mirrored by
+    // DuckDB's list_* family.
+    ("q71_array_hof", (s: SparkSession, d: String) => {
+      t(s, d, "documents").filter(col("doc_id") < 200)
+        .select(col("doc_id"), TextStats.tokens(col("text")).as("toks"))
+        .select(
+          col("doc_id"),
+          transform(col("toks"), t => length(t)).as("lens"),
+          size(filter(col("toks"), t => length(t) > 5)).as("n_long"),
+          aggregate(col("toks"), lit(0L), (acc, t) => acc + length(t)).as("total_chars"),
+          array_join(slice(array_sort(col("toks")), 1, 3), ",").as("first3_sorted"))
+        .select(col("doc_id"),
+          aggregate(col("lens"), lit(0L), (a, x) => a + x).as("len_sum"),
+          col("n_long"), col("total_chars"), col("first3_sorted"))
+    }, Some("""WITH b AS (SELECT doc_id,
+        list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS toks
+        FROM documents WHERE doc_id < 200)
+      SELECT doc_id,
+        CAST(list_sum(list_transform(toks, t -> length(t))) AS BIGINT) AS len_sum,
+        CAST(len(list_filter(toks, t -> length(t) > 5)) AS INTEGER) AS n_long,
+        CAST(list_sum(list_transform(toks, t -> length(t))) AS BIGINT) AS total_chars,
+        array_to_string(list_sort(toks)[1:3], ',') AS first3_sorted
+      FROM b"""))
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =
