@@ -1220,9 +1220,9 @@ object Queries {
         list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS toks
         FROM documents WHERE doc_id < 200)
       SELECT doc_id,
-        CAST(list_sum(list_transform(toks, t -> length(t))) AS BIGINT) AS len_sum,
+        CAST(COALESCE(list_sum(list_transform(toks, t -> length(t))), 0) AS BIGINT) AS len_sum,
         CAST(len(list_filter(toks, t -> length(t) > 5)) AS INTEGER) AS n_long,
-        CAST(list_sum(list_transform(toks, t -> length(t))) AS BIGINT) AS total_chars,
+        CAST(COALESCE(list_sum(list_transform(toks, t -> length(t))), 0) AS BIGINT) AS total_chars,
         array_to_string(list_sort(toks)[1:3], ',') AS first3_sorted
       FROM b"""))
   )

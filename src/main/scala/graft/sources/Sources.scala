@@ -42,17 +42,12 @@ object Sources {
                             schema: StructType, deadLetterPath: String,
                             runTs: java.sql.Timestamp,
                             header: Boolean = true): DataFrame = {
-    val withCorrupt = schema.add("_corrupt_record", StringType)
-    val raw = spark.read.schema(withCorrupt)
+    val raw = spark.read.schema(schema.add("_corrupt_record", StringType))
       .option("header", header)
       .option("mode", "PERMISSIVE")
       .option("columnNameOfCorruptRecord", "_corrupt_record")
       .csv(path)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
-    Sinks.deadLetter(
-      raw.filter(col("_corrupt_record").isNotNull).select(col("_corrupt_record").as("raw")),
-      deadLetterPath, runTs)
-    raw.filter(col("_corrupt_record").isNull).drop("_corrupt_record")
+    corruptRouting(raw, deadLetterPath, runTs)
   }
 
   /** Whole-file binary ingestion (`binaryFile` source): one row per file with
@@ -74,17 +69,26 @@ object Sources {
   def jsonWithCorruptRouting(spark: SparkSession, path: String,
                              schema: StructType, deadLetterPath: String,
                              runTs: java.sql.Timestamp): DataFrame = {
-    val withCorrupt = schema.add("_corrupt_record", StringType)
-    val raw = spark.read.schema(withCorrupt)
+    val raw = spark.read.schema(schema.add("_corrupt_record", StringType))
       .option("mode", "PERMISSIVE")
       .option("columnNameOfCorruptRecord", "_corrupt_record")
       .json(path)
-      // Spark refuses to filter on only the corrupt column of a lazy parse;
-      // materialize the split once
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    corruptRouting(raw, deadLetterPath, runTs)
+  }
+
+  /** Shared corrupt-record split: malformed rows (raw text in
+    * `_corrupt_record`) go to the dead-letter sink, parsed rows are
+    * returned. The persist is load-bearing twice over: Spark refuses to
+    * filter on ONLY the corrupt column of a lazy parse, and the two legs
+    * must not re-read (and re-classify) the source independently.
+    */
+  private def corruptRouting(raw: DataFrame, deadLetterPath: String,
+                             runTs: java.sql.Timestamp): DataFrame = {
+    val pinned = raw.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     Sinks.deadLetter(
-      raw.filter(col("_corrupt_record").isNotNull).select(col("_corrupt_record").as("raw")),
+      pinned.filter(col("_corrupt_record").isNotNull)
+        .select(col("_corrupt_record").as("raw")),
       deadLetterPath, runTs)
-    raw.filter(col("_corrupt_record").isNull).drop("_corrupt_record")
+    pinned.filter(col("_corrupt_record").isNull).drop("_corrupt_record")
   }
 }
