@@ -30,6 +30,20 @@ object Multimodal {
       col(textCol).cast("binary").as("payload"),
       lit("application/octet-stream").as("mime"))
 
+  /** Media rows straight from a directory of files: the `binaryFile` source
+    * (one row per file, whole-payload) mapped into the pipeline's media
+    * shape. doc_id is a stable hash of the path — files carry no natural
+    * long key; mime from the extension (a production reader sniffs magic
+    * bytes in the decoder).
+    */
+  def fromBinaryDir(spark: org.apache.spark.sql.SparkSession, dir: String,
+                    glob: String = "*"): DataFrame =
+    graft.sources.Sources.binaryDir(spark, dir, glob).select(
+      xxhash64(col("path")).as("doc_id"),
+      col("content").as("payload"),
+      concat(lit("application/"),
+        element_at(split(col("path"), "\\."), -1)).as("mime"))
+
   /** Columnar "decode": deterministic metadata from the payload bytes, kept
     * as pure expressions so the scan+decode stays whole-stage-codegen'd.
     * width/height formulas are the FAKE — a real decoder reads the header.

@@ -203,7 +203,14 @@ object GraftFunctions {
       (es: Seq[Expression]) => DotProduct(toDoubleArray(es(0)), toDoubleArray(es(1)))),
     (FunctionIdentifier("simhash64"),
       new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
-      (es: Seq[Expression]) => SimHash64(es(0))))
+      (es: Seq[Expression]) => SimHash64(es(0))),
+    (FunctionIdentifier("gram_hashes"),
+      new ExpressionInfo(classOf[GramHashes].getName, "gram_hashes"),
+      (es: Seq[Expression]) => GramHashes(es(0), es(1) match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(k: Int, _) => k
+        case other => throw new IllegalArgumentException(
+          s"gram_hashes: k must be an integer literal, got $other")
+      })))
 
   /** Register on an existing session (temp functions in its registry). */
   def registerAll(spark: SparkSession): Unit = {

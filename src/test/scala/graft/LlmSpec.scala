@@ -357,6 +357,29 @@ class LlmSpec extends SparkSuite {
     assert(rolling(1L).intersect(rolling(3L)).isEmpty)
   }
 
+  test("binaryFile dir -> media shape -> partitioned decode composes") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("media")
+    java.nio.file.Files.write(dir.resolve("x.img"), Array.fill[Byte](100)(1))
+    java.nio.file.Files.write(dir.resolve("y.img"), Array.fill[Byte](250)(2))
+    val media = graft.llm.Multimodal.fromBinaryDir(spark, dir.toString, "*.img")
+    assert(media.columns.toSeq == Seq("doc_id", "payload", "mime"))
+    assert(media.select("mime").as[String].collect().forall(_ == "application/img"))
+    val decoded = graft.llm.Multimodal.decodePartitioned(
+      media.as[graft.llm.Multimodal.MediaRow]).collect()
+    assert(decoded.map(_.n_bytes).sorted.toSeq == Seq(100L, 250L))
+    assert(decoded.forall(d => d.width == (d.n_bytes % 640 + 1).toInt))
+  }
+
+  test("gram_hashes is callable from SQL text") {
+    org.apache.spark.sql.graft.GraftFunctions.registerAll(spark)
+    val got = spark.sql("SELECT gram_hashes('abcdefghij', 8) AS g")
+      .head().getSeq[Long](0)
+    assert(got.length == 3) // 10 bytes, k=8 -> 3 positions
+    assert(got.head == "abcdefgh".getBytes("UTF-8")
+      .foldLeft(0L)((h, c) => h * 31 + (c & 0xff)))
+  }
+
   test("rolling gram hashes match a direct Horner computation, incl. short/empty") {
     import spark.implicits._
     def direct(s: String, k: Int): Seq[Long] = {
