@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.functions.Fuzzy
-import graft.llm.{Dedup, Multimodal, SimSearch, TextStats}
+import graft.llm.{Dedup, Multimodal, Retrieval, SimSearch, TextStats}
 import graft.ops.{Flatten, FuzzyJoin, Integrity, Upsert}
 
 /** The oracle-checked query registry — one entry per implemented operator
@@ -1224,7 +1224,53 @@ object Queries {
         CAST(len(list_filter(toks, t -> length(t) > 5)) AS INTEGER) AS n_long,
         CAST(COALESCE(list_sum(list_transform(toks, t -> length(t))), 0) AS BIGINT) AS total_chars,
         array_to_string(list_sort(toks)[1:3], ',') AS first3_sorted
-      FROM b"""))
+      FROM b""")),
+
+    // BM25 keyword retrieval on an INVERTED-INDEX join: candidates come from
+    // the postings-equi-join on term (|postings of query terms|, never
+    // |corpus|), corpus stats ride a broadcast one-row aggregate. The oracle
+    // replays postings, df, dl, and the exact scoring expression tree; the
+    // idf is rounded at source (ln is the one libm kernel), the rest is
+    // correctly-rounded IEEE arithmetic identical in both engines.
+    ("q72_bm25", (s: SparkSession, d: String) => {
+      import s.implicits._
+      val qs = Seq(
+        (0L, "spark join hash"), (1L, "vector stream merge"),
+        (2L, "customer order window"), (3L, "slow scan filter table"))
+        .toDF("query_id", "qtext")
+      Retrieval.bm25TopK(t(s, d, "documents"), "doc_id", "text",
+        qs, "query_id", "qtext", k = 10)
+    }, Some("""WITH d AS (SELECT doc_id,
+        list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> x <> '') AS toks
+        FROM documents),
+      post AS (SELECT doc_id, term, count(*) AS tf
+        FROM (SELECT doc_id, unnest(toks) AS term FROM d) GROUP BY doc_id, term),
+      dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM post GROUP BY doc_id),
+      stats AS (SELECT count(*) AS n_docs,
+        CAST(CAST(sum(dl) AS BIGINT) AS DOUBLE) / count(*) AS avgdl FROM dl),
+      tdf AS (SELECT term, count(*) AS df FROM post GROUP BY term),
+      q(query_id, qtext) AS (VALUES
+        (0::BIGINT, 'spark join hash'), (1::BIGINT, 'vector stream merge'),
+        (2::BIGINT, 'customer order window'), (3::BIGINT, 'slow scan filter table')),
+      qt AS (SELECT DISTINCT query_id,
+        unnest(list_filter(string_split_regex(trim(lower(qtext)), '\s+'), x -> x <> '')) AS term
+        FROM q),
+      sc AS (SELECT qt.query_id, post.doc_id,
+          round(ln(1.0 + (stats.n_docs - tdf.df + 0.5) / (tdf.df + 0.5)), 6)
+            * (post.tf * (1.2 + 1.0))
+            / (post.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / stats.avgdl)) AS contrib
+        FROM post JOIN qt ON post.term = qt.term
+        JOIN tdf ON post.term = tdf.term
+        JOIN dl ON post.doc_id = dl.doc_id
+        CROSS JOIN stats),
+      pd AS (SELECT query_id, doc_id,
+          round(CAST(SUM(CAST(contrib AS DECIMAL(18,6))) AS DOUBLE), 4) AS score
+        FROM sc GROUP BY query_id, doc_id),
+      rk AS (SELECT query_id, doc_id, score,
+          CAST(row_number() OVER (PARTITION BY query_id
+            ORDER BY score DESC, doc_id) AS INTEGER) AS rank
+        FROM pd)
+      SELECT query_id, doc_id, score, rank FROM rk WHERE rank <= 10"""))
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -1,0 +1,71 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Keyword retrieval over the corpus: BM25 scoring on an INVERTED-INDEX
+  * join — the lexical twin of SimSearch's embedding top-k, and the shape
+  * every training-data pipeline uses for targeted corpus slicing ("find the
+  * docs about X to up/down-sample").
+  *
+  * Scale design: the index is relational — (term, doc, tf) rows — so
+  * query-document candidate generation is an equi-join ON TERM: only
+  * documents containing a query term are ever scored (|postings of query
+  * terms|, not |corpus|). Corpus statistics (N, avgdl) are one-row
+  * aggregates broadcast into the scorer; document frequencies ride the
+  * term join. Everything is keyed joins + aggregations; scores are rounded
+  * and tie-pinned so ranking is deterministic and oracle-replayable.
+  */
+object Retrieval {
+
+  /** (doc, term, tf) postings plus per-document length. */
+  def postings(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+        explode(TextStats.tokens(lower(col(textCol)))).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+
+  /** BM25 top-k: standard Robertson/Sparck-Jones idf `ln(1 + (N-df+0.5)/
+    * (df+0.5))`, tf saturation k1, length normalization b.
+    *
+    * Cross-engine determinism: `ln` is the engine's one non-correctly-
+    * rounded-by-spec kernel, so the idf is rounded to 6 places at the source;
+    * everything downstream of it is rational IEEE arithmetic (+,-,*,/ are
+    * correctly rounded, so both engines produce bit-identical doubles).
+    * avgdl is an exact long-sum over count (not `avg`, whose double
+    * accumulation is order-dependent), the per-document score sum routes
+    * through decimal(18,6) per the engine-wide dsum rule, and ranking is
+    * tie-pinned by doc id.
+    */
+  def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
+               queries: DataFrame, queryIdCol: String, queryTextCol: String,
+               k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val post = postings(docs, idCol, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    val docLen = post.groupBy("doc_id").agg(sum(col("tf")).as("dl"))
+    // one-row corpus stats, broadcast everywhere they're needed
+    val stats = docLen.agg(count(lit(1)).as("n_docs"),
+      (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+    val termDf = post.groupBy("term").agg(count(lit(1)).as("df"))
+    val qTerms = queries.select(col(queryIdCol).as("query_id"),
+        explode(TextStats.tokens(lower(col(queryTextCol)))).as("term"))
+      .distinct()
+    val scored = post
+      .join(qTerms, Seq("term")) // the inverted-index probe
+      .join(termDf, Seq("term"))
+      .join(docLen, Seq("doc_id"))
+      .crossJoin(broadcast(stats))
+      .withColumn("idf", round(
+        log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))), 6))
+      .withColumn("contrib",
+        col("idf") * (col("tf") * (lit(k1) + 1.0)) /
+          (col("tf") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl") / col("avgdl"))))
+    val perDoc = scored.groupBy("query_id", "doc_id")
+      .agg(round(sum(col("contrib").cast("decimal(18,6)")).cast("double"), 4).as("score"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("doc_id"))
+    perDoc.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "doc_id", "score", "rank")
+  }
+}

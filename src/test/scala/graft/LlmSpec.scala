@@ -472,4 +472,48 @@ class LlmSpec extends SparkSuite {
     assert(viaWindow == Set(1L, 3L)) // the zero vector never ranks (or wins)
     assert(viaAgg == viaWindow)
   }
+
+  test("BM25 postings lowercase and carry per-document term frequencies") {
+    import spark.implicits._
+    val df = docs((1L, "apple banana  Apple"), (2L, "apple"))
+    val got = graft.llm.Retrieval.postings(df, "doc_id", "text")
+      .as[(Long, String, Long)].collect().toSet
+    assert(got == Set((1L, "apple", 2L), (1L, "banana", 1L), (2L, "apple", 1L)))
+  }
+
+  test("BM25 ranks higher-tf docs first and only scores candidate docs") {
+    import spark.implicits._
+    val corpus = docs(
+      (1L, "apple banana apple"), // apple tf=2, dl=3
+      (2L, "apple cherry date"), // apple tf=1, dl=3
+      (3L, "banana banana banana"),
+      (4L, "kiwi lime mango"))
+    val qs = Seq((0L, "apple"), (1L, "kiwi")).toDF("query_id", "qtext")
+    val got = graft.llm.Retrieval.bm25TopK(corpus, "doc_id", "text",
+      qs, "query_id", "qtext", k = 10)
+      .select("query_id", "doc_id", "score", "rank")
+      .as[(Long, Long, Double, Int)].collect()
+    val q0 = got.filter(_._1 == 0L).sortBy(_._4)
+    // only docs containing "apple" are candidates; tf=2 beats tf=1 at equal dl
+    assert(q0.map(_._2).toSeq == Seq(1L, 2L))
+    assert(q0.head._3 > q0.last._3)
+    val q1 = got.filter(_._1 == 1L)
+    assert(q1.map(_._2).toSeq == Seq(4L)) // inverted index: no other doc scored
+    // rarer term (df=1) carries more idf than apple (df=2)
+    assert(q1.head._3 > q0.head._3)
+  }
+
+  test("BM25 multi-term query sums contributions; ties pin by doc id") {
+    import spark.implicits._
+    val corpus = docs(
+      (1L, "alpha beta"), (2L, "alpha beta"), (3L, "alpha gamma"))
+    val qs = Seq((0L, "alpha beta")).toDF("query_id", "qtext")
+    val got = graft.llm.Retrieval.bm25TopK(corpus, "doc_id", "text",
+      qs, "query_id", "qtext", k = 2)
+      .select("doc_id", "score", "rank").as[(Long, Double, Int)].collect()
+      .sortBy(_._3)
+    // docs 1 and 2 are identical -> identical scores; doc_id breaks the tie
+    assert(got.map(_._1).toSeq == Seq(1L, 2L))
+    assert(got(0)._2 == got(1)._2)
+  }
 }
