@@ -669,10 +669,13 @@ object Queries {
                + ndist / greatest(ntok, 1.0)) / 3.0, 4) AS quality
       FROM c""")),
 
+    // Production path is the native one-pass lang_id expression; the
+    // pure-builtin langIdFromTokens is the specification (FunctionsSpec
+    // asserts they agree; the oracle replays the specification in SQL).
     ("q30_lang_id", (s: SparkSession, d: String) => {
       t(s, d, "documents")
         .select(col("doc_id"), TextStats.tokens(lower(col("text"))).as("toks"))
-        .select(col("doc_id"), TextStats.langIdFromTokens(col("toks")).as("lang"))
+        .select(col("doc_id"), TextStats.langIdNative(col("toks")).as("lang"))
     }, Some("""WITH b AS (SELECT doc_id,
         list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> x <> '') AS toks FROM documents),
       h AS (SELECT doc_id,
@@ -759,7 +762,7 @@ object Queries {
           TextStats.tokens(lower(col("text"))).as("ltoks"),
           TextStats.tokens(col("text")).as("toks"))
         .select(col("doc_id"), col("text"), col("source"),
-          TextStats.langIdFromTokens(col("ltoks")).as("lang"),
+          TextStats.langIdNative(col("ltoks")).as("lang"),
           TextStats.qualityScoreFromTokens(col("text"), col("toks")).as("quality"))
       val gated = scored.filter(col("lang") === "en" && col("quality") >= 0.5)
       Dedup.exactApply(gated, "text", "doc_id")

@@ -21,6 +21,72 @@ object TextImpl {
     h
   }
 
+  /** Stopword tables for the language-ID heuristic — the single source of
+    * truth, re-exported by graft.llm.TextStats and compiled into the
+    * [[langId]] lookup table below.
+    */
+  val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "a", "in", "is", "it", "you", "that"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "mit", "ein", "ich", "zu"),
+    "es" -> Seq("el", "la", "que", "los", "y", "en", "un", "ser", "se", "no"),
+    "fr" -> Seq("le", "les", "des", "et", "dans", "en", "un", "du", "une", "est"),
+    "zh" -> Seq("的", "一", "是", "不", "了", "人", "我", "在", "有", "他"))
+
+  private val langsSorted: Array[String] = stopwords.keys.toArray.sorted
+  private val langsUtf8: Array[org.apache.spark.unsafe.types.UTF8String] =
+    langsSorted.map(org.apache.spark.unsafe.types.UTF8String.fromString)
+  private val und = org.apache.spark.unsafe.types.UTF8String.fromString("und")
+
+  /** token -> bitmask of language indexes (a token can appear in several
+    * lists: "en"/"un" sit in both es and fr). UTF8String keys so probe
+    * tokens need no conversion.
+    */
+  private val tokenLangMask: java.util.HashMap[org.apache.spark.unsafe.types.UTF8String, Integer] = {
+    val m = new java.util.HashMap[org.apache.spark.unsafe.types.UTF8String, Integer]()
+    for ((lang, words) <- stopwords; w <- words) {
+      val key = org.apache.spark.unsafe.types.UTF8String.fromString(w)
+      val idx = langsSorted.indexOf(lang)
+      val prev: Integer = m.getOrDefault(key, 0)
+      m.put(key, prev | (1 << idx))
+    }
+    m
+  }
+
+  /** Language ID over a LOWERCASE token array: one hash lookup per token
+    * into the stopword mask table, argmax over per-language hit counts with
+    * ties going to the alphabetically-first language; no hits -> "und".
+    * Exactly the semantics of graft.llm.TextStats.langIdFromTokens, without
+    * its 5 interpreted array-lambda passes per row.
+    */
+  def langId(tokens: ArrayData): org.apache.spark.unsafe.types.UTF8String = {
+    val counts = new Array[Int](langsSorted.length)
+    val n = tokens.numElements()
+    var i = 0
+    while (i < n) {
+      if (!tokens.isNullAt(i)) {
+        val mask = tokenLangMask.getOrDefault(tokens.getUTF8String(i), 0)
+        if (mask != 0) {
+          var m = mask.intValue()
+          var b = 0
+          while (m != 0) {
+            if ((m & 1) != 0) counts(b) += 1
+            m >>>= 1
+            b += 1
+          }
+        }
+      }
+      i += 1
+    }
+    var best = -1
+    var bestHits = 0
+    var j = 0
+    while (j < counts.length) {
+      if (counts(j) > bestHits) { bestHits = counts(j); best = j }
+      j += 1
+    }
+    if (best < 0) und else langsUtf8(best)
+  }
+
   /** 64-bit SimHash: per-token FNV-1a, bitwise majority vote. */
   def simhash64(tokens: ArrayData): Long = {
     val counts = new Array[Int](64)

@@ -52,34 +52,47 @@ object TextStats {
   def qualityScore(text: Column): Column =
     qualityScoreFromTokens(text, tokens(text))
 
-  /** Stopword tables for the n-gram/stopword language-ID heuristic. */
-  val stopwords: Map[String, Seq[String]] = Map(
-    "en" -> Seq("the", "and", "of", "to", "a", "in", "is", "it", "you", "that"),
-    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "mit", "ein", "ich", "zu"),
-    "es" -> Seq("el", "la", "que", "los", "y", "en", "un", "ser", "se", "no"),
-    "fr" -> Seq("le", "les", "des", "et", "dans", "en", "un", "du", "une", "est"),
-    "zh" -> Seq("的", "一", "是", "不", "了", "人", "我", "在", "有", "他"))
+  /** Stopword tables for the n-gram/stopword language-ID heuristic (the
+    * table itself lives in the functions layer, shared with the native
+    * `lang_id` expression).
+    */
+  val stopwords: Map[String, Seq[String]] = graft.functions.TextImpl.stopwords
 
   /** Language ID: argmax over per-language stopword hit counts, ties broken
     * by language code (deterministic); no hits at all → "und".
     * `toks` should be a materialized lowercase token-array column (see
     * [[qualityScoreFromTokens]] on why).
+    *
+    * This is the pure-builtin SPECIFICATION form — five interpreted array
+    * lambdas per row; [[langIdNative]] is the one-pass codegen'd production
+    * form (FunctionsSpec asserts agreement).
     */
   def langIdFromTokens(toks: Column): Column = {
     val langs = stopwords.toSeq.sortBy(_._1)
     // struct compare is field-by-field: (hits, rank) with rank descending by
     // alphabetical position makes greatest() an argmax over hits with
     // alphabetically-FIRST language winning ties — deterministic, and
-    // expressible identically in the DuckDB oracle.
+    // expressible identically in the DuckDB oracle. The zero-hit sentinel
+    // (rank above all real languages) wins exactly when every count is 0,
+    // folding the "und" fallback INTO the greatest() instead of a when()
+    // that would re-evaluate the whole scored tree twice.
     val scored = langs.zipWithIndex.map { case ((lang, words), i) =>
       struct(
         size(filter(toks, t => t.isin(words: _*))).as("hits"),
         lit(langs.size - i).as("rank"),
         lit(lang).as("lang"))
     }
-    val best = greatest(scored: _*)
-    when(best.getField("hits") > 0, best.getField("lang")).otherwise(lit("und"))
+    val sentinel = struct(lit(0).as("hits"), lit(langs.size + 1).as("rank"),
+      lit("und").as("lang"))
+    greatest(scored :+ sentinel: _*).getField("lang")
   }
+
+  /** One-pass native-expression language ID (see [[langIdFromTokens]] for
+    * the specification): one stopword-mask hash lookup per token, inside
+    * whole-stage codegen.
+    */
+  def langIdNative(toks: Column): Column =
+    org.apache.spark.sql.graft.GraftColumns.langId(toks)
 
   /** One-expression convenience form; re-tokenizes per language. */
   def langId(text: Column): Column = langIdFromTokens(tokens(lower(text)))

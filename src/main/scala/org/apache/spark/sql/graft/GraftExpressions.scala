@@ -126,6 +126,34 @@ case class SimHash64(child: Expression)
     copy(child = newChild)
 }
 
+/** Language ID over a lowercase token array: stopword-mask hash lookups,
+  * one pass, argmax with alphabetical tie-break ("und" when nothing hits).
+  * Replaces the pure-builtin formulation in graft.llm.TextStats
+  * .langIdFromTokens, whose five higher-order `filter` lambdas evaluate
+  * interpreted per row (array HOFs are not whole-stage-codegen'd) — measured
+  * >5x slower at sf0.1. The builtin form remains as the oracle-replayable
+  * specification; FunctionsSpec asserts the two agree.
+  */
+case class LangId(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with ExpectsInputTypes {
+
+  override def dataType: DataType = StringType
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "lang_id"
+
+  override protected def nullSafeEval(in: Any): Any =
+    graft.functions.TextImpl.langId(
+      in.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.functions.TextImpl.langId($a)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** MD5 hex with a thread-local reused digest — byte-identical to the builtin
   * `md5()` but without its per-row MessageDigest allocation, which dominates
   * digest-heavy scans (minhash signatures, winnowing grams).
@@ -204,6 +232,9 @@ object GraftFunctions {
     (FunctionIdentifier("simhash64"),
       new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
       (es: Seq[Expression]) => SimHash64(es(0))),
+    (FunctionIdentifier("lang_id"),
+      new ExpressionInfo(classOf[LangId].getName, "lang_id"),
+      (es: Seq[Expression]) => LangId(es(0))),
     (FunctionIdentifier("gram_hashes"),
       new ExpressionInfo(classOf[GramHashes].getName, "gram_hashes"),
       (es: Seq[Expression]) => GramHashes(es(0), es(1) match {
@@ -272,6 +303,9 @@ object GraftColumns {
 
   def gramHashes(c: Column, k: Int): Column =
     ExpressionUtils.column(GramHashes(ExpressionUtils.expression(c), k))
+
+  def langId(tokens: Column): Column =
+    ExpressionUtils.column(LangId(ExpressionUtils.expression(tokens)))
 
   def fuzzRatio(a: Column, b: Column): Column =
     ExpressionUtils.column(FuzzRatio(

@@ -149,4 +149,55 @@ class FunctionsSpec extends SparkSuite {
     assert(TextImpl.fnv1a64(Array.emptyByteArray) == 0xcbf29ce484222325L)
     assert(TextImpl.fnv1a64("a".getBytes("UTF-8")) == 0xaf63dc4c8601ec8cL)
   }
+
+  // --- native lang_id vs the pure-builtin specification -------------------
+
+  test("native lang_id agrees with langIdFromTokens on planted cases") {
+    import spark.implicits._
+    import graft.llm.TextStats
+    val texts = Seq(
+      "the cat and the hat is in a box", // en
+      "der hund ist nicht mit der katze", // de
+      "el perro y la casa que se ve", // es
+      "le chien et les chats dans une maison", // fr
+      "的 一 是 不 了", // zh
+      "en un lugar", // es/fr overlap words: tie broken alphabetically
+      "xyzzy plugh nothing matches here", // und
+      "", // empty -> und
+      "the und le el 的") // one hit each -> 5-way tie -> de (alphabetical)
+    val df = texts.toDF("text")
+      .select(TextStats.tokens(lower(col("text"))).as("toks"))
+      .select(
+        TextStats.langIdFromTokens(col("toks")).as("spec"),
+        TextStats.langIdNative(col("toks")).as("native"))
+    val rows = df.as[(String, String)].collect()
+    rows.foreach { case (s, n) => assert(s == n, s"spec=$s native=$n") }
+    assert(rows.map(_._2).toSeq ==
+      Seq("en", "de", "es", "fr", "zh", "es", "und", "und", "de"))
+  }
+
+  test("native lang_id agrees with the specification on random token soup") {
+    import spark.implicits._
+    import graft.llm.TextStats
+    val vocab = TextImpl.stopwords.values.flatten.toVector ++
+      Vector("foo", "bar", "baz", "qux")
+    val rnd = new scala.util.Random(11)
+    val texts = (1 to 300).map { _ =>
+      (0 until rnd.nextInt(30)).map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    }
+    val mismatches = texts.toDF("text")
+      .select(TextStats.tokens(lower(col("text"))).as("toks"))
+      .select(
+        TextStats.langIdFromTokens(col("toks")).as("spec"),
+        TextStats.langIdNative(col("toks")).as("native"))
+      .filter(col("spec") =!= col("native")).count()
+    assert(mismatches == 0)
+  }
+
+  test("lang_id is callable from SQL text") {
+    org.apache.spark.sql.graft.GraftFunctions.registerAll(spark)
+    val out = spark.sql(
+      "SELECT lang_id(array('the', 'of', 'ist')) AS l").head().getString(0)
+    assert(out == "en")
+  }
 }
