@@ -1273,7 +1273,98 @@ object Queries {
           CAST(row_number() OVER (PARTITION BY query_id
             ORDER BY score DESC, doc_id) AS INTEGER) AS rank
         FROM pd)
-      SELECT query_id, doc_id, score, rank FROM rk WHERE rank <= 10"""))
+      SELECT query_id, doc_id, score, rank FROM rk WHERE rank <= 10""")),
+
+    // Full-row set operations (SURVEY §2.6): INTERSECT / EXCEPT / UNION
+    // DISTINCT over two overlapping projections, tagged per branch.
+    ("q73_set_ops", (s: SparkSession, d: String) => {
+      val base = t(s, d, "orders").select("o_orderkey", "o_orderstatus")
+      val a = base.filter(col("o_orderkey") < 2000)
+      val b = base.filter(col("o_orderkey") >= 1000 && col("o_orderkey") < 3000)
+      a.intersect(b).withColumn("op", lit("intersect"))
+        .unionByName(a.except(b).withColumn("op", lit("except")))
+        .unionByName(a.union(b).distinct().withColumn("op", lit("union")))
+    }, Some("""WITH a AS (SELECT o_orderkey, o_orderstatus FROM orders WHERE o_orderkey < 2000),
+      b AS (SELECT o_orderkey, o_orderstatus FROM orders
+        WHERE o_orderkey >= 1000 AND o_orderkey < 3000)
+      SELECT o_orderkey, o_orderstatus, 'intersect' AS op FROM (SELECT * FROM a INTERSECT SELECT * FROM b)
+      UNION ALL
+      SELECT o_orderkey, o_orderstatus, 'except' AS op FROM (SELECT * FROM a EXCEPT SELECT * FROM b)
+      UNION ALL
+      SELECT o_orderkey, o_orderstatus, 'union' AS op FROM (SELECT * FROM a UNION SELECT * FROM b)""")),
+
+    // String function suite (§2.7 surface): pad/translate/split/position/
+    // reverse/repeat/concat_ws/substring/trim, DuckDB-mirrored with the
+    // BIGINT->INTEGER casts the compare requires.
+    ("q74_string_funcs", (s: SparkSession, d: String) => {
+      t(s, d, "part").filter(col("p_partkey") <= 500)
+        .select(
+          col("p_partkey"),
+          upper(col("p_name")).as("up"),
+          lpad(col("p_brand"), 12, "*").as("lp"),
+          rpad(col("p_brand"), 12, "#").as("rp"),
+          translate(col("p_type"), "aeiou", "AEIOU").as("tr"),
+          regexp_replace(col("p_name"), " ", "_").as("und"),
+          instr(col("p_name"), "o").as("pos_o"),
+          element_at(split(col("p_name"), " "), 1).as("first_word"),
+          reverse(col("p_brand")).as("rev"),
+          expr("repeat('x', p_size % 5)").as("rep"),
+          length(col("p_name")).as("len_n"),
+          ascii(col("p_type")).as("asc"),
+          concat_ws("|", col("p_brand"), col("p_type")).as("cw"),
+          substring(col("p_name"), 3, 8).as("sub"),
+          ltrim(rtrim(concat(lit("  "), col("p_name"), lit("  ")))).as("trimmed"))
+    }, Some("""SELECT p_partkey,
+      upper(p_name) AS up,
+      lpad(p_brand, 12, '*') AS lp,
+      rpad(p_brand, 12, '#') AS rp,
+      translate(p_type, 'aeiou', 'AEIOU') AS tr,
+      regexp_replace(p_name, ' ', '_', 'g') AS und,
+      CAST(instr(p_name, 'o') AS INTEGER) AS pos_o,
+      string_split(p_name, ' ')[1] AS first_word,
+      reverse(p_brand) AS rev,
+      repeat('x', p_size % 5) AS rep,
+      CAST(length(p_name) AS INTEGER) AS len_n,
+      CAST(ascii(p_type) AS INTEGER) AS asc,
+      concat_ws('|', p_brand, p_type) AS cw,
+      substring(p_name, 3, 8) AS sub,
+      ltrim(rtrim('  ' || p_name || '  ')) AS trimmed
+      FROM part WHERE p_partkey <= 500""")),
+
+    // Math / bit function suite (§2.7): only IEEE-correctly-rounded kernels
+    // (abs, sqrt, integer pow, mod, bit ops) — no libm-boundary functions,
+    // and no round() on data-dependent doubles (half-up vs binary-value
+    // rounding differs exactly at representation boundaries).
+    ("q75_math_funcs", (s: SparkSession, d: String) => {
+      t(s, d, "lineitem").filter(col("l_orderkey") < 500)
+        .select(
+          col("l_orderkey"), col("l_linenumber"),
+          abs(col("l_discount") - lit(0.05)).as("ad"),
+          ceil(col("l_extendedprice")).as("ce"),
+          floor(col("l_extendedprice")).as("fl"),
+          signum(col("l_discount") - lit(0.05)).as("sg"),
+          sqrt(col("l_quantity")).as("sq"),
+          pmod(col("l_orderkey"), lit(7)).as("md"),
+          col("l_orderkey").bitwiseAND(lit(255L)).as("ba"),
+          col("l_orderkey").bitwiseXOR(col("l_partkey")).as("bx"),
+          shiftleft(col("l_linenumber"), 3).as("sl"),
+          pow(col("l_linenumber"), 2).as("pw"),
+          greatest(col("l_tax"), col("l_discount")).as("gr"),
+          least(col("l_tax"), col("l_discount")).as("le"))
+    }, Some("""SELECT l_orderkey, l_linenumber,
+      abs(l_discount - 0.05) AS ad,
+      CAST(ceil(l_extendedprice) AS BIGINT) AS ce,
+      CAST(floor(l_extendedprice) AS BIGINT) AS fl,
+      CAST(sign(l_discount - 0.05) AS DOUBLE) AS sg,
+      sqrt(l_quantity) AS sq,
+      l_orderkey % 7 AS md,
+      l_orderkey & 255 AS ba,
+      xor(l_orderkey, l_partkey) AS bx,
+      l_linenumber << 3 AS sl,
+      power(l_linenumber, 2) AS pw,
+      greatest(l_tax, l_discount) AS gr,
+      least(l_tax, l_discount) AS le
+      FROM lineitem WHERE l_orderkey < 500"""))
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -89,6 +89,18 @@ object StressBench {
         graft.llm.Dedup.simhashPairsSwept(docsTimesUncorr(f), "text", "doc_id", 7, 6))
       time("jaccard_prefix", f)(
         graft.llm.Dedup.jaccardPairsPrefix(docsTimesUncorr(f), "text", "doc_id", 3, 0.5))
+      time("lang_id", f)(
+        docsTimes(f).select(col("doc_id"),
+          graft.llm.TextStats.langIdNative(
+            graft.llm.TextStats.tokens(lower(col("text")))).as("lang")))
+      time("bm25", f)({
+        import spark.implicits._
+        val qs = Seq((0L, "spark join hash"), (1L, "vector stream merge"),
+          (2L, "customer order window"), (3L, "slow scan filter table"))
+          .toDF("query_id", "qtext")
+        graft.llm.Retrieval.bm25TopK(docsTimesUncorr(f), "doc_id", "text",
+          qs, "query_id", "qtext", 10)
+      })
       time("salted_join", f)({
         val facts = lineitemTimes(f)
           .select(col("l_orderkey"), col("l_partkey").as("k"), col("l_quantity"))
