@@ -1364,7 +1364,73 @@ object Queries {
       power(l_linenumber, 2) AS pw,
       greatest(l_tax, l_discount) AS gr,
       least(l_tax, l_discount) AS le
-      FROM lineitem WHERE l_orderkey < 500"""))
+      FROM lineitem WHERE l_orderkey < 500""")),
+
+    // Join-type suite: inner / left / full outer / semi / anti over the
+    // same key-overlapping pair (each side keeps rows the other lacks),
+    // outputs normalized to one schema and tagged per type.
+    ("q76_join_types", (s: SparkSession, d: String) => {
+      val a = t(s, d, "customer").filter(col("c_custkey") < 1000)
+        .select(col("c_custkey").as("k"), col("c_name"))
+      val b = t(s, d, "orders")
+        .filter(col("o_custkey") >= 500 && col("o_custkey") < 1500)
+        .groupBy(col("o_custkey").as("k")).agg(count(lit(1)).as("n_orders"))
+      val inner = a.join(b, Seq("k")).withColumn("jt", lit("inner"))
+      val left = a.join(b, Seq("k"), "left").withColumn("jt", lit("left"))
+      val full = a.join(b, Seq("k"), "full").withColumn("jt", lit("full"))
+      val semi = a.join(b, Seq("k"), "left_semi")
+        .withColumn("n_orders", lit(null).cast("long")).withColumn("jt", lit("semi"))
+      val anti = a.join(b, Seq("k"), "left_anti")
+        .withColumn("n_orders", lit(null).cast("long")).withColumn("jt", lit("anti"))
+      inner.unionByName(left).unionByName(full).unionByName(semi).unionByName(anti)
+        .select("k", "c_name", "n_orders", "jt")
+    }, Some("""WITH a AS (SELECT c_custkey AS k, c_name FROM customer WHERE c_custkey < 1000),
+      b AS (SELECT o_custkey AS k, count(*) AS n_orders FROM orders
+        WHERE o_custkey >= 500 AND o_custkey < 1500 GROUP BY o_custkey)
+      SELECT a.k, c_name, n_orders, 'inner' AS jt FROM a JOIN b USING (k)
+      UNION ALL SELECT a.k, c_name, n_orders, 'left' AS jt FROM a LEFT JOIN b USING (k)
+      UNION ALL SELECT COALESCE(a.k, b.k) AS k, c_name, n_orders, 'full' AS jt
+        FROM a FULL OUTER JOIN b USING (k)
+      UNION ALL SELECT k, c_name, NULL::BIGINT AS n_orders, 'semi' AS jt
+        FROM a WHERE k IN (SELECT k FROM b)
+      UNION ALL SELECT k, c_name, NULL::BIGINT AS n_orders, 'anti' AS jt
+        FROM a WHERE k NOT IN (SELECT k FROM b)""")),
+
+    // Null-handling suite: nullif / coalesce / null-safe equality /
+    // three-valued IS NULL, over nulls manufactured in-query (the TPC-H
+    // fixtures carry none).
+    ("q77_null_funcs", (s: SparkSession, d: String) => {
+      t(s, d, "orders").filter(col("o_orderkey") < 2000)
+        .select(
+          col("o_orderkey"),
+          nullif(col("o_orderstatus"), lit("O")).as("ns"),
+          coalesce(nullif(col("o_orderstatus"), lit("O")), lit("open")).as("co"),
+          nullif(col("o_orderstatus"), lit("O"))
+            .eqNullSafe(nullif(col("o_orderpriority"), lit("1-URGENT"))).as("nse"),
+          nullif(col("o_orderstatus"), lit("O")).isNull.as("is_n"),
+          when(col("o_orderstatus") === "F", col("o_totalprice")).as("price_f"))
+    }, Some("""SELECT o_orderkey,
+      nullif(o_orderstatus, 'O') AS ns,
+      coalesce(nullif(o_orderstatus, 'O'), 'open') AS co,
+      nullif(o_orderstatus, 'O') IS NOT DISTINCT FROM nullif(o_orderpriority, '1-URGENT') AS nse,
+      nullif(o_orderstatus, 'O') IS NULL AS is_n,
+      CASE WHEN o_orderstatus = 'F' THEN o_totalprice END AS price_f
+      FROM orders WHERE o_orderkey < 2000""")),
+
+    // Approximate-distinct sketch gated within tolerance: HLL++ is
+    // deterministic given the data (no RNG), but its estimate is engine-
+    // specific — so the ORACLED value is the tolerance gate, not the
+    // estimate. Default rsd 5%; gate at 15% (3 sigma).
+    ("q78_sketch_gate", (s: SparkSession, d: String) => {
+      t(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(approx_count_distinct(col("l_orderkey")).as("approx"),
+          countDistinct(col("l_orderkey")).as("exact"))
+        .select(col("l_returnflag"),
+          (abs(col("approx") - col("exact")).cast("double") / col("exact") <= 0.15)
+            .as("within_tol"))
+    }, Some("""SELECT l_returnflag, true AS within_tol
+      FROM lineitem GROUP BY l_returnflag"""))
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =
