@@ -1237,10 +1237,7 @@ object Queries {
     // correctly-rounded IEEE arithmetic identical in both engines.
     ("q72_bm25", (s: SparkSession, d: String) => {
       import s.implicits._
-      val qs = Seq(
-        (0L, "spark join hash"), (1L, "vector stream merge"),
-        (2L, "customer order window"), (3L, "slow scan filter table"))
-        .toDF("query_id", "qtext")
+      val qs = Retrieval.sampleQueries.toDF("query_id", "qtext")
       Retrieval.bm25TopK(t(s, d, "documents"), "doc_id", "text",
         qs, "query_id", "qtext", k = 10)
     }, Some("""WITH d AS (SELECT doc_id,

@@ -95,9 +95,7 @@ object StressBench {
             graft.llm.TextStats.tokens(lower(col("text")))).as("lang")))
       time("bm25", f)({
         import spark.implicits._
-        val qs = Seq((0L, "spark join hash"), (1L, "vector stream merge"),
-          (2L, "customer order window"), (3L, "slow scan filter table"))
-          .toDF("query_id", "qtext")
+        val qs = graft.llm.Retrieval.sampleQueries.toDF("query_id", "qtext")
         graft.llm.Retrieval.bm25TopK(docsTimesUncorr(f), "doc_id", "text",
           qs, "query_id", "qtext", 10)
       })

@@ -19,6 +19,13 @@ import org.apache.spark.sql.functions._
   */
 object Retrieval {
 
+  /** The demo query set shared by q72_bm25 and StressBench (mirrored in the
+    * q72 oracle's VALUES list — change all three together).
+    */
+  val sampleQueries: Seq[(Long, String)] = Seq(
+    (0L, "spark join hash"), (1L, "vector stream merge"),
+    (2L, "customer order window"), (3L, "slow scan filter table"))
+
   /** (doc, term, tf) postings plus per-document length. */
   def postings(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs.select(col(idCol).as("doc_id"),
@@ -40,6 +47,10 @@ object Retrieval {
   def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
                queries: DataFrame, queryIdCol: String, queryTextCol: String,
                k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    // The postings base feeds three consumers (dl, df, scoring) — persisted
+    // so the tokenize+explode+agg runs once. Like Dedup's shingle base, the
+    // cache lives until the session ends: long-lived drivers scoring many
+    // corpora should spark.catalog.clearCache() between them.
     val post = postings(docs, idCol, textCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     val docLen = post.groupBy("doc_id").agg(sum(col("tf")).as("dl"))

@@ -89,10 +89,12 @@ object TextStats {
 
   /** One-pass native-expression language ID (see [[langIdFromTokens]] for
     * the specification): one stopword-mask hash lookup per token, inside
-    * whole-stage codegen.
+    * whole-stage codegen. The coalesce matches the specification's NULL
+    * behavior: a NULL token array (NULL text) identifies as "und", not NULL
+    * (the native expression itself is conventionally null-intolerant).
     */
   def langIdNative(toks: Column): Column =
-    org.apache.spark.sql.graft.GraftColumns.langId(toks)
+    coalesce(org.apache.spark.sql.graft.GraftColumns.langId(toks), lit("und"))
 
   /** One-expression convenience form; re-tokenizes per language. */
   def langId(text: Column): Column = langIdFromTokens(tokens(lower(text)))

@@ -194,6 +194,21 @@ class FunctionsSpec extends SparkSuite {
     assert(mismatches == 0)
   }
 
+  test("native lang_id matches the spec on NULL text: both identify 'und'") {
+    import spark.implicits._
+    import graft.llm.TextStats
+    val df = Seq[(Long, String)]((1L, null), (2L, "the cat")).toDF("id", "text")
+      .select(col("id"), TextStats.tokens(lower(col("text"))).as("toks"))
+      .select(col("id"),
+        TextStats.langIdFromTokens(col("toks")).as("spec"),
+        TextStats.langIdNative(col("toks")).as("native"))
+      .orderBy("id")
+    val rows = df.as[(Long, String, String)].collect()
+    assert(rows(0)._2 == rows(0)._3, s"NULL-text disagreement: ${rows(0)}")
+    assert(rows(0)._3 == "und")
+    assert(rows(1)._3 == "en")
+  }
+
   test("lang_id is callable from SQL text") {
     org.apache.spark.sql.graft.GraftFunctions.registerAll(spark)
     val out = spark.sql(
