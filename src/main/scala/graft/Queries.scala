@@ -1427,7 +1427,61 @@ object Queries {
           (abs(col("approx") - col("exact")).cast("double") / col("exact") <= 0.15)
             .as("within_tol"))
     }, Some("""SELECT l_returnflag, true AS within_tol
-      FROM lineitem GROUP BY l_returnflag"""))
+      FROM lineitem GROUP BY l_returnflag""")),
+
+    // Training-data text cleaning: PII/URL redaction + whitespace collapse,
+    // pure per-row regex fused into the scan (zero shuffle — the 100 TB
+    // shape for scrubbing). PII is manufactured in-query: the fixture
+    // corpus carries none. Patterns are RE2-safe so Java and DuckDB agree.
+    ("q79_clean_text", (s: SparkSession, d: String) => {
+      t(s, d, "documents").filter(col("doc_id") < 1000)
+        .select(col("doc_id"),
+          concat(lit("Contact: user"), col("doc_id"),
+            lit("@example.com visit https://ex.com/p?q=1 or call 555-0100  "),
+            col("text")).as("raw"))
+        .select(col("doc_id"),
+          regexp_count(col("raw"), lit("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"))
+            .as("n_emails"),
+          regexp_replace(trim(regexp_replace(regexp_replace(regexp_replace(col("raw"),
+            "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+            "https?://\\S+", "<URL>"),
+            "\\b[0-9]{3}-[0-9]{4}\\b", "<PHONE>")), "\\s+", " ").as("clean"))
+    }, Some("""SELECT doc_id,
+      CAST(len(regexp_extract_all(raw, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INTEGER) AS n_emails,
+      regexp_replace(trim(regexp_replace(regexp_replace(regexp_replace(raw,
+        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        'https?://\S+', '<URL>', 'g'),
+        '\b[0-9]{3}-[0-9]{4}\b', '<PHONE>', 'g')), '\s+', ' ', 'g') AS clean
+      FROM (SELECT doc_id,
+        'Contact: user' || doc_id || '@example.com visit https://ex.com/p?q=1 or call 555-0100  ' || text AS raw
+        FROM documents WHERE doc_id < 1000)""")),
+
+    // Train/eval contamination check: per eval doc, the fraction of its
+    // distinct word 3-grams present anywhere in the train split. Candidate
+    // generation is a keyed LEFT join on the gram — |eval grams| probe rows
+    // against a distinct train-gram set, never |eval|x|train|.
+    ("q80_contamination", (s: SparkSession, d: String) => {
+      val sh = t(s, d, "documents")
+        .select(col("doc_id"), explode(Dedup.wordShingles(col("text"), 3)).as("g"))
+      val evalSh = sh.filter(col("doc_id") % 20 === 0)
+      val trainG = sh.filter(col("doc_id") % 20 =!= 0).select("g").distinct()
+      evalSh.join(trainG.withColumn("hit", lit(1)), Seq("g"), "left")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_grams"), count(col("hit")).as("n_hit"))
+        .select(col("doc_id"), col("n_grams"), col("n_hit"),
+          round(col("n_hit").cast("double") / col("n_grams"), 6).as("contamination"))
+    }, Some("""WITH dd AS (SELECT doc_id,
+        list_filter(string_split_regex(trim(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')), ' '),
+                    x -> x <> '') AS w FROM documents),
+      sh AS (SELECT doc_id, CASE WHEN len(w) >= 3
+          THEN list_distinct(list_transform(range(1, len(w) - 1), i -> array_to_string(w[i:i+2], ' ')))
+          ELSE [array_to_string(w, ' ')] END AS g FROM dd),
+      ex AS (SELECT doc_id, unnest(g) AS g FROM sh WHERE doc_id % 20 = 0),
+      tr AS (SELECT DISTINCT unnest(g) AS g FROM sh WHERE doc_id % 20 <> 0),
+      j AS (SELECT ex.doc_id, tr.g AS hit FROM ex LEFT JOIN tr ON ex.g = tr.g)
+      SELECT doc_id, count(*) AS n_grams, count(hit) AS n_hit,
+        round(CAST(count(hit) AS DOUBLE) / count(*), 6) AS contamination
+      FROM j GROUP BY doc_id"""))
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =
