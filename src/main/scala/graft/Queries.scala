@@ -1461,8 +1461,12 @@ object Queries {
     // generation is a keyed LEFT join on the gram — |eval grams| probe rows
     // against a distinct train-gram set, never |eval|x|train|.
     ("q80_contamination", (s: SparkSession, d: String) => {
+      // the exploded shingle base feeds BOTH splits — persisted so the
+      // (interpreted) shingle lambda runs once per doc, not once per branch
+      // (the minhash pattern; measured 2x on this query)
       val sh = t(s, d, "documents")
         .select(col("doc_id"), explode(Dedup.wordShingles(col("text"), 3)).as("g"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
       val evalSh = sh.filter(col("doc_id") % 20 === 0)
       val trainG = sh.filter(col("doc_id") % 20 =!= 0).select("g").distinct()
       evalSh.join(trainG.withColumn("hit", lit(1)), Seq("g"), "left")
