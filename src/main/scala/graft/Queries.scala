@@ -1461,12 +1461,17 @@ object Queries {
     // generation is a keyed LEFT join on the gram — |eval grams| probe rows
     // against a distinct train-gram set, never |eval|x|train|.
     ("q80_contamination", (s: SparkSession, d: String) => {
-      // the exploded shingle base feeds BOTH splits — persisted so the
-      // (interpreted) shingle lambda runs once per doc, not once per branch
-      // (the minhash pattern; measured 2x on this query)
+      // The minhash shingle-base pattern: tokens materialized in their OWN
+      // projection (the wordShingles one-shot form re-tokenizes per lambda
+      // element — measured 5.7s vs 0.6s on this query), then persisted at
+      // the array stage so both splits read one materialization and
+      // CollapseProject can't re-inline the tokenizer into the lambda.
       val sh = t(s, d, "documents")
-        .select(col("doc_id"), explode(Dedup.wordShingles(col("text"), 3)).as("g"))
+        .select(col("doc_id"),
+          graft.llm.TextStats.tokens(Dedup.normalize(col("text"))).as("w"))
+        .select(col("doc_id"), Dedup.shinglesFromTokens(col("w"), 3).as("gs"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+        .select(col("doc_id"), explode(col("gs")).as("g"))
       val evalSh = sh.filter(col("doc_id") % 20 === 0)
       val trainG = sh.filter(col("doc_id") % 20 =!= 0).select("g").distinct()
       evalSh.join(trainG.withColumn("hit", lit(1)), Seq("g"), "left")
