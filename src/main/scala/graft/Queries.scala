@@ -1490,7 +1490,52 @@ object Queries {
       j AS (SELECT ex.doc_id, tr.g AS hit FROM ex LEFT JOIN tr ON ex.g = tr.g)
       SELECT doc_id, count(*) AS n_grams, count(hit) AS n_hit,
         round(CAST(count(hit) AS DOUBLE) / count(*), 6) AS contamination
-      FROM j GROUP BY doc_id"""))
+      FROM j GROUP BY doc_id""")),
+
+    // Gopher/C4-style repetition + quality signals, all per-row expressions
+    // fused into the scan (zero shuffle — the right shape for corpus-wide
+    // filtering). Ratios are int/int double divisions: correctly-rounded
+    // IEEE, bit-identical cross-engine, no rounding needed.
+    ("q81_rep_signals", (s: SparkSession, d: String) => {
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          TextStats.tokens(Dedup.normalize(col("text"))).as("w"))
+        .select(col("doc_id"), col("w"),
+          Dedup.shinglesFromTokens(col("w"), 2).as("sh2"),
+          size(col("w")).as("n"))
+        .select(
+          col("doc_id"), col("n"),
+          (lit(1.0) - size(array_distinct(col("w"))).cast("double")
+            / greatest(col("n"), lit(1))).as("dup_word_frac"),
+          when(col("n") >= 2,
+            lit(1.0) - size(col("sh2")).cast("double") / (col("n") - 1))
+            .otherwise(lit(0.0)).as("dup_2gram_frac"),
+          array_max(transform(col("w"), t => length(t))).as("max_word_len"),
+          (size(filter(col("w"),
+            t => t.isin(TextStats.stopwords("en"): _*))).cast("double")
+            / greatest(col("n"), lit(1))).as("stop_frac"))
+        .withColumn("keep",
+          col("n") >= 20 && col("dup_2gram_frac") <= 0.5 &&
+            col("max_word_len") <= 20 && col("stop_frac") >= 0.01)
+    }, Some("""WITH b AS (SELECT doc_id,
+        list_filter(string_split_regex(trim(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')), ' '),
+                    x -> x <> '') AS w FROM documents),
+      c AS (SELECT doc_id, w, CAST(len(w) AS INTEGER) AS n,
+        CASE WHEN len(w) >= 2
+          THEN list_distinct(list_transform(range(1, len(w)), i -> array_to_string(w[i:i+1], ' ')))
+          ELSE [array_to_string(w, ' ')] END AS sh2
+        FROM b),
+      sig AS (SELECT doc_id, n,
+        1.0 - CAST(len(list_distinct(w)) AS DOUBLE) / greatest(n, 1) AS dup_word_frac,
+        CASE WHEN n >= 2 THEN 1.0 - CAST(len(sh2) AS DOUBLE) / (n - 1) ELSE 0.0 END AS dup_2gram_frac,
+        CAST(list_max(list_transform(w, t -> length(t))) AS INTEGER) AS max_word_len,
+        CAST(len(list_filter(w, t -> t IN ('the','and','of','to','a','in','is','it','you','that'))) AS DOUBLE)
+          / greatest(n, 1) AS stop_frac
+        FROM c)
+      SELECT doc_id, n, dup_word_frac, dup_2gram_frac, max_word_len, stop_frac,
+        (n >= 20 AND dup_2gram_frac <= 0.5 AND max_word_len <= 20
+          AND stop_frac >= 0.01) AS keep
+      FROM sig"""))
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =
