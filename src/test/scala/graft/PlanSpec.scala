@@ -52,6 +52,24 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("partial_sum"), p)
   }
 
+  test("per-row scalar queries (lang_id, clean_text, rep_signals) have no Exchange") {
+    for (q <- Seq("q30_lang_id", "q79_clean_text", "q81_rep_signals")) {
+      val p = plan(q)
+      assert(!p.contains("Exchange"), s"$q shuffles a per-row pipeline:\n$p")
+    }
+  }
+
+  test("q72: BM25 corpus stats ride a broadcast; no cartesian product") {
+    val p = finalPlan("q72_bm25")
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q80: contamination probe is a keyed join, never a cartesian product") {
+    val p = finalPlan("q80_contamination")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("AQE splits a skewed sort-merge join at runtime") {
     import spark.implicits._
     val prev = Map(
