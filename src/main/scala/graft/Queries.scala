@@ -1535,7 +1535,33 @@ object Queries {
       SELECT doc_id, n, dup_word_frac, dup_2gram_frac, max_word_len, stop_frac,
         (n >= 20 AND dup_2gram_frac <= 0.5 AND max_word_len <= 20
           AND stop_frac >= 0.01) AS keep
-      FROM sig"""))
+      FROM sig""")),
+
+    // Mixture sampling to a per-source token budget (the "data mixing"
+    // stage): rates derived from corpus stats (one broadcast row per
+    // source), applied via the deterministic md5-threshold predicate — no
+    // RNG state, same sample on every engine and every run.
+    ("q82_mixture_sample", (s: SparkSession, d: String) => {
+      val docs = t(s, d, "documents")
+        .select(col("doc_id"), col("source"),
+          TextStats.tokenCount(col("text")).as("n_tok"))
+      val rates = docs.groupBy("source").agg(sum(col("n_tok")).as("tot"))
+        .select(col("source"), least(lit(1.0), lit(3000.0) / col("tot")).as("rate"))
+      graft.llm.Sampling.deterministicSample(
+          docs.join(broadcast(rates), Seq("source")), col("doc_id"), col("rate"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+    }, Some("""WITH dc AS (SELECT doc_id, source,
+        CAST(len(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')) AS INTEGER) AS n_tok
+        FROM documents),
+      rates AS (SELECT source,
+        least(1.0, 3000.0 / CAST(sum(n_tok) AS BIGINT)) AS rate
+        FROM dc GROUP BY source),
+      sampled AS (SELECT dc.* FROM dc JOIN rates USING (source)
+        WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS DOUBLE)
+              / 4294967296.0 < rate)
+      SELECT source, count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens
+      FROM sampled GROUP BY source"""))
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =
