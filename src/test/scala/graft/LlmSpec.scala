@@ -503,6 +503,15 @@ class LlmSpec extends SparkSuite {
     assert(q1.head._3 > q0.head._3)
   }
 
+  test("BM25 empty and out-of-vocabulary queries return no rows, not errors") {
+    import spark.implicits._
+    val corpus = docs((1L, "alpha beta"), (2L, "gamma delta"))
+    val qs = Seq((0L, "   "), (1L, "zzz qqq")).toDF("query_id", "qtext")
+    val got = graft.llm.Retrieval.bm25TopK(corpus, "doc_id", "text",
+      qs, "query_id", "qtext", k = 5)
+    assert(got.count() == 0)
+  }
+
   test("BM25 multi-term query sums contributions; ties pin by doc id") {
     import spark.implicits._
     val corpus = docs(
