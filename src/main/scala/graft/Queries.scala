@@ -686,6 +686,7 @@ object Queries {
         len(list_filter(toks, x -> x IN ('的','一','是','不','了','人','我','在','有','他'))) AS h_zh
         FROM b)
       SELECT doc_id, CASE
+        WHEN h_en IS NULL THEN 'und'
         WHEN h_de = 0 AND h_en = 0 AND h_es = 0 AND h_fr = 0 AND h_zh = 0 THEN 'und'
         WHEN h_de >= h_en AND h_de >= h_es AND h_de >= h_fr AND h_de >= h_zh THEN 'de'
         WHEN h_en >= h_es AND h_en >= h_fr AND h_en >= h_zh THEN 'en'
@@ -1542,9 +1543,12 @@ object Queries {
     // source), applied via the deterministic md5-threshold predicate — no
     // RNG state, same sample on every engine and every run.
     ("q82_mixture_sample", (s: SparkSession, d: String) => {
+      // the tokenized projection feeds BOTH the rates aggregation and the
+      // probe side — persisted so the whitespace tokenization runs once
       val docs = t(s, d, "documents")
         .select(col("doc_id"), col("source"),
           TextStats.tokenCount(col("text")).as("n_tok"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
       val rates = docs.groupBy("source").agg(sum(col("n_tok")).as("tot"))
         .select(col("source"), least(lit(1.0), lit(3000.0) / col("tot")).as("rate"))
       graft.llm.Sampling.deterministicSample(

@@ -37,6 +37,9 @@ object TextImpl {
     langsSorted.map(org.apache.spark.unsafe.types.UTF8String.fromString)
   private val und = org.apache.spark.unsafe.types.UTF8String.fromString("und")
 
+  /** The "undetermined" label, shared with LangId's null branch. */
+  def undLabel: org.apache.spark.unsafe.types.UTF8String = und
+
   /** token -> bitmask of language indexes (a token can appear in several
     * lists: "en"/"un" sit in both es and fr). UTF8String keys so probe
     * tokens need no conversion.

@@ -89,12 +89,12 @@ object TextStats {
 
   /** One-pass native-expression language ID (see [[langIdFromTokens]] for
     * the specification): one stopword-mask hash lookup per token, inside
-    * whole-stage codegen. The coalesce matches the specification's NULL
-    * behavior: a NULL token array (NULL text) identifies as "und", not NULL
-    * (the native expression itself is conventionally null-intolerant).
+    * whole-stage codegen. NULL tolerance lives in the expression itself —
+    * a NULL token array (NULL text) identifies as "und" on the Column
+    * surface, the SQL surface, and in generated code alike.
     */
   def langIdNative(toks: Column): Column =
-    coalesce(org.apache.spark.sql.graft.GraftColumns.langId(toks), lit("und"))
+    org.apache.spark.sql.graft.GraftColumns.langId(toks)
 
   /** One-expression convenience form; re-tokenizes per language. */
   def langId(text: Column): Column = langIdFromTokens(tokens(lower(text)))

@@ -133,22 +133,41 @@ case class SimHash64(child: Expression)
   * interpreted per row (array HOFs are not whole-stage-codegen'd) — measured
   * >5x slower at sf0.1. The builtin form remains as the oracle-replayable
   * specification; FunctionsSpec asserts the two agree.
+  *
+  * NULL-TOLERANT and never-null by design: a NULL token array (NULL text)
+  * identifies as "und", matching the specification form — folded into the
+  * expression itself so the Scala Column surface, the SQL registration, and
+  * generated code all agree.
   */
 case class LangId(child: Expression)
     extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
     with ExpectsInputTypes {
+  import org.apache.spark.sql.catalyst.InternalRow
+  import org.apache.spark.sql.catalyst.expressions.codegen.Block.BlockHelper
+  import org.apache.spark.sql.catalyst.expressions.codegen.{CodeGenerator, FalseLiteral}
 
   override def dataType: DataType = StringType
   override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
-  override def nullIntolerant: Boolean = true
+  override def nullable: Boolean = false
   override def prettyName: String = "lang_id"
 
-  override protected def nullSafeEval(in: Any): Any =
-    graft.functions.TextImpl.langId(
-      in.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) graft.functions.TextImpl.undLabel
+    else graft.functions.TextImpl.langId(
+      v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+  }
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, a => s"graft.functions.TextImpl.langId($a)")
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val c = child.genCode(ctx)
+    ev.copy(
+      code = code"""
+        ${c.code}
+        ${CodeGenerator.javaType(dataType)} ${ev.value} = ${c.isNull}
+          ? graft.functions.TextImpl.undLabel()
+          : graft.functions.TextImpl.langId(${c.value});""",
+      isNull = FalseLiteral)
+  }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)

@@ -209,10 +209,13 @@ class FunctionsSpec extends SparkSuite {
     assert(rows(1)._3 == "en")
   }
 
-  test("lang_id is callable from SQL text") {
+  test("lang_id is callable from SQL text; NULL input is 'und' there too") {
     org.apache.spark.sql.graft.GraftFunctions.registerAll(spark)
     val out = spark.sql(
       "SELECT lang_id(array('the', 'of', 'ist')) AS l").head().getString(0)
     assert(out == "en")
+    val nul = spark.sql(
+      "SELECT lang_id(CAST(NULL AS ARRAY<STRING>)) AS l").head().getString(0)
+    assert(nul == "und")
   }
 }
