@@ -1565,7 +1565,51 @@ object Queries {
         WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS DOUBLE)
               / 4294967296.0 < rate)
       SELECT source, count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens
-      FROM sampled GROUP BY source"""))
+      FROM sampled GROUP BY source""")),
+
+    // Data profiling (the lake-side "what is in this table" pass): per-column
+    // non-null count, exact distinct count, min/max — long format, one row
+    // per profiled column. min/max stringified only for types whose string
+    // form is engine-identical (integers and strings; doubles/timestamps
+    // format differently across engines).
+    ("q83_profile", (s: SparkSession, d: String) => {
+      val o = t(s, d, "orders")
+      def statsFor(c: String) = o.agg(
+        count(col(c)).as("n_nonnull"),
+        countDistinct(col(c)).as("n_distinct"),
+        min(col(c)).cast("string").as("min_v"),
+        max(col(c)).cast("string").as("max_v"))
+        .select(lit(c).as("col_name"), col("n_nonnull"), col("n_distinct"),
+          col("min_v"), col("max_v"))
+      Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")
+        .map(statsFor).reduce(_ unionByName _)
+    }, Some("""SELECT 'o_orderkey' AS col_name, count(o_orderkey) AS n_nonnull,
+        count(DISTINCT o_orderkey) AS n_distinct,
+        CAST(min(o_orderkey) AS VARCHAR) AS min_v, CAST(max(o_orderkey) AS VARCHAR) AS max_v
+      FROM orders
+      UNION ALL SELECT 'o_custkey', count(o_custkey), count(DISTINCT o_custkey),
+        CAST(min(o_custkey) AS VARCHAR), CAST(max(o_custkey) AS VARCHAR) FROM orders
+      UNION ALL SELECT 'o_orderstatus', count(o_orderstatus), count(DISTINCT o_orderstatus),
+        min(o_orderstatus), max(o_orderstatus) FROM orders
+      UNION ALL SELECT 'o_orderpriority', count(o_orderpriority), count(DISTINCT o_orderpriority),
+        min(o_orderpriority), max(o_orderpriority) FROM orders""")),
+
+    // Typed Aggregator (Dataset-API custom aggregation; see
+    // functions.LongSummary): exact integer state, so the udaf column equals
+    // plain count/sum/min/max in any engine.
+    ("q84_typed_agg", (s: SparkSession, d: String) => {
+      val summary = udaf(graft.functions.LongSummary)
+      t(s, d, "lineitem")
+        .select(col("l_returnflag"), col("l_quantity").cast("long").as("q"))
+        .groupBy("l_returnflag")
+        .agg(summary(col("q")).as("s"))
+        .select(col("l_returnflag"), col("s.n").as("n"), col("s.sum").as("sum_q"),
+          col("s.mn").as("min_q"), col("s.mx").as("max_q"))
+    }, Some("""SELECT l_returnflag, count(*) AS n,
+      CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_q,
+      CAST(min(CAST(l_quantity AS BIGINT)) AS BIGINT) AS min_q,
+      CAST(max(CAST(l_quantity AS BIGINT)) AS BIGINT) AS max_q
+      FROM lineitem GROUP BY l_returnflag"""))
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -209,6 +209,21 @@ class FunctionsSpec extends SparkSuite {
     assert(rows(1)._3 == "en")
   }
 
+  test("LongSummary typed Aggregator: typed and udaf paths agree with plain aggs") {
+    import spark.implicits._
+    import graft.functions.LongSummary
+    val ds = Seq(("a", 3L), ("a", 1L), ("a", 7L), ("b", 5L)).toDS()
+    val typed = ds.groupByKey(_._1).mapValues(_._2)
+      .agg(LongSummary.toColumn).collect().toMap
+    assert(typed("a") == graft.functions.LongSummaryOut(3L, 11L, 1L, 7L))
+    assert(typed("b") == graft.functions.LongSummaryOut(1L, 5L, 5L, 5L))
+    val viaUdaf = ds.toDF("k", "v").groupBy("k")
+      .agg(udaf(LongSummary).apply(col("v")).as("s"))
+      .select(col("k"), col("s.n"), col("s.sum"), col("s.mn"), col("s.mx"))
+      .as[(String, Long, Long, Long, Long)].collect().toSet
+    assert(viaUdaf == Set(("a", 3L, 11L, 1L, 7L), ("b", 1L, 5L, 5L, 5L)))
+  }
+
   test("lang_id is callable from SQL text; NULL input is 'und' there too") {
     org.apache.spark.sql.graft.GraftFunctions.registerAll(spark)
     val out = spark.sql(
