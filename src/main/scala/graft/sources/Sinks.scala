@@ -43,6 +43,40 @@ object Sinks {
   def jsonDump(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").json(path)
 
+  /** Small-file compaction: rewrite a parquet dir into `targetFiles` files
+    * (one file per partition directory when `partCol` is set — each
+    * partition value's rows collapse into a single task). Streaming appends
+    * and per-batch merges accrete small files whose per-file open/footer
+    * cost eventually dominates scans at 100 TB; periodic compaction is the
+    * standard fix. Atomic via temp-dir + swap (the CDC sink's recovery
+    * pattern: target recoverable from .bak at every step).
+    */
+  def compact(spark: org.apache.spark.sql.SparkSession, path: String,
+              targetFiles: Int, partCol: Option[String] = None): Unit = {
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(hconf)
+    val bak = new org.apache.hadoop.fs.Path(path + ".bak")
+    // Crash recovery FIRST (the CDC sink lesson, ADVICE r02): a death
+    // between rename(tgt->bak) and rename(tmp->tgt) leaves only .bak.
+    if (!fs.exists(p) && fs.exists(bak)) fs.rename(bak, p)
+    val df = spark.read.parquet(path)
+    val tmp = path + ".compact_tmp"
+    partCol match {
+      case Some(pc) =>
+        // repartition by partition value so each partition dir gets
+        // targetFiles whole files, then write partitioned
+        df.repartition(targetFiles, col(pc))
+          .write.mode("overwrite").partitionBy(pc).parquet(tmp)
+      case None =>
+        df.repartition(targetFiles).write.mode("overwrite").parquet(tmp)
+    }
+    fs.delete(bak, true)
+    if (fs.exists(p)) fs.rename(p, bak)
+    fs.rename(new org.apache.hadoop.fs.Path(tmp), p)
+    fs.delete(bak, true)
+  }
+
   /** Bucketed catalog table: pre-hash-partitioned and sorted on the join/
     * merge key so repeated joins between co-bucketed tables run with NO
     * shuffle exchange on either side — the co-location strategy for the

@@ -199,6 +199,43 @@ class SourcesSpec extends SparkSuite {
     assert(Tables(spark, "/root/testdata/sf0.001", "nation").count() > 0)
   }
 
+  test("compact collapses small files, preserves data, leaves no debris") {
+    import spark.implicits._
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("compact").toString + "/t"
+    // 8 separate appends -> at least 8 files
+    (1 to 8).foreach { i =>
+      graft.sources.Sinks.append(Seq((i.toLong, s"v$i")).toDF("id", "v"), dir)
+    }
+    def files(d: String) = new java.io.File(d).listFiles()
+      .filter(f => f.getName.endsWith(".parquet")).length
+    assert(files(dir) >= 8)
+    val before = spark.read.parquet(dir).as[(Long, String)].collect().toSet
+    graft.sources.Sinks.compact(spark, dir, targetFiles = 2)
+    assert(files(dir) <= 2)
+    assert(spark.read.parquet(dir).as[(Long, String)].collect().toSet == before)
+    assert(!new java.io.File(dir + ".bak").exists())
+    assert(!new java.io.File(dir + ".compact_tmp").exists())
+  }
+
+  test("partitioned compact: one file per partition dir, data intact") {
+    import spark.implicits._
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("compactp").toString + "/t"
+    (1 to 6).foreach { i =>
+      graft.sources.Sinks.appendPartitioned(
+        Seq((i.toLong, s"p${i % 2}")).toDF("id", "part"), dir, "part")
+    }
+    val before = spark.read.parquet(dir).as[(Long, String)].collect().toSet
+    graft.sources.Sinks.compact(spark, dir, targetFiles = 4, partCol = Some("part"))
+    for (pv <- Seq("p0", "p1")) {
+      val n = new java.io.File(s"$dir/part=$pv").listFiles()
+        .count(_.getName.endsWith(".parquet"))
+      assert(n == 1, s"partition $pv has $n files")
+    }
+    assert(spark.read.parquet(dir).as[(Long, String)].collect().toSet == before)
+  }
+
   test("queries registry and oracle map stay consistent") {
     // every oracle refers to a registered query; both maps non-trivial
     assert(Queries.oracleSql.keySet.subsetOf(Queries.queries.keySet))
