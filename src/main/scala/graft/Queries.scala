@@ -1573,16 +1573,19 @@ object Queries {
     // form is engine-identical (integers and strings; doubles/timestamps
     // format differently across engines).
     ("q83_profile", (s: SparkSession, d: String) => {
-      val o = t(s, d, "orders")
-      def statsFor(c: String) = o.agg(
-        count(col(c)).as("n_nonnull"),
-        countDistinct(col(c)).as("n_distinct"),
-        min(col(c)).cast("string").as("min_v"),
-        max(col(c)).cast("string").as("max_v"))
-        .select(lit(c).as("col_name"), col("n_nonnull"), col("n_distinct"),
-          col("min_v"), col("max_v"))
-      Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")
-        .map(statsFor).reduce(_ unionByName _)
+      // ONE scan for all 16 measures (a union of per-column aggregates
+      // would plan four scans — 4x the I/O at 100 TB), then stack() unpivots
+      // to the long format.
+      val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")
+      val aggs = cols.zipWithIndex.flatMap { case (c, i) =>
+        Seq(count(col(c)).as(s"n$i"), countDistinct(col(c)).as(s"d$i"),
+          min(col(c)).cast("string").as(s"mn$i"), max(col(c)).cast("string").as(s"mx$i"))
+      }
+      val stackArgs = cols.zipWithIndex
+        .map { case (c, i) => s"'$c', n$i, d$i, mn$i, mx$i" }.mkString(", ")
+      t(s, d, "orders").agg(aggs.head, aggs.tail: _*)
+        .select(expr(s"stack(${cols.size}, $stackArgs) " +
+          "AS (col_name, n_nonnull, n_distinct, min_v, max_v)"))
     }, Some("""SELECT 'o_orderkey' AS col_name, count(o_orderkey) AS n_nonnull,
         count(DISTINCT o_orderkey) AS n_distinct,
         CAST(min(o_orderkey) AS VARCHAR) AS min_v, CAST(max(o_orderkey) AS VARCHAR) AS max_v
@@ -1606,9 +1609,9 @@ object Queries {
         .select(col("l_returnflag"), col("s.n").as("n"), col("s.sum").as("sum_q"),
           col("s.mn").as("min_q"), col("s.mx").as("max_q"))
     }, Some("""SELECT l_returnflag, count(*) AS n,
-      CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_q,
-      CAST(min(CAST(l_quantity AS BIGINT)) AS BIGINT) AS min_q,
-      CAST(max(CAST(l_quantity AS BIGINT)) AS BIGINT) AS max_q
+      CAST(sum(CAST(trunc(l_quantity) AS BIGINT)) AS BIGINT) AS sum_q,
+      CAST(min(CAST(trunc(l_quantity) AS BIGINT)) AS BIGINT) AS min_q,
+      CAST(max(CAST(trunc(l_quantity) AS BIGINT)) AS BIGINT) AS max_q
       FROM lineitem GROUP BY l_returnflag"""))
   )
 

@@ -45,11 +45,24 @@ object Sinks {
 
   /** Small-file compaction: rewrite a parquet dir into `targetFiles` files
     * (one file per partition directory when `partCol` is set — each
-    * partition value's rows collapse into a single task). Streaming appends
-    * and per-batch merges accrete small files whose per-file open/footer
-    * cost eventually dominates scans at 100 TB; periodic compaction is the
-    * standard fix. Atomic via temp-dir + swap (the CDC sink's recovery
-    * pattern: target recoverable from .bak at every step).
+    * partition value's rows collapse into a single task, so `targetFiles`
+    * there only caps concurrent write tasks; a hot partition still lands in
+    * one file). Streaming appends and per-batch merges accrete small files
+    * whose per-file open/footer cost eventually dominates scans at 100 TB;
+    * periodic compaction is the standard fix.
+    *
+    * SINGLE-WRITER: like every no-lakehouse-format rewrite in this engine,
+    * compaction must not race appends — an append landing mid-rewrite would
+    * be swapped out with the old dir. Run it from the maintenance window or
+    * the owning streaming driver between batches.
+    *
+    * Crash safety: temp-dir + swap with a `_graft_compacted` marker. The
+    * marker distinguishes "bak is a stale backup of a COMPLETED swap"
+    * (deletable) from "the swap crashed and appends recreated the target"
+    * (both dirs hold real data — compact their union). Schema-evolved dirs
+    * merge footers so no column is dropped; partition-column type inference
+    * is disabled for the rewrite so values round-trip verbatim ('00123'
+    * stays part=00123, never part=123).
     */
   def compact(spark: org.apache.spark.sql.SparkSession, path: String,
               targetFiles: Int, partCol: Option[String] = None): Unit = {
@@ -57,23 +70,40 @@ object Sinks {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(hconf)
     val bak = new org.apache.hadoop.fs.Path(path + ".bak")
+    val marker = new org.apache.hadoop.fs.Path(p, "_graft_compacted")
     // Crash recovery FIRST (the CDC sink lesson, ADVICE r02): a death
     // between rename(tgt->bak) and rename(tmp->tgt) leaves only .bak.
-    if (!fs.exists(p) && fs.exists(bak)) fs.rename(bak, p)
-    val df = spark.read.parquet(path)
+    val readPaths: Seq[String] =
+      if (!fs.exists(p) && fs.exists(bak)) {
+        require(fs.rename(bak, p), s"compact: recovery rename $bak -> $p failed")
+        Seq(path)
+      } else if (fs.exists(p) && fs.exists(bak) && !fs.exists(marker)) {
+        // swap crashed AND appends recreated the target: both hold real data
+        Seq(path, path + ".bak")
+      } else {
+        fs.delete(bak, true) // stale backup of a completed swap (or absent)
+        Seq(path)
+      }
+    val inferKey = "spark.sql.sources.partitionColumnTypeInference.enabled"
+    val inferPrev = spark.conf.get(inferKey)
     val tmp = path + ".compact_tmp"
-    partCol match {
-      case Some(pc) =>
-        // repartition by partition value so each partition dir gets
-        // targetFiles whole files, then write partitioned
-        df.repartition(targetFiles, col(pc))
-          .write.mode("overwrite").partitionBy(pc).parquet(tmp)
-      case None =>
-        df.repartition(targetFiles).write.mode("overwrite").parquet(tmp)
-    }
+    try {
+      spark.conf.set(inferKey, "false")
+      val df = spark.read.option("mergeSchema", "true").parquet(readPaths: _*)
+      partCol match {
+        case Some(pc) =>
+          df.repartition(targetFiles, col(pc))
+            .write.mode("overwrite").partitionBy(pc).parquet(tmp)
+        case None =>
+          df.repartition(targetFiles).write.mode("overwrite").parquet(tmp)
+      }
+    } finally spark.conf.set(inferKey, inferPrev)
+    val tmpPath = new org.apache.hadoop.fs.Path(tmp)
+    fs.create(new org.apache.hadoop.fs.Path(tmpPath, "_graft_compacted")).close()
     fs.delete(bak, true)
-    if (fs.exists(p)) fs.rename(p, bak)
-    fs.rename(new org.apache.hadoop.fs.Path(tmp), p)
+    if (fs.exists(p)) require(fs.rename(p, bak), s"compact: rename $p -> $bak failed")
+    require(fs.rename(tmpPath, p),
+      s"compact: rename $tmp -> $p failed — previous data intact at $bak")
     fs.delete(bak, true)
   }
 

@@ -218,6 +218,30 @@ class SourcesSpec extends SparkSuite {
     assert(!new java.io.File(dir + ".compact_tmp").exists())
   }
 
+  test("compact unions bak + recreated target after a crashed swap; merges schemas") {
+    import spark.implicits._
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("compactc").toString + "/t"
+    // original data, then a schema-evolved append (extra column)
+    graft.sources.Sinks.append(Seq((1L, "a")).toDF("id", "v"), dir)
+    Seq((2L, "b", 0.5)).toDF("id", "v", "score")
+      .write.mode("append").parquet(dir)
+    // simulate a crash between rename(tgt->bak) and rename(tmp->tgt),
+    // followed by an append recreating the target dir
+    new java.io.File(dir).renameTo(new java.io.File(dir + ".bak"))
+    graft.sources.Sinks.append(Seq((3L, "c")).toDF("id", "v"), dir)
+    graft.sources.Sinks.compact(spark, dir, targetFiles = 1)
+    val got = spark.read.parquet(dir)
+    // no row lost from either side, evolved column preserved (null-filled)
+    assert(got.select("id").as[Long].collect().toSet == Set(1L, 2L, 3L))
+    assert(got.columns.toSet == Set("id", "v", "score"))
+    assert(got.filter(col("score").isNotNull).count() == 1)
+    assert(!new java.io.File(dir + ".bak").exists())
+    // a SECOND compact sees the marker and must not re-union anything
+    graft.sources.Sinks.compact(spark, dir, targetFiles = 1)
+    assert(spark.read.parquet(dir).count() == 3)
+  }
+
   test("partitioned compact: one file per partition dir, data intact") {
     import spark.implicits._
     import java.nio.file.Files
