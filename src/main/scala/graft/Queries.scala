@@ -1573,19 +1573,22 @@ object Queries {
     // form is engine-identical (integers and strings; doubles/timestamps
     // format differently across engines).
     ("q83_profile", (s: SparkSession, d: String) => {
-      // ONE scan for all 16 measures (a union of per-column aggregates
-      // would plan four scans — 4x the I/O at 100 TB), then stack() unpivots
-      // to the long format.
-      val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")
-      val aggs = cols.zipWithIndex.flatMap { case (c, i) =>
-        Seq(count(col(c)).as(s"n$i"), countDistinct(col(c)).as(s"d$i"),
-          min(col(c)).cast("string").as(s"mn$i"), max(col(c)).cast("string").as(s"mx$i"))
-      }
-      val stackArgs = cols.zipWithIndex
-        .map { case (c, i) => s"'$c', n$i, d$i, mn$i, mx$i" }.mkString(", ")
-      t(s, d, "orders").agg(aggs.head, aggs.tail: _*)
-        .select(expr(s"stack(${cols.size}, $stackArgs) " +
-          "AS (col_name, n_nonnull, n_distinct, min_v, max_v)"))
+      // One aggregate branch PER COLUMN, unioned. Counter-intuitively this
+      // beats a fused single aggregate: parquet column pruning makes each
+      // branch scan exactly one column (4 one-column scans = the bytes of
+      // one 4-column scan), while N countDistinct in one agg forces an
+      // N-way Expand of every row before the shuffle (measured 2.3s vs
+      // 0.9s at sf0.1).
+      val o = t(s, d, "orders")
+      def statsFor(c: String) = o.agg(
+        count(col(c)).as("n_nonnull"),
+        countDistinct(col(c)).as("n_distinct"),
+        min(col(c)).cast("string").as("min_v"),
+        max(col(c)).cast("string").as("max_v"))
+        .select(lit(c).as("col_name"), col("n_nonnull"), col("n_distinct"),
+          col("min_v"), col("max_v"))
+      Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")
+        .map(statsFor).reduce(_ unionByName _)
     }, Some("""SELECT 'o_orderkey' AS col_name, count(o_orderkey) AS n_nonnull,
         count(DISTINCT o_orderkey) AS n_distinct,
         CAST(min(o_orderkey) AS VARCHAR) AS min_v, CAST(max(o_orderkey) AS VARCHAR) AS max_v
