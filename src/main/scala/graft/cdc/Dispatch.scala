@@ -140,7 +140,10 @@ object Dispatch {
         // copy of accumulated state — restore it before reading, or the
         // replayed batch would rebuild from empty and the later delete(bak)
         // would destroy everything (ADVICE r02).
-        if (!fs.exists(tgt) && fs.exists(bak)) fs.rename(bak, tgt)
+        if (!fs.exists(tgt) && fs.exists(bak))
+          require(fs.rename(bak, tgt),
+            s"CDC recovery rename $bak -> $tgt failed; refusing to proceed " +
+              "(continuing would merge into an empty target and delete the backup)")
         val target =
           if (fs.exists(tgt))
             spark.read.schema(promoteSchema(spark, docSchema, promote)).parquet(targetPath)
@@ -179,10 +182,15 @@ object Dispatch {
     *
     * Spark refuses to overwrite a path it is reading ("Cannot overwrite a
     * path that is also being read from"), so the merged touched partitions
-    * stage through `targetPath + ".stage"` and are re-read before the dynamic
-    * overwrite — still O(touched) I/O, twice. Crash mid-overwrite replays the
-    * batch from the checkpoint; the merge is last-wins idempotent, so a
-    * partially-replaced target re-converges.
+    * stage through `targetPath + ".stage"` — still O(touched) I/O. The
+    * commit is a manual per-partition swap through `targetPath + ".pbak"`
+    * (NOT Spark's dynamic partition overwrite, whose commit deletes old
+    * partition files before the staged ones land — a crash there would
+    * leave a touched partition empty, and the replayed batch could only
+    * restore keys present in that batch). With the backup swap, every
+    * touched partition is at its old or new content at every instant;
+    * recovery at batch start restores any partition left in .pbak, then
+    * the checkpoint-replayed merge (last-wins idempotent) re-converges.
     */
   def runPartitioned(spark: SparkSession, envelopeDir: String, targetPath: String,
                      checkpoint: String, docSchema: StructType,
@@ -195,6 +203,19 @@ object Dispatch {
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val tgt = new org.apache.hadoop.fs.Path(targetPath)
         val fs = tgt.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val pbak = new org.apache.hadoop.fs.Path(targetPath + ".pbak")
+        // Crash recovery FIRST: a partition left in .pbak whose target dir
+        // is missing was mid-swap when the last run died — restore it
+        // before reading, then let the replayed merge re-converge.
+        if (fs.exists(pbak)) {
+          fs.listStatus(pbak).foreach { st =>
+            val dst = new org.apache.hadoop.fs.Path(tgt, st.getPath.getName)
+            if (!fs.exists(dst))
+              require(fs.rename(st.getPath, dst),
+                s"CDC partition recovery rename ${st.getPath} -> $dst failed")
+          }
+          fs.delete(pbak, true)
+        }
         val schema = promoteSchema(spark, docSchema, promote)
         val deduped = promote(upsertLeg(batch, docSchema, rawKey, tieCol))
         if (!fs.exists(tgt)) {
@@ -203,16 +224,30 @@ object Dispatch {
           val target = spark.read.schema(schema).parquet(targetPath)
           val merged = Upsert.mergePartitionPruned(target, deduped, mergeKey, partCol)
           val stage = targetPath + ".stage"
-          // a crash between stage-write and overwrite leaves .stage behind;
-          // mode("overwrite") replaces it, but delete first so a schema or
-          // partition-layout change can't merge stale files into the re-read
-          fs.delete(new org.apache.hadoop.fs.Path(stage), true)
+          val stagePath = new org.apache.hadoop.fs.Path(stage)
+          // a crash between stage-write and swap leaves .stage behind;
+          // delete first so a schema or partition-layout change can't merge
+          // stale files into the swap
+          fs.delete(stagePath, true)
           merged.write.partitionBy(partCol).mode("overwrite").parquet(stage)
-          spark.read.schema(schema).parquet(stage)
-            .write.partitionBy(partCol).mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .parquet(targetPath)
-          fs.delete(new org.apache.hadoop.fs.Path(stage), true)
+          // manual per-partition backup swap: each touched partition is at
+          // its OLD or NEW content at every instant (see scaladoc)
+          fs.delete(pbak, true)
+          require(fs.mkdirs(pbak), s"CDC swap: mkdirs $pbak failed")
+          fs.listStatus(stagePath)
+            .filter(st => st.isDirectory && st.getPath.getName.contains("="))
+            .foreach { st =>
+              val name = st.getPath.getName
+              val dst = new org.apache.hadoop.fs.Path(tgt, name)
+              if (fs.exists(dst))
+                require(fs.rename(dst, new org.apache.hadoop.fs.Path(pbak, name)),
+                  s"CDC swap: backup rename $dst failed")
+              require(fs.rename(st.getPath, dst),
+                s"CDC swap: commit rename ${st.getPath} -> $dst failed — " +
+                  s"old content is at $pbak/$name")
+            }
+          fs.delete(pbak, true)
+          fs.delete(stagePath, true)
         }
         ()
       }

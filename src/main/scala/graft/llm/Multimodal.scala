@@ -37,12 +37,19 @@ object Multimodal {
     * bytes in the decoder).
     */
   def fromBinaryDir(spark: org.apache.spark.sql.SparkSession, dir: String,
-                    glob: String = "*"): DataFrame =
+                    glob: String = "*"): DataFrame = {
+    // extension of the BASENAME only — splitting the whole path on '.'
+    // would make /data/v1.2/photo yield mime "application/2/photo"; an
+    // extensionless basename falls back to octet-stream (the default
+    // mediaFromText uses)
+    val base = element_at(split(col("path"), "/"), -1)
+    val ext = regexp_extract(base, "\\.([A-Za-z0-9]+)$", 1)
     graft.sources.Sources.binaryDir(spark, dir, glob).select(
       xxhash64(col("path")).as("doc_id"),
       col("content").as("payload"),
-      concat(lit("application/"),
-        element_at(split(col("path"), "\\."), -1)).as("mime"))
+      when(ext =!= "", concat(lit("application/"), lower(ext)))
+        .otherwise(lit("application/octet-stream")).as("mime"))
+  }
 
   /** Columnar "decode": deterministic metadata from the payload bytes, kept
     * as pure expressions so the scan+decode stays whole-stage-codegen'd.

@@ -20,19 +20,24 @@ import org.apache.spark.sql.streaming.{StreamingQuery, StreamingQueryListener}
   */
 object Supervise {
 
-  /** Alert hook signature: (queryName, exceptionMessage). */
+  /** Alert hook signature: (queryId, exceptionMessage). The id is
+    * `QueryTerminatedEvent.id` — STABLE across checkpoint restarts of the
+    * same logical query (unlike `runId`, which changes per run), so alert
+    * consumers can correlate, dedup, and escalate repeated failures of one
+    * query.
+    */
   type Alert = (String, String) => Unit
 
   class Supervisor(alert: Alert) extends StreamingQueryListener {
-    /** Terminations observed, for tests/ops: (name, Option(exception)). */
+    /** Terminations observed, for tests/ops: (queryId, Option(exception)). */
     val terminations = new CopyOnWriteArrayList[(String, Option[String])]()
 
     override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit = ()
     override def onQueryProgress(e: StreamingQueryListener.QueryProgressEvent): Unit = ()
     override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit = {
-      val name = Option(e.runId).map(_.toString).getOrElse("unknown")
-      terminations.add((name, e.exception))
-      e.exception.foreach(msg => alert(name, msg))
+      val id = Option(e.id).map(_.toString).getOrElse("unknown")
+      terminations.add((id, e.exception))
+      e.exception.foreach(msg => alert(id, msg))
     }
   }
 

@@ -259,6 +259,41 @@ class CdcSpec extends SparkSuite {
     assert(yAfter == yBytes)
   }
 
+  test("partitioned sink restores a partition stranded in .pbak mid-swap") {
+    import spark.implicits._
+    val partSchema = StructType(Seq(
+      StructField("id", StringType), StructField("p", StringType),
+      StructField("v", LongType)))
+    val dir = Files.createTempDirectory("cdc-pbak-env").toFile
+    val tgt = Files.createTempDirectory("cdc-pbak-tgt").toFile.getAbsolutePath + "/target"
+    val ckpt = Files.createTempDirectory("cdc-pbak-ckpt").toFile.getAbsolutePath
+    Files.write(new java.io.File(dir, "b1.json").toPath,
+      Seq(
+        """{"operationType":"insert","documentKey":"a","fullDocument":"{\"id\":\"a\",\"p\":\"x\",\"v\":1}","clusterTime":"2024-01-01T00:00:00.000Z"}""",
+        """{"operationType":"insert","documentKey":"c","fullDocument":"{\"id\":\"c\",\"p\":\"x\",\"v\":3}","clusterTime":"2024-01-01T00:00:01.000Z"}"""
+      ).mkString("\n").getBytes("UTF-8"))
+    val q1 = graft.cdc.Dispatch.runPartitioned(spark, dir.getAbsolutePath, tgt, ckpt,
+      partSchema, identity, "id", "id", "v", partCol = "p")
+    q1.awaitTermination(60000)
+    // simulate the crash window: p=x backed up to .pbak, target dir gone
+    // (old partition files removed, staged ones never landed)
+    new java.io.File(tgt + ".pbak").mkdirs()
+    assert(new java.io.File(s"$tgt/p=x")
+      .renameTo(new java.io.File(tgt + ".pbak/p=x")))
+    // replayed/next batch updates only key a; recovery must first restore
+    // p=x from .pbak so key c (not in the batch) survives
+    Files.write(new java.io.File(dir, "b2.json").toPath,
+      """{"operationType":"update","documentKey":"a","fullDocument":"{\"id\":\"a\",\"p\":\"x\",\"v\":9}","clusterTime":"2024-01-02T00:00:00.000Z"}"""
+        .getBytes("UTF-8"))
+    val q2 = graft.cdc.Dispatch.runPartitioned(spark, dir.getAbsolutePath, tgt, ckpt,
+      partSchema, identity, "id", "id", "v", partCol = "p")
+    q2.awaitTermination(60000)
+    val got = spark.read.parquet(tgt).select("id", "p", "v")
+      .as[(String, String, Long)].collect().toSet
+    assert(got == Set(("a", "x", 9L), ("c", "x", 3L)))
+    assert(!new java.io.File(tgt + ".pbak").exists())
+  }
+
   test("crash window between swap renames recovers from .bak (no data loss)") {
     import spark.implicits._
     val dir = Files.createTempDirectory("cdc-crash-env").toFile
