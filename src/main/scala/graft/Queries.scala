@@ -1036,7 +1036,7 @@ object Queries {
         .select("doc_id", "source")
     }, Some("""SELECT doc_id, source FROM documents
       WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS DOUBLE)
-            / 4294967296.0 < (length(source) % 3 + 1) * 0.2""")),
+            / 4294967296.0 < (length(source) % 3 + 1) * CAST(0.2 AS DOUBLE)""")),
 
     // Per-source percentile gate: keep docs at or above the 75th percent-rank
     // of token count within their source (ties pinned by doc_id) — the
@@ -1559,7 +1559,7 @@ object Queries {
         CAST(len(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')) AS INTEGER) AS n_tok
         FROM documents),
       rates AS (SELECT source,
-        least(1.0, 3000.0 / CAST(sum(n_tok) AS BIGINT)) AS rate
+        least(CAST(1.0 AS DOUBLE), CAST(3000.0 AS DOUBLE) / CAST(sum(n_tok) AS BIGINT)) AS rate
         FROM dc GROUP BY source),
       sampled AS (SELECT dc.* FROM dc JOIN rates USING (source)
         WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS DOUBLE)

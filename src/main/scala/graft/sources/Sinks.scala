@@ -56,37 +56,54 @@ object Sinks {
     * be swapped out with the old dir. Run it from the maintenance window or
     * the owning streaming driver between batches.
     *
-    * Crash safety: temp-dir + swap with a `_graft_compacted` marker. The
-    * marker distinguishes "bak is a stale backup of a COMPLETED swap"
-    * (deletable) from "the swap crashed and appends recreated the target"
-    * (both dirs hold real data — compact their union). Schema-evolved dirs
-    * merge footers so no column is dropped; partition-column type inference
-    * is disabled for the rewrite so values round-trip verbatim ('00123'
-    * stays part=00123, never part=123).
+    * Crash safety: temp-dir + swap with a `_graft_compacted` marker and
+    * NUMBERED backup slots (`.bak`, `.bak1`, `.bak2`, …). The invariant the
+    * protocol maintains at every instant is that the union of the target and
+    * the backup slots holds every row — `.compact_tmp` is always redundant,
+    * so recovery may discard it unconditionally, and no backup is deleted
+    * until the rebuilt target has committed (rename(tmp -> target) done).
+    * The old single-`.bak` protocol deleted the backup BEFORE the commit
+    * rename, so a crash in that window stranded the backup-only rows in a
+    * tmp dir recovery never consulted (ADVICE r03). The marker distinguishes
+    * "backups are stale leftovers of a COMPLETED swap" (deletable) from "the
+    * swap crashed and appends recreated the target" (union everything).
+    * Backups are deleted highest-slot-first so the surviving slots always
+    * form a prefix and probing for the first missing name finds them all.
+    * Schema-evolved dirs merge footers so no column is dropped; partition-
+    * column type inference is disabled for the rewrite so values round-trip
+    * verbatim ('00123' stays part=00123, never part=123).
     */
   def compact(spark: org.apache.spark.sql.SparkSession, path: String,
               targetFiles: Int, partCol: Option[String] = None): Unit = {
     val hconf = spark.sparkContext.hadoopConfiguration
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(hconf)
-    val bak = new org.apache.hadoop.fs.Path(path + ".bak")
+    def slot(k: Int) = new org.apache.hadoop.fs.Path(
+      if (k == 0) path + ".bak" else path + ".bak" + k)
+    def liveSlots(): Seq[org.apache.hadoop.fs.Path] =
+      Iterator.from(0).map(slot).takeWhile(fs.exists).toSeq
     val marker = new org.apache.hadoop.fs.Path(p, "_graft_compacted")
-    // Crash recovery FIRST (the CDC sink lesson, ADVICE r02): a death
-    // between rename(tgt->bak) and rename(tmp->tgt) leaves only .bak.
+    val tmp = path + ".compact_tmp"
+    val tmpPath = new org.apache.hadoop.fs.Path(tmp)
+    // Crash recovery FIRST (the CDC sink lesson, ADVICE r02). tmp is
+    // discardable by invariant; what to read depends on the marker.
+    fs.delete(tmpPath, true)
+    val baks = liveSlots()
     val readPaths: Seq[String] =
-      if (!fs.exists(p) && fs.exists(bak)) {
-        require(fs.rename(bak, p), s"compact: recovery rename $bak -> $p failed")
+      if (fs.exists(p) && fs.exists(marker)) {
+        // completed swap: target supersedes every backup slot
+        baks.reverse.foreach(fs.delete(_, true))
         Seq(path)
-      } else if (fs.exists(p) && fs.exists(bak) && !fs.exists(marker)) {
-        // swap crashed AND appends recreated the target: both hold real data
-        Seq(path, path + ".bak")
+      } else if (fs.exists(p)) {
+        // original data, or appends recreated the target after a crashed
+        // swap — the target and every backup slot hold real (disjoint) rows
+        path +: baks.map(_.toString)
       } else {
-        fs.delete(bak, true) // stale backup of a completed swap (or absent)
-        Seq(path)
+        require(baks.nonEmpty, s"compact: $path does not exist")
+        baks.map(_.toString) // crash between rename(tgt->slot) and commit
       }
     val inferKey = "spark.sql.sources.partitionColumnTypeInference.enabled"
     val inferPrev = spark.conf.get(inferKey)
-    val tmp = path + ".compact_tmp"
     try {
       spark.conf.set(inferKey, "false")
       val df = spark.read.option("mergeSchema", "true").parquet(readPaths: _*)
@@ -98,13 +115,17 @@ object Sinks {
           df.repartition(targetFiles).write.mode("overwrite").parquet(tmp)
       }
     } finally spark.conf.set(inferKey, inferPrev)
-    val tmpPath = new org.apache.hadoop.fs.Path(tmp)
     fs.create(new org.apache.hadoop.fs.Path(tmpPath, "_graft_compacted")).close()
-    fs.delete(bak, true)
-    if (fs.exists(p)) require(fs.rename(p, bak), s"compact: rename $p -> $bak failed")
+    // Swap: park the target in the NEXT free slot (existing backups stay
+    // put), commit tmp, and only then clear the slots — every pre-commit
+    // crash leaves the data reachable via the target-absent/union branches.
+    if (fs.exists(p)) {
+      val free = slot(liveSlots().size)
+      require(fs.rename(p, free), s"compact: rename $p -> $free failed")
+    }
     require(fs.rename(tmpPath, p),
-      s"compact: rename $tmp -> $p failed — previous data intact at $bak")
-    fs.delete(bak, true)
+      s"compact: rename $tmp -> $p failed — previous data intact in backup slots")
+    liveSlots().reverse.foreach(fs.delete(_, true))
   }
 
   /** Bucketed catalog table: pre-hash-partitioned and sorted on the join/

@@ -242,6 +242,44 @@ class SourcesSpec extends SparkSuite {
     assert(spark.read.parquet(dir).count() == 3)
   }
 
+  test("compact: crash between parking the target and the commit rename loses nothing") {
+    import spark.implicits._
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("compactw").toString + "/t"
+    // the ADVICE r03 window: a union-branch compact (bak=A, target=B) that
+    // died after parking both sources in backup slots but before
+    // rename(tmp -> target) committed. Old protocol: bak was already
+    // deleted here, so A lived only in tmp and recovery lost it.
+    graft.sources.Sinks.append(Seq((1L, "a")).toDF("id", "v"), dir + ".bak")
+    graft.sources.Sinks.append(Seq((2L, "b")).toDF("id", "v"), dir + ".bak1")
+    // crashed tmp from that run (complete, marker present) — recovery must
+    // not need it: the backup slots alone carry the data
+    Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+      .write.mode("overwrite").parquet(dir + ".compact_tmp")
+    new java.io.File(dir + ".compact_tmp/_graft_compacted").createNewFile()
+    graft.sources.Sinks.compact(spark, dir, targetFiles = 1)
+    assert(spark.read.parquet(dir).as[(Long, String)].collect().toSet ==
+      Set((1L, "a"), (2L, "b")))
+    for (s <- Seq(".bak", ".bak1", ".compact_tmp"))
+      assert(!new java.io.File(dir + s).exists(), s"$s not cleaned")
+  }
+
+  test("compact: appends recreating the target after a mid-swap crash are unioned") {
+    import spark.implicits._
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("compacta").toString + "/t"
+    // two parked backup slots from a crashed swap, plus fresh appends that
+    // recreated the target before the next compact ran
+    graft.sources.Sinks.append(Seq((1L, "a")).toDF("id", "v"), dir + ".bak")
+    graft.sources.Sinks.append(Seq((2L, "b")).toDF("id", "v"), dir + ".bak1")
+    graft.sources.Sinks.append(Seq((3L, "c")).toDF("id", "v"), dir)
+    graft.sources.Sinks.compact(spark, dir, targetFiles = 1)
+    assert(spark.read.parquet(dir).as[(Long, String)].collect().toSet ==
+      Set((1L, "a"), (2L, "b"), (3L, "c")))
+    for (s <- Seq(".bak", ".bak1", ".bak2", ".compact_tmp"))
+      assert(!new java.io.File(dir + s).exists(), s"$s not cleaned")
+  }
+
   test("partitioned compact: one file per partition dir, data intact") {
     import spark.implicits._
     import java.nio.file.Files
