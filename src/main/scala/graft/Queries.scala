@@ -1615,7 +1615,45 @@ object Queries {
       CAST(sum(CAST(trunc(l_quantity) AS BIGINT)) AS BIGINT) AS sum_q,
       CAST(min(CAST(trunc(l_quantity) AS BIGINT)) AS BIGINT) AS min_q,
       CAST(max(CAST(trunc(l_quantity) AS BIGINT)) AS BIGINT) AS max_q
-      FROM lineitem GROUP BY l_returnflag"""))
+      FROM lineitem GROUP BY l_returnflag""")),
+
+    // Sequence packing (llm/Packing): per-group first-fit-decreasing, with
+    // the group id md5-derived so the pass is engine-portable — the oracle
+    // replays the ENTIRE pack assignment (not just invariants) via
+    // list_reduce with a list-of-bins accumulator (the q22 LCS pattern).
+    // list_position on the fits-mask returns 0 (not NULL) on no-fit; reduce
+    // is seeded by mapping every doc to its own singleton bin list.
+    // Output is exploded to (doc_id, pack) rows so the comparison pins every
+    // doc's pack membership, not just pack summaries.
+    ("q85_packing", (s: SparkSession, d: String) => {
+      val docs = t(s, d, "documents")
+        .select(col("doc_id"), TextStats.tokenCount(col("text")).as("n_tok"))
+      graft.llm.Packing.packGreedy(docs, "doc_id", "n_tok",
+          maxTokens = 512, partitions = 4)
+        .select(col("pack_id"), explode(col("doc_ids")).as("doc_id"),
+          col("n_docs"), col("total_tokens"))
+    }, Some("""WITH d AS (SELECT doc_id AS id,
+        CAST(len(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')) AS BIGINT) AS n,
+        ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 4 AS pid
+        FROM documents),
+      g AS (SELECT pid, list({'id': id, 'n': n} ORDER BY n DESC, id) AS xs
+        FROM d GROUP BY pid),
+      p AS (SELECT pid, list_reduce(
+        list_transform(xs, e -> [{'ids': [e.id], 'tot': e.n}]),
+        (acc, e) -> CASE WHEN list_position(list_transform(acc, b -> b.tot + e[1].tot <= 512), true) = 0
+          THEN list_append(acc, e[1])
+          ELSE list_transform(range(1, len(acc) + 1), i ->
+            CASE WHEN i = list_position(list_transform(acc, b -> b.tot + e[1].tot <= 512), true)
+              THEN {'ids': list_append(acc[i].ids, e[1].ids[1]), 'tot': acc[i].tot + e[1].tot}
+              ELSE acc[i] END)
+          END) AS bins FROM g),
+      bn AS (SELECT pid, UNNEST(list_transform(range(1, len(bins) + 1), i ->
+          {'idx': i - 1, 'ids': bins[i].ids, 'tot': bins[i].tot})) AS bin FROM p)
+      SELECT pid * 1099511627776 + bin.idx AS pack_id,
+        UNNEST(bin.ids) AS doc_id,
+        CAST(len(bin.ids) AS INTEGER) AS n_docs,
+        bin.tot AS total_tokens
+      FROM bn"""))
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =

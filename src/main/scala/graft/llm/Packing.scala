@@ -27,34 +27,61 @@ object Packing {
 
   /** Pack (id, tokenCount) rows into packs of at most `maxTokens` tokens.
     * A single document exceeding `maxTokens` gets its own pack (the caller
-    * truncates/splits downstream). Deterministic for a fixed `partitions`:
-    * rows are hash-assigned by id and FFD order is pinned by (tokens desc,
-    * id). pack_id = partition * 2^40 + local index.
+    * truncates/splits downstream).
+    *
+    * Determinism is ENGINE-PORTABLE: docs are grouped by an md5-derived
+    * group id `pid = md5(id)[0:8] mod partitions` (not Spark's internal
+    * Murmur3 partitioner), FFD order within a group is pinned by
+    * (tokens desc, id), and pack_id = pid * 2^40 + index-within-group — so
+    * the exact same packs come out regardless of cluster size, shuffle
+    * partition count, or engine, and the DuckDB oracle (q85) replays the
+    * whole pass. Physically each Spark partition receives whole pid groups
+    * (repartition on pid) and the per-partition sort is (pid, tokens desc,
+    * id), so the FFD pass streams group runs without materializing the
+    * partition.
     */
   def packGreedy(df: DataFrame, idCol: String, tokenCol: String,
                  maxTokens: Long, partitions: Int): DataFrame = {
     require(maxTokens > 0, s"maxTokens must be positive, got $maxTokens")
+    require(partitions > 0 && partitions < (1 << 20),
+      s"partitions must be in [1, 2^20), got $partitions")
     val slim = df.select(col(idCol).cast("long").as("id"),
         col(tokenCol).cast("long").as("n"))
-      .repartition(partitions, col("id"))
-      .sortWithinPartitions(col("n").desc, col("id"))
-    val packed = slim.rdd.mapPartitionsWithIndex { (pid, rows) =>
-      // first-fit-decreasing: scan bins in creation order, open a new bin
-      // when none fits. Bin count per partition is bounded by partition row
-      // count; the open-bin list lives in one task's heap.
-      val bins = scala.collection.mutable.ArrayBuffer
-        .empty[(scala.collection.mutable.ArrayBuffer[Long], Long)]
-      rows.foreach { r =>
-        val id = r.getLong(0); val n = r.getLong(1)
-        val fit = bins.indexWhere { case (_, tot) => tot + n <= maxTokens }
-        if (fit >= 0) {
-          val (ids, tot) = bins(fit)
-          ids += id
-          bins(fit) = (ids, tot + n)
-        } else bins += ((scala.collection.mutable.ArrayBuffer(id), n))
-      }
-      bins.iterator.zipWithIndex.map { case ((ids, tot), i) =>
-        Row((pid.toLong << 40) | i.toLong, ids.toSeq, ids.size, tot)
+      .withColumn("pid", pmod(
+        conv(substring(md5(col("id").cast("string")), 1, 8), 16, 10).cast("long"),
+        lit(partitions.toLong)))
+      .repartition(partitions, col("pid"))
+      .sortWithinPartitions(col("pid"), col("n").desc, col("id"))
+    val packed = slim.rdd.mapPartitions { rows =>
+      // first-fit-decreasing per pid run: scan bins in creation order, open
+      // a new bin when none fits. The open-bin list for ONE group lives in
+      // the task's heap (its ids end up in the output anyway); groups are
+      // md5-uniform, so a group is ~1/partitions of the input.
+      val buf = rows.buffered
+      new scala.collection.AbstractIterator[Row] {
+        private var pending: Iterator[Row] = Iterator.empty
+        def hasNext: Boolean = pending.hasNext || buf.hasNext
+        def next(): Row = {
+          if (!pending.hasNext) {
+            val pid = buf.head.getLong(2)
+            val bins = scala.collection.mutable.ArrayBuffer
+              .empty[(scala.collection.mutable.ArrayBuffer[Long], Long)]
+            while (buf.hasNext && buf.head.getLong(2) == pid) {
+              val r = buf.next()
+              val id = r.getLong(0); val n = r.getLong(1)
+              val fit = bins.indexWhere { case (_, tot) => tot + n <= maxTokens }
+              if (fit >= 0) {
+                val (ids, tot) = bins(fit)
+                ids += id
+                bins(fit) = (ids, tot + n)
+              } else bins += ((scala.collection.mutable.ArrayBuffer(id), n))
+            }
+            pending = bins.iterator.zipWithIndex.map { case ((ids, tot), i) =>
+              Row((pid << 40) | i.toLong, ids.toSeq, ids.size, tot)
+            }
+          }
+          pending.next()
+        }
       }
     }
     df.sparkSession.createDataFrame(packed, packSchema)
