@@ -320,25 +320,32 @@ object Dedup {
     * its closed neighborhood, converging in O(graph diameter) rounds — each
     * round is one equi-join + keyed aggregation (no driver-side graph). Near-
     * dup graphs are clique-ish (diameter 1–3), so a handful of rounds
-    * suffices; for adversarially long chains the alternating large-star/
-    * small-star algorithm (Kiveris et al., MR'14) drops rounds to
-    * O(log diameter) — the documented upgrade if profiles ever show deep
-    * components. Deterministic (min), so the oracle replays it with a
-    * recursive transitive-closure CTE.
+    * suffices; for adversarially long chains use
+    * [[connectedComponentsStar]] (O(log diameter) rounds). Deterministic
+    * (min), so the oracle replays it with a recursive transitive-closure CTE.
+    *
+    * One Spark action per round (VERDICT r03 #6): the changed-label count is
+    * tallied by an accumulator INSIDE the eager localCheckpoint that
+    * materializes the round, instead of a second diff-join job. Accumulator
+    * updates in a transformation can over-count on task retry — harmless
+    * here in the loop (worst case one extra no-op round), but the loud
+    * non-convergence throw must not fire spuriously, so the budget-exhausted
+    * path re-checks with a precise diff before throwing.
     *
     * Returns one (idCol, comp) row per node in `nodes`; comp = min id of the
     * node's component (singletons map to themselves).
     */
   def connectedComponents(pairs: DataFrame, nodes: DataFrame, idCol: String,
                           maxIter: Int = 15): DataFrame = {
+    val spark = nodes.sparkSession
     val sym = pairs.select(col("id_a").as("u"), col("id_b").as("v"))
       .unionByName(pairs.select(col("id_b").as("u"), col("id_a").as("v")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     // localCheckpoint (not persist): each round's plan references the prior
-    // round's twice (propagate + convergence diff), so an un-truncated
-    // lineage doubles per iteration — the plan tree (and AQE's explain
-    // string) grows exponentially and OOMs the driver around round 10.
-    // Checkpointing pins each round to its materialized partitions. The
+    // round's comp twice (current label + propagate source), so an
+    // un-truncated lineage doubles per iteration — the plan tree (and AQE's
+    // explain string) grows exponentially and OOMs the driver around round
+    // 10. Checkpointing pins each round to its materialized partitions. The
     // production caveat (non-replicated blocks; an executor loss fails the
     // job) is acceptable: the loop is short and restartable.
     var labels = nodes.select(col(idCol).as("u"), col(idCol).as("comp"))
@@ -349,15 +356,32 @@ object Dedup {
       val nbrMin = sym
         .join(labels.select(col("u").as("v"), col("comp").as("vcomp")), Seq("v"))
         .groupBy("u").agg(min(col("vcomp")).as("nmin"))
-      val next = labels.join(nbrMin, Seq("u"), "left")
+      val acc = spark.sparkContext.longAccumulator(s"graft.cc.changed.$iter")
+      val flagged = labels.join(nbrMin, Seq("u"), "left")
         .select(col("u"),
-          least(col("comp"), coalesce(col("nmin"), col("comp"))).as("comp"))
-        .localCheckpoint()
-      changed = next
-        .join(labels.select(col("u"), col("comp").as("old")), Seq("u"))
-        .filter(col("comp") =!= col("old")).count()
-      labels = next
+          least(col("comp"), coalesce(col("nmin"), col("comp"))).as("comp"),
+          (coalesce(col("nmin"), col("comp")) < col("comp")).as("chg"))
+      val outEnc = org.apache.spark.sql.Encoders.row(
+        org.apache.spark.sql.types.StructType(flagged.schema.take(2)))
+      val prev = labels
+      // the eager localCheckpoint is the round's ONLY action; the row pass
+      // counts changed labels into the accumulator while materializing
+      val next = flagged.mapPartitions { it =>
+        it.map { r =>
+          if (!r.isNullAt(2) && r.getBoolean(2)) acc.add(1L)
+          org.apache.spark.sql.Row(r.get(0), r.get(1))
+        }
+      }(outEnc).localCheckpoint()
+      changed = acc.value
       iter += 1
+      if (changed > 0 && iter == maxIter) {
+        // precise re-check before the loud failure: a retried task may have
+        // double-counted into the accumulator
+        changed = next
+          .join(prev.select(col("u"), col("comp").as("old")), Seq("u"))
+          .filter(col("comp") =!= col("old")).count()
+      }
+      labels = next
     }
     sym.unpersist()
     // fail LOUDLY on non-convergence: returning partial labels would make
@@ -368,8 +392,89 @@ object Dedup {
       throw new IllegalStateException(
         s"connectedComponents did not converge in $maxIter rounds " +
           s"($changed labels still changing): component diameter exceeds the " +
-          "iteration budget — raise maxIter (rounds are O(diameter))")
+          "iteration budget — raise maxIter (rounds are O(diameter)) or use " +
+          "connectedComponentsStar (rounds are O(log diameter))")
     labels.select(col("u").as(idCol), col("comp"))
+  }
+
+  /** Orient an edge list canonically: (hi, lo) with hi > lo, self-loops
+    * dropped, duplicates collapsed.
+    */
+  private def orient(edges: DataFrame): DataFrame =
+    edges.filter(col("id_a") =!= col("id_b"))
+      .select(greatest(col("id_a"), col("id_b")).as("hi"),
+        least(col("id_a"), col("id_b")).as("lo"))
+      .distinct()
+
+  /** Connected components via alternating large-star/small-star (Kiveris et
+    * al., "Connected Components in MapReduce and Beyond", SoCC'14) — the
+    * O(log diameter) companion to [[connectedComponents]] for graphs with
+    * chain-shaped components whose diameter would exhaust a per-hop
+    * propagation budget.
+    *
+    *   - large-star(u): every neighbor v > u re-attaches to
+    *     m = min(N(u) ∪ {u})
+    *   - small-star(u): u and every neighbor v < u attach to the minimum of
+    *     that set
+    *
+    * Both phases are one keyed aggregation (per-center min) + one equi-join
+    * back to the edge list — no adjacency lists are ever collected, so a
+    * 100 TB hub node costs a shuffle, not an OOM. Edges stay canonically
+    * (hi, lo)-oriented; at the fixpoint every component is a star rooted at
+    * its min id, so labels fall out of a single left join. Convergence is
+    * checked exactly (count + one-sided except on the checkpointed edge
+    * sets), two cheap driver actions per round against O(log d) rounds.
+    *
+    * Same contract as [[connectedComponents]] — one (idCol, comp) row per
+    * node in `nodes`, comp = component min — and differentially tested
+    * against it (PropertySpec): min-label is the oracle twin.
+    */
+  def connectedComponentsStar(pairs: DataFrame, nodes: DataFrame, idCol: String,
+                              maxIter: Int = 25): DataFrame = {
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e.select(col("hi").as("u"), col("lo").as("v"))
+        .unionByName(e.select(col("lo").as("u"), col("hi").as("v")))
+      val mins = sym.groupBy("u").agg(min(col("v")).as("nmin"))
+        .select(col("u"), least(col("u"), col("nmin")).as("m"))
+      // v > u >= m, so emitted edges are already (hi=v, lo=m) with v != m
+      sym.join(mins, Seq("u"))
+        .filter(col("v") > col("u"))
+        .select(col("v").as("hi"), col("m").as("lo"))
+        .distinct()
+    }
+    def smallStar(e: DataFrame): DataFrame = {
+      // edges are (hi, lo) with lo < hi: group small neighbors by center hi
+      val mins = e.groupBy("hi").agg(min(col("lo")).as("m"))
+      val withM = e.join(mins, Seq("hi"))
+      // center attaches to the min, and so does every small neighbor != min
+      withM.select(col("hi"), col("m").as("lo"))
+        .unionByName(withM.filter(col("lo") =!= col("m"))
+          .select(col("lo").as("hi"), col("m").as("lo")))
+        .distinct()
+    }
+    var edges = orient(pairs).localCheckpoint()
+    var stable = edges.isEmpty
+    var iter = 0
+    while (!stable && iter < maxIter) {
+      val next = smallStar(largeStar(edges)).localCheckpoint()
+      // exact convergence: both sides are distinct (hi, lo) sets, so equal
+      // counts + empty one-sided difference <=> equal sets
+      stable = next.count() == edges.count() &&
+        next.exceptAll(edges).isEmpty
+      edges = next
+      iter += 1
+    }
+    if (!stable)
+      throw new IllegalStateException(
+        s"connectedComponentsStar did not converge in $maxIter rounds — " +
+          "this bounds O(log diameter); raise maxIter only after checking " +
+          "the input for pathological edge churn")
+    // fixpoint edges form stars (child=hi, root=lo); min() guards the
+    // (unreachable at a true fixpoint) case of a child with two roots
+    val roots = edges.groupBy(col("hi").as("u")).agg(min(col("lo")).as("root"))
+    nodes.select(col(idCol)).distinct()
+      .join(roots.withColumnRenamed("u", idCol), Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("root"), col(idCol)).as("comp"))
   }
 
   /** Near-dup dedup APPLIED: keep only each component's canonical (min-id)
