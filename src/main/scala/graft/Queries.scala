@@ -729,25 +729,48 @@ object Queries {
 
     // IVF approximate-nearest-neighbor: two-level centroid index, nprobe=2 —
     // the oracle replays the exact same assignment/probe/rank pipeline.
+    // IVF over k-means-TRAINED centroids (VERDICT r03 #3): two Lloyd rounds
+    // from the stride seed, unrolled verbatim in the oracle (a1/c1, a2/c2
+    // CTEs). Per-cell means route through decimal(18,6) in BOTH engines so
+    // the trained state is bit-identical; assignments round cosine to 6 and
+    // tie-break on cent_id (the standing determinism rules).
     ("q42_ivf_topk", (s: SparkSession, d: String) => {
       val emb = t(s, d, "embeddings")
-      SimSearch.ivfTopK(
+      SimSearch.ivfTopKTrained(
         emb.filter(col("vec_id") < 8).select(col("vec_id").as("query_id"), col("embedding")),
-        emb, 5, centroidStride = 64, nprobe = 2, "query_id", "vec_id")
-    }, Some("""WITH cents AS (SELECT vec_id AS cent_id, embedding::DOUBLE[] AS cent
+        emb, 5, centroidStride = 64, trainIters = 2, nprobe = 2, "query_id", "vec_id")
+    }, Some("""WITH corp AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      c0 AS (SELECT vec_id AS cent_id, embedding::DOUBLE[] AS cent
         FROM embeddings WHERE vec_id % 64 = 0),
-      corp AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-      ca AS (SELECT vec_id, v, cell FROM (
-        SELECT c.vec_id, c.v, ct.cent_id AS cell,
+      a1 AS (SELECT vec_id, v, cell FROM (
+        SELECT c.vec_id, c.v, t.cent_id AS cell,
           row_number() OVER (PARTITION BY c.vec_id
-            ORDER BY round(list_cosine_similarity(c.v, ct.cent), 6) DESC, ct.cent_id) AS rn
-        FROM corp c CROSS JOIN cents ct) WHERE rn = 1),
-      q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 8),
+            ORDER BY round(list_cosine_similarity(c.v, t.cent), 6) DESC, t.cent_id) AS rn
+        FROM corp c CROSS JOIN c0 t) WHERE rn = 1),
+      c1 AS (SELECT cell AS cent_id, list(m ORDER BY dim) AS cent FROM (
+          SELECT cell, dim, round(CAST(sum(CAST(x AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS m
+          FROM (SELECT cell, unnest(range(len(v))) AS dim, unnest(v) AS x FROM a1)
+          GROUP BY cell, dim) GROUP BY cell),
+      a2 AS (SELECT vec_id, v, cell FROM (
+        SELECT c.vec_id, c.v, t.cent_id AS cell,
+          row_number() OVER (PARTITION BY c.vec_id
+            ORDER BY round(list_cosine_similarity(c.v, t.cent), 6) DESC, t.cent_id) AS rn
+        FROM corp c CROSS JOIN c1 t) WHERE rn = 1),
+      c2 AS (SELECT cell AS cent_id, list(m ORDER BY dim) AS cent FROM (
+          SELECT cell, dim, round(CAST(sum(CAST(x AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS m
+          FROM (SELECT cell, unnest(range(len(v))) AS dim, unnest(v) AS x FROM a2)
+          GROUP BY cell, dim) GROUP BY cell),
+      ca AS (SELECT vec_id, v, cell FROM (
+        SELECT c.vec_id, c.v, t.cent_id AS cell,
+          row_number() OVER (PARTITION BY c.vec_id
+            ORDER BY round(list_cosine_similarity(c.v, t.cent), 6) DESC, t.cent_id) AS rn
+        FROM corp c CROSS JOIN c2 t) WHERE rn = 1),
+      q AS (SELECT vec_id AS query_id, v AS qv FROM corp WHERE vec_id < 8),
       qa AS (SELECT query_id, qv, cell FROM (
-        SELECT q.query_id, q.qv, ct.cent_id AS cell,
+        SELECT q.query_id, q.qv, t.cent_id AS cell,
           row_number() OVER (PARTITION BY q.query_id
-            ORDER BY round(list_cosine_similarity(q.qv, ct.cent), 6) DESC, ct.cent_id) AS rn
-        FROM q CROSS JOIN cents ct) WHERE rn <= 2),
+            ORDER BY round(list_cosine_similarity(q.qv, t.cent), 6) DESC, t.cent_id) AS rn
+        FROM q CROSS JOIN c2 t) WHERE rn <= 2),
       sc AS (SELECT qa.query_id, ca.vec_id, round(list_cosine_similarity(qa.qv, ca.v), 6) AS cosine
         FROM ca JOIN qa ON ca.cell = qa.cell),
       w AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rnk FROM sc)
@@ -1653,7 +1676,41 @@ object Queries {
         UNNEST(bin.ids) AS doc_id,
         CAST(len(bin.ids) AS INTEGER) AS n_docs,
         bin.tot AS total_tokens
-      FROM bn"""))
+      FROM bn""")),
+
+    // The k-means ASSIGNMENT step in isolation (VERDICT r03 #3 "assignment
+    // step oracled"): every corpus vector's trained cell, not just the ones
+    // surfacing in q42's top-k — a cell flip anywhere in the index fails
+    // this row even when the flipped vector never ranks.
+    ("q86_kmeans_assign", (s: SparkSession, d: String) => {
+      val emb = t(s, d, "embeddings")
+      SimSearch.assignCells(emb, SimSearch.trainCentroids(emb, 64, 2), "vec_id")
+    }, Some("""WITH corp AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      c0 AS (SELECT vec_id AS cent_id, embedding::DOUBLE[] AS cent
+        FROM embeddings WHERE vec_id % 64 = 0),
+      a1 AS (SELECT vec_id, v, cell FROM (
+        SELECT c.vec_id, c.v, t.cent_id AS cell,
+          row_number() OVER (PARTITION BY c.vec_id
+            ORDER BY round(list_cosine_similarity(c.v, t.cent), 6) DESC, t.cent_id) AS rn
+        FROM corp c CROSS JOIN c0 t) WHERE rn = 1),
+      c1 AS (SELECT cell AS cent_id, list(m ORDER BY dim) AS cent FROM (
+          SELECT cell, dim, round(CAST(sum(CAST(x AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS m
+          FROM (SELECT cell, unnest(range(len(v))) AS dim, unnest(v) AS x FROM a1)
+          GROUP BY cell, dim) GROUP BY cell),
+      a2 AS (SELECT vec_id, v, cell FROM (
+        SELECT c.vec_id, c.v, t.cent_id AS cell,
+          row_number() OVER (PARTITION BY c.vec_id
+            ORDER BY round(list_cosine_similarity(c.v, t.cent), 6) DESC, t.cent_id) AS rn
+        FROM corp c CROSS JOIN c1 t) WHERE rn = 1),
+      c2 AS (SELECT cell AS cent_id, list(m ORDER BY dim) AS cent FROM (
+          SELECT cell, dim, round(CAST(sum(CAST(x AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS m
+          FROM (SELECT cell, unnest(range(len(v))) AS dim, unnest(v) AS x FROM a2)
+          GROUP BY cell, dim) GROUP BY cell)
+      SELECT vec_id, cell FROM (
+        SELECT c.vec_id, t.cent_id AS cell,
+          row_number() OVER (PARTITION BY c.vec_id
+            ORDER BY round(list_cosine_similarity(c.v, t.cent), 6) DESC, t.cent_id) AS rn
+        FROM corp c CROSS JOIN c2 t) WHERE rn = 1"""))
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -42,16 +42,48 @@ object SimSearch {
       .select(queryId, vecId, "cosine", "rank")
   }
 
-  /** IVF (inverted-file) top-k: the classic two-level ANN index, expressed as
-    * pure DataFrame ops.
+  /** Seed centroids: a deterministic corpus sample (every
+    * `centroidStride`-th id) — bounded, broadcastable, replayable in SQL.
+    */
+  def seedCentroids(corpus: DataFrame, centroidStride: Int,
+                    vecId: String = "vec_id"): DataFrame =
+    corpus.filter(col(vecId) % centroidStride === 0)
+      .select(col(vecId).as("cent_id"),
+        col("embedding").cast("array<double>").as("cent_emb"))
+
+  /** Nearest-centroid assignment — the IVF building block shared by index
+    * build, query probe, and Lloyd training. `keep` = 1 assigns; `keep` > 1
+    * is the query-side multi-cell probe. Centroids are broadcast (bounded by
+    * construction); scores are rounded to 6 places and tie-broken on cent_id
+    * so the DuckDB oracle replays the exact assignment.
+    */
+  private def assignTo(cents: DataFrame, df: DataFrame, id: String,
+                       emb: String, keep: Int): DataFrame = {
+    val scored = df.crossJoin(broadcast(cents))
+      .withColumn("cscore", round(VectorFunctions.cosineSim(col(emb), col("cent_emb")), 6))
+    val w = Window.partitionBy(col(id)).orderBy(col("cscore").desc, col("cent_id"))
+    scored.withColumn("crank", row_number().over(w))
+      .filter(col("crank") <= keep)
+      .drop("cent_emb", "cscore", "crank")
+  }
+
+  /** The (vecId, cell) index assignment for a trained/seeded centroid set —
+    * exposed separately so the assignment step is oracle-checkable on its
+    * own (q86).
+    */
+  def assignCells(corpus: DataFrame, cents: DataFrame,
+                  vecId: String = "vec_id"): DataFrame =
+    assignTo(cents, corpus.select(col(vecId), col("embedding").as("c_emb")),
+      vecId, "c_emb", 1)
+      .select(col(vecId), col("cent_id").as("cell"))
+
+  /** IVF (inverted-file) top-k over an explicit centroid set: the classic
+    * two-level ANN index, expressed as pure DataFrame ops.
     *
-    *   1. centroid set = a deterministic corpus sample (every `centroidStride`-th
-    *      id) — bounded, broadcast. A production build would k-means these;
-    *      the partition/probe mechanics are identical.
-    *   2. each corpus vector is assigned to its nearest centroid (broadcast
+    *   1. each corpus vector is assigned to its nearest centroid (broadcast
     *      crossJoin + top-1 window: |corpus| x |centroids| fused-cosine scores,
     *      corpus never shuffles until the single cell-partitioned exchange).
-    *   3. each query probes its `nprobe` nearest cells; candidates are the
+    *   2. each query probes its `nprobe` nearest cells; candidates are the
     *      equi-join on cell id — the scored set is |corpus|/nlist * nprobe
     *      per query instead of |corpus|.
     *
@@ -59,22 +91,12 @@ object SimSearch {
     * rounding scores to 6 places and tie-breaking on ids, so the exact same
     * algorithm is replayable in the DuckDB oracle.
     */
-  def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
-              centroidStride: Int = 64, nprobe: Int = 2,
-              queryId: String = "query_id", vecId: String = "vec_id"): DataFrame = {
-    val cents = corpus.filter(col(vecId) % centroidStride === 0)
-      .select(col(vecId).as("cent_id"), col("embedding").as("cent_emb"))
-    def assign(df: DataFrame, id: String, emb: String, keep: Int): DataFrame = {
-      val scored = df.crossJoin(broadcast(cents))
-        .withColumn("cscore", round(VectorFunctions.cosineSim(col(emb), col("cent_emb")), 6))
-      val w = Window.partitionBy(col(id)).orderBy(col("cscore").desc, col("cent_id"))
-      scored.withColumn("crank", row_number().over(w))
-        .filter(col("crank") <= keep)
-        .drop("cent_emb", "cscore", "crank")
-    }
-    val corpusCells = assign(corpus.select(col(vecId), col("embedding").as("c_emb")),
+  def ivfTopKWith(queries: DataFrame, corpus: DataFrame, k: Int,
+                  cents: DataFrame, nprobe: Int = 2,
+                  queryId: String = "query_id", vecId: String = "vec_id"): DataFrame = {
+    val corpusCells = assignTo(cents, corpus.select(col(vecId), col("embedding").as("c_emb")),
       vecId, "c_emb", 1).withColumnRenamed("cent_id", "cell")
-    val queryCells = assign(queries.select(col(queryId), col("embedding").as("q_emb")),
+    val queryCells = assignTo(cents, queries.select(col(queryId), col("embedding").as("q_emb")),
       queryId, "q_emb", nprobe).withColumnRenamed("cent_id", "cell")
     val scored = corpusCells.join(broadcast(queryCells), Seq("cell"))
       .withColumn("cosine", round(VectorFunctions.cosineSim(col("q_emb"), col("c_emb")), 6))
@@ -85,6 +107,24 @@ object SimSearch {
       .filter(col("rank") <= k)
       .select(queryId, vecId, "cosine", "rank")
   }
+
+  /** IVF top-k on stride-seeded (untrained) centroids. */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+              centroidStride: Int = 64, nprobe: Int = 2,
+              queryId: String = "query_id", vecId: String = "vec_id"): DataFrame =
+    ivfTopKWith(queries, corpus, k, seedCentroids(corpus, centroidStride, vecId),
+      nprobe, queryId, vecId)
+
+  /** IVF top-k on k-means-trained centroids: `trainIters` Lloyd rounds from
+    * the stride seed (fixed iteration count so the whole train+probe pipeline
+    * is replayable in the DuckDB oracle — see q42), then the standard probe.
+    */
+  def ivfTopKTrained(queries: DataFrame, corpus: DataFrame, k: Int,
+                     centroidStride: Int = 64, trainIters: Int = 2, nprobe: Int = 2,
+                     queryId: String = "query_id", vecId: String = "vec_id"): DataFrame =
+    ivfTopKWith(queries, corpus, k,
+      trainCentroids(corpus, centroidStride, trainIters, vecId),
+      nprobe, queryId, vecId)
 
   /** Exact top-k via the custom bounded-heap aggregate
     * (org.apache.spark.sql.graft.TopKByScore) instead of a window: the
@@ -109,29 +149,82 @@ object SimSearch {
   }
 
   /** One Lloyd iteration for IVF centroid training: assign every corpus
-    * vector to its nearest centroid (same mechanics as [[ivfTopK]]'s
-    * assignment) and emit the per-cell mean vector. Run a handful of
-    * iterations offline to turn the deterministic-sample centroids into
-    * proper k-means cells; the per-cell mean is a single hash aggregation
-    * over `posexplode`d components — one shuffle keyed on (cell, dim),
-    * no vector ever collected to the driver.
+    * vector to its nearest centroid (same rounding/tie rules as the probe
+    * path, so an oracle can replay it) and emit the per-cell mean vector.
+    * The per-cell mean is a single hash aggregation over `posexplode`d
+    * components — one shuffle keyed on (cell, dim), no vector ever collected
+    * to the driver. The mean routes through decimal(18,6) (the Queries
+    * scaladoc determinism rule applied to ITERATIVE state): a plain double
+    * avg is summation-order-dependent, and a 1-ulp wobble in round 1's
+    * centroids can flip a rounded-cosine assignment in round 2 — decimal
+    * sums are exact, so both engines (and every shuffle order) produce
+    * bit-identical centroids each round.
     */
   def kmeansIter(corpus: DataFrame, centroids: DataFrame,
                  vecId: String = "vec_id"): DataFrame = {
     val cents = centroids.select(col("cent_id"), col("cent_emb"))
-    val scored = corpus.select(col(vecId), col("embedding").cast("array<double>").as("v"))
-      .crossJoin(broadcast(cents))
-      .withColumn("cscore", VectorFunctions.cosineSim(col("v"), col("cent_emb")))
-    val w = Window.partitionBy(col(vecId)).orderBy(col("cscore").desc, col("cent_id"))
-    val assigned = scored.withColumn("crank", row_number().over(w))
-      .filter(col("crank") === 1)
+    val assigned = assignTo(cents,
+      corpus.select(col(vecId), col("embedding").cast("array<double>").as("v")),
+      vecId, "v", 1)
       .select(col("cent_id"), col("v"))
     assigned
       .select(col("cent_id"), posexplode(col("v")).as(Seq("dim", "x")))
-      .groupBy("cent_id", "dim").agg(avg(col("x")).as("m"))
+      .groupBy("cent_id", "dim")
+      .agg(round(sum(col("x").cast("decimal(18,6)")).cast("double")
+        / count(lit(1)), 6).as("m"))
       .groupBy("cent_id")
       .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("dm"))
       .select(col("cent_id"), transform(col("dm"), _.getField("m")).as("cent_emb"))
+  }
+
+  /** Fixed-iteration Lloyd training from the stride seed. A FIXED round
+    * count (not an early stop) keeps the pipeline a pure function of the
+    * data, so the DuckDB oracle replays training by unrolling the same
+    * rounds (q42/q86). Cells that win no vectors drop out (both engines
+    * agree). Each round is localCheckpoint-pinned — same lineage-growth
+    * rationale as Dedup.connectedComponents.
+    */
+  def trainCentroids(corpus: DataFrame, centroidStride: Int, iters: Int,
+                     vecId: String = "vec_id"): DataFrame = {
+    var cents = seedCentroids(corpus, centroidStride, vecId).localCheckpoint()
+    for (_ <- 1 to iters)
+      cents = kmeansIter(corpus, cents, vecId).localCheckpoint()
+    cents
+  }
+
+  /** Lloyd training TO CONVERGENCE: iterate until no centroid component
+    * moves more than `tol` (and no cell vanishes), failing loudly when the
+    * budget is exhausted — partial centroids would silently degrade q42-path
+    * recall. The convergence measure is computed on the centroid set itself
+    * (|cells| rows, broadcast-scale), so the per-round driver check is
+    * O(nlist), never O(corpus).
+    */
+  def trainCentroidsConverged(corpus: DataFrame, centroidStride: Int,
+                              maxIter: Int = 20, tol: Double = 1e-4,
+                              vecId: String = "vec_id"): DataFrame = {
+    var cents = seedCentroids(corpus, centroidStride, vecId).localCheckpoint()
+    var iter = 0
+    var shift = Double.MaxValue
+    while (shift > tol && iter < maxIter) {
+      val next = kmeansIter(corpus, cents, vecId).localCheckpoint()
+      val joined = next.join(
+        cents.select(col("cent_id"), col("cent_emb").as("old_emb")), Seq("cent_id"))
+      val moved = joined.select(
+        aggregate(zip_with(col("cent_emb"), col("old_emb"), (a, b) => abs(a - b)),
+          lit(0.0), (acc, x) => greatest(acc, x)).as("shift"))
+        .agg(max(col("shift"))).head()
+      val structural = next.count() != cents.count()
+      shift = if (structural) Double.MaxValue
+        else if (moved.isNullAt(0)) 0.0 else moved.getDouble(0)
+      cents = next
+      iter += 1
+    }
+    if (shift > tol)
+      throw new IllegalStateException(
+        s"k-means did not converge in $maxIter rounds (max centroid shift " +
+          s"$shift > tol $tol): raise maxIter or loosen tol — returning " +
+          "half-trained centroids would silently degrade IVF recall")
+    cents
   }
 
   /** LSH-bucketed top-k: queries and corpus equi-join on the sign bucket of

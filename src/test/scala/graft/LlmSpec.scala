@@ -330,6 +330,44 @@ class LlmSpec extends SparkSuite {
     assert(math.abs(moved(1L)(1) - 29.0 / 30.0) < 1e-6 && math.abs(moved(1L).head) < 1e-6)
   }
 
+  test("Lloyd training converges on separable clusters; tight budget fails loudly") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    // three orthogonal clusters; stride-20 seeds land one in each (0, 20, 40)
+    val corpus = (0L until 60L).map { i =>
+      val base = (i % 3) match {
+        case 0 => Array(1.0, 0.0, 0.0, 0.0)
+        case 1 => Array(0.0, 1.0, 0.0, 0.0)
+        case _ => Array(0.0, 0.0, 1.0, 0.0)
+      }
+      (i, base.map(x => (x + (rnd.nextDouble() - 0.5) * 0.05).toFloat))
+    }.toDF("vec_id", "embedding")
+    val trained = SimSearch.trainCentroidsConverged(corpus, centroidStride = 20,
+        maxIter = 15, tol = 1e-5)
+      .as[(Long, Seq[Double])].collect()
+    assert(trained.length == 3)
+    // each trained centroid is dominated by a distinct cluster axis
+    val axes = trained.map(_._2.zipWithIndex.maxBy(_._1)._2).toSet
+    assert(axes == Set(0, 1, 2))
+    // the seed-to-mean move exceeds tol after a single round: loud failure
+    val e = intercept[IllegalStateException] {
+      SimSearch.trainCentroidsConverged(corpus, centroidStride = 20,
+        maxIter = 1, tol = 1e-5)
+    }
+    assert(e.getMessage.contains("did not converge"))
+    // trained IVF still ranks the honest nearest neighbors at the top:
+    // differential vs brute force on the same corpus
+    val queries = corpus.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val ivf = SimSearch.ivfTopKTrained(queries, corpus, 3, centroidStride = 20,
+      trainIters = 2, nprobe = 1).as[(Long, Long, Double, Int)].collect().toSet
+    val brute = SimSearch.bruteForceTopK(queries, corpus, 3)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    // orthogonal clusters: each query's true top-3 lives in its own cell,
+    // so IVF@nprobe=1 equals brute force exactly here
+    assert(ivf == brute)
+  }
+
   test("winnowing: shared substrings yield shared fingerprints, disjoint texts don't") {
     import spark.implicits._
     val shared = "the quick brown fox jumps over the lazy dog again and again"
