@@ -1682,6 +1682,10 @@ object Queries {
     // step oracled"): every corpus vector's trained cell, not just the ones
     // surfacing in q42's top-k — a cell flip anywhere in the index fails
     // this row even when the flipped vector never ranks.
+    // NaN convention: assignTo EXCLUDES zero-norm vectors (NaN cosine vs
+    // every centroid) rather than letting NaN-ordering pick a cell; the
+    // fixture has none, and if one ever appears the oracle diverges as a
+    // loud row-count mismatch instead of a silent tie-break dependency.
     ("q86_kmeans_assign", (s: SparkSession, d: String) => {
       val emb = t(s, d, "embeddings")
       SimSearch.assignCells(emb, SimSearch.trainCentroids(emb, 64, 2), "vec_id")
@@ -1710,7 +1714,117 @@ object Queries {
         SELECT c.vec_id, t.cent_id AS cell,
           row_number() OVER (PARTITION BY c.vec_id
             ORDER BY round(list_cosine_similarity(c.v, t.cent), 6) DESC, t.cent_id) AS rn
-        FROM corp c CROSS JOIN c2 t) WHERE rn = 1"""))
+        FROM corp c CROSS JOIN c2 t) WHERE rn = 1""")),
+
+    // Connected components via alternating large-star/small-star (the
+    // O(log diameter) 100 TB path) on the same corpus/pairs as q60, PLUS a
+    // planted phantom bridge 0 -- 99999 -- 1 whose middle id is absent from
+    // the node set: the contract (matching min-label) is that phantom
+    // endpoints neither bridge components nor label them, so the oracle is
+    // q60's recursive closure WITHOUT the phantom edges — if the semi-join
+    // guard regresses, docs 0 and 1 merge and the hash fails.
+    ("q87_components_star", (s: SparkSession, d: String) => {
+      val docs = t(s, d, "documents").filter(col("doc_id") < 60).select("doc_id", "text")
+      val corpus = docs.unionByName(docs.select((col("doc_id") + 10000).as("doc_id"),
+        concat(col("text"), lit(" extra token")).as("text")))
+      val pairs = Dedup.jaccardPairsPrefix(corpus, "text", "doc_id",
+        shingleN = 3, threshold = 0.5).select("id_a", "id_b")
+      val phantom = s.range(1)
+        .select(lit(0L).as("id_a"), lit(99999L).as("id_b"))
+        .unionByName(s.range(1).select(lit(99999L).as("id_a"), lit(1L).as("id_b")))
+      Dedup.connectedComponentsStar(pairs.unionByName(phantom),
+        corpus.select("doc_id"), "doc_id")
+    }, Some("""WITH RECURSIVE corpus AS (
+        SELECT doc_id, text FROM documents WHERE doc_id < 60
+        UNION ALL SELECT doc_id + 10000 AS doc_id, text || ' extra token' AS text
+        FROM documents WHERE doc_id < 60),
+      dd AS (SELECT doc_id,
+        list_filter(string_split_regex(trim(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')), ' '),
+                    x -> x <> '') AS w FROM corpus),
+      sh AS (SELECT doc_id, CASE WHEN len(w) >= 3
+          THEN list_distinct(list_transform(range(1, len(w) - 1), i -> array_to_string(w[i:i+2], ' ')))
+          ELSE [array_to_string(w, ' ')] END AS sh FROM dd),
+      p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM sh a CROSS JOIN sh b WHERE a.doc_id < b.doc_id
+          AND CAST(len(list_filter(a.sh, x -> list_contains(b.sh, x))) AS DOUBLE)
+              / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) >= 0.5),
+      e AS (SELECT id_a AS u, id_b AS v FROM p UNION SELECT id_b, id_a FROM p),
+      tc AS (SELECT u, v FROM e
+        UNION SELECT tc.u, e.v FROM tc JOIN e ON tc.v = e.u)
+      SELECT c.doc_id, least(c.doc_id, coalesce(min(tc.v), c.doc_id)) AS comp
+      FROM corpus c LEFT JOIN tc ON tc.u = c.doc_id GROUP BY c.doc_id""")),
+
+    // The WHOLE training-data pipeline oracled end to end (VERDICT r05 #7):
+    // token gate -> prefix-filtered jaccard pairs -> connected-components
+    // dedup (canonical survivors) -> deterministic 80% sample -> FFD
+    // sequence packing, on the bounded q60 corpus. The oracle chains the
+    // proven q60 (recursive TC), q61 (md5 threshold), and q85 (list_reduce
+    // bin packing) fragments — every doc's pack membership is pinned, so a
+    // drift ANYWHERE in the chain fails the hash.
+    ("q88_pipeline", (s: SparkSession, d: String) => {
+      val docs = t(s, d, "documents").filter(col("doc_id") < 60)
+        .select("doc_id", "source", "text")
+      val corpus = docs.unionByName(docs.select((col("doc_id") + 10000).as("doc_id"),
+        col("source"), concat(col("text"), lit(" extra token")).as("text")))
+      val gated = corpus
+        .withColumn("n_tokens", TextStats.tokenCount(col("text")))
+        .filter(col("n_tokens") >= 5)
+      val pairs = Dedup.jaccardPairsPrefix(gated, "text", "doc_id",
+        shingleN = 3, threshold = 0.5)
+      val surviving = Dedup.nearDupApply(gated, pairs, "doc_id")
+      val sampled = graft.llm.Sampling.deterministicSample(surviving, col("doc_id"), lit(0.8))
+      graft.llm.Packing.packGreedy(sampled, "doc_id", "n_tokens",
+          maxTokens = 512, partitions = 4)
+        .select(col("pack_id"), explode(col("doc_ids")).as("doc_id"),
+          col("n_docs"), col("total_tokens"))
+    }, Some("""WITH RECURSIVE corpus AS (
+        SELECT doc_id, text FROM documents WHERE doc_id < 60
+        UNION ALL SELECT doc_id + 10000 AS doc_id, text || ' extra token' AS text
+        FROM documents WHERE doc_id < 60),
+      g AS (SELECT doc_id, text,
+        CAST(len(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')) AS BIGINT) AS n
+        FROM corpus
+        WHERE len(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')) >= 5),
+      dd AS (SELECT doc_id,
+        list_filter(string_split_regex(trim(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')), ' '),
+                    x -> x <> '') AS w FROM g),
+      sh AS (SELECT doc_id, CASE WHEN len(w) >= 3
+          THEN list_distinct(list_transform(range(1, len(w) - 1), i -> array_to_string(w[i:i+2], ' ')))
+          ELSE [array_to_string(w, ' ')] END AS sh FROM dd),
+      p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM sh a CROSS JOIN sh b WHERE a.doc_id < b.doc_id
+          AND CAST(len(list_filter(a.sh, x -> list_contains(b.sh, x))) AS DOUBLE)
+              / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) >= 0.5),
+      e AS (SELECT id_a AS u, id_b AS v FROM p UNION SELECT id_b, id_a FROM p),
+      tc AS (SELECT u, v FROM e
+        UNION SELECT tc.u, e.v FROM tc JOIN e ON tc.v = e.u),
+      comp AS (SELECT g.doc_id, least(g.doc_id, coalesce(min(tc.v), g.doc_id)) AS comp
+        FROM g LEFT JOIN tc ON tc.u = g.doc_id GROUP BY g.doc_id),
+      samp AS (SELECT g.doc_id, g.n FROM g
+        JOIN comp ON comp.doc_id = g.doc_id AND comp.doc_id = comp.comp
+        WHERE CAST(('0x' || substr(md5(CAST(g.doc_id AS VARCHAR)), 1, 8))::BIGINT AS DOUBLE)
+              / 4294967296.0 < CAST(0.8 AS DOUBLE)),
+      d AS (SELECT doc_id AS id, n,
+        ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 4 AS pid
+        FROM samp),
+      gb AS (SELECT pid, list({'id': id, 'n': n} ORDER BY n DESC, id) AS xs
+        FROM d GROUP BY pid),
+      pk AS (SELECT pid, list_reduce(
+        list_transform(xs, e2 -> [{'ids': [e2.id], 'tot': e2.n}]),
+        (acc, e2) -> CASE WHEN list_position(list_transform(acc, b -> b.tot + e2[1].tot <= 512), true) = 0
+          THEN list_append(acc, e2[1])
+          ELSE list_transform(range(1, len(acc) + 1), i ->
+            CASE WHEN i = list_position(list_transform(acc, b -> b.tot + e2[1].tot <= 512), true)
+              THEN {'ids': list_append(acc[i].ids, e2[1].ids[1]), 'tot': acc[i].tot + e2[1].tot}
+              ELSE acc[i] END)
+          END) AS bins FROM gb),
+      bn AS (SELECT pid, UNNEST(list_transform(range(1, len(bins) + 1), i ->
+          {'idx': i - 1, 'ids': bins[i].ids, 'tot': bins[i].tot})) AS bin FROM pk)
+      SELECT pid * 1099511627776 + bin.idx AS pack_id,
+        UNNEST(bin.ids) AS doc_id,
+        CAST(len(bin.ids) AS INTEGER) AS n_docs,
+        bin.tot AS total_tokens
+      FROM bn"""))
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -452,7 +452,16 @@ object Dedup {
           .select(col("lo").as("hi"), col("m").as("lo")))
         .distinct()
     }
-    var edges = orient(pairs).localCheckpoint()
+    // Contract parity with [[connectedComponents]]: min-label implicitly
+    // drops edges touching ids absent from `nodes` (the labels join never
+    // matches them), so a phantom endpoint can neither bridge two node
+    // components nor become a component's label. Mirror that here by
+    // semi-joining BOTH endpoints against the node set before orienting.
+    val ids = nodes.select(col(idCol)).distinct()
+    val bounded = pairs
+      .join(ids.withColumnRenamed(idCol, "id_a"), Seq("id_a"), "left_semi")
+      .join(ids.withColumnRenamed(idCol, "id_b"), Seq("id_b"), "left_semi")
+    var edges = orient(bounded).localCheckpoint()
     var stable = edges.isEmpty
     var iter = 0
     while (!stable && iter < maxIter) {

@@ -61,6 +61,12 @@ object SimSearch {
                        emb: String, keep: Int): DataFrame = {
     val scored = df.crossJoin(broadcast(cents))
       .withColumn("cscore", round(VectorFunctions.cosineSim(col(emb), col("cent_emb")), 6))
+      // zero-norm vectors score NaN against EVERY centroid — without this
+      // filter they land in a cell purely by NaN-ordering tie-break, an
+      // engine-dependent accident. Same convention as every ranking path:
+      // unrankable vectors are excluded (here: unassignable), so a zero-norm
+      // row simply has no cell rather than an arbitrary one.
+      .filter(!isnan(col("cscore")))
     val w = Window.partitionBy(col(id)).orderBy(col("cscore").desc, col("cent_id"))
     scored.withColumn("crank", row_number().over(w))
       .filter(col("crank") <= keep)
@@ -203,20 +209,31 @@ object SimSearch {
                               maxIter: Int = 20, tol: Double = 1e-4,
                               vecId: String = "vec_id"): DataFrame = {
     var cents = seedCentroids(corpus, centroidStride, vecId).localCheckpoint()
+    var nCells = cents.count()
     var iter = 0
     var shift = Double.MaxValue
     while (shift > tol && iter < maxIter) {
       val next = kmeansIter(corpus, cents, vecId).localCheckpoint()
+      // a vanished cell is PERMANENT under Lloyd (an absent centroid can
+      // never win a vector back), so convergence is impossible from here —
+      // fail now with the real cause instead of burning the remaining
+      // rounds and reporting a meaningless sentinel shift
+      val nNext = next.count()
+      if (nNext != nCells)
+        throw new IllegalStateException(
+          s"k-means cell vanished in round ${iter + 1} ($nCells -> $nNext " +
+            "centroids): an empty cell cannot recover under Lloyd, so " +
+            "convergence is impossible — re-seed with a different " +
+            "centroidStride (fewer, better-spread cells)")
       val joined = next.join(
         cents.select(col("cent_id"), col("cent_emb").as("old_emb")), Seq("cent_id"))
       val moved = joined.select(
         aggregate(zip_with(col("cent_emb"), col("old_emb"), (a, b) => abs(a - b)),
           lit(0.0), (acc, x) => greatest(acc, x)).as("shift"))
         .agg(max(col("shift"))).head()
-      val structural = next.count() != cents.count()
-      shift = if (structural) Double.MaxValue
-        else if (moved.isNullAt(0)) 0.0 else moved.getDouble(0)
+      shift = if (moved.isNullAt(0)) 0.0 else moved.getDouble(0)
       cents = next
+      nCells = nNext
       iter += 1
     }
     if (shift > tol)

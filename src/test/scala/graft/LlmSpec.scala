@@ -368,6 +368,22 @@ class LlmSpec extends SparkSuite {
     assert(ivf == brute)
   }
 
+  test("Lloyd training fails fast (round 1, not budget exhaustion) when a cell vanishes") {
+    import spark.implicits._
+    // vec 20 duplicates vec 0, so the two stride-20 seeds are IDENTICAL:
+    // every assignment ties and breaks to cent_id 0 — cell 20 wins nothing
+    // and vanishes in the very first Lloyd round, which is unrecoverable
+    val corpus = (0L until 40L).map { i =>
+      val src = if (i == 20L) 0L else i
+      (i, Array.tabulate(4)(d => (1.0 + src * 0.01 * d).toFloat))
+    }.toDF("vec_id", "embedding")
+    val e = intercept[IllegalStateException] {
+      SimSearch.trainCentroidsConverged(corpus, centroidStride = 20,
+        maxIter = 15, tol = 1e-5)
+    }
+    assert(e.getMessage.contains("cell vanished in round 1"), e.getMessage)
+  }
+
   test("winnowing: shared substrings yield shared fingerprints, disjoint texts don't") {
     import spark.implicits._
     val shared = "the quick brown fox jumps over the lazy dog again and again"

@@ -47,6 +47,17 @@ class PlanSpec extends SparkSuite {
     assert("WindowGroupLimit".r.findAllIn(p).size >= 2, p)
   }
 
+  test("q62: percentile gate has no per-stratum global sort; prune join is broadcast") {
+    val p = finalPlan("q62_percentile_gate")
+    // the two-pass gate ranks only within fine-grained (source, score)
+    // buckets and derives pr arithmetically; a bare percent_rank window
+    // would reintroduce the one-reducer-per-stratum sort this design
+    // removed, so its absence IS the scale property.
+    assert(!p.contains("percent_rank"), p)
+    assert(p.contains("row_number"), p)
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastHashJoin"), p)
+  }
+
   test("q01: aggregation is partial map-side before the exchange") {
     val p = plan("q01_pricing_agg")
     assert(p.contains("partial_sum"), p)
