@@ -50,6 +50,50 @@ object Supervise {
     s
   }
 
+  /** Pluggable OUT-OF-PROCESS alert transport — the reference's SNS publish
+    * leg (reference: src/ingest_weather_data.py:21-31, src/monitor.sh:22-24)
+    * as a seam: a deployment injects its topic client (SNS, PagerDuty,
+    * webhook); offline the [[FileAlertSink]] stand-in makes delivery
+    * observable and durable. `send` must not throw — the supervisor runs it
+    * on the listener-bus thread, where an exception would silently kill
+    * alerting itself.
+    */
+  trait AlertSink {
+    def send(queryId: String, message: String): Unit
+  }
+
+  /** File-backed transport: one JSON line per alert appended to
+    * `dir/alerts.jsonl` (driver-side file IO — alert volume is per-query-
+    * failure, never per-row). Durable across JVM exit, tail-able by an
+    * external watcher — the offline analogue of a topic publish.
+    */
+  class FileAlertSink(dir: String) extends AlertSink {
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    private val path = java.nio.file.Paths.get(dir, "alerts.jsonl")
+    override def send(queryId: String, message: String): Unit = synchronized {
+      val esc = (s: String) => s.flatMap {
+        case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
+        case '\r' => "\\r"; case '\t' => "\\t"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
+      }
+      val line = s"""{"query_id":"${esc(queryId)}","message":"${esc(message)}"}\n"""
+      java.nio.file.Files.writeString(path, line,
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.APPEND)
+    }
+  }
+
+  /** Install a supervisor whose alerts go to an [[AlertSink]] transport.
+    * Delivery failures are swallowed after a stderr note: losing one alert
+    * beats killing the listener bus (and with it all future alerts).
+    */
+  def installSink(spark: SparkSession, sink: AlertSink): Supervisor =
+    install(spark, (id, msg) =>
+      try sink.send(id, msg)
+      catch { case e: Throwable =>
+        System.err.println(s"[supervise] alert delivery failed for $id: ${e.getMessage}")
+      })
+
   /** Run `start` to completion, restarting on failure up to `maxRestarts`
     * times. Streaming checkpoints make the restart safe: the replayed batch
     * re-merges idempotently. Returns the number of restarts consumed; throws

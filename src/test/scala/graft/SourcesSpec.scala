@@ -199,6 +199,71 @@ class SourcesSpec extends SparkSuite {
     assert(Tables(spark, "/root/testdata/sf0.001", "nation").count() > 0)
   }
 
+  test("connector seam drives a full write->read round trip on a second format (csv)") {
+    import spark.implicits._
+    // both legs go THROUGH the seam — proving the conf actually selects the
+    // format and its options end to end (the offline stand-in for flipping
+    // an endpoint between parquet and mongodb/bigquery), not just that the
+    // option map parses
+    val dir = Files.createTempDirectory("conn-csv").toString + "/t"
+    spark.conf.set("spark.graft.conn.mart.format", "csv")
+    spark.conf.set("spark.graft.conn.mart.path", dir)
+    spark.conf.set("spark.graft.conn.mart.option.header", "true")
+    spark.conf.set("spark.graft.conn.mart.option.inferSchema", "true")
+    try {
+      val out = Seq((1L, "a", 2.5), (2L, "b", -1.0)).toDF("id", "v", "x")
+      graft.sources.Connectors.write(out, "mart", sys.error("must not fall back"))
+      val got = graft.sources.Connectors.read(spark, "mart", sys.error("must not fall back"))
+      // header+inferSchema reached the reader: names survive, types recover
+      assert(got.schema("id").dataType == org.apache.spark.sql.types.LongType ||
+        got.schema("id").dataType == org.apache.spark.sql.types.IntegerType, got.schema)
+      assert(got.schema("x").dataType == org.apache.spark.sql.types.DoubleType, got.schema)
+      assert(got.select("id", "v", "x").as[(Long, String, Double)].collect().toSet ==
+        Set((1L, "a", 2.5), (2L, "b", -1.0)))
+    } finally {
+      spark.conf.unset("spark.graft.conn.mart.format")
+      spark.conf.unset("spark.graft.conn.mart.path")
+      spark.conf.unset("spark.graft.conn.mart.option.header")
+      spark.conf.unset("spark.graft.conn.mart.option.inferSchema")
+    }
+  }
+
+  test("S1 keyed fetch: per-partition client, shrinking retry, dead-letter residue") {
+    import spark.implicits._
+    // scripted per-attempt clients (file-scope so the closure ships without
+    // dragging the spec along): k2 succeeds only from attempt 2 (a transient
+    // failure the retry must recover), k3 never succeeds (a permanent
+    // failure the dead-letter must bank)
+    val dlq = Files.createTempDirectory("fetch-dlq").toString
+    val keys = Seq("k1", "k2", "k3").toDF("place")
+    val (fetched, failures) = graft.sources.Fetch.fetchWithRetry(
+      keys, "place", a => new ScriptedClient(a), dlq,
+      java.sql.Timestamp.valueOf("2024-03-05 08:00:00"), maxAttempts = 3)
+    // k1 fetched on attempt 1 and NOT re-fetched on later attempts; k2
+    // recovered on attempt 2
+    assert(fetched.as[(String, String)].collect().toSet ==
+      Set(("k1", "payload-k1-a1"), ("k2", "payload-k2-a2")))
+    assert(failures.as[(String, String)].collect().toSet == Set(("k3", "permanent")))
+    // the residue is banked through the standard dead-letter sink
+    val banked = spark.read.json(s"$dlq/failed_20240305080000")
+    assert(banked.select("key", "error").as[(String, String)].collect().toSet ==
+      Set(("k3", "permanent")))
+  }
+
+  test("S1 keyed fetch succeeds first pass: no retry, no dead-letter output") {
+    import spark.implicits._
+    val dlq = Files.createTempDirectory("fetch-dlq-ok").toString
+    var attemptsMade = 0
+    val (fetched, failures) = graft.sources.Fetch.fetchWithRetry(
+      Seq("a", "b").toDF("k"), "k",
+      { a => attemptsMade = math.max(attemptsMade, a); OkClient }, dlq,
+      java.sql.Timestamp.valueOf("2024-03-05 09:00:00"), maxAttempts = 3)
+    assert(attemptsMade == 1) // clean first pass short-circuits the budget
+    assert(fetched.count() == 2 && failures.isEmpty)
+    assert(new java.io.File(dlq).list().forall(_ == "_SUCCESS") ||
+      new java.io.File(dlq).list().isEmpty)
+  }
+
   test("compact collapses small files, preserves data, leaves no debris") {
     import spark.implicits._
     import java.nio.file.Files
@@ -307,4 +372,20 @@ class SourcesSpec extends SparkSuite {
     val df = SparkEntry.entry(spark)
     assert(df.count() > 0)
   }
+}
+
+/** Deterministic fake fetch client for the S1 keyed-fetch tests — file-scope
+  * so executor closures serialize it without the enclosing spec.
+  */
+class ScriptedClient(attempt: Int) extends graft.sources.FetchClient {
+  override def fetch(key: String): Either[String, String] = key match {
+    case "k2" if attempt < 2 => Left(s"transient-$attempt")
+    case "k3"                => Left("permanent")
+    case k                   => Right(s"payload-$k-a$attempt")
+  }
+}
+
+/** Always-succeeds fake client (clean-first-pass case). */
+object OkClient extends graft.sources.FetchClient {
+  override def fetch(key: String): Either[String, String] = Right(s"p-$key")
 }

@@ -115,6 +115,44 @@ class StreamingSpec extends SparkSuite {
     } finally spark.streams.removeListener(sup)
   }
 
+  test("injected alert sink receives the alert on induced failure; file transport is durable") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    // two transports behind the same seam: a recording fake (the "topic
+    // client" a deployment injects) and the durable file stand-in
+    val received = new java.util.concurrent.CopyOnWriteArrayList[(String, String)]()
+    val dir = java.nio.file.Files.createTempDirectory("alert-sink").toString
+    val fileSink = new graft.streaming.Supervise.FileAlertSink(dir)
+    val sup = graft.streaming.Supervise.installSink(spark,
+      new graft.streaming.Supervise.AlertSink {
+        override def send(queryId: String, message: String): Unit = {
+          received.add((queryId, message))
+          fileSink.send(queryId, message)
+        }
+      })
+    try {
+      val src = MemoryStream[Int]
+      src.addData(1)
+      val q = src.toDF().writeStream
+        .foreachBatch { (_: org.apache.spark.sql.DataFrame, _: Long) =>
+          throw new RuntimeException("induced-failure")
+        }
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("alert-ckpt").toString)
+        .start()
+      intercept[Throwable](q.awaitTermination(60000))
+      val deadline = System.currentTimeMillis() + 30000
+      while (received.isEmpty && System.currentTimeMillis() < deadline) Thread.sleep(50)
+      assert(!received.isEmpty)
+      assert(received.get(0)._2.contains("induced-failure"))
+      // the file leg is durable and well-formed: spark can read it back
+      val back = spark.read.json(s"$dir/alerts.jsonl")
+      assert(back.columns.toSet == Set("query_id", "message"))
+      assert(back.filter(org.apache.spark.sql.functions.col("message")
+        .contains("induced-failure")).count() >= 1)
+    } finally spark.streams.removeListener(sup)
+  }
+
   test("superviseRun restarts a failing query within its bounded budget") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
