@@ -106,6 +106,20 @@ object StressBench {
         graft.ops.Skew.saltedJoin(facts, dim, "k", 8)
       })
     }
+    // 64x probes ONLY the bucketed-dedup family (VERDICT r05 #3): these are
+    // the ops where quadratic effects would FIRST bite (candidate-pair
+    // generation), so the curve needs a point far enough out to expose a
+    // bend the 16x sweep could hide; the other ops' growth is already
+    // pinned ~linear at 16x and a 64x everything-sweep buys nothing for its
+    // wall-clock cost.
+    for (f <- Seq(64)) {
+      time("minhash_pairs", f)(
+        graft.llm.Dedup.minhashPairs(docsTimes(f), "text", "doc_id", 3, 16, 4, 0.5))
+      time("simhash_swept", f)(
+        graft.llm.Dedup.simhashPairsSwept(docsTimesUncorr(f), "text", "doc_id", 7, 6))
+      time("jaccard_prefix", f)(
+        graft.llm.Dedup.jaccardPairsPrefix(docsTimesUncorr(f), "text", "doc_id", 3, 0.5))
+    }
     spark.stop()
   }
 }
