@@ -1824,7 +1824,75 @@ object Queries {
         UNNEST(bin.ids) AS doc_id,
         CAST(len(bin.ids) AS INTEGER) AS n_docs,
         bin.tot AS total_tokens
-      FROM bn"""))
+      FROM bn""")),
+
+    // Cross-document boilerplate: trigram document frequency over md5-derived
+    // 56-bit gram hashes (slim shuffle rows, engine-portable — the q41/q27
+    // hash convention); a gram in >= 3 distinct docs is boilerplate, and each
+    // doc reports the position-weighted fraction covered. The curation signal
+    // CCNet/RefinedWeb compute over duplicated lines, at shingle granularity.
+    ("q89_boilerplate", (s: SparkSession, d: String) => {
+      graft.llm.Boilerplate.boilerplateFraction(
+        t(s, d, "documents"), "text", "doc_id", n = 3, minDf = 3L)
+    }, Some("""WITH dd AS (SELECT doc_id,
+        list_filter(string_split_regex(trim(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')), ' '),
+                    x -> x <> '') AS w
+        FROM documents),
+      b AS (SELECT doc_id, greatest(len(w) - 2, 0) AS ng, w FROM dd),
+      g AS (SELECT doc_id,
+          ('0x' || substr(md5(array_to_string(w[i:i+2], ' ')), 1, 14))::BIGINT AS gh
+        FROM (SELECT doc_id, w, unnest(range(1, ng + 1)) AS i FROM b WHERE ng > 0)),
+      dfq AS (SELECT gh FROM (SELECT gh, count(DISTINCT doc_id) AS df FROM g GROUP BY gh)
+        WHERE df >= 3),
+      fl AS (SELECT g.doc_id, count(*) AS nb FROM g JOIN dfq ON g.gh = dfq.gh
+        GROUP BY g.doc_id)
+      SELECT b.doc_id, CAST(b.ng AS BIGINT) AS n_grams,
+        CAST(coalesce(fl.nb, 0) AS BIGINT) AS n_boiler,
+        round(CAST(coalesce(fl.nb, 0) AS DOUBLE) / greatest(b.ng, 1), 6) AS boiler_frac
+      FROM b LEFT JOIN fl ON fl.doc_id = b.doc_id""")),
+
+    // Semantic dedup (the SemDeDup recipe): nearest-centroid cells block the
+    // candidate pairs, cosine verifies, connected components merge — every
+    // vector gets a component label (singletons map to themselves). Centroids
+    // here are the stride-64 seed (training itself is oracled by q42/q86);
+    // the oracle replays assignment, within-cell pairs, and a recursive
+    // transitive closure.
+    ("q90_semantic_dedup", (s: SparkSession, d: String) => {
+      val emb = t(s, d, "embeddings")
+      Dedup.semanticComponents(emb, SimSearch.seedCentroids(emb, 64),
+        "embedding", "vec_id", threshold = 0.25)
+    }, Some("""WITH RECURSIVE corp AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      c0 AS (SELECT vec_id AS cent_id, embedding::DOUBLE[] AS cent
+        FROM embeddings WHERE vec_id % 64 = 0),
+      asg AS (SELECT vec_id, v, cell FROM (
+        SELECT c.vec_id, c.v, t.cent_id AS cell,
+          row_number() OVER (PARTITION BY c.vec_id
+            ORDER BY round(list_cosine_similarity(c.v, t.cent), 6) DESC, t.cent_id) AS rn
+        FROM corp c CROSS JOIN c0 t) WHERE rn = 1),
+      p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM asg a JOIN asg b ON a.cell = b.cell AND a.vec_id < b.vec_id
+        WHERE NOT isnan(list_cosine_similarity(a.v, b.v))
+          AND round(list_cosine_similarity(a.v, b.v), 6) >= CAST(0.25 AS DOUBLE)),
+      e AS (SELECT id_a AS u, id_b AS v2 FROM p UNION SELECT id_b, id_a FROM p),
+      tc AS (SELECT u, v2 FROM e
+        UNION SELECT tc.u, e.v2 FROM tc JOIN e ON tc.v2 = e.u)
+      SELECT c.vec_id, least(c.vec_id, coalesce(min(tc.v2), c.vec_id)) AS comp
+      FROM corp c LEFT JOIN tc ON tc.u = c.vec_id GROUP BY c.vec_id""")),
+
+    // Deterministic shard export: md5-windowed shard assignment (independent
+    // bits from the sampling threshold) + full-digest order within the shard
+    // — a replayable global shuffle, pinned per doc.
+    ("q91_shard_export", (s: SparkSession, d: String) => {
+      graft.llm.Shard.assignShards(
+        t(s, d, "documents").select("doc_id", "source"), "doc_id", 8)
+        .select("doc_id", "source", "shard", "seq")
+    }, Some("""WITH h AS (SELECT doc_id, source, md5(CAST(doc_id AS VARCHAR)) AS hx
+        FROM documents),
+      s AS (SELECT doc_id, source, hx,
+        ('0x' || substr(hx, 9, 8))::BIGINT % 8 AS shard FROM h)
+      SELECT doc_id, source, shard,
+        CAST(row_number() OVER (PARTITION BY shard ORDER BY hx, doc_id) AS BIGINT) AS seq
+      FROM s"""))
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =

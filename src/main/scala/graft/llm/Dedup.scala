@@ -311,6 +311,50 @@ object Dedup {
       .select("id_a", "id_b", "cosine")
   }
 
+  /** Semantic near-dup pairs, k-means-cell blocked (the SemDeDup recipe,
+    * Abbas et al. 2023: cluster embeddings, then compare only WITHIN each
+    * cluster): candidates are the within-cell pairs of a nearest-centroid
+    * assignment, verified with the fused cosine expression. Complements
+    * [[embeddingPairs]] — sign buckets are data-independent; k-means cells
+    * adapt to the corpus density, so semantically-close pairs land together
+    * even when their leading-dimension signs differ.
+    *
+    * Scale design: the centroid set is broadcast-bounded by construction
+    * (SimSearch.assignTo), the self-join is an equi-join on cell id, and the
+    * expected per-cell candidate count is |corpus|²/nlist — nlist is the
+    * recall/cost knob exactly as in IVF. Zero-norm vectors score NaN against
+    * every centroid, get no cell (SimSearch.assignTo's documented
+    * convention), and therefore surface as singletons, never pair members.
+    * Scores are rounded to 6 and the pair orientation pinned (id_a < id_b)
+    * so DuckDB replays the exact pair set.
+    */
+  def semanticPairs(df: DataFrame, cents: DataFrame, vecCol: String,
+                    idCol: String, threshold: Double): DataFrame = {
+    val corpus = df.select(col(idCol), col(vecCol).cast("array<double>").as("v"))
+    val cells = SimSearch.assignCells(
+      corpus.select(col(idCol), col("v").as("embedding")), cents, idCol)
+    val withCell = corpus.join(cells, Seq(idCol))
+    val a = withCell.select(col("cell"), col(idCol).as("id_a"), col("v").as("v_a"))
+    val b = withCell.select(col("cell"), col(idCol).as("id_b"), col("v").as("v_b"))
+    a.join(b, Seq("cell"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cosine",
+        round(graft.functions.VectorFunctions.cosineSim(col("v_a"), col("v_b")), 6))
+      .filter(!isnan(col("cosine")) && col("cosine") >= threshold)
+      .select("id_a", "id_b", "cosine")
+  }
+
+  /** Semantic dedup END TO END: cell-blocked pairs → connected components →
+    * one (idCol, comp) row per corpus vector; keep `idCol === comp` rows for
+    * the canonical survivors (the [[nearDupApply]] shape).
+    */
+  def semanticComponents(df: DataFrame, cents: DataFrame, vecCol: String,
+                         idCol: String, threshold: Double): DataFrame = {
+    val pairs = semanticPairs(df, cents, vecCol, idCol, threshold)
+      .select("id_a", "id_b")
+    connectedComponents(pairs, df.select(idCol), idCol)
+  }
+
   /** Connected components over a near-dup pair list — the step that turns
     * PAIRS (minhash/simhash/jaccard output) into CLUSTERS so the applied
     * dedup can keep one canonical doc per component: A~B and B~C must

@@ -579,4 +579,88 @@ class LlmSpec extends SparkSuite {
     assert(got.map(_._1).toSeq == Seq(1L, 2L))
     assert(got(0)._2 == got(1)._2)
   }
+
+  test("boilerplate: cross-doc repeated grams flagged, unique text not, short docs 0") {
+    import spark.implicits._
+    // "legal header text here" appears in docs 1-3 (df=3 for its trigrams);
+    // each doc's remaining text is unique; doc 4 is all-unique; doc 5 is
+    // shorter than the gram width
+    val tmpl = "legal header text here"
+    val df = docs(
+      (1L, s"$tmpl alpha beta gamma"),
+      (2L, s"$tmpl delta epsilon zeta"),
+      (3L, s"$tmpl eta theta iota"),
+      (4L, "kappa lambda mu nu xi omicron"),
+      (5L, "pi rho"))
+    val got = graft.llm.Boilerplate.boilerplateFraction(df, "text", "doc_id", 3, 3L)
+      .select("doc_id", "n_grams", "n_boiler", "boiler_frac")
+      .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    // 7 tokens -> 5 trigrams; the 2 trigrams inside the template window
+    // ("legal header text", "header text here") repeat in 3 docs
+    for (id <- 1L to 3L) assert(got(id) == (id, 5L, 2L, 0.4))
+    assert(got(4L) == (4L, 4L, 0L, 0.0))
+    assert(got(5L) == (5L, 0L, 0L, 0.0))
+  }
+
+  test("boilerplate: within-doc repetition alone never reaches minDf") {
+    import spark.implicits._
+    // doc 1 repeats its own trigram 5 times, but df counts DISTINCT docs
+    val df = docs(
+      (1L, "spam spam spam spam spam spam spam"),
+      (2L, "unrelated words entirely different tokens"))
+    val got = graft.llm.Boilerplate.boilerplateFraction(df, "text", "doc_id", 3, 2L)
+      .select("doc_id", "n_boiler").as[(Long, Long)].collect().toMap
+    assert(got(1L) == 0L && got(2L) == 0L)
+  }
+
+  test("semantic pairs: within-cell only, cosine-verified, subset of brute force") {
+    import spark.implicits._
+    // two tight clusters on opposite axes + one outlier; stride-2 seeding
+    // puts centroids near both clusters
+    val rows = Seq(
+      (0L, Array(1.0, 0.05, 0.0, 0.0)), (1L, Array(1.0, 0.0, 0.05, 0.0)),
+      (2L, Array(0.0, 0.05, 0.0, 1.0)), (3L, Array(0.0, 0.0, 0.05, 1.0)),
+      (4L, Array(0.5, -0.9, 0.0, 0.1)))
+    val emb = rows.toDF("vec_id", "embedding")
+    val cents = SimSearch.seedCentroids(emb, 2)
+    val pairs = Dedup.semanticPairs(emb, cents, "embedding", "vec_id", 0.9)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((0L, 1L), (2L, 3L)))
+    val comp = Dedup.semanticComponents(emb, cents, "embedding", "vec_id", 0.9)
+      .as[(Long, Long)].collect().toMap
+    assert(comp == Map(0L -> 0L, 1L -> 0L, 2L -> 2L, 3L -> 2L, 4L -> 4L))
+  }
+
+  test("semantic dedup: zero-norm vectors get no cell and stay singletons") {
+    import spark.implicits._
+    val emb = Seq(
+      (0L, Array(1.0, 0.0)), (1L, Array(0.99, 0.01)),
+      (7L, Array(0.0, 0.0))).toDF("vec_id", "embedding")
+    val cents = SimSearch.seedCentroids(emb.filter(col("vec_id") === 0L), 1)
+    val comp = Dedup.semanticComponents(emb, cents, "embedding", "vec_id", 0.5)
+      .as[(Long, Long)].collect().toMap
+    // the zero vector can never appear in a pair, but still gets a label
+    assert(comp == Map(0L -> 0L, 1L -> 0L, 7L -> 7L))
+  }
+
+  test("shard assignment: full coverage, contiguous per-shard seq, deterministic") {
+    import spark.implicits._
+    val df = (1L to 500L).toDF("doc_id").withColumn("n_tokens", col("doc_id") % 37 + 1)
+    val a = graft.llm.Shard.assignShards(df, "doc_id", 8)
+      .select("doc_id", "shard", "seq").as[(Long, Long, Long)].collect()
+    assert(a.length == 500 && a.map(_._1).toSet.size == 500)
+    assert(a.forall(r => r._2 >= 0 && r._2 < 8))
+    // seq is exactly 1..count within each shard
+    a.groupBy(_._2).foreach { case (_, rows) =>
+      assert(rows.map(_._3).sorted.toSeq == (1L to rows.length).toSeq)
+    }
+    val b = graft.llm.Shard.assignShards(df, "doc_id", 8)
+      .select("doc_id", "shard", "seq").as[(Long, Long, Long)].collect()
+    assert(a.sortBy(_._1).toSeq == b.sortBy(_._1).toSeq)
+    // manifest totals reconcile with the doc-level input
+    val m = graft.llm.Shard.shardManifest(df, "doc_id", 8, "n_tokens")
+      .as[(Long, Long, Long)].collect()
+    assert(m.map(_._2).sum == 500L)
+    assert(m.map(_._3).sum == (1L to 500L).map(_ % 37 + 1).sum)
+  }
 }
