@@ -1892,7 +1892,95 @@ object Queries {
         ('0x' || substr(hx, 9, 8))::BIGINT % 8 AS shard FROM h)
       SELECT doc_id, source, shard,
         CAST(row_number() OVER (PARTITION BY shard ORDER BY hx, doc_id) AS BIGINT) AS seq
-      FROM s"""))
+      FROM s""")),
+
+    // Incremental exact dedup — batch-vs-corpus via the corpus FINGERPRINT
+    // table only (the ingest never rescans corpus text). The batch replants
+    // 100 corpus texts under new ids; survivors are first-in-batch per fp
+    // and absent from the corpus.
+    ("q92_incremental_dedup", (s: SparkSession, d: String) => {
+      val docs = t(s, d, "documents")
+      val corpusFps = Dedup.exact(docs.filter(col("doc_id") < 300), "text", "doc_id")
+        .select("fp")
+      val batch = docs.filter(col("doc_id") >= 300).select("doc_id", "text")
+        .unionByName(docs.filter(col("doc_id") < 100)
+          .select((col("doc_id") + 20000).as("doc_id"), col("text")))
+      Dedup.exactIncremental(corpusFps, batch, "text", "doc_id")
+    }, Some("""WITH nf AS (SELECT doc_id, text,
+        md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp FROM documents),
+      corpus AS (SELECT DISTINCT fp FROM nf WHERE doc_id < 300),
+      b AS (SELECT doc_id, text, fp FROM nf WHERE doc_id >= 300
+            UNION ALL SELECT doc_id + 20000, text, fp FROM nf WHERE doc_id < 100),
+      f AS (SELECT doc_id, text, fp,
+        row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn FROM b)
+      SELECT doc_id, text FROM f
+      WHERE rn = 1 AND fp NOT IN (SELECT fp FROM corpus)""")),
+
+    // Feature-based quality classifier: linear model + RATIONAL logistic
+    // link (0.5*(1+z/(1+|z|)) — exp() is a libm transcendental whose last
+    // ulp differs across engines, a rational link replays bit-identically).
+    // Same decision boundary (z=0 -> 0.5) as the true sigmoid.
+    ("q93_quality_model", (s: SparkSession, d: String) => {
+      val base = t(s, d, "documents").select(col("doc_id"), col("text"),
+        TextStats.tokens(lower(col("text"))).as("toks"))
+      base.select(col("doc_id"),
+          graft.llm.QualityModel.scoreFromTokens(col("text"), col("toks")).as("q_score"))
+        .withColumn("keep", col("q_score") >= 0.5)
+    }, Some("""WITH tk AS (SELECT doc_id, text,
+        list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> x <> '') AS w
+        FROM documents),
+      f AS (SELECT doc_id,
+        least(CAST(len(w) AS DOUBLE) / 100.0, 1.0) AS len_score,
+        CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS DOUBLE)
+          / greatest(CAST(length(text) AS DOUBLE), 1.0) AS punct_ratio,
+        CAST(len(list_distinct(w)) AS DOUBLE)
+          / greatest(CAST(len(w) AS DOUBLE), 1.0) AS ttr,
+        CAST(len(list_filter(w, x -> x IN ('the','and','of','to','a','in','is','it','you','that'))) AS DOUBLE)
+          / greatest(CAST(len(w) AS DOUBLE), 1.0) AS stop_ratio
+        FROM tk),
+      z AS (SELECT doc_id,
+        -1.5 + 2.0 * len_score - 3.0 * punct_ratio + 1.5 * ttr + 1.0 * stop_ratio AS z
+        FROM f),
+      sc AS (SELECT doc_id, round((1.0 + z / (1.0 + abs(z))) * 0.5, 6) AS q_score FROM z)
+      SELECT doc_id, q_score, q_score >= CAST(0.5 AS DOUBLE) AS keep FROM sc""")),
+
+    // Cross-corpus MinHash — the near-dup leg of incremental ingest: the
+    // batch replants every corpus text (+" extra token") under +10000 ids;
+    // candidates are band collisions ACROSS sides only. Same signature CTEs
+    // as q27's full replay; the join predicate encodes side membership
+    // (disjoint id ranges) instead of id order.
+    ("q94_minhash_cross", (s: SparkSession, d: String) => {
+      val docs = t(s, d, "documents").select("doc_id", "text")
+      val batch = docs.select((col("doc_id") + 10000).as("doc_id"),
+        concat(col("text"), lit(" extra token")).as("text"))
+      Dedup.minhashPairsCross(docs, batch, "text", "doc_id",
+        shingleN = 3, k = 16, bands = 4, threshold = 0.5)
+    }, Some("""WITH corpus AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL SELECT doc_id + 10000 AS doc_id, text || ' extra token' AS text FROM documents),
+      dd AS (SELECT doc_id,
+        list_filter(string_split_regex(trim(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')), ' '),
+                    x -> x <> '') AS w FROM corpus),
+      sh AS (SELECT doc_id, CASE WHEN len(w) >= 3
+          THEN list_distinct(list_transform(range(1, len(w) - 1), i -> array_to_string(w[i:i+2], ' ')))
+          ELSE [array_to_string(w, ' ')] END AS sh FROM dd),
+      hv AS (SELECT doc_id, sh,
+        list_transform(sh, x -> ('0x' || substr(md5(x), 1, 14))::BIGINT) AS h1,
+        list_transform(sh, x -> ('0x' || substr(md5(x), 17, 14))::BIGINT) AS h2
+        FROM sh),
+      sig AS (SELECT doc_id, sh,
+        list_transform(range(1, 17), i -> list_min(
+          list_transform(range(1, len(h1) + 1), j -> (h1[j] + i * h2[j]) % 1000000007))) AS sig
+        FROM hv),
+      band AS (SELECT doc_id, sh,
+        unnest(list_transform(range(0, 4), b -> CAST(b AS VARCHAR) || '|' ||
+          array_to_string(list_transform(sig[b*4+1:b*4+4], x -> CAST(x AS VARCHAR)), ','))) AS band
+        FROM sig),
+      pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+        CAST(len(list_filter(a.sh, x -> list_contains(b.sh, x))) AS DOUBLE)
+          / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) AS jaccard
+        FROM band a JOIN band b ON a.band = b.band AND a.doc_id < 10000 AND b.doc_id >= 10000)
+      SELECT id_a, id_b, jaccard FROM pairs WHERE jaccard >= 0.5"""))
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =

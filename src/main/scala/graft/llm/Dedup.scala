@@ -38,6 +38,29 @@ object Dedup {
       .filter(col("__rn") === 1).drop("__rn")
   }
 
+  /** INCREMENTAL exact dedup — the daily-ingest shape: dedup a new batch
+    * against an already-deduped corpus without rescanning the corpus text.
+    * `corpusFps` is the corpus fingerprint table ([[exact]]'s `fp` column) —
+    * the compact artifact a production pipeline maintains alongside the
+    * corpus. Survivors are batch rows that are (a) first (min `idCol`) for
+    * their fingerprint WITHIN the batch and (b) absent from the corpus.
+    *
+    * Scale: the corpus side is touched only through its 16-byte-per-row
+    * fingerprint relation — one window over the (small) batch plus one
+    * fp-keyed anti-join; at 100 TB the fp table is ~0.1% of corpus bytes and
+    * the anti-join is the only corpus-sized exchange.
+    */
+  def exactIncremental(corpusFps: DataFrame, batch: DataFrame,
+                       textCol: String, idCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("__fp")).orderBy(col(idCol))
+    batch.withColumn("__fp", md5(normalize(col(textCol))))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .join(corpusFps.select(col("fp").as("__fp")), Seq("__fp"), "left_anti")
+      .drop("__fp", "__rn")
+  }
+
   /** n-word shingles (distinct) from a MATERIALIZED token-array column.
     * Documents shorter than n words get their whole text as the single
     * shingle so they still participate.
@@ -89,15 +112,64 @@ object Dedup {
                    shingleN: Int = 3, k: Int = 16, bands: Int = 4,
                    threshold: Double = 0.7): DataFrame = {
     require(k % bands == 0, s"k=$k must be divisible by bands=$bands")
-    val rows = k / bands
-    val base = df.select(
+    val base = shingleRel(df, textCol, idCol, shingleN)
+    // candidate generation runs over slim (band, id) pairs — carrying the
+    // shingle arrays through the band self-join would shuffle and cache them
+    // bands-times over; instead dedup candidate id-pairs first and fetch the
+    // two shingle sets by id only for the surviving pairs
+    val banded = bandRel(base, k, bands)
+    val cands = banded.select(col("band"), col("id").as("id_a"))
+      .join(banded.select(col("band"), col("id").as("id_b")), Seq("band"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    minhashVerify(cands, base, base, threshold)
+  }
+
+  /** Cross-corpus MinHash+LSH — near-dup pairs BETWEEN an indexed corpus and
+    * a new batch (the incremental-ingest / decontamination shape): candidates
+    * are band collisions ACROSS the two sides only, so a batch ingest costs
+    * |batch| signature work plus one band equi-join against the corpus band
+    * relation — the corpus is re-banded here, but a production pipeline
+    * persists that band table once and this join is the only per-batch cost.
+    * Returns (id_a ∈ corpus, id_b ∈ batch, jaccard); id spaces may overlap
+    * (no orientation constraint between sides).
+    *
+    * Same signature derivation as [[minhashPairs]] (shared helpers), so
+    * collision behavior is identical — PropertySpec pins the differential:
+    * cross pairs on disjoint id spaces == the A∪B self-join pairs minus the
+    * within-A and within-B pairs.
+    */
+  def minhashPairsCross(corpus: DataFrame, batch: DataFrame,
+                        textCol: String, idCol: String,
+                        shingleN: Int = 3, k: Int = 16, bands: Int = 4,
+                        threshold: Double = 0.7): DataFrame = {
+    require(k % bands == 0, s"k=$k must be divisible by bands=$bands")
+    val baseA = shingleRel(corpus, textCol, idCol, shingleN)
+    val baseB = shingleRel(batch, textCol, idCol, shingleN)
+    val cands = bandRel(baseA, k, bands).select(col("band"), col("id").as("id_a"))
+      .join(bandRel(baseB, k, bands).select(col("band"), col("id").as("id_b")), Seq("band"))
+      .select("id_a", "id_b").distinct()
+    minhashVerify(cands, baseA, baseB, threshold)
+  }
+
+  /** Shared shingle relation: (id, sh), persisted — scanned by both the band
+    * derivation and the verify fetch.
+    */
+  private def shingleRel(df: DataFrame, textCol: String, idCol: String,
+                         shingleN: Int): DataFrame =
+    df.select(
       col(idCol).as("id"),
       TextStats.tokens(normalize(col(textCol))).as("w"))
       .select(col("id"), shinglesFromTokens(col("w"), shingleN).as("sh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
-    // md5 is referenced twice (v1, v2), which stops Catalyst from inlining it
-    // twice — one digest per (doc, shingle) row, fully codegen'd; fastMd5
-    // reuses a thread-local digest instead of allocating one per row
+
+  /** Shared band relation: (id, band) rows from the k-min signature, persisted.
+    * md5 is referenced twice (v1, v2), which stops Catalyst from inlining it
+    * twice — one digest per (doc, shingle) row, fully codegen'd; fastMd5
+    * reuses a thread-local digest instead of allocating one per row.
+    */
+  private def bandRel(base: DataFrame, k: Int, bands: Int): DataFrame = {
+    val rows = k / bands
     val hashed = base.select(col("id"), explode(col("sh")).as("s"))
       .select(col("id"), org.apache.spark.sql.graft.GraftColumns.fastMd5(col("s")).as("m"))
       .select(col("id"),
@@ -110,22 +182,18 @@ object Dedup {
       val slice = (1 to rows).map(r => col(s"s_${b * rows + r}").cast("string"))
       concat(lit(s"$b|"), concat_ws(",", slice: _*))
     }
-    // candidate generation runs over slim (band, id) pairs — carrying the
-    // shingle arrays through the band self-join would shuffle and cache them
-    // bands-times over; instead dedup candidate id-pairs first and fetch the
-    // two shingle sets by id only for the surviving pairs
-    val banded = sigs.select(col("id"), explode(array(bandCols: _*)).as("band"))
+    sigs.select(col("id"), explode(array(bandCols: _*)).as("band"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
-    val cands = banded.select(col("band"), col("id").as("id_a"))
-      .join(banded.select(col("band"), col("id").as("id_b")), Seq("band"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b").distinct()
+  }
+
+  /** Shared verify leg: fetch the two shingle sets by id, exact Jaccard. */
+  private def minhashVerify(cands: DataFrame, baseA: DataFrame, baseB: DataFrame,
+                            threshold: Double): DataFrame =
     cands
-      .join(base.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
-      .join(base.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .join(baseA.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(baseB.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"), jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
-  }
 
   /** Prefix-filtered exact-Jaccard pairs — the SCALABLE form of
     * [[bruteForceJaccardPairs]] (PPJoin-style prefix filtering, Bayardo et

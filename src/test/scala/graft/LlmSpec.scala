@@ -643,6 +643,55 @@ class LlmSpec extends SparkSuite {
     assert(comp == Map(0L -> 0L, 1L -> 0L, 7L -> 7L))
   }
 
+  test("incremental exact dedup: corpus dups die, within-batch dups keep min id") {
+    import spark.implicits._
+    val corpus = docs((1L, "seen before"), (2L, "also seen"))
+    val fps = Dedup.exact(corpus, "text", "doc_id").select("fp")
+    val batch = docs(
+      (10L, "Seen  Before"),        // normalizes to a corpus fp -> dies
+      (11L, "brand new text"),      // fresh -> survives
+      (12L, "brand NEW   text"),    // within-batch dup of 11 -> dies (min id wins)
+      (13L, "another fresh one"))
+    val got = Dedup.exactIncremental(fps, batch, "text", "doc_id")
+      .select("doc_id").as[Long].collect().toSet
+    assert(got == Set(11L, 13L))
+  }
+
+  test("cross-corpus minhash equals the union self-join restricted to cross pairs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    val a = (1L to 15L).map(i => (i, (1 to 25).map(_ => s"w${rnd.nextInt(30)}").mkString(" ")))
+    // batch: 5 near-copies of corpus docs (tail token appended) + 5 fresh
+    val b = (1L to 5L).map(i => (100L + i, a(i.toInt - 1)._2 + " tail")) ++
+      (6L to 10L).map(i => (100L + i, (1 to 25).map(_ => s"x${rnd.nextInt(30)}").mkString(" ")))
+    val (dfA, dfB) = (docs(a: _*), docs(b: _*))
+    val cross = Dedup.minhashPairsCross(dfA, dfB, "text", "doc_id", 3, 16, 8, 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val viaUnion = Dedup.minhashPairs(dfA.unionByName(dfB), "text", "doc_id", 3, 16, 8, 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      .filter(p => p._1 <= 15L && p._2 > 100L)
+    assert(cross == viaUnion)
+    assert(cross.nonEmpty, "planted near-copies should collide")
+  }
+
+  test("quality model: rational sigmoid bounds, monotone in length, empty doc defined") {
+    import spark.implicits._
+    val df = docs(
+      (1L, ""),
+      (2L, "short"),
+      (3L, (1 to 30).map(i => s"w$i").mkString(" ")),
+      (4L, (1 to 120).map(i => s"w$i").mkString(" ")),
+      (5L, "!!! ??? ;;; ::: !!!"))
+    val toks = df.select(col("doc_id"), col("text"),
+      TextStats.tokens(lower(col("text"))).as("toks"))
+    val got = toks.select(col("doc_id"),
+        graft.llm.QualityModel.scoreFromTokens(col("text"), col("toks")).as("s"))
+      .as[(Long, Double)].collect().toMap
+    assert(got.values.forall(s => s >= 0.0 && s <= 1.0))
+    assert(got(4L) > got(3L) && got(3L) > got(2L), s"length should up-weight: $got")
+    assert(got(5L) < got(3L), s"punctuation should down-weight: $got")
+  }
+
   test("shard assignment: full coverage, contiguous per-shard seq, deterministic") {
     import spark.implicits._
     val df = (1L to 500L).toDF("doc_id").withColumn("n_tokens", col("doc_id") % 37 + 1)

@@ -81,6 +81,30 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("q89: boilerplate is equi-joins only; the flag pass is a left-semi") {
+    val p = plan("q89_boilerplate")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("LeftSemi"), p)
+  }
+
+  test("semantic pairs: centroid assignment broadcasts; candidates equi-join on cell") {
+    val emb = Tables(spark, sfDir, "embeddings")
+    val pairs = graft.llm.Dedup.semanticPairs(emb,
+      graft.llm.SimSearch.seedCentroids(emb, 64), "embedding", "vec_id", 0.25)
+    pairs.collect()
+    val p = pairs.queryExecution.executedPlan.toString
+    // the ONLY non-equi join is the bounded centroid broadcast; the
+    // within-cell candidate join must be keyed, never cartesian
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q91: shard export pays one hash exchange, never a global range sort") {
+    val p = plan("q91_shard_export")
+    assert(!p.contains("rangepartitioning"), p)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
+  }
+
   test("AQE splits a skewed sort-merge join at runtime") {
     import spark.implicits._
     val prev = Map(
