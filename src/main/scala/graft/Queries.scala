@@ -1980,7 +1980,124 @@ object Queries {
         CAST(len(list_filter(a.sh, x -> list_contains(b.sh, x))) AS DOUBLE)
           / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) AS jaccard
         FROM band a JOIN band b ON a.band = b.band AND a.doc_id < 10000 AND b.doc_id >= 10000)
-      SELECT id_a, id_b, jaccard FROM pairs WHERE jaccard >= 0.5"""))
+      SELECT id_a, id_b, jaccard FROM pairs WHERE jaccard >= 0.5""")),
+
+    // Exact duplicated-substring spans (Lee et al. ACL'22, relationally):
+    // every maximal token span covered by 3-grams occurring >= 2 times
+    // corpus-wide. The oracle replays the portable gram hash, the
+    // occurrence-count filter, and the gaps-and-islands span merge.
+    ("q95_substring_spans", (s: SparkSession, d: String) => {
+      graft.llm.SubstringDedup.duplicatedSpans(
+        t(s, d, "documents"), "text", "doc_id", k = 3, minCount = 2L)
+    }, Some("""WITH dd AS (SELECT doc_id,
+        list_filter(string_split_regex(trim(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')), ' '),
+                    x -> x <> '') AS w
+        FROM documents),
+      b AS (SELECT doc_id, w, len(w) - 2 AS ng FROM dd),
+      g AS (SELECT doc_id, i, ('0x' || substr(md5(array_to_string(w[i:i+2], ' ')), 1, 14))::BIGINT AS gh
+        FROM (SELECT doc_id, w, unnest(range(1, ng + 1)) AS i FROM b WHERE ng > 0)),
+      dup AS (SELECT gh FROM (SELECT gh, count(*) AS c FROM g GROUP BY gh) WHERE c >= 2),
+      cov AS (SELECT g.doc_id, g.i, g.i + 2 AS e FROM g JOIN dup ON g.gh = dup.gh),
+      pe AS (SELECT doc_id, i, e,
+          max(e) OVER (PARTITION BY doc_id ORDER BY i ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+        FROM cov),
+      isl AS (SELECT doc_id, i, e,
+          sum(CASE WHEN prev_end IS NULL OR i > prev_end + 1 THEN 1 ELSE 0 END)
+            OVER (PARTITION BY doc_id ORDER BY i ROWS UNBOUNDED PRECEDING) AS isle
+        FROM pe)
+      SELECT doc_id, CAST(min(i) AS BIGINT) AS span_start, CAST(max(e) AS BIGINT) AS span_end,
+        CAST(max(e) - min(i) + 1 AS BIGINT) AS span_tokens
+      FROM isl GROUP BY doc_id, isle""")),
+
+    // Per-doc duplication profile over the q95 span set — every doc with its
+    // duplicated-token count and fraction, the number curation thresholds on.
+    ("q96_dup_profile", (s: SparkSession, d: String) => {
+      graft.llm.SubstringDedup.duplicationProfile(
+        t(s, d, "documents"), "text", "doc_id", k = 3, minCount = 2L)
+    }, Some("""WITH dd AS (SELECT doc_id,
+        list_filter(string_split_regex(trim(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')), ' '),
+                    x -> x <> '') AS w
+        FROM documents),
+      b AS (SELECT doc_id, w, len(w) - 2 AS ng FROM dd),
+      g AS (SELECT doc_id, i, ('0x' || substr(md5(array_to_string(w[i:i+2], ' ')), 1, 14))::BIGINT AS gh
+        FROM (SELECT doc_id, w, unnest(range(1, ng + 1)) AS i FROM b WHERE ng > 0)),
+      dup AS (SELECT gh FROM (SELECT gh, count(*) AS c FROM g GROUP BY gh) WHERE c >= 2),
+      cov AS (SELECT g.doc_id, g.i, g.i + 2 AS e FROM g JOIN dup ON g.gh = dup.gh),
+      pe AS (SELECT doc_id, i, e,
+          max(e) OVER (PARTITION BY doc_id ORDER BY i ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+        FROM cov),
+      isl AS (SELECT doc_id, i, e,
+          sum(CASE WHEN prev_end IS NULL OR i > prev_end + 1 THEN 1 ELSE 0 END)
+            OVER (PARTITION BY doc_id ORDER BY i ROWS UNBOUNDED PRECEDING) AS isle
+        FROM pe),
+      sp AS (SELECT doc_id, max(e) - min(i) + 1 AS span_tokens FROM isl GROUP BY doc_id, isle),
+      dt AS (SELECT doc_id, CAST(sum(span_tokens) AS BIGINT) AS dup_tokens FROM sp GROUP BY doc_id)
+      SELECT dd.doc_id, CAST(len(dd.w) AS BIGINT) AS n_tokens,
+        CAST(coalesce(dt.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+        round(CAST(coalesce(dt.dup_tokens, 0) AS DOUBLE) / greatest(len(dd.w), 1), 6) AS dup_frac
+      FROM dd LEFT JOIN dt ON dd.doc_id = dt.doc_id""")),
+
+    // Unigram-LM scoring (CCNet-style quality leg): add-one-smoothed corpus
+    // LM, per-doc average negative log-likelihood. ln rounded to 6 at the
+    // source (the q72 convention), decimal-routed sum, round(.,4) average.
+    ("q97_lm_score", (s: SparkSession, d: String) => {
+      val docs = t(s, d, "documents")
+      val lm = graft.llm.LangModel.unigramLm(docs, "doc_id", "text")
+      graft.llm.LangModel.scoreDocs(docs, "doc_id", "text", lm, floorLogp = 0.0)
+    }, Some("""WITH dd AS (SELECT doc_id,
+        list_filter(string_split_regex(trim(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')), ' '),
+                    x -> x <> '') AS w
+        FROM documents),
+      tok AS (SELECT doc_id, unnest(w) AS term FROM dd),
+      cnt AS (SELECT term, count(*) AS c FROM tok GROUP BY term),
+      st AS (SELECT CAST(sum(c) AS BIGINT) AS n_total, count(*) AS n_vocab FROM cnt),
+      lm AS (SELECT term,
+          round(ln(CAST(c + 1 AS DOUBLE) / CAST(n_total + n_vocab AS DOUBLE)), 6) AS logp
+        FROM cnt, st)
+      SELECT tok.doc_id, count(*) AS n_tokens,
+        round(CAST(sum(CAST(-lm.logp AS DECIMAL(18,6))) AS DOUBLE) / CAST(count(*) AS DOUBLE), 4) AS avg_nll
+      FROM tok JOIN lm ON tok.term = lm.term GROUP BY tok.doc_id""")),
+
+    // Sliding-window token chunking (RAG primitive): 32-token windows,
+    // stride 24, trailing remainder kept, suffix-only starts dropped.
+    ("q98_chunks", (s: SparkSession, d: String) => {
+      graft.llm.Chunk.slidingWindow(
+        t(s, d, "documents"), "doc_id", "text", chunkSize = 32, stride = 24)
+    }, Some("""WITH dd AS (SELECT doc_id,
+        list_filter(string_split_regex(trim(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')), ' '),
+                    x -> x <> '') AS w
+        FROM documents),
+      b AS (SELECT doc_id, w, len(w) AS n FROM dd WHERE len(w) > 0),
+      st AS (SELECT doc_id, w, n, unnest(range(1, n + 1, 24)) AS s FROM b)
+      SELECT doc_id,
+        CAST((s - 1) // 24 AS BIGINT) AS chunk_idx,
+        CAST(s AS BIGINT) AS start_tok,
+        CAST(least(32, n - s + 1) AS BIGINT) AS n_tok,
+        array_to_string(w[s:s+31], ' ') AS chunk_text
+      FROM st WHERE s = 1 OR s - 24 + 31 < n""")),
+
+    // Top-200 vocabulary (count desc, term asc — tie-pinned) and per-doc
+    // out-of-vocabulary rate over token positions, the fastText-style filter.
+    ("q99_oov_profile", (s: SparkSession, d: String) => {
+      val docs = t(s, d, "documents")
+      val vb = graft.llm.LangModel.vocab(docs, "doc_id", "text", 200)
+      graft.llm.LangModel.oovProfile(docs, "doc_id", "text", vb)
+    }, Some("""WITH dd AS (SELECT doc_id,
+        list_filter(string_split_regex(trim(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')), ' '),
+                    x -> x <> '') AS w
+        FROM documents),
+      tok AS (SELECT doc_id, unnest(w) AS term FROM dd),
+      cnt AS (SELECT term, count(*) AS c FROM tok GROUP BY term),
+      vb AS (SELECT term FROM (
+          SELECT term, row_number() OVER (ORDER BY c DESC, term) AS r FROM cnt)
+        WHERE r <= 200),
+      tot AS (SELECT doc_id, count(*) AS n_tokens FROM tok GROUP BY doc_id),
+      ov AS (SELECT doc_id, count(*) AS n_oov FROM tok
+        WHERE term NOT IN (SELECT term FROM vb) GROUP BY doc_id)
+      SELECT tot.doc_id, tot.n_tokens,
+        CAST(coalesce(ov.n_oov, 0) AS BIGINT) AS n_oov,
+        round(CAST(coalesce(ov.n_oov, 0) AS DOUBLE) / CAST(tot.n_tokens AS DOUBLE), 6) AS oov_frac
+      FROM tot LEFT JOIN ov ON tot.doc_id = ov.doc_id"""))
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =

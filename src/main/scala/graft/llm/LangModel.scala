@@ -1,0 +1,104 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Statistical language-model scoring and vocabulary construction — the
+  * CCNet-style quality leg of corpus curation (Wenzek et al., LREC 2020
+  * score web text by LM perplexity; fastText-style pipelines filter on
+  * out-of-vocabulary rate). Two-pass relational shapes throughout: pass one
+  * aggregates corpus statistics (token counts — a Zipf-bounded relation,
+  * tiny next to the corpus), pass two joins them back per token position.
+  *
+  * Cross-engine determinism follows the q72/BM25 convention: `ln` is the one
+  * kernel the two engines need not agree on bit-for-bit, so every log is
+  * rounded to 6 places AT THE SOURCE; everything downstream is correctly-
+  * rounded IEEE +,-,*,/ and decimal-routed sums, so Spark and DuckDB produce
+  * identical doubles.
+  */
+object LangModel {
+
+  private def tokenRows(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).as("id"),
+      explode(TextStats.tokens(Dedup.normalize(col(textCol)))).as("term"))
+
+  /** Add-one-smoothed unigram LM over the corpus: (term, c, logp) with
+    * logp = round(ln((c+1)/(N+V)), 6), N total token positions, V distinct
+    * terms. Smoothing keeps the table usable for scoring OTHER corpora
+    * (unseen term => ln(1/(N+V)), the floor the smoothing reserves).
+    * One shuffle (term counts, map-side partials); N and V are one-row
+    * aggregates OF THE COUNTS relation, broadcast into the projection.
+    */
+  def unigramLm(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val counts = tokenRows(docs, idCol, textCol)
+      .groupBy("term").agg(count(lit(1)).as("c"))
+    val stats = counts.agg(sum(col("c")).as("n_total"),
+      count(lit(1)).as("n_vocab"))
+    counts.crossJoin(broadcast(stats))
+      .select(col("term"), col("c"),
+        round(log((col("c") + 1).cast("double") /
+          (col("n_total") + col("n_vocab")).cast("double")), 6).as("logp"))
+  }
+
+  /** Score each document against a unigram LM: (idCol, n_tokens, avg_nll) —
+    * average negative log-likelihood per token, the monotone stand-in for
+    * perplexity (perplexity = exp(avg_nll); exp would reintroduce the
+    * non-portable kernel, and curation only thresholds the ranking, which
+    * exp preserves). Docs with no tokens are dropped (nothing to score).
+    *
+    * `lm` is (term, logp) from [[unigramLm]] — possibly of a DIFFERENT
+    * (reference) corpus, which is the CCNet setup: score the raw corpus
+    * against a clean reference LM. `floorLogp` scores terms absent from the
+    * LM (pass round(ln(1/(N+V)),6) of the reference; scoring a corpus
+    * against its own LM never hits it).
+    *
+    * Scale: explode to (id, term) rows, equi-join the LM on term, one
+    * decimal-routed sum per doc. The LM rides the join hash-partitioned; at
+    * reference-LM sizes (<= a few M rows) AQE broadcasts it.
+    */
+  def scoreDocs(docs: DataFrame, idCol: String, textCol: String,
+                lm: DataFrame, floorLogp: Double): DataFrame =
+    tokenRows(docs, idCol, textCol)
+      .join(lm.select(col("term"), col("logp")), Seq("term"), "left")
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_tokens"),
+        round((sum((-coalesce(col("logp"), lit(floorLogp)))
+          .cast("decimal(18,6)")).cast("double") /
+          count(lit(1)).cast("double")), 4).as("avg_nll"))
+      .select(col("id").as(idCol), col("n_tokens"), col("avg_nll"))
+
+  /** Top-`v` vocabulary by corpus frequency, ties pinned by term text
+    * ascending: (term, c, rank), rank 1-based. orderBy+limit compiles to
+    * TakeOrderedAndProject — per-partition top-v then a single merge of
+    * v-row heaps, never a global sort of the term relation.
+    */
+  def vocab(docs: DataFrame, idCol: String, textCol: String, v: Int): DataFrame = {
+    val counts = tokenRows(docs, idCol, textCol)
+      .groupBy("term").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("term"))
+      .limit(v)
+    // rank AFTER the limit: the window sorts v rows, not the vocabulary
+    counts.withColumn("rank",
+      row_number().over(org.apache.spark.sql.expressions.Window
+        .orderBy(col("c").desc, col("term"))))
+  }
+
+  /** Per-document out-of-vocabulary profile against [[vocab]]:
+    * (idCol, n_tokens, n_oov, oov_frac) over token POSITIONS (a repeated
+    * OOV term counts each occurrence). Docs with no tokens are dropped.
+    * The vocab is v rows — broadcast into an anti-join, so the corpus-side
+    * pass is one scan plus a per-doc count.
+    */
+  def oovProfile(docs: DataFrame, idCol: String, textCol: String,
+                 vocabDf: DataFrame): DataFrame = {
+    val toks = tokenRows(docs, idCol, textCol)
+    val oov = toks.join(broadcast(vocabDf.select("term")), Seq("term"), "left_anti")
+      .groupBy("id").agg(count(lit(1)).as("n_oov"))
+    toks.groupBy("id").agg(count(lit(1)).as("n_tokens"))
+      .join(oov, Seq("id"), "left")
+      .select(col("id").as(idCol), col("n_tokens"),
+        coalesce(col("n_oov"), lit(0L)).as("n_oov"),
+        round(coalesce(col("n_oov"), lit(0L)).cast("double") /
+          col("n_tokens").cast("double"), 6).as("oov_frac"))
+  }
+}

@@ -1,0 +1,116 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.llm.{Chunk, LangModel, SubstringDedup}
+
+/** Round-6 curation additions on planted fixtures: duplicated-substring
+  * spans land exactly where the repeated text was planted; LM scoring ranks
+  * typical text above rare text; chunking covers every token with the
+  * declared overlap; OOV profiling counts positions outside the vocab.
+  */
+class CurationSpec extends SparkSuite {
+
+  private def docs(rows: (Long, String)*) = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  test("duplicatedSpans finds the planted shared passage and merges overlap") {
+    import spark.implicits._
+    // 5-token passage shared by docs 1 and 2, embedded in distinct noise;
+    // doc 3 is all-unique. k=3 grams of the passage occur twice corpus-wide.
+    val shared = "alpha beta gamma delta epsilon"
+    val df = docs(
+      (1L, s"u1 u2 u3 $shared u4 u5"),
+      (2L, s"v1 $shared v2 v3 v4"),
+      (3L, "w1 w2 w3 w4 w5 w6 w7 w8"))
+    val got = SubstringDedup.duplicatedSpans(df, "text", "doc_id", k = 3)
+      .select("doc_id", "span_start", "span_end", "span_tokens")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    // doc 1: passage at tokens 4..8; doc 2: tokens 2..6; doc 3: nothing.
+    // The three overlapping 3-gram windows merge into ONE maximal span.
+    assert(got == Set((1L, 4L, 8L, 5L), (2L, 2L, 6L, 5L)))
+  }
+
+  test("duplicatedSpans counts within-doc repetition too (Lee et al. semantics)") {
+    import spark.implicits._
+    val df = docs((1L, "x y z noise1 noise2 x y z"), (2L, "a b c d e f"))
+    val got = SubstringDedup.duplicatedSpans(df, "text", "doc_id", k = 3)
+      .select("doc_id", "span_start", "span_end").as[(Long, Long, Long)].collect().toSet
+    assert(got == Set((1L, 1L, 3L), (1L, 6L, 8L)))
+  }
+
+  test("duplicationProfile keeps every doc and computes the covered fraction") {
+    import spark.implicits._
+    val df = docs((1L, "p q r p q r"), (2L, "s t u v w x y z a b"))
+    val got = SubstringDedup.duplicationProfile(df, "text", "doc_id", k = 3)
+      .select("doc_id", "n_tokens", "dup_tokens", "dup_frac")
+      .as[(Long, Long, Long, Double)].collect().map { case (a, b, c, e) => a -> ((b, c, e)) }.toMap
+    assert(got(1L) == ((6L, 6L, 1.0)))
+    assert(got(2L) == ((10L, 0L, 0.0)))
+  }
+
+  test("unigram LM scoring ranks rare-token docs as higher surprise") {
+    import spark.implicits._
+    val common = Seq.fill(20)("the").mkString(" ")
+    val df = docs((1L, common), (2L, "zyx wvu tsr"), (3L, common + " the the"))
+    val lm = LangModel.unigramLm(df, "doc_id", "text")
+    val scored = LangModel.scoreDocs(df, "doc_id", "text", lm, floorLogp = 0.0)
+      .select("doc_id", "avg_nll").as[(Long, Double)].collect().toMap
+    assert(scored(2L) > scored(1L)) // rare tokens => higher avg NLL
+    assert(scored.size == 3)
+  }
+
+  test("scoreDocs applies the floor for terms absent from a reference LM") {
+    import spark.implicits._
+    val ref = docs((10L, "known words only"))
+    val lm = LangModel.unigramLm(ref, "doc_id", "text")
+    val floor = -9.876543
+    val scored = LangModel.scoreDocs(docs((1L, "unseen unseen")), "doc_id", "text",
+      lm, floorLogp = floor).select("doc_id", "n_tokens", "avg_nll")
+      .as[(Long, Long, Double)].collect()
+    assert(scored.toSeq == Seq((1L, 2L, 9.8765))) // round(-floor, 4)
+  }
+
+  test("slidingWindow covers all tokens, overlaps by size-stride, keeps the tail") {
+    import spark.implicits._
+    val text = (1 to 10).map(i => s"t$i").mkString(" ")
+    val got = Chunk.slidingWindow(docs((1L, text)), "doc_id", "text",
+      chunkSize = 4, stride = 3)
+      .orderBy("chunk_idx")
+      .select("chunk_idx", "start_tok", "n_tok", "chunk_text")
+      .as[(Long, Long, Long, String)].collect().toSeq
+    assert(got == Seq(
+      (0L, 1L, 4L, "t1 t2 t3 t4"),
+      (1L, 4L, 4L, "t4 t5 t6 t7"),
+      (2L, 7L, 4L, "t7 t8 t9 t10")))
+  }
+
+  test("slidingWindow drops suffix-only trailing starts but keeps real remainders") {
+    import spark.implicits._
+    // 5 tokens, size 4, stride 3: starts 1 and 4; start 4 covers t4,t5 (the
+    // remainder). A 4-token doc emits ONLY chunk 0 (start 4 would be a
+    // suffix of it).
+    val got5 = Chunk.slidingWindow(docs((1L, "a b c d e")), "doc_id", "text", 4, 3)
+      .select("chunk_idx", "n_tok").as[(Long, Long)].collect().toSet
+    assert(got5 == Set((0L, 4L), (1L, 2L)))
+    val got4 = Chunk.slidingWindow(docs((1L, "a b c d")), "doc_id", "text", 4, 3)
+      .select("chunk_idx", "n_tok").as[(Long, Long)].collect().toSet
+    assert(got4 == Set((0L, 4L)))
+  }
+
+  test("vocab is tie-pinned and oovProfile counts positions outside it") {
+    import spark.implicits._
+    val df = docs((1L, "aa aa bb cc"), (2L, "aa bb dd dd dd"))
+    // counts: aa=3, dd=3, bb=2, cc=1. Top-3 by (c desc, term asc): aa, dd, bb.
+    val vb = LangModel.vocab(df, "doc_id", "text", 3)
+    val terms = vb.orderBy("rank").select("term").as[String].collect().toSeq
+    assert(terms == Seq("aa", "dd", "bb"))
+    val prof = LangModel.oovProfile(df, "doc_id", "text", vb)
+      .select("doc_id", "n_tokens", "n_oov", "oov_frac")
+      .as[(Long, Long, Long, Double)].collect().map { case (a, b, c, e) => a -> ((b, c, e)) }.toMap
+    assert(prof(1L) == ((4L, 1L, 0.25))) // cc is OOV
+    assert(prof(2L) == ((5L, 0L, 0.0)))
+  }
+}
