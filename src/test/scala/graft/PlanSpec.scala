@@ -105,6 +105,27 @@ class PlanSpec extends SparkSuite {
     assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
   }
 
+  test("q98: chunking is a pure explode — zero exchanges, fused into the scan") {
+    val p = plan("q98_chunks")
+    assert(!p.contains("Exchange"), p)
+    assert(p.contains("Generate explode"), p)
+  }
+
+  test("q99: vocab top-V is a TakeOrdered merge, never a global sort; vocab side broadcasts") {
+    val p = finalPlan("q99_oov_profile")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("rangepartitioning"), p)
+    assert(p.contains("BroadcastExchange"), p)
+  }
+
+  test("q95: substring spans merge per doc — no global sort, dup filter is a semi-join") {
+    val p = plan("q95_substring_spans")
+    // the islands window sorts WITHIN doc partitions (hashpartitioning(id));
+    // a rangepartitioning exchange would mean a global sort crept in
+    assert(!p.contains("rangepartitioning"), p)
+    assert(p.contains("LeftSemi"), p)
+  }
+
   test("AQE splits a skewed sort-merge join at runtime") {
     import spark.implicits._
     val prev = Map(
