@@ -2097,8 +2097,54 @@ object Queries {
       SELECT tot.doc_id, tot.n_tokens,
         CAST(coalesce(ov.n_oov, 0) AS BIGINT) AS n_oov,
         round(CAST(coalesce(ov.n_oov, 0) AS DOUBLE) / CAST(tot.n_tokens AS DOUBLE), 6) AS oov_frac
-      FROM tot LEFT JOIN ov ON tot.doc_id = ov.doc_id"""))
+      FROM tot LEFT JOIN ov ON tot.doc_id = ov.doc_id""")),
+
+    // =============== link-graph centrality (corpus weighting) =============
+
+    // PageRank over a lineitem-derived directed graph (order bucket -> part
+    // bucket; src mod 800 vs dst mod 1000 leaves nodes 800..999 with no
+    // out-edges, so dangling-mass redistribution is exercised ON the oracled
+    // data, not just in specs). 5 rounds, damping 0.85; the oracle unrolls
+    // the iteration as (contribs, dangling, rank) CTE triples. Determinism
+    // rules live on the LinkGraph scaladoc (round-9 boundaries, decimal
+    // sums). Curation use: Common Crawl-style host centrality as a quality
+    // weight.
+    ("q100_pagerank", (s: SparkSession, d: String) => {
+      val e = t(s, d, "lineitem")
+        .select((col("l_orderkey") % 800).as("src"), (col("l_partkey") % 1000).as("dst"))
+        .distinct()
+      graft.ops.LinkGraph.pageRank(e, iters = 5)
+        .select(col("node"), col("rank").as("pr"))
+    }, Some(pageRankSql(5)))
   )
+
+  /** Unrolled DuckDB replay of [[graft.ops.LinkGraph.pageRank]] on the q100
+    * edge set — one (c, d, r) CTE triple per round, formula-identical to the
+    * Spark iteration (same IEEE expression tree, same round-9 boundaries,
+    * same decimal(38,12) sum routing).
+    */
+  private def pageRankSql(iters: Int): String = {
+    val rounds = (1 to iters).map { k =>
+      s""",
+      c$k AS (SELECT e.dst AS node,
+          CAST(sum(CAST(round(r.pr / od.outdeg, 9) AS DECIMAL(38,12))) AS DOUBLE) AS s
+        FROM e JOIN r${k - 1} r ON e.src = r.node JOIN od ON e.src = od.src
+        GROUP BY e.dst),
+      d$k AS (SELECT CAST(coalesce(sum(CAST(r.pr AS DECIMAL(38,12))), 0) AS DOUBLE) AS dm
+        FROM r${k - 1} r WHERE r.node NOT IN (SELECT src FROM od)),
+      r$k AS (SELECT nodes.node,
+          round((1 - CAST(0.85 AS DOUBLE)) / n +
+            CAST(0.85 AS DOUBLE) * (coalesce(c.s, CAST(0 AS DOUBLE)) + d.dm / n), 9) AS pr
+        FROM nodes LEFT JOIN c$k c ON nodes.node = c.node
+        CROSS JOIN d$k d CROSS JOIN nn)"""
+    }.mkString
+    s"""WITH e AS (SELECT DISTINCT l_orderkey % 800 AS src, l_partkey % 1000 AS dst FROM lineitem),
+      nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+      nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+      od AS (SELECT src, CAST(count(*) AS DOUBLE) AS outdeg FROM e GROUP BY src),
+      r0 AS (SELECT node, round(CAST(1.0 AS DOUBLE) / n, 9) AS pr FROM nodes CROSS JOIN nn)$rounds
+      SELECT node, pr FROM r$iters"""
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map { case (n, f, _) => n -> f }.toMap

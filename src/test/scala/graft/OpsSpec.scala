@@ -251,4 +251,47 @@ class OpsSpec extends SparkSuite {
       .as[String].head()
     assert(fname == "20240302064510")
   }
+
+  test("pageRank: symmetric cycle stays uniform at any damping") {
+    import spark.implicits._
+    // 3-cycle: the uniform vector is the exact fixed point, so every round
+    // must reproduce round(1/3, 9) per node regardless of damping
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("src", "dst")
+    val r = graft.ops.LinkGraph.pageRank(e, iters = 4, damping = 0.85)
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    assert(r.keySet == Set(1L, 2L, 3L))
+    r.values.foreach(v => assert(math.abs(v - 1.0 / 3) < 1e-8, s"rank $v"))
+  }
+
+  test("pageRank: dangling mass is redistributed, total rank conserved") {
+    import spark.implicits._
+    // a -> b, b dangling. One round from the uniform start:
+    //   contribs(b) = 0.5; dangling mass = 0.5 redistributed over n=2
+    //   rank(a) = 0.15/2 + 0.85*(0   + 0.25) = 0.2875
+    //   rank(b) = 0.15/2 + 0.85*(0.5 + 0.25) = 0.7125
+    val e = Seq((1L, 2L)).toDF("src", "dst")
+    val r = graft.ops.LinkGraph.pageRank(e, iters = 1)
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    assert(math.abs(r(1L) - 0.2875) < 1e-9, s"a=${r(1L)}")
+    assert(math.abs(r(2L) - 0.7125) < 1e-9, s"b=${r(2L)}")
+    // conservation holds over more rounds too (teleport + dangling refill)
+    val r5 = graft.ops.LinkGraph.pageRank(e, iters = 5)
+      .agg(sum(col("rank"))).head().getDouble(0)
+    assert(math.abs(r5 - 1.0) < 1e-7, s"total $r5")
+  }
+
+  test("pageRank: in-link-rich node outranks peers") {
+    import spark.implicits._
+    // star into node 9 plus a back-edge so 9 isn't dangling. The graph is
+    // near-bipartite (mass sloshes 9 <-> 1 with period 2), so the 9-vs-1
+    // ordering is iteration-parity-dependent — assert only the
+    // parity-independent facts: both hubs dominate the leaves, and the
+    // leaves (identical in-link structure) tie exactly.
+    val e = (1L to 8L).map(i => (i, 9L)).toDF("src", "dst")
+      .union(Seq((9L, 1L)).toDF("src", "dst"))
+    val r = graft.ops.LinkGraph.pageRank(e, iters = 10)
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    assert(r(9L) > 2 * r(2L) && r(1L) > 2 * r(2L), s"$r")
+    (2L to 8L).foreach(i => assert(math.abs(r(i) - r(2L)) < 1e-12))
+  }
 }
