@@ -2115,7 +2115,40 @@ object Queries {
         .distinct()
       graft.ops.LinkGraph.pageRank(e, iters = 5)
         .select(col("node"), col("rank").as("pr"))
-    }, Some(pageRankSql(5)))
+    }, Some(pageRankSql(5))),
+
+    // DSIR importance weights (Xie et al. 2023): per-doc log importance of
+    // a target slice (sources src0..src4) over the raw corpus, word-bigram
+    // occurrences hashed into 1024 buckets (portable md5 56-bit halves).
+    // ln rounded to 6 at the source, decimal-routed per-doc sums — see the
+    // Importance scaladoc for the broadcast/two-pass scale shape.
+    ("q101_dsir_weights", (s: SparkSession, d: String) => {
+      graft.llm.Importance.importanceWeights(
+        t(s, d, "documents"), "doc_id", "text",
+        isTarget = col("source").isin("src0", "src1", "src2", "src3", "src4"),
+        nBuckets = 1024, shingleN = 2)
+    }, Some("""WITH dd AS (SELECT doc_id, source,
+        list_filter(string_split_regex(trim(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')), ' '),
+                    x -> x <> '') AS w
+        FROM documents),
+      gr AS (SELECT doc_id, source, unnest(CASE WHEN len(w) >= 2
+          THEN list_transform(range(1, len(w)), i -> array_to_string(w[i:i+1], ' '))
+          ELSE [array_to_string(w, ' ')] END) AS g FROM dd),
+      gb AS (SELECT doc_id, source,
+          ('0x' || substr(md5(g), 1, 14))::BIGINT % 1024 AS b FROM gr),
+      raw AS (SELECT b, count(*) AS cr FROM gb GROUP BY b),
+      tgt AS (SELECT b, count(*) AS ct FROM gb
+        WHERE source IN ('src0','src1','src2','src3','src4') GROUP BY b),
+      nr AS (SELECT count(*) AS n_raw FROM gb),
+      nt AS (SELECT count(*) AS n_tgt FROM gb
+        WHERE source IN ('src0','src1','src2','src3','src4')),
+      lw AS (SELECT raw.b,
+          round(ln(CAST(coalesce(tgt.ct, 0) + 1 AS DOUBLE) / CAST(n_tgt + 1024 AS DOUBLE)), 6)
+        - round(ln(CAST(raw.cr + 1 AS DOUBLE) / CAST(n_raw + 1024 AS DOUBLE)), 6) AS lw
+        FROM raw LEFT JOIN tgt ON raw.b = tgt.b CROSS JOIN nr CROSS JOIN nt)
+      SELECT gb.doc_id, count(*) AS n_grams,
+        CAST(sum(CAST(lw.lw AS DECIMAL(18,6))) AS DOUBLE) AS logw
+      FROM gb JOIN lw ON gb.b = lw.b GROUP BY gb.doc_id"""))
   )
 
   /** Unrolled DuckDB replay of [[graft.ops.LinkGraph.pageRank]] on the q100

@@ -77,6 +77,17 @@ object Dedup {
         i => concat_ws(" ", slice(w, i, lit(n))))))
       .otherwise(array(concat_ws(" ", w)))
 
+  /** Like [[shinglesFromTokens]] but keeps every OCCURRENCE (no distinct) —
+    * the form distribution-estimation passes need (DSIR importance weights
+    * count gram mass, not gram membership). Same materialized-tokens
+    * contract.
+    */
+  def shingleOccurrences(w: Column, n: Int): Column =
+    when(size(w) >= n,
+      transform(sequence(lit(1), size(w) - (n - 1)),
+        i => concat_ws(" ", slice(w, i, lit(n)))))
+      .otherwise(array(concat_ws(" ", w)))
+
   /** Convenience single-expression form — ONLY for one-off/small inputs; see
     * the evaluation-order warning on [[shinglesFromTokens]].
     */

@@ -712,4 +712,31 @@ class LlmSpec extends SparkSuite {
     assert(m.map(_._2).sum == 500L)
     assert(m.map(_._3).sum == (1L to 500L).map(_ % 37 + 1).sum)
   }
+
+  test("DSIR importance: target-like docs outweigh off-target, grams counted per occurrence") {
+    import spark.implicits._
+    // target slice speaks "alpha beta"; the raw remainder speaks "gamma
+    // delta". A held-out doc in target language must outscore one in raw
+    // language — the DSIR resampling contract.
+    val docs = (
+      (1L to 10L).map(i => (i, "alpha beta alpha beta alpha", true)) ++
+        (11L to 30L).map(i => (i, "gamma delta gamma delta gamma", false)) ++
+        Seq((31L, "alpha beta alpha", false), (32L, "gamma delta gamma", false))
+      ).toDF("doc_id", "text", "is_t")
+    val w = graft.llm.Importance
+      .importanceWeights(docs, "doc_id", "text", isTarget = col("is_t"),
+        nBuckets = 64, shingleN = 2)
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(w.size == 32)
+    assert(w(31L)._1 == 2L && w(32L)._1 == 2L) // 3 tokens -> 2 bigram occurrences
+    assert(w(31L)._2 > w(32L)._2,
+      s"target-language ${w(31L)._2} should beat raw-language ${w(32L)._2}")
+    assert(w(1L)._1 == 4L) // occurrences, not distinct grams (2 distinct, 4 slots)
+    // short doc (< shingleN words) still scored, as its whole text
+    val short = graft.llm.Importance.importanceWeights(
+      Seq((1L, "solo", true), (2L, "", false)).toDF("doc_id", "text", "is_t"),
+      "doc_id", "text", isTarget = col("is_t"), nBuckets = 16, shingleN = 2)
+      .as[(Long, Long, Double)].collect()
+    assert(short.length == 2 && short.forall(_._2 == 1L))
+  }
 }
