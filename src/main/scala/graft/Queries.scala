@@ -2148,7 +2148,30 @@ object Queries {
         FROM raw LEFT JOIN tgt ON raw.b = tgt.b CROSS JOIN nr CROSS JOIN nt)
       SELECT gb.doc_id, count(*) AS n_grams,
         CAST(sum(CAST(lw.lw AS DECIMAL(18,6))) AS DOUBLE) AS logw
-      FROM gb JOIN lw ON gb.b = lw.b GROUP BY gb.doc_id"""))
+      FROM gb JOIN lw ON gb.b = lw.b GROUP BY gb.doc_id""")),
+
+    // BPE tokenizer training, the oracled inner round: adjacent char-pair
+    // counts over the DISTINCT word relation weighted by word frequency
+    // (the Zipf-bounded shape — corpus size only affects the one
+    // tokenize+count pass), top-100 merge candidates tie-pinned
+    // (count desc, pair asc). The iterative trainer (BpeTrain.train) is
+    // spec-covered; this pins its pair-statistics kernel cross-engine.
+    ("q102_bpe_pairs", (s: SparkSession, d: String) => {
+      val wf = graft.llm.BpeTrain.wordFreqs(t(s, d, "documents"), "text")
+      graft.llm.BpeTrain.topMerges(
+        graft.llm.BpeTrain.pairCounts(graft.llm.BpeTrain.charSymbols(wf)), 100)
+    }, Some("""WITH dd AS (SELECT
+        list_filter(string_split_regex(trim(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')), ' '),
+                    x -> x <> '') AS w
+        FROM documents),
+      tok AS (SELECT unnest(w) AS word FROM dd),
+      wf AS (SELECT word, count(*) AS f FROM tok GROUP BY word),
+      pr AS (SELECT f, unnest(list_transform(range(1, length(word)),
+          i -> substr(word, CAST(i AS INTEGER), 1) || ' ' || substr(word, CAST(i AS INTEGER) + 1, 1))) AS pair
+        FROM wf WHERE length(word) >= 2),
+      pc AS (SELECT pair, CAST(sum(f) AS BIGINT) AS c FROM pr GROUP BY pair),
+      tm AS (SELECT pair, c, row_number() OVER (ORDER BY c DESC, pair) AS rnk FROM pc)
+      SELECT pair, c, rnk FROM tm WHERE rnk <= 100"""))
   )
 
   /** Unrolled DuckDB replay of [[graft.ops.LinkGraph.pageRank]] on the q100

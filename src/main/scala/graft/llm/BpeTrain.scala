@@ -1,0 +1,97 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Distributed BPE tokenizer training (Sennrich et al. 2016) — the corpus
+  * side of building a tokenizer for a new training mix. The inner loop is
+  * relational and Zipf-friendly: pair statistics aggregate over the DISTINCT
+  * word relation weighted by word frequency, so a 100 TB corpus costs one
+  * tokenize+count pass (map-side partials into the Zipf-bounded word table),
+  * after which every merge round touches only |vocab| rows — driver-scale
+  * data never grows with the corpus.
+  *
+  * Cross-engine determinism: pair counts are exact integers; the merge
+  * ranking is tie-pinned (count desc, pair text asc); per-word symbol
+  * merging is a deterministic left-to-right greedy fold.
+  */
+object BpeTrain {
+
+  /** (word, f): corpus word frequencies off the shared tokenizer. */
+  def wordFreqs(docs: DataFrame, textCol: String): DataFrame =
+    docs.select(explode(TextStats.tokens(Dedup.normalize(col(textCol)))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("f"))
+
+  /** Adjacent symbol-pair counts over a (word, f, sym: array<string>)
+    * relation, each occurrence weighted by the word's corpus frequency:
+    * (pair, c) with pair = "a b". Words with a single symbol no longer
+    * participate (nothing left to merge). The transform lambda runs on the
+    * distinct-word relation — Zipf-bounded, not corpus-sized — so the
+    * non-codegen'd HOF is off the hot path.
+    */
+  def pairCounts(words: DataFrame): DataFrame =
+    words.filter(size(col("sym")) >= 2)
+      .select(col("f"),
+        explode(zip_with(
+          slice(col("sym"), lit(1), size(col("sym")) - 1),
+          slice(col("sym"), lit(2), size(col("sym")) - 1),
+          (a, b) => concat(a, lit(" "), b))).as("pair"))
+      .groupBy("pair").agg(sum(col("f")).as("c"))
+
+  /** Character-level symbol split: (word, f) -> (word, f, sym). Split via
+    * substr, not split(word, "") — Java-regex split walks UTF-16 code UNITS
+    * (a non-BMP codepoint becomes two surrogate symbols) while substr/length
+    * are codepoint-based in both Spark and DuckDB, so this form stays
+    * engine-portable on any script.
+    */
+  def charSymbols(wordFreqs: DataFrame): DataFrame =
+    wordFreqs.select(col("word"), col("f"),
+      transform(sequence(lit(1), length(col("word"))),
+        i => col("word").substr(i, lit(1))).as("sym"))
+
+  /** Top-k merge candidates, tie-pinned (count desc, pair asc), 1-based
+    * rank. orderBy+limit compiles to TakeOrderedAndProject (per-partition
+    * heaps, single k-row merge); the rank window sorts k rows, not the
+    * pair relation.
+    */
+  def topMerges(pairCounts: DataFrame, k: Int): DataFrame =
+    pairCounts.orderBy(col("c").desc, col("pair")).limit(k)
+      .withColumn("rnk",
+        row_number().over(Window.orderBy(col("c").desc, col("pair"))).cast("long"))
+
+  /** Greedy left-to-right application of one merge to a symbol array: every
+    * non-overlapping adjacent (a, b) becomes the fused symbol, exactly the
+    * reference BPE behavior ("a a a" under (a,a) -> "aa a", the second pair
+    * is consumed by the first).
+    */
+  def applyMerge(sym: Column, a: String, b: String): Column =
+    aggregate(sym, array().cast("array<string>"), (acc, x) =>
+      when(size(acc) > 0 &&
+        element_at(acc, -1) === lit(a) && x === lit(b),
+        concat(slice(acc, lit(1), size(acc) - 1), array(concat_ws("", lit(a), x))))
+        .otherwise(concat(acc, array(x))))
+
+  /** Full training loop: `rounds` merges from character symbols. Returns
+    * (merges in order, final symbolized word relation). Each round is one
+    * k=1 topMerges (a 1-row driver fetch — the kmeans-loop precedent) plus
+    * one per-word fold, localCheckpoint'ed to keep iterative lineage flat.
+    * Stops early when no pair remains.
+    */
+  def train(docs: DataFrame, textCol: String, rounds: Int): (Seq[(String, String)], DataFrame) = {
+    var words = charSymbols(wordFreqs(docs, textCol)).localCheckpoint()
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var exhausted = false
+    for (_ <- 1 to rounds if !exhausted) {
+      val top = topMerges(pairCounts(words), 1).select("pair").collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val Array(a, b) = top.head.getString(0).split(" ", 2)
+        merges += ((a, b))
+        words = words.select(col("word"), col("f"),
+          applyMerge(col("sym"), a, b).as("sym")).localCheckpoint()
+      }
+    }
+    (merges.toSeq, words)
+  }
+}

@@ -739,4 +739,39 @@ class LlmSpec extends SparkSuite {
       .as[(Long, Long, Double)].collect()
     assert(short.length == 2 && short.forall(_._2 == 1L))
   }
+
+  test("BPE train: textbook merge order, early stop, words fully fused") {
+    import spark.implicits._
+    // pair mass: (a,a)=6 beats (a,b)=5, then (a,b), then (aa,ab) fuses the
+    // whole word — and round 4 finds nothing left to merge
+    val docs = Seq("aaab aaab aaab ab ab").toDF("text")
+    val (merges, words) = graft.llm.BpeTrain.train(docs, "text", rounds = 5)
+    assert(merges == Seq(("a", "a"), ("a", "b"), ("aa", "ab")))
+    val sym = words.select(col("word"), col("sym"))
+      .as[(String, Seq[String])].collect().toMap
+    assert(sym("aaab") == Seq("aaab") && sym("ab") == Seq("ab"))
+  }
+
+  test("BPE applyMerge is greedy left-to-right non-overlapping") {
+    import spark.implicits._
+    val df = Seq((Seq("a", "a", "a"), 0)).toDF("sym", "x")
+    assert(df.select(graft.llm.BpeTrain.applyMerge(col("sym"), "a", "a"))
+      .as[Seq[String]].head() == Seq("aa", "a"))
+    val df2 = Seq((Seq("a", "b", "a", "b"), 0)).toDF("sym", "x")
+    assert(df2.select(graft.llm.BpeTrain.applyMerge(col("sym"), "a", "b"))
+      .as[Seq[String]].head() == Seq("ab", "ab"))
+    // merged symbol does not cascade within the same round
+    val df3 = Seq((Seq("a", "a", "b"), 0)).toDF("sym", "x")
+    assert(df3.select(graft.llm.BpeTrain.applyMerge(col("sym"), "a", "b"))
+      .as[Seq[String]].head() == Seq("a", "ab"))
+  }
+
+  test("BPE topMerges pins ties by pair text") {
+    import spark.implicits._
+    val words = Seq(("ba", 2L), ("ab", 2L)).toDF("word", "f")
+    val top = graft.llm.BpeTrain.topMerges(
+      graft.llm.BpeTrain.pairCounts(graft.llm.BpeTrain.charSymbols(words)), 10)
+      .as[(String, Long, Long)].collect().toSeq
+    assert(top == Seq(("a b", 2L, 1L), ("b a", 2L, 2L)))
+  }
 }
