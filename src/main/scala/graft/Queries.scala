@@ -2171,7 +2171,25 @@ object Queries {
         FROM wf WHERE length(word) >= 2),
       pc AS (SELECT pair, CAST(sum(f) AS BIGINT) AS c FROM pr GROUP BY pair),
       tm AS (SELECT pair, c, row_number() OVER (ORDER BY c DESC, pair) AS rnk FROM pc)
-      SELECT pair, c, rnk FROM tm WHERE rnk <= 100"""))
+      SELECT pair, c, rnk FROM tm WHERE rnk <= 100""")),
+
+    // Shannon character entropy per doc (Gopher-family low-information
+    // filter). Determinism per the charEntropyProfile scaladoc: round-6 ln
+    // at source, round-12 terms, decimal(28,12) sums.
+    ("q103_char_entropy", (s: SparkSession, d: String) => {
+      graft.llm.TextStats.charEntropyProfile(t(s, d, "documents"), "doc_id", "text")
+    }, Some("""WITH nd AS (SELECT doc_id,
+        regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS t FROM documents),
+      ch AS (SELECT doc_id, unnest(regexp_extract_all(t, '.')) AS ch FROM nd),
+      cnt AS (SELECT doc_id, ch, count(*) AS c FROM ch GROUP BY doc_id, ch),
+      tot AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n FROM cnt GROUP BY doc_id),
+      tm AS (SELECT cnt.doc_id, tot.n,
+          round((CAST(c AS DOUBLE) / CAST(n AS DOUBLE)) *
+            -round(ln(CAST(c AS DOUBLE) / CAST(n AS DOUBLE)), 6), 12) AS term
+        FROM cnt JOIN tot ON cnt.doc_id = tot.doc_id)
+      SELECT doc_id, max(n) AS n_chars, count(*) AS n_distinct,
+        round(CAST(sum(CAST(term AS DECIMAL(28,12))) AS DOUBLE), 6) AS entropy
+      FROM tm GROUP BY doc_id"""))
   )
 
   /** Unrolled DuckDB replay of [[graft.ops.LinkGraph.pageRank]] on the q100

@@ -182,4 +182,42 @@ object TextStats {
       .select(col(idCol), col("__wm").as("fp"))
       .distinct()
   }
+
+  /** Per-document Shannon character entropy — the Gopher-family signal that
+    * catches low-information text (key-mash, padding, binary spill) that
+    * length/punctuation ratios miss: (idCol, n_chars, n_distinct, entropy)
+    * over the whitespace-normalized text; empty-after-normalize docs have no
+    * distribution and are dropped.
+    *
+    * Relational shape: explode to (doc, char) rows, two doc-keyed
+    * aggregations (char counts are map-side partials; at web scale a native
+    * one-pass counting expression — the lang_id precedent — would replace
+    * the explode, trading a shuffle of |doc|·|alphabet| rows for zero).
+    * The substr-based split is codepoint-portable (split(t, "") walks UTF-16
+    * units and would tear non-BMP codepoints apart).
+    *
+    * Determinism: p = c/n is exact IEEE division; ln rounds to 6 at the
+    * source (q72); each p·(−ln p) term rounds to 12 and sums through
+    * decimal(28,12) (order-free); the entropy is that exact sum rounded
+    * to 6.
+    */
+  def charEntropyProfile(docs: org.apache.spark.sql.DataFrame, idCol: String,
+                         textCol: String): org.apache.spark.sql.DataFrame = {
+    val p = col("c").cast("double") / col("n").cast("double")
+    val chars = docs
+      .select(col(idCol).as("id"), Dedup.normalize(col(textCol)).as("t"))
+      .select(col("id"),
+        explode(when(length(col("t")) > 0,
+          transform(sequence(lit(1), length(col("t"))), i => col("t").substr(i, lit(1))))
+          .otherwise(array().cast("array<string>"))).as("ch"))
+    val cnt = chars.groupBy("id", "ch").agg(count(lit(1)).as("c"))
+    val tot = cnt.groupBy("id").agg(sum(col("c")).as("n"))
+    cnt.join(tot, Seq("id"))
+      .select(col("id"), col("n"),
+        round(p * -round(log(p), 6), 12).as("term"))
+      .groupBy("id")
+      .agg(max(col("n")).as("n_chars"), count(lit(1)).as("n_distinct"),
+        round(sum(col("term").cast("decimal(28,12)")).cast("double"), 6).as("entropy"))
+      .select(col("id").as(idCol), col("n_chars"), col("n_distinct"), col("entropy"))
+  }
 }

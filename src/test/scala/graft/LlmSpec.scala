@@ -766,6 +766,17 @@ class LlmSpec extends SparkSuite {
       .as[Seq[String]].head() == Seq("a", "ab"))
   }
 
+  test("char entropy: zero for constant, ln k for uniform, empty dropped") {
+    import spark.implicits._
+    val docs = Seq((1L, "aaaa"), (2L, "abcd"), (3L, "   ")).toDF("doc_id", "text")
+    val r = graft.llm.TextStats.charEntropyProfile(docs, "doc_id", "text")
+      .as[(Long, Long, Long, Double)].collect().map(x => x._1 -> x).toMap
+    assert(r.size == 2, "whitespace-only doc must be dropped")
+    assert(r(1L) == ((1L, 4L, 1L, 0.0)))
+    assert(r(2L)._2 == 4L && r(2L)._3 == 4L)
+    assert(math.abs(r(2L)._4 - math.log(4)) < 1e-5, s"uniform: ${r(2L)._4}")
+  }
+
   test("BPE topMerges pins ties by pair text") {
     import spark.implicits._
     val words = Seq(("ba", 2L), ("ab", 2L)).toDF("word", "f")
