@@ -2189,7 +2189,38 @@ object Queries {
         FROM cnt JOIN tot ON cnt.doc_id = tot.doc_id)
       SELECT doc_id, max(n) AS n_chars, count(*) AS n_distinct,
         round(CAST(sum(CAST(term AS DECIMAL(28,12))) AS DOUBLE), 6) AS entropy
-      FROM tm GROUP BY doc_id"""))
+      FROM tm GROUP BY doc_id""")),
+
+    // Fill-in-the-middle rewrite (Bavarian et al. 2022) at 50% rate: apply
+    // decision and both token-boundary cuts from disjoint md5(doc_id)
+    // windows (the q61 uniform-hash convention) — per-row, zero-shuffle,
+    // reproducible across engines and reruns.
+    ("q104_fim", (s: SparkSession, d: String) => {
+      graft.llm.Fim.fimTransform(t(s, d, "documents"), "doc_id", "text", rate = 0.5)
+    }, Some("""WITH dd AS (SELECT doc_id,
+        list_filter(string_split_regex(trim(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')), ' '),
+                    x -> x <> '') AS w
+        FROM documents),
+      b AS (SELECT doc_id, w, CAST(len(w) AS BIGINT) AS n,
+          CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS DOUBLE) / 4294967296.0 AS u1,
+          CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 9, 8))::BIGINT AS DOUBLE) / 4294967296.0 AS u2,
+          CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 17, 8))::BIGINT AS DOUBLE) / 4294967296.0 AS u3
+        FROM dd),
+      c AS (SELECT doc_id, w, n, u1 < CAST(0.5 AS DOUBLE) AS applied,
+          CAST(floor(u2 * CAST(n + 1 AS DOUBLE)) AS BIGINT) AS c1,
+          CAST(floor(u3 * CAST(n + 1 AS DOUBLE)) AS BIGINT) AS c2 FROM b),
+      sp AS (SELECT doc_id, w, n, applied,
+          least(c1, c2) AS lo, greatest(c1, c2) AS hi FROM c)
+      SELECT doc_id, applied,
+        CASE WHEN applied THEN lo ELSE n END AS n_prefix,
+        CASE WHEN applied THEN hi - lo ELSE CAST(0 AS BIGINT) END AS n_middle,
+        CASE WHEN applied THEN n - hi ELSE CAST(0 AS BIGINT) END AS n_suffix,
+        CASE WHEN applied THEN
+          '<PRE>' || coalesce(array_to_string(w[1:lo], ' '), '') ||
+          '<SUF>' || coalesce(array_to_string(w[hi+1:n], ' '), '') ||
+          '<MID>' || coalesce(array_to_string(w[lo+1:hi], ' '), '')
+        ELSE coalesce(array_to_string(w, ' '), '') END AS text_fim
+      FROM sp"""))
   )
 
   /** Unrolled DuckDB replay of [[graft.ops.LinkGraph.pageRank]] on the q100

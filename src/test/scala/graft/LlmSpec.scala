@@ -777,6 +777,32 @@ class LlmSpec extends SparkSuite {
     assert(math.abs(r(2L)._4 - math.log(4)) < 1e-5, s"uniform: ${r(2L)._4}")
   }
 
+  test("FIM transform: spans partition the doc, PSM sentinels, deterministic") {
+    import spark.implicits._
+    val docs = (1L to 200L).map(i =>
+      (i, (1 to (i % 7).toInt + 1).map(k => s"w$k").mkString(" "))).toDF("doc_id", "text")
+    val out = graft.llm.Fim.fimTransform(docs, "doc_id", "text", rate = 0.5)
+    val rows = out.as[(Long, Boolean, Long, Long, Long, String)].collect()
+    assert(rows.length == 200)
+    val applied = rows.filter(_._2)
+    assert(applied.nonEmpty && applied.length < 200, "rate 0.5 must split the corpus")
+    rows.foreach { case (id, app, np, nm, ns, txt) =>
+      val n = (id % 7) + 1
+      assert(np + nm + ns == n, s"spans must partition doc $id")
+      if (app) {
+        // PSM order, and the three spans reassemble the original tokens
+        val m = "<PRE>(.*)<SUF>(.*)<MID>(.*)".r
+        val m(p, sfx, mid) = txt
+        val rebuilt = Seq(p, mid, sfx).filter(_.nonEmpty).mkString(" ")
+        assert(rebuilt == (1 to n.toInt).map(k => s"w$k").mkString(" "), s"doc $id: $txt")
+      } else assert(!txt.contains("<PRE>"))
+    }
+    // same cuts on every run
+    val again = graft.llm.Fim.fimTransform(docs, "doc_id", "text", rate = 0.5)
+      .as[(Long, Boolean, Long, Long, Long, String)].collect()
+    assert(rows.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq)
+  }
+
   test("BPE topMerges pins ties by pair text") {
     import spark.implicits._
     val words = Seq(("ba", 2L), ("ab", 2L)).toDF("word", "f")
