@@ -166,7 +166,7 @@ object Dedup {
   /** Shared shingle relation: (id, sh), persisted — scanned by both the band
     * derivation and the verify fetch.
     */
-  private def shingleRel(df: DataFrame, textCol: String, idCol: String,
+  private[graft] def shingleRel(df: DataFrame, textCol: String, idCol: String,
                          shingleN: Int): DataFrame =
     df.select(
       col(idCol).as("id"),
@@ -179,7 +179,7 @@ object Dedup {
     * twice — one digest per (doc, shingle) row, fully codegen'd; fastMd5
     * reuses a thread-local digest instead of allocating one per row.
     */
-  private def bandRel(base: DataFrame, k: Int, bands: Int): DataFrame = {
+  private[graft] def bandRel(base: DataFrame, k: Int, bands: Int): DataFrame = {
     val rows = k / bands
     val hashed = base.select(col("id"), explode(col("sh")).as("s"))
       .select(col("id"), org.apache.spark.sql.graft.GraftColumns.fastMd5(col("s")).as("m"))
@@ -195,6 +195,39 @@ object Dedup {
     }
     sigs.select(col("id"), explode(array(bandCols: _*)).as("band"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+  }
+
+  /** Per-ROW band keys: (id, band) with byte-identical keys to [[bandRel]]
+    * (same md5-half double hashing, same modulus, same "b|h1,h2" text) but
+    * computed without any aggregation — the form a STREAMING micro-batch
+    * needs, where the relational groupBy-min signature would be a second
+    * stateful operator. Batch pipelines should prefer [[bandRel]] (map-side
+    * partial min aggregation, whole-stage codegen); this path trades that
+    * for per-row array folds. PropertySpec pins the two derivations equal.
+    *
+    * Projection staging matters (the minhash lambda lesson): the md5 array
+    * is materialized in its OWN projection so the k signature folds re-read
+    * 56-bit halves instead of re-digesting shingles k times.
+    */
+  def perRowBands(docs: DataFrame, textCol: String, idCol: String,
+                  shingleN: Int = 3, k: Int = 16, bands: Int = 4): DataFrame = {
+    require(k % bands == 0, s"k=$k must be divisible by bands=$bands")
+    val rows = k / bands
+    val sigs = docs
+      .select(col(idCol).as("id"), TextStats.tokens(normalize(col(textCol))).as("w"))
+      .select(col("id"), shinglesFromTokens(col("w"), shingleN).as("sh"))
+      .select(col("id"),
+        transform(col("sh"), s => org.apache.spark.sql.graft.GraftColumns.fastMd5(s)).as("hm"))
+      .select(col("id"), transform(col("hm"), m => struct(
+        conv(substring(m, 1, 14), 16, 10).cast("long").as("v1"),
+        conv(substring(m, 17, 14), 16, 10).cast("long").as("v2"))).as("hp"))
+      .select(col("id"), transform(sequence(lit(1), lit(k)), i =>
+        array_min(transform(col("hp"), p =>
+          pmod(p.getField("v1") + p.getField("v2") * i, lit(1000000007L))))).as("sig"))
+    sigs.select(col("id"), explode(transform(sequence(lit(0), lit(bands - 1)), b =>
+      concat(b.cast("string"), lit("|"),
+        array_join(transform(slice(col("sig"), b * rows + 1, lit(rows)),
+          h => h.cast("string")), ",")))).as("band"))
   }
 
   /** Shared verify leg: fetch the two shingle sets by id, exact Jaccard. */

@@ -105,6 +105,56 @@ object Streams {
       }
   }
 
+  /** A candidate near-duplicate hit from [[nearDupGate]]: `doc_id` collided
+    * with earlier doc `dup_of` on LSH band `band`.
+    */
+  case class BandHit(doc_id: Long, dup_of: Long, band: String)
+
+  /** STREAMING near-duplicate gate: per micro-batch, each document's MinHash
+    * band keys (byte-identical to the batch pipeline's — Dedup.perRowBands)
+    * are checked against keyed state holding the first doc id seen per
+    * bucket; collisions emit (doc_id, dup_of, band) CANDIDATE hits. Same
+    * contract as batch LSH: candidates over-approximate (a doc may hit on
+    * several bands, and band collisions need an exact-Jaccard verify
+    * downstream — the production shape is this gate feeding a verify
+    * service / batch verify join).
+    *
+    * Determinism: within a micro-batch a bucket's rows are folded in doc-id
+    * order, so the bucket owner is the min id of the first batch that
+    * touches it, independent of task scheduling.
+    *
+    * Scale: state is one long per OBSERVED band bucket — bounded by corpus
+    * band cardinality, not stream length; hot boilerplate buckets cost one
+    * state row regardless of how many docs hit them. A production deploy
+    * bounds staleness with GroupStateTimeout + state TTL; the spec keeps
+    * NoTimeout for determinism.
+    */
+  def nearDupGate(docs: DataFrame, textCol: String, idCol: String,
+                  shingleN: Int = 3, k: Int = 16, bands: Int = 4): Dataset[BandHit] = {
+    import docs.sparkSession.implicits._
+    val banded = graft.llm.Dedup
+      .perRowBands(docs, textCol, idCol, shingleN, k, bands)
+      .select(col("band"), col("id").cast("long").as("doc_id"))
+      .as[(String, Long)]
+    banded.groupByKey(_._1)
+      .flatMapGroupsWithState[Long, BandHit](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (band: String, rows: Iterator[(String, Long)], state: GroupState[Long]) =>
+          val ids = rows.map(_._2).toArray.sorted
+          val out = scala.collection.mutable.ArrayBuffer.empty[BandHit]
+          var owner = state.getOption
+          ids.foreach { id =>
+            owner match {
+              case None           => owner = Some(id)
+              case Some(f) if f != id => out += BandHit(id, f, band)
+              case _              => ()
+            }
+          }
+          owner.foreach(state.update)
+          out.iterator
+      }
+  }
+
   /** Convenience: run a streaming DataFrame to completion into an in-memory
     * table (tests / AvailableNow batch-over-stream runs).
     */

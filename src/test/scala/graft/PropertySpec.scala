@@ -11,6 +11,25 @@ import graft.llm.Dedup
   */
 class PropertySpec extends SparkSuite {
 
+  test("perRowBands emits byte-identical band keys to the batch bandRel") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta", "eta")
+    val docs = (1L to 60L).map { i =>
+      val n = rnd.nextInt(12) // includes 0-token and shorter-than-shingle docs
+      (i, Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }.toDF("doc_id", "text")
+    for ((k, bands) <- Seq((16, 4), (8, 2))) {
+      val batch = Dedup.bandRel(
+        Dedup.shingleRel(docs, "text", "doc_id", 3), k, bands)
+        .as[(Long, String)].collect().toSet
+      val perRow = Dedup.perRowBands(docs, "text", "doc_id", 3, k, bands)
+        .as[(Long, String)].collect().toSet
+      assert(perRow == batch, s"k=$k bands=$bands: ${(perRow -- batch).take(3)} vs ${(batch -- perRow).take(3)}")
+    }
+    spark.catalog.clearCache()
+  }
+
   test("connected components match driver-side union-find on random graphs") {
     import spark.implicits._
     for (seed <- 1 to 8) {

@@ -70,6 +70,31 @@ class StreamingSpec extends SparkSuite {
     assert(got == Set((2L, 3.0), (2L, 30.0)))
   }
 
+  test("streaming near-dup gate flags band collisions across micro-batches") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val src = MemoryStream[(Long, String)]
+    val q = Streams.nearDupGate(
+      src.toDF().toDF("doc_id", "text"), "text", "doc_id", shingleN = 2)
+      .writeStream.format("memory").queryName("ndgate")
+      .outputMode(OutputMode.Append()).start()
+    val base = "the quick brown fox jumps over the lazy dog again and again"
+    src.addData((10L, base), (11L, base + " extra"), (12L, "completely different words entirely here"))
+    q.processAllAvailable()
+    val b1 = spark.table("ndgate").select($"doc_id", $"dup_of")
+      .as[(Long, Long)].collect().toSet
+    // near-identical 11 collides with the bucket owner 10; 12 is clean
+    assert(b1.nonEmpty && b1.forall(_ == ((11L, 10L))), s"$b1")
+    // a later batch replaying the same text hits the state from batch 1
+    src.addData((13L, base))
+    q.processAllAvailable()
+    val b2 = spark.table("ndgate").select($"doc_id", $"dup_of")
+      .as[(Long, Long)].collect().toSet
+    assert(b2.contains((13L, 10L)), s"$b2")
+    assert(!b2.exists(h => h._1 == 12L), "distinct doc must not be flagged")
+    q.stop()
+  }
+
   test("session_window closes sessions at the inactivity gap") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
