@@ -126,6 +126,38 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("LeftSemi"), p)
   }
 
+  test("q104: FIM rewrite is pure per-row work — zero exchanges") {
+    val p = plan("q104_fim")
+    assert(!p.contains("Exchange"), p)
+  }
+
+  test("q102: BPE top-100 is a TakeOrdered merge over the pair relation") {
+    val p = plan("q102_bpe_pairs")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("rangepartitioning"), p)
+  }
+
+  test("q101: DSIR bucket stats broadcast; no cartesian on the gram relation") {
+    val p = finalPlan("q101_dsir_weights")
+    assert(p.contains("BroadcastExchange"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    spark.catalog.clearCache()
+  }
+
+  test("q103: entropy is keyed hash aggregation, never a global sort") {
+    val p = plan("q103_char_entropy")
+    assert(!p.contains("rangepartitioning"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q100: pageRank output reads a checkpoint — iterative lineage stays flat") {
+    val df = Queries.queries("q100_pagerank")(spark, sfDir)
+    // the returned frame must scan the final round's localCheckpoint (a
+    // LogicalRDD), not replay 5 rounds of joins per downstream action
+    assert(df.queryExecution.optimizedPlan.toString.contains("LogicalRDD"),
+      df.queryExecution.optimizedPlan.toString)
+  }
+
   test("AQE splits a skewed sort-merge join at runtime") {
     import spark.implicits._
     val prev = Map(
