@@ -2220,7 +2220,34 @@ object Queries {
           '<SUF>' || coalesce(array_to_string(w[hi+1:n], ' '), '') ||
           '<MID>' || coalesce(array_to_string(w[lo+1:hi], ' '), '')
         ELSE coalesce(array_to_string(w, ' '), '') END AS text_fim
-      FROM sp"""))
+      FROM sp""")),
+
+    // Positional phrase search: consecutive-token matches via per-length
+    // positioned m-grams equi-joined against the broadcast phrase table —
+    // the exact-slice twin of q72's BM25 (see phraseMatches scaladoc).
+    ("q105_phrase_search", (s: SparkSession, d: String) => {
+      import s.implicits._
+      val ph = Retrieval.samplePhrases.toDF("phrase_id", "ptext")
+      Retrieval.phraseMatches(t(s, d, "documents"), "doc_id", "text",
+        ph, "phrase_id", "ptext")
+    }, Some("""WITH ph(phrase_id, p_text, m) AS (VALUES
+        ('p0', 'table table', 2), ('p1', 'scan slow', 2),
+        ('p2', 'fast sort key', 3), ('p3', 'window stream sort query', 4)),
+      dd AS (SELECT doc_id,
+        list_filter(string_split_regex(trim(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')), ' '),
+                    x -> x <> '') AS w
+        FROM documents),
+      lm AS (SELECT DISTINCT m FROM ph),
+      g AS (SELECT doc_id,
+          unnest(list_transform(range(1, len(w) - m + 2),
+            i -> {'pos': i, 'gram': array_to_string(w[i:i+m-1], ' ')})) AS pg
+        FROM dd CROSS JOIN lm WHERE len(w) >= m),
+      g2 AS (SELECT doc_id, pg.pos AS pos, pg.gram AS gram FROM g),
+      h AS (SELECT ph.phrase_id, g2.doc_id, g2.pos
+        FROM g2 JOIN ph ON g2.gram = ph.p_text)
+      SELECT phrase_id, doc_id, count(*) AS n_matches,
+        CAST(min(pos) AS BIGINT) AS first_pos
+      FROM h GROUP BY phrase_id, doc_id"""))
   )
 
   /** Unrolled DuckDB replay of [[graft.ops.LinkGraph.pageRank]] on the q100

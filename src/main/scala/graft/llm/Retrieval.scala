@@ -79,4 +79,54 @@ object Retrieval {
       .filter(col("rank") <= k)
       .select("query_id", "doc_id", "score", "rank")
   }
+
+  /** The demo phrase set shared by q105_phrase_search and its oracle's
+    * VALUES list — change both together.
+    */
+  val samplePhrases: Seq[(String, String)] = Seq(
+    ("p0", "table table"), ("p1", "scan slow"),
+    ("p2", "fast sort key"), ("p3", "window stream sort query"))
+
+  /** Positional phrase search: (phrase_id, doc_id, n_matches, first_pos) for
+    * every document containing each phrase as CONSECUTIVE tokens — the
+    * exact-match slicing step ("pull every doc containing this license
+    * sentence / this eval prompt") that BM25's bag-of-words scoring can't
+    * express.
+    *
+    * Relational shape: instead of an m-way positional self-join per phrase,
+    * documents are sliced into positioned m-grams for each DISTINCT phrase
+    * length m (a driver-side handful), and phrase matching is one equi-join
+    * on gram text against the broadcast phrase table. Token texts carry no
+    * spaces, so gram text equality already implies equal token count — the
+    * join needs no length key. Cost: one gram explode per distinct length
+    * over the token materialization (persisted, scanned |lengths| times); a
+    * production variant hashes grams (GramHashes) to shrink shuffle rows.
+    */
+  def phraseMatches(docs: DataFrame, idCol: String, textCol: String,
+                    phrases: DataFrame, phraseIdCol: String,
+                    phraseTextCol: String): DataFrame = {
+    val ph = phrases.select(col(phraseIdCol).as("phrase_id"),
+        TextStats.tokens(Dedup.normalize(col(phraseTextCol))).as("pw"))
+      .select(col("phrase_id"), concat_ws(" ", col("pw")).as("gram"),
+        size(col("pw")).as("m"))
+      .filter(col("m") >= 1)
+    val lengths = ph.select("m").distinct().collect().map(_.getInt(0)).sorted
+    require(lengths.nonEmpty, "phrase set is empty (or all phrases tokenize to nothing)")
+    val base = docs.select(col(idCol).as("doc_id"),
+        TextStats.tokens(Dedup.normalize(col(textCol))).as("w"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    val hits = lengths.map { m =>
+      base.filter(size(col("w")) >= m)
+        .select(col("doc_id"),
+          explode(transform(sequence(lit(1), size(col("w")) - (m - 1)),
+            i => struct(i.cast("long").as("pos"),
+              concat_ws(" ", slice(col("w"), i, lit(m))).as("gram")))).as("pg"))
+        .select(col("doc_id"), col("pg.pos").as("pos"), col("pg.gram").as("gram"))
+        .join(broadcast(ph.filter(col("m") === m).select("phrase_id", "gram")),
+          Seq("gram"))
+        .select("phrase_id", "doc_id", "pos")
+    }.reduce(_ union _)
+    hits.groupBy("phrase_id", "doc_id")
+      .agg(count(lit(1)).as("n_matches"), min(col("pos")).as("first_pos"))
+  }
 }

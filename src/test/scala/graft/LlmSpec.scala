@@ -803,6 +803,18 @@ class LlmSpec extends SparkSuite {
     assert(rows.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq)
   }
 
+  test("phrase search: consecutive tokens only, overlaps counted, 1-based positions") {
+    import spark.implicits._
+    val docs = Seq((1L, "a a a b"), (2L, "a b a"), (3L, "b b")).toDF("doc_id", "text")
+    val ph = Seq(("q1", "a a"), ("q2", "a b a"), ("q3", "nope never")).toDF("pid", "pt")
+    val r = graft.llm.Retrieval.phraseMatches(docs, "doc_id", "text", ph, "pid", "pt")
+      .as[(String, Long, Long, Long)].collect().toSet
+    // q1 hits doc 1 at positions 1 and 2 (overlap counts); doc 2's "a b a"
+    // has no CONSECUTIVE "a a"; q2 is a full-doc 3-gram; q3 matches nothing
+    assert(r == Set(("q1", 1L, 2L, 1L), ("q2", 2L, 1L, 1L)), s"$r")
+    spark.catalog.clearCache()
+  }
+
   test("BPE topMerges pins ties by pair text") {
     import spark.implicits._
     val words = Seq(("ba", 2L), ("ab", 2L)).toDF("word", "f")
