@@ -2247,7 +2247,36 @@ object Queries {
         FROM g2 JOIN ph ON g2.gram = ph.p_text)
       SELECT phrase_id, doc_id, count(*) AS n_matches,
         CAST(min(pos) AS BIGINT) AS first_pos
-      FROM h GROUP BY phrase_id, doc_id"""))
+      FROM h GROUP BY phrase_id, doc_id""")),
+
+    // Chunk-and-pack block layout (the zero-padding packing scheme, vs
+    // q85's no-split FFD bins): 8 deterministic shards, docs concatenated
+    // in shard/seq order at n_tokens+1 slots (EOD), sliced into 256-token
+    // blocks; output is each doc's token/block placement.
+    ("q106_block_layout", (s: SparkSession, d: String) => {
+      val sharded = graft.llm.Shard.assignShards(
+        t(s, d, "documents")
+          .select(col("doc_id"), TextStats.tokenCount(col("text")).as("n_tok")),
+        "doc_id", 8)
+      graft.llm.Packing.contiguousBlocks(sharded, "doc_id", "n_tok",
+        blockSize = 256, eodTokens = 1)
+    }, Some("""WITH h AS (SELECT doc_id,
+        CAST(len(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')) AS BIGINT) + 1 AS slots,
+        md5(CAST(doc_id AS VARCHAR)) AS hx
+        FROM documents),
+      sh AS (SELECT doc_id, slots,
+        ('0x' || substr(hx, 9, 8))::BIGINT % 8 AS shard,
+        CAST(row_number() OVER (PARTITION BY ('0x' || substr(hx, 9, 8))::BIGINT % 8
+          ORDER BY hx, doc_id) AS BIGINT) AS seq
+        FROM h),
+      cm AS (SELECT doc_id, shard, seq, slots,
+        sum(slots) OVER (PARTITION BY shard ORDER BY seq) AS cum FROM sh)
+      SELECT doc_id, shard, seq,
+        CAST(cum - slots AS BIGINT) AS tok_start,
+        CAST(cum - 1 AS BIGINT) AS tok_end,
+        CAST((cum - slots) // 256 AS BIGINT) AS blk_start,
+        CAST((cum - 1) // 256 AS BIGINT) AS blk_end
+      FROM cm"""))
   )
 
   /** Unrolled DuckDB replay of [[graft.ops.LinkGraph.pageRank]] on the q100

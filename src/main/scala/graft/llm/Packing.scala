@@ -86,4 +86,34 @@ object Packing {
     }
     df.sparkSession.createDataFrame(packed, packSchema)
   }
+
+  /** GPT-style chunk-and-pack layout — the OTHER standard packing scheme
+    * (concatenate everything, slice fixed windows, zero padding), vs
+    * [[packGreedy]]'s no-split FFD bins: each shard's documents are
+    * concatenated in their deterministic `seq` order (a doc occupies
+    * n_tokens + eodTokens slots), and the stream is cut into
+    * `blockSize`-token training blocks. Returns the per-doc placement
+    * (shard, seq, tok_start, tok_end inclusive, blk_start, blk_end) —
+    * 0-based within the shard stream; a doc straddles a block boundary iff
+    * blk_start < blk_end.
+    *
+    * `sharded` is [[Shard.assignShards]] output (or anything with shard +
+    * seq). One cumulative-sum window PER SHARD — sort bounded by shard
+    * size, nShards is the scale knob, same as the export itself. Block
+    * indices use integral `div`, exact at any offset (no double rounding).
+    */
+  def contiguousBlocks(sharded: DataFrame, idCol: String, tokenCol: String,
+                       blockSize: Long, eodTokens: Int = 1): DataFrame = {
+    require(blockSize > 0, s"blockSize must be positive, got $blockSize")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(col("seq"))
+    sharded.select(col(idCol).as("id"), col("shard"), col("seq"),
+        (col(tokenCol).cast("long") + eodTokens).as("slots"))
+      .withColumn("cum", sum(col("slots")).over(w))
+      .select(col("id").as(idCol), col("shard"), col("seq"),
+        (col("cum") - col("slots")).as("tok_start"),
+        (col("cum") - 1).as("tok_end"))
+      .withColumn("blk_start", expr(s"tok_start div $blockSize"))
+      .withColumn("blk_end", expr(s"tok_end div $blockSize"))
+  }
 }

@@ -815,6 +815,23 @@ class LlmSpec extends SparkSuite {
     spark.catalog.clearCache()
   }
 
+  test("contiguous block layout: per-shard streams, EOD slots, straddles marked") {
+    import spark.implicits._
+    val shd = Seq((1L, 0L, 1L, 10L), (2L, 0L, 2L, 250L), (3L, 0L, 3L, 5L),
+      (4L, 1L, 1L, 300L)).toDF("doc_id", "shard", "seq", "n_tok")
+    val r = graft.llm.Packing
+      .contiguousBlocks(shd, "doc_id", "n_tok", blockSize = 256, eodTokens = 1)
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect()
+      .map(x => x._1 -> x).toMap
+    assert(r(1L) == ((1L, 0L, 1L, 0L, 10L, 0L, 0L)))
+    assert(r(2L) == ((2L, 0L, 2L, 11L, 261L, 0L, 1L)))  // straddles the cut
+    assert(r(3L) == ((3L, 0L, 3L, 262L, 267L, 1L, 1L)))
+    assert(r(4L) == ((4L, 1L, 1L, 0L, 300L, 0L, 1L)))   // shard 1 restarts at 0
+    // streams are gapless: tok_start == previous tok_end + 1 within a shard
+    val s0 = Seq(r(1L), r(2L), r(3L))
+    s0.sliding(2).foreach { case Seq(a, b) => assert(b._4 == a._5 + 1) }
+  }
+
   test("BPE topMerges pins ties by pair text") {
     import spark.implicits._
     val words = Seq(("ba", 2L), ("ab", 2L)).toDF("word", "f")
