@@ -2276,7 +2276,25 @@ object Queries {
         CAST(cum - 1 AS BIGINT) AS tok_end,
         CAST((cum - slots) // 256 AS BIGINT) AS blk_start,
         CAST((cum - 1) // 256 AS BIGINT) AS blk_end
-      FROM cm"""))
+      FROM cm""")),
+
+    // Weighted sampling without replacement (Efraimidis-Spirakis A-ES):
+    // 5 docs per source, weight = n_chars, ranked by round(ln(u),6)/w with
+    // u = (md5 h32 + 0.5)/2^32 — pow-free, engine-portable, tie-pinned.
+    ("q107_weighted_sample", (s: SparkSession, d: String) => {
+      graft.llm.Sampling.weightedSampleK(
+        t(s, d, "documents").select("doc_id", "source", "n_chars"),
+        "source", col("doc_id"), col("n_chars"), k = 5)
+        .select("doc_id", "source", "n_chars", "sel_key", "draw")
+    }, Some("""WITH b AS (SELECT doc_id, source, n_chars,
+        round(ln((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS DOUBLE)
+                  + CAST(0.5 AS DOUBLE)) / 4294967296.0), 6)
+          / CAST(n_chars AS DOUBLE) AS sel_key
+        FROM documents WHERE n_chars > 0),
+      r AS (SELECT doc_id, source, n_chars, sel_key,
+        CAST(row_number() OVER (PARTITION BY source ORDER BY sel_key DESC, doc_id) AS BIGINT) AS draw
+        FROM b)
+      SELECT doc_id, source, n_chars, sel_key, draw FROM r WHERE draw <= 5"""))
   )
 
   /** Unrolled DuckDB replay of [[graft.ops.LinkGraph.pageRank]] on the q100

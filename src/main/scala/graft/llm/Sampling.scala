@@ -82,4 +82,35 @@ object Sampling {
       .filter(col("pr") >= minPercentRank)
       .drop("__score", "__st", "__sc", "__cnt", "__below", "__n")
   }
+
+  /** Weighted sampling WITHOUT replacement, k rows per stratum —
+    * Efraimidis–Spirakis A-ES: each row draws u = hash01(key) and ranks by
+    * u^(1/w); the top-k by that key are a true weighted sample without
+    * replacement. Ranking by `ln(u)/w` is order-equivalent (ln is monotone,
+    * w > 0) and avoids `pow`, a second non-portable libm kernel; ln rounds
+    * to 6 at the source (q72 convention) and ties are pinned by the key
+    * column, so the SAME sample comes out of every run and engine.
+    *
+    * Scale: a pure per-row selection key plus one per-stratum top-k window —
+    * WindowGroupLimit pushes the k-limit into per-partition heaps, so no
+    * stratum is globally sorted. Rows with non-positive weight never
+    * qualify (weight 0 must be unsampleable; A-ES requires w > 0).
+    *
+    * u is (h32 + 0.5)/2^32 ∈ (0, 1), not hash01's h32/2^32 ∈ [0, 1): the
+    * open lower bound matters — one row in 2^32 draws h32 = 0, and ln(0)
+    * is where a 100 TB run dies (Spark's round() throws on -Infinity).
+    */
+  def weightedSampleK(df: DataFrame, stratumCol: String, keyCol: Column,
+                      weightCol: Column, k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val u = (conv(substring(md5(keyCol.cast("string")), 1, 8), 16, 10)
+      .cast("long").cast("double") + lit(0.5)) / lit(4294967296.0)
+    val rk = round(log(u), 6) / weightCol.cast("double")
+    val w = Window.partitionBy(col(stratumCol))
+      .orderBy(col("sel_key").desc, keyCol)
+    df.filter(weightCol > 0)
+      .withColumn("sel_key", rk)
+      .withColumn("draw", row_number().over(w).cast("long"))
+      .filter(col("draw") <= k)
+  }
 }

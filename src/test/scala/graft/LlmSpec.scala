@@ -832,6 +832,24 @@ class LlmSpec extends SparkSuite {
     s0.sliding(2).foreach { case Seq(a, b) => assert(b._4 == a._5 + 1) }
   }
 
+  test("A-ES weighted sample: without replacement, weight-monotone, zero-weight excluded") {
+    import spark.implicits._
+    val docs = ((1L to 100L).map(i => (i, "s", 1L)) ++
+      Seq((999L, "s", 1000000000L), (1000L, "s", 0L))).toDF("doc_id", "source", "w")
+    val r = graft.llm.Sampling.weightedSampleK(docs, "source", col("doc_id"), col("w"), k = 10)
+      .select("doc_id", "draw").as[(Long, Long)].collect()
+    assert(r.length == 10 && r.map(_._1).distinct.length == 10)
+    assert(r.map(_._2).sorted.toSeq == (1L to 10L), "draw must be 1..k")
+    // ln(u)/1e9 ~ 0 dominates every weight-1 key (ln(u) <= ~ -1e-6 wins only
+    // if u > 1 - 1e-15 for ALL 100 others — not at these hash values)
+    assert(r.exists(_._1 == 999L), s"heavy doc missing from ${r.toSeq}")
+    assert(!r.exists(_._1 == 1000L), "zero-weight doc must be unsampleable")
+    // deterministic replay
+    val again = graft.llm.Sampling.weightedSampleK(docs, "source", col("doc_id"), col("w"), k = 10)
+      .select("doc_id", "draw").as[(Long, Long)].collect()
+    assert(r.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq)
+  }
+
   test("BPE topMerges pins ties by pair text") {
     import spark.implicits._
     val words = Seq(("ba", 2L), ("ab", 2L)).toDF("word", "f")
