@@ -2104,17 +2104,20 @@ object Queries {
     // PageRank over a lineitem-derived directed graph (order bucket -> part
     // bucket; src mod 800 vs dst mod 1000 leaves nodes 800..999 with no
     // out-edges, so dangling-mass redistribution is exercised ON the oracled
-    // data, not just in specs). 5 rounds, damping 0.85; the oracle unrolls
-    // the iteration as (contribs, dangling, rank) CTE triples. Determinism
-    // rules live on the LinkGraph scaladoc (round-9 boundaries, decimal
-    // sums). Curation use: Common Crawl-style host centrality as a quality
-    // weight.
+    // data, not just in specs). 5 rounds, damping 85%; FIXED-POINT integer
+    // arithmetic throughout (see the LinkGraph scaladoc — float rounding
+    // lands on exact half-way boundaries at power-of-two degrees and the
+    // engines split). The oracle unrolls the iteration as (contribs,
+    // dangling, rank) CTE triples. Curation use: Common Crawl-style host
+    // centrality as a quality weight.
     ("q100_pagerank", (s: SparkSession, d: String) => {
       val e = t(s, d, "lineitem")
+        .filter(col("l_linenumber") === 1) // one edge per order: a sparser,
+        // saner-degree graph; the filter reaches the parquet scan
         .select((col("l_orderkey") % 800).as("src"), (col("l_partkey") % 1000).as("dst"))
         .distinct()
       graft.ops.LinkGraph.pageRank(e, iters = 5)
-        .select(col("node"), col("rank").as("pr"))
+        .select(col("node"), col("rank_units"), col("rank").as("pr"))
     }, Some(pageRankSql(5))),
 
     // DSIR importance weights (Xie et al. 2023): per-doc log importance of
@@ -2294,35 +2297,61 @@ object Queries {
       r AS (SELECT doc_id, source, n_chars, sel_key,
         CAST(row_number() OVER (PARTITION BY source ORDER BY sel_key DESC, doc_id) AS BIGINT) AS draw
         FROM b)
-      SELECT doc_id, source, n_chars, sel_key, draw FROM r WHERE draw <= 5"""))
+      SELECT doc_id, source, n_chars, sel_key, draw FROM r WHERE draw <= 5""")),
+
+    // Image preprocessing plan: aspect-preserving resize + centered
+    // letterbox onto 224x224 in PURE integer arithmetic (round-half-up via
+    // (2·short·t + long) div (2·long)) — the decode stays the q32 fake, the
+    // resize math is the real thing and fuses into the scan (zero shuffle).
+    ("q108_resize_plan", (s: SparkSession, d: String) => {
+      Multimodal.resizePlan(
+        Multimodal.decodeMeta(Multimodal.withPayload(t(s, d, "documents"), "text", "doc_id")),
+        target = 224)
+        .select("doc_id", "width", "height", "out_w", "out_h", "pad_x", "pad_y")
+    }, Some("""WITH m AS (SELECT doc_id,
+        CAST(octet_length(encode(text)) % 640 + 1 AS BIGINT) AS width,
+        CAST((octet_length(encode(text)) * 7) % 480 + 1 AS BIGINT) AS height
+        FROM documents),
+      r AS (SELECT doc_id, width, height,
+        CASE WHEN width >= height THEN 224
+             ELSE greatest(1, (2 * width * 224 + height) // (2 * height)) END AS out_w,
+        CASE WHEN width >= height THEN greatest(1, (2 * height * 224 + width) // (2 * width))
+             ELSE 224 END AS out_h
+        FROM m)
+      SELECT doc_id,
+        CAST(width AS INTEGER) AS width, CAST(height AS INTEGER) AS height,
+        CAST(out_w AS BIGINT) AS out_w, CAST(out_h AS BIGINT) AS out_h,
+        CAST((224 - out_w) // 2 AS BIGINT) AS pad_x,
+        CAST((224 - out_h) // 2 AS BIGINT) AS pad_y
+      FROM r"""))
   )
 
   /** Unrolled DuckDB replay of [[graft.ops.LinkGraph.pageRank]] on the q100
-    * edge set — one (c, d, r) CTE triple per round, formula-identical to the
-    * Spark iteration (same IEEE expression tree, same round-9 boundaries,
-    * same decimal(38,12) sum routing).
+    * edge set — one (c, d, r) CTE triple per round. Pure BIGINT fixed-point
+    * arithmetic (1.0 == 1e12 units), so the replay is exact by construction:
+    * integer `//` and `sum` have no engine-dependent rounding anywhere.
     */
   private def pageRankSql(iters: Int): String = {
     val rounds = (1 to iters).map { k =>
       s""",
-      c$k AS (SELECT e.dst AS node,
-          CAST(sum(CAST(round(r.pr / od.outdeg, 9) AS DECIMAL(38,12))) AS DOUBLE) AS s
+      c$k AS (SELECT e.dst AS node, CAST(sum(r.ru // od.outdeg) AS BIGINT) AS s
         FROM e JOIN r${k - 1} r ON e.src = r.node JOIN od ON e.src = od.src
         GROUP BY e.dst),
-      d$k AS (SELECT CAST(coalesce(sum(CAST(r.pr AS DECIMAL(38,12))), 0) AS DOUBLE) AS dm
+      d$k AS (SELECT CAST(coalesce(sum(r.ru), 0) AS BIGINT) AS dm
         FROM r${k - 1} r WHERE r.node NOT IN (SELECT src FROM od)),
       r$k AS (SELECT nodes.node,
-          round((1 - CAST(0.85 AS DOUBLE)) / n +
-            CAST(0.85 AS DOUBLE) * (coalesce(c.s, CAST(0 AS DOUBLE)) + d.dm / n), 9) AS pr
+          (15 * (1000000000000 // n) + 85 * (coalesce(c.s, 0) + d.dm // n)) // 100 AS ru
         FROM nodes LEFT JOIN c$k c ON nodes.node = c.node
         CROSS JOIN d$k d CROSS JOIN nn)"""
     }.mkString
-    s"""WITH e AS (SELECT DISTINCT l_orderkey % 800 AS src, l_partkey % 1000 AS dst FROM lineitem),
+    s"""WITH e AS (SELECT DISTINCT l_orderkey % 800 AS src, l_partkey % 1000 AS dst FROM lineitem WHERE l_linenumber = 1),
       nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
-      nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
-      od AS (SELECT src, CAST(count(*) AS DOUBLE) AS outdeg FROM e GROUP BY src),
-      r0 AS (SELECT node, round(CAST(1.0 AS DOUBLE) / n, 9) AS pr FROM nodes CROSS JOIN nn)$rounds
-      SELECT node, pr FROM r$iters"""
+      nn AS (SELECT count(*) AS n FROM nodes),
+      od AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
+      r0 AS (SELECT node, 1000000000000 // n AS ru FROM nodes CROSS JOIN nn)$rounds
+      SELECT node, CAST(ru AS BIGINT) AS rank_units,
+        CAST(ru AS DOUBLE) / CAST(1000000000000 AS DOUBLE) AS pr
+      FROM r$iters"""
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =

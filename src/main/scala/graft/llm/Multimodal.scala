@@ -95,4 +95,27 @@ object Multimodal {
       when(col(totalFramesCol) > 0,
         sequence(lit(0), col(totalFramesCol) - 1, lit(everyNth)))
         .otherwise(array()))) // zero-frame media contributes no rows
+
+  /** Aspect-preserving resize + centered letterbox plan onto a `target` x
+    * `target` canvas — the REAL preprocessing arithmetic (the only fake in
+    * this module is the codec): the long side maps to `target`, the short
+    * side scales round-half-up in pure integer math
+    * ((2·short·target + long) div (2·long) — no doubles, so the plan is
+    * exact, engine-replayable, and identical on every shard), floored at 1
+    * px; pad_x/pad_y center the result. Zero shuffle — fuses into the
+    * decode projection; the pixel resample itself belongs to the decoder.
+    */
+  def resizePlan(df: DataFrame, target: Int): DataFrame = {
+    require(target >= 1, s"target must be >= 1, got $target")
+    def scaled(short: String, long: String) = greatest(lit(1L), expr(
+      s"(2 * CAST($short AS BIGINT) * $target + CAST($long AS BIGINT))" +
+        s" div (2 * CAST($long AS BIGINT))"))
+    df
+      .withColumn("out_w", when(col("width") >= col("height"), lit(target.toLong))
+        .otherwise(scaled("width", "height")))
+      .withColumn("out_h", when(col("width") >= col("height"), scaled("height", "width"))
+        .otherwise(lit(target.toLong)))
+      .withColumn("pad_x", expr(s"($target - out_w) div 2"))
+      .withColumn("pad_y", expr(s"($target - out_h) div 2"))
+  }
 }

@@ -11,74 +11,85 @@ import org.apache.spark.sql.functions._
   * aggregation, so the 100 TB shape is "E edges shuffled per round, R
   * rounds", never an adjacency matrix.
   *
+  * Arithmetic is FIXED-POINT: ranks live in integer units of 1e-12 (BIGINT),
+  * per-edge contributions are integer `div`, and the damping update is
+  * rational ((15·(R div n) + 85·(s + dm div n)) div 100). A float
+  * formulation needs a round() at every iteration boundary, and rank/outdeg
+  * with power-of-two degrees lands EXACTLY on round-half boundaries, where
+  * engines legitimately disagree (Spark rounds through exact decimals,
+  * DuckDB through a scaled double multiply — observed 1e-9 splits on ~0.6%
+  * of nodes). Integer ops have no boundary: every engine computes identical
+  * units, forever. The floor-truncation mass drift is bounded by
+  * (|V| + |E|)·1e-12 per round — the standard fixed-point PageRank trade.
+  *
   * Scale notes:
-  *   - the edge relation and out-degree relation are computed ONCE and
-  *     persisted; each Lloyd-style round re-reads the materialization.
+  *   - the edge relation (with out-degree folded in ONCE) is persisted;
+  *     every round re-reads the materialization.
   *   - ranks are localCheckpoint'ed per round — the iterative-lineage rule
   *     (see llm/Dedup.connectedComponents): un-truncated lineage doubles
   *     per round and eventually OOMs the driver on the plan string alone.
-  *   - the rank vector is |V| rows (node, rank) — hash-partitioned for the
+  *   - the rank vector is |V| rows (node, units) — hash-partitioned for the
   *     edge join; at web scale |V| ~ 10^9 rows of 16 bytes, comfortably a
   *     shuffle join; at fixture scale AQE broadcasts it.
-  *   - dangling mass and |V| ride as one-row broadcast aggregates; no
-  *     driver-side collect in the loop beyond the checkpoint action.
-  *
-  * Cross-engine determinism (the q72/ln conventions adapted to iteration):
-  * every per-edge contribution is round(rank/outdeg, 9) and summed through
-  * decimal(38,12) (exact, order-free); the rank update is a fixed IEEE
-  * expression tree over those exact sums, re-rounded to 9 places before it
-  * feeds the next round — so Spark and DuckDB replay bit-identical ranks
-  * for any iteration count. 9 places, not 12: both engines round doubles
-  * through a scaled multiply, whose half-way-boundary error margin shrinks
-  * as the scale grows — at 9 digits the margin is ~1e3x the product error,
-  * safe across the ~1e6 roundings a fixture run performs.
+  *   - |V| and the per-round dangling mass are driver literals (a count up
+  *     front; one |dangling|-row aggregate per round over the checkpointed
+  *     rank vector) — O(1) driver data, and each round's plan drops two
+  *     broadcast-subquery jobs vs the one-row-aggregate crossJoin form.
   */
 object LinkGraph {
+
+  /** Total rank mass in units: 1.0 == 1e12 units. */
+  val UnitsTotal: Long = 1000000000000L
 
   /** PageRank with uniform teleport and dangling-mass redistribution, a
     * fixed number of rounds. `edges` is a directed simple graph (src, dst)
     * — callers dedup multi-edges first if their semantics require it.
-    * Returns (node, rank) over all nodes appearing as src or dst;
-    * sum(rank) == 1 up to the per-node 1e-12 rounding.
+    * Returns (node, rank_units, rank) over all nodes appearing as src or
+    * dst; rank = rank_units/1e12 (exact: units < 2^53), sum(rank_units) ==
+    * UnitsTotal minus the bounded floor drift.
     */
-  def pageRank(edges: DataFrame, iters: Int, damping: Double = 0.85,
+  def pageRank(edges: DataFrame, iters: Int, dampingPct: Int = 85,
                srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
-    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
-    val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node"))).distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
-    val outdeg = e.groupBy("src")
-      .agg(count(lit(1)).cast("double").as("outdeg"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
-    val nAgg = nodes.agg(count(lit(1)).cast("double").as("n"))
+    require(dampingPct >= 0 && dampingPct <= 100,
+      s"dampingPct must be in [0, 100], got $dampingPct")
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER
+    val e0 = edges.select(col(srcCol).as("src"), col(dstCol).as("dst")).persist(lvl)
+    val nodes = e0.select(col("src").as("node"))
+      .union(e0.select(col("dst").as("node"))).distinct().persist(lvl)
+    val outdeg = e0.groupBy("src").agg(count(lit(1)).as("outdeg")).persist(lvl)
+    // out-degree is static — fold it into the edge relation ONCE so each
+    // round joins only the rank vector, not rank AND degree
+    val e = e0.join(outdeg, Seq("src")).persist(lvl)
+    // dangling node SET is static — compute once, not per round
+    val dangling = nodes
+      .join(outdeg.select(col("src").as("node")), Seq("node"), "left_anti")
+      .persist(lvl)
+    val n = nodes.count()
+    require(n > 0, "edge set is empty")
+    val teleport = (100L - dampingPct) * (UnitsTotal / n) // exact driver ints
 
-    var ranks = nodes.crossJoin(broadcast(nAgg))
-      .select(col("node"), round(lit(1.0) / col("n"), 9).as("rank"))
-      .localCheckpoint()
+    var ranks = nodes.select(col("node"),
+      lit(UnitsTotal / n).as("ru")).localCheckpoint()
     for (_ <- 1 to iters) {
-      val contribs = e
-        .join(ranks.withColumnRenamed("node", "src"), Seq("src"))
-        .join(outdeg, Seq("src"))
-        .groupBy(col("dst").as("node"))
-        .agg(sum(round(col("rank") / col("outdeg"), 9).cast("decimal(38,12)"))
-          .cast("double").as("s"))
       // dangling mass: rank parked on nodes with no out-edges is
       // redistributed uniformly — without it the total rank leaks and the
-      // scores of sink-heavy corpora collapse toward the teleport floor
-      val dang = ranks.join(outdeg.select(col("src").as("node")), Seq("node"), "left_anti")
-        .agg(coalesce(sum(col("rank").cast("decimal(38,12)")),
-          lit(0).cast("decimal(38,12)")).cast("double").as("dm"))
+      // scores of sink-heavy corpora collapse toward the teleport floor.
+      // One tiny job over the checkpointed |V|-row rank vector.
+      val dm = dangling.join(ranks, Seq("node"))
+        .agg(coalesce(sum(col("ru")), lit(0L)).as("dm")).head().getLong(0)
+      val contribs = e
+        .join(ranks.withColumnRenamed("node", "src"), Seq("src"))
+        .groupBy(col("dst").as("node"))
+        .agg(sum(expr("ru div outdeg")).as("s"))
       ranks = nodes.join(contribs, Seq("node"), "left")
-        .crossJoin(broadcast(dang)).crossJoin(broadcast(nAgg))
         .select(col("node"),
-          round((lit(1.0) - lit(damping)) / col("n") +
-            lit(damping) * (coalesce(col("s"), lit(0.0)) + col("dm") / col("n")),
-            9).as("rank"))
+          expr(s"($teleport + $dampingPct * (coalesce(s, 0L) + ${dm / n}L)) div 100")
+            .as("ru"))
         .localCheckpoint()
     }
-    e.unpersist(); nodes.unpersist(); outdeg.unpersist()
-    ranks
+    e0.unpersist(); e.unpersist(); nodes.unpersist(); outdeg.unpersist(); dangling.unpersist()
+    ranks.select(col("node"), col("ru").as("rank_units"),
+      (col("ru").cast("double") / lit(1.0e12)).as("rank"))
   }
 }

@@ -850,6 +850,21 @@ class LlmSpec extends SparkSuite {
     assert(r.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq)
   }
 
+  test("resize plan: aspect preserved round-half-up, 1px floor, centered pads") {
+    import spark.implicits._
+    val dims = Seq((1L, 640, 480), (2L, 480, 640), (3L, 224, 224),
+      (4L, 10000, 1), (5L, 3, 2)).toDF("doc_id", "width", "height")
+    val r = graft.llm.Multimodal.resizePlan(dims, target = 224)
+      .select("doc_id", "out_w", "out_h", "pad_x", "pad_y")
+      .as[(Long, Long, Long, Long, Long)].collect().map(x => x._1 -> x).toMap
+    assert(r(1L) == ((1L, 224L, 168L, 0L, 28L)))   // 480/640*224 = 168 exact
+    assert(r(2L) == ((2L, 168L, 224L, 28L, 0L)))   // transposed
+    assert(r(3L) == ((3L, 224L, 224L, 0L, 0L)))    // square fills the canvas
+    assert(r(4L)._3 == 1L, "short side floors at 1px")  // 1/10000*224 -> 0 -> 1
+    // 2/3*224 = 149.33 -> 149 (round half up of .33 is down)
+    assert(r(5L) == ((5L, 224L, 149L, 0L, 37L)), s"${r(5L)}")
+  }
+
   test("BPE topMerges pins ties by pair text") {
     import spark.implicits._
     val words = Seq(("ba", 2L), ("ab", 2L)).toDF("word", "f")

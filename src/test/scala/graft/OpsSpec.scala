@@ -255,9 +255,10 @@ class OpsSpec extends SparkSuite {
   test("pageRank: symmetric cycle stays uniform at any damping") {
     import spark.implicits._
     // 3-cycle: the uniform vector is the exact fixed point, so every round
-    // must reproduce round(1/3, 9) per node regardless of damping
+    // must reproduce 1e12 div 3 units per node regardless of damping
     val e = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("src", "dst")
-    val r = graft.ops.LinkGraph.pageRank(e, iters = 4, damping = 0.85)
+    val r = graft.ops.LinkGraph.pageRank(e, iters = 4, dampingPct = 85)
+      .select("node", "rank")
       .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
     assert(r.keySet == Set(1L, 2L, 3L))
     r.values.foreach(v => assert(math.abs(v - 1.0 / 3) < 1e-8, s"rank $v"))
@@ -265,16 +266,18 @@ class OpsSpec extends SparkSuite {
 
   test("pageRank: dangling mass is redistributed, total rank conserved") {
     import spark.implicits._
-    // a -> b, b dangling. One round from the uniform start:
+    // a -> b, b dangling. One round from the uniform start (units of 1e-12):
     //   contribs(b) = 0.5; dangling mass = 0.5 redistributed over n=2
-    //   rank(a) = 0.15/2 + 0.85*(0   + 0.25) = 0.2875
+    //   rank(a) = 0.15/2 + 0.85*(0   + 0.25) = 0.2875 — exact in units
     //   rank(b) = 0.15/2 + 0.85*(0.5 + 0.25) = 0.7125
     val e = Seq((1L, 2L)).toDF("src", "dst")
     val r = graft.ops.LinkGraph.pageRank(e, iters = 1)
-      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
-    assert(math.abs(r(1L) - 0.2875) < 1e-9, s"a=${r(1L)}")
-    assert(math.abs(r(2L) - 0.7125) < 1e-9, s"b=${r(2L)}")
-    // conservation holds over more rounds too (teleport + dangling refill)
+      .select("node", "rank_units")
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r(1L) == 287500000000L, s"a=${r(1L)}")
+    assert(r(2L) == 712500000000L, s"b=${r(2L)}")
+    // conservation holds over more rounds too (teleport + dangling refill;
+    // floor drift is bounded by (|V|+|E|)·1e-12 per round)
     val r5 = graft.ops.LinkGraph.pageRank(e, iters = 5)
       .agg(sum(col("rank"))).head().getDouble(0)
     assert(math.abs(r5 - 1.0) < 1e-7, s"total $r5")
@@ -290,8 +293,10 @@ class OpsSpec extends SparkSuite {
     val e = (1L to 8L).map(i => (i, 9L)).toDF("src", "dst")
       .union(Seq((9L, 1L)).toDF("src", "dst"))
     val r = graft.ops.LinkGraph.pageRank(e, iters = 10)
+      .select("node", "rank")
       .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
     assert(r(9L) > 2 * r(2L) && r(1L) > 2 * r(2L), s"$r")
-    (2L to 8L).foreach(i => assert(math.abs(r(i) - r(2L)) < 1e-12))
+    (2L to 8L).foreach(i => assert(r(i) == r(2L))) // identical in-link
+    // structure -> identical UNITS, exactly (integer arithmetic)
   }
 }
