@@ -114,4 +114,48 @@ object TextImpl {
     }
     out
   }
+
+  /** Replicates Spark's `round(double, scale)` exactly: Spark's Round goes
+    * through scala BigDecimal(d) == java BigDecimal.valueOf(d) (the SHORTEST
+    * decimal representation, not the exact binary expansion), HALF_UP. The
+    * native entropy kernel must produce bit-identical values to the
+    * relational round()-chain it replaces — LlmSpec pins the differential.
+    */
+  private def roundHalfUp(x: Double, scale: Int): java.math.BigDecimal =
+    java.math.BigDecimal.valueOf(x).setScale(scale, java.math.RoundingMode.HALF_UP)
+
+  /** One-pass Shannon character entropy over codepoints: (n_chars,
+    * n_distinct, entropy), null for the empty string (no distribution).
+    * Value-identical to the relational explode form: p = c/n exact IEEE,
+    * ln rounded to 6 at the source, each p·(−ln p) term rounded to 12 and
+    * summed EXACTLY (scaled longs — the decimal(28,12)-sum twin), entropy =
+    * that sum rounded to 6. All rounding via [[roundHalfUp]] == Spark round.
+    */
+  def charEntropy(s: org.apache.spark.unsafe.types.UTF8String):
+      org.apache.spark.sql.catalyst.InternalRow = {
+    val str = s.toString
+    if (str.isEmpty) return null
+    val counts = new java.util.HashMap[Integer, Array[Long]]()
+    var n = 0L
+    var i = 0
+    while (i < str.length) {
+      val cp = str.codePointAt(i)
+      i += Character.charCount(cp)
+      val slot = counts.get(cp)
+      if (slot == null) counts.put(cp, Array(1L)) else slot(0) += 1
+      n += 1
+    }
+    var unscaled = 0L // sum of 1e-12-scaled terms, exact
+    val it = counts.values().iterator()
+    while (it.hasNext) {
+      val c = it.next()(0)
+      val p = c.toDouble / n.toDouble
+      val lnp6 = roundHalfUp(math.log(p), 6).doubleValue()
+      unscaled += roundHalfUp(p * -lnp6, 12).unscaledValue().longValueExact()
+    }
+    val h = java.math.BigDecimal.valueOf(unscaled, 12).doubleValue()
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](n, counts.size().toLong,
+        roundHalfUp(h, 6).doubleValue()))
+  }
 }

@@ -189,20 +189,33 @@ object TextStats {
     * over the whitespace-normalized text; empty-after-normalize docs have no
     * distribution and are dropped.
     *
-    * Relational shape: explode to (doc, char) rows, two doc-keyed
-    * aggregations (char counts are map-side partials; at web scale a native
-    * one-pass counting expression — the lang_id precedent — would replace
-    * the explode, trading a shuffle of |doc|·|alphabet| rows for zero).
-    * The substr-based split is codepoint-portable (split(t, "") walks UTF-16
-    * units and would tear non-BMP codepoints apart).
+    * One native codegen'd expression per row (CharEntropy) — zero shuffle,
+    * fused into the scan; the q30 lang_id playbook. The relational form
+    * below is the differential REFERENCE: its per-index substr is
+    * O(position) on UTF8 (quadratic per doc — measured 2.7s vs 0.2s at
+    * sf0.1) and it shuffles (doc, char) rows twice.
     *
-    * Determinism: p = c/n is exact IEEE division; ln rounds to 6 at the
-    * source (q72); each p·(−ln p) term rounds to 12 and sums through
-    * decimal(28,12) (order-free); the entropy is that exact sum rounded
-    * to 6.
+    * Determinism (both forms, value-identical — LlmSpec pins it): p = c/n
+    * exact IEEE; ln rounds to 6 at the source (q72); each p·(−ln p) term
+    * rounds to 12 and sums exactly (decimal(28,12) / scaled longs); entropy
+    * is that sum rounded to 6.
     */
   def charEntropyProfile(docs: org.apache.spark.sql.DataFrame, idCol: String,
-                         textCol: String): org.apache.spark.sql.DataFrame = {
+                         textCol: String): org.apache.spark.sql.DataFrame =
+    docs
+      .select(col(idCol), org.apache.spark.sql.graft.GraftColumns
+        .charEntropy(Dedup.normalize(col(textCol))).as("e"))
+      .filter(col("e").isNotNull)
+      .select(col(idCol), col("e.n_chars").as("n_chars"),
+        col("e.n_distinct").as("n_distinct"), col("e.entropy").as("entropy"))
+
+  /** Relational (explode + two keyed aggregations) twin of
+    * [[charEntropyProfile]] — kept as the differential oracle for the
+    * native expression; see the scaladoc above for why it loses at scale.
+    */
+  private[graft] def charEntropyProfileRelational(
+      docs: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String): org.apache.spark.sql.DataFrame = {
     val p = col("c").cast("double") / col("n").cast("double")
     val chars = docs
       .select(col(idCol).as("id"), Dedup.normalize(col(textCol)).as("t"))

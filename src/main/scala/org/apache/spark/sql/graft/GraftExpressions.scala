@@ -13,7 +13,7 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.classic.ExpressionUtils
-import org.apache.spark.sql.types.{AbstractDataType, ArrayType, BinaryType, DataType, DoubleType, IntegerType, StringType}
+import org.apache.spark.sql.types.{AbstractDataType, ArrayType, BinaryType, DataType, DoubleType, IntegerType, LongType, StringType, StructField, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 
 import graft.functions.{FuzzyImpl, VectorImpl}
@@ -196,6 +196,38 @@ case class FastMd5(child: Expression)
     copy(child = newChild)
 }
 
+/** One-pass Shannon character entropy: struct(n_chars, n_distinct, entropy)
+  * over the string's codepoints, null for the empty string. Replaces the
+  * explode + two-keyed-aggregation relational form with zero shuffle AND
+  * zero per-index substr (which is O(position) on UTF8 — the explode form
+  * was quadratic per document). Value-identical to the relational
+  * round()-chain (TextImpl.charEntropy documents the replication; LlmSpec
+  * pins the differential).
+  */
+case class CharEntropy(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with ExpectsInputTypes {
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_chars", LongType, nullable = false),
+    StructField("n_distinct", LongType, nullable = false),
+    StructField("entropy", DoubleType, nullable = false)))
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def nullable: Boolean = true // empty string has no distribution
+  override def prettyName: String = "char_entropy"
+
+  override protected def nullSafeEval(in: Any): Any =
+    graft.functions.TextImpl.charEntropy(in.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.TextImpl.charEntropy($c);
+      if (${ev.value} == null) { ${ev.isNull} = true; }""")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** All k-gram Karp–Rabin rolling hashes of a string in one expression call:
   * `array<long>` of length max(len-k+1, 1). O(1) amortized per position
   * where the md5-per-position formulation pays a full digest each — the
@@ -254,6 +286,9 @@ object GraftFunctions {
     (FunctionIdentifier("lang_id"),
       new ExpressionInfo(classOf[LangId].getName, "lang_id"),
       (es: Seq[Expression]) => LangId(es(0))),
+    (FunctionIdentifier("char_entropy"),
+      new ExpressionInfo(classOf[CharEntropy].getName, "char_entropy"),
+      (es: Seq[Expression]) => CharEntropy(es(0))),
     (FunctionIdentifier("gram_hashes"),
       new ExpressionInfo(classOf[GramHashes].getName, "gram_hashes"),
       (es: Seq[Expression]) => GramHashes(es(0), es(1) match {
@@ -325,6 +360,9 @@ object GraftColumns {
 
   def langId(tokens: Column): Column =
     ExpressionUtils.column(LangId(ExpressionUtils.expression(tokens)))
+
+  def charEntropy(c: Column): Column =
+    ExpressionUtils.column(CharEntropy(ExpressionUtils.expression(c)))
 
   def fuzzRatio(a: Column, b: Column): Column =
     ExpressionUtils.column(FuzzRatio(

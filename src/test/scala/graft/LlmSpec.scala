@@ -777,6 +777,26 @@ class LlmSpec extends SparkSuite {
     assert(math.abs(r(2L)._4 - math.log(4)) < 1e-5, s"uniform: ${r(2L)._4}")
   }
 
+  test("char entropy: native expression == relational reference, bit-for-bit") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val alphabet = "abcdefg 0123.!?éüñ語漢字🙂" // multi-byte + non-BMP included
+    val cps = alphabet.codePoints().toArray
+    val docs = (1L to 120L).map { i =>
+      val n = rnd.nextInt(400)
+      val sb = new java.lang.StringBuilder()
+      (1 to n).foreach(_ => sb.appendCodePoint(cps(rnd.nextInt(cps.length))))
+      (i, sb.toString)
+    }.toDF("doc_id", "text")
+    val native = graft.llm.TextStats.charEntropyProfile(docs, "doc_id", "text")
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1).toSeq
+    val rel = graft.llm.TextStats.charEntropyProfileRelational(docs, "doc_id", "text")
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1).toSeq
+    // exact equality on the doubles: same round()-chain, same values
+    assert(native == rel,
+      s"first diff: ${native.zip(rel).find { case (a, b) => a != b }}")
+  }
+
   test("FIM transform: spans partition the doc, PSM sentinels, deterministic") {
     import spark.implicits._
     val docs = (1L to 200L).map(i =>
