@@ -2323,7 +2323,29 @@ object Queries {
         CAST(out_w AS BIGINT) AS out_w, CAST(out_h AS BIGINT) AS out_h,
         CAST((224 - out_w) // 2 AS BIGINT) AS pad_x,
         CAST((224 - out_h) // 2 AS BIGINT) AS pad_y
-      FROM r"""))
+      FROM r""")),
+
+    // Cross-source quantile normalization (score calibration): each row's
+    // within-source percent-rank mapped through the global inverse CDF —
+    // calib = G^-1(F_source(score)) — so one threshold gates every source
+    // at the same stringency. percentileGate's two-pass pr decomposition +
+    // a broadcast distinct-score CDF lookup.
+    ("q109_quantile_norm", (s: SparkSession, d: String) => {
+      graft.llm.Sampling.quantileNormalize(
+        t(s, d, "documents").select("doc_id", "source", "n_chars"),
+        "source", col("n_chars"), col("doc_id"))
+    }, Some("""WITH b AS (SELECT doc_id, source, n_chars FROM documents),
+      pr AS (SELECT doc_id, source, n_chars,
+          CASE WHEN count(*) OVER (PARTITION BY source) = 1 THEN CAST(0 AS DOUBLE)
+               ELSE percent_rank() OVER (PARTITION BY source ORDER BY n_chars, doc_id) END AS pr
+        FROM b),
+      g AS (SELECT n_chars AS calib, count(*) AS cnt FROM b GROUP BY n_chars),
+      gi AS (SELECT calib,
+          CAST(sum(cnt) OVER (ORDER BY calib) AS DOUBLE) / (SELECT count(*) FROM b) AS cdf
+        FROM g)
+      SELECT pr.doc_id, pr.source, pr.n_chars, pr.pr, min(gi.calib) AS calib
+      FROM pr JOIN gi ON pr.pr <= gi.cdf
+      GROUP BY pr.doc_id, pr.source, pr.n_chars, pr.pr"""))
   )
 
   /** Unrolled DuckDB replay of [[graft.ops.LinkGraph.pageRank]] on the q100

@@ -83,6 +83,46 @@ object Sampling {
       .drop("__score", "__st", "__sc", "__cnt", "__below", "__n")
   }
 
+  /** Cross-source QUANTILE NORMALIZATION — score calibration: different
+    * sources' quality scores aren't comparable (a mid-tier web doc and a
+    * mid-tier paper score differently on the same features), so curation
+    * maps each row's within-source percent-rank onto the GLOBAL score
+    * distribution: calib = G⁻¹(F_source(x)), the standard quantile-mapping
+    * normalization. After it, "keep calib >= t" thresholds every source at
+    * the same effective stringency.
+    *
+    * Relational shape: within-source percent-ranks come from
+    * [[percentileGate]]'s two-pass decomposition (no per-stratum global
+    * sort); the global inverse CDF is the DISTINCT-score bucket relation
+    * (tiny for discrete scores — quantize first for continuous ones, the
+    * percentileGate caveat) with a running-sum window, broadcast; the
+    * lookup joins each row to buckets with cdf >= pr and takes the min
+    * bucket — G⁻¹ as a broadcast semi-theta-join, ~|buckets|/2 candidates
+    * per row, collapsed by one keyed min.
+    *
+    * Determinism: pr and cdf are ratios of exact integers (same-engine
+    * IEEE division), so the >= comparison and the min are exact; ties in
+    * pr are pinned by `tieCol` inside percentileGate.
+    */
+  def quantileNormalize(df: DataFrame, stratumCol: String, scoreCol: Column,
+                        tieCol: Column): DataFrame = {
+    val rows = percentileGate(df.withColumn("__qscore", scoreCol),
+      stratumCol, col("__qscore"), tieCol, minPercentRank = 0.0)
+    val buckets = df.groupBy(scoreCol.as("calib")).agg(count(lit(1)).as("__cnt"))
+    val nAgg = df.agg(count(lit(1)).cast("double").as("__n"))
+    // running sum over the DISTINCT-score relation: tiny, single partition
+    // by construction — this is not a data-sized sort
+    val w = Window.orderBy(col("calib"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val inv = buckets.withColumn("__cum", sum(col("__cnt")).over(w))
+      .crossJoin(broadcast(nAgg))
+      .select(col("calib"), (col("__cum").cast("double") / col("__n")).as("__cdf"))
+    rows.join(broadcast(inv), col("pr") <= col("__cdf"))
+      .groupBy(rows.columns.map(col): _*)
+      .agg(min(col("calib")).as("calib"))
+      .drop("__qscore")
+  }
+
   /** Weighted sampling WITHOUT replacement, k rows per stratum —
     * Efraimidis–Spirakis A-ES: each row draws u = hash01(key) and ranks by
     * u^(1/w); the top-k by that key are a true weighted sample without

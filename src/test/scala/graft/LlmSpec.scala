@@ -885,6 +885,26 @@ class LlmSpec extends SparkSuite {
     assert(r(5L) == ((5L, 224L, 149L, 0L, 37L)), s"${r(5L)}")
   }
 
+  test("quantile normalization maps shifted sources onto one scale") {
+    import spark.implicits._
+    // A scores {1,2,3,4}, B scores {10,20,30,40}: equal within-source ranks
+    // must calibrate to the SAME global value — that's the whole point
+    val docs = Seq((1L, "A", 1L), (2L, "A", 2L), (3L, "A", 3L), (4L, "A", 4L),
+      (11L, "B", 10L), (12L, "B", 20L), (13L, "B", 30L), (14L, "B", 40L))
+      .toDF("doc_id", "source", "score")
+    val r = graft.llm.Sampling
+      .quantileNormalize(docs, "source", col("score"), col("doc_id"))
+      .select("doc_id", "pr", "calib")
+      .as[(Long, Double, Long)].collect().map(x => x._1 -> (x._2, x._3)).toMap
+    assert(r.size == 8)
+    (1L to 4L).foreach { i =>
+      assert(r(i) == r(i + 10), s"rank-equal rows must calibrate equal: $i")
+    }
+    assert(r(1L) == ((0.0, 1L)))            // pr 0 -> global min
+    assert(r(2L)._2 == 3L, s"${r(2L)}")     // pr 1/3 -> first cdf >= 1/3 is 3/8
+    assert(r(4L) == ((1.0, 40L)))           // pr 1 -> global max
+  }
+
   test("BPE topMerges pins ties by pair text") {
     import spark.implicits._
     val words = Seq(("ba", 2L), ("ab", 2L)).toDF("word", "f")
