@@ -203,9 +203,13 @@ object TextStats {
   def charEntropyProfile(docs: org.apache.spark.sql.DataFrame, idCol: String,
                          textCol: String): org.apache.spark.sql.DataFrame =
     docs
+      // empty-doc drop as a CHEAP pushable predicate: filtering on
+      // e.isNotNull instead re-evaluates char_entropy inside the pushed
+      // isnotnull — the kernel would run twice per row (observed in the
+      // q103 plan)
+      .filter(length(Dedup.normalize(col(textCol))) > 0)
       .select(col(idCol), org.apache.spark.sql.graft.GraftColumns
         .charEntropy(Dedup.normalize(col(textCol))).as("e"))
-      .filter(col("e").isNotNull)
       .select(col(idCol), col("e.n_chars").as("n_chars"),
         col("e.n_distinct").as("n_distinct"), col("e.entropy").as("entropy"))
 
