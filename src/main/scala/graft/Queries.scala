@@ -2345,7 +2345,34 @@ object Queries {
         FROM g)
       SELECT pr.doc_id, pr.source, pr.n_chars, pr.pr, min(gi.calib) AS calib
       FROM pr JOIN gi ON pr.pr <= gi.cdf
-      GROUP BY pr.doc_id, pr.source, pr.n_chars, pr.pr"""))
+      GROUP BY pr.doc_id, pr.source, pr.n_chars, pr.pr""")),
+
+    // Temperature-flattened mixture (alpha = 0.5): keep-rates proportional
+    // to sqrt(n_s), applied via the deterministic md5 threshold; output is
+    // the per-source audit (rate + realized sample). sqrt is IEEE-exact so
+    // only the denominator sum needs the round-6/decimal convention.
+    ("q110_temp_mixture", (s: SparkSession, d: String) => {
+      val docs = t(s, d, "documents").select("doc_id", "source")
+      val rates = graft.llm.Sampling.temperatureRatesSqrt(docs, "source", targetRows = 100L)
+      graft.llm.Sampling.deterministicSample(
+          docs.join(broadcast(rates), Seq("source")), col("doc_id"), col("rate"))
+        .groupBy("source")
+        .agg(max(col("n_s")).as("n_s"), max(col("rate")).as("rate"),
+          count(lit(1)).as("n_sampled"))
+    }, Some("""WITH c AS (SELECT source, count(*) AS n_s,
+        round(sqrt(CAST(count(*) AS DOUBLE)), 6) AS sq
+        FROM documents GROUP BY source),
+      dn AS (SELECT CAST(sum(CAST(sq AS DECIMAL(18,6))) AS DOUBLE) AS denom FROM c),
+      r AS (SELECT source, n_s,
+        least(CAST(1.0 AS DOUBLE), 100 * (sq / denom) / CAST(n_s AS DOUBLE)) AS rate
+        FROM c CROSS JOIN dn),
+      kept AS (SELECT d.doc_id, d.source, r.n_s, r.rate
+        FROM documents d JOIN r ON d.source = r.source
+        WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT AS DOUBLE)
+              / 4294967296.0 < r.rate)
+      SELECT source, CAST(max(n_s) AS BIGINT) AS n_s, max(rate) AS rate,
+        count(*) AS n_sampled
+      FROM kept GROUP BY source"""))
   )
 
   /** Unrolled DuckDB replay of [[graft.ops.LinkGraph.pageRank]] on the q100

@@ -83,6 +83,35 @@ object Sampling {
       .drop("__score", "__st", "__sc", "__cnt", "__below", "__n")
   }
 
+  /** Temperature-flattened mixture rates at α = 0.5 (the multilingual-
+    * sampling flatten: sample source s proportional to p_s^α, upweighting
+    * tail sources so head domains don't drown them): per-stratum keep-rate
+    * rate_s = min(1, T·q_s/n_s) with q_s = sqrt(n_s)/Σ_t sqrt(n_t), so the
+    * expected sample size is ~T rows distributed ∝ sqrt(n_s). Feed the
+    * rates to [[deterministicSample]] (per-stratum `frac` column).
+    *
+    * α = 0.5 on purpose: sqrt is IEEE-CORRECTLY-ROUNDED (exactly portable),
+    * unlike the pow/exp/ln a general α needs. The denominator sum is still
+    * order-dependent in doubles, so each sqrt rounds to 6 at the source and
+    * sums through decimal(18,6) — the ln convention applied to sqrt.
+    *
+    * Scale: one count per stratum (map-side partials into a |sources|-row
+    * relation), one broadcast scalar, zero data-sized shuffles.
+    */
+  def temperatureRatesSqrt(df: DataFrame, stratumCol: String,
+                           targetRows: Long): DataFrame = {
+    require(targetRows > 0, s"targetRows must be positive, got $targetRows")
+    val cnts = df.groupBy(stratumCol).agg(count(lit(1)).as("n_s"))
+      .withColumn("__sq", round(sqrt(col("n_s").cast("double")), 6))
+    val denom = cnts.agg(
+      sum(col("__sq").cast("decimal(18,6)")).cast("double").as("__denom"))
+    cnts.crossJoin(broadcast(denom))
+      .select(col(stratumCol), col("n_s"),
+        least(lit(1.0),
+          lit(targetRows.toDouble) * (col("__sq") / col("__denom")) / col("n_s").cast("double"))
+          .as("rate"))
+  }
+
   /** Cross-source QUANTILE NORMALIZATION — score calibration: different
     * sources' quality scores aren't comparable (a mid-tier web doc and a
     * mid-tier paper score differently on the same features), so curation

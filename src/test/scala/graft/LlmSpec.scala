@@ -905,6 +905,24 @@ class LlmSpec extends SparkSuite {
     assert(r(4L) == ((1.0, 40L)))           // pr 1 -> global max
   }
 
+  test("temperature mixture: sqrt-flattened rates upweight tail sources") {
+    import spark.implicits._
+    val docs = ((1L to 100L).map(i => (i, "head")) ++
+      (101L to 104L).map(i => (i, "tail"))).toDF("doc_id", "source")
+    val r = graft.llm.Sampling.temperatureRatesSqrt(docs, "source", targetRows = 10L)
+      .as[(String, Long, Double)].collect().map(x => x._1 -> x).toMap
+    // sq = {10, 2}, denom = 12: head keeps 10*(10/12)/100, tail 10*(2/12)/4
+    assert(math.abs(r("head")._3 - 10.0 * (10.0 / 12.0) / 100.0) < 1e-12)
+    assert(math.abs(r("tail")._3 - 10.0 * (2.0 / 12.0) / 4.0) < 1e-12)
+    // flattening: tail's keep-rate exceeds head's (proportional would tie)
+    assert(r("tail")._3 > r("head")._3)
+    // a stratum bigger than target^2 still caps at rate 1 (least clamp)
+    val tiny = Seq((1L, "x")).toDF("doc_id", "source")
+    val rt = graft.llm.Sampling.temperatureRatesSqrt(tiny, "source", 10L)
+      .as[(String, Long, Double)].head()
+    assert(rt._3 == 1.0)
+  }
+
   test("BPE topMerges pins ties by pair text") {
     import spark.implicits._
     val words = Seq(("ba", 2L), ("ab", 2L)).toDF("word", "f")
