@@ -158,6 +158,32 @@ class PlanSpec extends SparkSuite {
       df.queryExecution.optimizedPlan.toString)
   }
 
+  test("q105: phrase table broadcasts; gram side never range-sorts") {
+    val p = finalPlan("q105_phrase_search")
+    assert(p.contains("BroadcastExchange"), p)
+    assert(!p.contains("rangepartitioning"), p)
+    spark.catalog.clearCache()
+  }
+
+  test("q107: A-ES top-k uses the WindowGroupLimit rank pushdown") {
+    val p = plan("q107_weighted_sample")
+    assert(p.contains("WindowGroupLimit"), p)
+    assert(!p.contains("rangepartitioning"), p)
+  }
+
+  test("q108: resize plan is pure per-row work — zero exchanges") {
+    val p = plan("q108_resize_plan")
+    assert(!p.contains("Exchange"), p)
+  }
+
+  test("q110: temperature rates touch no data-sized shuffle beyond the count") {
+    val p = finalPlan("q110_temp_mixture")
+    // the rates side is a |sources|-row relation + one-row scalar, broadcast
+    assert(p.contains("BroadcastExchange"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("rangepartitioning"), p)
+  }
+
   test("AQE splits a skewed sort-merge join at runtime") {
     import spark.implicits._
     val prev = Map(
