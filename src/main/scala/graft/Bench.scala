@@ -23,6 +23,17 @@ import org.apache.spark.sql.SparkSession
   * the min already discarded). A query counts as failed only when EVERY
   * timed run fails; a transient single-run failure falls back to the min of
   * the successful runs (ADVICE r03), visible as a -1 entry in its run array.
+  *
+  * Timeout robustness (VERDICT r06 #1/#2): BENCH_r06.json was rc=124 with
+  * NOTHING parseable — the whole round's perf signal gone. Two fixes:
+  * (a) the artifact is rewritten after EVERY query (`"partial":true` until
+  * the final write), so an induced kill still leaves per-query numbers for
+  * everything that finished; (b) queries run in NUMERIC id order, not
+  * lexicographic (which put the heaviest new queries q100+ FIRST in r6), so
+  * a partial artifact covers the stable early suite. Between queries,
+  * `Checkpoints.sweep` unpersists leftover localCheckpoint blocks —
+  * `clearCache()` alone does not free them, which is exactly the r6 leak
+  * that poisoned 54 unchanged queries by ~3x.
   */
 object Bench {
   private val BaseRuns = 3
@@ -58,10 +69,42 @@ object Bench {
     // long-running cluster job sees, so time the post-warm-up runs.
     // clearCache() between runs forces persisted intermediates to be honestly
     // recomputed inside the timed window.
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // numeric id order: q1..q110, so a timed-out partial artifact covers the
+    // stable early suite instead of starting at the heaviest new queries
+    val ordered = SparkEntry.queries.toSeq.sortBy { case (name, _) =>
+      ("""\d+""".r.findFirstIn(name).map(_.toInt).getOrElse(Int.MaxValue), name)
+    }
+    def emit(results: Seq[(String, Double, Seq[Double])],
+             streaming: Seq[(String, Double)], partial: Boolean): String = {
+      val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
+        .mkString("{", ",", "}")
+      val runsJson = results.map { case (k, _, rs) =>
+        "\"" + k + "\":" + rs.mkString("[", ",", "]")
+      }.mkString("{", ",", "}")
+      val failed = results.filter(_._2 < 0).map(_._1)
+      val total = results.map(_._2).filter(_ >= 0).sum
+      val sj = streaming.map { case (k, v) => "\"" + k + "\":" + v }
+        .mkString("{", ",", "}")
+      val json =
+        s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+          s""""failed":${failed.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
+          s""""streaming":$sj,"runs_per_query":$timedRuns,""" +
+          s""""runs_sec":$runsJson,""" +
+          s""""partial":$partial,"completed":${results.size},""" +
+          s""""total_queries":${ordered.size},""" +
+          s""""load_gate":{"threshold":$HotLoadThreshold,"hot":${loadStart > HotLoadThreshold}},""" +
+          s""""load_avg_start":$loadStart,"load_avg_end":$loadAvg,""" +
+          s""""ts_start":$tsStart,"ts_end":${System.currentTimeMillis() / 1000},""" +
+          s""""sf":"$sfDir"}"""
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), json + "\n")
+      json
+    }
+    val done = scala.collection.mutable.ArrayBuffer.empty[(String, Double, Seq[Double])]
+    ordered.foreach { case (name, fn) =>
       try {
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         spark.catalog.clearCache()
+        org.apache.spark.sql.graft.Checkpoints.sweep(spark)
       } catch { case e: Throwable => System.err.println(s"[bench] warm $name: $e") }
       val runs = (1 to timedRuns).map { _ =>
         val t0 = System.nanoTime()
@@ -70,31 +113,18 @@ object Bench {
           catch { case e: Throwable => System.err.println(s"[bench] $name: $e"); false }
         val d = (System.nanoTime() - t0) / 1e9
         spark.catalog.clearCache()
+        // iterative results intentionally keep their final checkpoint alive;
+        // the harness has consumed the output, so drop the blocks NOW —
+        // clearCache() does not (the r6 leak)
+        org.apache.spark.sql.graft.Checkpoints.sweep(spark)
         if (ok) d else -1.0
       }
       val good = runs.filter(_ >= 0)
-      (name, if (good.isEmpty) -1.0 else good.min, runs)
+      done += ((name, if (good.isEmpty) -1.0 else good.min, runs))
+      emit(done.toSeq, Nil, partial = true)
     }
     val streaming = benchStreaming(spark)
-    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val runsJson = results.map { case (k, _, rs) =>
-      "\"" + k + "\":" + rs.mkString("[", ",", "]")
-    }.mkString("{", ",", "}")
-    val failed = results.filter(_._2 < 0).map(_._1)
-    val total = results.map(_._2).filter(_ >= 0).sum
-    val sj = streaming.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-        s""""failed":${failed.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
-        s""""streaming":$sj,"runs_per_query":$timedRuns,""" +
-        s""""runs_sec":$runsJson,""" +
-        s""""load_gate":{"threshold":$HotLoadThreshold,"hot":${loadStart > HotLoadThreshold}},""" +
-        s""""load_avg_start":$loadStart,"load_avg_end":$loadAvg,""" +
-        s""""ts_start":$tsStart,"ts_end":${System.currentTimeMillis() / 1000},""" +
-        s""""sf":"$sfDir"}"""
-    java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), json + "\n")
+    val json = emit(done.toSeq, streaming, partial = false)
     println(json)
     spark.stop()
   }

@@ -498,7 +498,7 @@ object Queries {
         FROM documents WHERE doc_id < 100),
       sh AS (SELECT doc_id, CASE WHEN len(w) >= 3
           THEN list_distinct(list_transform(range(1, len(w) - 1), i -> array_to_string(w[i:i+2], ' ')))
-          ELSE [array_to_string(w, ' ')] END AS sh FROM dd),
+          ELSE [coalesce(array_to_string(w, ' '), '')] END AS sh FROM dd),
       p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
         round(CAST(len(list_filter(a.sh, x -> list_contains(b.sh, x))) AS DOUBLE)
               / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE), 6) AS jaccard
@@ -523,7 +523,7 @@ object Queries {
                     x -> x <> '') AS w FROM corpus),
       sh AS (SELECT doc_id, CASE WHEN len(w) >= 3
           THEN list_distinct(list_transform(range(1, len(w) - 1), i -> array_to_string(w[i:i+2], ' ')))
-          ELSE [array_to_string(w, ' ')] END AS sh FROM dd),
+          ELSE [coalesce(array_to_string(w, ' '), '')] END AS sh FROM dd),
       hv AS (SELECT doc_id, sh,
         list_transform(sh, x -> ('0x' || substr(md5(x), 1, 14))::BIGINT) AS h1,
         list_transform(sh, x -> ('0x' || substr(md5(x), 17, 14))::BIGINT) AS h2
@@ -1008,7 +1008,7 @@ object Queries {
                     x -> x <> '') AS w FROM corpus),
       sh AS (SELECT doc_id, CASE WHEN len(w) >= 3
           THEN list_distinct(list_transform(range(1, len(w) - 1), i -> array_to_string(w[i:i+2], ' ')))
-          ELSE [array_to_string(w, ' ')] END AS sh FROM dd),
+          ELSE [coalesce(array_to_string(w, ' '), '')] END AS sh FROM dd),
       p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
         round(CAST(len(list_filter(a.sh, x -> list_contains(b.sh, x))) AS DOUBLE)
               / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE), 6) AS jaccard
@@ -1036,7 +1036,7 @@ object Queries {
                     x -> x <> '') AS w FROM corpus),
       sh AS (SELECT doc_id, CASE WHEN len(w) >= 3
           THEN list_distinct(list_transform(range(1, len(w) - 1), i -> array_to_string(w[i:i+2], ' ')))
-          ELSE [array_to_string(w, ' ')] END AS sh FROM dd),
+          ELSE [coalesce(array_to_string(w, ' '), '')] END AS sh FROM dd),
       p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
         FROM sh a CROSS JOIN sh b WHERE a.doc_id < b.doc_id
           AND CAST(len(list_filter(a.sh, x -> list_contains(b.sh, x))) AS DOUBLE)
@@ -1508,7 +1508,7 @@ object Queries {
                     x -> x <> '') AS w FROM documents),
       sh AS (SELECT doc_id, CASE WHEN len(w) >= 3
           THEN list_distinct(list_transform(range(1, len(w) - 1), i -> array_to_string(w[i:i+2], ' ')))
-          ELSE [array_to_string(w, ' ')] END AS g FROM dd),
+          ELSE [coalesce(array_to_string(w, ' '), '')] END AS g FROM dd),
       ex AS (SELECT doc_id, unnest(g) AS g FROM sh WHERE doc_id % 20 = 0),
       tr AS (SELECT DISTINCT unnest(g) AS g FROM sh WHERE doc_id % 20 <> 0),
       j AS (SELECT ex.doc_id, tr.g AS hit FROM ex LEFT JOIN tr ON ex.g = tr.g)
@@ -1547,7 +1547,7 @@ object Queries {
       c AS (SELECT doc_id, w, CAST(len(w) AS INTEGER) AS n,
         CASE WHEN len(w) >= 2
           THEN list_distinct(list_transform(range(1, len(w)), i -> array_to_string(w[i:i+1], ' ')))
-          ELSE [array_to_string(w, ' ')] END AS sh2
+          ELSE [coalesce(array_to_string(w, ' '), '')] END AS sh2
         FROM b),
       sig AS (SELECT doc_id, n,
         1.0 - CAST(len(list_distinct(w)) AS DOUBLE) / greatest(n, 1) AS dup_word_frac,
@@ -1743,7 +1743,7 @@ object Queries {
                     x -> x <> '') AS w FROM corpus),
       sh AS (SELECT doc_id, CASE WHEN len(w) >= 3
           THEN list_distinct(list_transform(range(1, len(w) - 1), i -> array_to_string(w[i:i+2], ' ')))
-          ELSE [array_to_string(w, ' ')] END AS sh FROM dd),
+          ELSE [coalesce(array_to_string(w, ' '), '')] END AS sh FROM dd),
       p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
         FROM sh a CROSS JOIN sh b WHERE a.doc_id < b.doc_id
           AND CAST(len(list_filter(a.sh, x -> list_contains(b.sh, x))) AS DOUBLE)
@@ -1790,7 +1790,7 @@ object Queries {
                     x -> x <> '') AS w FROM g),
       sh AS (SELECT doc_id, CASE WHEN len(w) >= 3
           THEN list_distinct(list_transform(range(1, len(w) - 1), i -> array_to_string(w[i:i+2], ' ')))
-          ELSE [array_to_string(w, ' ')] END AS sh FROM dd),
+          ELSE [coalesce(array_to_string(w, ' '), '')] END AS sh FROM dd),
       p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
         FROM sh a CROSS JOIN sh b WHERE a.doc_id < b.doc_id
           AND CAST(len(list_filter(a.sh, x -> list_contains(b.sh, x))) AS DOUBLE)
@@ -1963,7 +1963,7 @@ object Queries {
                     x -> x <> '') AS w FROM corpus),
       sh AS (SELECT doc_id, CASE WHEN len(w) >= 3
           THEN list_distinct(list_transform(range(1, len(w) - 1), i -> array_to_string(w[i:i+2], ' ')))
-          ELSE [array_to_string(w, ' ')] END AS sh FROM dd),
+          ELSE [coalesce(array_to_string(w, ' '), '')] END AS sh FROM dd),
       hv AS (SELECT doc_id, sh,
         list_transform(sh, x -> ('0x' || substr(md5(x), 1, 14))::BIGINT) AS h1,
         list_transform(sh, x -> ('0x' || substr(md5(x), 17, 14))::BIGINT) AS h2
@@ -2136,7 +2136,7 @@ object Queries {
         FROM documents),
       gr AS (SELECT doc_id, source, unnest(CASE WHEN len(w) >= 2
           THEN list_transform(range(1, len(w)), i -> array_to_string(w[i:i+1], ' '))
-          ELSE [array_to_string(w, ' ')] END) AS g FROM dd),
+          ELSE [coalesce(array_to_string(w, ' '), '')] END) AS g FROM dd),
       gb AS (SELECT doc_id, source,
           ('0x' || substr(md5(g), 1, 14))::BIGINT % 1024 AS b FROM gr),
       raw AS (SELECT b, count(*) AS cr FROM gb GROUP BY b),

@@ -39,6 +39,11 @@ object Verify {
         naive.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
       } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+      } finally {
+        // drop any localCheckpoint blocks the query left behind (iterative
+        // results keep their final round pinned by design) — without this
+        // the 110-query dump accumulates block sets just like the r6 bench
+        org.apache.spark.sql.graft.Checkpoints.sweep(spark)
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

@@ -88,8 +88,11 @@ object BpeTrain {
       else {
         val Array(a, b) = top.head.getString(0).split(" ", 2)
         merges += ((a, b))
-        words = words.select(col("word"), col("f"),
+        val next = words.select(col("word"), col("f"),
           applyMerge(col("sym"), a, b).as("sym")).localCheckpoint()
+        // round N materialized — release round N-1's blocks (VERDICT r06 #2)
+        org.apache.spark.sql.graft.Checkpoints.release(words)
+        words = next
       }
     }
     (merges.toSeq, words)

@@ -503,7 +503,10 @@ object Dedup {
     // explain string) grows exponentially and OOMs the driver around round
     // 10. Checkpointing pins each round to its materialized partitions. The
     // production caveat (non-replicated blocks; an executor loss fails the
-    // job) is acceptable: the loop is short and restartable.
+    // job) is acceptable: the loop is short and restartable. Round N-1's
+    // blocks are released once round N materializes (and the convergence
+    // re-check, which reads them, has run) — Checkpoints.release — so the
+    // loop holds ONE label vector, not one per round (VERDICT r06 #2).
     var labels = nodes.select(col(idCol).as("u"), col(idCol).as("comp"))
       .localCheckpoint()
     var changed = 1L
@@ -537,6 +540,7 @@ object Dedup {
           .join(prev.select(col("u"), col("comp").as("old")), Seq("u"))
           .filter(col("comp") =!= col("old")).count()
       }
+      org.apache.spark.sql.graft.Checkpoints.release(prev)
       labels = next
     }
     sym.unpersist()
@@ -626,6 +630,9 @@ object Dedup {
       // counts + empty one-sided difference <=> equal sets
       stable = next.count() == edges.count() &&
         next.exceptAll(edges).isEmpty
+      // the convergence check above was this round's last read of the old
+      // edge set — free its blocks before rebinding (VERDICT r06 #2)
+      org.apache.spark.sql.graft.Checkpoints.release(edges)
       edges = next
       iter += 1
     }

@@ -134,14 +134,26 @@ object Sampling {
     * pr are pinned by `tieCol` inside percentileGate.
     */
   def quantileNormalize(df: DataFrame, stratumCol: String, scoreCol: Column,
-                        tieCol: Column): DataFrame = {
+                        tieCol: Column, maxBuckets: Long = 65536L): DataFrame = {
     val rows = percentileGate(df.withColumn("__qscore", scoreCol),
       stratumCol, col("__qscore"), tieCol, minPercentRank = 0.0)
     val buckets = df.groupBy(scoreCol.as("calib")).agg(count(lit(1)).as("__cnt"))
+    // The inverse-CDF running sum below runs on ONE partition — correct only
+    // because the DISTINCT-score relation is bounded. That boundedness was an
+    // unenforced scaladoc caveat (VERDICT r06 #4): a continuous score would
+    // silently sort the whole corpus on one partition. Enforce it — the
+    // count is one map-side-combined agg job over the bucket relation.
+    val nBuckets = buckets.count()
+    require(nBuckets <= maxBuckets,
+      s"quantileNormalize saw $nBuckets distinct scores (> $maxBuckets): the " +
+        "inverse-CDF bucket relation must stay broadcast-scale — quantize a " +
+        "continuous score first (e.g. round(score, k)) or raise maxBuckets " +
+        "if the bucket relation genuinely fits one partition")
     val nAgg = df.agg(count(lit(1)).cast("double").as("__n"))
-    // running sum over the DISTINCT-score relation: tiny, single partition
-    // by construction — this is not a data-sized sort
-    val w = Window.orderBy(col("calib"))
+    // constant partition key: same single-partition plan the bounded
+    // relation wants, without WindowExec's empty-partition-spec warning
+    // masking real signals in bench tails
+    val w = Window.partitionBy(lit(true)).orderBy(col("calib"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val inv = buckets.withColumn("__cum", sum(col("__cnt")).over(w))
       .crossJoin(broadcast(nAgg))

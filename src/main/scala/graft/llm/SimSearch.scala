@@ -193,8 +193,13 @@ object SimSearch {
   def trainCentroids(corpus: DataFrame, centroidStride: Int, iters: Int,
                      vecId: String = "vec_id"): DataFrame = {
     var cents = seedCentroids(corpus, centroidStride, vecId).localCheckpoint()
-    for (_ <- 1 to iters)
-      cents = kmeansIter(corpus, cents, vecId).localCheckpoint()
+    for (_ <- 1 to iters) {
+      val next = kmeansIter(corpus, cents, vecId).localCheckpoint()
+      // round N is materialized (localCheckpoint is eager) — free round N-1's
+      // blocks so the loop holds ONE centroid set (VERDICT r06 #2)
+      org.apache.spark.sql.graft.Checkpoints.release(cents)
+      cents = next
+    }
     cents
   }
 
@@ -232,6 +237,9 @@ object SimSearch {
           lit(0.0), (acc, x) => greatest(acc, x)).as("shift"))
         .agg(max(col("shift"))).head()
       shift = if (moved.isNullAt(0)) 0.0 else moved.getDouble(0)
+      // the shift aggregate above was this round's last read of the old
+      // centroids — release their blocks before rebinding (VERDICT r06 #2)
+      org.apache.spark.sql.graft.Checkpoints.release(cents)
       cents = next
       nCells = nNext
       iter += 1

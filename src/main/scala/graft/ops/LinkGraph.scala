@@ -28,13 +28,18 @@ import org.apache.spark.sql.functions._
   *   - ranks are localCheckpoint'ed per round — the iterative-lineage rule
   *     (see llm/Dedup.connectedComponents): un-truncated lineage doubles
   *     per round and eventually OOMs the driver on the plan string alone.
+  *     Round N-1's checkpoint blocks are RELEASED as soon as round N is
+  *     materialized (Checkpoints.release) — the loop's steady-state
+  *     footprint is one rank vector, not `iters` of them.
   *   - the rank vector is |V| rows (node, units) — hash-partitioned for the
   *     edge join; at web scale |V| ~ 10^9 rows of 16 bytes, comfortably a
   *     shuffle join; at fixture scale AQE broadcasts it.
-  *   - |V| and the per-round dangling mass are driver literals (a count up
-  *     front; one |dangling|-row aggregate per round over the checkpointed
-  *     rank vector) — O(1) driver data, and each round's plan drops two
-  *     broadcast-subquery jobs vs the one-row-aggregate crossJoin form.
+  *   - |V| is a driver literal (one count up front). The per-round dangling
+  *     mass is NOT: it rides as a broadcast 1-row aggregate inside the
+  *     round's own plan, so each round is exactly ONE action (the eager
+  *     checkpoint) with no driver round-trip serializing the loop — the
+  *     earlier per-round `head()` was a sync point that cost a full
+  *     scheduler wait per iteration (VERDICT r06 #3).
   */
 object LinkGraph {
 
@@ -75,18 +80,27 @@ object LinkGraph {
       // dangling mass: rank parked on nodes with no out-edges is
       // redistributed uniformly — without it the total rank leaks and the
       // scores of sink-heavy corpora collapse toward the teleport floor.
-      // One tiny job over the checkpointed |V|-row rank vector.
+      // It enters the plan as a broadcast 1-row aggregate (always exactly
+      // one row: a global agg over the dangling semi-join, null-coalesced),
+      // so the dangling sum, the contribs aggregation, and the damping
+      // update all execute under the round's single checkpoint action.
       val dm = dangling.join(ranks, Seq("node"))
-        .agg(coalesce(sum(col("ru")), lit(0L)).as("dm")).head().getLong(0)
+        .agg(coalesce(sum(col("ru")), lit(0L)).as("dm"))
       val contribs = e
         .join(ranks.withColumnRenamed("node", "src"), Seq("src"))
         .groupBy(col("dst").as("node"))
         .agg(sum(expr("ru div outdeg")).as("s"))
+      val prev = ranks
+      // `dm div n`: both non-negative, so SQL integer div == the driver's
+      // floor division — per-round units are bit-identical to the old
+      // driver-literal form and the q100 oracle replays unchanged
       ranks = nodes.join(contribs, Seq("node"), "left")
+        .crossJoin(broadcast(dm))
         .select(col("node"),
-          expr(s"($teleport + $dampingPct * (coalesce(s, 0L) + ${dm / n}L)) div 100")
+          expr(s"($teleport + $dampingPct * (coalesce(s, 0L) + (dm div ${n}L))) div 100")
             .as("ru"))
         .localCheckpoint()
+      org.apache.spark.sql.graft.Checkpoints.release(prev)
     }
     e0.unpersist(); e.unpersist(); nodes.unpersist(); outdeg.unpersist(); dangling.unpersist()
     ranks.select(col("node"), col("ru").as("rank_units"),

@@ -81,6 +81,7 @@ object Fetch {
     var failures = pending.withColumn("error", lit(null).cast("string")).limit(0)
     var attempt = 0
     var exhausted = false
+    val attemptCkpts = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     while (!exhausted) {
       attempt += 1
       // localCheckpoint (eager): each attempt's classification is pinned to
@@ -88,6 +89,7 @@ object Fetch {
       // recompute the lineage and RE-INVOKE the client — a re-fetch against
       // a flaky remote would be both wasteful and nondeterministic
       val res = fetchKeyed(pending, "key", clientFor(attempt)).localCheckpoint()
+      attemptCkpts += res
       fetched = fetched.unionByName(
         res.filter(col("error").isNull).select("key", "payload"))
       failures = res.filter(col("error").isNotNull).select("key", "error")
@@ -95,6 +97,15 @@ object Fetch {
       exhausted = attempt >= maxAttempts || failures.isEmpty
       if (!exhausted && backoffMs > 0) Thread.sleep(backoffMs)
     }
+    // Consolidate: `fetched` unions EVERY attempt's checkpoint, so nothing
+    // could be released inside the loop. One final eager checkpoint of the
+    // union (reads the attempt blocks, never the client — their lineage is
+    // truncated) makes the returned frames self-contained, then the
+    // per-attempt block sets are freed (VERDICT r06 #2): steady-state cost
+    // is one result-sized block set, not one per attempt.
+    fetched = fetched.localCheckpoint()
+    failures = failures.localCheckpoint()
+    attemptCkpts.foreach(org.apache.spark.sql.graft.Checkpoints.release)
     if (!failures.isEmpty)
       Sinks.deadLetter(failures, deadLetterPath, runTs)
     (fetched, failures)

@@ -297,11 +297,17 @@ object GraftFunctions {
           s"gram_hashes: k must be an integer literal, got $other")
       })))
 
-  /** Register on an existing session (temp functions in its registry). */
+  /** Register on an existing session (temp functions in its registry).
+    * Idempotent: already-registered names are skipped, so repeated calls
+    * (every SQL-front-door query invokes this) don't spam
+    * `SimpleFunctionRegistry: function replaced` warnings over real signals
+    * in bench tails (VERDICT r06 #8).
+    */
   def registerAll(spark: SparkSession): Unit = {
     val reg: FunctionRegistry = spark.sessionState.functionRegistry
     all.foreach { case (id, _, builder) =>
-      reg.createOrReplaceTempFunction(id.funcName, builder, "built-in")
+      if (!reg.functionExists(id))
+        reg.createOrReplaceTempFunction(id.funcName, builder, "built-in")
     }
   }
 

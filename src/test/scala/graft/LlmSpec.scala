@@ -905,6 +905,25 @@ class LlmSpec extends SparkSuite {
     assert(r(4L) == ((1.0, 40L)))           // pr 1 -> global max
   }
 
+  test("quantile normalization fails fast on an unbounded continuous score") {
+    import spark.implicits._
+    // every score distinct: the inverse-CDF bucket relation is corpus-sized,
+    // which would silently sort the whole dataset on ONE partition — the
+    // maxBuckets guard must reject it loudly (VERDICT r06 #4)
+    val docs = (1L to 50L).map(i => (i, "A", i * 7L)).toDF("doc_id", "source", "score")
+    val e = intercept[IllegalArgumentException] {
+      graft.llm.Sampling.quantileNormalize(docs, "source", col("score"),
+        col("doc_id"), maxBuckets = 10L)
+    }
+    assert(e.getMessage.contains("quantize"))
+    // the quantize-first rule the error message prescribes: rounding the
+    // score under the cap makes the same call go through
+    val ok = graft.llm.Sampling.quantileNormalize(
+      docs.withColumn("score", (col("score") / 100).cast("long")),
+      "source", col("score"), col("doc_id"), maxBuckets = 10L)
+    assert(ok.count() == 50)
+  }
+
   test("temperature mixture: sqrt-flattened rates upweight tail sources") {
     import spark.implicits._
     val docs = ((1L to 100L).map(i => (i, "head")) ++
