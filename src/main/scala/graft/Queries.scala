@@ -2372,7 +2372,33 @@ object Queries {
               / 4294967296.0 < r.rate)
       SELECT source, CAST(max(n_s) AS BIGINT) AS n_s, max(rate) AS rate,
         count(*) AS n_sampled
-      FROM kept GROUP BY source"""))
+      FROM kept GROUP BY source""")),
+
+    // S15 write-time NOT NULL enforcement (reference: src/create_tables.sql:
+    // 2-41): the violations relation a BigQuery insert would reject, tagged
+    // with the violated columns — planted nulls over an events-derived batch
+    // audited against the warehouse DDL's NOT NULL set (id, place_id,
+    // last_updated). Pure per-row predicate; no shuffle.
+    ("q113_null_audit", (s: SparkSession, d: String) => {
+      val batch = t(s, d, "events").select(
+        when(col("event_id") % 97 =!= 0, col("event_id").cast("string")).as("id"),
+        when(col("user_id") % 89 =!= 0,
+          concat(lit("p"), col("user_id").cast("string"))).as("place_id"),
+        when(col("event_id") % 101 =!= 0, col("ts")).as("last_updated"),
+        col("value").as("temp_c"))
+      val (_, bad) = Integrity.nullAudit(batch, Schemas.weatherFlat)
+      bad.withColumn("null_violations", concat_ws(",", col("null_violations")))
+    }, Some(s"""WITH b AS (SELECT
+        CASE WHEN event_id % 97 <> 0 THEN CAST(event_id AS VARCHAR) END AS id,
+        CASE WHEN user_id % 89 <> 0 THEN 'p' || CAST(user_id AS VARCHAR) END AS place_id,
+        CASE WHEN event_id % 101 <> 0 THEN $tsUs END AS last_updated,
+        value AS temp_c FROM events)
+      SELECT id, place_id, last_updated, temp_c,
+        concat_ws(',',
+          CASE WHEN id IS NULL THEN 'id' END,
+          CASE WHEN place_id IS NULL THEN 'place_id' END,
+          CASE WHEN last_updated IS NULL THEN 'last_updated' END) AS null_violations
+      FROM b WHERE id IS NULL OR place_id IS NULL OR last_updated IS NULL"""))
   )
 
   /** Unrolled DuckDB replay of [[graft.ops.LinkGraph.pageRank]] on the q100

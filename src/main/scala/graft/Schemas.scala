@@ -56,7 +56,7 @@ object Schemas {
   val weatherFlat: StructType = StructType(Seq(
     StructField("id", StringType, nullable = false),
     StructField("place_id", StringType, nullable = false),
-    StructField("last_updated", TimestampType),
+    StructField("last_updated", TimestampType, nullable = false),
     StructField("last_updated_epoch", LongType),
     StructField("temp_c", DoubleType),
     StructField("temp_f", DoubleType),

@@ -47,6 +47,33 @@ object Integrity {
       keySet(dim.select(col(dimKey).as(factKey)), Seq(factKey), broadcastDim),
       Seq(factKey), "left_anti")
 
+  /** S15 write-time NOT NULL enforcement (reference:
+    * src/create_tables.sql:2-41 — the warehouse DDL declares NOT NULL on the
+    * key and timestamp columns, which BigQuery enforces at insert time; with
+    * parquet sinks nothing enforces it, so the engine must). Splits a batch
+    * into schema-conformant rows and a violations relation tagged with the
+    * exact set of violated columns (`null_violations: array<string>`, in
+    * schema field order) — the dead-letter payload a replay needs.
+    *
+    * Scale: a pure per-row predicate over the declared NOT NULL columns,
+    * fused into the scan — no shuffle, no action; each returned leg is one
+    * filter over the input (the fkValid/fkViolations two-leg pattern).
+    * Declared-but-absent columns count as violated on every row (a missing
+    * required column is a schema violation, not a pass).
+    */
+  def nullAudit(df: DataFrame, schema: org.apache.spark.sql.types.StructType)
+      : (DataFrame, DataFrame) = {
+    val required = schema.fields.filterNot(_.nullable).map(_.name)
+    val present = df.columns.toSet
+    val flags = required.map { n =>
+      if (present(n)) when(col(n).isNull, lit(n)) else lit(n)
+    }
+    val tag = array_compact(array(flags: _*)).as("null_violations")
+    val ok = df.filter(flags.map(_.isNull).reduceOption(_ && _).getOrElse(lit(true)))
+    val bad = df.select(col("*"), tag).filter(size(col("null_violations")) > 0)
+    (ok, bad)
+  }
+
   /** A2: duplicate audit — keys appearing more than once.
     * Reference: src/process_insert_places_data.py:36-37,47-49.
     */

@@ -39,6 +39,27 @@ object Sinks {
       .write.mode("append").json(s"$path/failed_$stamp")
   }
 
+  /** S15 write-time NOT NULL gate on the append path: rows conformant to
+    * `schema`'s NOT NULL declarations land in the sink; violators go to the
+    * dead-letter leg tagged with their violated columns (reference:
+    * src/create_tables.sql:2-41 — BigQuery enforces these at insert; a
+    * parquet sink must enforce them itself). Returns the violation count so
+    * callers can alert on a poisoned batch without re-reading the dead
+    * letters. The two legs are independent filters over `df` — cache the
+    * input when upstream is expensive.
+    */
+  def appendAudited(df: DataFrame, path: String,
+                    schema: org.apache.spark.sql.types.StructType,
+                    deadLetterPath: String, runTs: java.sql.Timestamp): Long = {
+    val (ok, bad) = graft.ops.Integrity.nullAudit(df, schema)
+    append(ok, path)
+    val nBad = bad.count()
+    if (nBad > 0)
+      deadLetter(bad.withColumn("null_violations",
+        concat_ws(",", col("null_violations"))), deadLetterPath, runTs)
+    nBad
+  }
+
   /** S14: local JSON dump (reference: src/extract_coordinates.py:21-24). */
   def jsonDump(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").json(path)

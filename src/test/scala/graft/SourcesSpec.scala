@@ -58,6 +58,42 @@ class SourcesSpec extends SparkSuite {
     assert(rows.count() == 1)
   }
 
+  test("S15 audited append: NOT NULL violators dead-letter, conformant rows land") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("audit").toString
+    val schema = StructType(Seq(
+      StructField("id", StringType, nullable = false),
+      StructField("place_id", StringType, nullable = false),
+      StructField("temp_c", DoubleType)))
+    val batch = Seq(
+      (Some("w1"), Some("p1"), Some(1.5)),
+      (None: Option[String], Some("p2"), Some(2.5)),   // id null
+      (Some("w3"), None: Option[String], None: Option[Double]), // place_id null
+      (None: Option[String], None: Option[String], Some(4.5))   // both null
+    ).toDF("id", "place_id", "temp_c")
+    val ts = java.sql.Timestamp.valueOf("2024-03-01 07:30:00")
+    val nBad = Sinks.appendAudited(batch, s"$base/t", schema, s"$base/dlq", ts)
+    assert(nBad == 3)
+    val landed = spark.read.parquet(s"$base/t")
+    assert(landed.select("id").as[String].collect().toSeq == Seq("w1"))
+    val dlq = spark.read.json(s"$base/dlq/failed_20240301073000")
+    val tags = dlq.select("null_violations").as[String].collect().toSet
+    assert(tags == Set("id", "place_id", "id,place_id"))
+    assert(dlq.count() == 3)
+  }
+
+  test("S15 nullAudit counts a declared-but-absent required column as violated") {
+    import spark.implicits._
+    val schema = StructType(Seq(
+      StructField("id", StringType, nullable = false),
+      StructField("missing_col", StringType, nullable = false)))
+    val (ok, bad) = graft.ops.Integrity.nullAudit(
+      Seq("a", "b").toDF("id"), schema)
+    assert(ok.count() == 0)
+    assert(bad.select("null_violations").as[Seq[String]].collect()
+      .forall(_ == Seq("missing_col")))
+  }
+
   test("CSV with corrupt routing parses good rows and banks bad ones") {
     import spark.implicits._
     val f = Files.createTempFile("rows", ".csv")
