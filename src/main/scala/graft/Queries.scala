@@ -2398,8 +2398,51 @@ object Queries {
           CASE WHEN id IS NULL THEN 'id' END,
           CASE WHEN place_id IS NULL THEN 'place_id' END,
           CASE WHEN last_updated IS NULL THEN 'last_updated' END) AS null_violations
-      FROM b WHERE id IS NULL OR place_id IS NULL OR last_updated IS NULL"""))
+      FROM b WHERE id IS NULL OR place_id IS NULL OR last_updated IS NULL""")),
+
+    // BPE ENCODE (the other half of the q102 tokenizer story): train 8
+    // merges on the corpus, then tokenize the corpus with the ranked merge
+    // list — the fold runs per DISTINCT word and broadcast-joins back to the
+    // exploded tokens, so corpus-sized data never sees the merge lambda. The
+    // oracle replays train AND encode (unrolled rounds + list_reduce fold).
+    ("q111_bpe_encode", (s: SparkSession, d: String) => {
+      val docs = t(s, d, "documents").select("doc_id", "text")
+      val (merges, _) = graft.llm.BpeTrain.train(docs, "text", rounds = 8)
+      graft.llm.BpeTrain.encodeCorpus(docs, "text", "doc_id", merges)
+    }, Some(bpeEncodeSql(8)))
   )
+
+  /** Unrolled DuckDB replay of BPE train + encode (q111): per round, pair
+    * counts over the symbolized distinct-word relation, the tie-pinned top-1
+    * merge, and the greedy left-to-right merge fold — the fold is
+    * `list_reduce` over singleton-wrapped symbols with a list accumulator
+    * (the q22 LCS pattern), `acc[:-2]` dropping the fused-away last element
+    * (DuckDB slice bounds are inclusive). Exact by construction: counts are
+    * integers, the top-1 is pinned by (c desc, pair asc), and the fold is
+    * deterministic.
+    */
+  private def bpeEncodeSql(rounds: Int): String = {
+    val rs = (1 to rounds).map { k =>
+      s""",
+      p$k AS (SELECT pair, sum(f) AS c FROM (
+        SELECT f, unnest([sym[CAST(i AS INTEGER)] || ' ' || sym[CAST(i+1 AS INTEGER)] FOR i IN range(1, len(sym))]) AS pair
+        FROM s${k - 1} WHERE len(sym) >= 2) GROUP BY pair),
+      m$k AS (SELECT split_part(pair, ' ', 1) AS a, split_part(pair, ' ', 2) AS b
+        FROM p$k ORDER BY c DESC, pair LIMIT 1),
+      s$k AS (SELECT word, f, list_reduce([[x] FOR x IN sym],
+          (acc, x) -> CASE WHEN acc[-1] = m.a AND x[1] = m.b
+                      THEN acc[:-2] || [m.a || m.b] ELSE acc || x END) AS sym
+        FROM s${k - 1}, m$k m)"""
+    }.mkString
+    s"""WITH toks AS (SELECT doc_id,
+        unnest(list_filter(string_split_regex(trim(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')), ' '), x -> x <> '')) AS word
+      FROM documents),
+      w AS (SELECT word, count(*) AS f FROM toks GROUP BY word),
+      s0 AS (SELECT word, f, [substr(word, CAST(i AS INTEGER), 1) FOR i IN range(1, length(word)+1)] AS sym FROM w)$rs
+      SELECT t.doc_id, count(*) AS n_words, CAST(sum(len(s.sym)) AS BIGINT) AS n_tokens
+      FROM toks t JOIN s$rounds s ON t.word = s.word
+      GROUP BY t.doc_id"""
+  }
 
   /** Unrolled DuckDB replay of [[graft.ops.LinkGraph.pageRank]] on the q100
     * edge set — one (c, d, r) CTE triple per round. Pure BIGINT fixed-point

@@ -72,6 +72,39 @@ object BpeTrain {
         concat(slice(acc, lit(1), size(acc) - 1), array(concat_ws("", lit(a), x))))
         .otherwise(concat(acc, array(x))))
 
+  /** ENCODE: apply a trained, rank-ordered merge list to a word-frequency
+    * relation — (word, f, sym) with every merge applied greedily in rank
+    * order, exactly the segmentation [[train]] would produce on the same
+    * corpus, but computable on ANY corpus (unseen words segment with the
+    * learned merges; nothing falls back to a training-vocab lookup).
+    *
+    * Each merge is its own projection over the Zipf-bounded distinct-word
+    * relation; nesting depth is |merges| with each level consuming its
+    * child's array once, so cost is O(|merges| · word length) per word —
+    * corpus-sized data is never touched.
+    */
+  def encodeWords(wordFreqs: DataFrame, merges: Seq[(String, String)]): DataFrame =
+    merges.foldLeft(charSymbols(wordFreqs)) { case (df, (a, b)) =>
+      df.select(col("word"), col("f"), applyMerge(col("sym"), a, b).as("sym"))
+    }
+
+  /** Corpus-wide tokenization with a trained merge list: per-doc token
+    * stats. The corpus is touched twice (distinct-word build + the exploded
+    * token join); the merge fold itself runs once per DISTINCT word and the
+    * encoded vocabulary broadcast-joins back to the exploded tokens — the
+    * verdict-r7 shape for applying a tokenizer at 100 TB.
+    */
+  def encodeCorpus(docs: DataFrame, textCol: String, idCol: String,
+                   merges: Seq[(String, String)]): DataFrame = {
+    val toks = docs.select(col(idCol),
+      explode(TextStats.tokens(Dedup.normalize(col(textCol)))).as("word"))
+    val enc = encodeWords(wordFreqs(docs, textCol), merges)
+      .select(col("word"), size(col("sym")).cast("long").as("n_sym"))
+    toks.join(broadcast(enc), Seq("word"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_words"), sum(col("n_sym")).as("n_tokens"))
+  }
+
   /** Full training loop: `rounds` merges from character symbols. Returns
     * (merges in order, final symbolized word relation). Each round is one
     * k=1 topMerges (a 1-row driver fetch — the kmeans-loop precedent) plus

@@ -752,6 +752,46 @@ class LlmSpec extends SparkSuite {
     assert(sym("aaab") == Seq("aaab") && sym("ab") == Seq("ab"))
   }
 
+  test("BPE encode reproduces train's final segmentation on the same corpus") {
+    import spark.implicits._
+    val docs = Seq("low low low lower lower newest newest newest widest widest")
+      .toDF("text")
+    val (merges, trained) = graft.llm.BpeTrain.train(docs, "text", rounds = 6)
+    val enc = graft.llm.BpeTrain.encodeWords(
+      graft.llm.BpeTrain.wordFreqs(docs, "text"), merges)
+    val a = trained.select("word", "sym").as[(String, Seq[String])].collect().toMap
+    val b = enc.select("word", "sym").as[(String, Seq[String])].collect().toMap
+    assert(a == b)
+  }
+
+  test("BPE encode segments UNSEEN words with trained merges") {
+    import spark.implicits._
+    // (e,s)=5 ties (s,t)=5, 'e s' < 's t' pins merge1=(e,s); then (es,t)=5
+    // wins round 2 -> 'est' is a learned subword
+    val docs = Seq("newest newest newest widest widest").toDF("text")
+    val (merges, _) = graft.llm.BpeTrain.train(docs, "text", rounds = 2)
+    assert(merges == Seq(("e", "s"), ("es", "t")))
+    val unseen = Seq(("fastest", 1L)).toDF("word", "f")
+    val sym = graft.llm.BpeTrain.encodeWords(unseen, merges)
+      .select("sym").as[Seq[String]].head()
+    assert(sym == Seq("f", "a", "s", "t", "est"))
+  }
+
+  test("BPE encodeCorpus: per-doc token counts over the broadcast vocab") {
+    import spark.implicits._
+    val docs = Seq((1L, "aaab ab"), (2L, "ab ab ab")).toDF("doc_id", "text")
+    val (merges, _) = graft.llm.BpeTrain.train(docs, "text", rounds = 2)
+    // merges: (a,b)=5 beats (a,a)=2... then (a,ab) vs others — whatever the
+    // order, encode must agree with train; assert counts via the fused forms
+    val got = graft.llm.BpeTrain.encodeCorpus(docs, "text", "doc_id", merges)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    val trained = graft.llm.BpeTrain.train(docs, "text", rounds = 2)._2
+      .select(col("word"), size(col("sym")).cast("long").as("n"))
+      .as[(String, Long)].collect().toMap
+    assert(got(1L) == ((2L, trained("aaab") + trained("ab"))))
+    assert(got(2L) == ((3L, 3 * trained("ab"))))
+  }
+
   test("BPE applyMerge is greedy left-to-right non-overlapping") {
     import spark.implicits._
     val df = Seq((Seq("a", "a", "a"), 0)).toDF("sym", "x")
