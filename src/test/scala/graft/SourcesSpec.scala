@@ -264,6 +264,45 @@ class SourcesSpec extends SparkSuite {
     }
   }
 
+  test("connector seam proves out on a THIRD engine: embedded-Derby JDBC round trip") {
+    import spark.implicits._
+    // S10 typed append + S4 read through the seam against a real second
+    // database engine (Derby embedded, on the Spark-provided classpath) —
+    // the deployment story the mongodb/bigquery connectors use, with zero
+    // code change at the call site: only session conf differs.
+    System.setProperty("derby.stream.error.file",
+      Files.createTempDirectory("derby").resolve("derby.log").toString)
+    val url = s"jdbc:derby:memory:graftconn${System.nanoTime()};create=true"
+    val conf = Map(
+      "spark.graft.conn.wh.format" -> "jdbc",
+      "spark.graft.conn.wh.option.url" -> url,
+      "spark.graft.conn.wh.option.dbtable" -> "WEATHER",
+      "spark.graft.conn.wh.option.driver" -> "org.apache.derby.jdbc.EmbeddedDriver",
+      // typed DDL mapping (S10): Derby's default StringType is CLOB, which
+      // rejects pushed comparisons — declare the key columns VARCHAR
+      "spark.graft.conn.wh.option.createTableColumnTypes" ->
+        "id VARCHAR(64), place_id VARCHAR(64)")
+    conf.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val batch1 = Seq(("w1", "p1", 1.5), ("w2", "p2", 2.5)).toDF("id", "place_id", "temp_c")
+      val batch2 = Seq(("w3", "p3", 3.5)).toDF("id", "place_id", "temp_c")
+      def noDefault: String = sys.error("offline parquet default must not be consulted")
+      graft.sources.Connectors.write(batch1, "wh", noDefault)
+      graft.sources.Connectors.write(batch2, "wh", noDefault) // append accumulates
+      val back = graft.sources.Connectors.read(spark, "wh", noDefault)
+      assert(back.schema.fields.map(f => (f.name, f.dataType)).toSeq ==
+        Seq(("id", StringType), ("place_id", StringType), ("temp_c", DoubleType)))
+      assert(back.as[(String, String, Double)].collect().toSet ==
+        Set(("w1", "p1", 1.5), ("w2", "p2", 2.5), ("w3", "p3", 3.5)))
+      // pushdown reaches the remote engine: the seam read is a JDBCRelation,
+      // so a key predicate ships to Derby rather than filtering in Spark
+      val one = graft.sources.Connectors.read(spark, "wh", noDefault)
+        .filter(col("id") === "w2")
+      assert(one.queryExecution.executedPlan.toString.contains("PushedFilters"))
+      assert(one.as[(String, String, Double)].collect().toSeq == Seq(("w2", "p2", 2.5)))
+    } finally conf.keys.foreach(spark.conf.unset)
+  }
+
   test("S1 keyed fetch: per-partition client, shrinking retry, dead-letter residue") {
     import spark.implicits._
     // scripted per-attempt clients (file-scope so the closure ships without
