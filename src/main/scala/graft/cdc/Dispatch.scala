@@ -115,6 +115,64 @@ object Dispatch {
   def fileCdcSource(spark: SparkSession, dir: String): DataFrame =
     spark.readStream.schema(Schemas.cdcEnvelope).json(dir)
 
+  /** Collapse Mongo relaxed-extended-JSON type wrappers to plain scalars:
+    * `{"$oid": h}` → `"h"`, `{"$date": iso}` → `"iso"`, `{"$date":
+    * {"$numberLong": ms}}` → `ms`, bare `{"$numberLong"/"$numberInt": n}` →
+    * `n`. Pure codegen'd regexp passes over the envelope string — no
+    * parse/re-serialize round trip, no shuffle.
+    */
+  private[cdc] def stripExtended(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val d1 = regexp_replace(c,
+      """\{\s*"\$date"\s*:\s*\{\s*"\$numberLong"\s*:\s*"(-?\d+)"\s*\}\s*\}""", "$1")
+    val d2 = regexp_replace(d1, """\{\s*"\$date"\s*:\s*"([^"]+)"\s*\}""", "\"$1\"")
+    val d3 = regexp_replace(d2, """\{\s*"\$oid"\s*:\s*"([0-9a-fA-F]+)"\s*\}""", "\"$1\"")
+    regexp_replace(d3, """\{\s*"\$number(?:Long|Int)"\s*:\s*"(-?\d+)"\s*\}""", "$1")
+  }
+
+  /** Decode EXTENDED-JSON envelopes (the wire form a real change stream
+    * emits — ObjectId/date values arrive as `{"$oid"}`/`{"$date"}` wrappers
+    * and documentKey as `{"_id": ...}`; reference:
+    * src/process_insert_update_weather_data.py:170-183 reads these via
+    * pymongo, which decodes them client-side) into the plain envelope shape
+    * the dispatch/merge path consumes, so plain stand-in and extended
+    * streams are byte-identical downstream.
+    *
+    * Input columns are all strings (`clusterTime` included); output
+    * `clusterTime` is a timestamp, decoded from `{"$timestamp": {t,i}}`
+    * (BSON stream time, seconds), `{"$date"}` (ISO or epoch-millis), or a
+    * plain timestamp string.
+    */
+  def decodeExtendedEnvelopes(envelopes: DataFrame): DataFrame = {
+    val dk = stripExtended(col("documentKey"))
+    // stripExtended keeps JSON quoting (it rewrites values IN documents);
+    // clusterTime is a whole value, so unquote before the timestamp cast
+    val ct = regexp_replace(stripExtended(col("clusterTime")), """^"|"$""", "")
+    val tSec = regexp_extract(col("clusterTime"),
+      """\{\s*"\$timestamp"\s*:\s*\{\s*"t"\s*:\s*(\d+)\s*,\s*"i"\s*:\s*\d+\s*\}\s*\}""", 1)
+    envelopes.select(
+      col("operationType"),
+      coalesce(get_json_object(dk, "$._id"), dk).as("documentKey"),
+      stripExtended(col("fullDocument")).as("fullDocument"),
+      coalesce(
+        when(tSec =!= "", timestamp_seconds(tSec.cast("long"))),
+        when(ct.rlike("^-?\\d+$"), timestamp_millis(ct.cast("long"))),
+        ct.cast("timestamp")).as("clusterTime"))
+  }
+
+  /** ST1 extended-JSON variant of [[fileCdcSource]]: envelope fields are
+    * read as raw JSON text (Spark's JSON reader captures non-string tokens
+    * verbatim for string-typed fields) and decoded via
+    * [[decodeExtendedEnvelopes]].
+    */
+  def fileCdcSourceExtended(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.{StringType, StructField}
+    decodeExtendedEnvelopes(spark.readStream.schema(StructType(Seq(
+      StructField("operationType", StringType, nullable = false),
+      StructField("documentKey", StringType, nullable = false),
+      StructField("fullDocument", StringType),
+      StructField("clusterTime", StringType)))).json(dir))
+  }
+
   /** ST1-ST7 wired end-to-end: stream envelopes → foreachBatch(applyBatch) →
     * parquet target. `Trigger.AvailableNow` is the reference's hourly cron
     * (ST7) in streaming clothes; pass `ProcessingTime` for a long-running

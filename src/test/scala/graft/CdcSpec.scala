@@ -57,6 +57,57 @@ class CdcSpec extends SparkSuite {
     assert(messages(e).exists(_.contains("replace")))
   }
 
+  test("extended-JSON envelopes decode to the plain shape: golden sequence") {
+    import spark.implicits._
+    val raw = Seq(
+      ("insert", """{"_id": {"$oid": "64b8f0a1c2d3e4f5a6b7c8d9"}}""",
+        """{"id": {"$oid": "64b8f0a1c2d3e4f5a6b7c8d9"}, "v": 1}""",
+        """{"$timestamp": {"t": 1704067200, "i": 1}}"""),
+      ("update", """{"_id": {"$oid": "64b8f0a1c2d3e4f5a6b7c8d9"}}""",
+        """{"id": {"$oid": "64b8f0a1c2d3e4f5a6b7c8d9"}, "v": 2}""",
+        """{"$date": "2024-01-01T00:00:01Z"}"""),
+      ("insert", """{"_id": "b"}""", """{"id": "b", "v": 7}""",
+        """{"$date": {"$numberLong": "1704067202000"}}"""),
+      ("delete", """{"_id": {"$oid": "aaaabbbbccccddddeeeeffff"}}""",
+        null, "2024-01-01 00:00:03"))
+      .toDF("operationType", "documentKey", "fullDocument", "clusterTime")
+    val dec = Dispatch.decodeExtendedEnvelopes(raw)
+    assert(dec.select("documentKey").as[String].collect().toSeq ==
+      Seq("64b8f0a1c2d3e4f5a6b7c8d9", "64b8f0a1c2d3e4f5a6b7c8d9",
+        "b", "aaaabbbbccccddddeeeeffff"))
+    // $timestamp (stream seconds), ISO $date, millis $date, plain string —
+    // all land on the same µs timeline
+    assert(dec.select(col("clusterTime").cast("string")).as[String].collect().toSeq ==
+      Seq("2024-01-01 00:00:00", "2024-01-01 00:00:01",
+        "2024-01-01 00:00:02", "2024-01-01 00:00:03"))
+    // downstream path unchanged: same golden final state as the plain form
+    val got = Dispatch.applyBatch(emptyTarget, dec, docSchema, identity,
+      rawKey = "id", mergeKey = "id", tieCol = "v")
+      .as[(String, Long)].collect().toSet
+    assert(got == Set(("64b8f0a1c2d3e4f5a6b7c8d9", 2L), ("b", 7L)))
+  }
+
+  test("ST1 extended-JSON file stream: raw object capture + decode + merge") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("xjson-cdc").toString
+    // envelope fields are nested JSON OBJECTS in the file (the real wire
+    // shape) — the string-typed schema captures them as raw text
+    Files.writeString(java.nio.file.Path.of(dir, "b1.json"),
+      """{"operationType":"insert","documentKey":{"_id":{"$oid":"64b8f0a1c2d3e4f5a6b7c8d9"}},"fullDocument":{"id":{"$oid":"64b8f0a1c2d3e4f5a6b7c8d9"},"v":1},"clusterTime":{"$timestamp":{"t":1704067200,"i":1}}}
+        |{"operationType":"update","documentKey":{"_id":{"$oid":"64b8f0a1c2d3e4f5a6b7c8d9"}},"fullDocument":{"id":{"$oid":"64b8f0a1c2d3e4f5a6b7c8d9"},"v":5},"clusterTime":{"$date":"2024-01-01T00:00:01Z"}}""".stripMargin)
+    val q = Dispatch.fileCdcSourceExtended(spark, dir).writeStream
+      .format("memory").queryName("xjson_dec")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    val dec = spark.table("xjson_dec")
+    assert(dec.schema("clusterTime").dataType == TimestampType)
+    val got = Dispatch.applyBatch(emptyTarget, dec, docSchema, identity,
+      rawKey = "id", mergeKey = "id", tieCol = "v")
+      .as[(String, Long)].collect().toSet
+    assert(got == Set(("64b8f0a1c2d3e4f5a6b7c8d9", 5L)))
+  }
+
   test("ST3 idempotence: replaying the same batch is a no-op") {
     import spark.implicits._
     val batch = envelopes(Seq(
