@@ -2331,9 +2331,13 @@ object Queries {
     // at the same stringency. percentileGate's two-pass pr decomposition +
     // a broadcast distinct-score CDF lookup.
     ("q109_quantile_norm", (s: SparkSession, d: String) => {
+      // explicit maxBuckets: the score is a document CHAR LENGTH, whose
+      // distinct-value count is bounded by the longest document (~2^21 even
+      // at 100 TB), not by corpus size — the default 64k guard would trip
+      // on a scale-up of this genuinely bounded score (ADVICE r07)
       graft.llm.Sampling.quantileNormalize(
         t(s, d, "documents").select("doc_id", "source", "n_chars"),
-        "source", col("n_chars"), col("doc_id"))
+        "source", col("n_chars"), col("doc_id"), maxBuckets = 1L << 21)
     }, Some("""WITH b AS (SELECT doc_id, source, n_chars FROM documents),
       pr AS (SELECT doc_id, source, n_chars,
           CASE WHEN count(*) OVER (PARTITION BY source) = 1 THEN CAST(0 AS DOUBLE)
@@ -2399,6 +2403,34 @@ object Queries {
           CASE WHEN place_id IS NULL THEN 'place_id' END,
           CASE WHEN last_updated IS NULL THEN 'last_updated' END) AS null_violations
       FROM b WHERE id IS NULL OR place_id IS NULL OR last_updated IS NULL""")),
+
+    // PER-SOURCE quantile normalization onto the cross-source MEAN
+    // distribution (Bolstad-style): calib(row) = avg over sources of their
+    // inverse CDFs at the row's within-source percent-rank — shifted sources
+    // land on one common scale, no pooled-global reference. Per-source CDF
+    // windows are source-partitioned (fine-grained); the mean sums through
+    // decimal(18,6).
+    ("q112_quantile_norm_mean", (s: SparkSession, d: String) => {
+      graft.llm.Sampling.quantileNormalizeMean(
+        t(s, d, "documents").select("doc_id", "source", "n_chars"),
+        "source", col("n_chars"), col("doc_id"), maxBuckets = 1L << 21)
+    }, Some("""WITH b AS (SELECT doc_id, source, n_chars FROM documents),
+      pr AS (SELECT doc_id, source, n_chars,
+          CASE WHEN count(*) OVER (PARTITION BY source) = 1 THEN CAST(0 AS DOUBLE)
+               ELSE percent_rank() OVER (PARTITION BY source ORDER BY n_chars, doc_id) END AS pr
+        FROM b),
+      g AS (SELECT source AS bst, n_chars AS bv, count(*) AS cnt
+        FROM b GROUP BY source, n_chars),
+      gi AS (SELECT bst, bv,
+          CAST(sum(cnt) OVER (PARTITION BY bst ORDER BY bv) AS DOUBLE)
+            / CAST(sum(cnt) OVER (PARTITION BY bst) AS DOUBLE) AS cdf
+        FROM g),
+      vs AS (SELECT pr.doc_id, pr.source, pr.n_chars, pr.pr, gi.bst, min(gi.bv) AS v
+        FROM pr JOIN gi ON pr.pr <= gi.cdf
+        GROUP BY pr.doc_id, pr.source, pr.n_chars, pr.pr, gi.bst)
+      SELECT doc_id, source, n_chars, pr,
+        CAST(sum(CAST(v AS DECIMAL(18,6))) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS calib
+      FROM vs GROUP BY doc_id, source, n_chars, pr""")),
 
     // BPE ENCODE (the other half of the q102 tokenizer story): train 8
     // merges on the corpus, then tokenize the corpus with the ranked merge

@@ -164,6 +164,57 @@ object Sampling {
       .drop("__qscore")
   }
 
+  /** PER-SOURCE quantile normalization onto the cross-source MEAN
+    * distribution — the textbook quantile-normalization target
+    * (Bolstad et al. 2003, microarray normalization): each row takes its
+    * within-source percent-rank, and the calibrated value at rank p is the
+    * AVERAGE over all sources of their own inverse CDFs at p. Two shifted
+    * copies of the same distribution land on one identical scale, each
+    * source keeps its internal ordering, and no single dominant source
+    * defines the target (the distinction from [[quantileNormalize]], whose
+    * reference is the pooled global distribution).
+    *
+    * Relational shape: within-source pr from [[percentileGate]]'s two-pass
+    * decomposition; per-source inverse CDFs are the per-(source, score)
+    * bucket relation with a source-partitioned running sum — fine-grained
+    * partitions, never a global single-partition sort; the lookup is one
+    * broadcast theta-join collapsed by a keyed min per (row, source), then
+    * a keyed mean per row.
+    *
+    * Determinism: pr and cdf are ratios of exact integers; the per-source
+    * min is exact; the cross-source mean sums through decimal(18,6) (exact,
+    * order-independent) and divides by an exact count — bit-identical
+    * across engines. Quantize continuous scores first (the [[percentileGate]]
+    * caveat); `maxBuckets` bounds the per-source distinct-score relation.
+    */
+  def quantileNormalizeMean(df: DataFrame, stratumCol: String, scoreCol: Column,
+                            tieCol: Column, maxBuckets: Long = 65536L): DataFrame = {
+    val rows = percentileGate(df.withColumn("__qscore", scoreCol),
+      stratumCol, col("__qscore"), tieCol, minPercentRank = 0.0)
+    val buckets = df.groupBy(col(stratumCol).as("__bst"), scoreCol.as("__bv"))
+      .agg(count(lit(1)).as("__cnt"))
+    val worst = buckets.groupBy(col("__bst")).agg(count(lit(1)).as("__nb"))
+      .agg(max(col("__nb"))).head.getLong(0)
+    require(worst <= maxBuckets,
+      s"quantileNormalizeMean saw a source with $worst distinct scores " +
+        s"(> $maxBuckets): quantize the score first or raise maxBuckets")
+    val wCdf = Window.partitionBy(col("__bst")).orderBy(col("__bv"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val inv = buckets
+      .withColumn("__cum", sum(col("__cnt")).over(wCdf))
+      .withColumn("__ns", sum(col("__cnt")).over(Window.partitionBy(col("__bst"))))
+      .select(col("__bst"), col("__bv"),
+        (col("__cum").cast("double") / col("__ns").cast("double")).as("__cdf"))
+    val rowCols = rows.columns.map(col).toSeq
+    rows.join(broadcast(inv), col("pr") <= col("__cdf"))
+      .groupBy(rowCols :+ col("__bst"): _*)
+      .agg(min(col("__bv")).as("__vs"))
+      .groupBy(rowCols: _*)
+      .agg((sum(col("__vs").cast("decimal(18,6)")).cast("double")
+        / count(lit(1)).cast("double")).as("calib"))
+      .drop("__qscore")
+  }
+
   /** Weighted sampling WITHOUT replacement, k rows per stratum —
     * Efraimidis–Spirakis A-ES: each row draws u = hash01(key) and ranks by
     * u^(1/w); the top-k by that key are a true weighted sample without

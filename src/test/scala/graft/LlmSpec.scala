@@ -945,6 +945,37 @@ class LlmSpec extends SparkSuite {
     assert(r(4L) == ((1.0, 40L)))           // pr 1 -> global max
   }
 
+  test("mean quantile normalization: shifted sources land on the mean scale") {
+    import spark.implicits._
+    // A = {1,2,3,4}, B = A + 100: textbook target is the per-rank MEAN of
+    // the two inverse CDFs — rank-equal rows calibrate identically, onto
+    // (A_q + B_q) / 2, not onto the pooled global distribution
+    val docs = Seq((1L, "A", 1L), (2L, "A", 2L), (3L, "A", 3L), (4L, "A", 4L),
+      (11L, "B", 101L), (12L, "B", 102L), (13L, "B", 103L), (14L, "B", 104L))
+      .toDF("doc_id", "source", "score")
+    val r = graft.llm.Sampling
+      .quantileNormalizeMean(docs, "source", col("score"), col("doc_id"))
+      .select("doc_id", "pr", "calib")
+      .as[(Long, Double, Double)].collect().map(x => x._1 -> (x._2, x._3)).toMap
+    assert(r.size == 8)
+    (1L to 4L).foreach { i =>
+      assert(r(i) == r(i + 10), s"rank-equal rows must calibrate equal: $i")
+      assert(r(i)._2 == (i + (100 + i)) / 2.0, s"mean of the rank-i quantiles: ${r(i)}")
+    }
+    // internal ordering preserved within each source
+    assert((1L to 3L).forall(i => r(i)._2 < r(i + 1)._2))
+  }
+
+  test("mean quantile normalization fails fast on an unbounded score") {
+    import spark.implicits._
+    val docs = (1L to 50L).map(i => (i, "A", i * 7L)).toDF("doc_id", "source", "score")
+    val e = intercept[IllegalArgumentException] {
+      graft.llm.Sampling.quantileNormalizeMean(docs, "source", col("score"),
+        col("doc_id"), maxBuckets = 10L)
+    }
+    assert(e.getMessage.contains("quantize"))
+  }
+
   test("quantile normalization fails fast on an unbounded continuous score") {
     import spark.implicits._
     // every score distinct: the inverse-CDF bucket relation is corpus-sized,
