@@ -74,12 +74,17 @@ object Bench {
     val ordered = SparkEntry.queries.toSeq.sortBy { case (name, _) =>
       ("""\d+""".r.findFirstIn(name).map(_.toInt).getOrElse(Int.MaxValue), name)
     }
-    def emit(results: Seq[(String, Double, Seq[Double])],
+    def emit(results: Seq[(String, Double, Seq[Double], Double)],
              streaming: Seq[(String, Double)], partial: Boolean): String = {
-      val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
+      val qs = results.map { case (k, v, _, _) => "\"" + k + "\":" + v }
         .mkString("{", ",", "}")
-      val runsJson = results.map { case (k, _, rs) =>
+      val runsJson = results.map { case (k, _, rs, _) =>
         "\"" + k + "\":" + rs.mkString("[", ",", "]")
+      }.mkString("{", ",", "}")
+      // per-query 1-min load average at query END: lets a hot-window query
+      // (the r7 q41 case) be adjudicated from the artifact alone
+      val loadJson = results.map { case (k, _, _, la) =>
+        "\"" + k + "\":" + la
       }.mkString("{", ",", "}")
       val failed = results.filter(_._2 < 0).map(_._1)
       val total = results.map(_._2).filter(_ >= 0).sum
@@ -90,16 +95,24 @@ object Bench {
           s""""failed":${failed.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
           s""""streaming":$sj,"runs_per_query":$timedRuns,""" +
           s""""runs_sec":$runsJson,""" +
+          s""""load_avg_per_query":$loadJson,""" +
           s""""partial":$partial,"completed":${results.size},""" +
           s""""total_queries":${ordered.size},""" +
           s""""load_gate":{"threshold":$HotLoadThreshold,"hot":${loadStart > HotLoadThreshold}},""" +
           s""""load_avg_start":$loadStart,"load_avg_end":$loadAvg,""" +
           s""""ts_start":$tsStart,"ts_end":${System.currentTimeMillis() / 1000},""" +
           s""""sf":"$sfDir"}"""
-      java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), json + "\n")
+      // temp-file + ATOMIC_MOVE: a timeout kill landing mid-write must leave
+      // the last complete artifact, never a truncated one (ADVICE r07)
+      val out = java.nio.file.Paths.get(outFile)
+      val tmp = out.resolveSibling(out.getFileName.toString + ".tmp")
+      java.nio.file.Files.writeString(tmp, json + "\n")
+      java.nio.file.Files.move(tmp, out,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
       json
     }
-    val done = scala.collection.mutable.ArrayBuffer.empty[(String, Double, Seq[Double])]
+    val done = scala.collection.mutable.ArrayBuffer.empty[(String, Double, Seq[Double], Double)]
     ordered.foreach { case (name, fn) =>
       try {
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()
@@ -120,7 +133,7 @@ object Bench {
         if (ok) d else -1.0
       }
       val good = runs.filter(_ >= 0)
-      done += ((name, if (good.isEmpty) -1.0 else good.min, runs))
+      done += ((name, if (good.isEmpty) -1.0 else good.min, runs, loadAvg))
       emit(done.toSeq, Nil, partial = true)
     }
     val streaming = benchStreaming(spark)

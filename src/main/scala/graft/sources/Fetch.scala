@@ -97,17 +97,27 @@ object Fetch {
       exhausted = attempt >= maxAttempts || failures.isEmpty
       if (!exhausted && backoffMs > 0) Thread.sleep(backoffMs)
     }
-    // Consolidate: `fetched` unions EVERY attempt's checkpoint, so nothing
-    // could be released inside the loop. One final eager checkpoint of the
-    // union (reads the attempt blocks, never the client — their lineage is
-    // truncated) makes the returned frames self-contained, then the
-    // per-attempt block sets are freed (VERDICT r06 #2): steady-state cost
-    // is one result-sized block set, not one per attempt.
-    fetched = fetched.localCheckpoint()
-    failures = failures.localCheckpoint()
-    attemptCkpts.foreach(org.apache.spark.sql.graft.Checkpoints.release)
-    if (!failures.isEmpty)
-      Sinks.deadLetter(failures, deadLetterPath, runTs)
+    if (attemptCkpts.size == 1 && failures.isEmpty) {
+      // Single-attempt clean pass (ADVICE r07): the one attempt's checkpoint
+      // is already self-contained — a consolidation checkpoint would
+      // re-materialize the entire payload set for nothing. Failures is
+      // rebuilt as a lineage-free empty frame so releasing the result can
+      // never strand it on the shared attempt blocks.
+      failures = spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], failures.schema)
+    } else {
+      // Consolidate: `fetched` unions EVERY attempt's checkpoint, so nothing
+      // could be released inside the loop. One final eager checkpoint of the
+      // union (reads the attempt blocks, never the client — their lineage is
+      // truncated) makes the returned frames self-contained, then the
+      // per-attempt block sets are freed (VERDICT r06 #2): steady-state cost
+      // is one result-sized block set, not one per attempt.
+      fetched = fetched.localCheckpoint()
+      failures = failures.localCheckpoint()
+      attemptCkpts.foreach(org.apache.spark.sql.graft.Checkpoints.release)
+      if (!failures.isEmpty)
+        Sinks.deadLetter(failures, deadLetterPath, runTs)
+    }
     (fetched, failures)
   }
 }

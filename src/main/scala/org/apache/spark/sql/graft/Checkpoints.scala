@@ -45,12 +45,16 @@ object Checkpoints {
   def release(df: DataFrame): Unit =
     backingRdds(df).foreach(_.unpersist(blocking = false))
 
-  /** Unpersist every RDD still registered with the context — the defensive
-    * between-queries sweep (Bench/Verify hygiene): returned iterative
-    * results keep their final checkpoint alive by design, and a harness
-    * that has consumed a query's output owns the moment to drop it.
+  /** Unpersist every LOCALLY-CHECKPOINTED RDD still registered with the
+    * context — the defensive between-queries sweep (Bench/Verify hygiene):
+    * returned iterative results keep their final checkpoint alive by design,
+    * and a harness that has consumed a query's output owns the moment to
+    * drop it. Scoped to local-checkpoint RDDs (ADVICE r07): a deliberately
+    * shared cross-query cache (`df.persist`) is NOT graft checkpoint debris
+    * and must survive the sweep — `clearCache()` owns that lifecycle.
     */
   def sweep(spark: SparkSession): Unit =
     spark.sparkContext.getPersistentRDDs.valuesIterator
+      .filter(org.apache.spark.rdd.GraftRddAccess.isLocallyCheckpointed)
       .foreach(_.unpersist(blocking = false))
 }

@@ -303,12 +303,21 @@ object GraftFunctions {
     * `SimpleFunctionRegistry: function replaced` warnings over real signals
     * in bench tails (VERDICT r06 #8).
     */
+  /** Sessions whose registry already carries graft's builders — consulted
+    * instead of `functionExists` (ADVICE r07): the registry also answers
+    * true for Spark BUILT-INS, so a future graft name colliding with a
+    * builtin would silently skip registration and change semantics; the
+    * owned set makes graft's builder win exactly once per session.
+    */
+  private val registeredSessions = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession, java.lang.Boolean]())
+
   def registerAll(spark: SparkSession): Unit = {
     val reg: FunctionRegistry = spark.sessionState.functionRegistry
-    all.foreach { case (id, _, builder) =>
-      if (!reg.functionExists(id))
+    if (registeredSessions.putIfAbsent(spark, java.lang.Boolean.TRUE) == null)
+      all.foreach { case (id, _, builder) =>
         reg.createOrReplaceTempFunction(id.funcName, builder, "built-in")
-    }
+      }
   }
 
   /** Install the graft optimizer rules on an existing session. (The

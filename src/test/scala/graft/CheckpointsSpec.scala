@@ -96,6 +96,21 @@ class CheckpointsSpec extends SparkSuite {
     assert(persisted == before)
   }
 
+  test("sweep preserves deliberate persist caches; drops only checkpoint blocks") {
+    import spark.implicits._
+    baseline()
+    val cache = (1L to 9L).toDF("x").persist()
+    assert(cache.count() == 9)
+    val ck = (1L to 5L).toDF("y").localCheckpoint()
+    assert(ck.count() == 5)
+    Checkpoints.sweep(spark)
+    // the checkpoint debris is gone, the shared cache is not (ADVICE r07)
+    assert(spark.sparkContext.getPersistentRDDs.valuesIterator
+      .forall(!org.apache.spark.rdd.GraftRddAccess.isLocallyCheckpointed(_)))
+    assert(cache.storageLevel.useMemory, "deliberate cache must survive sweep")
+    cache.unpersist()
+  }
+
   test("sweep drops whatever a consumed query left persisted") {
     import spark.implicits._
     val before = baseline()
