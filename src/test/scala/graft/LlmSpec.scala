@@ -966,6 +966,30 @@ class LlmSpec extends SparkSuite {
     assert((1L to 3L).forall(i => r(i)._2 < r(i + 1)._2))
   }
 
+  test("mean quantile normalization tolerates an empty input frame") {
+    import spark.implicits._
+    // max-over-zero-rows used to NPE in the per-source guard (ADVICE r08);
+    // the driver-side guard must treat an empty bucket relation as 0
+    val docs = Seq.empty[(Long, String, Long)].toDF("doc_id", "source", "score")
+    val r = graft.llm.Sampling
+      .quantileNormalizeMean(docs, "source", col("score"), col("doc_id"))
+    assert(r.count() == 0)
+  }
+
+  test("mean quantile normalization guards the TOTAL bucket union, not just the worst source") {
+    import spark.implicits._
+    // 5 sources x 10 distinct scores: every per-source relation is under
+    // maxBuckets, but the union exceeds maxTotalBuckets — the broadcast-side
+    // bound (ADVICE r08) must reject it loudly
+    val docs = (1L to 50L).map(i => (i, s"s${i % 5}", (i / 5) * 7L))
+      .toDF("doc_id", "source", "score")
+    val e = intercept[IllegalArgumentException] {
+      graft.llm.Sampling.quantileNormalizeMean(docs, "source", col("score"),
+        col("doc_id"), maxBuckets = 100L, maxTotalBuckets = 20L)
+    }
+    assert(e.getMessage.contains("maxTotalBuckets"))
+  }
+
   test("mean quantile normalization fails fast on an unbounded score") {
     import spark.implicits._
     val docs = (1L to 50L).map(i => (i, "A", i * 7L)).toDF("doc_id", "source", "score")

@@ -184,6 +184,27 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("rangepartitioning"), p)
   }
 
+  test("q109/q112: inverse-CDF lookup is a broadcast array search, not a BNL join") {
+    for (q <- Seq("q109_quantile_norm", "q112_quantile_norm_mean")) {
+      val p = finalPlan(q)
+      // the pr <= cdf theta-join form fans every row out to the whole bucket
+      // relation (O(rows x buckets) — VERDICT r08 #1); the native expression
+      // replaces it with an O(log buckets)/row binary search
+      assert(!p.contains("BroadcastNestedLoopJoin"),
+        s"$q: inverse-CDF lookup regressed to a nested-loop join:\n$p")
+      assert(p.contains("inv_cdf_lookup"), s"$q: expected inv_cdf_lookup in:\n$p")
+    }
+  }
+
+  test("q111: vocabulary side carries no forced broadcast; AQE still broadcasts when small") {
+    val p = finalPlan("q111_bpe_encode")
+    // the hint-free equi-join must come back as a runtime broadcast at this
+    // scale (proving no local perf regression) — while an oversized crawl
+    // vocabulary would now legally fall back to a shuffled join instead of
+    // a driver OOM (VERDICT r08 #2)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
   test("AQE splits a skewed sort-merge join at runtime") {
     import spark.implicits._
     val prev = Map(
