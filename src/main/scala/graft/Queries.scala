@@ -2441,7 +2441,69 @@ object Queries {
       val docs = t(s, d, "documents").select("doc_id", "text")
       val (merges, _) = graft.llm.BpeTrain.train(docs, "text", rounds = 8)
       graft.llm.BpeTrain.encodeCorpus(docs, "text", "doc_id", merges)
-    }, Some(bpeEncodeSql(8)))
+    }, Some(bpeEncodeSql(8))),
+
+    // S15 lake→warehouse SCHEMA-DRIFT audit (VERDICT r08 missing #2): the
+    // reference's lake stores raw API JSON schemalessly (reference:
+    // README.md:9, src/ingest_weather_data.py:63-66), so an upstream API
+    // change surfaces only at promote time — unknown fields silently drop in
+    // the flatten, missing ones become nulls. shapeAudit inspects the raw
+    // document's key paths against the declared StructType BEFORE from_json
+    // erases the evidence. Fixture: deterministic JSON docs built from
+    // events with planted drift (extra top-level field, extra nested field,
+    // omitted scalar, omitted struct) — identical string construction on
+    // both engines, pure per-row audit, zero shuffle.
+    ("q114_shape_audit", (s: SparkSession, d: String) => {
+      val probe = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("temp_c",
+          org.apache.spark.sql.types.DoubleType),
+        org.apache.spark.sql.types.StructField("meta",
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("src",
+              org.apache.spark.sql.types.StringType),
+            org.apache.spark.sql.types.StructField("seq",
+              org.apache.spark.sql.types.LongType))))))
+      val ev = t(s, d, "events").select(col("event_id"))
+      val doc = concat(
+        lit("{\"id\":\""), col("event_id").cast("string"), lit("\""),
+        when(col("event_id") % 11 =!= 0, lit(",\"temp_c\":1.5")).otherwise(lit("")),
+        when(col("event_id") % 19 =!= 0, concat(
+          lit(",\"meta\":{\"src\":\"api\""),
+          when(col("event_id") % 17 =!= 0,
+            concat(lit(",\"seq\":"), col("event_id").cast("string"))).otherwise(lit("")),
+          when(col("event_id") % 13 === 0, lit(",\"rogue\":1")).otherwise(lit("")),
+          lit("}"))).otherwise(lit("")),
+        when(col("event_id") % 7 === 0, lit(",\"uv_index\":9")).otherwise(lit("")),
+        lit("}"))
+      val (_, drifted) = Integrity.shapeAudit(ev.withColumn("doc", doc), "doc", probe)
+      drifted.select(col("event_id"),
+        concat_ws(",", array_sort(col("unknown_fields"))).as("unknown_fields"),
+        concat_ws(",", array_sort(col("missing_fields"))).as("missing_fields"))
+    }, Some("""WITH b AS (SELECT event_id,
+        '{"id":"' || CAST(event_id AS VARCHAR) || '"'
+        || CASE WHEN event_id % 11 <> 0 THEN ',"temp_c":1.5' ELSE '' END
+        || CASE WHEN event_id % 19 <> 0 THEN ',"meta":{"src":"api"'
+             || CASE WHEN event_id % 17 <> 0 THEN ',"seq":' || CAST(event_id AS VARCHAR) ELSE '' END
+             || CASE WHEN event_id % 13 = 0 THEN ',"rogue":1' ELSE '' END
+             || '}' ELSE '' END
+        || CASE WHEN event_id % 7 = 0 THEN ',"uv_index":9' ELSE '' END
+        || '}' AS doc FROM events),
+      a AS (SELECT event_id, list_concat(
+          COALESCE(json_keys(doc), []),
+          COALESCE([('meta.' || x) FOR x IN json_keys(doc, '$.meta')], [])) AS actual
+        FROM b),
+      x AS (SELECT event_id,
+          list_sort(list_filter(actual,
+            x -> NOT list_contains(['id','temp_c','meta','meta.src','meta.seq'], x))) AS unknown,
+          list_sort(list_filter(['id','temp_c','meta','meta.src','meta.seq'],
+            x -> NOT list_contains(actual, x))) AS missing
+        FROM a)
+      SELECT event_id,
+        COALESCE(array_to_string(unknown, ','), '') AS unknown_fields,
+        COALESCE(array_to_string(missing, ','), '') AS missing_fields
+      FROM x WHERE len(unknown) > 0 OR len(missing) > 0"""))
   )
 
   /** Unrolled DuckDB replay of BPE train + encode (q111): per round, pair

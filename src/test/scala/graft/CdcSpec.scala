@@ -42,6 +42,33 @@ class CdcSpec extends SparkSuite {
     assert(got == Set(("a", 2L), ("b", 7L))) // last-wins for a; delete ignored
   }
 
+  test("schema-drift envelopes: unknown/missing fields quarantine to dead letters") {
+    import spark.implicits._
+    // the schemaless-lake boundary (reference README.md:9): an upstream API
+    // change lands as fullDocument drift — shapeAudit must catch it BEFORE
+    // from_json silently drops the new field / nulls the missing one
+    val batch = envelopes(Seq(
+      env("insert", "a", """{"id":"a","v":1}""", "2024-01-01 00:00:00"),
+      env("insert", "b", """{"id":"b","v":2,"battery_pct":93}""", "2024-01-01 00:00:01"),
+      env("insert", "c", """{"id":"c"}""", "2024-01-01 00:00:02")))
+    val (ok, drifted) = graft.ops.Integrity.shapeAudit(batch, "fullDocument", docSchema)
+    assert(ok.select("documentKey").as[String].collect().toSet == Set("a"))
+    val d = drifted
+      .select(col("documentKey"), concat_ws(",", col("unknown_fields")).as("u"),
+        concat_ws(",", col("missing_fields")).as("m"))
+      .as[(String, String, String)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(d == Map("b" -> (("battery_pct", "")), "c" -> (("", "v"))))
+    // quarantine leg: the drifted rows dead-letter with a dense stable index
+    val dir = Files.createTempDirectory("drift").toFile.getAbsolutePath
+    graft.sources.Sinks.deadLetter(
+      drifted.withColumn("unknown_fields", concat_ws(",", col("unknown_fields")))
+        .withColumn("missing_fields", concat_ws(",", col("missing_fields"))),
+      dir, java.sql.Timestamp.valueOf("2024-01-01 00:00:03"))
+    val dl = spark.read.json(s"$dir/failed_20240101000003")
+    assert(dl.count() == 2)
+    assert(dl.select("failed_index").as[Long].collect().toSet == Set(0L, 1L))
+  }
+
   test("unknown operationType fails fast like the reference's os._exit(1)") {
     val batch = envelopes(Seq(
       env("insert", "a", """{"id":"a","v":1}""", "2024-01-01 00:00:00"),
