@@ -75,7 +75,8 @@ object Bench {
       ("""\d+""".r.findFirstIn(name).map(_.toInt).getOrElse(Int.MaxValue), name)
     }
     def emit(results: Seq[(String, Double, Seq[Double], Double)],
-             streaming: Seq[(String, Double)], partial: Boolean): String = {
+             streaming: Seq[(String, Double)], partial: Boolean,
+             requeued: Seq[(String, Double, Double)] = Nil): String = {
       val qs = results.map { case (k, v, _, _) => "\"" + k + "\":" + v }
         .mkString("{", ",", "}")
       val runsJson = results.map { case (k, _, rs, _) =>
@@ -90,8 +91,12 @@ object Bench {
       val total = results.map(_._2).filter(_ >= 0).sum
       val sj = streaming.map { case (k, v) => "\"" + k + "\":" + v }
         .mkString("{", ",", "}")
+      val reqJson = requeued.map { case (k, la, d) =>
+        "\"" + k + "\":{\"first_pass_load\":" + la + ",\"retry_sec\":" + d + "}"
+      }.mkString("{", ",", "}")
       val json =
         s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+          s""""requeued":$reqJson,""" +
           s""""failed":${failed.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
           s""""streaming":$sj,"runs_per_query":$timedRuns,""" +
           s""""runs_sec":$runsJson,""" +
@@ -136,8 +141,37 @@ object Bench {
       done += ((name, if (good.isEmpty) -1.0 else good.min, runs, loadAvg))
       emit(done.toSeq, Nil, partial = true)
     }
+    // AUTO-REQUEUE (VERDICT r08 #4): a query whose first pass ENDED on a hot
+    // machine gets ONE more timed run after the sweep completes, when the
+    // co-tenant spike has usually passed — the r7/r8 q41 "regression" was
+    // pure ambient load and cost two rounds of adjudication. The retry
+    // appends to its run array (visible in runs_sec), the min updates, and
+    // `requeued` records first-pass load + retry time so the artifact shows
+    // both the noise and the correction.
+    // only where a retry can move the needle: a sub-300ms min is already at
+    // the noise floor, and requeueing half the suite (the bench's own load
+    // hovers near the threshold) would stretch the wall clock for nothing
+    val requeued = scala.collection.mutable.ArrayBuffer.empty[(String, Double, Double)]
+    for (i <- done.indices) {
+      val (name, best, runs, la) = done(i)
+      if (la > HotLoadThreshold && best >= 0.3) {
+        val fn = SparkEntry.queries(name)
+        val t0 = System.nanoTime()
+        val ok =
+          try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+          catch { case e: Throwable => System.err.println(s"[bench] requeue $name: $e"); false }
+        val d = (System.nanoTime() - t0) / 1e9
+        spark.catalog.clearCache()
+        org.apache.spark.sql.graft.Checkpoints.sweep(spark)
+        if (ok) {
+          done(i) = (name, math.min(best, d), runs :+ d, la)
+          requeued += ((name, la, d))
+          emit(done.toSeq, Nil, partial = true, requeued.toSeq)
+        }
+      }
+    }
     val streaming = benchStreaming(spark)
-    val json = emit(done.toSeq, streaming, partial = false)
+    val json = emit(done.toSeq, streaming, partial = false, requeued.toSeq)
     println(json)
     spark.stop()
   }
