@@ -2513,7 +2513,11 @@ object Queries {
     * (the q22 LCS pattern), `acc[:-2]` dropping the fused-away last element
     * (DuckDB slice bounds are inclusive). Exact by construction: counts are
     * integers, the top-1 is pinned by (c desc, pair asc), and the fold is
-    * deterministic.
+    * deterministic. Each s$k LEFT JOINs its merge row and falls back to
+    * s${k-1}'s symbols when no pair remains (ADVICE r08: the unrolled
+    * rounds must mirror train()'s EARLY STOP — a plain cross join against
+    * an empty m$k would empty every later round and break the oracle on a
+    * degenerate corpus).
     */
   private def bpeEncodeSql(rounds: Int): String = {
     val rs = (1 to rounds).map { k =>
@@ -2523,10 +2527,11 @@ object Queries {
         FROM s${k - 1} WHERE len(sym) >= 2) GROUP BY pair),
       m$k AS (SELECT split_part(pair, ' ', 1) AS a, split_part(pair, ' ', 2) AS b
         FROM p$k ORDER BY c DESC, pair LIMIT 1),
-      s$k AS (SELECT word, f, list_reduce([[x] FOR x IN sym],
-          (acc, x) -> CASE WHEN acc[-1] = m.a AND x[1] = m.b
-                      THEN acc[:-2] || [m.a || m.b] ELSE acc || x END) AS sym
-        FROM s${k - 1}, m$k m)"""
+      s$k AS (SELECT word, f, CASE WHEN m.a IS NULL THEN sym
+          ELSE list_reduce([[x] FOR x IN sym],
+            (acc, x) -> CASE WHEN acc[-1] = m.a AND x[1] = m.b
+                        THEN acc[:-2] || [m.a || m.b] ELSE acc || x END) END AS sym
+        FROM s${k - 1} LEFT JOIN m$k m ON TRUE)"""
     }.mkString
     s"""WITH toks AS (SELECT doc_id,
         unnest(list_filter(string_split_regex(trim(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')), ' '), x -> x <> '')) AS word

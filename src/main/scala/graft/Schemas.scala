@@ -81,16 +81,19 @@ object Schemas {
     StructField("gust_kph", DoubleType)))
 
   /** reference: src/create_tables.sql:2-12 — lat/lon are STRINGS with a
-    * trailing hemisphere char (src/extract_coordinates.py:18).
+    * trailing hemisphere char (src/extract_coordinates.py:18). The
+    * reference DDL declares NOT NULL on country/lat/lon/name as well as the
+    * key (ADVICE r08 — a schema-driven nullAudit against places was
+    * silently under-enforcing with only place_id required).
     */
   val places: StructType = StructType(Seq(
     StructField("place_id", StringType, nullable = false),
     StructField("adm_area1", StringType),
     StructField("adm_area2", StringType),
-    StructField("country", StringType),
-    StructField("lat", StringType),
-    StructField("lon", StringType),
-    StructField("name", StringType),
+    StructField("country", StringType, nullable = false),
+    StructField("lat", StringType, nullable = false),
+    StructField("lon", StringType, nullable = false),
+    StructField("name", StringType, nullable = false),
     StructField("timezone", StringType),
     StructField("type", StringType)))
 

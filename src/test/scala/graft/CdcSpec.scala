@@ -114,6 +114,29 @@ class CdcSpec extends SparkSuite {
     assert(got == Set(("64b8f0a1c2d3e4f5a6b7c8d9", 2L), ("b", 7L)))
   }
 
+  test("document-level $date fields: both wire forms land on ONE string shape") {
+    import spark.implicits._
+    // ADVICE r08: the millis form used to decode to a bare NUMBER while the
+    // ISO form stayed a quoted string — the same logical field changed JSON
+    // type with the wire form, so a typed from_json on the document nulled
+    // one of them. Both now decode to strings, and parseWireDate recovers
+    // the identical timestamp from either.
+    val raw = Seq(
+      ("insert", """{"_id": "a"}""",
+        """{"id": "a", "seen": {"$date": "2024-01-01T00:00:02Z"}}""", "2024-01-01 00:00:00"),
+      ("insert", """{"_id": "b"}""",
+        """{"id": "b", "seen": {"$date": {"$numberLong": "1704067202000"}}}""", "2024-01-01 00:00:01"))
+      .toDF("operationType", "documentKey", "fullDocument", "clusterTime")
+    val seenSchema = StructType(Seq(
+      StructField("id", StringType), StructField("seen", StringType)))
+    val dec = Dispatch.decodeExtendedEnvelopes(raw)
+      .select(from_json(col("fullDocument"), seenSchema).as("d"))
+      .select(col("d.id"), Dispatch.parseWireDate(col("d.seen")).cast("string").as("seen"))
+      .as[(String, String)].collect().toMap
+    // same instant out of both wire forms, neither nulled by the string schema
+    assert(dec == Map("a" -> "2024-01-01 00:00:02", "b" -> "2024-01-01 00:00:02"))
+  }
+
   test("ST1 extended-JSON file stream: raw object capture + decode + merge") {
     import spark.implicits._
     val dir = Files.createTempDirectory("xjson-cdc").toString
