@@ -183,7 +183,12 @@ object Bench {
     * overhead, and the fixed size keeps rounds comparable.
     */
   private def benchStreaming(spark: SparkSession): Seq[(String, Double)] = {
-    val cdcWarm = cdcThroughput(spark, nKeys = 500, nUpdates = 100)
+    // unreported tiny run = JVM/codegen warm-up only; the REPORTED warm probe
+    // uses 10k-row batches so it reflects per-envelope merge cost, not the
+    // per-micro-batch fixed overhead a 600-envelope probe is dominated by
+    // (VERDICT r08 #7)
+    cdcThroughput(spark, nKeys = 500, nUpdates = 100)
+    val cdcWarm = cdcThroughput(spark, nKeys = 10000, nUpdates = 10000)
     val cdc = cdcThroughput(spark, nKeys = 15000, nUpdates = 5000)
     val sessWarm = sessionThroughput(spark, nEvents = 2000)
     val sess = sessionThroughput(spark, nEvents = 100000)

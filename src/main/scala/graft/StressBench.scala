@@ -105,6 +105,19 @@ object StressBench {
         val dim = Tables(spark, sfDir, "part").select(col("p_partkey").as("k"), col("p_name"))
         graft.ops.Skew.saltedJoin(facts, dim, "k", 8)
       })
+      // round-9 headline fix: the inverse-CDF lookup must scale with the
+      // ROWS (percentileGate windows), not rows x buckets — replicas shift
+      // n_chars by rep so the bucket relation grows too, exercising both
+      // axes of the old BNL blow-up
+      time("quantile_norm_mean", f)({
+        val docs = Tables(spark, sfDir, "documents").select("doc_id", "source", "n_chars")
+        val d = if (f == 1) docs
+          else docs.crossJoin(spark.range(f).select(col("id").as("rep")))
+            .select((col("doc_id") * f + col("rep")).as("doc_id"), col("source"),
+              (col("n_chars") + col("rep")).as("n_chars"))
+        graft.llm.Sampling.quantileNormalizeMean(d, "source", col("n_chars"),
+          col("doc_id"), maxBuckets = 1L << 21)
+      })
     }
     // 64x probes ONLY the bucketed-dedup family (VERDICT r05 #3): these are
     // the ops where quadratic effects would FIRST bite (candidate-pair

@@ -63,8 +63,8 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("partial_sum"), p)
   }
 
-  test("per-row scalar queries (lang_id, clean_text, rep_signals) have no Exchange") {
-    for (q <- Seq("q30_lang_id", "q79_clean_text", "q81_rep_signals")) {
+  test("per-row scalar queries (lang_id, clean_text, rep_signals, shape_audit) have no Exchange") {
+    for (q <- Seq("q30_lang_id", "q79_clean_text", "q81_rep_signals", "q114_shape_audit")) {
       val p = plan(q)
       assert(!p.contains("Exchange"), s"$q shuffles a per-row pipeline:\n$p")
     }
