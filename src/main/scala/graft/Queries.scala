@@ -2503,7 +2503,49 @@ object Queries {
       SELECT event_id,
         COALESCE(array_to_string(unknown, ','), '') AS unknown_fields,
         COALESCE(array_to_string(missing, ','), '') AS missing_fields
-      FROM x WHERE len(unknown) > 0 OR len(missing) > 0"""))
+      FROM x WHERE len(unknown) > 0 OR len(missing) > 0""")),
+
+    // Corpus-wide duplicate-paragraph removal (Dolma/C4 curation step): keep
+    // ONE occurrence of each distinct paragraph, rewrite docs with the
+    // survivors. The fixture corpus has no paragraph structure (single-line
+    // token streams), so paragraphs are manufactured in-query (the q79
+    // convention): each doc = its first 8 words + a shared boilerplate
+    // footer (7 distinct footers across the corpus — the repeated-banner
+    // case) + its next 8 words, '\n\n'-joined identically on both engines.
+    // Exact-duplicate docs in the fixture also exercise the all-paragraphs-
+    // lost reassembly leg (clean_text = '').
+    ("q115_para_dedup", (s: SparkSession, d: String) => {
+      val ws = split(col("text"), " ")
+      val built = t(s, d, "documents").select(col("doc_id"),
+        concat_ws("\n\n",
+          array_join(slice(ws, 1, 8), " "),
+          concat(lit("footer boilerplate "), pmod(col("doc_id"), lit(7))),
+          array_join(slice(ws, 9, 8), " ")).as("text"))
+      graft.llm.ParagraphDedup.dedup(built, "doc_id", "text")
+    }, Some("""WITH built AS (SELECT doc_id,
+        array_to_string(string_split(text, ' ')[1:8], ' ') || chr(10) || chr(10)
+        || 'footer boilerplate ' || CAST(doc_id % 7 AS VARCHAR) || chr(10) || chr(10)
+        || array_to_string(string_split(text, ' ')[9:16], ' ') AS text
+        FROM documents),
+      p0 AS (SELECT doc_id, string_split(text, chr(10) || chr(10)) AS ps FROM built),
+      pf AS (SELECT doc_id, pos, para FROM (
+          SELECT doc_id, unnest(ps) AS para,
+            unnest(range(0, len(ps))) AS pos FROM p0)
+        WHERE len(trim(para)) > 0),
+      kept AS (SELECT doc_id, pos, para FROM (
+          SELECT doc_id, pos, para,
+            row_number() OVER (PARTITION BY md5(para) ORDER BY doc_id, pos) AS rn
+          FROM pf) WHERE rn = 1),
+      tot AS (SELECT doc_id, count(*) AS n_paras FROM pf GROUP BY doc_id),
+      ka AS (SELECT doc_id, count(*) AS n_kept,
+          array_to_string(list(para ORDER BY pos), chr(10) || chr(10)) AS clean_text
+        FROM kept GROUP BY doc_id)
+      SELECT tot.doc_id,
+        COALESCE(ka.clean_text, '') AS clean_text,
+        CAST(tot.n_paras AS BIGINT) AS n_paras,
+        CAST(COALESCE(ka.n_kept, 0) AS BIGINT) AS n_kept,
+        CAST(tot.n_paras - COALESCE(ka.n_kept, 0) AS BIGINT) AS n_dropped
+      FROM tot LEFT JOIN ka ON tot.doc_id = ka.doc_id"""))
   )
 
   /** Unrolled DuckDB replay of BPE train + encode (q111): per round, pair

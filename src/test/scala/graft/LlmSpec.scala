@@ -1045,4 +1045,21 @@ class LlmSpec extends SparkSuite {
       .as[(String, Long, Long)].collect().toSeq
     assert(top == Seq(("a b", 2L, 1L), ("b a", 2L, 2L)))
   }
+
+  test("paragraph dedup keeps first corpus occurrence, rewrites docs in order") {
+    import spark.implicits._
+    val df = docs(
+      (1L, "alpha one\n\nshared footer\n\nalpha two"),
+      (2L, "beta one\n\nshared footer\n\nbeta two"),
+      (3L, "shared footer"),                    // loses everything
+      (4L, "gamma\n\ngamma\n\n  \n\ngamma"))    // intra-doc dups + blank para
+    val got = graft.llm.ParagraphDedup.dedup(df, "doc_id", "text")
+      .as[(Long, String, Long, Long, Long)].collect()
+      .map { case (k, v2, v3, v4, v5) => k -> ((v2, v3, v4, v5)) }.toMap
+    assert(got(1L) == (("alpha one\n\nshared footer\n\nalpha two", 3L, 3L, 0L)))
+    assert(got(2L) == (("beta one\n\nbeta two", 3L, 2L, 1L)))
+    assert(got(3L) == (("", 1L, 0L, 1L)))
+    // blank paragraph not counted; duplicates within one doc collapse too
+    assert(got(4L) == (("gamma", 3L, 1L, 2L)))
+  }
 }
