@@ -2545,7 +2545,37 @@ object Queries {
         CAST(tot.n_paras AS BIGINT) AS n_paras,
         CAST(COALESCE(ka.n_kept, 0) AS BIGINT) AS n_kept,
         CAST(tot.n_paras - COALESCE(ka.n_kept, 0) AS BIGINT) AS n_dropped
-      FROM tot LEFT JOIN ka ON tot.doc_id = ka.doc_id"""))
+      FROM tot LEFT JOIN ka ON tot.doc_id = ka.doc_id""")),
+
+    // Mergeable KMV distinct-count sketch (native TypedImperativeAggregate):
+    // per-type distinct-user estimate whose state is the k smallest 60-bit
+    // portable hashes — unlike q78's HLL tolerance band, the estimate itself
+    // is cross-engine EXACT (DuckDB re-derives the k-th smallest hash and
+    // the floor'd (k-1)*2^60/kth quotient bit-for-bit). Below k distinct the
+    // sketch degrades to the exact count (kth null) — sf0.001 exercises that
+    // leg, sf0.01+ the estimator leg.
+    ("q116_kmv_distinct", (s: SparkSession, d: String) => {
+      val hv = conv(substring(md5(col("user_id").cast("string")), 1, 15), 16, 10)
+        .cast("long")
+      t(s, d, "events")
+        .groupBy("event_type")
+        .agg(org.apache.spark.sql.graft.KmvColumns.kmvSketch(hv, 64).as("s"))
+        .select(col("event_type"), col("s.n_kept").as("n_kept"),
+          col("s.kth").as("kth"), col("s.est").as("est"))
+    }, Some("""WITH h AS (SELECT DISTINCT event_type,
+        ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS hv
+        FROM events WHERE user_id IS NOT NULL),
+      r AS (SELECT event_type, hv,
+          row_number() OVER (PARTITION BY event_type ORDER BY hv) AS rn FROM h),
+      a AS (SELECT event_type, count(*) AS nd FROM h GROUP BY event_type),
+      kt AS (SELECT event_type, hv AS kth FROM r WHERE rn = 64)
+      SELECT a.event_type,
+        CAST(least(a.nd, 64) AS INTEGER) AS n_kept,
+        kt.kth AS kth,
+        CAST(CASE WHEN a.nd >= 64
+          THEN floor(63 * pow(2::DOUBLE, 60) / CAST(kt.kth AS DOUBLE))
+          ELSE a.nd END AS BIGINT) AS est
+      FROM a LEFT JOIN kt ON a.event_type = kt.event_type"""))
   )
 
   /** Unrolled DuckDB replay of BPE train + encode (q111): per round, pair

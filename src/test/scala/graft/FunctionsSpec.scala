@@ -233,4 +233,36 @@ class FunctionsSpec extends SparkSuite {
       "SELECT lang_id(CAST(NULL AS ARRAY<STRING>)) AS l").head().getString(0)
     assert(nul == "und")
   }
+
+  test("kmv sketch: exact below k, estimator within KMV error, dup-insensitive") {
+    import spark.implicits._
+    import org.apache.spark.sql.graft.KmvColumns.kmvSketch
+    val hv = org.apache.spark.sql.functions.conv(
+      org.apache.spark.sql.functions.substring(md5(col("v").cast("string")), 1, 15),
+      16, 10).cast("long")
+    // below k: the sketch IS the distinct set, duplicates don't inflate it
+    val small = Seq.tabulate(40)(i => i.toLong % 10).toDF("v")
+      .agg(kmvSketch(hv, 64).as("s"))
+      .select(col("s.n_kept"), col("s.kth"), col("s.est"))
+      .as[(Int, Option[Long], Long)].head()
+    assert(small == ((10, None, 10L)))
+    // above k: (k-1)/kth estimator; 1/sqrt(k-1) ~ 12.6% std err, allow 4 sigma
+    val est = Seq.tabulate(2000)(_.toLong).toDF("v")
+      .agg(kmvSketch(hv, 64).as("s")).select(col("s.est")).as[Long].head()
+    assert(math.abs(est - 2000L) < 1000, s"est=$est")
+  }
+
+  test("kmv sketch merge across partitions equals the single-partition sketch") {
+    import spark.implicits._
+    import org.apache.spark.sql.graft.KmvColumns.kmvSketch
+    val hv = org.apache.spark.sql.functions.conv(
+      org.apache.spark.sql.functions.substring(md5(col("v").cast("string")), 1, 15),
+      16, 10).cast("long")
+    def sketch(np: Int) = Seq.tabulate(500)(i => (i % 3).toString -> i.toLong)
+      .toDF("k", "v").repartition(np)
+      .groupBy("k").agg(kmvSketch(hv, 32).as("s"))
+      .select(col("k"), col("s.n_kept"), col("s.kth"), col("s.est"))
+      .as[(String, Int, Option[Long], Long)].collect().toSet
+    assert(sketch(7) == sketch(1))
+  }
 }
