@@ -2575,7 +2575,75 @@ object Queries {
         CAST(CASE WHEN a.nd >= 64
           THEN floor(63 * pow(2::DOUBLE, 60) / CAST(kt.kth AS DOUBLE))
           ELSE a.nd END AS BIGINT) AS est
-      FROM a LEFT JOIN kt ON a.event_type = kt.event_type"""))
+      FROM a LEFT JOIN kt ON a.event_type = kt.event_type""")),
+
+    // Product-quantization ANN (Jégou et al., TPAMI 2011): 8 subspaces × 8
+    // dims, per-subspace codebooks (FIXED 16 entries — capped seed, so
+    // training is linear in the corpus at any scale) k-means-trained 2
+    // Lloyd rounds from the stride-32 seed, corpus stored as 8
+    // codes/vector, queries ranked by the ADC distance-table sum. Fully replayed in SQL with `sub` as a
+    // DATA column (no per-subspace unroll — one keyed Lloyd pass covers all
+    // eight codebooks); sq-L2 is a sequential fold both engines replay,
+    // ADC sums route through decimal(18,6) (the dsum rule).
+    ("q117_pq_topk", (s: SparkSession, d: String) => {
+      val emb = t(s, d, "embeddings")
+      graft.llm.ProductQuant.pqTopK(
+        emb.filter(col("vec_id") < 8).select(col("vec_id").as("query_id"), col("embedding")),
+        emb, 5, m = 8, dims = 8, centroidStride = 32, trainIters = 2, ks = 16)
+    }, Some("""WITH corp AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      sv AS (SELECT vec_id, s.sub,
+          v[CAST(8 * s.sub + 1 AS INTEGER):CAST(8 * s.sub + 8 AS INTEGER)] AS sv
+        FROM corp, (SELECT unnest(range(0, 8)) AS sub) s),
+      sb0 AS (SELECT sub, vec_id AS cid, sv AS cv FROM sv
+        WHERE vec_id % 32 = 0 AND vec_id < 512),
+      a1 AS (SELECT vec_id, sub, sv, cid FROM (
+        SELECT x.vec_id, x.sub, x.sv, c.cid,
+          row_number() OVER (PARTITION BY x.vec_id, x.sub
+            ORDER BY round(list_reduce(
+              [(x.sv[CAST(i AS INTEGER)] - c.cv[CAST(i AS INTEGER)])
+               * (x.sv[CAST(i AS INTEGER)] - c.cv[CAST(i AS INTEGER)])
+               FOR i IN range(1, 9)], (p, q) -> p + q), 6), c.cid) AS rn
+        FROM sv x JOIN sb0 c ON x.sub = c.sub) WHERE rn = 1),
+      cb1 AS (SELECT sub, cid, list(mn ORDER BY dim) AS cv FROM (
+          SELECT sub, cid, dim,
+            round(CAST(sum(CAST(xx AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS mn
+          FROM (SELECT sub, cid, unnest(range(len(sv))) AS dim, unnest(sv) AS xx FROM a1)
+          GROUP BY sub, cid, dim) GROUP BY sub, cid),
+      a2 AS (SELECT vec_id, sub, sv, cid FROM (
+        SELECT x.vec_id, x.sub, x.sv, c.cid,
+          row_number() OVER (PARTITION BY x.vec_id, x.sub
+            ORDER BY round(list_reduce(
+              [(x.sv[CAST(i AS INTEGER)] - c.cv[CAST(i AS INTEGER)])
+               * (x.sv[CAST(i AS INTEGER)] - c.cv[CAST(i AS INTEGER)])
+               FOR i IN range(1, 9)], (p, q) -> p + q), 6), c.cid) AS rn
+        FROM sv x JOIN cb1 c ON x.sub = c.sub) WHERE rn = 1),
+      cb2 AS (SELECT sub, cid, list(mn ORDER BY dim) AS cv FROM (
+          SELECT sub, cid, dim,
+            round(CAST(sum(CAST(xx AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS mn
+          FROM (SELECT sub, cid, unnest(range(len(sv))) AS dim, unnest(sv) AS xx FROM a2)
+          GROUP BY sub, cid, dim) GROUP BY sub, cid),
+      enc AS (SELECT vec_id, sub, cid AS code FROM (
+        SELECT x.vec_id, x.sub, c.cid,
+          row_number() OVER (PARTITION BY x.vec_id, x.sub
+            ORDER BY round(list_reduce(
+              [(x.sv[CAST(i AS INTEGER)] - c.cv[CAST(i AS INTEGER)])
+               * (x.sv[CAST(i AS INTEGER)] - c.cv[CAST(i AS INTEGER)])
+               FOR i IN range(1, 9)], (p, q) -> p + q), 6), c.cid) AS rn
+        FROM sv x JOIN cb2 c ON x.sub = c.sub) WHERE rn = 1),
+      dt AS (SELECT q.vec_id AS query_id, c.sub, c.cid AS code,
+          round(list_reduce(
+            [(q.sv[CAST(i AS INTEGER)] - c.cv[CAST(i AS INTEGER)])
+             * (q.sv[CAST(i AS INTEGER)] - c.cv[CAST(i AS INTEGER)])
+             FOR i IN range(1, 9)], (p, q) -> p + q), 6) AS d
+        FROM (SELECT * FROM sv WHERE vec_id < 8) q JOIN cb2 c ON q.sub = c.sub),
+      sc AS (SELECT dt.query_id, e.vec_id,
+          CAST(sum(CAST(dt.d AS DECIMAL(18,6))) AS DOUBLE) AS adc
+        FROM enc e JOIN dt ON e.sub = dt.sub AND e.code = dt.code
+        GROUP BY dt.query_id, e.vec_id),
+      w AS (SELECT *, row_number() OVER (PARTITION BY query_id
+          ORDER BY adc, vec_id) AS rnk FROM sc)
+      SELECT query_id, vec_id, adc, CAST(rnk AS INTEGER) AS rank
+      FROM w WHERE rnk <= 5"""))
   )
 
   /** Unrolled DuckDB replay of BPE train + encode (q111): per round, pair

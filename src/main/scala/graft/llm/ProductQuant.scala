@@ -1,0 +1,142 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Product quantization (PQ) ANN — the memory-side scale path the
+  * IVF/LSH family (SimSearch, Dedup.embeddingLsh) doesn't cover: IVF
+  * prunes WHICH vectors are scored; PQ shrinks WHAT is scored. Each
+  * vector is cut into `m` subvectors, each subvector is assigned to its
+  * nearest centroid in a per-subspace codebook (k-means-trained), and the
+  * vector is stored as `m` small codes — 64 floats become 8 codes, a
+  * 32× compression that is the difference between "the corpus fits in
+  * executor memory" and "it doesn't" at 100 TB. Queries never touch raw
+  * corpus vectors again: a per-query distance TABLE (query subvector vs
+  * every codebook centroid — |m|·|ks| entries, tiny) is broadcast, and the
+  * approximate (asymmetric, ADC) distance of a corpus vector is the sum of
+  * m table lookups on its codes. Jégou/Douze/Schmid, "Product quantization
+  * for nearest neighbor search" (TPAMI 2011) is the published method.
+  *
+  * 100 TB shape: training and encoding are the Lloyd pattern of
+  * [[SimSearch.trainCentroids]] applied per (sub, cell) — broadcast
+  * codebook, per-(id, sub) bounded windows, decimal-routed means; the
+  * search is one broadcast equi-join of the code relation against the
+  * distance table plus a map-side-combined per-(query, vec) sum. No
+  * all-pairs scoring, no raw-vector shuffle anywhere past encode.
+  *
+  * Determinism (the standing oracle rules): subspace distances are squared
+  * L2 (additively decomposable, unlike cosine) computed by a fixed-order
+  * left fold, rounded to 6 before ranking; assignment ties pin on cent id;
+  * ADC sums route through decimal(18,6) so accumulation order can't wobble
+  * the ranking doubles; centroid means are the q42 decimal-mean.
+  */
+object ProductQuant {
+
+  /** Sequential-fold squared L2 — `(((0 + d1²) + d2²) + …)`, the exact
+    * order DuckDB's `list_reduce` replays (0 + d1² == d1², so the engines'
+    * differing fold seeds agree bit-for-bit).
+    */
+  def sqDist(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** (id, sub, sv): the corpus exploded to `m` `dims`-wide subvectors.
+    * Precondition: embedding length == m * dims.
+    */
+  private def subvectors(df: DataFrame, id: String, m: Int, dims: Int): DataFrame = {
+    val v = col("embedding").cast("array<double>")
+    df.select(col(id), posexplode(transform(sequence(lit(0), lit(m - 1)),
+      s => slice(v, s * dims + 1, lit(dims)))).as(Seq("sub", "sv")))
+  }
+
+  /** Nearest-codebook-entry assignment per (row, subspace): broadcast
+    * codebook equi-joined on `sub`, per-(id, sub) top-1 window (bounded by
+    * codebook size, never corpus-wide).
+    */
+  private def assign(sv: DataFrame, codebook: DataFrame, id: String): DataFrame = {
+    val scored = sv.join(broadcast(codebook), Seq("sub"))
+      .withColumn("d", round(sqDist(col("sv"), col("cv")), 6))
+    val w = Window.partitionBy(col(id), col("sub"))
+      .orderBy(col("d").asc, col("cid"))
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .drop("cv", "rn")
+  }
+
+  /** Per-subspace codebooks after `iters` Lloyd rounds from the stride
+    * seed (sub, cid, cv). Fixed round count + stride seed = replayable in
+    * SQL (the q42 convention); per-round localCheckpoint + release keeps
+    * ONE codebook's lineage alive.
+    *
+    * The seed is CAPPED at `ks` entries per subspace (`vecId < stride·ks`),
+    * unlike the q42 IVF stride seed whose cell count grows with the
+    * corpus: a PQ codebook is a fixed-size model (Jégou et al. use 256),
+    * so training stays O(N·m·ks) — linear in the corpus — at any scale,
+    * and the code domain stays small enough to be a table lookup.
+    */
+  def trainCodebooks(corpus: DataFrame, m: Int, dims: Int,
+                     centroidStride: Int, iters: Int, ks: Int = 16,
+                     vecId: String = "vec_id"): DataFrame = {
+    val sv = subvectors(corpus, vecId, m, dims)
+    var cb = sv.filter(col(vecId) % centroidStride === 0
+        && col(vecId) < centroidStride.toLong * ks)
+      .select(col("sub"), col(vecId).as("cid"), col("sv").as("cv"))
+      .localCheckpoint()
+    for (_ <- 1 to iters) {
+      val next = assign(sv, cb, vecId)
+        .select(col("sub"), col("cid"), posexplode(col("sv")).as(Seq("dim", "x")))
+        .groupBy("sub", "cid", "dim")
+        .agg(round(sum(col("x").cast("decimal(18,6)")).cast("double")
+          / count(lit(1)), 6).as("mn"))
+        .groupBy("sub", "cid")
+        .agg(array_sort(collect_list(struct(col("dim"), col("mn")))).as("dm"))
+        .select(col("sub"), col("cid"), transform(col("dm"), _.getField("mn")).as("cv"))
+        .localCheckpoint()
+      org.apache.spark.sql.graft.Checkpoints.release(cb)
+      cb = next
+    }
+    cb
+  }
+
+  /** The code relation (vecId, sub, code) — the 100 TB-resident form of
+    * the corpus: m small ints per vector instead of m·dims floats.
+    */
+  def encode(corpus: DataFrame, codebook: DataFrame, m: Int, dims: Int,
+             vecId: String = "vec_id"): DataFrame =
+    assign(subvectors(corpus, vecId, m, dims), codebook, vecId)
+      .select(col(vecId), col("sub"), col("cid").as("code"))
+
+  /** ADC top-k: per-query distance tables over the codebook (broadcast),
+    * summed per (query, vec) through decimal(18,6), bounded-heap top-k
+    * (each mapper ships at most k rows per query — the TopKByScore scale
+    * rationale, negated score because ADC ranks ascending).
+    */
+  def adcTopK(queries: DataFrame, codes: DataFrame, codebook: DataFrame,
+              k: Int, m: Int, dims: Int,
+              queryId: String = "query_id", vecId: String = "vec_id"): DataFrame = {
+    val qsv = subvectors(queries.withColumnRenamed(queryId, "__qid"), "__qid", m, dims)
+    val dt = qsv.join(codebook, Seq("sub"))
+      .select(col("__qid"), col("sub"), col("cid").as("code"),
+        round(sqDist(col("sv"), col("cv")), 6).as("d"))
+    val adc = codes.join(broadcast(dt), Seq("sub", "code"))
+      .groupBy(col("__qid"), col(vecId))
+      .agg(sum(col("d").cast("decimal(18,6)")).cast("double").as("adc"))
+    adc.groupBy(col("__qid"))
+      .agg(org.apache.spark.sql.graft.TopKColumns
+        .topKByScore(negate(col("adc")), col(vecId), k).as("top"))
+      .select(col("__qid").as(queryId), posexplode(col("top")).as(Seq("pos", "entry")))
+      .select(col(queryId), col("entry.id").as(vecId),
+        negate(col("entry.score")).as("adc"),
+        (col("pos") + 1).cast("int").as("rank"))
+  }
+
+  /** Train → encode → search, the full PQ pipeline for one query batch. */
+  def pqTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+             m: Int = 8, dims: Int = 8, centroidStride: Int = 32,
+             trainIters: Int = 2, ks: Int = 16,
+             queryId: String = "query_id", vecId: String = "vec_id"): DataFrame = {
+    val cb = trainCodebooks(corpus, m, dims, centroidStride, trainIters, ks, vecId)
+    val codes = encode(corpus, cb, m, dims, vecId)
+    adcTopK(queries, codes, cb, k, m, dims, queryId, vecId)
+  }
+}

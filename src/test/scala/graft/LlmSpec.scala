@@ -1062,4 +1062,34 @@ class LlmSpec extends SparkSuite {
     // blank paragraph not counted; duplicates within one doc collapse too
     assert(got(4L) == (("gamma", 3L, 1L, 2L)))
   }
+
+  test("pq: codes are m-per-vector; ADC retrieves the planted cluster first") {
+    import spark.implicits._
+    // two well-separated clusters in 8-d (m=2 subspaces x 4 dims): ids 0-9
+    // near the origin, ids 10-19 near 10.0 — PQ distances are approximate
+    // but cluster-level separation must survive quantization
+    val corpus = (0L until 20L).map { i =>
+      val base = if (i < 10) 0.0f else 10.0f
+      (i, Array.tabulate(8)(j => base + 0.01f * i + 0.001f * j))
+    }.toDF("vec_id", "embedding")
+    val cb = graft.llm.ProductQuant.trainCodebooks(
+      corpus, m = 2, dims = 4, centroidStride = 7, iters = 2)
+    val codes = graft.llm.ProductQuant.encode(corpus, cb, m = 2, dims = 4)
+    val perVec = codes.groupBy("vec_id").count().as[(Long, Long)].collect().toMap
+    assert(perVec.size == 20 && perVec.values.forall(_ == 2L))
+    val queries = corpus.filter(col("vec_id") === 0L || col("vec_id") === 15L)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val top = graft.llm.ProductQuant.adcTopK(
+      queries, codes, cb, k = 8, m = 2, dims = 4)
+      .as[(Long, Long, Double, Int)].collect()
+    val byQ = top.groupBy(_._1)
+    // every retrieved neighbor of a query is from the query's own cluster
+    assert(byQ(0L).forall(_._2 < 10L))
+    assert(byQ(15L).forall(_._2 >= 10L))
+    // adc is non-decreasing in rank
+    byQ.values.foreach { rows =>
+      val sorted = rows.sortBy(_._4)
+      assert(sorted.sliding(2).forall(p => p.head._3 <= p.last._3))
+    }
+  }
 }
