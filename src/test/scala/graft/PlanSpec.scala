@@ -205,6 +205,32 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
+  test("q115: paragraph winner agg is map-side partial; no cartesian anywhere") {
+    val p = plan("q115_para_dedup")
+    // min(struct(doc_id, pos)) per paragraph hash: a struct buffer forces
+    // SortAggregate, but the partial/final split must survive — each mapper
+    // ships ONE candidate winner per distinct paragraph, not every occurrence
+    assert("partial_min\\(struct".r.findFirstIn(p).isDefined
+      || "SortAggregate.*Partial".r.findFirstIn(p).isDefined
+      || p.contains("partial_min"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q116: KMV sketch partial-aggregates map-side before the exchange") {
+    val p = plan("q116_kmv_distinct")
+    assert("partial_kmv_sketch".r.findFirstIn(p).isDefined
+      || "kmv_sketch".r.findAllIn(p).size >= 2, p)
+    assert(!p.contains("Expand"), p) // not the countDistinct expansion
+  }
+
+  test("q117: PQ search joins codes against a broadcast table; no vector cross join") {
+    val p = finalPlan("q117_pq_topk")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    // top-k via the bounded-heap aggregate, not a corpus-wide window sort
+    assert(p.contains("top_k_by_score"), p)
+  }
+
   test("AQE splits a skewed sort-merge join at runtime") {
     import spark.implicits._
     val prev = Map(
