@@ -15,6 +15,10 @@ import org.apache.spark.sql.functions._
 object StressBench {
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
+    // optional 2nd arg: comma-separated op-label prefixes — run only those
+    // probes (local iteration on one op's curve without the full sweep)
+    val onlyOps: Option[Seq[String]] =
+      if (args.length > 1) Some(args(1).split(",").toSeq) else None
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -60,6 +64,7 @@ object StressBench {
     }
 
     def time(label: String, f: Int)(df: => DataFrame): Unit = {
+      if (!onlyOps.forall(_.exists(label.startsWith))) return
       df.write.format("noop").mode("overwrite").save() // warm (codegen)
       spark.catalog.clearCache()
       val t0 = System.nanoTime()
@@ -117,6 +122,31 @@ object StressBench {
               (col("n_chars") + col("rep")).as("n_chars"))
         graft.llm.Sampling.quantileNormalizeMean(d, "source", col("n_chars"),
           col("doc_id"), maxBuckets = 1L << 21)
+      })
+      // round-9 additions: paragraph winner agg (footer groups grow with N —
+      // the partial-min shape must stay linear), PQ with its FIXED codebook
+      // (the capped seed is the linearity claim), and the KMV sketch (k longs
+      // per group regardless of distinct count)
+      time("para_dedup", f)({
+        val ws = split(col("text"), " ")
+        val built = docsTimesUncorr(f).select(col("doc_id"),
+          concat_ws("\n\n", array_join(slice(ws, 1, 8), " "),
+            concat(lit("footer boilerplate "), pmod(col("doc_id"), lit(7))),
+            array_join(slice(ws, 9, 8), " ")).as("text"))
+        graft.llm.ParagraphDedup.dedup(built, "doc_id", "text")
+      })
+      time("pq_topk", f)({
+        val e = embTimes(f)
+        graft.llm.ProductQuant.pqTopK(
+          e.filter(col("vec_id") < 8).select(col("vec_id").as("query_id"), col("embedding")),
+          e, 5)
+      })
+      time("kmv_distinct", f)({
+        val hv = conv(substring(md5(col("l_orderkey").cast("string")), 1, 15), 16, 10)
+          .cast("long")
+        lineitemTimes(f).groupBy("l_returnflag")
+          .agg(org.apache.spark.sql.graft.KmvColumns.kmvSketch(hv, 64).as("s"))
+          .select(col("l_returnflag"), col("s.est"))
       })
     }
     // 64x probes ONLY the bucketed-dedup family (VERDICT r05 #3): these are
