@@ -2643,6 +2643,119 @@ object Queries {
       w AS (SELECT *, row_number() OVER (PARTITION BY query_id
           ORDER BY adc, vec_id) AS rnk FROM sc)
       SELECT query_id, vec_id, adc, CAST(rnk AS INTEGER) AS rank
+      FROM w WHERE rnk <= 5""")),
+
+    // IVF+PQ composite (FAISS IVFPQ, by_residual=false): the q117 code
+    // relation pruned by a coarse whole-vector quantizer — 8 cells, queries
+    // probe their 2 nearest, ADC scores only probed cells' candidates. The
+    // billion-scale resident layout: (cell, 8 codes) per vector, zero raw
+    // vectors at query time.
+    ("q118_ivfpq_topk", (s: SparkSession, d: String) => {
+      val emb = t(s, d, "embeddings")
+      graft.llm.ProductQuant.ivfPqTopK(
+        emb.filter(col("vec_id") < 8).select(col("vec_id").as("query_id"), col("embedding")),
+        emb, 5, m = 8, dims = 8, centroidStride = 32, trainIters = 2,
+        ks = 16, coarseKs = 8, nprobe = 2)
+    }, Some("""WITH corp AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      cc0 AS (SELECT vec_id AS ccid, v AS ccv FROM corp
+        WHERE vec_id % 32 = 0 AND vec_id < 256),
+      ca1 AS (SELECT vec_id, v, ccid FROM (
+        SELECT c.vec_id, c.v, t.ccid,
+          row_number() OVER (PARTITION BY c.vec_id
+            ORDER BY round(list_reduce(
+              [(c.v[CAST(i AS INTEGER)] - t.ccv[CAST(i AS INTEGER)])
+               * (c.v[CAST(i AS INTEGER)] - t.ccv[CAST(i AS INTEGER)])
+               FOR i IN range(1, 65)], (p, q) -> p + q), 6), t.ccid) AS rn
+        FROM corp c CROSS JOIN cc0 t) WHERE rn = 1),
+      cc1 AS (SELECT ccid, list(mn ORDER BY dim) AS ccv FROM (
+          SELECT ccid, dim,
+            round(CAST(sum(CAST(xx AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS mn
+          FROM (SELECT ccid, unnest(range(len(v))) AS dim, unnest(v) AS xx FROM ca1)
+          GROUP BY ccid, dim) GROUP BY ccid),
+      ca2 AS (SELECT vec_id, v, ccid FROM (
+        SELECT c.vec_id, c.v, t.ccid,
+          row_number() OVER (PARTITION BY c.vec_id
+            ORDER BY round(list_reduce(
+              [(c.v[CAST(i AS INTEGER)] - t.ccv[CAST(i AS INTEGER)])
+               * (c.v[CAST(i AS INTEGER)] - t.ccv[CAST(i AS INTEGER)])
+               FOR i IN range(1, 65)], (p, q) -> p + q), 6), t.ccid) AS rn
+        FROM corp c CROSS JOIN cc1 t) WHERE rn = 1),
+      cc2 AS (SELECT ccid, list(mn ORDER BY dim) AS ccv FROM (
+          SELECT ccid, dim,
+            round(CAST(sum(CAST(xx AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS mn
+          FROM (SELECT ccid, unnest(range(len(v))) AS dim, unnest(v) AS xx FROM ca2)
+          GROUP BY ccid, dim) GROUP BY ccid),
+      cellasg AS (SELECT vec_id, ccid AS cell FROM (
+        SELECT c.vec_id, t.ccid,
+          row_number() OVER (PARTITION BY c.vec_id
+            ORDER BY round(list_reduce(
+              [(c.v[CAST(i AS INTEGER)] - t.ccv[CAST(i AS INTEGER)])
+               * (c.v[CAST(i AS INTEGER)] - t.ccv[CAST(i AS INTEGER)])
+               FOR i IN range(1, 65)], (p, q) -> p + q), 6), t.ccid) AS rn
+        FROM corp c CROSS JOIN cc2 t) WHERE rn = 1),
+      probe AS (SELECT vec_id AS query_id, ccid AS cell FROM (
+        SELECT c.vec_id, t.ccid,
+          row_number() OVER (PARTITION BY c.vec_id
+            ORDER BY round(list_reduce(
+              [(c.v[CAST(i AS INTEGER)] - t.ccv[CAST(i AS INTEGER)])
+               * (c.v[CAST(i AS INTEGER)] - t.ccv[CAST(i AS INTEGER)])
+               FOR i IN range(1, 65)], (p, q) -> p + q), 6), t.ccid) AS rn
+        FROM (SELECT * FROM corp WHERE vec_id < 8) c CROSS JOIN cc2 t) WHERE rn <= 2),
+      sv AS (SELECT vec_id, s.sub,
+          v[CAST(8 * s.sub + 1 AS INTEGER):CAST(8 * s.sub + 8 AS INTEGER)] AS sv
+        FROM corp, (SELECT unnest(range(0, 8)) AS sub) s),
+      sb0 AS (SELECT sub, vec_id AS cid, sv AS cv FROM sv
+        WHERE vec_id % 32 = 0 AND vec_id < 512),
+      a1 AS (SELECT vec_id, sub, sv, cid FROM (
+        SELECT x.vec_id, x.sub, x.sv, c.cid,
+          row_number() OVER (PARTITION BY x.vec_id, x.sub
+            ORDER BY round(list_reduce(
+              [(x.sv[CAST(i AS INTEGER)] - c.cv[CAST(i AS INTEGER)])
+               * (x.sv[CAST(i AS INTEGER)] - c.cv[CAST(i AS INTEGER)])
+               FOR i IN range(1, 9)], (p, q) -> p + q), 6), c.cid) AS rn
+        FROM sv x JOIN sb0 c ON x.sub = c.sub) WHERE rn = 1),
+      cb1 AS (SELECT sub, cid, list(mn ORDER BY dim) AS cv FROM (
+          SELECT sub, cid, dim,
+            round(CAST(sum(CAST(xx AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS mn
+          FROM (SELECT sub, cid, unnest(range(len(sv))) AS dim, unnest(sv) AS xx FROM a1)
+          GROUP BY sub, cid, dim) GROUP BY sub, cid),
+      a2 AS (SELECT vec_id, sub, sv, cid FROM (
+        SELECT x.vec_id, x.sub, x.sv, c.cid,
+          row_number() OVER (PARTITION BY x.vec_id, x.sub
+            ORDER BY round(list_reduce(
+              [(x.sv[CAST(i AS INTEGER)] - c.cv[CAST(i AS INTEGER)])
+               * (x.sv[CAST(i AS INTEGER)] - c.cv[CAST(i AS INTEGER)])
+               FOR i IN range(1, 9)], (p, q) -> p + q), 6), c.cid) AS rn
+        FROM sv x JOIN cb1 c ON x.sub = c.sub) WHERE rn = 1),
+      cb2 AS (SELECT sub, cid, list(mn ORDER BY dim) AS cv FROM (
+          SELECT sub, cid, dim,
+            round(CAST(sum(CAST(xx AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS mn
+          FROM (SELECT sub, cid, unnest(range(len(sv))) AS dim, unnest(sv) AS xx FROM a2)
+          GROUP BY sub, cid, dim) GROUP BY sub, cid),
+      enc AS (SELECT vec_id, sub, cid AS code FROM (
+        SELECT x.vec_id, x.sub, c.cid,
+          row_number() OVER (PARTITION BY x.vec_id, x.sub
+            ORDER BY round(list_reduce(
+              [(x.sv[CAST(i AS INTEGER)] - c.cv[CAST(i AS INTEGER)])
+               * (x.sv[CAST(i AS INTEGER)] - c.cv[CAST(i AS INTEGER)])
+               FOR i IN range(1, 9)], (p, q) -> p + q), 6), c.cid) AS rn
+        FROM sv x JOIN cb2 c ON x.sub = c.sub) WHERE rn = 1),
+      dt AS (SELECT q.vec_id AS query_id, c.sub, c.cid AS code,
+          round(list_reduce(
+            [(q.sv[CAST(i AS INTEGER)] - c.cv[CAST(i AS INTEGER)])
+             * (q.sv[CAST(i AS INTEGER)] - c.cv[CAST(i AS INTEGER)])
+             FOR i IN range(1, 9)], (p, q) -> p + q), 6) AS d
+        FROM (SELECT * FROM sv WHERE vec_id < 8) q JOIN cb2 c ON q.sub = c.sub),
+      sc AS (SELECT dt.query_id, e.vec_id,
+          CAST(sum(CAST(dt.d AS DECIMAL(18,6))) AS DOUBLE) AS adc
+        FROM enc e
+        JOIN cellasg ce ON e.vec_id = ce.vec_id
+        JOIN probe p ON p.cell = ce.cell
+        JOIN dt ON e.sub = dt.sub AND e.code = dt.code AND dt.query_id = p.query_id
+        GROUP BY dt.query_id, e.vec_id),
+      w AS (SELECT *, row_number() OVER (PARTITION BY query_id
+          ORDER BY adc, vec_id) AS rnk FROM sc)
+      SELECT query_id, vec_id, adc, CAST(rnk AS INTEGER) AS rank
       FROM w WHERE rnk <= 5"""))
   )
 

@@ -51,15 +51,17 @@ object ProductQuant {
   }
 
   /** Nearest-codebook-entry assignment per (row, subspace): broadcast
-    * codebook equi-joined on `sub`, per-(id, sub) top-1 window (bounded by
-    * codebook size, never corpus-wide).
+    * codebook equi-joined on `sub`, per-(id, sub) top-`keep` window (bounded
+    * by codebook size, never corpus-wide). `keep` > 1 is the IVF-style
+    * multi-cell query probe.
     */
-  private def assign(sv: DataFrame, codebook: DataFrame, id: String): DataFrame = {
+  private def assign(sv: DataFrame, codebook: DataFrame, id: String,
+                     keep: Int = 1): DataFrame = {
     val scored = sv.join(broadcast(codebook), Seq("sub"))
       .withColumn("d", round(sqDist(col("sv"), col("cv")), 6))
     val w = Window.partitionBy(col(id), col("sub"))
       .orderBy(col("d").asc, col("cid"))
-    scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= keep)
       .drop("cv", "rn")
   }
 
@@ -119,6 +121,54 @@ object ProductQuant {
       .select(col("__qid"), col("sub"), col("cid").as("code"),
         round(sqDist(col("sv"), col("cv")), 6).as("d"))
     val adc = codes.join(broadcast(dt), Seq("sub", "code"))
+      .groupBy(col("__qid"), col(vecId))
+      .agg(sum(col("d").cast("decimal(18,6)")).cast("double").as("adc"))
+    adc.groupBy(col("__qid"))
+      .agg(org.apache.spark.sql.graft.TopKColumns
+        .topKByScore(negate(col("adc")), col(vecId), k).as("top"))
+      .select(col("__qid").as(queryId), posexplode(col("top")).as(Seq("pos", "entry")))
+      .select(col(queryId), col("entry.id").as(vecId),
+        negate(col("entry.score")).as("adc"),
+        (col("pos") + 1).cast("int").as("rank"))
+  }
+
+  /** IVF + PQ composition — the FAISS "IVFPQ" index shape (Jégou et al.
+    * §V; the `by_residual=false` variant FAISS also ships: PQ codes are
+    * trained on the RAW vectors, not per-cell residuals, which keeps the
+    * distance tables cell-independent — one table per query instead of one
+    * per (query, probed cell) — at a small accuracy cost): a coarse
+    * quantizer (k-means over WHOLE vectors — [[trainCodebooks]] with m=1)
+    * prunes WHICH vectors are scored (each query probes its `nprobe`
+    * nearest cells), and the PQ codes shrink WHAT is scored. This is the
+    * billion-scale ANN layout: the resident index is (cell, m codes) per
+    * vector; a query touches |corpus|·nprobe/|cells| candidates' codes and
+    * zero raw vectors.
+    *
+    * The (vec → cell) relation joins the code relation once at build time —
+    * a co-partitioned equi-join on the id, the index-build shuffle that
+    * amortizes over every query batch.
+    */
+  def ivfPqTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+                m: Int = 8, dims: Int = 8, centroidStride: Int = 32,
+                trainIters: Int = 2, ks: Int = 16, coarseKs: Int = 8,
+                nprobe: Int = 2,
+                queryId: String = "query_id", vecId: String = "vec_id"): DataFrame = {
+    val d = m * dims
+    val coarse = trainCodebooks(corpus, 1, d, centroidStride, trainIters, coarseKs, vecId)
+    val cells = encode(corpus, coarse, 1, d, vecId)
+      .select(col(vecId), col("code").as("cell"))
+    val cb = trainCodebooks(corpus, m, dims, centroidStride, trainIters, ks, vecId)
+    val codes = encode(corpus, cb, m, dims, vecId).join(cells, Seq(vecId))
+
+    val q = queries.withColumnRenamed(queryId, "__qid")
+    val probes = assign(subvectors(q, "__qid", 1, d), coarse, "__qid", nprobe)
+      .select(col("__qid"), col("cid").as("cell"))
+    val dt = subvectors(q, "__qid", m, dims).join(cb, Seq("sub"))
+      .select(col("__qid"), col("sub"), col("cid").as("code"),
+        round(sqDist(col("sv"), col("cv")), 6).as("d"))
+
+    val candidates = codes.join(broadcast(probes), Seq("cell"))
+    val adc = candidates.join(broadcast(dt), Seq("__qid", "sub", "code"))
       .groupBy(col("__qid"), col(vecId))
       .agg(sum(col("d").cast("decimal(18,6)")).cast("double").as("adc"))
     adc.groupBy(col("__qid"))

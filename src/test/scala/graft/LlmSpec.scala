@@ -1092,4 +1092,30 @@ class LlmSpec extends SparkSuite {
       assert(sorted.sliding(2).forall(p => p.head._3 <= p.last._3))
     }
   }
+
+  test("ivfpq: coarse probe keeps recall on separated clusters; adc order matches pq") {
+    import spark.implicits._
+    val corpus = (0L until 40L).map { i =>
+      val base = if (i < 20) 0.0f else 10.0f
+      (i, Array.tabulate(8)(j => base + 0.01f * i + 0.001f * j))
+    }.toDF("vec_id", "embedding")
+    val queries = corpus.filter(col("vec_id") === 1L || col("vec_id") === 30L)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val got = graft.llm.ProductQuant.ivfPqTopK(
+      queries, corpus, k = 5, m = 2, dims = 4, centroidStride = 10,
+      trainIters = 2, ks = 4, coarseKs = 4, nprobe = 1)
+      .as[(Long, Long, Double, Int)].collect()
+    val byQ = got.groupBy(_._1)
+    // with nprobe=1 each query sees only its own cluster's cell(s)
+    assert(byQ(1L).nonEmpty && byQ(1L).forall(_._2 < 20L))
+    assert(byQ(30L).nonEmpty && byQ(30L).forall(_._2 >= 20L))
+    // the pruned search never reorders: its ranking is the full-PQ ranking
+    // restricted to the surviving candidate set
+    val full = graft.llm.ProductQuant.pqTopK(
+      queries, corpus, k = 40, m = 2, dims = 4, centroidStride = 10,
+      trainIters = 2, ks = 4)
+      .as[(Long, Long, Double, Int)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    got.foreach { case (q, v, adc, _) => assert(full((q, v)) == adc) }
+  }
 }
