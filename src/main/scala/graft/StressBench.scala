@@ -141,6 +141,12 @@ object StressBench {
           e.filter(col("vec_id") < 8).select(col("vec_id").as("query_id"), col("embedding")),
           e, 5)
       })
+      time("ivfpq_topk", f)({
+        val e = embTimes(f)
+        graft.llm.ProductQuant.ivfPqTopK(
+          e.filter(col("vec_id") < 8).select(col("vec_id").as("query_id"), col("embedding")),
+          e, 5)
+      })
       time("kmv_distinct", f)({
         val hv = conv(substring(md5(col("l_orderkey").cast("string")), 1, 15), 16, 10)
           .cast("long")
