@@ -155,6 +155,39 @@ object Streams {
       }
   }
 
+  /** Running KMV distinct-count gauge from [[kmvDistinctGauge]]. */
+  case class KmvGauge(key: String, n_kept: Int, est: Long)
+
+  /** STREAMING distinct-count gauge: per key, a running KMV sketch
+    * (org.apache.spark.sql.graft.KmvSketch's exact offer/estimate logic)
+    * folded across micro-batches in keyed state — the live "distinct users
+    * per event type" / "distinct docs per source" ops dashboard number.
+    *
+    * The sketch is a pure function of the input multiset (order-independent
+    * k-smallest-distinct), so after the last batch the gauge equals the
+    * BATCH `kmv_sketch` aggregate over the whole history bit-for-bit —
+    * StreamingSpec pins that parity. State per key is <= k longs, bounded
+    * regardless of stream length or distinct cardinality; `hashCol` must be
+    * the same 60-bit portable hash the batch side uses.
+    */
+  def kmvDistinctGauge(rows: DataFrame, keyCol: String, hashCol: String,
+                       k: Int): Dataset[KmvGauge] = {
+    import rows.sparkSession.implicits._
+    val kv = rows.select(col(keyCol).cast("string"), col(hashCol).cast("long"))
+      .as[(String, Long)]
+    kv.groupByKey(_._1)
+      .mapGroupsWithState[Array[Long], KmvGauge](GroupStateTimeout.NoTimeout) {
+        (key: String, it: Iterator[(String, Long)], state: GroupState[Array[Long]]) =>
+          val buf = scala.collection.mutable.TreeSet.empty[Long] ++
+            state.getOption.getOrElse(Array.empty[Long])
+          it.foreach { case (_, h) =>
+            org.apache.spark.sql.graft.KmvSketch.offer(buf, h, k) }
+          state.update(buf.toArray)
+          KmvGauge(key, buf.size,
+            org.apache.spark.sql.graft.KmvSketch.estimate(buf, k))
+      }
+  }
+
   /** Convenience: run a streaming DataFrame to completion into an in-memory
     * table (tests / AvailableNow batch-over-stream runs).
     */

@@ -70,32 +70,22 @@ case class KmvSketch(hash: Expression, kExpr: Expression,
   override def createAggregationBuffer(): mutable.TreeSet[Long] =
     mutable.TreeSet.empty[Long]
 
-  private def offer(buf: mutable.TreeSet[Long], v: Long): Unit = {
-    if (buf.size < k) buf += v            // TreeSet dedups re-offers
-    else if (v < buf.last && !buf.contains(v)) { buf -= buf.last; buf += v }
-  }
-
   override def update(buf: mutable.TreeSet[Long],
                       input: InternalRow): mutable.TreeSet[Long] = {
     val v = hash.eval(input)
-    if (v != null) offer(buf, v.asInstanceOf[Long])
+    if (v != null) KmvSketch.offer(buf, v.asInstanceOf[Long], k)
     buf
   }
 
   override def merge(buf: mutable.TreeSet[Long],
                      other: mutable.TreeSet[Long]): mutable.TreeSet[Long] = {
-    other.foreach(offer(buf, _))
+    other.foreach(KmvSketch.offer(buf, _, k))
     buf
   }
 
   override def eval(buf: mutable.TreeSet[Long]): Any = {
     if (buf.size < k) InternalRow(buf.size, null, buf.size.toLong)
-    else {
-      // k >= 2 distinct non-negative longs => the largest kept is > 0
-      val kth = buf.last
-      val est = math.floor((k - 1).toDouble * math.pow(2.0, 60) / kth.toDouble)
-      InternalRow(k, kth, est.toLong)
-    }
+    else InternalRow(k, buf.last, KmvSketch.estimate(buf, k))
   }
 
   override def serialize(buf: mutable.TreeSet[Long]): Array[Byte] = {
@@ -121,6 +111,26 @@ case class KmvSketch(hash: Expression, kExpr: Expression,
   override protected def withNewChildrenInternal(
       newChildren: IndexedSeq[Expression]): Expression =
     copy(hash = newChildren(0), kExpr = newChildren(1))
+}
+
+object KmvSketch {
+  /** Maintains "the k smallest DISTINCT values seen" — fully
+    * order-independent (the final set is a pure function of the input
+    * multiset), which is what makes batch partials, shard merges, and
+    * streaming state updates all land on the identical sketch.
+    */
+  def offer(buf: mutable.TreeSet[Long], v: Long, k: Int): Unit = {
+    if (buf.size < k) buf += v            // TreeSet dedups re-offers
+    else if (v < buf.last && !buf.contains(v)) { buf -= buf.last; buf += v }
+  }
+
+  /** Exact count below k; floor((k-1)·2^60/kth) at k — every term a double
+    * both engines compute identically (k >= 2 distinct non-negative longs
+    * means the k-th smallest is > 0).
+    */
+  def estimate(buf: mutable.TreeSet[Long], k: Int): Long =
+    if (buf.size < k) buf.size.toLong
+    else math.floor((k - 1).toDouble * math.pow(2.0, 60) / buf.last.toDouble).toLong
 }
 
 object KmvColumns {

@@ -95,6 +95,41 @@ class StreamingSpec extends SparkSuite {
     q.stop()
   }
 
+  test("streaming kmv gauge across batches equals the batch sketch over the union") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    import org.apache.spark.sql.functions.{col, conv, md5, substring}
+    val hv = conv(substring(md5(col("user").cast("string")), 1, 15), 16, 10)
+      .cast("long")
+    val src = MemoryStream[(String, Long)]
+    val q = Streams.kmvDistinctGauge(
+      src.toDF().toDF("etype", "user").withColumn("h", hv), "etype", "h", k = 8)
+      .writeStream.format("memory").queryName("kmvgauge")
+      .outputMode(OutputMode.Update()).start()
+    // batch 1: 5 distinct users of type a (below k); batch 2 pushes a to 20
+    // distinct (estimator leg) and adds type b, including replayed users
+    val b1 = (0L until 5L).map(("a", _))
+    val b2 = (0L until 20L).map(("a", _)) ++ (100L until 104L).map(("b", _))
+    src.addData(b1: _*)
+    q.processAllAvailable()
+    src.addData(b2: _*)
+    q.processAllAvailable()
+    q.stop()
+    // latest gauge per key (Update mode appends each revision to the sink;
+    // the sketch only grows, so the latest revision is the max-n_kept one)
+    val gauges = spark.table("kmvgauge").as[(String, Int, Long)].collect()
+      .groupBy(_._1).map { case (k2, rows) => k2 -> rows.maxBy(_._2) }
+    val batch = (b1 ++ b2).toDF("etype", "user").withColumn("h", hv)
+      .groupBy("etype")
+      .agg(org.apache.spark.sql.graft.KmvColumns.kmvSketch(col("h"), 8).as("s"))
+      .select(col("etype"), col("s.n_kept"), col("s.est"))
+      .as[(String, Int, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(gauges("a") == batch("a"), s"${gauges("a")} vs ${batch("a")}")
+    assert(gauges("b") == batch("b"), s"${gauges("b")} vs ${batch("b")}")
+    assert(gauges("b")._2 == 4 && gauges("b")._3 == 4L) // exact below k
+  }
+
   test("session_window closes sessions at the inactivity gap") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
