@@ -2756,7 +2756,46 @@ object Queries {
       w AS (SELECT *, row_number() OVER (PARTITION BY query_id
           ORDER BY adc, vec_id) AS rnk FROM sc)
       SELECT query_id, vec_id, adc, CAST(rnk AS INTEGER) AS rank
-      FROM w WHERE rnk <= 5"""))
+      FROM w WHERE rnk <= 5""")),
+
+    // Interpolated bigram LM scoring (KenLM-lite; the CCNet perplexity leg
+    // upgraded from q97's unigram): p(w|v) = 0.75·c(v,w)/c(v·) + 0.25·p_uni,
+    // first token by unigram. Fixed weights keep it a pure function of the
+    // corpus; all ln's round at the source, sums decimal-route (q97/q72).
+    ("q119_bigram_lm", (s: SparkSession, d: String) => {
+      val docs = t(s, d, "documents")
+      val (uni, bi) = graft.llm.LangModel.bigramLm(docs, "doc_id", "text")
+      graft.llm.LangModel.scoreDocsBigram(docs, "doc_id", "text", uni, bi,
+        floorLogp = 0.0)
+    }, Some("""WITH dd AS (SELECT doc_id,
+        list_filter(string_split_regex(trim(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')), ' '),
+                    x -> x <> '') AS w
+        FROM documents),
+      tok AS (SELECT doc_id, unnest(range(1, len(w) + 1)) AS pos, unnest(w) AS term FROM dd),
+      cnt AS (SELECT term, count(*) AS c FROM tok GROUP BY term),
+      st AS (SELECT CAST(sum(c) AS BIGINT) AS n_total, count(*) AS n_vocab FROM cnt),
+      u AS (SELECT term,
+          round(ln(CAST(c + 1 AS DOUBLE) / CAST(n_total + n_vocab AS DOUBLE)), 6) AS logp_uni,
+          round(ln(0.25 * (CAST(c + 1 AS DOUBLE) / CAST(n_total + n_vocab AS DOUBLE))), 6) AS logp_bo
+        FROM cnt, st),
+      big AS (SELECT doc_id, w[CAST(pos - 1 AS INTEGER)] AS prev,
+          w[CAST(pos AS INTEGER)] AS term
+        FROM (SELECT doc_id, w, unnest(range(2, len(w) + 1)) AS pos FROM dd)),
+      cb AS (SELECT prev, term, count(*) AS cb FROM big GROUP BY prev, term),
+      cp AS (SELECT prev, CAST(sum(cb) AS BIGINT) AS cp FROM cb GROUP BY prev),
+      b AS (SELECT cb.prev, cb.term,
+          round(ln(0.75 * (CAST(cb.cb AS DOUBLE) / CAST(cp.cp AS DOUBLE))
+            + 0.25 * (CAST(cnt.c + 1 AS DOUBLE) / CAST(st.n_total + st.n_vocab AS DOUBLE))), 6) AS logp_bi
+        FROM cb JOIN cp ON cb.prev = cp.prev JOIN cnt ON cb.term = cnt.term, st),
+      fr AS (SELECT t.doc_id, -u.logp_uni AS nll
+        FROM tok t JOIN u ON t.term = u.term WHERE t.pos = 1),
+      br AS (SELECT g.doc_id, -coalesce(b.logp_bi, u.logp_bo) AS nll
+        FROM big g LEFT JOIN b ON g.prev = b.prev AND g.term = b.term
+        JOIN u ON g.term = u.term),
+      allr AS (SELECT * FROM fr UNION ALL SELECT * FROM br)
+      SELECT doc_id, count(*) AS n_tokens,
+        round(CAST(sum(CAST(nll AS DECIMAL(18,6))) AS DOUBLE) / CAST(count(*) AS DOUBLE), 4) AS avg_nll
+      FROM allr GROUP BY doc_id"""))
   )
 
   /** Unrolled DuckDB replay of BPE train + encode (q111): per round, pair

@@ -67,6 +67,87 @@ object LangModel {
           count(lit(1)).cast("double")), 4).as("avg_nll"))
       .select(col("id").as(idCol), col("n_tokens"), col("avg_nll"))
 
+  /** Interpolated bigram LM (KenLM-style one-level backoff, fixed weights —
+    * a data-scale stand-in for the full Kneser–Ney stack):
+    * p(w|v) = 0.75·c(v,w)/c(v·) + 0.25·p_uni(w), with p_uni the add-one
+    * unigram of [[unigramLm]] and c(v·) the count of bigram events starting
+    * with v. Fixed interpolation weights keep the model a pure function of
+    * the corpus — replayable in SQL, no EM fitting.
+    *
+    * Returns (uniRel, biRel): uniRel = (term, logp_uni, logp_bo) where
+    * logp_bo = round(ln(0.25·p_uni), 6) scores a bigram whose PAIR is
+    * unseen but whose word is known (the interpolation's backoff floor);
+    * biRel = (prev, term, logp_bi) over observed pairs. Every log rounds
+    * to 6 at the source (the standing ln convention); the inner prob is
+    * mul-mul-add of identically-derived doubles, so both engines agree.
+    *
+    * Scale: the bigram relation is one per-doc lag window (sort bounded by
+    * doc length) + two keyed aggregations; both LM relations are
+    * Zipf-bounded, tiny next to the corpus.
+    */
+  def bigramLm(docs: DataFrame, idCol: String,
+               textCol: String): (DataFrame, DataFrame) = {
+    val toks = docs.select(col(idCol).as("id"),
+      posexplode(TextStats.tokens(Dedup.normalize(col(textCol))))
+        .as(Seq("pos", "term")))
+    val counts = toks.groupBy("term").agg(count(lit(1)).as("c"))
+    val stats = counts.agg(sum(col("c")).as("n_total"),
+      count(lit(1)).as("n_vocab"))
+    def pUni = (col("c") + 1).cast("double") /
+      (col("n_total") + col("n_vocab")).cast("double")
+    val uniRel = counts.crossJoin(broadcast(stats))
+      .select(col("term"),
+        round(log(pUni), 6).as("logp_uni"),
+        round(log(lit(0.25) * pUni), 6).as("logp_bo"))
+
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("id").orderBy("pos")
+    val big = toks.withColumn("prev", lag(col("term"), 1).over(w))
+      .filter(col("prev").isNotNull)
+    val cb = big.groupBy("prev", "term").agg(count(lit(1)).as("cb"))
+    val cp = cb.groupBy("prev").agg(sum(col("cb")).as("cp"))
+    val biRel = cb.join(cp, Seq("prev"))
+      .join(counts, Seq("term")).crossJoin(broadcast(stats))
+      .select(col("prev"), col("term"),
+        round(log(lit(0.75) * (col("cb").cast("double") / col("cp").cast("double"))
+          + lit(0.25) * pUni), 6).as("logp_bi"))
+    (uniRel, biRel)
+  }
+
+  /** Score each document against an interpolated bigram LM (possibly of a
+    * reference corpus): (idCol, n_tokens, avg_nll). The first token of a
+    * doc scores by the unigram; every later position by its (prev, term)
+    * pair, falling back to the interpolation floor `logp_bo` for unseen
+    * pairs and to `floorLogp` for unseen words. Same relational shape as
+    * [[scoreDocs]] plus the per-doc lag window; the LM relations ride
+    * equi-joins (AQE broadcasts at reference-LM sizes).
+    */
+  def scoreDocsBigram(docs: DataFrame, idCol: String, textCol: String,
+                      uniRel: DataFrame, biRel: DataFrame,
+                      floorLogp: Double): DataFrame = {
+    val toks = docs.select(col(idCol).as("id"),
+      posexplode(TextStats.tokens(Dedup.normalize(col(textCol))))
+        .as(Seq("pos", "term")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("id").orderBy("pos")
+    val withPrev = toks.withColumn("prev", lag(col("term"), 1).over(w))
+    val firstRows = withPrev.filter(col("prev").isNull)
+      .join(uniRel.select(col("term"), col("logp_uni")), Seq("term"), "left")
+      .select(col("id"),
+        (-coalesce(col("logp_uni"), lit(floorLogp))).as("nll"))
+    val bigRows = withPrev.filter(col("prev").isNotNull)
+      .join(biRel, Seq("prev", "term"), "left")
+      .join(uniRel.select(col("term"), col("logp_bo")), Seq("term"), "left")
+      .select(col("id"),
+        (-coalesce(col("logp_bi"), col("logp_bo"), lit(floorLogp))).as("nll"))
+    firstRows.unionByName(bigRows)
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_tokens"),
+        round(sum(col("nll").cast("decimal(18,6)")).cast("double") /
+          count(lit(1)).cast("double"), 4).as("avg_nll"))
+      .select(col("id").as(idCol), col("n_tokens"), col("avg_nll"))
+  }
+
   /** Top-`v` vocabulary by corpus frequency, ties pinned by term text
     * ascending: (term, c, rank), rank 1-based. orderBy+limit compiles to
     * TakeOrderedAndProject — per-partition top-v then a single merge of

@@ -1118,4 +1118,26 @@ class LlmSpec extends SparkSuite {
       .map(r => (r._1, r._2) -> r._3).toMap
     got.foreach { case (q, v, adc, _) => assert(full((q, v)) == adc) }
   }
+
+  test("bigram LM: hand-computed interpolated probs; unseen-pair and unseen-word fallbacks") {
+    import spark.implicits._
+    val corpus = docs((1L, "a b a b"), (2L, "a b"))
+    val (uni, bi) = graft.llm.LangModel.bigramLm(corpus, "doc_id", "text")
+    // p_uni(a)=p_uni(b)=(3+1)/(6+2)=0.5; p(b|a)=0.75*(3/3)+0.25*0.5=0.875
+    val score = graft.llm.LangModel.scoreDocsBigram(
+      docs((2L, "a b")), "doc_id", "text", uni, bi, floorLogp = -9.0)
+      .as[(Long, Long, Double)].head()
+    // -ln(0.5)=0.693147, -ln(0.875)=0.133531 -> avg 0.413339 -> 0.4133
+    assert(score == ((2L, 2L, 0.4133)))
+    // unseen PAIR (b,b) backs off to ln(0.25*p_uni(b)) = ln(0.125)
+    val bb = graft.llm.LangModel.scoreDocsBigram(
+      docs((3L, "b b")), "doc_id", "text", uni, bi, floorLogp = -9.0)
+      .as[(Long, Long, Double)].head()
+    assert(bb == ((3L, 2L, ((0.693147 + 2.079442) / 2 * 10000).round / 10000.0)))
+    // unseen WORD hits the floor
+    val cc = graft.llm.LangModel.scoreDocsBigram(
+      docs((4L, "zzz")), "doc_id", "text", uni, bi, floorLogp = -9.0)
+      .as[(Long, Long, Double)].head()
+    assert(cc == ((4L, 1L, 9.0)))
+  }
 }
