@@ -2795,7 +2795,26 @@ object Queries {
       allr AS (SELECT * FROM fr UNION ALL SELECT * FROM br)
       SELECT doc_id, count(*) AS n_tokens,
         round(CAST(sum(CAST(nll AS DECIMAL(18,6))) AS DOUBLE) / CAST(count(*) AS DOUBLE), 4) AS avg_nll
-      FROM allr GROUP BY doc_id"""))
+      FROM allr GROUP BY doc_id""")),
+
+    // Fixed-budget uniform frame sampling (video-LM preprocessing: 16 frames
+    // per clip regardless of length — q32's every-Nth form is unbounded on
+    // long clips). total_frames manufactured from the payload (mod 241:
+    // exercises the zero-frame, short-clip, and uniform legs); slot i maps
+    // to (i·(total-1)) div 15 in pure integer math.
+    ("q120_frame_plan", (s: SparkSession, d: String) => {
+      val m = Multimodal.decodeMeta(
+        Multimodal.withPayload(t(s, d, "documents"), "text", "doc_id"))
+        .withColumn("total_frames", pmod(col("n_bytes"), lit(241)))
+      Multimodal.uniformFramePlan(m, n = 16, "total_frames")
+    }, Some("""WITH m AS (SELECT doc_id,
+        CAST(octet_length(encode(text)) % 241 AS BIGINT) AS total FROM documents),
+      s AS (SELECT doc_id, total, unnest(range(0, least(total, 16))) AS slot
+        FROM m WHERE total > 0)
+      SELECT doc_id, CAST(slot AS BIGINT) AS slot,
+        CAST(CASE WHEN total <= 16 THEN slot
+          ELSE (slot * (total - 1)) // 15 END AS BIGINT) AS frame_idx
+      FROM s"""))
   )
 
   /** Unrolled DuckDB replay of BPE train + encode (q111): per round, pair

@@ -96,6 +96,31 @@ object Multimodal {
         sequence(lit(0), col(totalFramesCol) - 1, lit(everyNth)))
         .otherwise(array()))) // zero-frame media contributes no rows
 
+  /** Uniform-N frame-sampling plan — the fixed-budget variant of
+    * [[sampleFrames]] (video-LM preprocessing samples a FIXED clip budget,
+    * e.g. 16 frames, regardless of clip length; every-Nth sampling yields
+    * unbounded frames on long videos): slot i of n maps to frame
+    * `(i·(total-1)) div (n-1)` — first and last frame always included,
+    * spacing uniform, pure integer math so the plan is exact and
+    * engine-replayable. Clips with fewer than n frames emit every frame
+    * (slots stay dense); zero-frame media emits nothing. One row per
+    * (doc, slot): a generator off the metadata projection, no shuffle —
+    * the downstream per-frame decode parallelizes over the exploded rows.
+    */
+  def uniformFramePlan(df: DataFrame, n: Int, totalFramesCol: String,
+                       idCol: String = "doc_id"): DataFrame = {
+    require(n >= 2, s"frame budget must be >= 2, got $n")
+    val total = col(totalFramesCol).cast("long")
+    df.filter(total > 0)
+      .withColumn("__total", total)
+      .withColumn("slot",
+        explode(sequence(lit(0L), least(col("__total"), lit(n.toLong)) - 1)))
+      .withColumn("frame_idx",
+        when(col("__total") <= n, col("slot"))
+          .otherwise(expr(s"(slot * (__total - 1)) div ${n - 1}")))
+      .select(col(idCol), col("slot"), col("frame_idx"))
+  }
+
   /** Aspect-preserving resize + centered letterbox plan onto a `target` x
     * `target` canvas — the REAL preprocessing arithmetic (the only fake in
     * this module is the codec): the long side maps to `target`, the short

@@ -1140,4 +1140,16 @@ class LlmSpec extends SparkSuite {
       .as[(Long, Long, Double)].head()
     assert(cc == ((4L, 1L, 9.0)))
   }
+
+  test("uniform frame plan: zero/short/long clips; endpoints and spacing") {
+    import spark.implicits._
+    val m = Seq((1L, 0L), (2L, 5L), (3L, 100L)).toDF("doc_id", "total_frames")
+    val got = graft.llm.Multimodal.uniformFramePlan(m, n = 16, "total_frames")
+      .as[(Long, Long, Long)].collect().groupBy(_._1)
+    assert(!got.contains(1L))                       // zero-frame: no rows
+    assert(got(2L).sortBy(_._2).map(_._3).toSeq == (0L until 5L)) // all frames
+    val long = got(3L).sortBy(_._2).map(_._3).toSeq
+    assert(long.size == 16 && long.head == 0L && long.last == 99L)
+    assert(long.sliding(2).forall(p => p.head < p.last)) // strictly increasing
+  }
 }
