@@ -2814,7 +2814,43 @@ object Queries {
       SELECT doc_id, CAST(slot AS BIGINT) AS slot,
         CAST(CASE WHEN total <= 16 THEN slot
           ELSE (slot * (total - 1)) // 15 END AS BIGINT) AS frame_idx
-      FROM s"""))
+      FROM s""")),
+
+    // Count-Min sketch frequency store (Cormode/Muthukrishnan 2005): a 4×1024
+    // counter matrix — FIXED size at any corpus scale, merges by addition —
+    // point-queried for the exact top-50 terms beside their true counts
+    // (c_est >= c_exact always; the overestimate property is the check the
+    // test pins). All-integer md5-bucket arithmetic: the oracle replays the
+    // entire matrix, no tolerance band.
+    ("q121_cms_freq", (s: SparkSession, d: String) => {
+      val docs = t(s, d, "documents")
+      val tok = docs.select(explode(
+        TextStats.tokens(Dedup.normalize(col("text")))).as("term"))
+      val mat = graft.llm.Sketches.cmsMatrix(tok, "term", d = 4, w = 1024)
+      val top = graft.llm.LangModel.vocab(docs, "doc_id", "text", 50)
+        .select(col("term"), col("c").as("c_exact"))
+      top.join(graft.llm.Sketches.cmsEstimate(top.select("term"), mat, "term",
+          d = 4, w = 1024), Seq("term"))
+        .select(col("term"), col("c_exact"), col("c_est"))
+    }, Some("""WITH dd AS (SELECT doc_id,
+        list_filter(string_split_regex(trim(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')), ' '),
+                    x -> x <> '') AS w
+        FROM documents),
+      tok AS (SELECT unnest(w) AS term FROM dd),
+      cnt AS (SELECT term, count(*) AS c FROM tok GROUP BY term),
+      top AS (SELECT term, c FROM cnt ORDER BY c DESC, term LIMIT 50),
+      rr AS (SELECT unnest(range(0, 4)) AS r),
+      cells AS (SELECT ('0x' || substr(md5(term), CAST(1 + 8 * rr.r AS INTEGER), 8))::BIGINT % 1024 AS bucket,
+          rr.r FROM tok, rr),
+      mat AS (SELECT r, bucket, count(*) AS c FROM cells GROUP BY r, bucket),
+      cand AS (SELECT t.term, rr.r,
+          ('0x' || substr(md5(t.term), CAST(1 + 8 * rr.r AS INTEGER), 8))::BIGINT % 1024 AS bucket
+        FROM top t, rr),
+      est AS (SELECT cand.term, CAST(min(m.c) AS BIGINT) AS c_est
+        FROM cand JOIN mat m ON cand.r = m.r AND cand.bucket = m.bucket
+        GROUP BY cand.term)
+      SELECT t.term, CAST(t.c AS BIGINT) AS c_exact, e.c_est
+      FROM top t JOIN est e ON t.term = e.term"""))
   )
 
   /** Unrolled DuckDB replay of BPE train + encode (q111): per round, pair

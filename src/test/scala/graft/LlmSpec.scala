@@ -1152,4 +1152,28 @@ class LlmSpec extends SparkSuite {
     assert(long.size == 16 && long.head == 0L && long.last == 99L)
     assert(long.sliding(2).forall(p => p.head < p.last)) // strictly increasing
   }
+
+  test("count-min: estimates always >= exact; shard matrices merge by addition") {
+    import spark.implicits._
+    val terms = (Seq.fill(40)("alpha") ++ Seq.fill(7)("beta") ++
+      (0 until 60).map(i => s"t$i")).toDF("term")
+    val mat = graft.llm.Sketches.cmsMatrix(terms, "term", d = 4, w = 32)
+    val exact = terms.groupBy("term").count()
+    val est = graft.llm.Sketches.cmsEstimate(
+      exact.select("term"), mat, "term", d = 4, w = 32)
+    val both = exact.join(est, Seq("term"))
+      .as[(String, Long, Long)].collect()
+    assert(both.length == 62 && both.forall { case (_, c, e) => e >= c })
+    // heavy hitters stay identifiable through a 32-bucket squeeze
+    val byTerm = both.map(r => r._1 -> r._3).toMap
+    assert(byTerm("alpha") >= 40L && byTerm("beta") >= 7L)
+    // mergeability: sum of two shard matrices == matrix of the union
+    val (sa, sb) = (terms.limit(50), terms.exceptAll(terms.limit(50)))
+    val merged = graft.llm.Sketches.cmsMatrix(sa, "term", 4, 32)
+      .unionByName(graft.llm.Sketches.cmsMatrix(sb, "term", 4, 32))
+      .groupBy("r", "bucket").agg(sum("c").as("c"))
+      .as[(Int, Long, Long)].collect().toSet
+    val whole = mat.as[(Int, Long, Long)].collect().toSet
+    assert(merged == whole)
+  }
 }
