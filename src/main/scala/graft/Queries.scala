@@ -2850,7 +2850,129 @@ object Queries {
         FROM cand JOIN mat m ON cand.r = m.r AND cand.bucket = m.bucket
         GROUP BY cand.term)
       SELECT t.term, CAST(t.c AS BIGINT) AS c_exact, e.c_est
-      FROM top t JOIN est e ON t.term = e.term"""))
+      FROM top t JOIN est e ON t.term = e.term""")),
+
+    // Residual-encoded IVFPQ (FAISS default, by_residual=true): PQ trained
+    // on (vector − coarse centroid) residuals — finer quantization from the
+    // same ks entries; distance tables become per-(query, probed cell).
+    // Same coarse CTEs as q118; the PQ leg runs over the residual relation
+    // and the ADC join adds the cell key.
+    ("q122_ivfpq_residual", (s: SparkSession, d: String) => {
+      val emb = t(s, d, "embeddings")
+      graft.llm.ProductQuant.ivfPqResidualTopK(
+        emb.filter(col("vec_id") < 8).select(col("vec_id").as("query_id"), col("embedding")),
+        emb, 5, m = 8, dims = 8, centroidStride = 32, trainIters = 2,
+        ks = 16, coarseKs = 8, nprobe = 2)
+    }, Some("""WITH corp AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      cc0 AS (SELECT vec_id AS ccid, v AS ccv FROM corp
+        WHERE vec_id % 32 = 0 AND vec_id < 256),
+      ca1 AS (SELECT vec_id, v, ccid FROM (
+        SELECT c.vec_id, c.v, t.ccid,
+          row_number() OVER (PARTITION BY c.vec_id
+            ORDER BY round(list_reduce(
+              [(c.v[CAST(i AS INTEGER)] - t.ccv[CAST(i AS INTEGER)])
+               * (c.v[CAST(i AS INTEGER)] - t.ccv[CAST(i AS INTEGER)])
+               FOR i IN range(1, 65)], (p, q) -> p + q), 6), t.ccid) AS rn
+        FROM corp c CROSS JOIN cc0 t) WHERE rn = 1),
+      cc1 AS (SELECT ccid, list(mn ORDER BY dim) AS ccv FROM (
+          SELECT ccid, dim,
+            round(CAST(sum(CAST(xx AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS mn
+          FROM (SELECT ccid, unnest(range(len(v))) AS dim, unnest(v) AS xx FROM ca1)
+          GROUP BY ccid, dim) GROUP BY ccid),
+      ca2 AS (SELECT vec_id, v, ccid FROM (
+        SELECT c.vec_id, c.v, t.ccid,
+          row_number() OVER (PARTITION BY c.vec_id
+            ORDER BY round(list_reduce(
+              [(c.v[CAST(i AS INTEGER)] - t.ccv[CAST(i AS INTEGER)])
+               * (c.v[CAST(i AS INTEGER)] - t.ccv[CAST(i AS INTEGER)])
+               FOR i IN range(1, 65)], (p, q) -> p + q), 6), t.ccid) AS rn
+        FROM corp c CROSS JOIN cc1 t) WHERE rn = 1),
+      cc2 AS (SELECT ccid, list(mn ORDER BY dim) AS ccv FROM (
+          SELECT ccid, dim,
+            round(CAST(sum(CAST(xx AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS mn
+          FROM (SELECT ccid, unnest(range(len(v))) AS dim, unnest(v) AS xx FROM ca2)
+          GROUP BY ccid, dim) GROUP BY ccid),
+      cellasg AS (SELECT vec_id, ccid AS cell FROM (
+        SELECT c.vec_id, t.ccid,
+          row_number() OVER (PARTITION BY c.vec_id
+            ORDER BY round(list_reduce(
+              [(c.v[CAST(i AS INTEGER)] - t.ccv[CAST(i AS INTEGER)])
+               * (c.v[CAST(i AS INTEGER)] - t.ccv[CAST(i AS INTEGER)])
+               FOR i IN range(1, 65)], (p, q) -> p + q), 6), t.ccid) AS rn
+        FROM corp c CROSS JOIN cc2 t) WHERE rn = 1),
+      probe AS (SELECT vec_id AS query_id, ccid AS cell FROM (
+        SELECT c.vec_id, t.ccid,
+          row_number() OVER (PARTITION BY c.vec_id
+            ORDER BY round(list_reduce(
+              [(c.v[CAST(i AS INTEGER)] - t.ccv[CAST(i AS INTEGER)])
+               * (c.v[CAST(i AS INTEGER)] - t.ccv[CAST(i AS INTEGER)])
+               FOR i IN range(1, 65)], (p, q) -> p + q), 6), t.ccid) AS rn
+        FROM (SELECT * FROM corp WHERE vec_id < 8) c CROSS JOIN cc2 t) WHERE rn <= 2),
+      resid AS (SELECT c.vec_id, a.cell,
+          [c.v[CAST(i AS INTEGER)] - t.ccv[CAST(i AS INTEGER)] FOR i IN range(1, 65)] AS rv
+        FROM corp c JOIN cellasg a ON c.vec_id = a.vec_id JOIN cc2 t ON a.cell = t.ccid),
+      rsv AS (SELECT vec_id, s.sub,
+          rv[CAST(8 * s.sub + 1 AS INTEGER):CAST(8 * s.sub + 8 AS INTEGER)] AS sv
+        FROM resid, (SELECT unnest(range(0, 8)) AS sub) s),
+      sb0 AS (SELECT sub, vec_id AS cid, sv AS cv FROM rsv
+        WHERE vec_id % 32 = 0 AND vec_id < 512),
+      a1 AS (SELECT vec_id, sub, sv, cid FROM (
+        SELECT x.vec_id, x.sub, x.sv, c.cid,
+          row_number() OVER (PARTITION BY x.vec_id, x.sub
+            ORDER BY round(list_reduce(
+              [(x.sv[CAST(i AS INTEGER)] - c.cv[CAST(i AS INTEGER)])
+               * (x.sv[CAST(i AS INTEGER)] - c.cv[CAST(i AS INTEGER)])
+               FOR i IN range(1, 9)], (p, q) -> p + q), 6), c.cid) AS rn
+        FROM rsv x JOIN sb0 c ON x.sub = c.sub) WHERE rn = 1),
+      cb1 AS (SELECT sub, cid, list(mn ORDER BY dim) AS cv FROM (
+          SELECT sub, cid, dim,
+            round(CAST(sum(CAST(xx AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS mn
+          FROM (SELECT sub, cid, unnest(range(len(sv))) AS dim, unnest(sv) AS xx FROM a1)
+          GROUP BY sub, cid, dim) GROUP BY sub, cid),
+      a2 AS (SELECT vec_id, sub, sv, cid FROM (
+        SELECT x.vec_id, x.sub, x.sv, c.cid,
+          row_number() OVER (PARTITION BY x.vec_id, x.sub
+            ORDER BY round(list_reduce(
+              [(x.sv[CAST(i AS INTEGER)] - c.cv[CAST(i AS INTEGER)])
+               * (x.sv[CAST(i AS INTEGER)] - c.cv[CAST(i AS INTEGER)])
+               FOR i IN range(1, 9)], (p, q) -> p + q), 6), c.cid) AS rn
+        FROM rsv x JOIN cb1 c ON x.sub = c.sub) WHERE rn = 1),
+      cb2 AS (SELECT sub, cid, list(mn ORDER BY dim) AS cv FROM (
+          SELECT sub, cid, dim,
+            round(CAST(sum(CAST(xx AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS mn
+          FROM (SELECT sub, cid, unnest(range(len(sv))) AS dim, unnest(sv) AS xx FROM a2)
+          GROUP BY sub, cid, dim) GROUP BY sub, cid),
+      enc AS (SELECT vec_id, sub, cid AS code FROM (
+        SELECT x.vec_id, x.sub, c.cid,
+          row_number() OVER (PARTITION BY x.vec_id, x.sub
+            ORDER BY round(list_reduce(
+              [(x.sv[CAST(i AS INTEGER)] - c.cv[CAST(i AS INTEGER)])
+               * (x.sv[CAST(i AS INTEGER)] - c.cv[CAST(i AS INTEGER)])
+               FOR i IN range(1, 9)], (p, q) -> p + q), 6), c.cid) AS rn
+        FROM rsv x JOIN cb2 c ON x.sub = c.sub) WHERE rn = 1),
+      qresid AS (SELECT q.vec_id AS query_id, p.cell,
+          [q.v[CAST(i AS INTEGER)] - t.ccv[CAST(i AS INTEGER)] FOR i IN range(1, 65)] AS rv
+        FROM (SELECT * FROM corp WHERE vec_id < 8) q
+        JOIN probe p ON p.query_id = q.vec_id JOIN cc2 t ON p.cell = t.ccid),
+      qrsv AS (SELECT query_id, cell, s.sub,
+          rv[CAST(8 * s.sub + 1 AS INTEGER):CAST(8 * s.sub + 8 AS INTEGER)] AS sv
+        FROM qresid, (SELECT unnest(range(0, 8)) AS sub) s),
+      dt AS (SELECT q.query_id, q.cell, c.sub, c.cid AS code,
+          round(list_reduce(
+            [(q.sv[CAST(i AS INTEGER)] - c.cv[CAST(i AS INTEGER)])
+             * (q.sv[CAST(i AS INTEGER)] - c.cv[CAST(i AS INTEGER)])
+             FOR i IN range(1, 9)], (p, q) -> p + q), 6) AS d
+        FROM qrsv q JOIN cb2 c ON q.sub = c.sub),
+      sc AS (SELECT dt.query_id, e.vec_id,
+          CAST(sum(CAST(dt.d AS DECIMAL(18,6))) AS DOUBLE) AS adc
+        FROM enc e
+        JOIN cellasg ce ON e.vec_id = ce.vec_id
+        JOIN dt ON dt.cell = ce.cell AND e.sub = dt.sub AND e.code = dt.code
+        GROUP BY dt.query_id, e.vec_id),
+      w AS (SELECT *, row_number() OVER (PARTITION BY query_id
+          ORDER BY adc, vec_id) AS rnk FROM sc)
+      SELECT query_id, vec_id, adc, CAST(rnk AS INTEGER) AS rank
+      FROM w WHERE rnk <= 5"""))
   )
 
   /** Unrolled DuckDB replay of BPE train + encode (q111): per round, pair

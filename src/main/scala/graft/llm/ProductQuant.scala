@@ -180,6 +180,61 @@ object ProductQuant {
         (col("pos") + 1).cast("int").as("rank"))
   }
 
+  /** Residual-encoded IVF+PQ — FAISS's DEFAULT IVFPQ (`by_residual=true`,
+    * Jégou et al. §V.A): PQ codebooks are trained on RESIDUALS
+    * (vector minus its coarse centroid) instead of raw vectors. Residuals
+    * concentrate near zero, so the same ks codebook entries quantize much
+    * finer — the accuracy the two-level index is built for. The cost vs
+    * [[ivfPqTopK]]: distance tables become PER-(query, probed cell) — the
+    * query's residual differs per cell — multiplying table size by nprobe
+    * (still query-batch-sized, broadcast). Corpus-side the residual
+    * subtraction is one broadcast join against the coarse centroids at
+    * encode time; nothing else changes shape.
+    */
+  def ivfPqResidualTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+                        m: Int = 8, dims: Int = 8, centroidStride: Int = 32,
+                        trainIters: Int = 2, ks: Int = 16, coarseKs: Int = 8,
+                        nprobe: Int = 2,
+                        queryId: String = "query_id", vecId: String = "vec_id"): DataFrame = {
+    val d = m * dims
+    val coarse = trainCodebooks(corpus, 1, d, centroidStride, trainIters, coarseKs, vecId)
+    val cells = encode(corpus, coarse, 1, d, vecId)
+      .select(col(vecId), col("code").as("cell"))
+    val cvRel = coarse.select(col("cid").as("cell"), col("cv").as("cellv"))
+
+    val corpV = corpus.select(col(vecId), col("embedding").cast("array<double>").as("v"))
+    val resid = corpV.join(cells, Seq(vecId)).join(broadcast(cvRel), Seq("cell"))
+      .select(col(vecId), col("cell"),
+        zip_with(col("v"), col("cellv"), (a, b) => a - b).as("embedding"))
+    val cb = trainCodebooks(resid, m, dims, centroidStride, trainIters, ks, vecId)
+    val codes = encode(resid, cb, m, dims, vecId).join(cells, Seq(vecId))
+
+    val q = queries.withColumnRenamed(queryId, "__qid")
+    val probes = assign(subvectors(q, "__qid", 1, d), coarse, "__qid", nprobe)
+      .select(col("__qid"), col("cid").as("cell"))
+    val qv = q.select(col("__qid"), col("embedding").cast("array<double>").as("v"))
+    val qresid = qv.join(probes, Seq("__qid")).join(broadcast(cvRel), Seq("cell"))
+      .select(col("__qid"), col("cell"),
+        zip_with(col("v"), col("cellv"), (a, b) => a - b).as("rv"))
+    val qsv = qresid.select(col("__qid"), col("cell"),
+      posexplode(transform(sequence(lit(0), lit(m - 1)),
+        s => slice(col("rv"), s * dims + 1, lit(dims)))).as(Seq("sub", "sv")))
+    val dt = qsv.join(broadcast(cb), Seq("sub"))
+      .select(col("__qid"), col("cell"), col("sub"), col("cid").as("code"),
+        round(sqDist(col("sv"), col("cv")), 6).as("d"))
+
+    val adc = codes.join(broadcast(dt), Seq("cell", "sub", "code"))
+      .groupBy(col("__qid"), col(vecId))
+      .agg(sum(col("d").cast("decimal(18,6)")).cast("double").as("adc"))
+    adc.groupBy(col("__qid"))
+      .agg(org.apache.spark.sql.graft.TopKColumns
+        .topKByScore(negate(col("adc")), col(vecId), k).as("top"))
+      .select(col("__qid").as(queryId), posexplode(col("top")).as(Seq("pos", "entry")))
+      .select(col(queryId), col("entry.id").as(vecId),
+        negate(col("entry.score")).as("adc"),
+        (col("pos") + 1).cast("int").as("rank"))
+  }
+
   /** Train → encode → search, the full PQ pipeline for one query batch. */
   def pqTopK(queries: DataFrame, corpus: DataFrame, k: Int,
              m: Int = 8, dims: Int = 8, centroidStride: Int = 32,

@@ -1176,4 +1176,24 @@ class LlmSpec extends SparkSuite {
     val whole = mat.as[(Int, Long, Long)].collect().toSet
     assert(merged == whole)
   }
+
+  test("residual ivfpq: cluster isolation at nprobe=1; residual adc is near-zero in-cell") {
+    import spark.implicits._
+    val corpus = (0L until 40L).map { i =>
+      val base = if (i < 20) 0.0f else 10.0f
+      (i, Array.tabulate(8)(j => base + 0.01f * i + 0.001f * j))
+    }.toDF("vec_id", "embedding")
+    val queries = corpus.filter(col("vec_id") === 1L || col("vec_id") === 30L)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val got = graft.llm.ProductQuant.ivfPqResidualTopK(
+      queries, corpus, k = 5, m = 2, dims = 4, centroidStride = 10,
+      trainIters = 2, ks = 4, coarseKs = 4, nprobe = 1)
+      .as[(Long, Long, Double, Int)].collect()
+    val byQ = got.groupBy(_._1)
+    assert(byQ(1L).nonEmpty && byQ(1L).forall(_._2 < 20L))
+    assert(byQ(30L).nonEmpty && byQ(30L).forall(_._2 >= 20L))
+    // residuals within a tight cluster are tiny -> quantized distances are
+    // far below the raw coordinate scale (cluster spread ~0.2, base 10.0)
+    assert(got.forall(_._3 < 1.0), got.mkString(","))
+  }
 }
