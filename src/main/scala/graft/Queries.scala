@@ -2523,9 +2523,9 @@ object Queries {
           array_join(slice(ws, 9, 8), " ")).as("text"))
       graft.llm.ParagraphDedup.dedup(built, "doc_id", "text")
     }, Some("""WITH built AS (SELECT doc_id,
-        array_to_string(string_split(text, ' ')[1:8], ' ') || chr(10) || chr(10)
+        coalesce(array_to_string(string_split(text, ' ')[1:8], ' '), '') || chr(10) || chr(10)
         || 'footer boilerplate ' || CAST(doc_id % 7 AS VARCHAR) || chr(10) || chr(10)
-        || array_to_string(string_split(text, ' ')[9:16], ' ') AS text
+        || coalesce(array_to_string(string_split(text, ' ')[9:16], ' '), '') AS text
         FROM documents),
       p0 AS (SELECT doc_id, string_split(text, chr(10) || chr(10)) AS ps FROM built),
       pf AS (SELECT doc_id, pos, para FROM (
@@ -2557,7 +2557,9 @@ object Queries {
     ("q116_kmv_distinct", (s: SparkSession, d: String) => {
       val hv = conv(substring(md5(col("user_id").cast("string")), 1, 15), 16, 10)
         .cast("long")
-      t(s, d, "events")
+      // null users dropped BEFORE grouping (mirrors the oracle's WHERE): a
+      // type whose users are all null should be absent, not an empty sketch
+      t(s, d, "events").filter(col("user_id").isNotNull)
         .groupBy("event_type")
         .agg(org.apache.spark.sql.graft.KmvColumns.kmvSketch(hv, 64).as("s"))
         .select(col("event_type"), col("s.n_kept").as("n_kept"),
@@ -2590,51 +2592,12 @@ object Queries {
       graft.llm.ProductQuant.pqTopK(
         emb.filter(col("vec_id") < 8).select(col("vec_id").as("query_id"), col("embedding")),
         emb, 5, m = 8, dims = 8, centroidStride = 32, trainIters = 2, ks = 16)
-    }, Some("""WITH corp AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    }, Some(s"""WITH corp AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
       sv AS (SELECT vec_id, s.sub,
           v[CAST(8 * s.sub + 1 AS INTEGER):CAST(8 * s.sub + 8 AS INTEGER)] AS sv
-        FROM corp, (SELECT unnest(range(0, 8)) AS sub) s),
-      sb0 AS (SELECT sub, vec_id AS cid, sv AS cv FROM sv
-        WHERE vec_id % 32 = 0 AND vec_id < 512),
-      a1 AS (SELECT vec_id, sub, sv, cid FROM (
-        SELECT x.vec_id, x.sub, x.sv, c.cid,
-          row_number() OVER (PARTITION BY x.vec_id, x.sub
-            ORDER BY round(list_reduce(
-              [(x.sv[CAST(i AS INTEGER)] - c.cv[CAST(i AS INTEGER)])
-               * (x.sv[CAST(i AS INTEGER)] - c.cv[CAST(i AS INTEGER)])
-               FOR i IN range(1, 9)], (p, q) -> p + q), 6), c.cid) AS rn
-        FROM sv x JOIN sb0 c ON x.sub = c.sub) WHERE rn = 1),
-      cb1 AS (SELECT sub, cid, list(mn ORDER BY dim) AS cv FROM (
-          SELECT sub, cid, dim,
-            round(CAST(sum(CAST(xx AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS mn
-          FROM (SELECT sub, cid, unnest(range(len(sv))) AS dim, unnest(sv) AS xx FROM a1)
-          GROUP BY sub, cid, dim) GROUP BY sub, cid),
-      a2 AS (SELECT vec_id, sub, sv, cid FROM (
-        SELECT x.vec_id, x.sub, x.sv, c.cid,
-          row_number() OVER (PARTITION BY x.vec_id, x.sub
-            ORDER BY round(list_reduce(
-              [(x.sv[CAST(i AS INTEGER)] - c.cv[CAST(i AS INTEGER)])
-               * (x.sv[CAST(i AS INTEGER)] - c.cv[CAST(i AS INTEGER)])
-               FOR i IN range(1, 9)], (p, q) -> p + q), 6), c.cid) AS rn
-        FROM sv x JOIN cb1 c ON x.sub = c.sub) WHERE rn = 1),
-      cb2 AS (SELECT sub, cid, list(mn ORDER BY dim) AS cv FROM (
-          SELECT sub, cid, dim,
-            round(CAST(sum(CAST(xx AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS mn
-          FROM (SELECT sub, cid, unnest(range(len(sv))) AS dim, unnest(sv) AS xx FROM a2)
-          GROUP BY sub, cid, dim) GROUP BY sub, cid),
-      enc AS (SELECT vec_id, sub, cid AS code FROM (
-        SELECT x.vec_id, x.sub, c.cid,
-          row_number() OVER (PARTITION BY x.vec_id, x.sub
-            ORDER BY round(list_reduce(
-              [(x.sv[CAST(i AS INTEGER)] - c.cv[CAST(i AS INTEGER)])
-               * (x.sv[CAST(i AS INTEGER)] - c.cv[CAST(i AS INTEGER)])
-               FOR i IN range(1, 9)], (p, q) -> p + q), 6), c.cid) AS rn
-        FROM sv x JOIN cb2 c ON x.sub = c.sub) WHERE rn = 1),
+        FROM corp, (SELECT unnest(range(0, 8)) AS sub) s)${pqChainSql("sv")},
       dt AS (SELECT q.vec_id AS query_id, c.sub, c.cid AS code,
-          round(list_reduce(
-            [(q.sv[CAST(i AS INTEGER)] - c.cv[CAST(i AS INTEGER)])
-             * (q.sv[CAST(i AS INTEGER)] - c.cv[CAST(i AS INTEGER)])
-             FOR i IN range(1, 9)], (p, q) -> p + q), 6) AS d
+          round(${sqSql("q.sv", "c.cv", 8)}, 6) AS d
         FROM (SELECT * FROM sv WHERE vec_id < 8) q JOIN cb2 c ON q.sub = c.sub),
       sc AS (SELECT dt.query_id, e.vec_id,
           CAST(sum(CAST(dt.d AS DECIMAL(18,6))) AS DOUBLE) AS adc
@@ -2656,95 +2619,12 @@ object Queries {
         emb.filter(col("vec_id") < 8).select(col("vec_id").as("query_id"), col("embedding")),
         emb, 5, m = 8, dims = 8, centroidStride = 32, trainIters = 2,
         ks = 16, coarseKs = 8, nprobe = 2)
-    }, Some("""WITH corp AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-      cc0 AS (SELECT vec_id AS ccid, v AS ccv FROM corp
-        WHERE vec_id % 32 = 0 AND vec_id < 256),
-      ca1 AS (SELECT vec_id, v, ccid FROM (
-        SELECT c.vec_id, c.v, t.ccid,
-          row_number() OVER (PARTITION BY c.vec_id
-            ORDER BY round(list_reduce(
-              [(c.v[CAST(i AS INTEGER)] - t.ccv[CAST(i AS INTEGER)])
-               * (c.v[CAST(i AS INTEGER)] - t.ccv[CAST(i AS INTEGER)])
-               FOR i IN range(1, 65)], (p, q) -> p + q), 6), t.ccid) AS rn
-        FROM corp c CROSS JOIN cc0 t) WHERE rn = 1),
-      cc1 AS (SELECT ccid, list(mn ORDER BY dim) AS ccv FROM (
-          SELECT ccid, dim,
-            round(CAST(sum(CAST(xx AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS mn
-          FROM (SELECT ccid, unnest(range(len(v))) AS dim, unnest(v) AS xx FROM ca1)
-          GROUP BY ccid, dim) GROUP BY ccid),
-      ca2 AS (SELECT vec_id, v, ccid FROM (
-        SELECT c.vec_id, c.v, t.ccid,
-          row_number() OVER (PARTITION BY c.vec_id
-            ORDER BY round(list_reduce(
-              [(c.v[CAST(i AS INTEGER)] - t.ccv[CAST(i AS INTEGER)])
-               * (c.v[CAST(i AS INTEGER)] - t.ccv[CAST(i AS INTEGER)])
-               FOR i IN range(1, 65)], (p, q) -> p + q), 6), t.ccid) AS rn
-        FROM corp c CROSS JOIN cc1 t) WHERE rn = 1),
-      cc2 AS (SELECT ccid, list(mn ORDER BY dim) AS ccv FROM (
-          SELECT ccid, dim,
-            round(CAST(sum(CAST(xx AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS mn
-          FROM (SELECT ccid, unnest(range(len(v))) AS dim, unnest(v) AS xx FROM ca2)
-          GROUP BY ccid, dim) GROUP BY ccid),
-      cellasg AS (SELECT vec_id, ccid AS cell FROM (
-        SELECT c.vec_id, t.ccid,
-          row_number() OVER (PARTITION BY c.vec_id
-            ORDER BY round(list_reduce(
-              [(c.v[CAST(i AS INTEGER)] - t.ccv[CAST(i AS INTEGER)])
-               * (c.v[CAST(i AS INTEGER)] - t.ccv[CAST(i AS INTEGER)])
-               FOR i IN range(1, 65)], (p, q) -> p + q), 6), t.ccid) AS rn
-        FROM corp c CROSS JOIN cc2 t) WHERE rn = 1),
-      probe AS (SELECT vec_id AS query_id, ccid AS cell FROM (
-        SELECT c.vec_id, t.ccid,
-          row_number() OVER (PARTITION BY c.vec_id
-            ORDER BY round(list_reduce(
-              [(c.v[CAST(i AS INTEGER)] - t.ccv[CAST(i AS INTEGER)])
-               * (c.v[CAST(i AS INTEGER)] - t.ccv[CAST(i AS INTEGER)])
-               FOR i IN range(1, 65)], (p, q) -> p + q), 6), t.ccid) AS rn
-        FROM (SELECT * FROM corp WHERE vec_id < 8) c CROSS JOIN cc2 t) WHERE rn <= 2),
+    }, Some(s"""WITH corp AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)$coarseChainSql,
       sv AS (SELECT vec_id, s.sub,
           v[CAST(8 * s.sub + 1 AS INTEGER):CAST(8 * s.sub + 8 AS INTEGER)] AS sv
-        FROM corp, (SELECT unnest(range(0, 8)) AS sub) s),
-      sb0 AS (SELECT sub, vec_id AS cid, sv AS cv FROM sv
-        WHERE vec_id % 32 = 0 AND vec_id < 512),
-      a1 AS (SELECT vec_id, sub, sv, cid FROM (
-        SELECT x.vec_id, x.sub, x.sv, c.cid,
-          row_number() OVER (PARTITION BY x.vec_id, x.sub
-            ORDER BY round(list_reduce(
-              [(x.sv[CAST(i AS INTEGER)] - c.cv[CAST(i AS INTEGER)])
-               * (x.sv[CAST(i AS INTEGER)] - c.cv[CAST(i AS INTEGER)])
-               FOR i IN range(1, 9)], (p, q) -> p + q), 6), c.cid) AS rn
-        FROM sv x JOIN sb0 c ON x.sub = c.sub) WHERE rn = 1),
-      cb1 AS (SELECT sub, cid, list(mn ORDER BY dim) AS cv FROM (
-          SELECT sub, cid, dim,
-            round(CAST(sum(CAST(xx AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS mn
-          FROM (SELECT sub, cid, unnest(range(len(sv))) AS dim, unnest(sv) AS xx FROM a1)
-          GROUP BY sub, cid, dim) GROUP BY sub, cid),
-      a2 AS (SELECT vec_id, sub, sv, cid FROM (
-        SELECT x.vec_id, x.sub, x.sv, c.cid,
-          row_number() OVER (PARTITION BY x.vec_id, x.sub
-            ORDER BY round(list_reduce(
-              [(x.sv[CAST(i AS INTEGER)] - c.cv[CAST(i AS INTEGER)])
-               * (x.sv[CAST(i AS INTEGER)] - c.cv[CAST(i AS INTEGER)])
-               FOR i IN range(1, 9)], (p, q) -> p + q), 6), c.cid) AS rn
-        FROM sv x JOIN cb1 c ON x.sub = c.sub) WHERE rn = 1),
-      cb2 AS (SELECT sub, cid, list(mn ORDER BY dim) AS cv FROM (
-          SELECT sub, cid, dim,
-            round(CAST(sum(CAST(xx AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS mn
-          FROM (SELECT sub, cid, unnest(range(len(sv))) AS dim, unnest(sv) AS xx FROM a2)
-          GROUP BY sub, cid, dim) GROUP BY sub, cid),
-      enc AS (SELECT vec_id, sub, cid AS code FROM (
-        SELECT x.vec_id, x.sub, c.cid,
-          row_number() OVER (PARTITION BY x.vec_id, x.sub
-            ORDER BY round(list_reduce(
-              [(x.sv[CAST(i AS INTEGER)] - c.cv[CAST(i AS INTEGER)])
-               * (x.sv[CAST(i AS INTEGER)] - c.cv[CAST(i AS INTEGER)])
-               FOR i IN range(1, 9)], (p, q) -> p + q), 6), c.cid) AS rn
-        FROM sv x JOIN cb2 c ON x.sub = c.sub) WHERE rn = 1),
+        FROM corp, (SELECT unnest(range(0, 8)) AS sub) s)${pqChainSql("sv")},
       dt AS (SELECT q.vec_id AS query_id, c.sub, c.cid AS code,
-          round(list_reduce(
-            [(q.sv[CAST(i AS INTEGER)] - c.cv[CAST(i AS INTEGER)])
-             * (q.sv[CAST(i AS INTEGER)] - c.cv[CAST(i AS INTEGER)])
-             FOR i IN range(1, 9)], (p, q) -> p + q), 6) AS d
+          round(${sqSql("q.sv", "c.cv", 8)}, 6) AS d
         FROM (SELECT * FROM sv WHERE vec_id < 8) q JOIN cb2 c ON q.sub = c.sub),
       sc AS (SELECT dt.query_id, e.vec_id,
           CAST(sum(CAST(dt.d AS DECIMAL(18,6))) AS DOUBLE) AS adc
@@ -2863,93 +2743,13 @@ object Queries {
         emb.filter(col("vec_id") < 8).select(col("vec_id").as("query_id"), col("embedding")),
         emb, 5, m = 8, dims = 8, centroidStride = 32, trainIters = 2,
         ks = 16, coarseKs = 8, nprobe = 2)
-    }, Some("""WITH corp AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-      cc0 AS (SELECT vec_id AS ccid, v AS ccv FROM corp
-        WHERE vec_id % 32 = 0 AND vec_id < 256),
-      ca1 AS (SELECT vec_id, v, ccid FROM (
-        SELECT c.vec_id, c.v, t.ccid,
-          row_number() OVER (PARTITION BY c.vec_id
-            ORDER BY round(list_reduce(
-              [(c.v[CAST(i AS INTEGER)] - t.ccv[CAST(i AS INTEGER)])
-               * (c.v[CAST(i AS INTEGER)] - t.ccv[CAST(i AS INTEGER)])
-               FOR i IN range(1, 65)], (p, q) -> p + q), 6), t.ccid) AS rn
-        FROM corp c CROSS JOIN cc0 t) WHERE rn = 1),
-      cc1 AS (SELECT ccid, list(mn ORDER BY dim) AS ccv FROM (
-          SELECT ccid, dim,
-            round(CAST(sum(CAST(xx AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS mn
-          FROM (SELECT ccid, unnest(range(len(v))) AS dim, unnest(v) AS xx FROM ca1)
-          GROUP BY ccid, dim) GROUP BY ccid),
-      ca2 AS (SELECT vec_id, v, ccid FROM (
-        SELECT c.vec_id, c.v, t.ccid,
-          row_number() OVER (PARTITION BY c.vec_id
-            ORDER BY round(list_reduce(
-              [(c.v[CAST(i AS INTEGER)] - t.ccv[CAST(i AS INTEGER)])
-               * (c.v[CAST(i AS INTEGER)] - t.ccv[CAST(i AS INTEGER)])
-               FOR i IN range(1, 65)], (p, q) -> p + q), 6), t.ccid) AS rn
-        FROM corp c CROSS JOIN cc1 t) WHERE rn = 1),
-      cc2 AS (SELECT ccid, list(mn ORDER BY dim) AS ccv FROM (
-          SELECT ccid, dim,
-            round(CAST(sum(CAST(xx AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS mn
-          FROM (SELECT ccid, unnest(range(len(v))) AS dim, unnest(v) AS xx FROM ca2)
-          GROUP BY ccid, dim) GROUP BY ccid),
-      cellasg AS (SELECT vec_id, ccid AS cell FROM (
-        SELECT c.vec_id, t.ccid,
-          row_number() OVER (PARTITION BY c.vec_id
-            ORDER BY round(list_reduce(
-              [(c.v[CAST(i AS INTEGER)] - t.ccv[CAST(i AS INTEGER)])
-               * (c.v[CAST(i AS INTEGER)] - t.ccv[CAST(i AS INTEGER)])
-               FOR i IN range(1, 65)], (p, q) -> p + q), 6), t.ccid) AS rn
-        FROM corp c CROSS JOIN cc2 t) WHERE rn = 1),
-      probe AS (SELECT vec_id AS query_id, ccid AS cell FROM (
-        SELECT c.vec_id, t.ccid,
-          row_number() OVER (PARTITION BY c.vec_id
-            ORDER BY round(list_reduce(
-              [(c.v[CAST(i AS INTEGER)] - t.ccv[CAST(i AS INTEGER)])
-               * (c.v[CAST(i AS INTEGER)] - t.ccv[CAST(i AS INTEGER)])
-               FOR i IN range(1, 65)], (p, q) -> p + q), 6), t.ccid) AS rn
-        FROM (SELECT * FROM corp WHERE vec_id < 8) c CROSS JOIN cc2 t) WHERE rn <= 2),
+    }, Some(s"""WITH corp AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)$coarseChainSql,
       resid AS (SELECT c.vec_id, a.cell,
           [c.v[CAST(i AS INTEGER)] - t.ccv[CAST(i AS INTEGER)] FOR i IN range(1, 65)] AS rv
         FROM corp c JOIN cellasg a ON c.vec_id = a.vec_id JOIN cc2 t ON a.cell = t.ccid),
       rsv AS (SELECT vec_id, s.sub,
           rv[CAST(8 * s.sub + 1 AS INTEGER):CAST(8 * s.sub + 8 AS INTEGER)] AS sv
-        FROM resid, (SELECT unnest(range(0, 8)) AS sub) s),
-      sb0 AS (SELECT sub, vec_id AS cid, sv AS cv FROM rsv
-        WHERE vec_id % 32 = 0 AND vec_id < 512),
-      a1 AS (SELECT vec_id, sub, sv, cid FROM (
-        SELECT x.vec_id, x.sub, x.sv, c.cid,
-          row_number() OVER (PARTITION BY x.vec_id, x.sub
-            ORDER BY round(list_reduce(
-              [(x.sv[CAST(i AS INTEGER)] - c.cv[CAST(i AS INTEGER)])
-               * (x.sv[CAST(i AS INTEGER)] - c.cv[CAST(i AS INTEGER)])
-               FOR i IN range(1, 9)], (p, q) -> p + q), 6), c.cid) AS rn
-        FROM rsv x JOIN sb0 c ON x.sub = c.sub) WHERE rn = 1),
-      cb1 AS (SELECT sub, cid, list(mn ORDER BY dim) AS cv FROM (
-          SELECT sub, cid, dim,
-            round(CAST(sum(CAST(xx AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS mn
-          FROM (SELECT sub, cid, unnest(range(len(sv))) AS dim, unnest(sv) AS xx FROM a1)
-          GROUP BY sub, cid, dim) GROUP BY sub, cid),
-      a2 AS (SELECT vec_id, sub, sv, cid FROM (
-        SELECT x.vec_id, x.sub, x.sv, c.cid,
-          row_number() OVER (PARTITION BY x.vec_id, x.sub
-            ORDER BY round(list_reduce(
-              [(x.sv[CAST(i AS INTEGER)] - c.cv[CAST(i AS INTEGER)])
-               * (x.sv[CAST(i AS INTEGER)] - c.cv[CAST(i AS INTEGER)])
-               FOR i IN range(1, 9)], (p, q) -> p + q), 6), c.cid) AS rn
-        FROM rsv x JOIN cb1 c ON x.sub = c.sub) WHERE rn = 1),
-      cb2 AS (SELECT sub, cid, list(mn ORDER BY dim) AS cv FROM (
-          SELECT sub, cid, dim,
-            round(CAST(sum(CAST(xx AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS mn
-          FROM (SELECT sub, cid, unnest(range(len(sv))) AS dim, unnest(sv) AS xx FROM a2)
-          GROUP BY sub, cid, dim) GROUP BY sub, cid),
-      enc AS (SELECT vec_id, sub, cid AS code FROM (
-        SELECT x.vec_id, x.sub, c.cid,
-          row_number() OVER (PARTITION BY x.vec_id, x.sub
-            ORDER BY round(list_reduce(
-              [(x.sv[CAST(i AS INTEGER)] - c.cv[CAST(i AS INTEGER)])
-               * (x.sv[CAST(i AS INTEGER)] - c.cv[CAST(i AS INTEGER)])
-               FOR i IN range(1, 9)], (p, q) -> p + q), 6), c.cid) AS rn
-        FROM rsv x JOIN cb2 c ON x.sub = c.sub) WHERE rn = 1),
+        FROM resid, (SELECT unnest(range(0, 8)) AS sub) s)${pqChainSql("rsv")},
       qresid AS (SELECT q.vec_id AS query_id, p.cell,
           [q.v[CAST(i AS INTEGER)] - t.ccv[CAST(i AS INTEGER)] FOR i IN range(1, 65)] AS rv
         FROM (SELECT * FROM corp WHERE vec_id < 8) q
@@ -2958,10 +2758,7 @@ object Queries {
           rv[CAST(8 * s.sub + 1 AS INTEGER):CAST(8 * s.sub + 8 AS INTEGER)] AS sv
         FROM qresid, (SELECT unnest(range(0, 8)) AS sub) s),
       dt AS (SELECT q.query_id, q.cell, c.sub, c.cid AS code,
-          round(list_reduce(
-            [(q.sv[CAST(i AS INTEGER)] - c.cv[CAST(i AS INTEGER)])
-             * (q.sv[CAST(i AS INTEGER)] - c.cv[CAST(i AS INTEGER)])
-             FOR i IN range(1, 9)], (p, q) -> p + q), 6) AS d
+          round(${sqSql("q.sv", "c.cv", 8)}, 6) AS d
         FROM qrsv q JOIN cb2 c ON q.sub = c.sub),
       sc AS (SELECT dt.query_id, e.vec_id,
           CAST(sum(CAST(dt.d AS DECIMAL(18,6))) AS DOUBLE) AS adc
@@ -2974,6 +2771,71 @@ object Queries {
       SELECT query_id, vec_id, adc, CAST(rnk AS INTEGER) AS rank
       FROM w WHERE rnk <= 5"""))
   )
+
+  /** DuckDB squared-L2 over `n` dims between list columns `a` and `b`: the
+    * sequential fold [[graft.llm.ProductQuant.sqDist]] replays (list_reduce
+    * seeds from the first element; 0 + d1² == d1², so the engines' differing
+    * fold seeds agree bit-for-bit).
+    */
+  private def sqSql(a: String, b: String, n: Int): String =
+    s"""list_reduce(
+      [($a[CAST(i AS INTEGER)] - $b[CAST(i AS INTEGER)])
+       * ($a[CAST(i AS INTEGER)] - $b[CAST(i AS INTEGER)])
+       FOR i IN range(1, ${n + 1})], (p, q) -> p + q)"""
+
+  /** The PQ Lloyd replay shared by q117/q118/q122 (seed → 2 rounds →
+    * encode) over a subvector relation `src(vec_id, sub, sv)`: emits CTEs
+    * `sb0, a1, cb1, a2, cb2, enc` (leading comma included). One definition
+    * so a replay fix can't silently diverge between the three oracles.
+    */
+  private def pqChainSql(src: String): String = {
+    def asg(out: String, cb: String, proj: String) = s""",
+      $out AS (SELECT $proj FROM (
+        SELECT x.vec_id, x.sub, x.sv, c.cid,
+          row_number() OVER (PARTITION BY x.vec_id, x.sub
+            ORDER BY round(${sqSql("x.sv", "c.cv", 8)}, 6), c.cid) AS rn
+        FROM $src x JOIN $cb c ON x.sub = c.sub) WHERE rn = 1)"""
+    def mean(out: String, from: String) = s""",
+      $out AS (SELECT sub, cid, list(mn ORDER BY dim) AS cv FROM (
+          SELECT sub, cid, dim,
+            round(CAST(sum(CAST(xx AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS mn
+          FROM (SELECT sub, cid, unnest(range(len(sv))) AS dim, unnest(sv) AS xx FROM $from)
+          GROUP BY sub, cid, dim) GROUP BY sub, cid)"""
+    s""",
+      sb0 AS (SELECT sub, vec_id AS cid, sv AS cv FROM $src
+        WHERE vec_id % 32 = 0 AND vec_id < 512)""" +
+      asg("a1", "sb0", "vec_id, sub, sv, cid") + mean("cb1", "a1") +
+      asg("a2", "cb1", "vec_id, sub, sv, cid") + mean("cb2", "a2") +
+      asg("enc", "cb2", "vec_id, sub, cid AS code")
+  }
+
+  /** The coarse-quantizer replay shared by q118/q122: whole-vector Lloyd
+    * (seed → 2 rounds), final cell assignment, and the nprobe=2 query
+    * probe — CTEs `cc0, ca1, cc1, ca2, cc2, cellasg, probe` over `corp`.
+    */
+  private def coarseChainSql: String = {
+    def asg(out: String, cb: String, srcSel: String, proj: String,
+            rnPred: String) = s""",
+      $out AS (SELECT $proj FROM (
+        SELECT c.vec_id, c.v, t.ccid,
+          row_number() OVER (PARTITION BY c.vec_id
+            ORDER BY round(${sqSql("c.v", "t.ccv", 64)}, 6), t.ccid) AS rn
+        FROM $srcSel c CROSS JOIN $cb t) WHERE $rnPred)"""
+    def mean(out: String, from: String) = s""",
+      $out AS (SELECT ccid, list(mn ORDER BY dim) AS ccv FROM (
+          SELECT ccid, dim,
+            round(CAST(sum(CAST(xx AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS mn
+          FROM (SELECT ccid, unnest(range(len(v))) AS dim, unnest(v) AS xx FROM $from)
+          GROUP BY ccid, dim) GROUP BY ccid)"""
+    s""",
+      cc0 AS (SELECT vec_id AS ccid, v AS ccv FROM corp
+        WHERE vec_id % 32 = 0 AND vec_id < 256)""" +
+      asg("ca1", "cc0", "corp", "vec_id, v, ccid", "rn = 1") + mean("cc1", "ca1") +
+      asg("ca2", "cc1", "corp", "vec_id, v, ccid", "rn = 1") + mean("cc2", "ca2") +
+      asg("cellasg", "cc2", "corp", "vec_id, ccid AS cell", "rn = 1") +
+      asg("probe", "cc2", "(SELECT * FROM corp WHERE vec_id < 8)",
+        "vec_id AS query_id, ccid AS cell", "rn <= 2")
+  }
 
   /** Unrolled DuckDB replay of BPE train + encode (q111): per round, pair
     * counts over the symbolized distinct-word relation, the tie-pinned top-1

@@ -108,20 +108,15 @@ object ProductQuant {
     assign(subvectors(corpus, vecId, m, dims), codebook, vecId)
       .select(col(vecId), col("sub"), col("cid").as("code"))
 
-  /** ADC top-k: per-query distance tables over the codebook (broadcast),
-    * summed per (query, vec) through decimal(18,6), bounded-heap top-k
-    * (each mapper ships at most k rows per query — the TopKByScore scale
-    * rationale, negated score because ADC ranks ascending).
+  /** Shared ranking tail: per-(query, vec) ADC sum routed through
+    * decimal(18,6) (accumulation order can't wobble the ranking doubles) +
+    * bounded-heap top-k (each mapper ships at most k rows per query —
+    * the TopKByScore scale rationale; score negated because ADC ranks
+    * ascending) + the rank projection. `scored` carries (__qid, vecId, d).
     */
-  def adcTopK(queries: DataFrame, codes: DataFrame, codebook: DataFrame,
-              k: Int, m: Int, dims: Int,
-              queryId: String = "query_id", vecId: String = "vec_id"): DataFrame = {
-    val qsv = subvectors(queries.withColumnRenamed(queryId, "__qid"), "__qid", m, dims)
-    val dt = qsv.join(codebook, Seq("sub"))
-      .select(col("__qid"), col("sub"), col("cid").as("code"),
-        round(sqDist(col("sv"), col("cv")), 6).as("d"))
-    val adc = codes.join(broadcast(dt), Seq("sub", "code"))
-      .groupBy(col("__qid"), col(vecId))
+  private def adcRank(scored: DataFrame, k: Int,
+                      queryId: String, vecId: String): DataFrame = {
+    val adc = scored.groupBy(col("__qid"), col(vecId))
       .agg(sum(col("d").cast("decimal(18,6)")).cast("double").as("adc"))
     adc.groupBy(col("__qid"))
       .agg(org.apache.spark.sql.graft.TopKColumns
@@ -130,6 +125,19 @@ object ProductQuant {
       .select(col(queryId), col("entry.id").as(vecId),
         negate(col("entry.score")).as("adc"),
         (col("pos") + 1).cast("int").as("rank"))
+  }
+
+  /** ADC top-k: per-query distance tables over the codebook (broadcast),
+    * joined against the code relation and ranked by [[adcRank]].
+    */
+  def adcTopK(queries: DataFrame, codes: DataFrame, codebook: DataFrame,
+              k: Int, m: Int, dims: Int,
+              queryId: String = "query_id", vecId: String = "vec_id"): DataFrame = {
+    val qsv = subvectors(queries.withColumnRenamed(queryId, "__qid"), "__qid", m, dims)
+    val dt = qsv.join(codebook, Seq("sub"))
+      .select(col("__qid"), col("sub"), col("cid").as("code"),
+        round(sqDist(col("sv"), col("cv")), 6).as("d"))
+    adcRank(codes.join(broadcast(dt), Seq("sub", "code")), k, queryId, vecId)
   }
 
   /** IVF + PQ composition — the FAISS "IVFPQ" index shape (Jégou et al.
@@ -168,16 +176,8 @@ object ProductQuant {
         round(sqDist(col("sv"), col("cv")), 6).as("d"))
 
     val candidates = codes.join(broadcast(probes), Seq("cell"))
-    val adc = candidates.join(broadcast(dt), Seq("__qid", "sub", "code"))
-      .groupBy(col("__qid"), col(vecId))
-      .agg(sum(col("d").cast("decimal(18,6)")).cast("double").as("adc"))
-    adc.groupBy(col("__qid"))
-      .agg(org.apache.spark.sql.graft.TopKColumns
-        .topKByScore(negate(col("adc")), col(vecId), k).as("top"))
-      .select(col("__qid").as(queryId), posexplode(col("top")).as(Seq("pos", "entry")))
-      .select(col(queryId), col("entry.id").as(vecId),
-        negate(col("entry.score")).as("adc"),
-        (col("pos") + 1).cast("int").as("rank"))
+    adcRank(candidates.join(broadcast(dt), Seq("__qid", "sub", "code")),
+      k, queryId, vecId)
   }
 
   /** Residual-encoded IVF+PQ — FAISS's DEFAULT IVFPQ (`by_residual=true`,
@@ -223,16 +223,8 @@ object ProductQuant {
       .select(col("__qid"), col("cell"), col("sub"), col("cid").as("code"),
         round(sqDist(col("sv"), col("cv")), 6).as("d"))
 
-    val adc = codes.join(broadcast(dt), Seq("cell", "sub", "code"))
-      .groupBy(col("__qid"), col(vecId))
-      .agg(sum(col("d").cast("decimal(18,6)")).cast("double").as("adc"))
-    adc.groupBy(col("__qid"))
-      .agg(org.apache.spark.sql.graft.TopKColumns
-        .topKByScore(negate(col("adc")), col(vecId), k).as("top"))
-      .select(col("__qid").as(queryId), posexplode(col("top")).as(Seq("pos", "entry")))
-      .select(col(queryId), col("entry.id").as(vecId),
-        negate(col("entry.score")).as("adc"),
-        (col("pos") + 1).cast("int").as("rank"))
+    adcRank(codes.join(broadcast(dt), Seq("cell", "sub", "code")),
+      k, queryId, vecId)
   }
 
   /** Train → encode → search, the full PQ pipeline for one query batch. */

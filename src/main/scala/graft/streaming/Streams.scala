@@ -173,7 +173,10 @@ object Streams {
   def kmvDistinctGauge(rows: DataFrame, keyCol: String, hashCol: String,
                        k: Int): Dataset[KmvGauge] = {
     import rows.sparkSession.implicits._
+    // null hashes are skipped like the batch aggregate's update (a null in
+    // the primitive Long encoder would otherwise kill the stream)
     val kv = rows.select(col(keyCol).cast("string"), col(hashCol).cast("long"))
+      .filter(col(hashCol).isNotNull)
       .as[(String, Long)]
     kv.groupByKey(_._1)
       .mapGroupsWithState[Array[Long], KmvGauge](GroupStateTimeout.NoTimeout) {

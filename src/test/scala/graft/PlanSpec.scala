@@ -210,9 +210,7 @@ class PlanSpec extends SparkSuite {
     // min(struct(doc_id, pos)) per paragraph hash: a struct buffer forces
     // SortAggregate, but the partial/final split must survive — each mapper
     // ships ONE candidate winner per distinct paragraph, not every occurrence
-    assert("partial_min\\(struct".r.findFirstIn(p).isDefined
-      || "SortAggregate.*Partial".r.findFirstIn(p).isDefined
-      || p.contains("partial_min"), p)
+    assert(p.contains("partial_min"), p)
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
