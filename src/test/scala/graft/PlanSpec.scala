@@ -221,12 +221,15 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("Expand"), p) // not the countDistinct expansion
   }
 
-  test("q117: PQ search joins codes against a broadcast table; no vector cross join") {
-    val p = finalPlan("q117_pq_topk")
-    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
-    assert(p.contains("BroadcastHashJoin"), p)
-    // top-k via the bounded-heap aggregate, not a corpus-wide window sort
-    assert(p.contains("top_k_by_score"), p)
+  test("q117/q118/q122: PQ family joins codes against broadcast tables; no vector cross join") {
+    for (q <- Seq("q117_pq_topk", "q118_ivfpq_topk", "q122_ivfpq_residual")) {
+      val p = finalPlan(q)
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"$q:\n$p")
+      assert(p.contains("BroadcastHashJoin"), s"$q:\n$p")
+      // top-k via the bounded-heap aggregate, not a corpus-wide window sort
+      assert(p.contains("top_k_by_score"), s"$q:\n$p")
+    }
   }
 
   test("AQE splits a skewed sort-merge join at runtime") {
