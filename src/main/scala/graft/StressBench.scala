@@ -141,6 +141,16 @@ object StressBench {
           e.filter(col("vec_id") < 8).select(col("vec_id").as("query_id"), col("embedding")),
           e, 5)
       })
+      time("bigram_lm", f)({
+        val d = docsTimesUncorr(f)
+        val (uni, bi) = graft.llm.LangModel.bigramLm(d, "doc_id", "text")
+        graft.llm.LangModel.scoreDocsBigram(d, "doc_id", "text", uni, bi, 0.0)
+      })
+      time("cms_freq", f)({
+        val tok = docsTimesUncorr(f).select(explode(
+          graft.llm.TextStats.tokens(graft.llm.Dedup.normalize(col("text")))).as("term"))
+        graft.llm.Sketches.cmsMatrix(tok, "term", d = 4, w = 1024)
+      })
       time("ivfpq_topk", f)({
         val e = embTimes(f)
         graft.llm.ProductQuant.ivfPqTopK(
