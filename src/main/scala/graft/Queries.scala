@@ -1264,32 +1264,7 @@ object Queries {
       val qs = Retrieval.sampleQueries.toDF("query_id", "qtext")
       Retrieval.bm25TopK(t(s, d, "documents"), "doc_id", "text",
         qs, "query_id", "qtext", k = 10)
-    }, Some("""WITH d AS (SELECT doc_id,
-        list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> x <> '') AS toks
-        FROM documents),
-      post AS (SELECT doc_id, term, count(*) AS tf
-        FROM (SELECT doc_id, unnest(toks) AS term FROM d) GROUP BY doc_id, term),
-      dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM post GROUP BY doc_id),
-      stats AS (SELECT count(*) AS n_docs,
-        CAST(CAST(sum(dl) AS BIGINT) AS DOUBLE) / count(*) AS avgdl FROM dl),
-      tdf AS (SELECT term, count(*) AS df FROM post GROUP BY term),
-      q(query_id, qtext) AS (VALUES
-        (0::BIGINT, 'spark join hash'), (1::BIGINT, 'vector stream merge'),
-        (2::BIGINT, 'customer order window'), (3::BIGINT, 'slow scan filter table')),
-      qt AS (SELECT DISTINCT query_id,
-        unnest(list_filter(string_split_regex(trim(lower(qtext)), '\s+'), x -> x <> '')) AS term
-        FROM q),
-      sc AS (SELECT qt.query_id, post.doc_id,
-          round(ln(1.0 + (stats.n_docs - tdf.df + 0.5) / (tdf.df + 0.5)), 6)
-            * (post.tf * (1.2 + 1.0))
-            / (post.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / stats.avgdl)) AS contrib
-        FROM post JOIN qt ON post.term = qt.term
-        JOIN tdf ON post.term = tdf.term
-        JOIN dl ON post.doc_id = dl.doc_id
-        CROSS JOIN stats),
-      pd AS (SELECT query_id, doc_id,
-          round(CAST(SUM(CAST(contrib AS DECIMAL(18,6))) AS DOUBLE), 4) AS score
-        FROM sc GROUP BY query_id, doc_id),
+    }, Some(s"""WITH $bm25CoreSql,
       rk AS (SELECT query_id, doc_id, score,
           CAST(row_number() OVER (PARTITION BY query_id
             ORDER BY score DESC, doc_id) AS INTEGER) AS rank
@@ -2769,8 +2744,70 @@ object Queries {
       w AS (SELECT *, row_number() OVER (PARTITION BY query_id
           ORDER BY adc, vec_id) AS rnk FROM sc)
       SELECT query_id, vec_id, adc, CAST(rnk AS INTEGER) AS rank
-      FROM w WHERE rnk <= 5"""))
+      FROM w WHERE rnk <= 5""")),
+
+    // DPR-style hard-negative mining (Karpukhin et al. 2020): gold = the
+    // BM25 top-1 passage (the weakly-supervised positive), negatives = the
+    // next 8 after excluding the gold and every exact duplicate of its
+    // normalized text (the false-negative filter). Exclusion BEFORE the
+    // top-k cut; shares the q72 scoring replay via bm25CoreSql.
+    ("q123_hard_negatives", (s: SparkSession, d: String) => {
+      import s.implicits._
+      val qs = Retrieval.sampleQueries.toDF("query_id", "qtext")
+      Retrieval.hardNegativesTop1(t(s, d, "documents"), "doc_id", "text",
+        qs, "query_id", "qtext", k = 8)
+    }, Some(s"""WITH $bm25CoreSql,
+      rk0 AS (SELECT query_id, doc_id, score,
+          row_number() OVER (PARTITION BY query_id
+            ORDER BY score DESC, doc_id) AS rk FROM pd),
+      gold AS (SELECT query_id, doc_id AS gold_id FROM rk0 WHERE rk = 1),
+      fp AS (SELECT doc_id,
+          md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp
+        FROM documents),
+      gfp AS (SELECT g.query_id, g.gold_id, f.fp AS gold_fp
+        FROM gold g JOIN fp f ON g.gold_id = f.doc_id),
+      neg AS (SELECT p.query_id, gfp.gold_id, p.doc_id, p.score
+        FROM pd p JOIN gfp ON p.query_id = gfp.query_id
+        JOIN fp ON p.doc_id = fp.doc_id
+        WHERE p.doc_id <> gfp.gold_id AND fp.fp <> gfp.gold_fp),
+      rk AS (SELECT query_id, gold_id, doc_id, score,
+          CAST(row_number() OVER (PARTITION BY query_id
+            ORDER BY score DESC, doc_id) AS INTEGER) AS rank
+        FROM neg)
+      SELECT query_id, gold_id, doc_id, score, rank FROM rk WHERE rank <= 8"""))
   )
+
+  /** The BM25 replay shared by q72/q123 — postings, df, dl, corpus stats,
+    * the sampleQueries VALUES list, and the exact scoring expression tree
+    * through the decimal-routed per-(query, doc) sum `pd`. No leading WITH
+    * and no trailing comma, so callers append their own CTEs.
+    */
+  private def bm25CoreSql: String = """d AS (SELECT doc_id,
+        list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> x <> '') AS toks
+        FROM documents),
+      post AS (SELECT doc_id, term, count(*) AS tf
+        FROM (SELECT doc_id, unnest(toks) AS term FROM d) GROUP BY doc_id, term),
+      dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM post GROUP BY doc_id),
+      stats AS (SELECT count(*) AS n_docs,
+        CAST(CAST(sum(dl) AS BIGINT) AS DOUBLE) / count(*) AS avgdl FROM dl),
+      tdf AS (SELECT term, count(*) AS df FROM post GROUP BY term),
+      q(query_id, qtext) AS (VALUES
+        (0::BIGINT, 'spark join hash'), (1::BIGINT, 'vector stream merge'),
+        (2::BIGINT, 'customer order window'), (3::BIGINT, 'slow scan filter table')),
+      qt AS (SELECT DISTINCT query_id,
+        unnest(list_filter(string_split_regex(trim(lower(qtext)), '\s+'), x -> x <> '')) AS term
+        FROM q),
+      sc AS (SELECT qt.query_id, post.doc_id,
+          round(ln(1.0 + (stats.n_docs - tdf.df + 0.5) / (tdf.df + 0.5)), 6)
+            * (post.tf * (1.2 + 1.0))
+            / (post.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / stats.avgdl)) AS contrib
+        FROM post JOIN qt ON post.term = qt.term
+        JOIN tdf ON post.term = tdf.term
+        JOIN dl ON post.doc_id = dl.doc_id
+        CROSS JOIN stats),
+      pd AS (SELECT query_id, doc_id,
+          round(CAST(SUM(CAST(contrib AS DECIMAL(18,6))) AS DOUBLE), 4) AS score
+        FROM sc GROUP BY query_id, doc_id)"""
 
   /** DuckDB squared-L2 over `n` dims between list columns `a` and `b`: the
     * sequential fold [[graft.llm.ProductQuant.sqDist]] replays (list_reduce

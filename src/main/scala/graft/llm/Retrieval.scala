@@ -44,9 +44,14 @@ object Retrieval {
     * through decimal(18,6) per the engine-wide dsum rule, and ranking is
     * tie-pinned by doc id.
     */
-  def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
-               queries: DataFrame, queryIdCol: String, queryTextCol: String,
-               k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+  /** The scored (query_id, doc_id, score) relation before ranking — the
+    * base [[bm25TopK]] ranks and [[hardNegativesTop1]] filters; exposed so
+    * exclusion predicates can run BEFORE the top-k cut (filtering after the
+    * cut would return fewer than k rows whenever an excluded doc ranked).
+    */
+  def bm25Scores(docs: DataFrame, idCol: String, textCol: String,
+                 queries: DataFrame, queryIdCol: String, queryTextCol: String,
+                 k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     // The postings base feeds three consumers (dl, df, scoring) — persisted
     // so the tokenize+explode+agg runs once. Like Dedup's shingle base, the
     // cache lives until the session ends: long-lived drivers scoring many
@@ -71,13 +76,55 @@ object Retrieval {
       .withColumn("contrib",
         col("idf") * (col("tf") * (lit(k1) + 1.0)) /
           (col("tf") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl") / col("avgdl"))))
-    val perDoc = scored.groupBy("query_id", "doc_id")
+    scored.groupBy("query_id", "doc_id")
       .agg(round(sum(col("contrib").cast("decimal(18,6)")).cast("double"), 4).as("score"))
+  }
+
+  def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
+               queries: DataFrame, queryIdCol: String, queryTextCol: String,
+               k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val perDoc = bm25Scores(docs, idCol, textCol, queries, queryIdCol,
+      queryTextCol, k1, b)
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("doc_id"))
     perDoc.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("query_id", "doc_id", "score", "rank")
+  }
+
+  /** DPR-style hard-negative mining (Karpukhin et al., EMNLP 2020 §4.2 use
+    * the top BM25 passage as the weakly-supervised POSITIVE and other
+    * high-ranked passages as hard negatives): per query, gold = the BM25
+    * top-1 doc; negatives = the next k docs after excluding the gold AND
+    * every exact duplicate of the gold's normalized text. The duplicate
+    * exclusion is the false-negative filter — a verbatim copy of the
+    * positive ranked high is a mislabeled training signal, the classic
+    * negative-mining trap. Exclusion runs BEFORE the top-k cut, so the
+    * output is k true negatives whenever the corpus has them.
+    *
+    * Scale: one scored relation (the BM25 probe — postings equi-join), one
+    * slim fingerprint relation joined on doc id, a broadcast |queries|-row
+    * gold table, and per-query bounded windows.
+    */
+  def hardNegativesTop1(docs: DataFrame, idCol: String, textCol: String,
+                        queries: DataFrame, queryIdCol: String,
+                        queryTextCol: String, k: Int): DataFrame = {
+    val scores = bm25Scores(docs, idCol, textCol, queries, queryIdCol, queryTextCol)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("doc_id"))
+    val gold = scores.withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("query_id"), col("doc_id").as("gold_id"))
+    val fp = docs.select(col(idCol).as("doc_id"),
+      md5(Dedup.normalize(col(textCol))).as("fp"))
+    val goldFp = gold.join(fp.withColumnRenamed("doc_id", "gold_id"), Seq("gold_id"))
+      .select(col("query_id"), col("gold_id"), col("fp").as("gold_fp"))
+    scores.join(broadcast(goldFp), Seq("query_id"))
+      .join(fp, Seq("doc_id"))
+      .filter(col("doc_id") =!= col("gold_id") && col("fp") =!= col("gold_fp"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "gold_id", "doc_id", "score", "rank")
   }
 
   /** The demo phrase set shared by q105_phrase_search and its oracle's

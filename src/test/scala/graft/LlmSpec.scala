@@ -1119,6 +1119,24 @@ class LlmSpec extends SparkSuite {
     got.foreach { case (q, v, adc, _) => assert(full((q, v)) == adc) }
   }
 
+  test("hard negatives: gold and its exact duplicates excluded before the cut") {
+    import spark.implicits._
+    val corpus = docs(
+      (1L, "apple banana cherry"),
+      (2L, "apple  banana cherry "),   // normalized duplicate of the gold
+      (3L, "apple banana"),
+      (4L, "apple"),
+      (5L, "unrelated words entirely"))
+    val qs = Seq((0L, "apple banana cherry")).toDF("query_id", "qtext")
+    val got = graft.llm.Retrieval.hardNegativesTop1(
+      corpus, "doc_id", "text", qs, "query_id", "qtext", k = 8)
+      .as[(Long, Long, Long, Double, Int)].collect().sortBy(_._5)
+    // gold = doc 1 (tie with dup 2 pinned by id); negatives exclude 1 AND 2
+    assert(got.forall(r => r._2 == 1L))
+    assert(!got.exists(r => r._3 == 1L || r._3 == 2L))
+    assert(got.head._3 == 3L) // the best TRUE negative
+  }
+
   test("bigram LM: hand-computed interpolated probs; unseen-pair and unseen-word fallbacks") {
     import spark.implicits._
     val corpus = docs((1L, "a b a b"), (2L, "a b"))
