@@ -17,11 +17,20 @@ object Tables {
 
   def apply(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     val df = read(spark, name, s"$sfDir/$name.parquet")
-    // events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized reader
-    // rejects outright; read it as raw nanos and convert to a µs timestamp
-    // (the data carries no sub-µs digits — verified against the fixtures).
-    if (name == "events") df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-    else df
+    // events.ts has shipped as either parquet TIMESTAMP(NANOS) — which Spark's
+    // vectorized reader rejects, so it surfaces as raw nanos under
+    // nanosAsLong — or plain TIMESTAMP(MICROS) without isAdjustedToUTC, which
+    // surfaces as TIMESTAMP_NTZ. Normalize both to a session-tz (UTC)
+    // TIMESTAMP so every downstream query sees one type.
+    if (name == "events") {
+      df.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        case org.apache.spark.sql.types.TimestampNTZType =>
+          df.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+        case _ => df
+      }
+    } else df
   }
 
   private def read(spark: SparkSession, name: String, path: String): DataFrame = {
