@@ -2566,7 +2566,8 @@ object Queries {
       val emb = t(s, d, "embeddings")
       graft.llm.ProductQuant.pqTopK(
         emb.filter(col("vec_id") < 8).select(col("vec_id").as("query_id"), col("embedding")),
-        emb, 5, m = 8, dims = 8, centroidStride = 32, trainIters = 2, ks = 16)
+        emb, 5, m = 8, dims = 8, centroidStride = 32, trainIters = 2, ks = 16,
+        trainSample = 4096)
     }, Some(s"""WITH corp AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
       sv AS (SELECT vec_id, s.sub,
           v[CAST(8 * s.sub + 1 AS INTEGER):CAST(8 * s.sub + 8 AS INTEGER)] AS sv
@@ -2593,7 +2594,7 @@ object Queries {
       graft.llm.ProductQuant.ivfPqTopK(
         emb.filter(col("vec_id") < 8).select(col("vec_id").as("query_id"), col("embedding")),
         emb, 5, m = 8, dims = 8, centroidStride = 32, trainIters = 2,
-        ks = 16, coarseKs = 8, nprobe = 2)
+        ks = 16, coarseKs = 8, nprobe = 2, trainSample = 4096)
     }, Some(s"""WITH corp AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)$coarseChainSql,
       sv AS (SELECT vec_id, s.sub,
           v[CAST(8 * s.sub + 1 AS INTEGER):CAST(8 * s.sub + 8 AS INTEGER)] AS sv
@@ -2717,7 +2718,7 @@ object Queries {
       graft.llm.ProductQuant.ivfPqResidualTopK(
         emb.filter(col("vec_id") < 8).select(col("vec_id").as("query_id"), col("embedding")),
         emb, 5, m = 8, dims = 8, centroidStride = 32, trainIters = 2,
-        ks = 16, coarseKs = 8, nprobe = 2)
+        ks = 16, coarseKs = 8, nprobe = 2, trainSample = 4096)
     }, Some(s"""WITH corp AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)$coarseChainSql,
       resid AS (SELECT c.vec_id, a.cell,
           [c.v[CAST(i AS INTEGER)] - t.ccv[CAST(i AS INTEGER)] FOR i IN range(1, 65)] AS rv
@@ -2826,12 +2827,12 @@ object Queries {
     * so a replay fix can't silently diverge between the three oracles.
     */
   private def pqChainSql(src: String): String = {
-    def asg(out: String, cb: String, proj: String) = s""",
+    def asg(out: String, from: String, cb: String, proj: String) = s""",
       $out AS (SELECT $proj FROM (
         SELECT x.vec_id, x.sub, x.sv, c.cid,
           row_number() OVER (PARTITION BY x.vec_id, x.sub
             ORDER BY round(${sqSql("x.sv", "c.cv", 8)}, 6), c.cid) AS rn
-        FROM $src x JOIN $cb c ON x.sub = c.sub) WHERE rn = 1)"""
+        FROM $from x JOIN $cb c ON x.sub = c.sub) WHERE rn = 1)"""
     def mean(out: String, from: String) = s""",
       $out AS (SELECT sub, cid, list(mn ORDER BY dim) AS cv FROM (
           SELECT sub, cid, dim,
@@ -2840,10 +2841,14 @@ object Queries {
           GROUP BY sub, cid, dim) GROUP BY sub, cid)"""
     s""",
       sb0 AS (SELECT sub, vec_id AS cid, sv AS cv FROM $src
-        WHERE vec_id % 32 = 0 AND vec_id < 512)""" +
-      asg("a1", "sb0", "vec_id, sub, sv, cid") + mean("cb1", "a1") +
-      asg("a2", "cb1", "vec_id, sub, sv, cid") + mean("cb2", "a2") +
-      asg("enc", "cb2", "vec_id, sub, cid AS code")
+        WHERE vec_id % 32 = 0 AND vec_id < 512),
+      tsv AS (SELECT * FROM $src
+        WHERE CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT AS DOUBLE)
+          / 4294967296.0 < least(CAST(1.0 AS DOUBLE),
+            CAST(4096.0 AS DOUBLE) / (SELECT count(*) FROM corp)))""" +
+      asg("a1", "tsv", "sb0", "vec_id, sub, sv, cid") + mean("cb1", "a1") +
+      asg("a2", "tsv", "cb1", "vec_id, sub, sv, cid") + mean("cb2", "a2") +
+      asg("enc", src, "cb2", "vec_id, sub, cid AS code")
   }
 
   /** The coarse-quantizer replay shared by q118/q122: whole-vector Lloyd
@@ -2866,9 +2871,13 @@ object Queries {
           GROUP BY ccid, dim) GROUP BY ccid)"""
     s""",
       cc0 AS (SELECT vec_id AS ccid, v AS ccv FROM corp
-        WHERE vec_id % 32 = 0 AND vec_id < 256)""" +
-      asg("ca1", "cc0", "corp", "vec_id, v, ccid", "rn = 1") + mean("cc1", "ca1") +
-      asg("ca2", "cc1", "corp", "vec_id, v, ccid", "rn = 1") + mean("cc2", "ca2") +
+        WHERE vec_id % 32 = 0 AND vec_id < 256),
+      tcorp AS (SELECT * FROM corp
+        WHERE CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT AS DOUBLE)
+          / 4294967296.0 < least(CAST(1.0 AS DOUBLE),
+            CAST(4096.0 AS DOUBLE) / (SELECT count(*) FROM corp)))""" +
+      asg("ca1", "cc0", "tcorp", "vec_id, v, ccid", "rn = 1") + mean("cc1", "ca1") +
+      asg("ca2", "cc1", "tcorp", "vec_id, v, ccid", "rn = 1") + mean("cc2", "ca2") +
       asg("cellasg", "cc2", "corp", "vec_id, ccid AS cell", "rn = 1") +
       asg("probe", "cc2", "(SELECT * FROM corp WHERE vec_id < 8)",
         "vec_id AS query_id, ccid AS cell", "rn <= 2")

@@ -139,7 +139,7 @@ object StressBench {
         val e = embTimes(f)
         graft.llm.ProductQuant.pqTopK(
           e.filter(col("vec_id") < 8).select(col("vec_id").as("query_id"), col("embedding")),
-          e, 5)
+          e, 5, trainSample = 4096)
       })
       time("bigram_lm", f)({
         val d = docsTimesUncorr(f)
@@ -155,7 +155,7 @@ object StressBench {
         val e = embTimes(f)
         graft.llm.ProductQuant.ivfPqTopK(
           e.filter(col("vec_id") < 8).select(col("vec_id").as("query_id"), col("embedding")),
-          e, 5)
+          e, 5, trainSample = 4096)
       })
       time("kmv_distinct", f)({
         val hv = conv(substring(md5(col("l_orderkey").cast("string")), 1, 15), 16, 10)

@@ -75,17 +75,44 @@ object ProductQuant {
     * corpus: a PQ codebook is a fixed-size model (Jégou et al. use 256),
     * so training stays O(N·m·ks) — linear in the corpus — at any scale,
     * and the code domain stays small enough to be a table lookup.
+    *
+    * `trainSample > 0` bounds the Lloyd rounds to a deterministic
+    * md5-threshold sample of ~`trainSample` vectors (the [[Sampling.hash01]]
+    * machinery; FAISS trains its quantizers on a bounded sample for the same
+    * reason — fitting a fixed ks-entry model does not need the corpus, and
+    * at 100 TB `iters` full passes are pure wasted I/O). The sample is
+    * materialized ONCE (localCheckpoint), so every round scans `trainSample·m`
+    * subvector rows instead of re-reading the source — training cost becomes
+    * corpus-size-independent; only the single encode pass stays O(N). The
+    * threshold is `trainSample / count(corpus)` (clamped to 1), a pure
+    * function of the corpus both engines replay; the hash keeps the SAME
+    * vectors at any SF. The seed still comes from the full corpus, so
+    * `trainSample = 0` (train on everything) is bit-identical to the
+    * pre-sampling behavior.
     */
   def trainCodebooks(corpus: DataFrame, m: Int, dims: Int,
                      centroidStride: Int, iters: Int, ks: Int = 16,
-                     vecId: String = "vec_id"): DataFrame = {
+                     vecId: String = "vec_id", trainSample: Int = 0): DataFrame = {
     val sv = subvectors(corpus, vecId, m, dims)
     var cb = sv.filter(col(vecId) % centroidStride === 0
         && col(vecId) < centroidStride.toLong * ks)
       .select(col("sub"), col(vecId).as("cid"), col("sv").as("cv"))
       .localCheckpoint()
+    val tsv =
+      if (trainSample <= 0) sv
+      else {
+        // count rides the plan as a broadcast 1-row relation — no separate
+        // driver action; the eager localCheckpoint materializes the bounded
+        // sample once for all rounds.
+        val n = corpus.agg(count(lit(1)).cast("double").as("__n"))
+        sv.join(broadcast(n))
+          .filter(Sampling.hash01(col(vecId)) <
+            least(lit(1.0), lit(trainSample.toDouble) / col("__n")))
+          .drop("__n")
+          .localCheckpoint()
+      }
     for (_ <- 1 to iters) {
-      val next = assign(sv, cb, vecId)
+      val next = assign(tsv, cb, vecId)
         .select(col("sub"), col("cid"), posexplode(col("sv")).as(Seq("dim", "x")))
         .groupBy("sub", "cid", "dim")
         .agg(round(sum(col("x").cast("decimal(18,6)")).cast("double")
@@ -97,6 +124,7 @@ object ProductQuant {
       org.apache.spark.sql.graft.Checkpoints.release(cb)
       cb = next
     }
+    if (trainSample > 0) org.apache.spark.sql.graft.Checkpoints.release(tsv)
     cb
   }
 
@@ -160,12 +188,15 @@ object ProductQuant {
                 m: Int = 8, dims: Int = 8, centroidStride: Int = 32,
                 trainIters: Int = 2, ks: Int = 16, coarseKs: Int = 8,
                 nprobe: Int = 2,
-                queryId: String = "query_id", vecId: String = "vec_id"): DataFrame = {
+                queryId: String = "query_id", vecId: String = "vec_id",
+                trainSample: Int = 0): DataFrame = {
     val d = m * dims
-    val coarse = trainCodebooks(corpus, 1, d, centroidStride, trainIters, coarseKs, vecId)
+    val coarse = trainCodebooks(corpus, 1, d, centroidStride, trainIters, coarseKs, vecId,
+      trainSample)
     val cells = encode(corpus, coarse, 1, d, vecId)
       .select(col(vecId), col("code").as("cell"))
-    val cb = trainCodebooks(corpus, m, dims, centroidStride, trainIters, ks, vecId)
+    val cb = trainCodebooks(corpus, m, dims, centroidStride, trainIters, ks, vecId,
+      trainSample)
     val codes = encode(corpus, cb, m, dims, vecId).join(cells, Seq(vecId))
 
     val q = queries.withColumnRenamed(queryId, "__qid")
@@ -195,9 +226,11 @@ object ProductQuant {
                         m: Int = 8, dims: Int = 8, centroidStride: Int = 32,
                         trainIters: Int = 2, ks: Int = 16, coarseKs: Int = 8,
                         nprobe: Int = 2,
-                        queryId: String = "query_id", vecId: String = "vec_id"): DataFrame = {
+                        queryId: String = "query_id", vecId: String = "vec_id",
+                        trainSample: Int = 0): DataFrame = {
     val d = m * dims
-    val coarse = trainCodebooks(corpus, 1, d, centroidStride, trainIters, coarseKs, vecId)
+    val coarse = trainCodebooks(corpus, 1, d, centroidStride, trainIters, coarseKs, vecId,
+      trainSample)
     val cells = encode(corpus, coarse, 1, d, vecId)
       .select(col(vecId), col("code").as("cell"))
     val cvRel = coarse.select(col("cid").as("cell"), col("cv").as("cellv"))
@@ -206,7 +239,8 @@ object ProductQuant {
     val resid = corpV.join(cells, Seq(vecId)).join(broadcast(cvRel), Seq("cell"))
       .select(col(vecId), col("cell"),
         zip_with(col("v"), col("cellv"), (a, b) => a - b).as("embedding"))
-    val cb = trainCodebooks(resid, m, dims, centroidStride, trainIters, ks, vecId)
+    val cb = trainCodebooks(resid, m, dims, centroidStride, trainIters, ks, vecId,
+      trainSample)
     val codes = encode(resid, cb, m, dims, vecId).join(cells, Seq(vecId))
 
     val q = queries.withColumnRenamed(queryId, "__qid")
@@ -231,8 +265,10 @@ object ProductQuant {
   def pqTopK(queries: DataFrame, corpus: DataFrame, k: Int,
              m: Int = 8, dims: Int = 8, centroidStride: Int = 32,
              trainIters: Int = 2, ks: Int = 16,
-             queryId: String = "query_id", vecId: String = "vec_id"): DataFrame = {
-    val cb = trainCodebooks(corpus, m, dims, centroidStride, trainIters, ks, vecId)
+             queryId: String = "query_id", vecId: String = "vec_id",
+             trainSample: Int = 0): DataFrame = {
+    val cb = trainCodebooks(corpus, m, dims, centroidStride, trainIters, ks, vecId,
+      trainSample)
     val codes = encode(corpus, cb, m, dims, vecId)
     adcTopK(queries, codes, cb, k, m, dims, queryId, vecId)
   }
