@@ -2775,7 +2775,59 @@ object Queries {
           CAST(row_number() OVER (PARTITION BY query_id
             ORDER BY score DESC, doc_id) AS INTEGER) AS rank
         FROM neg)
-      SELECT query_id, gold_id, doc_id, score, rank FROM rk WHERE rank <= 8"""))
+      SELECT query_id, gold_id, doc_id, score, rank FROM rk WHERE rank <= 8""")),
+
+    // Incremental ANN index maintenance (the CDC leg): quantizers FROZEN
+    // after training on the base corpus (vec_id % 5 < 4); the new batch
+    // (% 5 = 4) is encoded against them and appended to the (cell, codes)
+    // index — no retrain, existing rows untouched (mirror of q92's
+    // incremental exact dedup). Search is the ordinary IVFPQ query leg over
+    // the union; queries are base-resident so the oracle reuses the q118
+    // coarse/PQ chains with corp = the base relation.
+    ("q124_incremental_ann", (s: SparkSession, d: String) => {
+      val emb = t(s, d, "embeddings")
+      val base = emb.filter(col("vec_id") % 5 < 4)
+      val batch = emb.filter(col("vec_id") % 5 === 4)
+      graft.llm.ProductQuant.ivfPqIncrementalTopK(
+        base.filter(col("vec_id") < 8).select(col("vec_id").as("query_id"), col("embedding")),
+        base, batch, 5, m = 8, dims = 8, centroidStride = 32, trainIters = 2,
+        ks = 16, coarseKs = 8, nprobe = 2, trainSample = 4096)
+    }, Some(s"""WITH corp AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        WHERE vec_id % 5 < 4)$coarseChainSql,
+      sv AS (SELECT vec_id, s.sub,
+          v[CAST(8 * s.sub + 1 AS INTEGER):CAST(8 * s.sub + 8 AS INTEGER)] AS sv
+        FROM corp, (SELECT unnest(range(0, 8)) AS sub) s)${pqChainSql("sv")},
+      newb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        WHERE vec_id % 5 = 4),
+      bsv AS (SELECT vec_id, s.sub,
+          v[CAST(8 * s.sub + 1 AS INTEGER):CAST(8 * s.sub + 8 AS INTEGER)] AS sv
+        FROM newb, (SELECT unnest(range(0, 8)) AS sub) s),
+      cellb AS (SELECT vec_id, ccid AS cell FROM (
+        SELECT c.vec_id, t.ccid,
+          row_number() OVER (PARTITION BY c.vec_id
+            ORDER BY round(${sqSql("c.v", "t.ccv", 64)}, 6), t.ccid) AS rn
+        FROM newb c CROSS JOIN cc2 t) WHERE rn = 1),
+      encb AS (SELECT vec_id, sub, cid AS code FROM (
+        SELECT x.vec_id, x.sub, c.cid,
+          row_number() OVER (PARTITION BY x.vec_id, x.sub
+            ORDER BY round(${sqSql("x.sv", "c.cv", 8)}, 6), c.cid) AS rn
+        FROM bsv x JOIN cb2 c ON x.sub = c.sub) WHERE rn = 1),
+      allcell AS (SELECT * FROM cellasg UNION ALL SELECT * FROM cellb),
+      allenc AS (SELECT * FROM enc UNION ALL SELECT * FROM encb),
+      dt AS (SELECT q.vec_id AS query_id, c.sub, c.cid AS code,
+          round(${sqSql("q.sv", "c.cv", 8)}, 6) AS d
+        FROM (SELECT * FROM sv WHERE vec_id < 8) q JOIN cb2 c ON q.sub = c.sub),
+      sc AS (SELECT dt.query_id, e.vec_id,
+          CAST(sum(CAST(dt.d AS DECIMAL(18,6))) AS DOUBLE) AS adc
+        FROM allenc e
+        JOIN allcell ce ON e.vec_id = ce.vec_id
+        JOIN probe p ON p.cell = ce.cell
+        JOIN dt ON e.sub = dt.sub AND e.code = dt.code AND dt.query_id = p.query_id
+        GROUP BY dt.query_id, e.vec_id),
+      w AS (SELECT *, row_number() OVER (PARTITION BY query_id
+          ORDER BY adc, vec_id) AS rnk FROM sc)
+      SELECT query_id, vec_id, adc, CAST(rnk AS INTEGER) AS rank
+      FROM w WHERE rnk <= 5"""))
   )
 
   /** The BM25 replay shared by q72/q123 — postings, df, dl, corpus stats,

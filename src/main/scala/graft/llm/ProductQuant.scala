@@ -198,17 +198,66 @@ object ProductQuant {
     val cb = trainCodebooks(corpus, m, dims, centroidStride, trainIters, ks, vecId,
       trainSample)
     val codes = encode(corpus, cb, m, dims, vecId).join(cells, Seq(vecId))
+    ivfPqSearch(queries, codes, coarse, cb, k, m, dims, nprobe, queryId, vecId)
+  }
 
+  /** Query leg over a PREBUILT IVFPQ index — `codes` is the
+    * (vecId, sub, code, cell) relation, `coarse`/`codebook` the frozen
+    * quantizers. Split out of [[ivfPqTopK]] so an incrementally-maintained
+    * index ([[encodeBatch]]) is searched by exactly the code path the
+    * batch-built index uses.
+    */
+  def ivfPqSearch(queries: DataFrame, codes: DataFrame, coarse: DataFrame,
+                  codebook: DataFrame, k: Int, m: Int, dims: Int, nprobe: Int,
+                  queryId: String = "query_id", vecId: String = "vec_id"): DataFrame = {
+    val d = m * dims
     val q = queries.withColumnRenamed(queryId, "__qid")
     val probes = assign(subvectors(q, "__qid", 1, d), coarse, "__qid", nprobe)
       .select(col("__qid"), col("cid").as("cell"))
-    val dt = subvectors(q, "__qid", m, dims).join(cb, Seq("sub"))
+    val dt = subvectors(q, "__qid", m, dims).join(codebook, Seq("sub"))
       .select(col("__qid"), col("sub"), col("cid").as("code"),
         round(sqDist(col("sv"), col("cv")), 6).as("d"))
-
     val candidates = codes.join(broadcast(probes), Seq("cell"))
     adcRank(candidates.join(broadcast(dt), Seq("__qid", "sub", "code")),
       k, queryId, vecId)
+  }
+
+  /** Incremental index maintenance — the CDC leg the batch pipelines lack:
+    * encode a NEW micro-batch of vectors against FROZEN quantizers and
+    * return the (vecId, sub, code, cell) rows to append to the resident
+    * index. The mirror of [[graft.llm.Dedup.exactIncremental]] (q92) for
+    * ANN: the model (coarse + PQ codebooks, both fixed-size broadcasts)
+    * does not move per batch — only the code relation grows — so a
+    * streaming `foreachBatch` appends `|batch|·(m+1)` slim rows and never
+    * touches the existing index or a raw corpus vector. Periodic retrain is
+    * a separate offline decision (FAISS posture), at which point the index
+    * rebuilds wholesale.
+    */
+  def encodeBatch(batch: DataFrame, coarse: DataFrame, codebook: DataFrame,
+                  m: Int, dims: Int, vecId: String = "vec_id"): DataFrame = {
+    val cells = encode(batch, coarse, 1, m * dims, vecId)
+      .select(col(vecId), col("code").as("cell"))
+    encode(batch, codebook, m, dims, vecId).join(cells, Seq(vecId))
+  }
+
+  /** Train on `base`, append `batch` via [[encodeBatch]], search the union —
+    * the full incremental round-trip, equal by construction to encoding
+    * base ∪ batch against the same frozen codebooks.
+    */
+  def ivfPqIncrementalTopK(queries: DataFrame, base: DataFrame, batch: DataFrame,
+                           k: Int, m: Int = 8, dims: Int = 8,
+                           centroidStride: Int = 32, trainIters: Int = 2,
+                           ks: Int = 16, coarseKs: Int = 8, nprobe: Int = 2,
+                           queryId: String = "query_id", vecId: String = "vec_id",
+                           trainSample: Int = 0): DataFrame = {
+    val d = m * dims
+    val coarse = trainCodebooks(base, 1, d, centroidStride, trainIters, coarseKs, vecId,
+      trainSample)
+    val cb = trainCodebooks(base, m, dims, centroidStride, trainIters, ks, vecId,
+      trainSample)
+    val baseCodes = encodeBatch(base, coarse, cb, m, dims, vecId)
+    val index = baseCodes.unionByName(encodeBatch(batch, coarse, cb, m, dims, vecId))
+    ivfPqSearch(queries, index, coarse, cb, k, m, dims, nprobe, queryId, vecId)
   }
 
   /** Residual-encoded IVF+PQ — FAISS's DEFAULT IVFPQ (`by_residual=true`,

@@ -1119,6 +1119,37 @@ class LlmSpec extends SparkSuite {
     got.foreach { case (q, v, adc, _) => assert(full((q, v)) == adc) }
   }
 
+  test("incremental ann: batch append equals full encode; appended vectors retrievable") {
+    import spark.implicits._
+    def mk(r: Range, base: Double) = r.map { i =>
+      (i.toLong, Array.tabulate(8)(j => base.toFloat + 0.01f * i + 0.001f * j))
+    }
+    // base: two clusters; the new batch adds vectors to BOTH clusters
+    val base = (mk(0 until 18, 0.0) ++ mk(20 until 38, 10.0)).toDF("vec_id", "embedding")
+    val batch = (mk(18 until 20, 0.0) ++ mk(38 until 40, 10.0)).toDF("vec_id", "embedding")
+    val coarse = graft.llm.ProductQuant.trainCodebooks(
+      base, m = 1, dims = 8, centroidStride = 10, iters = 2, ks = 4)
+    val cb = graft.llm.ProductQuant.trainCodebooks(
+      base, m = 2, dims = 4, centroidStride = 10, iters = 2, ks = 4)
+    // the appended index is row-identical to encoding base ∪ batch wholesale
+    // against the same frozen codebooks — append is exact, not approximate
+    val inc = graft.llm.ProductQuant.encodeBatch(base, coarse, cb, m = 2, dims = 4)
+      .unionByName(graft.llm.ProductQuant.encodeBatch(batch, coarse, cb, m = 2, dims = 4))
+    val whole = graft.llm.ProductQuant.encodeBatch(
+      base.unionByName(batch), coarse, cb, m = 2, dims = 4)
+    assert(inc.exceptAll(whole).isEmpty && whole.exceptAll(inc).isEmpty)
+    // batch vectors are retrievable through the appended index (nprobe=2
+    // covers both cluster-0 cells from the 4-entry coarse book)
+    val queries = base.filter(col("vec_id") === 0L)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val got = graft.llm.ProductQuant.ivfPqSearch(queries, inc, coarse, cb,
+      k = 25, m = 2, dims = 4, nprobe = 2)
+      .as[(Long, Long, Double, Int)].collect()
+    val ids = got.map(_._2).toSet
+    assert(ids.contains(18L) && ids.contains(19L))
+    assert(got.forall(_._2 < 20L))
+  }
+
   test("hard negatives: gold and its exact duplicates excluded before the cut") {
     import spark.implicits._
     val corpus = docs(
