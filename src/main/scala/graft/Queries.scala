@@ -748,7 +748,7 @@ object Queries {
             ORDER BY round(list_cosine_similarity(c.v, t.cent), 6) DESC, t.cent_id) AS rn
         FROM corp c CROSS JOIN c0 t) WHERE rn = 1),
       c1 AS (SELECT cell AS cent_id, list(m ORDER BY dim) AS cent FROM (
-          SELECT cell, dim, round(CAST(sum(CAST(x AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS m
+          SELECT cell, dim, floor(CAST(sum(CAST(x AS DECIMAL(18,6))) AS DOUBLE) / count(*) * 1e6 + 0.5) / 1e6 AS m
           FROM (SELECT cell, unnest(range(len(v))) AS dim, unnest(v) AS x FROM a1)
           GROUP BY cell, dim) GROUP BY cell),
       a2 AS (SELECT vec_id, v, cell FROM (
@@ -757,7 +757,7 @@ object Queries {
             ORDER BY round(list_cosine_similarity(c.v, t.cent), 6) DESC, t.cent_id) AS rn
         FROM corp c CROSS JOIN c1 t) WHERE rn = 1),
       c2 AS (SELECT cell AS cent_id, list(m ORDER BY dim) AS cent FROM (
-          SELECT cell, dim, round(CAST(sum(CAST(x AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS m
+          SELECT cell, dim, floor(CAST(sum(CAST(x AS DECIMAL(18,6))) AS DOUBLE) / count(*) * 1e6 + 0.5) / 1e6 AS m
           FROM (SELECT cell, unnest(range(len(v))) AS dim, unnest(v) AS x FROM a2)
           GROUP BY cell, dim) GROUP BY cell),
       ca AS (SELECT vec_id, v, cell FROM (
@@ -1673,7 +1673,7 @@ object Queries {
             ORDER BY round(list_cosine_similarity(c.v, t.cent), 6) DESC, t.cent_id) AS rn
         FROM corp c CROSS JOIN c0 t) WHERE rn = 1),
       c1 AS (SELECT cell AS cent_id, list(m ORDER BY dim) AS cent FROM (
-          SELECT cell, dim, round(CAST(sum(CAST(x AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS m
+          SELECT cell, dim, floor(CAST(sum(CAST(x AS DECIMAL(18,6))) AS DOUBLE) / count(*) * 1e6 + 0.5) / 1e6 AS m
           FROM (SELECT cell, unnest(range(len(v))) AS dim, unnest(v) AS x FROM a1)
           GROUP BY cell, dim) GROUP BY cell),
       a2 AS (SELECT vec_id, v, cell FROM (
@@ -1682,7 +1682,7 @@ object Queries {
             ORDER BY round(list_cosine_similarity(c.v, t.cent), 6) DESC, t.cent_id) AS rn
         FROM corp c CROSS JOIN c1 t) WHERE rn = 1),
       c2 AS (SELECT cell AS cent_id, list(m ORDER BY dim) AS cent FROM (
-          SELECT cell, dim, round(CAST(sum(CAST(x AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS m
+          SELECT cell, dim, floor(CAST(sum(CAST(x AS DECIMAL(18,6))) AS DOUBLE) / count(*) * 1e6 + 0.5) / 1e6 AS m
           FROM (SELECT cell, unnest(range(len(v))) AS dim, unnest(v) AS x FROM a2)
           GROUP BY cell, dim) GROUP BY cell)
       SELECT vec_id, cell FROM (
@@ -2827,7 +2827,68 @@ object Queries {
       w AS (SELECT *, row_number() OVER (PARTITION BY query_id
           ORDER BY adc, vec_id) AS rnk FROM sc)
       SELECT query_id, vec_id, adc, CAST(rnk AS INTEGER) AS rank
-      FROM w WHERE rnk <= 5"""))
+      FROM w WHERE rnk <= 5""")),
+
+    // Unigram-LM (SentencePiece-style) tokenizer training (Kudo 2018):
+    // substring seed → top-64 multi-char pieces by count·len (+ all chars)
+    // → 2 Viterbi-EM rounds over the Zipf-bounded distinct-word relation.
+    // Counts stay exact integers (hard Viterbi counts, not forward-backward
+    // floats) so the EM replay is exact; the DP adds round-6 logs in one
+    // fixed order with ties pinned to the earliest split start.
+    ("q125_unigram_vocab", (s: SparkSession, d: String) => {
+      graft.llm.UnigramLm.train(t(s, d, "documents"), "text",
+        vocabSize = 64, maxPieceLen = 4, iters = 2)
+    }, Some(s"""WITH toks AS (SELECT unnest(list_filter(string_split_regex(trim(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')), ' '), x -> x <> '')) AS word FROM documents),
+      w AS (SELECT word, count(*) AS f FROM toks GROUP BY word),
+      seed AS (SELECT piece, CAST(sum(f) AS BIGINT) AS c FROM (
+          SELECT f, unnest(flatten([[substr(word, CAST(i AS INTEGER), CAST(l AS INTEGER))
+              FOR l IN range(1, least(4, length(word) - i + 1) + 1)] FOR i IN range(1, length(word) + 1)])) AS piece
+          FROM w) GROUP BY piece),
+      v0 AS (SELECT piece, c FROM seed WHERE length(piece) = 1
+         UNION ALL
+         SELECT piece, c FROM (SELECT piece, c FROM seed WHERE length(piece) > 1
+           ORDER BY c * length(piece) DESC, piece LIMIT 64)),
+      lp0 AS (SELECT piece, round(ln(CAST(c AS DOUBLE) / (SELECT CAST(sum(c) AS DOUBLE) FROM v0)), 6) AS lp FROM v0),
+      m0 AS (SELECT map(list(piece), list(lp)) AS m FROM lp0),
+      seg1 AS (SELECT w.word, w.f, list_reduce(
+        [[{'dp': CAST(0.0 AS DOUBLE), 'seg': CAST([] AS VARCHAR[]), 'i': 0}]] ||
+        [[{'dp': NULL, 'seg': NULL, 'i': i}] FOR i IN range(1, length(w.word) + 1)],
+        (acc, x) -> acc || [
+          list_reduce(
+            [{'dp': CAST(-1e18 AS DOUBLE), 'seg': CAST([] AS VARCHAR[]), 'i': x[1].i}] ||
+            list_filter(
+              [{'dp': acc[CAST(j + 1 AS INTEGER)].dp
+                  + map_extract(m0.m, substr(w.word, CAST(j + 1 AS INTEGER), CAST(x[1].i - j AS INTEGER)))[1],
+                'seg': acc[CAST(j + 1 AS INTEGER)].seg
+                  || [substr(w.word, CAST(j + 1 AS INTEGER), CAST(x[1].i - j AS INTEGER))],
+                'i': x[1].i} FOR j IN range(greatest(0, x[1].i - 4), x[1].i)],
+              c -> c.dp IS NOT NULL),
+            (b, c) -> CASE WHEN c.dp > b.dp THEN c ELSE b END)
+        ]
+      )[-1].seg AS seg FROM w CROSS JOIN m0),
+      c1 AS (SELECT piece, CAST(sum(f) AS BIGINT) AS c FROM (SELECT f, unnest(seg) AS piece FROM seg1) GROUP BY piece),
+      lp1 AS (SELECT piece, round(ln(CAST(c AS DOUBLE) / (SELECT CAST(sum(c) AS DOUBLE) FROM c1)), 6) AS lp FROM c1),
+      m1 AS (SELECT map(list(piece), list(lp)) AS m FROM lp1),
+      seg2 AS (SELECT w.word, w.f, list_reduce(
+        [[{'dp': CAST(0.0 AS DOUBLE), 'seg': CAST([] AS VARCHAR[]), 'i': 0}]] ||
+        [[{'dp': NULL, 'seg': NULL, 'i': i}] FOR i IN range(1, length(w.word) + 1)],
+        (acc, x) -> acc || [
+          list_reduce(
+            [{'dp': CAST(-1e18 AS DOUBLE), 'seg': CAST([] AS VARCHAR[]), 'i': x[1].i}] ||
+            list_filter(
+              [{'dp': acc[CAST(j + 1 AS INTEGER)].dp
+                  + map_extract(m1.m, substr(w.word, CAST(j + 1 AS INTEGER), CAST(x[1].i - j AS INTEGER)))[1],
+                'seg': acc[CAST(j + 1 AS INTEGER)].seg
+                  || [substr(w.word, CAST(j + 1 AS INTEGER), CAST(x[1].i - j AS INTEGER))],
+                'i': x[1].i} FOR j IN range(greatest(0, x[1].i - 4), x[1].i)],
+              c -> c.dp IS NOT NULL),
+            (b, c) -> CASE WHEN c.dp > b.dp THEN c ELSE b END)
+        ]
+      )[-1].seg AS seg FROM w CROSS JOIN m1),
+      c2 AS (SELECT piece, CAST(sum(f) AS BIGINT) AS c FROM (SELECT f, unnest(seg) AS piece FROM seg2) GROUP BY piece)
+      SELECT piece, c AS cnt,
+        round(ln(CAST(c AS DOUBLE) / (SELECT CAST(sum(c) AS DOUBLE) FROM c2)), 6) AS logp
+      FROM c2"""))
   )
 
   /** The BM25 replay shared by q72/q123 — postings, df, dl, corpus stats,
@@ -2888,7 +2949,7 @@ object Queries {
     def mean(out: String, from: String) = s""",
       $out AS (SELECT sub, cid, list(mn ORDER BY dim) AS cv FROM (
           SELECT sub, cid, dim,
-            round(CAST(sum(CAST(xx AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS mn
+            floor(CAST(sum(CAST(xx AS DECIMAL(18,6))) AS DOUBLE) / count(*) * 1e6 + 0.5) / 1e6 AS mn
           FROM (SELECT sub, cid, unnest(range(len(sv))) AS dim, unnest(sv) AS xx FROM $from)
           GROUP BY sub, cid, dim) GROUP BY sub, cid)"""
     s""",
@@ -2918,7 +2979,7 @@ object Queries {
     def mean(out: String, from: String) = s""",
       $out AS (SELECT ccid, list(mn ORDER BY dim) AS ccv FROM (
           SELECT ccid, dim,
-            round(CAST(sum(CAST(xx AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS mn
+            floor(CAST(sum(CAST(xx AS DECIMAL(18,6))) AS DOUBLE) / count(*) * 1e6 + 0.5) / 1e6 AS mn
           FROM (SELECT ccid, unnest(range(len(v))) AS dim, unnest(v) AS xx FROM $from)
           GROUP BY ccid, dim) GROUP BY ccid)"""
     s""",

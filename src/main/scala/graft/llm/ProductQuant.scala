@@ -115,8 +115,11 @@ object ProductQuant {
       val next = assign(tsv, cb, vecId)
         .select(col("sub"), col("cid"), posexplode(col("sv")).as(Seq("dim", "x")))
         .groupBy("sub", "cid", "dim")
-        .agg(round(sum(col("x").cast("decimal(18,6)")).cast("double")
-          / count(lit(1)), 6).as("mn"))
+        // portable round6, NOT round(): decimal-exact sums over 6-decimal
+        // fixture data divided by small counts land exactly on 1e-6 half
+        // boundaries routinely, where engine round() conventions diverge
+        .agg(Sampling.round6(sum(col("x").cast("decimal(18,6)")).cast("double")
+          / count(lit(1))).as("mn"))
         .groupBy("sub", "cid")
         .agg(array_sort(collect_list(struct(col("dim"), col("mn")))).as("dm"))
         .select(col("sub"), col("cid"), transform(col("dm"), _.getField("mn")).as("cv"))

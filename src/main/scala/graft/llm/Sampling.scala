@@ -23,6 +23,20 @@ object Sampling {
     conv(substring(md5(key.cast("string")), 1, 8), 16, 10)
       .cast("long") / lit(4294967296.0)
 
+  /** Portable 6-decimal rounding: `floor(x·1e6 + 0.5) / 1e6`. Unlike
+    * `round(x, 6)` — which Spark evaluates through the double's SHORTEST
+    * decimal representation and DuckDB through a scaled multiply, so the two
+    * engines can disagree whenever that representation lands EXACTLY on a
+    * half boundary — this is a fixed sequence of IEEE double ops both
+    * engines execute bit-identically. Exact halves are ROUTINE for values
+    * like centroid means: 6-decimal fixture data summed exactly (decimal
+    * routing) and divided by a small count lands on ...5e-7 constantly
+    * (q124 found one; the q100 round() rule). Negative halves round toward
+    * +inf rather than away from zero — a convention change, but the SAME
+    * convention on both engines, which is the property that matters.
+    */
+  def round6(x: Column): Column = floor(x * lit(1e6) + lit(0.5)) / lit(1e6)
+
   /** Deterministic sample: keep rows whose key-hash falls under `frac`.
     * `frac` may be a literal or a per-row column (per-stratum rates). The
     * SAME rows are kept on every run and every engine — the property that

@@ -176,8 +176,11 @@ object SimSearch {
     assigned
       .select(col("cent_id"), posexplode(col("v")).as(Seq("dim", "x")))
       .groupBy("cent_id", "dim")
-      .agg(round(sum(col("x").cast("decimal(18,6)")).cast("double")
-        / count(lit(1)), 6).as("m"))
+      // portable round6, NOT round(): decimal-exact sums over 6-decimal
+      // fixture data divided by small counts land exactly on 1e-6 half
+      // boundaries, where engine round() conventions diverge (q124 lesson)
+      .agg(Sampling.round6(sum(col("x").cast("decimal(18,6)")).cast("double")
+        / count(lit(1))).as("m"))
       .groupBy("cent_id")
       .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("dm"))
       .select(col("cent_id"), transform(col("dm"), _.getField("m")).as("cent_emb"))

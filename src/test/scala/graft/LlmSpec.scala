@@ -1119,6 +1119,29 @@ class LlmSpec extends SparkSuite {
     got.foreach { case (q, v, adc, _) => assert(full((q, v)) == adc) }
   }
 
+  test("unigram lm: em promotes whole-word pieces; encode segments with the model") {
+    import spark.implicits._
+    val corpus = docs((1L, "abab abab abab cd"))
+    val model = graft.llm.UnigramLm.train(corpus, "text",
+      vocabSize = 6, maxPieceLen = 4, iters = 2)
+      .as[(String, Long, Double)].collect().sortBy(_._1)
+    // seed keeps all multi-char pieces {ab, abab, aba, bab, ba, cd} + chars;
+    // round 1 segments "abab" as the single piece (one log beats any split's
+    // two) and "cd" likewise, so EM collapses the vocab to the two whole
+    // words — every other piece wins no occurrence and drops
+    assert(model.map(_._1).toSeq == Seq("abab", "cd"))
+    val byPiece = model.map(m => m._1 -> m).toMap
+    assert(byPiece("abab")._2 == 3L && byPiece("cd")._2 == 1L)
+    assert(byPiece("abab")._3 == BigDecimal(math.log(3.0 / 4.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    // corpus encode under the trained model: 4 words, 4 pieces
+    val enc = graft.llm.UnigramLm.encodeCorpus(
+      corpus, "doc_id", "text",
+      graft.llm.UnigramLm.train(corpus, "text", 6, 4, 2))
+      .as[(Long, Long, Long)].collect()
+    assert(enc.toSeq == Seq((1L, 4L, 4L)))
+  }
+
   test("incremental ann: batch append equals full encode; appended vectors retrievable") {
     import spark.implicits._
     def mk(r: Range, base: Double) = r.map { i =>
