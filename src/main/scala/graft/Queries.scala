@@ -2888,7 +2888,26 @@ object Queries {
       c2 AS (SELECT piece, CAST(sum(f) AS BIGINT) AS c FROM (SELECT f, unnest(seg) AS piece FROM seg2) GROUP BY piece)
       SELECT piece, c AS cnt,
         round(ln(CAST(c AS DOUBLE) / (SELECT CAST(sum(c) AS DOUBLE) FROM c2)), 6) AS logp
-      FROM c2"""))
+      FROM c2""")),
+
+    // Active-window gap fill (the 100 TB form of q67): each key resamples
+    // only its own [first, last] active hours — per-key spine from the
+    // keyed bounds agg, no crossJoin, output bounded by actual activity
+    // spans instead of |keys|x|corpus hours|.
+    ("q126_gap_fill_active", (s: SparkSession, d: String) => {
+      graft.ops.TemporalJoin.hourlyGapFillActive(
+        t(s, d, "events").filter(col("user_id") < 40), "ts", "user_id")
+    }, Some("""WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS ts, user_id
+        FROM events WHERE user_id < 40),
+      hourly AS (SELECT date_trunc('hour', ts) AS hour, user_id, count(*) AS n
+        FROM e GROUP BY 1, 2),
+      b AS (SELECT user_id, min(hour) AS lo, max(hour) AS hi
+        FROM hourly GROUP BY user_id),
+      spine AS (SELECT user_id, unnest(generate_series(lo, hi,
+          INTERVAL 1 HOUR)) AS hour FROM b)
+      SELECT s.hour, s.user_id, coalesce(h.n, 0) AS n
+      FROM spine s
+      LEFT JOIN hourly h ON h.hour = s.hour AND h.user_id = s.user_id"""))
   )
 
   /** The BM25 replay shared by q72/q123 — postings, df, dl, corpus stats,

@@ -98,6 +98,13 @@ object TemporalJoin {
     * frame is broadcast against the aggregated (not raw) counts, so the only
     * full-data cost is the one keyed aggregation the un-filled query already
     * pays.
+    *
+    * 100× caveat: the dense spine×keys frame is |keys|·|hours| rows BY
+    * CONSTRUCTION — right when consumers want every key on one common axis
+    * (dashboards over bounded key sets), but at a year of hours × tens of
+    * millions of keys the fill frame dwarfs the data it fills. When each
+    * key only needs ITS OWN activity window resampled, use
+    * [[hourlyGapFillActive]], which is output-bounded and crossJoin-free.
     */
   def hourlyGapFill(df: DataFrame, tsCol: String, keyCol: String): DataFrame = {
     val hourly = df
@@ -112,6 +119,28 @@ object TemporalJoin {
     val keys = hourly.select(col(keyCol)).distinct()
     spine.crossJoin(keys)
       .join(hourly, Seq("hour", keyCol), "left")
+      .select(col("hour"), col(keyCol), coalesce(col("n"), lit(0L)).as("n"))
+  }
+
+  /** ACTIVE-WINDOW gap fill — the 100 TB form of [[hourlyGapFill]]: each
+    * key resamples only its own [first-seen, last-seen] hour span. The
+    * per-key spine explodes from the keyed bounds aggregation — no
+    * crossJoin, no global frame — so the output is Σ_key(active hours):
+    * a key alive for a day costs 24 rows no matter how long the corpus
+    * runs, where the dense variant bills every key the full corpus span.
+    * Same one-scan cost profile: bounds and counts both derive from the
+    * single keyed hourly aggregation.
+    */
+  def hourlyGapFillActive(df: DataFrame, tsCol: String, keyCol: String): DataFrame = {
+    val hourly = df
+      .groupBy(date_trunc("hour", col(tsCol)).as("hour"), col(keyCol))
+      .agg(count(lit(1)).as("n"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    val spine = hourly.groupBy(col(keyCol))
+      .agg(min(col("hour")).as("lo"), max(col("hour")).as("hi"))
+      .select(col(keyCol), explode(sequence(col("lo"), col("hi"),
+        expr("INTERVAL 1 HOUR"))).as("hour"))
+    spine.join(hourly, Seq(keyCol, "hour"), "left")
       .select(col("hour"), col(keyCol), coalesce(col("n"), lit(0L)).as("n"))
   }
 }

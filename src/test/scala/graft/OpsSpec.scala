@@ -221,6 +221,27 @@ class OpsSpec extends SparkSuite {
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 2L, 5L -> 1L))
   }
 
+  test("active gap fill resamples each key's own window only") {
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val ev = Seq(
+      (7L, ts("2024-01-01 10:10:00")),
+      (7L, ts("2024-01-01 13:20:00")),   // key 7 active 10:00-13:00 -> 4 rows
+      (8L, ts("2024-01-01 23:05:00"))).  // key 8 active one hour -> 1 row
+      toDF("user_id", "ts")
+    val got = graft.ops.TemporalJoin.hourlyGapFillActive(ev, "ts", "user_id")
+      .select(col("user_id"), col("hour"), col("n"))
+      .as[(Long, java.sql.Timestamp, Long)].collect().sortBy(r => (r._1, r._2.getTime))
+    // key 7: its own 4-hour span with 11:00/12:00 zero-filled; key 8 gets
+    // NO rows for 10:00-22:00 (the dense variant would bill it all 14)
+    assert(got.map(r => (r._1, r._2.toString, r._3)).toSeq == Seq(
+      (7L, "2024-01-01 10:00:00.0", 1L),
+      (7L, "2024-01-01 11:00:00.0", 0L),
+      (7L, "2024-01-01 12:00:00.0", 0L),
+      (7L, "2024-01-01 13:00:00.0", 1L),
+      (8L, "2024-01-01 23:00:00.0", 1L)))
+  }
+
   test("approx sketches stay within tolerance of exact answers") {
     import spark.implicits._
     // HLL++ and quantile sketches are the 100 TB answer to distinct counts
