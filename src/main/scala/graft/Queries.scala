@@ -2907,7 +2907,42 @@ object Queries {
           INTERVAL 1 HOUR)) AS hour FROM b)
       SELECT s.hour, s.user_id, coalesce(h.n, 0) AS n
       FROM spine s
-      LEFT JOIN hourly h ON h.hour = s.hour AND h.user_id = s.user_id"""))
+      LEFT JOIN hourly h ON h.hour = s.hour AND h.user_id = s.user_id""")),
+
+    // CCNet-style perplexity bucketing (Wenzek et al. 2020): head/middle/
+    // tail per source by unigram-LM avg_nll percent-rank — the q97 score
+    // through the q62 two-pass pr decomposition (no per-stratum global
+    // sort); the oracle uses the native window percent_rank, which q62
+    // proved the decomposition matches bit-for-bit.
+    ("q127_ccnet_buckets", (s: SparkSession, d: String) => {
+      val docs = t(s, d, "documents")
+      val lm = graft.llm.LangModel.unigramLm(docs, "doc_id", "text")
+      val scored = graft.llm.LangModel.scoreDocs(docs, "doc_id", "text", lm, floorLogp = 0.0)
+        .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+      graft.llm.Sampling.ccnetBuckets(scored, "doc_id", "source", col("avg_nll"))
+        .select(col("doc_id"), col("source"), col("n_tokens"), col("avg_nll"),
+          col("pr"), col("bucket"))
+    }, Some("""WITH dd AS (SELECT doc_id,
+        list_filter(string_split_regex(trim(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')), ' '),
+                    x -> x <> '') AS w
+        FROM documents),
+      tok AS (SELECT doc_id, unnest(w) AS term FROM dd),
+      cnt AS (SELECT term, count(*) AS c FROM tok GROUP BY term),
+      st AS (SELECT CAST(sum(c) AS BIGINT) AS n_total, count(*) AS n_vocab FROM cnt),
+      lm AS (SELECT term,
+          round(ln(CAST(c + 1 AS DOUBLE) / CAST(n_total + n_vocab AS DOUBLE)), 6) AS logp
+        FROM cnt, st),
+      sc AS (SELECT tok.doc_id, count(*) AS n_tokens,
+          round(CAST(sum(CAST(-lm.logp AS DECIMAL(18,6))) AS DOUBLE) / CAST(count(*) AS DOUBLE), 4) AS avg_nll
+        FROM tok JOIN lm ON tok.term = lm.term GROUP BY tok.doc_id),
+      j AS (SELECT sc.doc_id, d.source, sc.n_tokens, sc.avg_nll
+        FROM sc JOIN documents d ON sc.doc_id = d.doc_id),
+      p AS (SELECT *, percent_rank() OVER (PARTITION BY source
+          ORDER BY avg_nll, doc_id) AS pr FROM j)
+      SELECT doc_id, source, n_tokens, avg_nll, pr,
+        CASE WHEN pr < 1.0/3.0 THEN 'head'
+             WHEN pr < 2.0/3.0 THEN 'middle' ELSE 'tail' END AS bucket
+      FROM p"""))
   )
 
   /** The BM25 replay shared by q72/q123 — postings, df, dl, corpus stats,

@@ -97,6 +97,26 @@ object Sampling {
       .drop("__score", "__st", "__sc", "__cnt", "__below", "__n")
   }
 
+  /** CCNet-style perplexity bucketing (Wenzek et al. 2020): label each doc
+    * head / middle / tail by its LM score's percent-rank WITHIN its source
+    * stratum — the standard curation split (head ≈ wiki-like, tail ≈ noisy)
+    * that downstream mixes sample from at different rates. `scoreCol` is an
+    * already-QUANTIZED perplexity proxy (q97's round-4 avg_nll): the
+    * percent-rank rides [[percentileGate]]'s two-pass decomposition at
+    * threshold 0 (per-stratum distribution relation + fine-grained bucket
+    * ranking — no per-stratum global sort), which q62 proved lands
+    * bit-identically on the window `percent_rank()`. LOWER perplexity =
+    * better = head; cuts at pr < 1/3 and < 2/3 (exact double compares on
+    * both engines).
+    */
+  def ccnetBuckets(scored: DataFrame, idCol: String, stratumCol: String,
+                   scoreCol: Column): DataFrame =
+    percentileGate(scored, stratumCol, scoreCol, col(idCol), 0.0)
+      .withColumn("bucket",
+        when(col("pr") < lit(1.0 / 3.0), lit("head"))
+          .when(col("pr") < lit(2.0 / 3.0), lit("middle"))
+          .otherwise(lit("tail")))
+
   /** Temperature-flattened mixture rates at α = 0.5 (the multilingual-
     * sampling flatten: sample source s proportional to p_s^α, upweighting
     * tail sources so head domains don't drown them): per-stratum keep-rate

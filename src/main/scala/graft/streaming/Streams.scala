@@ -191,6 +191,29 @@ object Streams {
       }
   }
 
+  /** STREAMING ANN index maintenance — the live face of the q124 batch leg:
+    * every micro-batch of new vectors is encoded against the FROZEN
+    * coarse+PQ quantizers ([[graft.llm.ProductQuant.encodeBatch]]) and its
+    * (vecId, sub, code, cell) rows appended to the resident index. The
+    * model never moves inside the stream (retrain is an offline decision —
+    * FAISS posture), so each batch costs |batch|·(m+1) slim appended rows
+    * and never touches existing index data; the append is EXACT — after any
+    * number of batches the index is row-identical to a wholesale re-encode
+    * of the history under the same codebooks (StreamingSpec pins it).
+    * `Trigger.AvailableNow` mirrors the CDC flagship's cron-shaped runs.
+    */
+  def annIndexAppend(vectors: DataFrame, coarse: DataFrame, codebook: DataFrame,
+                     m: Int, dims: Int, indexPath: String, checkpoint: String,
+                     vecId: String = "vec_id"): org.apache.spark.sql.streaming.StreamingQuery =
+    vectors.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.llm.ProductQuant.encodeBatch(batch, coarse, codebook, m, dims, vecId)
+          .write.mode("append").parquet(indexPath)
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+
   /** Convenience: run a streaming DataFrame to completion into an in-memory
     * table (tests / AvailableNow batch-over-stream runs).
     */

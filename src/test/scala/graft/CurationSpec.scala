@@ -100,6 +100,22 @@ class CurationSpec extends SparkSuite {
     assert(got4 == Set((0L, 4L)))
   }
 
+  test("ccnet buckets split each stratum into head/middle/tail by percent-rank") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // stratum A: 9 docs, distinct scores 1..9 -> pr = (i-1)/8; head covers
+    // pr in [0, 1/3) = scores 1..3, middle [1/3, 2/3) = 4..6, tail = 7..9.
+    // stratum B: single doc -> pr 0 -> head.
+    val scored = ((1 to 9).map(i => (i.toLong, "A", i.toDouble)) :+
+      ((100L, "B", 42.0))).toDF("doc_id", "source", "nll")
+    val got = graft.llm.Sampling.ccnetBuckets(scored, "doc_id", "source", col("nll"))
+      .select("doc_id", "bucket").as[(Long, String)].collect().toMap
+    assert((1L to 3L).forall(got(_) == "head"))
+    assert((4L to 6L).forall(got(_) == "middle"))
+    assert((7L to 9L).forall(got(_) == "tail"))
+    assert(got(100L) == "head")
+  }
+
   test("vocab is tie-pinned and oovProfile counts positions outside it") {
     import spark.implicits._
     val df = docs((1L, "aa aa bb cc"), (2L, "aa bb dd dd dd"))

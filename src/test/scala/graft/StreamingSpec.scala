@@ -130,6 +130,39 @@ class StreamingSpec extends SparkSuite {
     assert(gauges("b")._2 == 4 && gauges("b")._3 == 4L) // exact below k
   }
 
+  test("streaming ann append across batches equals wholesale encode of the history") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    def mk(r: Range, base: Double) = r.map { i =>
+      (i.toLong, Array.tabulate(8)(j => base.toFloat + 0.01f * i + 0.001f * j))
+    }
+    // codebooks trained once on the base corpus, then FROZEN for the stream
+    val baseCorpus = (mk(0 until 18, 0.0) ++ mk(20 until 38, 10.0))
+      .toDF("vec_id", "embedding")
+    val coarse = graft.llm.ProductQuant.trainCodebooks(
+      baseCorpus, m = 1, dims = 8, centroidStride = 10, iters = 2, ks = 4)
+    val cb = graft.llm.ProductQuant.trainCodebooks(
+      baseCorpus, m = 2, dims = 4, centroidStride = 10, iters = 2, ks = 4)
+    val idx = java.nio.file.Files.createTempDirectory("ann-idx").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("ann-ckpt").toString
+    val src = MemoryStream[(Long, Array[Float])]
+    // two separate AvailableNow runs = two micro-batches, the CDC cadence
+    src.addData(mk(18 until 20, 0.0): _*)
+    Streams.annIndexAppend(src.toDF().toDF("vec_id", "embedding"),
+      coarse, cb, m = 2, dims = 4, idx, ckpt).awaitTermination()
+    src.addData(mk(38 until 40, 10.0): _*)
+    Streams.annIndexAppend(src.toDF().toDF("vec_id", "embedding"),
+      coarse, cb, m = 2, dims = 4, idx, ckpt).awaitTermination()
+    val streamed = spark.read.parquet(idx)
+    val wholesale = graft.llm.ProductQuant.encodeBatch(
+      (mk(18 until 20, 0.0) ++ mk(38 until 40, 10.0)).toDF("vec_id", "embedding"),
+      coarse, cb, m = 2, dims = 4)
+      .select(streamed.columns.map(org.apache.spark.sql.functions.col): _*)
+    assert(streamed.count() == 4 * 2)
+    assert(streamed.exceptAll(wholesale).isEmpty
+      && wholesale.exceptAll(streamed).isEmpty)
+  }
+
   test("session_window closes sessions at the inactivity gap") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
