@@ -2942,7 +2942,87 @@ object Queries {
       SELECT doc_id, source, n_tokens, avg_nll, pr,
         CASE WHEN pr < 1.0/3.0 THEN 'head'
              WHEN pr < 2.0/3.0 THEN 'middle' ELSE 'tail' END AS bucket
-      FROM p"""))
+      FROM p""")),
+
+    // Corpus tokenization under the TRAINED unigram model (the q111 shape
+    // for the SentencePiece side): per-doc word/piece counts, DP run once
+    // per DISTINCT word under the final vocab and equi-joined back. The
+    // oracle extends q125's replay with a third DP pass under the final
+    // model's log-probs.
+    ("q128_unigram_encode", (s: SparkSession, d: String) => {
+      val docs = t(s, d, "documents")
+      val model = graft.llm.UnigramLm.train(docs, "text",
+        vocabSize = 64, maxPieceLen = 4, iters = 2)
+      graft.llm.UnigramLm.encodeCorpus(docs, "doc_id", "text", model)
+    }, Some(s"""WITH toks AS (SELECT doc_id, unnest(list_filter(string_split_regex(trim(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')), ' '), x -> x <> '')) AS word FROM documents),
+      w AS (SELECT word, count(*) AS f FROM toks GROUP BY word),
+      seed AS (SELECT piece, CAST(sum(f) AS BIGINT) AS c FROM (
+          SELECT f, unnest(flatten([[substr(word, CAST(i AS INTEGER), CAST(l AS INTEGER))
+              FOR l IN range(1, least(4, length(word) - i + 1) + 1)] FOR i IN range(1, length(word) + 1)])) AS piece
+          FROM w) GROUP BY piece),
+      v0 AS (SELECT piece, c FROM seed WHERE length(piece) = 1
+         UNION ALL
+         SELECT piece, c FROM (SELECT piece, c FROM seed WHERE length(piece) > 1
+           ORDER BY c * length(piece) DESC, piece LIMIT 64)),
+      lp0 AS (SELECT piece, round(ln(CAST(c AS DOUBLE) / (SELECT CAST(sum(c) AS DOUBLE) FROM v0)), 6) AS lp FROM v0),
+      m0 AS (SELECT map(list(piece), list(lp)) AS m FROM lp0),
+      seg1 AS (SELECT w.word, w.f, list_reduce(
+        [[{'dp': CAST(0.0 AS DOUBLE), 'seg': CAST([] AS VARCHAR[]), 'i': 0}]] ||
+        [[{'dp': NULL, 'seg': NULL, 'i': i}] FOR i IN range(1, length(w.word) + 1)],
+        (acc, x) -> acc || [
+          list_reduce(
+            [{'dp': CAST(-1e18 AS DOUBLE), 'seg': CAST([] AS VARCHAR[]), 'i': x[1].i}] ||
+            list_filter(
+              [{'dp': acc[CAST(j + 1 AS INTEGER)].dp
+                  + map_extract(m0.m, substr(w.word, CAST(j + 1 AS INTEGER), CAST(x[1].i - j AS INTEGER)))[1],
+                'seg': acc[CAST(j + 1 AS INTEGER)].seg
+                  || [substr(w.word, CAST(j + 1 AS INTEGER), CAST(x[1].i - j AS INTEGER))],
+                'i': x[1].i} FOR j IN range(greatest(0, x[1].i - 4), x[1].i)],
+              c -> c.dp IS NOT NULL),
+            (b, c) -> CASE WHEN c.dp > b.dp THEN c ELSE b END)
+        ]
+      )[-1].seg AS seg FROM w CROSS JOIN m0),
+      c1 AS (SELECT piece, CAST(sum(f) AS BIGINT) AS c FROM (SELECT f, unnest(seg) AS piece FROM seg1) GROUP BY piece),
+      lp1 AS (SELECT piece, round(ln(CAST(c AS DOUBLE) / (SELECT CAST(sum(c) AS DOUBLE) FROM c1)), 6) AS lp FROM c1),
+      m1 AS (SELECT map(list(piece), list(lp)) AS m FROM lp1),
+      seg2 AS (SELECT w.word, w.f, list_reduce(
+        [[{'dp': CAST(0.0 AS DOUBLE), 'seg': CAST([] AS VARCHAR[]), 'i': 0}]] ||
+        [[{'dp': NULL, 'seg': NULL, 'i': i}] FOR i IN range(1, length(w.word) + 1)],
+        (acc, x) -> acc || [
+          list_reduce(
+            [{'dp': CAST(-1e18 AS DOUBLE), 'seg': CAST([] AS VARCHAR[]), 'i': x[1].i}] ||
+            list_filter(
+              [{'dp': acc[CAST(j + 1 AS INTEGER)].dp
+                  + map_extract(m1.m, substr(w.word, CAST(j + 1 AS INTEGER), CAST(x[1].i - j AS INTEGER)))[1],
+                'seg': acc[CAST(j + 1 AS INTEGER)].seg
+                  || [substr(w.word, CAST(j + 1 AS INTEGER), CAST(x[1].i - j AS INTEGER))],
+                'i': x[1].i} FOR j IN range(greatest(0, x[1].i - 4), x[1].i)],
+              c -> c.dp IS NOT NULL),
+            (b, c) -> CASE WHEN c.dp > b.dp THEN c ELSE b END)
+        ]
+      )[-1].seg AS seg FROM w CROSS JOIN m1),
+      c2 AS (SELECT piece, CAST(sum(f) AS BIGINT) AS c FROM (SELECT f, unnest(seg) AS piece FROM seg2) GROUP BY piece),
+      lp2 AS (SELECT piece, round(ln(CAST(c AS DOUBLE) / (SELECT CAST(sum(c) AS DOUBLE) FROM c2)), 6) AS lp FROM c2),
+      m2 AS (SELECT map(list(piece), list(lp)) AS m FROM lp2),
+      segE AS (SELECT w.word, list_reduce(
+        [[{'dp': CAST(0.0 AS DOUBLE), 'seg': CAST([] AS VARCHAR[]), 'i': 0}]] ||
+        [[{'dp': NULL, 'seg': NULL, 'i': i}] FOR i IN range(1, length(w.word) + 1)],
+        (acc, x) -> acc || [
+          list_reduce(
+            [{'dp': CAST(-1e18 AS DOUBLE), 'seg': CAST([] AS VARCHAR[]), 'i': x[1].i}] ||
+            list_filter(
+              [{'dp': acc[CAST(j + 1 AS INTEGER)].dp
+                  + map_extract(m2.m, substr(w.word, CAST(j + 1 AS INTEGER), CAST(x[1].i - j AS INTEGER)))[1],
+                'seg': acc[CAST(j + 1 AS INTEGER)].seg
+                  || [substr(w.word, CAST(j + 1 AS INTEGER), CAST(x[1].i - j AS INTEGER))],
+                'i': x[1].i} FOR j IN range(greatest(0, x[1].i - 4), x[1].i)],
+              c -> c.dp IS NOT NULL),
+            (b, c) -> CASE WHEN c.dp > b.dp THEN c ELSE b END)
+        ]
+      )[-1].seg AS seg FROM w CROSS JOIN m2)
+      SELECT t.doc_id, count(*) AS n_words, CAST(sum(len(e.seg)) AS BIGINT) AS n_tokens
+      FROM toks t JOIN segE e ON t.word = e.word
+      GROUP BY t.doc_id"""))
   )
 
   /** The BM25 replay shared by q72/q123 — postings, df, dl, corpus stats,

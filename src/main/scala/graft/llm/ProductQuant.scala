@@ -76,41 +76,34 @@ object ProductQuant {
     * so training stays O(N·m·ks) — linear in the corpus — at any scale,
     * and the code domain stays small enough to be a table lookup.
     *
-    * `trainSample > 0` bounds the Lloyd rounds to a deterministic
-    * md5-threshold sample of ~`trainSample` vectors (the [[Sampling.hash01]]
-    * machinery; FAISS trains its quantizers on a bounded sample for the same
-    * reason — fitting a fixed ks-entry model does not need the corpus, and
-    * at 100 TB `iters` full passes are pure wasted I/O). The sample is
-    * materialized ONCE (localCheckpoint), so every round scans `trainSample·m`
-    * subvector rows instead of re-reading the source — training cost becomes
-    * corpus-size-independent; only the single encode pass stays O(N). The
-    * threshold is `trainSample / count(corpus)` (clamped to 1), a pure
-    * function of the corpus both engines replay; the hash keeps the SAME
-    * vectors at any SF. The seed still comes from the full corpus, so
-    * `trainSample = 0` (train on everything) is bit-identical to the
-    * pre-sampling behavior.
+    * `trainFrac < 1` bounds the Lloyd rounds to a deterministic
+    * md5-threshold sample (the [[Sampling.hash01]] machinery; FAISS trains
+    * its quantizers on a bounded sample for the same reason — fitting a
+    * fixed ks-entry model does not need the corpus, and at 100 TB `iters`
+    * full passes are pure wasted I/O). The sample is materialized ONCE
+    * (localCheckpoint), so every round scans the sample instead of
+    * re-reading the source — training cost becomes corpus-size-independent;
+    * only the single encode pass stays O(N). Callers derive the fraction as
+    * `min(1, targetVectors / count)` from ONE cheap count of the raw corpus
+    * ([[trainFracFor]]) — the identical double division the oracle replays.
+    * At `trainFrac >= 1` the sampling plumbing is SKIPPED entirely (no
+    * extra materialization pass, no extra jobs): fixture-scale plans are
+    * bit-identical to the unsampled form, which is also what keeps the
+    * sample filter a no-op in the SQL replay. The seed always comes from
+    * the full corpus.
     */
   def trainCodebooks(corpus: DataFrame, m: Int, dims: Int,
                      centroidStride: Int, iters: Int, ks: Int = 16,
-                     vecId: String = "vec_id", trainSample: Int = 0): DataFrame = {
+                     vecId: String = "vec_id", trainFrac: Double = 1.0): DataFrame = {
     val sv = subvectors(corpus, vecId, m, dims)
     var cb = sv.filter(col(vecId) % centroidStride === 0
         && col(vecId) < centroidStride.toLong * ks)
       .select(col("sub"), col(vecId).as("cid"), col("sv").as("cv"))
       .localCheckpoint()
+    val sampled = trainFrac < 1.0
     val tsv =
-      if (trainSample <= 0) sv
-      else {
-        // count rides the plan as a broadcast 1-row relation — no separate
-        // driver action; the eager localCheckpoint materializes the bounded
-        // sample once for all rounds.
-        val n = corpus.agg(count(lit(1)).cast("double").as("__n"))
-        sv.join(broadcast(n))
-          .filter(Sampling.hash01(col(vecId)) <
-            least(lit(1.0), lit(trainSample.toDouble) / col("__n")))
-          .drop("__n")
-          .localCheckpoint()
-      }
+      if (!sampled) sv
+      else sv.filter(Sampling.hash01(col(vecId)) < lit(trainFrac)).localCheckpoint()
     for (_ <- 1 to iters) {
       val next = assign(tsv, cb, vecId)
         .select(col("sub"), col("cid"), posexplode(col("sv")).as(Seq("dim", "x")))
@@ -127,9 +120,19 @@ object ProductQuant {
       org.apache.spark.sql.graft.Checkpoints.release(cb)
       cb = next
     }
-    if (trainSample > 0) org.apache.spark.sql.graft.Checkpoints.release(tsv)
+    if (sampled) org.apache.spark.sql.graft.Checkpoints.release(tsv)
     cb
   }
+
+  /** One cheap count of the raw corpus → the training-sample fraction
+    * `min(1, targetVectors / n)` shared by every quantizer in a pipeline
+    * (the q122 residual PQ samples on the SAME raw-corpus count — inner
+    * joins preserve every vecId — which is exactly what the oracle's
+    * `count(*) FROM corp` replays). `target <= 0` disables sampling.
+    */
+  def trainFracFor(corpus: DataFrame, target: Int): Double =
+    if (target <= 0) 1.0
+    else math.min(1.0, target.toDouble / corpus.count())
 
   /** The code relation (vecId, sub, code) — the 100 TB-resident form of
     * the corpus: m small ints per vector instead of m·dims floats.
@@ -194,12 +197,13 @@ object ProductQuant {
                 queryId: String = "query_id", vecId: String = "vec_id",
                 trainSample: Int = 0): DataFrame = {
     val d = m * dims
+    val frac = trainFracFor(corpus, trainSample)
     val coarse = trainCodebooks(corpus, 1, d, centroidStride, trainIters, coarseKs, vecId,
-      trainSample)
+      frac)
     val cells = encode(corpus, coarse, 1, d, vecId)
       .select(col(vecId), col("code").as("cell"))
     val cb = trainCodebooks(corpus, m, dims, centroidStride, trainIters, ks, vecId,
-      trainSample)
+      frac)
     val codes = encode(corpus, cb, m, dims, vecId).join(cells, Seq(vecId))
     ivfPqSearch(queries, codes, coarse, cb, k, m, dims, nprobe, queryId, vecId)
   }
@@ -243,6 +247,26 @@ object ProductQuant {
     encode(batch, codebook, m, dims, vecId).join(cells, Seq(vecId))
   }
 
+  /** [[encodeBatch]] for the RESIDUAL-encoded index (the FAISS-default
+    * [[ivfPqResidualTopK]] layout): the batch's cells come off the frozen
+    * coarse quantizer, the PQ codes off the residual (vector − its coarse
+    * centroid) against the frozen residual-trained codebook. Same append
+    * contract — (vecId, sub, code, cell), row-identical to a wholesale
+    * re-encode under the same model; the residual subtraction is one
+    * broadcast join against the ≤coarseKs-row centroid relation.
+    */
+  def encodeBatchResidual(batch: DataFrame, coarse: DataFrame, codebook: DataFrame,
+                          m: Int, dims: Int, vecId: String = "vec_id"): DataFrame = {
+    val d = m * dims
+    val cells = encode(batch, coarse, 1, d, vecId)
+      .select(col(vecId), col("code").as("cell"))
+    val cvRel = coarse.select(col("cid").as("cell"), col("cv").as("cellv"))
+    val resid = batch.select(col(vecId), col("embedding").cast("array<double>").as("v"))
+      .join(cells, Seq(vecId)).join(broadcast(cvRel), Seq("cell"))
+      .select(col(vecId), zip_with(col("v"), col("cellv"), (a, b) => a - b).as("embedding"))
+    encode(resid, codebook, m, dims, vecId).join(cells, Seq(vecId))
+  }
+
   /** Train on `base`, append `batch` via [[encodeBatch]], search the union —
     * the full incremental round-trip, equal by construction to encoding
     * base ∪ batch against the same frozen codebooks.
@@ -254,10 +278,11 @@ object ProductQuant {
                            queryId: String = "query_id", vecId: String = "vec_id",
                            trainSample: Int = 0): DataFrame = {
     val d = m * dims
+    val frac = trainFracFor(base, trainSample)
     val coarse = trainCodebooks(base, 1, d, centroidStride, trainIters, coarseKs, vecId,
-      trainSample)
+      frac)
     val cb = trainCodebooks(base, m, dims, centroidStride, trainIters, ks, vecId,
-      trainSample)
+      frac)
     val baseCodes = encodeBatch(base, coarse, cb, m, dims, vecId)
     val index = baseCodes.unionByName(encodeBatch(batch, coarse, cb, m, dims, vecId))
     ivfPqSearch(queries, index, coarse, cb, k, m, dims, nprobe, queryId, vecId)
@@ -281,8 +306,9 @@ object ProductQuant {
                         queryId: String = "query_id", vecId: String = "vec_id",
                         trainSample: Int = 0): DataFrame = {
     val d = m * dims
+    val frac = trainFracFor(corpus, trainSample)
     val coarse = trainCodebooks(corpus, 1, d, centroidStride, trainIters, coarseKs, vecId,
-      trainSample)
+      frac)
     val cells = encode(corpus, coarse, 1, d, vecId)
       .select(col(vecId), col("code").as("cell"))
     val cvRel = coarse.select(col("cid").as("cell"), col("cv").as("cellv"))
@@ -292,7 +318,7 @@ object ProductQuant {
       .select(col(vecId), col("cell"),
         zip_with(col("v"), col("cellv"), (a, b) => a - b).as("embedding"))
     val cb = trainCodebooks(resid, m, dims, centroidStride, trainIters, ks, vecId,
-      trainSample)
+      frac)
     val codes = encode(resid, cb, m, dims, vecId).join(cells, Seq(vecId))
 
     val q = queries.withColumnRenamed(queryId, "__qid")
@@ -320,7 +346,7 @@ object ProductQuant {
              queryId: String = "query_id", vecId: String = "vec_id",
              trainSample: Int = 0): DataFrame = {
     val cb = trainCodebooks(corpus, m, dims, centroidStride, trainIters, ks, vecId,
-      trainSample)
+      trainFracFor(corpus, trainSample))
     val codes = encode(corpus, cb, m, dims, vecId)
     adcTopK(queries, codes, cb, k, m, dims, queryId, vecId)
   }

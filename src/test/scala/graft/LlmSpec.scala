@@ -1173,6 +1173,27 @@ class LlmSpec extends SparkSuite {
     assert(got.forall(_._2 < 20L))
   }
 
+  test("residual incremental ann: batch append equals wholesale residual encode") {
+    import spark.implicits._
+    def mk(r: Range, base: Double) = r.map { i =>
+      (i.toLong, Array.tabulate(8)(j => base.toFloat + 0.01f * i + 0.001f * j))
+    }
+    val base = (mk(0 until 18, 0.0) ++ mk(20 until 38, 10.0)).toDF("vec_id", "embedding")
+    val batch = (mk(18 until 20, 0.0) ++ mk(38 until 40, 10.0)).toDF("vec_id", "embedding")
+    val coarse = graft.llm.ProductQuant.trainCodebooks(
+      base, m = 1, dims = 8, centroidStride = 10, iters = 2, ks = 4)
+    val cb = graft.llm.ProductQuant.trainCodebooks(
+      base, m = 2, dims = 4, centroidStride = 10, iters = 2, ks = 4)
+    // the exactness contract is model-independent: appending batches under
+    // ANY frozen (coarse, cb) pair is row-identical to one wholesale encode
+    val inc = graft.llm.ProductQuant.encodeBatchResidual(base, coarse, cb, m = 2, dims = 4)
+      .unionByName(graft.llm.ProductQuant.encodeBatchResidual(batch, coarse, cb, m = 2, dims = 4))
+    val whole = graft.llm.ProductQuant.encodeBatchResidual(
+      base.unionByName(batch), coarse, cb, m = 2, dims = 4)
+    assert(inc.count() == 40 * 2)
+    assert(inc.exceptAll(whole).isEmpty && whole.exceptAll(inc).isEmpty)
+  }
+
   test("hard negatives: gold and its exact duplicates excluded before the cut") {
     import spark.implicits._
     val corpus = docs(
