@@ -232,6 +232,27 @@ class PlanSpec extends SparkSuite {
     }
   }
 
+  test("q124: appended-index search keeps the PQ-family shape — broadcasts, no cross join") {
+    val p = finalPlan("q124_incremental_ann")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("top_k_by_score"), p)
+  }
+
+  test("q126: active gap fill has no cross join — per-key spine only") {
+    val p = finalPlan("q126_gap_fill_active")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q127: bucket prune join is a hash join, not nested-loop over the docs") {
+    val p = finalPlan("q127_ccnet_buckets")
+    // the only BNLs are the two 1-row scalar broadcasts (LM corpus stats);
+    // the percentile buckets join on null-safe keys must hash
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("AQE splits a skewed sort-merge join at runtime") {
     import spark.implicits._
     val prev = Map(
