@@ -2801,17 +2801,7 @@ object Queries {
         WHERE vec_id % 5 = 4),
       bsv AS (SELECT vec_id, s.sub,
           v[CAST(8 * s.sub + 1 AS INTEGER):CAST(8 * s.sub + 8 AS INTEGER)] AS sv
-        FROM newb, (SELECT unnest(range(0, 8)) AS sub) s),
-      cellb AS (SELECT vec_id, ccid AS cell FROM (
-        SELECT c.vec_id, t.ccid,
-          row_number() OVER (PARTITION BY c.vec_id
-            ORDER BY round(${sqSql("c.v", "t.ccv", 64)}, 6), t.ccid) AS rn
-        FROM newb c CROSS JOIN cc2 t) WHERE rn = 1),
-      encb AS (SELECT vec_id, sub, cid AS code FROM (
-        SELECT x.vec_id, x.sub, c.cid,
-          row_number() OVER (PARTITION BY x.vec_id, x.sub
-            ORDER BY round(${sqSql("x.sv", "c.cv", 8)}, 6), c.cid) AS rn
-        FROM bsv x JOIN cb2 c ON x.sub = c.sub) WHERE rn = 1),
+        FROM newb, (SELECT unnest(range(0, 8)) AS sub) s)${coarseAsgSql("cellb", "cc2", "newb", "vec_id, ccid AS cell", "rn = 1")}${pqAsgSql("encb", "bsv", "cb2", "vec_id, sub, cid AS code")},
       allcell AS (SELECT * FROM cellasg UNION ALL SELECT * FROM cellb),
       allenc AS (SELECT * FROM enc UNION ALL SELECT * FROM encb),
       dt AS (SELECT q.vec_id AS query_id, c.sub, c.cid AS code,
@@ -2839,53 +2829,7 @@ object Queries {
       graft.llm.UnigramLm.train(t(s, d, "documents"), "text",
         vocabSize = 64, maxPieceLen = 4, iters = 2)
     }, Some(s"""WITH toks AS (SELECT unnest(list_filter(string_split_regex(trim(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')), ' '), x -> x <> '')) AS word FROM documents),
-      w AS (SELECT word, count(*) AS f FROM toks GROUP BY word),
-      seed AS (SELECT piece, CAST(sum(f) AS BIGINT) AS c FROM (
-          SELECT f, unnest(flatten([[substr(word, CAST(i AS INTEGER), CAST(l AS INTEGER))
-              FOR l IN range(1, least(4, length(word) - i + 1) + 1)] FOR i IN range(1, length(word) + 1)])) AS piece
-          FROM w) GROUP BY piece),
-      v0 AS (SELECT piece, c FROM seed WHERE length(piece) = 1
-         UNION ALL
-         SELECT piece, c FROM (SELECT piece, c FROM seed WHERE length(piece) > 1
-           ORDER BY c * length(piece) DESC, piece LIMIT 64)),
-      lp0 AS (SELECT piece, round(ln(CAST(c AS DOUBLE) / (SELECT CAST(sum(c) AS DOUBLE) FROM v0)), 6) AS lp FROM v0),
-      m0 AS (SELECT map(list(piece), list(lp)) AS m FROM lp0),
-      seg1 AS (SELECT w.word, w.f, list_reduce(
-        [[{'dp': CAST(0.0 AS DOUBLE), 'seg': CAST([] AS VARCHAR[]), 'i': 0}]] ||
-        [[{'dp': NULL, 'seg': NULL, 'i': i}] FOR i IN range(1, length(w.word) + 1)],
-        (acc, x) -> acc || [
-          list_reduce(
-            [{'dp': CAST(-1e18 AS DOUBLE), 'seg': CAST([] AS VARCHAR[]), 'i': x[1].i}] ||
-            list_filter(
-              [{'dp': acc[CAST(j + 1 AS INTEGER)].dp
-                  + map_extract(m0.m, substr(w.word, CAST(j + 1 AS INTEGER), CAST(x[1].i - j AS INTEGER)))[1],
-                'seg': acc[CAST(j + 1 AS INTEGER)].seg
-                  || [substr(w.word, CAST(j + 1 AS INTEGER), CAST(x[1].i - j AS INTEGER))],
-                'i': x[1].i} FOR j IN range(greatest(0, x[1].i - 4), x[1].i)],
-              c -> c.dp IS NOT NULL),
-            (b, c) -> CASE WHEN c.dp > b.dp THEN c ELSE b END)
-        ]
-      )[-1].seg AS seg FROM w CROSS JOIN m0),
-      c1 AS (SELECT piece, CAST(sum(f) AS BIGINT) AS c FROM (SELECT f, unnest(seg) AS piece FROM seg1) GROUP BY piece),
-      lp1 AS (SELECT piece, round(ln(CAST(c AS DOUBLE) / (SELECT CAST(sum(c) AS DOUBLE) FROM c1)), 6) AS lp FROM c1),
-      m1 AS (SELECT map(list(piece), list(lp)) AS m FROM lp1),
-      seg2 AS (SELECT w.word, w.f, list_reduce(
-        [[{'dp': CAST(0.0 AS DOUBLE), 'seg': CAST([] AS VARCHAR[]), 'i': 0}]] ||
-        [[{'dp': NULL, 'seg': NULL, 'i': i}] FOR i IN range(1, length(w.word) + 1)],
-        (acc, x) -> acc || [
-          list_reduce(
-            [{'dp': CAST(-1e18 AS DOUBLE), 'seg': CAST([] AS VARCHAR[]), 'i': x[1].i}] ||
-            list_filter(
-              [{'dp': acc[CAST(j + 1 AS INTEGER)].dp
-                  + map_extract(m1.m, substr(w.word, CAST(j + 1 AS INTEGER), CAST(x[1].i - j AS INTEGER)))[1],
-                'seg': acc[CAST(j + 1 AS INTEGER)].seg
-                  || [substr(w.word, CAST(j + 1 AS INTEGER), CAST(x[1].i - j AS INTEGER))],
-                'i': x[1].i} FOR j IN range(greatest(0, x[1].i - 4), x[1].i)],
-              c -> c.dp IS NOT NULL),
-            (b, c) -> CASE WHEN c.dp > b.dp THEN c ELSE b END)
-        ]
-      )[-1].seg AS seg FROM w CROSS JOIN m1),
-      c2 AS (SELECT piece, CAST(sum(f) AS BIGINT) AS c FROM (SELECT f, unnest(seg) AS piece FROM seg2) GROUP BY piece)
+      ${unigramChainSql}
       SELECT piece, c AS cnt,
         round(ln(CAST(c AS DOUBLE) / (SELECT CAST(sum(c) AS DOUBLE) FROM c2)), 6) AS logp
       FROM c2""")),
@@ -2955,71 +2899,10 @@ object Queries {
         vocabSize = 64, maxPieceLen = 4, iters = 2)
       graft.llm.UnigramLm.encodeCorpus(docs, "doc_id", "text", model)
     }, Some(s"""WITH toks AS (SELECT doc_id, unnest(list_filter(string_split_regex(trim(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')), ' '), x -> x <> '')) AS word FROM documents),
-      w AS (SELECT word, count(*) AS f FROM toks GROUP BY word),
-      seed AS (SELECT piece, CAST(sum(f) AS BIGINT) AS c FROM (
-          SELECT f, unnest(flatten([[substr(word, CAST(i AS INTEGER), CAST(l AS INTEGER))
-              FOR l IN range(1, least(4, length(word) - i + 1) + 1)] FOR i IN range(1, length(word) + 1)])) AS piece
-          FROM w) GROUP BY piece),
-      v0 AS (SELECT piece, c FROM seed WHERE length(piece) = 1
-         UNION ALL
-         SELECT piece, c FROM (SELECT piece, c FROM seed WHERE length(piece) > 1
-           ORDER BY c * length(piece) DESC, piece LIMIT 64)),
-      lp0 AS (SELECT piece, round(ln(CAST(c AS DOUBLE) / (SELECT CAST(sum(c) AS DOUBLE) FROM v0)), 6) AS lp FROM v0),
-      m0 AS (SELECT map(list(piece), list(lp)) AS m FROM lp0),
-      seg1 AS (SELECT w.word, w.f, list_reduce(
-        [[{'dp': CAST(0.0 AS DOUBLE), 'seg': CAST([] AS VARCHAR[]), 'i': 0}]] ||
-        [[{'dp': NULL, 'seg': NULL, 'i': i}] FOR i IN range(1, length(w.word) + 1)],
-        (acc, x) -> acc || [
-          list_reduce(
-            [{'dp': CAST(-1e18 AS DOUBLE), 'seg': CAST([] AS VARCHAR[]), 'i': x[1].i}] ||
-            list_filter(
-              [{'dp': acc[CAST(j + 1 AS INTEGER)].dp
-                  + map_extract(m0.m, substr(w.word, CAST(j + 1 AS INTEGER), CAST(x[1].i - j AS INTEGER)))[1],
-                'seg': acc[CAST(j + 1 AS INTEGER)].seg
-                  || [substr(w.word, CAST(j + 1 AS INTEGER), CAST(x[1].i - j AS INTEGER))],
-                'i': x[1].i} FOR j IN range(greatest(0, x[1].i - 4), x[1].i)],
-              c -> c.dp IS NOT NULL),
-            (b, c) -> CASE WHEN c.dp > b.dp THEN c ELSE b END)
-        ]
-      )[-1].seg AS seg FROM w CROSS JOIN m0),
-      c1 AS (SELECT piece, CAST(sum(f) AS BIGINT) AS c FROM (SELECT f, unnest(seg) AS piece FROM seg1) GROUP BY piece),
-      lp1 AS (SELECT piece, round(ln(CAST(c AS DOUBLE) / (SELECT CAST(sum(c) AS DOUBLE) FROM c1)), 6) AS lp FROM c1),
-      m1 AS (SELECT map(list(piece), list(lp)) AS m FROM lp1),
-      seg2 AS (SELECT w.word, w.f, list_reduce(
-        [[{'dp': CAST(0.0 AS DOUBLE), 'seg': CAST([] AS VARCHAR[]), 'i': 0}]] ||
-        [[{'dp': NULL, 'seg': NULL, 'i': i}] FOR i IN range(1, length(w.word) + 1)],
-        (acc, x) -> acc || [
-          list_reduce(
-            [{'dp': CAST(-1e18 AS DOUBLE), 'seg': CAST([] AS VARCHAR[]), 'i': x[1].i}] ||
-            list_filter(
-              [{'dp': acc[CAST(j + 1 AS INTEGER)].dp
-                  + map_extract(m1.m, substr(w.word, CAST(j + 1 AS INTEGER), CAST(x[1].i - j AS INTEGER)))[1],
-                'seg': acc[CAST(j + 1 AS INTEGER)].seg
-                  || [substr(w.word, CAST(j + 1 AS INTEGER), CAST(x[1].i - j AS INTEGER))],
-                'i': x[1].i} FOR j IN range(greatest(0, x[1].i - 4), x[1].i)],
-              c -> c.dp IS NOT NULL),
-            (b, c) -> CASE WHEN c.dp > b.dp THEN c ELSE b END)
-        ]
-      )[-1].seg AS seg FROM w CROSS JOIN m1),
-      c2 AS (SELECT piece, CAST(sum(f) AS BIGINT) AS c FROM (SELECT f, unnest(seg) AS piece FROM seg2) GROUP BY piece),
+      ${unigramChainSql},
       lp2 AS (SELECT piece, round(ln(CAST(c AS DOUBLE) / (SELECT CAST(sum(c) AS DOUBLE) FROM c2)), 6) AS lp FROM c2),
       m2 AS (SELECT map(list(piece), list(lp)) AS m FROM lp2),
-      segE AS (SELECT w.word, list_reduce(
-        [[{'dp': CAST(0.0 AS DOUBLE), 'seg': CAST([] AS VARCHAR[]), 'i': 0}]] ||
-        [[{'dp': NULL, 'seg': NULL, 'i': i}] FOR i IN range(1, length(w.word) + 1)],
-        (acc, x) -> acc || [
-          list_reduce(
-            [{'dp': CAST(-1e18 AS DOUBLE), 'seg': CAST([] AS VARCHAR[]), 'i': x[1].i}] ||
-            list_filter(
-              [{'dp': acc[CAST(j + 1 AS INTEGER)].dp
-                  + map_extract(m2.m, substr(w.word, CAST(j + 1 AS INTEGER), CAST(x[1].i - j AS INTEGER)))[1],
-                'seg': acc[CAST(j + 1 AS INTEGER)].seg
-                  || [substr(w.word, CAST(j + 1 AS INTEGER), CAST(x[1].i - j AS INTEGER))],
-                'i': x[1].i} FOR j IN range(greatest(0, x[1].i - 4), x[1].i)],
-              c -> c.dp IS NOT NULL),
-            (b, c) -> CASE WHEN c.dp > b.dp THEN c ELSE b END)
-        ]
-      )[-1].seg AS seg FROM w CROSS JOIN m2)
+      segE AS (SELECT w.word, ${unigramDpSql("w.word", "m2.m")} AS seg FROM w CROSS JOIN m2)
       SELECT t.doc_id, count(*) AS n_words, CAST(sum(len(e.seg)) AS BIGINT) AS n_tokens
       FROM toks t JOIN segE e ON t.word = e.word
       GROUP BY t.doc_id"""))
@@ -3068,18 +2951,83 @@ object Queries {
        * ($a[CAST(i AS INTEGER)] - $b[CAST(i AS INTEGER)])
        FOR i IN range(1, ${n + 1})], (p, q) -> p + q)"""
 
+  /** DuckDB replay of one Viterbi-DP segmentation (the q22 list-accumulator
+    * pattern): best (dp, seg) per position, candidates over the last ≤4
+    * chars, ties to the earliest split start, -1e18 sentinel for
+    * unreachable positions. `word`/`mapv` name the source column and the
+    * piece→logp map. ONE definition shared by every unigram oracle pass.
+    */
+  private def unigramDpSql(word: String, mapv: String): String = s"""list_reduce(
+        [[{'dp': CAST(0.0 AS DOUBLE), 'seg': CAST([] AS VARCHAR[]), 'i': 0}]] ||
+        [[{'dp': NULL, 'seg': NULL, 'i': i}] FOR i IN range(1, length(${word}) + 1)],
+        (acc, x) -> acc || [
+          list_reduce(
+            [{'dp': CAST(-1e18 AS DOUBLE), 'seg': CAST([] AS VARCHAR[]), 'i': x[1].i}] ||
+            list_filter(
+              [{'dp': acc[CAST(j + 1 AS INTEGER)].dp
+                  + map_extract(${mapv}, substr(${word}, CAST(j + 1 AS INTEGER), CAST(x[1].i - j AS INTEGER)))[1],
+                'seg': acc[CAST(j + 1 AS INTEGER)].seg
+                  || [substr(${word}, CAST(j + 1 AS INTEGER), CAST(x[1].i - j AS INTEGER))],
+                'i': x[1].i} FOR j IN range(greatest(0, x[1].i - 4), x[1].i)],
+              c -> c.dp IS NOT NULL),
+            (b, c) -> CASE WHEN c.dp > b.dp THEN c ELSE b END)
+        ]
+      )[-1].seg"""
+
+  /** The unigram-LM Viterbi-EM replay shared by q125/q128 (seed → prune →
+    * 2 EM rounds) over a `toks(..., word)` relation: emits CTEs
+    * `w, seed, v0, lp0, m0, seg1, c1, lp1, m1, seg2, c2` (no leading or
+    * trailing comma). One definition so a replay fix can't silently
+    * diverge between the two oracles (the pqChainSql convention).
+    */
+  private def unigramChainSql: String = s"""w AS (SELECT word, count(*) AS f FROM toks GROUP BY word),
+      seed AS (SELECT piece, CAST(sum(f) AS BIGINT) AS c FROM (
+          SELECT f, unnest(flatten([[substr(word, CAST(i AS INTEGER), CAST(l AS INTEGER))
+              FOR l IN range(1, least(4, length(word) - i + 1) + 1)] FOR i IN range(1, length(word) + 1)])) AS piece
+          FROM w) GROUP BY piece),
+      v0 AS (SELECT piece, c FROM seed WHERE length(piece) = 1
+         UNION ALL
+         SELECT piece, c FROM (SELECT piece, c FROM seed WHERE length(piece) > 1
+           ORDER BY c * length(piece) DESC, piece LIMIT 64)),
+      lp0 AS (SELECT piece, round(ln(CAST(c AS DOUBLE) / (SELECT CAST(sum(c) AS DOUBLE) FROM v0)), 6) AS lp FROM v0),
+      m0 AS (SELECT map(list(piece), list(lp)) AS m FROM lp0),
+      seg1 AS (SELECT w.word, w.f, ${unigramDpSql("w.word", "m0.m")} AS seg FROM w CROSS JOIN m0),
+      c1 AS (SELECT piece, CAST(sum(f) AS BIGINT) AS c FROM (SELECT f, unnest(seg) AS piece FROM seg1) GROUP BY piece),
+      lp1 AS (SELECT piece, round(ln(CAST(c AS DOUBLE) / (SELECT CAST(sum(c) AS DOUBLE) FROM c1)), 6) AS lp FROM c1),
+      m1 AS (SELECT map(list(piece), list(lp)) AS m FROM lp1),
+      seg2 AS (SELECT w.word, w.f, ${unigramDpSql("w.word", "m1.m")} AS seg FROM w CROSS JOIN m1),
+      c2 AS (SELECT piece, CAST(sum(f) AS BIGINT) AS c FROM (SELECT f, unnest(seg) AS piece FROM seg2) GROUP BY piece)"""
+
   /** The PQ Lloyd replay shared by q117/q118/q122 (seed → 2 rounds →
     * encode) over a subvector relation `src(vec_id, sub, sv)`: emits CTEs
     * `sb0, a1, cb1, a2, cb2, enc` (leading comma included). One definition
     * so a replay fix can't silently diverge between the three oracles.
     */
-  private def pqChainSql(src: String): String = {
-    def asg(out: String, from: String, cb: String, proj: String) = s""",
+  /** One per-(vec, sub) nearest-codebook-entry assignment CTE (leading
+    * comma): shared by the pqChainSql rounds and q124's batch-encode leg —
+    * one definition, the chain-helper convention.
+    */
+  private def pqAsgSql(out: String, from: String, cb: String, proj: String): String = s""",
       $out AS (SELECT $proj FROM (
         SELECT x.vec_id, x.sub, x.sv, c.cid,
           row_number() OVER (PARTITION BY x.vec_id, x.sub
             ORDER BY round(${sqSql("x.sv", "c.cv", 8)}, 6), c.cid) AS rn
         FROM $from x JOIN $cb c ON x.sub = c.sub) WHERE rn = 1)"""
+
+  /** One whole-vector coarse assignment CTE (leading comma): shared by the
+    * coarseChainSql rounds, the cell/probe legs, and q124's batch cells.
+    */
+  private def coarseAsgSql(out: String, cb: String, srcSel: String,
+                           proj: String, rnPred: String): String = s""",
+      $out AS (SELECT $proj FROM (
+        SELECT c.vec_id, c.v, t.ccid,
+          row_number() OVER (PARTITION BY c.vec_id
+            ORDER BY round(${sqSql("c.v", "t.ccv", 64)}, 6), t.ccid) AS rn
+        FROM $srcSel c CROSS JOIN $cb t) WHERE $rnPred)"""
+
+  private def pqChainSql(src: String): String = {
+    def asg(out: String, from: String, cb: String, proj: String) =
+      pqAsgSql(out, from, cb, proj)
     def mean(out: String, from: String) = s""",
       $out AS (SELECT sub, cid, list(mn ORDER BY dim) AS cv FROM (
           SELECT sub, cid, dim,
@@ -3104,12 +3052,7 @@ object Queries {
     */
   private def coarseChainSql: String = {
     def asg(out: String, cb: String, srcSel: String, proj: String,
-            rnPred: String) = s""",
-      $out AS (SELECT $proj FROM (
-        SELECT c.vec_id, c.v, t.ccid,
-          row_number() OVER (PARTITION BY c.vec_id
-            ORDER BY round(${sqSql("c.v", "t.ccv", 64)}, 6), t.ccid) AS rn
-        FROM $srcSel c CROSS JOIN $cb t) WHERE $rnPred)"""
+            rnPred: String) = coarseAsgSql(out, cb, srcSel, proj, rnPred)
     def mean(out: String, from: String) = s""",
       $out AS (SELECT ccid, list(mn ORDER BY dim) AS ccv FROM (
           SELECT ccid, dim,

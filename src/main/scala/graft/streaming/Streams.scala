@@ -201,18 +201,45 @@ object Streams {
     * number of batches the index is row-identical to a wholesale re-encode
     * of the history under the same codebooks (StreamingSpec pins it).
     * `Trigger.AvailableNow` mirrors the CDC flagship's cron-shaped runs.
+    *
+    * IDEMPOTENT under epoch replay: foreachBatch offers at-least-once
+    * delivery (a crash between the sink commit and the offset commit
+    * re-runs the epoch), so a blind append would duplicate the batch's
+    * rows. Each batch lands in its own `batch_id=<epoch>` partition via
+    * DYNAMIC partition overwrite — a replayed epoch overwrites exactly its
+    * own partition and nothing else. Readers see the extra `batch_id`
+    * column; [[readAnnIndex]] drops it.
     */
   def annIndexAppend(vectors: DataFrame, coarse: DataFrame, codebook: DataFrame,
                      m: Int, dims: Int, indexPath: String, checkpoint: String,
                      vecId: String = "vec_id"): org.apache.spark.sql.streaming.StreamingQuery =
     vectors.writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        graft.llm.ProductQuant.encodeBatch(batch, coarse, codebook, m, dims, vecId)
-          .write.mode("append").parquet(indexPath)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        appendIndexBatch(batch, coarse, codebook, m, dims, indexPath, batchId, vecId)
       }
       .option("checkpointLocation", checkpoint)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
+
+  /** One epoch's idempotent index write (the [[annIndexAppend]] sink body,
+    * exposed so the replay contract is directly testable): encode against
+    * the frozen model, overwrite ONLY this epoch's partition.
+    */
+  def appendIndexBatch(batch: DataFrame, coarse: DataFrame, codebook: DataFrame,
+                       m: Int, dims: Int, indexPath: String, batchId: Long,
+                       vecId: String = "vec_id"): Unit =
+    graft.llm.ProductQuant.encodeBatch(batch, coarse, codebook, m, dims, vecId)
+      .withColumn("batch_id", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id")
+      .parquet(indexPath)
+
+  /** The resident index as the (vecId, sub, code, cell) relation the batch
+    * pipelines produce — `batch_id` is write-side plumbing, dropped here.
+    */
+  def readAnnIndex(spark: org.apache.spark.sql.SparkSession, indexPath: String): DataFrame =
+    spark.read.parquet(indexPath).drop("batch_id")
 
   /** Convenience: run a streaming DataFrame to completion into an in-memory
     * table (tests / AvailableNow batch-over-stream runs).

@@ -153,7 +153,7 @@ class StreamingSpec extends SparkSuite {
     src.addData(mk(38 until 40, 10.0): _*)
     Streams.annIndexAppend(src.toDF().toDF("vec_id", "embedding"),
       coarse, cb, m = 2, dims = 4, idx, ckpt).awaitTermination()
-    val streamed = spark.read.parquet(idx)
+    val streamed = Streams.readAnnIndex(spark, idx)
     val wholesale = graft.llm.ProductQuant.encodeBatch(
       (mk(18 until 20, 0.0) ++ mk(38 until 40, 10.0)).toDF("vec_id", "embedding"),
       coarse, cb, m = 2, dims = 4)
@@ -161,6 +161,15 @@ class StreamingSpec extends SparkSuite {
     assert(streamed.count() == 4 * 2)
     assert(streamed.exceptAll(wholesale).isEmpty
       && wholesale.exceptAll(streamed).isEmpty)
+    // epoch REPLAY is idempotent: re-running an epoch (same data, same
+    // batch id — the second AvailableNow run was epoch 1 on this
+    // checkpoint) overwrites its own partition, never duplicates
+    // (foreachBatch is at-least-once)
+    Streams.appendIndexBatch(mk(38 until 40, 10.0).toDF("vec_id", "embedding"),
+      coarse, cb, m = 2, dims = 4, idx, batchId = 1L)
+    val replayed = Streams.readAnnIndex(spark, idx)
+    assert(replayed.count() == 4 * 2)
+    assert(replayed.exceptAll(wholesale).isEmpty)
   }
 
   test("session_window closes sessions at the inactivity gap") {
