@@ -178,6 +178,17 @@ object StressBench {
         graft.llm.Dedup.simhashPairsSwept(docsTimesUncorr(f), "text", "doc_id", 7, 6))
       time("jaccard_prefix", f)(
         graft.llm.Dedup.jaccardPairsPrefix(docsTimesUncorr(f), "text", "doc_id", 3, 0.5))
+      // r11: the sample-bounded PQ training claims CORPUS-SIZE-INDEPENDENT
+      // train cost; 16x barely exercises it (128k sample vs 32k corpus at
+      // 16x means the 4096 cap bites, but encode still dominates). The 64x
+      // point pins the claim: growth beyond 16x must track the single
+      // encode pass alone.
+      time("pq_topk", f)({
+        val e = embTimes(f)
+        graft.llm.ProductQuant.pqTopK(
+          e.filter(col("vec_id") < 8).select(col("vec_id").as("query_id"), col("embedding")),
+          e, 5, trainSample = 4096)
+      })
     }
     spark.stop()
   }
