@@ -2905,7 +2905,46 @@ object Queries {
       segE AS (SELECT w.word, ${unigramDpSql("w.word", "m2.m")} AS seg FROM w CROSS JOIN m2)
       SELECT t.doc_id, count(*) AS n_words, CAST(sum(len(e.seg)) AS BIGINT) AS n_tokens
       FROM toks t JOIN segE e ON t.word = e.word
-      GROUP BY t.doc_id"""))
+      GROUP BY t.doc_id""")),
+
+    // Scalar quantization (FAISS SQ8): per-dim [min,max] affine uint8
+    // codes — 4x compression with near-exact recall, the flat-scan
+    // counterpart of the PQ family. Train = ONE agg to a d-entry stats
+    // row (broadcast everywhere); encode = pure per-row projection;
+    // search reconstructs inside a fixed-order fold. All ops exact-order
+    // IEEE both engines; ties pin on vec_id.
+    ("q129_sq8_topk", (s: SparkSession, d: String) => {
+      val emb = t(s, d, "embeddings")
+      graft.llm.ScalarQuant.sq8TopK(
+        emb.filter(col("vec_id") < 8).select(col("vec_id").as("query_id"), col("embedding")),
+        emb, 5)
+    }, Some(s"""WITH corp AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      st AS (SELECT dim, min(x) AS mn, max(x) AS mx FROM (
+          SELECT unnest(range(len(v))) AS dim, unnest(v) AS x FROM corp) GROUP BY dim),
+      sarr AS (SELECT list(mn ORDER BY dim) AS mn, list(mx ORDER BY dim) AS mx FROM st),
+      codes AS (SELECT vec_id,
+          [CASE WHEN s.mx[CAST(i AS INTEGER)] = s.mn[CAST(i AS INTEGER)] THEN 0
+                ELSE greatest(0, least(255, CAST(floor((v[CAST(i AS INTEGER)] - s.mn[CAST(i AS INTEGER)])
+                  / (s.mx[CAST(i AS INTEGER)] - s.mn[CAST(i AS INTEGER)]) * 255.0) AS INTEGER))) END
+           FOR i IN range(1, len(v) + 1)] AS codes
+        FROM corp, sarr s),
+      q AS (SELECT vec_id AS query_id, v AS qv FROM corp WHERE vec_id < 8),
+      sc AS (SELECT q.query_id, c.vec_id,
+          round(list_reduce([
+            (q.qv[CAST(i AS INTEGER)] -
+              CASE WHEN s.mx[CAST(i AS INTEGER)] = s.mn[CAST(i AS INTEGER)] THEN s.mn[CAST(i AS INTEGER)]
+                   ELSE s.mn[CAST(i AS INTEGER)] + (CAST(c.codes[CAST(i AS INTEGER)] AS DOUBLE) + 0.5)
+                     * (s.mx[CAST(i AS INTEGER)] - s.mn[CAST(i AS INTEGER)]) / 256.0 END)
+            * (q.qv[CAST(i AS INTEGER)] -
+              CASE WHEN s.mx[CAST(i AS INTEGER)] = s.mn[CAST(i AS INTEGER)] THEN s.mn[CAST(i AS INTEGER)]
+                   ELSE s.mn[CAST(i AS INTEGER)] + (CAST(c.codes[CAST(i AS INTEGER)] AS DOUBLE) + 0.5)
+                     * (s.mx[CAST(i AS INTEGER)] - s.mn[CAST(i AS INTEGER)]) / 256.0 END)
+            FOR i IN range(1, len(q.qv) + 1)], (p, qq) -> p + qq), 6) AS d
+        FROM codes c CROSS JOIN sarr s CROSS JOIN q),
+      w AS (SELECT *, row_number() OVER (PARTITION BY query_id
+          ORDER BY d, vec_id) AS rnk FROM sc)
+      SELECT query_id, vec_id, d AS dist, CAST(rnk AS INTEGER) AS rank
+      FROM w WHERE rnk <= 5"""))
   )
 
   /** The BM25 replay shared by q72/q123 — postings, df, dl, corpus stats,

@@ -1,0 +1,100 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Scalar quantization (FAISS SQ8) — the OTHER standard vector-compression
+  * path next to PQ ([[ProductQuant]]): each dimension is independently
+  * affine-mapped to a uint8 code against per-dim [min, max] trained on the
+  * corpus. 4× memory vs float32 with near-exact recall (PQ is 32× with
+  * coarser distances) — the right tool when memory is tight but PQ's
+  * accuracy loss isn't acceptable. FAISS ships it as `SQ8`/IndexScalarQuantizer.
+  *
+  * 100 TB shape: training is ONE aggregation to a 1-row per-dim stats
+  * relation (fixed size — d entries — at any corpus scale) that rides every
+  * later plan as a broadcast; encode is a pure per-row projection (zero
+  * shuffle, fused into the scan); search reconstructs each code inside a
+  * fixed-order fold against the broadcast query batch and keeps top-k via
+  * the bounded-heap aggregate — the q23 flat-scan category with 4× less
+  * resident data, and the same IVF-composition option when pruning is
+  * needed.
+  *
+  * Determinism: min/max of doubles are exact; the code is
+  * `floor((x−mn)/(mx−mn)·255)` clamped — floor is portable; reconstruction
+  * `mn + (code+0.5)·(mx−mn)/256` and the squared-distance fold are
+  * fixed-order IEEE ops both engines replay; distances round to 6 before
+  * ranking and ties pin on vec id (the PQ conventions).
+  */
+object ScalarQuant {
+
+  /** Per-dim stats packed to ONE row: (mn: array, mx: array), dim-ordered.
+    * Fixed d-entry model at any corpus size — the broadcast side of every
+    * downstream plan.
+    */
+  def trainStats(corpus: DataFrame, vecId: String = "vec_id"): DataFrame =
+    corpus
+      .select(posexplode(col("embedding").cast("array<double>")).as(Seq("dim", "x")))
+      .groupBy("dim").agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+      .groupBy()
+      .agg(array_sort(collect_list(struct(col("dim"), col("mn"), col("mx")))).as("s"))
+      .select(transform(col("s"), _.getField("mn")).as("mn"),
+        transform(col("s"), _.getField("mx")).as("mx"))
+
+  /** uint8 code for one dim: clamp(floor((x−mn)/(mx−mn)·255), 0, 255);
+    * degenerate dims (mx == mn) code to 0. */
+  private def codeOf(x: Column, mn: Column, mx: Column): Column =
+    when(mx === mn, lit(0)).otherwise(
+      greatest(lit(0), least(lit(255),
+        floor((x - mn) / (mx - mn) * lit(255.0)).cast("int"))))
+
+  /** (vecId, codes: array<int>) — the 4×-compressed resident corpus. Pure
+    * per-row projection against the broadcast stats; no shuffle.
+    */
+  def encode(corpus: DataFrame, stats: DataFrame,
+             vecId: String = "vec_id"): DataFrame =
+    corpus.crossJoin(broadcast(stats))
+      .select(col(vecId),
+        zip_with(col("embedding").cast("array<double>"),
+          zip_with(col("mn"), col("mx"), (a, b) => struct(a.as("mn"), b.as("mx"))),
+          (x, s) => codeOf(x, s.getField("mn"), s.getField("mx"))).as("codes"))
+
+  /** Reconstruction squared-L2 of a raw query against a coded vector —
+    * the same sequential fold order [[ProductQuant.sqDist]] uses.
+    */
+  private def sqDistCodes(q: Column, codes: Column, mn: Column, mx: Column): Column = {
+    val recon = zip_with(codes,
+      zip_with(mn, mx, (a, b) => struct(a.as("mn"), b.as("mx"))),
+      (c, s) => when(s.getField("mx") === s.getField("mn"), s.getField("mn"))
+        .otherwise(s.getField("mn") + (c.cast("double") + lit(0.5))
+          * (s.getField("mx") - s.getField("mn")) / lit(256.0)))
+    aggregate(zip_with(q, recon, (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, x) => acc + x)
+  }
+
+  /** Flat top-k over the coded corpus for a broadcast query batch: distances
+    * via reconstruction inside one projection, bounded-heap top-k per query
+    * (≤ k rows per query per mapper), ties pinned on vec id.
+    */
+  def topK(queries: DataFrame, codes: DataFrame, stats: DataFrame, k: Int,
+           queryId: String = "query_id", vecId: String = "vec_id"): DataFrame = {
+    val q = queries.select(col(queryId).as("__qid"),
+      col("embedding").cast("array<double>").as("__qv"))
+    val scored = codes.crossJoin(broadcast(stats)).crossJoin(broadcast(q))
+      .select(col("__qid"), col(vecId),
+        round(sqDistCodes(col("__qv"), col("codes"), col("mn"), col("mx")), 6).as("d"))
+    scored.groupBy(col("__qid"))
+      .agg(org.apache.spark.sql.graft.TopKColumns
+        .topKByScore(negate(col("d")), col(vecId), k).as("top"))
+      .select(col("__qid").as(queryId), posexplode(col("top")).as(Seq("pos", "entry")))
+      .select(col(queryId), col("entry.id").as(vecId),
+        negate(col("entry.score")).as("dist"),
+        (col("pos") + 1).cast("int").as("rank"))
+  }
+
+  /** Train → encode → search, the full SQ8 pipeline for one query batch. */
+  def sq8TopK(queries: DataFrame, corpus: DataFrame, k: Int,
+              queryId: String = "query_id", vecId: String = "vec_id"): DataFrame = {
+    val stats = trainStats(corpus, vecId)
+    topK(queries, encode(corpus, stats, vecId), stats, k, queryId, vecId)
+  }
+}

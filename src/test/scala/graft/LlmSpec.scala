@@ -1173,6 +1173,32 @@ class LlmSpec extends SparkSuite {
     assert(got.forall(_._2 < 20L))
   }
 
+  test("sq8: codes bounded, degenerate dims safe, cluster ranking survives quantization") {
+    import spark.implicits._
+    // dim 7 is CONSTANT (degenerate: mx == mn) — codes to 0, reconstructs mn
+    val corpus = (0L until 20L).map { i =>
+      val base = if (i < 10) 0.0f else 10.0f
+      (i, Array.tabulate(8)(j => if (j == 7) 1.5f else base + 0.01f * i + 0.001f * j))
+    }.toDF("vec_id", "embedding")
+    val stats = graft.llm.ScalarQuant.trainStats(corpus)
+    val codes = graft.llm.ScalarQuant.encode(corpus, stats)
+    val flat = codes.select(explode(col("codes")).as("c")).as[Int].collect()
+    assert(flat.forall(c => c >= 0 && c <= 255))
+    val got = graft.llm.ScalarQuant.topK(
+      corpus.filter(col("vec_id") === 0L || col("vec_id") === 15L)
+        .select(col("vec_id").as("query_id"), col("embedding")),
+      codes, stats, k = 8)
+      .as[(Long, Long, Double, Int)].collect()
+    val byQ = got.groupBy(_._1)
+    // near-exact recall: every neighbor comes from the query's own cluster
+    // and distances are non-decreasing in rank
+    assert(byQ(0L).forall(_._2 < 10L) && byQ(15L).forall(_._2 >= 10L))
+    byQ.values.foreach { rows =>
+      val sorted = rows.sortBy(_._4)
+      assert(sorted.sliding(2).forall(p => p.head._3 <= p.last._3))
+    }
+  }
+
   test("residual incremental ann: batch append equals wholesale residual encode") {
     import spark.implicits._
     def mk(r: Range, base: Double) = r.map { i =>
