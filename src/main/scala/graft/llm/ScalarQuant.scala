@@ -58,30 +58,33 @@ object ScalarQuant {
           zip_with(col("mn"), col("mx"), (a, b) => struct(a.as("mn"), b.as("mx"))),
           (x, s) => codeOf(x, s.getField("mn"), s.getField("mx"))).as("codes"))
 
-  /** Reconstruction squared-L2 of a raw query against a coded vector —
-    * the same sequential fold order [[ProductQuant.sqDist]] uses.
-    */
-  private def sqDistCodes(q: Column, codes: Column, mn: Column, mx: Column): Column = {
-    val recon = zip_with(codes,
+  /** Per-dim affine reconstruction of a coded vector. */
+  private def reconOf(codes: Column, mn: Column, mx: Column): Column =
+    zip_with(codes,
       zip_with(mn, mx, (a, b) => struct(a.as("mn"), b.as("mx"))),
       (c, s) => when(s.getField("mx") === s.getField("mn"), s.getField("mn"))
         .otherwise(s.getField("mn") + (c.cast("double") + lit(0.5))
           * (s.getField("mx") - s.getField("mn")) / lit(256.0)))
-    aggregate(zip_with(q, recon, (x, y) => (x - y) * (x - y)),
-      lit(0.0), (acc, x) => acc + x)
-  }
 
-  /** Flat top-k over the coded corpus for a broadcast query batch: distances
-    * via reconstruction inside one projection, bounded-heap top-k per query
-    * (≤ k rows per query per mapper), ties pinned on vec id.
+  /** Flat top-k over the coded corpus for a broadcast query batch:
+    * reconstruction is MATERIALIZED once per vector in its own projection
+    * BEFORE the query cross join (the CLAUDE.md array-lambda rule — inside
+    * the scored projection it would re-evaluate per query), then each
+    * (query, vec) pair pays only the [[ProductQuant.sqDist]]-order
+    * difference fold; bounded-heap top-k per query (≤ k rows per query per
+    * mapper), ties pinned on vec id.
     */
   def topK(queries: DataFrame, codes: DataFrame, stats: DataFrame, k: Int,
            queryId: String = "query_id", vecId: String = "vec_id"): DataFrame = {
     val q = queries.select(col(queryId).as("__qid"),
       col("embedding").cast("array<double>").as("__qv"))
-    val scored = codes.crossJoin(broadcast(stats)).crossJoin(broadcast(q))
+    val scored = codes.crossJoin(broadcast(stats))
+      .select(col(vecId), reconOf(col("codes"), col("mn"), col("mx")).as("__recon"))
+      .crossJoin(broadcast(q))
       .select(col("__qid"), col(vecId),
-        round(sqDistCodes(col("__qv"), col("codes"), col("mn"), col("mx")), 6).as("d"))
+        round(aggregate(zip_with(col("__qv"), col("__recon"),
+            (x, y) => (x - y) * (x - y)),
+          lit(0.0), (acc, x) => acc + x), 6).as("d"))
     scored.groupBy(col("__qid"))
       .agg(org.apache.spark.sql.graft.TopKColumns
         .topKByScore(negate(col("d")), col(vecId), k).as("top"))
