@@ -2030,7 +2030,7 @@ object Queries {
           round(ln(CAST(c + 1 AS DOUBLE) / CAST(n_total + n_vocab AS DOUBLE)), 6) AS logp
         FROM cnt, st)
       SELECT tok.doc_id, count(*) AS n_tokens,
-        round(CAST(sum(CAST(-lm.logp AS DECIMAL(18,6))) AS DOUBLE) / CAST(count(*) AS DOUBLE), 4) AS avg_nll
+        floor(CAST(sum(CAST(-lm.logp AS DECIMAL(18,6))) AS DOUBLE) / CAST(count(*) AS DOUBLE) * 1e4 + 0.5) / 1e4 AS avg_nll
       FROM tok JOIN lm ON tok.term = lm.term GROUP BY tok.doc_id""")),
 
     // Sliding-window token chunking (RAG primitive): 32-token windows,
@@ -2595,7 +2595,7 @@ object Queries {
         emb.filter(col("vec_id") < 8).select(col("vec_id").as("query_id"), col("embedding")),
         emb, 5, m = 8, dims = 8, centroidStride = 32, trainIters = 2,
         ks = 16, coarseKs = 8, nprobe = 2, trainSample = 4096)
-    }, Some(s"""WITH corp AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)$coarseChainSql,
+    }, Some(s"""WITH corp AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)${coarseChainSql()},
       sv AS (SELECT vec_id, s.sub,
           v[CAST(8 * s.sub + 1 AS INTEGER):CAST(8 * s.sub + 8 AS INTEGER)] AS sv
         FROM corp, (SELECT unnest(range(0, 8)) AS sub) s)${pqChainSql("sv")},
@@ -2650,7 +2650,7 @@ object Queries {
         JOIN u ON g.term = u.term),
       allr AS (SELECT * FROM fr UNION ALL SELECT * FROM br)
       SELECT doc_id, count(*) AS n_tokens,
-        round(CAST(sum(CAST(nll AS DECIMAL(18,6))) AS DOUBLE) / CAST(count(*) AS DOUBLE), 4) AS avg_nll
+        floor(CAST(sum(CAST(nll AS DECIMAL(18,6))) AS DOUBLE) / CAST(count(*) AS DOUBLE) * 1e4 + 0.5) / 1e4 AS avg_nll
       FROM allr GROUP BY doc_id""")),
 
     // Fixed-budget uniform frame sampling (video-LM preprocessing: 16 frames
@@ -2719,7 +2719,7 @@ object Queries {
         emb.filter(col("vec_id") < 8).select(col("vec_id").as("query_id"), col("embedding")),
         emb, 5, m = 8, dims = 8, centroidStride = 32, trainIters = 2,
         ks = 16, coarseKs = 8, nprobe = 2, trainSample = 4096)
-    }, Some(s"""WITH corp AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)$coarseChainSql,
+    }, Some(s"""WITH corp AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)${coarseChainSql()},
       resid AS (SELECT c.vec_id, a.cell,
           [c.v[CAST(i AS INTEGER)] - t.ccv[CAST(i AS INTEGER)] FOR i IN range(1, 65)] AS rv
         FROM corp c JOIN cellasg a ON c.vec_id = a.vec_id JOIN cc2 t ON a.cell = t.ccid),
@@ -2793,7 +2793,7 @@ object Queries {
         base, batch, 5, m = 8, dims = 8, centroidStride = 32, trainIters = 2,
         ks = 16, coarseKs = 8, nprobe = 2, trainSample = 4096)
     }, Some(s"""WITH corp AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
-        WHERE vec_id % 5 < 4)$coarseChainSql,
+        WHERE vec_id % 5 < 4)${coarseChainSql()},
       sv AS (SELECT vec_id, s.sub,
           v[CAST(8 * s.sub + 1 AS INTEGER):CAST(8 * s.sub + 8 AS INTEGER)] AS sv
         FROM corp, (SELECT unnest(range(0, 8)) AS sub) s)${pqChainSql("sv")},
@@ -2877,7 +2877,7 @@ object Queries {
           round(ln(CAST(c + 1 AS DOUBLE) / CAST(n_total + n_vocab AS DOUBLE)), 6) AS logp
         FROM cnt, st),
       sc AS (SELECT tok.doc_id, count(*) AS n_tokens,
-          round(CAST(sum(CAST(-lm.logp AS DECIMAL(18,6))) AS DOUBLE) / CAST(count(*) AS DOUBLE), 4) AS avg_nll
+          floor(CAST(sum(CAST(-lm.logp AS DECIMAL(18,6))) AS DOUBLE) / CAST(count(*) AS DOUBLE) * 1e4 + 0.5) / 1e4 AS avg_nll
         FROM tok JOIN lm ON tok.term = lm.term GROUP BY tok.doc_id),
       j AS (SELECT sc.doc_id, d.source, sc.n_tokens, sc.avg_nll
         FROM sc JOIN documents d ON sc.doc_id = d.doc_id),
@@ -2903,7 +2903,9 @@ object Queries {
       lp2 AS (SELECT piece, round(ln(CAST(c AS DOUBLE) / (SELECT CAST(sum(c) AS DOUBLE) FROM c2)), 6) AS lp FROM c2),
       m2 AS (SELECT map(list(piece), list(lp)) AS m FROM lp2),
       segE AS (SELECT w.word, ${unigramDpSql("w.word", "m2.m")} AS seg FROM w CROSS JOIN m2)
-      SELECT t.doc_id, count(*) AS n_words, CAST(sum(len(e.seg)) AS BIGINT) AS n_tokens
+      SELECT t.doc_id, count(*) AS n_words,
+        CAST(sum(CASE WHEN len(e.seg) = 0 THEN length(t.word)
+                      ELSE len(e.seg) END) AS BIGINT) AS n_tokens
       FROM toks t JOIN segE e ON t.word = e.word
       GROUP BY t.doc_id""")),
 
@@ -3064,7 +3066,8 @@ object Queries {
             ORDER BY round(${sqSql("c.v", "t.ccv", 64)}, 6), t.ccid) AS rn
         FROM $srcSel c CROSS JOIN $cb t) WHERE $rnPred)"""
 
-  private def pqChainSql(src: String): String = {
+  private def pqChainSql(src: String, trainSample: Int = 4096,
+                         corp: String = "corp"): String = {
     def asg(out: String, from: String, cb: String, proj: String) =
       pqAsgSql(out, from, cb, proj)
     def mean(out: String, from: String) = s""",
@@ -3079,7 +3082,7 @@ object Queries {
       tsv AS (SELECT * FROM $src
         WHERE CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT AS DOUBLE)
           / 4294967296.0 < least(CAST(1.0 AS DOUBLE),
-            CAST(4096.0 AS DOUBLE) / (SELECT count(*) FROM corp)))""" +
+            CAST($trainSample.0 AS DOUBLE) / (SELECT count(*) FROM $corp)))""" +
       asg("a1", "tsv", "sb0", "vec_id, sub, sv, cid") + mean("cb1", "a1") +
       asg("a2", "tsv", "cb1", "vec_id, sub, sv, cid") + mean("cb2", "a2") +
       asg("enc", src, "cb2", "vec_id, sub, cid AS code")
@@ -3089,7 +3092,8 @@ object Queries {
     * (seed → 2 rounds), final cell assignment, and the nprobe=2 query
     * probe — CTEs `cc0, ca1, cc1, ca2, cc2, cellasg, probe` over `corp`.
     */
-  private def coarseChainSql: String = {
+  private def coarseChainSql(trainSample: Int = 4096,
+                             corp: String = "corp"): String = {
     def asg(out: String, cb: String, srcSel: String, proj: String,
             rnPred: String) = coarseAsgSql(out, cb, srcSel, proj, rnPred)
     def mean(out: String, from: String) = s""",
@@ -3099,16 +3103,16 @@ object Queries {
           FROM (SELECT ccid, unnest(range(len(v))) AS dim, unnest(v) AS xx FROM $from)
           GROUP BY ccid, dim) GROUP BY ccid)"""
     s""",
-      cc0 AS (SELECT vec_id AS ccid, v AS ccv FROM corp
+      cc0 AS (SELECT vec_id AS ccid, v AS ccv FROM $corp
         WHERE vec_id % 32 = 0 AND vec_id < 256),
-      tcorp AS (SELECT * FROM corp
+      tcorp AS (SELECT * FROM $corp
         WHERE CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT AS DOUBLE)
           / 4294967296.0 < least(CAST(1.0 AS DOUBLE),
-            CAST(4096.0 AS DOUBLE) / (SELECT count(*) FROM corp)))""" +
+            CAST($trainSample.0 AS DOUBLE) / (SELECT count(*) FROM $corp)))""" +
       asg("ca1", "cc0", "tcorp", "vec_id, v, ccid", "rn = 1") + mean("cc1", "ca1") +
       asg("ca2", "cc1", "tcorp", "vec_id, v, ccid", "rn = 1") + mean("cc2", "ca2") +
-      asg("cellasg", "cc2", "corp", "vec_id, ccid AS cell", "rn = 1") +
-      asg("probe", "cc2", "(SELECT * FROM corp WHERE vec_id < 8)",
+      asg("cellasg", "cc2", corp, "vec_id, ccid AS cell", "rn = 1") +
+      asg("probe", "cc2", s"(SELECT * FROM $corp WHERE vec_id < 8)",
         "vec_id AS query_id, ccid AS cell", "rn <= 2")
   }
 

@@ -62,9 +62,11 @@ object LangModel {
       .join(lm.select(col("term"), col("logp")), Seq("term"), "left")
       .groupBy("id")
       .agg(count(lit(1)).as("n_tokens"),
-        round((sum((-coalesce(col("logp"), lit(floorLogp)))
+        // portable round4, not round(): the decimal-exact nll sum divided by
+        // a small count lands exactly on 4-decimal halves on unlucky data
+        Sampling.round4(sum((-coalesce(col("logp"), lit(floorLogp)))
           .cast("decimal(18,6)")).cast("double") /
-          count(lit(1)).cast("double")), 4).as("avg_nll"))
+          count(lit(1)).cast("double")).as("avg_nll"))
       .select(col("id").as(idCol), col("n_tokens"), col("avg_nll"))
 
   /** Interpolated bigram LM (KenLM-style one-level backoff, fixed weights —
@@ -143,8 +145,8 @@ object LangModel {
     firstRows.unionByName(bigRows)
       .groupBy("id")
       .agg(count(lit(1)).as("n_tokens"),
-        round(sum(col("nll").cast("decimal(18,6)")).cast("double") /
-          count(lit(1)).cast("double"), 4).as("avg_nll"))
+        Sampling.round4(sum(col("nll").cast("decimal(18,6)")).cast("double") /
+          count(lit(1)).cast("double")).as("avg_nll"))
       .select(col("id").as(idCol), col("n_tokens"), col("avg_nll"))
   }
 

@@ -91,19 +91,33 @@ object ProductQuant {
     * bit-identical to the unsampled form, which is also what keeps the
     * sample filter a no-op in the SQL replay. The seed always comes from
     * the full corpus.
+    *
+    * `trainRel`, when given, is an ALREADY-MATERIALIZED sampled corpus (the
+    * exact `hash01(vecId) < trainFrac` row set, caller-owned — see
+    * [[sampleFor]]): two-quantizer pipelines (IVF coarse + PQ fine) pass
+    * the SAME materialization to both trainings instead of each filtering
+    * and checkpointing its own copy of the corpus (VERDICT r11 #3 — at
+    * 100 TB that halves training I/O; sampling inside here would scan the
+    * source once per quantizer). The row set — hence the oracle replay —
+    * is identical whether the filter runs before or after the subvector
+    * explode (both key on vecId alone).
     */
   def trainCodebooks(corpus: DataFrame, m: Int, dims: Int,
                      centroidStride: Int, iters: Int, ks: Int = 16,
-                     vecId: String = "vec_id", trainFrac: Double = 1.0): DataFrame = {
+                     vecId: String = "vec_id", trainFrac: Double = 1.0,
+                     trainRel: Option[DataFrame] = None): DataFrame = {
     val sv = subvectors(corpus, vecId, m, dims)
     var cb = sv.filter(col(vecId) % centroidStride === 0
         && col(vecId) < centroidStride.toLong * ks)
       .select(col("sub"), col(vecId).as("cid"), col("sv").as("cv"))
       .localCheckpoint()
-    val sampled = trainFrac < 1.0
-    val tsv =
-      if (!sampled) sv
-      else sv.filter(Sampling.hash01(col(vecId)) < lit(trainFrac)).localCheckpoint()
+    val ownSample = trainFrac < 1.0 && trainRel.isEmpty
+    val tsv = trainRel match {
+      case Some(r) => subvectors(r, vecId, m, dims)
+      case None if trainFrac < 1.0 =>
+        sv.filter(Sampling.hash01(col(vecId)) < lit(trainFrac)).localCheckpoint()
+      case None => sv
+    }
     for (_ <- 1 to iters) {
       val next = assign(tsv, cb, vecId)
         .select(col("sub"), col("cid"), posexplode(col("sv")).as(Seq("dim", "x")))
@@ -120,9 +134,22 @@ object ProductQuant {
       org.apache.spark.sql.graft.Checkpoints.release(cb)
       cb = next
     }
-    if (sampled) org.apache.spark.sql.graft.Checkpoints.release(tsv)
+    if (ownSample) org.apache.spark.sql.graft.Checkpoints.release(tsv)
     cb
   }
+
+  /** The shared sampled-training materialization for multi-quantizer
+    * pipelines: `Some(hash01(vecId) < frac rows, localCheckpointed)` when
+    * sampling is on, `None` (and no extra jobs — the fixture plan-identity
+    * guarantee) at `frac >= 1`. Caller releases via [[releaseSample]].
+    */
+  def sampleFor(corpus: DataFrame, frac: Double,
+                vecId: String = "vec_id"): Option[DataFrame] =
+    if (frac >= 1.0) None
+    else Some(corpus.filter(Sampling.hash01(col(vecId)) < lit(frac)).localCheckpoint())
+
+  def releaseSample(rel: Option[DataFrame]): Unit =
+    rel.foreach(org.apache.spark.sql.graft.Checkpoints.release)
 
   /** One cheap count of the raw corpus → the training-sample fraction
     * `min(1, targetVectors / n)` shared by every quantizer in a pipeline
@@ -198,12 +225,16 @@ object ProductQuant {
                 trainSample: Int = 0): DataFrame = {
     val d = m * dims
     val frac = trainFracFor(corpus, trainSample)
+    // ONE sampled materialization feeds both quantizer trainings (coarse
+    // whole-vector + fine subvector) — not one checkpoint pass each
+    val sample = sampleFor(corpus, frac, vecId)
     val coarse = trainCodebooks(corpus, 1, d, centroidStride, trainIters, coarseKs, vecId,
-      frac)
+      frac, sample)
     val cells = encode(corpus, coarse, 1, d, vecId)
       .select(col(vecId), col("code").as("cell"))
     val cb = trainCodebooks(corpus, m, dims, centroidStride, trainIters, ks, vecId,
-      frac)
+      frac, sample)
+    releaseSample(sample) // codebooks are materialized; the sample is done
     val codes = encode(corpus, cb, m, dims, vecId).join(cells, Seq(vecId))
     ivfPqSearch(queries, codes, coarse, cb, k, m, dims, nprobe, queryId, vecId)
   }
@@ -279,10 +310,12 @@ object ProductQuant {
                            trainSample: Int = 0): DataFrame = {
     val d = m * dims
     val frac = trainFracFor(base, trainSample)
+    val sample = sampleFor(base, frac, vecId)
     val coarse = trainCodebooks(base, 1, d, centroidStride, trainIters, coarseKs, vecId,
-      frac)
+      frac, sample)
     val cb = trainCodebooks(base, m, dims, centroidStride, trainIters, ks, vecId,
-      frac)
+      frac, sample)
+    releaseSample(sample)
     val baseCodes = encodeBatch(base, coarse, cb, m, dims, vecId)
     val index = baseCodes.unionByName(encodeBatch(batch, coarse, cb, m, dims, vecId))
     ivfPqSearch(queries, index, coarse, cb, k, m, dims, nprobe, queryId, vecId)
@@ -307,18 +340,33 @@ object ProductQuant {
                         trainSample: Int = 0): DataFrame = {
     val d = m * dims
     val frac = trainFracFor(corpus, trainSample)
+    // one sampled corpus materialization; the residual training relation
+    // derives from it (residual-of-sample == sample-of-residual: the cell
+    // assignment and subtraction are per-row under the frozen coarse model,
+    // and both sample filters key on vecId alone)
+    val sample = sampleFor(corpus, frac, vecId)
     val coarse = trainCodebooks(corpus, 1, d, centroidStride, trainIters, coarseKs, vecId,
-      frac)
+      frac, sample)
     val cells = encode(corpus, coarse, 1, d, vecId)
       .select(col(vecId), col("code").as("cell"))
     val cvRel = coarse.select(col("cid").as("cell"), col("cv").as("cellv"))
 
-    val corpV = corpus.select(col(vecId), col("embedding").cast("array<double>").as("v"))
-    val resid = corpV.join(cells, Seq(vecId)).join(broadcast(cvRel), Seq("cell"))
-      .select(col(vecId), col("cell"),
-        zip_with(col("v"), col("cellv"), (a, b) => a - b).as("embedding"))
+    def residOf(src: DataFrame, cellRel: DataFrame): DataFrame =
+      src.select(col(vecId), col("embedding").cast("array<double>").as("v"))
+        .join(cellRel, Seq(vecId)).join(broadcast(cvRel), Seq("cell"))
+        .select(col(vecId), col("cell"),
+          zip_with(col("v"), col("cellv"), (a, b) => a - b).as("embedding"))
+    val resid = residOf(corpus, cells)
+    // the sample's residuals re-materialize (they are what the Lloyd rounds
+    // scan), but off the checkpointed sample — never a second corpus pass
+    val residSample = sample.map { tr =>
+      residOf(tr, encode(tr, coarse, 1, d, vecId)
+        .select(col(vecId), col("code").as("cell"))).localCheckpoint()
+    }
     val cb = trainCodebooks(resid, m, dims, centroidStride, trainIters, ks, vecId,
-      frac)
+      frac, residSample)
+    releaseSample(residSample)
+    releaseSample(sample)
     val codes = encode(resid, cb, m, dims, vecId).join(cells, Seq(vecId))
 
     val q = queries.withColumnRenamed(queryId, "__qid")

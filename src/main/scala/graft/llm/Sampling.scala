@@ -37,6 +37,13 @@ object Sampling {
     */
   def round6(x: Column): Column = floor(x * lit(1e6) + lit(0.5)) / lit(1e6)
 
+  /** [[round6]] at 4 decimals — for scores whose inputs can land EXACTLY on
+    * a 4-decimal half boundary (e.g. avg_nll: a decimal-exact sum of
+    * 6-decimal logps divided by a small count hits ...5e-5 on unlucky
+    * data, where engine `round()` conventions diverge — the q100 class).
+    */
+  def round4(x: Column): Column = floor(x * lit(1e4) + lit(0.5)) / lit(1e4)
+
   /** Deterministic sample: keep rows whose key-hash falls under `frac`.
     * `frac` may be a literal or a per-row column (per-stratum rates). The
     * SAME rows are kept on every run and every engine — the property that

@@ -31,7 +31,7 @@ object ScalarQuant {
     * Fixed d-entry model at any corpus size — the broadcast side of every
     * downstream plan.
     */
-  def trainStats(corpus: DataFrame, vecId: String = "vec_id"): DataFrame =
+  def trainStats(corpus: DataFrame): DataFrame =
     corpus
       .select(posexplode(col("embedding").cast("array<double>")).as(Seq("dim", "x")))
       .groupBy("dim").agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
@@ -97,7 +97,7 @@ object ScalarQuant {
   /** Train → encode → search, the full SQ8 pipeline for one query batch. */
   def sq8TopK(queries: DataFrame, corpus: DataFrame, k: Int,
               queryId: String = "query_id", vecId: String = "vec_id"): DataFrame = {
-    val stats = trainStats(corpus, vecId)
+    val stats = trainStats(corpus)
     topK(queries, encode(corpus, stats, vecId), stats, k, queryId, vecId)
   }
 }

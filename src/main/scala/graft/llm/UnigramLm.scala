@@ -143,6 +143,16 @@ object UnigramLm {
     * property of the model, and a caller-supplied value that disagreed with
     * training would silently mis-segment (never consider the longer vocab
     * pieces) with no error raised.
+    *
+    * OOV convention (SentencePiece byte-fallback analog): a word containing
+    * ANY character absent from the model's vocabulary is UNSEGMENTABLE — the
+    * DP's final position stays at the unreachable sentinel and the best seg
+    * comes back empty. Such words count `length(word)` pieces (one unknown
+    * piece per character), the same budget a char-complete vocab would
+    * charge. Encoding the training corpus never hits this leg (every char of
+    * every word is in the seed by construction); it exists for the frozen-
+    * model-on-new-docs path, where unseen characters are routine and a
+    * silent 0 would undercount n_tokens (ADVICE r11).
     */
   def encodeCorpus(docs: DataFrame, idCol: String, textCol: String,
                    model: DataFrame): DataFrame = {
@@ -152,10 +162,17 @@ object UnigramLm {
       .agg(map_from_entries(collect_list(struct(col("piece"), col("logp")))).as("vm"))
     val toks = docs.select(col(idCol),
       explode(TextStats.tokens(Dedup.normalize(col(textCol)))).as("word"))
+    // the DP lands in its own projection so the OOV branch below reads the
+    // materialized size instead of re-running the fold per branch (the
+    // CLAUDE.md when(expensive)-rule; __n is non-cheap, so CollapseProject
+    // keeps the two projections separate)
     val enc = toks.select("word").distinct()
       .crossJoin(broadcast(vm))
       .select(col("word"),
-        size(viterbiSeg(col("word"), col("vm"), maxPieceLen)).cast("long").as("n_pieces"))
+        size(viterbiSeg(col("word"), col("vm"), maxPieceLen)).as("__n"))
+      .select(col("word"),
+        when(col("__n") === 0, length(col("word")).cast("long"))
+          .otherwise(col("__n").cast("long")).as("n_pieces"))
     toks.join(enc, Seq("word"))
       .groupBy(idCol)
       .agg(count(lit(1)).as("n_words"), sum(col("n_pieces")).as("n_tokens"))

@@ -105,14 +105,33 @@ object TemporalJoin {
     * millions of keys the fill frame dwarfs the data it fills. When each
     * key only needs ITS OWN activity window resampled, use
     * [[hourlyGapFillActive]], which is output-bounded and crossJoin-free.
+    * `maxFrame` makes that caveat a loud error instead of a silent blow-up:
+    * the |keys|·|hours| frame size is checked with one cheap aggregation of
+    * the already-materialized hourly relation (the quantileNormalize
+    * bucket-guard pattern) before the crossJoin is built.
     */
-  def hourlyGapFill(df: DataFrame, tsCol: String, keyCol: String): DataFrame = {
+  def hourlyGapFill(df: DataFrame, tsCol: String, keyCol: String,
+                    maxFrame: Long = 50000000L): DataFrame = {
+    // bounds and keys both derive from this O(hours x keys) frame below;
+    // localCheckpoint (not persist) keeps the raw input to ONE scan + keyed
+    // aggregation without parking an entry in the session cache registry —
+    // checkpoint blocks are released when the plan goes out of scope
     val hourly = df
       .groupBy(date_trunc("hour", col(tsCol)).as("hour"), col(keyCol))
       .agg(count(lit(1)).as("n"))
-      // bounds and keys both derive from this O(hours x keys) frame below;
-      // persisting it keeps the raw input to ONE scan + keyed aggregation
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+      .localCheckpoint()
+    val b = hourly.agg(min(col("hour")).as("lo"), max(col("hour")).as("hi"),
+      count_distinct(col(keyCol)).as("nk")).head
+    if (!b.isNullAt(0)) {
+      val hours = (b.getTimestamp(1).getTime - b.getTimestamp(0).getTime) /
+        3600000L + 1L
+      val frame = hours * b.getLong(2)
+      require(frame <= maxFrame,
+        s"hourlyGapFill would build a dense $hours-hour x ${b.getLong(2)}-key " +
+          s"frame ($frame rows > $maxFrame): use hourlyGapFillActive (per-key " +
+          "activity windows, output-bounded) or raise maxFrame if the dense " +
+          "common-axis frame is intended")
+    }
     val spine = hourly.agg(min(col("hour")).as("lo"), max(col("hour")).as("hi"))
       .select(explode(sequence(col("lo"), col("hi"),
         expr("INTERVAL 1 HOUR"))).as("hour"))
@@ -135,7 +154,9 @@ object TemporalJoin {
     val hourly = df
       .groupBy(date_trunc("hour", col(tsCol)).as("hour"), col(keyCol))
       .agg(count(lit(1)).as("n"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+      // localCheckpoint, not persist: no session-cache entry to leak across
+      // repeated invocations in a long-lived session (ADVICE r11)
+      .localCheckpoint()
     val spine = hourly.groupBy(col(keyCol))
       .agg(min(col("hour")).as("lo"), max(col("hour")).as("hi"))
       .select(col(keyCol), explode(sequence(col("lo"), col("hi"),
