@@ -2920,29 +2920,36 @@ object Queries {
       graft.llm.ScalarQuant.sq8TopK(
         emb.filter(col("vec_id") < 8).select(col("vec_id").as("query_id"), col("embedding")),
         emb, 5)
-    }, Some(s"""WITH corp AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-      st AS (SELECT dim, min(x) AS mn, max(x) AS mx FROM (
-          SELECT unnest(range(len(v))) AS dim, unnest(v) AS x FROM corp) GROUP BY dim),
-      sarr AS (SELECT list(mn ORDER BY dim) AS mn, list(mx ORDER BY dim) AS mx FROM st),
-      codes AS (SELECT vec_id,
-          [CASE WHEN s.mx[CAST(i AS INTEGER)] = s.mn[CAST(i AS INTEGER)] THEN 0
-                ELSE greatest(0, least(255, CAST(floor((v[CAST(i AS INTEGER)] - s.mn[CAST(i AS INTEGER)])
-                  / (s.mx[CAST(i AS INTEGER)] - s.mn[CAST(i AS INTEGER)]) * 255.0) AS INTEGER))) END
-           FOR i IN range(1, len(v) + 1)] AS codes
-        FROM corp, sarr s),
+    }, Some(s"""WITH corp AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)${sq8ChainSql()},
       q AS (SELECT vec_id AS query_id, v AS qv FROM corp WHERE vec_id < 8),
-      sc AS (SELECT q.query_id, c.vec_id,
-          round(list_reduce([
-            (q.qv[CAST(i AS INTEGER)] -
-              CASE WHEN s.mx[CAST(i AS INTEGER)] = s.mn[CAST(i AS INTEGER)] THEN s.mn[CAST(i AS INTEGER)]
-                   ELSE s.mn[CAST(i AS INTEGER)] + (CAST(c.codes[CAST(i AS INTEGER)] AS DOUBLE) + 0.5)
-                     * (s.mx[CAST(i AS INTEGER)] - s.mn[CAST(i AS INTEGER)]) / 256.0 END)
-            * (q.qv[CAST(i AS INTEGER)] -
-              CASE WHEN s.mx[CAST(i AS INTEGER)] = s.mn[CAST(i AS INTEGER)] THEN s.mn[CAST(i AS INTEGER)]
-                   ELSE s.mn[CAST(i AS INTEGER)] + (CAST(c.codes[CAST(i AS INTEGER)] AS DOUBLE) + 0.5)
-                     * (s.mx[CAST(i AS INTEGER)] - s.mn[CAST(i AS INTEGER)]) / 256.0 END)
-            FOR i IN range(1, len(q.qv) + 1)], (p, qq) -> p + qq), 6) AS d
+      sc AS (SELECT q.query_id, c.vec_id, round(${sq8DistSql("q.qv", "c.codes")}, 6) AS d
         FROM codes c CROSS JOIN sarr s CROSS JOIN q),
+      w AS (SELECT *, row_number() OVER (PARTITION BY query_id
+          ORDER BY d, vec_id) AS rnk FROM sc)
+      SELECT query_id, vec_id, d AS dist, CAST(rnk AS INTEGER) AS rank
+      FROM w WHERE rnk <= 5""")),
+
+    // IVF + SQ8 composite (FAISS IVF,SQ8): the q118 coarse quantizer prunes
+    // WHICH vectors are scored, the q129 scalar quantizer shrinks WHAT is
+    // resident — retiring the flat SQ8 scan as the only SQ8 search path.
+    // Stats stay GLOBAL (per-dim min/max over the whole corpus, the FAISS
+    // IndexIVFScalarQuantizer default), so codes are cell-independent and
+    // the oracle composes the two replays unchanged: candidates = codes
+    // whose cell is probed by the query, distance = the q129 recon fold.
+    ("q130_ivfsq8_topk", (s: SparkSession, d: String) => {
+      val emb = t(s, d, "embeddings")
+      graft.llm.ScalarQuant.ivfSq8TopK(
+        emb.filter(col("vec_id") < 8).select(col("vec_id").as("query_id"), col("embedding")),
+        emb, 5, d = 64, centroidStride = 32, trainIters = 2, coarseKs = 8,
+        nprobe = 2, trainSample = 4096)
+    }, Some(s"""WITH corp AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)${coarseChainSql()}${sq8ChainSql()},
+      q AS (SELECT vec_id AS query_id, v AS qv FROM corp WHERE vec_id < 8),
+      sc AS (SELECT p.query_id, c.vec_id, round(${sq8DistSql("q.qv", "c.codes")}, 6) AS d
+        FROM codes c
+        JOIN cellasg a ON c.vec_id = a.vec_id
+        JOIN probe p ON a.cell = p.cell
+        JOIN q ON q.query_id = p.query_id
+        CROSS JOIN sarr s),
       w AS (SELECT *, row_number() OVER (PARTITION BY query_id
           ORDER BY d, vec_id) AS rnk FROM sc)
       SELECT query_id, vec_id, d AS dist, CAST(rnk AS INTEGER) AS rank
@@ -3065,6 +3072,36 @@ object Queries {
           row_number() OVER (PARTITION BY c.vec_id
             ORDER BY round(${sqSql("c.v", "t.ccv", 64)}, 6), t.ccid) AS rn
         FROM $srcSel c CROSS JOIN $cb t) WHERE $rnPred)"""
+
+  /** The SQ8 train + encode replay shared by q129/q130 (graft.llm
+    * .ScalarQuant): per-dim [min,max] stats packed dim-ordered (`st`,
+    * `sarr`) and the clamped-affine uint8 codes (`codes`) over
+    * `$corp(vec_id, v)`. Leading comma; one definition so a replay fix
+    * can't silently diverge between the two oracles.
+    */
+  private def sq8ChainSql(corp: String = "corp"): String = s""",
+      st AS (SELECT dim, min(x) AS mn, max(x) AS mx FROM (
+          SELECT unnest(range(len(v))) AS dim, unnest(v) AS x FROM $corp) GROUP BY dim),
+      sarr AS (SELECT list(mn ORDER BY dim) AS mn, list(mx ORDER BY dim) AS mx FROM st),
+      codes AS (SELECT vec_id,
+          [CASE WHEN s.mx[CAST(i AS INTEGER)] = s.mn[CAST(i AS INTEGER)] THEN 0
+                ELSE greatest(0, least(255, CAST(floor((v[CAST(i AS INTEGER)] - s.mn[CAST(i AS INTEGER)])
+                  / (s.mx[CAST(i AS INTEGER)] - s.mn[CAST(i AS INTEGER)]) * 255.0) AS INTEGER))) END
+           FOR i IN range(1, len(v) + 1)] AS codes
+        FROM $corp, sarr s)"""
+
+  /** The SQ8 asymmetric distance replay: squared-L2 fold of `$qv` against
+    * the affine reconstruction of `$codes`, with the sarr stats row in
+    * scope as alias `s` — ScalarQuant.distOf∘reconOf in DuckDB. */
+  private def sq8DistSql(qv: String, codes: String): String = {
+    val recon = s"""CASE WHEN s.mx[CAST(i AS INTEGER)] = s.mn[CAST(i AS INTEGER)] THEN s.mn[CAST(i AS INTEGER)]
+                   ELSE s.mn[CAST(i AS INTEGER)] + (CAST($codes[CAST(i AS INTEGER)] AS DOUBLE) + 0.5)
+                     * (s.mx[CAST(i AS INTEGER)] - s.mn[CAST(i AS INTEGER)]) / 256.0 END"""
+    s"""list_reduce([
+            ($qv[CAST(i AS INTEGER)] - $recon)
+            * ($qv[CAST(i AS INTEGER)] - $recon)
+            FOR i IN range(1, len($qv) + 1)], (p, qq) -> p + qq)"""
+  }
 
   private def pqChainSql(src: String, trainSample: Int = 4096,
                          corp: String = "corp"): String = {

@@ -239,6 +239,16 @@ object ProductQuant {
     ivfPqSearch(queries, codes, coarse, cb, k, m, dims, nprobe, queryId, vecId)
   }
 
+  /** Per-query nprobe-nearest coarse cells: (id, cell). The probe leg every
+    * IVF-composed index shares (PQ, residual-PQ, [[ScalarQuant]] SQ8) —
+    * whole-vector assignment against the broadcast coarse book, top-nprobe
+    * per query.
+    */
+  def coarseProbes(queries: DataFrame, coarse: DataFrame, d: Int, nprobe: Int,
+                   id: String): DataFrame =
+    assign(subvectors(queries, id, 1, d), coarse, id, nprobe)
+      .select(col(id), col("cid").as("cell"))
+
   /** Query leg over a PREBUILT IVFPQ index — `codes` is the
     * (vecId, sub, code, cell) relation, `coarse`/`codebook` the frozen
     * quantizers. Split out of [[ivfPqTopK]] so an incrementally-maintained
@@ -250,8 +260,7 @@ object ProductQuant {
                   queryId: String = "query_id", vecId: String = "vec_id"): DataFrame = {
     val d = m * dims
     val q = queries.withColumnRenamed(queryId, "__qid")
-    val probes = assign(subvectors(q, "__qid", 1, d), coarse, "__qid", nprobe)
-      .select(col("__qid"), col("cid").as("cell"))
+    val probes = coarseProbes(q, coarse, d, nprobe, "__qid")
     val dt = subvectors(q, "__qid", m, dims).join(codebook, Seq("sub"))
       .select(col("__qid"), col("sub"), col("cid").as("code"),
         round(sqDist(col("sv"), col("cv")), 6).as("d"))
@@ -370,8 +379,7 @@ object ProductQuant {
     val codes = encode(resid, cb, m, dims, vecId).join(cells, Seq(vecId))
 
     val q = queries.withColumnRenamed(queryId, "__qid")
-    val probes = assign(subvectors(q, "__qid", 1, d), coarse, "__qid", nprobe)
-      .select(col("__qid"), col("cid").as("cell"))
+    val probes = coarseProbes(q, coarse, d, nprobe, "__qid")
     val qv = q.select(col("__qid"), col("embedding").cast("array<double>").as("v"))
     val qresid = qv.join(probes, Seq("__qid")).join(broadcast(cvRel), Seq("cell"))
       .select(col("__qid"), col("cell"),

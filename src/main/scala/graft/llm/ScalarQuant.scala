@@ -66,6 +66,26 @@ object ScalarQuant {
         .otherwise(s.getField("mn") + (c.cast("double") + lit(0.5))
           * (s.getField("mx") - s.getField("mn")) / lit(256.0)))
 
+  /** The asymmetric distance of one (query, reconstructed vec) pair:
+    * the fixed-order [[ProductQuant.sqDist]] fold, rounded to 6 before
+    * ranking (the standing ANN convention).
+    */
+  private def distOf(qv: Column, recon: Column): Column =
+    round(aggregate(zip_with(qv, recon, (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, x) => acc + x), 6)
+
+  /** Shared ranking tail over (__qid, vecId, d): bounded-heap top-k per
+    * query (≤ k rows per query per mapper), ties pinned on vec id. */
+  private def rankTail(scored: DataFrame, k: Int,
+                       queryId: String, vecId: String): DataFrame =
+    scored.groupBy(col("__qid"))
+      .agg(org.apache.spark.sql.graft.TopKColumns
+        .topKByScore(negate(col("d")), col(vecId), k).as("top"))
+      .select(col("__qid").as(queryId), posexplode(col("top")).as(Seq("pos", "entry")))
+      .select(col(queryId), col("entry.id").as(vecId),
+        negate(col("entry.score")).as("dist"),
+        (col("pos") + 1).cast("int").as("rank"))
+
   /** Flat top-k over the coded corpus for a broadcast query batch:
     * reconstruction is MATERIALIZED once per vector in its own projection
     * BEFORE the query cross join (the CLAUDE.md array-lambda rule — inside
@@ -81,17 +101,8 @@ object ScalarQuant {
     val scored = codes.crossJoin(broadcast(stats))
       .select(col(vecId), reconOf(col("codes"), col("mn"), col("mx")).as("__recon"))
       .crossJoin(broadcast(q))
-      .select(col("__qid"), col(vecId),
-        round(aggregate(zip_with(col("__qv"), col("__recon"),
-            (x, y) => (x - y) * (x - y)),
-          lit(0.0), (acc, x) => acc + x), 6).as("d"))
-    scored.groupBy(col("__qid"))
-      .agg(org.apache.spark.sql.graft.TopKColumns
-        .topKByScore(negate(col("d")), col(vecId), k).as("top"))
-      .select(col("__qid").as(queryId), posexplode(col("top")).as(Seq("pos", "entry")))
-      .select(col(queryId), col("entry.id").as(vecId),
-        negate(col("entry.score")).as("dist"),
-        (col("pos") + 1).cast("int").as("rank"))
+      .select(col("__qid"), col(vecId), distOf(col("__qv"), col("__recon")).as("d"))
+    rankTail(scored, k, queryId, vecId)
   }
 
   /** Train → encode → search, the full SQ8 pipeline for one query batch. */
@@ -99,5 +110,58 @@ object ScalarQuant {
               queryId: String = "query_id", vecId: String = "vec_id"): DataFrame = {
     val stats = trainStats(corpus)
     topK(queries, encode(corpus, stats, vecId), stats, k, queryId, vecId)
+  }
+
+  /** Query leg over a PREBUILT IVF+SQ8 index — `codes` is the
+    * (vecId, codes, cell) relation, `coarse`/`stats` the frozen models.
+    * The scan order is the 100 TB point of the composition: the compressed
+    * code relation is pruned to the DISTINCT probed cells first (broadcast
+    * semi-shape), each surviving vector reconstructs ONCE in its own
+    * projection, and only then does the per-query fan-out (broadcast probe
+    * and query-batch joins) pay the distance fold per candidate pair —
+    * |corpus|·nprobe/|cells| candidates, zero raw vectors, no flat scan.
+    */
+  def ivfSq8Search(queries: DataFrame, codes: DataFrame, coarse: DataFrame,
+                   stats: DataFrame, k: Int, d: Int, nprobe: Int,
+                   queryId: String = "query_id", vecId: String = "vec_id"): DataFrame = {
+    val q = queries.withColumnRenamed(queryId, "__qid")
+    val probes = ProductQuant.coarseProbes(q, coarse, d, nprobe, "__qid")
+    val probedCells = probes.select("cell").distinct()
+    val qv = q.select(col("__qid"), col("embedding").cast("array<double>").as("__qv"))
+    val cand = codes.join(broadcast(probedCells), Seq("cell"))
+      .crossJoin(broadcast(stats))
+      .select(col("cell"), col(vecId),
+        reconOf(col("codes"), col("mn"), col("mx")).as("__recon"))
+    val scored = cand.join(broadcast(probes), Seq("cell"))
+      .join(broadcast(qv), Seq("__qid"))
+      .select(col("__qid"), col(vecId), distOf(col("__qv"), col("__recon")).as("d"))
+    rankTail(scored, k, queryId, vecId)
+  }
+
+  /** IVF + SQ8 composite (FAISS `IVF,SQ8`) — train → encode → search: the
+    * [[ProductQuant]] coarse quantizer prunes WHICH vectors are scored
+    * (each query probes its `nprobe` nearest cells), the scalar quantizer
+    * shrinks WHAT is resident (4× vs float32, near-exact recall). This
+    * retires the flat [[topK]] scan as the only SQ8 search path: a query
+    * batch touches |corpus|·nprobe/|cells| candidates instead of every
+    * vector. The scalar stats stay GLOBAL (per-dim [min,max] over the whole
+    * corpus, FAISS's IndexIVFScalarQuantizer default) so the code of a
+    * vector is independent of its cell and incremental appends reuse the
+    * frozen stats unchanged.
+    */
+  def ivfSq8TopK(queries: DataFrame, corpus: DataFrame, k: Int, d: Int = 64,
+                 centroidStride: Int = 32, trainIters: Int = 2, coarseKs: Int = 8,
+                 nprobe: Int = 2, queryId: String = "query_id",
+                 vecId: String = "vec_id", trainSample: Int = 0): DataFrame = {
+    val frac = ProductQuant.trainFracFor(corpus, trainSample)
+    val sample = ProductQuant.sampleFor(corpus, frac, vecId)
+    val coarse = ProductQuant.trainCodebooks(corpus, 1, d, centroidStride,
+      trainIters, coarseKs, vecId, frac, sample)
+    ProductQuant.releaseSample(sample)
+    val cells = ProductQuant.encode(corpus, coarse, 1, d, vecId)
+      .select(col(vecId), col("code").as("cell"))
+    val stats = trainStats(corpus)
+    val codes = encode(corpus, stats, vecId).join(cells, Seq(vecId))
+    ivfSq8Search(queries, codes, coarse, stats, k, d, nprobe, queryId, vecId)
   }
 }

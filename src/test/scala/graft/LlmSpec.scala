@@ -1199,6 +1199,34 @@ class LlmSpec extends SparkSuite {
     }
   }
 
+  test("ivf+sq8: cluster recall through probes; probing all cells equals the flat scan") {
+    import spark.implicits._
+    def mk(r: Range, base: Double) = r.map { i =>
+      (i.toLong, Array.tabulate(8)(j => base.toFloat + 0.01f * i + 0.001f * j))
+    }
+    val corpus = (mk(0 until 20, 0.0) ++ mk(20 until 40, 10.0)).toDF("vec_id", "embedding")
+    val queries = corpus.filter(col("vec_id") === 0L || col("vec_id") === 35L)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val got = graft.llm.ScalarQuant.ivfSq8TopK(queries, corpus, k = 10, d = 8,
+      centroidStride = 10, trainIters = 2, coarseKs = 4, nprobe = 2)
+      .as[(Long, Long, Double, Int)].collect()
+    val byQ = got.groupBy(_._1)
+    // every neighbor comes from the query's own cluster (the probed cells
+    // cover it), k is satisfied, and distances are non-decreasing in rank
+    assert(byQ(0L).length == 10 && byQ(0L).forall(_._2 < 20L))
+    assert(byQ(35L).length == 10 && byQ(35L).forall(_._2 >= 20L))
+    byQ.values.foreach { rows =>
+      val sorted = rows.sortBy(_._4)
+      assert(sorted.sliding(2).forall(p => p.head._3 <= p.last._3))
+    }
+    // probing EVERY cell removes the IVF pruning: results must equal the
+    // flat SQ8 scan row-for-row (same codes, same recon, same tie pins)
+    val all = graft.llm.ScalarQuant.ivfSq8TopK(queries, corpus, k = 10, d = 8,
+      centroidStride = 10, trainIters = 2, coarseKs = 4, nprobe = 4)
+    val flat = graft.llm.ScalarQuant.sq8TopK(queries, corpus, k = 10)
+    assert(all.exceptAll(flat).isEmpty && flat.exceptAll(all).isEmpty)
+  }
+
   test("residual incremental ann: batch append equals wholesale residual encode") {
     import spark.implicits._
     def mk(r: Range, base: Double) = r.map { i =>
