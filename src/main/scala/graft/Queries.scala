@@ -2953,7 +2953,111 @@ object Queries {
       w AS (SELECT *, row_number() OVER (PARTITION BY query_id
           ORDER BY d, vec_id) AS rnk FROM sc)
       SELECT query_id, vec_id, d AS dist, CAST(rnk AS INTEGER) AS rank
-      FROM w WHERE rnk <= 5"""))
+      FROM w WHERE rnk <= 5""")),
+
+    // ANN recall@k scoreboard: every quantized index (q117 PQ, q118 IVFPQ,
+    // q122 residual IVFPQ, q129 SQ8, q130 IVF+SQ8) graded against the exact
+    // squared-L2 brute-force top-5 — the recall claim each index ships
+    // with, as an oracled relation. Both sides are deterministic (fixed
+    // seeds, round-6 folds, vec_id tie pins), so the oracle replays every
+    // chain and the recall integers exactly; missing queries surface as
+    // recall 0 rows, never dropped rows.
+    ("q131_ann_recall", (s: SparkSession, d: String) => {
+      val emb = t(s, d, "embeddings")
+      val qs = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      import graft.llm._
+      SimSearch.annRecall(qs, emb, 5, Seq(
+        "pq" -> ProductQuant.pqTopK(qs, emb, 5, m = 8, dims = 8,
+          centroidStride = 32, trainIters = 2, ks = 16, trainSample = 4096),
+        "ivfpq" -> ProductQuant.ivfPqTopK(qs, emb, 5, m = 8, dims = 8,
+          centroidStride = 32, trainIters = 2, ks = 16, coarseKs = 8,
+          nprobe = 2, trainSample = 4096),
+        "ivfpq_res" -> ProductQuant.ivfPqResidualTopK(qs, emb, 5, m = 8,
+          dims = 8, centroidStride = 32, trainIters = 2, ks = 16,
+          coarseKs = 8, nprobe = 2, trainSample = 4096),
+        "sq8" -> ScalarQuant.sq8TopK(qs, emb, 5),
+        "ivfsq8" -> ScalarQuant.ivfSq8TopK(qs, emb, 5, d = 64,
+          centroidStride = 32, trainIters = 2, coarseKs = 8, nprobe = 2,
+          trainSample = 4096)))
+    }, Some(s"""WITH corp AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)${coarseChainSql()},
+      sv AS (SELECT vec_id, s.sub,
+          v[CAST(8 * s.sub + 1 AS INTEGER):CAST(8 * s.sub + 8 AS INTEGER)] AS sv
+        FROM corp, (SELECT unnest(range(0, 8)) AS sub) s)${pqChainSql("sv")},
+      resid AS (SELECT c.vec_id, a.cell,
+          [c.v[CAST(i AS INTEGER)] - t.ccv[CAST(i AS INTEGER)] FOR i IN range(1, 65)] AS rv
+        FROM corp c JOIN cellasg a ON c.vec_id = a.vec_id JOIN cc2 t ON a.cell = t.ccid),
+      rsv AS (SELECT vec_id, s.sub,
+          rv[CAST(8 * s.sub + 1 AS INTEGER):CAST(8 * s.sub + 8 AS INTEGER)] AS sv
+        FROM resid, (SELECT unnest(range(0, 8)) AS sub) s)${pqChainSql("rsv", p = "r")}${sq8ChainSql()},
+      q AS (SELECT vec_id AS query_id, v AS qv FROM corp WHERE vec_id < 8),
+      truth AS (SELECT query_id, vec_id FROM (
+          SELECT q.query_id, c.vec_id, row_number() OVER (PARTITION BY q.query_id
+            ORDER BY round(${sqSql("q.qv", "c.v", 64)}, 6), c.vec_id) AS rnk
+          FROM corp c CROSS JOIN q) WHERE rnk <= 5),
+      dt1 AS (SELECT v.vec_id AS query_id, c.sub, c.cid AS code,
+          round(${sqSql("v.sv", "c.cv", 8)}, 6) AS d
+        FROM (SELECT * FROM sv WHERE vec_id < 8) v JOIN cb2 c ON v.sub = c.sub),
+      scpq AS (SELECT dt1.query_id, e.vec_id,
+          CAST(sum(CAST(dt1.d AS DECIMAL(18,6))) AS DOUBLE) AS adc
+        FROM enc e JOIN dt1 ON e.sub = dt1.sub AND e.code = dt1.code
+        GROUP BY dt1.query_id, e.vec_id),
+      tpq AS (SELECT query_id, vec_id FROM (SELECT *, row_number() OVER (
+          PARTITION BY query_id ORDER BY adc, vec_id) AS rnk FROM scpq) WHERE rnk <= 5),
+      scivf AS (SELECT dt1.query_id, e.vec_id,
+          CAST(sum(CAST(dt1.d AS DECIMAL(18,6))) AS DOUBLE) AS adc
+        FROM enc e
+        JOIN cellasg ce ON e.vec_id = ce.vec_id
+        JOIN probe p ON p.cell = ce.cell
+        JOIN dt1 ON e.sub = dt1.sub AND e.code = dt1.code AND dt1.query_id = p.query_id
+        GROUP BY dt1.query_id, e.vec_id),
+      tivf AS (SELECT query_id, vec_id FROM (SELECT *, row_number() OVER (
+          PARTITION BY query_id ORDER BY adc, vec_id) AS rnk FROM scivf) WHERE rnk <= 5),
+      qresid AS (SELECT v.vec_id AS query_id, p.cell,
+          [v.v[CAST(i AS INTEGER)] - t.ccv[CAST(i AS INTEGER)] FOR i IN range(1, 65)] AS rv
+        FROM (SELECT * FROM corp WHERE vec_id < 8) v
+        JOIN probe p ON p.query_id = v.vec_id JOIN cc2 t ON p.cell = t.ccid),
+      qrsv AS (SELECT query_id, cell, s.sub,
+          rv[CAST(8 * s.sub + 1 AS INTEGER):CAST(8 * s.sub + 8 AS INTEGER)] AS sv
+        FROM qresid, (SELECT unnest(range(0, 8)) AS sub) s),
+      dt2 AS (SELECT v.query_id, v.cell, c.sub, c.cid AS code,
+          round(${sqSql("v.sv", "c.cv", 8)}, 6) AS d
+        FROM qrsv v JOIN rcb2 c ON v.sub = c.sub),
+      scres AS (SELECT dt2.query_id, e.vec_id,
+          CAST(sum(CAST(dt2.d AS DECIMAL(18,6))) AS DOUBLE) AS adc
+        FROM renc e
+        JOIN cellasg ce ON e.vec_id = ce.vec_id
+        JOIN dt2 ON dt2.cell = ce.cell AND e.sub = dt2.sub AND e.code = dt2.code
+        GROUP BY dt2.query_id, e.vec_id),
+      tres AS (SELECT query_id, vec_id FROM (SELECT *, row_number() OVER (
+          PARTITION BY query_id ORDER BY adc, vec_id) AS rnk FROM scres) WHERE rnk <= 5),
+      scsq8 AS (SELECT q.query_id, c.vec_id, round(${sq8DistSql("q.qv", "c.codes")}, 6) AS d
+        FROM codes c CROSS JOIN sarr s CROSS JOIN q),
+      tsq8 AS (SELECT query_id, vec_id FROM (SELECT *, row_number() OVER (
+          PARTITION BY query_id ORDER BY d, vec_id) AS rnk FROM scsq8) WHERE rnk <= 5),
+      scivfs AS (SELECT p.query_id, c.vec_id, round(${sq8DistSql("q.qv", "c.codes")}, 6) AS d
+        FROM codes c
+        JOIN cellasg a ON c.vec_id = a.vec_id
+        JOIN probe p ON a.cell = p.cell
+        JOIN q ON q.query_id = p.query_id
+        CROSS JOIN sarr s),
+      tivfs AS (SELECT query_id, vec_id FROM (SELECT *, row_number() OVER (
+          PARTITION BY query_id ORDER BY d, vec_id) AS rnk FROM scivfs) WHERE rnk <= 5),
+      allres AS (
+        SELECT 'pq' AS method, query_id, vec_id FROM tpq
+        UNION ALL SELECT 'ivfpq', query_id, vec_id FROM tivf
+        UNION ALL SELECT 'ivfpq_res', query_id, vec_id FROM tres
+        UNION ALL SELECT 'sq8', query_id, vec_id FROM tsq8
+        UNION ALL SELECT 'ivfsq8', query_id, vec_id FROM tivfs),
+      hits AS (SELECT a.method, a.query_id, count(*) AS n_hits
+        FROM allres a JOIN truth t ON a.query_id = t.query_id AND a.vec_id = t.vec_id
+        GROUP BY a.method, a.query_id),
+      m(method) AS (VALUES ('pq'), ('ivfpq'), ('ivfpq_res'), ('sq8'), ('ivfsq8'))
+      SELECT g.method, g.query_id,
+        CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+        CAST(coalesce(h.n_hits, 0) AS DOUBLE) / 5.0 AS recall
+      FROM (SELECT m.method, q.query_id FROM m CROSS JOIN q) g
+      LEFT JOIN hits h ON g.method = h.method AND g.query_id = h.query_id"""))
   )
 
   /** The BM25 replay shared by q72/q123 — postings, df, dl, corpus stats,
@@ -3104,7 +3208,7 @@ object Queries {
   }
 
   private def pqChainSql(src: String, trainSample: Int = 4096,
-                         corp: String = "corp"): String = {
+                         corp: String = "corp", p: String = ""): String = {
     def asg(out: String, from: String, cb: String, proj: String) =
       pqAsgSql(out, from, cb, proj)
     def mean(out: String, from: String) = s""",
@@ -3114,15 +3218,15 @@ object Queries {
           FROM (SELECT sub, cid, unnest(range(len(sv))) AS dim, unnest(sv) AS xx FROM $from)
           GROUP BY sub, cid, dim) GROUP BY sub, cid)"""
     s""",
-      sb0 AS (SELECT sub, vec_id AS cid, sv AS cv FROM $src
+      ${p}sb0 AS (SELECT sub, vec_id AS cid, sv AS cv FROM $src
         WHERE vec_id % 32 = 0 AND vec_id < 512),
-      tsv AS (SELECT * FROM $src
+      ${p}tsv AS (SELECT * FROM $src
         WHERE CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT AS DOUBLE)
           / 4294967296.0 < least(CAST(1.0 AS DOUBLE),
             CAST($trainSample.0 AS DOUBLE) / (SELECT count(*) FROM $corp)))""" +
-      asg("a1", "tsv", "sb0", "vec_id, sub, sv, cid") + mean("cb1", "a1") +
-      asg("a2", "tsv", "cb1", "vec_id, sub, sv, cid") + mean("cb2", "a2") +
-      asg("enc", src, "cb2", "vec_id, sub, cid AS code")
+      asg(s"${p}a1", s"${p}tsv", s"${p}sb0", "vec_id, sub, sv, cid") + mean(s"${p}cb1", s"${p}a1") +
+      asg(s"${p}a2", s"${p}tsv", s"${p}cb1", "vec_id, sub, sv, cid") + mean(s"${p}cb2", s"${p}a2") +
+      asg(s"${p}enc", src, s"${p}cb2", "vec_id, sub, cid AS code")
   }
 
   /** The coarse-quantizer replay shared by q118/q122: whole-vector Lloyd

@@ -157,6 +157,12 @@ object StressBench {
           e.filter(col("vec_id") < 8).select(col("vec_id").as("query_id"), col("embedding")),
           e, 5, trainSample = 4096)
       })
+      time("ivfsq8_topk", f)({
+        val e = embTimes(f)
+        graft.llm.ScalarQuant.ivfSq8TopK(
+          e.filter(col("vec_id") < 8).select(col("vec_id").as("query_id"), col("embedding")),
+          e, 5, trainSample = 4096)
+      })
       time("kmv_distinct", f)({
         val hv = conv(substring(md5(col("l_orderkey").cast("string")), 1, 15), 16, 10)
           .cast("long")
@@ -189,6 +195,43 @@ object StressBench {
           e.filter(col("vec_id") < 8).select(col("vec_id").as("query_id"), col("embedding")),
           e, 5, trainSample = 4096)
       })
+    }
+    // r12: recall@5 vs exact squared-L2 truth at 1x and 16x — the SCALING.md
+    // quality row next to the runtime rows: a bucketed index whose RECALL
+    // collapses as the corpus grows would pass every runtime curve while
+    // silently degrading. Values print per method (q131 is the oracled
+    // fixture-scale counterpart). Replicas are PERTURBED per (replica, dim)
+    // — identical copies would make every query's true top-5 its own
+    // distance-0 clones, which every quantizer also ranks first (measured:
+    // flat 1.000 across the board), so the 16x point would claim recall the
+    // fixture never tested. Perturbation densifies each vector's
+    // neighborhood instead, which is the adversarial direction for a
+    // quantized index (cell/code boundaries now split true neighbors).
+    for (f <- Seq(1, 16)) {
+      if (onlyOps.forall(_.exists("ann_recall".startsWith))) {
+        val base = Tables(spark, sfDir, "embeddings").select("vec_id", "embedding")
+        val e = (if (f == 1) base
+          else base.crossJoin(spark.range(f).select(col("id").as("rep")))
+            .select((col("vec_id") * f + col("rep")).as("vec_id"),
+              transform(col("embedding"), (x, i) =>
+                x + pmod(col("rep") * 7 + i, lit(13)).cast("float") * lit(0.01f))
+                .as("embedding"))).localCheckpoint()
+        val qs = e.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("query_id"), col("embedding"))
+        import graft.llm._
+        SimSearch.annRecall(qs, e, 5, Seq(
+          "pq" -> ProductQuant.pqTopK(qs, e, 5, trainSample = 4096),
+          "ivfpq" -> ProductQuant.ivfPqTopK(qs, e, 5, trainSample = 4096),
+          "ivfpq_res" -> ProductQuant.ivfPqResidualTopK(qs, e, 5, trainSample = 4096),
+          "sq8" -> ScalarQuant.sq8TopK(qs, e, 5),
+          "ivfsq8" -> ScalarQuant.ivfSq8TopK(qs, e, 5, trainSample = 4096)))
+          .groupBy("method").agg(avg(col("recall")).as("recall"))
+          .collect().sortBy(_.getString(0))
+          .foreach { r =>
+            println(f"""[stress] {"op":"ann_recall_${r.getString(0)}","factor":$f,"recall":${r.getDouble(1)}%.3f}""")
+          }
+        org.apache.spark.sql.graft.Checkpoints.release(e)
+      }
     }
     spark.stop()
   }

@@ -42,6 +42,67 @@ object SimSearch {
       .select(queryId, vecId, "cosine", "rank")
   }
 
+  /** Exact squared-L2 top-k — the METRIC-MATCHED ground truth for the
+    * PQ/SQ8 quantized indexes ([[ProductQuant]], [[ScalarQuant]]), which
+    * rank by squared L2, not cosine: recall measured against cosine truth
+    * would conflate quantization loss with metric disagreement on
+    * unnormalized vectors. Same fan-out shape as [[bruteForceTopK]]
+    * (broadcast query batch, one corpus pass, bounded-heap top-k) and the
+    * same determinism conventions as the indexes it grades (fixed-order
+    * fold, round-6 before ranking, ties pinned on vec id).
+    */
+  def bruteForceTopKL2(queries: DataFrame, corpus: DataFrame, k: Int,
+                       queryId: String = "query_id", vecId: String = "vec_id"): DataFrame = {
+    val q = queries.select(col(queryId).as("__qid"),
+      col("embedding").cast("array<double>").as("__qv"))
+    val scored = corpus
+      .select(col(vecId), col("embedding").cast("array<double>").as("__cv"))
+      .crossJoin(broadcast(q))
+      .select(col("__qid"), col(vecId),
+        round(ProductQuant.sqDist(col("__qv"), col("__cv")), 6).as("d"))
+    scored.groupBy(col("__qid"))
+      .agg(org.apache.spark.sql.graft.TopKColumns
+        .topKByScore(negate(col("d")), col(vecId), k).as("top"))
+      .select(col("__qid").as(queryId), posexplode(col("top")).as(Seq("pos", "entry")))
+      .select(col(queryId), col("entry.id").as(vecId),
+        negate(col("entry.score")).as("dist"),
+        (col("pos") + 1).cast("int").as("rank"))
+  }
+
+  /** Recall@k harness: each labeled ANN result set graded against the
+    * exact [[bruteForceTopKL2]] ground truth — the number every ANN index
+    * ships with, as one oracled relation instead of a README claim.
+    * Output: (method, queryId, n_hits, recall) for EVERY (method, query)
+    * cell — queries an index misses entirely surface as recall 0 rather
+    * than a dropped row. recall = n_hits / k is one integer-by-constant
+    * IEEE division, identical on both engines.
+    *
+    * Scale: `results` are the indexes' own (already bounded) top-k
+    * relations — |methods|·|Q|·k rows; the only unbounded input is the one
+    * ground-truth corpus pass, which is the price of measuring true recall
+    * (run it on the same sampled query batch the indexes serve).
+    */
+  def annRecall(queries: DataFrame, corpus: DataFrame, k: Int,
+                results: Seq[(String, DataFrame)],
+                queryId: String = "query_id", vecId: String = "vec_id"): DataFrame = {
+    val truth = bruteForceTopKL2(queries, corpus, k, queryId, vecId)
+      .select(col(queryId), col(vecId))
+    val labeled = results.map { case (m, df) =>
+      df.select(lit(m).as("method"), col(queryId), col(vecId))
+    }.reduce(_ unionByName _)
+    val hits = labeled.join(truth, Seq(queryId, vecId))
+      .groupBy(col("method"), col(queryId))
+      .agg(count(lit(1)).as("n_hits"))
+    val methods = queries.sparkSession
+      .createDataFrame(results.map(r => Tuple1(r._1))).toDF("method")
+    methods.crossJoin(queries.select(col(queryId)))
+      .join(hits, Seq("method", queryId), "left")
+      .select(col("method"), col(queryId),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        (coalesce(col("n_hits"), lit(0L)).cast("double") / lit(k.toDouble))
+          .as("recall"))
+  }
+
   /** Seed centroids: a deterministic corpus sample (every
     * `centroidStride`-th id) — bounded, broadcastable, replayable in SQL.
     */
