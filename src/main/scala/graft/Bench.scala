@@ -30,7 +30,12 @@ import org.apache.spark.sql.SparkSession
   * the final write), so an induced kill still leaves per-query numbers for
   * everything that finished; (b) queries run in NUMERIC id order, not
   * lexicographic (which put the heaviest new queries q100+ FIRST in r6), so
-  * a partial artifact covers the stable early suite. Between queries,
+  * a partial artifact covers the stable early suite.
+  *
+  * Tail-capture completeness (VERDICT r11 #6): the driver preserves only a
+  * ~2000-char stdout tail, which fits ~60 of 130 full-name timings. The
+  * FINAL printed line is therefore a compact id-keyed timings JSON (also at
+  * `$SPARK_GRAFT_BENCH_OUT.compact`) that carries the whole suite. Between queries,
   * `Checkpoints.sweep` unpersists leftover localCheckpoint blocks —
   * `clearCache()` alone does not free them, which is exactly the r6 leak
   * that poisoned 54 unchanged queries by ~3x.
@@ -181,6 +186,28 @@ object Bench {
     val streaming = benchStreaming(spark)
     val json = emit(done.toSeq, streaming, partial = false, requeued.toSeq)
     println(json)
+    // COMPACT timings line, printed LAST (VERDICT r11 #6): the round
+    // artifact is a ~2000-char stdout TAIL, and the full per-query dict
+    // stopped fitting around 110 queries — r11 preserved only 59 of 129
+    // timings in-repo. Keyed by NUMERIC query id (names are recoverable
+    // from SparkEntry.queries: ids are unique by construction) and rounded
+    // to ms, the whole suite fits in ~1300 chars, so the tail capture
+    // always carries every number plus the headline.
+    val total = done.map(_._2).filter(_ >= 0).sum
+    val compact = {
+      val t = done.map { case (name, v, _, _) =>
+        val id = """\d+""".r.findFirstIn(name).getOrElse(name)
+        "\"" + id + "\":" + (if (v < 0) "-1" else f"$v%.3f")
+      }.mkString("{", ",", "}")
+      val failed = done.filter(_._2 < 0).map("\"" + _._1 + "\"")
+      s"""{"compact_timings":$t,""" +
+        s""""failed":${failed.mkString("[", ",", "]")},""" +
+        s""""completed":${done.size},"total_queries":${ordered.size},""" +
+        f""""total_sec":$total%.3f,"sf":"$sfDir"}"""
+    }
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(outFile + ".compact"), compact + "\n")
+    println(compact)
     spark.stop()
   }
 

@@ -2792,32 +2792,7 @@ object Queries {
         base.filter(col("vec_id") < 8).select(col("vec_id").as("query_id"), col("embedding")),
         base, batch, 5, m = 8, dims = 8, centroidStride = 32, trainIters = 2,
         ks = 16, coarseKs = 8, nprobe = 2, trainSample = 4096)
-    }, Some(s"""WITH corp AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
-        WHERE vec_id % 5 < 4)${coarseChainSql()},
-      sv AS (SELECT vec_id, s.sub,
-          v[CAST(8 * s.sub + 1 AS INTEGER):CAST(8 * s.sub + 8 AS INTEGER)] AS sv
-        FROM corp, (SELECT unnest(range(0, 8)) AS sub) s)${pqChainSql("sv")},
-      newb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
-        WHERE vec_id % 5 = 4),
-      bsv AS (SELECT vec_id, s.sub,
-          v[CAST(8 * s.sub + 1 AS INTEGER):CAST(8 * s.sub + 8 AS INTEGER)] AS sv
-        FROM newb, (SELECT unnest(range(0, 8)) AS sub) s)${coarseAsgSql("cellb", "cc2", "newb", "vec_id, ccid AS cell", "rn = 1")}${pqAsgSql("encb", "bsv", "cb2", "vec_id, sub, cid AS code")},
-      allcell AS (SELECT * FROM cellasg UNION ALL SELECT * FROM cellb),
-      allenc AS (SELECT * FROM enc UNION ALL SELECT * FROM encb),
-      dt AS (SELECT q.vec_id AS query_id, c.sub, c.cid AS code,
-          round(${sqSql("q.sv", "c.cv", 8)}, 6) AS d
-        FROM (SELECT * FROM sv WHERE vec_id < 8) q JOIN cb2 c ON q.sub = c.sub),
-      sc AS (SELECT dt.query_id, e.vec_id,
-          CAST(sum(CAST(dt.d AS DECIMAL(18,6))) AS DOUBLE) AS adc
-        FROM allenc e
-        JOIN allcell ce ON e.vec_id = ce.vec_id
-        JOIN probe p ON p.cell = ce.cell
-        JOIN dt ON e.sub = dt.sub AND e.code = dt.code AND dt.query_id = p.query_id
-        GROUP BY dt.query_id, e.vec_id),
-      w AS (SELECT *, row_number() OVER (PARTITION BY query_id
-          ORDER BY adc, vec_id) AS rnk FROM sc)
-      SELECT query_id, vec_id, adc, CAST(rnk AS INTEGER) AS rank
-      FROM w WHERE rnk <= 5""")),
+    }, Some(incrementalAnnSql)),
 
     // Unigram-LM (SentencePiece-style) tokenizer training (Kudo 2018):
     // substring seed → top-64 multi-char pieces by count·len (+ all chars)
@@ -3057,7 +3032,45 @@ object Queries {
         CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
         CAST(coalesce(h.n_hits, 0) AS DOUBLE) / 5.0 AS recall
       FROM (SELECT m.method, q.query_id FROM m CROSS JOIN q) g
-      LEFT JOIN hits h ON g.method = h.method AND g.query_id = h.query_id"""))
+      LEFT JOIN hits h ON g.method = h.method AND g.query_id = h.query_id""")),
+
+    // q124's incremental index, END-TO-END through the streaming leg: the
+    // base is batch-encoded into the on-disk index store, the delta ARRIVES
+    // AS A STREAM (file source -> Streams.annIndexAppend foreachBatch ->
+    // epoch-partitioned idempotent append), and the search runs over
+    // readAnnIndex's view of the store. Output is equal by construction to
+    // q124 (same frozen models, same code rows), so the two queries share
+    // one oracle — which is the point: the streaming path is now held to
+    // the same oracle as the batch path, not just to its unit tests.
+    ("q132_streaming_ann", (s: SparkSession, d: String) => {
+      import graft.llm.ProductQuant
+      val emb = t(s, d, "embeddings")
+      val base = emb.filter(col("vec_id") % 5 < 4)
+      val newb = emb.filter(col("vec_id") % 5 === 4)
+      val frac = ProductQuant.trainFracFor(base, 4096)
+      val sample = ProductQuant.sampleFor(base, frac)
+      val coarse = ProductQuant.trainCodebooks(base, 1, 64, 32, 2, 8, "vec_id",
+        frac, sample)
+      val cb = ProductQuant.trainCodebooks(base, 8, 8, 32, 2, 16, "vec_id",
+        frac, sample)
+      ProductQuant.releaseSample(sample)
+      val root = java.nio.file.Files.createTempDirectory("q132-ann").toString
+      // base index built batch-side (epoch -1: reserved below the streaming
+      // epoch counter, so a replayed stream epoch can never collide with it)
+      graft.streaming.Streams.appendIndexBatch(base, coarse, cb, 8, 8,
+        s"$root/index", batchId = -1L)
+      // the delta arrives as a stream: file source over the staged vectors,
+      // appended through the foreachBatch leg (AvailableNow = one drain)
+      newb.write.parquet(s"$root/stage")
+      graft.streaming.Streams.annIndexAppend(
+        s.readStream.schema(newb.schema).parquet(s"$root/stage"),
+        coarse, cb, 8, 8, s"$root/index", s"$root/ckpt")
+        .awaitTermination()
+      val index = graft.streaming.Streams.readAnnIndex(s, s"$root/index")
+      ProductQuant.ivfPqSearch(
+        base.filter(col("vec_id") < 8).select(col("vec_id").as("query_id"), col("embedding")),
+        index, coarse, cb, 5, 8, 8, 2)
+    }, Some(incrementalAnnSql))
   )
 
   /** The BM25 replay shared by q72/q123 — postings, df, dl, corpus stats,
@@ -3176,6 +3189,41 @@ object Queries {
           row_number() OVER (PARTITION BY c.vec_id
             ORDER BY round(${sqSql("c.v", "t.ccv", 64)}, 6), t.ccid) AS rn
         FROM $srcSel c CROSS JOIN $cb t) WHERE $rnPred)"""
+
+  /** The incremental-ANN replay shared by q124 (batch union append) and
+    * q132 (the same index built through the STREAMING append path): train
+    * on the base (vec_id % 5 < 4), encode the new batch (% 5 = 4) under the
+    * frozen models, search the union. One definition — the two queries are
+    * equal by construction (the streaming leg encodes with the same frozen
+    * models and appends the same rows), so they must share one oracle.
+    */
+  private def incrementalAnnSql: String =
+    s"""WITH corp AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        WHERE vec_id % 5 < 4)${coarseChainSql()},
+      sv AS (SELECT vec_id, s.sub,
+          v[CAST(8 * s.sub + 1 AS INTEGER):CAST(8 * s.sub + 8 AS INTEGER)] AS sv
+        FROM corp, (SELECT unnest(range(0, 8)) AS sub) s)${pqChainSql("sv")},
+      newb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        WHERE vec_id % 5 = 4),
+      bsv AS (SELECT vec_id, s.sub,
+          v[CAST(8 * s.sub + 1 AS INTEGER):CAST(8 * s.sub + 8 AS INTEGER)] AS sv
+        FROM newb, (SELECT unnest(range(0, 8)) AS sub) s)${coarseAsgSql("cellb", "cc2", "newb", "vec_id, ccid AS cell", "rn = 1")}${pqAsgSql("encb", "bsv", "cb2", "vec_id, sub, cid AS code")},
+      allcell AS (SELECT * FROM cellasg UNION ALL SELECT * FROM cellb),
+      allenc AS (SELECT * FROM enc UNION ALL SELECT * FROM encb),
+      dt AS (SELECT q.vec_id AS query_id, c.sub, c.cid AS code,
+          round(${sqSql("q.sv", "c.cv", 8)}, 6) AS d
+        FROM (SELECT * FROM sv WHERE vec_id < 8) q JOIN cb2 c ON q.sub = c.sub),
+      sc AS (SELECT dt.query_id, e.vec_id,
+          CAST(sum(CAST(dt.d AS DECIMAL(18,6))) AS DOUBLE) AS adc
+        FROM allenc e
+        JOIN allcell ce ON e.vec_id = ce.vec_id
+        JOIN probe p ON p.cell = ce.cell
+        JOIN dt ON e.sub = dt.sub AND e.code = dt.code AND dt.query_id = p.query_id
+        GROUP BY dt.query_id, e.vec_id),
+      w AS (SELECT *, row_number() OVER (PARTITION BY query_id
+          ORDER BY adc, vec_id) AS rnk FROM sc)
+      SELECT query_id, vec_id, adc, CAST(rnk AS INTEGER) AS rank
+      FROM w WHERE rnk <= 5"""
 
   /** The SQ8 train + encode replay shared by q129/q130 (graft.llm
     * .ScalarQuant): per-dim [min,max] stats packed dim-ordered (`st`,

@@ -199,51 +199,38 @@ object Dispatch {
   }
 
   /** ST1-ST7 wired end-to-end: stream envelopes → foreachBatch(applyBatch) →
-    * parquet target. `Trigger.AvailableNow` is the reference's hourly cron
-    * (ST7) in streaming clothes; pass `ProcessingTime` for a long-running
-    * tail.
+    * manifest-committed target ([[graft.sources.ManifestTable]]; read the
+    * accumulated state back with `ManifestTable.read`). `Trigger
+    * .AvailableNow` is the reference's hourly cron (ST7) in streaming
+    * clothes; pass `ProcessingTime` for a long-running tail.
+    *
+    * Each micro-batch reads the current snapshot, merges, and commits the
+    * next immutable version; the manifest rename is the one atomic step, so
+    * a crash at any instant leaves the table at the old or new snapshot —
+    * never partial, no startup recovery pass (this replaced the r2-r11
+    * `.bak` swap-rename dance, whose recovery leg the old scaladoc spent
+    * three paragraphs on).
     */
   def run(spark: SparkSession, envelopeDir: String, targetPath: String,
           checkpoint: String, docSchema: StructType,
           promote: DataFrame => DataFrame, rawKey: String, mergeKey: String,
           tieCol: String,
           trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    import graft.sources.ManifestTable
     fileCdcSource(spark, envelopeDir).writeStream
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        // Hadoop FS throughout (a java.io.File check is always false on
-        // hdfs:// or s3a:// paths, which would silently treat the target as
-        // empty every batch and lose all accumulated state).
-        val tgt = new org.apache.hadoop.fs.Path(targetPath)
-        val fs = tgt.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        val bak = new org.apache.hadoop.fs.Path(targetPath + ".bak")
-        // Crash recovery FIRST: a death between rename(tgt→bak) and
-        // rename(tmp→tgt) leaves the target missing and .bak holding the only
-        // copy of accumulated state — restore it before reading, or the
-        // replayed batch would rebuild from empty and the later delete(bak)
-        // would destroy everything (ADVICE r02).
-        if (!fs.exists(tgt) && fs.exists(bak))
-          require(fs.rename(bak, tgt),
-            s"CDC recovery rename $bak -> $tgt failed; refusing to proceed " +
-              "(continuing would merge into an empty target and delete the backup)")
+        val schema = promoteSchema(spark, docSchema, promote)
         val target =
-          if (fs.exists(tgt))
-            spark.read.schema(promoteSchema(spark, docSchema, promote)).parquet(targetPath)
+          if (ManifestTable.exists(spark, targetPath))
+            ManifestTable.read(spark, targetPath, schema)
           else
             spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-              promoteSchema(spark, docSchema, promote))
+              schema)
         val merged = applyBatch(target, batch, docSchema, promote, rawKey, mergeKey, tieCol)
-        // Can't overwrite the path we're reading: distributed write to a tmp
-        // dir, then swap via backup-rename. .bak is deleted ONLY after the new
-        // target is in place, so accumulated state survives a crash at any
-        // step. (True atomic swap needs a transactional table format — the
-        // documented production endgame, SURVEY.md §7.4.2.)
-        val tmp = new org.apache.hadoop.fs.Path(targetPath + ".tmp")
-        merged.write.mode("overwrite").parquet(tmp.toString)
-        if (fs.exists(tgt)) { fs.delete(bak, true); fs.rename(tgt, bak) }
-        fs.rename(tmp, tgt)
-        fs.delete(bak, true)
+        ManifestTable.commit(merged, targetPath, partCol = None)
+        ManifestTable.vacuum(spark, targetPath)
         ()
       }
       .start()
@@ -263,74 +250,35 @@ object Dispatch {
     * place on partition-evolution; [[run]] (full merge) has no such
     * restriction.
     *
-    * Spark refuses to overwrite a path it is reading ("Cannot overwrite a
-    * path that is also being read from"), so the merged touched partitions
-    * stage through `targetPath + ".stage"` — still O(touched) I/O. The
-    * commit is a manual per-partition swap through `targetPath + ".pbak"`
-    * (NOT Spark's dynamic partition overwrite, whose commit deletes old
-    * partition files before the staged ones land — a crash there would
-    * leave a touched partition empty, and the replayed batch could only
-    * restore keys present in that batch). With the backup swap, every
-    * touched partition is at its old or new content at every instant;
-    * recovery at batch start restores any partition left in .pbak, then
-    * the checkpoint-replayed merge (last-wins idempotent) re-converges.
+    * The commit is a [[graft.sources.ManifestTable]] version: the merged
+    * TOUCHED partitions land in a fresh immutable version dir (O(touched)
+    * I/O — untouched partitions keep their existing files, carried forward
+    * by manifest entry), and the manifest rename publishes the whole table
+    * state atomically. This retired the r4-r11 `.pbak` per-partition
+    * backup swap, which was only per-PARTITION atomic — a crash mid-swap
+    * could expose a cross-partition mix of old and new until the next
+    * batch's recovery pass; the manifest pointer has no such window and no
+    * recovery leg at all. Read the table back with `ManifestTable.read`.
     */
   def runPartitioned(spark: SparkSession, envelopeDir: String, targetPath: String,
                      checkpoint: String, docSchema: StructType,
                      promote: DataFrame => DataFrame, rawKey: String,
                      mergeKey: String, tieCol: String, partCol: String,
                      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    import graft.sources.ManifestTable
     fileCdcSource(spark, envelopeDir).writeStream
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val tgt = new org.apache.hadoop.fs.Path(targetPath)
-        val fs = tgt.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        val pbak = new org.apache.hadoop.fs.Path(targetPath + ".pbak")
-        // Crash recovery FIRST: a partition left in .pbak whose target dir
-        // is missing was mid-swap when the last run died — restore it
-        // before reading, then let the replayed merge re-converge.
-        if (fs.exists(pbak)) {
-          fs.listStatus(pbak).foreach { st =>
-            val dst = new org.apache.hadoop.fs.Path(tgt, st.getPath.getName)
-            if (!fs.exists(dst))
-              require(fs.rename(st.getPath, dst),
-                s"CDC partition recovery rename ${st.getPath} -> $dst failed")
-          }
-          fs.delete(pbak, true)
-        }
         val schema = promoteSchema(spark, docSchema, promote)
         val deduped = promote(upsertLeg(batch, docSchema, rawKey, tieCol))
-        if (!fs.exists(tgt)) {
-          deduped.write.partitionBy(partCol).mode("overwrite").parquet(targetPath)
+        if (!ManifestTable.exists(spark, targetPath)) {
+          ManifestTable.commit(deduped, targetPath, Some(partCol))
         } else {
-          val target = spark.read.schema(schema).parquet(targetPath)
+          val target = ManifestTable.read(spark, targetPath, schema)
           val merged = Upsert.mergePartitionPruned(target, deduped, mergeKey, partCol)
-          val stage = targetPath + ".stage"
-          val stagePath = new org.apache.hadoop.fs.Path(stage)
-          // a crash between stage-write and swap leaves .stage behind;
-          // delete first so a schema or partition-layout change can't merge
-          // stale files into the swap
-          fs.delete(stagePath, true)
-          merged.write.partitionBy(partCol).mode("overwrite").parquet(stage)
-          // manual per-partition backup swap: each touched partition is at
-          // its OLD or NEW content at every instant (see scaladoc)
-          fs.delete(pbak, true)
-          require(fs.mkdirs(pbak), s"CDC swap: mkdirs $pbak failed")
-          fs.listStatus(stagePath)
-            .filter(st => st.isDirectory && st.getPath.getName.contains("="))
-            .foreach { st =>
-              val name = st.getPath.getName
-              val dst = new org.apache.hadoop.fs.Path(tgt, name)
-              if (fs.exists(dst))
-                require(fs.rename(dst, new org.apache.hadoop.fs.Path(pbak, name)),
-                  s"CDC swap: backup rename $dst failed")
-              require(fs.rename(st.getPath, dst),
-                s"CDC swap: commit rename ${st.getPath} -> $dst failed — " +
-                  s"old content is at $pbak/$name")
-            }
-          fs.delete(pbak, true)
-          fs.delete(stagePath, true)
+          ManifestTable.commit(merged, targetPath, Some(partCol))
+          ManifestTable.vacuum(spark, targetPath)
         }
         ()
       }

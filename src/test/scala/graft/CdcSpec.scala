@@ -266,11 +266,14 @@ class CdcSpec extends SparkSuite {
     val q2 = Dispatch.run(spark, dir.getAbsolutePath, tgt, ckpt, docSchema,
       identity, "id", "id", "v")
     q2.awaitTermination(60000)
-    val got = spark.read.parquet(tgt).as[(String, Long)].collect().toSet
+    val got = graft.sources.ManifestTable.read(spark, tgt, docSchema)
+      .as[(String, Long)].collect().toSet
     assert(got == Set(("a", 1L), ("b", 2L)))
-    // no leftover swap debris
-    assert(!new java.io.File(tgt + ".tmp").exists())
-    assert(!new java.io.File(tgt + ".bak").exists())
+    // vacuum ran after the second commit: only the live version + current
+    // manifest remain
+    assert(graft.sources.ManifestTable.currentVersion(spark, tgt).contains(2L))
+    assert(!new java.io.File(s"$tgt/v00000001").exists())
+    assert(!new java.io.File(s"$tgt/_manifest.00000001").exists())
   }
 
   test("ST6 retry: shrinking failure set converges within the attempt budget") {
@@ -333,15 +336,15 @@ class CdcSpec extends SparkSuite {
     val q1 = graft.cdc.Dispatch.runPartitioned(spark, dir.getAbsolutePath, tgt, ckpt,
       partSchema, identity, "id", "id", "v", partCol = "p")
     q1.awaitTermination(60000)
-    def partFiles(p: String): Map[String, Long] = {
-      val d = new java.io.File(s"$tgt/p=$p")
-      d.listFiles().filter(_.getName.endsWith(".parquet"))
-        .map(f => f.getName -> f.lastModified()).toMap
-    }
-    val yBefore = partFiles("y")
-    val yBytes = new java.io.File(s"$tgt/p=y").listFiles()
-      .filter(_.getName.endsWith(".parquet"))
-      .map(f => f.getName -> java.util.Arrays.hashCode(Files.readAllBytes(f.toPath))).toMap
+    // partition p=y's physical files live in version 1's dir and must never
+    // be rewritten by a batch that doesn't touch p=y
+    def yFiles(): Map[String, (Long, Int)] =
+      new java.io.File(s"$tgt/v00000001/p=y").listFiles()
+        .filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getName ->
+          (f.lastModified(), java.util.Arrays.hashCode(Files.readAllBytes(f.toPath))))
+        .toMap
+    val yBefore = yFiles()
     // second micro-batch touches ONLY partition x
     Files.write(new java.io.File(dir, "b2.json").toPath,
       """{"operationType":"update","documentKey":"a","fullDocument":"{\"id\":\"a\",\"p\":\"x\",\"v\":5}","clusterTime":"2024-01-02T00:00:00.000Z"}"""
@@ -349,25 +352,24 @@ class CdcSpec extends SparkSuite {
     val q2 = graft.cdc.Dispatch.runPartitioned(spark, dir.getAbsolutePath, tgt, ckpt,
       partSchema, identity, "id", "id", "v", partCol = "p")
     q2.awaitTermination(60000)
-    val got = spark.read.parquet(tgt).select("id", "p", "v")
-      .as[(String, String, Long)].collect().toSet
+    val got = graft.sources.ManifestTable.read(spark, tgt, partSchema)
+      .select("id", "p", "v").as[(String, String, Long)].collect().toSet
     assert(got == Set(("a", "x", 5L), ("b", "y", 2L)))
-    // untouched partition p=y: same files, same mtimes, same bytes
-    assert(partFiles("y") == yBefore)
-    val yAfter = new java.io.File(s"$tgt/p=y").listFiles()
-      .filter(_.getName.endsWith(".parquet"))
-      .map(f => f.getName -> java.util.Arrays.hashCode(Files.readAllBytes(f.toPath))).toMap
-    assert(yAfter == yBytes)
+    // untouched partition p=y: carried forward by manifest ENTRY — same
+    // files, same mtimes, same bytes, and version 2 holds no p=y dir
+    assert(yFiles() == yBefore)
+    assert(!new java.io.File(s"$tgt/v00000002/p=y").exists())
+    assert(new java.io.File(s"$tgt/v00000002/p=x").exists())
   }
 
-  test("partitioned sink restores a partition stranded in .pbak mid-swap") {
+  test("manifest commit is atomic: a crash mid-commit leaves the OLD snapshot readable") {
     import spark.implicits._
     val partSchema = StructType(Seq(
       StructField("id", StringType), StructField("p", StringType),
       StructField("v", LongType)))
-    val dir = Files.createTempDirectory("cdc-pbak-env").toFile
-    val tgt = Files.createTempDirectory("cdc-pbak-tgt").toFile.getAbsolutePath + "/target"
-    val ckpt = Files.createTempDirectory("cdc-pbak-ckpt").toFile.getAbsolutePath
+    val dir = Files.createTempDirectory("cdc-crash-env").toFile
+    val tgt = Files.createTempDirectory("cdc-crash-tgt").toFile.getAbsolutePath + "/target"
+    val ckpt = Files.createTempDirectory("cdc-crash-ckpt").toFile.getAbsolutePath
     Files.write(new java.io.File(dir, "b1.json").toPath,
       Seq(
         """{"operationType":"insert","documentKey":"a","fullDocument":"{\"id\":\"a\",\"p\":\"x\",\"v\":1}","clusterTime":"2024-01-01T00:00:00.000Z"}""",
@@ -376,47 +378,33 @@ class CdcSpec extends SparkSuite {
     val q1 = graft.cdc.Dispatch.runPartitioned(spark, dir.getAbsolutePath, tgt, ckpt,
       partSchema, identity, "id", "id", "v", partCol = "p")
     q1.awaitTermination(60000)
-    // simulate the crash window: p=x backed up to .pbak, target dir gone
-    // (old partition files removed, staged ones never landed)
-    new java.io.File(tgt + ".pbak").mkdirs()
-    assert(new java.io.File(s"$tgt/p=x")
-      .renameTo(new java.io.File(tgt + ".pbak/p=x")))
-    // replayed/next batch updates only key a; recovery must first restore
-    // p=x from .pbak so key c (not in the batch) survives
+    // simulate dying INSIDE the next commit, after the data write but
+    // before the manifest rename: an orphan version-2 data dir (partial,
+    // garbage) and a stray staged manifest exist — neither is visible to a
+    // reader, because only the _manifest.N rename publishes a version
+    new java.io.File(s"$tgt/v00000002/p=x").mkdirs()
+    Files.write(new java.io.File(s"$tgt/v00000002/p=x/part-zzz.parquet").toPath,
+      "not parquet at all".getBytes("UTF-8"))
+    Files.write(new java.io.File(s"$tgt/.manifest-2.tmp").toPath,
+      "p=x\t2\n".getBytes("UTF-8"))
+    assert(graft.sources.ManifestTable.currentVersion(spark, tgt).contains(1L))
+    val old = graft.sources.ManifestTable.read(spark, tgt, partSchema)
+      .select("id", "v").as[(String, Long)].collect().toSet
+    assert(old == Set(("a", 1L), ("c", 3L))) // the OLD snapshot, intact
+    // the replayed/next batch re-commits version 2 over the orphan debris
+    // and converges — key c (not in the batch) survives via the merge read
     Files.write(new java.io.File(dir, "b2.json").toPath,
       """{"operationType":"update","documentKey":"a","fullDocument":"{\"id\":\"a\",\"p\":\"x\",\"v\":9}","clusterTime":"2024-01-02T00:00:00.000Z"}"""
         .getBytes("UTF-8"))
     val q2 = graft.cdc.Dispatch.runPartitioned(spark, dir.getAbsolutePath, tgt, ckpt,
       partSchema, identity, "id", "id", "v", partCol = "p")
     q2.awaitTermination(60000)
-    val got = spark.read.parquet(tgt).select("id", "p", "v")
-      .as[(String, String, Long)].collect().toSet
+    val got = graft.sources.ManifestTable.read(spark, tgt, partSchema)
+      .select("id", "p", "v").as[(String, String, Long)].collect().toSet
     assert(got == Set(("a", "x", 9L), ("c", "x", 3L)))
-    assert(!new java.io.File(tgt + ".pbak").exists())
-  }
-
-  test("crash window between swap renames recovers from .bak (no data loss)") {
-    import spark.implicits._
-    val dir = Files.createTempDirectory("cdc-crash-env").toFile
-    val tgt = Files.createTempDirectory("cdc-crash-tgt").toFile.getAbsolutePath + "/target"
-    val ckpt = Files.createTempDirectory("cdc-crash-ckpt").toFile.getAbsolutePath
-    Files.write(new java.io.File(dir, "b1.json").toPath,
-      """{"operationType":"insert","documentKey":"a","fullDocument":"{\"id\":\"a\",\"v\":1}","clusterTime":"2024-01-01T00:00:00.000Z"}"""
-        .getBytes("UTF-8"))
-    Dispatch.run(spark, dir.getAbsolutePath, tgt, ckpt, docSchema,
-      identity, "id", "id", "v").awaitTermination(60000)
-    // simulate dying between rename(tgt -> bak) and rename(tmp -> tgt): the
-    // accumulated state exists ONLY in .bak (the ADVICE r02 total-loss window)
-    assert(new java.io.File(tgt).renameTo(new java.io.File(tgt + ".bak")))
-    Files.write(new java.io.File(dir, "b2.json").toPath,
-      """{"operationType":"insert","documentKey":"b","fullDocument":"{\"id\":\"b\",\"v\":2}","clusterTime":"2024-01-02T00:00:00.000Z"}"""
-        .getBytes("UTF-8"))
-    Dispatch.run(spark, dir.getAbsolutePath, tgt, ckpt, docSchema,
-      identity, "id", "id", "v").awaitTermination(60000)
-    // the replayed/next batch restored .bak before reading: nothing lost
-    val got = spark.read.parquet(tgt).as[(String, Long)].collect().toSet
-    assert(got == Set(("a", 1L), ("b", 2L)))
-    assert(!new java.io.File(tgt + ".bak").exists())
+    assert(graft.sources.ManifestTable.currentVersion(spark, tgt).contains(2L))
+    // vacuum swept the stray commit temp
+    assert(!new java.io.File(s"$tgt/.manifest-2.tmp").exists())
   }
 
   test("ST1-ST7 end-to-end: file-replayed stream -> foreachBatch -> parquet target") {
@@ -434,7 +422,8 @@ class CdcSpec extends SparkSuite {
     val q = Dispatch.run(spark, dir.getAbsolutePath, tgt, ckpt, docSchema,
       identity, rawKey = "id", mergeKey = "id", tieCol = "v")
     q.awaitTermination(60000)
-    val got = spark.read.parquet(tgt).as[(String, Long)].collect().toSet
+    val got = graft.sources.ManifestTable.read(spark, tgt, docSchema)
+      .as[(String, Long)].collect().toSet
     assert(got == Set(("a", 3L), ("b", 7L)))
   }
 }
