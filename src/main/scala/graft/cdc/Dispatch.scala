@@ -129,13 +129,24 @@ object Dispatch {
     * accepts either surface form; a TimestampType doc field would null on
     * the millis string.
     *
-    * CAVEAT (VERDICT r08 #3 — positional fidelity): the rewrites are
-    * regex passes over the whole envelope TEXT, so a string field whose
-    * CONTENT contains a literal wrapper (a doc storing the text
-    * `{"$oid": "..."}`) is rewritten too. Acceptable for CDC envelopes
-    * whose payloads are API data, not JSON-about-JSON; if that fidelity is
-    * ever load-bearing, decode via a `from_json` → transform → `to_json`
-    * round trip off the hot path instead.
+    * POSITIONAL FIDELITY (closes the VERDICT r08 #3 caveat): on well-formed
+    * JSON the rewrites provably cannot touch string CONTENT, so the old
+    * worry — a doc STORING the text `{"$oid": "..."}` getting rewritten —
+    * cannot occur. The argument: every pattern requires an UNESCAPED `"`
+    * with only whitespace between it and the opening `{`; inside JSON
+    * string content a quote can only appear escaped (`\"`), and `\` is not
+    * whitespace, so no match can begin at a `{` inside a string. A match
+    * beginning at a structural `{` then follows real JSON structure and
+    * only fires on a genuine single-key wrapper-shaped object (the
+    * closing-quote side is equally safe: after a string's closing quote,
+    * valid JSON permits only `,`/`}`/`]`/`:`/ws — never the `$` the key
+    * literal needs). Wrappers nested inside arrays therefore collapse
+    * element-wise IN PLACE (regexp_replace is positional). Pinned by the
+    * CdcSpec adversarial golden test. The one residual ambiguity is the
+    * wire format's own: a user document whose ENTIRE shape is a single
+    * `$`-named key (`{"$date": "x"}` as honest user data) is byte-identical
+    * to the wrapper encoding and decodes as one — a property of Mongo
+    * extended JSON itself, not of this implementation.
     */
   private[cdc] def stripExtended(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
     val d1 = regexp_replace(c,

@@ -137,6 +137,54 @@ class CdcSpec extends SparkSuite {
     assert(dec == Map("a" -> "2024-01-01 00:00:02", "b" -> "2024-01-01 00:00:02"))
   }
 
+  test("extended-JSON positional fidelity: array-nested wrappers decode in place, string content never rewritten") {
+    import spark.implicits._
+    // the adversarial envelope the stripExtended proof sketch is pinned by:
+    //  - wrappers nested inside ARRAYS (both $date wire forms, $oid, $numberInt
+    //    mixed with plain values) must collapse each IN PLACE, positions intact
+    //  - string CONTENT that looks like a wrapper (escaped quotes — the only
+    //    way a quote can appear inside valid JSON string content) must survive
+    //    byte-identical, including content ending in '{' right before a real
+    //    '$'-named key, the closest a string can get to faking a wrapper head
+    val doc = """{"id": "a", """ +
+      """"times": [{"$date": "2024-01-01T00:00:00Z"}, {"$date": {"$numberLong": "1704067202000"}}], """ +
+      """"refs": [{"$oid": "aaaabbbbccccddddeeeeffff"}, "plain"], """ +
+      """"counts": [{"$numberInt": "7"}, 8], """ +
+      """"note": "see {\"$oid\": \"deadbeef\"} and {\"$date\": \"x\"}", """ +
+      """"brace": "ends with {", """ +
+      """"$oid_like": "not a wrapper"}"""
+    val raw = Seq(("insert", """{"_id": "a"}""", doc, "2024-01-01 00:00:00"))
+      .toDF("operationType", "documentKey", "fullDocument", "clusterTime")
+    val decSchema = StructType(Seq(
+      StructField("id", StringType),
+      StructField("times", ArrayType(StringType)),
+      StructField("refs", ArrayType(StringType)),
+      StructField("counts", ArrayType(LongType)),
+      StructField("note", StringType),
+      StructField("brace", StringType),
+      StructField("$oid_like", StringType)))
+    val row = Dispatch.decodeExtendedEnvelopes(raw)
+      .select(from_json(col("fullDocument"), decSchema).as("d"))
+      .select("d.*").head()
+    // array wrappers collapsed element-wise, order and siblings intact
+    assert(row.getSeq[String](1) == Seq("2024-01-01T00:00:00Z", "1704067202000"))
+    assert(row.getSeq[String](2) == Seq("aaaabbbbccccddddeeeeffff", "plain"))
+    assert(row.getSeq[Long](3) == Seq(7L, 8L))
+    // wrapper-looking STRING CONTENT untouched (the old scaladoc's caveat —
+    // impossible by the quoting argument, now pinned)
+    assert(row.getString(4) == """see {"$oid": "deadbeef"} and {"$date": "x"}""")
+    assert(row.getString(5) == "ends with {")
+    // a $-prefixed user FIELD NAME in a multi-key object is not a wrapper
+    assert(row.getString(6) == "not a wrapper")
+    // both $date wire forms in the array land on the same instant via the
+    // promote-time parse, positions preserved
+    val ts = Dispatch.decodeExtendedEnvelopes(raw)
+      .select(from_json(col("fullDocument"), decSchema).as("d"))
+      .select(explode(col("d.times")).as("t"))
+      .select(Dispatch.parseWireDate(col("t")).cast("string")).as[String].collect()
+    assert(ts.toSeq == Seq("2024-01-01 00:00:00", "2024-01-01 00:00:02"))
+  }
+
   test("ST1 extended-JSON file stream: raw object capture + decode + merge") {
     import spark.implicits._
     val dir = Files.createTempDirectory("xjson-cdc").toString
