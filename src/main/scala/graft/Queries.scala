@@ -2942,19 +2942,34 @@ object Queries {
       val qs = emb.filter(col("vec_id") < 8)
         .select(col("vec_id").as("query_id"), col("embedding"))
       import graft.llm._
-      SimSearch.annRecall(qs, emb, 5, Seq(
-        "pq" -> ProductQuant.pqTopK(qs, emb, 5, m = 8, dims = 8,
-          centroidStride = 32, trainIters = 2, ks = 16, trainSample = 4096),
-        "ivfpq" -> ProductQuant.ivfPqTopK(qs, emb, 5, m = 8, dims = 8,
-          centroidStride = 32, trainIters = 2, ks = 16, coarseKs = 8,
-          nprobe = 2, trainSample = 4096),
-        "ivfpq_res" -> ProductQuant.ivfPqResidualTopK(qs, emb, 5, m = 8,
-          dims = 8, centroidStride = 32, trainIters = 2, ks = 16,
-          coarseKs = 8, nprobe = 2, trainSample = 4096),
-        "sq8" -> ScalarQuant.sq8TopK(qs, emb, 5),
-        "ivfsq8" -> ScalarQuant.ivfSq8TopK(qs, emb, 5, d = 64,
-          centroidStride = 32, trainIters = 2, coarseKs = 8, nprobe = 2,
-          trainSample = 4096)))
+      // SHARED MODEL STORE: one coarse book, one PQ codebook, one SQ8 stats
+      // row serve all five indexes — exactly what the oracle replays (its
+      // cc2/cb2/sarr CTEs are shared across the method legs), and the
+      // production shape: a corpus trains its quantizers once and every
+      // index composes them. Trains once instead of once per index.
+      val frac = ProductQuant.trainFracFor(emb, 4096)
+      val sample = ProductQuant.sampleFor(emb, frac)
+      val coarse = ProductQuant.trainCodebooks(emb, 1, 64, 32, 2, 8, "vec_id",
+        frac, sample)
+      val cb = ProductQuant.trainCodebooks(emb, 8, 8, 32, 2, 16, "vec_id",
+        frac, sample)
+      val cells = ProductQuant.encode(emb, coarse, 1, 64)
+        .select(col("vec_id"), col("code").as("cell"))
+      val codes = ProductQuant.encode(emb, cb, 8, 8)
+      val stats = ScalarQuant.trainStats(emb)
+      val sq8codes = ScalarQuant.encode(emb, stats)
+      val results = Seq(
+        "pq" -> ProductQuant.adcTopK(qs, codes, cb, 5, 8, 8),
+        "ivfpq" -> ProductQuant.ivfPqSearch(qs, codes.join(cells, Seq("vec_id")),
+          coarse, cb, 5, 8, 8, 2),
+        "ivfpq_res" -> ProductQuant.ivfPqResidualTopKWith(qs, emb, coarse, 5,
+          m = 8, dims = 8, centroidStride = 32, trainIters = 2, ks = 16,
+          nprobe = 2, trainFrac = frac, trainRel = sample),
+        "sq8" -> ScalarQuant.topK(qs, sq8codes, stats, 5),
+        "ivfsq8" -> ScalarQuant.ivfSq8Search(qs, sq8codes.join(cells, Seq("vec_id")),
+          coarse, stats, 5, 64, 2))
+      ProductQuant.releaseSample(sample) // all trainings are materialized
+      SimSearch.annRecall(qs, emb, 5, results)
     }, Some(s"""WITH corp AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)${coarseChainSql()},
       sv AS (SELECT vec_id, s.sub,
           v[CAST(8 * s.sub + 1 AS INTEGER):CAST(8 * s.sub + 8 AS INTEGER)] AS sv
@@ -3070,7 +3085,70 @@ object Queries {
       ProductQuant.ivfPqSearch(
         base.filter(col("vec_id") < 8).select(col("vec_id").as("query_id"), col("embedding")),
         index, coarse, cb, 5, 8, 8, 2)
-    }, Some(incrementalAnnSql))
+    }, Some(incrementalAnnSql)),
+
+    // PII scrubbing (the Dolma privacy pass): emails -> <EMAIL>, dotted-quad
+    // IPs -> <IP>, phone-shaped digit runs -> <PHONE>, three passes in one
+    // fixed order with counts taken on the text each pass sees. The fixture
+    // plants one of each per doc (derived from doc_id — both engines build
+    // the identical augmented text); patterns use explicit character classes
+    // only, the Java/RE2 common subset.
+    ("q133_pii_scrub", (s: SparkSession, d: String) => {
+      val docs = t(s, d, "documents")
+      val aug = docs.select(col("doc_id"),
+        concat(col("text"),
+          lit(" contact u"), col("doc_id").cast("string"),
+          lit("@mail.example.com from 10."),
+          pmod(col("doc_id"), lit(256)).cast("string"),
+          lit(".0.1 or call +1 555-01"),
+          lpad(pmod(col("doc_id"), lit(100)).cast("string"), 2, "0")).as("text"))
+      graft.llm.Scrub.piiScrub(aug, "doc_id", "text")
+    }, Some("""WITH aug AS (SELECT doc_id, text || ' contact u' || doc_id
+          || '@mail.example.com from 10.' || (doc_id % 256)
+          || '.0.1 or call +1 555-01' || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') AS text
+        FROM documents),
+      p1 AS (SELECT doc_id,
+          CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+          regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t1
+        FROM aug),
+      p2 AS (SELECT doc_id, n_emails,
+          CAST(len(regexp_extract_all(t1, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS BIGINT) AS n_ips,
+          regexp_replace(t1, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g') AS t2
+        FROM p1),
+      p3 AS (SELECT doc_id, n_emails, n_ips,
+          CAST(len(regexp_extract_all(t2, '\+?[0-9][0-9()\-. ]{6,}[0-9]')) AS BIGINT) AS n_phones,
+          regexp_replace(t2, '\+?[0-9][0-9()\-. ]{6,}[0-9]', '<PHONE>', 'g') AS clean
+        FROM p2)
+      SELECT doc_id, n_emails, n_ips, n_phones, clean FROM p3""")),
+
+    // URL domain blocklist (the C4 provenance filter): hosts extracted from
+    // in-text URLs, probed against a broadcast blocklist, keep = no blocked
+    // host. Fixture plants two URLs per doc (one rotating over 7 hosts, two
+    // of which are blocked) so both the kept and dropped legs carry rows.
+    ("q134_url_blocklist", (s: SparkSession, d: String) => {
+      import s.implicits._
+      val docs = t(s, d, "documents")
+      val aug = docs.select(col("doc_id"),
+        concat(col("text"),
+          lit(" see https://site"), pmod(col("doc_id"), lit(7)).cast("string"),
+          lit(".example.org/p/"), col("doc_id").cast("string"),
+          lit(" and http://news.example.com/x")).as("text"))
+      val block = Seq("site0.example.org", "site3.example.org", "spam.example.net")
+        .toDF("domain")
+      graft.llm.Scrub.urlBlocklistFlags(aug, "doc_id", "text", block)
+    }, Some("""WITH aug AS (SELECT doc_id, text || ' see https://site' || (doc_id % 7)
+          || '.example.org/p/' || doc_id || ' and http://news.example.com/x' AS text
+        FROM documents),
+      u AS (SELECT doc_id, unnest(regexp_extract_all(text, 'https?://[^ "]+')) AS url FROM aug),
+      h AS (SELECT doc_id, lower(regexp_extract(url, '^https?://([^/: "]+)', 1)) AS domain FROM u),
+      b(domain) AS (VALUES ('site0.example.org'), ('site3.example.org'), ('spam.example.net')),
+      pd AS (SELECT h.doc_id, CAST(count(*) AS BIGINT) AS n_urls,
+          CAST(sum(CASE WHEN b.domain IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_blocked
+        FROM h LEFT JOIN b ON h.domain = b.domain GROUP BY h.doc_id)
+      SELECT d.doc_id, CAST(coalesce(pd.n_urls, 0) AS BIGINT) AS n_urls,
+        CAST(coalesce(pd.n_blocked, 0) AS BIGINT) AS n_blocked,
+        coalesce(pd.n_blocked, 0) = 0 AS keep
+      FROM documents d LEFT JOIN pd ON d.doc_id = pd.doc_id"""))
   )
 
   /** The BM25 replay shared by q72/q123 — postings, df, dl, corpus stats,

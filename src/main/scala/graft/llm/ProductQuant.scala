@@ -356,6 +356,30 @@ object ProductQuant {
     val sample = sampleFor(corpus, frac, vecId)
     val coarse = trainCodebooks(corpus, 1, d, centroidStride, trainIters, coarseKs, vecId,
       frac, sample)
+    val out = ivfPqResidualTopKWith(queries, corpus, coarse, k, m, dims,
+      centroidStride, trainIters, ks, nprobe, queryId, vecId, frac, sample)
+    releaseSample(sample)
+    out
+  }
+
+  /** [[ivfPqResidualTopK]] over a PREBUILT coarse quantizer — the
+    * shared-model-store seam: one coarse book can serve the raw-PQ, SQ8 and
+    * residual indexes of the same corpus (the q131 scoreboard shape), so a
+    * multi-index pipeline trains it once. `trainFrac`/`trainRel` follow the
+    * [[trainCodebooks]] contract; `trainRel` (caller-owned, NOT released
+    * here) is the raw sampled corpus — the residual training relation
+    * derives from it.
+    */
+  def ivfPqResidualTopKWith(queries: DataFrame, corpus: DataFrame,
+                            coarse: DataFrame, k: Int,
+                            m: Int = 8, dims: Int = 8, centroidStride: Int = 32,
+                            trainIters: Int = 2, ks: Int = 16, nprobe: Int = 2,
+                            queryId: String = "query_id", vecId: String = "vec_id",
+                            trainFrac: Double = 1.0,
+                            trainRel: Option[DataFrame] = None): DataFrame = {
+    val d = m * dims
+    val frac = trainFrac
+    val sample = trainRel
     val cells = encode(corpus, coarse, 1, d, vecId)
       .select(col(vecId), col("code").as("cell"))
     val cvRel = coarse.select(col("cid").as("cell"), col("cv").as("cellv"))
@@ -374,8 +398,7 @@ object ProductQuant {
     }
     val cb = trainCodebooks(resid, m, dims, centroidStride, trainIters, ks, vecId,
       frac, residSample)
-    releaseSample(residSample)
-    releaseSample(sample)
+    releaseSample(residSample) // derived here; the raw trainRel stays caller-owned
     val codes = encode(resid, cb, m, dims, vecId).join(cells, Seq(vecId))
 
     val q = queries.withColumnRenamed(queryId, "__qid")

@@ -129,4 +129,42 @@ class CurationSpec extends SparkSuite {
     assert(prof(1L) == ((4L, 1L, 0.25))) // cc is OOV
     assert(prof(2L) == ((5L, 0L, 0.0)))
   }
+
+  test("piiScrub redacts emails, IPs, phones in order; counts match redactions") {
+    import spark.implicits._
+    val df = docs(
+      (1L, "mail a.b+c@ex-1.example.com or 192.168.1.100 or +1 (555) 010-7788 done"),
+      (2L, "no pii here at all"),
+      (3L, "two mails x@y.org z@w.io and ip 8.8.8.8"))
+    val got = graft.llm.Scrub.piiScrub(df, "doc_id", "text")
+      .select("doc_id", "n_emails", "n_ips", "n_phones", "clean")
+      .as[(Long, Long, Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(got(1L)._1 == 1L && got(1L)._2 == 1L && got(1L)._3 == 1L)
+    assert(got(1L)._4 == "mail <EMAIL> or <IP> or <PHONE> done")
+    // the IP pass runs BEFORE the phone pass: a dotted quad is never
+    // half-eaten as a phone-shaped digit run
+    assert(!got(1L)._4.contains("<PHONE>8") && !got(1L)._4.contains("1.100"))
+    assert(got(2L) == ((0L, 0L, 0L, "no pii here at all"))) // untouched
+    assert(got(3L) == ((2L, 1L, 0L, "two mails <EMAIL> <EMAIL> and ip <IP>")))
+  }
+
+  test("urlBlocklistFlags: host-exact probe, url-less docs kept, case-folded") {
+    import spark.implicits._
+    val df = docs(
+      (1L, "read https://Ads.Example.COM/banner and https://ok.example.org/a"),
+      (2L, "only https://ok.example.org/b here"),
+      (3L, "no urls at all"),
+      (4L, "subdomain https://sub.ads.example.com/x is NOT the listed host"))
+    val block = Seq("ads.example.com").toDF("domain")
+    val got = graft.llm.Scrub.urlBlocklistFlags(df, "doc_id", "text", block)
+      .select("doc_id", "n_urls", "n_blocked", "keep")
+      .as[(Long, Long, Long, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got(1L) == ((2L, 1L, false))) // case-insensitive host match
+    assert(got(2L) == ((1L, 0L, true)))
+    assert(got(3L) == ((0L, 0L, true))) // never exploded, still present
+    // exact-host policy: subdomains only block if listed themselves
+    assert(got(4L) == ((1L, 0L, true)))
+  }
 }
