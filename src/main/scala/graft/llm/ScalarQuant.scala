@@ -138,6 +138,21 @@ object ScalarQuant {
     rankTail(scored, k, queryId, vecId)
   }
 
+  /** Frozen-model micro-batch encode for the IVF+SQ8 index — the
+    * [[ProductQuant.encodeBatch]] mirror on the scalar-quantized side: the
+    * global stats row and the coarse book are fixed-size broadcasts that
+    * never move per batch (stats are corpus min/max — cell-independent by
+    * design, so appends reuse them unchanged), and each append ships
+    * |batch| slim (vecId, codes, cell) rows. Row-identical to a wholesale
+    * re-encode under the same models; searched by [[ivfSq8Search]]
+    * unchanged.
+    */
+  def encodeBatch(batch: DataFrame, coarse: DataFrame, stats: DataFrame,
+                  d: Int, vecId: String = "vec_id"): DataFrame =
+    encode(batch, stats, vecId).join(
+      ProductQuant.encode(batch, coarse, 1, d, vecId)
+        .select(col(vecId), col("code").as("cell")), Seq(vecId))
+
   /** IVF + SQ8 composite (FAISS `IVF,SQ8`) — train → encode → search: the
     * [[ProductQuant]] coarse quantizer prunes WHICH vectors are scored
     * (each query probes its `nprobe` nearest cells), the scalar quantizer

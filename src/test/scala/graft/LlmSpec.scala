@@ -1227,6 +1227,35 @@ class LlmSpec extends SparkSuite {
     assert(all.exceptAll(flat).isEmpty && flat.exceptAll(all).isEmpty)
   }
 
+  test("ivf+sq8 incremental: batch append equals wholesale encode; appended rows searchable") {
+    import spark.implicits._
+    def mk(r: Range, base: Double) = r.map { i =>
+      (i.toLong, Array.tabulate(8)(j => base.toFloat + 0.01f * i + 0.001f * j))
+    }
+    val base = (mk(0 until 18, 0.0) ++ mk(20 until 38, 10.0)).toDF("vec_id", "embedding")
+    val batch = (mk(18 until 20, 0.0) ++ mk(38 until 40, 10.0)).toDF("vec_id", "embedding")
+    val coarse = graft.llm.ProductQuant.trainCodebooks(
+      base, m = 1, dims = 8, centroidStride = 10, iters = 2, ks = 4)
+    val stats = graft.llm.ScalarQuant.trainStats(base)
+    // frozen stats + coarse: appending batches is row-identical to one
+    // wholesale encode (stats are global min/max, cell-independent)
+    val inc = graft.llm.ScalarQuant.encodeBatch(base, coarse, stats, d = 8)
+      .unionByName(graft.llm.ScalarQuant.encodeBatch(batch, coarse, stats, d = 8))
+    val whole = graft.llm.ScalarQuant.encodeBatch(
+      base.unionByName(batch), coarse, stats, d = 8)
+    assert(inc.count() == 40)
+    assert(inc.exceptAll(whole).isEmpty && whole.exceptAll(inc).isEmpty)
+    // appended vectors are retrievable through the shared search leg
+    val queries = base.filter(col("vec_id") === 0L)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val got = graft.llm.ScalarQuant.ivfSq8Search(queries, inc, coarse, stats,
+      k = 25, d = 8, nprobe = 2)
+      .as[(Long, Long, Double, Int)].collect()
+    val ids = got.map(_._2).toSet
+    assert(ids.contains(18L) && ids.contains(19L))
+    assert(got.forall(_._2 < 20L)) // cluster isolation survives the append
+  }
+
   test("residual incremental ann: batch append equals wholesale residual encode") {
     import spark.implicits._
     def mk(r: Range, base: Double) = r.map { i =>

@@ -253,6 +253,27 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("q130: IVF+SQ8 prunes by probed cell with hash joins; top-k via bounded heap") {
+    val p = finalPlan("q130_ivfsq8_topk")
+    // the only nested-loop shapes are 1-row broadcast stats/frac scalars;
+    // the cell prune and the probe/query fan-out must be hash joins
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("top_k_by_score"), p)
+  }
+
+  test("q133: PII scrub is a pure projection — zero exchanges, zero joins") {
+    val p = plan("q133_pii_scrub")
+    assert(!p.contains("Exchange"), p)
+    assert(!p.contains("Join"), p)
+  }
+
+  test("q134: blocklist probe is a broadcast hash join; no cartesian") {
+    val p = finalPlan("q134_url_blocklist")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("AQE splits a skewed sort-merge join at runtime") {
     import spark.implicits._
     val prev = Map(
