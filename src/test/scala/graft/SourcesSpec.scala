@@ -438,6 +438,53 @@ class SourcesSpec extends SparkSuite {
     assert(spark.read.parquet(dir).as[(Long, String)].collect().toSet == before)
   }
 
+  test("ManifestTable: snapshot versions flip atomically; vacuum keeps only live data") {
+    import spark.implicits._
+    import graft.sources.ManifestTable
+    val root = java.nio.file.Files.createTempDirectory("mantab").toString + "/t"
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("v", org.apache.spark.sql.types.StringType)))
+    assert(!ManifestTable.exists(spark, root))
+    intercept[IllegalStateException](ManifestTable.read(spark, root, schema))
+    assert(ManifestTable.commit(Seq((1L, "a"), (2L, "b")).toDF("id", "v"),
+      root, partCol = None) == 1L)
+    assert(ManifestTable.read(spark, root, schema)
+      .as[(Long, String)].collect().toSet == Set((1L, "a"), (2L, "b")))
+    // next snapshot replaces wholesale (non-partitioned contract); the old
+    // version stays readable until vacuum reclaims it
+    assert(ManifestTable.commit(Seq((1L, "a2")).toDF("id", "v"),
+      root, partCol = None) == 2L)
+    assert(ManifestTable.read(spark, root, schema)
+      .as[(Long, String)].collect().toSet == Set((1L, "a2")))
+    assert(new java.io.File(s"$root/v00000001").exists())
+    ManifestTable.vacuum(spark, root)
+    assert(!new java.io.File(s"$root/v00000001").exists())
+    assert(!new java.io.File(s"$root/_manifest.00000001").exists())
+    assert(ManifestTable.read(spark, root, schema)
+      .as[(Long, String)].collect().toSet == Set((1L, "a2")))
+  }
+
+  test("ManifestTable: partitioned read assembles partitions across version dirs") {
+    import spark.implicits._
+    import graft.sources.ManifestTable
+    val root = java.nio.file.Files.createTempDirectory("mantab2").toString + "/t"
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("p", org.apache.spark.sql.types.StringType)))
+    ManifestTable.commit(Seq((1L, "x"), (2L, "y")).toDF("id", "p"), root, Some("p"))
+    // second commit touches ONLY p=x: p=y must carry forward from v1
+    ManifestTable.commit(Seq((3L, "x")).toDF("id", "p"), root, Some("p"))
+    val got = ManifestTable.read(spark, root, schema)
+      .as[(Long, String)].collect().toSet
+    assert(got == Set((3L, "x"), (2L, "y")))
+    // v1 still holds the live p=y files; vacuum must RETAIN it
+    ManifestTable.vacuum(spark, root)
+    assert(new java.io.File(s"$root/v00000001/p=y").exists())
+    assert(ManifestTable.read(spark, root, schema)
+      .as[(Long, String)].collect().toSet == got)
+  }
+
   test("queries registry and oracle map stay consistent") {
     // every oracle refers to a registered query; both maps non-trivial
     assert(Queries.oracleSql.keySet.subsetOf(Queries.queries.keySet))
