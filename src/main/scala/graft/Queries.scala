@@ -3148,7 +3148,47 @@ object Queries {
       SELECT d.doc_id, CAST(coalesce(pd.n_urls, 0) AS BIGINT) AS n_urls,
         CAST(coalesce(pd.n_blocked, 0) AS BIGINT) AS n_blocked,
         coalesce(pd.n_blocked, 0) = 0 AS keep
-      FROM documents d LEFT JOIN pd ON d.doc_id = pd.doc_id"""))
+      FROM documents d LEFT JOIN pd ON d.doc_id = pd.doc_id""")),
+
+    // ANN refine re-rank (FAISS `IVFPQ,RFlat`): the q118 IVFPQ searched at
+    // k' = 4k candidates, then re-ranked by EXACT squared L2 against the raw
+    // vectors — quantization error decides only WHICH 20 candidates surface,
+    // never their final order. The oracle replays the q118 chain to rnk<=20,
+    // then rescores those rows with the brute-force fold. Exact distances
+    // touch |Q|·k' raw rows, not the corpus.
+    ("q135_ann_refine", (s: SparkSession, d: String) => {
+      val emb = t(s, d, "embeddings")
+      val qs = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      val approx = graft.llm.ProductQuant.ivfPqTopK(qs, emb, 20,
+        m = 8, dims = 8, centroidStride = 32, trainIters = 2,
+        ks = 16, coarseKs = 8, nprobe = 2, trainSample = 4096)
+      graft.llm.SimSearch.refineTopK(qs, emb, approx, 5)
+    }, Some(s"""WITH corp AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)${coarseChainSql()},
+      sv AS (SELECT vec_id, s.sub,
+          v[CAST(8 * s.sub + 1 AS INTEGER):CAST(8 * s.sub + 8 AS INTEGER)] AS sv
+        FROM corp, (SELECT unnest(range(0, 8)) AS sub) s)${pqChainSql("sv")},
+      dt AS (SELECT q.vec_id AS query_id, c.sub, c.cid AS code,
+          round(${sqSql("q.sv", "c.cv", 8)}, 6) AS d
+        FROM (SELECT * FROM sv WHERE vec_id < 8) q JOIN cb2 c ON q.sub = c.sub),
+      sc AS (SELECT dt.query_id, e.vec_id,
+          CAST(sum(CAST(dt.d AS DECIMAL(18,6))) AS DOUBLE) AS adc
+        FROM enc e
+        JOIN cellasg ce ON e.vec_id = ce.vec_id
+        JOIN probe p ON p.cell = ce.cell
+        JOIN dt ON e.sub = dt.sub AND e.code = dt.code AND dt.query_id = p.query_id
+        GROUP BY dt.query_id, e.vec_id),
+      cand AS (SELECT query_id, vec_id FROM (SELECT *, row_number() OVER (
+          PARTITION BY query_id ORDER BY adc, vec_id) AS rnk FROM sc) WHERE rnk <= 20),
+      q AS (SELECT vec_id AS query_id, v AS qv FROM corp WHERE vec_id < 8),
+      ex AS (SELECT c.query_id, c.vec_id,
+          round(${sqSql("q.qv", "cv.v", 64)}, 6) AS d
+        FROM cand c JOIN corp cv ON c.vec_id = cv.vec_id
+        JOIN q ON q.query_id = c.query_id),
+      w AS (SELECT *, row_number() OVER (PARTITION BY query_id
+          ORDER BY d, vec_id) AS rnk FROM ex)
+      SELECT query_id, vec_id, d AS dist, CAST(rnk AS INTEGER) AS rank
+      FROM w WHERE rnk <= 5"""))
   )
 
   /** The BM25 replay shared by q72/q123 — postings, df, dl, corpus stats,

@@ -60,6 +60,14 @@ object SimSearch {
       .crossJoin(broadcast(q))
       .select(col("__qid"), col(vecId),
         round(ProductQuant.sqDist(col("__qv"), col("__cv")), 6).as("d"))
+    l2RankTail(scored, k, queryId, vecId)
+  }
+
+  /** Bounded-heap top-k over (__qid, vecId, d): the shared exact-L2 ranking
+    * tail — |Q|·k rows out, ties pinned on the vector id.
+    */
+  private def l2RankTail(scored: DataFrame, k: Int,
+                         queryId: String, vecId: String): DataFrame =
     scored.groupBy(col("__qid"))
       .agg(org.apache.spark.sql.graft.TopKColumns
         .topKByScore(negate(col("d")), col(vecId), k).as("top"))
@@ -67,6 +75,34 @@ object SimSearch {
       .select(col(queryId), col("entry.id").as(vecId),
         negate(col("entry.score")).as("dist"),
         (col("pos") + 1).cast("int").as("rank"))
+
+  /** FAISS Refine stage (`IVF…,RFlat`): re-rank an approximate index's
+    * candidate set with EXACT squared-L2 against the raw vectors and keep
+    * the final top-k — quantization error is confined to WHICH k' candidates
+    * surface, never to their final order. `candidates` is any (queryId,
+    * vecId) relation from the quantized indexes ([[ProductQuant]],
+    * [[ScalarQuant]]), typically searched at k' = 3–5× k.
+    *
+    * Scale: the corpus is scanned once and never shuffled — the bounded
+    * |Q|·k' candidate set is broadcast into the corpus scan to prune the
+    * raw-vector fetch, then the broadcast query batch supplies the query
+    * vector; exact distances are computed for candidate rows only. Same
+    * determinism conventions as the ground truth it approximates
+    * (sequential fold, round-6, vec-id tie pins).
+    */
+  def refineTopK(queries: DataFrame, corpus: DataFrame, candidates: DataFrame,
+                 k: Int, queryId: String = "query_id",
+                 vecId: String = "vec_id"): DataFrame = {
+    val q = queries.select(col(queryId).as("__qid"),
+      col("embedding").cast("array<double>").as("__qv"))
+    val cand = candidates.select(col(queryId).as("__qid"), col(vecId))
+    val scored = corpus
+      .select(col(vecId), col("embedding").cast("array<double>").as("__cv"))
+      .join(broadcast(cand), Seq(vecId))
+      .join(broadcast(q), Seq("__qid"))
+      .select(col("__qid"), col(vecId),
+        round(ProductQuant.sqDist(col("__qv"), col("__cv")), 6).as("d"))
+    l2RankTail(scored, k, queryId, vecId)
   }
 
   /** Recall@k harness: each labeled ANN result set graded against the

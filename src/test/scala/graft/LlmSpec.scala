@@ -1227,6 +1227,28 @@ class LlmSpec extends SparkSuite {
     assert(all.exceptAll(flat).isEmpty && flat.exceptAll(all).isEmpty)
   }
 
+  test("refine: full candidate set equals brute force; exact order overrides candidate order") {
+    import spark.implicits._
+    val corpus = (0L until 30L).map { i =>
+      (i, Array.tabulate(8)(j => 0.01f * i + 0.001f * j))
+    }.toDF("vec_id", "embedding")
+    val queries = corpus.filter(col("vec_id") === 5L)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    // candidates = the whole corpus → refine IS brute force, row-for-row
+    val allCand = corpus.select(lit(5L).as("query_id"), col("vec_id"))
+    val refined = graft.llm.SimSearch.refineTopK(queries, corpus, allCand, k = 4)
+    val brute = graft.llm.SimSearch.bruteForceTopKL2(queries, corpus, k = 4)
+    assert(refined.exceptAll(brute).isEmpty && brute.exceptAll(refined).isEmpty)
+    // a candidate list in DELIBERATELY wrong order (farthest first) and
+    // missing the 2nd-nearest: refine ranks by exact distance regardless of
+    // candidate order, and never resurrects an unlisted vector
+    val cand = Seq(29L, 20L, 7L, 5L, 3L).map((5L, _)).toDF("query_id", "vec_id")
+    val got = graft.llm.SimSearch.refineTopK(queries, corpus, cand, k = 3)
+      .as[(Long, Long, Double, Int)].collect().sortBy(_._4)
+    assert(got.map(_._2).toSeq == Seq(5L, 3L, 7L)) // self, then by true L2; 4/6 absent
+    assert(got.sliding(2).forall(p => p.head._3 <= p.last._3))
+  }
+
   test("ivf+sq8 incremental: batch append equals wholesale encode; appended rows searchable") {
     import spark.implicits._
     def mk(r: Range, base: Double) = r.map { i =>
