@@ -3188,7 +3188,89 @@ object Queries {
       w AS (SELECT *, row_number() OVER (PARTITION BY query_id
           ORDER BY d, vec_id) AS rnk FROM ex)
       SELECT query_id, vec_id, d AS dist, CAST(rnk AS INTEGER) AS rank
-      FROM w WHERE rnk <= 5"""))
+      FROM w WHERE rnk <= 5""")),
+
+    // Trained quality classifier (CCNet/GPT-3 target-domain filter): hashed
+    // bag-of-words logistic regression, 3 full-batch GD rounds, weak labels
+    // = "doc is English". The whole training loop is fixed-point BIGINT
+    // (q100 discipline) with the sigmoid quantized at the source, so the
+    // oracle unrolls all three rounds and replays the weights exactly.
+    // NOTE the fixture shares ONE vocabulary across languages, so this
+    // label is information-theoretically unlearnable here — the oracle
+    // verifies the distributed GD MECHANISM bit-for-bit; LlmSpec proves the
+    // same trainer separates a learnable task, and q137's NB filter is the
+    // fixture-learnable demo. Oracle rounds stay at 3: each unrolled round
+    // references the previous weights CTE twice, and DuckDB's CTE inlining
+    // makes deep chains exponential (20 rounds did not return).
+    ("q136_quality_clf", (s: SparkSession, d: String) => {
+      val docs = t(s, d, "documents")
+        .withColumn("is_en", (col("lang") === "en").cast("int"))
+      graft.llm.Classifier.qualityClassifier(docs, "doc_id", "text", "is_en",
+        buckets = 64, rounds = 3, lrDenom = 4096L)
+    }, Some(s"""WITH tokd AS (SELECT doc_id,
+          unnest(list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> x <> '')) AS term
+        FROM documents),
+      featt AS (SELECT doc_id, ('0x' || substr(md5(term), 1, 14))::BIGINT % 64 AS b,
+          CAST(count(*) AS BIGINT) AS x
+        FROM tokd GROUP BY doc_id, b),
+      feat AS (SELECT * FROM featt
+        UNION ALL SELECT doc_id, CAST(64 AS BIGINT), CAST(1 AS BIGINT) FROM documents),
+      lab AS (SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y FROM documents),
+      w0 AS (SELECT unnest(range(0, 65)) AS b, CAST(0 AS BIGINT) AS wm),
+      ${logRegRoundSql(1, 4096L)},
+      ${logRegRoundSql(2, 4096L)},
+      ${logRegRoundSql(3, 4096L)},
+      mf AS (SELECT f.doc_id, CAST(sum(w.wm * f.x) AS BIGINT) AS mm
+        FROM feat f JOIN w3 w ON f.b = w.b GROUP BY f.doc_id),
+      pf AS (SELECT m.doc_id, lab.y,
+          CAST(floor(1.0 / (1.0 + exp(-(CAST(m.mm AS DOUBLE) / 1000000.0))) * 1000000.0 + 0.5) AS BIGINT) AS pm
+        FROM mf m JOIN lab ON m.doc_id = lab.doc_id)
+      SELECT doc_id, CAST(y AS BIGINT) AS label,
+        CAST(pm AS DOUBLE) / 1000000.0 AS score,
+        pm >= 500000 AS predicted
+      FROM pf""")),
+
+    // One-pass multinomial Naive Bayes filter (the trained classifier that
+    // CONVERGES by construction — vs q136's GD mechanism): weak label =
+    // "mentions the target term", Laplace-smoothed hashed-bucket
+    // likelihoods, scores = exact BIGINT micro sums of source-quantized
+    // ln's. Training is one bucket-keyed aggregate; the 64-row model
+    // broadcasts into the scoring join.
+    ("q137_nb_clf", (s: SparkSession, d: String) => {
+      val docs = t(s, d, "documents")
+        .withColumn("is_pos", lower(col("text")).contains("window").cast("int"))
+      graft.llm.Classifier.naiveBayes(docs, "doc_id", "text", "is_pos",
+        buckets = 64)
+    }, Some(s"""WITH tokd AS (SELECT doc_id,
+          unnest(list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> x <> '')) AS term
+        FROM documents),
+      featt AS (SELECT doc_id, ('0x' || substr(md5(term), 1, 14))::BIGINT % 64 AS b,
+          CAST(count(*) AS BIGINT) AS x
+        FROM tokd GROUP BY doc_id, b),
+      lab AS (SELECT doc_id, CASE WHEN lower(text) LIKE '%window%' THEN 1 ELSE 0 END AS y
+        FROM documents),
+      cyb AS (SELECT f.b,
+          CAST(sum(CASE WHEN l.y = 1 THEN f.x ELSE 0 END) AS BIGINT) AS c1,
+          CAST(sum(CASE WHEN l.y = 0 THEN f.x ELSE 0 END) AS BIGINT) AS c0
+        FROM featt f JOIN lab l ON f.doc_id = l.doc_id GROUP BY f.b),
+      tot AS (SELECT CAST(sum(c1) AS BIGINT) AS t1, CAST(sum(c0) AS BIGINT) AS t0 FROM cyb),
+      nn AS (SELECT CAST(sum(y) AS BIGINT) AS n1,
+          CAST(count(*) - sum(y) AS BIGINT) AS n0,
+          CAST(count(*) AS BIGINT) AS n FROM lab),
+      model AS (SELECT b,
+          CAST(floor(ln(CAST(c1 + 1 AS DOUBLE) / CAST(t1 + 64 AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT)
+          - CAST(floor(ln(CAST(c0 + 1 AS DOUBLE) / CAST(t0 + 64 AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) AS llr
+        FROM cyb, tot),
+      pri AS (SELECT
+          CAST(floor(ln(CAST(n1 AS DOUBLE) / CAST(n AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT)
+          - CAST(floor(ln(CAST(n0 AS DOUBLE) / CAST(n AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) AS p
+        FROM nn),
+      sc AS (SELECT f.doc_id, CAST(sum(f.x * m.llr) AS BIGINT) AS s
+        FROM featt f JOIN model m ON f.b = m.b GROUP BY f.doc_id)
+      SELECT l.doc_id, CAST(l.y AS BIGINT) AS label,
+        CAST(coalesce(sc.s, 0) + pri.p AS DOUBLE) / 1000000.0 AS score,
+        coalesce(sc.s, 0) + pri.p >= 0 AS predicted
+      FROM lab l LEFT JOIN sc ON l.doc_id = sc.doc_id CROSS JOIN pri"""))
   )
 
   /** The BM25 replay shared by q72/q123 — postings, df, dl, corpus stats,
@@ -3222,6 +3304,28 @@ object Queries {
       pd AS (SELECT query_id, doc_id,
           round(CAST(SUM(CAST(contrib AS DECIMAL(18,6))) AS DOUBLE), 4) AS score
         FROM sc GROUP BY query_id, doc_id)"""
+
+  /** One unrolled full-batch GD round of the q136 logistic regression —
+    * margin → quantized sigmoid residual → gradient → truncated-div weight
+    * step, all fixed-point BIGINT (the [[graft.llm.Classifier]] contract).
+    * Reads CTEs `feat`/`lab` and weights `w${i-1}`, emits `w$i`. No leading
+    * or trailing comma.
+    */
+  private def logRegRoundSql(i: Int, lrDenom: Long): String = {
+    val p = i - 1
+    s"""m$i AS (SELECT f.doc_id, CAST(sum(w.wm * f.x) AS BIGINT) AS mm
+        FROM feat f JOIN w$p w ON f.b = w.b GROUP BY f.doc_id),
+      r$i AS (SELECT m.doc_id,
+          CAST(floor(1.0 / (1.0 + exp(-(CAST(m.mm AS DOUBLE) / 1000000.0))) * 1000000.0 + 0.5) AS BIGINT)
+            - lab.y * 1000000 AS rm
+        FROM m$i m JOIN lab ON m.doc_id = lab.doc_id),
+      g$i AS (SELECT f.b, CAST(sum(r.rm * f.x) AS BIGINT) AS gm
+        FROM feat f JOIN r$i r ON f.doc_id = r.doc_id GROUP BY f.b),
+      w$i AS (SELECT w.b, w.wm - CASE WHEN coalesce(g.gm, 0) >= 0
+            THEN coalesce(g.gm, 0) // $lrDenom
+            ELSE -((-coalesce(g.gm, 0)) // $lrDenom) END AS wm
+        FROM w$p w LEFT JOIN g$i g ON w.b = g.b)"""
+  }
 
   /** DuckDB squared-L2 over `n` dims between list columns `a` and `b`: the
     * sequential fold [[graft.llm.ProductQuant.sqDist]] replays (list_reduce

@@ -1227,6 +1227,49 @@ class LlmSpec extends SparkSuite {
     assert(all.exceptAll(flat).isEmpty && flat.exceptAll(all).isEmpty)
   }
 
+  test("logreg classifier separates disjoint vocabularies in 3 GD rounds") {
+    import spark.implicits._
+    // positives and negatives use DISJOINT token sets — linearly separable,
+    // so the fixed-point GD must learn it within the oracled 3 rounds
+    val docs = (0L until 40L).map { i =>
+      val pos = i % 2 == 0
+      val ws = if (pos) Seq("alpha", "beta", "gamma") else Seq("delta", "eps", "zeta")
+      (i, Seq.tabulate(6)(j => ws((i + j).toInt % 3)).mkString(" "), if (pos) 1 else 0)
+    }.toDF("doc_id", "text", "is_pos")
+    val out = graft.llm.Classifier.qualityClassifier(docs, "doc_id", "text",
+      "is_pos", buckets = 64, rounds = 3, lrDenom = 4096L)
+      .as[(Long, Long, Double, Boolean)].collect()
+    assert(out.length == 40)
+    val acc = out.count(r => (r._2 == 1L) == r._4).toDouble / 40
+    assert(acc >= 0.95, s"separable task should be learned, acc=$acc")
+    // scores are calibrated probabilities: in [0,1], positives above
+    assert(out.forall(r => r._3 >= 0.0 && r._3 <= 1.0))
+  }
+
+  test("naive bayes separates disjoint vocabularies and keeps featureless docs at the prior") {
+    import spark.implicits._
+    val docs = ((0L until 40L).map { i =>
+      val pos = i % 2 == 0
+      val ws = if (pos) Seq("alpha", "beta", "gamma") else Seq("delta", "eps", "zeta")
+      (i, Seq.tabulate(6)(j => ws((i + j).toInt % 3)).mkString(" "), if (pos) 1 else 0)
+    } :+ ((99L, "   ", 0))).toDF("doc_id", "text", "is_pos")
+    val out = graft.llm.Classifier.naiveBayes(docs, "doc_id", "text", "is_pos",
+      buckets = 64).as[(Long, Long, Double, Boolean)].collect()
+    assert(out.length == 41)
+    val byId = out.map(r => r._1 -> r).toMap
+    val acc = out.filter(_._1 != 99L).count(r => (r._2 == 1L) == r._4).toDouble / 40
+    assert(acc == 1.0, s"disjoint vocab must separate perfectly, acc=$acc")
+    // the whitespace-only doc has no features: score = prior LLR alone,
+    // ln(20/41) - ln(21/41) < 0 → predicted negative, and it's present
+    assert(byId(99L)._3 < 0.0 && !byId(99L)._4)
+    // one empty class must fail loudly, not divide by zero
+    val ex = intercept[IllegalArgumentException] {
+      graft.llm.Classifier.naiveBayes(
+        docs.withColumn("is_pos", lit(1)), "doc_id", "text", "is_pos")
+    }
+    assert(ex.getMessage.contains("non-empty"))
+  }
+
   test("refine: full candidate set equals brute force; exact order overrides candidate order") {
     import spark.implicits._
     val corpus = (0L until 30L).map { i =>
