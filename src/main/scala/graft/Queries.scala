@@ -2953,11 +2953,14 @@ object Queries {
         frac, sample)
       val cb = ProductQuant.trainCodebooks(emb, 8, 8, 32, 2, 16, "vec_id",
         frac, sample)
+      // each encode relation feeds TWO search legs below — pin each to one
+      // corpus pass (localCheckpoint; the Verify/Bench harness sweeps them)
       val cells = ProductQuant.encode(emb, coarse, 1, 64)
         .select(col("vec_id"), col("code").as("cell"))
-      val codes = ProductQuant.encode(emb, cb, 8, 8)
+        .localCheckpoint()
+      val codes = ProductQuant.encode(emb, cb, 8, 8).localCheckpoint()
       val stats = ScalarQuant.trainStats(emb)
-      val sq8codes = ScalarQuant.encode(emb, stats)
+      val sq8codes = ScalarQuant.encode(emb, stats).localCheckpoint()
       val results = Seq(
         "pq" -> ProductQuant.adcTopK(qs, codes, cb, 5, 8, 8),
         "ivfpq" -> ProductQuant.ivfPqSearch(qs, codes.join(cells, Seq("vec_id")),
@@ -3270,7 +3273,43 @@ object Queries {
       SELECT l.doc_id, CAST(l.y AS BIGINT) AS label,
         CAST(coalesce(sc.s, 0) + pri.p AS DOUBLE) / 1000000.0 AS score,
         coalesce(sc.s, 0) + pri.p >= 0 AS predicted
-      FROM lab l LEFT JOIN sc ON l.doc_id = sc.doc_id CROSS JOIN pri"""))
+      FROM lab l LEFT JOIN sc ON l.doc_id = sc.doc_id CROSS JOIN pri""")),
+
+    // TF-IDF more-like-this (q23's similar-doc search FROM RAW TEXT, no
+    // embeddings): cosine over exact BIGINT-micro tf·idf weights, dot
+    // products via the postings equi-join on term — the inverted-index
+    // probe, never a |Q|×|C| fan-out. idf quantizes at the source
+    // (lnMicro); the cosine is one fixed double op sequence over exact
+    // integer dot/norms, round-6, doc-id tie pins.
+    ("q138_tfidf_similar", (s: SparkSession, d: String) => {
+      val docs = t(s, d, "documents")
+      graft.llm.Retrieval.tfIdfSimilar(docs, "doc_id", "text",
+        docs.filter(col("doc_id") < 4).select("doc_id"), 5)
+    }, Some("""WITH d AS (SELECT doc_id,
+          list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> x <> '') AS toks
+        FROM documents),
+      post AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+        FROM (SELECT doc_id, unnest(toks) AS term FROM d) GROUP BY doc_id, term),
+      nd AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+      idf AS (SELECT term,
+          CAST(floor(ln(CAST(n AS DOUBLE) / CAST(count(*) AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) AS im
+        FROM post, nd GROUP BY term, n),
+      wv AS (SELECT p.doc_id, p.term, CAST(p.tf * i.im AS BIGINT) AS wm
+        FROM post p JOIN idf i ON p.term = i.term),
+      nrm AS (SELECT doc_id, CAST(sum(wm * wm) AS BIGINT) AS n2 FROM wv GROUP BY doc_id),
+      qv AS (SELECT doc_id AS query_id, term, wm AS qwm FROM wv WHERE doc_id < 4),
+      dot AS (SELECT q.query_id, c.doc_id, CAST(sum(q.qwm * c.wm) AS BIGINT) AS dp
+        FROM wv c JOIN qv q ON c.term = q.term AND c.doc_id <> q.query_id
+        GROUP BY q.query_id, c.doc_id),
+      sc AS (SELECT dot.query_id, dot.doc_id,
+          round(CAST(dot.dp AS DOUBLE) /
+            (sqrt(CAST(nq.n2 AS DOUBLE)) * sqrt(CAST(nc.n2 AS DOUBLE))), 6) AS cosine
+        FROM dot JOIN nrm nq ON nq.doc_id = dot.query_id
+        JOIN nrm nc ON nc.doc_id = dot.doc_id),
+      w AS (SELECT *, row_number() OVER (PARTITION BY query_id
+          ORDER BY cosine DESC, doc_id) AS rnk FROM sc)
+      SELECT query_id, doc_id, cosine, CAST(rnk AS INTEGER) AS rank
+      FROM w WHERE rnk <= 5"""))
   )
 
   /** The BM25 replay shared by q72/q123 — postings, df, dl, corpus stats,

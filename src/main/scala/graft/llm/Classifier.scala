@@ -53,14 +53,9 @@ object Classifier {
       .unionByName(docs.select(col(idCol).as("doc_id"),
         lit(buckets.toLong).as("b"), lit(1L).as("x")))
 
-  /** `floor(1e6·ln(num/den) + 0.5)` — micro-quantized log-likelihood. ln is
-    * transcendental, so its output never lands within an ulp of a micro
-    * boundary; the floor is identical on both engines.
-    */
   private def lnMicro(num: org.apache.spark.sql.Column,
                       den: org.apache.spark.sql.Column) =
-    floor(log(num.cast("double") / den.cast("double")) * lit(1e6) + lit(0.5))
-      .cast("long")
+    Sampling.lnMicro(num, den) // the engine-wide micro-quantized ln
 
   /** One-pass multinomial Naive Bayes — the cheap trained text filter
     * (McCallum & Nigam, AAAI-98 WS; the weak-supervision classifier shape

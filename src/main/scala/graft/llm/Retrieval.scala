@@ -176,4 +176,60 @@ object Retrieval {
     hits.groupBy("phrase_id", "doc_id")
       .agg(count(lit(1)).as("n_matches"), min(col("pos")).as("first_pos"))
   }
+
+  /** TF-IDF "more-like-this": cosine top-k similar documents for a bounded
+    * query-doc batch, computed ENTIRELY on the inverted index — dot products
+    * come from the postings equi-join on term (the BM25 probe shape), so no
+    * dense vectors and no |Q|×|C| fan-out exist anywhere; corpus rows
+    * without a shared term are never touched.
+    *
+    * Determinism: weights are exact BIGINT micro units — w = tf ·
+    * lnMicro(N/df) — so dot products and squared norms are exact integer
+    * sums on both engines; the final cosine is one fixed double op sequence
+    * (÷, √, ·) over those integers, rounded at 6 before the tie-pinned
+    * rank. Long-doc caveat: raw-tf weights square inside BIGINT only while
+    * tf·idf_micro < ~3e9 (tf ~200 at this corpus's idf range); corpora of
+    * book-length docs should pre-cap tf (the standard sublinear-tf gate)
+    * before this join.
+    *
+    * Scale: one postings aggregation (map-side combinable) feeds weights,
+    * norms and the probe; the query batch's weighted postings are broadcast
+    * into the term join; norms join on doc id; top-k is a bounded heap.
+    */
+  def tfIdfSimilar(docs: DataFrame, idCol: String, textCol: String,
+                   queryIds: DataFrame, k: Int): DataFrame = {
+    val post = postings(docs, idCol, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    val nDocs = docs.select(col(idCol)).agg(count(lit(1)).as("n"))
+    val idf = post.groupBy("term").agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(nDocs))
+      .select(col("term"), Sampling.lnMicro(col("n"), col("df")).as("im"))
+    val wv = post.join(idf, Seq("term"))
+      .select(col("doc_id"), col("term"), (col("tf") * col("im")).as("wm"))
+    val norms = wv.groupBy("doc_id")
+      .agg(sum(col("wm") * col("wm")).as("n2"))
+    val qv = wv.join(broadcast(queryIds.select(col("doc_id"))), Seq("doc_id"))
+      .select(col("doc_id").as("query_id"), col("term"), col("wm").as("qwm"))
+    val dot = wv.join(broadcast(qv), Seq("term"))
+      .filter(col("doc_id") =!= col("query_id"))
+      .groupBy("query_id", "doc_id")
+      .agg(sum(col("qwm") * col("wm")).as("dp"))
+    val scored = dot
+      .join(broadcast(norms.withColumnRenamed("doc_id", "query_id")
+        .withColumnRenamed("n2", "qn2").join(
+          broadcast(queryIds.select(col("doc_id").as("query_id"))), Seq("query_id"))),
+        Seq("query_id"))
+      .join(norms, Seq("doc_id"))
+      .select(col("query_id").as("__qid"), col("doc_id"),
+        round(col("dp").cast("double") /
+          (sqrt(col("qn2").cast("double")) * sqrt(col("n2").cast("double"))), 6)
+          .as("d"))
+    scored.groupBy(col("__qid"))
+      .agg(org.apache.spark.sql.graft.TopKColumns
+        .topKByScore(col("d"), col("doc_id"), k).as("top"))
+      .select(col("__qid").as("query_id"), posexplode(col("top")).as(Seq("pos", "entry")))
+      .select(col("query_id"), col("entry.id").as("doc_id"),
+        col("entry.score").as("cosine"),
+        (col("pos") + 1).cast("int").as("rank"))
+  }
 }

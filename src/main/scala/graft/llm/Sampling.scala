@@ -37,6 +37,16 @@ object Sampling {
     */
   def round6(x: Column): Column = floor(x * lit(1e6) + lit(0.5)) / lit(1e6)
 
+  /** `floor(1e6·ln(num/den) + 0.5)` as BIGINT — the micro-quantized
+    * log-likelihood shared by the trained classifiers and TF-IDF weighting.
+    * ln is transcendental, so its output never lands within an ulp of a
+    * micro boundary; the fixed (÷, ln, ×, +, floor) sequence is
+    * bit-identical on both engines.
+    */
+  def lnMicro(num: Column, den: Column): Column =
+    floor(log(num.cast("double") / den.cast("double")) * lit(1e6) + lit(0.5))
+      .cast("long")
+
   /** [[round6]] at 4 decimals — for scores whose inputs can land EXACTLY on
     * a 4-decimal half boundary (e.g. avg_nll: a decimal-exact sum of
     * 6-decimal logps divided by a small count hits ...5e-5 on unlucky

@@ -1227,6 +1227,27 @@ class LlmSpec extends SparkSuite {
     assert(all.exceptAll(flat).isEmpty && flat.exceptAll(all).isEmpty)
   }
 
+  test("tfidf similar: verbatim copy ranks first at cosine 1, disjoint docs never pair") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "spark join hash shuffle"),
+      (1L, "spark join hash shuffle"),      // verbatim copy of the query doc
+      (2L, "spark join sort merge window"), // partial overlap
+      (3L, "totally different words here"), // no shared term
+      (4L, "hash spark")                    // overlap, different norm
+    ).toDF("doc_id", "text")
+    val got = graft.llm.Retrieval.tfIdfSimilar(docs, "doc_id", "text",
+      Seq(Tuple1(0L)).toDF("doc_id"), k = 4)
+      .as[(Long, Long, Double, Int)].collect().sortBy(_._4)
+    // the copy is rank 1 at cosine 1.0 (same exact weight vector)
+    assert(got.head._2 == 1L && math.abs(got.head._3 - 1.0) < 1e-9)
+    // doc 3 shares no term → no postings join row → absent entirely
+    assert(!got.exists(_._2 == 3L) && !got.exists(_._2 == 0L))
+    // cosines non-increasing in rank, all in [0, 1]
+    assert(got.sliding(2).forall(p => p.head._3 >= p.last._3))
+    assert(got.forall(r => r._3 >= 0.0 && r._3 <= 1.0 + 1e-9))
+  }
+
   test("logreg classifier separates disjoint vocabularies in 3 GD rounds") {
     import spark.implicits._
     // positives and negatives use DISJOINT token sets — linearly separable,
