@@ -111,8 +111,14 @@ object ManifestTable {
     * (data dir without a manifest) are deleted and rewritten — the replay
     * converges because the version only becomes visible at the final
     * rename.
+    *
+    * `carryForward = false` publishes a manifest referencing ONLY this
+    * version's partitions (a full-snapshot rewrite — the [[compact]]
+    * contract) instead of merging untouched entries from the previous
+    * manifest.
     */
-  def commit(df: DataFrame, root: String, partCol: Option[String]): Long = {
+  def commit(df: DataFrame, root: String, partCol: Option[String],
+             carryForward: Boolean = true): Long = {
     val spark = df.sparkSession
     val (fs, rootP) = fsOf(spark, root)
     val next = currentVersion(spark, root).map(_ + 1).getOrElse(1L)
@@ -128,9 +134,12 @@ object ManifestTable {
         .map(_.getPath.getName -> next).toMap
       case None => Map("" -> next)
     }
-    val prev = currentVersion(spark, root) // re-listed: still < next by single-writer
-      .map(v => entriesOf(fs, rootP, v)).getOrElse(Map.empty[String, Long])
-    val merged = if (partCol.isDefined) prev ++ touched else touched
+    val prev =
+      if (partCol.isDefined && carryForward)
+        currentVersion(spark, root) // re-listed: still < next by single-writer
+          .map(v => entriesOf(fs, rootP, v)).getOrElse(Map.empty[String, Long])
+      else Map.empty[String, Long]
+    val merged = prev ++ touched
     val body = merged.toSeq.sortBy(_._1)
       .map { case (n, dv) => s"$n\t$dv" }.mkString("", "\n", "\n")
     val tmp = new Path(rootP, s".manifest-$next.tmp")
@@ -140,6 +149,37 @@ object ManifestTable {
     require(fs.rename(tmp, dst),
       s"manifest commit rename $tmp -> $dst failed — table stays at the previous version")
     next
+  }
+
+  /** OPTIMIZE — small-file compaction: rewrite the CURRENT snapshot into a
+    * fresh version with bounded file counts (`filesPerPartition` files per
+    * partition dir; for a non-partitioned table, that many files total) and
+    * commit it atomically. Rows are identical before and after; readers
+    * flip at the manifest rename, the fragmented versions stay readable
+    * until [[vacuum]]. The compacted manifest references ONLY the new
+    * version (`carryForward = false`), so compact-then-vacuum reclaims
+    * every old dir — the bounded-retention pair for a long-lived CDC
+    * target whose per-batch merge commits accrete small files.
+    *
+    * Scale: one scan of live data, one shuffle keyed on the partition
+    * column (plus a row-hash salt when `filesPerPartition > 1` — hot
+    * partitions spread over that many writers), one write. Run out-of-band
+    * at a cadence set by the small-file rate, like any OPTIMIZE; the
+    * single-writer contract covers it like every other commit.
+    */
+  def compact(spark: SparkSession, root: String, schema: StructType,
+              partCol: Option[String], filesPerPartition: Int = 1): Long = {
+    require(filesPerPartition >= 1, s"filesPerPartition=$filesPerPartition")
+    import org.apache.spark.sql.functions._
+    val df = read(spark, root, schema)
+    val out = partCol match {
+      case Some(pc) if filesPerPartition == 1 => df.repartition(col(pc))
+      case Some(pc) => df.repartition(col(pc),
+        pmod(xxhash64(schema.fieldNames.filterNot(_ == pc).map(col).toSeq: _*),
+          lit(filesPerPartition.toLong)))
+      case None => df.repartition(filesPerPartition)
+    }
+    commit(out, root, partCol, carryForward = false)
   }
 
   /** Reclaim data versions no entry of the CURRENT manifest references and

@@ -485,6 +485,47 @@ class SourcesSpec extends SparkSuite {
       .as[(Long, String)].collect().toSet == got)
   }
 
+  test("ManifestTable.compact: row-identical snapshot, one file per partition, old versions reclaimable") {
+    import spark.implicits._
+    import graft.sources.ManifestTable
+    val root = java.nio.file.Files.createTempDirectory("mantab3").toString + "/t"
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("p", org.apache.spark.sql.types.StringType)))
+    // two fragmented merge commits: each writes its rows pre-split over 4
+    // tasks, so every partition dir accretes several small files
+    ManifestTable.commit((0L until 40L).map(i => (i, s"p${i % 2}"))
+      .toDF("id", "p").repartition(4), root, Some("p"))
+    ManifestTable.commit((40L until 60L).map(i => (i, "p0"))
+      .toDF("id", "p").repartition(4), root, Some("p"))
+    val before = ManifestTable.read(spark, root, schema)
+      .as[(Long, String)].collect().toSet
+    def filesIn(dir: String) = {
+      val d = new java.io.File(dir)
+      if (!d.exists()) 0 else d.listFiles().count(_.getName.endsWith(".parquet"))
+    }
+    assert(filesIn(s"$root/v00000002/p=p0") > 1, "fixture must be fragmented")
+    val v = ManifestTable.compact(spark, root, schema, Some("p"))
+    assert(v == 3L)
+    // content identical, every partition dir down to ONE file
+    assert(ManifestTable.read(spark, root, schema)
+      .as[(Long, String)].collect().toSet == before)
+    assert(filesIn(s"$root/v00000003/p=p0") == 1)
+    assert(filesIn(s"$root/v00000003/p=p1") == 1)
+    // the compacted manifest references only v3 → vacuum reclaims v1/v2
+    ManifestTable.vacuum(spark, root)
+    assert(!new java.io.File(s"$root/v00000001").exists())
+    assert(!new java.io.File(s"$root/v00000002").exists())
+    assert(ManifestTable.read(spark, root, schema)
+      .as[(Long, String)].collect().toSet == before)
+    // filesPerPartition > 1 bounds rather than pins the per-dir file count
+    ManifestTable.compact(spark, root, schema, Some("p"), filesPerPartition = 2)
+    assert(filesIn(s"$root/v00000004/p=p0") <= 2
+      && filesIn(s"$root/v00000004/p=p0") >= 1)
+    assert(ManifestTable.read(spark, root, schema)
+      .as[(Long, String)].collect().toSet == before)
+  }
+
   test("queries registry and oracle map stay consistent") {
     // every oracle refers to a registered query; both maps non-trivial
     assert(Queries.oracleSql.keySet.subsetOf(Queries.queries.keySet))
