@@ -3309,7 +3309,53 @@ object Queries {
       w AS (SELECT *, row_number() OVER (PARTITION BY query_id
           ORDER BY cosine DESC, doc_id) AS rnk FROM sc)
       SELECT query_id, doc_id, cosine, CAST(rnk AS INTEGER) AS rank
-      FROM w WHERE rnk <= 5"""))
+      FROM w WHERE rnk <= 5""")),
+
+    // Multimodal interleaved sequence packing (LLaVA/Flamingo batch prep):
+    // a doc's context budget = text tokens + n_images·64 ViT-patch
+    // placeholder slots (images per doc from the payload meta, the q120
+    // convention), FFD-packed into 1024-slot contexts through the oracled
+    // q85 machinery — image-heavy docs pack alongside text-heavy ones by
+    // TOTAL slot budget, which is exactly what the training batcher sees.
+    ("q139_mm_pack", (s: SparkSession, d: String) => {
+      val m = Multimodal.decodeMeta(
+        Multimodal.withPayload(t(s, d, "documents"), "text", "doc_id"))
+      val docs = m.select(col("doc_id"),
+        (TextStats.tokenCount(col("payload").cast("string")).cast("long")
+          + pmod(col("n_bytes"), lit(4)) * lit(64L)).as("n_slots"),
+        pmod(col("n_bytes"), lit(4)).as("n_images"))
+      graft.llm.Packing.packGreedy(docs, "doc_id", "n_slots",
+          maxTokens = 1024, partitions = 4)
+        .select(col("pack_id"), explode(col("doc_ids")).as("doc_id"),
+          col("n_docs"), col("total_tokens").as("total_slots"))
+        .join(docs.select(col("doc_id"), col("n_images")), Seq("doc_id"))
+        .select("pack_id", "doc_id", "n_docs", "total_slots", "n_images")
+    }, Some("""WITH d AS (SELECT doc_id AS id,
+        CAST(len(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''))
+          + (octet_length(encode(text)) % 4) * 64 AS BIGINT) AS n,
+        CAST(octet_length(encode(text)) % 4 AS BIGINT) AS n_images,
+        ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 4 AS pid
+        FROM documents),
+      g AS (SELECT pid, list({'id': id, 'n': n} ORDER BY n DESC, id) AS xs
+        FROM d GROUP BY pid),
+      p AS (SELECT pid, list_reduce(
+        list_transform(xs, e -> [{'ids': [e.id], 'tot': e.n}]),
+        (acc, e) -> CASE WHEN list_position(list_transform(acc, b -> b.tot + e[1].tot <= 1024), true) = 0
+          THEN list_append(acc, e[1])
+          ELSE list_transform(range(1, len(acc) + 1), i ->
+            CASE WHEN i = list_position(list_transform(acc, b -> b.tot + e[1].tot <= 1024), true)
+              THEN {'ids': list_append(acc[i].ids, e[1].ids[1]), 'tot': acc[i].tot + e[1].tot}
+              ELSE acc[i] END)
+          END) AS bins FROM g),
+      bn AS (SELECT pid, UNNEST(list_transform(range(1, len(bins) + 1), i ->
+          {'idx': i - 1, 'ids': bins[i].ids, 'tot': bins[i].tot})) AS bin FROM p),
+      f AS (SELECT pid * 1099511627776 + bin.idx AS pack_id,
+          UNNEST(bin.ids) AS doc_id,
+          CAST(len(bin.ids) AS INTEGER) AS n_docs,
+          bin.tot AS total_slots
+        FROM bn)
+      SELECT f.pack_id, f.doc_id, f.n_docs, f.total_slots, d.n_images
+      FROM f JOIN d ON f.doc_id = d.id"""))
   )
 
   /** The BM25 replay shared by q72/q123 — postings, df, dl, corpus stats,

@@ -163,6 +163,33 @@ object StressBench {
           e.filter(col("vec_id") < 8).select(col("vec_id").as("query_id"), col("embedding")),
           e, 5, trainSample = 4096)
       })
+      // r12 additions: both trained classifiers (one-pass NB; 3-round GD —
+      // per-round cost must track the feature relation linearly), the
+      // postings-probe TF-IDF search (uncorrelated salts blow up the vocab,
+      // stressing the idf join), and the exact-refine tail over IVFPQ
+      // (bounded |Q|·k' rescore must stay flat next to the index's growth)
+      time("nb_clf", f)({
+        val d = docsTimesUncorr(f).withColumn("is_pos",
+          lower(col("text")).contains("window").cast("int"))
+        graft.llm.Classifier.naiveBayes(d, "doc_id", "text", "is_pos")
+      })
+      time("logreg_clf", f)({
+        val d = docsTimesUncorr(f).withColumn("is_pos",
+          (pmod(col("doc_id"), lit(3)) === 0).cast("int"))
+        graft.llm.Classifier.qualityClassifier(d, "doc_id", "text", "is_pos")
+      })
+      time("tfidf_similar", f)({
+        val d = docsTimesUncorr(f)
+        graft.llm.Retrieval.tfIdfSimilar(d, "doc_id", "text",
+          d.filter(col("doc_id") < 4).select("doc_id"), 5)
+      })
+      time("ann_refine", f)({
+        val e = embTimes(f)
+        val qs = e.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("query_id"), col("embedding"))
+        graft.llm.SimSearch.refineTopK(qs, e,
+          graft.llm.ProductQuant.ivfPqTopK(qs, e, 20, trainSample = 4096), 5)
+      })
       time("kmv_distinct", f)({
         val hv = conv(substring(md5(col("l_orderkey").cast("string")), 1, 15), 16, 10)
           .cast("long")
