@@ -204,8 +204,12 @@ object Retrieval {
     val idf = post.groupBy("term").agg(count(lit(1)).as("df"))
       .crossJoin(broadcast(nDocs))
       .select(col("term"), Sampling.lnMicro(col("n"), col("df")).as("im"))
+    // the weighted postings feed THREE consumers (norms, query side, dot) —
+    // localCheckpoint pins the tokenize+idf join to one pass instead of
+    // three corpus-postings recomputes (the plan-shape PlanSpec pins)
     val wv = post.join(idf, Seq("term"))
       .select(col("doc_id"), col("term"), (col("tf") * col("im")).as("wm"))
+      .localCheckpoint()
     val norms = wv.groupBy("doc_id")
       .agg(sum(col("wm") * col("wm")).as("n2"))
     val qv = wv.join(broadcast(queryIds.select(col("doc_id"))), Seq("doc_id"))

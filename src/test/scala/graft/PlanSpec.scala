@@ -274,6 +274,41 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q135: refine prunes the raw-vector fetch through broadcast candidate joins") {
+    val p = finalPlan("q135_ann_refine")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastExchange"), p)
+    // the final exact-rescore ranking is the bounded heap, not a window sort
+    assert(p.contains("top_k_by_score") || p.contains("TopKByScore"), p)
+  }
+
+  test("q136/q137: classifier scoring broadcasts the bounded model; no cartesian") {
+    val p1 = finalPlan("q136_quality_clf")
+    assert(p1.contains("BroadcastExchange"), p1)
+    assert(!p1.contains("CartesianProduct"), p1)
+    val p2 = finalPlan("q137_nb_clf")
+    assert(p2.contains("BroadcastExchange"), p2)
+    assert(!p2.contains("CartesianProduct"), p2)
+  }
+
+  test("q138: tf-idf reads ONE pinned weighted-postings pass; equi-joins only") {
+    val p = finalPlan("q138_tfidf_similar")
+    // the weighted postings are localCheckpointed: the 1-row stats BNLJ and
+    // the idf join live inside that single materialization, so the query
+    // plan itself is checkpoint scans + broadcast hash joins
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("ExistingRDD") || p.contains("Scan ExistingRDD"), p)
+  }
+
+  test("q139: multimodal pack keeps the q85 FFD shape — one hash exchange, no global sort") {
+    val p = finalPlan("q139_mm_pack")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    // FFD packs within hash partitions: local sort only, never a range
+    // (global) sort exchange
+    assert(!p.contains("rangepartitioning"), p)
+  }
+
   test("AQE splits a skewed sort-merge join at runtime") {
     import spark.implicits._
     val prev = Map(
