@@ -3355,7 +3355,38 @@ object Queries {
           bin.tot AS total_slots
         FROM bn)
       SELECT f.pack_id, f.doc_id, f.n_docs, f.total_slots, d.n_images
-      FROM f JOIN d ON f.doc_id = d.id"""))
+      FROM f JOIN d ON f.doc_id = d.id""")),
+
+    // Contamination-safe splitting: train/val cut on a hash of the CONTENT
+    // fingerprint vs the naive doc-id hash, with the leaked cross-split
+    // exact-dup pair count for both — fingerprint policy is structurally
+    // zero (dup groups share a fingerprint, hence a side). This fixture has
+    // no exact dups, so both counts read 0 here; CurationSpec's dup-heavy
+    // fixture shows the id policy leaking while by_fp stays at its
+    // structural zero. Pair counts are per-group tallies (tr·va), never a
+    // self-join.
+    ("q140_split_guard", (s: SparkSession, d: String) => {
+      graft.llm.Split.leakageReport(t(s, d, "documents"), "doc_id", "text",
+        valFrac = 0.2)
+    }, Some("""WITH a AS (SELECT doc_id,
+          md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp
+        FROM documents),
+      b AS (SELECT doc_id, fp,
+          CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+            / 4294967296.0 < 0.2 THEN 'val' ELSE 'train' END AS split_by_id,
+          CASE WHEN ('0x' || substr(md5(fp), 1, 8))::BIGINT
+            / 4294967296.0 < 0.2 THEN 'val' ELSE 'train' END AS split_by_fp
+        FROM a),
+      long AS (SELECT fp, 'by_id' AS policy, split_by_id AS split FROM b
+        UNION ALL SELECT fp, 'by_fp', split_by_fp FROM b),
+      g AS (SELECT policy, fp,
+          CAST(sum(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS BIGINT) AS tr,
+          CAST(sum(CASE WHEN split = 'val' THEN 1 ELSE 0 END) AS BIGINT) AS va
+        FROM long GROUP BY policy, fp)
+      SELECT policy, CAST(sum(tr) AS BIGINT) AS n_train,
+        CAST(sum(va) AS BIGINT) AS n_val,
+        CAST(sum(tr * va) AS BIGINT) AS cross_dup_pairs
+      FROM g GROUP BY policy"""))
   )
 
   /** The BM25 replay shared by q72/q123 — postings, df, dl, corpus stats,

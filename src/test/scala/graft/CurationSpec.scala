@@ -167,4 +167,26 @@ class CurationSpec extends SparkSuite {
     // exact-host policy: subdomains only block if listed themselves
     assert(got(4L) == ((1L, 0L, true)))
   }
+
+  test("Split: fingerprint policy co-locates every dup group; id policy can leak") {
+    import spark.implicits._
+    // 40 fingerprint groups of 3 exact dups each (normalization folds the
+    // case/whitespace variants): enough groups that SOME id-hash split
+    // separates a group, while the fp policy cannot by construction
+    val df = (0L until 40L).flatMap { g =>
+      Seq((g * 3, s"shared text body $g"), (g * 3 + 1, s"  SHARED   text body $g "),
+        (g * 3 + 2, s"shared text body $g"))
+    }.toDF("doc_id", "text")
+    val a = graft.llm.Split.assign(df, "doc_id", "text", valFrac = 0.3)
+    // same fingerprint → same fp-side, always
+    assert(a.groupBy("fp").agg(countDistinct(col("split_by_fp")).as("n"))
+      .filter(col("n") > 1).count() == 0)
+    val rep = graft.llm.Split.leakageReport(df, "doc_id", "text", valFrac = 0.3)
+      .as[(String, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(rep("by_fp")._4 == 0L, s"fp policy must never leak: ${rep("by_fp")}")
+    assert(rep("by_id")._4 > 0L, "fixture should exhibit the id-policy leak")
+    // both policies partition all 120 docs
+    assert(rep("by_id")._2 + rep("by_id")._3 == 120L)
+    assert(rep("by_fp")._2 + rep("by_fp")._3 == 120L)
+  }
 }
