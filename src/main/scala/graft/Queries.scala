@@ -3386,7 +3386,37 @@ object Queries {
       SELECT policy, CAST(sum(tr) AS BIGINT) AS n_train,
         CAST(sum(va) AS BIGINT) AS n_val,
         CAST(sum(tr * va) AS BIGINT) AS cross_dup_pairs
-      FROM g GROUP BY policy"""))
+      FROM g GROUP BY policy""")),
+
+    // Per-source curation funnel (the run report of a C4/Dolma-style
+    // cleaning pass): docs in → length gate → repetition gate → exact-dedup
+    // winner, gates nested in sequence. All-integer decisions; one
+    // (doc, term) aggregate + one fingerprint aggregate + the per-source
+    // rollup — no corpus-wide window, no wide join.
+    ("q141_curation_funnel", (s: SparkSession, d: String) => {
+      graft.llm.QualityModel.curationFunnel(t(s, d, "documents"),
+        "doc_id", "text", "source", minTokens = 30, maxRepPct = 20)
+    }, Some("""WITH post AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+        FROM (SELECT doc_id, unnest(list_filter(
+            string_split_regex(trim(lower(text)), '\s+'), x -> x <> '')) AS term
+          FROM documents) GROUP BY doc_id, term),
+      rep AS (SELECT doc_id, CAST(max(tf) AS BIGINT) AS max_tf,
+          CAST(sum(tf) AS BIGINT) AS n_tok FROM post GROUP BY doc_id),
+      fp AS (SELECT doc_id, source,
+          md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp
+        FROM documents),
+      win AS (SELECT fp, min(doc_id) AS w FROM fp GROUP BY fp),
+      fl AS (SELECT f.source,
+          coalesce(r.n_tok, 0) >= 30 AS k_len,
+          coalesce(r.max_tf, 0) * 100 <= coalesce(r.n_tok, 0) * 20 AS k_rep,
+          f.doc_id = win.w AS k_dup
+        FROM fp f LEFT JOIN rep r ON f.doc_id = r.doc_id
+        JOIN win ON f.fp = win.fp)
+      SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        CAST(sum(CASE WHEN k_len THEN 1 ELSE 0 END) AS BIGINT) AS n_after_len,
+        CAST(sum(CASE WHEN k_len AND k_rep THEN 1 ELSE 0 END) AS BIGINT) AS n_after_rep,
+        CAST(sum(CASE WHEN k_len AND k_rep AND k_dup THEN 1 ELSE 0 END) AS BIGINT) AS n_after_dedup
+      FROM fl GROUP BY source"""))
   )
 
   /** The BM25 replay shared by q72/q123 — postings, df, dl, corpus stats,

@@ -1,6 +1,6 @@
 package graft.llm
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Feature-based quality classifier: a linear model over cheap text features
@@ -59,5 +59,42 @@ object QualityModel {
     val z = lit(w.bias) + lit(w.wLen) * lenScore + lit(w.wPunct) * punctRatio +
       lit(w.wTtr) * ttr + lit(w.wStop) * stopRatio
     round(fastSigmoid(z), 6)
+  }
+
+  /** Per-source curation funnel — the dashboard every curation run reports:
+    * docs in → after the length gate → after the repetition gate → after
+    * exact dedup, gates applied IN SEQUENCE so each count is "survivors so
+    * far". Decisions are all-integer (token counts, `max_tf·100 ≤
+    * maxRepPct·n_tok`, min-id dedup winner over ALL docs — the [[Dedup]]
+    * canonical-winner convention), so the funnel replays exactly.
+    *
+    * Scale: one tokenize→(doc, term) aggregate (map-side combinable), one
+    * fingerprint aggregate, one per-source rollup; no joins wider than the
+    * doc relation, no window over the corpus.
+    */
+  def curationFunnel(docs: DataFrame, idCol: String, textCol: String,
+                     srcCol: String, minTokens: Int = 30,
+                     maxRepPct: Int = 20): DataFrame = {
+    val post = docs.select(col(idCol).as("doc_id"),
+        explode(TextStats.tokens(lower(col(textCol)))).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val rep = post.groupBy("doc_id")
+      .agg(max("tf").as("max_tf"), sum("tf").as("n_tok"))
+    val fp = docs.select(col(idCol).as("doc_id"), col(srcCol).as("source"),
+      md5(Dedup.normalize(col(textCol))).as("fp"))
+    val winner = fp.groupBy("fp").agg(min("doc_id").as("w"))
+    val flags = fp.join(rep, Seq("doc_id"), "left")
+      .join(winner, Seq("fp"))
+      .select(col("source"),
+        (coalesce(col("n_tok"), lit(0L)) >= minTokens.toLong).as("k_len"),
+        (coalesce(col("max_tf"), lit(0L)) * 100L <=
+          coalesce(col("n_tok"), lit(0L)) * maxRepPct.toLong).as("k_rep"),
+        (col("doc_id") === col("w")).as("k_dup"))
+    flags.groupBy("source").agg(
+      count(lit(1)).as("n_docs"),
+      sum(when(col("k_len"), 1L).otherwise(0L)).as("n_after_len"),
+      sum(when(col("k_len") && col("k_rep"), 1L).otherwise(0L)).as("n_after_rep"),
+      sum(when(col("k_len") && col("k_rep") && col("k_dup"), 1L).otherwise(0L))
+        .as("n_after_dedup"))
   }
 }

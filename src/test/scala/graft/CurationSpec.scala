@@ -168,6 +168,25 @@ class CurationSpec extends SparkSuite {
     assert(got(4L) == ((1L, 0L, true)))
   }
 
+  test("curationFunnel: gates nest in sequence and each planted failure drops one stage") {
+    import spark.implicits._
+    val long = (1 to 40).map(i => s"w$i").mkString(" ")
+    val df = Seq(
+      (1L, "s0", long),                       // survives everything
+      (2L, "s0", "too short"),                // fails the length gate
+      (3L, "s0", ("spam " * 35).trim),        // long enough, fails repetition
+      (4L, "s0", long),                       // exact dup of 1 → loses dedup
+      (5L, "s1", long + " unique tail")       // other source, survives
+    ).toDF("doc_id", "source", "text")
+    val got = graft.llm.QualityModel.curationFunnel(df, "doc_id", "text",
+      "source", minTokens = 30, maxRepPct = 20)
+      .as[(String, Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    // s0: 4 in → 3 past length (doc 2 out) → 2 past repetition (doc 3 out)
+    // → 1 past dedup (doc 4 loses to doc 1's min-id win)
+    assert(got("s0") == (("s0", 4L, 3L, 2L, 1L)), got("s0").toString)
+    assert(got("s1") == (("s1", 1L, 1L, 1L, 1L)))
+  }
+
   test("Split: fingerprint policy co-locates every dup group; id policy can leak") {
     import spark.implicits._
     // 40 fingerprint groups of 3 exact dups each (normalization folds the
