@@ -3416,7 +3416,51 @@ object Queries {
         CAST(sum(CASE WHEN k_len THEN 1 ELSE 0 END) AS BIGINT) AS n_after_len,
         CAST(sum(CASE WHEN k_len AND k_rep THEN 1 ELSE 0 END) AS BIGINT) AS n_after_rep,
         CAST(sum(CASE WHEN k_len AND k_rep AND k_dup THEN 1 ELSE 0 END) AS BIGINT) AS n_after_dedup
-      FROM fl GROUP BY source"""))
+      FROM fl GROUP BY source""")),
+
+    // Hashed text embeddings end-to-end (the feature-hashing trick): every
+    // doc gets a 64-dim dense vector from md5-carved term components
+    // weighted by exact tf·idf micro — no model artifact — and the exact
+    // ANN leg searches them. Components are integer sums on both engines;
+    // self-matches surface at distance 0/rank 1 (bruteForceTopKL2
+    // semantics). The bridge that lets a text-only corpus use the whole
+    // quantized-index stack.
+    ("q142_hash_embed", (s: SparkSession, d: String) => {
+      val docs = t(s, d, "documents")
+      val emb = graft.llm.HashEmbed.docEmbeddings(docs, "doc_id", "text", 64)
+        .localCheckpoint() // feeds the query AND corpus sides below once
+      graft.llm.SimSearch.bruteForceTopKL2(
+        emb.filter(col("doc_id") < 4)
+          .select(col("doc_id").as("query_id"), col("embedding")),
+        emb, 5, vecId = "doc_id")
+    }, Some(s"""WITH post AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+        FROM (SELECT doc_id, unnest(list_filter(
+            string_split_regex(trim(lower(text)), '\\s+'), x -> x <> '')) AS term
+          FROM documents) GROUP BY doc_id, term),
+      nd AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+      idf AS (SELECT term,
+          CAST(floor(ln(CAST(n AS DOUBLE) / CAST(count(*) AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) AS im
+        FROM post, nd GROUP BY term, n),
+      wv AS (SELECT p.doc_id, p.term, CAST(p.tf * i.im AS BIGINT) AS wm
+        FROM post p JOIN idf i ON p.term = i.term),
+      td AS (SELECT DISTINCT term FROM post),
+      ch AS (SELECT term, blk, md5(term || '#' || blk) AS h
+        FROM td, (SELECT unnest(range(0, 8)) AS blk)),
+      cd AS (SELECT term, blk * 8 + j AS dim,
+          ('0x' || substr(h, CAST(4 * j + 1 AS INTEGER), 4))::BIGINT - 32768 AS c
+        FROM ch, (SELECT unnest(range(0, 8)) AS j)),
+      ev AS (SELECT w.doc_id, c.dim, CAST(sum(w.wm * c.c) AS BIGINT) AS v
+        FROM wv w JOIN cd c ON w.term = c.term GROUP BY w.doc_id, c.dim),
+      emb AS (SELECT doc_id, list(CAST(v AS DOUBLE) / 1e12 ORDER BY dim) AS e
+        FROM ev GROUP BY doc_id),
+      q AS (SELECT doc_id AS query_id, e AS qe FROM emb WHERE doc_id < 4),
+      sc AS (SELECT q.query_id, c.doc_id,
+          round(${sqSql("q.qe", "c.e", 64)}, 6) AS d
+        FROM emb c CROSS JOIN q),
+      w AS (SELECT *, row_number() OVER (PARTITION BY query_id
+          ORDER BY d, doc_id) AS rnk FROM sc)
+      SELECT query_id, doc_id, d AS dist, CAST(rnk AS INTEGER) AS rank
+      FROM w WHERE rnk <= 5"""))
   )
 
   /** The BM25 replay shared by q72/q123 — postings, df, dl, corpus stats,

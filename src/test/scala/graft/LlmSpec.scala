@@ -1227,6 +1227,29 @@ class LlmSpec extends SparkSuite {
     assert(all.exceptAll(flat).isEmpty && flat.exceptAll(all).isEmpty)
   }
 
+  test("hash embeddings: dims exact, copies coincide at distance 0, disjoint texts do not") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "spark join hash shuffle"),
+      (1L, "spark join hash shuffle"),      // verbatim copy → identical vector
+      (2L, "totally different words here"),
+      (3L, "   ")                           // tokenless → no vector at all
+    ).toDF("doc_id", "text")
+    val emb = graft.llm.HashEmbed.docEmbeddings(docs, "doc_id", "text", 64)
+      .as[(Long, Array[Double])].collect().toMap
+    assert(emb.keySet == Set(0L, 1L, 2L))
+    assert(emb.values.forall(_.length == 64))
+    assert(emb(0L).sameElements(emb(1L)), "copies must embed identically")
+    assert(!emb(0L).sameElements(emb(2L)))
+    // nonzero: md5 components make an all-zero 64-dim sum essentially impossible
+    assert(emb(0L).exists(_ != 0.0))
+    // dims must be a multiple of the per-digest component count
+    val ex = intercept[IllegalArgumentException] {
+      graft.llm.HashEmbed.docEmbeddings(docs, "doc_id", "text", 12)
+    }
+    assert(ex.getMessage.contains("multiple of 8"))
+  }
+
   test("tfidf similar: verbatim copy ranks first at cosine 1, disjoint docs never pair") {
     import spark.implicits._
     val docs = Seq(
