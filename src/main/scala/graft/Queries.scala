@@ -3460,7 +3460,37 @@ object Queries {
       w AS (SELECT *, row_number() OVER (PARTITION BY query_id
           ORDER BY d, doc_id) AS rnk FROM sc)
       SELECT query_id, doc_id, d AS dist, CAST(rnk AS INTEGER) AS rank
-      FROM w WHERE rnk <= 5"""))
+      FROM w WHERE rnk <= 5""")),
+
+    // Mergeable deterministic quantile sketch (bottom-k hash sampling — the
+    // order-independent alternative to GK/KLL, same union-law as the KMV
+    // distinct sketch): per return flag, the 64 smallest-hash lineitems
+    // estimate five price quantiles by nearest rank. The fixture has
+    // duplicate (orderkey, linenumber) keys — the sketch's per-copy
+    // disambiguation (md5(key#i) off ONE pre-aggregate) makes the sample a
+    // pure function of the row multiset anyway. 13-hex hashes are 52-bit,
+    // exact as the bounded heap's double score; values ride the heap as
+    // fixed-point micro longs, so there is no value join-back at all.
+    ("q143_quantile_sketch", (s: SparkSession, d: String) => {
+      val l = t(s, d, "lineitem")
+      graft.llm.Sketches.bottomKQuantiles(l, "l_returnflag",
+        col("l_orderkey") * 10 + col("l_linenumber"), col("l_extendedprice"),
+        k = 64, probes = Seq(0.1, 0.25, 0.5, 0.75, 0.9))
+    }, Some("""WITH b AS (SELECT l_returnflag AS g,
+          CAST(l_orderkey * 10 + l_linenumber AS VARCHAR) AS key,
+          CAST(floor(l_extendedprice * 1000000.0 + 0.5) AS BIGINT) AS vq
+        FROM lineitem),
+      dd AS (SELECT g, key, vq, count(*) AS c FROM b GROUP BY g, key, vq),
+      e AS (SELECT g, vq,
+          ('0x' || substr(md5(key || '#' || i), 1, 13))::BIGINT AS hv
+        FROM dd, UNNEST(range(0, c)) AS t(i)),
+      n AS (SELECT g, CAST(count(*) AS BIGINT) AS n FROM e GROUP BY g),
+      r AS (SELECT g, vq, row_number() OVER (PARTITION BY g ORDER BY hv) AS rn FROM e),
+      s AS (SELECT g, list(vq ORDER BY vq) AS sv FROM r WHERE rn <= 64 GROUP BY g),
+      pr AS (SELECT unnest([0.1, 0.25, 0.5, 0.75, 0.9]) AS p)
+      SELECT s.g AS l_returnflag, n.n AS n, pr.p AS p,
+        CAST(sv[CAST(floor(p * (len(sv) - 1) + 0.5) AS INTEGER) + 1] AS DOUBLE) / 1000000.0 AS est
+      FROM s JOIN n ON s.g = n.g CROSS JOIN pr"""))
   )
 
   /** The BM25 replay shared by q72/q123 — postings, df, dl, corpus stats,

@@ -56,4 +56,64 @@ object Sketches {
       .join(matrix, Seq("r", "bucket"))
       .groupBy(termCol).agg(min(col("c")).as("c_est"))
   }
+
+  /** Deterministic mergeable approximate quantiles by bottom-k hash
+    * sampling: each group keeps the k rows whose md5 content hash is
+    * SMALLEST — a uniform sample that is a pure function of the row
+    * MULTISET (order-independent, hence mergeable: union → keep bottom-k
+    * again, the same property [[org.apache.spark.sql.graft.KmvSketch]]
+    * uses for distinct counts) — and estimates the p-quantile as the
+    * nearest-rank element of the value-sorted sample. Unlike GK/KLL
+    * sketches, whose merge result depends on arrival order, the bottom-k
+    * sample is bit-reproducible on any cluster size and replayable in SQL.
+    *
+    * `rowKey` identifies content, NOT rows — duplicates are fine: copies
+    * of a (key, value) pair are disambiguated by a deterministic
+    * per-copy index `md5(key#i)`, minted from ONE pre-aggregation, so the
+    * sample never depends on which physical copy "won". Values ride the
+    * heap as `floor(v·scale + 0.5)` fixed-point longs (resolution
+    * 1/valueScale — exact for currency at scale 100; sketches are
+    * approximate by design), eliminating any value join-back.
+    *
+    * Determinism details: hashes are 13 md5 hex chars — 52 bits, EXACT as
+    * the bounded heap's double score, so heap order == BIGINT hash order;
+    * the nearest-rank index `floor(p·(|sample|-1) + 0.5)` is a fixed
+    * double op sequence.
+    *
+    * Scale: one (group, key, value) pre-aggregate (map-side combinable),
+    * the copy explode (output size == input rows), one bounded-heap
+    * aggregate (k entries per group on every mapper), a per-group array of
+    * k — no global sort, no window, no join against the corpus.
+    */
+  def bottomKQuantiles(df: DataFrame, groupCol: String, rowKey: Column,
+                       value: Column, k: Int, probes: Seq[Double],
+                       valueScale: Long = 1000000L): DataFrame = {
+    require(k > 0, s"k=$k")
+    require(valueScale > 0, s"valueScale=$valueScale")
+    require(probes.nonEmpty && probes.forall(p => p >= 0.0 && p <= 1.0),
+      s"probes must be in [0,1]: $probes")
+    val vq = floor(value.cast("double") * lit(valueScale.toDouble) + lit(0.5))
+      .cast("long")
+    val dedup = df
+      .select(col(groupCol).as("g"), rowKey.cast("string").as("key"), vq.as("vq"))
+      .groupBy("g", "key", "vq").agg(count(lit(1)).as("c"))
+    val rows = dedup.select(col("g"), col("vq"),
+        explode(sequence(lit(0L), col("c") - 1)).as("i"),
+        col("key"))
+      .select(col("g"), col("vq"),
+        conv(substring(md5(concat(col("key"), lit("#"), col("i").cast("string"))),
+          1, 13), 16, 10).cast("long").as("hv"))
+    val sv = rows.groupBy("g").agg(
+        org.apache.spark.sql.graft.TopKColumns
+          .topKByScore(negate(col("hv").cast("double")), col("vq"), k).as("top"),
+        count(lit(1)).as("n"))
+      .select(col("g"), col("n"),
+        array_sort(transform(col("top"), e => e.getField("id"))).as("sv"))
+    sv.select(col("g").as(groupCol), col("n"), col("sv"),
+        explode(array(probes.map(lit(_)): _*)).as("p"))
+      .select(col(groupCol), col("n"), col("p"),
+        (element_at(col("sv"),
+          floor(col("p") * (size(col("sv")) - 1) + lit(0.5)).cast("int") + 1)
+          .cast("double") / lit(valueScale.toDouble)).as("est"))
+  }
 }

@@ -1462,6 +1462,43 @@ class LlmSpec extends SparkSuite {
     assert(merged == whole)
   }
 
+  test("bottom-k quantiles: exact below k, duplicate-safe, partition-invariant") {
+    import spark.implicits._
+    // group "a": 21 rows, UNDER the k=64 cap → the sample is the whole
+    // group and nearest-rank quantiles are exact
+    val a = (0 until 21).map(i => ("a", i.toLong, i.toDouble))
+    // group "b": 300 rows, over the cap → estimates are sampled members
+    val b = (0 until 300).map(i => ("b", 1000L + i, i.toDouble * 2))
+    // group "c": group a DUPLICATED row-for-row (same keys twice) — the
+    // per-copy disambiguation must count both copies, not collapse them
+    val c = (0 until 21).flatMap(i =>
+      Seq(("c", i.toLong, i.toDouble), ("c", i.toLong, i.toDouble)))
+    val df = (a ++ b ++ c).toDF("g", "rk", "v")
+    val probes = Seq(0.0, 0.1, 0.5, 0.9, 1.0)
+    val got = graft.llm.Sketches.bottomKQuantiles(df, "g", col("rk"), col("v"),
+      k = 64, probes).as[(String, Long, Double, Double)].collect()
+    val ga = got.filter(_._1 == "a").map(r => r._3 -> r._4).toMap
+    assert(got.filter(_._1 == "a").forall(_._2 == 21L))
+    assert(ga(0.0) == 0.0 && ga(0.5) == 10.0 && ga(1.0) == 20.0)
+    assert(ga(0.1) == 2.0 && ga(0.9) == 18.0) // floor(p·20 + 0.5)
+    // group b: every estimate is a real member, non-decreasing in p
+    val gb = got.filter(_._1 == "b").sortBy(_._3)
+    assert(gb.forall(_._2 == 300L))
+    assert(gb.forall(r => r._4 % 2 == 0 && r._4 >= 0 && r._4 <= 598))
+    assert(gb.map(_._4).sliding(2).forall(p => p.head <= p.last))
+    // group c: 42 rows survive (copies disambiguated), quantiles exact over
+    // the doubled multiset: sorted [0,0,1,1,…,20,20], median idx 21 → 10
+    val gc = got.filter(_._1 == "c").map(r => r._3 -> r._4).toMap
+    assert(got.filter(_._1 == "c").forall(_._2 == 42L))
+    assert(gc(0.0) == 0.0 && gc(0.5) == 10.0 && gc(1.0) == 20.0)
+    // the sample is a pure function of the row MULTISET: any partitioning
+    // of the input produces the identical sketch (the mergeability claim)
+    val re = graft.llm.Sketches.bottomKQuantiles(df.repartition(7), "g",
+      col("rk"), col("v"), k = 64, probes)
+      .as[(String, Long, Double, Double)].collect()
+    assert(re.toSet == got.toSet)
+  }
+
   test("residual ivfpq: cluster isolation at nprobe=1; residual adc is near-zero in-cell") {
     import spark.implicits._
     val corpus = (0L until 40L).map { i =>
