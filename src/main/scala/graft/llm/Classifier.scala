@@ -72,11 +72,27 @@ object Classifier {
     */
   def naiveBayes(docs: DataFrame, idCol: String, textCol: String,
                  isPosCol: String, buckets: Int = 64): DataFrame = {
-    val feat = tokenBuckets(docs, idCol, textCol, buckets)
-      .localCheckpoint() // feeds both training and scoring — one tokenize
     val labels = docs.select(col(idCol).as("doc_id"),
       col(isPosCol).cast("long").as("y"))
-    val cyb = feat.join(labels, Seq("doc_id"))
+    val (model, priorMicro) = nbTrain(docs, idCol, textCol, isPosCol, buckets)
+    labels.join(nbScore(docs, idCol, textCol, model, priorMicro, buckets),
+        Seq("doc_id"))
+      .select(col("doc_id"), col("y").as("label"), col("score"),
+        col("predicted"))
+  }
+
+  /** Train the NB model alone: (model, priorMicro). The model is COMPLETE
+    * over all `buckets` rows — buckets no training token hashed into carry
+    * the pure-Laplace default llr — so a FROZEN model scores future docs
+    * whose unseen tokens land in training-empty buckets (the production
+    * reuse path; an incomplete model would silently drop those features).
+    */
+  def nbTrain(docs: DataFrame, idCol: String, textCol: String,
+              isPosCol: String, buckets: Int = 64): (DataFrame, Long) = {
+    val labels = docs.select(col(idCol).as("doc_id"),
+      col(isPosCol).cast("long").as("y"))
+    val cyb = tokenBuckets(docs, idCol, textCol, buckets)
+      .join(labels, Seq("doc_id"))
       .groupBy("b").agg(
         sum(when(col("y") === 1, col("x")).otherwise(0L)).as("c1"),
         sum(when(col("y") === 0, col("x")).otherwise(0L)).as("c0"))
@@ -86,18 +102,33 @@ object Classifier {
     val Array(r) = nn.collect() // 1-row class stats (bounded-model collect)
     val (n1, n0, n) = (r.getLong(0), r.getLong(1), r.getLong(2))
     require(n1 > 0 && n0 > 0, s"both classes must be non-empty (n1=$n1 n0=$n0)")
-    val model = cyb.crossJoin(broadcast(tot))
+    val spine = docs.sparkSession.range(buckets).toDF("b")
+    val model = spine.join(cyb, Seq("b"), "left")
+      .select(col("b"), coalesce(col("c1"), lit(0L)).as("c1"),
+        coalesce(col("c0"), lit(0L)).as("c0"))
+      .crossJoin(broadcast(tot))
       .select(col("b"),
         (lnMicro(col("c1") + 1L, col("t1") + buckets.toLong) -
           lnMicro(col("c0") + 1L, col("t0") + buckets.toLong)).as("llr"))
+      .localCheckpoint() // the frozen, bounded (buckets-row) artifact
     val priorMicro = // exact long micro prior — computed on the driver with
       // the SAME op sequence as lnMicro (double div, ln, ×1e6, +0.5, floor)
       math.floor(math.log(n1.toDouble / n.toDouble) * 1e6 + 0.5).toLong -
         math.floor(math.log(n0.toDouble / n.toDouble) * 1e6 + 0.5).toLong
-    val sc = feat.join(broadcast(model), Seq("b"))
+    (model, priorMicro)
+  }
+
+  /** Score any doc set under a FROZEN [[nbTrain]] model: (doc_id, score,
+    * predicted). Docs with no tokens stay present at the prior.
+    */
+  def nbScore(docs: DataFrame, idCol: String, textCol: String,
+              model: DataFrame, priorMicro: Long,
+              buckets: Int = 64): DataFrame = {
+    val sc = tokenBuckets(docs, idCol, textCol, buckets)
+      .join(broadcast(model), Seq("b"))
       .groupBy("doc_id").agg(sum(col("x") * col("llr")).as("s"))
-    labels.join(sc, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("y").as("label"),
+    docs.select(col(idCol).as("doc_id")).join(sc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
         ((coalesce(col("s"), lit(0L)) + lit(priorMicro)).cast("double") /
           lit(1e6)).as("score"),
         (coalesce(col("s"), lit(0L)) + lit(priorMicro) >= 0L).as("predicted"))

@@ -1314,6 +1314,30 @@ class LlmSpec extends SparkSuite {
     assert(ex.getMessage.contains("non-empty"))
   }
 
+  test("naive bayes frozen model: complete bucket spine scores docs with unseen tokens") {
+    import spark.implicits._
+    val train = (0L until 30L).map { i =>
+      val pos = i % 2 == 0
+      (i, if (pos) "alpha beta alpha" else "delta eps zeta", if (pos) 1 else 0)
+    }.toDF("doc_id", "text", "is_pos")
+    val (model, prior) = graft.llm.Classifier.nbTrain(train, "doc_id", "text",
+      "is_pos", buckets = 64)
+    // the model is COMPLETE: one llr per bucket, even training-empty ones
+    assert(model.count() == 64)
+    // new docs under the frozen model: known-positive vocab scores positive,
+    // a FULLY UNSEEN vocab still gets a finite score (Laplace default llr
+    // buckets), never a dropped row or null
+    val fresh = Seq((100L, "alpha beta"), (101L, "qqq zzz www never seen"),
+      (102L, "   ")).toDF("doc_id", "text")
+    val got = graft.llm.Classifier.nbScore(fresh, "doc_id", "text", model,
+      prior, buckets = 64).as[(Long, Double, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got.size == 3)
+    assert(got(100L)._3, "in-domain vocab must score positive")
+    assert(!got(101L)._2.isNaN && !got(101L)._2.isInfinite)
+    assert(got(102L)._2 == prior.toDouble / 1e6) // tokenless → exactly the prior
+  }
+
   test("refine: full candidate set equals brute force; exact order overrides candidate order") {
     import spark.implicits._
     val corpus = (0L until 30L).map { i =>
