@@ -74,8 +74,12 @@ object Classifier {
                  isPosCol: String, buckets: Int = 64): DataFrame = {
     val labels = docs.select(col(idCol).as("doc_id"),
       col(isPosCol).cast("long").as("y"))
-    val (model, priorMicro) = nbTrain(docs, idCol, textCol, isPosCol, buckets)
-    labels.join(nbScore(docs, idCol, textCol, model, priorMicro, buckets),
+    // one tokenize pass serves both training and scoring in the fused form
+    val feat = tokenBuckets(docs, idCol, textCol, buckets).localCheckpoint()
+    val (model, priorMicro) = nbTrainFeat(feat, labels, buckets)
+    labels.join(
+        nbScoreFeat(docs.select(col(idCol).as("doc_id")), feat, model,
+          priorMicro),
         Seq("doc_id"))
       .select(col("doc_id"), col("y").as("label"), col("score"),
         col("predicted"))
@@ -88,10 +92,15 @@ object Classifier {
     * reuse path; an incomplete model would silently drop those features).
     */
   def nbTrain(docs: DataFrame, idCol: String, textCol: String,
-              isPosCol: String, buckets: Int = 64): (DataFrame, Long) = {
-    val labels = docs.select(col(idCol).as("doc_id"),
-      col(isPosCol).cast("long").as("y"))
-    val cyb = tokenBuckets(docs, idCol, textCol, buckets)
+              isPosCol: String, buckets: Int = 64): (DataFrame, Long) =
+    nbTrainFeat(tokenBuckets(docs, idCol, textCol, buckets),
+      docs.select(col(idCol).as("doc_id"), col(isPosCol).cast("long").as("y")),
+      buckets)
+
+  private def nbTrainFeat(feat: DataFrame, labels: DataFrame,
+                          buckets: Int): (DataFrame, Long) = {
+    val docsSpark = feat.sparkSession
+    val cyb = feat
       .join(labels, Seq("doc_id"))
       .groupBy("b").agg(
         sum(when(col("y") === 1, col("x")).otherwise(0L)).as("c1"),
@@ -102,7 +111,7 @@ object Classifier {
     val Array(r) = nn.collect() // 1-row class stats (bounded-model collect)
     val (n1, n0, n) = (r.getLong(0), r.getLong(1), r.getLong(2))
     require(n1 > 0 && n0 > 0, s"both classes must be non-empty (n1=$n1 n0=$n0)")
-    val spine = docs.sparkSession.range(buckets).toDF("b")
+    val spine = docsSpark.range(buckets).toDF("b")
     val model = spine.join(cyb, Seq("b"), "left")
       .select(col("b"), coalesce(col("c1"), lit(0L)).as("c1"),
         coalesce(col("c0"), lit(0L)).as("c0"))
@@ -123,11 +132,15 @@ object Classifier {
     */
   def nbScore(docs: DataFrame, idCol: String, textCol: String,
               model: DataFrame, priorMicro: Long,
-              buckets: Int = 64): DataFrame = {
-    val sc = tokenBuckets(docs, idCol, textCol, buckets)
-      .join(broadcast(model), Seq("b"))
+              buckets: Int = 64): DataFrame =
+    nbScoreFeat(docs.select(col(idCol).as("doc_id")),
+      tokenBuckets(docs, idCol, textCol, buckets), model, priorMicro)
+
+  private def nbScoreFeat(ids: DataFrame, feat: DataFrame, model: DataFrame,
+                          priorMicro: Long): DataFrame = {
+    val sc = feat.join(broadcast(model), Seq("b"))
       .groupBy("doc_id").agg(sum(col("x") * col("llr")).as("s"))
-    docs.select(col(idCol).as("doc_id")).join(sc, Seq("doc_id"), "left")
+    ids.join(sc, Seq("doc_id"), "left")
       .select(col("doc_id"),
         ((coalesce(col("s"), lit(0L)) + lit(priorMicro)).cast("double") /
           lit(1e6)).as("score"),
