@@ -3485,7 +3485,7 @@ object Queries {
           ('0x' || substr(md5(key || '#' || i), 1, 13))::BIGINT AS hv
         FROM dd, UNNEST(range(0, c)) AS t(i)),
       n AS (SELECT g, CAST(count(*) AS BIGINT) AS n FROM e GROUP BY g),
-      r AS (SELECT g, vq, row_number() OVER (PARTITION BY g ORDER BY hv) AS rn FROM e),
+      r AS (SELECT g, vq, row_number() OVER (PARTITION BY g ORDER BY hv, vq) AS rn FROM e),
       s AS (SELECT g, list(vq ORDER BY vq) AS sv FROM r WHERE rn <= 64 GROUP BY g),
       pr AS (SELECT unnest([0.1, 0.25, 0.5, 0.75, 0.9]) AS p)
       SELECT s.g AS l_returnflag, n.n AS n, pr.p AS p,

@@ -77,8 +77,11 @@ object Sketches {
     *
     * Determinism details: hashes are 13 md5 hex chars — 52 bits, EXACT as
     * the bounded heap's double score, so heap order == BIGINT hash order;
-    * the nearest-rank index `floor(p·(|sample|-1) + 0.5)` is a fixed
-    * double op sequence.
+    * equal-hash ties (the same key carrying DIFFERENT values shares
+    * `md5(key#i)`) rank by the smaller quantized value — the heap's id
+    * tie-pin, which the oracle mirrors as `ORDER BY hv, vq`; the
+    * nearest-rank index `floor(p·(|sample|-1) + 0.5)` is a fixed double
+    * op sequence.
     *
     * Scale: one (group, key, value) pre-aggregate (map-side combinable),
     * the copy explode (output size == input rows), one bounded-heap

@@ -238,4 +238,46 @@ class PropertySpec extends SparkSuite {
       }
     }
   }
+
+  test("bottom-k quantiles match a driver-side reference on random duplicate-heavy multisets") {
+    import spark.implicits._
+    def md5hex13(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      java.lang.Long.parseLong(
+        d.map(b => f"$b%02x").mkString.substring(0, 13), 16)
+    }
+    val probes = Seq(0.0, 0.3, 0.5, 0.8, 1.0)
+    for (seed <- 1 to 6) {
+      val rnd = new scala.util.Random(500 + seed)
+      // keys drawn from a SMALL range → heavy duplication, the adversarial
+      // case for the per-copy disambiguation
+      val data = (1 to 200 + rnd.nextInt(200)).map { _ =>
+        val g = if (rnd.nextBoolean()) "a" else "b"
+        (g, rnd.nextInt(40).toLong, rnd.nextDouble() * 1000)
+      }
+      val k = 8 + rnd.nextInt(48)
+      val got = graft.llm.Sketches.bottomKQuantiles(
+        data.toDF("g", "rk", "v"), "g", col("rk"), col("v"), k, probes)
+        .as[(String, Long, Double, Double)].collect()
+        .map(r => (r._1, r._3) -> (r._2, r._4)).toMap
+      // reference: exact replay of the contract in plain Scala
+      data.groupBy(_._1).foreach { case (g, rows) =>
+        val vqs = rows.map(r => (r._2.toString, math.floor(r._3 * 1e6 + 0.5).toLong))
+        val expanded = vqs.groupBy(identity).toSeq.flatMap { case ((key, vq), copies) =>
+          copies.indices.map(i => (md5hex13(s"$key#$i"), vq))
+        }
+        // (hv, vq) order — the heap pins equal-hash ties (same key,
+        // different values → same md5(key#i)) by the smaller value id
+        val sample = expanded.sorted.take(k).map(_._2).sorted
+        probes.foreach { p =>
+          val idx = math.floor(p * (sample.size - 1) + 0.5).toInt
+          val est = sample(idx).toDouble / 1e6
+          val (n, gotEst) = got((g, p))
+          assert(n == rows.size, s"seed $seed $g: n $n != ${rows.size}")
+          assert(gotEst == est, s"seed $seed $g p=$p: $gotEst != $est")
+        }
+      }
+    }
+  }
 }
