@@ -239,6 +239,82 @@ class PropertySpec extends SparkSuite {
     }
   }
 
+  test("split leakage report matches a driver-side reference on random dup-heavy corpora") {
+    import spark.implicits._
+    def md5hex(s: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    def hash01(s: String): Double =
+      java.lang.Long.parseLong(md5hex(s).substring(0, 8), 16).toDouble / 4294967296.0
+    def norm(t: String): String = t.trim.toLowerCase.replaceAll("\\s+", " ")
+    for (seed <- 1 to 5) {
+      val rnd = new scala.util.Random(700 + seed)
+      val vf = 0.1 + rnd.nextDouble() * 0.5
+      val docs = (1L to (80 + rnd.nextInt(120)).toLong).map { i =>
+        (i, s"  Body ${rnd.nextInt(30)} ${if (rnd.nextBoolean()) "X" else "x"} ")
+      }
+      val got = graft.llm.Split.leakageReport(docs.toDF("doc_id", "text"),
+          "doc_id", "text", vf)
+        .as[(String, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+      val fps = docs.map { case (id, t) => (id, md5hex(norm(t))) }
+      def rep(side: ((Long, String)) => Boolean) = {
+        val groups = fps.groupBy(_._2).values.map { g =>
+          val (va, tr) = g.partition(side)
+          (tr.size.toLong, va.size.toLong)
+        }
+        (groups.map(_._1).sum, groups.map(_._2).sum,
+          groups.map(g => g._1 * g._2).sum)
+      }
+      val byId = rep { case (id, _) => hash01(id.toString) < vf }
+      val byFp = rep { case (_, fp) => hash01(fp) < vf }
+      assert((got("by_id")._2, got("by_id")._3, got("by_id")._4) == byId, s"seed $seed id")
+      assert((got("by_fp")._2, got("by_fp")._3, got("by_fp")._4) == byFp, s"seed $seed fp")
+      assert(got("by_fp")._4 == 0L, s"seed $seed: fp policy must be leak-free")
+    }
+  }
+
+  test("naive bayes scores match a driver-side reference on random corpora") {
+    import spark.implicits._
+    def md5hex(s: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    def bucket(term: String, b: Int): Long =
+      java.lang.Long.parseLong(md5hex(term).substring(0, 14), 16) % b
+    def lnMicro(num: Double, den: Double): Long =
+      math.floor(math.log(num / den) * 1e6 + 0.5).toLong
+    val B = 32
+    for (seed <- 1 to 5) {
+      val rnd = new scala.util.Random(900 + seed)
+      val vocab = Vector("red", "blue", "green", "cat", "dog", "fox", "sun", "moon")
+      val docs = (1L to (60 + rnd.nextInt(60)).toLong).map { i =>
+        val n = 1 + rnd.nextInt(10)
+        (i, Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" "),
+          if (rnd.nextInt(3) == 0) 1 else 0)
+      }
+      val got = graft.llm.Classifier.naiveBayes(docs.toDF("doc_id", "text", "y"),
+          "doc_id", "text", "y", buckets = B)
+        .as[(Long, Long, Double, Boolean)].collect().map(r => r._1 -> r).toMap
+      // reference: exact integer replay
+      val feats = docs.map { case (id, t, y) =>
+        (id, y, t.split("\\s+").filter(_.nonEmpty)
+          .groupBy(w => bucket(w, B)).map { case (b, ws) => b -> ws.length.toLong })
+      }
+      val c1 = new Array[Long](B); val c0 = new Array[Long](B)
+      feats.foreach { case (_, y, m) =>
+        m.foreach { case (b, x) => if (y == 1) c1(b.toInt) += x else c0(b.toInt) += x } }
+      val (t1, t0) = (c1.sum, c0.sum)
+      val llr = Array.tabulate(B)(b =>
+        lnMicro(c1(b) + 1.0, t1 + B.toDouble) - lnMicro(c0(b) + 1.0, t0 + B.toDouble))
+      val n1 = docs.count(_._3 == 1); val n0 = docs.size - n1
+      val prior = lnMicro(n1.toDouble, docs.size.toDouble) -
+        lnMicro(n0.toDouble, docs.size.toDouble)
+      feats.foreach { case (id, y, m) =>
+        val s = m.map { case (b, x) => x * llr(b.toInt) }.sum + prior
+        val (gl, gs, gp) = (got(id)._2, got(id)._3, got(id)._4)
+        assert(gl == y.toLong && gs == s.toDouble / 1e6 && gp == (s >= 0),
+          s"seed $seed doc $id: ($gl,$gs,$gp) != ($y,${s / 1e6},${s >= 0})")
+      }
+    }
+  }
+
   test("bottom-k quantiles match a driver-side reference on random duplicate-heavy multisets") {
     import spark.implicits._
     def md5hex13(s: String): Long = {
