@@ -190,6 +190,19 @@ object StressBench {
         graft.llm.SimSearch.refineTopK(qs, e,
           graft.llm.ProductQuant.ivfPqTopK(qs, e, 20, trainSample = 4096), 5)
       })
+      time("quantile_sketch", f)(
+        graft.llm.Sketches.bottomKQuantiles(lineitemTimes(f), "l_returnflag",
+          col("l_orderkey") * 10 + col("l_linenumber"), col("l_extendedprice"),
+          64, Seq(0.1, 0.5, 0.9)))
+      time("split_guard", f)(
+        graft.llm.Split.leakageReport(docsTimesUncorr(f), "doc_id", "text", 0.2))
+      time("curation_funnel", f)({
+        val d = docsTimesUncorr(f).withColumn("source",
+          pmod(col("doc_id"), lit(10)).cast("string"))
+        graft.llm.QualityModel.curationFunnel(d, "doc_id", "text", "source")
+      })
+      time("hash_embed", f)(
+        graft.llm.HashEmbed.docEmbeddings(docsTimesUncorr(f), "doc_id", "text", 64))
       time("kmv_distinct", f)({
         val hv = conv(substring(md5(col("l_orderkey").cast("string")), 1, 15), 16, 10)
           .cast("long")
