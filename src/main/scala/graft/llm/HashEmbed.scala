@@ -47,20 +47,30 @@ object HashEmbed {
     s.range(n)
 
   /** (doc_id, embedding): tf·idf-weighted hashed embeddings for every doc
-    * with at least one token (tokenless docs have no vector, like any
-    * embedder). Components are exact integer sums rescaled by 1e12.
+    * with at least one token surviving the df gate (tokenless docs have no
+    * vector, like any embedder). Components are exact integer sums
+    * rescaled by 1e12.
+    *
+    * `minDf` drops terms seen in fewer than that many docs BEFORE the
+    * component join — the vocabulary cap: on corpora whose distinct-term
+    * count grows with size (boilerplate ids, hashes, salts), the per-term
+    * component relation (vocab × dims rows) is the dominant stress-curve
+    * constant, and hapax-dropping bounds it with negligible signal loss
+    * (a df-1 term contributes to exactly one doc's vector).
     */
   def docEmbeddings(docs: DataFrame, idCol: String, textCol: String,
-                    dims: Int): DataFrame = {
+                    dims: Int, minDf: Long = 1L): DataFrame = {
     val post = Retrieval.postings(docs, idCol, textCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     val nDocs = docs.select(col(idCol)).agg(count(lit(1)).as("n"))
     val idf = post.groupBy("term").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDf)
       .crossJoin(broadcast(nDocs))
       .select(col("term"), Sampling.lnMicro(col("n"), col("df")).as("im"))
     val wv = post.join(idf, Seq("term"))
       .select(col("doc_id"), col("term"), (col("tf") * col("im")).as("wm"))
-    val comp = termComponents(post.select("term").distinct(), dims)
+    // components only for terms that SURVIVED the df gate — the cap's point
+    val comp = termComponents(idf.select("term"), dims)
     wv.join(comp, Seq("term"))
       .groupBy("doc_id", "dim").agg(sum(col("wm") * col("c")).as("v"))
       .groupBy("doc_id")
