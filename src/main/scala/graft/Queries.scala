@@ -3490,7 +3490,63 @@ object Queries {
       pr AS (SELECT unnest([0.1, 0.25, 0.5, 0.75, 0.9]) AS p)
       SELECT s.g AS l_returnflag, n.n AS n, pr.p AS p,
         CAST(sv[CAST(floor(p * (len(sv) - 1) + 0.5) AS INTEGER) + 1] AS DOUBLE) / 1000000.0 AS est
-      FROM s JOIN n ON s.g = n.g CROSS JOIN pr"""))
+      FROM s JOIN n ON s.g = n.g CROSS JOIN pr""")),
+
+    // Raw text to quantized index, END TO END: q142's hashed embeddings feed
+    // the q118 IVFPQ build+search unchanged — a text-only corpus gets the
+    // billion-scale resident layout (cell + 8 codes per doc, zero raw
+    // vectors at query time) with the WHOLE pipeline replayed in one SQL:
+    // postings → idf → components → vectors → coarse chain → PQ chain →
+    // probe-pruned ADC. The chains are corpus-agnostic (len(v)-driven), so
+    // they compose onto the derived corp CTE as-is.
+    ("q144_text_ann", (s: SparkSession, d: String) => {
+      val docs = t(s, d, "documents")
+      val emb = graft.llm.HashEmbed.docEmbeddings(docs, "doc_id", "text", 64)
+        .select(col("doc_id").as("vec_id"), col("embedding"))
+        .localCheckpoint() // one embed pass feeds training, encode and queries
+      graft.llm.ProductQuant.ivfPqTopK(
+        emb.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("query_id"), col("embedding")),
+        emb, 5, m = 8, dims = 8, centroidStride = 32, trainIters = 2,
+        ks = 16, coarseKs = 8, nprobe = 2, trainSample = 4096)
+    }, Some(s"""WITH post AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+        FROM (SELECT doc_id, unnest(list_filter(
+            string_split_regex(trim(lower(text)), '\\s+'), x -> x <> '')) AS term
+          FROM documents) GROUP BY doc_id, term),
+      nd AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+      idf AS (SELECT term,
+          CAST(floor(ln(CAST(n AS DOUBLE) / CAST(count(*) AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) AS im
+        FROM post, nd GROUP BY term, n),
+      wv AS (SELECT p.doc_id, p.term, CAST(p.tf * i.im AS BIGINT) AS wm
+        FROM post p JOIN idf i ON p.term = i.term),
+      td AS (SELECT DISTINCT term FROM post),
+      ch AS (SELECT term, blk, md5(term || '#' || blk) AS h
+        FROM td, (SELECT unnest(range(0, 8)) AS blk)),
+      cd AS (SELECT term, blk * 8 + j AS dim,
+          ('0x' || substr(h, CAST(4 * j + 1 AS INTEGER), 4))::BIGINT - 32768 AS c
+        FROM ch, (SELECT unnest(range(0, 8)) AS j)),
+      ev AS (SELECT w.doc_id, c.dim, CAST(sum(w.wm * c.c) AS BIGINT) AS v
+        FROM wv w JOIN cd c ON w.term = c.term GROUP BY w.doc_id, c.dim),
+      emb AS (SELECT doc_id, list(CAST(v AS DOUBLE) / 1e12 ORDER BY dim) AS e
+        FROM ev GROUP BY doc_id),
+      corp AS (SELECT doc_id AS vec_id, e AS v FROM emb)${coarseChainSql()},
+      sv AS (SELECT vec_id, s.sub,
+          v[CAST(8 * s.sub + 1 AS INTEGER):CAST(8 * s.sub + 8 AS INTEGER)] AS sv
+        FROM corp, (SELECT unnest(range(0, 8)) AS sub) s)${pqChainSql("sv")},
+      dt AS (SELECT q.vec_id AS query_id, c.sub, c.cid AS code,
+          round(${sqSql("q.sv", "c.cv", 8)}, 6) AS d
+        FROM (SELECT * FROM sv WHERE vec_id < 8) q JOIN cb2 c ON q.sub = c.sub),
+      sc AS (SELECT dt.query_id, e.vec_id,
+          CAST(sum(CAST(dt.d AS DECIMAL(18,6))) AS DOUBLE) AS adc
+        FROM enc e
+        JOIN cellasg ce ON e.vec_id = ce.vec_id
+        JOIN probe p ON p.cell = ce.cell
+        JOIN dt ON e.sub = dt.sub AND e.code = dt.code AND dt.query_id = p.query_id
+        GROUP BY dt.query_id, e.vec_id),
+      w AS (SELECT *, row_number() OVER (PARTITION BY query_id
+          ORDER BY adc, vec_id) AS rnk FROM sc)
+      SELECT query_id, vec_id, adc, CAST(rnk AS INTEGER) AS rank
+      FROM w WHERE rnk <= 5"""))
   )
 
   /** The BM25 replay shared by q72/q123 — postings, df, dl, corpus stats,
