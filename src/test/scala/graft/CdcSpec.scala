@@ -455,6 +455,43 @@ class CdcSpec extends SparkSuite {
     assert(!new java.io.File(s"$tgt/.manifest-2.tmp").exists())
   }
 
+  test("compact interleaves with merge commits: later batches carry forward from the compacted snapshot") {
+    import spark.implicits._
+    val partSchema = StructType(Seq(
+      StructField("id", StringType), StructField("p", StringType),
+      StructField("v", LongType)))
+    val dir = Files.createTempDirectory("cdc-cpt-env").toFile
+    val tgt = Files.createTempDirectory("cdc-cpt-tgt").toFile.getAbsolutePath + "/target"
+    val ckpt = Files.createTempDirectory("cdc-cpt-ckpt").toFile.getAbsolutePath
+    Files.write(new java.io.File(dir, "b1.json").toPath,
+      Seq(
+        """{"operationType":"insert","documentKey":"a","fullDocument":"{\"id\":\"a\",\"p\":\"x\",\"v\":1}","clusterTime":"2024-01-01T00:00:00.000Z"}""",
+        """{"operationType":"insert","documentKey":"b","fullDocument":"{\"id\":\"b\",\"p\":\"y\",\"v\":2}","clusterTime":"2024-01-01T00:00:01.000Z"}"""
+      ).mkString("\n").getBytes("UTF-8"))
+    graft.cdc.Dispatch.runPartitioned(spark, dir.getAbsolutePath, tgt, ckpt,
+      partSchema, identity, "id", "id", "v", partCol = "p")
+      .awaitTermination(60000)
+    // out-of-band OPTIMIZE between micro-batches: atomic v2, self-contained
+    val v = graft.sources.ManifestTable.compact(spark, tgt, partSchema, Some("p"))
+    assert(v == 2L)
+    graft.sources.ManifestTable.vacuum(spark, tgt)
+    assert(!new java.io.File(s"$tgt/v00000001").exists())
+    // the NEXT merge batch reads the compacted snapshot and carries its
+    // untouched partition forward from the compacted version dir
+    Files.write(new java.io.File(dir, "b2.json").toPath,
+      """{"operationType":"update","documentKey":"a","fullDocument":"{\"id\":\"a\",\"p\":\"x\",\"v\":9}","clusterTime":"2024-01-02T00:00:00.000Z"}"""
+        .getBytes("UTF-8"))
+    graft.cdc.Dispatch.runPartitioned(spark, dir.getAbsolutePath, tgt, ckpt,
+      partSchema, identity, "id", "id", "v", partCol = "p")
+      .awaitTermination(60000)
+    val got = graft.sources.ManifestTable.read(spark, tgt, partSchema)
+      .select("id", "p", "v").as[(String, String, Long)].collect().toSet
+    assert(got == Set(("a", "x", 9L), ("b", "y", 2L)))
+    // p=y still lives in the compacted v2 dir; v3 holds only p=x
+    assert(new java.io.File(s"$tgt/v00000002/p=y").exists())
+    assert(!new java.io.File(s"$tgt/v00000003/p=y").exists())
+  }
+
   test("ST1-ST7 end-to-end: file-replayed stream -> foreachBatch -> parquet target") {
     import spark.implicits._
     val dir = Files.createTempDirectory("cdc-env").toFile
