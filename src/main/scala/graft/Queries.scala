@@ -3546,7 +3546,113 @@ object Queries {
       w AS (SELECT *, row_number() OVER (PARTITION BY query_id
           ORDER BY adc, vec_id) AS rnk FROM sc)
       SELECT query_id, vec_id, adc, CAST(rnk AS INTEGER) AS rank
-      FROM w WHERE rnk <= 5"""))
+      FROM w WHERE rnk <= 5""")),
+
+    // Corpus snapshot diff: which keys were added / removed / changed
+    // between two table versions (the audit that licenses the incremental
+    // dedup/index passes q92/q124 to treat the old corpus as frozen). Each
+    // side collapses to (key, payload-md5) before the single full-outer
+    // hash join — the shuffle never carries text. Versions are carved from
+    // the one fixture: old = id%7≠0, new = id%5≠0 with id%11==0 docs
+    // revised, so all three statuses appear.
+    ("q145_snapshot_diff", (s: SparkSession, d: String) => {
+      val docs = t(s, d, "documents")
+      val oldV = docs.filter(col("doc_id") % 7 =!= 0)
+      val newV = docs.filter(col("doc_id") % 5 =!= 0)
+        .withColumn("text", when(col("doc_id") % 11 === 0,
+          concat(col("text"), lit(" [rev2]"))).otherwise(col("text")))
+      graft.ops.Diff.snapshotDiff(oldV, newV, "doc_id", Seq("text", "source"))
+    }, Some("""WITH o AS (SELECT doc_id, md5(text || chr(31) || source) AS ofp
+        FROM documents WHERE doc_id % 7 <> 0),
+      n AS (SELECT doc_id, md5(CASE WHEN doc_id % 11 = 0
+            THEN text || ' [rev2]' ELSE text END || chr(31) || source) AS nfp
+        FROM documents WHERE doc_id % 5 <> 0),
+      j AS (SELECT coalesce(o.doc_id, n.doc_id) AS doc_id, ofp, nfp
+        FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id)
+      SELECT doc_id, CASE WHEN ofp IS NULL THEN 'added'
+          WHEN nfp IS NULL THEN 'removed'
+          WHEN ofp <> nfp THEN 'changed' ELSE 'unchanged' END AS status
+      FROM j WHERE ofp IS NULL OR nfp IS NULL OR ofp <> nfp""")),
+
+    // Ordered conversion funnel signup → click → purchase: per user the
+    // earliest signup, the earliest click STRICTLY AFTER it, the earliest
+    // purchase after that — the in-order semantics an unordered per-type
+    // min would get wrong. One user-keyed aggregate per stage plus one
+    // user-keyed join per later stage; lags ride as exact unix-micros
+    // integers so the replay is bit-identical.
+    ("q146_funnel", (s: SparkSession, d: String) => {
+      graft.ops.EventAnalytics.funnel(t(s, d, "events"),
+        "user_id", "ts", "event_type", Seq("signup", "click", "purchase"))
+    }, Some(s"""WITH e AS (SELECT user_id AS u, event_type AS et,
+          epoch_us($tsUs) AS t FROM events),
+      s0 AS (SELECT u, min(t) AS t0 FROM e WHERE et = 'signup' GROUP BY u),
+      s1 AS (SELECT e.u, s0.t0, min(e.t) AS tk FROM e
+        JOIN s0 ON e.u = s0.u WHERE e.et = 'click' AND e.t > s0.t0
+        GROUP BY e.u, s0.t0),
+      s2 AS (SELECT e.u, s1.t0, min(e.t) AS tk FROM e
+        JOIN s1 ON e.u = s1.u WHERE e.et = 'purchase' AND e.t > s1.tk
+        GROUP BY e.u, s1.t0)
+      SELECT CAST(0 AS INTEGER) AS stage_idx, 'signup' AS stage,
+        CAST(count(*) AS BIGINT) AS n_users, CAST(0 AS BIGINT) AS total_lag_us
+      FROM s0
+      UNION ALL SELECT CAST(1 AS INTEGER), 'click', CAST(count(*) AS BIGINT),
+        CAST(coalesce(sum(tk - t0), 0) AS BIGINT) FROM s1
+      UNION ALL SELECT CAST(2 AS INTEGER), 'purchase', CAST(count(*) AS BIGINT),
+        CAST(coalesce(sum(tk - t0), 0) AS BIGINT) FROM s2""")),
+
+    // Weekly cohort retention: cohort = the Monday-aligned week index of a
+    // user's first event; one output row per (cohort, week offset) with the
+    // active-user count. Week index is pure integer day arithmetic
+    // (days-since-1970-01-05 div 7) — no engine-specific date_trunc('week')
+    // convention — and the events table collapses to one row per
+    // (user, week) before anything joins.
+    ("q147_retention", (s: SparkSession, d: String) => {
+      graft.ops.EventAnalytics.weeklyRetention(t(s, d, "events"),
+        "user_id", "ts")
+    }, Some(s"""WITH uw AS (SELECT DISTINCT user_id AS u,
+          CAST(date_diff('day', DATE '1970-01-05', CAST($tsUs AS DATE)) // 7 AS BIGINT) AS wk
+        FROM events),
+      c AS (SELECT u, min(wk) AS cohort_wk FROM uw GROUP BY u)
+      SELECT c.cohort_wk, uw.wk - c.cohort_wk AS week_offset,
+        CAST(count(*) AS BIGINT) AS n_users
+      FROM uw JOIN c ON uw.u = c.u GROUP BY 1, 2""")),
+
+    // Epoch-aware data mixing: per-source rates from a fixed token budget,
+    // where sources UNDER budget get weight > 1 and are deterministically
+    // REPLICATED (floor(w) copies + a hash-gated fractional copy) — the
+    // "wiki ×2.5" multi-epoch recipe q82's keep-only sampling cannot
+    // express. The 1400-token budget straddles w = 1 on this fixture, so
+    // both the replication and the downsample leg are exercised. Explode is
+    // fused into the scan: no shuffle until the final per-source roll-up.
+    ("q148_epoch_mix", (s: SparkSession, d: String) => {
+      val docs = t(s, d, "documents")
+        .select(col("doc_id"), col("source"),
+          TextStats.tokenCount(col("text")).as("n_tok"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+      val rates = docs.groupBy("source").agg(sum(col("n_tok")).as("tot"))
+        .select(col("source"), (lit(1400.0) / col("tot")).as("w"))
+      graft.llm.Sampling.epochMixture(
+          docs.join(broadcast(rates), Seq("source")), col("doc_id"), col("w"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct(col("doc_id")).as("n_docs"),
+          sum(col("n_tok")).as("n_tokens"))
+    }, Some("""WITH dc AS (SELECT doc_id, source,
+        CAST(len(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')) AS INTEGER) AS n_tok
+        FROM documents),
+      rates AS (SELECT source,
+        CAST(1400.0 AS DOUBLE) / CAST(sum(n_tok) AS BIGINT) AS w
+        FROM dc GROUP BY source),
+      m AS (SELECT doc_id, source, n_tok,
+          CAST(floor(w) AS BIGINT) + CASE WHEN
+            CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#e'), 1, 8))::BIGINT AS DOUBLE)
+              / 4294967296.0 < w - floor(w) THEN 1 ELSE 0 END AS n
+        FROM dc JOIN rates USING (source)),
+      x AS (SELECT doc_id, source, n_tok FROM m, UNNEST(range(0, n)) AS t(i))
+      SELECT source, CAST(count(*) AS BIGINT) AS n_rows,
+        CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        CAST(sum(n_tok) AS BIGINT) AS n_tokens
+      FROM x GROUP BY source"""))
   )
 
   /** The BM25 replay shared by q72/q123 — postings, df, dl, corpus stats,

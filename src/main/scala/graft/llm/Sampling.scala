@@ -62,6 +62,34 @@ object Sampling {
   def deterministicSample(df: DataFrame, keyCol: Column, frac: Column): DataFrame =
     df.filter(hash01(keyCol) < frac)
 
+  /** Epoch-aware mixture resampling: materialize each row `weight` times,
+    * where `weight` may EXCEED 1 — the "wiki ×2.5, web ×0.3" data-mixing
+    * recipe every LLM training run uses. A row with weight w is emitted
+    * `floor(w)` times plus one more iff `hash01(key#e) < frac(w)`, so the
+    * expected multiplicity is exactly w, the realized multiset is a pure
+    * function of the keys (replayable across runs and engines, unlike
+    * `rand()`), and [[deterministicSample]] is the w ≤ 1 special case in
+    * expectation. `copyCol` carries the 0-based copy index so downstream
+    * shuffling/packing can treat epochs as distinct rows.
+    *
+    * Scale shape: a per-row `explode(sequence(...))` fused into the scan —
+    * no shuffle, no RNG state, output size = Σ⌈w⌉ bounded by the weights
+    * the caller chose. The fractional-copy hash is salted (`#e`) so it is
+    * independent of any plain [[hash01]] gate already applied to the key.
+    */
+  def epochMixture(df: DataFrame, keyCol: Column, weight: Column,
+                   copyCol: String = "copy_idx"): DataFrame = {
+    val w = weight.cast("double")
+    val nCopies = (floor(w).cast("int") +
+      when(hash01(concat(keyCol.cast("string"), lit("#e"))) < (w - floor(w)),
+        lit(1)).otherwise(lit(0))).as("__n")
+    df.withColumn("__n", nCopies)
+      .withColumn(copyCol,
+        explode(when(col("__n") > 0, sequence(lit(0), col("__n") - 1))
+          .otherwise(array().cast("array<int>"))))
+      .drop("__n")
+  }
+
   /** Per-stratum percentile gate: keep rows whose `scoreCol` reaches the
     * `minPercentRank` percent-rank WITHIN their stratum (ties pinned by
     * `tieCol` so the gate is deterministic). The standard "keep the top X%

@@ -1,0 +1,87 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Product-analytics operators over the event stream: ordered funnels and
+  * weekly cohort retention. Classic OLAP shapes a lake-side engine is
+  * expected to serve directly off the raw events table.
+  *
+  * Scale design: everything here is keyed by the user column — per-stage
+  * aggregates and stage-to-stage joins all shuffle on `user`, so AQE can
+  * coalesce/skew-split them and nothing ever sees a global window or sort.
+  * The per-user state is one row per user (the earliest qualifying
+  * timestamp per reached stage), never the user's event list.
+  */
+object EventAnalytics {
+
+  /** Ordered funnel: for each user, the earliest `stages(0)` event, then the
+    * earliest `stages(1)` STRICTLY AFTER it, and so on — the standard
+    * "signup → click → purchase, in order" conversion measure (an unordered
+    * per-type min would overcount users who purchased before signing up).
+    *
+    * Returns one row per stage: `(stage_idx, stage, n_users,
+    * total_lag_us)` where `n_users` counts users reaching the stage in
+    * order and `total_lag_us` sums (µs) the lag from each user's stage-0
+    * time — exact integers, so the relation replays bit-identically.
+    *
+    * One aggregate per stage plus one user-keyed join per later stage; at
+    * any corpus size the joined state side is |users reaching stage k-1|
+    * rows. Timestamps ride as `unix_micros` longs so stage columns compare
+    * and subtract as integers.
+    */
+  def funnel(events: DataFrame, userCol: String, tsCol: String,
+             typeCol: String, stages: Seq[String]): DataFrame = {
+    require(stages.nonEmpty, "funnel needs at least one stage")
+    val us = events.select(col(userCol).as("u"), col(typeCol).as("et"),
+      unix_micros(col(tsCol)).as("t"))
+    // State after stage k: (u, t0, tk) — one row per user still in the
+    // funnel. Each state is localCheckpointed: it feeds both the next
+    // stage's join AND its own output branch, and un-truncated lineage
+    // would recompute the whole prefix chain once per branch.
+    val first = us.filter(col("et") === stages.head)
+      .groupBy("u").agg(min(col("t")).as("t0"))
+      .withColumn("tk", col("t0"))
+      .localCheckpoint()
+    val reached = stages.tail.foldLeft(Seq(first)) { (acc, stage) =>
+      val prev = acc.last.select(col("u"), col("t0"), col("tk"))
+      val next = us.filter(col("et") === stage)
+        .join(prev, "u")
+        .filter(col("t") > col("tk"))
+        .groupBy("u", "t0").agg(min(col("t")).as("tk"))
+        .localCheckpoint()
+      acc :+ next
+    }
+    reached.zipWithIndex.map { case (st, i) =>
+      st.agg(count(lit(1)).as("n_users"),
+          coalesce(sum(col("tk") - col("t0")), lit(0L)).as("total_lag_us"))
+        .select(lit(i).as("stage_idx"), lit(stages(i)).as("stage"),
+          col("n_users"), col("total_lag_us"))
+    }.reduce(_ unionByName _)
+  }
+
+  /** Weekly cohort retention: cohort = the ISO-Monday week of a user's
+    * FIRST event, and for each later week offset the number of that
+    * cohort's users active in it. Week index = `floor(days-since-Monday-
+    * 1970-01-05 / 7)` — pure integer date arithmetic, no engine-specific
+    * `date_trunc('week')` convention in sight.
+    *
+    * Two user-keyed aggregates (first-week, active-weeks) joined on the
+    * user, then a coarse (cohort, offset) roll-up: the wide data collapses
+    * to one row per (user, week) before anything joins.
+    */
+  def weeklyRetention(events: DataFrame, userCol: String,
+                      tsCol: String): DataFrame = {
+    // `div` (integer division) == DuckDB `//` on the non-negative day
+    // counts here; a double divide + cast would hit the trunc-vs-round
+    // cast divergence (q84 lesson).
+    val uw = events.select(col(userCol).as("u"),
+        datediff(col(tsCol).cast("date"), to_date(lit("1970-01-05"))).as("d"))
+      .select(col("u"), expr("CAST(d div 7 AS BIGINT)").as("wk"))
+      .distinct()
+    val cohort = uw.groupBy("u").agg(min(col("wk")).as("cohort_wk"))
+    uw.join(cohort, "u")
+      .groupBy(col("cohort_wk"), (col("wk") - col("cohort_wk")).as("week_offset"))
+      .agg(count(lit(1)).as("n_users"))
+  }
+}

@@ -100,6 +100,27 @@ class LlmSpec extends SparkSuite {
     assert(c.subsetOf(a))
   }
 
+  test("epochMixture replicates by weight: exact at integers, ±1 at fractions") {
+    import spark.implicits._
+    val df = (1L to 6000L).toDF("id")
+    // integer weight: every row exactly twice, copy_idx 0 and 1
+    val twice = graft.llm.Sampling.epochMixture(df, col("id"), lit(2.0))
+    assert(twice.count() == 12000L)
+    assert(twice.groupBy("id").count().filter(col("count") =!= 2).count() == 0)
+    assert(twice.select("copy_idx").distinct().as[Int].collect().toSet == Set(0, 1))
+    // fractional weight 2.4: each row 2 or 3 copies, mean multiplicity ≈ 2.4
+    val frac = graft.llm.Sampling.epochMixture(df, col("id"), lit(2.4))
+    val per = frac.groupBy("id").count().select("count").as[Long].collect()
+    assert(per.forall(n => n == 2L || n == 3L))
+    assert(math.abs(per.sum / 6000.0 - 2.4) < 0.05)
+    // deterministic: the same multiset every run
+    val again = graft.llm.Sampling.epochMixture(df, col("id"), lit(2.4))
+    assert(again.count() == frac.count())
+    // w < 1 degrades to a keep-or-drop sample at the right rate
+    val down = graft.llm.Sampling.epochMixture(df, col("id"), lit(0.3))
+    assert(math.abs(down.count() / 6000.0 - 0.3) < 0.03)
+  }
+
   test("connected components collapse chains; nearDupApply keeps canonical rows") {
     import spark.implicits._
     // chain 1-2, 2-3 (no 1-3 edge); separate pair 5-6; singleton 9

@@ -320,4 +320,83 @@ class OpsSpec extends SparkSuite {
     (2L to 8L).foreach(i => assert(r(i) == r(2L))) // identical in-link
     // structure -> identical UNITS, exactly (integer arithmetic)
   }
+
+  test("snapshotDiff classifies added/removed/changed and hides unchanged") {
+    import spark.implicits._
+    val oldV = Seq((1L, "a", "x"), (2L, "b", "y"), (3L, "c", "z"))
+      .toDF("id", "t", "src")
+    val newV = Seq((1L, "a", "x"), (2L, "B", "y"), (4L, "d", "w"))
+      .toDF("id", "t", "src")
+    val d = graft.ops.Diff.snapshotDiff(oldV, newV, "id", Seq("t", "src"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(d == Map(2L -> "changed", 3L -> "removed", 4L -> "added"))
+    val sum = graft.ops.Diff.snapshotDiffSummary(oldV, newV, "id", Seq("t", "src"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(sum == Map("added" -> 1L, "removed" -> 1L, "changed" -> 1L,
+      "unchanged" -> 1L))
+  }
+
+  test("snapshotDiff payload framing: NULL vs concatenation cannot collide") {
+    import spark.implicits._
+    // ("ab", null) vs ("a", "b"): naive concat would hash both to "ab"
+    val oldV = Seq((1L, Some("ab"), None: Option[String])).toDF("id", "t", "src")
+    val newV = Seq((1L, Some("a"), Some("b"))).toDF("id", "t", "src")
+    val d = graft.ops.Diff.snapshotDiff(oldV, newV, "id", Seq("t", "src"))
+      .collect()
+    assert(d.length == 1 && d.head.getString(1) == "changed")
+  }
+
+  test("funnel enforces stage ORDER: purchase before click does not convert") {
+    import spark.implicits._
+    def ts(sec: Int) = java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(sec))
+    val events = Seq(
+      // user 1: signup(10) -> click(20) -> purchase(30): full conversion
+      (1L, ts(10), "signup"), (1L, ts(20), "click"), (1L, ts(30), "purchase"),
+      // user 2: purchase BEFORE click: stops at click stage
+      (2L, ts(10), "signup"), (2L, ts(15), "purchase"), (2L, ts(20), "click"),
+      // user 3: click only, never signed up: reaches nothing
+      (3L, ts(5), "click"),
+      // user 4: signup only
+      (4L, ts(40), "signup")
+    ).toDF("user_id", "ts", "event_type")
+    val r = graft.ops.EventAnalytics.funnel(events, "user_id", "ts",
+        "event_type", Seq("signup", "click", "purchase"))
+      .collect().map(x => x.getString(1) -> (x.getLong(2), x.getLong(3))).toMap
+    assert(r("signup") == ((3L, 0L)))
+    assert(r("click") == ((2L, (10L + 10L) * 1000000L)))
+    assert(r("purchase") == ((1L, 20L * 1000000L)))
+  }
+
+  test("funnel ties: an event at EXACTLY the prior stage time does not count") {
+    import spark.implicits._
+    def ts(sec: Int) = java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(sec))
+    val events = Seq(
+      (1L, ts(10), "signup"), (1L, ts(10), "click"), // simultaneous: strict >
+      (2L, ts(10), "signup"), (2L, ts(11), "click")
+    ).toDF("user_id", "ts", "event_type")
+    val r = graft.ops.EventAnalytics.funnel(events, "user_id", "ts",
+        "event_type", Seq("signup", "click"))
+      .collect().map(x => x.getString(1) -> x.getLong(2)).toMap
+    assert(r("signup") == 2L && r("click") == 1L)
+  }
+
+  test("weeklyRetention: cohort by first week, offsets count distinct users") {
+    import spark.implicits._
+    def day(d: String) = // instant-based: immune to the JVM default TZ
+      java.sql.Timestamp.from(java.time.Instant.parse(d + "T12:00:00Z"))
+    val events = Seq(
+      // 2024-01-01 is a Monday -> week boundary alignment is exact
+      (1L, day("2024-01-01")), (1L, day("2024-01-07")), // same week twice
+      (1L, day("2024-01-08")),                          // next week
+      (2L, day("2024-01-01")),                          // week 0 only
+      (3L, day("2024-01-10"))                           // cohort = week 1
+    ).toDF("user_id", "ts")
+    val r = graft.ops.EventAnalytics.weeklyRetention(events, "user_id", "ts")
+      .collect().map(x => (x.getLong(0), x.getLong(1)) -> x.getLong(2)).toMap
+    val w0 = r.keys.map(_._1).min
+    assert(r((w0, 0L)) == 2L)      // users 1,2 in their cohort week
+    assert(r((w0, 1L)) == 1L)      // only user 1 returned
+    assert(r((w0 + 1, 0L)) == 1L)  // user 3's own cohort
+    assert(r.values.sum == 4L)
+  }
 }
