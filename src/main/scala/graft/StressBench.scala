@@ -57,6 +57,13 @@ object StressBench {
       else emb.crossJoin(spark.range(f).select(col("id").as("rep")))
         .select((col("vec_id") * f + col("rep")).as("vec_id"), col("embedding"))
     }
+    def eventsTimes(f: Int): DataFrame = {
+      val e = Tables(spark, sfDir, "events").select("user_id", "ts", "event_type")
+      if (f == 1) e
+      else e.crossJoin(spark.range(f).select(col("id").as("rep")))
+        .select((col("user_id") * f + col("rep")).as("user_id"),
+          col("ts"), col("event_type"))
+    }
     def lineitemTimes(f: Int): DataFrame = {
       val l = Tables(spark, sfDir, "lineitem")
       if (f == 1) l
@@ -203,6 +210,25 @@ object StressBench {
       })
       time("hash_embed", f)(
         graft.llm.HashEmbed.docEmbeddings(docsTimesUncorr(f), "doc_id", "text", 64))
+      // r12 batch 3: snapshot diff (the shuffle carries only (key, md5) — a
+      // text-payload diff must cost like a thin join, not a text join), the
+      // ordered funnel + weekly retention (user-keyed state chains; users
+      // scale WITH the data so per-user state stays one row), and
+      // epoch-aware mixture replication (explode fused into the scan; cost
+      // is the OUTPUT multiset, 2.4x rows here)
+      time("snapshot_diff", f)({
+        val d = docsTimesUncorr(f)
+        graft.ops.Diff.snapshotDiff(
+          d.filter(pmod(col("doc_id"), lit(7)) =!= 0),
+          d.filter(pmod(col("doc_id"), lit(5)) =!= 0), "doc_id", Seq("text"))
+      })
+      time("funnel", f)(
+        graft.ops.EventAnalytics.funnel(eventsTimes(f), "user_id", "ts",
+          "event_type", Seq("signup", "click", "purchase")))
+      time("retention", f)(
+        graft.ops.EventAnalytics.weeklyRetention(eventsTimes(f), "user_id", "ts"))
+      time("epoch_mix", f)(
+        graft.llm.Sampling.epochMixture(docsTimesUncorr(f), col("doc_id"), lit(2.4)))
       time("kmv_distinct", f)({
         val hv = conv(substring(md5(col("l_orderkey").cast("string")), 1, 15), 16, 10)
           .cast("long")
