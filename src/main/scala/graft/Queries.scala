@@ -3652,7 +3652,31 @@ object Queries {
       SELECT source, CAST(count(*) AS BIGINT) AS n_rows,
         CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
         CAST(sum(n_tok) AS BIGINT) AS n_tokens
-      FROM x GROUP BY source"""))
+      FROM x GROUP BY source""")),
+
+    // Clickstream path mining: the 10 most common CONSECUTIVE event-type
+    // triples across user timelines (n=3 path n-grams; n=2 is the Markov
+    // transition matrix). The window partitions by user — every timeline
+    // sorts independently — and the aggregate lands on the bounded
+    // |vocab|³ path space, so the final tie-pinned top-10 ranks ≤125 rows
+    // no matter the corpus size.
+    ("q149_event_paths", (s: SparkSession, d: String) => {
+      val paths = graft.ops.EventAnalytics.pathNgrams(t(s, d, "events"),
+        "user_id", "ts", "event_id", "event_type", 3)
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("n_paths").desc, col("p0"), col("p1"), col("p2"))
+      paths.withColumn("rank", row_number().over(w).cast("int"))
+        .filter(col("rank") <= 10)
+    }, Some(s"""WITH l AS (SELECT user_id, event_type AS p0,
+          lead(event_type, 1) OVER w AS p1, lead(event_type, 2) OVER w AS p2
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY $tsUs, event_id)),
+      g AS (SELECT p0, p1, p2, CAST(count(*) AS BIGINT) AS n_paths FROM l
+        WHERE p1 IS NOT NULL AND p2 IS NOT NULL GROUP BY p0, p1, p2),
+      r AS (SELECT *, row_number() OVER (ORDER BY n_paths DESC, p0, p1, p2)
+          AS rnk FROM g)
+      SELECT p0, p1, p2, n_paths, CAST(rnk AS INTEGER) AS rank
+      FROM r WHERE rnk <= 10"""))
   )
 
   /** The BM25 replay shared by q72/q123 — postings, df, dl, corpus stats,

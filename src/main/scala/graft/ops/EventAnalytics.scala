@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Product-analytics operators over the event stream: ordered funnels and
@@ -58,6 +59,31 @@ object EventAnalytics {
         .select(lit(i).as("stage_idx"), lit(stages(i)).as("stage"),
           col("n_users"), col("total_lag_us"))
     }.reduce(_ unionByName _)
+  }
+
+  /** Behavioral path mining: the frequency of every length-`n` run of
+    * CONSECUTIVE event types within a user's timeline (the Markov /
+    * clickstream-path view; n = 2 is the transition matrix). Ordering is
+    * pinned by `(ts, tie)` so runs are deterministic under equal
+    * timestamps.
+    *
+    * Returns `(p0 … p{n-1}, n_paths)`. The window partitions by user —
+    * each user's timeline sorts independently across the cluster, no
+    * global sort — and the output cardinality is |event-type vocab|^n,
+    * bounded regardless of corpus size.
+    */
+  def pathNgrams(events: DataFrame, userCol: String, tsCol: String,
+                 tieCol: String, typeCol: String, n: Int): DataFrame = {
+    require(n >= 2, "a path needs at least 2 steps")
+    val w = Window.partitionBy(userCol).orderBy(col(tsCol), col(tieCol))
+    val steps = (0 until n).map {
+      case 0 => col(typeCol).as("p0")
+      case i => lead(col(typeCol), i).over(w).as(s"p$i")
+    }
+    events.select(steps: _*)
+      .filter((1 until n).map(i => col(s"p$i").isNotNull).reduce(_ && _))
+      .groupBy((0 until n).map(i => col(s"p$i")): _*)
+      .agg(count(lit(1)).as("n_paths"))
   }
 
   /** Weekly cohort retention: cohort = the ISO-Monday week of a user's

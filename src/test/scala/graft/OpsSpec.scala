@@ -380,6 +380,25 @@ class OpsSpec extends SparkSuite {
     assert(r("signup") == 2L && r("click") == 1L)
   }
 
+  test("pathNgrams counts consecutive runs per user, tie-pinned at equal ts") {
+    import spark.implicits._
+    def ts(sec: Int) = java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(sec))
+    val events = Seq(
+      (1L, ts(1), 100L, "a"), (1L, ts(2), 101L, "b"), (1L, ts(3), 102L, "c"),
+      // user 2 has a,b at the SAME ts: event_id order decides (b first)
+      (2L, ts(1), 201L, "b"), (2L, ts(1), 202L, "a"), (2L, ts(2), 203L, "c")
+    ).toDF("user_id", "ts", "event_id", "event_type")
+    val bi = graft.ops.EventAnalytics.pathNgrams(events, "user_id", "ts",
+        "event_id", "event_type", 2)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(bi == Map(("a", "b") -> 1L, ("b", "c") -> 1L, ("b", "a") -> 1L,
+      ("a", "c") -> 1L))
+    val tri = graft.ops.EventAnalytics.pathNgrams(events, "user_id", "ts",
+        "event_id", "event_type", 3)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)) -> r.getLong(3)).toMap
+    assert(tri == Map(("a", "b", "c") -> 1L, ("b", "a", "c") -> 1L))
+  }
+
   test("weeklyRetention: cohort by first week, offsets count distinct users") {
     import spark.implicits._
     def day(d: String) = // instant-based: immune to the JVM default TZ

@@ -309,6 +309,43 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("rangepartitioning"), p)
   }
 
+  test("q145: diff join carries only (key, fingerprint) — text never shuffles") {
+    val p = finalPlan("q145_snapshot_diff")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("FullOuter"), p)
+    // md5 is computed IN the scan-side projection, so no exchange row type
+    // contains the text column
+    val exchanges = p.split("\n").filter(_.contains("Exchange hashpartitioning"))
+    assert(exchanges.nonEmpty && exchanges.forall(!_.contains("text#")), p)
+  }
+
+  test("q146: funnel reads checkpointed stage states; joins stay user-keyed hash") {
+    val p = finalPlan("q146_funnel")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("ExistingRDD"), p) // localCheckpointed per-stage state
+  }
+
+  test("q147: retention is hash aggregates only — no global sort, no cartesian") {
+    val p = finalPlan("q147_retention")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("rangepartitioning"), p)
+  }
+
+  test("q148: epoch mixing explodes in the scan; rates join by broadcast") {
+    val p = finalPlan("q148_epoch_mix")
+    assert(p.contains("Generate explode"), p) // replication fused, not joined
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q149: path window partitions by user; no cartesian anywhere") {
+    val p = finalPlan("q149_event_paths")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    // the single-partition top-10 window runs on the bounded |vocab|^3
+    // relation AFTER the per-user lead window + hash aggregate
+    assert(p.contains("lead("), p)
+  }
+
   test("AQE splits a skewed sort-merge join at runtime") {
     import spark.implicits._
     val prev = Map(
