@@ -39,7 +39,22 @@ import org.apache.spark.sql.types.StructType
 object ManifestTable {
 
   private val ManifestPrefix = "_manifest."
+  private val StatsPrefix = "_stats."
   private def fmt(v: Long) = f"$v%08d"
+
+  /** Inclusive column-range predicate for [[readPruned]]: rows with
+    * `lo <= col <= hi`. Numeric bounds (and timestamps, as µs) compare in
+    * double space — exact for magnitudes below 2^53, the zone-map norm;
+    * string bounds compare lexically.
+    */
+  final case class ColRange(col: String, lo: Any, hi: Any)
+
+  /** Per-file zone map for one column: [min, max] over every row group, or
+    * allNull when no row group holds a non-null value (such a file can be
+    * pruned by ANY range — NULL never satisfies a range predicate).
+    */
+  private final case class ColZone(tag: Char, minS: String, maxS: String,
+                                   allNull: Boolean)
   private def fsOf(spark: SparkSession, root: String): (FileSystem, Path) = {
     val p = new Path(root)
     (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
@@ -101,6 +116,207 @@ object ManifestTable {
     }
   }
 
+  // ===================== zone maps (file skipping) ======================
+  //
+  // The data-skipping layer every lakehouse format ships (Delta/Iceberg
+  // file stats, parquet row-group pruning writ large): per-file min/max for
+  // chosen columns, harvested from the parquet FOOTERS the write already
+  // produced — O(files) footer reads at commit time, never a second data
+  // scan — published as a `_stats.<dataVersion>` sidecar BEFORE the
+  // manifest rename (so any committed version's stats are complete; a
+  // crash between the two leaves an orphan sidecar the next vacuum
+  // reclaims). At 100 TB this is the difference between "scan 10k files"
+  // and "open the 12 whose key range can intersect the predicate" for any
+  // query with a selective range on a clustered column.
+
+  private def hex(s: String): String =
+    s.getBytes("UTF-8").map(b => f"${b & 0xff}%02x").mkString
+  private def unhex(h: String): String =
+    new String(h.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray, "UTF-8")
+
+  /** Read each parquet file's footer under `vdir` and merge row-group
+    * statistics per requested column. Only top-level scalar columns carry
+    * zone maps (nested paths don't match the dot-name filter).
+    */
+  private def harvestStats(fs: FileSystem, vdir: Path,
+                           statsCols: Seq[String]): Seq[(String, String, ColZone)] = {
+    import scala.jdk.CollectionConverters._
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    val want = statsCols.toSet
+    def files(p: Path): Seq[Path] = fs.listStatus(p).toSeq.flatMap { st =>
+      val n = st.getPath.getName
+      if (n.startsWith("_") || n.startsWith(".")) Nil
+      else if (st.isDirectory) files(st.getPath)
+      else Seq(st.getPath)
+    }
+    // listStatus returns scheme-qualified paths (file:/…) — qualify the
+    // base the same way or the relative-path strip silently no-ops
+    val base = fs.makeQualified(vdir).toString
+    files(vdir).flatMap { f =>
+      val rel = fs.makeQualified(f).toString.stripPrefix(base).stripPrefix("/")
+      val reader = ParquetFileReader.open(
+        HadoopInputFile.fromPath(f, fs.getConf))
+      val chunks =
+        try reader.getFooter.getBlocks.asScala.toSeq
+          .flatMap(_.getColumns.asScala)
+        finally reader.close()
+      chunks.filter(c => want.contains(c.getPath.toDotString))
+        .groupBy(_.getPath.toDotString)
+        .flatMap { case (colName, cs) =>
+          val tag = cs.head.getPrimitiveType.getPrimitiveTypeName match {
+            case INT32 | INT64 => 'L'
+            case FLOAT | DOUBLE => 'D'
+            case BINARY => 'S'
+            case _ => ' ' // INT96/BOOLEAN/FIXED: no zone map
+          }
+          val stats = cs.map(_.getStatistics)
+          if (tag == ' ' || stats.exists(s => s == null || s.isEmpty)) None
+          else if (stats.forall(!_.hasNonNullValue))
+            Some((rel, colName, ColZone(tag, "", "", allNull = true)))
+          else {
+            val nonNull = stats.filter(_.hasNonNullValue)
+            def asStr(v: Any): String = v match {
+              case b: org.apache.parquet.io.api.Binary => b.toStringUsingUTF8
+              case x => x.toString
+            }
+            val mins = nonNull.map(s => asStr(s.genericGetMin))
+            val maxs = nonNull.map(s => asStr(s.genericGetMax))
+            val (mn, mx) = tag match {
+              case 'L' => (mins.map(_.toLong).min.toString, maxs.map(_.toLong).max.toString)
+              case 'D' => (mins.map(_.toDouble).min.toString, maxs.map(_.toDouble).max.toString)
+              case _ => (mins.min, maxs.max)
+            }
+            Some((rel, colName, ColZone(tag, mn, mx, allNull = false)))
+          }
+        }
+    }
+  }
+
+  /** Sidecar line format: `relPathHex \t col \t tag \t allNull \t minHex \t
+    * maxHex` — hex framing so partition values / string bounds can't break
+    * the TSV, and every number rides its locale-free `toString`.
+    */
+  private def writeStats(fs: FileSystem, rootP: Path, dataVersion: Long,
+                         entries: Seq[(String, String, ColZone)]): Unit = {
+    val body = entries.map { case (rel, c, z) =>
+      s"${hex(rel)}\t${hex(c)}\t${z.tag}\t${if (z.allNull) 1 else 0}\t${hex(z.minS)}\t${hex(z.maxS)}"
+    }.mkString("", "\n", "\n")
+    val out = fs.create(new Path(rootP, StatsPrefix + fmt(dataVersion)), true)
+    try out.write(body.getBytes("UTF-8")) finally out.close()
+  }
+
+  /** relPath → (col → zone) of a data version, or None when the version
+    * committed without stats (pruning then falls back to reading it whole).
+    */
+  private def loadStats(fs: FileSystem, rootP: Path,
+                        dataVersion: Long): Option[Map[String, Map[String, ColZone]]] = {
+    val p = new Path(rootP, StatsPrefix + fmt(dataVersion))
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val body =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      Some(body.linesIterator.filter(_.nonEmpty).map { line =>
+        val Array(rel, c, tag, nul, mn, mx) = line.split("\t", 6)
+        (unhex(rel), unhex(c), ColZone(tag.head, unhex(mn), unhex(mx), nul == "1"))
+      }.toSeq.groupBy(_._1).map { case (rel, rows) =>
+        rel -> rows.map(r => r._2 -> r._3).toMap
+      })
+    }
+  }
+
+  /** Can a file with these zones hold a row matching every range? */
+  private def survives(zones: Map[String, ColZone], ranges: Seq[ColRange]): Boolean =
+    ranges.forall { r =>
+      zones.get(r.col) match {
+        case None => true // no zone map for this column: cannot prune
+        case Some(z) if z.allNull => false // NULL never matches a range
+        case Some(z) =>
+          def num(v: Any): Double = v match {
+            case n: Number => n.doubleValue()
+            case t: java.sql.Timestamp => t.getTime * 1000.0 + (t.getNanos % 1000000) / 1000.0
+            case x => throw new IllegalArgumentException(
+              s"range bound for numeric column ${r.col} must be a Number or Timestamp, got $x")
+          }
+          z.tag match {
+            case 'S' =>
+              val (lo, hi) = (r.lo.toString, r.hi.toString)
+              !(z.maxS < lo || z.minS > hi)
+            case 'L' | 'D' =>
+              val (mn, mx) = (z.minS.toDouble, z.maxS.toDouble)
+              !(mx < num(r.lo) || mn > num(r.hi))
+          }
+      }
+    }
+
+  /** `(keptFiles, totalFiles)` the given ranges would leave readable — the
+    * observable pruning effect, for tests and ops telemetry. Counts cover
+    * only versions that HAVE stats; versions without stats read whole and
+    * count as kept.
+    */
+  def pruneCounts(spark: SparkSession, root: String,
+                  ranges: Seq[ColRange]): (Int, Int) = {
+    val (kept, total) = planPrune(spark, root, ranges)._2
+    (kept, total)
+  }
+
+  /** Per data version: either Left(partitionDirs) when no stats exist (dir
+    * read, no pruning) or Right(keptRelPaths); plus (kept, total) counts.
+    */
+  private def planPrune(spark: SparkSession, root: String, ranges: Seq[ColRange])
+      : (Map[Long, Either[Seq[String], Seq[String]]], (Int, Int)) = {
+    val v = currentVersion(spark, root).getOrElse(
+      throw new IllegalStateException(s"manifest table $root has no committed version"))
+    val (fs, rootP) = fsOf(spark, root)
+    val entries = entriesOf(fs, rootP, v)
+    var keptN = 0; var totalN = 0
+    val plan = entries.groupBy(_._2).map { case (dv, parts) =>
+      val partDirs = parts.keys.toSeq.sorted
+      loadStats(fs, rootP, dv) match {
+        case None => dv -> Left(partDirs)
+        case Some(stats) =>
+          val live = stats.keys.toSeq.filter(rel =>
+            partDirs.contains("") || partDirs.exists(p => rel.startsWith(p + "/")))
+          val kept = live.filter(rel => survives(stats(rel), ranges))
+          keptN += kept.size; totalN += live.size
+          dv -> Right(kept.sorted)
+      }
+    }
+    (plan, (keptN, totalN))
+  }
+
+  /** [[read]] with zone-map file skipping: files whose per-column [min,
+    * max] cannot intersect ALL the ranges are never handed to the scan.
+    * The result is a SUPERSET of the matching rows (zone maps prune files,
+    * not rows) — apply the exact predicate on top, as with any data-
+    * skipping layer; with `ranges = Nil` this is exactly [[read]].
+    * Versions committed without stats read whole.
+    */
+  def readPruned(spark: SparkSession, root: String, schema: StructType,
+                 ranges: Seq[ColRange]): DataFrame = {
+    val (plan, _) = planPrune(spark, root, ranges)
+    val relations = plan.toSeq.flatMap { case (dv, sel) =>
+      val base = s"$root/v${fmt(dv)}"
+      sel match {
+        case Left(partDirs) =>
+          if (partDirs == Seq(""))
+            Some(spark.read.schema(schema).parquet(base))
+          else Some(spark.read.option("basePath", base).schema(schema)
+            .parquet(partDirs.map(p => s"$base/$p"): _*))
+        case Right(Nil) => None
+        case Right(files) =>
+          Some(spark.read.option("basePath", base).schema(schema)
+            .parquet(files.map(f => s"$base/$f"): _*))
+      }
+    }
+    if (relations.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    else relations.reduce(_ unionByName _)
+  }
+
   /** Commit `df` as the next version. `partCol = Some(c)`: `df` must hold
     * the FULL content of every partition it touches (the
     * [[graft.ops.Upsert.mergePartitionPruned]] output contract) — untouched
@@ -116,9 +332,15 @@ object ManifestTable {
     * version's partitions (a full-snapshot rewrite — the [[compact]]
     * contract) instead of merging untouched entries from the previous
     * manifest.
+    *
+    * `statsCols`: columns to zone-map for [[readPruned]] file skipping —
+    * harvested from the freshly-written parquet footers (O(files) footer
+    * reads, no data re-scan) and published as a `_stats` sidecar BEFORE
+    * the manifest rename, so stats are complete for every visible version.
     */
   def commit(df: DataFrame, root: String, partCol: Option[String],
-             carryForward: Boolean = true): Long = {
+             carryForward: Boolean = true,
+             statsCols: Seq[String] = Nil): Long = {
     val spark = df.sparkSession
     val (fs, rootP) = fsOf(spark, root)
     val next = currentVersion(spark, root).map(_ + 1).getOrElse(1L)
@@ -139,6 +361,8 @@ object ManifestTable {
         currentVersion(spark, root) // re-listed: still < next by single-writer
           .map(v => entriesOf(fs, rootP, v)).getOrElse(Map.empty[String, Long])
       else Map.empty[String, Long]
+    if (statsCols.nonEmpty)
+      writeStats(fs, rootP, next, harvestStats(fs, vdir, statsCols))
     val merged = prev ++ touched
     val body = merged.toSeq.sortBy(_._1)
       .map { case (n, dv) => s"$n\t$dv" }.mkString("", "\n", "\n")
@@ -168,7 +392,8 @@ object ManifestTable {
     * single-writer contract covers it like every other commit.
     */
   def compact(spark: SparkSession, root: String, schema: StructType,
-              partCol: Option[String], filesPerPartition: Int = 1): Long = {
+              partCol: Option[String], filesPerPartition: Int = 1,
+              statsCols: Seq[String] = Nil): Long = {
     require(filesPerPartition >= 1, s"filesPerPartition=$filesPerPartition")
     import org.apache.spark.sql.functions._
     val df = read(spark, root, schema)
@@ -179,7 +404,7 @@ object ManifestTable {
           lit(filesPerPartition.toLong)))
       case None => df.repartition(filesPerPartition)
     }
-    commit(out, root, partCol, carryForward = false)
+    commit(out, root, partCol, carryForward = false, statsCols = statsCols)
   }
 
   /** Reclaim data versions no entry of the CURRENT manifest references and
@@ -199,6 +424,8 @@ object ManifestTable {
           fs.delete(st.getPath, true)
         else if (n.startsWith(ManifestPrefix) && n.stripPrefix(ManifestPrefix).toLong < cur)
           fs.delete(st.getPath, false)
+        else if (n.startsWith(StatsPrefix) && !live.contains(n.stripPrefix(StatsPrefix).toLong))
+          fs.delete(st.getPath, false) // zone maps of reclaimed data versions
         else if (n.startsWith(".manifest-") && n.endsWith(".tmp"))
           fs.delete(st.getPath, false)
       }

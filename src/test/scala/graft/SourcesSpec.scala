@@ -526,6 +526,89 @@ class SourcesSpec extends SparkSuite {
       .as[(Long, String)].collect().toSet == before)
   }
 
+  test("ManifestTable zone maps: range prunes files; pruned read == filtered full read") {
+    import spark.implicits._
+    import graft.sources.ManifestTable
+    import graft.sources.ManifestTable.ColRange
+    val root = java.nio.file.Files.createTempDirectory("manzm").toString + "/t"
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("s", org.apache.spark.sql.types.StringType)))
+    // range-partitioned write → files carry disjoint id ranges, the
+    // clustered layout zone maps exist for
+    val df = (0L until 10000L).map(i => (i, f"k$i%05d")).toDF("id", "s")
+      .repartitionByRange(8, col("id"))
+    ManifestTable.commit(df, root, partCol = None, statsCols = Seq("id", "s"))
+    val (kept, total) = ManifestTable.pruneCounts(spark, root,
+      Seq(ColRange("id", 100L, 200L)))
+    assert(total >= 8 && kept >= 1 && kept < total, s"kept=$kept total=$total")
+    val pruned = ManifestTable.readPruned(spark, root, schema,
+        Seq(ColRange("id", 100L, 200L)))
+      .filter(col("id").between(100, 200)).as[(Long, String)].collect().toSet
+    val full = ManifestTable.read(spark, root, schema)
+      .filter(col("id").between(100, 200)).as[(Long, String)].collect().toSet
+    assert(pruned == full && full.size == 101)
+    // string zone maps prune too, and no-range readPruned == read
+    val (keptS, totalS) = ManifestTable.pruneCounts(spark, root,
+      Seq(ColRange("s", "k00100", "k00200")))
+    assert(keptS < totalS && keptS >= 1, s"keptS=$keptS totalS=$totalS")
+    assert(ManifestTable.readPruned(spark, root, schema, Nil).count() == 10000L)
+  }
+
+  test("ManifestTable zone maps: stats-less versions read whole; all-NULL prunes everything") {
+    import spark.implicits._
+    import graft.sources.ManifestTable
+    import graft.sources.ManifestTable.ColRange
+    val root = java.nio.file.Files.createTempDirectory("manzm2").toString + "/t"
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("p", org.apache.spark.sql.types.StringType)))
+    // v1 (p=a) commits WITHOUT stats; v2 (p=b) with stats. Pruning must
+    // fall back to reading v1 whole while still skipping inside v2.
+    ManifestTable.commit(Seq((5L, "a")).toDF("id", "p"), root, Some("p"))
+    ManifestTable.commit((0L until 1000L).map(i => (i, "b")).toDF("id", "p")
+      .repartitionByRange(4, col("id")), root, Some("p"), statsCols = Seq("id"))
+    val r = ManifestTable.readPruned(spark, root, schema,
+        Seq(ColRange("id", 0L, 10L)))
+      .filter(col("id") <= 10).as[(Long, String)].collect().toSet
+    assert(r == ((0L to 10L).map((_, "b")).toSet + ((5L, "a"))))
+    val (kept, total) = ManifestTable.pruneCounts(spark, root,
+      Seq(ColRange("id", 0L, 10L)))
+    assert(total >= 4 && kept == 1, s"kept=$kept total=$total") // v2 files only
+    // an all-NULL column can never satisfy a range: every stats-bearing
+    // file is skipped
+    val root2 = java.nio.file.Files.createTempDirectory("manzm3").toString + "/t"
+    ManifestTable.commit(Seq((1L, null: String), (2L, null: String))
+      .toDF("id", "s"), root2, partCol = None, statsCols = Seq("s"))
+    val schema2 = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("s", org.apache.spark.sql.types.StringType)))
+    assert(ManifestTable.readPruned(spark, root2, schema2,
+      Seq(ColRange("s", "a", "z"))).count() == 0L)
+  }
+
+  test("ManifestTable zone maps: vacuum reclaims dead sidecars, keeps live ones") {
+    import spark.implicits._
+    import graft.sources.ManifestTable
+    import graft.sources.ManifestTable.ColRange
+    val root = java.nio.file.Files.createTempDirectory("manzm4").toString + "/t"
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("p", org.apache.spark.sql.types.StringType)))
+    ManifestTable.commit((0L until 100L).map(i => (i, s"p${i % 2}"))
+      .toDF("id", "p"), root, Some("p"), statsCols = Seq("id"))
+    ManifestTable.compact(spark, root, schema, Some("p"), statsCols = Seq("id"))
+    ManifestTable.vacuum(spark, root)
+    assert(!new java.io.File(s"$root/_stats.00000001").exists())
+    assert(new java.io.File(s"$root/_stats.00000002").exists())
+    // pruning still functional on the surviving snapshot
+    val (kept, total) = ManifestTable.pruneCounts(spark, root,
+      Seq(ColRange("id", 0L, 1L)))
+    assert(total >= 2 && kept >= 1, s"kept=$kept total=$total")
+    assert(ManifestTable.readPruned(spark, root, schema,
+      Seq(ColRange("id", 0L, 1L))).filter(col("id") <= 1).count() == 2L)
+  }
+
   test("queries registry and oracle map stay consistent") {
     // every oracle refers to a registered query; both maps non-trivial
     assert(Queries.oracleSql.keySet.subsetOf(Queries.queries.keySet))
