@@ -226,7 +226,8 @@ object Dispatch {
           checkpoint: String, docSchema: StructType,
           promote: DataFrame => DataFrame, rawKey: String, mergeKey: String,
           tieCol: String,
-          trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+          trigger: Trigger = Trigger.AvailableNow(),
+          statsCols: Seq[String] = Nil): StreamingQuery = {
     import graft.sources.ManifestTable
     fileCdcSource(spark, envelopeDir).writeStream
       .option("checkpointLocation", checkpoint)
@@ -240,7 +241,8 @@ object Dispatch {
             spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
               schema)
         val merged = applyBatch(target, batch, docSchema, promote, rawKey, mergeKey, tieCol)
-        ManifestTable.commit(merged, targetPath, partCol = None)
+        ManifestTable.commit(merged, targetPath, partCol = None,
+          statsCols = statsCols)
         ManifestTable.vacuum(spark, targetPath)
         ()
       }
@@ -275,7 +277,8 @@ object Dispatch {
                      checkpoint: String, docSchema: StructType,
                      promote: DataFrame => DataFrame, rawKey: String,
                      mergeKey: String, tieCol: String, partCol: String,
-                     trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+                     trigger: Trigger = Trigger.AvailableNow(),
+                     statsCols: Seq[String] = Nil): StreamingQuery = {
     import graft.sources.ManifestTable
     fileCdcSource(spark, envelopeDir).writeStream
       .option("checkpointLocation", checkpoint)
@@ -284,11 +287,13 @@ object Dispatch {
         val schema = promoteSchema(spark, docSchema, promote)
         val deduped = promote(upsertLeg(batch, docSchema, rawKey, tieCol))
         if (!ManifestTable.exists(spark, targetPath)) {
-          ManifestTable.commit(deduped, targetPath, Some(partCol))
+          ManifestTable.commit(deduped, targetPath, Some(partCol),
+            statsCols = statsCols)
         } else {
           val target = ManifestTable.read(spark, targetPath, schema)
           val merged = Upsert.mergePartitionPruned(target, deduped, mergeKey, partCol)
-          ManifestTable.commit(merged, targetPath, Some(partCol))
+          ManifestTable.commit(merged, targetPath, Some(partCol),
+            statsCols = statsCols)
           ManifestTable.vacuum(spark, targetPath)
         }
         ()

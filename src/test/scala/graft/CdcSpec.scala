@@ -410,6 +410,33 @@ class CdcSpec extends SparkSuite {
     assert(new java.io.File(s"$tgt/v00000002/p=x").exists())
   }
 
+  test("CDC commits publish zone maps: point-lookup range prunes the target's files") {
+    import spark.implicits._
+    val partSchema = StructType(Seq(
+      StructField("id", StringType), StructField("p", StringType),
+      StructField("v", LongType)))
+    val dir = Files.createTempDirectory("cdc-zm-env").toFile
+    val tgt = Files.createTempDirectory("cdc-zm-tgt").toFile.getAbsolutePath + "/target"
+    val ckpt = Files.createTempDirectory("cdc-zm-ckpt").toFile.getAbsolutePath
+    Files.write(new java.io.File(dir, "b1.json").toPath,
+      (0 until 8).map(i =>
+        s"""{"operationType":"insert","documentKey":"k$i","fullDocument":"{\\"id\\":\\"k$i\\",\\"p\\":\\"p${i % 4}\\",\\"v\\":$i}","clusterTime":"2024-01-01T00:00:0$i.000Z"}"""
+      ).mkString("\n").getBytes("UTF-8"))
+    val q = graft.cdc.Dispatch.runPartitioned(spark, dir.getAbsolutePath, tgt, ckpt,
+      partSchema, identity, "id", "id", "v", partCol = "p",
+      statsCols = Seq("v"))
+    q.awaitTermination(60000)
+    // the merge commit wrote its sidecar; a v-range lookup skips the
+    // partitions' files whose zone can't match
+    val (kept, total) = graft.sources.ManifestTable.pruneCounts(spark, tgt,
+      Seq(graft.sources.ManifestTable.ColRange("v", 6L, 7L)))
+    assert(total >= 4 && kept < total && kept >= 1, s"kept=$kept total=$total")
+    val rows = graft.sources.ManifestTable.readPruned(spark, tgt, partSchema,
+        Seq(graft.sources.ManifestTable.ColRange("v", 6L, 7L)))
+      .filter(col("v") >= 6).select("id").as[String].collect().toSet
+    assert(rows == Set("k6", "k7"))
+  }
+
   test("manifest commit is atomic: a crash mid-commit leaves the OLD snapshot readable") {
     import spark.implicits._
     val partSchema = StructType(Seq(
