@@ -3676,7 +3676,56 @@ object Queries {
       r AS (SELECT *, row_number() OVER (ORDER BY n_paths DESC, p0, p1, p2)
           AS rnk FROM g)
       SELECT p0, p1, p2, n_paths, CAST(rnk AS INTEGER) AS rank
-      FROM r WHERE rnk <= 10"""))
+      FROM r WHERE rnk <= 10""")),
+
+    // Exact Pearson correlation matrix in ONE pass: the aggregate collects
+    // n/Σx/Σx²/Σxy through decimal routing, so the matrix is a pure
+    // function of the row multiset — built-in corr() is accumulation-order
+    // dependent and can't be oracled. One fixed-size model row; the pairs
+    // explode out of it without a second scan.
+    ("q150_corr_matrix", (s: SparkSession, d: String) => {
+      graft.ops.Stats.corrMatrix(t(s, d, "lineitem"),
+        Seq("l_quantity", "l_extendedprice", "l_discount"))
+    }, Some("""WITH a AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS s_q,
+        CAST(SUM(CAST(l_quantity*l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS ss_q,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS s_p,
+        CAST(SUM(CAST(l_extendedprice*l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS ss_p,
+        CAST(SUM(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) AS s_d,
+        CAST(SUM(CAST(l_discount*l_discount AS DECIMAL(18,6))) AS DOUBLE) AS ss_d,
+        CAST(SUM(CAST(l_quantity*l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sp_qp,
+        CAST(SUM(CAST(l_quantity*l_discount AS DECIMAL(18,6))) AS DOUBLE) AS sp_qd,
+        CAST(SUM(CAST(l_extendedprice*l_discount AS DECIMAL(18,6))) AS DOUBLE) AS sp_pd
+        FROM lineitem)
+      SELECT 'l_quantity' AS col_x, 'l_extendedprice' AS col_y,
+        floor((n*sp_qp - s_q*s_p)
+          / (sqrt(n*ss_q - s_q*s_q) * sqrt(n*ss_p - s_p*s_p))
+          * 1000000.0 + 0.5) / 1000000.0 AS corr FROM a
+      UNION ALL SELECT 'l_quantity', 'l_discount',
+        floor((n*sp_qd - s_q*s_d)
+          / (sqrt(n*ss_q - s_q*s_q) * sqrt(n*ss_d - s_d*s_d))
+          * 1000000.0 + 0.5) / 1000000.0 FROM a
+      UNION ALL SELECT 'l_extendedprice', 'l_discount',
+        floor((n*sp_pd - s_p*s_d)
+          / (sqrt(n*ss_p - s_p*s_p) * sqrt(n*ss_d - s_d*s_d))
+          * 1000000.0 + 0.5) / 1000000.0 FROM a""")),
+
+    // Equi-width histogram (the profiling companion to q83): one min/max
+    // aggregate broadcast into the scan, one bounded k-row count — the top
+    // edge closes into the last bucket, bounds derived from the SAME stats
+    // row so they replay bit-identically.
+    ("q151_histogram", (s: SparkSession, d: String) => {
+      graft.ops.Stats.histogram(t(s, d, "orders"), "o_totalprice", 16)
+    }, Some("""WITH st AS (SELECT min(CAST(o_totalprice AS DOUBLE)) AS m,
+          max(CAST(o_totalprice AS DOUBLE)) AS mx FROM orders),
+      b AS (SELECT CASE WHEN mx = m THEN 0
+          ELSE least(15, CAST(floor((CAST(o_totalprice AS DOUBLE) - m)
+            / (mx - m) * 16) AS INTEGER)) END AS bucket, m, mx
+        FROM orders, st),
+      g AS (SELECT bucket, m, mx, CAST(count(*) AS BIGINT) AS n
+        FROM b GROUP BY bucket, m, mx)
+      SELECT bucket, m + bucket * (mx - m) / 16 AS lo,
+        m + (bucket + 1) * (mx - m) / 16 AS hi, n FROM g"""))
   )
 
   /** The BM25 replay shared by q72/q123 — postings, df, dl, corpus stats,

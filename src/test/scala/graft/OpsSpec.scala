@@ -321,6 +321,34 @@ class OpsSpec extends SparkSuite {
     // structure -> identical UNITS, exactly (integer arithmetic)
   }
 
+  test("corrMatrix: linear pairs hit ±1 exactly; result invariant to partitioning") {
+    import spark.implicits._
+    val df = (1L to 1000L).map(i => (i.toDouble, 2.0 * i + 3, 500.0 - i))
+      .toDF("x", "y", "z")
+    val r = graft.ops.Stats.corrMatrix(df, Seq("x", "y", "z"))
+      .collect().map(q => (q.getString(0), q.getString(1)) -> q.getDouble(2)).toMap
+    assert(r(("x", "y")) == 1.0 && r(("x", "z")) == -1.0 && r(("y", "z")) == -1.0)
+    // decimal routing: same bits no matter how the rows are partitioned
+    val r1 = graft.ops.Stats.corrMatrix(df.repartition(7), Seq("x", "y", "z"))
+      .collect().map(q => (q.getString(0), q.getString(1)) -> q.getDouble(2)).toMap
+    assert(r1 == r)
+  }
+
+  test("histogram: equi-width buckets, closed top edge, constant column degenerates") {
+    import spark.implicits._
+    val df = (0 until 16).map(_.toDouble).toDF("v")
+    val h = graft.ops.Stats.histogram(df, "v", 4)
+      .collect().map(r => r.getInt(0) -> (r.getDouble(1), r.getDouble(2), r.getLong(3)))
+      .toMap
+    assert(h.keySet == Set(0, 1, 2, 3))
+    // v=15 (the max) closes into bucket 3, so the last bucket holds 4 too
+    assert(h.values.map(_._3).toSeq.sorted == Seq(4L, 4L, 4L, 4L))
+    assert(h(0)._1 == 0.0 && h(3)._2 == 15.0)
+    val const = graft.ops.Stats.histogram(Seq(7.0, 7.0, 7.0).toDF("v"), "v", 4)
+      .collect()
+    assert(const.length == 1 && const.head.getInt(0) == 0 && const.head.getLong(3) == 3L)
+  }
+
   test("snapshotDiff classifies added/removed/changed and hides unchanged") {
     import spark.implicits._
     val oldV = Seq((1L, "a", "x"), (2L, "b", "y"), (3L, "c", "z"))
