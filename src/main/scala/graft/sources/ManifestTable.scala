@@ -407,6 +407,64 @@ object ManifestTable {
     commit(out, root, partCol, carryForward = false, statsCols = statsCols)
   }
 
+  /** OPTIMIZE ZORDER — multi-column clustering compaction: rewrite the
+    * current snapshot ordered along a Z-curve over `zorderBy`, so the
+    * [[readPruned]] zone maps become selective on EVERY listed column at
+    * once (a linear sort clusters one column and leaves the others
+    * shuffled; the space-filling curve gives each file a tight bounding
+    * box in all dimensions — the Delta/Iceberg `OPTIMIZE ZORDER BY`
+    * mechanism).
+    *
+    * Each column is quantized to a 16-bit rank against its observed
+    * [min, max] (one stats aggregate, broadcast — the histogram shape),
+    * the ranks bit-interleave into the Z-value, and a range repartition on
+    * (partition, z) hands every output file a contiguous Z-interval:
+    * range boundaries come from Spark's reservoir sampling, so hot
+    * partitions get proportionally more files while file SIZES stay
+    * bounded by `targetFiles` overall. Zone maps for `zorderBy` (plus
+    * `statsCols`) publish with the commit; `carryForward = false` as in
+    * [[compact]], so compact-then-vacuum reclaims the fragmented layout.
+    *
+    * Numeric/timestamp columns only (quantization needs an order-preserving
+    * cast to double).
+    */
+  def compactZOrder(spark: SparkSession, root: String, schema: StructType,
+                    partCol: Option[String], zorderBy: Seq[String],
+                    targetFiles: Int, statsCols: Seq[String] = Nil): Long = {
+    require(zorderBy.nonEmpty && zorderBy.size <= 3,
+      s"zorderBy must hold 1-3 columns (3×16 bits keeps z positive), got ${zorderBy.size}")
+    require(targetFiles >= 1, s"targetFiles=$targetFiles")
+    import org.apache.spark.sql.functions._
+    val df = read(spark, root, schema)
+    val aggs = zorderBy.flatMap(c => Seq(
+      min(col(c).cast("double")).as(s"mn_$c"),
+      max(col(c).cast("double")).as(s"mx_$c")))
+    val statsRow = df.agg(aggs.head, aggs.tail: _*)
+    val k = zorderBy.size
+    val withStats = df.crossJoin(broadcast(statsRow))
+    // 16-bit rank per column: NULL at 0, values in [1, 65535]
+    val quant = zorderBy.map { c =>
+      val x = col(c).cast("double")
+      val span = col(s"mx_$c") - col(s"mn_$c")
+      coalesce(when(span === 0d, lit(0L)).otherwise(
+        least(lit(65534L), floor((x - col(s"mn_$c")) / span * 65535d))), lit(-1L)) + 1L
+    }
+    val z = (0 until 16).flatMap { b =>
+      quant.zipWithIndex.map { case (q, i) =>
+        shiftleft(shiftright(q, b).bitwiseAND(lit(1L)), b * k + i)
+      }
+    }.reduce(_ + _) // bit positions are disjoint: sum == OR
+    val keyed = withStats.withColumn("__z", z)
+    val ranged = partCol match {
+      case Some(pc) => keyed.repartitionByRange(targetFiles, col(pc), col("__z"))
+      case None => keyed.repartitionByRange(targetFiles, col("__z"))
+    }
+    val out = ranged.sortWithinPartitions(col("__z"))
+      .select(schema.fieldNames.map(col).toSeq: _*)
+    commit(out, root, partCol, carryForward = false,
+      statsCols = (zorderBy ++ statsCols).distinct)
+  }
+
   /** Reclaim data versions no entry of the CURRENT manifest references and
     * manifests older than the current one (plus stray commit temp files) —
     * bounded retention for a long-lived table. Safe under the single-writer

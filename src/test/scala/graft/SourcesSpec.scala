@@ -609,6 +609,44 @@ class SourcesSpec extends SparkSuite {
       Seq(ColRange("id", 0L, 1L))).filter(col("id") <= 1).count() == 2L)
   }
 
+  test("compactZOrder: zone maps prune on BOTH dimensions after one rewrite") {
+    import spark.implicits._
+    import graft.sources.ManifestTable
+    import graft.sources.ManifestTable.ColRange
+    val root = java.nio.file.Files.createTempDirectory("manzo").toString + "/t"
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("a", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("b", org.apache.spark.sql.types.LongType)))
+    // two independent dimensions on a uniform grid — a linear sort can
+    // cluster at most one of them
+    val df = (0 until 20000).map(i => (i.toLong, (i / 141).toLong, (i % 141).toLong))
+      .toDF("id", "a", "b")
+    ManifestTable.commit(df.repartition(4), root, partCol = None)
+    ManifestTable.compactZOrder(spark, root, schema, None, Seq("a", "b"),
+      targetFiles = 16)
+    // row-identical snapshot
+    assert(ManifestTable.readPruned(spark, root, schema, Nil)
+      .as[(Long, Long, Long)].collect().toSet ==
+      df.as[(Long, Long, Long)].collect().toSet)
+    // a narrow range in EITHER dimension skips at least half the files —
+    // the Z-curve's bounding-box property
+    val (ka, ta) = ManifestTable.pruneCounts(spark, root, Seq(ColRange("a", 0L, 8L)))
+    val (kb, tb) = ManifestTable.pruneCounts(spark, root, Seq(ColRange("b", 0L, 8L)))
+    assert(ta == 16 && tb == 16, s"ta=$ta tb=$tb")
+    assert(ka <= 8 && ka >= 1, s"ka=$ka")
+    assert(kb <= 8 && kb >= 1, s"kb=$kb")
+    // the conjunctive box prunes harder than either dimension alone
+    val (kab, _) = ManifestTable.pruneCounts(spark, root,
+      Seq(ColRange("a", 0L, 8L), ColRange("b", 0L, 8L)))
+    assert(kab <= 4, s"kab=$kab")
+    // pruned + filtered == full + filtered on the 2-d box
+    val boxed = ManifestTable.readPruned(spark, root, schema,
+        Seq(ColRange("a", 0L, 8L), ColRange("b", 0L, 8L)))
+      .filter(col("a") <= 8 && col("b") <= 8).count()
+    assert(boxed == df.filter(col("a") <= 8 && col("b") <= 8).count())
+  }
+
   test("queries registry and oracle map stay consistent") {
     // every oracle refers to a registered query; both maps non-trivial
     assert(Queries.oracleSql.keySet.subsetOf(Queries.queries.keySet))
