@@ -252,21 +252,119 @@ object ManifestTable {
       }
     }
 
+  // ------------------------- bloom sidecars ---------------------------
+  //
+  // Zone maps prune RANGES on clustered columns; they are blind to point
+  // lookups on an unclustered high-cardinality key (every file's [min,max]
+  // spans the whole domain). Per-file Bloom filters are the standard
+  // complement (Delta bloom indexes, parquet bloom filters lifted to FILE
+  // granularity): k md5-derived bit positions per key, OR-ed per file, so
+  // `key = x` skips every file whose filter provably lacks x. Harvest is
+  // one scan of the JUST-WRITTEN version (O(commit), never O(table)),
+  // aggregated as (file, word) bit_or — map-side combinable, bounded by
+  // files × m/64 rows.
+
+  private val BloomPrefix = "_bloom."
+  private val BloomBits = 8192 // m: bits per (file, column) filter
+  private val BloomHashes = 4 // k
+
+  /** k Kirsch-Mitzenmacher positions `(h1 + i·h2) mod m` from md5 of the
+    * value's string form — the portable two-hash scheme the minhash family
+    * already relies on.
+    */
+  private def bloomPositions(v: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    val h1 = conv(substring(md5(v), 1, 8), 16, 10).cast("long")
+    val h2 = conv(substring(md5(v), 9, 8), 16, 10).cast("long")
+    array((0 until BloomHashes).map(i => pmod(h1 + lit(i.toLong) * h2, lit(BloomBits.toLong))): _*)
+  }
+
+  private def harvestBlooms(spark: SparkSession, fs: FileSystem, vdir: Path,
+                            bloomCols: Seq[String]): Seq[(String, String, Array[Long])] = {
+    import org.apache.spark.sql.functions._
+    // input_file_name() and makeQualified render the scheme differently
+    // (file:/// vs file:/) — compare scheme-free URI paths
+    val base = new Path(fs.makeQualified(vdir).toString).toUri.getPath
+    val df = spark.read.parquet(vdir.toString)
+    bloomCols.flatMap { c =>
+      val words = df.select(input_file_name().as("f"), col(c).cast("string").as("v"))
+        .filter(col("v").isNotNull)
+        .select(col("f"), explode(bloomPositions(col("v"))).as("pos"))
+        .select(col("f"), (col("pos") / 64).cast("int").as("w"),
+          expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))").as("mask"))
+        .groupBy("f", "w").agg(expr("bit_or(mask)").as("bits"))
+        .collect()
+      words.groupBy(_.getString(0)).map { case (file, rows) =>
+        val arr = new Array[Long](BloomBits / 64)
+        rows.foreach(r => arr(r.getInt(1)) = r.getLong(2))
+        val rel = new Path(file).toUri.getPath.stripPrefix(base).stripPrefix("/")
+        (rel, c, arr)
+      }
+    }
+  }
+
+  private def writeBlooms(fs: FileSystem, rootP: Path, dataVersion: Long,
+                          blooms: Seq[(String, String, Array[Long])]): Unit = {
+    val body = blooms.map { case (rel, c, arr) =>
+      s"${hex(rel)}\t${hex(c)}\t${arr.map(w => f"$w%016x").mkString}"
+    }.mkString("", "\n", "\n")
+    val out = fs.create(new Path(rootP, BloomPrefix + fmt(dataVersion)), true)
+    try out.write(body.getBytes("UTF-8")) finally out.close()
+  }
+
+  /** relPath → (col → filter words) for a data version, None when the
+    * version committed without blooms.
+    */
+  private def loadBlooms(fs: FileSystem, rootP: Path,
+                         dataVersion: Long): Option[Map[String, Map[String, Array[Long]]]] = {
+    val p = new Path(rootP, BloomPrefix + fmt(dataVersion))
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val body =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      Some(body.linesIterator.filter(_.nonEmpty).map { line =>
+        val Array(rel, c, bits) = line.split("\t", 3)
+        val arr = bits.grouped(16).map(java.lang.Long.parseUnsignedLong(_, 16)).toArray
+        (unhex(rel), unhex(c), arr)
+      }.toSeq.groupBy(_._1).map { case (rel, rows) =>
+        rel -> rows.map(r => r._2 -> r._3).toMap
+      })
+    }
+  }
+
+  /** Driver-side replay of [[bloomPositions]] on a point value. */
+  private def pointPositions(value: Any): Seq[Int] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hx = md.digest(String.valueOf(value).getBytes("UTF-8"))
+      .map(b => f"${b & 0xff}%02x").mkString
+    val h1 = java.lang.Long.parseLong(hx.substring(0, 8), 16)
+    val h2 = java.lang.Long.parseLong(hx.substring(8, 16), 16)
+    (0 until BloomHashes).map(i => (((h1 + i.toLong * h2) % BloomBits + BloomBits) % BloomBits).toInt)
+  }
+
+  private def bloomMightContain(arr: Array[Long], value: Any): Boolean =
+    pointPositions(value).forall(p => (arr(p / 64) & (1L << (p % 64))) != 0)
+
   /** `(keptFiles, totalFiles)` the given ranges would leave readable — the
     * observable pruning effect, for tests and ops telemetry. Counts cover
     * only versions that HAVE stats; versions without stats read whole and
     * count as kept.
     */
-  def pruneCounts(spark: SparkSession, root: String,
-                  ranges: Seq[ColRange]): (Int, Int) = {
-    val (kept, total) = planPrune(spark, root, ranges)._2
+  def pruneCounts(spark: SparkSession, root: String, ranges: Seq[ColRange],
+                  points: Seq[(String, Any)] = Nil): (Int, Int) = {
+    val (kept, total) = planPrune(spark, root, ranges, points)._2
     (kept, total)
   }
 
-  /** Per data version: either Left(partitionDirs) when no stats exist (dir
-    * read, no pruning) or Right(keptRelPaths); plus (kept, total) counts.
+  /** Per data version: either Left(partitionDirs) when no sidecar exists
+    * (dir read, no pruning) or Right(keptRelPaths); plus (kept, total)
+    * counts. A file survives when its zone maps can intersect every range
+    * AND its Bloom filters might contain every point.
     */
-  private def planPrune(spark: SparkSession, root: String, ranges: Seq[ColRange])
+  private def planPrune(spark: SparkSession, root: String, ranges: Seq[ColRange],
+                        points: Seq[(String, Any)])
       : (Map[Long, Either[Seq[String], Seq[String]]], (Int, Int)) = {
     val v = currentVersion(spark, root).getOrElse(
       throw new IllegalStateException(s"manifest table $root has no committed version"))
@@ -275,14 +373,25 @@ object ManifestTable {
     var keptN = 0; var totalN = 0
     val plan = entries.groupBy(_._2).map { case (dv, parts) =>
       val partDirs = parts.keys.toSeq.sorted
-      loadStats(fs, rootP, dv) match {
-        case None => dv -> Left(partDirs)
-        case Some(stats) =>
-          val live = stats.keys.toSeq.filter(rel =>
-            partDirs.contains("") || partDirs.exists(p => rel.startsWith(p + "/")))
-          val kept = live.filter(rel => survives(stats(rel), ranges))
-          keptN += kept.size; totalN += live.size
-          dv -> Right(kept.sorted)
+      val stats = loadStats(fs, rootP, dv)
+      val blooms = loadBlooms(fs, rootP, dv)
+      if (stats.isEmpty && blooms.isEmpty) dv -> Left(partDirs)
+      else {
+        val fileList = stats.map(_.keySet).getOrElse(Set.empty) ++
+          blooms.map(_.keySet).getOrElse(Set.empty)
+        val live = fileList.toSeq.filter(rel =>
+          partDirs.contains("") || partDirs.exists(p => rel.startsWith(p + "/")))
+        val kept = live.filter { rel =>
+          val zoneOk = stats.flatMap(_.get(rel))
+            .forall(z => survives(z, ranges))
+          val bloomOk = points.forall { case (c, value) =>
+            blooms.flatMap(_.get(rel)).flatMap(_.get(c))
+              .forall(arr => bloomMightContain(arr, value))
+          }
+          zoneOk && bloomOk
+        }
+        keptN += kept.size; totalN += live.size
+        dv -> Right(kept.sorted)
       }
     }
     (plan, (keptN, totalN))
@@ -296,8 +405,9 @@ object ManifestTable {
     * Versions committed without stats read whole.
     */
   def readPruned(spark: SparkSession, root: String, schema: StructType,
-                 ranges: Seq[ColRange]): DataFrame = {
-    val (plan, _) = planPrune(spark, root, ranges)
+                 ranges: Seq[ColRange],
+                 points: Seq[(String, Any)] = Nil): DataFrame = {
+    val (plan, _) = planPrune(spark, root, ranges, points)
     val relations = plan.toSeq.flatMap { case (dv, sel) =>
       val base = s"$root/v${fmt(dv)}"
       sel match {
@@ -337,10 +447,15 @@ object ManifestTable {
     * harvested from the freshly-written parquet footers (O(files) footer
     * reads, no data re-scan) and published as a `_stats` sidecar BEFORE
     * the manifest rename, so stats are complete for every visible version.
+    *
+    * `bloomCols`: columns to Bloom-index per file for point-lookup
+    * skipping — one scan of the JUST-written version (O(commit) I/O),
+    * published as a `_bloom` sidecar under the same ordering guarantee.
     */
   def commit(df: DataFrame, root: String, partCol: Option[String],
              carryForward: Boolean = true,
-             statsCols: Seq[String] = Nil): Long = {
+             statsCols: Seq[String] = Nil,
+             bloomCols: Seq[String] = Nil): Long = {
     val spark = df.sparkSession
     val (fs, rootP) = fsOf(spark, root)
     val next = currentVersion(spark, root).map(_ + 1).getOrElse(1L)
@@ -363,6 +478,8 @@ object ManifestTable {
       else Map.empty[String, Long]
     if (statsCols.nonEmpty)
       writeStats(fs, rootP, next, harvestStats(fs, vdir, statsCols))
+    if (bloomCols.nonEmpty)
+      writeBlooms(fs, rootP, next, harvestBlooms(spark, fs, vdir, bloomCols))
     val merged = prev ++ touched
     val body = merged.toSeq.sortBy(_._1)
       .map { case (n, dv) => s"$n\t$dv" }.mkString("", "\n", "\n")
@@ -484,6 +601,8 @@ object ManifestTable {
           fs.delete(st.getPath, false)
         else if (n.startsWith(StatsPrefix) && !live.contains(n.stripPrefix(StatsPrefix).toLong))
           fs.delete(st.getPath, false) // zone maps of reclaimed data versions
+        else if (n.startsWith(BloomPrefix) && !live.contains(n.stripPrefix(BloomPrefix).toLong))
+          fs.delete(st.getPath, false) // bloom sidecars of reclaimed versions
         else if (n.startsWith(".manifest-") && n.endsWith(".tmp"))
           fs.delete(st.getPath, false)
       }

@@ -647,6 +647,44 @@ class SourcesSpec extends SparkSuite {
     assert(boxed == df.filter(col("a") <= 8 && col("b") <= 8).count())
   }
 
+  test("bloom sidecars: point lookups skip files zone maps cannot") {
+    import spark.implicits._
+    import graft.sources.ManifestTable
+    import graft.sources.ManifestTable.ColRange
+    val root = java.nio.file.Files.createTempDirectory("manbl").toString + "/t"
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("v", org.apache.spark.sql.types.LongType)))
+    // round-robin distribution: every file's [min,max] id range spans the
+    // whole domain, so zone maps are blind here — the bloom's home turf
+    val df = (0 until 20000).map(i => (s"k$i", i.toLong)).toDF("id", "v")
+      .repartition(16)
+    ManifestTable.commit(df, root, partCol = None,
+      statsCols = Seq("id"), bloomCols = Seq("id"))
+    val (kz, tz) = ManifestTable.pruneCounts(spark, root,
+      Seq(ColRange("id", "k12345", "k12345")))
+    assert(tz == 16 && kz == 16, s"zone maps should be blind: kz=$kz tz=$tz")
+    // the bloom pin-points the key's file (± the ~4% false-positive tail)
+    val (kb, tb) = ManifestTable.pruneCounts(spark, root, Nil,
+      points = Seq(("id", "k12345")))
+    assert(tb == 16 && kb <= 4 && kb >= 1, s"kb=$kb tb=$tb")
+    val hit = ManifestTable.readPruned(spark, root, schema, Nil,
+        points = Seq(("id", "k12345")))
+      .filter(col("id") === "k12345").as[(String, Long)].collect().toSeq
+    assert(hit == Seq(("k12345", 12345L)))
+    // an absent key prunes (almost) everything and finds nothing — blooms
+    // have no false negatives, so correctness never depends on the filter
+    val (km, _) = ManifestTable.pruneCounts(spark, root, Nil,
+      points = Seq(("id", "definitely-not-here")))
+    assert(km <= 4, s"km=$km")
+    assert(ManifestTable.readPruned(spark, root, schema, Nil,
+      points = Seq(("id", "definitely-not-here")))
+      .filter(col("id") === "definitely-not-here").count() == 0L)
+    // vacuum keeps the live bloom sidecar
+    ManifestTable.vacuum(spark, root)
+    assert(new java.io.File(s"$root/_bloom.00000001").exists())
+  }
+
   test("queries registry and oracle map stay consistent") {
     // every oracle refers to a registered query; both maps non-trivial
     assert(Queries.oracleSql.keySet.subsetOf(Queries.queries.keySet))
