@@ -90,15 +90,41 @@ object ManifestTable {
     }.toMap
   }
 
-  /** The committed table as of the current manifest. `schema` pins column
-    * types across versions (include the partition column — Spark resolves
-    * it from the hive-style dir names). Partition dirs group by their data
-    * version so each version contributes ONE scan relation listing only its
-    * live partitions — the partition-pruned read.
+  /** Committed manifest versions still on disk, ascending — the time-travel
+    * horizon. [[vacuum]] trims everything behind current, so history is
+    * bounded by vacuum cadence (the Delta/Iceberg VACUUM-vs-time-travel
+    * tradeoff, verbatim).
     */
-  def read(spark: SparkSession, root: String, schema: StructType): DataFrame = {
-    val v = currentVersion(spark, root).getOrElse(
-      throw new IllegalStateException(s"manifest table $root has no committed version"))
+  def versions(spark: SparkSession, root: String): Seq[Long] = {
+    val (fs, p) = fsOf(spark, root)
+    if (!fs.exists(p)) Nil
+    else fs.listStatus(p).map(_.getPath.getName)
+      .filter(_.startsWith(ManifestPrefix))
+      .map(_.stripPrefix(ManifestPrefix).toLong).toSeq.sorted
+  }
+
+  /** The committed table as of the current manifest — or, with
+    * `asOfVersion`, TIME TRAVEL to any still-on-disk manifest (immutable
+    * version dirs make every historical snapshot a plain read; [[vacuum]]
+    * bounds how far back this reaches). `schema` pins column types across
+    * versions (include the partition column — Spark resolves it from the
+    * hive-style dir names); columns absent from older physical files read
+    * as NULL, which is exactly additive schema evolution. Partition dirs
+    * group by their data version so each version contributes ONE scan
+    * relation listing only its live partitions — the partition-pruned read.
+    */
+  def read(spark: SparkSession, root: String, schema: StructType,
+           asOfVersion: Option[Long] = None): DataFrame = {
+    val v = asOfVersion match {
+      case Some(req) =>
+        val (fs, p) = fsOf(spark, root)
+        if (!fs.exists(new Path(p, ManifestPrefix + fmt(req))))
+          throw new IllegalStateException(
+            s"manifest table $root has no version $req on disk (vacuumed or never committed)")
+        req
+      case None => currentVersion(spark, root).getOrElse(
+        throw new IllegalStateException(s"manifest table $root has no committed version"))
+    }
     val (fs, rootP) = fsOf(spark, root)
     val entries = entriesOf(fs, rootP, v)
     if (entries.isEmpty) {

@@ -321,6 +321,33 @@ class OpsSpec extends SparkSuite {
     // structure -> identical UNITS, exactly (integer arithmetic)
   }
 
+  test("IncrementalAgg: maintained state == from-scratch; only touched buckets rewrite") {
+    import spark.implicits._
+    import graft.ops.IncrementalAgg
+    val root = java.nio.file.Files.createTempDirectory("incagg").toString + "/t"
+    val b1 = (1L to 100L).map(i => (i, i * 0.5)).toDF("k", "v")
+    val b2 = (50L to 150L).map(i => (i, i * 0.25)).toDF("k", "v")
+    val b3 = Seq((7L, 99.0)).toDF("k", "v")
+    IncrementalAgg.applyBatch(spark, root, b1, "k", "v", nBuckets = 8)
+    IncrementalAgg.applyBatch(spark, root, b2, "k", "v", nBuckets = 8)
+    val v3 = IncrementalAgg.applyBatch(spark, root, b3, "k", "v", nBuckets = 8)
+    assert(v3 == 3L)
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("key"), col("n"), col("s").cast("double"),
+          col("mn"), col("mx"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+          r.getDouble(3), r.getDouble(4))).toSet
+    val maintained = canon(graft.sources.ManifestTable.read(spark, root,
+      IncrementalAgg.stateSchema))
+    val scratch = canon(IncrementalAgg.aggregateDelta(
+      b1.unionByName(b2).unionByName(b3), "k", "v", nBuckets = 8))
+    assert(maintained == scratch && maintained.size == 150)
+    // the single-key batch rewrote exactly ONE bucket partition
+    val v3dirs = new java.io.File(s"$root/v00000003").listFiles()
+      .count(_.getName.startsWith("bucket="))
+    assert(v3dirs == 1, s"v3dirs=$v3dirs")
+  }
+
   test("corrMatrix: linear pairs hit ±1 exactly; result invariant to partitioning") {
     import spark.implicits._
     val df = (1L to 1000L).map(i => (i.toDouble, 2.0 * i + 3, 500.0 - i))

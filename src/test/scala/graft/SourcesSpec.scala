@@ -685,6 +685,46 @@ class SourcesSpec extends SparkSuite {
     assert(new java.io.File(s"$root/_bloom.00000001").exists())
   }
 
+  test("ManifestTable time travel: historical snapshots readable until vacuum") {
+    import spark.implicits._
+    import graft.sources.ManifestTable
+    val root = java.nio.file.Files.createTempDirectory("mantt").toString + "/t"
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("v", org.apache.spark.sql.types.StringType)))
+    ManifestTable.commit(Seq((1L, "a")).toDF("id", "v"), root, None)
+    ManifestTable.commit(Seq((1L, "b"), (2L, "c")).toDF("id", "v"), root, None)
+    assert(ManifestTable.versions(spark, root) == Seq(1L, 2L))
+    assert(ManifestTable.read(spark, root, schema, asOfVersion = Some(1L))
+      .as[(Long, String)].collect().toSet == Set((1L, "a")))
+    assert(ManifestTable.read(spark, root, schema)
+      .as[(Long, String)].collect().toSet == Set((1L, "b"), (2L, "c")))
+    ManifestTable.vacuum(spark, root)
+    assert(ManifestTable.versions(spark, root) == Seq(2L))
+    intercept[IllegalStateException](
+      ManifestTable.read(spark, root, schema, asOfVersion = Some(1L)))
+  }
+
+  test("ManifestTable schema evolution: columns absent from old files read as NULL") {
+    import spark.implicits._
+    import graft.sources.ManifestTable
+    val root = java.nio.file.Files.createTempDirectory("manse").toString + "/t"
+    // v1 (p=x) written BEFORE the score column existed; v2 (p=y) carries it.
+    // The widened read schema must serve both partitions, old rows at NULL.
+    ManifestTable.commit(Seq((1L, "x")).toDF("id", "p"), root, Some("p"))
+    ManifestTable.commit(Seq((2L, "y", 0.5)).toDF("id", "p", "score"),
+      root, Some("p"))
+    val widened = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("p", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("score", org.apache.spark.sql.types.DoubleType)))
+    val got = ManifestTable.read(spark, root, widened)
+      .select("id", "p", "score")
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toSet
+    assert(got == Set((1L, "x", None), (2L, "y", Some(0.5))))
+  }
+
   test("queries registry and oracle map stay consistent") {
     // every oracle refers to a registered query; both maps non-trivial
     assert(Queries.oracleSql.keySet.subsetOf(Queries.queries.keySet))
