@@ -3725,7 +3725,34 @@ object Queries {
       g AS (SELECT bucket, m, mx, CAST(count(*) AS BIGINT) AS n
         FROM b GROUP BY bucket, m, mx)
       SELECT bucket, m + bucket * (mx - m) / 16 AS lo,
-        m + (bucket + 1) * (mx - m) / 16 AS hi, n FROM g"""))
+        m + (bucket + 1) * (mx - m) / 16 AS hi, n FROM g""")),
+
+    // Incremental aggregate-view maintenance, REPLAYED END TO END: three
+    // delta batches (lineitem carved by orderkey mod 3) fold into a
+    // hash-bucketed ManifestTable state via merge(old, agg(delta)) — each
+    // batch rewrites only touched buckets — and the maintained table must
+    // equal the ONE-SHOT global aggregate, which is exactly what the
+    // oracle computes. Decimal-routed sums make that equality exact under
+    // any batch order; the lakehouse machinery (manifest commits, bucket
+    // pruning, carry-forward) all sits on the verified path.
+    ("q152_incremental_agg", (s: SparkSession, d: String) => {
+      val l = t(s, d, "lineitem")
+      val root = java.nio.file.Files.createTempDirectory("q152-agg")
+        .toString + "/state"
+      Seq(0, 1, 2).foreach { b =>
+        graft.ops.IncrementalAgg.applyBatch(s, root,
+          l.filter(pmod(col("l_orderkey"), lit(3)) === b),
+          "l_partkey", "l_extendedprice", nBuckets = 16)
+      }
+      graft.sources.ManifestTable.read(s, root,
+          graft.ops.IncrementalAgg.stateSchema)
+        .select(col("key"), col("n"), col("s").cast("double").as("s"),
+          col("mn"), col("mx"))
+    }, Some("""SELECT CAST(l_partkey AS VARCHAR) AS key,
+        CAST(count(*) AS BIGINT) AS n,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS s,
+        min(l_extendedprice) AS mn, max(l_extendedprice) AS mx
+      FROM lineitem GROUP BY l_partkey"""))
   )
 
   /** The BM25 replay shared by q72/q123 — postings, df, dl, corpus stats,

@@ -229,6 +229,27 @@ object StressBench {
         graft.ops.EventAnalytics.weeklyRetention(eventsTimes(f), "user_id", "ts"))
       time("epoch_mix", f)(
         graft.llm.Sampling.epochMixture(docsTimesUncorr(f), col("doc_id"), lit(2.4)))
+      // r12 batch 4: one-pass profiling aggregates (must track the scan
+      // linearly — the model row is fixed-size) and incremental aggregate
+      // maintenance (3 delta folds; per-batch cost must track the DELTA,
+      // with bucket-pruned state reads)
+      time("corr_matrix", f)(
+        graft.ops.Stats.corrMatrix(lineitemTimes(f),
+          Seq("l_quantity", "l_extendedprice", "l_discount")))
+      time("histogram", f)(
+        graft.ops.Stats.histogram(lineitemTimes(f), "l_extendedprice", 16))
+      time("inc_agg", f)({
+        val root = java.nio.file.Files.createTempDirectory(s"stress-inc$f")
+          .toString + "/state"
+        val l = lineitemTimes(f)
+        Seq(0, 1, 2).foreach { b =>
+          graft.ops.IncrementalAgg.applyBatch(spark, root,
+            l.filter(pmod(col("l_orderkey"), lit(3)) === b),
+            "l_partkey", "l_extendedprice", nBuckets = 32)
+        }
+        graft.sources.ManifestTable.read(spark, root,
+          graft.ops.IncrementalAgg.stateSchema)
+      })
       time("kmv_distinct", f)({
         val hv = conv(substring(md5(col("l_orderkey").cast("string")), 1, 15), 16, 10)
           .cast("long")
