@@ -3752,7 +3752,90 @@ object Queries {
         CAST(count(*) AS BIGINT) AS n,
         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS s,
         min(l_extendedprice) AS mn, max(l_extendedprice) AS mx
-      FROM lineitem GROUP BY l_partkey"""))
+      FROM lineitem GROUP BY l_partkey""")),
+
+    // DELETE as merge-on-read deletion vectors, REPLAYED END TO END: orders
+    // becomes a partitioned ManifestTable, two DELETE WHERE commits mask
+    // rows positionally (no data file rewritten — O(matched rows) I/O, the
+    // GDPR-erase shape at 100 TB), then OPTIMIZE materializes the deletes
+    // into a clean rewrite. The SAME aggregate over the DV-masked read and
+    // the compacted read must equal the oracle's plain filtered aggregate —
+    // deleted-set algebra: survivors of delete₁ then delete₂ == NOT p₁ AND
+    // NOT p₂ over the source.
+    ("q153_delete_vectors", (s: SparkSession, d: String) => {
+      val cols = Seq("o_orderkey", "o_orderpriority", "o_orderstatus", "o_totalprice")
+      val o = t(s, d, "orders").select(cols.map(col): _*)
+      val schema = StructType(Seq(
+        StructField("o_orderkey", LongType), StructField("o_orderpriority", StringType),
+        StructField("o_orderstatus", StringType), StructField("o_totalprice", DoubleType)))
+      val root = java.nio.file.Files.createTempDirectory("q153-dv")
+        .toString + "/t"
+      import graft.sources.ManifestTable
+      ManifestTable.commit(o, root, Some("o_orderpriority"))
+      ManifestTable.deleteWhere(s, root, schema, col("o_totalprice") > 300000.0)
+      ManifestTable.deleteWhere(s, root, schema,
+        col("o_orderstatus") === "F" && col("o_totalprice") < 50000.0)
+      def agg(df: DataFrame, stage: String) =
+        df.groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("s"))
+          .withColumn("stage", lit(stage))
+      val masked = agg(ManifestTable.read(s, root, schema), "dv")
+      ManifestTable.compact(s, root, schema, Some("o_orderpriority"))
+      val compacted = agg(ManifestTable.read(s, root, schema), "compacted")
+      masked.unionByName(compacted)
+        .select(col("stage"), col("o_orderpriority"), col("n"), col("s"))
+    }, Some(s"""WITH kept AS (SELECT o_orderpriority, o_totalprice FROM orders
+        WHERE NOT (o_totalprice > 300000.0)
+          AND NOT (o_orderstatus = 'F' AND o_totalprice < 50000.0)),
+      g AS (SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+          ${dsumSql("o_totalprice")} AS s
+        FROM kept GROUP BY o_orderpriority)
+      SELECT 'dv' AS stage, o_orderpriority, n, s FROM g
+      UNION ALL SELECT 'compacted', o_orderpriority, n, s FROM g""")),
+
+    // CHANGE DATA FEED: three commits (full load → one-partition rewrite
+    // with updates/deletes/inserts → a deletion-vector delete in a second
+    // partition), then changes(v1, v3) must emit exactly the Delta-CDF
+    // tagged rows the oracle derives from the source algebraically. The
+    // feed reads ONLY the two touched partitions on both sides (manifest
+    // entry diff + DV-delta paths) — the incremental-consumer shape whose
+    // I/O is proportional to the change, not the table (pruning itself is
+    // asserted in SourcesSpec by deleting an untouched partition's files).
+    ("q154_change_feed", (s: SparkSession, d: String) => {
+      val cols = Seq("o_orderkey", "o_orderpriority", "o_orderstatus", "o_totalprice")
+      val o = t(s, d, "orders").select(cols.map(col): _*)
+      val schema = StructType(Seq(
+        StructField("o_orderkey", LongType), StructField("o_orderpriority", StringType),
+        StructField("o_orderstatus", StringType), StructField("o_totalprice", DoubleType)))
+      val root = java.nio.file.Files.createTempDirectory("q154-cdf")
+        .toString + "/t"
+      import graft.sources.ManifestTable
+      ManifestTable.commit(o, root, Some("o_orderpriority"))
+      val urgent = o.filter(col("o_orderpriority") === "1-URGENT")
+      val rewritten = urgent.filter(pmod(col("o_orderkey"), lit(7)) =!= 0)
+        .withColumn("o_totalprice",
+          when(pmod(col("o_orderkey"), lit(3)) === 0, col("o_totalprice") + lit(1.0))
+            .otherwise(col("o_totalprice")))
+      val inserts = urgent.filter(pmod(col("o_orderkey"), lit(11)) === 0)
+        .withColumn("o_orderkey", col("o_orderkey") + lit(100000000L))
+      ManifestTable.commit(rewritten.unionByName(inserts), root, Some("o_orderpriority"))
+      ManifestTable.deleteWhere(s, root, schema,
+        col("o_orderpriority") === "2-HIGH" && col("o_orderstatus") === "F")
+      ManifestTable.changes(s, root, schema, "o_orderkey", 1L, 3L)
+    }, Some("""WITH u AS (SELECT o_orderkey, o_orderpriority, o_orderstatus, o_totalprice
+        FROM orders WHERE o_orderpriority = '1-URGENT'),
+      del1 AS (SELECT * FROM u WHERE o_orderkey % 7 = 0),
+      upd AS (SELECT * FROM u WHERE o_orderkey % 3 = 0 AND o_orderkey % 7 <> 0),
+      ins AS (SELECT o_orderkey + 100000000 AS o_orderkey, o_orderpriority,
+          o_orderstatus, o_totalprice FROM u WHERE o_orderkey % 11 = 0),
+      del2 AS (SELECT o_orderkey, o_orderpriority, o_orderstatus, o_totalprice
+        FROM orders WHERE o_orderpriority = '2-HIGH' AND o_orderstatus = 'F')
+      SELECT 'insert' AS _change_type, * FROM ins
+      UNION ALL SELECT 'delete', * FROM del1
+      UNION ALL SELECT 'delete', * FROM del2
+      UNION ALL SELECT 'update_preimage', * FROM upd
+      UNION ALL SELECT 'update_postimage', o_orderkey, o_orderpriority,
+        o_orderstatus, o_totalprice + 1.0 FROM upd"""))
   )
 
   /** The BM25 replay shared by q72/q123 — postings, df, dl, corpus stats,

@@ -243,7 +243,7 @@ object Dispatch {
         val merged = applyBatch(target, batch, docSchema, promote, rawKey, mergeKey, tieCol)
         ManifestTable.commit(merged, targetPath, partCol = None,
           statsCols = statsCols)
-        ManifestTable.vacuum(spark, targetPath)
+        ManifestTable.vacuum(spark, targetPath, retainVersions = 1)
         ()
       }
       .start()
@@ -294,7 +294,7 @@ object Dispatch {
           val merged = Upsert.mergePartitionPruned(target, deduped, mergeKey, partCol)
           ManifestTable.commit(merged, targetPath, Some(partCol),
             statsCols = statsCols)
-          ManifestTable.vacuum(spark, targetPath)
+          ManifestTable.vacuum(spark, targetPath, retainVersions = 1)
         }
         ()
       }

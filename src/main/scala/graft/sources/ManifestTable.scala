@@ -78,16 +78,42 @@ object ManifestTable {
   def exists(spark: SparkSession, root: String): Boolean =
     currentVersion(spark, root).isDefined
 
-  /** partitionDirName → data version of the given manifest. */
+  /** partitionDirName → data version of the given manifest. Lines starting
+    * with `#` are directives (e.g. the [[deleteWhere]] deletion-vector
+    * pointer), not partition entries.
+    */
   private def entriesOf(fs: FileSystem, root: Path, v: Long): Map[String, Long] = {
+    manifestBody(fs, root, v).linesIterator
+      .filter(l => l.nonEmpty && !l.startsWith("#")).map { line =>
+        val Array(name, ver) = line.split("\t", 2)
+        name -> ver.toLong
+      }.toMap
+  }
+
+  private def manifestBody(fs: FileSystem, root: Path, v: Long): String = {
     val in = fs.open(new Path(root, ManifestPrefix + fmt(v)))
-    val body =
-      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-      finally in.close()
-    body.linesIterator.filter(_.nonEmpty).map { line =>
-      val Array(name, ver) = line.split("\t", 2)
-      name -> ver.toLong
-    }.toMap
+    try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    finally in.close()
+  }
+
+  /** The deletion-vector dataset version a manifest points at, if any. */
+  private def dvOf(fs: FileSystem, root: Path, v: Long): Option[Long] =
+    manifestBody(fs, root, v).linesIterator
+      .find(_.startsWith("#dv\t")).map(_.stripPrefix("#dv\t").toLong)
+
+  /** Stage `body` to a dot-temp name and atomically rename it into place as
+    * manifest `v` — the one commit point every mutation shares.
+    */
+  private def publishManifest(fs: FileSystem, rootP: Path, v: Long,
+                              entries: Map[String, Long], dv: Option[Long]): Unit = {
+    val body = (entries.toSeq.sortBy(_._1).map { case (n, d) => s"$n\t$d" }
+      ++ dv.map(d => s"#dv\t$d").toSeq).mkString("", "\n", "\n")
+    val tmp = new Path(rootP, s".manifest-$v.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(body.getBytes("UTF-8")) finally out.close()
+    val dst = new Path(rootP, ManifestPrefix + fmt(v))
+    require(fs.rename(tmp, dst),
+      s"manifest commit rename $tmp -> $dst failed — table stays at the previous version")
   }
 
   /** Committed manifest versions still on disk, ascending — the time-travel
@@ -125,21 +151,69 @@ object ManifestTable {
       case None => currentVersion(spark, root).getOrElse(
         throw new IllegalStateException(s"manifest table $root has no committed version"))
     }
+    readSnapshot(spark, root, schema, v, withMeta = false)
+  }
+
+  /** Scheme-free path: `file:///a/b` and `file:/a/b` both normalize to
+    * `/a/b`, so a deletion vector's stored paths compare stably against
+    * `_metadata.file_path` regardless of how the scheme rendered.
+    */
+  private def normPath(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.regexp_replace
+    regexp_replace(c, "^[a-zA-Z][a-zA-Z0-9+.-]*:/+", "/")
+  }
+
+  private def dvDir(root: String, d: Long): String = s"$root/d${fmt(d)}"
+
+  /** The snapshot of manifest `v`, with the version's deletion vector (if
+    * any) anti-joined out. `withMeta = true` keeps the `__f`/`__pos` file
+    * identity columns (scheme-free path + parquet row index) the DV
+    * machinery keys on; otherwise the result carries exactly `schema`.
+    * `restrictTo` limits assembly to the named partition dirs (the
+    * [[changes]] pruning path).
+    */
+  private def readSnapshot(spark: SparkSession, root: String, schema: StructType,
+                           v: Long, withMeta: Boolean,
+                           restrictTo: Option[Set[String]] = None): DataFrame = {
+    import org.apache.spark.sql.functions.col
     val (fs, rootP) = fsOf(spark, root)
     val entries = entriesOf(fs, rootP, v)
-    if (entries.isEmpty) {
-      // a committed version whose snapshot held zero partitions (e.g. an
-      // all-invalid first batch) — an empty table, not an error
-      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    } else if (entries.keySet == Set("")) {
-      spark.read.schema(schema).parquet(s"$root/v${fmt(entries(""))}")
-    } else {
-      entries.groupBy(_._2).map { case (dv, parts) =>
-        val base = s"$root/v${fmt(dv)}"
-        spark.read.option("basePath", base).schema(schema)
-          .parquet(parts.keys.toSeq.sorted.map(p => s"$base/$p"): _*)
-      }.reduce(_ unionByName _)
+      .filter { case (p, _) => restrictTo.forall(_.contains(p)) }
+    val dv = dvOf(fs, rootP, v)
+    val needMeta = withMeta || dv.isDefined
+    def withM(df: DataFrame): DataFrame =
+      if (needMeta)
+        df.select(col("*"), normPath(col("_metadata.file_path")).as("__f"),
+          col("_metadata.row_index").as("__pos"))
+      else df
+    val metaSchema = StructType(schema.fields
+      :+ org.apache.spark.sql.types.StructField("__f", org.apache.spark.sql.types.StringType)
+      :+ org.apache.spark.sql.types.StructField("__pos", org.apache.spark.sql.types.LongType))
+    val assembled =
+      if (entries.isEmpty) {
+        // a committed version whose snapshot held zero partitions (e.g. an
+        // all-invalid first batch) — an empty table, not an error
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          if (needMeta) metaSchema else schema)
+      } else if (entries.keySet == Set("")) {
+        withM(spark.read.schema(schema).parquet(s"$root/v${fmt(entries(""))}"))
+      } else {
+        entries.groupBy(_._2).map { case (dataV, parts) =>
+          val base = s"$root/v${fmt(dataV)}"
+          withM(spark.read.option("basePath", base).schema(schema)
+            .parquet(parts.keys.toSeq.sorted.map(p => s"$base/$p"): _*))
+        }.reduce(_ unionByName _)
+      }
+    val masked = dv match {
+      case Some(d) => assembled.join(
+        spark.read.parquet(dvDir(root, d)), Seq("__f", "__pos"), "left_anti")
+      case None => assembled
     }
+    // file sources surface partition columns LAST whatever the requested
+    // schema order — always re-select so the contract is exactly `schema`
+    if (withMeta)
+      masked.select((schema.fieldNames.map(col) :+ col("__f") :+ col("__pos")).toSeq: _*)
+    else masked.select(schema.fieldNames.map(col).toSeq: _*)
   }
 
   // ===================== zone maps (file skipping) ======================
@@ -433,24 +507,162 @@ object ManifestTable {
   def readPruned(spark: SparkSession, root: String, schema: StructType,
                  ranges: Seq[ColRange],
                  points: Seq[(String, Any)] = Nil): DataFrame = {
+    import org.apache.spark.sql.functions.col
     val (plan, _) = planPrune(spark, root, ranges, points)
-    val relations = plan.toSeq.flatMap { case (dv, sel) =>
-      val base = s"$root/v${fmt(dv)}"
+    val (fs, rootP) = fsOf(spark, root)
+    val dv = currentVersion(spark, root).flatMap(v => dvOf(fs, rootP, v))
+    def withM(df: DataFrame): DataFrame =
+      if (dv.isDefined)
+        df.select(col("*"), normPath(col("_metadata.file_path")).as("__f"),
+          col("_metadata.row_index").as("__pos"))
+      else df
+    val relations = plan.toSeq.flatMap { case (dataV, sel) =>
+      val base = s"$root/v${fmt(dataV)}"
       sel match {
         case Left(partDirs) =>
           if (partDirs == Seq(""))
-            Some(spark.read.schema(schema).parquet(base))
-          else Some(spark.read.option("basePath", base).schema(schema)
-            .parquet(partDirs.map(p => s"$base/$p"): _*))
+            Some(withM(spark.read.schema(schema).parquet(base)))
+          else Some(withM(spark.read.option("basePath", base).schema(schema)
+            .parquet(partDirs.map(p => s"$base/$p"): _*)))
         case Right(Nil) => None
         case Right(files) =>
-          Some(spark.read.option("basePath", base).schema(schema)
-            .parquet(files.map(f => s"$base/$f"): _*))
+          Some(withM(spark.read.option("basePath", base).schema(schema)
+            .parquet(files.map(f => s"$base/$f"): _*)))
       }
     }
     if (relations.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    else relations.reduce(_ unionByName _)
+    else {
+      val assembled = relations.reduce(_ unionByName _)
+      val masked = dv match {
+        case Some(d) => assembled.join(
+          spark.read.parquet(dvDir(root, d)), Seq("__f", "__pos"), "left_anti")
+        case None => assembled
+      }
+      masked.select(schema.fieldNames.map(col).toSeq: _*)
+    }
+  }
+
+  /** CHANGE DATA FEED between two committed manifests — the incremental-
+    * consumer contract (Delta CDF / Iceberg changelog): every row-level
+    * change from `fromV` to `toV` tagged `insert` / `delete` /
+    * `update_preimage` / `update_postimage`, with I/O proportional to the
+    * CHANGED partitions, never the table. The manifest already records
+    * which partition dirs moved to a new data version; partitions whose
+    * deletion-vector masking changed are recovered from the DV delta's file
+    * paths (the DV relation is deleted-rows-sized, so that diff is cheap).
+    * Untouched partitions are never opened — at 100 TB a merge commit that
+    * rewrote 3 of 10k partitions feeds downstream consumers by scanning
+    * exactly those 3 on both sides.
+    *
+    * `key` must be unique per snapshot (the table's merge key — the same
+    * [[graft.ops.Upsert]] contract); change classification compares a
+    * NULL-framed md5 fingerprint of the full row, so any payload width
+    * diffs through one co-partitioned full-outer join. A content-identical
+    * rewrite (e.g. [[compact]]) yields an empty feed.
+    */
+  def changes(spark: SparkSession, root: String, schema: StructType, key: String,
+              fromV: Long, toV: Long): DataFrame = {
+    import org.apache.spark.sql.functions._
+    require(fromV <= toV, s"changes: fromV=$fromV must be <= toV=$toV")
+    val (fs, rootP) = fsOf(spark, root)
+    Seq(fromV, toV).foreach { v =>
+      if (!fs.exists(new Path(rootP, ManifestPrefix + fmt(v))))
+        throw new IllegalStateException(
+          s"manifest table $root has no version $v on disk (vacuumed or never committed)")
+    }
+    val eF = entriesOf(fs, rootP, fromV); val eT = entriesOf(fs, rootP, toV)
+    val dF = dvOf(fs, rootP, fromV); val dT = dvOf(fs, rootP, toV)
+    val changedData = (eF.keySet ++ eT.keySet).filter(p => eF.get(p) != eT.get(p))
+    val dvParts: Set[String] =
+      if (dF == dT) Set.empty
+      else {
+        val empty = spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          StructType(Seq(
+            org.apache.spark.sql.types.StructField("__f", org.apache.spark.sql.types.StringType),
+            org.apache.spark.sql.types.StructField("__pos", org.apache.spark.sql.types.LongType))))
+        def dvDf(o: Option[Long]) =
+          o.map(x => spark.read.parquet(dvDir(root, x))).getOrElse(empty)
+        val a = dvDf(dF); val b = dvDf(dT)
+        val rootStr = fs.makeQualified(rootP).toUri.getPath
+        // sym-diff of masked positions → files → partition dirs; bounded by
+        // partitions-with-deletes, so the collect is manifest-sized
+        b.exceptAll(a).unionByName(a.exceptAll(b))
+          .select(col("__f")).distinct().collect().map { r =>
+            val segs = r.getString(0).stripPrefix(rootStr).stripPrefix("/").split('/')
+            if (segs.length >= 3) segs(1) else ""
+          }.toSet
+      }
+    val affected = changedData ++ dvParts
+    val cdfSchema = StructType(
+      org.apache.spark.sql.types.StructField("_change_type",
+        org.apache.spark.sql.types.StringType) +: schema.fields)
+    if (affected.isEmpty)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], cdfSchema)
+    val fields = schema.fieldNames.toSeq
+    def side(v: Long, tag: String): DataFrame = {
+      val df = readSnapshot(spark, root, schema, v, withMeta = false, Some(affected))
+      df.select(col(key).as("__k"),
+        struct(fields.map(col): _*).as(s"__$tag"),
+        md5(concat_ws("\u001f",
+          fields.map(c => coalesce(col(c).cast("string"), lit("\u001e"))): _*))
+          .as(s"__${tag}fp"))
+    }
+    val j = side(fromV, "o").join(side(toV, "n"), Seq("__k"), "full_outer")
+    val ct = when(col("__ofp").isNull, array(lit("insert")))
+      .when(col("__nfp").isNull, array(lit("delete")))
+      .when(col("__ofp") =!= col("__nfp"),
+        array(lit("update_preimage"), lit("update_postimage")))
+      .otherwise(array().cast("array<string>"))
+    j.select(explode(ct).as("_change_type"), col("__o"), col("__n"))
+      .select(col("_change_type") +: fields.map(f =>
+        when(col("_change_type").isin("insert", "update_postimage"),
+          col("__n").getField(f)).otherwise(col("__o").getField(f)).as(f)): _*)
+  }
+
+  /** DELETE ... WHERE as MERGE-ON-READ — the deletion-vector mechanism
+    * (Delta DVs / Iceberg positional deletes): no data file is rewritten;
+    * the matching rows' (file, row-index) positions are appended to a
+    * deletion-vector dataset (`d<version>/`, plain parquet of `__f`/`__pos`)
+    * and the next manifest points at it with a `#dv` directive. Readers
+    * anti-join the DV during [[read]]/[[readPruned]] assembly, so the
+    * delete is visible atomically at the manifest rename while costing
+    * O(matching rows) write I/O — at 100 TB, deleting one user's rows
+    * rewrites kilobytes, not the terabyte-scale files holding them.
+    *
+    * Deletes are LOGICAL until the next [[compact]]/[[compactZOrder]]
+    * (which reads the DV-masked snapshot and commits a clean rewrite with
+    * no `#dv`) — the physical-purge step a GDPR erasure pipeline schedules
+    * after the logical delete; [[vacuum]] then reclaims the bytes.
+    * Time travel honors versioning: a pre-delete manifest reads the rows,
+    * the post-delete manifest doesn't. Partitioned merge commits carry the
+    * DV forward (untouched partitions keep their deletes; rewritten
+    * partitions' stale DV entries reference files no longer scanned, so
+    * they are inert until the next rewrite drops them).
+    *
+    * Returns the committed manifest version. Single-writer, like every
+    * mutation on this table.
+    */
+  def deleteWhere(spark: SparkSession, root: String, schema: StructType,
+                  predicate: org.apache.spark.sql.Column): Long = {
+    import org.apache.spark.sql.functions.col
+    val (fs, rootP) = fsOf(spark, root)
+    val cur = currentVersion(spark, root).getOrElse(
+      throw new IllegalStateException(s"manifest table $root has no committed version"))
+    val next = cur + 1
+    val newDel = readSnapshot(spark, root, schema, cur, withMeta = true)
+      .filter(predicate).select(col("__f"), col("__pos"))
+    val allDel = dvOf(fs, rootP, cur) match {
+      case Some(d) => spark.read.parquet(dvDir(root, d)).unionByName(newDel)
+      case None => newDel
+    }
+    val ddir = new Path(rootP, "d" + fmt(next))
+    fs.delete(ddir, true)
+    allDel.write.mode("overwrite").parquet(ddir.toString)
+    publishManifest(fs, rootP, next, entriesOf(fs, rootP, cur), Some(next))
+    next
   }
 
   /** Commit `df` as the next version. `partCol = Some(c)`: `df` must hold
@@ -497,24 +709,21 @@ object ManifestTable {
         .map(_.getPath.getName -> next).toMap
       case None => Map("" -> next)
     }
-    val prev =
+    // carry-forward merge commits keep the previous entries AND the previous
+    // deletion vector (untouched partitions must keep their deleted rows
+    // masked); snapshot/compact commits (carryForward=false or partCol=None)
+    // replace the table wholesale, so the DV pointer drops with the entries
+    val (prev, dvCarry) =
       if (partCol.isDefined && carryForward)
         currentVersion(spark, root) // re-listed: still < next by single-writer
-          .map(v => entriesOf(fs, rootP, v)).getOrElse(Map.empty[String, Long])
-      else Map.empty[String, Long]
+          .map(v => (entriesOf(fs, rootP, v), dvOf(fs, rootP, v)))
+          .getOrElse((Map.empty[String, Long], None))
+      else (Map.empty[String, Long], None)
     if (statsCols.nonEmpty)
       writeStats(fs, rootP, next, harvestStats(fs, vdir, statsCols))
     if (bloomCols.nonEmpty)
       writeBlooms(fs, rootP, next, harvestBlooms(spark, fs, vdir, bloomCols))
-    val merged = prev ++ touched
-    val body = merged.toSeq.sortBy(_._1)
-      .map { case (n, dv) => s"$n\t$dv" }.mkString("", "\n", "\n")
-    val tmp = new Path(rootP, s".manifest-$next.tmp")
-    val out = fs.create(tmp, true)
-    try out.write(body.getBytes("UTF-8")) finally out.close()
-    val dst = new Path(rootP, ManifestPrefix + fmt(next))
-    require(fs.rename(tmp, dst),
-      s"manifest commit rename $tmp -> $dst failed — table stays at the previous version")
+    publishManifest(fs, rootP, next, prev ++ touched, dvCarry)
     next
   }
 
@@ -608,22 +817,37 @@ object ManifestTable {
       statsCols = (zorderBy ++ statsCols).distinct)
   }
 
-  /** Reclaim data versions no entry of the CURRENT manifest references and
-    * manifests older than the current one (plus stray commit temp files) —
-    * bounded retention for a long-lived table. Safe under the single-writer
-    * contract: a concurrent READER that resolved the current manifest only
-    * reads versions it references, all retained here.
+  /** Reclaim manifests more than `retainVersions` behind current, and data
+    * versions none of the RETAINED manifests reference (plus stray commit
+    * temp files) — bounded retention for a long-lived table.
+    *
+    * `retainVersions = 0` keeps only the current snapshot — correct for an
+    * offline maintenance pass with no concurrent readers. An INLINE vacuum
+    * (e.g. per CDC micro-batch commit) must pass `retainVersions >= 1`: a
+    * concurrent reader that resolved manifest N just before the writer
+    * committed N+1 is still scanning N's data versions, and a retain-0
+    * vacuum would delete them mid-scan. Retaining one version behind makes
+    * the read safe for the duration of one commit cycle — the same
+    * retention-window contract as Delta/Iceberg VACUUM (where the window is
+    * time-based rather than version-based).
     */
-  def vacuum(spark: SparkSession, root: String): Unit = {
+  def vacuum(spark: SparkSession, root: String, retainVersions: Int = 0): Unit = {
+    require(retainVersions >= 0, s"retainVersions must be >= 0, got $retainVersions")
     currentVersion(spark, root).foreach { cur =>
       val (fs, rootP) = fsOf(spark, root)
-      val live = entriesOf(fs, rootP, cur).values.toSet
+      val floor = cur - retainVersions
+      val retained = versions(spark, root).filter(_ >= floor)
+      val live = retained.flatMap(v => entriesOf(fs, rootP, v).values).toSet
+      val liveDv = retained.flatMap(v => dvOf(fs, rootP, v)).toSet
       fs.listStatus(rootP).foreach { st =>
         val n = st.getPath.getName
         if (st.isDirectory && n.startsWith("v") && n.drop(1).forall(_.isDigit)
             && !live.contains(n.drop(1).toLong))
           fs.delete(st.getPath, true)
-        else if (n.startsWith(ManifestPrefix) && n.stripPrefix(ManifestPrefix).toLong < cur)
+        else if (st.isDirectory && n.startsWith("d") && n.drop(1).forall(_.isDigit)
+            && !liveDv.contains(n.drop(1).toLong))
+          fs.delete(st.getPath, true) // deletion vectors of reclaimed manifests
+        else if (n.startsWith(ManifestPrefix) && n.stripPrefix(ManifestPrefix).toLong < floor)
           fs.delete(st.getPath, false)
         else if (n.startsWith(StatsPrefix) && !live.contains(n.stripPrefix(StatsPrefix).toLong))
           fs.delete(st.getPath, false) // zone maps of reclaimed data versions

@@ -317,9 +317,14 @@ class CdcSpec extends SparkSuite {
     val got = graft.sources.ManifestTable.read(spark, tgt, docSchema)
       .as[(String, Long)].collect().toSet
     assert(got == Set(("a", 1L), ("b", 2L)))
-    // vacuum ran after the second commit: only the live version + current
-    // manifest remain
+    // the inline vacuum retains ONE version behind current: a concurrent
+    // reader that resolved manifest 1 just before commit 2 can finish its
+    // scan (v1 + _manifest.1 must survive the commit cycle)
     assert(graft.sources.ManifestTable.currentVersion(spark, tgt).contains(2L))
+    assert(new java.io.File(s"$tgt/v00000001").exists())
+    assert(new java.io.File(s"$tgt/_manifest.00000001").exists())
+    // an offline retain-0 vacuum (no concurrent readers) reclaims them
+    graft.sources.ManifestTable.vacuum(spark, tgt)
     assert(!new java.io.File(s"$tgt/v00000001").exists())
     assert(!new java.io.File(s"$tgt/_manifest.00000001").exists())
   }

@@ -465,6 +465,115 @@ class SourcesSpec extends SparkSuite {
       .as[(Long, String)].collect().toSet == Set((1L, "a2")))
   }
 
+  test("ManifestTable.deleteWhere: merge-on-read deletes, DV carry-forward, compact purges") {
+    import spark.implicits._
+    import graft.sources.ManifestTable
+    val root = java.nio.file.Files.createTempDirectory("mantab-dv").toString + "/t"
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("p", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("v", org.apache.spark.sql.types.LongType)))
+    def snap() = ManifestTable.read(spark, root, schema)
+      .as[(Long, String, Long)].collect().toSet
+    ManifestTable.commit(
+      Seq((1L, "x", 10L), (2L, "x", 20L), (3L, "y", 30L), (4L, "y", 40L))
+        .toDF("id", "p", "v"), root, Some("p"))
+    // logical delete: no data file rewritten, no new data version dir
+    val dv1 = ManifestTable.deleteWhere(spark, root, schema, col("id") === 2L)
+    assert(dv1 == 2L)
+    assert(!new java.io.File(s"$root/v00000002").exists(), "delete must not write data")
+    assert(new java.io.File(s"$root/d00000002").exists(), "DV dataset missing")
+    assert(snap() == Set((1L, "x", 10L), (3L, "y", 30L), (4L, "y", 40L)))
+    // time travel to the pre-delete manifest still shows the row
+    assert(ManifestTable.read(spark, root, schema, asOfVersion = Some(1L))
+      .as[(Long, String, Long)].collect().toSet.contains((2L, "x", 20L)))
+    // second delete accumulates into a fresh DV version
+    ManifestTable.deleteWhere(spark, root, schema, col("v") >= 40L)
+    assert(snap() == Set((1L, "x", 10L), (3L, "y", 30L)))
+    // a merge commit rewriting ONLY p=x carries the DV forward: p=y's
+    // deleted row (id=4) stays masked, p=x's rewrite is authoritative
+    ManifestTable.commit(Seq((1L, "x", 11L), (2L, "x", 21L)).toDF("id", "p", "v"),
+      root, Some("p"))
+    assert(snap() == Set((1L, "x", 11L), (2L, "x", 21L), (3L, "y", 30L)))
+    // readPruned applies the DV too (no ranges = plain assembly path)
+    assert(ManifestTable.readPruned(spark, root, schema, Nil)
+      .as[(Long, String, Long)].collect().toSet == snap())
+    // compact materializes the deletes: content identical, no #dv pointer,
+    // and vacuum reclaims every DV dataset
+    val before = snap()
+    ManifestTable.compact(spark, root, schema, Some("p"))
+    assert(snap() == before)
+    ManifestTable.vacuum(spark, root)
+    assert(!new java.io.File(s"$root/d00000002").exists())
+    assert(!new java.io.File(s"$root/d00000003").exists())
+    assert(snap() == before)
+  }
+
+  test("ManifestTable.changes: tagged row feed; untouched partitions never opened") {
+    import spark.implicits._
+    import graft.sources.ManifestTable
+    val root = java.nio.file.Files.createTempDirectory("mantab-cdf").toString + "/t"
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("p", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("v", org.apache.spark.sql.types.LongType)))
+    ManifestTable.commit(
+      Seq((1L, "x", 10L), (2L, "x", 20L), (3L, "y", 30L), (4L, "z", 40L))
+        .toDF("id", "p", "v"), root, Some("p"))
+    // v2 rewrites p=x: id=1 updated, id=2 deleted, id=5 inserted
+    ManifestTable.commit(Seq((1L, "x", 11L), (5L, "x", 50L)).toDF("id", "p", "v"),
+      root, Some("p"))
+    // v3 masks p=y's id=3 via a deletion vector
+    ManifestTable.deleteWhere(spark, root, schema, col("id") === 3L)
+    val feed = ManifestTable.changes(spark, root, schema, "id", 1L, 3L)
+      .as[(String, Long, String, Long)].collect().toSet
+    assert(feed == Set(
+      ("update_preimage", 1L, "x", 10L), ("update_postimage", 1L, "x", 11L),
+      ("delete", 2L, "x", 20L), ("insert", 5L, "x", 50L),
+      ("delete", 3L, "y", 30L)))
+    // an adjacent window sees only its own commit's changes
+    assert(ManifestTable.changes(spark, root, schema, "id", 2L, 3L)
+      .as[(String, Long, String, Long)].collect().toSet
+      == Set(("delete", 3L, "y", 30L)))
+    assert(ManifestTable.changes(spark, root, schema, "id", 3L, 3L).count() == 0L)
+    // pruning proof: destroy the untouched p=z partition's data — the feed
+    // must still compute, because neither side ever opens that partition
+    val zdir = new java.io.File(s"$root/v00000001/p=z")
+    assert(zdir.exists())
+    zdir.listFiles().foreach(f => assert(f.delete()))
+    assert(zdir.delete())
+    assert(ManifestTable.changes(spark, root, schema, "id", 1L, 3L)
+      .count() == 5L)
+  }
+
+  test("ManifestTable.vacuum retainVersions: the retained manifest's snapshot stays fully readable") {
+    import spark.implicits._
+    import graft.sources.ManifestTable
+    val root = java.nio.file.Files.createTempDirectory("mantab-ret").toString + "/t"
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("p", org.apache.spark.sql.types.StringType)))
+    ManifestTable.commit(Seq((1L, "x"), (2L, "y")).toDF("id", "p"), root, Some("p"))
+    ManifestTable.commit(Seq((3L, "x")).toDF("id", "p"), root, Some("p")) // v2: touches only p=x
+    // compact rewrites everything into v3 with carryForward=false, so v1/v2
+    // data is referenced ONLY by the retained manifests 1 and 2
+    ManifestTable.compact(spark, root, schema, Some("p"))
+    ManifestTable.vacuum(spark, root, retainVersions = 1)
+    // manifest 2 is inside the retention window: its whole snapshot (v1's
+    // p=y carry-forward + v2's p=x) must remain time-travel-readable
+    assert(new java.io.File(s"$root/_manifest.00000002").exists())
+    assert(ManifestTable.read(spark, root, schema, asOfVersion = Some(2L))
+      .as[(Long, String)].collect().toSet == Set((3L, "x"), (2L, "y")))
+    // manifest 1 is outside the window and reclaimed
+    assert(!new java.io.File(s"$root/_manifest.00000001").exists())
+    // dropping to retain-0 reclaims everything but current
+    ManifestTable.vacuum(spark, root)
+    assert(!new java.io.File(s"$root/v00000001").exists())
+    assert(!new java.io.File(s"$root/v00000002").exists())
+    assert(ManifestTable.read(spark, root, schema)
+      .as[(Long, String)].collect().toSet == Set((3L, "x"), (2L, "y")))
+  }
+
   test("ManifestTable: partitioned read assembles partitions across version dirs") {
     import spark.implicits._
     import graft.sources.ManifestTable
