@@ -3835,7 +3835,37 @@ object Queries {
       UNION ALL SELECT 'delete', * FROM del2
       UNION ALL SELECT 'update_preimage', * FROM upd
       UNION ALL SELECT 'update_postimage', o_orderkey, o_orderpriority,
-        o_orderstatus, o_totalprice + 1.0 FROM upd"""))
+        o_orderstatus, o_totalprice + 1.0 FROM upd""")),
+
+    // SCD Type 2: the orders stream read as a per-customer change log
+    // ((status, priority) observed at each order date, last-writer-by-
+    // orderkey within a date grain) collapses into validity intervals —
+    // gaps-and-islands per key, one hash shuffle, no global window. The
+    // oracle replays the identical lag→run→min(ts)→lead pipeline.
+    ("q155_scd2", (s: SparkSession, d: String) => {
+      graft.ops.Scd.type2(t(s, d, "orders"), "o_custkey", "o_orderdate",
+        Seq("o_orderstatus", "o_orderpriority"), "o_orderkey")
+    }, Some("""WITH pick AS (SELECT o_custkey, o_orderdate AS ts,
+          o_orderstatus, o_orderpriority,
+          row_number() OVER (PARTITION BY o_custkey, o_orderdate
+            ORDER BY o_orderkey DESC) AS rn
+        FROM orders),
+      lg AS (SELECT o_custkey, ts, o_orderstatus, o_orderpriority
+        FROM pick WHERE rn = 1),
+      rr AS (SELECT *, CASE WHEN lag(o_orderstatus) OVER w IS DISTINCT FROM o_orderstatus
+            OR lag(o_orderpriority) OVER w IS DISTINCT FROM o_orderpriority
+          THEN 1 ELSE 0 END AS nw FROM lg
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY ts)),
+      rid AS (SELECT *, sum(nw) OVER (PARTITION BY o_custkey ORDER BY ts
+          ROWS UNBOUNDED PRECEDING) AS run FROM rr),
+      iv0 AS (SELECT o_custkey, run, o_orderstatus, o_orderpriority,
+          min(ts) AS valid_from
+        FROM rid GROUP BY o_custkey, run, o_orderstatus, o_orderpriority),
+      iv AS (SELECT o_custkey, o_orderstatus, o_orderpriority, valid_from,
+          lead(valid_from) OVER (PARTITION BY o_custkey ORDER BY valid_from)
+            AS valid_to FROM iv0)
+      SELECT o_custkey, o_orderstatus, o_orderpriority, valid_from, valid_to,
+        (valid_to IS NULL) AS is_current FROM iv"""))
   )
 
   /** The BM25 replay shared by q72/q123 — postings, df, dl, corpus stats,

@@ -473,4 +473,49 @@ class OpsSpec extends SparkSuite {
     assert(r((w0 + 1, 0L)) == 1L)  // user 3's own cohort
     assert(r.values.sum == 4L)
   }
+
+  test("Scd.type2: run collapse, half-open intervals, same-grain tie pin") {
+    import spark.implicits._
+    val log = Seq(
+      (1L, 10L, 1L, "A"), (1L, 20L, 2L, "A"),          // one run despite 2 obs
+      (1L, 30L, 5L, "C"), (1L, 30L, 9L, "B"),          // tie: orderkey 9 wins
+      (1L, 40L, 3L, "A"),                              // A returns = NEW run
+      (2L, 10L, 1L, "X")
+    ).toDF("k", "ts", "tie", "a")
+    val dim = graft.ops.Scd.type2(log, "k", "ts", Seq("a"), "tie")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        Option(r.get(3)).map(_.asInstanceOf[Long]), r.getBoolean(4))).toSet
+    assert(dim == Set(
+      (1L, "A", 10L, Some(30L), false),
+      (1L, "B", 30L, Some(40L), false),
+      (1L, "A", 40L, None, true),
+      (2L, "X", 10L, None, true)))
+  }
+
+  test("Scd.type2Apply on time-split batches == full rebuild") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    // sparse 20-key × 30-day change log with duplicate (key, day) grains
+    val rows = for {
+      k <- 0L until 20L; day <- 0L until 30L
+      if rnd.nextInt(7) != 0
+      dup <- 0 until (1 + rnd.nextInt(2))
+    } yield (k, day, day * 100 + k * 3 + dup, s"s${rnd.nextInt(3)}")
+    val log = rows.toDF("k", "ts", "tie", "a")
+    val full = graft.ops.Scd.type2(log, "k", "ts", Seq("a"), "tie")
+    val applied = Seq(10L, 20L, 31L).foldLeft[(Option[org.apache.spark.sql.DataFrame], Long)]((None, 0L)) {
+      case ((dim, lo), hi) =>
+        val batch = log.filter(col("ts") >= lo && col("ts") < hi)
+        val next = dim match {
+          case None => graft.ops.Scd.type2(batch, "k", "ts", Seq("a"), "tie")
+          case Some(dm) => graft.ops.Scd.type2Apply(dm, batch, "k", "ts", Seq("a"), "tie")
+        }
+        (Some(next), hi)
+    }._1.get
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        Option(r.get(3)).map(_.asInstanceOf[Long]), r.getBoolean(4))).toSet
+    assert(canon(applied) == canon(full))
+    assert(full.count() == canon(full).size.toLong) // no dup intervals
+  }
 }
