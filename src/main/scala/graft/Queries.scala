@@ -3865,7 +3865,53 @@ object Queries {
           lead(valid_from) OVER (PARTITION BY o_custkey ORDER BY valid_from)
             AS valid_to FROM iv0)
       SELECT o_custkey, o_orderstatus, o_orderpriority, valid_from, valid_to,
-        (valid_to IS NULL) AS is_current FROM iv"""))
+        (valid_to IS NULL) AS is_current FROM iv""")),
+
+    // Triangle counting + local clustering coefficient on the part
+    // co-occurrence graph (parts bought together in one order = an edge) —
+    // degree-ordered edge iterator, so wedge volume is O(m^1.5) and a hub
+    // part cannot explode the join. Top-20 by triangle count, tri >= 1 so
+    // the coefficient divisor is never zero; the total rides along as
+    // sum(tri) div 3 (each triangle counted once per corner).
+    ("q156_triangles", (s: SparkSession, d: String) => {
+      val li = t(s, d, "lineitem")
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+      val e = li.as("x").join(li.as("y"),
+          col("x.o") === col("y.o") && col("x.p") < col("y.p"))
+        .select(col("x.p").as("a"), col("y.p").as("b")).distinct()
+      val stats = graft.ops.LinkGraph.triangleStats(e)
+      val tot = stats.agg(expr("sum(tri) div 3").as("total_triangles"))
+      stats.filter(col("tri") >= 1)
+        .withColumn("coeff",
+          (col("tri") * 2).cast("double") / (col("deg") * (col("deg") - 1)))
+        .crossJoin(broadcast(tot))
+        .orderBy(col("tri").desc, col("node"))
+        .limit(20)
+    }, Some("""WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+      e AS (SELECT DISTINCT x.p AS a, y.p AS b
+        FROM li x JOIN li y ON x.o = y.o AND x.p < y.p),
+      dg AS (SELECT v, CAST(count(*) AS BIGINT) AS deg
+        FROM (SELECT a AS v FROM e UNION ALL SELECT b FROM e) GROUP BY v),
+      ed AS (SELECT
+          CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND a < b) THEN a ELSE b END AS u,
+          CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND a < b) THEN b ELSE a END AS w,
+          CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND a < b) THEN db.deg ELSE da.deg END AS dw
+        FROM e JOIN dg da ON e.a = da.v JOIN dg db ON e.b = db.v),
+      tr AS (SELECT x.u, x.w AS p, y.w AS q
+        FROM ed x JOIN ed y ON x.u = y.u
+          AND (x.dw < y.dw OR (x.dw = y.dw AND x.w < y.w))
+        JOIN ed z ON z.u = x.w AND z.w = y.w),
+      tn AS (SELECT v, CAST(count(*) AS BIGINT) AS tri FROM
+        (SELECT u AS v FROM tr UNION ALL SELECT p FROM tr UNION ALL SELECT q FROM tr)
+        GROUP BY v),
+      r AS (SELECT dg.v AS node, dg.deg, tn.tri FROM dg JOIN tn ON dg.v = tn.v
+        WHERE tn.tri >= 1),
+      tot AS (SELECT CAST(CAST(sum(tri) AS BIGINT) // 3 AS BIGINT)
+          AS total_triangles FROM tn)
+      SELECT node, deg, tri,
+        CAST(tri * 2 AS DOUBLE) / (deg * (deg - 1)) AS coeff, total_triangles
+      FROM r CROSS JOIN tot
+      ORDER BY tri DESC, node LIMIT 20"""))
   )
 
   /** The BM25 replay shared by q72/q123 — postings, df, dl, corpus stats,

@@ -106,4 +106,45 @@ object LinkGraph {
     ranks.select(col("node"), col("ru").as("rank_units"),
       (col("ru").cast("double") / lit(1.0e12)).as("rank"))
   }
+
+  /** Per-node triangle counts over an UNDIRECTED simple graph given as
+    * `(a, b)` with `a < b`, one row per edge. Returns `(node, deg, tri)`
+    * for every node (tri = 0 when none) — local clustering coefficient is
+    * then `2·tri / (deg·(deg−1))`.
+    *
+    * This is the degree-ordered edge-iterator algorithm (the MapReduce
+    * triangle-counting standard, Suri & Vassilvitskii WWW'11): orient each
+    * edge from the endpoint with lower `(deg, id)` to the higher, build
+    * wedges by self-joining oriented edges on their source with the two
+    * targets rank-ordered, and close each wedge with ONE equi-join back to
+    * the oriented edge set. Orientation bounds every out-neighborhood by
+    * O(√m), so total wedge volume is O(m^{3/2}) regardless of skew — a
+    * celebrity node with 10^6 neighbors produces no 10^12-wedge explosion,
+    * because its edges all point INTO it. Three hash joins, no windows, no
+    * driver state: the 100 TB shape.
+    */
+  def triangleStats(edges: DataFrame, aCol: String = "a",
+                    bCol: String = "b"): DataFrame = {
+    val e = edges.select(col(aCol).as("a"), col(bCol).as("b"))
+    val deg = e.select(col("a").as("v")).unionAll(e.select(col("b").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("deg"))
+    val lower = col("da") < col("db") || (col("da") === col("db") && col("a") < col("b"))
+    val ed = e
+      .join(deg.select(col("v").as("a"), col("deg").as("da")), Seq("a"))
+      .join(deg.select(col("v").as("b"), col("deg").as("db")), Seq("b"))
+      .select(when(lower, col("a")).otherwise(col("b")).as("u"),
+        when(lower, col("b")).otherwise(col("a")).as("w"),
+        when(lower, col("db")).otherwise(col("da")).as("dw"))
+    val x = ed.select(col("u"), col("w").as("p"), col("dw").as("dp"))
+    val y = ed.select(col("u"), col("w").as("q"), col("dw").as("dq"))
+    val wedges = x.join(y, Seq("u"))
+      .filter(col("dp") < col("dq") || (col("dp") === col("dq") && col("p") < col("q")))
+    val tris = wedges.join(ed.select(col("u").as("p"), col("w").as("q")), Seq("p", "q"))
+      .select(col("u"), col("p"), col("q"))
+    val tn = tris.select(explode(array(col("u"), col("p"), col("q"))).as("v"))
+      .groupBy("v").agg(count(lit(1)).as("tri"))
+    deg.join(tn, Seq("v"), "left")
+      .select(col("v").as("node"), col("deg"),
+        coalesce(col("tri"), lit(0L)).as("tri"))
+  }
 }

@@ -474,6 +474,19 @@ class OpsSpec extends SparkSuite {
     assert(r.values.sum == 4L)
   }
 
+  test("LinkGraph.triangleStats: K4 plus pendant edge") {
+    import spark.implicits._
+    // K4 on {1,2,3,4} (every node in 3 triangles) + pendant 4-5 (no triangle)
+    val e = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (4L, 5L)).toDF("a", "b")
+    val r = graft.ops.LinkGraph.triangleStats(e)
+      .collect().map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2))).toMap
+    assert(r(1L) == (3L, 3L) && r(2L) == (3L, 3L) && r(3L) == (3L, 3L))
+    assert(r(4L) == (4L, 3L))
+    assert(r(5L) == (1L, 0L))
+    assert(r.values.map(_._2).sum == 12L) // 4 triangles x 3 corners
+  }
+
   test("Scd.type2: run collapse, half-open intervals, same-grain tie pin") {
     import spark.implicits._
     val log = Seq(
