@@ -3911,7 +3911,44 @@ object Queries {
       SELECT node, deg, tri,
         CAST(tri * 2 AS DOUBLE) / (deg * (deg - 1)) AS coeff, total_triangles
       FROM r CROSS JOIN tot
-      ORDER BY tri DESC, node LIMIT 20"""))
+      ORDER BY tri DESC, node LIMIT 20""")),
+
+    // Incrementally-maintained COUNT(DISTINCT) view: the one aggregate the
+    // q152 (n, sum, min, max) state can't carry — maintained as per-key KMV
+    // bottom-64 hash arrays in a bucket-pruned ManifestTable, folded over
+    // three delta batches. KMV union is exact set-union-truncate, so the
+    // maintained sketch equals the one-shot sketch under ANY batch split —
+    // which is exactly what the oracle computes (the q116 estimator over
+    // the whole table at once).
+    ("q157_incremental_distinct", (s: SparkSession, d: String) => {
+      val ev = t(s, d, "events").filter(col("user_id").isNotNull)
+      val hv = conv(substring(md5(col("user_id").cast("string")), 1, 15), 16, 10)
+        .cast("long")
+      val root = java.nio.file.Files.createTempDirectory("q157-kmv")
+        .toString + "/state"
+      Seq(0, 1, 2).foreach { b =>
+        graft.ops.IncrementalAgg.applyDistinctBatch(s, root,
+          ev.filter(pmod(col("event_id"), lit(3)) === b),
+          "event_type", hv, k = 64, nBuckets = 8)
+      }
+      graft.ops.IncrementalAgg.distinctEstimate(
+          graft.sources.ManifestTable.read(s, root,
+            graft.ops.IncrementalAgg.distinctStateSchema), 64)
+        .withColumnRenamed("key", "event_type")
+    }, Some("""WITH h AS (SELECT DISTINCT event_type,
+        ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS hv
+        FROM events WHERE user_id IS NOT NULL),
+      r AS (SELECT event_type, hv,
+          row_number() OVER (PARTITION BY event_type ORDER BY hv) AS rn FROM h),
+      a AS (SELECT event_type, count(*) AS nd FROM h GROUP BY event_type),
+      kt AS (SELECT event_type, hv AS kth FROM r WHERE rn = 64)
+      SELECT a.event_type,
+        CAST(least(a.nd, 64) AS INTEGER) AS n_kept,
+        kt.kth AS kth,
+        CAST(CASE WHEN a.nd >= 64
+          THEN floor(63 * pow(2::DOUBLE, 60) / CAST(kt.kth AS DOUBLE))
+          ELSE a.nd END AS BIGINT) AS est
+      FROM a LEFT JOIN kt ON a.event_type = kt.event_type"""))
   )
 
   /** The BM25 replay shared by q72/q123 — postings, df, dl, corpus stats,

@@ -71,4 +71,75 @@ object IncrementalAgg {
       ManifestTable.commit(mergeStates(state, da), root, Some("bucket"))
     }
   }
+
+  // ================== distinct-count view (KMV state) ===================
+  //
+  // COUNT(DISTINCT x) is NOT distributive — the one aggregate the (n, s,
+  // mn, mx) view above cannot maintain, and the reason warehouses bolt
+  // sketch columns onto incremental views (Druid/BigQuery materialized
+  // views do exactly this). The maintained state is the KMV bottom-k
+  // distinct-hash array ([[org.apache.spark.sql.graft.KmvState]]): merge =
+  // exact set-union-truncate on two ≤k arrays, so any batch arrival order
+  // lands on the identical sketch a one-shot aggregate produces, and the
+  // estimate replays cross-engine bit-for-bit (the q116 property, kept
+  // under incremental maintenance).
+
+  /** Distinct-view state schema: the sorted bottom-k hash array per key. */
+  def distinctStateSchema: StructType = StructType.fromDDL(
+    "key STRING, bucket STRING, kmv ARRAY<BIGINT>")
+
+  /** Map-side KMV aggregate of one delta batch (bounded k-long buffers,
+    * partial-aggregation friendly). `hash` must be the 60-bit md5-derived
+    * portable hash (the q95/q116 convention).
+    */
+  def aggregateDistinctDelta(delta: DataFrame, key: String,
+                             hash: org.apache.spark.sql.Column,
+                             k: Int, nBuckets: Int): DataFrame =
+    delta.select(col(key).cast("string").as("key"), hash.as("hv"))
+      .filter(col("hv").isNotNull)
+      .groupBy("key")
+      .agg(org.apache.spark.sql.graft.KmvColumns.kmvState(col("hv"), k).as("kmv"))
+      .withColumn("bucket",
+        pmod(xxhash64(col("key")), lit(nBuckets.toLong)).cast("string"))
+      .select("key", "bucket", "kmv")
+
+  /** Exact KMV union of two state relations: concat → distinct → sort →
+    * truncate, all on ≤2k-element arrays — no explode, no re-shuffle of raw
+    * values.
+    */
+  def mergeDistinctStates(a: DataFrame, b: DataFrame, k: Int): DataFrame =
+    a.unionByName(b).groupBy("key", "bucket")
+      .agg(slice(array_sort(array_distinct(flatten(collect_list(col("kmv"))))),
+        1, k).as("kmv"))
+
+  /** Fold one delta batch into the distinct-count view at `root` — same
+    * touched-bucket pruning as [[applyBatch]].
+    */
+  def applyDistinctBatch(spark: SparkSession, root: String, delta: DataFrame,
+                         key: String, hash: org.apache.spark.sql.Column,
+                         k: Int = 64, nBuckets: Int = 64): Long = {
+    val da = aggregateDistinctDelta(delta, key, hash, k, nBuckets)
+      .localCheckpoint()
+    if (!ManifestTable.exists(spark, root))
+      ManifestTable.commit(da, root, Some("bucket"))
+    else {
+      val touched = da.select("bucket").distinct()
+        .collect().map(_.getString(0)).toSeq
+      val state = ManifestTable.read(spark, root, distinctStateSchema)
+        .filter(col("bucket").isin(touched: _*))
+      ManifestTable.commit(mergeDistinctStates(state, da, k), root, Some("bucket"))
+    }
+  }
+
+  /** `(key, n_kept, kth, est)` from the maintained state — the q116 output
+    * contract: exact count below k, floor((k-1)·2^60/kth) at k.
+    */
+  def distinctEstimate(state: DataFrame, k: Int): DataFrame =
+    state.select(col("key"),
+      size(col("kmv")).as("n_kept"),
+      when(size(col("kmv")) >= k, element_at(col("kmv"), k)).as("kth"),
+      when(size(col("kmv")) >= k,
+        floor(lit((k - 1).toDouble) * lit(math.pow(2.0, 60))
+          / element_at(col("kmv"), k).cast("double")).cast("long"))
+        .otherwise(size(col("kmv")).cast("long")).as("est"))
 }

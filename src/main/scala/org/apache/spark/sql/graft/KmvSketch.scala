@@ -133,10 +133,81 @@ object KmvSketch {
     else math.floor((k - 1).toDouble * math.pow(2.0, 60) / buf.last.toDouble).toLong
 }
 
+/** [[KmvSketch]]'s buffer evaluated as the raw sorted bottom-k array — the
+  * PERSISTABLE form: store it per (key, shard/day), merge stored arrays
+  * later with `slice(array_sort(array_distinct(concat(...))), 1, k)` (the
+  * exact KMV union), and derive `n_kept`/`kth`/`est` from the merged array
+  * with plain column functions. The incremental-view leg
+  * ([[graft.ops.IncrementalAgg]]) builds on this.
+  */
+case class KmvState(hash: Expression, kExpr: Expression,
+                    mutableAggBufferOffset: Int = 0,
+                    inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[mutable.TreeSet[Long]]
+    with ExpectsInputTypes {
+
+  private lazy val k: Int = {
+    val kk = kExpr.eval().asInstanceOf[Number].intValue()
+    require(kk >= 2, s"kmv_state needs k >= 2, got $kk")
+    kk
+  }
+
+  override def children: Seq[Expression] = Seq(hash, kExpr)
+  override def inputTypes: Seq[AbstractDataType] = Seq(LongType, IntegerType)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "kmv_state"
+
+  override def createAggregationBuffer(): mutable.TreeSet[Long] =
+    mutable.TreeSet.empty[Long]
+  override def update(buf: mutable.TreeSet[Long],
+                      input: InternalRow): mutable.TreeSet[Long] = {
+    val v = hash.eval(input)
+    if (v != null) KmvSketch.offer(buf, v.asInstanceOf[Long], k)
+    buf
+  }
+  override def merge(buf: mutable.TreeSet[Long],
+                     other: mutable.TreeSet[Long]): mutable.TreeSet[Long] = {
+    other.foreach(KmvSketch.offer(buf, _, k))
+    buf
+  }
+  override def eval(buf: mutable.TreeSet[Long]): Any =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(buf.toArray)
+
+  override def serialize(buf: mutable.TreeSet[Long]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(4 + buf.size * 8)
+    bb.putInt(buf.size)
+    buf.foreach(bb.putLong)
+    bb.array()
+  }
+  override def deserialize(bytes: Array[Byte]): mutable.TreeSet[Long] = {
+    val bb = ByteBuffer.wrap(bytes)
+    val n = bb.getInt
+    val buf = createAggregationBuffer()
+    var j = 0
+    while (j < n) { buf += bb.getLong; j += 1 }
+    buf
+  }
+  override def withNewMutableAggBufferOffset(newOffset: Int): KmvState =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): KmvState =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(hash = newChildren(0), kExpr = newChildren(1))
+}
+
 object KmvColumns {
   /** `struct<n_kept, kth, est>` KMV sketch of the 60-bit hashes in `hash`. */
   def kmvSketch(hash: Column, k: Int): Column =
     ExpressionUtils.column(KmvSketch(
+      ExpressionUtils.expression(hash),
+      org.apache.spark.sql.catalyst.expressions.Literal(k))
+      .toAggregateExpression())
+
+  /** Sorted bottom-k distinct-hash array (the persistable sketch state). */
+  def kmvState(hash: Column, k: Int): Column =
+    ExpressionUtils.column(KmvState(
       ExpressionUtils.expression(hash),
       org.apache.spark.sql.catalyst.expressions.Literal(k))
       .toAggregateExpression())

@@ -474,6 +474,32 @@ class OpsSpec extends SparkSuite {
     assert(r.values.sum == 4L)
   }
 
+  test("IncrementalAgg distinct view: split-batch merge == one-shot sketch") {
+    import spark.implicits._
+    import graft.ops.IncrementalAgg
+    val rnd = new scala.util.Random(9)
+    val rows = (0 until 500).map(i => (i.toLong, s"k${i % 3}", s"u${rnd.nextInt(120)}"))
+    val df = rows.toDF("id", "k", "u")
+    val hv = conv(substring(md5(col("u")), 1, 15), 16, 10).cast("long")
+    val k = 16
+    val oneShot = IncrementalAgg.aggregateDistinctDelta(df, "k", hv, k, 4)
+    val merged = IncrementalAgg.mergeDistinctStates(
+      IncrementalAgg.aggregateDistinctDelta(df.filter(col("id") % 2 === 0), "k", hv, k, 4),
+      IncrementalAgg.aggregateDistinctDelta(df.filter(col("id") % 2 === 1), "k", hv, k, 4), k)
+    def canon(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => (r.getString(0), r.getSeq[Long](2).toList)).toMap
+    assert(canon(merged.select("key", "bucket", "kmv"))
+      == canon(oneShot.select("key", "bucket", "kmv")))
+    // estimates: below-k keys exact, at-k keys carry the kth hash
+    val est = IncrementalAgg.distinctEstimate(oneShot, k).collect()
+      .map(r => r.getString(0) -> (r.getInt(1), r.getLong(3))).toMap
+    val exact = rows.groupBy(_._2).map { case (kk, rs) => kk -> rs.map(_._3).distinct.size }
+    est.foreach { case (kk, (nKept, e)) =>
+      if (exact(kk) < k) assert(nKept == exact(kk) && e == exact(kk).toLong)
+      else assert(nKept == k && e > 0L)
+    }
+  }
+
   test("LinkGraph.triangleStats: K4 plus pendant edge") {
     import spark.implicits._
     // K4 on {1,2,3,4} (every node in 3 triangles) + pendant 4-5 (no triangle)
