@@ -3948,7 +3948,53 @@ object Queries {
         CAST(CASE WHEN a.nd >= 64
           THEN floor(63 * pow(2::DOUBLE, 60) / CAST(kt.kth AS DOUBLE))
           ELSE a.nd END AS BIGINT) AS est
-      FROM a LEFT JOIN kt ON a.event_type = kt.event_type"""))
+      FROM a LEFT JOIN kt ON a.event_type = kt.event_type""")),
+
+    // Point-in-time-correct feature join: every order looks up the
+    // customer's SCD2 state AS OF 30 days before the order — the
+    // leakage-free feature-store join (training features must reflect what
+    // was knowable THEN, not the current row). Spark side is the q155
+    // dimension fed through the union-tag as-of window (one shuffle, no
+    // theta join); the oracle exploits that contiguous intervals make
+    // as-of == interval containment.
+    ("q158_asof_scd2", (s: SparkSession, d: String) => {
+      val dim = graft.ops.Scd.type2(t(s, d, "orders"), "o_custkey",
+          "o_orderdate", Seq("o_orderstatus", "o_orderpriority"), "o_orderkey")
+        .select(col("o_custkey"), col("o_orderstatus").as("st"),
+          col("o_orderpriority").as("pr"), col("valid_from"))
+      val facts = t(s, d, "orders").select(col("o_orderkey"), col("o_custkey"),
+        col("o_totalprice"),
+        (col("o_orderdate") - expr("INTERVAL 30 DAYS")).as("ts30"))
+      graft.ops.TemporalJoin.asOf(facts, dim, "o_custkey", "ts30", "valid_from")
+        .groupBy("st", "pr")
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("s"))
+    }, Some("""WITH pick AS (SELECT o_custkey, o_orderdate AS ts,
+          o_orderstatus, o_orderpriority,
+          row_number() OVER (PARTITION BY o_custkey, o_orderdate
+            ORDER BY o_orderkey DESC) AS rn
+        FROM orders),
+      lg AS (SELECT o_custkey, ts, o_orderstatus, o_orderpriority
+        FROM pick WHERE rn = 1),
+      rr AS (SELECT *, CASE WHEN lag(o_orderstatus) OVER w IS DISTINCT FROM o_orderstatus
+            OR lag(o_orderpriority) OVER w IS DISTINCT FROM o_orderpriority
+          THEN 1 ELSE 0 END AS nw FROM lg
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY ts)),
+      rid AS (SELECT *, sum(nw) OVER (PARTITION BY o_custkey ORDER BY ts
+          ROWS UNBOUNDED PRECEDING) AS run FROM rr),
+      iv0 AS (SELECT o_custkey, run, o_orderstatus AS st, o_orderpriority AS pr,
+          min(ts) AS valid_from
+        FROM rid GROUP BY o_custkey, run, o_orderstatus, o_orderpriority),
+      iv AS (SELECT o_custkey, st, pr, valid_from,
+          lead(valid_from) OVER (PARTITION BY o_custkey ORDER BY valid_from)
+            AS valid_to FROM iv0),
+      f AS (SELECT o_orderkey, o_custkey, o_totalprice,
+          o_orderdate - INTERVAL 30 DAY AS ts30 FROM orders)
+      SELECT iv.st, iv.pr, CAST(count(*) AS BIGINT) AS n,
+        CAST(SUM(CAST(f.o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS s
+      FROM f JOIN iv ON f.o_custkey = iv.o_custkey
+        AND iv.valid_from <= f.ts30
+        AND (iv.valid_to IS NULL OR iv.valid_to > f.ts30)
+      GROUP BY iv.st, iv.pr"""))
   )
 
   /** The BM25 replay shared by q72/q123 — postings, df, dl, corpus stats,
