@@ -3994,7 +3994,44 @@ object Queries {
       FROM f JOIN iv ON f.o_custkey = iv.o_custkey
         AND iv.valid_from <= f.ts30
         AND (iv.valid_to IS NULL OR iv.valid_to > f.ts30)
-      GROUP BY iv.st, iv.pr"""))
+      GROUP BY iv.st, iv.pr""")),
+
+    // Data-skipping layers on the ORACLE path: lineitem committed with zone
+    // maps + Bloom sidecars, then (a) a range predicate through the
+    // zone-map-pruned read and (b) a point lookup through the Bloom-pruned
+    // read must aggregate identically to plain filters over the source —
+    // file skipping returns a superset, the exact predicate sits on top, so
+    // any wrongly-skipped file shows up as a row-count/hash diff here.
+    ("q159_pruned_scan", (s: SparkSession, d: String) => {
+      val cols = Seq("l_orderkey", "l_returnflag", "l_quantity", "l_extendedprice")
+      val l = t(s, d, "lineitem").select(cols.map(col): _*)
+      val schema = StructType(Seq(
+        StructField("l_orderkey", LongType), StructField("l_returnflag", StringType),
+        StructField("l_quantity", DoubleType), StructField("l_extendedprice", DoubleType)))
+      val root = java.nio.file.Files.createTempDirectory("q159-prune")
+        .toString + "/t"
+      import graft.sources.ManifestTable
+      // pre-split so every partition dir holds several files to skip over
+      ManifestTable.commit(l.repartitionByRange(8, col("l_orderkey")),
+        root, Some("l_returnflag"),
+        statsCols = Seq("l_orderkey", "l_quantity"), bloomCols = Seq("l_orderkey"))
+      val ranged = ManifestTable.readPruned(s, root, schema,
+          Seq(ManifestTable.ColRange("l_orderkey", 100L, 5000L)))
+        .filter(col("l_orderkey").between(100L, 5000L))
+        .agg(count(lit(1)).as("n"), dsum(col("l_extendedprice")).as("s"))
+        .withColumn("stage", lit("range"))
+      val point = ManifestTable.readPruned(s, root, schema, Nil,
+          points = Seq(("l_orderkey", 1L)))
+        .filter(col("l_orderkey") === 1L)
+        .agg(count(lit(1)).as("n"), dsum(col("l_extendedprice")).as("s"))
+        .withColumn("stage", lit("point"))
+      ranged.unionByName(point).select("stage", "n", "s")
+    }, Some(s"""SELECT 'range' AS stage, CAST(count(*) AS BIGINT) AS n,
+        ${dsumSql("l_extendedprice")} AS s
+      FROM lineitem WHERE l_orderkey BETWEEN 100 AND 5000
+      UNION ALL SELECT 'point', CAST(count(*) AS BIGINT),
+        ${dsumSql("l_extendedprice")}
+      FROM lineitem WHERE l_orderkey = 1"""))
   )
 
   /** The BM25 replay shared by q72/q123 — postings, df, dl, corpus stats,

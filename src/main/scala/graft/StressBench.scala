@@ -69,6 +69,29 @@ object StressBench {
       if (f == 1) l
       else l.crossJoin(spark.range(f).select(col("id").as("rep"))).drop("rep")
     }
+    // keys scale with the data, per-key history length stays constant — the
+    // honest direction for keyed-timeline ops (SCD2, change feed)
+    def ordersTimes(f: Int): DataFrame = {
+      val o = Tables(spark, sfDir, "orders")
+      if (f == 1) o
+      else o.crossJoin(spark.range(f).select(col("id").as("rep")))
+        .select((col("o_custkey") * f + col("rep")).as("o_custkey"),
+          (col("o_orderkey") * f + col("rep")).as("o_orderkey"),
+          col("o_orderstatus"), col("o_orderpriority"),
+          col("o_orderdate"), col("o_totalprice"))
+    }
+    // f DISJOINT copies of the co-occurrence graph: m scales ×f with the
+    // degree distribution preserved (offsetting only orderkeys would
+    // DENSIFY the fixed part set toward a complete graph — cubic triangle
+    // growth by fixture construction, not algorithm behavior)
+    def coocTimes(f: Int): DataFrame = {
+      val li = Tables(spark, sfDir, "lineitem")
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      (if (f == 1) li
+       else li.crossJoin(spark.range(f).select(col("id").as("rep")))
+         .select((col("o") * f + col("rep")).as("o"),
+           (col("p") * f + col("rep")).as("p"))).distinct()
+    }
 
     def time(label: String, f: Int)(df: => DataFrame): Unit = {
       if (!onlyOps.forall(_.exists(label.startsWith))) return
@@ -256,6 +279,61 @@ object StressBench {
         lineitemTimes(f).groupBy("l_returnflag")
           .agg(org.apache.spark.sql.graft.KmvColumns.kmvSketch(hv, 64).as("s"))
           .select(col("l_returnflag"), col("s.est"))
+      })
+      // r12 batch 5: SCD2 (keys scale with data, per-key timeline constant
+      // — windows must stay per-key), degree-ordered triangles (f disjoint
+      // graph copies: edge/wedge volume ×f, linear by construction — the
+      // DENSIFYING direction is excluded by design, that's a fixture
+      // property, not an algorithm one), merge-on-read delete (predicate
+      // eval is one scan, DV write ∝ matches), the partition-pruned change
+      // feed, and the KMV distinct view (3 delta folds, bucket-pruned reads)
+      time("scd2", f)(
+        graft.ops.Scd.type2(ordersTimes(f), "o_custkey", "o_orderdate",
+          Seq("o_orderstatus", "o_orderpriority"), "o_orderkey"))
+      time("triangles", f)({
+        val li = coocTimes(f)
+        val e = li.as("x").join(li.as("y"),
+            col("x.o") === col("y.o") && col("x.p") < col("y.p"))
+          .select(col("x.p").as("a"), col("y.p").as("b")).distinct()
+        graft.ops.LinkGraph.triangleStats(e)
+      })
+      time("delete_vectors", f)({
+        val root = java.nio.file.Files.createTempDirectory(s"stress-dv$f")
+          .toString + "/t"
+        val schema = org.apache.spark.sql.types.StructType.fromDDL(
+          "o_orderkey BIGINT, o_orderpriority STRING, o_totalprice DOUBLE")
+        val o = ordersTimes(f).select("o_orderkey", "o_orderpriority", "o_totalprice")
+        graft.sources.ManifestTable.commit(o, root, Some("o_orderpriority"))
+        graft.sources.ManifestTable.deleteWhere(spark, root, schema,
+          pmod(col("o_orderkey"), lit(100)) === 0)
+        graft.sources.ManifestTable.read(spark, root, schema)
+      })
+      time("change_feed", f)({
+        val root = java.nio.file.Files.createTempDirectory(s"stress-cdf$f")
+          .toString + "/t"
+        val schema = org.apache.spark.sql.types.StructType.fromDDL(
+          "o_orderkey BIGINT, o_orderpriority STRING, o_totalprice DOUBLE")
+        val o = ordersTimes(f).select("o_orderkey", "o_orderpriority", "o_totalprice")
+        graft.sources.ManifestTable.commit(o, root, Some("o_orderpriority"))
+        graft.sources.ManifestTable.commit(
+          o.filter(col("o_orderpriority") === "1-URGENT")
+            .withColumn("o_totalprice", col("o_totalprice") + 1.0),
+          root, Some("o_orderpriority"))
+        graft.sources.ManifestTable.changes(spark, root, schema, "o_orderkey", 1L, 2L)
+      })
+      time("inc_distinct", f)({
+        val root = java.nio.file.Files.createTempDirectory(s"stress-ikmv$f")
+          .toString + "/state"
+        val l = lineitemTimes(f)
+        val hv = conv(substring(md5(col("l_partkey").cast("string")), 1, 15), 16, 10)
+          .cast("long")
+        Seq(0, 1, 2).foreach { b =>
+          graft.ops.IncrementalAgg.applyDistinctBatch(spark, root,
+            l.filter(pmod(col("l_orderkey"), lit(3)) === b),
+            "l_returnflag", hv, k = 64, nBuckets = 8)
+        }
+        graft.sources.ManifestTable.read(spark, root,
+          graft.ops.IncrementalAgg.distinctStateSchema)
       })
     }
     // 64x probes ONLY the bucketed-dedup family (VERDICT r05 #3): these are
