@@ -346,6 +346,34 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("lead("), p)
   }
 
+  test("q155: SCD2 windows are all key-partitioned; no cartesian, no global sort") {
+    val p = plan("q155_scd2")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    // every Sort feeding a window must be a LOCAL per-partition sort (the
+    // key hash-partitions the timeline) — a GLOBAL sort (printed
+    // `Sort [...], true, 0`) would mean a single-reducer window snuck in
+    assert(!p.contains("], true, 0"), p)
+    assert(p.contains("lag(") && p.contains("lead("), p)
+  }
+
+  test("q156: triangle closure is equi-joins only; sole BNL is the 1-row total attach") {
+    val p = finalPlan("q156_triangles")
+    assert(!p.contains("CartesianProduct"), p)
+    // the wedge build and closure must be hash equi-joins; the ONE
+    // BroadcastNestedLoopJoin is the broadcast of the 1-row total aggregate
+    // (plan string = final + initial section, so the node prints twice)
+    val finalSection = p.split("== Initial Plan ==").head
+    assert("BroadcastNestedLoopJoin".r.findAllIn(finalSection).size == 1, p)
+    // the top-20 cut is a TakeOrderedAndProject, not a global window
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("q158: as-of join is one union-tag window, not a theta join") {
+    val p = finalPlan("q158_asof_scd2")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("last("), p) // the carry-forward window
+  }
+
   test("AQE splits a skewed sort-merge join at runtime") {
     import spark.implicits._
     val prev = Map(
