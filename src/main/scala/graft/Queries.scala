@@ -4031,7 +4031,39 @@ object Queries {
       FROM lineitem WHERE l_orderkey BETWEEN 100 AND 5000
       UNION ALL SELECT 'point', CAST(count(*) AS BIGINT),
         ${dsumSql("l_extendedprice")}
-      FROM lineitem WHERE l_orderkey = 1"""))
+      FROM lineitem WHERE l_orderkey = 1""")),
+
+    // Record linkage by Jaro-Winkler: dirty probes (every ~101st customer
+    // name with its 10th character deleted) re-linked to the customer table
+    // by best JW score — the scorer is a native codegen'd expression whose
+    // semantics are pinned to DuckDB's INDEPENDENT jaro_winkler_similarity
+    // implementation, so the oracle is a true cross-implementation check.
+    // Bounded probe set broadcasts (the q21 contract); scores route through
+    // round6 on both engines; top-1 pinned by (sim desc, c_custkey).
+    ("q160_jaro_link", (s: SparkSession, d: String) => {
+      val cust = t(s, d, "customer").select(col("c_custkey"), col("c_name"))
+      val probes = cust.filter(pmod(col("c_custkey"), lit(101)) === 0)
+        .select(col("c_custkey").as("probe_id"),
+          concat(substring(col("c_name"), 1, 9), substring(col("c_name"), 11, 64))
+            .as("probe"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("probe_id")).orderBy(col("sim").desc, col("c_custkey"))
+      cust.crossJoin(broadcast(probes))
+        .withColumn("sim", graft.llm.Sampling.round6(
+          graft.functions.Fuzzy.jaroWinkler(col("c_name"), col("probe"))))
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .select("probe_id", "probe", "c_custkey", "c_name", "sim")
+    }, Some("""WITH probes AS (SELECT c_custkey AS probe_id,
+          substr(c_name, 1, 9) || substr(c_name, 11) AS probe
+        FROM customer WHERE c_custkey % 101 = 0),
+      sc AS (SELECT p.probe_id, p.probe, c.c_custkey, c.c_name,
+          floor(jaro_winkler_similarity(c.c_name, p.probe) * 1000000.0 + 0.5)
+            / 1000000.0 AS sim
+        FROM customer c CROSS JOIN probes p),
+      r AS (SELECT *, row_number() OVER (PARTITION BY probe_id
+          ORDER BY sim DESC, c_custkey) AS rn FROM sc)
+      SELECT probe_id, probe, c_custkey, c_name, sim FROM r WHERE rn = 1"""))
   )
 
   /** The BM25 replay shared by q72/q123 — postings, df, dl, corpus stats,

@@ -45,6 +45,68 @@ object FuzzyImpl {
   }
 }
 
+/** Jaro-Winkler runtime (shared by the native expression's interpreted and
+  * generated code paths — see org.apache.spark.sql.graft.JaroWinkler).
+  *
+  * Semantics pinned to the textbook definition DuckDB's
+  * `jaro_winkler_similarity` implements (probed empirically: MARTHA/MARHTA
+  * = 0.9611…, DWAYNE/DUANE = 0.84, DIXON/DICKSONX = 0.8133…): match window
+  * `max(l1,l2)/2 - 1`, transpositions = half the out-of-order matched
+  * chars, Winkler boost `+ prefix·0.1·(1−jaro)` applied only when
+  * jaro > 0.7 with the common prefix capped at 4, and 0.0 when either
+  * string is empty (DuckDB returns 0 even for ''/''). Oracle comparisons
+  * still route through round6 — the VALUE is a ratio of small integers,
+  * but the two engines' op ORDER inside the final expression is not
+  * contractual.
+  */
+object JaroWinklerImpl {
+  def sim(a: UTF8String, b: UTF8String): Double = {
+    val s = a.toString
+    val t = b.toString
+    val l1 = s.length
+    val l2 = t.length
+    if (l1 == 0 || l2 == 0) return 0.0
+    val window = Math.max(0, Math.max(l1, l2) / 2 - 1)
+    val m1 = new Array[Boolean](l1)
+    val m2 = new Array[Boolean](l2)
+    var matches = 0
+    var i = 0
+    while (i < l1) {
+      val lo = Math.max(0, i - window)
+      val hi = Math.min(l2 - 1, i + window)
+      var j = lo
+      var done = false
+      while (j <= hi && !done) {
+        if (!m2(j) && s.charAt(i) == t.charAt(j)) {
+          m1(i) = true; m2(j) = true; matches += 1; done = true
+        }
+        j += 1
+      }
+      i += 1
+    }
+    if (matches == 0) return 0.0
+    // transpositions: matched chars compared in order
+    var transp = 0
+    var k = 0
+    i = 0
+    while (i < l1) {
+      if (m1(i)) {
+        while (!m2(k)) k += 1
+        if (s.charAt(i) != t.charAt(k)) transp += 1
+        k += 1
+      }
+      i += 1
+    }
+    val m = matches.toDouble
+    val jaro = (m / l1 + m / l2 + (m - transp / 2.0) / m) / 3.0
+    if (jaro <= 0.7) return jaro
+    var prefix = 0
+    while (prefix < Math.min(4, Math.min(l1, l2)) &&
+      s.charAt(prefix) == t.charAt(prefix)) prefix += 1
+    jaro + prefix * 0.1 * (1.0 - jaro)
+  }
+}
+
 /** Fuzzy string similarity (the reference's `fuzz.ratio`,
   * reference: src/ingest_places_data.py:58-59). See SURVEY.md §2.9/F1.
   */
@@ -60,4 +122,11 @@ object Fuzzy {
   def ratioApprox(a: Column, b: Column): Column =
     lit(100) - ceil(lit(100.0) * levenshtein(a, b) /
       greatest(length(a) + length(b), lit(1))).cast("int")
+
+  /** Jaro-Winkler similarity in [0, 1] (native codegen'd expression) — the
+    * record-linkage scorer for SHORT name-like strings, where fuzz.ratio's
+    * LCS view over-penalizes transposed characters.
+    */
+  def jaroWinkler(a: Column, b: Column): Column =
+    org.apache.spark.sql.graft.GraftColumns.jaroWinkler(a, b)
 }

@@ -16,7 +16,7 @@ import org.apache.spark.sql.classic.ExpressionUtils
 import org.apache.spark.sql.types.{AbstractDataType, ArrayType, BinaryType, DataType, DoubleType, IntegerType, LongType, StringType, StructField, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 
-import graft.functions.{FuzzyImpl, VectorImpl}
+import graft.functions.{FuzzyImpl, JaroWinklerImpl, VectorImpl}
 
 /** Indel-weighted fuzzy ratio (the reference's `fuzz.ratio`).
   *
@@ -44,6 +44,33 @@ case class FuzzRatio(left: Expression, right: Expression)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, (a, b) => s"graft.functions.FuzzyImpl.ratio($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Jaro-Winkler similarity in [0, 1] — the record-linkage scorer for short
+  * name-like strings. Semantics pinned to DuckDB's
+  * `jaro_winkler_similarity` (0.7 boost threshold, prefix cap 4, empties
+  * score 0), so fuzzy-match queries oracle against an INDEPENDENT
+  * implementation. Generated code calls the static
+  * [[graft.functions.JaroWinklerImpl.sim]] — hot loop stays inside
+  * whole-stage codegen.
+  */
+case class JaroWinkler(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+
+  override def dataType: DataType = DoubleType
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType, StringType)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "jaro_winkler"
+
+  override protected def nullSafeEval(l: Any, r: Any): Any =
+    JaroWinklerImpl.sim(l.asInstanceOf[UTF8String], r.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.JaroWinklerImpl.sim($a, $b)")
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Expression =
@@ -274,6 +301,9 @@ object GraftFunctions {
     (FunctionIdentifier("fuzz_ratio"),
       new ExpressionInfo(classOf[FuzzRatio].getName, "fuzz_ratio"),
       (es: Seq[Expression]) => FuzzRatio(es(0), es(1))),
+    (FunctionIdentifier("jaro_winkler"),
+      new ExpressionInfo(classOf[JaroWinkler].getName, "jaro_winkler"),
+      (es: Seq[Expression]) => JaroWinkler(es(0), es(1))),
     (FunctionIdentifier("cosine_similarity"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_similarity"),
       (es: Seq[Expression]) => CosineSimilarity(toDoubleArray(es(0)), toDoubleArray(es(1)))),
@@ -381,6 +411,10 @@ object GraftColumns {
 
   def fuzzRatio(a: Column, b: Column): Column =
     ExpressionUtils.column(FuzzRatio(
+      ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+
+  def jaroWinkler(a: Column, b: Column): Column =
+    ExpressionUtils.column(JaroWinkler(
       ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
 
   def cosineSim(a: Column, b: Column): Column =

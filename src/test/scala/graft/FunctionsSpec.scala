@@ -265,4 +265,29 @@ class FunctionsSpec extends SparkSuite {
       .as[(String, Int, Option[Long], Long)].collect().toSet
     assert(sketch(7) == sketch(1))
   }
+
+  test("jaro_winkler matches DuckDB's independent implementation on pinned pairs") {
+    import spark.implicits._
+    // expected values probed from DuckDB jaro_winkler_similarity — the
+    // textbook constants (Winkler boost >0.7 only, prefix cap 4, empty -> 0)
+    val cases = Seq(
+      ("MARTHA", "MARHTA", 0.9611111111111111),   // boosted, 1 transposition
+      ("DWAYNE", "DUANE", 0.8400000000000001),
+      ("DIXON", "DICKSONX", 0.8133333333333332),
+      ("abcdef", "abzzzz", 0.5555555555555555),   // jaro <= 0.7: NO boost
+      ("abcdefgh", "abcdefzz", 0.9),              // prefix 6 capped at 4
+      ("aaaaaa", "aaaaaa", 1.0),
+      ("abc", "", 0.0), ("", "", 0.0),            // DuckDB: empties score 0
+      ("a", "a", 1.0), ("ab", "ba", 0.0))         // window 0: no matches
+    val got = cases.map { case (a, b, _) => (a, b) }.toDF("a", "b")
+      .select(graft.functions.Fuzzy.jaroWinkler(col("a"), col("b")))
+      .as[Double].collect()
+    cases.zip(got).foreach { case ((a, b, want), v) =>
+      assert(math.abs(v - want) < 1e-12, s"jw($a, $b) = $v, want $want")
+    }
+    // SQL registration path
+    org.apache.spark.sql.graft.GraftFunctions.registerAll(spark)
+    assert(math.abs(spark.sql("SELECT jaro_winkler('MARTHA', 'MARHTA')")
+      .as[Double].head() - 0.9611111111111111) < 1e-12)
+  }
 }
