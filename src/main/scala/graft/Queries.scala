@@ -4063,7 +4063,48 @@ object Queries {
         FROM customer c CROSS JOIN probes p),
       r AS (SELECT *, row_number() OVER (PARTITION BY probe_id
           ORDER BY sim DESC, c_custkey) AS rn FROM sc)
-      SELECT probe_id, probe, c_custkey, c_name, sim FROM r WHERE rn = 1"""))
+      SELECT probe_id, probe, c_custkey, c_name, sim FROM r WHERE rn = 1""")),
+
+    // STREAMING delivery of the q152 incremental aggregate view: the three
+    // delta carves arrive as a parquet file stream (maxFilesPerTrigger=1 →
+    // three micro-batches under AvailableNow) and fold into the bucket-
+    // pruned ManifestTable state via foreachBatch — the streaming
+    // materialized-view maintenance loop, held to the same one-shot oracle
+    // as the batch path. KMV-style order independence comes free: decimal-
+    // routed sums make the maintained state a pure function of the row
+    // multiset, whatever order the file source lists the batches.
+    ("q161_streaming_inc_agg", (s: SparkSession, d: String) => {
+      val l = t(s, d, "lineitem")
+        .select("l_orderkey", "l_partkey", "l_extendedprice")
+      val root = java.nio.file.Files.createTempDirectory("q161-sagg").toString
+      Seq(0, 1, 2).foreach { b =>
+        l.filter(pmod(col("l_orderkey"), lit(3)) === b)
+          .coalesce(1).write.mode("append").parquet(s"$root/stage")
+      }
+      val stream = s.readStream
+        .schema(StructType(Seq(
+          StructField("l_orderkey", LongType), StructField("l_partkey", LongType),
+          StructField("l_extendedprice", DoubleType))))
+        .option("maxFilesPerTrigger", 1)
+        .parquet(s"$root/stage")
+      stream.writeStream
+        .option("checkpointLocation", s"$root/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          graft.ops.IncrementalAgg.applyBatch(s, s"$root/state", batch,
+            "l_partkey", "l_extendedprice", nBuckets = 16)
+          ()
+        }
+        .start().awaitTermination()
+      graft.sources.ManifestTable.read(s, s"$root/state",
+          graft.ops.IncrementalAgg.stateSchema)
+        .select(col("key"), col("n"), col("s").cast("double").as("s"),
+          col("mn"), col("mx"))
+    }, Some("""SELECT CAST(l_partkey AS VARCHAR) AS key,
+        CAST(count(*) AS BIGINT) AS n,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS s,
+        min(l_extendedprice) AS mn, max(l_extendedprice) AS mx
+      FROM lineitem GROUP BY l_partkey"""))
   )
 
   /** The BM25 replay shared by q72/q123 — postings, df, dl, corpus stats,
