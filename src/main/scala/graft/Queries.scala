@@ -4104,7 +4104,32 @@ object Queries {
         CAST(count(*) AS BIGINT) AS n,
         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS s,
         min(l_extendedprice) AS mn, max(l_extendedprice) AS mx
-      FROM lineitem GROUP BY l_partkey"""))
+      FROM lineitem GROUP BY l_partkey""")),
+
+    // Sliding (hop) event-time windows — Spark's native `window()` bucketing
+    // (1h width, 15min slide: every event lands in 4 epoch-aligned buckets,
+    // fused into the scan as a generate, then ONE hash aggregate). The
+    // oracle replays the bucket math in exact µs integers: k ranges over
+    // (floor((t-size)/slide), floor(t/slide)], start = k·slide — boundary
+    // events (t exactly on a slide) exercise the half-open [start, end).
+    ("q162_hop_windows", (s: SparkSession, d: String) => {
+      t(s, d, "events")
+        .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"), countDistinct(col("user_id")).as("nu"))
+        .select(col("w.start").as("ws"), col("w.end").as("we"),
+          col("event_type"), col("n"), col("nu"))
+    }, Some(s"""WITH e AS (SELECT epoch_us($tsUs) AS tu, event_type, user_id
+        FROM events),
+      b AS (SELECT tu, event_type, user_id,
+          unnest(range(CAST(floor((tu - 3600000000) / 900000000) AS BIGINT) + 1,
+                       CAST(floor(tu / 900000000) AS BIGINT) + 1)) AS k
+        FROM e)
+      SELECT TIMESTAMP '1970-01-01' + k * INTERVAL 900 SECOND AS ws,
+        TIMESTAMP '1970-01-01' + (k + 4) * INTERVAL 900 SECOND AS we,
+        event_type, CAST(count(*) AS BIGINT) AS n,
+        CAST(count(DISTINCT user_id) AS BIGINT) AS nu
+      FROM b GROUP BY k, event_type"""))
   )
 
   /** The BM25 replay shared by q72/q123 — postings, df, dl, corpus stats,

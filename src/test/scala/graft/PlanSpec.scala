@@ -374,6 +374,34 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("last("), p) // the carry-forward window
   }
 
+  test("runtime bloom filter prunes the fact side of a selective join") {
+    val prev = Map(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" ->
+        spark.conf.get("spark.sql.optimizer.runtime.bloomFilter.enabled"),
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" ->
+        spark.conf.get("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"),
+      "spark.sql.autoBroadcastJoinThreshold" ->
+        spark.conf.get("spark.sql.autoBroadcastJoinThreshold"))
+    try {
+      spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      // fixture scans are far below the 10GB production default — drop the
+      // application-side threshold so the injection fires at harness scale
+      spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      // broadcast would bypass the bloom (DPP-style reuse) — force SMJ/SHJ
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val l = Tables(spark, sfDir, "lineitem").select("l_orderkey", "l_quantity")
+      val o = Tables(spark, sfDir, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT" &&
+          col("o_totalprice") > 200000.0)
+        .select("o_orderkey")
+      val joined = l.join(o, l("l_orderkey") === o("o_orderkey"))
+      val p = joined.queryExecution.optimizedPlan.toString
+      assert(p.contains("might_contain") || p.contains("bloom_filter"),
+        s"expected a runtime bloom filter on the fact side:\n$p")
+    } finally prev.foreach { case (k, v) => spark.conf.set(k, v) }
+  }
+
   test("AQE splits a skewed sort-merge join at runtime") {
     import spark.implicits._
     val prev = Map(
