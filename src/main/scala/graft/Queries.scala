@@ -4129,7 +4129,26 @@ object Queries {
         TIMESTAMP '1970-01-01' + (k + 4) * INTERVAL 900 SECOND AS we,
         event_type, CAST(count(*) AS BIGINT) AS n,
         CAST(count(DISTINCT user_id) AS BIGINT) AS nu
-      FROM b GROUP BY k, event_type"""))
+      FROM b GROUP BY k, event_type""")),
+
+    // Half-life-decayed activity score (6h half-life): recency-weighted
+    // engagement per user — 2^-(age div halfLife) per event at the user's
+    // last event. Integer bucket exponents + exact binary 2^-k + per-term
+    // round6 + decimal-routed sum = order-independent and engine-exact
+    // with NO transcendental (an exp(-Δ/τ) weight would hinge on libm ulps).
+    ("q163_decay_score", (s: SparkSession, d: String) => {
+      graft.ops.EventAnalytics.halfLifeScore(t(s, d, "events"),
+        "user_id", "ts", 21600000000L)
+    }, Some(s"""WITH e AS (SELECT user_id, epoch_us($tsUs) AS tu
+        FROM events WHERE user_id IS NOT NULL),
+      m AS (SELECT user_id, max(tu) AS t1 FROM e GROUP BY user_id),
+      t AS (SELECT e.user_id,
+          floor(power(0.5, CAST((m.t1 - e.tu) // 21600000000 AS DOUBLE))
+            * 1000000.0 + 0.5) / 1000000.0 AS term
+        FROM e JOIN m USING (user_id))
+      SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+        CAST(SUM(CAST(term AS DECIMAL(18,6))) AS DOUBLE) AS decayed
+      FROM t GROUP BY user_id"""))
   )
 
   /** The BM25 replay shared by q72/q123 — postings, df, dl, corpus stats,

@@ -110,4 +110,34 @@ object EventAnalytics {
       .groupBy(col("cohort_wk"), (col("wk") - col("cohort_wk")).as("week_offset"))
       .agg(count(lit(1)).as("n_users"))
   }
+
+  /** Half-life-decayed activity score per key: each event contributes
+    * `2^-(Δ div halfLife)` where Δ is its age at the key's LAST event — the
+    * recency-weighted engagement feature (exponential-decay counters,
+    * half-life form) that a plain event count flattens.
+    *
+    * Cross-engine determinism by construction: the exponent is an INTEGER
+    * bucket count (µs integer `div`, no float time math), `2^-k` is exact
+    * in binary so both engines' `pow` agree bit-for-bit, each term is then
+    * round6-quantized to an exact 6-decimal value, and the sum routes
+    * through decimal(18,6) — fully order-independent, no transcendental in
+    * sight (a τ-style `exp(-Δ/τ)` weight would hinge on two libms' last
+    * ulp). Terms older than ~21 half-lives quantize to 0, which IS the
+    * decay semantics. Two keyed hash aggregates + one keyed join; no
+    * windows.
+    */
+  def halfLifeScore(events: DataFrame, userCol: String, tsCol: String,
+                    halfLifeUs: Long): DataFrame = {
+    require(halfLifeUs > 0, s"halfLifeUs must be positive, got $halfLifeUs")
+    val e = events.filter(col(userCol).isNotNull)
+      .select(col(userCol).as("u"), unix_micros(col(tsCol)).as("tu"))
+    val last = e.groupBy("u").agg(max(col("tu")).as("t1"))
+    val term = graft.llm.Sampling.round6(
+      pow(lit(0.5), expr(s"CAST((t1 - tu) div ${halfLifeUs}L AS DOUBLE)")))
+    e.join(last, "u")
+      .groupBy("u")
+      .agg(count(lit(1)).as("n_events"),
+        sum(term.cast("decimal(18,6)")).cast("double").as("decayed"))
+      .select(col("u").as(userCol), col("n_events"), col("decayed"))
+  }
 }

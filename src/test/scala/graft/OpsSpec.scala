@@ -474,6 +474,23 @@ class OpsSpec extends SparkSuite {
     assert(r.values.sum == 4L)
   }
 
+  test("halfLifeScore: fresh events count 1, each half-life halves, old decay to 0") {
+    import spark.implicits._
+    val h = 3600000000L // 1h half-life
+    def ts(us: Long) = new java.sql.Timestamp(us / 1000)
+    val events = Seq(
+      (1L, ts(10L * h)),             // the last event: age 0 -> 1.0
+      (1L, ts(9L * h)),              // one half-life -> 0.5
+      (1L, ts(8L * h + 1000000L)),   // 1.99h old -> bucket 1 -> 0.5
+      (1L, ts(7L * h)),              // 3 half-lives -> 0.125
+      (2L, ts(100L * h)), (2L, ts(5L * h)) // 95 half-lives -> quantizes to 0
+    ).toDF("user_id", "ts")
+    val r = graft.ops.EventAnalytics.halfLifeScore(events, "user_id", "ts", h)
+      .collect().map(x => x.getLong(0) -> (x.getLong(1), x.getDouble(2))).toMap
+    assert(r(1L) == (4L, 2.125))
+    assert(r(2L) == (2L, 1.0))
+  }
+
   test("IncrementalAgg distinct view: split-batch merge == one-shot sketch") {
     import spark.implicits._
     import graft.ops.IncrementalAgg
