@@ -4020,9 +4020,9 @@ object Queries {
         .filter(col("l_orderkey").between(100L, 5000L))
         .agg(count(lit(1)).as("n"), dsum(col("l_extendedprice")).as("s"))
         .withColumn("stage", lit("range"))
-      val point = ManifestTable.readPruned(s, root, schema, Nil,
-          points = Seq(("l_orderkey", 1L)))
-        .filter(col("l_orderkey") === 1L)
+      // the point leg goes through readAuto: the Bloom probe + degenerate
+      // range are EXTRACTED from the predicate itself (write-once filters)
+      val point = ManifestTable.readAuto(s, root, schema, col("l_orderkey") === 1L)
         .agg(count(lit(1)).as("n"), dsum(col("l_extendedprice")).as("s"))
         .withColumn("stage", lit("point"))
       ranged.unionByName(point).select("stage", "n", "s")

@@ -45,7 +45,8 @@ object ManifestTable {
   /** Inclusive column-range predicate for [[readPruned]]: rows with
     * `lo <= col <= hi`. Numeric bounds (and timestamps, as µs) compare in
     * double space — exact for magnitudes below 2^53, the zone-map norm;
-    * string bounds compare lexically.
+    * string bounds compare lexically. A `null` bound is unbounded on that
+    * side (one-sided ranges, e.g. `col > x` pushdowns).
     */
   final case class ColRange(col: String, lo: Any, hi: Any)
 
@@ -343,11 +344,12 @@ object ManifestTable {
           }
           z.tag match {
             case 'S' =>
-              val (lo, hi) = (r.lo.toString, r.hi.toString)
-              !(z.maxS < lo || z.minS > hi)
+              !(r.lo != null && z.maxS < r.lo.toString) &&
+                !(r.hi != null && z.minS > r.hi.toString)
             case 'L' | 'D' =>
               val (mn, mx) = (z.minS.toDouble, z.maxS.toDouble)
-              !(mx < num(r.lo) || mn > num(r.hi))
+              !(r.lo != null && mx < num(r.lo)) &&
+                !(r.hi != null && mn > num(r.hi))
           }
       }
     }
@@ -540,6 +542,106 @@ object ManifestTable {
         case None => assembled
       }
       masked.select(schema.fieldNames.map(col).toSeq: _*)
+    }
+  }
+
+  /** [[readPruned]] with the skipping hints derived from the PREDICATE
+    * ITSELF: the conjunctive equality/range constraints on top-level
+    * columns are extracted from the Catalyst expression tree (equalities
+    * feed Bloom point probes + degenerate ranges, comparisons feed
+    * one-sided zone ranges; OR branches and anything unrecognized simply
+    * contribute no hint, which is always a correct superset), the pruned
+    * assembly is scanned, and the FULL predicate is applied on top. The
+    * write-the-filter-once UX of a DataSource pushdown without a custom
+    * reader: callers never hand-maintain ColRange lists that could drift
+    * from the actual filter.
+    */
+  def readAuto(spark: SparkSession, root: String, schema: StructType,
+               predicate: org.apache.spark.sql.Column): DataFrame = {
+    val (ranges, points) = extractHintsFor(spark, schema, predicate)
+    readPruned(spark, root, schema, ranges, points).filter(predicate)
+  }
+
+  /** Resolve `predicate` against `schema` (a zero-row probe plan through
+    * the analyzer, so DSL Columns land as typed Catalyst comparisons) and
+    * extract its skipping hints. Public for telemetry/tests.
+    */
+  def extractHintsFor(spark: SparkSession, schema: StructType,
+                      predicate: org.apache.spark.sql.Column)
+      : (Seq[ColRange], Seq[(String, Any)]) = {
+    val probe = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      .filter(predicate)
+    probe.queryExecution.analyzed
+      .collectFirst { case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+        extractHints(f.condition) }
+      .getOrElse((Nil, Nil))
+  }
+
+  /** (ranges, points) from the conjunctive skeleton of `e` — see
+    * [[readAuto]]. Public for telemetry/tests.
+    */
+  def extractHints(e: org.apache.spark.sql.catalyst.expressions.Expression)
+      : (Seq[ColRange], Seq[(String, Any)]) = {
+    import org.apache.spark.sql.catalyst.expressions._
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    import org.apache.spark.sql.types.{StringType, IntegerType, LongType,
+      ShortType, ByteType, DoubleType, FloatType, TimestampType, DateType}
+    def nameOf(x: Expression): Option[String] = x match {
+      case a: AttributeReference => Some(a.name)
+      case u: UnresolvedAttribute => Some(u.name)
+      case _ => None
+    }
+    // the analyzer wraps promoted literals in foldable Casts — fold them
+    // back to literals; a Cast around the ATTRIBUTE changes the compared
+    // domain, so those yield no hint
+    def asLit(x: Expression): Option[Literal] = x match {
+      case l: Literal => Some(l)
+      case c: Cast if c.foldable => Some(Literal.create(c.eval(), c.dataType))
+      case _ => None
+    }
+    def valOf(l: Literal): Option[Any] = l.dataType match {
+      case StringType => Option(l.value).map(_.toString)
+      case IntegerType | LongType | ShortType | ByteType | DoubleType |
+           FloatType | TimestampType | DateType => Option(l.value)
+      case _ => None
+    }
+    // Bloom probes replay the value through its Spark string cast — only
+    // types whose String.valueOf matches that cast are safe to probe
+    def pointable(l: Literal): Boolean = l.dataType match {
+      case StringType | IntegerType | LongType => true
+      case _ => false
+    }
+    e match {
+      case And(l, r) =>
+        val (lr, lp) = extractHints(l); val (rr, rp) = extractHints(r)
+        (lr ++ rr, lp ++ rp)
+      case EqualTo(a, v) if nameOf(a).isDefined && asLit(v).isDefined =>
+        val c = nameOf(a).get
+        val lt = asLit(v).get
+        valOf(lt).map { x =>
+          (Seq(ColRange(c, x, x)),
+            if (pointable(lt)) Seq(c -> x) else Nil)
+        }.getOrElse((Nil, Nil))
+      case EqualTo(v, a) if nameOf(a).isDefined && asLit(v).isDefined =>
+        extractHints(EqualTo(a, v))
+      case GreaterThan(a, v) if nameOf(a).isDefined && asLit(v).isDefined =>
+        (valOf(asLit(v).get).map(x => ColRange(nameOf(a).get, x, null)).toSeq, Nil)
+      case GreaterThanOrEqual(a, v) if nameOf(a).isDefined && asLit(v).isDefined =>
+        (valOf(asLit(v).get).map(x => ColRange(nameOf(a).get, x, null)).toSeq, Nil)
+      case LessThan(a, v) if nameOf(a).isDefined && asLit(v).isDefined =>
+        (valOf(asLit(v).get).map(x => ColRange(nameOf(a).get, null, x)).toSeq, Nil)
+      case LessThanOrEqual(a, v) if nameOf(a).isDefined && asLit(v).isDefined =>
+        (valOf(asLit(v).get).map(x => ColRange(nameOf(a).get, null, x)).toSeq, Nil)
+      case GreaterThan(v, a) if nameOf(a).isDefined && asLit(v).isDefined =>
+        extractHints(LessThan(a, v))
+      case GreaterThanOrEqual(v, a) if nameOf(a).isDefined && asLit(v).isDefined =>
+        extractHints(LessThanOrEqual(a, v))
+      case LessThan(v, a) if nameOf(a).isDefined && asLit(v).isDefined =>
+        extractHints(GreaterThan(a, v))
+      case LessThanOrEqual(v, a) if nameOf(a).isDefined && asLit(v).isDefined =>
+        extractHints(GreaterThanOrEqual(a, v))
+      case _ => (Nil, Nil) // OR / IN / functions: no hint, correct superset
     }
   }
 

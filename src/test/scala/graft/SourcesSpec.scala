@@ -546,6 +546,38 @@ class SourcesSpec extends SparkSuite {
       .count() == 5L)
   }
 
+  test("ManifestTable.readAuto: hints extracted from the predicate prune files; result == plain filter") {
+    import spark.implicits._
+    import graft.sources.ManifestTable
+    val root = java.nio.file.Files.createTempDirectory("mantab-auto").toString + "/t"
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("s", org.apache.spark.sql.types.StringType)))
+    // 8 files, each a tight contiguous id range -> zone maps are selective
+    val df = spark.range(800).select(col("id"), concat(lit("v"), col("id")).as("s"))
+      .repartitionByRange(8, col("id"))
+    ManifestTable.commit(df, root, partCol = None,
+      statsCols = Seq("id"), bloomCols = Seq("s"))
+    // conjunctive range + equality; the unrecognized OR leg adds no hint
+    val pred = col("id") >= 100L && col("id") < 300L &&
+      (col("s") === "v150" || col("s") === "v150")
+    val (ranges, points) = ManifestTable.extractHintsFor(spark, schema, pred)
+    assert(ranges.map(r => (r.col, r.lo, r.hi)).toSet
+      == Set(("id", 100L, null), ("id", null, 300L)))
+    assert(points.isEmpty) // equality sits under an OR: no point hint
+    val got = ManifestTable.readAuto(spark, root, schema, pred)
+      .as[(Long, String)].collect().toSet
+    assert(got == Set((150L, "v150")))
+    // a bare equality on the bloom'd column yields a point probe + range
+    val (r2, p2) = ManifestTable.extractHintsFor(spark, schema, col("s") === "v7")
+    assert(p2 == Seq("s" -> "v7") && r2.map(_.col) == Seq("s"))
+    assert(ManifestTable.readAuto(spark, root, schema, col("s") === "v7")
+      .as[(Long, String)].collect().toSet == Set((7L, "v7")))
+    // the extracted range hints genuinely skip files
+    val (kept, total) = ManifestTable.pruneCounts(spark, root, ranges, points)
+    assert(total == 8 && kept <= 3, s"kept=$kept of $total")
+  }
+
   test("ManifestTable.vacuum retainVersions: the retained manifest's snapshot stays fully readable") {
     import spark.implicits._
     import graft.sources.ManifestTable
