@@ -641,7 +641,29 @@ object ManifestTable {
         extractHints(GreaterThan(a, v))
       case LessThanOrEqual(v, a) if nameOf(a).isDefined && asLit(v).isDefined =>
         extractHints(GreaterThanOrEqual(a, v))
-      case _ => (Nil, Nil) // OR / IN / functions: no hint, correct superset
+      case EqualNullSafe(a, v) if nameOf(a).isDefined && asLit(v).isDefined
+          && asLit(v).get.value != null =>
+        extractHints(EqualTo(a, v))
+      case In(a, vs) if nameOf(a).isDefined && vs.nonEmpty
+          && vs.forall(x => asLit(x).isDefined) =>
+        // IN-list → the enclosing [min, max] zone range (files wholly
+        // outside the value span skip; the exact membership test runs on
+        // top). Bloom would need ANY-of semantics — zones are the win on
+        // clustered columns, which is where IN-pruning pays.
+        val c = nameOf(a).get
+        val vals = vs.flatMap(x => valOf(asLit(x).get))
+        if (vals.size != vs.size) (Nil, Nil)
+        else vals.head match {
+          case _: String =>
+            val ss = vals.map(_.asInstanceOf[String])
+            (Seq(ColRange(c, ss.min, ss.max)), Nil)
+          case _: Number =>
+            val ds = vals.map(_.asInstanceOf[Number].doubleValue())
+            (Seq(ColRange(c, vals(ds.indexOf(ds.min)),
+              vals(ds.indexOf(ds.max)))), Nil)
+          case _ => (Nil, Nil)
+        }
+      case _ => (Nil, Nil) // OR / functions: no hint, correct superset
     }
   }
 

@@ -576,6 +576,14 @@ class SourcesSpec extends SparkSuite {
     // the extracted range hints genuinely skip files
     val (kept, total) = ManifestTable.pruneCounts(spark, root, ranges, points)
     assert(total == 8 && kept <= 3, s"kept=$kept of $total")
+    // IN-list folds to its enclosing [min, max] zone range
+    val inPred = col("id").isin(120L, 140L, 130L)
+    val (r3, p3) = ManifestTable.extractHintsFor(spark, schema, inPred)
+    assert(r3.map(r => (r.col, r.lo, r.hi)) == Seq(("id", 120L, 140L)) && p3.isEmpty)
+    assert(ManifestTable.readAuto(spark, root, schema, inPred)
+      .as[(Long, String)].collect().map(_._1).toSet == Set(120L, 130L, 140L))
+    val (k3, t3) = ManifestTable.pruneCounts(spark, root, r3, Nil)
+    assert(t3 == 8 && k3 <= 2, s"IN kept=$k3 of $t3")
   }
 
   test("ManifestTable.vacuum retainVersions: the retained manifest's snapshot stays fully readable") {
