@@ -4148,7 +4148,34 @@ object Queries {
         FROM e JOIN m USING (user_id))
       SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
         CAST(SUM(CAST(term AS DECIMAL(18,6))) AS DOUBLE) AS decayed
-      FROM t GROUP BY user_id"""))
+      FROM t GROUP BY user_id""")),
+
+    // Robust outlier gate (median/MAD): |x − med| > 3·1.4826·MAD per
+    // return-flag group — the robust z-score that survives the outliers it
+    // hunts. Medians are exact textbook even/odd selections ((min+max)/2
+    // over the two middle positions), so every derived number — including
+    // the per-row FLAGS, not just the summaries — is a fixed IEEE op
+    // sequence both engines replay; no rounding anywhere.
+    ("q164_robust_outliers", (s: SparkSession, d: String) => {
+      graft.ops.Stats.robustOutliers(t(s, d, "lineitem"),
+        "l_returnflag", "l_extendedprice")
+    }, Some("""WITH b AS (SELECT l_returnflag AS g,
+          CAST(l_extendedprice AS DOUBLE) AS v FROM lineitem),
+      r AS (SELECT g, v, row_number() OVER (PARTITION BY g ORDER BY v) AS rn,
+          count(*) OVER (PARTITION BY g) AS n FROM b),
+      med AS (SELECT g, (min(v) + max(v)) / 2 AS med FROM r
+        WHERE rn = (n + 1) // 2 OR rn = (n + 2) // 2 GROUP BY g),
+      dv AS (SELECT b.g, b.v, abs(b.v - med.med) AS dev, med.med AS med
+        FROM b JOIN med USING (g)),
+      r2 AS (SELECT g, dev, row_number() OVER (PARTITION BY g ORDER BY dev) AS rn,
+          count(*) OVER (PARTITION BY g) AS n FROM dv),
+      mad AS (SELECT g, (min(dev) + max(dev)) / 2 AS mad FROM r2
+        WHERE rn = (n + 1) // 2 OR rn = (n + 2) // 2 GROUP BY g)
+      SELECT dv.g AS l_returnflag, CAST(count(*) AS BIGINT) AS n,
+        min(dv.med) AS med, min(mad.mad) AS mad,
+        CAST(SUM(CASE WHEN dv.dev > 3.0 * 1.4826 * mad.mad THEN 1 ELSE 0 END)
+          AS BIGINT) AS n_outliers
+      FROM dv JOIN mad USING (g) GROUP BY dv.g"""))
   )
 
   /** The BM25 replay shared by q72/q123 — postings, df, dl, corpus stats,

@@ -72,4 +72,52 @@ object Stats {
         (col("m") + (col("bucket") + 1) * (col("mx") - col("m")) / lit(k)).as("hi"),
         col("n"))
   }
+
+  /** Exact per-group median of `valueCol` — textbook even/odd: the mean of
+    * the values at 1-based positions `(n+1) div 2` and `(n+2) div 2` of the
+    * group's sorted order. Rows with equal values are interchangeable at
+    * those positions, so the result is deterministic without a tie column;
+    * `(min+max)/2` over the one or two selected rows is a fixed IEEE op
+    * sequence both engines replay. One per-group window sort — groups sort
+    * independently, no global sort.
+    */
+  private def groupMedian(df: DataFrame, g: String, vCol: Column,
+                          as: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(g)).orderBy(col("__mv"))
+    df.select(col(g), vCol.as("__mv"))
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("__n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col(g))))
+      .filter(col("__rn") === expr("(__n + 1) div 2")
+        || col("__rn") === expr("(__n + 2) div 2"))
+      .groupBy(g)
+      .agg(((min(col("__mv")) + max(col("__mv"))) / 2).as(as))
+  }
+
+  /** Robust per-group outlier profile (median/MAD): value x is an outlier
+    * when `|x − median| > k · 1.4826 · MAD` — the robust z-score gate that
+    * survives the outliers it hunts, where a mean/stddev gate is dragged by
+    * them. Returns `(group, n, med, mad, n_outliers)`.
+    *
+    * Two median passes (values, then absolute deviations), each a per-group
+    * window sort; every derived number is a fixed IEEE op sequence over
+    * identical inputs, so the flags — not just the summaries — replay
+    * exactly cross-engine. MAD = 0 (over half the group identical) flags
+    * every deviating row, the documented robust-z caveat.
+    */
+  def robustOutliers(df: DataFrame, g: String, c: String,
+                     k: Double = 3.0): DataFrame = {
+    val base = df.select(col(g), col(c).cast("double").as("__v"))
+    val med = groupMedian(base, g, col("__v"), "med")
+    val withMed = base.join(med, g)
+      .withColumn("__dev", abs(col("__v") - col("med")))
+    val mad = groupMedian(withMed, g, col("__dev"), "mad")
+    withMed.join(mad, g)
+      .groupBy(g)
+      .agg(count(lit(1)).as("n"), min(col("med")).as("med"),
+        min(col("mad")).as("mad"),
+        sum(when(col("__dev") > lit(k) * lit(1.4826) * col("mad"), 1L)
+          .otherwise(0L)).as("n_outliers"))
+  }
 }

@@ -474,6 +474,19 @@ class OpsSpec extends SparkSuite {
     assert(r.values.sum == 4L)
   }
 
+  test("robustOutliers: exact medians, MAD gate, even/odd groups") {
+    import spark.implicits._
+    // g=a (odd n=5): med 11, devs {0,1,1,2,99} -> mad 1, outlier 110 only
+    // g=b (even n=4): med (4+6)/2=5, devs {3,1,1,3} -> mad (1+3)/2=2
+    val df = Seq(("a", 9.0), ("a", 10.0), ("a", 11.0), ("a", 12.0), ("a", 110.0),
+      ("b", 2.0), ("b", 4.0), ("b", 6.0), ("b", 8.0)).toDF("g", "v")
+    val r = graft.ops.Stats.robustOutliers(df, "g", "v")
+      .collect().map(x => x.getString(0) ->
+        (x.getLong(1), x.getDouble(2), x.getDouble(3), x.getLong(4))).toMap
+    assert(r("a") == (5L, 11.0, 1.0, 1L)) // 110: dev 99 > 3*1.4826*1
+    assert(r("b") == (4L, 5.0, 2.0, 0L))  // max dev 3 < 3*1.4826*2
+  }
+
   test("halfLifeScore: fresh events count 1, each half-life halves, old decay to 0") {
     import spark.implicits._
     val h = 3600000000L // 1h half-life
