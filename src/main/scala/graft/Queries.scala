@@ -4175,7 +4175,27 @@ object Queries {
         min(dv.med) AS med, min(mad.mad) AS mad,
         CAST(SUM(CASE WHEN dv.dev > 3.0 * 1.4826 * mad.mad THEN 1 ELSE 0 END)
           AS BIGINT) AS n_outliers
-      FROM dv JOIN mad USING (g) GROUP BY dv.g"""))
+      FROM dv JOIN mad USING (g) GROUP BY dv.g""")),
+
+    // Cross-system table checksum: per return-flag n + sum of 60-bit row
+    // hashes over the NULL-framed key/flag tuple — a pure function of the
+    // row multiset (order/partitioning-free), so replicas reconcile by
+    // comparing 3 rows instead of re-reading each other. The oracle IS the
+    // use case: DuckDB independently checksums the same parquet and must
+    // land on the same strings.
+    ("q165_table_checksum", (s: SparkSession, d: String) => {
+      graft.ops.Integrity.tableChecksum(t(s, d, "lineitem"),
+        Seq("l_returnflag"),
+        Seq("l_orderkey", "l_partkey", "l_linenumber", "l_returnflag", "l_linestatus"))
+    }, Some("""SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+        CAST(SUM(('0x' || substr(md5(concat_ws(chr(31),
+            coalesce(CAST(l_orderkey AS VARCHAR), chr(30)),
+            coalesce(CAST(l_partkey AS VARCHAR), chr(30)),
+            coalesce(CAST(l_linenumber AS VARCHAR), chr(30)),
+            coalesce(l_returnflag, chr(30)),
+            coalesce(l_linestatus, chr(30)))), 1, 15))::BIGINT)
+          AS VARCHAR) AS checksum
+      FROM lineitem GROUP BY l_returnflag"""))
   )
 
   /** The BM25 replay shared by q72/q123 — postings, df, dl, corpus stats,

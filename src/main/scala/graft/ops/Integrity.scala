@@ -150,4 +150,30 @@ object Integrity {
       .filter(col("__rn") === 1).drop("__rn")
       .join(keySet(existing, Seq(key), broadcastDim), Seq(key), "left_anti")
   }
+  /** Order- and partitioning-independent content checksum for cross-system
+    * table reconciliation (the distcp/replication-validation primitive):
+    * per group, `n` plus the SUM of each row's 60-bit md5 hash over the
+    * NULL-framed column tuple — a pure function of the row multiset, so two
+    * engines (or two replicas) agree iff the data agrees, and per-group
+    * sums localize a mismatch to its partition. The sum rides
+    * decimal(38,0) (exact to ~2^67 rows of 60-bit hashes) and is emitted as
+    * a STRING so any engine compares it textually.
+    *
+    * Columns are hashed through their Spark `cast(string)` form — callers
+    * pre-cast types whose text form is not cross-engine canonical
+    * (timestamps, floats with exponents) to a canonical string first.
+    */
+  def tableChecksum(df: DataFrame, groupCols: Seq[String],
+                    cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "tableChecksum needs at least one hashed column")
+    val hv = conv(substring(md5(concat_ws("\u001f",
+      cols.map(c => coalesce(col(c).cast("string"), lit("\u001e"))): _*)),
+      1, 15), 16, 10).cast("long")
+    val base = df.withColumn("__hv", hv)
+    val grouped =
+      if (groupCols.isEmpty) base.groupBy()
+      else base.groupBy(groupCols.map(col): _*)
+    grouped.agg(count(lit(1)).as("n"),
+      sum(col("__hv").cast("decimal(38,0)")).cast("string").as("checksum"))
+  }
 }

@@ -374,6 +374,20 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("last("), p) // the carry-forward window
   }
 
+  test("dynamic partition pruning reaches a partitioned fact scan") {
+    val dir = java.nio.file.Files.createTempDirectory("dpp").toString + "/t"
+    spark.range(2000)
+      .select(col("id"), (col("id") % 10).as("p"))
+      .write.partitionBy("p").parquet(dir)
+    val facts = spark.read.parquet(dir)
+    val dim = spark.range(10).select(col("id").as("p"), (col("id") * 3).as("attr"))
+      .filter(col("attr") === 9L) // selective: exactly one partition survives
+    val joined = facts.join(dim, "p")
+    val p = joined.queryExecution.executedPlan.toString
+    assert(p.contains("dynamicpruning"),
+      s"expected a dynamic partition pruning filter on the fact scan:\n$p")
+  }
+
   test("runtime bloom filter prunes the fact side of a selective join") {
     val prev = Map(
       "spark.sql.optimizer.runtime.bloomFilter.enabled" ->
