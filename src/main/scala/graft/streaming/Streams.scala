@@ -48,6 +48,27 @@ object Streams {
         col("session_window.end").as("s_end"),
         col("user_id"), col("n_events"), col("sum_value"))
 
+  /** Stream-stream interval join (the canonical ad-attribution shape):
+    * each click pairs with the impression of the same key that preceded it
+    * by at most `attributionWindow`. BOTH sides are watermarked and the
+    * join condition bounds event-time distance, so Spark derives a state
+    * eviction horizon for each side — without the interval bound the state
+    * store would hold every impression forever (the unbounded-state trap of
+    * naive stream joins). Inner join: unattributed clicks drop.
+    *
+    * `impressions` carries (`impKey`, `imp_ts`, …), `clicks` (`clickKey`,
+    * `click_ts`, …) — column NAMES must differ across the two sides
+    * (stream-stream joins can't disambiguate self-resolved aliases).
+    */
+  def intervalJoin(impressions: DataFrame, clicks: DataFrame,
+                   impKey: String, clickKey: String,
+                   attributionWindow: String = "1 hour",
+                   watermarkDelay: String = "2 hours"): DataFrame =
+    impressions.withWatermark("imp_ts", watermarkDelay)
+      .join(clicks.withWatermark("click_ts", watermarkDelay),
+        expr(s"""$impKey = $clickKey AND click_ts >= imp_ts
+          AND click_ts <= imp_ts + INTERVAL $attributionWindow"""))
+
   /** ST3 as streaming state: replayed event ids are dropped for as long as a
     * replay can still arrive (the watermark horizon), so state can't grow
     * without bound the way a bare dropDuplicates would.

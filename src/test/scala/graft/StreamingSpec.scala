@@ -192,6 +192,27 @@ class StreamingSpec extends SparkSuite {
       ("2024-01-01 10:10:00", 8L, 1L, 3.0)))
   }
 
+  test("stream-stream interval join attributes clicks within the window only") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    def ts(t: String) = java.sql.Timestamp.valueOf(t)
+    val imps = MemoryStream[(Long, java.sql.Timestamp)]
+    val clicks = MemoryStream[(Long, java.sql.Timestamp)]
+    imps.addData((1L, ts("2024-01-01 10:00:00")), (2L, ts("2024-01-01 10:00:00")))
+    clicks.addData(
+      (1L, ts("2024-01-01 10:20:00")),  // 20min after: attributed
+      (2L, ts("2024-01-01 11:30:00")),  // 90min after: outside 1h window
+      (3L, ts("2024-01-01 10:05:00")))  // no impression: dropped (inner)
+    val joined = graft.streaming.Streams.intervalJoin(
+      imps.toDF().toDF("ad_id", "imp_ts"),
+      clicks.toDF().toDF("c_ad_id", "click_ts"), "ad_id", "c_ad_id")
+    Streams.runToMemory(joined, "attrib", OutputMode.Append())
+    val got = spark.table("attrib")
+      .select($"ad_id", $"click_ts".cast("string"))
+      .as[(Long, String)].collect().toSet
+    assert(got == Set((1L, "2024-01-01 10:20:00")))
+  }
+
   test("supervisor listener alerts on abnormal query termination") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
