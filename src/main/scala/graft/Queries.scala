@@ -4195,7 +4195,30 @@ object Queries {
             coalesce(l_returnflag, chr(30)),
             coalesce(l_linestatus, chr(30)))), 1, 15))::BIGINT)
           AS VARCHAR) AS checksum
-      FROM lineitem GROUP BY l_returnflag"""))
+      FROM lineitem GROUP BY l_returnflag""")),
+
+    // Preference-pair construction (DPO/reward-model training data): per
+    // query, chosen = highest-BM25 retrieved doc, rejected = lowest-scoring
+    // retrieved doc, margin alongside — ranking-derived weak supervision.
+    // Rides the shared postings probe; two windows over one query
+    // partition; single-doc retrieval sets emit no pair.
+    ("q166_dpo_pairs", (s: SparkSession, d: String) => {
+      import s.implicits._
+      val qs = graft.llm.Retrieval.sampleQueries.toDF("query_id", "qtext")
+      graft.llm.Retrieval.preferencePairs(t(s, d, "documents"),
+        "doc_id", "text", qs, "query_id", "qtext")
+    }, Some(s"""WITH $bm25CoreSql,
+      ch AS (SELECT query_id, doc_id AS chosen_doc, score AS chosen_score,
+          row_number() OVER (PARTITION BY query_id
+            ORDER BY score DESC, doc_id) AS r FROM pd),
+      rj AS (SELECT query_id, doc_id AS rejected_doc, score AS rejected_score,
+          row_number() OVER (PARTITION BY query_id
+            ORDER BY score ASC, doc_id) AS r FROM pd)
+      SELECT c.query_id, c.chosen_doc, c.chosen_score,
+        r.rejected_doc, r.rejected_score,
+        c.chosen_score - r.rejected_score AS margin
+      FROM ch c JOIN rj r ON c.query_id = r.query_id
+      WHERE c.r = 1 AND r.r = 1 AND c.chosen_doc <> r.rejected_doc"""))
   )
 
   /** The BM25 replay shared by q72/q123 — postings, df, dl, corpus stats,

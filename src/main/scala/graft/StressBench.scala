@@ -335,6 +335,49 @@ object StressBench {
         graft.sources.ManifestTable.read(spark, root,
           graft.ops.IncrementalAgg.distinctStateSchema)
       })
+      // r12 batch 6: robust medians (two per-group window sorts — groups
+      // are few and huge, the adversarial direction for windows), the
+      // as-of feature join (keys ×f, one union-tag window), hop windows
+      // (4× generate fused into the scan), decay scores (two keyed aggs),
+      // and JW linkage (corpus ×f against a FIXED probe set — linear;
+      // scaling probes WITH the corpus would be quadratic by construction)
+      time("robust_outliers", f)(
+        graft.ops.Stats.robustOutliers(lineitemTimes(f),
+          "l_returnflag", "l_extendedprice"))
+      time("asof_scd2", f)({
+        val o = ordersTimes(f)
+        val dim = graft.ops.Scd.type2(o, "o_custkey", "o_orderdate",
+            Seq("o_orderstatus", "o_orderpriority"), "o_orderkey")
+          .select(col("o_custkey"), col("o_orderstatus").as("st"),
+            col("o_orderpriority").as("pr"), col("valid_from"))
+        val facts = o.select(col("o_orderkey"), col("o_custkey"),
+          (col("o_orderdate") - expr("INTERVAL 30 DAYS")).as("ts30"))
+        graft.ops.TemporalJoin.asOf(facts, dim, "o_custkey", "ts30", "valid_from")
+      })
+      time("hop_windows", f)(
+        eventsTimes(f).groupBy(window(col("ts"), "1 hour", "15 minutes"),
+            col("event_type"))
+          .agg(count(lit(1)).as("n")))
+      time("decay_score", f)(
+        graft.ops.EventAnalytics.halfLifeScore(eventsTimes(f),
+          "user_id", "ts", 21600000000L))
+      time("jaro_link", f)({
+        val base = Tables(spark, sfDir, "customer").select("c_custkey", "c_name")
+        val cust = if (f == 1) base
+          else base.crossJoin(spark.range(f).select(col("id").as("rep")))
+            .select((col("c_custkey") * f + col("rep")).as("c_custkey"),
+              col("c_name"))
+        val probes = base.filter(pmod(col("c_custkey"), lit(101)) === 0)
+          .select(col("c_custkey").as("probe_id"),
+            concat(substring(col("c_name"), 1, 9),
+              substring(col("c_name"), 11, 64)).as("probe"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("probe_id")).orderBy(col("sim").desc, col("c_custkey"))
+        cust.crossJoin(broadcast(probes))
+          .withColumn("sim", graft.functions.Fuzzy.jaroWinkler(col("c_name"), col("probe")))
+          .withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1)
+      })
     }
     // 64x probes ONLY the bucketed-dedup family (VERDICT r05 #3): these are
     // the ops where quadratic effects would FIRST bite (candidate-pair

@@ -92,6 +92,39 @@ object Retrieval {
       .select("query_id", "doc_id", "score", "rank")
   }
 
+  /** Preference-pair construction (the DPO/RLHF-reward training-data
+    * shape): per query, CHOSEN = the highest-BM25 retrieved doc, REJECTED =
+    * the lowest-scoring retrieved doc, with the margin alongside — the
+    * weak-supervision recipe for ranking-derived preference data. Queries
+    * whose retrieval set is a single doc emit no pair (chosen == rejected
+    * is filtered). Ties pinned by doc id on both ends.
+    *
+    * Scale: one scored relation (the shared postings probe), two
+    * row_number windows over the SAME query partition, and a per-query
+    * 1×1 join — bounded by |queries| rows out.
+    */
+  def preferencePairs(docs: DataFrame, idCol: String, textCol: String,
+                      queries: DataFrame, queryIdCol: String,
+                      queryTextCol: String): DataFrame = {
+    val scored = bm25Scores(docs, idCol, textCol, queries, queryIdCol, queryTextCol)
+    val wTop = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("doc_id"))
+    val wBot = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").asc, col("doc_id"))
+    val ranked = scored
+      .withColumn("__rt", row_number().over(wTop))
+      .withColumn("__rb", row_number().over(wBot))
+    val chosen = ranked.filter(col("__rt") === 1)
+      .select(col("query_id"), col("doc_id").as("chosen_doc"),
+        col("score").as("chosen_score"))
+    val rejected = ranked.filter(col("__rb") === 1)
+      .select(col("query_id"), col("doc_id").as("rejected_doc"),
+        col("score").as("rejected_score"))
+    chosen.join(rejected, "query_id")
+      .filter(col("chosen_doc") =!= col("rejected_doc"))
+      .withColumn("margin", col("chosen_score") - col("rejected_score"))
+  }
+
   /** DPR-style hard-negative mining (Karpukhin et al., EMNLP 2020 §4.2 use
     * the top BM25 passage as the weakly-supervised POSITIVE and other
     * high-ranked passages as hard negatives): per query, gold = the BM25

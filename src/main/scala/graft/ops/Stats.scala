@@ -105,6 +105,11 @@ object Stats {
     * identical inputs, so the flags — not just the summaries — replay
     * exactly cross-engine. MAD = 0 (over half the group identical) flags
     * every deviating row, the documented robust-z caveat.
+    *
+    * Scale note: exact medians sort each group — fine for many
+    * medium-sized groups, adversarial for a handful of corpus-sized ones.
+    * When groups are that hot, swap the median passes for the bounded
+    * [[graft.llm.Sketches.bottomKQuantiles]] sketch and keep the same gate.
     */
   def robustOutliers(df: DataFrame, g: String, c: String,
                      k: Double = 3.0): DataFrame = {
