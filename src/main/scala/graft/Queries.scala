@@ -3843,9 +3843,12 @@ object Queries {
     // gaps-and-islands per key, one hash shuffle, no global window. The
     // oracle replays the identical lag→run→min(ts)→lead pipeline.
     ("q155_scd2", (s: SparkSession, d: String) => {
-      graft.ops.Scd.type2(t(s, d, "orders"), "o_custkey", "o_orderdate",
+      graft.ops.Scd.type2(
+        t(s, d, "orders").withColumn("o_orderdate",
+          col("o_orderdate").cast("timestamp")), // q69 DATE rule: pin the type
+        "o_custkey", "o_orderdate",
         Seq("o_orderstatus", "o_orderpriority"), "o_orderkey")
-    }, Some("""WITH pick AS (SELECT o_custkey, o_orderdate AS ts,
+    }, Some("""WITH pick AS (SELECT o_custkey, CAST(o_orderdate AS TIMESTAMP) AS ts,
           o_orderstatus, o_orderpriority,
           row_number() OVER (PARTITION BY o_custkey, o_orderdate
             ORDER BY o_orderkey DESC) AS rn
@@ -3958,17 +3961,19 @@ object Queries {
     // theta join); the oracle exploits that contiguous intervals make
     // as-of == interval containment.
     ("q158_asof_scd2", (s: SparkSession, d: String) => {
-      val dim = graft.ops.Scd.type2(t(s, d, "orders"), "o_custkey",
+      val orders = t(s, d, "orders").withColumn("o_orderdate",
+        col("o_orderdate").cast("timestamp")) // q69 DATE rule
+      val dim = graft.ops.Scd.type2(orders, "o_custkey",
           "o_orderdate", Seq("o_orderstatus", "o_orderpriority"), "o_orderkey")
         .select(col("o_custkey"), col("o_orderstatus").as("st"),
           col("o_orderpriority").as("pr"), col("valid_from"))
-      val facts = t(s, d, "orders").select(col("o_orderkey"), col("o_custkey"),
+      val facts = orders.select(col("o_orderkey"), col("o_custkey"),
         col("o_totalprice"),
         (col("o_orderdate") - expr("INTERVAL 30 DAYS")).as("ts30"))
       graft.ops.TemporalJoin.asOf(facts, dim, "o_custkey", "ts30", "valid_from")
         .groupBy("st", "pr")
         .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("s"))
-    }, Some("""WITH pick AS (SELECT o_custkey, o_orderdate AS ts,
+    }, Some("""WITH pick AS (SELECT o_custkey, CAST(o_orderdate AS TIMESTAMP) AS ts,
           o_orderstatus, o_orderpriority,
           row_number() OVER (PARTITION BY o_custkey, o_orderdate
             ORDER BY o_orderkey DESC) AS rn
@@ -3988,7 +3993,7 @@ object Queries {
           lead(valid_from) OVER (PARTITION BY o_custkey ORDER BY valid_from)
             AS valid_to FROM iv0),
       f AS (SELECT o_orderkey, o_custkey, o_totalprice,
-          o_orderdate - INTERVAL 30 DAY AS ts30 FROM orders)
+          CAST(o_orderdate AS TIMESTAMP) - INTERVAL 30 DAY AS ts30 FROM orders)
       SELECT iv.st, iv.pr, CAST(count(*) AS BIGINT) AS n,
         CAST(SUM(CAST(f.o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS s
       FROM f JOIN iv ON f.o_custkey = iv.o_custkey
@@ -4160,7 +4165,8 @@ object Queries {
       graft.ops.Stats.robustOutliers(t(s, d, "lineitem"),
         "l_returnflag", "l_extendedprice")
     }, Some("""WITH b AS (SELECT l_returnflag AS g,
-          CAST(l_extendedprice AS DOUBLE) AS v FROM lineitem),
+          CAST(l_extendedprice AS DOUBLE) AS v FROM lineitem
+        WHERE l_extendedprice IS NOT NULL),
       r AS (SELECT g, v, row_number() OVER (PARTITION BY g ORDER BY v) AS rn,
           count(*) OVER (PARTITION BY g) AS n FROM b),
       med AS (SELECT g, (min(v) + max(v)) / 2 AS med FROM r
@@ -4213,7 +4219,7 @@ object Queries {
             ORDER BY score DESC, doc_id) AS r FROM pd),
       rj AS (SELECT query_id, doc_id AS rejected_doc, score AS rejected_score,
           row_number() OVER (PARTITION BY query_id
-            ORDER BY score ASC, doc_id) AS r FROM pd)
+            ORDER BY score ASC, doc_id DESC) AS r FROM pd)
       SELECT c.query_id, c.chosen_doc, c.chosen_score,
         r.rejected_doc, r.rejected_score,
         c.chosen_score - r.rejected_score AS margin

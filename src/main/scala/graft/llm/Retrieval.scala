@@ -97,7 +97,9 @@ object Retrieval {
     * the lowest-scoring retrieved doc, with the margin alongside — the
     * weak-supervision recipe for ranking-derived preference data. Queries
     * whose retrieval set is a single doc emit no pair (chosen == rejected
-    * is filtered). Ties pinned by doc id on both ends.
+    * is filtered). Ties pin by doc id — ASCENDING for chosen, DESCENDING
+    * for rejected, so an all-tied retrieval set of 2+ docs still emits a
+    * (lowest-id, highest-id) pair instead of silently dropping.
     *
     * Scale: one scored relation (the shared postings probe), two
     * row_number windows over the SAME query partition, and a per-query
@@ -110,7 +112,7 @@ object Retrieval {
     val wTop = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("doc_id"))
     val wBot = Window.partitionBy(col("query_id"))
-      .orderBy(col("score").asc, col("doc_id"))
+      .orderBy(col("score").asc, col("doc_id").desc)
     val ranked = scored
       .withColumn("__rt", row_number().over(wTop))
       .withColumn("__rb", row_number().over(wBot))

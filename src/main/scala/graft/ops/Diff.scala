@@ -20,16 +20,23 @@ import org.apache.spark.sql.functions._
   */
 object Diff {
 
-  /** `(key, md5(payload))` with NULL-safe field framing: columns joined on
-    * the 0x1F unit separator, NULLs replaced by a 0x1E sentinel, so
-    * ("ab", NULL) and ("a", "b") cannot collide.
+  /** NULL-safe framed row text: columns joined on the 0x1F unit separator,
+    * NULLs replaced by a 0x1E sentinel, so ("ab", NULL) and ("a", "b")
+    * cannot collide. THE shared framing — every fingerprint/checksum
+    * consumer ([[Scd]], [[Integrity.tableChecksum]],
+    * [[graft.sources.ManifestTable.changes]]) routes through here so the
+    * convention cannot drift between them.
     */
+  def framedRow(cols: Seq[org.apache.spark.sql.Column]): org.apache.spark.sql.Column =
+    concat_ws("\u001f", cols.map(c => coalesce(c.cast("string"), lit("\u001e"))): _*)
+
+  /** md5 of [[framedRow]] — the standard row fingerprint. */
+  def rowFingerprint(cols: Seq[org.apache.spark.sql.Column]): org.apache.spark.sql.Column =
+    md5(framedRow(cols))
+
   private def fingerprints(df: DataFrame, key: String,
                            payload: Seq[String], as: String): DataFrame =
-    df.select(col(key),
-      md5(concat_ws("\u001f",
-        payload.map(c => coalesce(col(c).cast("string"), lit("\u001e"))): _*))
-        .as(as))
+    df.select(col(key), rowFingerprint(payload.map(col)).as(as))
 
   /** The single full-outer diff join with its status classification. */
   private def classified(oldDf: DataFrame, newDf: DataFrame, key: String,

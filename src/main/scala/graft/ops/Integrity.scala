@@ -166,8 +166,7 @@ object Integrity {
   def tableChecksum(df: DataFrame, groupCols: Seq[String],
                     cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "tableChecksum needs at least one hashed column")
-    val hv = conv(substring(md5(concat_ws("\u001f",
-      cols.map(c => coalesce(col(c).cast("string"), lit("\u001e"))): _*)),
+    val hv = conv(substring(md5(Diff.framedRow(cols.map(col))),
       1, 15), 16, 10).cast("long")
     val base = df.withColumn("__hv", hv)
     val grouped =

@@ -21,13 +21,11 @@ import org.apache.spark.sql.functions._
   */
 object Scd {
 
-  /** NULL-framed change fingerprint of the attribute tuple (the
-    * [[Diff]] framing: 0x1F separators, 0x1E for NULL, so ("ab", NULL) and
-    * ("a","b") cannot collide).
+  /** NULL-framed change fingerprint of the attribute tuple — the shared
+    * [[Diff.rowFingerprint]] framing.
     */
   private def fp(attrs: Seq[String]): Column =
-    md5(concat_ws("\u001f",
-      attrs.map(c => coalesce(col(c).cast("string"), lit("\u001e"))): _*))
+    Diff.rowFingerprint(attrs.map(col))
 
   /** One observation per (key, ts): the row with the HIGHEST `tieCol` wins
     * (deterministic pin — a change log can record several writes in one
@@ -76,10 +74,14 @@ object Scd {
     * absent from the batch pass through untouched (their open row re-emerges
     * from the same collapse, bit-identical).
     *
-    * CONTRACT: per key, batch timestamps must be `>= ` that key's open
-    * `valid_from` (CDC batches arrive forward in time). A late event older
-    * than the open interval would need to rewrite closed history — that is
-    * a full [[type2]] rebuild by definition.
+    * CONTRACT: per key, batch timestamps must be STRICTLY GREATER than
+    * that key's open `valid_from` (CDC batches arrive forward in time). A
+    * late event older than the open interval would need to rewrite closed
+    * history — a full [[type2]] rebuild by definition — and a batch row AT
+    * the open interval's exact grain cannot displace it (the dimension does
+    * not retain the original winner's tie value, so the open state is
+    * pinned authoritative at its own timestamp; a rebuild could decide that
+    * grain differently).
     *
     * Equivalence `type2Apply(type2(log₁), log₂) == type2(log₁ ∪ log₂)`
     * under the contract is property-tested in OpsSpec.

@@ -113,7 +113,10 @@ object Stats {
     */
   def robustOutliers(df: DataFrame, g: String, c: String,
                      k: Double = 3.0): DataFrame = {
-    val base = df.select(col(g), col(c).cast("double").as("__v"))
+    // NULL values carry no outlier information and would shift the median
+    // positions (Spark sorts them first, DuckDB last) — dropped up front
+    val base = df.filter(col(c).isNotNull)
+      .select(col(g), col(c).cast("double").as("__v"))
     val med = groupMedian(base, g, col("__v"), "med")
     val withMed = base.join(med, g)
       .withColumn("__dev", abs(col("__v") - col("med")))

@@ -456,8 +456,9 @@ object ManifestTable {
     */
   def pruneCounts(spark: SparkSession, root: String, ranges: Seq[ColRange],
                   points: Seq[(String, Any)] = Nil): (Int, Int) = {
-    val (kept, total) = planPrune(spark, root, ranges, points)._2
-    (kept, total)
+    val v = currentVersion(spark, root).getOrElse(
+      throw new IllegalStateException(s"manifest table $root has no committed version"))
+    planPrune(spark, root, v, ranges, points)._2
   }
 
   /** Per data version: either Left(partitionDirs) when no sidecar exists
@@ -465,11 +466,9 @@ object ManifestTable {
     * counts. A file survives when its zone maps can intersect every range
     * AND its Bloom filters might contain every point.
     */
-  private def planPrune(spark: SparkSession, root: String, ranges: Seq[ColRange],
-                        points: Seq[(String, Any)])
+  private def planPrune(spark: SparkSession, root: String, v: Long,
+                        ranges: Seq[ColRange], points: Seq[(String, Any)])
       : (Map[Long, Either[Seq[String], Seq[String]]], (Int, Int)) = {
-    val v = currentVersion(spark, root).getOrElse(
-      throw new IllegalStateException(s"manifest table $root has no committed version"))
     val (fs, rootP) = fsOf(spark, root)
     val entries = entriesOf(fs, rootP, v)
     var keptN = 0; var totalN = 0
@@ -510,9 +509,14 @@ object ManifestTable {
                  ranges: Seq[ColRange],
                  points: Seq[(String, Any)] = Nil): DataFrame = {
     import org.apache.spark.sql.functions.col
-    val (plan, _) = planPrune(spark, root, ranges, points)
+    // resolve the manifest version ONCE — a second currentVersion() lookup
+    // for the DV could race a concurrent commit and pair version N's files
+    // with version N+1's (possibly absent) deletion vector
+    val v = currentVersion(spark, root).getOrElse(
+      throw new IllegalStateException(s"manifest table $root has no committed version"))
+    val (plan, _) = planPrune(spark, root, v, ranges, points)
     val (fs, rootP) = fsOf(spark, root)
-    val dv = currentVersion(spark, root).flatMap(v => dvOf(fs, rootP, v))
+    val dv = dvOf(fs, rootP, v)
     def withM(df: DataFrame): DataFrame =
       if (dv.isDefined)
         df.select(col("*"), normPath(col("_metadata.file_path")).as("__f"),
@@ -709,13 +713,22 @@ object ManifestTable {
         def dvDf(o: Option[Long]) =
           o.map(x => spark.read.parquet(dvDir(root, x))).getOrElse(empty)
         val a = dvDf(dF); val b = dvDf(dT)
-        val rootStr = fs.makeQualified(rootP).toUri.getPath
         // sym-diff of masked positions → files → partition dirs; bounded by
-        // partitions-with-deletes, so the collect is manifest-sized
+        // partitions-with-deletes, so the collect is manifest-sized.
+        // The partition dir is located STRUCTURALLY (the segment after the
+        // v######## data-version dir) rather than by stripping a root
+        // prefix — normPath keeps a URI authority (s3a bucket, hdfs
+        // namenode) as a leading path segment that a root-path prefix
+        // strip would silently fail to match
         b.exceptAll(a).unionByName(a.exceptAll(b))
           .select(col("__f")).distinct().collect().map { r =>
-            val segs = r.getString(0).stripPrefix(rootStr).stripPrefix("/").split('/')
-            if (segs.length >= 3) segs(1) else ""
+            val segs = r.getString(0).split('/')
+            val isVer = (x: String) => x.length == 9 && x.head == 'v' &&
+              x.tail.forall(_.isDigit)
+            if (segs.length >= 2 && isVer(segs(segs.length - 2))) ""
+            else if (segs.length >= 3 && isVer(segs(segs.length - 3)))
+              segs(segs.length - 2)
+            else ""
           }.toSet
       }
     val affected = changedData ++ dvParts
@@ -730,9 +743,7 @@ object ManifestTable {
       val df = readSnapshot(spark, root, schema, v, withMeta = false, Some(affected))
       df.select(col(key).as("__k"),
         struct(fields.map(col): _*).as(s"__$tag"),
-        md5(concat_ws("\u001f",
-          fields.map(c => coalesce(col(c).cast("string"), lit("\u001e"))): _*))
-          .as(s"__${tag}fp"))
+        graft.ops.Diff.rowFingerprint(fields.map(col)).as(s"__${tag}fp"))
     }
     val j = side(fromV, "o").join(side(toV, "n"), Seq("__k"), "full_outer")
     val ct = when(col("__ofp").isNull, array(lit("insert")))

@@ -1563,4 +1563,25 @@ class LlmSpec extends SparkSuite {
     // far below the raw coordinate scale (cluster spread ~0.2, base 10.0)
     assert(got.forall(_._3 < 1.0), got.mkString(","))
   }
+
+  test("preferencePairs: margins on distinct scores; all-tied set still pairs min/max ids") {
+    import spark.implicits._
+    // q1: 'alpha' docs where doc 3 also repeats the term -> strictly higher tf score
+    // q2: three IDENTICAL docs -> all scores tie; pair must be (min id, max id)
+    val docs = Seq(
+      (1L, "alpha beta"), (2L, "alpha gamma"), (3L, "alpha alpha alpha delta"),
+      (10L, "omega same text"), (11L, "omega same text"), (12L, "omega same text"))
+      .toDF("doc_id", "text")
+    val qs = Seq((1L, "alpha"), (2L, "omega")).toDF("query_id", "qtext")
+    val got = graft.llm.Retrieval.preferencePairs(docs, "doc_id", "text",
+        qs, "query_id", "qtext")
+      .select("query_id", "chosen_doc", "rejected_doc")
+      .as[(Long, Long, Long)].collect().toMap2
+    assert(got(1L)._1 == 3L)                 // highest tf wins chosen
+    assert(got(2L) == (10L, 12L))            // all-tied: (min, max), not dropped
+  }
+
+  private implicit class MapTuple[A, B, C](rows: Array[(A, B, C)]) {
+    def toMap2: Map[A, (B, C)] = rows.map(r => r._1 -> (r._2, r._3)).toMap
+  }
 }
