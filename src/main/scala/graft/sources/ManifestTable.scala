@@ -105,14 +105,27 @@ object ManifestTable {
   /** Stage `body` to a dot-temp name and atomically rename it into place as
     * manifest `v` — the one commit point every mutation shares.
     */
-  private def publishManifest(fs: FileSystem, rootP: Path, v: Long,
-                              entries: Map[String, Long], dv: Option[Long]): Unit = {
+  private[graft] def publishManifest(fs: FileSystem, rootP: Path, v: Long,
+                                     entries: Map[String, Long], dv: Option[Long]): Unit = {
     val body = (entries.toSeq.sortBy(_._1).map { case (n, d) => s"$n\t$d" }
       ++ dv.map(d => s"#dv\t$d").toSeq).mkString("", "\n", "\n")
     val tmp = new Path(rootP, s".manifest-$v.tmp")
     val out = fs.create(tmp, true)
     try out.write(body.getBytes("UTF-8")) finally out.close()
     val dst = new Path(rootP, ManifestPrefix + fmt(v))
+    // lost-update detection: a second writer that resolved the same base
+    // version targets the SAME manifest number — POSIX rename would clobber
+    // the winner SILENTLY (File.renameTo replaces dst), so check first and
+    // fail the loser loudly. The check-then-rename is not a mutex (true
+    // exclusion needs HDFS's no-overwrite rename or an object store's
+    // conditional put — documented single-writer contract); it turns the
+    // realistic sequential lost-update into a hard error instead of silent
+    // data loss.
+    if (fs.exists(dst))
+      throw new IllegalStateException(
+        s"commit collision: $dst already exists — another writer committed version $v " +
+          "from the same base (single-writer contract violated); this commit is abandoned, " +
+          s"its data version dir is orphaned and reclaimed by the next vacuum")
     require(fs.rename(tmp, dst),
       s"manifest commit rename $tmp -> $dst failed — table stays at the previous version")
   }

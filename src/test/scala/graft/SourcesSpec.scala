@@ -546,6 +546,31 @@ class SourcesSpec extends SparkSuite {
       .count() == 5L)
   }
 
+  test("ManifestTable: a commit colliding with an already-published version fails loudly") {
+    import spark.implicits._
+    import graft.sources.ManifestTable
+    val root = java.nio.file.Files.createTempDirectory("mantab-race").toString + "/t"
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType)))
+    ManifestTable.commit(Seq(1L).toDF("id"), root, partCol = None)
+    // simulate a racing writer that resolved the same base version and
+    // already published manifest 2 (its data under v00000099); the loser's
+    // publish step — driven directly, since commit() would re-resolve and
+    // target 3 — must detect the occupied slot instead of clobbering it
+    java.nio.file.Files.writeString(
+      java.nio.file.Path.of(s"$root/_manifest.00000002"), "\t99\n")
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val e = intercept[IllegalStateException](
+      ManifestTable.publishManifest(fs, new org.apache.hadoop.fs.Path(root),
+        2L, Map("" -> 2L), None))
+    assert(e.getMessage.contains("commit collision"))
+    // the winner's manifest is intact (not clobbered by the loser's rename)
+    assert(ManifestTable.currentVersion(spark, root).contains(2L))
+    assert(java.nio.file.Files.readString(
+      java.nio.file.Path.of(s"$root/_manifest.00000002")) == "\t99\n")
+  }
+
   test("ManifestTable.readAuto: hints extracted from the predicate prune files; result == plain filter") {
     import spark.implicits._
     import graft.sources.ManifestTable
