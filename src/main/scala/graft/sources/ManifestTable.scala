@@ -965,6 +965,45 @@ object ManifestTable {
       statsCols = (zorderBy ++ statsCols).distinct)
   }
 
+  /** Table health report — one row per live data version: its manifest
+    * references, file count, and bytes, plus the current deletion-vector
+    * row count. The DESCRIBE DETAIL-style telemetry an operator reads
+    * before deciding to [[compact]] (many small files), [[vacuum]] (dead
+    * versions), or purge ([[deleteWhere]] backlog). Pure driver-side
+    * listing — O(files) metadata, no data scan.
+    */
+  def detail(spark: SparkSession, root: String): Seq[(Long, Int, Int, Long)] = {
+    val cur = currentVersion(spark, root).getOrElse(
+      throw new IllegalStateException(s"manifest table $root has no committed version"))
+    val (fs, rootP) = fsOf(spark, root)
+    val entries = entriesOf(fs, rootP, cur)
+    def filesUnder(p: Path): Seq[org.apache.hadoop.fs.FileStatus] =
+      if (!fs.exists(p)) Nil
+      else fs.listStatus(p).toSeq.flatMap { st =>
+        val n = st.getPath.getName
+        if (n.startsWith("_") || n.startsWith(".")) Nil
+        else if (st.isDirectory) filesUnder(st.getPath)
+        else Seq(st)
+      }
+    entries.groupBy(_._2).toSeq.sortBy(_._1).map { case (dataV, parts) =>
+      val sts = parts.keys.toSeq.flatMap { part =>
+        val base = new Path(rootP, "v" + fmt(dataV))
+        filesUnder(if (part.isEmpty) base else new Path(base, part))
+      }
+      (dataV, parts.size, sts.size, sts.map(_.getLen).sum)
+    }
+  }
+
+  /** Rows currently masked by the table's deletion vector (0 when none) —
+    * the purge-backlog gauge for [[detail]]'s consumers.
+    */
+  def deletedRowCount(spark: SparkSession, root: String): Long = {
+    val cur = currentVersion(spark, root).getOrElse(return 0L)
+    val (fs, rootP) = fsOf(spark, root)
+    dvOf(fs, rootP, cur)
+      .map(d => spark.read.parquet(dvDir(root, d)).count()).getOrElse(0L)
+  }
+
   /** Reclaim manifests more than `retainVersions` behind current, and data
     * versions none of the RETAINED manifests reference (plus stray commit
     * temp files) — bounded retention for a long-lived table.

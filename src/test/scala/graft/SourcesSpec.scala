@@ -546,6 +546,58 @@ class SourcesSpec extends SparkSuite {
       .count() == 5L)
   }
 
+  test("ManifestTable.detail + deletedRowCount report live versions, files, purge backlog") {
+    import spark.implicits._
+    import graft.sources.ManifestTable
+    val root = java.nio.file.Files.createTempDirectory("mantab-det").toString + "/t"
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("p", org.apache.spark.sql.types.StringType)))
+    ManifestTable.commit(Seq((1L, "x"), (2L, "y")).toDF("id", "p"), root, Some("p"))
+    ManifestTable.commit(Seq((3L, "x")).toDF("id", "p"), root, Some("p")) // p=y carries from v1
+    val d = ManifestTable.detail(spark, root)
+    assert(d.map(_._1) == Seq(1L, 2L)) // both data versions live
+    assert(d.map(_._2).sum == 2)       // two partition entries total
+    assert(d.forall(x => x._3 >= 1 && x._4 > 0L))
+    assert(ManifestTable.deletedRowCount(spark, root) == 0L)
+    ManifestTable.deleteWhere(spark, root, schema, col("id") === 2L)
+    assert(ManifestTable.deletedRowCount(spark, root) == 1L)
+  }
+
+  test("end-to-end lakehouse chain: CDC merge commits -> change feed -> SCD2 dimension") {
+    import spark.implicits._
+    import graft.sources.ManifestTable
+    val root = java.nio.file.Files.createTempDirectory("mantab-chain").toString + "/t"
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("p", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("tier", org.apache.spark.sql.types.StringType)))
+    // three commits = three observation times of each key's tier attribute
+    ManifestTable.commit(Seq((1L, "x", "gold"), (2L, "x", "silver"))
+      .toDF("id", "p", "tier"), root, Some("p"))
+    ManifestTable.commit(Seq((1L, "x", "gold"), (2L, "x", "gold"), (3L, "x", "bronze"))
+      .toDF("id", "p", "tier"), root, Some("p"))
+    ManifestTable.commit(Seq((1L, "x", "silver"), (2L, "x", "gold"), (3L, "x", "bronze"))
+      .toDF("id", "p", "tier"), root, Some("p"))
+    // change feed per adjacent version pair -> change-log rows at ts = toV;
+    // insert/update_postimage carry each key's newly observed state
+    val log = Seq((1L, 2L), (2L, 3L)).map { case (a, b) =>
+      ManifestTable.changes(spark, root, schema, "id", a, b)
+        .filter(col("_change_type").isin("insert", "update_postimage"))
+        .select(col("id"), lit(b).as("ts"), lit(b).as("tie"), col("tier"))
+    }.reduce(_ unionByName _)
+      // the initial snapshot seeds the log at ts = 1
+      .unionByName(ManifestTable.read(spark, root, schema, asOfVersion = Some(1L))
+        .select(col("id"), lit(1L).as("ts"), lit(1L).as("tie"), col("tier")))
+    val dim = graft.ops.Scd.type2(log, "id", "ts", Seq("tier"), "tie")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        Option(r.get(3)).map(_.asInstanceOf[Long]), r.getBoolean(4))).toSet
+    assert(dim == Set(
+      (1L, "gold", 1L, Some(3L), false), (1L, "silver", 3L, None, true),
+      (2L, "silver", 1L, Some(2L), false), (2L, "gold", 2L, None, true),
+      (3L, "bronze", 2L, None, true)))
+  }
+
   test("ManifestTable: a commit colliding with an already-published version fails loudly") {
     import spark.implicits._
     import graft.sources.ManifestTable
