@@ -148,12 +148,18 @@ object Dispatch {
     * to the wrapper encoding and decodes as one — a property of Mongo
     * extended JSON itself, not of this implementation.
     */
-  private[cdc] def stripExtended(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+  private[graft] def stripExtended(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
     val d1 = regexp_replace(c,
       """\{\s*"\$date"\s*:\s*\{\s*"\$numberLong"\s*:\s*"(-?\d+)"\s*\}\s*\}""", "\"$1\"")
     val d2 = regexp_replace(d1, """\{\s*"\$date"\s*:\s*"([^"]+)"\s*\}""", "\"$1\"")
     val d3 = regexp_replace(d2, """\{\s*"\$oid"\s*:\s*"([0-9a-fA-F]+)"\s*\}""", "\"$1\"")
-    regexp_replace(d3, """\{\s*"\$number(?:Long|Int)"\s*:\s*"(-?\d+)"\s*\}""", "$1")
+    val d4 = regexp_replace(d3,
+      """\{\s*"\$number(?:Long|Int)"\s*:\s*"(-?\d+)"\s*\}""", "$1")
+    // mongoexport full-document dumps also carry Decimal128/double wrappers
+    // (the [[graft.sources.Sources.mongoExportFile]] path); emitted BARE so
+    // from_json parses them under whatever numeric type the schema declares
+    regexp_replace(d4,
+      """\{\s*"\$number(?:Decimal|Double)"\s*:\s*"(-?[0-9][0-9.eE+-]*)"\s*\}""", "$1")
   }
 
   /** Promote-time parse of a [[stripExtended]]-decoded date STRING: epoch

@@ -91,4 +91,30 @@ object Sources {
       deadLetterPath, runTs)
     pinned.filter(col("_corrupt_record").isNull).drop("_corrupt_record")
   }
+
+  /** mongoexport NDJSON dump reader — the OFFLINE Mongo ingestion path (the
+    * reference pulls collections live via pymongo,
+    * reference: src/ingest_weather_data.py:87-116; `mongoexport
+    * --collection … --out dump.json` produces the same documents as
+    * relaxed extended JSON, one per line, with NO network dependency).
+    * Type wrappers (`$oid`, both `$date` forms, `$numberLong/Int` bare,
+    * `$numberDecimal/Double` bare) collapse via the same codegen'd
+    * [[graft.cdc.Dispatch.stripExtended]] passes the CDC envelope decoder
+    * uses — one shared decoder, no parse/re-serialize round trip — then
+    * `from_json` lands `docSchema`. Date-valued fields follow the CDC
+    * convention: declare StringType and parse with
+    * [[graft.cdc.Dispatch.parseWireDate]] (both wire forms arrive as
+    * strings). Lines that fail to parse surface as all-NULL rows under
+    * `_malformed = true` so callers can dead-letter them.
+    */
+  def mongoExportFile(spark: SparkSession, path: String,
+                      docSchema: StructType): DataFrame = {
+    import org.apache.spark.sql.functions.from_json
+    spark.read.text(path)
+      .select(col("value"),
+        from_json(graft.cdc.Dispatch.stripExtended(col("value")), docSchema).as("d"))
+      .select(col("d.*"),
+        (col("d").isNull || docSchema.fieldNames
+          .map(f => col(s"d.$f").isNull).reduce(_ && _)).as("_malformed"))
+  }
 }

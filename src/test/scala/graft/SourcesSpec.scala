@@ -38,6 +38,33 @@ class SourcesSpec extends SparkSuite {
     assert(got == Set(("p1", "21.03N", "105.85E"), ("p2", "16.07N", "108.22E")))
   }
 
+  test("mongoexport dump reader collapses every wrapper form; malformed lines flagged") {
+    import spark.implicits._
+    val f = Files.createTempFile("dump", ".json")
+    Files.writeString(f, Seq(
+      """{"_id": {"$oid": "65f1a2b3c4d5e6f7a8b9c0d1"}, "ts": {"$date": "2024-03-01T07:00:00Z"}, "n": {"$numberLong": "42"}, "price": {"$numberDecimal": "19.99"}, "tag": "plain"}""",
+      """{"_id": {"$oid": "65f1a2b3c4d5e6f7a8b9c0d2"}, "ts": {"$date": {"$numberLong": "1709275600000"}}, "n": {"$numberInt": "7"}, "price": {"$numberDouble": "2.5"}, "tag": "millis"}""",
+      """this line is not json"""
+    ).mkString("\n"))
+    val schema = StructType(Seq(
+      StructField("_id", StringType), StructField("ts", StringType),
+      StructField("n", LongType), StructField("price", DoubleType),
+      StructField("tag", StringType)))
+    val rows = Sources.mongoExportFile(spark, f.toString, schema)
+    val good = rows.filter(!col("_malformed"))
+      .select("_id", "ts", "n", "price", "tag")
+      .as[(String, String, Long, Double, String)].collect().toSet
+    assert(good == Set(
+      ("65f1a2b3c4d5e6f7a8b9c0d1", "2024-03-01T07:00:00Z", 42L, 19.99, "plain"),
+      ("65f1a2b3c4d5e6f7a8b9c0d2", "1709275600000", 7L, 2.5, "millis")))
+    assert(rows.filter(col("_malformed")).count() == 1)
+    // both wire-form dates parse to the same convention via parseWireDate
+    val ts = rows.filter(!col("_malformed"))
+      .select(graft.cdc.Dispatch.parseWireDate(col("ts")).cast("string"))
+      .as[String].collect().toSet
+    assert(ts == Set("2024-03-01 07:00:00", "2024-03-01 06:46:40"))
+  }
+
   test("S9 append sink accumulates batches like insert_many(ordered=False)") {
     import spark.implicits._
     val dir = Files.createTempDirectory("sink").toString + "/t"
