@@ -330,6 +330,47 @@ class SourcesSpec extends SparkSuite {
     } finally conf.keys.foreach(spark.conf.unset)
   }
 
+  test("DML rendering sink: rendered INSERT/UPDATE statements execute on Derby and round-trip") {
+    import spark.implicits._
+    System.setProperty("derby.stream.error.file",
+      Files.createTempDirectory("derby-dml").resolve("derby.log").toString)
+    val url = s"jdbc:derby:memory:graftdml${System.nanoTime()};create=true"
+    val driver = "org.apache.derby.jdbc.EmbeddedDriver"
+    Class.forName(driver)
+    val conn = java.sql.DriverManager.getConnection(url)
+    conn.createStatement().execute(
+      "CREATE TABLE weather (id VARCHAR(64), place_id VARCHAR(64), temp_c DOUBLE, " +
+        "ok BOOLEAN, last_updated TIMESTAMP)")
+    conn.close()
+    val ts = java.sql.Timestamp.valueOf("2024-03-01 07:00:00")
+    val batch = Seq(
+      ("w1", "p1", Some(1.5), true, ts),
+      ("w2", "p'2", Some(2.5), false, ts),            // quote in value: escaping leg
+      ("w3", null.asInstanceOf[String], None: Option[Double], true, ts)) // NULLs
+      .toDF("id", "place_id", "temp_c", "ok", "last_updated")
+    // golden: the reference's literal typing rules with proper escaping
+    val stmts = graft.sources.Sinks.renderInserts(batch, "weather")
+      .as[String].collect().toSet
+    assert(stmts.contains("INSERT INTO weather (id, place_id, temp_c, ok, last_updated) " +
+      "VALUES ('w2', 'p''2', 2.5, false, TIMESTAMP('2024-03-01 07:00:00'))"))
+    assert(stmts.exists(_.contains("'w3', NULL, NULL, true,")))
+    assert(graft.sources.Sinks.executeDml(
+      graft.sources.Sinks.renderInserts(batch, "weather"), url, driver) == 3L)
+    def readBack = spark.read.format("jdbc")
+      .option("url", url).option("dbtable", "weather").option("driver", driver).load()
+    assert(readBack.count() == 3)
+    assert(readBack.filter(col("id") === "w2")
+      .select("place_id").as[String].head() == "p'2")
+    // keyed UPDATE leg: bump w1's temp, flip its flag
+    val upd = Seq(("w1", "p1", 9.5, false, ts))
+      .toDF("id", "place_id", "temp_c", "ok", "last_updated")
+    assert(graft.sources.Sinks.executeDml(
+      graft.sources.Sinks.renderUpdates(upd, "weather", "id"), url, driver) == 1L)
+    val w1 = readBack.filter(col("id") === "w1")
+      .select("temp_c", "ok").as[(Double, Boolean)].head()
+    assert(w1 == (9.5, false))
+  }
+
   test("S1 keyed fetch: per-partition client, shrinking retry, dead-letter residue") {
     import spark.implicits._
     // scripted per-attempt clients (file-scope so the closure ships without
