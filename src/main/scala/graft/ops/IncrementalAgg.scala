@@ -13,6 +13,12 @@ import graft.sources.ManifestTable
   * distributive aggregates. At 100 TB the difference between "re-aggregate
   * the corpus per batch" and "touch O(|delta| + affected buckets)".
   *
+  * CONTRACT: deltas are INSERT-ONLY. n/sum are invertible (a delete delta
+  * could fold in with negated counts), but min/max and the KMV distinct
+  * state are not — retracting the current minimum requires the base data.
+  * Feed deletes through a periodic from-scratch rebuild (or drop min/max
+  * from the view), the standard self-maintainability boundary.
+  *
   * Scale design: the state table is a [[ManifestTable]] hash-bucketed on
   * the key (`bucket = xxhash64(key) mod nBuckets` — immutable per key, the
   * [[graft.cdc.Dispatch.runPartitioned]] partition contract), so each batch

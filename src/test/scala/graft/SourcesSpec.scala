@@ -614,6 +614,35 @@ class SourcesSpec extends SparkSuite {
       .count() == 5L)
   }
 
+  test("ManifestTable: partition-scheme evolution via full-snapshot rewrite") {
+    import spark.implicits._
+    import graft.sources.ManifestTable
+    val root = java.nio.file.Files.createTempDirectory("mantab-pev").toString + "/t"
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("p", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("q", org.apache.spark.sql.types.LongType)))
+    val rows = Seq((1L, "x", 10L), (2L, "y", 10L), (3L, "x", 20L))
+    ManifestTable.commit(rows.toDF("id", "p", "q"), root, Some("p"))
+    // repartition the TABLE (not just files) to a different column: a full
+    // snapshot rewrite under the new scheme, carryForward=false — the
+    // Iceberg-style partition-evolution move, atomic like any commit
+    ManifestTable.commit(ManifestTable.read(spark, root, schema), root,
+      Some("q"), carryForward = false)
+    assert(new java.io.File(s"$root/v00000002/q=10").exists())
+    assert(ManifestTable.read(spark, root, schema)
+      .as[(Long, String, Long)].collect().toSet == rows.toSet)
+    // time travel across the scheme change still serves the old layout
+    assert(ManifestTable.read(spark, root, schema, asOfVersion = Some(1L))
+      .as[(Long, String, Long)].collect().toSet == rows.toSet)
+    // subsequent merge commits carry forward under the NEW scheme
+    ManifestTable.commit(Seq((4L, "z", 20L)).toDF("id", "p", "q")
+      .unionByName(ManifestTable.read(spark, root, schema).filter(col("q") === 20L)),
+      root, Some("q"))
+    assert(ManifestTable.read(spark, root, schema)
+      .as[(Long, String, Long)].collect().toSet == rows.toSet + ((4L, "z", 20L)))
+  }
+
   test("ManifestTable.detail + deletedRowCount report live versions, files, purge backlog") {
     import spark.implicits._
     import graft.sources.ManifestTable
