@@ -4224,7 +4224,45 @@ object Queries {
         r.rejected_doc, r.rejected_score,
         c.chosen_score - r.rejected_score AS margin
       FROM ch c JOIN rj r ON c.query_id = r.query_id
-      WHERE c.r = 1 AND r.r = 1 AND c.chosen_doc <> r.rejected_doc"""))
+      WHERE c.r = 1 AND r.r = 1 AND c.chosen_doc <> r.rejected_doc""")),
+
+    // Salted equi-join == plain equi-join: the hot-key mitigation must be
+    // result-invisible (salting only redistributes reducer load), so its
+    // oracle IS the unsalted join — any row duplicated or dropped by the
+    // salt plumbing breaks the hash. Aggregated per brand to keep the dump
+    // bounded.
+    ("q167_salted_join", (s: SparkSession, d: String) => {
+      val facts = t(s, d, "lineitem")
+        .select(col("l_partkey").as("k"), col("l_quantity"), col("l_extendedprice"))
+      val dim = t(s, d, "part")
+        .select(col("p_partkey").as("k"), col("p_brand"))
+      graft.ops.Skew.saltedJoin(facts, dim, "k", saltFactor = 8)
+        .groupBy("p_brand")
+        .agg(count(lit(1)).as("n"), dsum(col("l_extendedprice")).as("s"))
+    }, Some(s"""SELECT p.p_brand, CAST(count(*) AS BIGINT) AS n,
+        ${dsumSql("l.l_extendedprice")} AS s
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      GROUP BY p.p_brand""")),
+
+    // Two-phase salted aggregation == one-phase aggregation: phase-1
+    // partials on (key, salt) recombine exactly (decimal sums are
+    // associative, min/max idempotent), so the skew-proof plan must hash
+    // identically to the direct GROUP BY the oracle runs.
+    ("q168_two_phase_agg", (s: SparkSession, d: String) => {
+      graft.ops.Skew.twoPhaseAgg(
+          t(s, d, "lineitem").select("l_suppkey", "l_extendedprice"),
+          "l_suppkey", saltFactor = 8,
+          Map(
+            "n" -> (count(lit(1)), sum(col("n"))),
+            "s" -> (sum(col("l_extendedprice").cast("decimal(18,6)")), sum(col("s"))),
+            "mn" -> (min(col("l_extendedprice")), min(col("mn"))),
+            "mx" -> (max(col("l_extendedprice")), max(col("mx")))))
+        .select(col("l_suppkey"), col("n"), col("s").cast("double").as("s"),
+          col("mn"), col("mx"))
+    }, Some("""SELECT l_suppkey, CAST(count(*) AS BIGINT) AS n,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS s,
+        min(l_extendedprice) AS mn, max(l_extendedprice) AS mx
+      FROM lineitem GROUP BY l_suppkey"""))
   )
 
   /** The BM25 replay shared by q72/q123 — postings, df, dl, corpus stats,
