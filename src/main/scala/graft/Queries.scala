@@ -4262,7 +4262,58 @@ object Queries {
     }, Some("""SELECT l_suppkey, CAST(count(*) AS BIGINT) AS n,
         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS s,
         min(l_extendedprice) AS mn, max(l_extendedprice) AS mx
-      FROM lineitem GROUP BY l_suppkey"""))
+      FROM lineitem GROUP BY l_suppkey""")),
+
+    // mongoexport round trip on the ORACLE path: a relaxed-extended-JSON
+    // dump is SYNTHESIZED from orders ($oid/$numberDecimal/$numberLong
+    // wrappers), written as NDJSON, decoded back through the shared
+    // stripExtended passes + from_json, and aggregated — the oracle
+    // recomputes directly from orders, so any wrapper the decoder mangles
+    // (or value the text round trip corrupts) breaks the hash.
+    ("q169_mongo_dump", (s: SparkSession, d: String) => {
+      val o = t(s, d, "orders").filter(pmod(col("o_orderkey"), lit(50)) === 0)
+      val line = concat(
+        lit("{\"_id\": {\"$oid\": \""),
+        lpad(lower(conv(col("o_orderkey").cast("string"), 10, 16)), 24, "0"),
+        lit("\"}, \"status\": \""), col("o_orderstatus"),
+        lit("\", \"total\": {\"$numberDecimal\": \""),
+        col("o_totalprice").cast("string"),
+        lit("\"}, \"okey\": {\"$numberLong\": \""),
+        col("o_orderkey").cast("string"), lit("\"}}"))
+      val root = java.nio.file.Files.createTempDirectory("q169-dump").toString
+      o.select(line.as("value")).coalesce(1).write.text(s"$root/dump")
+      val schema = StructType(Seq(
+        StructField("_id", StringType), StructField("status", StringType),
+        StructField("total", DoubleType), StructField("okey", LongType)))
+      graft.sources.Sources.mongoExportFile(s, s"$root/dump", schema)
+        .filter(!col("_malformed"))
+        .groupBy("status")
+        .agg(count(lit(1)).as("n"), dsum(col("total")).as("tot"),
+          sum(col("okey")).as("ok_sum"), min(col("_id")).as("min_id"))
+    }, Some(s"""SELECT o_orderstatus AS status, CAST(count(*) AS BIGINT) AS n,
+        ${dsumSql("o_totalprice")} AS tot,
+        CAST(CAST(sum(o_orderkey) AS BIGINT) AS BIGINT) AS ok_sum,
+        min(lpad(to_hex(o_orderkey), 24, '0')) AS min_id
+      FROM orders WHERE o_orderkey % 50 = 0 GROUP BY o_orderstatus""")),
+
+    // DML rendering on the ORACLE path: the reference's typed-literal
+    // INSERT surface (P17) rendered for an orders slice must equal the
+    // byte-identical statements DuckDB assembles with its own string ops —
+    // quoting, escaping, numeric text forms, and the TIMESTAMP() rendering
+    // all cross-checked textually.
+    ("q170_dml_render", (s: SparkSession, d: String) => {
+      val o = t(s, d, "orders").filter(pmod(col("o_orderkey"), lit(97)) === 0)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+          col("o_orderdate").cast("timestamp").as("o_orderdate"))
+      graft.sources.Sinks.renderInserts(o, "wh.orders")
+    }, Some("""SELECT 'INSERT INTO wh.orders (o_orderkey, o_orderstatus, '
+        || 'o_totalprice, o_orderdate) VALUES ('
+        || CAST(o_orderkey AS VARCHAR) || ', '''
+        || replace(o_orderstatus, '''', '''''') || ''', '
+        || CAST(o_totalprice AS VARCHAR) || ', TIMESTAMP('''
+        || strftime(CAST(o_orderdate AS TIMESTAMP), '%Y-%m-%d %H:%M:%S')
+        || '''))' AS stmt
+      FROM orders WHERE o_orderkey % 97 = 0"""))
   )
 
   /** The BM25 replay shared by q72/q123 — postings, df, dl, corpus stats,
