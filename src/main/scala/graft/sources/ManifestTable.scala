@@ -248,6 +248,27 @@ object ManifestTable {
   private def unhex(h: String): String =
     new String(h.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray, "UTF-8")
 
+  /** Relative paths of every data file under a version dir (sidecar/_temp
+    * names skipped) — the authoritative file universe for [[planPrune]].
+    * Sidecar key sets are NOT a universe: a file whose bloom-indexed column
+    * is entirely NULL writes no `_bloom` entry (harvestBlooms filters
+    * isNotNull), so a version committed with bloomCols but no statsCols
+    * would silently lose that file from every pruned scan (ADVICE r12).
+    */
+  private def listDataFiles(fs: FileSystem, vdir: Path): Seq[String] = {
+    def files(p: Path): Seq[Path] = fs.listStatus(p).toSeq.flatMap { st =>
+      val n = st.getPath.getName
+      if (n.startsWith("_") || n.startsWith(".")) Nil
+      else if (st.isDirectory) files(st.getPath)
+      else Seq(st.getPath)
+    }
+    // listStatus returns scheme-qualified paths (file:/…) — qualify the
+    // base the same way or the relative-path strip silently no-ops
+    val base = fs.makeQualified(vdir).toString
+    files(vdir).map(f =>
+      fs.makeQualified(f).toString.stripPrefix(base).stripPrefix("/"))
+  }
+
   /** Read each parquet file's footer under `vdir` and merge row-group
     * statistics per requested column. Only top-level scalar columns carry
     * zone maps (nested paths don't match the dot-name filter).
@@ -259,17 +280,8 @@ object ManifestTable {
     import org.apache.parquet.hadoop.util.HadoopInputFile
     import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
     val want = statsCols.toSet
-    def files(p: Path): Seq[Path] = fs.listStatus(p).toSeq.flatMap { st =>
-      val n = st.getPath.getName
-      if (n.startsWith("_") || n.startsWith(".")) Nil
-      else if (st.isDirectory) files(st.getPath)
-      else Seq(st.getPath)
-    }
-    // listStatus returns scheme-qualified paths (file:/…) — qualify the
-    // base the same way or the relative-path strip silently no-ops
-    val base = fs.makeQualified(vdir).toString
-    files(vdir).flatMap { f =>
-      val rel = fs.makeQualified(f).toString.stripPrefix(base).stripPrefix("/")
+    listDataFiles(fs, vdir).flatMap { rel =>
+      val f = new Path(vdir, rel)
       val reader = ParquetFileReader.open(
         HadoopInputFile.fromPath(f, fs.getConf))
       val chunks =
@@ -491,10 +503,12 @@ object ManifestTable {
       val blooms = loadBlooms(fs, rootP, dv)
       if (stats.isEmpty && blooms.isEmpty) dv -> Left(partDirs)
       else {
-        val fileList = stats.map(_.keySet).getOrElse(Set.empty) ++
-          blooms.map(_.keySet).getOrElse(Set.empty)
-        val live = fileList.toSeq.filter(rel =>
-          partDirs.contains("") || partDirs.exists(p => rel.startsWith(p + "/")))
+        // universe = the version dir's actual files, never the sidecar key
+        // sets — a file missing its sidecar entry (all-NULL bloom column,
+        // partial stats) defaults to KEPT, the only correct superset
+        val live = listDataFiles(fs, new Path(rootP, "v" + fmt(dv)))
+          .filter(rel =>
+            partDirs.contains("") || partDirs.exists(p => rel.startsWith(p + "/")))
         val kept = live.filter { rel =>
           val zoneOk = stats.flatMap(_.get(rel))
             .forall(z => survives(z, ranges))

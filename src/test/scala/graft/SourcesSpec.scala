@@ -1008,6 +1008,33 @@ class SourcesSpec extends SparkSuite {
     assert(new java.io.File(s"$root/_bloom.00000001").exists())
   }
 
+  test("pruned scans keep files missing a sidecar entry (all-NULL bloom column)") {
+    import spark.implicits._
+    import graft.sources.ManifestTable
+    import graft.sources.ManifestTable.ColRange
+    val root = java.nio.file.Files.createTempDirectory("mannull").toString + "/t"
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("s", org.apache.spark.sql.types.StringType)))
+    // ids 0..999 carry NULL in the bloom'd column and cluster into one file
+    // via the range repartition — that file writes NO _bloom entry, and with
+    // bloomCols but no statsCols the old sidecar-keyed universe dropped it
+    // from every pruned scan (ADVICE r12 medium: row loss, not a superset)
+    val df = (0L until 4000L).map(i =>
+      (i, if (i < 1000) null else s"k$i")).toDF("id", "s")
+      .repartitionByRange(4, col("id"))
+    ManifestTable.commit(df, root, partCol = None, bloomCols = Seq("s"))
+    // no hints: the pruned read must be the FULL table
+    assert(ManifestTable.readPruned(spark, root, schema, Nil).count() == 4000L)
+    // a range on an un-stats'd column cannot prune anything either
+    assert(ManifestTable.readPruned(spark, root, schema,
+      Seq(ColRange("id", 0L, 500L))).filter(col("id") <= 500).count() == 501L)
+    // a point probe may prune the all-NULL file (it provably lacks the key)
+    // but must still find the key's own file
+    assert(ManifestTable.readPruned(spark, root, schema, Nil,
+      points = Seq(("s", "k2345"))).filter(col("s") === "k2345").count() == 1L)
+  }
+
   test("ManifestTable time travel: historical snapshots readable until vacuum") {
     import spark.implicits._
     import graft.sources.ManifestTable
