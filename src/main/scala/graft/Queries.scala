@@ -4313,7 +4313,54 @@ object Queries {
         || CAST(o_totalprice AS VARCHAR) || ', TIMESTAMP('''
         || strftime(CAST(o_orderdate AS TIMESTAMP), '%Y-%m-%d %H:%M:%S')
         || '''))' AS stmt
-      FROM orders WHERE o_orderkey % 97 = 0"""))
+      FROM orders WHERE o_orderkey % 97 = 0""")),
+
+    // DV-backed MERGE on the ORACLE path (VERDICT r12 #1): two merge-on-read
+    // rounds against a partitioned ManifestTable — round 1 updates + inserts,
+    // round 2 updates a subset INCLUDING round-1 appends (the DV must mask
+    // appended rows too) — must equal the oracle's sequential MERGE
+    // (anti-join + union) semantics. Write cost is O(batch + matched
+    // positions) per round, never a partition rewrite; the equivalence to
+    // copy-on-write at byte level is asserted in SourcesSpec/CdcSpec.
+    ("q171_dv_merge", (s: SparkSession, d: String) => {
+      import graft.sources.ManifestTable
+      val o = t(s, d, "orders").select(col("o_orderkey"), col("o_custkey"),
+        col("o_orderstatus"), col("o_totalprice"))
+      val schema = StructType(Seq(
+        StructField("o_orderkey", LongType), StructField("o_custkey", LongType),
+        StructField("o_orderstatus", StringType), StructField("o_totalprice", DoubleType)))
+      val root = java.nio.file.Files.createTempDirectory("q171-dvm").toString + "/t"
+      ManifestTable.commit(o, root, Some("o_orderstatus"))
+      val b1 = o.filter(pmod(col("o_orderkey"), lit(37)) === 0)
+        .withColumn("o_totalprice", col("o_totalprice") * 2)
+        .unionByName(o.filter(pmod(col("o_orderkey"), lit(97)) === 0)
+          .withColumn("o_orderkey", col("o_orderkey") + lit(10000000L))
+          .withColumn("o_totalprice", col("o_totalprice") + 1))
+      ManifestTable.mergeDv(b1, root, schema, "o_orderkey", Some("o_orderstatus"))
+      val b2 = ManifestTable.read(s, root, schema)
+        .filter(pmod(col("o_orderkey"), lit(111)) === 0)
+        .withColumn("o_totalprice", col("o_totalprice") + 10)
+      ManifestTable.mergeDv(b2, root, schema, "o_orderkey", Some("o_orderstatus"))
+      ManifestTable.read(s, root, schema)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("s"),
+          sum(col("o_orderkey")).as("ok_sum"))
+    }, Some(s"""WITH t AS (SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+        FROM orders),
+      b1 AS (SELECT o_orderkey, o_custkey, o_orderstatus,
+          o_totalprice * 2 AS o_totalprice FROM t WHERE o_orderkey % 37 = 0
+        UNION ALL SELECT o_orderkey + 10000000, o_custkey, o_orderstatus,
+          o_totalprice + 1 FROM t WHERE o_orderkey % 97 = 0),
+      m1 AS (SELECT * FROM t WHERE o_orderkey NOT IN (SELECT o_orderkey FROM b1)
+        UNION ALL SELECT * FROM b1),
+      b2 AS (SELECT o_orderkey, o_custkey, o_orderstatus,
+          o_totalprice + 10 AS o_totalprice FROM m1 WHERE o_orderkey % 111 = 0),
+      m2 AS (SELECT * FROM m1 WHERE o_orderkey NOT IN (SELECT o_orderkey FROM b2)
+        UNION ALL SELECT * FROM b2)
+      SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+        ${dsumSql("o_totalprice")} AS s,
+        CAST(CAST(sum(o_orderkey) AS BIGINT) AS BIGINT) AS ok_sum
+      FROM m2 GROUP BY o_orderstatus"""))
   )
 
   /** The BM25 replay shared by q72/q123 — postings, df, dl, corpus stats,

@@ -79,16 +79,19 @@ object ManifestTable {
   def exists(spark: SparkSession, root: String): Boolean =
     currentVersion(spark, root).isDefined
 
-  /** partitionDirName → data version of the given manifest. Lines starting
-    * with `#` are directives (e.g. the [[deleteWhere]] deletion-vector
-    * pointer), not partition entries.
+  /** (partitionDirName, data version) entries of the given manifest. A
+    * partition may appear under SEVERAL data versions — a [[mergeDv]] append
+    * adds a new version alongside the partition's existing files, so the
+    * partition's content is the union of its entries (minus the deletion
+    * vector). Lines starting with `#` are directives (e.g. the
+    * [[deleteWhere]] deletion-vector pointer), not partition entries.
     */
-  private def entriesOf(fs: FileSystem, root: Path, v: Long): Map[String, Long] = {
+  private def entriesOf(fs: FileSystem, root: Path, v: Long): Seq[(String, Long)] = {
     manifestBody(fs, root, v).linesIterator
       .filter(l => l.nonEmpty && !l.startsWith("#")).map { line =>
         val Array(name, ver) = line.split("\t", 2)
         name -> ver.toLong
-      }.toMap
+      }.toSeq
   }
 
   private def manifestBody(fs: FileSystem, root: Path, v: Long): String = {
@@ -106,8 +109,8 @@ object ManifestTable {
     * manifest `v` — the one commit point every mutation shares.
     */
   private[graft] def publishManifest(fs: FileSystem, rootP: Path, v: Long,
-                                     entries: Map[String, Long], dv: Option[Long]): Unit = {
-    val body = (entries.toSeq.sortBy(_._1).map { case (n, d) => s"$n\t$d" }
+                                     entries: Seq[(String, Long)], dv: Option[Long]): Unit = {
+    val body = (entries.distinct.sorted.map { case (n, d) => s"$n\t$d" }
       ++ dv.map(d => s"#dv\t$d").toSeq).mkString("", "\n", "\n")
     val tmp = new Path(rootP, s".manifest-$v.tmp")
     val out = fs.create(tmp, true)
@@ -209,13 +212,16 @@ object ManifestTable {
         // all-invalid first batch) — an empty table, not an error
         spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
           if (needMeta) metaSchema else schema)
-      } else if (entries.keySet == Set("")) {
-        withM(spark.read.schema(schema).parquet(s"$root/v${fmt(entries(""))}"))
       } else {
+        // one relation per data version listing its live partition dirs —
+        // a partition appended to by [[mergeDv]] contributes from EVERY
+        // version its entries name, unioned here
         entries.groupBy(_._2).map { case (dataV, parts) =>
           val base = s"$root/v${fmt(dataV)}"
-          withM(spark.read.option("basePath", base).schema(schema)
-            .parquet(parts.keys.toSeq.sorted.map(p => s"$base/$p"): _*))
+          val names = parts.map(_._1).distinct.sorted
+          if (names == Seq("")) withM(spark.read.schema(schema).parquet(base))
+          else withM(spark.read.option("basePath", base).schema(schema)
+            .parquet(names.map(p => s"$base/$p"): _*))
         }.reduce(_ unionByName _)
       }
     val masked = dv match {
@@ -498,7 +504,7 @@ object ManifestTable {
     val entries = entriesOf(fs, rootP, v)
     var keptN = 0; var totalN = 0
     val plan = entries.groupBy(_._2).map { case (dv, parts) =>
-      val partDirs = parts.keys.toSeq.sorted
+      val partDirs = parts.map(_._1).distinct.sorted
       val stats = loadStats(fs, rootP, dv)
       val blooms = loadBlooms(fs, rootP, dv)
       if (stats.isEmpty && blooms.isEmpty) dv -> Left(partDirs)
@@ -726,7 +732,9 @@ object ManifestTable {
         throw new IllegalStateException(
           s"manifest table $root has no version $v on disk (vacuumed or never committed)")
     }
-    val eF = entriesOf(fs, rootP, fromV); val eT = entriesOf(fs, rootP, toV)
+    def entrySets(v: Long): Map[String, Set[Long]] =
+      entriesOf(fs, rootP, v).groupBy(_._1).map { case (p, es) => p -> es.map(_._2).toSet }
+    val eF = entrySets(fromV); val eT = entrySets(toV)
     val dF = dvOf(fs, rootP, fromV); val dT = dvOf(fs, rootP, toV)
     val changedData = (eF.keySet ++ eT.keySet).filter(p => eF.get(p) != eT.get(p))
     val dvParts: Set[String] =
@@ -865,11 +873,11 @@ object ManifestTable {
       case Some(pc) => df.write.partitionBy(pc).mode("overwrite").parquet(vdir.toString)
       case None => df.write.mode("overwrite").parquet(vdir.toString)
     }
-    val touched: Map[String, Long] = partCol match {
+    val touched: Seq[(String, Long)] = partCol match {
       case Some(_) => fs.listStatus(vdir)
         .filter(st => st.isDirectory && st.getPath.getName.contains("="))
-        .map(_.getPath.getName -> next).toMap
-      case None => Map("" -> next)
+        .map(_.getPath.getName -> next).toSeq
+      case None => Seq("" -> next)
     }
     // carry-forward merge commits keep the previous entries AND the previous
     // deletion vector (untouched partitions must keep their deleted rows
@@ -879,13 +887,83 @@ object ManifestTable {
       if (partCol.isDefined && carryForward)
         currentVersion(spark, root) // re-listed: still < next by single-writer
           .map(v => (entriesOf(fs, rootP, v), dvOf(fs, rootP, v)))
-          .getOrElse((Map.empty[String, Long], None))
-      else (Map.empty[String, Long], None)
+          .getOrElse((Seq.empty[(String, Long)], None))
+      else (Seq.empty[(String, Long)], None)
     if (statsCols.nonEmpty)
       writeStats(fs, rootP, next, harvestStats(fs, vdir, statsCols))
     if (bloomCols.nonEmpty)
       writeBlooms(fs, rootP, next, harvestBlooms(spark, fs, vdir, bloomCols))
-    publishManifest(fs, rootP, next, prev ++ touched, dvCarry)
+    // a touched partition's REWRITE supersedes all its previous entries
+    // (mergeDv appends go through their own entry math)
+    val touchedNames = touched.map(_._1).toSet
+    publishManifest(fs, rootP, next,
+      prev.filterNot(e => touchedNames.contains(e._1)) ++ touched, dvCarry)
+    next
+  }
+
+  /** MERGE with O(changed rows) write amplification — the merge-on-read
+    * composition of [[deleteWhere]] + append (Delta/Iceberg DV-backed
+    * UPDATE): the batch keys' CURRENT row positions join the deletion
+    * vector, and the batch itself lands as a fresh data version the
+    * manifest adds ALONGSIDE each touched partition's existing entries —
+    * one atomic commit, bytes written = O(batch rows + matched positions),
+    * never O(touched partitions). The copy-on-write alternative
+    * ([[graft.ops.Upsert.mergePartitionPruned]] + [[commit]]) rewrites every
+    * touched partition per batch, the engine's largest write amplification
+    * at 100 TB with hot partitions (VERDICT r12 #1).
+    *
+    * Contracts: `batch` is unique per `key` (compose with
+    * [[graft.ops.Upsert.lastWins]]); with `partCol`, partition values are
+    * immutable per key (the [[graft.cdc.Dispatch.runPartitioned]] contract)
+    * so the position scan reads only the partitions the batch touches;
+    * single-writer like every mutation here.
+    *
+    * Read cost grows with accumulated appends (more files per partition,
+    * a growing DV anti-join) — schedule [[compact]] to fold the append log
+    * back into one clean version, exactly Delta's merge-on-read + OPTIMIZE
+    * pairing. Returns the committed manifest version.
+    */
+  def mergeDv(batch: DataFrame, root: String, schema: StructType, key: String,
+              partCol: Option[String], statsCols: Seq[String] = Nil,
+              bloomCols: Seq[String] = Nil): Long = {
+    import org.apache.spark.sql.functions.{broadcast, col}
+    val spark = batch.sparkSession
+    val (fs, rootP) = fsOf(spark, root)
+    val cur = currentVersion(spark, root).getOrElse(
+      throw new IllegalStateException(
+        s"mergeDv: $root has no committed version — create the table with commit() first"))
+    val next = cur + 1
+    val vdir = new Path(rootP, "v" + fmt(next))
+    fs.delete(vdir, true)
+    partCol match {
+      case Some(pc) => batch.write.partitionBy(pc).mode("overwrite").parquet(vdir.toString)
+      case None => batch.write.mode("overwrite").parquet(vdir.toString)
+    }
+    val touched: Seq[(String, Long)] = partCol match {
+      case Some(_) => fs.listStatus(vdir)
+        .filter(st => st.isDirectory && st.getPath.getName.contains("="))
+        .map(_.getPath.getName -> next).toSeq
+      case None => Seq("" -> next)
+    }
+    // positions of the batch's keys in the current snapshot → DV delta.
+    // The scan is restricted to the touched partitions (partCol immutable
+    // per key) and the key set broadcasts: O(touched) read, O(matched) write.
+    val restrict = partCol.map(_ => touched.map(_._1).toSet)
+    val newDel = readSnapshot(spark, root, schema, cur, withMeta = true, restrict)
+      .join(broadcast(batch.select(col(key)).distinct()), Seq(key), "left_semi")
+      .select(col("__f"), col("__pos"))
+    val allDel = dvOf(fs, rootP, cur) match {
+      case Some(d) => spark.read.parquet(dvDir(root, d)).unionByName(newDel)
+      case None => newDel
+    }
+    val ddir = new Path(rootP, "d" + fmt(next))
+    fs.delete(ddir, true)
+    allDel.write.mode("overwrite").parquet(ddir.toString)
+    if (statsCols.nonEmpty)
+      writeStats(fs, rootP, next, harvestStats(fs, vdir, statsCols))
+    if (bloomCols.nonEmpty)
+      writeBlooms(fs, rootP, next, harvestBlooms(spark, fs, vdir, bloomCols))
+    publishManifest(fs, rootP, next, entriesOf(fs, rootP, cur) ++ touched, Some(next))
     next
   }
 
@@ -1000,7 +1078,7 @@ object ManifestTable {
         else Seq(st)
       }
     entries.groupBy(_._2).toSeq.sortBy(_._1).map { case (dataV, parts) =>
-      val sts = parts.keys.toSeq.flatMap { part =>
+      val sts = parts.map(_._1).distinct.flatMap { part =>
         val base = new Path(rootP, "v" + fmt(dataV))
         filesUnder(if (part.isEmpty) base else new Path(base, part))
       }
@@ -1038,7 +1116,7 @@ object ManifestTable {
       val (fs, rootP) = fsOf(spark, root)
       val floor = cur - retainVersions
       val retained = versions(spark, root).filter(_ >= floor)
-      val live = retained.flatMap(v => entriesOf(fs, rootP, v).values).toSet
+      val live = retained.flatMap(v => entriesOf(fs, rootP, v).map(_._2)).toSet
       val liveDv = retained.flatMap(v => dvOf(fs, rootP, v)).toSet
       fs.listStatus(rootP).foreach { st =>
         val n = st.getPath.getName

@@ -415,6 +415,48 @@ class CdcSpec extends SparkSuite {
     assert(new java.io.File(s"$tgt/v00000002/p=x").exists())
   }
 
+  test("merge-on-read streaming sink: O(batch) writes, same state as copy-on-write") {
+    import spark.implicits._
+    val partSchema = StructType(Seq(
+      StructField("id", StringType), StructField("p", StringType),
+      StructField("v", LongType)))
+    val dir = Files.createTempDirectory("cdc-mor-env").toFile
+    val tgt = Files.createTempDirectory("cdc-mor-tgt").toFile.getAbsolutePath + "/target"
+    val ckpt = Files.createTempDirectory("cdc-mor-ckpt").toFile.getAbsolutePath
+    // batch 1 seeds two partitions; p=y gets many rows so a rewrite would show
+    val seed = (0 until 2000).map { i =>
+      s"""{"operationType":"insert","documentKey":"y$i","fullDocument":"{\\"id\\":\\"y$i\\",\\"p\\":\\"y\\",\\"v\\":$i}","clusterTime":"2024-01-01T00:00:00.000Z"}"""
+    } :+ """{"operationType":"insert","documentKey":"a","fullDocument":"{\"id\":\"a\",\"p\":\"x\",\"v\":1}","clusterTime":"2024-01-01T00:00:01.000Z"}"""
+    Files.write(new java.io.File(dir, "b1.json").toPath,
+      seed.mkString("\n").getBytes("UTF-8"))
+    graft.cdc.Dispatch.runMergeOnRead(spark, dir.getAbsolutePath, tgt, ckpt,
+      partSchema, identity, "id", "id", "v", partCol = "p")
+      .awaitTermination(60000)
+    def dirBytes(d: String): Long = {
+      val f = new java.io.File(d)
+      if (!f.exists) 0L
+      else f.listFiles.map(x => if (x.isDirectory) dirBytes(x.getPath) else x.length).sum
+    }
+    val v1Bytes = dirBytes(s"$tgt/v00000001")
+    // batch 2: ONE update in hot partition y + one insert in x — merge-on-read
+    // must append O(2 rows), never rewrite y's 2000
+    Files.write(new java.io.File(dir, "b2.json").toPath,
+      Seq(
+        """{"operationType":"update","documentKey":"y7","fullDocument":"{\"id\":\"y7\",\"p\":\"y\",\"v\":-7}","clusterTime":"2024-01-02T00:00:00.000Z"}""",
+        """{"operationType":"insert","documentKey":"b","fullDocument":"{\"id\":\"b\",\"p\":\"x\",\"v\":2}","clusterTime":"2024-01-02T00:00:01.000Z"}"""
+      ).mkString("\n").getBytes("UTF-8"))
+    graft.cdc.Dispatch.runMergeOnRead(spark, dir.getAbsolutePath, tgt, ckpt,
+      partSchema, identity, "id", "id", "v", partCol = "p")
+      .awaitTermination(60000)
+    val written = dirBytes(s"$tgt/v00000002") + dirBytes(s"$tgt/d00000002")
+    assert(written < v1Bytes / 4, s"written=$written v1=$v1Bytes")
+    val got = graft.sources.ManifestTable.read(spark, tgt, partSchema)
+    assert(got.count() == 2002L)
+    assert(got.filter(col("id").isin("y7", "a", "b")).select("id", "v")
+      .as[(String, Long)].collect().toSet ==
+      Set(("y7", -7L), ("a", 1L), ("b", 2L)))
+  }
+
   test("CDC commits publish zone maps: point-lookup range prunes the target's files") {
     import spark.implicits._
     val partSchema = StructType(Seq(

@@ -113,10 +113,14 @@ class CheckpointsSpec extends SparkSuite {
 
   test("sweep drops whatever a consumed query left persisted") {
     import spark.implicits._
+    // baseline-RELATIVE, not absolute zero: a prior suite in the shared JVM
+    // may hold deliberate persist() caches that sweep preserves by design
     val before = baseline()
     val ck = (1L to 5L).toDF("x").localCheckpoint()
     assert(ck.count() == 5 && persisted == before + 1)
     Checkpoints.sweep(spark)
-    assert(persisted == 0)
+    assert(persisted == before)
+    assert(spark.sparkContext.getPersistentRDDs.valuesIterator
+      .forall(!org.apache.spark.rdd.GraftRddAccess.isLocallyCheckpointed(_)))
   }
 }

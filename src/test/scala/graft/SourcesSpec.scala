@@ -695,6 +695,68 @@ class SourcesSpec extends SparkSuite {
       (3L, "bronze", 2L, None, true)))
   }
 
+  test("ManifestTable.mergeDv: merge-on-read equals copy-on-write; bytes written scale with batch") {
+    import spark.implicits._
+    import graft.sources.ManifestTable
+    val root = java.nio.file.Files.createTempDirectory("mandv").toString + "/t"
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("p", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("v", org.apache.spark.sql.types.LongType)))
+    // 40k rows across 4 partitions; the batch touches 20 keys in ONE partition
+    val base = (0L until 40000L).map(i => (i, s"p${i % 4}", i * 10L)).toDF("id", "p", "v")
+    ManifestTable.commit(base, root, Some("p"))
+    def dirBytes(d: String): Long = {
+      val f = new java.io.File(d)
+      if (!f.exists) 0L
+      else f.listFiles.map(x => if (x.isDirectory) dirBytes(x.getPath) else x.length).sum
+    }
+    val v1Bytes = dirBytes(s"$root/v00000001")
+    val batch = (0L until 20L).map(i => (i * 4, "p0", -1L)).toDF("id", "p", "v")
+      .unionByName(Seq((90001L, "p0", 7L)).toDF("id", "p", "v")) // one insert
+    ManifestTable.mergeDv(batch, root, schema, "id", Some("p"))
+    // write amplification: the commit wrote the batch + matched positions,
+    // NOT a rewrite of partition p0 (10k rows) — orders of magnitude smaller
+    val written = dirBytes(s"$root/v00000002") + dirBytes(s"$root/d00000002")
+    assert(written < v1Bytes / 20, s"written=$written v1=$v1Bytes")
+    // result equals the copy-on-write merge
+    val expect = graft.ops.Upsert.mergeUnique(base, batch, "id")
+      .as[(Long, String, Long)].collect().toSet
+    val got = ManifestTable.read(spark, root, schema)
+      .as[(Long, String, Long)].collect().toSet
+    assert(got == expect)
+    // untouched partitions' files were not rewritten: v2 holds only p0
+    assert(!new java.io.File(s"$root/v00000002/p=p1").exists())
+    assert(new java.io.File(s"$root/v00000002/p=p0").exists())
+    // a second round updates an APPENDED row (DV must mask the v2 copy too)
+    val batch2 = Seq((0L, "p0", -2L), (90001L, "p0", 8L)).toDF("id", "p", "v")
+    ManifestTable.mergeDv(batch2, root, schema, "id", Some("p"))
+    val expect2 = graft.ops.Upsert.mergeUnique(
+      graft.ops.Upsert.mergeUnique(base, batch, "id"), batch2, "id")
+      .as[(Long, String, Long)].collect().toSet
+    assert(ManifestTable.read(spark, root, schema)
+      .as[(Long, String, Long)].collect().toSet == expect2)
+    // time travel: pre-merge and mid-merge snapshots intact
+    assert(ManifestTable.read(spark, root, schema, asOfVersion = Some(1L))
+      .filter(col("id") === 0L).as[(Long, String, Long)].collect().toSeq ==
+      Seq((0L, "p0", 0L)))
+    assert(ManifestTable.read(spark, root, schema, asOfVersion = Some(2L))
+      .filter(col("id") === 0L).as[(Long, String, Long)].collect().toSeq ==
+      Seq((0L, "p0", -1L)))
+    // change feed across the DV-merge commit classifies correctly
+    val ch = ManifestTable.changes(spark, root, schema, "id", 2L, 3L)
+      .as[(String, Long, String, Long)].collect().toSet
+    assert(ch == Set(("update_preimage", 0L, "p0", -1L),
+      ("update_postimage", 0L, "p0", -2L),
+      ("update_preimage", 90001L, "p0", 7L),
+      ("update_postimage", 90001L, "p0", 8L)))
+    // compact folds the append log into one clean version, same rows
+    ManifestTable.compact(spark, root, schema, Some("p"))
+    assert(ManifestTable.read(spark, root, schema)
+      .as[(Long, String, Long)].collect().toSet == expect2)
+    assert(ManifestTable.deletedRowCount(spark, root) == 0L)
+  }
+
   test("ManifestTable: a commit colliding with an already-published version fails loudly") {
     import spark.implicits._
     import graft.sources.ManifestTable
@@ -712,7 +774,7 @@ class SourcesSpec extends SparkSuite {
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val e = intercept[IllegalStateException](
       ManifestTable.publishManifest(fs, new org.apache.hadoop.fs.Path(root),
-        2L, Map("" -> 2L), None))
+        2L, Seq("" -> 2L), None))
     assert(e.getMessage.contains("commit collision"))
     // the winner's manifest is intact (not clobbered by the loser's rename)
     assert(ManifestTable.currentVersion(spark, root).contains(2L))
