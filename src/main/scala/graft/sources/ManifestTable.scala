@@ -118,19 +118,150 @@ object ManifestTable {
     val dst = new Path(rootP, ManifestPrefix + fmt(v))
     // lost-update detection: a second writer that resolved the same base
     // version targets the SAME manifest number — POSIX rename would clobber
-    // the winner SILENTLY (File.renameTo replaces dst), so check first and
-    // fail the loser loudly. The check-then-rename is not a mutex (true
-    // exclusion needs HDFS's no-overwrite rename or an object store's
-    // conditional put — documented single-writer contract); it turns the
-    // realistic sequential lost-update into a hard error instead of silent
-    // data loss.
-    if (fs.exists(dst))
-      throw new IllegalStateException(
-        s"commit collision: $dst already exists — another writer committed version $v " +
-          "from the same base (single-writer contract violated); this commit is abandoned, " +
-          s"its data version dir is orphaned and reclaimed by the next vacuum")
-    require(fs.rename(tmp, dst),
-      s"manifest commit rename $tmp -> $dst failed — table stays at the previous version")
+    // the winner SILENTLY (File.renameTo replaces dst), so the publish must
+    // be create-EXCLUSIVE. On a local FS that is a hard-link creation
+    // (link(2) fails atomically with EEXIST — a true mutex, no
+    // check-then-rename window); elsewhere we fall back to exists+rename,
+    // which HDFS makes safe (its rename refuses an existing dst) and object
+    // stores would replace with a conditional put (documented tradeoff).
+    def collision() = new IllegalStateException(
+      s"commit collision: $dst already exists — another writer committed version $v " +
+        "from the same base; this commit attempt is abandoned (its data version dir is " +
+        "orphaned and reclaimed by the next vacuum) unless the caller retries optimistically")
+    if (fs.getScheme == "file") {
+      val t = java.nio.file.Paths.get(fs.makeQualified(tmp).toUri.getPath)
+      val d = java.nio.file.Paths.get(fs.makeQualified(dst).toUri.getPath)
+      try {
+        java.nio.file.Files.createLink(d, t)
+        java.nio.file.Files.delete(t)
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException => throw collision()
+      }
+    } else {
+      if (fs.exists(dst)) throw collision()
+      require(fs.rename(tmp, dst),
+        s"manifest commit rename $tmp -> $dst failed — table stays at the previous version")
+    }
+  }
+
+  /** Max optimistic-retry attempts for a colliding carry-forward merge
+    * commit before giving up.
+    */
+  private val CommitRetries = 3
+
+  private def entrySetsOf(entries: Seq[(String, Long)]): Map[String, Set[Long]] =
+    entries.groupBy(_._1).map { case (p, es) => p -> es.map(_._2).toSet }
+
+  /** Optimistic-concurrency publish of a STAGED commit (the Delta commit-
+    * retry protocol, adapted to numbered data dirs): the data is already
+    * written under a unique `.stage-*` name, so writers never contend on
+    * data I/O — only the short claim+publish tail is raced. Per attempt:
+    * claim `v<myNext>` (rename stage → vdir), drop the sidecars, publish
+    * the manifest create-exclusively. On a collision, re-resolve the
+    * winner's manifest and check for CONFLICT — a winner whose commit
+    * changed any of THIS commit's touched partitions means both writers
+    * merged the same partition from the same base snapshot, so one update
+    * set would be silently lost; that aborts loudly (`commit conflict`).
+    * Otherwise the commits COMMUTE: slide the claimed data dir + sidecars
+    * to the next free number, recompute the carry-forward entries (and DV
+    * pointer) against the winner's manifest, and re-publish. Disjoint-
+    * partition writers therefore ALL land, in either order; with
+    * `retryable = false` (snapshot commits — whole-table replaces never
+    * commute) any collision fails loudly.
+    *
+    * `appendEntries = true` ([[mergeDv]]) ADDS the touched entries to the
+    * carried set instead of superseding them.
+    *
+    * An OCCUPIED unpublished `v<myNext>` is either a crashed writer's
+    * orphan (reclaimed, so crash-replay converges without a vacuum pass)
+    * or a concurrent writer inside its own claim→publish tail; the grace
+    * re-checks distinguish them — that tail is a few metadata ops, so a
+    * live writer's manifest appears within the 1 s wait and this writer
+    * slides instead. A writer PAUSED longer than the grace inside the tail
+    * could still be clobbered: the residual window of numbered data dirs
+    * (content-addressed file names à la Delta would close it at the cost
+    * of a file-level manifest).
+    */
+  private[graft] def publishStaged(
+      spark: SparkSession, root: String, stage: Path, baseV: Option[Long],
+      baseEntries: Seq[(String, Long)], touchedNames: Seq[String],
+      dvCarry0: Option[Long], stats: Seq[(String, String, ColZone)],
+      blooms: Seq[(String, String, Array[Long])], retryable: Boolean,
+      appendEntries: Boolean = false): Long = {
+    val (fs, rootP) = fsOf(spark, root)
+    val baseSets = entrySetsOf(baseEntries)
+    var myNext = baseV.map(_ + 1).getOrElse(1L)
+    var prev = baseEntries
+    var dvCarry = dvCarry0
+    var attempt = 0
+    var committed = -1L
+    // rebase on the winner's manifest, or abort on budget/conflict/non-retryable
+    def reResolve(cause: IllegalStateException): Unit = {
+      attempt += 1
+      if (attempt > CommitRetries || !retryable) throw cause
+      val newCur = currentVersion(spark, root).filter(_ >= myNext).getOrElse(throw cause)
+      val newEntries = entriesOf(fs, rootP, newCur)
+      val newSets = entrySetsOf(newEntries)
+      val overlap = touchedNames.filter(p => baseSets.get(p) != newSets.get(p))
+      if (overlap.nonEmpty)
+        throw new IllegalStateException(
+          "commit conflict: a concurrent writer touched partition(s) " +
+            s"${overlap.sorted.mkString(", ")} this commit also rewrites (both " +
+            "merged from the same base snapshot, one update set would be lost) — " +
+            "re-run the merge against the current snapshot", cause)
+      prev = newEntries
+      dvCarry = dvOf(fs, rootP, newCur)
+      myNext = newCur + 1
+    }
+    // the version number our data dir currently sits at (None: still staged)
+    var dirAt: Option[Long] = None
+    def srcDir: Path = dirAt.map(v => new Path(rootP, "v" + fmt(v))).getOrElse(stage)
+    while (committed < 0) {
+      val vdir = new Path(rootP, "v" + fmt(myNext))
+      val claimed =
+        if (dirAt.contains(myNext)) true
+        else if (!fs.exists(vdir)) fs.rename(srcDir, vdir)
+        else if (fs.exists(new Path(rootP, ManifestPrefix + fmt(myNext)))) false
+        else {
+          // unpublished occupied dir: grace-wait for an in-flight writer's
+          // manifest; none appearing means a crashed orphan — reclaim it
+          val published = (0 until 4).exists { _ =>
+            Thread.sleep(250)
+            fs.exists(new Path(rootP, ManifestPrefix + fmt(myNext)))
+          }
+          if (!published) { fs.delete(vdir, true); fs.rename(srcDir, vdir) }
+          else false
+        }
+      if (!claimed) {
+        reResolve(new IllegalStateException(
+          s"commit collision: version $myNext is claimed by another committed writer"))
+      } else {
+        dirAt = Some(myNext)
+        if (stats.nonEmpty) writeStats(fs, rootP, myNext, stats)
+        if (blooms.nonEmpty) writeBlooms(fs, rootP, myNext, blooms)
+        try {
+          val touched = touchedNames.map(_ -> myNext)
+          val entries =
+            if (appendEntries) prev ++ touched
+            else prev.filterNot(e => touchedNames.contains(e._1)) ++ touched
+          publishManifest(fs, rootP, myNext, entries, dvCarry)
+          committed = myNext
+        } catch {
+          case e: IllegalStateException if e.getMessage.startsWith("commit collision") =>
+            // another writer published this number WITHOUT claiming its data
+            // dir (e.g. a DV-only deleteWhere commit). Rebase; our sidecars
+            // at the lost number are stale — drop them (that committer's
+            // paths never wrote sidecars, so nothing live is deleted); the
+            // data dir itself slides on the next claim pass via dirAt.
+            val before = myNext
+            reResolve(e)
+            Seq(StatsPrefix, BloomPrefix).foreach { pfx =>
+              fs.delete(new Path(rootP, pfx + fmt(before)), false)
+            }
+        }
+      }
+    }
+    committed
   }
 
   /** Committed manifest versions still on disk, ascending — the time-travel
@@ -841,10 +972,19 @@ object ManifestTable {
     * partitions carry forward from the previous manifest untouched on disk.
     * `None`: `df` is a whole-table snapshot. Returns the committed version.
     *
-    * Leftovers of a crashed previous attempt at the SAME version number
-    * (data dir without a manifest) are deleted and rewritten — the replay
-    * converges because the version only becomes visible at the final
-    * rename.
+    * The data is written under a unique `.stage-*` dir and claimed into its
+    * version number only at publish time ([[publishStaged]]), so writers
+    * never contend on data I/O; a crashed attempt leaves an orphan stage or
+    * an unpublished claimed dir, both reclaimed (by [[vacuum]] and the next
+    * writer's claim pass respectively) — the replay converges because a
+    * version only becomes visible at the manifest publish.
+    *
+    * CONCURRENCY: carry-forward partitioned merge commits retry
+    * optimistically on collision — writers touching DISJOINT partitions all
+    * land in either order; overlapping writers raise `commit conflict`
+    * (re-run the merge on the current snapshot). Snapshot commits
+    * (`partCol = None` or `carryForward = false`) never commute and fail
+    * loudly on any collision.
     *
     * `carryForward = false` publishes a manifest referencing ONLY this
     * version's partitions (a full-snapshot rewrite — the [[compact]]
@@ -866,39 +1006,39 @@ object ManifestTable {
              bloomCols: Seq[String] = Nil): Long = {
     val spark = df.sparkSession
     val (fs, rootP) = fsOf(spark, root)
-    val next = currentVersion(spark, root).map(_ + 1).getOrElse(1L)
-    val vdir = new Path(rootP, "v" + fmt(next))
-    fs.delete(vdir, true)
+    val stage = new Path(rootP,
+      ".stage-" + java.util.UUID.randomUUID().toString.take(12))
     partCol match {
-      case Some(pc) => df.write.partitionBy(pc).mode("overwrite").parquet(vdir.toString)
-      case None => df.write.mode("overwrite").parquet(vdir.toString)
+      case Some(pc) => df.write.partitionBy(pc).mode("overwrite").parquet(stage.toString)
+      case None => df.write.mode("overwrite").parquet(stage.toString)
     }
-    val touched: Seq[(String, Long)] = partCol match {
-      case Some(_) => fs.listStatus(vdir)
+    val touchedNames: Seq[String] = partCol match {
+      case Some(_) => fs.listStatus(stage)
         .filter(st => st.isDirectory && st.getPath.getName.contains("="))
-        .map(_.getPath.getName -> next).toSeq
-      case None => Seq("" -> next)
+        .map(_.getPath.getName).toSeq
+      case None => Seq("")
     }
+    // sidecars harvest from the STAGE (rel paths are version-agnostic) and
+    // are dropped next to whatever number the claim lands on
+    val stats =
+      if (statsCols.nonEmpty) harvestStats(fs, stage, statsCols) else Nil
+    val blooms =
+      if (bloomCols.nonEmpty) harvestBlooms(spark, fs, stage, bloomCols) else Nil
     // carry-forward merge commits keep the previous entries AND the previous
     // deletion vector (untouched partitions must keep their deleted rows
     // masked); snapshot/compact commits (carryForward=false or partCol=None)
-    // replace the table wholesale, so the DV pointer drops with the entries
+    // replace the table wholesale, so the DV pointer drops with the entries.
+    // A touched partition's rewrite supersedes all its previous entries
+    // (publishStaged's appendEntries=false; mergeDv appends instead).
+    val base = currentVersion(spark, root)
+    val retryable = partCol.isDefined && carryForward
     val (prev, dvCarry) =
-      if (partCol.isDefined && carryForward)
-        currentVersion(spark, root) // re-listed: still < next by single-writer
-          .map(v => (entriesOf(fs, rootP, v), dvOf(fs, rootP, v)))
+      if (retryable)
+        base.map(v => (entriesOf(fs, rootP, v), dvOf(fs, rootP, v)))
           .getOrElse((Seq.empty[(String, Long)], None))
       else (Seq.empty[(String, Long)], None)
-    if (statsCols.nonEmpty)
-      writeStats(fs, rootP, next, harvestStats(fs, vdir, statsCols))
-    if (bloomCols.nonEmpty)
-      writeBlooms(fs, rootP, next, harvestBlooms(spark, fs, vdir, bloomCols))
-    // a touched partition's REWRITE supersedes all its previous entries
-    // (mergeDv appends go through their own entry math)
-    val touchedNames = touched.map(_._1).toSet
-    publishManifest(fs, rootP, next,
-      prev.filterNot(e => touchedNames.contains(e._1)) ++ touched, dvCarry)
-    next
+    publishStaged(spark, root, stage, base, prev, touchedNames, dvCarry,
+      stats, blooms, retryable = retryable)
   }
 
   /** MERGE with O(changed rows) write amplification — the merge-on-read
@@ -915,8 +1055,13 @@ object ManifestTable {
     * Contracts: `batch` is unique per `key` (compose with
     * [[graft.ops.Upsert.lastWins]]); with `partCol`, partition values are
     * immutable per key (the [[graft.cdc.Dispatch.runPartitioned]] contract)
-    * so the position scan reads only the partitions the batch touches;
-    * single-writer like every mutation here.
+    * so the position scan reads only the partitions the batch touches.
+    * SINGLE-WRITER: unlike [[commit]]'s carry-forward path, a colliding
+    * mergeDv fails loudly with no optimistic retry — its DV pointer names
+    * its OWN just-written dataset (base DV ∪ this batch's positions), and
+    * rebasing that onto a winner's changed DV would require recomputing
+    * the union, not just renumbering; run concurrent mergeDv writers
+    * through one committing driver instead.
     *
     * Read cost grows with accumulated appends (more files per partition,
     * a growing DV anti-join) — schedule [[compact]] to fold the append log
@@ -1134,6 +1279,10 @@ object ManifestTable {
           fs.delete(st.getPath, false) // bloom sidecars of reclaimed versions
         else if (n.startsWith(".manifest-") && n.endsWith(".tmp"))
           fs.delete(st.getPath, false)
+        else if (st.isDirectory && n.startsWith(".stage-"))
+          fs.delete(st.getPath, true) // crashed commits' orphaned stages —
+          // vacuum must not run concurrently with an in-flight commit
+          // (the same retention-window contract as the version floor)
       }
     }
   }

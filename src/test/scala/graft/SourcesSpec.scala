@@ -757,6 +757,68 @@ class SourcesSpec extends SparkSuite {
     assert(ManifestTable.deletedRowCount(spark, root) == 0L)
   }
 
+  test("optimistic commit retry: disjoint-partition writers both land; overlap conflicts") {
+    import spark.implicits._
+    import graft.sources.ManifestTable
+    val root = java.nio.file.Files.createTempDirectory("manocc").toString + "/t"
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("p", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("v", org.apache.spark.sql.types.LongType)))
+    ManifestTable.commit(Seq((1L, "a", 1L), (2L, "b", 2L)).toDF("id", "p", "v"),
+      root, Some("p")) // v1
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // the LOSER stages its p=b rewrite against base v1 ...
+    val stage = new org.apache.hadoop.fs.Path(root, ".stage-loser1")
+    Seq((2L, "b", 99L)).toDF("id", "p", "v")
+      .write.partitionBy("p").parquet(stage.toString)
+    // ... meanwhile the winner commits a p=a rewrite and takes v2
+    ManifestTable.commit(Seq((1L, "a", 50L)).toDF("id", "p", "v"), root, Some("p"))
+    assert(ManifestTable.currentVersion(spark, root).contains(2L))
+    // the loser's publish from the stale base must REBASE and land at v3
+    val landed = ManifestTable.publishStaged(spark, root, stage, Some(1L),
+      Seq("p=a" -> 1L, "p=b" -> 1L), Seq("p=b"), None, Nil, Nil, retryable = true)
+    assert(landed == 3L)
+    assert(ManifestTable.read(spark, root, schema)
+      .as[(Long, String, Long)].collect().toSet ==
+      Set((1L, "a", 50L), (2L, "b", 99L))) // BOTH writers' updates visible
+    // an overlapping loser (p=a also rewritten since its base) must conflict
+    val stage2 = new org.apache.hadoop.fs.Path(root, ".stage-loser2")
+    Seq((1L, "a", 77L)).toDF("id", "p", "v")
+      .write.partitionBy("p").parquet(stage2.toString)
+    val e = intercept[IllegalStateException](
+      ManifestTable.publishStaged(spark, root, stage2, Some(1L),
+        Seq("p=a" -> 1L, "p=b" -> 1L), Seq("p=a"), None, Nil, Nil, retryable = true))
+    assert(e.getMessage.contains("commit conflict"))
+    // the conflicting writer changed nothing
+    assert(ManifestTable.currentVersion(spark, root).contains(3L))
+    assert(ManifestTable.read(spark, root, schema)
+      .filter(col("p") === "a").as[(Long, String, Long)].collect().toSeq ==
+      Seq((1L, "a", 50L)))
+  }
+
+  test("commit reclaims a crashed writer's orphaned claimed dir and converges") {
+    import spark.implicits._
+    import graft.sources.ManifestTable
+    val root = java.nio.file.Files.createTempDirectory("manorph").toString + "/t"
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("p", org.apache.spark.sql.types.StringType)))
+    ManifestTable.commit(Seq((1L, "a")).toDF("id", "p"), root, Some("p")) // v1
+    // a crashed writer claimed v2 (dir present, manifest never published)
+    Seq((9L, "a")).toDF("id", "p").write.partitionBy("p").parquet(s"$root/v00000002")
+    // replay: the next commit grace-waits, reclaims the orphan, lands at v2
+    val landed = ManifestTable.commit(Seq((2L, "a")).toDF("id", "p"), root, Some("p"))
+    assert(landed == 2L)
+    assert(ManifestTable.read(spark, root, schema)
+      .as[(Long, String)].collect().toSet == Set((2L, "a")))
+    // a crashed stage dir is reclaimed by vacuum
+    Seq((8L, "a")).toDF("id", "p").write.parquet(s"$root/.stage-crashed")
+    ManifestTable.vacuum(spark, root)
+    assert(!new java.io.File(s"$root/.stage-crashed").exists())
+  }
+
   test("ManifestTable: a commit colliding with an already-published version fails loudly") {
     import spark.implicits._
     import graft.sources.ManifestTable
