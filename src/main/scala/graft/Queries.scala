@@ -4361,6 +4361,38 @@ object Queries {
         ${dsumSql("o_totalprice")} AS s,
         CAST(CAST(sum(o_orderkey) AS BIGINT) AS BIGINT) AS ok_sum
       FROM m2 GROUP BY o_orderstatus"""))
+  ) ++ Seq[(String, (SparkSession, String) => DataFrame, Option[String])](
+
+    // The SQL FRONT DOOR (VERDICT r12 #4): the q159 skipping aggregates
+    // expressed through `spark.sql` over a `graft`-format temp view — the
+    // WHERE clauses travel Spark → V1 relation PushedFilters → zone-map
+    // ranges + Bloom point probes, the pruned file set is scanned, and
+    // Spark applies the exact predicates on top. Results must equal plain
+    // filters over the source, so a wrongly-skipped file diffs here.
+    ("q172_sql_front_door", (s: SparkSession, d: String) => {
+      val cols = Seq("l_orderkey", "l_returnflag", "l_quantity", "l_extendedprice")
+      val l = t(s, d, "lineitem").select(cols.map(col): _*)
+      val root = java.nio.file.Files.createTempDirectory("q172-sql").toString + "/t"
+      l.repartitionByRange(8, col("l_orderkey"))
+        .write.format("graft").option("partitionBy", "l_returnflag")
+        .option("statsCols", "l_orderkey,l_quantity")
+        .option("bloomCols", "l_orderkey")
+        .mode("overwrite").save(root)
+      s.read.format("graft").load(root).createOrReplaceTempView("graft_lineitem")
+      s.sql(s"""
+        SELECT 'range' AS stage, count(1) AS n,
+          CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS s
+        FROM graft_lineitem WHERE l_orderkey BETWEEN 100 AND 5000
+        UNION ALL
+        SELECT 'point', count(1),
+          CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE)
+        FROM graft_lineitem WHERE l_orderkey = 1""")
+    }, Some(s"""SELECT 'range' AS stage, CAST(count(*) AS BIGINT) AS n,
+        ${dsumSql("l_extendedprice")} AS s
+      FROM lineitem WHERE l_orderkey BETWEEN 100 AND 5000
+      UNION ALL SELECT 'point', CAST(count(*) AS BIGINT),
+        ${dsumSql("l_extendedprice")}
+      FROM lineitem WHERE l_orderkey = 1"""))
   )
 
   /** The BM25 replay shared by q72/q123 — postings, df, dl, corpus stats,

@@ -1,0 +1,163 @@
+package graft.sources
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, Row, SQLContext, SaveMode, SparkSession}
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types.StructType
+
+/** SQL front door for [[ManifestTable]] (VERDICT r12 #4): registers the
+  * `graft` format so manifest tables resolve through the standard reader
+  * and `spark.sql` —
+  *
+  * {{{
+  *   spark.read.format("graft").load(root)                   // schema inferred
+  *   spark.read.format("graft").option("versionAsOf", 3)...  // time travel
+  *   df.write.format("graft").option("partitionBy", "p")
+  *     .mode("overwrite").save(root)                         // snapshot commit
+  *   spark.read.format("graft").load(root).createOrReplaceTempView("t")
+  *   spark.sql("SELECT ... FROM t WHERE k = 5")              // pruned scan
+  * }}}
+  *
+  * Built on the STABLE DataSource V1 relation API
+  * (`org.apache.spark.sql.sources`) rather than V2: V1's
+  * [[PrunedFilteredScan]] receives the pushed column set + filters and may
+  * return a SUPERSET (Spark re-applies every filter on top), which is
+  * exactly the manifest's file-skipping contract — zone maps and Bloom
+  * sidecars prune FILES, the engine's own scan applies the predicate. The
+  * V2 route needs Spark's internal parquet reader factories (private[sql])
+  * for no additional pushdown power here. Filters surface in
+  * `explain()` as the relation's `PushedFilters`, asserted in PlanSpec.
+  *
+  * Reads honor deletion vectors, multi-version partition entries, and time
+  * travel because they delegate to [[ManifestTable.read]]/`readPruned`;
+  * the relation's `buildScan` hands back the delegated plan's columnar RDD
+  * (`needConversion = false`), so no row-format re-conversion happens.
+  */
+class GraftSource extends RelationProvider with SchemaRelationProvider
+    with CreatableRelationProvider with DataSourceRegister {
+
+  override def shortName(): String = "graft"
+
+  private def root(parameters: Map[String, String]): String =
+    parameters.getOrElse("path", throw new IllegalArgumentException(
+      "graft source requires a path — spark.read.format(\"graft\").load(root)"))
+
+  override def createRelation(sqlContext: SQLContext,
+                              parameters: Map[String, String]): BaseRelation = {
+    val r = root(parameters)
+    val asOf = parameters.get("versionAsOf").map(_.toLong)
+    val schema = ManifestTable.inferSchema(sqlContext.sparkSession, r, asOf)
+    GraftRelation(sqlContext, r, schema, asOf)
+  }
+
+  override def createRelation(sqlContext: SQLContext, parameters: Map[String, String],
+                              schema: StructType): BaseRelation =
+    GraftRelation(sqlContext, root(parameters), schema,
+      parameters.get("versionAsOf").map(_.toLong))
+
+  /** Write side: `Overwrite` = snapshot commit, `Append` = blind append
+    * (commutes with any concurrent commit); `partitionBy` option names the
+    * physical partition column (Spark's own `.partitionBy` is not routed
+    * through V1 sources, hence the option). `ErrorIfExists`/`Ignore`
+    * follow their standard semantics against table existence.
+    */
+  override def createRelation(sqlContext: SQLContext, mode: SaveMode,
+                              parameters: Map[String, String], data: DataFrame): BaseRelation = {
+    val r = root(parameters)
+    val partCol = parameters.get("partitionBy")
+    val statsCols = parameters.get("statsCols").map(_.split(",").toSeq).getOrElse(Nil)
+    val bloomCols = parameters.get("bloomCols").map(_.split(",").toSeq).getOrElse(Nil)
+    val exists = ManifestTable.exists(sqlContext.sparkSession, r)
+    mode match {
+      case SaveMode.Overwrite =>
+        ManifestTable.commit(data, r, partCol, carryForward = false,
+          statsCols = statsCols, bloomCols = bloomCols)
+      case SaveMode.Append =>
+        if (exists) ManifestTable.append(data, r, partCol,
+          statsCols = statsCols, bloomCols = bloomCols)
+        else ManifestTable.commit(data, r, partCol,
+          statsCols = statsCols, bloomCols = bloomCols)
+      case SaveMode.ErrorIfExists if exists =>
+        throw new IllegalStateException(s"graft table $r already exists (ErrorIfExists)")
+      case SaveMode.ErrorIfExists =>
+        ManifestTable.commit(data, r, partCol,
+          statsCols = statsCols, bloomCols = bloomCols)
+      case SaveMode.Ignore =>
+        if (!exists) ManifestTable.commit(data, r, partCol,
+          statsCols = statsCols, bloomCols = bloomCols)
+    }
+    GraftRelation(sqlContext, r, data.schema, None)
+  }
+}
+
+/** One manifest-table snapshot as a Spark relation. Equality/range/IN
+  * filters pushed by Spark become zone-map ranges + Bloom point probes —
+  * the same hint extraction contract as [[ManifestTable.readAuto]] — and
+  * prune FILES; Spark applies the exact predicates on top (this relation
+  * deliberately claims no filter as fully handled, the correct posture for
+  * a file-skipping layer).
+  */
+final case class GraftRelation(sqlContext: SQLContext, root: String,
+                               schema: StructType, asOf: Option[Long])
+    extends BaseRelation with PrunedFilteredScan {
+
+  private def spark: SparkSession = sqlContext.sparkSession
+
+  // buildScan hands back InternalRow-backed RDDs from the delegated plan
+  override def needConversion: Boolean = false
+
+  /** V1 `Filter` → (zone ranges, bloom points). Unrecognized shapes yield
+    * no hint — an unpruned (correct, superset) scan.
+    */
+  private def hints(filters: Array[Filter]): (Seq[ManifestTable.ColRange], Seq[(String, Any)]) = {
+    import ManifestTable.ColRange
+    def pointable(v: Any): Boolean = v match {
+      case _: String | _: java.lang.Long | _: java.lang.Integer => true
+      case _ => false
+    }
+    def rangeable(v: Any): Boolean = v match {
+      case _: String | _: Number | _: java.sql.Timestamp => true
+      case _ => false
+    }
+    filters.foldLeft((Seq.empty[ColRange], Seq.empty[(String, Any)])) { case ((rs, ps), f) =>
+      f match {
+        case EqualTo(a, v) if rangeable(v) =>
+          (rs :+ ColRange(a, v, v), if (pointable(v)) ps :+ (a -> v) else ps)
+        case GreaterThan(a, v) if rangeable(v) => (rs :+ ColRange(a, v, null), ps)
+        case GreaterThanOrEqual(a, v) if rangeable(v) => (rs :+ ColRange(a, v, null), ps)
+        case LessThan(a, v) if rangeable(v) => (rs :+ ColRange(a, null, v), ps)
+        case LessThanOrEqual(a, v) if rangeable(v) => (rs :+ ColRange(a, null, v), ps)
+        case In(a, vs) if vs.nonEmpty && vs.forall(rangeable) =>
+          val sorted = vs.sortBy {
+            case n: Number => n.doubleValue()
+            case s: String => 0.0
+            case t: java.sql.Timestamp => t.getTime.toDouble
+          }
+          vs.head match {
+            case _: String =>
+              val ss = vs.collect { case s: String => s }
+              if (ss.length == vs.length) (rs :+ ColRange(a, ss.min, ss.max), ps) else (rs, ps)
+            case _ => (rs :+ ColRange(a, sorted.head, sorted.last), ps)
+          }
+        case And(l, r) =>
+          val (r1, p1) = hints(Array(l)); val (r2, p2) = hints(Array(r))
+          (rs ++ r1 ++ r2, ps ++ p1 ++ p2)
+        case _ => (rs, ps) // Or / IsNull / string ops: no hint, full universe
+      }
+    }
+  }
+
+  override def buildScan(requiredColumns: Array[String], filters: Array[Filter]): RDD[Row] = {
+    import org.apache.spark.sql.functions.col
+    val base = asOf match {
+      // historical reads skip no files (their sidecars may be vacuumed);
+      // the current snapshot prunes via the extracted hints
+      case Some(v) => ManifestTable.read(spark, root, schema, Some(v))
+      case None =>
+        val (ranges, points) = hints(filters)
+        ManifestTable.readPruned(spark, root, schema, ranges, points)
+    }
+    val pruned = base.select(requiredColumns.map(col).toIndexedSeq: _*)
+    pruned.queryExecution.toRdd.asInstanceOf[RDD[Row]]
+  }
+}

@@ -187,7 +187,7 @@ object ManifestTable {
       baseEntries: Seq[(String, Long)], touchedNames: Seq[String],
       dvCarry0: Option[Long], stats: Seq[(String, String, ColZone)],
       blooms: Seq[(String, String, Array[Long])], retryable: Boolean,
-      appendEntries: Boolean = false): Long = {
+      appendEntries: Boolean = false, blindAppend: Boolean = false): Long = {
     val (fs, rootP) = fsOf(spark, root)
     val baseSets = entrySetsOf(baseEntries)
     var myNext = baseV.map(_ + 1).getOrElse(1L)
@@ -202,7 +202,11 @@ object ManifestTable {
       val newCur = currentVersion(spark, root).filter(_ >= myNext).getOrElse(throw cause)
       val newEntries = entriesOf(fs, rootP, newCur)
       val newSets = entrySetsOf(newEntries)
-      val overlap = touchedNames.filter(p => baseSets.get(p) != newSets.get(p))
+      // a BLIND APPEND references no base state, so it commutes with ANY
+      // winner (Delta's blind-append rule) — no overlap check
+      val overlap =
+        if (blindAppend) Nil
+        else touchedNames.filter(p => baseSets.get(p) != newSets.get(p))
       if (overlap.nonEmpty)
         throw new IllegalStateException(
           "commit conflict: a concurrent writer touched partition(s) " +
@@ -1039,6 +1043,69 @@ object ManifestTable {
       else (Seq.empty[(String, Long)], None)
     publishStaged(spark, root, stage, base, prev, touchedNames, dvCarry,
       stats, blooms, retryable = retryable)
+  }
+
+  /** INSERT-only commit: `df`'s rows land as a fresh data version ADDED
+    * alongside every touched partition's existing entries — no read, no
+    * rewrite, bytes written = O(batch). A blind append references no base
+    * state, so it commutes with ANY concurrent commit (the Delta
+    * blind-append rule): collisions always rebase-and-retry, never
+    * conflict. The caller owns key uniqueness (appending an existing key
+    * duplicates it — use [[mergeDv]] for upserts).
+    */
+  def append(df: DataFrame, root: String, partCol: Option[String],
+             statsCols: Seq[String] = Nil,
+             bloomCols: Seq[String] = Nil): Long = {
+    val spark = df.sparkSession
+    val (fs, rootP) = fsOf(spark, root)
+    val stage = new Path(rootP,
+      ".stage-" + java.util.UUID.randomUUID().toString.take(12))
+    partCol match {
+      case Some(pc) => df.write.partitionBy(pc).mode("overwrite").parquet(stage.toString)
+      case None => df.write.mode("overwrite").parquet(stage.toString)
+    }
+    val touchedNames: Seq[String] = partCol match {
+      case Some(_) => fs.listStatus(stage)
+        .filter(st => st.isDirectory && st.getPath.getName.contains("="))
+        .map(_.getPath.getName).toSeq
+      case None => Seq("")
+    }
+    val stats =
+      if (statsCols.nonEmpty) harvestStats(fs, stage, statsCols) else Nil
+    val blooms =
+      if (bloomCols.nonEmpty) harvestBlooms(spark, fs, stage, bloomCols) else Nil
+    val base = currentVersion(spark, root)
+    val (prev, dvCarry) = base
+      .map(v => (entriesOf(fs, rootP, v), dvOf(fs, rootP, v)))
+      .getOrElse((Seq.empty[(String, Long)], None))
+    publishStaged(spark, root, stage, base, prev, touchedNames, dvCarry,
+      stats, blooms, retryable = true, appendEntries = true, blindAppend = true)
+  }
+
+  /** Schema of the current (or `asOfVersion`) snapshot, inferred from the
+    * live data versions' parquet footers (merged across versions, so an
+    * additively-evolved table reports the union) plus the hive-style
+    * partition column — the schema-less front-door load path
+    * ([[GraftSource]]).
+    */
+  def inferSchema(spark: SparkSession, root: String,
+                  asOfVersion: Option[Long] = None): StructType = {
+    val (fs, rootP) = fsOf(spark, root)
+    val v = asOfVersion.orElse(currentVersion(spark, root)).getOrElse(
+      throw new IllegalStateException(s"manifest table $root has no committed version"))
+    val entries = entriesOf(fs, rootP, v)
+    require(entries.nonEmpty, s"manifest table $root version $v holds no partitions")
+    entries.groupBy(_._2).map { case (dataV, parts) =>
+      val base = s"$root/v${fmt(dataV)}"
+      val names = parts.map(_._1).distinct.sorted
+      val rel =
+        if (names == Seq("")) spark.read.option("mergeSchema", "true").parquet(base)
+        else spark.read.option("mergeSchema", "true").option("basePath", base)
+          .parquet(names.map(p => s"$base/$p"): _*)
+      rel.schema
+    }.reduce { (a, b) =>
+      StructType(a.fields ++ b.fields.filterNot(f => a.fieldNames.contains(f.name)))
+    }
   }
 
   /** MERGE with O(changed rows) write amplification — the merge-on-read

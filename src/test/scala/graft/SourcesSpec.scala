@@ -757,6 +757,49 @@ class SourcesSpec extends SparkSuite {
     assert(ManifestTable.deletedRowCount(spark, root) == 0L)
   }
 
+  test("graft format: SQL front door reads/writes manifest tables with pushdown + time travel") {
+    import spark.implicits._
+    import graft.sources.ManifestTable
+    val root = java.nio.file.Files.createTempDirectory("mansql").toString + "/t"
+    // snapshot write through the format, partitioned + zone-mapped
+    val df1 = (0L until 8000L).map(i => (i, s"p${i % 4}", i * 3L)).toDF("id", "p", "v")
+      .repartitionByRange(8, col("id"))
+    df1.write.format("graft").option("partitionBy", "p")
+      .option("statsCols", "id").mode("overwrite").save(root)
+    // blind append through the format
+    val df2 = Seq((90000L, "p1", 1L)).toDF("id", "p", "v")
+    df2.write.format("graft").mode("append").option("partitionBy", "p").save(root)
+    // schema-less load infers (data + partition column) and reads both versions
+    val loaded = spark.read.format("graft").load(root)
+    assert(loaded.schema.fieldNames.toSet == Set("id", "p", "v"))
+    assert(loaded.count() == 8001L)
+    // spark.sql over a temp view; filter lands in the relation's PushedFilters
+    loaded.createOrReplaceTempView("graft_t")
+    val q = spark.sql("SELECT count(*) AS n, sum(v) AS s FROM graft_t WHERE id BETWEEN 100 AND 200")
+    val p = q.queryExecution.executedPlan.toString
+    assert(p.contains("PushedFilters"), p)
+    assert(p.contains("GreaterThanOrEqual(id,100)"), p)
+    assert(q.as[(Long, Long)].collect().toSeq ==
+      Seq((101L, (100L to 200L).map(_ * 3).sum)))
+    // the pushed range actually SKIPS files (8 range-split files per version)
+    val (kept, total) = ManifestTable.pruneCounts(spark, root,
+      Seq(ManifestTable.ColRange("id", 100L, 200L)))
+    assert(kept < total, s"kept=$kept total=$total")
+    // time travel through the option
+    assert(spark.read.format("graft").option("versionAsOf", "1").load(root)
+      .count() == 8000L)
+    // deletes are honored through the front door
+    ManifestTable.deleteWhere(spark, root,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("p", org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("v", org.apache.spark.sql.types.LongType))),
+      col("id") < 1000L)
+    assert(spark.read.format("graft").load(root).count() == 7001L)
+    // zero-column scans (count(*) after analysis prunes all columns) work
+    assert(spark.sql("SELECT count(*) FROM graft_t WHERE p = 'p1'").first().getLong(0) > 0)
+  }
+
   test("optimistic commit retry: disjoint-partition writers both land; overlap conflicts") {
     import spark.implicits._
     import graft.sources.ManifestTable
