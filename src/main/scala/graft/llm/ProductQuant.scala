@@ -380,8 +380,12 @@ object ProductQuant {
     val d = m * dims
     val frac = trainFrac
     val sample = trainRel
+    // cell assignments feed the residual relation AND the final code join —
+    // materialize ONCE (2 longs per row, tiny at any scale) instead of
+    // re-running the coarse encode window per consumer (VERDICT r12 #3:
+    // the fixture-scale lineage re-evaluation was q122's whole overhead)
     val cells = encode(corpus, coarse, 1, d, vecId)
-      .select(col(vecId), col("code").as("cell"))
+      .select(col(vecId), col("code").as("cell")).localCheckpoint()
     val cvRel = coarse.select(col("cid").as("cell"), col("cv").as("cellv"))
 
     def residOf(src: DataFrame, cellRel: DataFrame): DataFrame =
@@ -389,7 +393,13 @@ object ProductQuant {
         .join(cellRel, Seq(vecId)).join(broadcast(cvRel), Seq("cell"))
         .select(col(vecId), col("cell"),
           zip_with(col("v"), col("cellv"), (a, b) => a - b).as("embedding"))
-    val resid = residOf(corpus, cells)
+    // UNSAMPLED training (small corpora / fixtures) scans the residuals
+    // once per Lloyd round — materialize them; the sampled scale path
+    // trains off residSample and scans resid exactly once (encode), so a
+    // corpus-wide residual copy would be pure waste there
+    val resid =
+      if (sample.isEmpty && frac >= 1.0) residOf(corpus, cells).localCheckpoint()
+      else residOf(corpus, cells)
     // the sample's residuals re-materialize (they are what the Lloyd rounds
     // scan), but off the checkpointed sample — never a second corpus pass
     val residSample = sample.map { tr =>
