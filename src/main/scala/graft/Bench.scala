@@ -192,24 +192,33 @@ object Bench {
     val streaming = benchStreaming(spark)
     val json = emit(done.toSeq, streaming, partial = false, requeued.toSeq)
     println(json)
-    // COMPACT timings line, printed LAST (VERDICT r11 #6): the round
-    // artifact is a ~2000-char stdout TAIL, and the full per-query dict
-    // stopped fitting around 110 queries — r11 preserved only 59 of 129
-    // timings in-repo. Keyed by NUMERIC query id (names are recoverable
-    // from SparkEntry.queries: ids are unique by construction) and rounded
-    // to ms, the whole suite fits in ~1300 chars, so the tail capture
-    // always carries every number plus the headline.
+    // COMPACT timings line, printed LAST (VERDICT r11 #6, r12 #2): the
+    // round artifact is a ~2000-char stdout TAIL. The id-KEYED map stopped
+    // fitting around 170 queries (BENCH_r12 clipped q01-q11 mid-map), so
+    // the timings ride as an id-INDEXED array — `t_by_id[i]` is query
+    // id i+1's min seconds (-1 failed, null not run; names recover from
+    // SparkEntry.queries, whose numeric ids are unique by construction).
+    // ~6 chars per query keeps the whole suite + headline near 1.2k chars.
+    // Locale-pinned formatting: a comma-decimal JVM locale would emit
+    // invalid JSON through f"" (CLAUDE.md lesson).
+    def num(v: Double, digits: Int = 3): String =
+      String.format(java.util.Locale.ROOT, s"%.${digits}f", Double.box(v))
     val total = done.map(_._2).filter(_ >= 0).sum
     val compact = {
-      val t = done.map { case (name, v, _, _) =>
-        val id = """\d+""".r.findFirstIn(name).getOrElse(name)
-        "\"" + id + "\":" + (if (v < 0) "-1" else f"$v%.3f")
-      }.mkString("{", ",", "}")
+      val byId = done.flatMap { case (name, v, _, _) =>
+        """\d+""".r.findFirstIn(name).map(_.toInt -> v)
+      }.toMap
+      val maxId = if (byId.isEmpty) 0 else byId.keys.max
+      val t = (1 to maxId).map(i => byId.get(i) match {
+        case Some(v) if v >= 0 => num(v)
+        case Some(_) => "-1"
+        case None => "null"
+      }).mkString("[", ",", "]")
       val failed = done.filter(_._2 < 0).map("\"" + _._1 + "\"")
-      s"""{"compact_timings":$t,""" +
+      s"""{"t_by_id":$t,""" +
         s""""failed":${failed.mkString("[", ",", "]")},""" +
         s""""completed":${done.size},"total_queries":${ordered.size},""" +
-        f""""total_sec":$total%.3f,"sf":"$sfDir"}"""
+        s""""total_sec":${num(total)},"sf":"$sfDir"}"""
     }
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(outFile + ".compact"), compact + "\n")

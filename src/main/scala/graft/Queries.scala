@@ -4311,7 +4311,7 @@ object Queries {
         || CAST(o_orderkey AS VARCHAR) || ', '''
         || replace(o_orderstatus, '''', '''''') || ''', '
         || CAST(o_totalprice AS VARCHAR) || ', TIMESTAMP('''
-        || strftime(CAST(o_orderdate AS TIMESTAMP), '%Y-%m-%d %H:%M:%S')
+        || strftime(CAST(o_orderdate AS TIMESTAMP), '%Y-%m-%d %H:%M:%S.%f')
         || '''))' AS stmt
       FROM orders WHERE o_orderkey % 97 = 0""")),
 

@@ -157,9 +157,20 @@ object Dispatch {
       """\{\s*"\$number(?:Long|Int)"\s*:\s*"(-?\d+)"\s*\}""", "$1")
     // mongoexport full-document dumps also carry Decimal128/double wrappers
     // (the [[graft.sources.Sources.mongoExportFile]] path); emitted BARE so
-    // from_json parses them under whatever numeric type the schema declares
-    regexp_replace(d4,
-      """\{\s*"\$number(?:Decimal|Double)"\s*:\s*"(-?[0-9][0-9.eE+-]*)"\s*\}""", "$1")
+    // from_json parses them under whatever numeric type the schema declares.
+    // Leading-dot decimals get their zero restored (Jackson rejects a bare
+    // `.5`); NaN/±Infinity pass bare — Spark's JSON reader accepts them by
+    // default (allowNonNumericNumbers) for floating schemas (ADVICE r12:
+    // both forms previously kept their wrapper and nulled the whole doc)
+    val d5a = regexp_replace(d4,
+      """\{\s*"\$number(?:Decimal|Double)"\s*:\s*"-\.([0-9][0-9.eE+-]*)"\s*\}""",
+      "-0.$1")
+    val d5 = regexp_replace(d5a,
+      """\{\s*"\$number(?:Decimal|Double)"\s*:\s*"\.([0-9][0-9.eE+-]*)"\s*\}""",
+      "0.$1")
+    regexp_replace(d5,
+      """\{\s*"\$number(?:Decimal|Double)"\s*:\s*"(-?(?:[0-9][0-9.eE+-]*|NaN|Infinity))"\s*\}""",
+      "$1")
   }
 
   /** Promote-time parse of a [[stripExtended]]-decoded date STRING: epoch
@@ -347,6 +358,51 @@ object Dispatch {
             ManifestTable.compact(spark, targetPath, schema, Some(partCol),
               statsCols = statsCols)
           ManifestTable.vacuum(spark, targetPath, retainVersions = 1)
+        }
+        ()
+      }
+      .start()
+  }
+
+  /** The reference's EXACT flagship loop end-to-end (reference:
+    * src/process_insert_update_weather_data.py:166-187): change stream →
+    * per-key exists-probe → INSERT for new keys / keyed UPDATE for existing
+    * ones — restated as one micro-batch: dedupe to last-wins per key,
+    * split against ONE snapshot of the warehouse's key column (pruned JDBC
+    * read, localCheckpointed so the insert leg landing cannot reclassify
+    * the update leg mid-batch), render typed-literal DML inside the scan,
+    * and execute over JDBC with per-statement failure isolation — failed
+    * statements dead-letter as errors-as-data instead of aborting the
+    * batch (the reference fail-stops; S13/ST6 discipline applied to its
+    * own write surface). At-least-once under replay like the reference:
+    * keyed UPDATEs are idempotent, re-INSERTs of a landed key fail into
+    * the dead letter, which doubles as the replay audit trail.
+    */
+  def runDml(spark: SparkSession, envelopeDir: String, checkpoint: String,
+             docSchema: StructType, promote: DataFrame => DataFrame,
+             rawKey: String, mergeKey: String, tieCol: String,
+             url: String, driver: String, table: String,
+             deadLetterPath: String,
+             trigger: Trigger = Trigger.AvailableNow(),
+             runTs: java.sql.Timestamp =
+               new java.sql.Timestamp(System.currentTimeMillis())): StreamingQuery = {
+    import graft.sources.Sinks
+    fileCdcSource(spark, envelopeDir).writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val deduped = promote(upsertLeg(batch, docSchema, rawKey, tieCol))
+          .localCheckpoint()
+        val existing = spark.read.format("jdbc")
+          .option("url", url).option("dbtable", table).option("driver", driver)
+          .load().select(col(mergeKey)).localCheckpoint()
+        val inserts = deduped.join(existing, Seq(mergeKey), "left_anti")
+        val updates = deduped.join(existing, Seq(mergeKey), "left_semi")
+        Seq(Sinks.renderInserts(inserts, table),
+            Sinks.renderUpdates(updates, table, mergeKey)).foreach { stmts =>
+          val (_, failures) = Sinks.executeDmlAudited(stmts, url, driver)
+          if (!failures.isEmpty)
+            Sinks.deadLetter(failures, deadLetterPath, runTs)
         }
         ()
       }

@@ -840,10 +840,15 @@ object ManifestTable {
   }
 
   /** CHANGE DATA FEED between two committed manifests — the incremental-
-    * consumer contract (Delta CDF / Iceberg changelog): every row-level
-    * change from `fromV` to `toV` tagged `insert` / `delete` /
-    * `update_preimage` / `update_postimage`, with I/O proportional to the
-    * CHANGED partitions, never the table. The manifest already records
+    * consumer contract: the NET row-level difference between the `fromV`
+    * and `toV` snapshots, tagged `insert` / `delete` / `update_preimage` /
+    * `update_postimage`, with I/O proportional to the CHANGED partitions,
+    * never the table. NET means intermediate commits collapse (a key
+    * inserted then deleted inside the range emits nothing; three updates
+    * emit one pre/post pair) — snapshot-diff semantics, not Delta CDF's
+    * per-commit event log (ADVICE r12); a consumer that needs every
+    * intermediate event iterates adjacent `(v, v+1)` pairs, as the CdcSpec
+    * chain test does. The manifest already records
     * which partition dirs moved to a new data version; partitions whose
     * deletion-vector masking changed are recovered from the DV delta's file
     * paths (the DV relation is deleted-rows-sized, so that diff is cheap).

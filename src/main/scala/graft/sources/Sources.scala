@@ -104,17 +104,26 @@ object Sources {
     * `from_json` lands `docSchema`. Date-valued fields follow the CDC
     * convention: declare StringType and parse with
     * [[graft.cdc.Dispatch.parseWireDate]] (both wire forms arrive as
-    * strings). Lines that fail to parse surface as all-NULL rows under
-    * `_malformed = true` so callers can dead-letter them.
+    * strings). Lines that fail to PARSE surface under `_malformed = true`
+    * via the parser's own corrupt-record channel — a legitimately empty
+    * document (`{}`, all schema fields absent → all-NULL row) is NOT
+    * malformed (ADVICE r12: the old all-fields-NULL heuristic dead-lettered
+    * those).
     */
   def mongoExportFile(spark: SparkSession, path: String,
                       docSchema: StructType): DataFrame = {
     import org.apache.spark.sql.functions.from_json
+    val corrupt = "_graft_corrupt"
+    require(!docSchema.fieldNames.contains(corrupt),
+      s"mongoExportFile: docSchema may not declare the reserved column $corrupt")
+    val withCorrupt = StructType(docSchema.fields :+
+      org.apache.spark.sql.types.StructField(corrupt,
+        org.apache.spark.sql.types.StringType))
     spark.read.text(path)
-      .select(col("value"),
-        from_json(graft.cdc.Dispatch.stripExtended(col("value")), docSchema).as("d"))
-      .select(col("d.*"),
-        (col("d").isNull || docSchema.fieldNames
-          .map(f => col(s"d.$f").isNull).reduce(_ && _)).as("_malformed"))
+      .select(from_json(graft.cdc.Dispatch.stripExtended(col("value")),
+        withCorrupt, Map("columnNameOfCorruptRecord" -> corrupt)).as("d"))
+      .select(col("d.*"))
+      .withColumn("_malformed", col(corrupt).isNotNull)
+      .drop(corrupt)
   }
 }

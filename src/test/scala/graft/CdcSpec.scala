@@ -415,6 +415,57 @@ class CdcSpec extends SparkSuite {
     assert(new java.io.File(s"$tgt/v00000002/p=x").exists())
   }
 
+  test("CDC -> warehouse DML loop: golden sequence lands in Derby equal to the parquet merge") {
+    import spark.implicits._
+    System.setProperty("derby.stream.error.file",
+      Files.createTempDirectory("derby-cdc").resolve("derby.log").toString)
+    val url = s"jdbc:derby:memory:graftcdcdml${System.nanoTime()};create=true"
+    val driver = "org.apache.derby.jdbc.EmbeddedDriver"
+    Class.forName(driver)
+    val c = java.sql.DriverManager.getConnection(url)
+    c.createStatement().execute("CREATE TABLE wh (id VARCHAR(16), v BIGINT)")
+    c.close()
+    val dir = Files.createTempDirectory("cdc-dml-env").toFile
+    val ckpt = Files.createTempDirectory("cdc-dml-ckpt").toFile.getAbsolutePath
+    val dlq = Files.createTempDirectory("cdc-dml-dlq").toString
+    // batch 1: inserts a,b
+    Files.write(new java.io.File(dir, "b1.json").toPath,
+      Seq(
+        """{"operationType":"insert","documentKey":"a","fullDocument":"{\"id\":\"a\",\"v\":1}","clusterTime":"2024-01-01T00:00:00.000Z"}""",
+        """{"operationType":"insert","documentKey":"b","fullDocument":"{\"id\":\"b\",\"v\":2}","clusterTime":"2024-01-01T00:00:01.000Z"}"""
+      ).mkString("\n").getBytes("UTF-8"))
+    Dispatch.runDml(spark, dir.getAbsolutePath, ckpt, docSchema, identity,
+      "id", "id", "v", url, driver, "wh", dlq).awaitTermination(60000)
+    // batch 2: update a (existing -> keyed UPDATE), insert c, and an
+    // intra-batch double-update of a (last-wins dedupe before the split)
+    Files.write(new java.io.File(dir, "b2.json").toPath,
+      Seq(
+        """{"operationType":"update","documentKey":"a","fullDocument":"{\"id\":\"a\",\"v\":7}","clusterTime":"2024-01-02T00:00:00.000Z"}""",
+        """{"operationType":"update","documentKey":"a","fullDocument":"{\"id\":\"a\",\"v\":9}","clusterTime":"2024-01-02T00:00:05.000Z"}""",
+        """{"operationType":"insert","documentKey":"c","fullDocument":"{\"id\":\"c\",\"v\":3}","clusterTime":"2024-01-02T00:00:01.000Z"}"""
+      ).mkString("\n").getBytes("UTF-8"))
+    Dispatch.runDml(spark, dir.getAbsolutePath, ckpt, docSchema, identity,
+      "id", "id", "v", url, driver, "wh", dlq).awaitTermination(60000)
+    val wh = spark.read.format("jdbc").option("url", url)
+      .option("dbtable", "wh").option("driver", driver).load()
+      .as[(String, Long)].collect().toSet
+    // the parquet-merge semantics over the same envelopes
+    val expect = applyViaMerge(Seq(
+      env("insert", "a", """{"id":"a","v":1}""", "2024-01-01 00:00:00"),
+      env("insert", "b", """{"id":"b","v":2}""", "2024-01-01 00:00:01"),
+      env("update", "a", """{"id":"a","v":7}""", "2024-01-02 00:00:00"),
+      env("update", "a", """{"id":"a","v":9}""", "2024-01-02 00:00:05"),
+      env("insert", "c", """{"id":"c","v":3}""", "2024-01-02 00:00:01")))
+    assert(wh == expect)
+    assert(wh == Set(("a", 9L), ("b", 2L), ("c", 3L)))
+  }
+
+  private def applyViaMerge(rows: Seq[(String, String, String, java.sql.Timestamp)]): Set[(String, Long)] = {
+    import spark.implicits._
+    Dispatch.applyBatch(emptyTarget, envelopes(rows), docSchema,
+      identity, "id", "id", "v").as[(String, Long)].collect().toSet
+  }
+
   test("merge-on-read streaming sink: O(batch) writes, same state as copy-on-write") {
     import spark.implicits._
     val partSchema = StructType(Seq(

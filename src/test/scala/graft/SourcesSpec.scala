@@ -44,6 +44,9 @@ class SourcesSpec extends SparkSuite {
     Files.writeString(f, Seq(
       """{"_id": {"$oid": "65f1a2b3c4d5e6f7a8b9c0d1"}, "ts": {"$date": "2024-03-01T07:00:00Z"}, "n": {"$numberLong": "42"}, "price": {"$numberDecimal": "19.99"}, "tag": "plain"}""",
       """{"_id": {"$oid": "65f1a2b3c4d5e6f7a8b9c0d2"}, "ts": {"$date": {"$numberLong": "1709275600000"}}, "n": {"$numberInt": "7"}, "price": {"$numberDouble": "2.5"}, "tag": "millis"}""",
+      """{"_id": {"$oid": "65f1a2b3c4d5e6f7a8b9c0d3"}, "ts": {"$date": "2024-03-01T07:00:00Z"}, "n": {"$numberLong": "1"}, "price": {"$numberDouble": "-.5"}, "tag": "leadingdot"}""",
+      """{"_id": {"$oid": "65f1a2b3c4d5e6f7a8b9c0d4"}, "ts": {"$date": "2024-03-01T07:00:00Z"}, "n": {"$numberLong": "2"}, "price": {"$numberDouble": "NaN"}, "tag": "nonfinite"}""",
+      """{}""",
       """this line is not json"""
     ).mkString("\n"))
     val schema = StructType(Seq(
@@ -51,15 +54,21 @@ class SourcesSpec extends SparkSuite {
       StructField("n", LongType), StructField("price", DoubleType),
       StructField("tag", StringType)))
     val rows = Sources.mongoExportFile(spark, f.toString, schema)
-    val good = rows.filter(!col("_malformed"))
+    val good = rows.filter(!col("_malformed") && col("_id").isNotNull)
       .select("_id", "ts", "n", "price", "tag")
       .as[(String, String, Long, Double, String)].collect().toSet
-    assert(good == Set(
+    assert(good.filterNot(_._5 == "nonfinite") == Set(
       ("65f1a2b3c4d5e6f7a8b9c0d1", "2024-03-01T07:00:00Z", 42L, 19.99, "plain"),
-      ("65f1a2b3c4d5e6f7a8b9c0d2", "1709275600000", 7L, 2.5, "millis")))
+      ("65f1a2b3c4d5e6f7a8b9c0d2", "1709275600000", 7L, 2.5, "millis"),
+      ("65f1a2b3c4d5e6f7a8b9c0d3", "2024-03-01T07:00:00Z", 1L, -0.5, "leadingdot")))
+    assert(good.find(_._5 == "nonfinite").exists(_._4.isNaN))
+    // ONLY the unparseable line is malformed — the legitimately empty
+    // document ({}: all schema fields absent) is a valid all-NULL row
     assert(rows.filter(col("_malformed")).count() == 1)
+    assert(rows.filter(!col("_malformed")).count() == 5)
+    assert(rows.filter(!col("_malformed") && col("_id").isNull).count() == 1)
     // both wire-form dates parse to the same convention via parseWireDate
-    val ts = rows.filter(!col("_malformed"))
+    val ts = rows.filter(!col("_malformed") && col("ts").isNotNull)
       .select(graft.cdc.Dispatch.parseWireDate(col("ts")).cast("string"))
       .as[String].collect().toSet
     assert(ts == Set("2024-03-01 07:00:00", "2024-03-01 06:46:40"))
@@ -352,7 +361,7 @@ class SourcesSpec extends SparkSuite {
     val stmts = graft.sources.Sinks.renderInserts(batch, "weather")
       .as[String].collect().toSet
     assert(stmts.contains("INSERT INTO weather (id, place_id, temp_c, ok, last_updated) " +
-      "VALUES ('w2', 'p''2', 2.5, false, TIMESTAMP('2024-03-01 07:00:00'))"))
+      "VALUES ('w2', 'p''2', 2.5, false, TIMESTAMP('2024-03-01 07:00:00.000000'))"))
     assert(stmts.exists(_.contains("'w3', NULL, NULL, true,")))
     assert(graft.sources.Sinks.executeDml(
       graft.sources.Sinks.renderInserts(batch, "weather"), url, driver) == 3L)
@@ -369,6 +378,41 @@ class SourcesSpec extends SparkSuite {
     val w1 = readBack.filter(col("id") === "w1")
       .select("temp_c", "ok").as[(Double, Boolean)].head()
     assert(w1 == (9.5, false))
+  }
+
+  test("executeDmlAudited: failed statements dead-letter as data, the rest land, counts reconcile") {
+    import spark.implicits._
+    System.setProperty("derby.stream.error.file",
+      Files.createTempDirectory("derby-aud").resolve("derby.log").toString)
+    val url = s"jdbc:derby:memory:graftaud${System.nanoTime()};create=true"
+    val driver = "org.apache.derby.jdbc.EmbeddedDriver"
+    Class.forName(driver)
+    val conn = java.sql.DriverManager.getConnection(url)
+    conn.createStatement().execute(
+      "CREATE TABLE t (id INT PRIMARY KEY, v VARCHAR(16))")
+    conn.close()
+    // 40 statements, every 7th a PK duplicate of the previous id — failures
+    // land INSIDE batches (batchSize=10), exercising mid-batch isolation
+    val rows = (0 until 40).map(i =>
+      (if (i % 7 == 3) i - 1 else i, s"v$i")).toDF("id", "v")
+    val stmts = graft.sources.Sinks.renderInserts(rows, "t")
+    val (ok, failures) = graft.sources.Sinks.executeDmlAudited(
+      stmts, url, driver, batchSize = 10)
+    val fails = failures.as[(String, String)].collect()
+    val expectedDups = (0 until 40).count(i => i % 7 == 3)
+    assert(fails.length == expectedDups, fails.mkString("; "))
+    assert(ok == 40L - expectedDups)
+    // SQLState 23505 = unique-constraint violation, attributed per statement
+    assert(fails.forall(_._2 == "23505"), fails.mkString("; "))
+    // every non-duplicate row actually landed
+    val landed = spark.read.format("jdbc").option("url", url)
+      .option("dbtable", "t").option("driver", driver).load()
+    assert(landed.count() == 40L - expectedDups)
+    // errors-as-data can ride the standard dead-letter sink
+    val dlq = Files.createTempDirectory("dml-dlq").toString
+    graft.sources.Sinks.deadLetter(failures, dlq,
+      java.sql.Timestamp.valueOf("2024-03-05 08:00:00"))
+    assert(spark.read.json(s"$dlq/failed_20240305080000").count() == expectedDups)
   }
 
   test("S1 keyed fetch: per-partition client, shrinking retry, dead-letter residue") {
