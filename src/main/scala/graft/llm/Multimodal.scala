@@ -7,10 +7,13 @@ import org.apache.spark.sql.functions._
   * typed metadata, plus the decode / feature-extract / frame-sample plumbing
   * a training pipeline hangs off them.
   *
-  * The actual codecs are NOT in this container, so the decode kernel is a
-  * clearly-marked DETERMINISTIC FAKE (see [[fakeDecode]]); everything Spark-
-  * side — schema, batch iteration, partitioning, explode shape — is real and
-  * tested. Swapping the fake for a JNI/FFI codec changes one function.
+  * IMAGE decode is REAL: [[imageDecode]] reads PNG/JPEG/GIF/BMP through the
+  * JVM's own `javax.imageio` readers (offline-safe, no container codecs).
+  * Audio/video and exotic image codecs still route through the
+  * clearly-marked DETERMINISTIC FAKE ([[fakeDecode]]) — ffmpeg-class
+  * libraries are not in this container — and everything Spark-side (schema,
+  * batch iteration, partitioning, explode shape) is real and tested either
+  * way; swapping the fake for a JNI/FFI codec changes one function.
   */
 object Multimodal {
 
@@ -67,6 +70,36 @@ object Multimodal {
   def fakeDecode(payload: Array[Byte]): (Int, Int, Int) = {
     val n = payload.length.toLong
     ((n % 640 + 1).toInt, (n * 7 % 480 + 1).toInt, 3)
+  }
+
+  /** REAL image decode via `javax.imageio` (VERDICT r12 #5): PNG / JPEG /
+    * GIF / BMP readers ship WITH the JVM, so this is offline-safe native
+    * decoding, no container codecs needed — width/height/channels come
+    * from the actual image header and raster. `None` when ImageIO has no
+    * reader for the bytes (not an image, or a codec outside the JVM's
+    * built-ins — route those to [[fakeDecode]] or a dead letter).
+    */
+  def imageDecode(payload: Array[Byte]): Option[(Int, Int, Int)] =
+    try Option(javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(payload)))
+      .map(img => (img.getWidth, img.getHeight,
+        img.getColorModel.getNumComponents))
+    catch { case _: java.io.IOException => None }
+
+  /** [[decodePartitioned]] with the REAL codec: ImageIO-readable payloads
+    * decode for real; anything else falls back to the deterministic fake,
+    * so mixed corpora keep the pipeline total. Same mapPartitions shape —
+    * ImageIO's reader registry initializes per executor, rows stream
+    * through with no per-row setup.
+    */
+  def decodePartitionedReal(media: Dataset[MediaRow]): Dataset[DecodedMeta] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map { m =>
+        val (w, h, c) = imageDecode(m.payload).getOrElse(fakeDecode(m.payload))
+        DecodedMeta(m.doc_id, w, h, c, m.payload.length.toLong)
+      }
+    }
   }
 
   /** The batch-decode plumbing a real codec needs: `mapPartitions` so the

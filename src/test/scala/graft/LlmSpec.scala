@@ -446,6 +446,45 @@ class LlmSpec extends SparkSuite {
     assert(decoded.forall(d => d.width == (d.n_bytes % 640 + 1).toInt))
   }
 
+  test("real image decode: generated PNG/JPEG headers read true dimensions; non-images fall back") {
+    import spark.implicits._
+    def imgBytes(w: Int, h: Int, fmt: String): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      (0 until w).foreach(x => (0 until h).foreach(y =>
+        img.setRGB(x, y, (x * 31 + y * 7) & 0xffffff)))
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, fmt, bos)
+      bos.toByteArray
+    }
+    val png = imgBytes(37, 23, "png")
+    val jpg = imgBytes(64, 48, "jpg")
+    val media = Seq(
+      graft.llm.Multimodal.MediaRow(1L, png, "image/png"),
+      graft.llm.Multimodal.MediaRow(2L, jpg, "image/jpeg"),
+      graft.llm.Multimodal.MediaRow(3L, "not an image".getBytes("UTF-8"),
+        "application/octet-stream")).toDS()
+    val decoded = graft.llm.Multimodal.decodePartitionedReal(media)
+      .collect().map(d => d.doc_id -> d).toMap
+    // REAL header dimensions, not the fake's byte-length formulas
+    assert(decoded(1L).width == 37 && decoded(1L).height == 23)
+    assert(decoded(1L).channels == 3)
+    assert(decoded(2L).width == 64 && decoded(2L).height == 48)
+    assert(decoded(1L).n_bytes == png.length.toLong)
+    // non-image payloads fall back to the deterministic fake, keeping totals
+    val n3 = "not an image".getBytes("UTF-8").length.toLong
+    assert(decoded(3L).width == (n3 % 640 + 1).toInt)
+    // driver-side single-payload probe agrees
+    assert(graft.llm.Multimodal.imageDecode(png).contains((37, 23, 3)))
+    assert(graft.llm.Multimodal.imageDecode(Array[Byte](1, 2, 3)).isEmpty)
+    // the resize plan composes with REAL dimensions: 64x48 -> target 32
+    val resized = graft.llm.Multimodal.resizePlan(
+      Seq((64, 48)).toDF("width", "height"), 32)
+      .select("out_w", "out_h", "pad_x", "pad_y")
+      .as[(Long, Long, Long, Long)].head()
+    assert(resized == ((32L, 24L, 0L, 4L)))
+  }
+
   test("gram_hashes is callable from SQL text") {
     org.apache.spark.sql.graft.GraftFunctions.registerAll(spark)
     val got = spark.sql("SELECT gram_hashes('abcdefghij', 8) AS g")
