@@ -441,6 +441,34 @@ object StressBench {
         org.apache.spark.sql.graft.Checkpoints.release(e)
       }
     }
+    // r13 (VERDICT r12 #7): PRODUCTION-ks recall. The 0.30-0.43 PQ recalls
+    // above are a toy-ks=16 artifact — 2^4 codes per subspace cannot
+    // separate 32k perturbation-densified neighbors. ks=256 (the
+    // Jégou/FAISS byte-code default) at 16x MEASURES the production
+    // codebook's recovery instead of arguing it; seed needs
+    // stride·ks = 8192 <= 16x corpus (32k), so the default stride holds.
+    if (onlyOps.forall(_.exists("ann_recall256".startsWith))) {
+      val f = 16
+      val base = Tables(spark, sfDir, "embeddings").select("vec_id", "embedding")
+      val e = base.crossJoin(spark.range(f).select(col("id").as("rep")))
+        .select((col("vec_id") * f + col("rep")).as("vec_id"),
+          transform(col("embedding"), (x, i) =>
+            x + pmod(col("rep") * 7 + i, lit(13)).cast("float") * lit(0.01f))
+            .as("embedding")).localCheckpoint()
+      val qs = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      import graft.llm._
+      SimSearch.annRecall(qs, e, 5, Seq(
+        "pq_ks256" -> ProductQuant.pqTopK(qs, e, 5, ks = 256, trainSample = 4096),
+        "ivfpq_res_ks256" -> ProductQuant.ivfPqResidualTopK(qs, e, 5,
+          ks = 256, trainSample = 4096)))
+        .groupBy("method").agg(avg(col("recall")).as("recall"))
+        .collect().sortBy(_.getString(0))
+        .foreach { r =>
+          println(f"""[stress] {"op":"ann_recall_${r.getString(0)}","factor":$f,"recall":${r.getDouble(1)}%.3f}""")
+        }
+      org.apache.spark.sql.graft.Checkpoints.release(e)
+    }
     spark.stop()
   }
 }
