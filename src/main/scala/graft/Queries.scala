@@ -4392,7 +4392,44 @@ object Queries {
       FROM lineitem WHERE l_orderkey BETWEEN 100 AND 5000
       UNION ALL SELECT 'point', CAST(count(*) AS BIGINT),
         ${dsumSql("l_extendedprice")}
-      FROM lineitem WHERE l_orderkey = 1"""))
+      FROM lineitem WHERE l_orderkey = 1""")),
+
+    // FULL MERGE semantics in ONE merge-on-read commit (Delta's WHEN
+    // MATCHED UPDATE / NOT MATCHED INSERT / MATCHED DELETE): the upsert
+    // batch appends + masks its keys' old positions, the delete leg masks
+    // its keys with no append — all behind one manifest rename. A key in
+    // BOTH legs keeps the upserted copy (delete masks only pre-merge
+    // positions), which the oracle replays as delete-then-upsert.
+    ("q173_dv_merge_full", (s: SparkSession, d: String) => {
+      import graft.sources.ManifestTable
+      val o = t(s, d, "orders").select(col("o_orderkey"), col("o_custkey"),
+        col("o_orderstatus"), col("o_totalprice"))
+      val schema = StructType(Seq(
+        StructField("o_orderkey", LongType), StructField("o_custkey", LongType),
+        StructField("o_orderstatus", StringType), StructField("o_totalprice", DoubleType)))
+      val root = java.nio.file.Files.createTempDirectory("q173-dvf").toString + "/t"
+      ManifestTable.commit(o, root, Some("o_orderstatus"))
+      val b = o.filter(pmod(col("o_orderkey"), lit(41)) === 0)
+        .withColumn("o_totalprice", col("o_totalprice") * 3)
+      val dels = o.filter(pmod(col("o_orderkey"), lit(53)) === 0)
+        .select("o_orderkey")
+      ManifestTable.mergeDv(b, root, schema, "o_orderkey", Some("o_orderstatus"),
+        deleteKeys = Some(dels))
+      ManifestTable.read(s, root, schema)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("s"),
+          sum(col("o_orderkey")).as("ok_sum"))
+    }, Some(s"""WITH t AS (SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+        FROM orders),
+      b AS (SELECT o_orderkey, o_custkey, o_orderstatus,
+          o_totalprice * 3 AS o_totalprice FROM t WHERE o_orderkey % 41 = 0),
+      m AS (SELECT * FROM t WHERE o_orderkey % 53 <> 0
+          AND o_orderkey NOT IN (SELECT o_orderkey FROM b)
+        UNION ALL SELECT * FROM b)
+      SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+        ${dsumSql("o_totalprice")} AS s,
+        CAST(CAST(sum(o_orderkey) AS BIGINT) AS BIGINT) AS ok_sum
+      FROM m GROUP BY o_orderstatus"""))
   )
 
   /** The BM25 replay shared by q72/q123 — postings, df, dl, corpus stats,

@@ -86,6 +86,41 @@ object Multimodal {
         img.getColorModel.getNumComponents))
     catch { case _: java.io.IOException => None }
 
+  /** Decoded audio metadata a real audio decoder returns. */
+  case class AudioMeta(doc_id: Long, sample_rate: Double, channels: Int,
+                       frames: Long, n_bytes: Long)
+
+  /** REAL audio header decode via `javax.sound.sampled` (WAV / AIFF / AU
+    * readers ship with the JVM — offline-safe): (sampleRate, channels,
+    * frameLength) from the actual container header. `None` for formats
+    * outside the JVM's built-ins (mp3/ogg/flac — ffmpeg-class, still the
+    * documented fake).
+    */
+  def audioDecode(payload: Array[Byte]): Option[(Double, Int, Long)] =
+    try {
+      val f = javax.sound.sampled.AudioSystem.getAudioFileFormat(
+        new java.io.ByteArrayInputStream(payload))
+      Some((f.getFormat.getSampleRate.toDouble, f.getFormat.getChannels,
+        f.getFrameLength.toLong))
+    } catch {
+      case (_: javax.sound.sampled.UnsupportedAudioFileException |
+            _: java.io.IOException) => None
+    }
+
+  /** Batch audio-metadata decode, same once-per-partition shape as
+    * [[decodePartitionedReal]]; unreadable payloads report zeroed metadata
+    * (rows keep flowing — filter `frames > 0` for the decoded subset).
+    */
+  def audioDecodePartitioned(media: Dataset[MediaRow]): Dataset[AudioMeta] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map { m =>
+        val (sr, ch, fr) = audioDecode(m.payload).getOrElse((0.0, 0, 0L))
+        AudioMeta(m.doc_id, sr, ch, fr, m.payload.length.toLong)
+      }
+    }
+  }
+
   /** [[decodePartitioned]] with the REAL codec: ImageIO-readable payloads
     * decode for real; anything else falls back to the deterministic fake,
     * so mixed corpora keep the pipeline total. Same mapPartitions shape —

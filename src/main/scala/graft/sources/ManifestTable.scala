@@ -1142,7 +1142,8 @@ object ManifestTable {
     */
   def mergeDv(batch: DataFrame, root: String, schema: StructType, key: String,
               partCol: Option[String], statsCols: Seq[String] = Nil,
-              bloomCols: Seq[String] = Nil): Long = {
+              bloomCols: Seq[String] = Nil,
+              deleteKeys: Option[DataFrame] = None): Long = {
     import org.apache.spark.sql.functions.{broadcast, col}
     val spark = batch.sparkSession
     val (fs, rootP) = fsOf(spark, root)
@@ -1165,10 +1166,23 @@ object ManifestTable {
     // positions of the batch's keys in the current snapshot → DV delta.
     // The scan is restricted to the touched partitions (partCol immutable
     // per key) and the key set broadcasts: O(touched) read, O(matched) write.
+    // The DELETE leg (WHEN MATCHED DELETE — full MERGE semantics) masks its
+    // keys' positions WITHOUT an append, sharing the same commit; delete
+    // keys may live in ANY partition, so its position scan is unrestricted
+    // (pass deletes through the upsert batch's partitions to keep O(touched)
+    // when the caller can).
     val restrict = partCol.map(_ => touched.map(_._1).toSet)
-    val newDel = readSnapshot(spark, root, schema, cur, withMeta = true, restrict)
+    val upDel = readSnapshot(spark, root, schema, cur, withMeta = true, restrict)
       .join(broadcast(batch.select(col(key)).distinct()), Seq(key), "left_semi")
       .select(col("__f"), col("__pos"))
+    val newDel = deleteKeys match {
+      case Some(dk) =>
+        upDel.unionByName(
+          readSnapshot(spark, root, schema, cur, withMeta = true)
+            .join(broadcast(dk.select(col(key)).distinct()), Seq(key), "left_semi")
+            .select(col("__f"), col("__pos")))
+      case None => upDel
+    }
     val allDel = dvOf(fs, rootP, cur) match {
       case Some(d) => spark.read.parquet(dvDir(root, d)).unionByName(newDel)
       case None => newDel

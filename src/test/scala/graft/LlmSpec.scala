@@ -520,6 +520,35 @@ class LlmSpec extends SparkSuite {
     assert(rec("pq256") >= 0.4, s"pq256 recall ${rec("pq256")}")
   }
 
+  test("real audio decode: generated WAV headers read true rate/channels/frames") {
+    import spark.implicits._
+    def wavBytes(rate: Float, channels: Int, frames: Int): Array[Byte] = {
+      val fmt = new javax.sound.sampled.AudioFormat(rate, 16, channels, true, false)
+      val pcm = Array.fill[Byte](frames * channels * 2)(3)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, frames.toLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+    val wav = wavBytes(16000f, 1, 1600)
+    val stereo = wavBytes(44100f, 2, 441)
+    val media = Seq(
+      graft.llm.Multimodal.MediaRow(1L, wav, "audio/wav"),
+      graft.llm.Multimodal.MediaRow(2L, stereo, "audio/wav"),
+      graft.llm.Multimodal.MediaRow(3L, "not audio".getBytes("UTF-8"),
+        "application/octet-stream")).toDS()
+    val got = graft.llm.Multimodal.audioDecodePartitioned(media)
+      .collect().map(a => a.doc_id -> a).toMap
+    assert(got(1L).sample_rate == 16000.0 && got(1L).channels == 1
+      && got(1L).frames == 1600L)
+    assert(got(2L).sample_rate == 44100.0 && got(2L).channels == 2
+      && got(2L).frames == 441L)
+    assert(got(3L).frames == 0L && got(3L).channels == 0)
+    assert(graft.llm.Multimodal.audioDecode(wav).contains((16000.0, 1, 1600L)))
+  }
+
   test("gram_hashes is callable from SQL text") {
     org.apache.spark.sql.graft.GraftFunctions.registerAll(spark)
     val got = spark.sql("SELECT gram_hashes('abcdefghij', 8) AS g")
