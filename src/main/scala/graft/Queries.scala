@@ -4429,7 +4429,35 @@ object Queries {
       SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
         ${dsumSql("o_totalprice")} AS s,
         CAST(CAST(sum(o_orderkey) AS BIGINT) AS BIGINT) AS ok_sum
-      FROM m GROUP BY o_orderstatus"""))
+      FROM m GROUP BY o_orderstatus""")),
+
+    // Matryoshka (MRL) two-stage retrieval: top-20 candidates by exact L2
+    // over the 16-dim embedding PREFIX (the nested-representation property
+    // — at 100 TB the prefix is its own pruned parquet column, 1/4 of the
+    // vector bytes), exact full-dim re-rank to the final top-5. Truncation
+    // error confined to candidate selection, the q135 refine contract.
+    ("q174_matryoshka", (s: SparkSession, d: String) => {
+      val emb = t(s, d, "embeddings")
+      graft.llm.SimSearch.matryoshkaTopK(
+        emb.filter(col("vec_id") < 8).select(col("vec_id").as("query_id"), col("embedding")),
+        emb, k = 5, kPrime = 20, prefixDims = 16)
+    }, Some(s"""WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+        FROM embeddings WHERE vec_id < 8),
+      c AS (SELECT vec_id, embedding::DOUBLE[] AS cv FROM embeddings),
+      sc AS (SELECT query_id, c.vec_id,
+          round(${sqSql("(qv[1:16])", "(cv[1:16])", 16)}, 6) AS d
+        FROM c CROSS JOIN q),
+      w AS (SELECT *, row_number() OVER (PARTITION BY query_id
+          ORDER BY d, vec_id) AS rnk FROM sc),
+      cand AS (SELECT query_id, vec_id FROM w WHERE rnk <= 20),
+      re AS (SELECT cand.query_id, cand.vec_id,
+          round(${sqSql("qv", "cv", 64)}, 6) AS dist
+        FROM cand JOIN c ON cand.vec_id = c.vec_id
+        JOIN q ON cand.query_id = q.query_id),
+      w2 AS (SELECT *, row_number() OVER (PARTITION BY query_id
+          ORDER BY dist, vec_id) AS rnk FROM re)
+      SELECT query_id, vec_id, dist, CAST(rnk AS INTEGER) AS rank
+      FROM w2 WHERE rnk <= 5"""))
   )
 
   /** The BM25 replay shared by q72/q123 — postings, df, dl, corpus stats,

@@ -105,6 +105,30 @@ object SimSearch {
     l2RankTail(scored, k, queryId, vecId)
   }
 
+  /** Matryoshka (MRL, Kusupati et al. 2022) two-stage retrieval: candidate
+    * generation on the embedding PREFIX — the nested-representation
+    * property makes the first `prefixDims` of an MRL-trained embedding a
+    * valid embedding of its own — then EXACT re-rank at full dimension via
+    * [[refineTopK]], so truncation error is confined to which `kPrime`
+    * candidates surface. At 100 TB the prefix stage reads a prefixDims/d
+    * fraction of the vector bytes (store the prefix as its own parquet
+    * column and the scan prunes to it) and feeds the [[ProductQuant]]
+    * quantizer stack unchanged; the exact prefix scan here is the oracled
+    * baseline of that family.
+    */
+  def matryoshkaTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+                     kPrime: Int, prefixDims: Int,
+                     queryId: String = "query_id", vecId: String = "vec_id"): DataFrame = {
+    require(kPrime >= k, s"kPrime=$kPrime must be >= k=$k")
+    require(prefixDims >= 1, s"prefixDims=$prefixDims")
+    def prefixed(df: DataFrame, idCol: String) = df.select(col(idCol),
+      slice(col("embedding").cast("array<double>"), 1, prefixDims).as("embedding"))
+    val cand = bruteForceTopKL2(prefixed(queries, queryId),
+      prefixed(corpus, vecId), kPrime, queryId, vecId)
+      .select(col(queryId), col(vecId))
+    refineTopK(queries, corpus, cand, k, queryId, vecId)
+  }
+
   /** Recall@k harness: each labeled ANN result set graded against the
     * exact [[bruteForceTopKL2]] ground truth — the number every ANN index
     * ships with, as one oracled relation instead of a README claim.
