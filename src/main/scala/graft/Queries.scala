@@ -4457,7 +4457,50 @@ object Queries {
       w2 AS (SELECT *, row_number() OVER (PARTITION BY query_id
           ORDER BY dist, vec_id) AS rnk FROM re)
       SELECT query_id, vec_id, dist, CAST(rnk AS INTEGER) AS rank
-      FROM w2 WHERE rnk <= 5"""))
+      FROM w2 WHERE rnk <= 5""")),
+
+    // TABLE REPLICATION over the change feed — the reference's whole
+    // purpose (Mongo -> BigQuery sync) as lakehouse machinery: three
+    // source commits (seed, partition-pruned update merge, DV delete)
+    // replay into a replica one mergeDv per version, O(changed rows) each;
+    // the replica's aggregate must equal the oracle's sequential
+    // merge/delete replay of the same steps.
+    ("q175_cdf_replicate", (s: SparkSession, d: String) => {
+      import graft.sources.ManifestTable
+      val o = t(s, d, "orders").select(col("o_orderkey"), col("o_custkey"),
+        col("o_orderstatus"), col("o_totalprice"))
+      val schema = StructType(Seq(
+        StructField("o_orderkey", LongType), StructField("o_custkey", LongType),
+        StructField("o_orderstatus", StringType), StructField("o_totalprice", DoubleType)))
+      val base = java.nio.file.Files.createTempDirectory("q175-rep").toString
+      val src = s"$base/src"; val dst = s"$base/dst"
+      ManifestTable.commit(o, src, Some("o_orderstatus")) // v1
+      // first call SEEDS the replica from v1's snapshot ...
+      ManifestTable.replicate(s, src, dst, schema, "o_orderkey", Some("o_orderstatus"))
+      val upd = o.filter(pmod(col("o_orderkey"), lit(43)) === 0)
+        .withColumn("o_totalprice", col("o_totalprice") + 100)
+      ManifestTable.commit(
+        graft.ops.Upsert.mergePartitionPruned(
+          ManifestTable.read(s, src, schema), upd, "o_orderkey", "o_orderstatus"),
+        src, Some("o_orderstatus")) // v2: rewrite merge
+      ManifestTable.deleteWhere(s, src, schema,
+        pmod(col("o_orderkey"), lit(59)) === 0) // v3: DV delete
+      // ... second call replays v2 and v3 as O(changed rows) merge commits
+      ManifestTable.replicate(s, src, dst, schema, "o_orderkey", Some("o_orderstatus"))
+      ManifestTable.read(s, dst, schema)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("s"),
+          sum(col("o_orderkey")).as("ok_sum"))
+    }, Some(s"""WITH t AS (SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+        FROM orders),
+      m1 AS (SELECT o_orderkey, o_custkey, o_orderstatus,
+          CASE WHEN o_orderkey % 43 = 0 THEN o_totalprice + 100
+               ELSE o_totalprice END AS o_totalprice FROM t),
+      m2 AS (SELECT * FROM m1 WHERE o_orderkey % 59 <> 0)
+      SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+        ${dsumSql("o_totalprice")} AS s,
+        CAST(CAST(sum(o_orderkey) AS BIGINT) AS BIGINT) AS ok_sum
+      FROM m2 GROUP BY o_orderstatus"""))
   )
 
   /** The BM25 replay shared by q72/q123 — postings, df, dl, corpus stats,

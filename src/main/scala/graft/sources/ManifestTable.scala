@@ -1198,6 +1198,65 @@ object ManifestTable {
     next
   }
 
+  private val WatermarkName = "_replica.watermark"
+
+  /** Incrementally replicate `srcRoot`'s committed changes into a replica
+    * table — the cross-system sync the reference's Mongo→BigQuery loop IS
+    * (reference: src/process_insert_update_weather_data.py:166-187),
+    * restated over the change feed: each unapplied source version becomes
+    * ONE [[mergeDv]] commit (inserts + update postimages as the upsert
+    * batch, deletes as the delete leg), so replication cost is O(changed
+    * rows) per version, never O(table). A fresh replica seeds from the
+    * source's current snapshot. Progress rides a watermark file in the
+    * replica root, advanced AFTER each applied commit — at-least-once, and
+    * replays are idempotent (keyed merge; deleting an absent key is a
+    * no-op). Run at a cadence inside the source's vacuum retention window,
+    * the standard CDC-consumer contract ([[changes]] needs both manifests
+    * on disk). Returns the number of source versions applied.
+    */
+  def replicate(spark: SparkSession, srcRoot: String, dstRoot: String,
+                schema: StructType, key: String,
+                partCol: Option[String]): Int = {
+    import org.apache.spark.sql.functions.col
+    val (dstFs, dstP) = fsOf(spark, dstRoot)
+    val wmPath = new Path(dstP, WatermarkName)
+    def writeWm(v: Long): Unit = {
+      val out = dstFs.create(wmPath, true)
+      try out.write(v.toString.getBytes("UTF-8")) finally out.close()
+    }
+    def readWm(): Long = {
+      val in = dstFs.open(wmPath)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLong
+      finally in.close()
+    }
+    if (!exists(spark, dstRoot)) {
+      val cur = currentVersion(spark, srcRoot).getOrElse(
+        throw new IllegalStateException(s"replicate: source $srcRoot has no committed version"))
+      commit(read(spark, srcRoot, schema, Some(cur)), dstRoot, partCol)
+      writeWm(cur)
+      return 1
+    }
+    require(dstFs.exists(wmPath),
+      s"replicate: $dstRoot exists but carries no $WatermarkName — not a replica of $srcRoot")
+    var wm = readWm()
+    val pending = versions(spark, srcRoot).filter(_ > wm)
+    var applied = 0
+    pending.foreach { v =>
+      val ch = changes(spark, srcRoot, schema, key, wm, v).localCheckpoint()
+      try {
+        val ups = ch.filter(col("_change_type").isin("insert", "update_postimage"))
+          .drop("_change_type")
+        val dels = ch.filter(col("_change_type") === "delete").select(key)
+        if (!ch.isEmpty)
+          mergeDv(ups, dstRoot, schema, key, partCol, deleteKeys = Some(dels))
+        writeWm(v)
+        wm = v
+        applied += 1
+      } finally org.apache.spark.sql.graft.Checkpoints.release(ch)
+    }
+    applied
+  }
+
   /** OPTIMIZE — small-file compaction: rewrite the CURRENT snapshot into a
     * fresh version with bounded file counts (`filesPerPartition` files per
     * partition dir; for a non-partitioned table, that many files total) and
