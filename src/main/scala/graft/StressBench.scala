@@ -441,6 +441,51 @@ object StressBench {
         org.apache.spark.sql.graft.Checkpoints.release(e)
       }
     }
+    // r13: merge WRITE AMPLIFICATION curve — the mergeDv claim measured.
+    // A FIXED 500-row update batch lands in a lineitem-derived table at
+    // 1x/4x/16x via (a) copy-on-write (mergePartitionPruned + commit: every
+    // touched partition rewritten) and (b) merge-on-read (mergeDv: batch
+    // append + DV positions). CoW bytes must grow with the corpus (the
+    // batch touches every partition), MoR bytes must stay ~flat — the
+    // O(changed rows) contract as a measured curve, not a scaladoc claim.
+    if (onlyOps.forall(_.exists("dv_merge".startsWith))) {
+      import org.apache.spark.sql.types._
+      val schema = StructType(Seq(
+        StructField("id", LongType), StructField("p", StringType),
+        StructField("v", DoubleType)))
+      def dirBytes(d: java.io.File): Long =
+        if (!d.exists) 0L
+        else d.listFiles.map(x =>
+          if (x.isDirectory) dirBytes(x) else x.length).sum
+      for (f <- Seq(1, 4, 16)) {
+        val rows = Tables(spark, sfDir, "lineitem")
+          .select((col("l_orderkey") * 10 + col("l_linenumber")).as("id0"),
+            col("l_extendedprice").as("v"))
+          .crossJoin(spark.range(f).select(col("id").as("rep")))
+          .select((col("id0") * f + col("rep")).as("id"),
+            concat(lit("p"), pmod(col("id0") * f + col("rep"), lit(8))).as("p"),
+            col("v"))
+        val batch = rows.filter(col("id") % 4801 === 0)
+          .withColumn("v", col("v") * 2).localCheckpoint()
+        for (mode <- Seq("cow", "mor")) {
+          val root = java.nio.file.Files.createTempDirectory(s"dvamp-$mode")
+            .toString + "/t"
+          graft.sources.ManifestTable.commit(rows, root, Some("p"))
+          val t0 = System.nanoTime()
+          if (mode == "cow")
+            graft.sources.ManifestTable.commit(graft.ops.Upsert.mergePartitionPruned(
+              graft.sources.ManifestTable.read(spark, root, schema), batch, "id", "p"),
+              root, Some("p"))
+          else
+            graft.sources.ManifestTable.mergeDv(batch, root, schema, "id", Some("p"))
+          val sec = (System.nanoTime() - t0) / 1e9
+          val written = dirBytes(new java.io.File(s"$root/v00000002")) +
+            dirBytes(new java.io.File(s"$root/d00000002"))
+          println(f"""[stress] {"op":"dv_merge_$mode","factor":$f,"sec":$sec%.2f,"mb_written":${written / 1e6}%.1f}""")
+        }
+        org.apache.spark.sql.graft.Checkpoints.release(batch)
+      }
+    }
     // r13 (VERDICT r12 #7): PRODUCTION-ks recall. The 0.30-0.43 PQ recalls
     // above are a toy-ks=16 artifact — 2^4 codes per subspace cannot
     // separate 32k perturbation-densified neighbors. ks=256 (the
