@@ -142,7 +142,16 @@ final case class GraftRelation(sqlContext: SQLContext, root: String,
         case And(l, r) =>
           val (r1, p1) = hints(Array(l)); val (r2, p2) = hints(Array(r))
           (rs ++ r1 ++ r2, ps ++ p1 ++ p2)
-        case _ => (rs, ps) // Or / IsNull / string ops: no hint, full universe
+        case StringStartsWith(a, p) if p.nonEmpty =>
+          // prefix-matched strings all sort in [p, nextPrefix(p)): increment
+          // the last non-￿ char for the exclusive upper bound (zone
+          // ranges are inclusive — a strictly larger bound stays a correct
+          // superset); an all-￿ prefix gets only the lower bound
+          val i = p.lastIndexWhere(_ != '￿')
+          val hi = if (i < 0) null
+            else p.substring(0, i) + (p.charAt(i) + 1).toChar
+          (rs :+ ColRange(a, p, hi), ps)
+        case _ => (rs, ps) // Or / IsNull / other string ops: no hint, full universe
       }
     }
   }

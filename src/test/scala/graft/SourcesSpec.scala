@@ -844,6 +844,51 @@ class SourcesSpec extends SparkSuite {
     assert(spark.sql("SELECT count(*) FROM graft_t WHERE p = 'p1'").first().getLong(0) > 0)
   }
 
+  test("additive column evolution through mergeDv: old versions read NULL, new carry the column") {
+    import spark.implicits._
+    import graft.sources.ManifestTable
+    val root = java.nio.file.Files.createTempDirectory("manevo").toString + "/t"
+    val v1Schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("p", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("v", org.apache.spark.sql.types.LongType)))
+    val v2Schema = org.apache.spark.sql.types.StructType(v1Schema.fields :+
+      org.apache.spark.sql.types.StructField("tag", org.apache.spark.sql.types.StringType))
+    ManifestTable.commit(Seq((1L, "a", 10L), (2L, "a", 20L), (3L, "b", 30L))
+      .toDF("id", "p", "v"), root, Some("p"))
+    // the merge batch carries the NEW column; the widened schema drives the
+    // position scan, reading the old files' missing column as NULL
+    ManifestTable.mergeDv(Seq((2L, "a", 99L, "x"), (4L, "b", 40L, "y"))
+      .toDF("id", "p", "v", "tag"), root, v2Schema, "id", Some("p"))
+    val got = ManifestTable.read(spark, root, v2Schema)
+      .as[(Long, String, Long, Option[String])].collect().toSet
+    assert(got == Set((1L, "a", 10L, None), (2L, "a", 99L, Some("x")),
+      (3L, "b", 30L, None), (4L, "b", 40L, Some("y"))))
+    // schema inference (the front door's load path) reports the union
+    assert(ManifestTable.inferSchema(spark, root).fieldNames.toSet ==
+      Set("id", "p", "v", "tag"))
+    assert(spark.read.format("graft").load(root).count() == 4L)
+  }
+
+  test("graft format: StringStartsWith prunes via the prefix zone range") {
+    import spark.implicits._
+    import graft.sources.ManifestTable
+    val root = java.nio.file.Files.createTempDirectory("manpfx").toString + "/t"
+    // 8 range-split files over a string key: prefix predicates get tight zones
+    (0L until 8000L).map(i => (f"k$i%05d", i)).toDF("s", "v")
+      .repartitionByRange(8, col("s"))
+      .write.format("graft").option("statsCols", "s").mode("overwrite").save(root)
+    spark.read.format("graft").load(root).createOrReplaceTempView("pfx_t")
+    val q = spark.sql("SELECT count(*) AS n FROM pfx_t WHERE s LIKE 'k0012%'")
+    assert(q.first().getLong(0) == 10L)
+    val (kept, total) = ManifestTable.pruneCounts(spark, root,
+      Seq(ManifestTable.ColRange("s", "k0012", "k0013")))
+    assert(total == 8 && kept <= 2, s"kept=$kept total=$total")
+    // the relation's own hint path: LIKE 'prefix%' compiles to StartsWith
+    val p = q.queryExecution.executedPlan.toString
+    assert(p.contains("StringStartsWith(s,k0012)"), p)
+  }
+
   test("replicate: change feed replays into a replica, idempotent and incremental") {
     import spark.implicits._
     import graft.sources.ManifestTable
