@@ -106,10 +106,12 @@ final case class GraftRelation(sqlContext: SQLContext, root: String,
   // buildScan hands back InternalRow-backed RDDs from the delegated plan
   override def needConversion: Boolean = false
 
-  /** V1 `Filter` → (zone ranges, bloom points). Unrecognized shapes yield
-    * no hint — an unpruned (correct, superset) scan.
+  /** V1 `Filter` → (zone ranges, bloom points, IN-list any-of probes).
+    * Unrecognized shapes yield no hint — an unpruned (correct, superset)
+    * scan.
     */
-  private def hints(filters: Array[Filter]): (Seq[ManifestTable.ColRange], Seq[(String, Any)]) = {
+  private def hints(filters: Array[Filter])
+      : (Seq[ManifestTable.ColRange], Seq[(String, Any)], Seq[(String, Seq[Any])]) = {
     import ManifestTable.ColRange
     def pointable(v: Any): Boolean = v match {
       case _: String | _: java.lang.Long | _: java.lang.Integer => true
@@ -119,14 +121,17 @@ final case class GraftRelation(sqlContext: SQLContext, root: String,
       case _: String | _: Number | _: java.sql.Timestamp => true
       case _ => false
     }
-    filters.foldLeft((Seq.empty[ColRange], Seq.empty[(String, Any)])) { case ((rs, ps), f) =>
+    filters.foldLeft((Seq.empty[ColRange], Seq.empty[(String, Any)],
+        Seq.empty[(String, Seq[Any])])) { case ((rs, ps, as), f) =>
+      def anyProbe(a: String, vs: Array[Any]): Seq[(String, Seq[Any])] =
+        if (vs.length <= 64 && vs.forall(pointable)) Seq(a -> vs.toSeq) else Nil
       f match {
         case EqualTo(a, v) if rangeable(v) =>
-          (rs :+ ColRange(a, v, v), if (pointable(v)) ps :+ (a -> v) else ps)
-        case GreaterThan(a, v) if rangeable(v) => (rs :+ ColRange(a, v, null), ps)
-        case GreaterThanOrEqual(a, v) if rangeable(v) => (rs :+ ColRange(a, v, null), ps)
-        case LessThan(a, v) if rangeable(v) => (rs :+ ColRange(a, null, v), ps)
-        case LessThanOrEqual(a, v) if rangeable(v) => (rs :+ ColRange(a, null, v), ps)
+          (rs :+ ColRange(a, v, v), if (pointable(v)) ps :+ (a -> v) else ps, as)
+        case GreaterThan(a, v) if rangeable(v) => (rs :+ ColRange(a, v, null), ps, as)
+        case GreaterThanOrEqual(a, v) if rangeable(v) => (rs :+ ColRange(a, v, null), ps, as)
+        case LessThan(a, v) if rangeable(v) => (rs :+ ColRange(a, null, v), ps, as)
+        case LessThanOrEqual(a, v) if rangeable(v) => (rs :+ ColRange(a, null, v), ps, as)
         case In(a, vs) if vs.nonEmpty && vs.forall(rangeable) =>
           val sorted = vs.sortBy {
             case n: Number => n.doubleValue()
@@ -136,12 +141,15 @@ final case class GraftRelation(sqlContext: SQLContext, root: String,
           vs.head match {
             case _: String =>
               val ss = vs.collect { case s: String => s }
-              if (ss.length == vs.length) (rs :+ ColRange(a, ss.min, ss.max), ps) else (rs, ps)
-            case _ => (rs :+ ColRange(a, sorted.head, sorted.last), ps)
+              if (ss.length == vs.length)
+                (rs :+ ColRange(a, ss.min, ss.max), ps, as ++ anyProbe(a, vs))
+              else (rs, ps, as)
+            case _ =>
+              (rs :+ ColRange(a, sorted.head, sorted.last), ps, as ++ anyProbe(a, vs))
           }
         case And(l, r) =>
-          val (r1, p1) = hints(Array(l)); val (r2, p2) = hints(Array(r))
-          (rs ++ r1 ++ r2, ps ++ p1 ++ p2)
+          val (r1, p1, a1) = hints(Array(l)); val (r2, p2, a2) = hints(Array(r))
+          (rs ++ r1 ++ r2, ps ++ p1 ++ p2, as ++ a1 ++ a2)
         case StringStartsWith(a, p) if p.nonEmpty =>
           // prefix-matched strings all sort in [p, nextPrefix(p)): increment
           // the last non-￿ char for the exclusive upper bound (zone
@@ -150,8 +158,8 @@ final case class GraftRelation(sqlContext: SQLContext, root: String,
           val i = p.lastIndexWhere(_ != '￿')
           val hi = if (i < 0) null
             else p.substring(0, i) + (p.charAt(i) + 1).toChar
-          (rs :+ ColRange(a, p, hi), ps)
-        case _ => (rs, ps) // Or / IsNull / other string ops: no hint, full universe
+          (rs :+ ColRange(a, p, hi), ps, as)
+        case _ => (rs, ps, as) // Or / IsNull / other string ops: no hint, full universe
       }
     }
   }
@@ -163,8 +171,8 @@ final case class GraftRelation(sqlContext: SQLContext, root: String,
       // the current snapshot prunes via the extracted hints
       case Some(v) => ManifestTable.read(spark, root, schema, Some(v))
       case None =>
-        val (ranges, points) = hints(filters)
-        ManifestTable.readPruned(spark, root, schema, ranges, points)
+        val (ranges, points, pointsAny) = hints(filters)
+        ManifestTable.readPruned(spark, root, schema, ranges, points, pointsAny)
     }
     val pruned = base.select(requiredColumns.map(col).toIndexedSeq: _*)
     pruned.queryExecution.toRdd.asInstanceOf[RDD[Row]]

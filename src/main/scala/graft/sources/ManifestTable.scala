@@ -621,19 +621,24 @@ object ManifestTable {
     * count as kept.
     */
   def pruneCounts(spark: SparkSession, root: String, ranges: Seq[ColRange],
-                  points: Seq[(String, Any)] = Nil): (Int, Int) = {
+                  points: Seq[(String, Any)] = Nil,
+                  pointsAny: Seq[(String, Seq[Any])] = Nil): (Int, Int) = {
     val v = currentVersion(spark, root).getOrElse(
       throw new IllegalStateException(s"manifest table $root has no committed version"))
-    planPrune(spark, root, v, ranges, points)._2
+    planPrune(spark, root, v, ranges, points, pointsAny)._2
   }
 
   /** Per data version: either Left(partitionDirs) when no sidecar exists
     * (dir read, no pruning) or Right(keptRelPaths); plus (kept, total)
     * counts. A file survives when its zone maps can intersect every range
-    * AND its Bloom filters might contain every point.
+    * AND its Bloom filters might contain every conjunctive point AND, per
+    * `pointsAny` entry, might contain AT LEAST ONE of the listed values —
+    * the IN-list probe (the "fetch N rows by key" pattern: a file provably
+    * lacking every key in the list skips).
     */
   private def planPrune(spark: SparkSession, root: String, v: Long,
-                        ranges: Seq[ColRange], points: Seq[(String, Any)])
+                        ranges: Seq[ColRange], points: Seq[(String, Any)],
+                        pointsAny: Seq[(String, Seq[Any])] = Nil)
       : (Map[Long, Either[Seq[String], Seq[String]]], (Int, Int)) = {
     val (fs, rootP) = fsOf(spark, root)
     val entries = entriesOf(fs, rootP, v)
@@ -657,7 +662,11 @@ object ManifestTable {
             blooms.flatMap(_.get(rel)).flatMap(_.get(c))
               .forall(arr => bloomMightContain(arr, value))
           }
-          zoneOk && bloomOk
+          val anyOk = pointsAny.forall { case (c, values) =>
+            blooms.flatMap(_.get(rel)).flatMap(_.get(c))
+              .forall(arr => values.exists(v => bloomMightContain(arr, v)))
+          }
+          zoneOk && bloomOk && anyOk
         }
         keptN += kept.size; totalN += live.size
         dv -> Right(kept.sorted)
@@ -675,14 +684,15 @@ object ManifestTable {
     */
   def readPruned(spark: SparkSession, root: String, schema: StructType,
                  ranges: Seq[ColRange],
-                 points: Seq[(String, Any)] = Nil): DataFrame = {
+                 points: Seq[(String, Any)] = Nil,
+                 pointsAny: Seq[(String, Seq[Any])] = Nil): DataFrame = {
     import org.apache.spark.sql.functions.col
     // resolve the manifest version ONCE — a second currentVersion() lookup
     // for the DV could race a concurrent commit and pair version N's files
     // with version N+1's (possibly absent) deletion vector
     val v = currentVersion(spark, root).getOrElse(
       throw new IllegalStateException(s"manifest table $root has no committed version"))
-    val (plan, _) = planPrune(spark, root, v, ranges, points)
+    val (plan, _) = planPrune(spark, root, v, ranges, points, pointsAny)
     val (fs, rootP) = fsOf(spark, root)
     val dv = dvOf(fs, rootP, v)
     def withM(df: DataFrame): DataFrame =
@@ -730,8 +740,8 @@ object ManifestTable {
     */
   def readAuto(spark: SparkSession, root: String, schema: StructType,
                predicate: org.apache.spark.sql.Column): DataFrame = {
-    val (ranges, points) = extractHintsFor(spark, schema, predicate)
-    readPruned(spark, root, schema, ranges, points).filter(predicate)
+    val (ranges, points, pointsAny) = extractHintsFor(spark, schema, predicate)
+    readPruned(spark, root, schema, ranges, points, pointsAny).filter(predicate)
   }
 
   /** Resolve `predicate` against `schema` (a zero-row probe plan through
@@ -740,21 +750,21 @@ object ManifestTable {
     */
   def extractHintsFor(spark: SparkSession, schema: StructType,
                       predicate: org.apache.spark.sql.Column)
-      : (Seq[ColRange], Seq[(String, Any)]) = {
+      : (Seq[ColRange], Seq[(String, Any)], Seq[(String, Seq[Any])]) = {
     val probe = spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
       .filter(predicate)
     probe.queryExecution.analyzed
       .collectFirst { case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
         extractHints(f.condition) }
-      .getOrElse((Nil, Nil))
+      .getOrElse((Nil, Nil, Nil))
   }
 
-  /** (ranges, points) from the conjunctive skeleton of `e` — see
-    * [[readAuto]]. Public for telemetry/tests.
+  /** (ranges, points, IN-list any-of probes) from the conjunctive skeleton
+    * of `e` — see [[readAuto]]. Public for telemetry/tests.
     */
   def extractHints(e: org.apache.spark.sql.catalyst.expressions.Expression)
-      : (Seq[ColRange], Seq[(String, Any)]) = {
+      : (Seq[ColRange], Seq[(String, Any)], Seq[(String, Seq[Any])]) = {
     import org.apache.spark.sql.catalyst.expressions._
     import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
     import org.apache.spark.sql.types.{StringType, IntegerType, LongType,
@@ -786,25 +796,25 @@ object ManifestTable {
     }
     e match {
       case And(l, r) =>
-        val (lr, lp) = extractHints(l); val (rr, rp) = extractHints(r)
-        (lr ++ rr, lp ++ rp)
+        val (lr, lp, la) = extractHints(l); val (rr, rp, ra) = extractHints(r)
+        (lr ++ rr, lp ++ rp, la ++ ra)
       case EqualTo(a, v) if nameOf(a).isDefined && asLit(v).isDefined =>
         val c = nameOf(a).get
         val lt = asLit(v).get
         valOf(lt).map { x =>
           (Seq(ColRange(c, x, x)),
-            if (pointable(lt)) Seq(c -> x) else Nil)
-        }.getOrElse((Nil, Nil))
+            if (pointable(lt)) Seq(c -> x) else Nil, Nil)
+        }.getOrElse((Nil, Nil, Nil))
       case EqualTo(v, a) if nameOf(a).isDefined && asLit(v).isDefined =>
         extractHints(EqualTo(a, v))
       case GreaterThan(a, v) if nameOf(a).isDefined && asLit(v).isDefined =>
-        (valOf(asLit(v).get).map(x => ColRange(nameOf(a).get, x, null)).toSeq, Nil)
+        (valOf(asLit(v).get).map(x => ColRange(nameOf(a).get, x, null)).toSeq, Nil, Nil)
       case GreaterThanOrEqual(a, v) if nameOf(a).isDefined && asLit(v).isDefined =>
-        (valOf(asLit(v).get).map(x => ColRange(nameOf(a).get, x, null)).toSeq, Nil)
+        (valOf(asLit(v).get).map(x => ColRange(nameOf(a).get, x, null)).toSeq, Nil, Nil)
       case LessThan(a, v) if nameOf(a).isDefined && asLit(v).isDefined =>
-        (valOf(asLit(v).get).map(x => ColRange(nameOf(a).get, null, x)).toSeq, Nil)
+        (valOf(asLit(v).get).map(x => ColRange(nameOf(a).get, null, x)).toSeq, Nil, Nil)
       case LessThanOrEqual(a, v) if nameOf(a).isDefined && asLit(v).isDefined =>
-        (valOf(asLit(v).get).map(x => ColRange(nameOf(a).get, null, x)).toSeq, Nil)
+        (valOf(asLit(v).get).map(x => ColRange(nameOf(a).get, null, x)).toSeq, Nil, Nil)
       case GreaterThan(v, a) if nameOf(a).isDefined && asLit(v).isDefined =>
         extractHints(LessThan(a, v))
       case GreaterThanOrEqual(v, a) if nameOf(a).isDefined && asLit(v).isDefined =>
@@ -818,24 +828,30 @@ object ManifestTable {
         extractHints(EqualTo(a, v))
       case In(a, vs) if nameOf(a).isDefined && vs.nonEmpty
           && vs.forall(x => asLit(x).isDefined) =>
-        // IN-list → the enclosing [min, max] zone range (files wholly
-        // outside the value span skip; the exact membership test runs on
-        // top). Bloom would need ANY-of semantics — zones are the win on
-        // clustered columns, which is where IN-pruning pays.
+        // IN-list → the enclosing [min, max] zone range (clustered columns)
+        // PLUS an any-of Bloom probe (unclustered high-cardinality keys —
+        // a file provably lacking every listed key skips), bounded at 64
+        // values so probe cost stays trivial per file; the exact
+        // membership test runs on top either way.
         val c = nameOf(a).get
-        val vals = vs.flatMap(x => valOf(asLit(x).get))
-        if (vals.size != vs.size) (Nil, Nil)
+        val lits = vs.map(x => asLit(x).get)
+        val vals = lits.flatMap(valOf)
+        val anyProbe =
+          if (vals.size == vs.size && vs.size <= 64 && lits.forall(pointable))
+            Seq(c -> vals)
+          else Nil
+        if (vals.size != vs.size) (Nil, Nil, Nil)
         else vals.head match {
           case _: String =>
             val ss = vals.map(_.asInstanceOf[String])
-            (Seq(ColRange(c, ss.min, ss.max)), Nil)
+            (Seq(ColRange(c, ss.min, ss.max)), Nil, anyProbe)
           case _: Number =>
             val ds = vals.map(_.asInstanceOf[Number].doubleValue())
             (Seq(ColRange(c, vals(ds.indexOf(ds.min)),
-              vals(ds.indexOf(ds.max)))), Nil)
-          case _ => (Nil, Nil)
+              vals(ds.indexOf(ds.max)))), Nil, anyProbe)
+          case _ => (Nil, Nil, anyProbe)
         }
-      case _ => (Nil, Nil) // OR / functions: no hint, correct superset
+      case _ => (Nil, Nil, Nil) // OR / functions: no hint, correct superset
     }
   }
 

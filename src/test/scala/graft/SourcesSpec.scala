@@ -870,6 +870,33 @@ class SourcesSpec extends SparkSuite {
     assert(spark.read.format("graft").load(root).count() == 4L)
   }
 
+  test("IN-list Bloom probing: any-of point probes skip files on unclustered keys") {
+    import spark.implicits._
+    import graft.sources.ManifestTable
+    val root = java.nio.file.Files.createTempDirectory("manin").toString + "/t"
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("v", org.apache.spark.sql.types.LongType)))
+    // round-robin: every file's [min,max] id span covers the whole domain,
+    // so the IN-list's zone range is blind — only the any-of Bloom can skip
+    val df = (0 until 20000).map(i => (s"k$i", i.toLong)).toDF("id", "v")
+      .repartition(16)
+    ManifestTable.commit(df, root, partCol = None,
+      statsCols = Seq("id"), bloomCols = Seq("id"))
+    val keys = Seq("k111", "k12345", "k19999")
+    val (kept, total) = ManifestTable.pruneCounts(spark, root, Nil,
+      pointsAny = Seq(("id", keys)))
+    assert(total == 16 && kept <= 8 && kept >= 1, s"kept=$kept total=$total")
+    // readAuto derives the probe from isin() itself and stays exact
+    val got = ManifestTable.readAuto(spark, root, schema,
+      col("id").isin(keys: _*)).as[(String, Long)].collect().toSet
+    assert(got == Set(("k111", 111L), ("k12345", 12345L), ("k19999", 19999L)))
+    // ... and through the SQL front door
+    spark.read.format("graft").load(root).createOrReplaceTempView("in_t")
+    assert(spark.sql("SELECT sum(v) FROM in_t WHERE id IN ('k111','k12345','k19999')")
+      .first().getLong(0) == 111L + 12345L + 19999L)
+  }
+
   test("graft format: StringStartsWith prunes via the prefix zone range") {
     import spark.implicits._
     import graft.sources.ManifestTable
@@ -1028,7 +1055,7 @@ class SourcesSpec extends SparkSuite {
     // conjunctive range + equality; the unrecognized OR leg adds no hint
     val pred = col("id") >= 100L && col("id") < 300L &&
       (col("s") === "v150" || col("s") === "v150")
-    val (ranges, points) = ManifestTable.extractHintsFor(spark, schema, pred)
+    val (ranges, points, _) = ManifestTable.extractHintsFor(spark, schema, pred)
     assert(ranges.map(r => (r.col, r.lo, r.hi)).toSet
       == Set(("id", 100L, null), ("id", null, 300L)))
     assert(points.isEmpty) // equality sits under an OR: no point hint
@@ -1036,7 +1063,7 @@ class SourcesSpec extends SparkSuite {
       .as[(Long, String)].collect().toSet
     assert(got == Set((150L, "v150")))
     // a bare equality on the bloom'd column yields a point probe + range
-    val (r2, p2) = ManifestTable.extractHintsFor(spark, schema, col("s") === "v7")
+    val (r2, p2, _) = ManifestTable.extractHintsFor(spark, schema, col("s") === "v7")
     assert(p2 == Seq("s" -> "v7") && r2.map(_.col) == Seq("s"))
     assert(ManifestTable.readAuto(spark, root, schema, col("s") === "v7")
       .as[(Long, String)].collect().toSet == Set((7L, "v7")))
@@ -1045,8 +1072,9 @@ class SourcesSpec extends SparkSuite {
     assert(total == 8 && kept <= 3, s"kept=$kept of $total")
     // IN-list folds to its enclosing [min, max] zone range
     val inPred = col("id").isin(120L, 140L, 130L)
-    val (r3, p3) = ManifestTable.extractHintsFor(spark, schema, inPred)
+    val (r3, p3, a3) = ManifestTable.extractHintsFor(spark, schema, inPred)
     assert(r3.map(r => (r.col, r.lo, r.hi)) == Seq(("id", 120L, 140L)) && p3.isEmpty)
+    assert(a3 == Seq("id" -> Seq(120L, 140L, 130L))) // any-of Bloom probe
     assert(ManifestTable.readAuto(spark, root, schema, inPred)
       .as[(Long, String)].collect().map(_._1).toSet == Set(120L, 130L, 140L))
     val (k3, t3) = ManifestTable.pruneCounts(spark, root, r3, Nil)
