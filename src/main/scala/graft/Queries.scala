@@ -4500,7 +4500,29 @@ object Queries {
       SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
         ${dsumSql("o_totalprice")} AS s,
         CAST(CAST(sum(o_orderkey) AS BIGINT) AS BIGINT) AS ok_sum
-      FROM m2 GROUP BY o_orderstatus"""))
+      FROM m2 GROUP BY o_orderstatus""")),
+
+    // Token-budget data selection: take documents by (quality desc, id)
+    // while the running token cost fits a fixed budget — the "fill a
+    // 10B-token training budget with the best docs" curation op. The
+    // Spark side is the two-pass bucket decomposition (NO corpus-wide
+    // single-partition sort); the oracle is the naive global take-while
+    // cumsum, which the decomposition must equal row for row. Duplicate
+    // n_chars values make score TIES routine, exercising the boundary
+    // bucket's id-ordered partial take.
+    ("q176_token_budget", (s: SparkSession, d: String) => {
+      val base = t(s, d, "documents").select(col("doc_id"),
+        round(log(col("n_chars") + 1), 6).as("q"),
+        TextStats.tokenCount(col("text")).as("ntok"))
+      graft.llm.Sampling.tokenBudgetSelect(base, "doc_id", col("q"),
+        col("ntok"), budget = 50000L)
+    }, Some("""WITH b AS (SELECT doc_id, round(ln(1 + n_chars), 6) AS q,
+        CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+          x -> x <> '')) AS BIGINT) AS ntok
+      FROM documents),
+      w AS (SELECT *, sum(ntok) OVER (ORDER BY q DESC, doc_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM b)
+      SELECT doc_id, q AS score, ntok AS cost FROM w WHERE cum <= 50000"""))
   )
 
   /** The BM25 replay shared by q72/q123 — postings, df, dl, corpus stats,

@@ -336,4 +336,37 @@ object Sampling {
       .withColumn("draw", row_number().over(w).cast("long"))
       .filter(col("draw") <= k)
   }
+
+  /** Greedy data selection under a TOKEN BUDGET — the curation endgame
+    * ("fill a 10B-token training budget with the best-quality documents"):
+    * documents ordered by (score desc, id) are taken while the running
+    * token cost fits. The naive form is one global single-partition sort +
+    * cumsum over the corpus; this is the [[percentileGate]] two-pass
+    * decomposition instead: (1) aggregate cost per DISTINCT score
+    * (continuous scores must be quantized upstream — round6/round(…,6) —
+    * or the bucket relation degenerates to the row count), run the
+    * cumulative total over that BOUNDED bucket relation (the one
+    * single-partition window, bucket-sized, never corpus-sized), (2) join
+    * the per-bucket "cost before this bucket" back and keep rows whose
+    * bucket-prefix + within-bucket id-ordered cumsum fits — bit-identical
+    * to the global take-while, with only keyed shuffles touching the
+    * corpus. Returns (id, score, cost) of the selected rows.
+    */
+  def tokenBudgetSelect(df: DataFrame, idCol: String, scoreCol: Column,
+                        costCol: Column, budget: Long): DataFrame = {
+    require(budget >= 0, s"budget=$budget")
+    val base = df.select(col(idCol), scoreCol.as("__s"),
+      costCol.cast("long").as("__c"))
+    val buckets = base.groupBy(col("__s")).agg(sum(col("__c")).as("__bc"))
+    val wB = Window.orderBy(col("__s").desc)
+    val run = buckets.withColumn("__before",
+      coalesce(sum(col("__bc")).over(
+        wB.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("__s"), col("__before"))
+    val wIn = Window.partitionBy(col("__s")).orderBy(col(idCol))
+    base.join(run, Seq("__s"))
+      .withColumn("__cum", col("__before") + sum(col("__c")).over(wIn))
+      .filter(col("__cum") <= budget)
+      .select(col(idCol), col("__s").as("score"), col("__c").as("cost"))
+  }
 }

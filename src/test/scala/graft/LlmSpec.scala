@@ -549,6 +549,29 @@ class LlmSpec extends SparkSuite {
     assert(graft.llm.Multimodal.audioDecode(wav).contains((16000.0, 1, 1600L)))
   }
 
+  test("tokenBudgetSelect: equals the global take-while cumsum, tie-heavy scores included") {
+    import spark.implicits._
+    import graft.llm.Sampling
+    // dup-heavy scores (the sampling-op test rule): only 5 distinct scores
+    // over 200 rows, so boundary buckets ALWAYS take partially
+    val rows = (0L until 200L).map(i => (i, (i % 5).toDouble, 7L + i % 3))
+    val df = rows.toDF("id", "q", "c")
+    def naive(budget: Long): Set[(Long, Double, Long)] = {
+      var cum = 0L
+      rows.sortBy { case (id, q, _) => (-q, id) }.flatMap { case (id, q, c) =>
+        cum += c; if (cum <= budget) Some((id, q, c)) else None
+      }.toSet
+    }
+    for (budget <- Seq(0L, 1L, 100L, 555L, 10000L)) {
+      val got = Sampling.tokenBudgetSelect(df, "id", col("q"), col("c"), budget)
+        .as[(Long, Double, Long)].collect().toSet
+      assert(got == naive(budget), s"budget=$budget")
+    }
+    // budget >= total selects everything
+    assert(Sampling.tokenBudgetSelect(df, "id", col("q"), col("c"), 100000L)
+      .count() == 200L)
+  }
+
   test("gram_hashes is callable from SQL text") {
     org.apache.spark.sql.graft.GraftFunctions.registerAll(spark)
     val got = spark.sql("SELECT gram_hashes('abcdefghij', 8) AS g")
