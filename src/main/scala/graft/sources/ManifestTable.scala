@@ -134,6 +134,12 @@ object ManifestTable {
       try {
         java.nio.file.Files.createLink(d, t)
         java.nio.file.Files.delete(t)
+        // fs.create wrote the tmp through ChecksumFileSystem, leaving a
+        // hidden `..manifest-N.tmp.crc` sidecar the nio delete above does
+        // not touch (and listStatus never surfaces) — drop it here or one
+        // orphan accumulates per commit forever
+        java.nio.file.Files.deleteIfExists(
+          t.resolveSibling("." + t.getFileName.toString + ".crc"))
       } catch {
         case _: java.nio.file.FileAlreadyExistsException => throw collision()
       }
@@ -181,13 +187,33 @@ object ManifestTable {
     * could still be clobbered: the residual window of numbered data dirs
     * (content-addressed file names à la Delta would close it at the cost
     * of a file-level manifest).
+    *
+    * The claim itself is rename + MARKER VERIFICATION: Hadoop local/HDFS
+    * rename onto an existing directory nests the source INSIDE it and
+    * still returns true, so two writers racing the same number could both
+    * believe they claimed it and the loser's next slide would rename the
+    * winner's committed v-dir away. A unique `.claim-*` marker travels
+    * with the payload; a rename whose marker does not surface at the vdir
+    * top level lost the race — the nested payload is pulled back out to a
+    * fresh stage and the claim retries against the now-occupied number.
+    *
+    * `dvStage = Some(dir)`: this commit carries its OWN deletion-vector
+    * dataset (base DV ∪ this batch's masked positions — the [[mergeDv]]
+    * shape); the staged DV is claimed into `d<myNext>` alongside the data
+    * claim and the manifest's `#dv` points at it. Its positions and DV
+    * union were computed against the base snapshot, so on a collision it
+    * rebases ONLY when the winner changed no existing file and left the
+    * DV pointer untouched (base entries ⊆ winner's entries — blind
+    * appends); any other winner (rewrite, delete, another merge)
+    * invalidates the staged positions and conflicts loudly.
     */
   private[graft] def publishStaged(
       spark: SparkSession, root: String, stage: Path, baseV: Option[Long],
       baseEntries: Seq[(String, Long)], touchedNames: Seq[String],
       dvCarry0: Option[Long], stats: Seq[(String, String, ColZone)],
       blooms: Seq[(String, String, Array[Long])], retryable: Boolean,
-      appendEntries: Boolean = false, blindAppend: Boolean = false): Long = {
+      appendEntries: Boolean = false, blindAppend: Boolean = false,
+      dvStage: Option[Path] = None): Long = {
     val (fs, rootP) = fsOf(spark, root)
     val baseSets = entrySetsOf(baseEntries)
     var myNext = baseV.map(_ + 1).getOrElse(1L)
@@ -195,6 +221,8 @@ object ManifestTable {
     var dvCarry = dvCarry0
     var attempt = 0
     var committed = -1L
+    val claimName = ".claim-" + java.util.UUID.randomUUID().toString.take(12)
+    fs.create(new Path(stage, claimName), true).close()
     // rebase on the winner's manifest, or abort on budget/conflict/non-retryable
     def reResolve(cause: IllegalStateException): Unit = {
       attempt += 1
@@ -202,54 +230,114 @@ object ManifestTable {
       val newCur = currentVersion(spark, root).filter(_ >= myNext).getOrElse(throw cause)
       val newEntries = entriesOf(fs, rootP, newCur)
       val newSets = entrySetsOf(newEntries)
-      // a BLIND APPEND references no base state, so it commutes with ANY
-      // winner (Delta's blind-append rule) — no overlap check
-      val overlap =
-        if (blindAppend) Nil
-        else touchedNames.filter(p => baseSets.get(p) != newSets.get(p))
-      if (overlap.nonEmpty)
-        throw new IllegalStateException(
-          "commit conflict: a concurrent writer touched partition(s) " +
-            s"${overlap.sorted.mkString(", ")} this commit also rewrites (both " +
-            "merged from the same base snapshot, one update set would be lost) — " +
-            "re-run the merge against the current snapshot", cause)
+      val newDv = dvOf(fs, rootP, newCur)
+      if (blindAppend) {
+        // a BLIND APPEND references no base state, so it commutes with ANY
+        // winner (Delta's blind-append rule) — no conflict check
+      } else if (dvStage.isDefined) {
+        // a merge commit's staged positions and DV union stay valid iff the
+        // winner changed no existing file (base entries all still present —
+        // blind appends only) and left the DV pointer untouched; a rewrite
+        // would orphan masked positions (resurrecting superseded rows), a
+        // concurrent delete/merge changed the DV this commit unioned from
+        if (newDv != dvCarry0 || !baseEntries.toSet.subsetOf(newEntries.toSet))
+          throw new IllegalStateException(
+            "commit conflict: a concurrent writer rewrote data or changed the deletion " +
+              "vector this merge's staged positions were computed against — re-run the " +
+              "merge against the current snapshot", cause)
+      } else {
+        val overlap = touchedNames.filter(p => baseSets.get(p) != newSets.get(p))
+        if (overlap.nonEmpty)
+          throw new IllegalStateException(
+            "commit conflict: a concurrent writer touched partition(s) " +
+              s"${overlap.sorted.mkString(", ")} this commit also rewrites (both " +
+              "merged from the same base snapshot, one update set would be lost) — " +
+              "re-run the merge against the current snapshot", cause)
+        // a winner that changed ONLY the deletion vector changes no entries,
+        // but a partition rewrite staged here was computed from the PRE-delete
+        // base snapshot — republishing it would silently resurrect the
+        // winner's deleted rows. Conflict when the DV delta's positions fall
+        // inside this commit's touched partitions.
+        if (touchedNames.nonEmpty && newDv != dvCarry0) {
+          val hit = touchedNames.filter(
+            dvDeltaPartitions(spark, root, dvCarry0, newDv).contains)
+          if (hit.nonEmpty)
+            throw new IllegalStateException(
+              "commit conflict: a concurrent DELETE changed the deletion vector inside " +
+                s"partition(s) ${hit.sorted.mkString(", ")} this commit rewrites from its " +
+                "pre-delete base snapshot (republishing would resurrect the deleted rows) — " +
+                "re-run the merge against the current snapshot", cause)
+        }
+      }
       prev = newEntries
-      dvCarry = dvOf(fs, rootP, newCur)
+      dvCarry = newDv
       myNext = newCur + 1
     }
     // the version number our data dir currently sits at (None: still staged)
+    var stageCur = stage
     var dirAt: Option[Long] = None
-    def srcDir: Path = dirAt.map(v => new Path(rootP, "v" + fmt(v))).getOrElse(stage)
+    def srcDir: Path = dirAt.map(v => new Path(rootP, "v" + fmt(v))).getOrElse(stageCur)
+    // rename + marker verification; a lost same-number race nests our
+    // payload inside the winner's dir — pull it back to a fresh stage
+    def renameClaim(vdir: Path): Boolean = {
+      val src = srcDir
+      if (!fs.rename(src, vdir)) false
+      else if (fs.exists(new Path(vdir, claimName))) true
+      else {
+        val back = new Path(rootP,
+          ".stage-" + java.util.UUID.randomUUID().toString.take(12))
+        require(fs.rename(new Path(vdir, src.getName), back),
+          s"claim recovery: pulling the nested payload back out of $vdir failed")
+        dirAt = None; stageCur = back
+        false
+      }
+    }
+    val StClaimed = 0; val StPublished = 1; val StRaced = 2
     while (committed < 0) {
       val vdir = new Path(rootP, "v" + fmt(myNext))
-      val claimed =
-        if (dirAt.contains(myNext)) true
-        else if (!fs.exists(vdir)) fs.rename(srcDir, vdir)
-        else if (fs.exists(new Path(rootP, ManifestPrefix + fmt(myNext)))) false
-        else {
+      val manifestAt = new Path(rootP, ManifestPrefix + fmt(myNext))
+      val state =
+        if (dirAt.contains(myNext)) StClaimed
+        else if (fs.exists(manifestAt)) StPublished
+        else if (!fs.exists(vdir)) {
+          if (renameClaim(vdir)) StClaimed else StRaced
+        } else {
           // unpublished occupied dir: grace-wait for an in-flight writer's
           // manifest; none appearing means a crashed orphan — reclaim it
           val published = (0 until 4).exists { _ =>
             Thread.sleep(250)
-            fs.exists(new Path(rootP, ManifestPrefix + fmt(myNext)))
+            fs.exists(manifestAt)
           }
-          if (!published) { fs.delete(vdir, true); fs.rename(srcDir, vdir) }
-          else false
+          if (published) StPublished
+          else { fs.delete(vdir, true); if (renameClaim(vdir)) StClaimed else StRaced }
         }
-      if (!claimed) {
+      if (state == StPublished) {
         reResolve(new IllegalStateException(
           s"commit collision: version $myNext is claimed by another committed writer"))
+      } else if (state == StRaced) {
+        // lost a same-number rename race to an in-flight writer: loop — the
+        // grace branch above waits for its publish or reclaims its orphan
       } else {
         dirAt = Some(myNext)
         if (stats.nonEmpty) writeStats(fs, rootP, myNext, stats)
         if (blooms.nonEmpty) writeBlooms(fs, rootP, myNext, blooms)
+        // claim the staged DV dataset into d<myNext>: the vdir claim above
+        // established no manifest exists at this number, so a pre-existing
+        // d-dir here is a crashed writer's orphan
+        dvStage.foreach { ds =>
+          val ddir = new Path(rootP, "d" + fmt(myNext))
+          fs.delete(ddir, true)
+          require(fs.rename(ds, ddir), s"dv stage rename $ds -> $ddir failed")
+        }
         try {
           val touched = touchedNames.map(_ -> myNext)
           val entries =
             if (appendEntries) prev ++ touched
             else prev.filterNot(e => touchedNames.contains(e._1)) ++ touched
-          publishManifest(fs, rootP, myNext, entries, dvCarry)
+          publishManifest(fs, rootP, myNext, entries,
+            if (dvStage.isDefined) Some(myNext) else dvCarry)
           committed = myNext
+          fs.delete(new Path(vdir, claimName), false)
         } catch {
           case e: IllegalStateException if e.getMessage.startsWith("commit collision") =>
             // another writer published this number WITHOUT claiming its data
@@ -316,6 +404,17 @@ object ManifestTable {
   }
 
   private def dvDir(root: String, d: Long): String = s"$root/d${fmt(d)}"
+
+  /** Hive-style partition dir name for a value, matching Spark's own
+    * partitioned-write rendering (escaped specials; NULL as the Hive
+    * default-partition token). The dir text is the value's string form,
+    * which is how Spark renders string/numeric partition values.
+    */
+  def partDirName(col: String, value: Any): String = value match {
+    case null => s"$col=__HIVE_DEFAULT_PARTITION__"
+    case x => s"$col=" + org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+      .escapePathName(String.valueOf(x))
+  }
 
   /** The snapshot of manifest `v`, with the version's deletion vector (if
     * any) anti-joined out. `withMeta = true` keeps the `__f`/`__pos` file
@@ -855,6 +954,39 @@ object ManifestTable {
     }
   }
 
+  /** Partition dirs whose deletion-vector masking differs between the two
+    * DV datasets — the sym-diff of masked positions → files → partition
+    * dirs, bounded by partitions-with-deletes, so the collect is
+    * manifest-sized. The partition dir is located STRUCTURALLY (the segment
+    * after the v######## data-version dir) rather than by stripping a root
+    * prefix — normPath keeps a URI authority (s3a bucket, hdfs namenode) as
+    * a leading path segment that a root-path prefix strip would silently
+    * fail to match.
+    */
+  private def dvDeltaPartitions(spark: SparkSession, root: String,
+                                a: Option[Long], b: Option[Long]): Set[String] = {
+    import org.apache.spark.sql.functions.col
+    if (a == b) return Set.empty
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(
+        org.apache.spark.sql.types.StructField("__f", org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("__pos", org.apache.spark.sql.types.LongType))))
+    def dvDf(o: Option[Long]) =
+      o.map(x => spark.read.parquet(dvDir(root, x))).getOrElse(empty)
+    val da = dvDf(a); val db = dvDf(b)
+    db.exceptAll(da).unionByName(da.exceptAll(db))
+      .select(col("__f")).distinct().collect().map { r =>
+        val segs = r.getString(0).split('/')
+        val isVer = (x: String) => x.length == 9 && x.head == 'v' &&
+          x.tail.forall(_.isDigit)
+        if (segs.length >= 2 && isVer(segs(segs.length - 2))) ""
+        else if (segs.length >= 3 && isVer(segs(segs.length - 3)))
+          segs(segs.length - 2)
+        else ""
+      }.toSet
+  }
+
   /** CHANGE DATA FEED between two committed manifests — the incremental-
     * consumer contract: the NET row-level difference between the `fromV`
     * and `toV` snapshots, tagged `insert` / `delete` / `update_preimage` /
@@ -872,15 +1004,22 @@ object ManifestTable {
     * rewrote 3 of 10k partitions feeds downstream consumers by scanning
     * exactly those 3 on both sides.
     *
-    * `key` must be unique per snapshot (the table's merge key — the same
-    * [[graft.ops.Upsert]] contract); change classification compares a
-    * NULL-framed md5 fingerprint of the full row, so any payload width
-    * diffs through one co-partitioned full-outer join. A content-identical
-    * rewrite (e.g. [[compact]]) yields an empty feed.
+    * `keys` must be unique per snapshot (the table's merge key — the same
+    * [[graft.ops.Upsert]] contract; COMPOSITE keys join as one struct, the
+    * lineitem `(l_orderkey, l_linenumber)` shape); change classification
+    * compares a NULL-framed md5 fingerprint of the full row, so any
+    * payload width diffs through one co-partitioned full-outer join. A
+    * content-identical rewrite (e.g. [[compact]]) yields an empty feed.
     */
   def changes(spark: SparkSession, root: String, schema: StructType, key: String,
-              fromV: Long, toV: Long): DataFrame = {
+              fromV: Long, toV: Long): DataFrame =
+    changes(spark, root, schema, Seq(key), fromV, toV)
+
+  /** Composite-key [[changes]]. */
+  def changes(spark: SparkSession, root: String, schema: StructType,
+              keys: Seq[String], fromV: Long, toV: Long): DataFrame = {
     import org.apache.spark.sql.functions._
+    require(keys.nonEmpty, "changes: at least one key column is required")
     require(fromV <= toV, s"changes: fromV=$fromV must be <= toV=$toV")
     val (fs, rootP) = fsOf(spark, root)
     Seq(fromV, toV).foreach { v =>
@@ -893,35 +1032,7 @@ object ManifestTable {
     val eF = entrySets(fromV); val eT = entrySets(toV)
     val dF = dvOf(fs, rootP, fromV); val dT = dvOf(fs, rootP, toV)
     val changedData = (eF.keySet ++ eT.keySet).filter(p => eF.get(p) != eT.get(p))
-    val dvParts: Set[String] =
-      if (dF == dT) Set.empty
-      else {
-        val empty = spark.createDataFrame(
-          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-          StructType(Seq(
-            org.apache.spark.sql.types.StructField("__f", org.apache.spark.sql.types.StringType),
-            org.apache.spark.sql.types.StructField("__pos", org.apache.spark.sql.types.LongType))))
-        def dvDf(o: Option[Long]) =
-          o.map(x => spark.read.parquet(dvDir(root, x))).getOrElse(empty)
-        val a = dvDf(dF); val b = dvDf(dT)
-        // sym-diff of masked positions → files → partition dirs; bounded by
-        // partitions-with-deletes, so the collect is manifest-sized.
-        // The partition dir is located STRUCTURALLY (the segment after the
-        // v######## data-version dir) rather than by stripping a root
-        // prefix — normPath keeps a URI authority (s3a bucket, hdfs
-        // namenode) as a leading path segment that a root-path prefix
-        // strip would silently fail to match
-        b.exceptAll(a).unionByName(a.exceptAll(b))
-          .select(col("__f")).distinct().collect().map { r =>
-            val segs = r.getString(0).split('/')
-            val isVer = (x: String) => x.length == 9 && x.head == 'v' &&
-              x.tail.forall(_.isDigit)
-            if (segs.length >= 2 && isVer(segs(segs.length - 2))) ""
-            else if (segs.length >= 3 && isVer(segs(segs.length - 3)))
-              segs(segs.length - 2)
-            else ""
-          }.toSet
-      }
+    val dvParts = dvDeltaPartitions(spark, root, dF, dT)
     val affected = changedData ++ dvParts
     val cdfSchema = StructType(
       org.apache.spark.sql.types.StructField("_change_type",
@@ -932,7 +1043,7 @@ object ManifestTable {
     val fields = schema.fieldNames.toSeq
     def side(v: Long, tag: String): DataFrame = {
       val df = readSnapshot(spark, root, schema, v, withMeta = false, Some(affected))
-      df.select(col(key).as("__k"),
+      df.select(struct(keys.map(col): _*).as("__k"),
         struct(fields.map(col): _*).as(s"__$tag"),
         graft.ops.Diff.rowFingerprint(fields.map(col)).as(s"__${tag}fp"))
     }
@@ -1140,16 +1251,28 @@ object ManifestTable {
     * touched partition per batch, the engine's largest write amplification
     * at 100 TB with hot partitions (VERDICT r12 #1).
     *
-    * Contracts: `batch` is unique per `key` (compose with
-    * [[graft.ops.Upsert.lastWins]]); with `partCol`, partition values are
-    * immutable per key (the [[graft.cdc.Dispatch.runPartitioned]] contract)
-    * so the position scan reads only the partitions the batch touches.
-    * SINGLE-WRITER: unlike [[commit]]'s carry-forward path, a colliding
-    * mergeDv fails loudly with no optimistic retry — its DV pointer names
-    * its OWN just-written dataset (base DV ∪ this batch's positions), and
-    * rebasing that onto a winner's changed DV would require recomputing
-    * the union, not just renumbering; run concurrent mergeDv writers
-    * through one committing driver instead.
+    * Contracts: `batch` is unique per key (compose with
+    * [[graft.ops.Upsert.lastWins]]; COMPOSITE keys via the `keys` overload
+    * join as the full column set — the lineitem `(l_orderkey,
+    * l_linenumber)` shape); with `partCol`, partition values are immutable
+    * per key (the [[graft.cdc.Dispatch.runPartitioned]] contract) so the
+    * position scan reads only the partitions the batch touches.
+    * CONCURRENCY: the batch and DV stage under `.stage-*` and claim their
+    * numbers only at publish ([[publishStaged]]), so the multi-job write
+    * never occupies a version number a concurrent committer would classify
+    * as a crashed orphan. A colliding mergeDv rebase-retries ONLY past
+    * winners that changed no existing file and left the DV untouched
+    * (blind [[append]]s — the staged positions stay valid); any other
+    * winner (rewrite, delete, another merge — its DV pointer names a
+    * dataset this commit's base DV ∪ positions union did not see) fails
+    * loudly: re-run the merge against the current snapshot, or route
+    * concurrent merge writers through one committing driver.
+    *
+    * `deletePartitions = Some(dirs)` restricts the DELETE leg's position
+    * scan to the named partition dirs (hive-style `col=value` names) —
+    * pass it when the caller knows where the deleted keys live (the
+    * [[replicate]] path: CDF delete rows carry their partition value) to
+    * keep the delete leg O(touched) instead of a full-table position scan.
     *
     * Read cost grows with accumulated appends (more files per partition,
     * a growing DV anti-join) — schedule [[compact]] to fold the append log
@@ -1159,59 +1282,71 @@ object ManifestTable {
   def mergeDv(batch: DataFrame, root: String, schema: StructType, key: String,
               partCol: Option[String], statsCols: Seq[String] = Nil,
               bloomCols: Seq[String] = Nil,
-              deleteKeys: Option[DataFrame] = None): Long = {
+              deleteKeys: Option[DataFrame] = None,
+              deletePartitions: Option[Seq[String]] = None): Long =
+    mergeDv(batch, root, schema, Seq(key), partCol, statsCols, bloomCols,
+      deleteKeys, deletePartitions)
+
+  /** Composite-key [[mergeDv]] — see the single-key overload for the
+    * contracts and scale posture.
+    */
+  def mergeDv(batch: DataFrame, root: String, schema: StructType,
+              keys: Seq[String], partCol: Option[String],
+              statsCols: Seq[String], bloomCols: Seq[String],
+              deleteKeys: Option[DataFrame],
+              deletePartitions: Option[Seq[String]]): Long = {
     import org.apache.spark.sql.functions.{broadcast, col}
+    require(keys.nonEmpty, "mergeDv: at least one key column is required")
     val spark = batch.sparkSession
     val (fs, rootP) = fsOf(spark, root)
     val cur = currentVersion(spark, root).getOrElse(
       throw new IllegalStateException(
         s"mergeDv: $root has no committed version — create the table with commit() first"))
-    val next = cur + 1
-    val vdir = new Path(rootP, "v" + fmt(next))
-    fs.delete(vdir, true)
+    val stage = new Path(rootP,
+      ".stage-" + java.util.UUID.randomUUID().toString.take(12))
     partCol match {
-      case Some(pc) => batch.write.partitionBy(pc).mode("overwrite").parquet(vdir.toString)
-      case None => batch.write.mode("overwrite").parquet(vdir.toString)
+      case Some(pc) => batch.write.partitionBy(pc).mode("overwrite").parquet(stage.toString)
+      case None => batch.write.mode("overwrite").parquet(stage.toString)
     }
-    val touched: Seq[(String, Long)] = partCol match {
-      case Some(_) => fs.listStatus(vdir)
+    val touchedNames: Seq[String] = partCol match {
+      case Some(_) => fs.listStatus(stage)
         .filter(st => st.isDirectory && st.getPath.getName.contains("="))
-        .map(_.getPath.getName -> next).toSeq
-      case None => Seq("" -> next)
+        .map(_.getPath.getName).toSeq
+      case None => Seq("")
     }
     // positions of the batch's keys in the current snapshot → DV delta.
     // The scan is restricted to the touched partitions (partCol immutable
     // per key) and the key set broadcasts: O(touched) read, O(matched) write.
     // The DELETE leg (WHEN MATCHED DELETE — full MERGE semantics) masks its
-    // keys' positions WITHOUT an append, sharing the same commit; delete
-    // keys may live in ANY partition, so its position scan is unrestricted
-    // (pass deletes through the upsert batch's partitions to keep O(touched)
-    // when the caller can).
-    val restrict = partCol.map(_ => touched.map(_._1).toSet)
-    val upDel = readSnapshot(spark, root, schema, cur, withMeta = true, restrict)
-      .join(broadcast(batch.select(col(key)).distinct()), Seq(key), "left_semi")
-      .select(col("__f"), col("__pos"))
+    // keys' positions WITHOUT an append, sharing the same commit; deleted
+    // keys may live in ANY partition, so its scan is restricted only by the
+    // caller's `deletePartitions` hint.
+    def positionsOf(keyDf: DataFrame, restrict: Option[Set[String]]): DataFrame =
+      readSnapshot(spark, root, schema, cur, withMeta = true, restrict)
+        .join(broadcast(keyDf.select(keys.map(col): _*).distinct()), keys, "left_semi")
+        .select(col("__f"), col("__pos"))
+    val upDel = positionsOf(batch, partCol.map(_ => touchedNames.toSet))
     val newDel = deleteKeys match {
-      case Some(dk) =>
-        upDel.unionByName(
-          readSnapshot(spark, root, schema, cur, withMeta = true)
-            .join(broadcast(dk.select(col(key)).distinct()), Seq(key), "left_semi")
-            .select(col("__f"), col("__pos")))
+      case Some(dk) => upDel.unionByName(positionsOf(dk, deletePartitions.map(_.toSet)))
       case None => upDel
     }
     val allDel = dvOf(fs, rootP, cur) match {
       case Some(d) => spark.read.parquet(dvDir(root, d)).unionByName(newDel)
       case None => newDel
     }
-    val ddir = new Path(rootP, "d" + fmt(next))
-    fs.delete(ddir, true)
-    allDel.write.mode("overwrite").parquet(ddir.toString)
-    if (statsCols.nonEmpty)
-      writeStats(fs, rootP, next, harvestStats(fs, vdir, statsCols))
-    if (bloomCols.nonEmpty)
-      writeBlooms(fs, rootP, next, harvestBlooms(spark, fs, vdir, bloomCols))
-    publishManifest(fs, rootP, next, entriesOf(fs, rootP, cur) ++ touched, Some(next))
-    next
+    val dvStage = new Path(rootP,
+      ".stage-" + java.util.UUID.randomUUID().toString.take(12) + "-dv")
+    allDel.write.mode("overwrite").parquet(dvStage.toString)
+    val stats =
+      if (statsCols.nonEmpty) harvestStats(fs, stage, statsCols) else Nil
+    val blooms =
+      if (bloomCols.nonEmpty) harvestBlooms(spark, fs, stage, bloomCols) else Nil
+    // dvCarry0 = the base DV this commit's union consumed — the rebase
+    // conflict check compares the winner's DV pointer against it (the
+    // manifest's own #dv comes from dvStage, not the carry)
+    publishStaged(spark, root, stage, Some(cur), entriesOf(fs, rootP, cur),
+      touchedNames, dvOf(fs, rootP, cur), stats, blooms, retryable = true,
+      appendEntries = true, dvStage = Some(dvStage))
   }
 
   private val WatermarkName = "_replica.watermark"
@@ -1232,6 +1367,12 @@ object ManifestTable {
     */
   def replicate(spark: SparkSession, srcRoot: String, dstRoot: String,
                 schema: StructType, key: String,
+                partCol: Option[String]): Int =
+    replicate(spark, srcRoot, dstRoot, schema, Seq(key), partCol)
+
+  /** Composite-key [[replicate]]. */
+  def replicate(spark: SparkSession, srcRoot: String, dstRoot: String,
+                schema: StructType, keys: Seq[String],
                 partCol: Option[String]): Int = {
     import org.apache.spark.sql.functions.col
     val (dstFs, dstP) = fsOf(spark, dstRoot)
@@ -1258,13 +1399,23 @@ object ManifestTable {
     val pending = versions(spark, srcRoot).filter(_ > wm)
     var applied = 0
     pending.foreach { v =>
-      val ch = changes(spark, srcRoot, schema, key, wm, v).localCheckpoint()
+      val ch = changes(spark, srcRoot, schema, keys, wm, v).localCheckpoint()
       try {
         val ups = ch.filter(col("_change_type").isin("insert", "update_postimage"))
           .drop("_change_type")
-        val dels = ch.filter(col("_change_type") === "delete").select(key)
+        val delCols = (keys ++ partCol.toSeq).distinct
+        val dels = ch.filter(col("_change_type") === "delete")
+          .select(delCols.map(col): _*)
+        // CDF delete rows carry their partition value — restrict the delete
+        // leg's position scan to exactly those dirs (O(touched), never the
+        // whole replica); the collect is bounded by partitions-with-deletes
+        val delParts = partCol.map { pc =>
+          dels.select(col(pc)).distinct().collect()
+            .map(r => partDirName(pc, r.get(0))).toSeq
+        }
         if (!ch.isEmpty)
-          mergeDv(ups, dstRoot, schema, key, partCol, deleteKeys = Some(dels))
+          mergeDv(ups, dstRoot, schema, keys, partCol, Nil, Nil,
+            deleteKeys = Some(dels), deletePartitions = delParts)
         writeWm(v)
         wm = v
         applied += 1
@@ -1440,10 +1591,23 @@ object ManifestTable {
           fs.delete(st.getPath, false) // bloom sidecars of reclaimed versions
         else if (n.startsWith(".manifest-") && n.endsWith(".tmp"))
           fs.delete(st.getPath, false)
+        else if (n.startsWith(".claim-"))
+          fs.delete(st.getPath, false) // stray claim markers (crashed commits)
         else if (st.isDirectory && n.startsWith(".stage-"))
           fs.delete(st.getPath, true) // crashed commits' orphaned stages —
           // vacuum must not run concurrently with an in-flight commit
           // (the same retention-window contract as the version floor)
+      }
+      // ChecksumFileSystem hides `.crc` sidecars from listStatus — sweep
+      // manifest-tmp crcs orphaned by pre-fix commits with raw nio
+      if (fs.getScheme == "file") {
+        val dir = java.nio.file.Paths.get(fs.makeQualified(rootP).toUri.getPath)
+        val it = java.nio.file.Files.list(dir)
+        try it.forEach { p =>
+          val n = p.getFileName.toString
+          if (n.startsWith("..manifest-") && n.endsWith(".tmp.crc"))
+            java.nio.file.Files.deleteIfExists(p)
+        } finally it.close()
       }
     }
   }

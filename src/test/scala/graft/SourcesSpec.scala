@@ -1396,6 +1396,215 @@ class SourcesSpec extends SparkSuite {
     assert(got == Set((1L, "x", None), (2L, "y", Some(0.5))))
   }
 
+  test("mergeDv rebases past a concurrent blind append: both land") {
+    import spark.implicits._
+    import graft.sources.ManifestTable
+    val root = java.nio.file.Files.createTempDirectory("mandvrace").toString + "/t"
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("p", StringType),
+      StructField("v", LongType)))
+    ManifestTable.commit(Seq((1L, "a", 1L), (2L, "b", 2L)).toDF("id", "p", "v"),
+      root, Some("p")) // v1
+    // the MERGE stages its batch + DV delta against base v1 — exactly what
+    // mergeDv does before its claim (positions of id=2 in the v1 snapshot)
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val stage = new org.apache.hadoop.fs.Path(root, ".stage-merge1")
+    Seq((2L, "b", 99L)).toDF("id", "p", "v")
+      .write.partitionBy("p").parquet(stage.toString)
+    // the staged DV = the single superseded position (p=b's v1 file, row 0)
+    val dvStage = new org.apache.hadoop.fs.Path(root, ".stage-merge1-dv")
+    val pbFile = new java.io.File(s"$root/v00000001/p=b").listFiles()
+      .filter(f => f.getName.endsWith(".parquet")).head.getAbsolutePath
+    Seq((pbFile, 0L)).toDF("__f", "__pos").write.parquet(dvStage.toString)
+    // ... meanwhile a blind append lands v2 (p=c)
+    ManifestTable.append(Seq((3L, "c", 3L)).toDF("id", "p", "v"), root, Some("p"))
+    assert(ManifestTable.currentVersion(spark, root).contains(2L))
+    // the merge's publish from the stale base must REBASE and land at v3
+    val landed = ManifestTable.publishStaged(spark, root, stage, Some(1L),
+      Seq("p=a" -> 1L, "p=b" -> 1L), Seq("p=b"), None, Nil, Nil,
+      retryable = true, appendEntries = true, dvStage = Some(dvStage))
+    assert(landed == 3L)
+    assert(ManifestTable.read(spark, root, schema)
+      .as[(Long, String, Long)].collect().toSet ==
+      Set((1L, "a", 1L), (2L, "b", 99L), (3L, "c", 3L))) // append AND merge visible
+    // a merge racing a DELETE (DV changed under it) must conflict loudly
+    val stage2 = new org.apache.hadoop.fs.Path(root, ".stage-merge2")
+    Seq((2L, "b", 77L)).toDF("id", "p", "v")
+      .write.partitionBy("p").parquet(stage2.toString)
+    val dvStage2 = new org.apache.hadoop.fs.Path(root, ".stage-merge2-dv")
+    Seq((pbFile, 0L)).toDF("__f", "__pos").write.parquet(dvStage2.toString)
+    ManifestTable.deleteWhere(spark, root, schema, col("id") === 1L) // v4: DV moves
+    val e = intercept[IllegalStateException](
+      ManifestTable.publishStaged(spark, root, stage2, Some(3L),
+        Seq("p=a" -> 1L, "p=b" -> 1L, "p=b" -> 3L, "p=c" -> 2L), Seq("p=b"),
+        Some(3L), Nil, Nil,
+        retryable = true, appendEntries = true, dvStage = Some(dvStage2)))
+    assert(e.getMessage.contains("commit conflict"))
+  }
+
+  test("carry-forward rewrite racing a DV-only delete in its partition conflicts (no resurrect)") {
+    import spark.implicits._
+    import graft.sources.ManifestTable
+    val root = java.nio.file.Files.createTempDirectory("mandvdel").toString + "/t"
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("p", StringType),
+      StructField("v", LongType)))
+    ManifestTable.commit(
+      Seq((1L, "a", 1L), (2L, "a", 2L), (3L, "b", 3L)).toDF("id", "p", "v"),
+      root, Some("p")) // v1
+    // the loser stages a p=a rewrite computed from the PRE-delete snapshot
+    val stage = new org.apache.hadoop.fs.Path(root, ".stage-rw")
+    Seq((1L, "a", 10L), (2L, "a", 20L)).toDF("id", "p", "v")
+      .write.partitionBy("p").parquet(stage.toString)
+    // a concurrent DELETE commits v2: entries unchanged, only the DV moves
+    ManifestTable.deleteWhere(spark, root, schema, col("id") === 2L)
+    // entry sets are IDENTICAL to the base, so the old check would rebase
+    // "cleanly" and resurrect id=2 — the DV-delta check must conflict
+    val e = intercept[IllegalStateException](
+      ManifestTable.publishStaged(spark, root, stage, Some(1L),
+        Seq("p=a" -> 1L, "p=b" -> 1L), Seq("p=a"), None, Nil, Nil,
+        retryable = true))
+    assert(e.getMessage.contains("commit conflict"))
+    assert(e.getMessage.contains("deletion vector"))
+    // ... while the same race on a DIFFERENT partition commutes
+    val stage2 = new org.apache.hadoop.fs.Path(root, ".stage-rw2")
+    Seq((3L, "b", 30L)).toDF("id", "p", "v")
+      .write.partitionBy("p").parquet(stage2.toString)
+    val landed = ManifestTable.publishStaged(spark, root, stage2, Some(1L),
+      Seq("p=a" -> 1L, "p=b" -> 1L), Seq("p=b"), None, Nil, Nil,
+      retryable = true)
+    assert(landed == 3L)
+    assert(ManifestTable.read(spark, root, schema)
+      .as[(Long, String, Long)].collect().toSet ==
+      Set((1L, "a", 1L), (3L, "b", 30L))) // delete held, rewrite landed
+  }
+
+  test("mergeDv end-to-end: staged commit, composite keys, delete-partition restriction") {
+    import spark.implicits._
+    import graft.sources.ManifestTable
+    val root = java.nio.file.Files.createTempDirectory("mandvck").toString + "/t"
+    val schema = StructType(Seq(
+      StructField("k1", LongType), StructField("k2", LongType),
+      StructField("p", StringType), StructField("v", LongType)))
+    // dup-heavy natural keys: k1 repeats with different k2 (the lineitem trap)
+    val base = Seq((1L, 1L, "a", 10L), (1L, 2L, "a", 11L),
+      (2L, 1L, "b", 20L), (2L, 2L, "b", 21L), (3L, 1L, "b", 30L))
+      .toDF("k1", "k2", "p", "v")
+    ManifestTable.commit(base, root, Some("p")) // v1
+    // composite-key upsert touches ONLY (1,2); (1,1) must survive
+    ManifestTable.mergeDv(Seq((1L, 2L, "a", 110L)).toDF("k1", "k2", "p", "v"),
+      root, schema, Seq("k1", "k2"), Some("p"), Nil, Nil, None, None)
+    assert(ManifestTable.read(spark, root, schema)
+      .as[(Long, Long, String, Long)].collect().toSet ==
+      Set((1L, 1L, "a", 10L), (1L, 2L, "a", 110L), (2L, 1L, "b", 20L),
+        (2L, 2L, "b", 21L), (3L, 1L, "b", 30L)))
+    // delete leg with a partition hint covering the key's partition: deletes
+    ManifestTable.mergeDv(spark.emptyDataFrame
+      .withColumn("k1", lit(0L)).withColumn("k2", lit(0L))
+      .withColumn("p", lit("z")).withColumn("v", lit(0L)).limit(0),
+      root, schema, Seq("k1", "k2"), Some("p"), Nil, Nil,
+      Some(Seq((2L, 2L)).toDF("k1", "k2")),
+      Some(Seq(ManifestTable.partDirName("p", "b"))))
+    assert(ManifestTable.read(spark, root, schema)
+      .filter(col("k1") === 2L).as[(Long, Long, String, Long)].collect().toSet ==
+      Set((2L, 1L, "b", 20L)))
+    // a hint EXCLUDING the key's partition proves the scan is restricted:
+    // the delete silently misses (documented caller contract)
+    ManifestTable.mergeDv(spark.emptyDataFrame
+      .withColumn("k1", lit(0L)).withColumn("k2", lit(0L))
+      .withColumn("p", lit("z")).withColumn("v", lit(0L)).limit(0),
+      root, schema, Seq("k1", "k2"), Some("p"), Nil, Nil,
+      Some(Seq((3L, 1L)).toDF("k1", "k2")),
+      Some(Seq(ManifestTable.partDirName("p", "a"))))
+    assert(ManifestTable.read(spark, root, schema)
+      .filter(col("k1") === 3L).count() == 1L) // survived: scan never read p=b
+    // no version number was occupied during staging: all versions readable
+    assert(ManifestTable.versions(spark, root).size == 4)
+  }
+
+  test("composite-key changes() and replicate() fold a dup-keyed table correctly") {
+    import spark.implicits._
+    import graft.sources.ManifestTable
+    val baseDir = java.nio.file.Files.createTempDirectory("manckrep").toString
+    val src = s"$baseDir/src"; val dst = s"$baseDir/dst"
+    val schema = StructType(Seq(
+      StructField("k1", LongType), StructField("k2", LongType),
+      StructField("p", StringType), StructField("v", LongType)))
+    val keys = Seq("k1", "k2")
+    ManifestTable.commit(
+      Seq((1L, 1L, "a", 1L), (1L, 2L, "a", 2L), (2L, 1L, "b", 3L))
+        .toDF("k1", "k2", "p", "v"), src, Some("p")) // v1
+    assert(ManifestTable.replicate(spark, src, dst, schema, keys, Some("p")) == 1)
+    // v2: update one copy of the dup k1, insert a new composite key
+    ManifestTable.mergeDv(
+      Seq((1L, 2L, "a", 22L), (2L, 2L, "b", 4L)).toDF("k1", "k2", "p", "v"),
+      src, schema, keys, Some("p"), Nil, Nil, None, None)
+    // v3: delete the OTHER copy of the dup k1
+    ManifestTable.deleteWhere(spark, src, schema,
+      col("k1") === 1L && col("k2") === 1L)
+    val ch = ManifestTable.changes(spark, src, schema, keys, 1L, 3L)
+      .select("_change_type", "k1", "k2")
+      .as[(String, Long, Long)].collect().toSet
+    assert(ch == Set(("update_preimage", 1L, 2L), ("update_postimage", 1L, 2L),
+      ("insert", 2L, 2L), ("delete", 1L, 1L)))
+    assert(ManifestTable.replicate(spark, src, dst, schema, keys, Some("p")) == 2)
+    def snap(r: String) = ManifestTable.read(spark, r, schema)
+      .as[(Long, Long, String, Long)].collect().toSet
+    assert(snap(dst) == snap(src))
+    assert(snap(dst) == Set((1L, 2L, "a", 22L), (2L, 1L, "b", 3L), (2L, 2L, "b", 4L)))
+  }
+
+  test("concurrent disjoint-partition committers: no manifest ever references a vanished dir") {
+    import spark.implicits._
+    import graft.sources.ManifestTable
+    val root = java.nio.file.Files.createTempDirectory("manstress").toString + "/t"
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("p", StringType)))
+    ManifestTable.commit(
+      (0 until 4).map(i => (i.toLong, s"p$i")).toDF("id", "p"), root, Some("p"))
+    // racing writers: each rewrites its OWN partition (disjoint — commutes);
+    // the claim-marker protocol must prevent any silent nesting/clobber
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    val results = (0 until 4).map { i =>
+      pool.submit(new java.util.concurrent.Callable[Either[Throwable, Long]] {
+        def call(): Either[Throwable, Long] =
+          try Right(ManifestTable.commit(
+            Seq((i + 100L, s"p$i")).toDF("id", "p"), root, Some("p")))
+          catch { case e: IllegalStateException => Left(e) }
+      })
+    }.map(_.get(120, java.util.concurrent.TimeUnit.SECONDS))
+    pool.shutdown()
+    val landedParts = results.zipWithIndex.collect { case (Right(_), i) => i }
+    // disjoint writers never conflict; only retry-budget exhaustion may throw
+    results.collect { case Left(e) => e }.foreach(e =>
+      assert(e.getMessage.contains("commit collision"), e.getMessage))
+    // INVARIANT: every entry of every on-disk manifest resolves to a live dir
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    ManifestTable.versions(spark, root).foreach { v =>
+      val snap = ManifestTable.read(spark, root, schema, asOfVersion = Some(v))
+      snap.count() // scans every referenced dir: throws if one vanished
+    }
+    // every writer that reported success is visible in the final snapshot
+    val finalIds = ManifestTable.read(spark, root, schema)
+      .as[(Long, String)].collect().map(_._1).toSet
+    landedParts.foreach(i => assert(finalIds.contains(i + 100L),
+      s"writer $i landed but its row is missing — silent lost update"))
+    assert(landedParts.nonEmpty)
+  }
+
+  test("publishManifest leaves no orphaned crc sidecars in the table root") {
+    import spark.implicits._
+    import graft.sources.ManifestTable
+    val root = java.nio.file.Files.createTempDirectory("mancrc").toString + "/t"
+    (1 to 3).foreach(i =>
+      ManifestTable.commit(Seq((i.toLong, "a")).toDF("id", "p"), root, Some("p")))
+    val stray = new java.io.File(root).listFiles()
+      .map(_.getName).filter(n => n.endsWith(".crc") && n.contains(".manifest-"))
+    assert(stray.isEmpty, s"orphaned crc sidecars: ${stray.mkString(", ")}")
+  }
+
   test("queries registry and oracle map stay consistent") {
     // every oracle refers to a registered query; both maps non-trivial
     assert(Queries.oracleSql.keySet.subsetOf(Queries.queries.keySet))
