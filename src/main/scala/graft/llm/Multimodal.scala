@@ -84,7 +84,12 @@ object Multimodal {
         new java.io.ByteArrayInputStream(payload)))
       .map(img => (img.getWidth, img.getHeight,
         img.getColorModel.getNumComponents))
-    catch { case _: java.io.IOException => None }
+    // NonFatal, not just IOException: ImageIO plugin readers throw runtime
+    // exceptions (ArrayIndexOutOfBounds, IllegalArgument, CMYK-JPEG CMM
+    // errors) on malformed/truncated payloads — one bad byte stream in a
+    // corpus must fall through to the fake/dead-letter path, not fail the
+    // whole Spark task
+    catch { case scala.util.control.NonFatal(_) => None }
 
   /** Decoded audio metadata a real audio decoder returns. */
   case class AudioMeta(doc_id: Long, sample_rate: Double, channels: Int,
@@ -103,8 +108,9 @@ object Multimodal {
       Some((f.getFormat.getSampleRate.toDouble, f.getFormat.getChannels,
         f.getFrameLength.toLong))
     } catch {
-      case (_: javax.sound.sampled.UnsupportedAudioFileException |
-            _: java.io.IOException) => None
+      // NonFatal for the same reason as [[imageDecode]]: header parsers
+      // throw runtime exceptions on truncated/hostile containers
+      case scala.util.control.NonFatal(_) => None
     }
 
   /** Batch audio-metadata decode, same once-per-partition shape as

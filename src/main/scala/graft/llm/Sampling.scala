@@ -353,10 +353,23 @@ object Sampling {
     * corpus. Returns (id, score, cost) of the selected rows.
     */
   def tokenBudgetSelect(df: DataFrame, idCol: String, scoreCol: Column,
-                        costCol: Column, budget: Long): DataFrame = {
+                        costCol: Column, budget: Long,
+                        maxBuckets: Long = 2000000L): DataFrame = {
     require(budget >= 0, s"budget=$budget")
     val base = df.select(col(idCol), scoreCol.as("__s"),
       costCol.cast("long").as("__c"))
+    // the single-partition window below is safe ONLY because the bucket
+    // relation is distinct-score-bounded; an unquantized continuous score
+    // degenerates it to the corpus row count — the exact global sort this
+    // op exists to avoid. Gate with one HLL pass (map-side partial, no
+    // shuffle state to blow up) and fail loudly instead of silently
+    // running the scale-killer plan.
+    val nBuckets = base.agg(
+      approx_count_distinct(col("__s"), 0.05).as("n")).head().getLong(0)
+    require(nBuckets <= maxBuckets,
+      s"tokenBudgetSelect: ~$nBuckets distinct score values exceed maxBuckets=$maxBuckets — " +
+        "the score looks continuous; quantize it first (round(score, 6) / Sampling.round6) " +
+        "so the bucket cumsum stays bounded, or raise maxBuckets deliberately")
     val buckets = base.groupBy(col("__s")).agg(sum(col("__c")).as("__bc"))
     val wB = Window.orderBy(col("__s").desc)
     val run = buckets.withColumn("__before",

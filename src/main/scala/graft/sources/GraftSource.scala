@@ -34,13 +34,48 @@ import org.apache.spark.sql.types.StructType
   * (`needConversion = false`), so no row-format re-conversion happens.
   */
 class GraftSource extends RelationProvider with SchemaRelationProvider
-    with CreatableRelationProvider with DataSourceRegister {
+    with CreatableRelationProvider with StreamSourceProvider with DataSourceRegister {
 
   override def shortName(): String = "graft"
 
   private def root(parameters: Map[String, String]): String =
     parameters.getOrElse("path", throw new IllegalArgumentException(
       "graft source requires a path — spark.read.format(\"graft\").load(root)"))
+
+  // ------------------- streaming change feed (CDF) --------------------
+  //
+  //   spark.readStream.format("graft").option("key", "id").load(root)
+  //
+  // emits `_change_type`-tagged net-diff rows, one micro-batch per source
+  // commit (see [[org.apache.spark.sql.graft.GraftChangeFeedSource]]).
+  // Options: `key` (comma-separated merge key columns, REQUIRED),
+  // `startingVersion` (seed snapshot version; default earliest on disk),
+  // `maxVersionsPerBatch` (default 1). An explicit `.schema(…)` names the
+  // TABLE columns (no `_change_type`); omitted, the schema is inferred.
+
+  private def streamSchema(sqlContext: SQLContext, schema: Option[StructType],
+                           parameters: Map[String, String]): StructType =
+    schema.getOrElse(
+      ManifestTable.inferSchema(sqlContext.sparkSession, root(parameters)))
+
+  override def sourceSchema(sqlContext: SQLContext, schema: Option[StructType],
+                            providerName: String,
+                            parameters: Map[String, String]): (String, StructType) =
+    (shortName(), org.apache.spark.sql.graft.GraftChangeFeedSource.cdfSchema(
+      streamSchema(sqlContext, schema, parameters)))
+
+  override def createSource(sqlContext: SQLContext, metadataPath: String,
+                            schema: Option[StructType], providerName: String,
+                            parameters: Map[String, String])
+      : org.apache.spark.sql.execution.streaming.Source = {
+    val keys = parameters.getOrElse("key", throw new IllegalArgumentException(
+      "graft stream requires option 'key' — the table's merge key column(s), " +
+        "comma-separated")).split(",").map(_.trim).filter(_.nonEmpty).toSeq
+    new org.apache.spark.sql.graft.GraftChangeFeedSource(
+      sqlContext, root(parameters), streamSchema(sqlContext, schema, parameters),
+      keys, parameters.get("startingVersion").map(_.toLong),
+      parameters.get("maxVersionsPerBatch").map(_.toInt).getOrElse(1))
+  }
 
   override def createRelation(sqlContext: SQLContext,
                               parameters: Map[String, String]): BaseRelation = {
@@ -99,9 +134,29 @@ class GraftSource extends RelationProvider with SchemaRelationProvider
   */
 final case class GraftRelation(sqlContext: SQLContext, root: String,
                                schema: StructType, asOf: Option[Long])
-    extends BaseRelation with PrunedFilteredScan {
+    extends BaseRelation with PrunedFilteredScan with InsertableRelation {
 
   private def spark: SparkSession = sqlContext.sparkSession
+
+  /** SQL write side (VERDICT r13 #4): `INSERT INTO <graft view> SELECT …`
+    * commits a blind append (commutes with any concurrent commit);
+    * `INSERT OVERWRITE` commits a fresh snapshot. The physical partition
+    * column is recovered from the table's own manifest so inserted rows
+    * land partitioned like the rows they join. Spark has already coerced
+    * `data` to this relation's schema by position. MERGE INTO stays
+    * programmatic ([[ManifestTable.mergeDv]]) — the honest V1 limit.
+    */
+  override def insert(data: DataFrame, overwrite: Boolean): Unit = {
+    require(asOf.isEmpty,
+      "cannot INSERT into a time-travel (versionAsOf) graft relation — load the " +
+        "current snapshot instead")
+    val aligned = data.toDF(schema.fieldNames.toIndexedSeq: _*)
+    val partCol = ManifestTable.partitionColumn(spark, root)
+    if (overwrite)
+      ManifestTable.commit(aligned, root, partCol, carryForward = false)
+    else
+      ManifestTable.append(aligned, root, partCol)
+  }
 
   // buildScan hands back InternalRow-backed RDDs from the delegated plan
   override def needConversion: Boolean = false

@@ -405,6 +405,19 @@ object ManifestTable {
 
   private def dvDir(root: String, d: Long): String = s"$root/d${fmt(d)}"
 
+  /** The table's physical partition column, recovered from the current
+    * manifest's hive-style entry names (`col=value`) — None for an
+    * unpartitioned table. The front door's write side uses this so an
+    * `INSERT INTO` lands partitioned like the table it extends.
+    */
+  def partitionColumn(spark: SparkSession, root: String): Option[String] = {
+    val (fs, rootP) = fsOf(spark, root)
+    currentVersion(spark, root).flatMap(v =>
+      entriesOf(fs, rootP, v).collectFirst {
+        case (n, _) if n.contains("=") => n.substring(0, n.indexOf('='))
+      })
+  }
+
   /** Hive-style partition dir name for a value, matching Spark's own
     * partitioned-write rendering (escaped specials; NULL as the Hive
     * default-partition token). The dir text is the value's string form,

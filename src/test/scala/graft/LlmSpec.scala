@@ -572,6 +572,21 @@ class LlmSpec extends SparkSuite {
       .count() == 200L)
   }
 
+  test("tokenBudgetSelect: a continuous (unquantized) score fails loudly with remediation") {
+    import spark.implicits._
+    import graft.llm.Sampling
+    // every score distinct -> the bucket relation would degenerate to the
+    // corpus row count, the single-partition-sort shape the guard forbids
+    val df = (0L until 500L).map(i => (i, i * 0.7919, 5L)).toDF("id", "q", "c")
+    val e = intercept[IllegalArgumentException](
+      Sampling.tokenBudgetSelect(df, "id", col("q"), col("c"), 1000L,
+        maxBuckets = 100L))
+    assert(e.getMessage.contains("quantize"), e.getMessage)
+    // the same data quantized to its safe regime passes the guard
+    assert(Sampling.tokenBudgetSelect(df, "id", round(col("q") / 100, 1),
+      col("c"), 1000L, maxBuckets = 100L).count() > 0)
+  }
+
   test("gram_hashes is callable from SQL text") {
     org.apache.spark.sql.graft.GraftFunctions.registerAll(spark)
     val got = spark.sql("SELECT gram_hashes('abcdefghij', 8) AS g")

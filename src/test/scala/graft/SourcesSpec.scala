@@ -1594,6 +1594,28 @@ class SourcesSpec extends SparkSuite {
     assert(landedParts.nonEmpty)
   }
 
+  test("disk-resident ANN index: probed-cell IN-list prunes index files (q180 composition)") {
+    import spark.implicits._
+    import graft.sources.ManifestTable
+    val root = java.nio.file.Files.createTempDirectory("mannidx").toString + "/t"
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType), StructField("sub", IntegerType),
+      StructField("code", LongType), StructField("cell", LongType)))
+    // 8 cells × 100 codes, range-clustered on cell -> each file holds ~1 cell
+    val codes = (0L until 800L).map(i => (i, (i % 4).toInt, i % 16, i / 100))
+      .toDF("vec_id", "sub", "code", "cell")
+    ManifestTable.commit(codes.repartitionByRange(8, col("cell"), col("vec_id")),
+      root, None, statsCols = Seq("cell"), bloomCols = Seq("cell"))
+    // a 2-cell probe set must open a fraction of the files, not all of them
+    val pred = col("cell").isin(2L, 5L)
+    val (ranges, points, anyOf) = ManifestTable.extractHintsFor(spark, schema, pred)
+    val (kept, total) = ManifestTable.pruneCounts(spark, root, ranges, points, anyOf)
+    assert(total == 8 && kept <= 5, s"kept=$kept of $total")
+    val got = ManifestTable.readAuto(spark, root, schema, pred)
+    assert(got.count() == 200L)
+    assert(got.select("cell").distinct().as[Long].collect().toSet == Set(2L, 5L))
+  }
+
   test("publishManifest leaves no orphaned crc sidecars in the table root") {
     import spark.implicits._
     import graft.sources.ManifestTable

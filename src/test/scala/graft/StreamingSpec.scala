@@ -336,4 +336,79 @@ class StreamingSpec extends SparkSuite {
     assert(byUser(7L) == ((2L, 4.0)))
     assert(byUser(8L) == ((1L, 4.0)))
   }
+
+  test("graft change-feed stream: N source commits arrive as N micro-batches; folded replica == source") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import graft.sources.ManifestTable
+    val baseDir = java.nio.file.Files.createTempDirectory("gstream").toString
+    val src = s"$baseDir/src"; val dst = s"$baseDir/dst"
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("p", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("v", org.apache.spark.sql.types.LongType)))
+    ManifestTable.commit(
+      Seq((1L, "a", 1L), (2L, "b", 2L), (3L, "b", 3L)).toDF("id", "p", "v"),
+      src, Some("p")) // v1: the stream's seed snapshot
+    val stream = spark.readStream.format("graft")
+      .schema(schema).option("key", "id").load(src)
+    assert(stream.isStreaming)
+    assert(stream.columns.toSeq == Seq("_change_type", "id", "p", "v"))
+    val batchSizes = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val q = stream.writeStream.foreachBatch {
+      (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        val b = batch.localCheckpoint()
+        try {
+          batchSizes += b.count()
+          val ups = b.filter(col("_change_type").isin("insert", "update_postimage"))
+            .drop("_change_type")
+          val dels = b.filter(col("_change_type") === "delete").select("id", "p")
+          if (!ManifestTable.exists(spark, dst))
+            ManifestTable.commit(ups, dst, Some("p"))
+          else if (ups.count() + dels.count() > 0)
+            ManifestTable.mergeDv(ups, dst, schema, Seq("id"), Some("p"), Nil, Nil,
+              Some(dels), None)
+        } finally org.apache.spark.sql.graft.Checkpoints.release(b)
+        ()
+    }.option("checkpointLocation", s"$baseDir/ckpt").start()
+    q.processAllAvailable() // batch 0: seed (3 inserts)
+    // v2: merge-on-read upsert; v3: DV delete — committed AFTER stream start
+    ManifestTable.mergeDv(Seq((2L, "b", 22L), (4L, "a", 4L)).toDF("id", "p", "v"),
+      src, schema, Seq("id"), Some("p"), Nil, Nil, None, None)
+    ManifestTable.deleteWhere(spark, src, schema, col("id") === 1L)
+    q.processAllAvailable()
+    q.stop()
+    // one micro-batch per source version: seed, v1->v2 (3 changes: pre+post
+    // for id=2 and insert id=4), v2->v3 (1 delete)
+    assert(batchSizes.toSeq == Seq(3L, 3L, 1L), s"batches: $batchSizes")
+    def snap(r: String) = ManifestTable.read(spark, r, schema)
+      .as[(Long, String, Long)].collect().toSet
+    assert(snap(dst) == snap(src))
+    assert(snap(dst) == Set((2L, "b", 22L), (3L, "b", 3L), (4L, "a", 4L)))
+    // RESTART from the checkpoint: a further source commit arrives as one
+    // batch; nothing before the checkpointed offset replays
+    batchSizes.clear()
+    ManifestTable.mergeDv(Seq((3L, "b", 33L)).toDF("id", "p", "v"),
+      src, schema, Seq("id"), Some("p"), Nil, Nil, None, None)
+    val q2 = spark.readStream.format("graft")
+      .schema(schema).option("key", "id").load(src)
+      .writeStream.foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+          val b = batch.localCheckpoint()
+          try {
+            batchSizes += b.count()
+            val ups = b.filter(col("_change_type").isin("insert", "update_postimage"))
+              .drop("_change_type")
+            val dels = b.filter(col("_change_type") === "delete").select("id", "p")
+            if (ups.count() + dels.count() > 0)
+              ManifestTable.mergeDv(ups, dst, schema, Seq("id"), Some("p"), Nil, Nil,
+                Some(dels), None)
+          } finally org.apache.spark.sql.graft.Checkpoints.release(b)
+          ()
+      }.option("checkpointLocation", s"$baseDir/ckpt").start()
+    q2.processAllAvailable()
+    q2.stop()
+    assert(batchSizes.toSeq == Seq(2L), s"post-restart batches: $batchSizes") // pre+post of id=3
+    assert(snap(dst) == snap(src))
+  }
 }
