@@ -199,8 +199,8 @@ object Bench {
     // id i+1's min seconds (-1 failed, null not run; names recover from
     // SparkEntry.queries, whose numeric ids are unique by construction).
     // ~6 chars per query keeps the whole suite + headline near 1.2k chars.
-    // Locale-pinned formatting: a comma-decimal JVM locale would emit
-    // invalid JSON through f"" (CLAUDE.md lesson).
+    // Locale-pinned formatting: f"" interpolation is locale-sensitive — a
+    // comma-decimal JVM locale would emit invalid JSON.
     def num(v: Double, digits: Int = 3): String =
       String.format(java.util.Locale.ROOT, s"%.${digits}f", Double.box(v))
     val total = done.map(_._2).filter(_ >= 0).sum

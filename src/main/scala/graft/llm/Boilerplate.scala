@@ -24,7 +24,8 @@ import org.apache.spark.sql.functions._
   *     gram set — no row widening, and Zipf guarantees the boilerplate set
   *     (df >= minDf) is orders of magnitude smaller than the gram universe.
   *   - gram positions explode to rows (not array lambdas) so the hashing
-  *     stays inside whole-stage codegen (the CLAUDE.md re-evaluation trap).
+  *     stays inside whole-stage codegen (expressions nested in array
+  *     lambdas re-evaluate per element and never codegen).
   */
 object Boilerplate {
 

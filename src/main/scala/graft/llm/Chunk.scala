@@ -9,8 +9,9 @@ import org.apache.spark.sql.functions._
   * short docs up to a budget, chunking splits long docs down to one.
   *
   * Pure per-row explode — zero shuffles, stays inside whole-stage codegen
-  * (tokens materialized once in their own projection per the CLAUDE.md
-  * array-lambda rule), so a 100 TB corpus chunks at full scan speed.
+  * (tokens materialized once in their own projection — array-lambda
+  * subexpressions re-evaluate per element), so a 100 TB corpus chunks at
+  * full scan speed.
   */
 object Chunk {
 

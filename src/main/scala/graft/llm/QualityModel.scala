@@ -18,8 +18,9 @@ import org.apache.spark.sql.functions._
   *
   * Scale: pure per-row column expressions (no shuffle, no UDF) — the whole
   * classifier fuses into the scan's whole-stage-codegen pipeline. Tokens
-  * must be a MATERIALIZED array column (the CLAUDE.md array-lambda
-  * re-evaluation trap).
+  * must be a MATERIALIZED array column: expressions nested in array
+  * lambdas re-evaluate per element, so an inline tokenizer would re-run
+  * once per probed feature.
   */
 object QualityModel {
 

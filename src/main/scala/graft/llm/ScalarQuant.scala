@@ -88,8 +88,9 @@ object ScalarQuant {
 
   /** Flat top-k over the coded corpus for a broadcast query batch:
     * reconstruction is MATERIALIZED once per vector in its own projection
-    * BEFORE the query cross join (the CLAUDE.md array-lambda rule — inside
-    * the scored projection it would re-evaluate per query), then each
+    * BEFORE the query cross join (array-lambda subexpressions re-evaluate
+    * per element — inside the scored projection the reconstruction would
+    * re-run per query), then each
     * (query, vec) pair pays only the [[ProductQuant.sqDist]]-order
     * difference fold; bounded-heap top-k per query (≤ k rows per query per
     * mapper), ties pinned on vec id.

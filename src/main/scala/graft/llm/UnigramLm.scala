@@ -29,7 +29,7 @@ import org.apache.spark.sql.functions._
   *    rounds then drop pieces that win no occurrence (c=0). Segmentability
   *    is preserved: a word's own best-seg pieces always survive its round.
   *  - Piece log-probs round to 6 decimals at the source (transcendental
-  *    outputs never land on exact halves — CLAUDE.md rule), and the DP adds
+  *    outputs never land on exact half boundaries), and the DP adds
   *    them in one fixed left-to-right order with ties pinned to the
   *    EARLIEST split start, so both engines walk bit-identical doubles.
   */
@@ -163,9 +163,10 @@ object UnigramLm {
     val toks = docs.select(col(idCol),
       explode(TextStats.tokens(Dedup.normalize(col(textCol)))).as("word"))
     // the DP lands in its own projection so the OOV branch below reads the
-    // materialized size instead of re-running the fold per branch (the
-    // CLAUDE.md when(expensive)-rule; __n is non-cheap, so CollapseProject
-    // keeps the two projections separate)
+    // materialized size instead of re-running the fold per branch
+    // (when(expensive > x, expensive.f) re-evaluates the whole tree per
+    // branch; __n is non-cheap, so CollapseProject keeps the two
+    // projections separate)
     val enc = toks.select("word").distinct()
       .crossJoin(broadcast(vm))
       .select(col("word"),
