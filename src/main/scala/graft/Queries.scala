@@ -4734,7 +4734,52 @@ object Queries {
       w AS (SELECT *, row_number() OVER (PARTITION BY query_id
           ORDER BY adc, vec_id) AS rnk FROM sc)
       SELECT query_id, vec_id, adc, CAST(rnk AS INTEGER) AS rank
-      FROM w WHERE rnk <= 5"""))
+      FROM w WHERE rnk <= 5""")),
+
+    // ZERO-DRIVER-CODE continuous replication: readStream(graft) →
+    // writeStream(graft, cdf) — the change feed folds into the replica
+    // through the sink's own mergeDv leg, no foreachBatch in the middle
+    // (q177's driver lambda eliminated; the whole reference pipeline is
+    // now one declarative statement). Exactly-once via the sink's
+    // batch-id marker; the replica must equal the oracle's sequential
+    // merge/delete replay.
+    ("q181_stream_pipeline", (s: SparkSession, d: String) => {
+      import graft.sources.ManifestTable
+      val o = t(s, d, "orders").select(col("o_orderkey"), col("o_custkey"),
+        col("o_orderstatus"), col("o_totalprice"))
+      val schema = StructType(Seq(
+        StructField("o_orderkey", LongType), StructField("o_custkey", LongType),
+        StructField("o_orderstatus", StringType), StructField("o_totalprice", DoubleType)))
+      val base = java.nio.file.Files.createTempDirectory("q181-pipe").toString
+      val src = s"$base/src"; val dst = s"$base/dst"
+      ManifestTable.commit(o, src, Some("o_orderstatus")) // v1: seed
+      ManifestTable.mergeDv( // v2
+        o.filter(pmod(col("o_orderkey"), lit(67)) === 0)
+          .withColumn("o_totalprice", col("o_totalprice") + 300),
+        src, schema, "o_orderkey", Some("o_orderstatus"))
+      ManifestTable.deleteWhere(s, src, schema, // v3
+        pmod(col("o_orderkey"), lit(73)) === 0)
+      val q = s.readStream.format("graft").schema(schema)
+        .option("key", "o_orderkey").load(src)
+        .writeStream.format("graft")
+        .option("partitionBy", "o_orderstatus")
+        .option("mergeKey", "o_orderkey").option("cdf", "true")
+        .option("checkpointLocation", s"$base/ckpt").start(dst)
+      try q.processAllAvailable() finally q.stop()
+      ManifestTable.read(s, dst, schema)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("s"),
+          sum(col("o_orderkey")).as("ok_sum"))
+    }, Some(s"""WITH t AS (SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+        FROM orders),
+      m1 AS (SELECT o_orderkey, o_custkey, o_orderstatus,
+          CASE WHEN o_orderkey % 67 = 0 THEN o_totalprice + 300
+               ELSE o_totalprice END AS o_totalprice FROM t),
+      m2 AS (SELECT * FROM m1 WHERE o_orderkey % 73 <> 0)
+      SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+        ${dsumSql("o_totalprice")} AS s,
+        CAST(CAST(sum(o_orderkey) AS BIGINT) AS BIGINT) AS ok_sum
+      FROM m2 GROUP BY o_orderstatus"""))
   )
 
   /** The BM25 replay shared by q72/q123 — postings, df, dl, corpus stats,

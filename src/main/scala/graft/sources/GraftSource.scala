@@ -34,7 +34,8 @@ import org.apache.spark.sql.types.StructType
   * (`needConversion = false`), so no row-format re-conversion happens.
   */
 class GraftSource extends RelationProvider with SchemaRelationProvider
-    with CreatableRelationProvider with StreamSourceProvider with DataSourceRegister {
+    with CreatableRelationProvider with StreamSourceProvider
+    with StreamSinkProvider with DataSourceRegister {
 
   override def shortName(): String = "graft"
 
@@ -89,6 +90,26 @@ class GraftSource extends RelationProvider with SchemaRelationProvider
                               schema: StructType): BaseRelation =
     GraftRelation(sqlContext, root(parameters), schema,
       parameters.get("versionAsOf").map(_.toLong))
+
+  /** Streaming write side — see
+    * [[org.apache.spark.sql.graft.GraftStreamSink]]. Options:
+    * `partitionBy` (physical partition column), `mergeKey`
+    * (comma-separated: per-batch keyed merge instead of blind append),
+    * `cdf` (with `mergeKey`: fold a `_change_type` change-feed batch —
+    * upserts + deletes — making readStream→writeStream continuous
+    * replication). Batch-id marker makes crash replays exactly-once.
+    */
+  override def createSink(sqlContext: SQLContext,
+                          parameters: Map[String, String],
+                          partitionColumns: Seq[String],
+                          outputMode: org.apache.spark.sql.streaming.OutputMode)
+      : org.apache.spark.sql.execution.streaming.Sink = {
+    val keys = parameters.get("mergeKey")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
+    new org.apache.spark.sql.graft.GraftStreamSink(sqlContext, root(parameters),
+      parameters.get("partitionBy").orElse(partitionColumns.headOption),
+      keys, parameters.get("cdf").exists(_.toBoolean))
+  }
 
   /** Write side: `Overwrite` = snapshot commit, `Append` = blind append
     * (commutes with any concurrent commit); `partitionBy` option names the

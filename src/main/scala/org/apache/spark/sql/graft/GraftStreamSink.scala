@@ -1,0 +1,111 @@
+package org.apache.spark.sql.graft
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SQLContext}
+import org.apache.spark.sql.execution.streaming.Sink
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types.StructType
+
+import graft.sources.ManifestTable
+
+/** Structured-Streaming SINK for [[graft.sources.ManifestTable]] —
+  * `df.writeStream.format("graft").option(…).start(root)` — the write half
+  * of the continuous lakehouse loop (the read half is
+  * [[GraftChangeFeedSource]]). Three per-batch commit shapes:
+  *
+  *  - default: BLIND APPEND (O(batch) write, commutes with any concurrent
+  *    commit) — the event-log / audit-log sink.
+  *  - `mergeKey = k1[,k2…]`: keyed MERGE per micro-batch
+  *    ([[ManifestTable.mergeDv]], O(batch + matched positions)) — the
+  *    continuously-upserted table.
+  *  - `mergeKey` + `cdf = true`: the batch carries `_change_type` rows (a
+  *    [[GraftChangeFeedSource]] feed): inserts/update-postimages upsert,
+  *    deletes delete, preimages drop — so
+  *    `readStream.format("graft") → writeStream.format("graft")` IS
+  *    continuous replication, the reference's Mongo→BigQuery loop
+  *    (src/process_insert_update_weather_data.py:166-187) as one
+  *    declarative pipeline with no driver code in the middle.
+  *
+  * EXACTLY-ONCE: Structured Streaming replays the same `batchId` after a
+  * crash; the sink records the last committed id in a `_sink.batch` file
+  * (written AFTER the table commit — at-least-once) and skips batches at
+  * or below it, so a replayed batch never double-appends. One streaming
+  * writer per table, like every manifest committer; the keyed-merge
+  * shapes are additionally idempotent per batch content.
+  *
+  * Lives in `org.apache.spark.sql.graft`: the V1 sink seam
+  * (`execution.streaming.Sink`) and the streaming→batch plan re-rooting
+  * (`internalCreateDataFrame`) are package-private to Spark.
+  */
+class GraftStreamSink(sqlContext: SQLContext, root: String,
+                      partCol: Option[String], mergeKeys: Seq[String],
+                      cdf: Boolean) extends Sink {
+
+  private val spark = sqlContext.sparkSession
+
+  private def markerPath = new Path(root, "_sink.batch")
+
+  private def lastCommitted(): Long = {
+    val fs = markerPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(markerPath)) -1L
+    else {
+      val in = fs.open(markerPath)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLong
+      finally in.close()
+    }
+  }
+
+  private def writeMarker(batchId: Long): Unit = {
+    val fs = markerPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(markerPath, true)
+    try out.write(batchId.toString.getBytes("UTF-8")) finally out.close()
+  }
+
+  override def addBatch(batchId: Long, data: DataFrame): Unit = {
+    if (batchId <= lastCommitted()) return // crash-replay of a committed batch
+    // re-root the micro-batch plan as a batch relation (the engine hands a
+    // streaming-tagged plan; writes need the batch form), materialized once
+    // because the merge shapes consume it several times
+    val batch = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .internalCreateDataFrame(data.queryExecution.toRdd, data.schema,
+        isStreaming = false)
+      .localCheckpoint()
+    try {
+      if (cdf) {
+        require(mergeKeys.nonEmpty,
+          "graft sink: cdf mode requires option 'mergeKey' (the table's merge key columns)")
+        require(batch.columns.contains("_change_type"),
+          "graft sink: cdf mode expects a _change_type column (a graft change-feed stream)")
+        val tableSchema = StructType(data.schema.fields.filterNot(_.name == "_change_type"))
+        val ups = batch.filter(col("_change_type").isin("insert", "update_postimage"))
+          .drop("_change_type")
+        val delCols = (mergeKeys ++ partCol.toSeq).distinct
+        val dels = batch.filter(col("_change_type") === "delete")
+          .select(delCols.map(col): _*)
+        val delParts = partCol.map { pc =>
+          dels.select(col(pc)).distinct().collect()
+            .map(r => ManifestTable.partDirName(pc, r.get(0))).toSeq
+        }
+        if (!ManifestTable.exists(spark, root))
+          ManifestTable.commit(ups, root, partCol)
+        else if (ups.limit(1).count() + dels.limit(1).count() > 0)
+          ManifestTable.mergeDv(ups, root, tableSchema, mergeKeys, partCol,
+            Nil, Nil, Some(dels), delParts)
+      } else if (mergeKeys.nonEmpty) {
+        if (!ManifestTable.exists(spark, root))
+          ManifestTable.commit(batch, root, partCol)
+        else if (batch.limit(1).count() > 0)
+          ManifestTable.mergeDv(batch, root, data.schema, mergeKeys, partCol,
+            Nil, Nil, None, None)
+      } else {
+        if (!ManifestTable.exists(spark, root))
+          ManifestTable.commit(batch, root, partCol)
+        else if (batch.limit(1).count() > 0)
+          ManifestTable.append(batch, root, partCol)
+      }
+      writeMarker(batchId)
+    } finally Checkpoints.release(batch)
+  }
+
+  override def toString: String = s"GraftStreamSink[$root]"
+}

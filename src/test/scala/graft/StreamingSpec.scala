@@ -411,4 +411,65 @@ class StreamingSpec extends SparkSuite {
     assert(batchSizes.toSeq == Seq(2L), s"post-restart batches: $batchSizes") // pre+post of id=3
     assert(snap(dst) == snap(src))
   }
+
+  test("graft streaming sink: append mode lands batches exactly once; replayed batchId is a no-op") {
+    import spark.implicits._
+    import graft.sources.ManifestTable
+    implicit val sq = spark.sqlContext
+    val baseDir = java.nio.file.Files.createTempDirectory("gsink").toString
+    val root = s"$baseDir/t"
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("p", org.apache.spark.sql.types.StringType)))
+    val src = MemoryStream[(Long, String)]
+    val q = src.toDF().toDF("id", "p")
+      .writeStream.format("graft").option("partitionBy", "p")
+      .option("checkpointLocation", s"$baseDir/ckpt").start(root)
+    src.addData((1L, "a"), (2L, "b"))
+    q.processAllAvailable()
+    src.addData((3L, "a"))
+    q.processAllAvailable()
+    q.stop()
+    def rows() = ManifestTable.read(spark, root, schema)
+      .as[(Long, String)].collect().toSet
+    assert(rows() == Set((1L, "a"), (2L, "b"), (3L, "a")))
+    // a crash-replay re-delivers the SAME batchId: must not double-append
+    val sink = new org.apache.spark.sql.graft.GraftStreamSink(
+      spark.sqlContext, root, Some("p"), Nil, cdf = false)
+    sink.addBatch(1L, Seq((3L, "a")).toDF("id", "p"))
+    assert(rows() == Set((1L, "a"), (2L, "b"), (3L, "a"))) // unchanged
+    // a genuinely new batch id lands
+    sink.addBatch(2L, Seq((4L, "b")).toDF("id", "p"))
+    assert(rows() == Set((1L, "a"), (2L, "b"), (3L, "a"), (4L, "b")))
+  }
+
+  test("readStream -> writeStream(cdf): continuous replication with zero driver code") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import graft.sources.ManifestTable
+    val baseDir = java.nio.file.Files.createTempDirectory("gpipe").toString
+    val src = s"$baseDir/src"; val dst = s"$baseDir/dst"
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("p", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("v", org.apache.spark.sql.types.LongType)))
+    ManifestTable.commit(
+      Seq((1L, "a", 1L), (2L, "b", 2L), (3L, "b", 3L)).toDF("id", "p", "v"),
+      src, Some("p"))
+    val q = spark.readStream.format("graft").schema(schema)
+      .option("key", "id").load(src)
+      .writeStream.format("graft")
+      .option("partitionBy", "p").option("mergeKey", "id").option("cdf", "true")
+      .option("checkpointLocation", s"$baseDir/ckpt").start(dst)
+    q.processAllAvailable() // seed replicated
+    ManifestTable.mergeDv(Seq((2L, "b", 22L), (4L, "a", 4L)).toDF("id", "p", "v"),
+      src, schema, Seq("id"), Some("p"), Nil, Nil, None, None)
+    ManifestTable.deleteWhere(spark, src, schema, col("id") === 3L)
+    q.processAllAvailable()
+    q.stop()
+    def snap(r: String) = ManifestTable.read(spark, r, schema)
+      .as[(Long, String, Long)].collect().toSet
+    assert(snap(dst) == snap(src))
+    assert(snap(dst) == Set((1L, "a", 1L), (2L, "b", 22L), (4L, "a", 4L)))
+  }
 }
