@@ -486,6 +486,58 @@ object StressBench {
         org.apache.spark.sql.graft.Checkpoints.release(batch)
       }
     }
+    // r14: STREAMING REPLICATION cost curve — the change-feed stream's
+    // O(changed rows) claim measured. Source at 1x/4x/16x with the
+    // partition count scaling alongside (8f dirs of ~constant size — the
+    // 100 TB layout posture); after the seed micro-batch (O(table), grows),
+    // a change set confined to 8 FIXED-size partitions replays through
+    // readStream(graft) -> writeStream(cdf) and its wall time must stay
+    // ~flat: the feed opens only the touched partitions' versions, the
+    // sink's merge writes O(batch + matched positions).
+    if (onlyOps.forall(_.exists("cdf_stream".startsWith))) {
+      import org.apache.spark.sql.types._
+      val schema = StructType(Seq(
+        StructField("id", LongType), StructField("p", StringType),
+        StructField("v", DoubleType)))
+      for (f <- Seq(1, 4, 16)) {
+        val pn = 8 * f
+        val rows = Tables(spark, sfDir, "lineitem")
+          .select((col("l_orderkey") * 10 + col("l_linenumber")).as("id0"),
+            col("l_extendedprice").as("v"))
+          .crossJoin(spark.range(f).select(col("id").as("rep")))
+          .select((col("id0") * f + col("rep")).as("id"),
+            concat(lit("p"), pmod(col("id0") * f + col("rep"), lit(pn))).as("p"),
+            col("v"))
+        val base = java.nio.file.Files.createTempDirectory("cdfstr").toString
+        val src = s"$base/src"; val dst = s"$base/dst"
+        graft.sources.ManifestTable.commit(rows, src, Some("p"))
+        val q = spark.readStream.format("graft").schema(schema)
+          .option("key", "id").load(src)
+          .writeStream.format("graft")
+          .option("partitionBy", "p").option("mergeKey", "id").option("cdf", "true")
+          .option("checkpointLocation", s"$base/ckpt").start(dst)
+        val t0 = System.nanoTime(); q.processAllAvailable()
+        val seedSec = (System.nanoTime() - t0) / 1e9
+        // the change set lives entirely in partitions p0..p7 (fixed count,
+        // ~fixed size at every f) — upserts + a delete leg with the
+        // partition hint, one source commit
+        val hotPred = pmod(col("id"), lit(pn)) < 8
+        val batch = rows.filter(hotPred && col("id") % 599 === 0)
+          .withColumn("v", col("v") * 2).localCheckpoint()
+        val dels = rows.filter(hotPred && col("id") % 1013 === 0)
+          .select("id", "p").localCheckpoint()
+        val hotDirs = (0 until 8).map(i =>
+          graft.sources.ManifestTable.partDirName("p", s"p$i"))
+        graft.sources.ManifestTable.mergeDv(batch, src, schema, Seq("id"),
+          Some("p"), Nil, Nil, Some(dels), Some(hotDirs))
+        val t1 = System.nanoTime(); q.processAllAvailable()
+        val incSec = (System.nanoTime() - t1) / 1e9
+        q.stop()
+        println(f"""[stress] {"op":"cdf_stream","factor":$f,"seed_sec":$seedSec%.2f,"inc_sec":$incSec%.2f}""")
+        org.apache.spark.sql.graft.Checkpoints.release(batch)
+        org.apache.spark.sql.graft.Checkpoints.release(dels)
+      }
+    }
     // r13 (VERDICT r12 #7): PRODUCTION-ks recall. The 0.30-0.43 PQ recalls
     // above are a toy-ks=16 artifact — 2^4 codes per subspace cannot
     // separate 32k perturbation-densified neighbors. ks=256 (the
