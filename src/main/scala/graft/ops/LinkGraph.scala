@@ -125,9 +125,15 @@ object LinkGraph {
     */
   def triangleStats(edges: DataFrame, aCol: String = "a",
                     bCol: String = "b"): DataFrame = {
-    val e = edges.select(col(aCol).as("a"), col(bCol).as("b"))
+    // MULTI-CONSUMER lineage is materialized once: `e` feeds deg + the
+    // orientation join, `ed` is consumed THREE times (both wedge legs and
+    // the closing join) — unmaterialized, the caller's edge construction
+    // (often a distinct-ed self-join) would re-run three times. The
+    // node-sized result is materialized so the edge-sized intermediates
+    // can be released before returning.
+    val e = edges.select(col(aCol).as("a"), col(bCol).as("b")).localCheckpoint()
     val deg = e.select(col("a").as("v")).unionAll(e.select(col("b").as("v")))
-      .groupBy("v").agg(count(lit(1)).as("deg"))
+      .groupBy("v").agg(count(lit(1)).as("deg")).localCheckpoint()
     val lower = col("da") < col("db") || (col("da") === col("db") && col("a") < col("b"))
     val ed = e
       .join(deg.select(col("v").as("a"), col("deg").as("da")), Seq("a"))
@@ -135,6 +141,7 @@ object LinkGraph {
       .select(when(lower, col("a")).otherwise(col("b")).as("u"),
         when(lower, col("b")).otherwise(col("a")).as("w"),
         when(lower, col("db")).otherwise(col("da")).as("dw"))
+      .localCheckpoint()
     val x = ed.select(col("u"), col("w").as("p"), col("dw").as("dp"))
     val y = ed.select(col("u"), col("w").as("q"), col("dw").as("dq"))
     val wedges = x.join(y, Seq("u"))
@@ -143,8 +150,11 @@ object LinkGraph {
       .select(col("u"), col("p"), col("q"))
     val tn = tris.select(explode(array(col("u"), col("p"), col("q"))).as("v"))
       .groupBy("v").agg(count(lit(1)).as("tri"))
-    deg.join(tn, Seq("v"), "left")
+    val out = deg.join(tn, Seq("v"), "left")
       .select(col("v").as("node"), col("deg"),
         coalesce(col("tri"), lit(0L)).as("tri"))
+      .localCheckpoint()
+    Seq(e, deg, ed).foreach(org.apache.spark.sql.graft.Checkpoints.release)
+    out
   }
 }
