@@ -4779,7 +4779,28 @@ object Queries {
       SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
         ${dsumSql("o_totalprice")} AS s,
         CAST(CAST(sum(o_orderkey) AS BIGINT) AS BIGINT) AS ok_sum
-      FROM m2 GROUP BY o_orderstatus"""))
+      FROM m2 GROUP BY o_orderstatus""")),
+
+    // mongoexport EXTENDED-JSON rendering — the reverse wire leg of q169's
+    // dump reader: a relational slice rendered as mongoimport-compatible
+    // relaxed extended JSON ($oid synthetic id, $numberLong integral
+    // wrappers, $date ISO millis), byte-identical to DuckDB's own string
+    // assembly of the same lines. Round-trip through the q169 reader is
+    // asserted in SourcesSpec; this oracles the exact wire bytes.
+    ("q182_mongo_render", (s: SparkSession, d: String) => {
+      val o = t(s, d, "orders").filter(pmod(col("o_orderkey"), lit(89)) === 0)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_totalprice"), col("o_orderdate").cast("timestamp").as("o_orderdate"))
+      graft.sources.Sinks.renderMongoExport(o, "o_orderkey")
+    }, Some("""SELECT '{"_id":{"$oid":"' || lpad(lower(to_hex(o_orderkey)), 24, '0')
+        || '"},"o_orderkey":{"$numberLong":"' || CAST(o_orderkey AS VARCHAR)
+        || '"},"o_orderstatus":"'
+        || replace(replace(o_orderstatus, '\', '\\'), '"', '\"')
+        || '","o_totalprice":' || CAST(o_totalprice AS VARCHAR)
+        || ',"o_orderdate":{"$date":"'
+        || strftime(CAST(o_orderdate AS TIMESTAMP), '%Y-%m-%dT%H:%M:%S.%g')
+        || 'Z"}}' AS doc
+      FROM orders WHERE o_orderkey % 89 = 0"""))
   )
 
   /** The BM25 replay shared by q72/q123 — postings, df, dl, corpus stats,

@@ -97,7 +97,10 @@ class GraftSource extends RelationProvider with SchemaRelationProvider
     * (comma-separated: per-batch keyed merge instead of blind append),
     * `cdf` (with `mergeKey`: fold a `_change_type` change-feed batch —
     * upserts + deletes — making readStream→writeStream continuous
-    * replication). Batch-id marker makes crash replays exactly-once.
+    * replication), `compactEvery` (fold the merge-on-read append log into
+    * one clean version every N batches and vacuum with one version
+    * retained — the inline OPTIMIZE cadence). Batch-id marker makes crash
+    * replays exactly-once.
     */
   override def createSink(sqlContext: SQLContext,
                           parameters: Map[String, String],
@@ -108,7 +111,8 @@ class GraftSource extends RelationProvider with SchemaRelationProvider
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
     new org.apache.spark.sql.graft.GraftStreamSink(sqlContext, root(parameters),
       parameters.get("partitionBy").orElse(partitionColumns.headOption),
-      keys, parameters.get("cdf").exists(_.toBoolean))
+      keys, parameters.get("cdf").exists(_.toBoolean),
+      parameters.get("compactEvery").map(_.toInt).getOrElse(0))
   }
 
   /** Write side: `Overwrite` = snapshot commit, `Append` = blind append

@@ -197,6 +197,48 @@ object Sinks {
     when(c.isNull, lit("NULL")).otherwise(v)
   }
 
+  /** One mongoimport-compatible EXTENDED-JSON line per row (relaxed mode)
+    * — the REVERSE wire leg of [[Sources.mongoExportFile]], closing the
+    * lake round trip: the reference exports FROM MongoDB
+    * (mongoexport dumps; reference: README.md data layout) and this
+    * renders a relational slice back INTO that exact format, so a graft
+    * table feeds `mongoimport` without a live connection. Conventions
+    * (all round-trip through the reader's [[graft.cdc.Dispatch.stripExtended]]
+    * decoder, asserted in SourcesSpec):
+    *  - `_id`: `{"$oid": "<24-hex of idCol>"}` (deterministic synthetic
+    *    ObjectId — zero-padded hex of the key, the q169 convention);
+    *  - integral columns: `{"$numberLong": "<v>"}` (canonical wrapper, so
+    *    64-bit keys survive JSON readers that parse numbers as doubles);
+    *  - timestamps: `{"$date": "ISO-8601 millis Z"}` (relaxed form);
+    *  - strings JSON-escaped, booleans/doubles plain, NULL as `null`.
+    */
+  def renderMongoExport(df: DataFrame, idCol: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    def jstr(c: org.apache.spark.sql.Column) = concat(lit("\""),
+      regexp_replace(regexp_replace(c, "\\\\", "\\\\\\\\"), "\"", "\\\\\""),
+      lit("\""))
+    def frag(f: StructField): org.apache.spark.sql.Column = {
+      val c = col(f.name)
+      val v = f.dataType match {
+        case StringType => jstr(c)
+        case LongType | IntegerType | ShortType | ByteType =>
+          concat(lit("{\"$numberLong\":\""), c.cast("string"), lit("\"}"))
+        case TimestampType => concat(lit("{\"$date\":\""),
+          date_format(c, "yyyy-MM-dd'T'HH:mm:ss.SSS'Z'"), lit("\"}"))
+        case BooleanType | DoubleType | FloatType => c.cast("string")
+        case other => throw new IllegalArgumentException(
+          s"renderMongoExport: unsupported column type $other for ${f.name}")
+      }
+      concat(lit(s"""\"${f.name}\":"""),
+        when(c.isNull, lit("null")).otherwise(v))
+    }
+    val oid = concat(lit("\"_id\":{\"$oid\":\""),
+      lpad(lower(conv(col(idCol).cast("string"), 10, 16)), 24, "0"), lit("\"}"))
+    df.select(concat(lit("{"),
+      concat_ws(",", (oid +: df.schema.fields.toSeq.map(frag)): _*),
+      lit("}")).as("doc"))
+  }
+
   /** One `INSERT INTO table (cols) VALUES (...)` statement per row. */
   def renderInserts(df: DataFrame, table: String): DataFrame = {
     val fields = df.schema.fields.toSeq

@@ -39,7 +39,7 @@ import graft.sources.ManifestTable
   */
 class GraftStreamSink(sqlContext: SQLContext, root: String,
                       partCol: Option[String], mergeKeys: Seq[String],
-                      cdf: Boolean) extends Sink {
+                      cdf: Boolean, compactEvery: Int = 0) extends Sink {
 
   private val spark = sqlContext.sparkSession
 
@@ -104,6 +104,17 @@ class GraftStreamSink(sqlContext: SQLContext, root: String,
           ManifestTable.append(batch, root, partCol)
       }
       writeMarker(batchId)
+      // the merge-on-read + OPTIMIZE pairing, inline: per-batch appends
+      // accrete files and DV rows; every `compactEvery` batches the sink
+      // folds the append log into one clean version and vacuums with ONE
+      // version retained (an inline vacuum must keep >= 1 or a concurrent
+      // reader's resolved snapshot is deleted mid-scan)
+      if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0
+          && ManifestTable.exists(spark, root)) {
+        val tableSchema = ManifestTable.inferSchema(spark, root)
+        ManifestTable.compact(spark, root, tableSchema, partCol)
+        ManifestTable.vacuum(spark, root, retainVersions = 1)
+      }
     } finally Checkpoints.release(batch)
   }
 

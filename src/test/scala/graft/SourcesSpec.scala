@@ -1616,6 +1616,38 @@ class SourcesSpec extends SparkSuite {
     assert(got.select("cell").distinct().as[Long].collect().toSet == Set(2L, 5L))
   }
 
+  test("renderMongoExport round-trips through the mongoexport reader, escapes and nulls intact") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, """he said "hi" \ bye""", 12.5, Some(java.sql.Timestamp.valueOf("2024-01-02 03:04:05.678")), Some(true)),
+      (2L, null.asInstanceOf[String], -0.25, None, Some(false)),
+      (255L, "plain", 3.0, Some(java.sql.Timestamp.valueOf("1996-01-02 00:00:00")), None))
+    val df = rows.toDF("id", "s", "x", "ts", "b")
+    val rendered = graft.sources.Sinks.renderMongoExport(df, "id")
+    val docs = rendered.as[String].collect()
+    assert(docs.forall(d => d.startsWith("{\"_id\":{\"$oid\":\"") && d.endsWith("}")))
+    assert(docs.exists(_.contains("\"$oid\":\"0000000000000000000000ff\"")))
+    assert(docs.exists(_.contains("\"s\":null")))
+    assert(docs.exists(_.contains("{\"$date\":\"2024-01-02T03:04:05.678Z\"}")))
+    // every line parses as JSON and the reader recovers the exact values
+    val dir = java.nio.file.Files.createTempDirectory("mexp").toString
+    rendered.coalesce(1).write.text(s"$dir/dump")
+    val schema = StructType(Seq(
+      StructField("_id", StringType), StructField("id", LongType),
+      StructField("s", StringType), StructField("x", DoubleType),
+      StructField("ts", StringType), StructField("b", BooleanType)))
+    val back = graft.sources.Sources.mongoExportFile(spark, s"$dir/dump", schema)
+    assert(back.filter(col("_malformed")).count() == 0)
+    val got = back.select("id", "s", "x", "b").collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)), r.getDouble(2),
+        if (r.isNullAt(3)) None else Some(r.getBoolean(3)))).toSet
+    assert(got == rows.map(r => (r._1, Option(r._2), r._3, r._5)).toSet)
+    // wire dates come back as strings the CDC date parser promotes
+    val ts = back.filter(col("id") === 1L)
+      .select(graft.cdc.Dispatch.parseWireDate(col("ts"))).head().getTimestamp(0)
+    assert(ts == java.sql.Timestamp.valueOf("2024-01-02 03:04:05.678"))
+  }
+
   test("publishManifest leaves no orphaned crc sidecars in the table root") {
     import spark.implicits._
     import graft.sources.ManifestTable

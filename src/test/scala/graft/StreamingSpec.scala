@@ -443,6 +443,43 @@ class StreamingSpec extends SparkSuite {
     assert(rows() == Set((1L, "a"), (2L, "b"), (3L, "a"), (4L, "b")))
   }
 
+  test("graft sink compactEvery bounds file and version counts across many merge batches") {
+    import spark.implicits._
+    import graft.sources.ManifestTable
+    implicit val sq = spark.sqlContext
+    val baseDir = java.nio.file.Files.createTempDirectory("gcomp").toString
+    val root = s"$baseDir/t"
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("p", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("v", org.apache.spark.sql.types.LongType)))
+    val src = MemoryStream[(Long, String, Long)]
+    val q = src.toDF().toDF("id", "p", "v")
+      .writeStream.format("graft")
+      .option("partitionBy", "p").option("mergeKey", "id")
+      .option("compactEvery", "2")
+      .option("checkpointLocation", s"$baseDir/ckpt").start(root)
+    // 6 merge batches, each upserting the same 2 keys + inserting one new
+    for (i <- 1L to 6L) {
+      src.addData((1L, "a", i), (2L, "b", i * 10), (100L + i, "a", i))
+      q.processAllAvailable()
+    }
+    q.stop()
+    assert(ManifestTable.read(spark, root, schema)
+      .as[(Long, String, Long)].collect().toSet ==
+      ((1L to 6L).map(i => (100L + i, "a", i)).toSet
+        + ((1L, "a", 6L)) + ((2L, "b", 60L))))
+    // compaction folded the append log: only the retained window of
+    // versions is on disk (current + 1 behind), each partition one file
+    val vs = ManifestTable.versions(spark, root)
+    assert(vs.size <= 4, s"versions on disk: $vs")
+    val files = ManifestTable.detail(spark, root).map(_._3).sum
+    assert(files <= 8, s"live files: $files")
+    // only the post-compact batches' masked positions remain (bounded by
+    // one batch's upserts), never the 6-batch accumulation
+    assert(ManifestTable.deletedRowCount(spark, root) <= 2L)
+  }
+
   test("readStream -> writeStream(cdf): continuous replication with zero driver code") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
