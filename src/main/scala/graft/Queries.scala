@@ -4800,7 +4800,34 @@ object Queries {
         || ',"o_orderdate":{"$date":"'
         || strftime(CAST(o_orderdate AS TIMESTAMP), '%Y-%m-%dT%H:%M:%S.%g')
         || 'Z"}}' AS doc
-      FROM orders WHERE o_orderkey % 89 = 0"""))
+      FROM orders WHERE o_orderkey % 89 = 0""")),
+
+    // Benchmark decontamination (GPT-3 appendix C / Llama eval hygiene):
+    // word-4-gram overlap between a training slice and a held-out
+    // "benchmark" slice — benchmark gram-hash set broadcast, training
+    // grams exploded once, per-doc collision counts. The partial-overlap
+    // leak [[Split]]'s exact fingerprints cannot see.
+    ("q183_decontam", (s: SparkSession, d: String) => {
+      val docs = t(s, d, "documents")
+      val bench = docs.filter(pmod(col("doc_id"), lit(11)) === 0)
+      val train = docs.filter(pmod(col("doc_id"), lit(11)) =!= 0)
+      graft.llm.Decontam.gramHits(train, bench, "doc_id", "text", n = 4)
+    }, Some("""WITH d AS (SELECT doc_id,
+        list_filter(string_split_regex(trim(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')), ' '),
+                    x -> x <> '') AS w
+        FROM documents),
+      tr AS (SELECT * FROM d WHERE doc_id % 11 <> 0),
+      be AS (SELECT * FROM d WHERE doc_id % 11 = 0),
+      bg AS (SELECT DISTINCT md5(array_to_string(
+          w[CAST(pos AS INTEGER):CAST(pos + 3 AS INTEGER)], ' ')) AS g
+        FROM (SELECT w, unnest(range(1, len(w) - 2)) AS pos FROM be)),
+      tg AS (SELECT doc_id, md5(array_to_string(
+          w[CAST(pos AS INTEGER):CAST(pos + 3 AS INTEGER)], ' ')) AS g
+        FROM (SELECT doc_id, w, unnest(range(1, len(w) - 2)) AS pos FROM tr)),
+      h AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+          CAST(sum(CASE WHEN g IN (SELECT g FROM bg) THEN 1 ELSE 0 END) AS BIGINT) AS hits
+        FROM tg GROUP BY doc_id)
+      SELECT doc_id, n_grams, hits FROM h WHERE hits > 0"""))
   )
 
   /** The BM25 replay shared by q72/q123 — postings, df, dl, corpus stats,

@@ -587,6 +587,33 @@ class LlmSpec extends SparkSuite {
       col("c"), 1000L, maxBuckets = 100L).count() > 0)
   }
 
+  test("Decontam: n-gram collisions flag partial overlap that exact fingerprints miss") {
+    import spark.implicits._
+    import graft.llm.Decontam
+    val bench = Seq((100L, "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text")
+    val train = Seq(
+      (1L, "completely unrelated words about spark and tables"),
+      // quotes a 5-word benchmark span inside a larger doc — NOT an exact dup
+      (2L, "intro text then the quick brown fox jumps and more content here"),
+      (3L, "short doc"), // fewer than n tokens: no windows, passes
+      (4L, "THE  Quick   brown FOX jumps")) // normalization: case + whitespace
+      .toDF("doc_id", "text")
+    val hits = Decontam.gramHits(train, bench, "doc_id", "text", n = 4)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(!hits.contains(1L) && !hits.contains(3L))
+    // doc 2: windows "the quick brown fox" + "quick brown fox jumps" collide
+    assert(hits(2L)._2 == 2L)
+    // doc 4: 5 normalized tokens -> 2 windows, both benchmark spans
+    assert(hits(4L) == ((2L, 2L)))
+    val clean = Decontam.filterClean(train, bench, "doc_id", "text", n = 4)
+      .select("doc_id").as[Long].collect().toSet
+    assert(clean == Set(1L, 3L))
+    // maxHits tolerance keeps low-overlap docs
+    assert(Decontam.filterClean(train, bench, "doc_id", "text", 4, maxHits = 2L)
+      .count() == 4L)
+  }
+
   test("gram_hashes is callable from SQL text") {
     org.apache.spark.sql.graft.GraftFunctions.registerAll(spark)
     val got = spark.sql("SELECT gram_hashes('abcdefghij', 8) AS g")
