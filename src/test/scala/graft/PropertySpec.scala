@@ -356,4 +356,61 @@ class PropertySpec extends SparkSuite {
       }
     }
   }
+
+  test("composite-key mergeDv equals a driver-side map replay on random dup-heavy op sequences") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import graft.sources.ManifestTable
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("k1", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("k2", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("p", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("v", org.apache.spark.sql.types.LongType)))
+    for (seed <- 1 to 3) {
+      val rnd = new scala.util.Random(4200 + seed)
+      // tiny composite keyspace -> heavy k1 duplication (the lineitem trap);
+      // the partition is a pure function of the key (immutability contract)
+      def randKey() = (rnd.nextInt(6).toLong, rnd.nextInt(5).toLong)
+      def partOf(k: (Long, Long)) = "p" + (k._1 % 3)
+      var model = Map.empty[(Long, Long), Long]
+      val root = java.nio.file.Files.createTempDirectory(s"mdvprop$seed").toString + "/t"
+      val init = (1 to 20).map(_ => randKey()).distinct.map { k =>
+        val v = rnd.nextLong() % 1000
+        model += k -> v
+        (k._1, k._2, partOf(k), v)
+      }
+      ManifestTable.commit(init.toDF("k1", "k2", "p", "v"), root, Some("p"))
+      val v0 = ManifestTable.currentVersion(spark, root).get
+      for (_ <- 1 to 3) {
+        val ups = (1 to 8).map(_ => randKey()).distinct.map { k =>
+          (k, rnd.nextLong() % 1000)
+        }
+        val dels = (1 to 5).map(_ => randKey()).distinct
+        // model replay of ONE merge commit: deletes and upsert supersessions
+        // mask pre-merge copies; a key in both legs keeps the upsert
+        model = (model -- dels -- ups.map(_._1)) ++ ups.map { case (k, v) => k -> v }
+        ManifestTable.mergeDv(
+          ups.map { case (k, v) => (k._1, k._2, partOf(k), v) }.toDF("k1", "k2", "p", "v"),
+          root, schema, Seq("k1", "k2"), Some("p"), Nil, Nil,
+          Some(dels.map(k => (k._1, k._2)).toDF("k1", "k2")),
+          Some(dels.map(k => ManifestTable.partDirName("p", partOf(k))).distinct))
+      }
+      val got = ManifestTable.read(spark, root, schema)
+        .as[(Long, Long, String, Long)].collect()
+        .map(r => (r._1, r._2) -> r._4).toMap
+      assert(got == model, s"seed $seed final state")
+      // the net change feed over the whole range equals the model diff
+      val vN = ManifestTable.currentVersion(spark, root).get
+      val ch = ManifestTable.changes(spark, root, schema, Seq("k1", "k2"), v0, vN)
+        .select("_change_type", "k1", "k2")
+        .as[(String, Long, Long)].collect()
+      val initM = init.map(r => (r._1, r._2) -> r._4).toMap
+      val expIns = model.keySet -- initM.keySet
+      val expDel = initM.keySet -- model.keySet
+      val expUpd = (model.keySet & initM.keySet).filter(k => model(k) != initM(k))
+      assert(ch.collect { case ("insert", a, b) => (a, b) }.toSet == expIns, s"seed $seed ins")
+      assert(ch.collect { case ("delete", a, b) => (a, b) }.toSet == expDel, s"seed $seed del")
+      assert(ch.collect { case ("update_postimage", a, b) => (a, b) }.toSet == expUpd, s"seed $seed upd")
+    }
+  }
 }
