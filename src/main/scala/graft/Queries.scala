@@ -4827,7 +4827,45 @@ object Queries {
       h AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
           CAST(sum(CASE WHEN g IN (SELECT g FROM bg) THEN 1 ELSE 0 END) AS BIGINT) AS hits
         FROM tg GROUP BY doc_id)
-      SELECT doc_id, n_grams, hits FROM h WHERE hits > 0"""))
+      SELECT doc_id, n_grams, hits FROM h WHERE hits > 0""")),
+
+    // RESTORE + metadata-only row count: a bad merge + delete are rolled
+    // back by publishing the v1 snapshot as a NEW manifest (pure metadata,
+    // zero data I/O — Delta RESTORE), and `rowCount` serves `count(*)`
+    // from parquet footers minus live DV positions (no data scan at
+    // either point). The post-restore aggregate must equal the original
+    // table; both metadata counts ride along as columns.
+    ("q184_restore_rowcount", (s: SparkSession, d: String) => {
+      import graft.sources.ManifestTable
+      val o = t(s, d, "orders").select(col("o_orderkey"), col("o_custkey"),
+        col("o_orderstatus"), col("o_totalprice"))
+      val schema = StructType(Seq(
+        StructField("o_orderkey", LongType), StructField("o_custkey", LongType),
+        StructField("o_orderstatus", StringType), StructField("o_totalprice", DoubleType)))
+      val root = java.nio.file.Files.createTempDirectory("q184-res").toString + "/t"
+      ManifestTable.commit(o, root, Some("o_orderstatus")) // v1
+      ManifestTable.mergeDv( // v2: the "bad" update (no inserts)
+        o.filter(pmod(col("o_orderkey"), lit(43)) === 0)
+          .withColumn("o_totalprice", col("o_totalprice") + 100),
+        root, schema, "o_orderkey", Some("o_orderstatus"))
+      ManifestTable.deleteWhere(s, root, schema, // v3: the "bad" delete
+        pmod(col("o_orderkey"), lit(59)) === 0)
+      val nAfterDelete = ManifestTable.rowCount(s, root)
+      ManifestTable.restore(s, root, 1L) // v4 == v1 snapshot, metadata-only
+      val nRestored = ManifestTable.rowCount(s, root)
+      ManifestTable.read(s, root, schema)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sm"),
+          sum(col("o_orderkey")).as("ok_sum"))
+        .withColumn("n_del_meta", lit(nAfterDelete))
+        .withColumn("n_restored_meta", lit(nRestored))
+    }, Some(s"""SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+        ${dsumSql("o_totalprice")} AS sm,
+        CAST(CAST(sum(o_orderkey) AS BIGINT) AS BIGINT) AS ok_sum,
+        (SELECT CAST(count(*) AS BIGINT) FROM orders WHERE o_orderkey % 59 <> 0)
+          AS n_del_meta,
+        (SELECT CAST(count(*) AS BIGINT) FROM orders) AS n_restored_meta
+      FROM orders GROUP BY o_orderstatus"""))
   )
 
   /** The BM25 replay shared by q72/q123 — postings, df, dl, corpus stats,

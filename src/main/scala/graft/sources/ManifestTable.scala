@@ -1556,6 +1556,70 @@ object ManifestTable {
     }
   }
 
+  /** RESTORE — roll the table back to a still-on-disk version by
+    * publishing a NEW manifest with the old version's entries and DV
+    * pointer (Delta `RESTORE TABLE ... TO VERSION`): pure metadata, zero
+    * data I/O, and history is preserved — the bad versions stay readable
+    * for forensics until [[vacuum]] reclaims them, while every reader
+    * flips to the restored snapshot at the manifest rename. Fails loudly
+    * on a commit collision like every snapshot-shaped commit (a restore
+    * never commutes). Returns the new manifest version.
+    */
+  def restore(spark: SparkSession, root: String, toVersion: Long): Long = {
+    val (fs, rootP) = fsOf(spark, root)
+    if (!fs.exists(new Path(rootP, ManifestPrefix + fmt(toVersion))))
+      throw new IllegalStateException(
+        s"restore: $root has no version $toVersion on disk (vacuumed or never committed)")
+    val cur = currentVersion(spark, root).get
+    publishManifest(fs, rootP, cur + 1,
+      entriesOf(fs, rootP, toVersion), dvOf(fs, rootP, toVersion))
+    cur + 1
+  }
+
+  /** Row count of the current snapshot from METADATA only: live data
+    * files' parquet footer row counts, minus the deletion vector's
+    * positions in those files — O(files) footer reads plus one
+    * DV-relation-sized scan, never a data scan (the `SELECT count(*)`
+    * fast path a lakehouse serves from its manifest). DV positions in
+    * files a later rewrite superseded are inert and are NOT subtracted.
+    */
+  def rowCount(spark: SparkSession, root: String): Long = {
+    import scala.jdk.CollectionConverters._
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    val v = currentVersion(spark, root).getOrElse(
+      throw new IllegalStateException(s"manifest table $root has no committed version"))
+    val (fs, rootP) = fsOf(spark, root)
+    val entries = entriesOf(fs, rootP, v)
+    // live files per data version, restricted to that version's live
+    // partition dirs; paths normalized scheme-free to match DV __f values
+    val liveFiles = entries.groupBy(_._2).toSeq.flatMap { case (dv, parts) =>
+      val vdir = new Path(rootP, "v" + fmt(dv))
+      val dirs = parts.map(_._1).distinct
+      listDataFiles(fs, vdir).filter(rel =>
+        dirs.contains("") || dirs.exists(p => rel.startsWith(p + "/")))
+        .map(rel => new Path(fs.makeQualified(new Path(vdir, rel)).toUri.getPath).toString)
+    }
+    val total = liveFiles.map { p =>
+      val reader = ParquetFileReader.open(
+        HadoopInputFile.fromPath(new Path(p), fs.getConf))
+      try reader.getFooter.getBlocks.asScala.map(_.getRowCount).sum
+      finally reader.close()
+    }.sum
+    val masked = dvOf(fs, rootP, v) match {
+      case None => 0L
+      case Some(d) =>
+        // distributed: the DV can be deleted-rows-sized; the live-file
+        // list (O(files), already on the driver) broadcasts
+        import org.apache.spark.sql.functions.broadcast
+        val liveDf = spark.createDataset(liveFiles)(
+          org.apache.spark.sql.Encoders.STRING).toDF("__f")
+        spark.read.parquet(dvDir(root, d))
+          .join(broadcast(liveDf), Seq("__f"), "left_semi").count()
+    }
+    total - masked
+  }
+
   /** Rows currently masked by the table's deletion vector (0 when none) —
     * the purge-backlog gauge for [[detail]]'s consumers.
     */

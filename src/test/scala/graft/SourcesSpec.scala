@@ -1648,6 +1648,45 @@ class SourcesSpec extends SparkSuite {
     assert(ts == java.sql.Timestamp.valueOf("2024-01-02 03:04:05.678"))
   }
 
+  test("restore is metadata-only and rowCount serves count(*) from footers minus live DV rows") {
+    import spark.implicits._
+    import graft.sources.ManifestTable
+    val root = java.nio.file.Files.createTempDirectory("manres").toString + "/t"
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("p", StringType),
+      StructField("v", LongType)))
+    ManifestTable.commit((0L until 100L).map(i => (i, "p" + (i % 3), i))
+      .toDF("id", "p", "v"), root, Some("p")) // v1
+    assert(ManifestTable.rowCount(spark, root) == 100L)
+    // merge appends + masks (count unchanged), delete masks 10 rows
+    ManifestTable.mergeDv(Seq((7L, "p1", 700L)).toDF("id", "p", "v"),
+      root, schema, Seq("id"), Some("p"), Nil, Nil, None, None) // v2
+    assert(ManifestTable.rowCount(spark, root) == 100L)
+    ManifestTable.deleteWhere(spark, root, schema, col("id") < 10L) // v3
+    assert(ManifestTable.rowCount(spark, root) == 90L)
+    assert(ManifestTable.rowCount(spark, root)
+      == ManifestTable.read(spark, root, schema).count())
+    // a compact rewrites the survivors; the OLD DV's positions go inert —
+    // rowCount must not subtract them against the new files
+    ManifestTable.compact(spark, root, schema, Some("p")) // v4, no #dv
+    assert(ManifestTable.rowCount(spark, root) == 90L)
+    // restore to the pre-delete snapshot: pure metadata, rows return
+    val bytesBefore = new java.io.File(root).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("v")).map(_.getName).toSet
+    val nv = ManifestTable.restore(spark, root, 2L)
+    assert(nv == 5L)
+    val bytesAfter = new java.io.File(root).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("v")).map(_.getName).toSet
+    assert(bytesBefore == bytesAfter) // no data dir written
+    assert(ManifestTable.rowCount(spark, root) == 100L)
+    assert(ManifestTable.read(spark, root, schema)
+      .filter(col("id") === 7L).as[(Long, String, Long)].head() == ((7L, "p1", 700L)))
+    // restoring a vacuumed version fails loudly
+    ManifestTable.vacuum(spark, root)
+    val e = intercept[IllegalStateException](ManifestTable.restore(spark, root, 3L))
+    assert(e.getMessage.contains("no version"))
+  }
+
   test("publishManifest leaves no orphaned crc sidecars in the table root") {
     import spark.implicits._
     import graft.sources.ManifestTable
