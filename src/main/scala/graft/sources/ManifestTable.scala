@@ -754,12 +754,31 @@ object ManifestTable {
       : (Map[Long, Either[Seq[String], Seq[String]]], (Int, Int)) = {
     val (fs, rootP) = fsOf(spark, root)
     val entries = entriesOf(fs, rootP, v)
+    // PARTITION-DIR pruning before any file listing: equality / IN hints
+    // on the partition column compare against the dir's rendered value —
+    // at 10k partitions a point query lists ONE dir's files instead of
+    // the table's. Only exact-match hints apply (a range on a numeric
+    // partition value would compare lexically against the dir text);
+    // unmatched hints leave the dir in — always a correct superset.
+    def partSurvives(dirName: String): Boolean = {
+      val i = dirName.indexOf('=')
+      if (i < 0) true
+      else {
+        val pc = dirName.substring(0, i)
+        val raw = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+          .unescapePathName(dirName.substring(i + 1))
+        points.filter(_._1 == pc).forall(p => String.valueOf(p._2) == raw) &&
+          pointsAny.filter(_._1 == pc)
+            .forall(_._2.exists(x => String.valueOf(x) == raw))
+      }
+    }
     var keptN = 0; var totalN = 0
     val plan = entries.groupBy(_._2).map { case (dv, parts) =>
-      val partDirs = parts.map(_._1).distinct.sorted
+      val partDirs = parts.map(_._1).distinct.filter(partSurvives).sorted
       val stats = loadStats(fs, rootP, dv)
       val blooms = loadBlooms(fs, rootP, dv)
-      if (stats.isEmpty && blooms.isEmpty) dv -> Left(partDirs)
+      if (partDirs.isEmpty) dv -> Right(Nil) // every partition dir pruned
+      else if (stats.isEmpty && blooms.isEmpty) dv -> Left(partDirs)
       else {
         // universe = the version dir's actual files, never the sidecar key
         // sets — a file missing its sidecar entry (all-NULL bloom column,

@@ -1648,6 +1648,38 @@ class SourcesSpec extends SparkSuite {
     assert(ts == java.sql.Timestamp.valueOf("2024-01-02 03:04:05.678"))
   }
 
+  test("partition-dir pruning: equality/IN hints on the partition column skip whole dirs") {
+    import spark.implicits._
+    import graft.sources.ManifestTable
+    val root = java.nio.file.Files.createTempDirectory("manpp").toString + "/t"
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("p", StringType),
+      StructField("v", LongType)))
+    ManifestTable.commit(
+      (0L until 80L).map(i => (i, "p" + (i % 8), i * 2)).toDF("id", "p", "v")
+        .repartition(col("p")), // one file per partition dir
+      root, Some("p"), statsCols = Seq("id"))
+    // equality on the partition column: ONE dir's files listed, 1/8 kept
+    val (k1, t1) = ManifestTable.pruneCounts(spark, root, Nil,
+      points = Seq("p" -> "p3"))
+    assert(t1 == 1 && k1 == 1, s"kept=$k1 total=$t1")
+    assert(ManifestTable.readAuto(spark, root, schema, col("p") === "p3")
+      .count() == 10L)
+    // IN-list on the partition column: two dirs
+    val inPred = col("p").isin("p1", "p5")
+    val (r2, p2, a2) = ManifestTable.extractHintsFor(spark, schema, inPred)
+    val (k2, t2) = ManifestTable.pruneCounts(spark, root, r2, p2, a2)
+    assert(t2 == 2, s"total=$t2")
+    assert(ManifestTable.readAuto(spark, root, schema, inPred).count() == 20L)
+    // a value matching NO partition: zero files, empty (not an error)
+    assert(ManifestTable.readAuto(spark, root, schema, col("p") === "nope")
+      .count() == 0L)
+    // conjunctive with a non-partition hint still correct
+    assert(ManifestTable.readAuto(spark, root, schema,
+      col("p") === "p3" && col("id") === 11L).as[(Long, String, Long)]
+      .collect().toSeq == Seq((11L, "p3", 22L)))
+  }
+
   test("restore is metadata-only and rowCount serves count(*) from footers minus live DV rows") {
     import spark.implicits._
     import graft.sources.ManifestTable
