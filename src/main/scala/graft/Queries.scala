@@ -4865,7 +4865,47 @@ object Queries {
         (SELECT CAST(count(*) AS BIGINT) FROM orders WHERE o_orderkey % 59 <> 0)
           AS n_del_meta,
         (SELECT CAST(count(*) AS BIGINT) FROM orders) AS n_restored_meta
-      FROM orders GROUP BY o_orderstatus"""))
+      FROM orders GROUP BY o_orderstatus""")),
+
+    // BATCH change feed through the front door (Delta readChangeFeed
+    // parity): three commits (seed, merge, DV delete), then ONE
+    // spark.read with readChangeFeed=true serves the net diff v1→v3 —
+    // update pre/post pairs for surviving updated keys, bare deletes for
+    // removed ones (a key updated THEN deleted nets to one delete) —
+    // aggregated per change type against the oracle's own replay.
+    ("q185_front_door_cdf", (s: SparkSession, d: String) => {
+      import graft.sources.ManifestTable
+      val o = t(s, d, "orders").select(col("o_orderkey"), col("o_custkey"),
+        col("o_orderstatus"), col("o_totalprice"))
+      val schema = StructType(Seq(
+        StructField("o_orderkey", LongType), StructField("o_custkey", LongType),
+        StructField("o_orderstatus", StringType), StructField("o_totalprice", DoubleType)))
+      val root = java.nio.file.Files.createTempDirectory("q185-cdf").toString + "/t"
+      ManifestTable.commit(o, root, Some("o_orderstatus")) // v1
+      ManifestTable.mergeDv( // v2: update every %31 key
+        o.filter(pmod(col("o_orderkey"), lit(31)) === 0)
+          .withColumn("o_totalprice", col("o_totalprice") * 2),
+        root, schema, "o_orderkey", Some("o_orderstatus"))
+      ManifestTable.deleteWhere(s, root, schema, // v3: delete every %77 key
+        pmod(col("o_orderkey"), lit(77)) === 0)
+      s.read.format("graft").option("readChangeFeed", "true")
+        .option("key", "o_orderkey").option("startingVersion", "1")
+        .load(root)
+        .groupBy("_change_type")
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("tp"),
+          sum(col("o_orderkey")).as("ok_sum"))
+    }, Some(s"""WITH t AS (SELECT o_orderkey, o_totalprice FROM orders),
+      upd AS (SELECT * FROM t WHERE o_orderkey % 31 = 0 AND o_orderkey % 77 <> 0),
+      del AS (SELECT * FROM t WHERE o_orderkey % 77 = 0),
+      ch AS (
+        SELECT 'update_preimage' AS _change_type, o_totalprice AS tp0, o_orderkey
+          FROM upd
+        UNION ALL SELECT 'update_postimage', o_totalprice * 2, o_orderkey FROM upd
+        UNION ALL SELECT 'delete', o_totalprice, o_orderkey FROM del)
+      SELECT _change_type, CAST(count(*) AS BIGINT) AS n,
+        CAST(SUM(CAST(tp0 AS DECIMAL(18,6))) AS DOUBLE) AS tp,
+        CAST(CAST(sum(o_orderkey) AS BIGINT) AS BIGINT) AS ok_sum
+      FROM ch GROUP BY _change_type"""))
   )
 
   /** The BM25 replay shared by q72/q123 — postings, df, dl, corpus stats,

@@ -78,17 +78,43 @@ class GraftSource extends RelationProvider with SchemaRelationProvider
       parameters.get("maxVersionsPerBatch").map(_.toInt).getOrElse(1))
   }
 
+  /** `readChangeFeed = true` (+ `key`, `startingVersion`, optional
+    * `endingVersion`, default current) serves the BATCH change feed
+    * through the front door — `_change_type`-tagged net-diff rows between
+    * the two manifests, Delta's `readChangeFeed` shape over
+    * [[ManifestTable.changes]].
+    */
+  private def cdfRelation(sqlContext: SQLContext, parameters: Map[String, String],
+                          tableSchema: StructType): BaseRelation = {
+    val r = root(parameters)
+    val keys = parameters.getOrElse("key", throw new IllegalArgumentException(
+      "graft readChangeFeed requires option 'key' — the table's merge key column(s), " +
+        "comma-separated")).split(",").map(_.trim).filter(_.nonEmpty).toSeq
+    val from = parameters.getOrElse("startingVersion",
+      throw new IllegalArgumentException(
+        "graft readChangeFeed requires option 'startingVersion'")).toLong
+    val to = parameters.get("endingVersion").map(_.toLong).getOrElse(
+      ManifestTable.currentVersion(sqlContext.sparkSession, r).getOrElse(
+        throw new IllegalStateException(s"graft table $r has no committed version")))
+    GraftCdfRelation(sqlContext, r, tableSchema, keys, from, to)
+  }
+
+  private def wantsCdf(parameters: Map[String, String]): Boolean =
+    parameters.get("readChangeFeed").exists(_.toBoolean)
+
   override def createRelation(sqlContext: SQLContext,
                               parameters: Map[String, String]): BaseRelation = {
     val r = root(parameters)
     val asOf = parameters.get("versionAsOf").map(_.toLong)
     val schema = ManifestTable.inferSchema(sqlContext.sparkSession, r, asOf)
-    GraftRelation(sqlContext, r, schema, asOf)
+    if (wantsCdf(parameters)) cdfRelation(sqlContext, parameters, schema)
+    else GraftRelation(sqlContext, r, schema, asOf)
   }
 
   override def createRelation(sqlContext: SQLContext, parameters: Map[String, String],
                               schema: StructType): BaseRelation =
-    GraftRelation(sqlContext, root(parameters), schema,
+    if (wantsCdf(parameters)) cdfRelation(sqlContext, parameters, schema)
+    else GraftRelation(sqlContext, root(parameters), schema,
       parameters.get("versionAsOf").map(_.toLong))
 
   /** Streaming write side — see
@@ -256,5 +282,32 @@ final case class GraftRelation(sqlContext: SQLContext, root: String,
     }
     val pruned = base.select(requiredColumns.map(col).toIndexedSeq: _*)
     pruned.queryExecution.toRdd.asInstanceOf[RDD[Row]]
+  }
+}
+
+/** The BATCH change feed as a relation —
+  * `spark.read.format("graft").option("readChangeFeed", "true")
+  * .option("key", …).option("startingVersion", a)[.option("endingVersion",
+  * b)].load(root)` — `_change_type`-tagged net-diff rows from
+  * [[ManifestTable.changes]] (I/O proportional to the changed partitions).
+  * `tableSchema` is the TABLE's columns; the relation prepends
+  * `_change_type`. Spark applies any predicate on top (no pushdown — the
+  * feed is already change-pruned).
+  */
+final case class GraftCdfRelation(sqlContext: SQLContext, root: String,
+                                  tableSchema: StructType, keys: Seq[String],
+                                  fromV: Long, toV: Long)
+    extends BaseRelation with PrunedScan {
+
+  override val schema: StructType =
+    org.apache.spark.sql.graft.GraftChangeFeedSource.cdfSchema(tableSchema)
+
+  override def needConversion: Boolean = false
+
+  override def buildScan(requiredColumns: Array[String]): RDD[Row] = {
+    import org.apache.spark.sql.functions.col
+    ManifestTable.changes(sqlContext.sparkSession, root, tableSchema, keys, fromV, toV)
+      .select(requiredColumns.map(col).toIndexedSeq: _*)
+      .queryExecution.toRdd.asInstanceOf[RDD[Row]]
   }
 }

@@ -412,6 +412,41 @@ class StreamingSpec extends SparkSuite {
     assert(snap(dst) == snap(src))
   }
 
+  test("graft stream maxVersionsPerBatch chunks the backlog; net-diff folding stays correct") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import graft.sources.ManifestTable
+    val baseDir = java.nio.file.Files.createTempDirectory("gchunk").toString
+    val src = s"$baseDir/src"
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("p", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("v", org.apache.spark.sql.types.LongType)))
+    ManifestTable.commit(Seq((1L, "a", 1L)).toDF("id", "p", "v"), src, Some("p")) // v1
+    // v2..v5: four updates of the SAME key — net diff inside one chunk
+    // collapses intermediates
+    for (i <- 2L to 5L)
+      ManifestTable.mergeDv(Seq((1L, "a", i * 10)).toDF("id", "p", "v"),
+        src, schema, Seq("id"), Some("p"), Nil, Nil, None, None)
+    val batches = scala.collection.mutable.ArrayBuffer.empty[Set[(String, Long)]]
+    val q = spark.readStream.format("graft").schema(schema)
+      .option("key", "id").option("maxVersionsPerBatch", "2").load(src)
+      .writeStream.foreachBatch {
+        (b0: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          batches += b0.select(col("_change_type"), col("v"))
+            .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+          ()
+      }.option("checkpointLocation", s"$baseDir/ckpt").start()
+    q.processAllAvailable()
+    q.stop()
+    // seed at v1, then the 4 update versions arrive as TWO 2-version
+    // chunks, each netting to one pre/post pair
+    assert(batches.toSeq == Seq(
+      Set(("insert", 1L)),
+      Set(("update_preimage", 1L), ("update_postimage", 30L)),
+      Set(("update_preimage", 30L), ("update_postimage", 50L))))
+  }
+
   test("graft streaming sink: append mode lands batches exactly once; replayed batchId is a no-op") {
     import spark.implicits._
     import graft.sources.ManifestTable
