@@ -65,4 +65,43 @@ object Connectors {
       case None => writer.save()
     }
   }
+
+  // Formats whose location is a filesystem path (falls back to the
+  // caller's offline default); connector formats (mongodb, kafka,
+  // bigquery…) carry their location in options instead.
+  private def pathed(fmt: String): Boolean = fmt == "parquet" || fmt == "graft"
+
+  /** STREAMING read of the named endpoint — the reference's change-stream
+    * loop (src/process_insert_update_weather_data.py:168) behind the same
+    * config seam: offline it serves the `graft` change feed or a file
+    * stream; a production session flips the conf to `mongodb` (the Mongo
+    * Spark connector's change-stream read) or `kafka` without touching a
+    * call site.
+    */
+  def readStream(spark: SparkSession, name: String,
+                 defaultPath: => String): DataFrame = {
+    val (fmt, opts, loc) = confFor(spark, name)
+    val reader = spark.readStream.format(fmt).options(opts)
+    loc.orElse(if (pathed(fmt)) Some(defaultPath) else None) match {
+      case Some(l) => reader.load(l)
+      case None => reader.load()
+    }
+  }
+
+  /** Start a STREAMING write of `df` to the named endpoint; the
+    * checkpoint location is part of the pipeline's identity, so the
+    * caller owns it (conf key `…option.checkpointLocation` overrides).
+    */
+  def startStream(df: DataFrame, name: String, defaultPath: => String,
+                  checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val spark = df.sparkSession
+    val (fmt, opts, loc) = confFor(spark, name)
+    val writer = df.writeStream.format(fmt)
+      .option("checkpointLocation", checkpoint).options(opts)
+    loc.orElse(if (pathed(fmt)) Some(defaultPath) else None) match {
+      case Some(l) => writer.start(l)
+      case None => writer.start()
+    }
+  }
 }

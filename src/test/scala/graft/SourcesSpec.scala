@@ -1648,6 +1648,44 @@ class SourcesSpec extends SparkSuite {
     assert(ts == java.sql.Timestamp.valueOf("2024-01-02 03:04:05.678"))
   }
 
+  test("Connectors streaming seam: the replication pipeline assembles from conf alone") {
+    import spark.implicits._
+    import graft.sources.{Connectors, ManifestTable}
+    val baseDir = java.nio.file.Files.createTempDirectory("connstr").toString
+    val src = s"$baseDir/src"; val dst = s"$baseDir/dst"
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("p", StringType),
+      StructField("v", LongType)))
+    ManifestTable.commit(Seq((1L, "a", 1L), (2L, "b", 2L)).toDF("id", "p", "v"),
+      src, Some("p"))
+    // the whole reference pipeline as TWO conf-driven endpoints
+    spark.conf.set("spark.graft.conn.lakecdc.format", "graft")
+    spark.conf.set("spark.graft.conn.lakecdc.option.key", "id")
+    spark.conf.set("spark.graft.conn.lakecdc.path", src)
+    spark.conf.set("spark.graft.conn.replica.format", "graft")
+    spark.conf.set("spark.graft.conn.replica.option.mergeKey", "id")
+    spark.conf.set("spark.graft.conn.replica.option.cdf", "true")
+    spark.conf.set("spark.graft.conn.replica.option.partitionBy", "p")
+    spark.conf.set("spark.graft.conn.replica.path", dst)
+    try {
+      val stream = Connectors.readStream(spark, "lakecdc",
+        sys.error("path set in conf"))
+      val q = Connectors.startStream(stream, "replica",
+        sys.error("path set in conf"), s"$baseDir/ckpt")
+      q.processAllAvailable()
+      ManifestTable.mergeDv(Seq((2L, "b", 22L)).toDF("id", "p", "v"),
+        src, schema, Seq("id"), Some("p"), Nil, Nil, None, None)
+      q.processAllAvailable()
+      q.stop()
+      assert(ManifestTable.read(spark, dst, schema)
+        .as[(Long, String, Long)].collect().toSet ==
+        Set((1L, "a", 1L), (2L, "b", 22L)))
+    } finally Seq("lakecdc", "replica").foreach { n =>
+      spark.conf.getAll.keys.filter(_.startsWith(s"spark.graft.conn.$n."))
+        .foreach(spark.conf.unset)
+    }
+  }
+
   test("partition-dir pruning: equality/IN hints on the partition column skip whole dirs") {
     import spark.implicits._
     import graft.sources.ManifestTable
