@@ -445,4 +445,11 @@ class PlanSpec extends SparkSuite {
         s"expected AQE skew-join split in final plan:\n$p")
     } finally prev.foreach { case (k, v) => spark.conf.set(k, v) }
   }
+
+  test("q183: benchmark gram set broadcasts; training grams never cartesian") {
+    val p = finalPlan("q183_decontam")
+    val fin = p.split("== Initial Plan ==").head
+    assert(fin.contains("BroadcastHashJoin"), p)
+    assert(!fin.contains("CartesianProduct") && !fin.contains("BroadcastNestedLoopJoin"), p)
+  }
 }
