@@ -1648,6 +1648,27 @@ class SourcesSpec extends SparkSuite {
     assert(ts == java.sql.Timestamp.valueOf("2024-01-02 03:04:05.678"))
   }
 
+  test("catalog DDL: CREATE TABLE USING graft serves SELECT and INSERT INTO") {
+    import spark.implicits._
+    import graft.sources.ManifestTable
+    val root = java.nio.file.Files.createTempDirectory("manddl").toString + "/t"
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("p", StringType)))
+    ManifestTable.commit(Seq((1L, "a"), (2L, "b")).toDF("id", "p"), root, Some("p"))
+    spark.sql("DROP TABLE IF EXISTS graft_ddl_t")
+    spark.sql(s"CREATE TABLE graft_ddl_t USING graft OPTIONS (path '$root')")
+    try {
+      assert(spark.sql("SELECT sum(id) FROM graft_ddl_t").head().getLong(0) == 3L)
+      spark.sql("INSERT INTO graft_ddl_t SELECT id + 10, p FROM graft_ddl_t")
+      assert(spark.sql("SELECT count(*) FROM graft_ddl_t").head().getLong(0) == 4L)
+      // the insert landed as a real manifest commit, partitioned like the base
+      assert(ManifestTable.currentVersion(spark, root).contains(2L))
+      assert(ManifestTable.read(spark, root, schema)
+        .as[(Long, String)].collect().toSet ==
+        Set((1L, "a"), (2L, "b"), (11L, "a"), (12L, "b")))
+    } finally spark.sql("DROP TABLE IF EXISTS graft_ddl_t")
+  }
+
   test("Connectors streaming seam: the replication pipeline assembles from conf alone") {
     import spark.implicits._
     import graft.sources.{Connectors, ManifestTable}
