@@ -4534,8 +4534,9 @@ object Queries {
     // oracle's sequential merge/delete replay.
     ("q177_cdf_stream", (s: SparkSession, d: String) => {
       import graft.sources.ManifestTable
-      val o = t(s, d, "orders").select(col("o_orderkey"), col("o_custkey"),
-        col("o_orderstatus"), col("o_totalprice"))
+      val o = t(s, d, "orders").filter(pmod(col("o_orderkey"), lit(3)) === 0)
+        .select(col("o_orderkey"), col("o_custkey"),
+          col("o_orderstatus"), col("o_totalprice"))
       val schema = StructType(Seq(
         StructField("o_orderkey", LongType), StructField("o_custkey", LongType),
         StructField("o_orderstatus", StringType), StructField("o_totalprice", DoubleType)))
@@ -4572,7 +4573,7 @@ object Queries {
         .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("s"),
           sum(col("o_orderkey")).as("ok_sum"))
     }, Some(s"""WITH t AS (SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
-        FROM orders),
+        FROM orders WHERE o_orderkey % 3 = 0),
       m1 AS (SELECT o_orderkey, o_custkey, o_orderstatus,
           CASE WHEN o_orderkey % 47 = 0 THEN o_totalprice + 200
                ELSE o_totalprice END AS o_totalprice FROM t),
@@ -4745,8 +4746,9 @@ object Queries {
     // merge/delete replay.
     ("q181_stream_pipeline", (s: SparkSession, d: String) => {
       import graft.sources.ManifestTable
-      val o = t(s, d, "orders").select(col("o_orderkey"), col("o_custkey"),
-        col("o_orderstatus"), col("o_totalprice"))
+      val o = t(s, d, "orders").filter(pmod(col("o_orderkey"), lit(3)) === 1)
+        .select(col("o_orderkey"), col("o_custkey"),
+          col("o_orderstatus"), col("o_totalprice"))
       val schema = StructType(Seq(
         StructField("o_orderkey", LongType), StructField("o_custkey", LongType),
         StructField("o_orderstatus", StringType), StructField("o_totalprice", DoubleType)))
@@ -4771,7 +4773,7 @@ object Queries {
         .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("s"),
           sum(col("o_orderkey")).as("ok_sum"))
     }, Some(s"""WITH t AS (SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
-        FROM orders),
+        FROM orders WHERE o_orderkey % 3 = 1),
       m1 AS (SELECT o_orderkey, o_custkey, o_orderstatus,
           CASE WHEN o_orderkey % 67 = 0 THEN o_totalprice + 300
                ELSE o_totalprice END AS o_totalprice FROM t),
