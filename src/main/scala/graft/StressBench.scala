@@ -538,6 +538,56 @@ object StressBench {
         org.apache.spark.sql.graft.Checkpoints.release(dels)
       }
     }
+    // r14: DISK-RESIDENT ANN INDEX curve — the q180 composition at growth.
+    // The cell-clustered code relation grows with the corpus (files scale
+    // with factor), but a fixed query batch's probed-cell IN-list keeps
+    // opening ~nprobe/|cells| of the index FILES (kept/total ~flat), so
+    // search cost tracks the probed slice, never the table.
+    if (onlyOps.forall(_.exists("ann_disk".startsWith))) {
+      import graft.llm.ProductQuant
+      import org.apache.spark.sql.types._
+      for (f <- Seq(1, 4, 16)) {
+        val e = embTimes(f).localCheckpoint()
+        val frac = ProductQuant.trainFracFor(e, 4096)
+        val sample = ProductQuant.sampleFor(e, frac, "vec_id")
+        // production cell count (√N posture): 32 cells, so a 4-query ×
+        // nprobe=2 batch provably touches ≤ 1/4 of the cells
+        val coarse = ProductQuant.trainCodebooks(e, 1, 64, 32, 2, 32, "vec_id",
+          frac, sample)
+        val cb = ProductQuant.trainCodebooks(e, 8, 8, 32, 2, 16, "vec_id",
+          frac, sample)
+        ProductQuant.releaseSample(sample)
+        val codes = ProductQuant.encodeBatch(e, coarse, cb, 8, 8, "vec_id")
+        val root = java.nio.file.Files.createTempDirectory(s"anndisk$f")
+          .toString + "/t"
+        val t0 = System.nanoTime()
+        graft.sources.ManifestTable.commit(
+          codes.select(col("vec_id"), col("sub"), col("code"), col("cell"))
+            .repartitionByRange(32 * f, col("cell"), col("vec_id")),
+          root, None, statsCols = Seq("cell"), bloomCols = Seq("cell"))
+        val buildSec = (System.nanoTime() - t0) / 1e9
+        // 4 DISTINCT original vectors as the query batch at every factor
+        val q = e.filter(col("vec_id") % f === 0 && col("vec_id") < 4 * f)
+          .select((col("vec_id") / f).cast("long").as("query_id"), col("embedding"))
+        val probed = ProductQuant.coarseProbes(q, coarse, 64, 2, "query_id")
+          .select("cell").distinct().collect().map(_.getLong(0)).toSeq
+        val idxSchema = StructType(Seq(
+          StructField("vec_id", LongType), StructField("sub", IntegerType),
+          StructField("code", LongType), StructField("cell", LongType)))
+        val pred = col("cell").isin(probed: _*)
+        val (rg, pt, ay) = graft.sources.ManifestTable.extractHintsFor(
+          spark, idxSchema, pred)
+        val (kept, total) = graft.sources.ManifestTable.pruneCounts(
+          spark, root, rg, pt, ay)
+        val t1 = System.nanoTime()
+        val n = ProductQuant.ivfPqSearch(q,
+          graft.sources.ManifestTable.readAuto(spark, root, idxSchema, pred),
+          coarse, cb, 5, 8, 8, nprobe = 2).count()
+        val searchSec = (System.nanoTime() - t1) / 1e9
+        org.apache.spark.sql.graft.Checkpoints.release(e)
+        println(f"""[stress] {"op":"ann_disk","factor":$f,"files_kept":$kept,"files_total":$total,"build_sec":$buildSec%.2f,"search_sec":$searchSec%.2f,"rows":$n}""")
+      }
+    }
     // r13 (VERDICT r12 #7): PRODUCTION-ks recall. The 0.30-0.43 PQ recalls
     // above are a toy-ks=16 artifact — 2^4 codes per subspace cannot
     // separate 32k perturbation-densified neighbors. ks=256 (the
