@@ -516,26 +516,27 @@ object StressBench {
           .writeStream.format("graft")
           .option("partitionBy", "p").option("mergeKey", "id").option("cdf", "true")
           .option("checkpointLocation", s"$base/ckpt").start(dst)
-        val t0 = System.nanoTime(); q.processAllAvailable()
-        val seedSec = (System.nanoTime() - t0) / 1e9
-        // the change set lives entirely in partitions p0..p7 (fixed count,
-        // ~fixed size at every f) — upserts + a delete leg with the
-        // partition hint, one source commit
-        val hotPred = pmod(col("id"), lit(pn)) < 8
-        val batch = rows.filter(hotPred && col("id") % 599 === 0)
-          .withColumn("v", col("v") * 2).localCheckpoint()
-        val dels = rows.filter(hotPred && col("id") % 1013 === 0)
-          .select("id", "p").localCheckpoint()
-        val hotDirs = (0 until 8).map(i =>
-          graft.sources.ManifestTable.partDirName("p", s"p$i"))
-        graft.sources.ManifestTable.mergeDv(batch, src, schema, Seq("id"),
-          Some("p"), Nil, Nil, Some(dels), Some(hotDirs))
-        val t1 = System.nanoTime(); q.processAllAvailable()
-        val incSec = (System.nanoTime() - t1) / 1e9
-        q.stop()
-        println(f"""[stress] {"op":"cdf_stream","factor":$f,"seed_sec":$seedSec%.2f,"inc_sec":$incSec%.2f}""")
-        org.apache.spark.sql.graft.Checkpoints.release(batch)
-        org.apache.spark.sql.graft.Checkpoints.release(dels)
+        try {
+          val t0 = System.nanoTime(); q.processAllAvailable()
+          val seedSec = (System.nanoTime() - t0) / 1e9
+          // the change set lives entirely in partitions p0..p7 (fixed count,
+          // ~fixed size at every f) — upserts + a delete leg with the
+          // partition hint, one source commit
+          val hotPred = pmod(col("id"), lit(pn)) < 8
+          val batch = rows.filter(hotPred && col("id") % 599 === 0)
+            .withColumn("v", col("v") * 2).localCheckpoint()
+          val dels = rows.filter(hotPred && col("id") % 1013 === 0)
+            .select("id", "p").localCheckpoint()
+          val hotDirs = (0 until 8).map(i =>
+            graft.sources.ManifestTable.partDirName("p", s"p$i"))
+          graft.sources.ManifestTable.mergeDv(batch, src, schema, Seq("id"),
+            Some("p"), Nil, Nil, Some(dels), Some(hotDirs))
+          val t1 = System.nanoTime(); q.processAllAvailable()
+          val incSec = (System.nanoTime() - t1) / 1e9
+          println(f"""[stress] {"op":"cdf_stream","factor":$f,"seed_sec":$seedSec%.2f,"inc_sec":$incSec%.2f}""")
+          org.apache.spark.sql.graft.Checkpoints.release(batch)
+          org.apache.spark.sql.graft.Checkpoints.release(dels)
+        } finally q.stop()
       }
     }
     // r14: DISK-RESIDENT ANN INDEX curve — the q180 composition at growth.

@@ -48,7 +48,7 @@ object Connectors {
   def read(spark: SparkSession, name: String, defaultPath: => String): DataFrame = {
     val (fmt, opts, loc) = confFor(spark, name)
     val reader = spark.read.format(fmt).options(opts)
-    loc.orElse(if (fmt == "parquet") Some(defaultPath) else None) match {
+    loc.orElse(if (pathed(fmt)) Some(defaultPath) else None) match {
       case Some(l) => reader.load(l)
       case None => reader.load() // location lives in the connector options
     }
@@ -60,7 +60,7 @@ object Connectors {
     val spark = df.sparkSession
     val (fmt, opts, loc) = confFor(spark, name)
     val writer = df.write.format(fmt).options(opts).mode(mode)
-    loc.orElse(if (fmt == "parquet") Some(defaultPath) else None) match {
+    loc.orElse(if (pathed(fmt)) Some(defaultPath) else None) match {
       case Some(l) => writer.save(l)
       case None => writer.save()
     }

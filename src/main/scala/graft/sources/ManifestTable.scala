@@ -276,6 +276,8 @@ object ManifestTable {
     // the version number our data dir currently sits at (None: still staged)
     var stageCur = stage
     var dirAt: Option[Long] = None
+    // likewise for the staged DV dataset (claimed as d<number>)
+    var dvAt: Option[Long] = None
     def srcDir: Path = dirAt.map(v => new Path(rootP, "v" + fmt(v))).getOrElse(stageCur)
     // rename + marker verification; a lost same-number race nests our
     // payload inside the winner's dir — pull it back to a fresh stage
@@ -321,13 +323,20 @@ object ManifestTable {
         dirAt = Some(myNext)
         if (stats.nonEmpty) writeStats(fs, rootP, myNext, stats)
         if (blooms.nonEmpty) writeBlooms(fs, rootP, myNext, blooms)
-        // claim the staged DV dataset into d<myNext>: the vdir claim above
-        // established no manifest exists at this number, so a pre-existing
-        // d-dir here is a crashed writer's orphan
-        dvStage.foreach { ds =>
-          val ddir = new Path(rootP, "d" + fmt(myNext))
-          fs.delete(ddir, true)
-          require(fs.rename(ds, ddir), s"dv stage rename $ds -> $ddir failed")
+        // claim the staged DV dataset into d<myNext>. Safe to reclaim a
+        // pre-existing d-dir: every DV writer stages and claims its data
+        // dir FIRST (deleteWhere included), so a d<myNext> with no
+        // manifest at myNext belongs to a writer whose v<myNext> claim
+        // this writer just won — a crashed orphan. Idempotent across
+        // collision slides via dvAt (the dir moves with the data dir).
+        dvStage.foreach { _ =>
+          if (!dvAt.contains(myNext)) {
+            val ddir = new Path(rootP, "d" + fmt(myNext))
+            fs.delete(ddir, true)
+            val src = dvAt.map(d => new Path(rootP, "d" + fmt(d))).getOrElse(dvStage.get)
+            require(fs.rename(src, ddir), s"dv stage rename $src -> $ddir failed")
+            dvAt = Some(myNext)
+          }
         }
         try {
           val touched = touchedNames.map(_ -> myNext)
@@ -341,10 +350,10 @@ object ManifestTable {
         } catch {
           case e: IllegalStateException if e.getMessage.startsWith("commit collision") =>
             // another writer published this number WITHOUT claiming its data
-            // dir (e.g. a DV-only deleteWhere commit). Rebase; our sidecars
+            // dir (e.g. a metadata-only [[restore]]). Rebase; our sidecars
             // at the lost number are stale — drop them (that committer's
             // paths never wrote sidecars, so nothing live is deleted); the
-            // data dir itself slides on the next claim pass via dirAt.
+            // data dir and DV slide on the next claim pass via dirAt/dvAt.
             val before = myNext
             reResolve(e)
             Seq(StatsPrefix, BloomPrefix).foreach { pfx =>
@@ -1120,18 +1129,29 @@ object ManifestTable {
     val (fs, rootP) = fsOf(spark, root)
     val cur = currentVersion(spark, root).getOrElse(
       throw new IllegalStateException(s"manifest table $root has no committed version"))
-    val next = cur + 1
     val newDel = readSnapshot(spark, root, schema, cur, withMeta = true)
       .filter(predicate).select(col("__f"), col("__pos"))
     val allDel = dvOf(fs, rootP, cur) match {
       case Some(d) => spark.read.parquet(dvDir(root, d)).unionByName(newDel)
       case None => newDel
     }
-    val ddir = new Path(rootP, "d" + fmt(next))
-    fs.delete(ddir, true)
-    allDel.write.mode("overwrite").parquet(ddir.toString)
-    publishManifest(fs, rootP, next, entriesOf(fs, rootP, cur), Some(next))
-    next
+    // STAGE the DV and claim at publish like every other commit: writing
+    // d<next> directly would occupy the number for the whole Spark job,
+    // and a concurrent claimed committer would reclaim-or-corrupt it (the
+    // d-dir is unverifiable without the claim protocol). The data stage is
+    // an empty claim vehicle — the committed v-dir holds no files and no
+    // entry references it. Positions dedupe at write (a key in both merge
+    // legs lands twice upstream; readers anti-join either way, but
+    // [[rowCount]]/[[deletedRowCount]] subtract).
+    val tag = java.util.UUID.randomUUID().toString.take(12)
+    val dvStage = new Path(rootP, s".stage-$tag-dv")
+    allDel.dropDuplicates("__f", "__pos")
+      .write.mode("overwrite").parquet(dvStage.toString)
+    val stage = new Path(rootP, s".stage-$tag")
+    fs.mkdirs(stage)
+    publishStaged(spark, root, stage, Some(cur), entriesOf(fs, rootP, cur),
+      Nil, dvOf(fs, rootP, cur), Nil, Nil, retryable = false,
+      appendEntries = true, dvStage = Some(dvStage))
   }
 
   /** Commit `df` as the next version. `partCol = Some(c)`: `df` must hold
@@ -1368,7 +1388,10 @@ object ManifestTable {
     }
     val dvStage = new Path(rootP,
       ".stage-" + java.util.UUID.randomUUID().toString.take(12) + "-dv")
-    allDel.write.mode("overwrite").parquet(dvStage.toString)
+    // dedupe positions: a key in BOTH the upsert and delete legs masks the
+    // same (file, pos) twice — harmless to the read anti-join but it would
+    // double-subtract in [[rowCount]]/[[deletedRowCount]]
+    allDel.dropDuplicates("__f", "__pos").write.mode("overwrite").parquet(dvStage.toString)
     val stats =
       if (statsCols.nonEmpty) harvestStats(fs, stage, statsCols) else Nil
     val blooms =
@@ -1611,17 +1634,24 @@ object ManifestTable {
     val (fs, rootP) = fsOf(spark, root)
     val entries = entriesOf(fs, rootP, v)
     // live files per data version, restricted to that version's live
-    // partition dirs; paths normalized scheme-free to match DV __f values
-    val liveFiles = entries.groupBy(_._2).toSeq.flatMap { case (dv, parts) =>
-      val vdir = new Path(rootP, "v" + fmt(dv))
-      val dirs = parts.map(_._1).distinct
-      listDataFiles(fs, vdir).filter(rel =>
-        dirs.contains("") || dirs.exists(p => rel.startsWith(p + "/")))
-        .map(rel => new Path(fs.makeQualified(new Path(vdir, rel)).toUri.getPath).toString)
-    }
-    val total = liveFiles.map { p =>
-      val reader = ParquetFileReader.open(
-        HadoopInputFile.fromPath(new Path(p), fs.getConf))
+    // partition dirs. Two path forms per file: the qualified one for the
+    // footer read, and the DV-match one normalized EXACTLY like normPath
+    // (scheme stripped, URI authority KEPT as a leading segment — an s3a
+    // bucket / hdfs namenode would silently never match under
+    // toUri.getPath, which drops the authority)
+    val liveFiles: Seq[(Path, String)] = entries.groupBy(_._2).toSeq
+      .flatMap { case (dv, parts) =>
+        val vdir = new Path(rootP, "v" + fmt(dv))
+        val dirs = parts.map(_._1).distinct
+        listDataFiles(fs, vdir).filter(rel =>
+          dirs.contains("") || dirs.exists(p => rel.startsWith(p + "/")))
+          .map { rel =>
+            val q = fs.makeQualified(new Path(vdir, rel))
+            (q, q.toString.replaceFirst("^[a-zA-Z][a-zA-Z0-9+.-]*:/+", "/"))
+          }
+      }
+    val total = liveFiles.map { case (p, _) =>
+      val reader = ParquetFileReader.open(HadoopInputFile.fromPath(p, fs.getConf))
       try reader.getFooter.getBlocks.asScala.map(_.getRowCount).sum
       finally reader.close()
     }.sum
@@ -1629,11 +1659,13 @@ object ManifestTable {
       case None => 0L
       case Some(d) =>
         // distributed: the DV can be deleted-rows-sized; the live-file
-        // list (O(files), already on the driver) broadcasts
+        // list (O(files), already on the driver) broadcasts. Positions
+        // dedupe defensively — tables written before DVs deduped at
+        // commit may carry a pair twice
         import org.apache.spark.sql.functions.broadcast
-        val liveDf = spark.createDataset(liveFiles)(
+        val liveDf = spark.createDataset(liveFiles.map(_._2))(
           org.apache.spark.sql.Encoders.STRING).toDF("__f")
-        spark.read.parquet(dvDir(root, d))
+        spark.read.parquet(dvDir(root, d)).dropDuplicates("__f", "__pos")
           .join(broadcast(liveDf), Seq("__f"), "left_semi").count()
     }
     total - masked
@@ -1646,7 +1678,8 @@ object ManifestTable {
     val cur = currentVersion(spark, root).getOrElse(return 0L)
     val (fs, rootP) = fsOf(spark, root)
     dvOf(fs, rootP, cur)
-      .map(d => spark.read.parquet(dvDir(root, d)).count()).getOrElse(0L)
+      .map(d => spark.read.parquet(dvDir(root, d))
+        .dropDuplicates("__f", "__pos").count()).getOrElse(0L)
   }
 
   /** Reclaim manifests more than `retainVersions` behind current, and data
@@ -1676,6 +1709,12 @@ object ManifestTable {
         if (st.isDirectory && n.startsWith("v") && n.drop(1).forall(_.isDigit)
             && !live.contains(n.drop(1).toLong))
           fs.delete(st.getPath, true)
+        else if (st.isDirectory && n.startsWith("v") && n.drop(1).forall(_.isDigit))
+          // live version: reclaim a claim marker a crash between publish
+          // and marker-delete left behind (harmless to scans, but bounded
+          // cleanup belongs here)
+          fs.listStatus(st.getPath).filter(_.getPath.getName.startsWith(".claim-"))
+            .foreach(m => fs.delete(m.getPath, false))
         else if (st.isDirectory && n.startsWith("d") && n.drop(1).forall(_.isDigit)
             && !liveDv.contains(n.drop(1).toLong))
           fs.delete(st.getPath, true) // deletion vectors of reclaimed manifests
@@ -1687,8 +1726,6 @@ object ManifestTable {
           fs.delete(st.getPath, false) // bloom sidecars of reclaimed versions
         else if (n.startsWith(".manifest-") && n.endsWith(".tmp"))
           fs.delete(st.getPath, false)
-        else if (n.startsWith(".claim-"))
-          fs.delete(st.getPath, false) // stray claim markers (crashed commits)
         else if (st.isDirectory && n.startsWith(".stage-"))
           fs.delete(st.getPath, true) // crashed commits' orphaned stages —
           // vacuum must not run concurrently with an in-flight commit

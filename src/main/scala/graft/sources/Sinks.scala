@@ -214,9 +214,13 @@ object Sinks {
     */
   def renderMongoExport(df: DataFrame, idCol: String): DataFrame = {
     import org.apache.spark.sql.types._
-    def jstr(c: org.apache.spark.sql.Column) = concat(lit("\""),
-      regexp_replace(regexp_replace(c, "\\\\", "\\\\\\\\"), "\"", "\\\\\""),
-      lit("\""))
+    // JSON-escape through Spark's OWN JSON writer (to_json of a one-field
+    // struct, quoted value extracted): hand-rolled replace chains miss
+    // control characters (a raw newline inside a value would emit invalid
+    // JSON AND split the line-oriented document in two); Jackson escapes
+    // quotes, backslashes, and every U+0000..U+001F correctly
+    def jstr(c: org.apache.spark.sql.Column) =
+      regexp_extract(to_json(struct(c.as("v"))), "^\\{\"v\":(\".*\")\\}$", 1)
     def frag(f: StructField): org.apache.spark.sql.Column = {
       val c = col(f.name)
       val v = f.dataType match {

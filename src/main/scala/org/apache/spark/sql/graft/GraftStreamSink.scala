@@ -27,11 +27,13 @@ import graft.sources.ManifestTable
   *    declarative pipeline with no driver code in the middle.
   *
   * EXACTLY-ONCE: Structured Streaming replays the same `batchId` after a
-  * crash; the sink records the last committed id in a `_sink.batch` file
-  * (written AFTER the table commit — at-least-once) and skips batches at
-  * or below it, so a replayed batch never double-appends. One streaming
-  * writer per table, like every manifest committer; the keyed-merge
-  * shapes are additionally idempotent per batch content.
+  * crash; the sink records the last committed id as a numbered
+  * `_sink.batch.<id>` marker (created AFTER the table commit —
+  * at-least-once; the id rides the file NAME so the marker appears
+  * atomically) and skips batches at or below the highest marker, so a
+  * replayed batch never double-appends. One streaming writer per table,
+  * like every manifest committer; the keyed-merge shapes are additionally
+  * idempotent per batch content.
   *
   * Lives in `org.apache.spark.sql.graft`: the V1 sink seam
   * (`execution.streaming.Sink`) and the streaming→batch plan re-rooting
@@ -43,22 +45,33 @@ class GraftStreamSink(sqlContext: SQLContext, root: String,
 
   private val spark = sqlContext.sparkSession
 
-  private def markerPath = new Path(root, "_sink.batch")
+  // the batch id rides the marker's NAME, not its content: a numbered
+  // `_sink.batch.<id>` file APPEARS atomically (create+close of an empty
+  // file — no truncate-then-write window where a crash leaves a partial
+  // marker that wedges every restart), the highest number wins, and older
+  // markers are best-effort swept after each commit
+  private val MarkerPrefix = "_sink.batch."
 
-  private def lastCommitted(): Long = {
-    val fs = markerPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(markerPath)) -1L
-    else {
-      val in = fs.open(markerPath)
-      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLong
-      finally in.close()
-    }
+  private def fs0 = new Path(root)
+    .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def markerIds(): Seq[Long] = {
+    val fs = fs0
+    val rootP = new Path(root)
+    if (!fs.exists(rootP)) Nil
+    else fs.listStatus(rootP).map(_.getPath.getName)
+      .filter(_.startsWith(MarkerPrefix))
+      .flatMap(n => scala.util.Try(n.stripPrefix(MarkerPrefix).toLong).toOption)
+      .toSeq
   }
 
+  private def lastCommitted(): Long = markerIds().foldLeft(-1L)(math.max)
+
   private def writeMarker(batchId: Long): Unit = {
-    val fs = markerPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val out = fs.create(markerPath, true)
-    try out.write(batchId.toString.getBytes("UTF-8")) finally out.close()
+    val fs = fs0
+    fs.create(new Path(root, MarkerPrefix + batchId), true).close()
+    markerIds().filter(_ < batchId).foreach(i =>
+      fs.delete(new Path(root, MarkerPrefix + i), false))
   }
 
   override def addBatch(batchId: Long, data: DataFrame): Unit = {
@@ -86,9 +99,14 @@ class GraftStreamSink(sqlContext: SQLContext, root: String,
           dels.select(col(pc)).distinct().collect()
             .map(r => ManifestTable.partDirName(pc, r.get(0))).toSeq
         }
-        if (!ManifestTable.exists(spark, root))
+        if (!ManifestTable.exists(spark, root)) {
           ManifestTable.commit(ups, root, partCol)
-        else if (ups.limit(1).count() + dels.limit(1).count() > 0)
+          // a mixed first batch (dst dropped while the source checkpoint
+          // survived) must not silently drop its delete rows
+          if (dels.limit(1).count() > 0)
+            ManifestTable.mergeDv(ups.limit(0), root, tableSchema, mergeKeys,
+              partCol, Nil, Nil, Some(dels), delParts)
+        } else if (ups.limit(1).count() + dels.limit(1).count() > 0)
           ManifestTable.mergeDv(ups, root, tableSchema, mergeKeys, partCol,
             Nil, Nil, Some(dels), delParts)
       } else if (mergeKeys.nonEmpty) {

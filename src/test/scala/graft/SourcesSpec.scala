@@ -590,10 +590,14 @@ class SourcesSpec extends SparkSuite {
     ManifestTable.commit(
       Seq((1L, "x", 10L), (2L, "x", 20L), (3L, "y", 30L), (4L, "y", 40L))
         .toDF("id", "p", "v"), root, Some("p"))
-    // logical delete: no data file rewritten, no new data version dir
+    // logical delete: no data file rewritten — the claimed version dir is
+    // an EMPTY claim vehicle (the staged-commit protocol's arbitration),
+    // referenced by no manifest entry
     val dv1 = ManifestTable.deleteWhere(spark, root, schema, col("id") === 2L)
     assert(dv1 == 2L)
-    assert(!new java.io.File(s"$root/v00000002").exists(), "delete must not write data")
+    val vdir2 = new java.io.File(s"$root/v00000002")
+    assert(!vdir2.exists() || vdir2.listFiles().forall(f =>
+      !f.getName.endsWith(".parquet")), "delete must not write data")
     assert(new java.io.File(s"$root/d00000002").exists(), "DV dataset missing")
     assert(snap() == Set((1L, "x", 10L), (3L, "y", 30L), (4L, "y", 40L)))
     // time travel to the pre-delete manifest still shows the row
@@ -1621,11 +1625,14 @@ class SourcesSpec extends SparkSuite {
     val rows = Seq(
       (1L, """he said "hi" \ bye""", 12.5, Some(java.sql.Timestamp.valueOf("2024-01-02 03:04:05.678")), Some(true)),
       (2L, null.asInstanceOf[String], -0.25, None, Some(false)),
+      // control characters must NOT split the NDJSON line or emit raw bytes
+      (3L, "line1\nline2\ttabctl", 0.5, None, Some(true)),
       (255L, "plain", 3.0, Some(java.sql.Timestamp.valueOf("1996-01-02 00:00:00")), None))
     val df = rows.toDF("id", "s", "x", "ts", "b")
     val rendered = graft.sources.Sinks.renderMongoExport(df, "id")
     val docs = rendered.as[String].collect()
     assert(docs.forall(d => d.startsWith("{\"_id\":{\"$oid\":\"") && d.endsWith("}")))
+    assert(docs.forall(d => !d.contains("\n") && !d.contains("\t"))) // controls escaped
     assert(docs.exists(_.contains("\"$oid\":\"0000000000000000000000ff\"")))
     assert(docs.exists(_.contains("\"s\":null")))
     assert(docs.exists(_.contains("{\"$date\":\"2024-01-02T03:04:05.678Z\"}")))
@@ -1757,15 +1764,26 @@ class SourcesSpec extends SparkSuite {
     assert(ManifestTable.rowCount(spark, root) == 90L)
     assert(ManifestTable.rowCount(spark, root)
       == ManifestTable.read(spark, root, schema).count())
+    // a key in BOTH merge legs masks its old position ONCE — an undeduped
+    // DV would double-subtract here
+    ManifestTable.mergeDv(Seq((20L, "p2", 2000L)).toDF("id", "p", "v"),
+      root, schema, Seq("id"), Some("p"), Nil, Nil,
+      Some(Seq((20L, "p2")).toDF("id", "p")), None) // v4
+    assert(ManifestTable.rowCount(spark, root) == 90L)
+    assert(ManifestTable.rowCount(spark, root)
+      == ManifestTable.read(spark, root, schema).count())
+    // nine original sub-10 ids + key 7's original AND its v2 copy (both
+    // masked by the delete) + key 20's superseded copy — each exactly once
+    assert(ManifestTable.deletedRowCount(spark, root) == 12L)
     // a compact rewrites the survivors; the OLD DV's positions go inert —
     // rowCount must not subtract them against the new files
-    ManifestTable.compact(spark, root, schema, Some("p")) // v4, no #dv
+    ManifestTable.compact(spark, root, schema, Some("p")) // v5, no #dv
     assert(ManifestTable.rowCount(spark, root) == 90L)
     // restore to the pre-delete snapshot: pure metadata, rows return
     val bytesBefore = new java.io.File(root).listFiles()
       .filter(f => f.isDirectory && f.getName.startsWith("v")).map(_.getName).toSet
     val nv = ManifestTable.restore(spark, root, 2L)
-    assert(nv == 5L)
+    assert(nv == 6L)
     val bytesAfter = new java.io.File(root).listFiles()
       .filter(f => f.isDirectory && f.getName.startsWith("v")).map(_.getName).toSet
     assert(bytesBefore == bytesAfter) // no data dir written
