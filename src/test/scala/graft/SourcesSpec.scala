@@ -1655,6 +1655,65 @@ class SourcesSpec extends SparkSuite {
     assert(ts == java.sql.Timestamp.valueOf("2024-01-02 03:04:05.678"))
   }
 
+  test("additive schema evolution flows through mergeDv: old files read NULL for new columns") {
+    import spark.implicits._
+    import graft.sources.ManifestTable
+    val root = java.nio.file.Files.createTempDirectory("manevo").toString + "/t"
+    ManifestTable.commit(Seq((1L, "a", 10L), (2L, "b", 20L)).toDF("id", "p", "v"),
+      root, Some("p")) // v1: no `score` column yet
+    val widened = StructType(Seq(
+      StructField("id", LongType), StructField("p", StringType),
+      StructField("v", LongType), StructField("score", DoubleType)))
+    // the merge batch carries the NEW column; the position scan reads the
+    // old files under the widened schema (score = NULL there)
+    ManifestTable.mergeDv(
+      Seq((2L, "b", 22L, 0.5), (3L, "a", 30L, 0.9)).toDF("id", "p", "v", "score"),
+      root, widened, Seq("id"), Some("p"), Nil, Nil, None, None)
+    val got = ManifestTable.read(spark, root, widened)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toSet
+    assert(got == Set((1L, "a", 10L, None), (2L, "b", 22L, Some(0.5)),
+      (3L, "a", 30L, Some(0.9))))
+    // inferSchema reports the union across live data versions
+    assert(ManifestTable.inferSchema(spark, root).fieldNames.toSet
+      == Set("id", "p", "v", "score"))
+  }
+
+  test("disk-resident ANN index takes incremental appends; search equals wholesale re-encode") {
+    import spark.implicits._
+    import graft.sources.ManifestTable
+    import graft.llm.ProductQuant
+    val root = java.nio.file.Files.createTempDirectory("manannapp").toString + "/t"
+    // deterministic synthetic embeddings, 64-dim
+    def vec(seed: Long) = (0 until 64).map(i =>
+      ((seed * 31 + i * 7) % 13).toDouble / 13.0).toArray
+    val base = (0L until 200L).map(i => (i, vec(i))).toDF("vec_id", "embedding")
+    val batch = (200L until 240L).map(i => (i, vec(i))).toDF("vec_id", "embedding")
+    val frac = ProductQuant.trainFracFor(base, 4096)
+    val sample = ProductQuant.sampleFor(base, frac, "vec_id")
+    val coarse = ProductQuant.trainCodebooks(base, 1, 64, 8, 2, 4, "vec_id", frac, sample)
+    val cb = ProductQuant.trainCodebooks(base, 8, 8, 8, 2, 8, "vec_id", frac, sample)
+    ProductQuant.releaseSample(sample)
+    val idxSchema = StructType(Seq(
+      StructField("vec_id", LongType), StructField("sub", IntegerType),
+      StructField("code", LongType), StructField("cell", LongType)))
+    def codesOf(df: org.apache.spark.sql.DataFrame) =
+      ProductQuant.encodeBatch(df, coarse, cb, 8, 8, "vec_id")
+        .select(idxSchema.fieldNames.map(col): _*)
+    ManifestTable.commit(codesOf(base).repartitionByRange(4, col("cell"), col("vec_id")),
+      root, None, statsCols = Seq("cell"), bloomCols = Seq("cell"))
+    // CDC leg: the new vectors' codes land as a BLIND APPEND (frozen model)
+    ManifestTable.append(codesOf(batch), root, None)
+    val q = base.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    def top(codes: org.apache.spark.sql.DataFrame) =
+      ProductQuant.ivfPqSearch(q, codes, coarse, cb, 5, 8, 8, nprobe = 2)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    val stored = top(ManifestTable.read(spark, root, idxSchema))
+    val rebuilt = top(codesOf(base.unionByName(batch)))
+    assert(stored == rebuilt) // append-maintained index == wholesale re-encode
+  }
+
   test("catalog DDL: CREATE TABLE USING graft serves SELECT and INSERT INTO") {
     import spark.implicits._
     import graft.sources.ManifestTable
