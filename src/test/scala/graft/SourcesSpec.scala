@@ -1559,6 +1559,47 @@ class SourcesSpec extends SparkSuite {
     assert(snap(dst) == Set((1L, 2L, "a", 22L), (2L, 1L, "b", 3L), (2L, 2L, "b", 4L)))
   }
 
+  test("deleteWhere racing a blind append: either serial order, never corruption") {
+    import spark.implicits._
+    import graft.sources.ManifestTable
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("p", StringType)))
+    for (round <- 1 to 3) {
+      val root = java.nio.file.Files.createTempDirectory(s"mandelrace$round")
+        .toString + "/t"
+      ManifestTable.commit(
+        (0L until 40L).map(i => (i, "p" + (i % 2))).toDF("id", "p"), root, Some("p"))
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+      def submit(f: => Long) = pool.submit(
+        new java.util.concurrent.Callable[Either[Throwable, Long]] {
+          def call() = try Right(f) catch { case e: IllegalStateException => Left(e) }
+        })
+      val del = submit(ManifestTable.deleteWhere(spark, root, schema,
+        col("id") < 10L))
+      val app = submit(ManifestTable.append(
+        (100L until 110L).map(i => (i, "p0")).toDF("id", "p"), root, Some("p")))
+      val (dr, ar) = (del.get(120, java.util.concurrent.TimeUnit.SECONDS),
+        app.get(120, java.util.concurrent.TimeUnit.SECONDS))
+      pool.shutdown()
+      // blind appends commute with everything — the append must land
+      assert(ar.isRight, s"round $round append: $ar")
+      // the delete either landed or failed LOUDLY (non-retryable collision)
+      dr.left.foreach(e =>
+        assert(e.getMessage.contains("commit collision"), e.getMessage))
+      val ids = ManifestTable.read(spark, root, schema)
+        .as[(Long, String)].collect().map(_._1).toSet
+      val expected =
+        if (dr.isRight) (10L until 40L).toSet ++ (100L until 110L).toSet
+        else (0L until 40L).toSet ++ (100L until 110L).toSet
+      // NOTE: the delete's predicate ran against its resolved base snapshot;
+      // appended rows (ids >= 100) never match id < 10 either way
+      assert(ids == expected, s"round $round: delete=${dr.isRight}")
+      // every on-disk manifest stays fully readable (no vanished dirs)
+      ManifestTable.versions(spark, root).foreach(v =>
+        ManifestTable.read(spark, root, schema, asOfVersion = Some(v)).count())
+    }
+  }
+
   test("concurrent disjoint-partition committers: no manifest ever references a vanished dir") {
     import spark.implicits._
     import graft.sources.ManifestTable
