@@ -4831,6 +4831,41 @@ object Queries {
         FROM tg GROUP BY doc_id)
       SELECT doc_id, n_grams, hits FROM h WHERE hits > 0""")),
 
+    // The APPLIED decontamination scrub: q183's audit turned into the
+    // training-set filter (drop docs with > 1 colliding window; short docs
+    // and zero/one-hit docs pass), summarized per source so the oracle
+    // pins exactly which documents survived.
+    ("q186_decontam_filter", (s: SparkSession, d: String) => {
+      val docs = t(s, d, "documents")
+      val bench = docs.filter(pmod(col("doc_id"), lit(11)) === 0)
+      val train = docs.filter(pmod(col("doc_id"), lit(11)) =!= 0)
+      graft.llm.Decontam.filterClean(train, bench, "doc_id", "text",
+          n = 4, maxHits = 1L)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n"), sum(col("doc_id")).as("id_sum"),
+          sum(col("n_chars")).as("chars"))
+    }, Some("""WITH d AS (SELECT doc_id,
+        list_filter(string_split_regex(trim(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')), ' '),
+                    x -> x <> '') AS w
+        FROM documents),
+      be AS (SELECT * FROM d WHERE doc_id % 11 = 0),
+      bg AS (SELECT DISTINCT md5(array_to_string(
+          w[CAST(pos AS INTEGER):CAST(pos + 3 AS INTEGER)], ' ')) AS g
+        FROM (SELECT w, unnest(range(1, len(w) - 2)) AS pos FROM be)),
+      tg AS (SELECT doc_id, md5(array_to_string(
+          w[CAST(pos AS INTEGER):CAST(pos + 3 AS INTEGER)], ' ')) AS g
+        FROM (SELECT doc_id, w, unnest(range(1, len(w) - 2)) AS pos
+          FROM d WHERE doc_id % 11 <> 0)),
+      dirty AS (SELECT doc_id FROM tg
+        GROUP BY doc_id
+        HAVING sum(CASE WHEN g IN (SELECT g FROM bg) THEN 1 ELSE 0 END) > 1)
+      SELECT source, CAST(count(*) AS BIGINT) AS n,
+        CAST(CAST(sum(doc_id) AS BIGINT) AS BIGINT) AS id_sum,
+        CAST(CAST(sum(n_chars) AS BIGINT) AS BIGINT) AS chars
+      FROM documents
+      WHERE doc_id % 11 <> 0 AND doc_id NOT IN (SELECT doc_id FROM dirty)
+      GROUP BY source""")),
+
     // RESTORE + metadata-only row count: a bad merge + delete are rolled
     // back by publishing the v1 snapshot as a NEW manifest (pure metadata,
     // zero data I/O — Delta RESTORE), and `rowCount` serves `count(*)`
