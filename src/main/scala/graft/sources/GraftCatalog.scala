@@ -1,0 +1,770 @@
+package graft.sources
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Column, DataFrame, Row, SQLContext, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference, Transform, Expression => VExpr, Literal => VLit}
+import org.apache.spark.sql.connector.expressions.filter.{AlwaysFalse, AlwaysTrue, Predicate, And => VAnd, Not => VNot, Or => VOr}
+import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns, V1Scan}
+import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.sources.{BaseRelation, Filter, InsertableRelation, TableScan}
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** DataSource V2 CATALOG over [[ManifestTable]] — the SQL-DML front door
+  * the V1 `graft` format can't provide (V1 relations stop at SELECT +
+  * INSERT). Registered as
+  *
+  * {{{
+  *   spark.conf.set("spark.sql.catalog.gcat", classOf[GraftCatalog].getName)
+  *   spark.conf.set("spark.sql.catalog.gcat.warehouse", "/data/warehouse")
+  * }}}
+  *
+  * it serves the full lakehouse DML surface through `spark.sql`:
+  *
+  * {{{
+  *   CREATE TABLE gcat.db.t (k BIGINT, v STRING, p STRING) PARTITIONED BY (p)
+  *   INSERT INTO gcat.db.t SELECT ...            -- blind append commit
+  *   INSERT OVERWRITE gcat.db.t SELECT ...       -- snapshot commit
+  *   SELECT * FROM gcat.db.t VERSION AS OF 3     -- time travel
+  *   DELETE FROM gcat.db.t WHERE k < 10          -- deletion-vector commit
+  *   UPDATE gcat.db.t SET v = 'x' WHERE k = 5    -- merge-on-read delta
+  *   MERGE INTO gcat.db.t USING src ON ...       -- full MERGE, O(changed rows)
+  * }}}
+  *
+  * The write amplification story carries over intact: DELETE with a
+  * translatable predicate routes to [[ManifestTable.deleteWhere]] (a pure
+  * DV commit — Spark's `OptimizeMetadataOnlyDeleteFromTable` picks this
+  * via [[SupportsDeleteV2]]); UPDATE / MERGE / complex DELETE go through
+  * Spark's own row-level rewrite against a DELTA-based
+  * [[RowLevelOperation]] ([[SupportsDelta]], the Iceberg
+  * position-delta shape): the target scan carries the `(__f, __pos)`
+  * rowId of every row, matched rows come back to [[GraftDeltaTaskWriter]]s
+  * as delete/insert deltas written straight to staged parquet on the
+  * EXECUTORS, and the driver folds them into one
+  * [[ManifestTable.commitDelta]] — bytes written = O(changed rows), never
+  * O(touched partitions), exactly the [[ManifestTable.mergeDv]] cost class.
+  * At 100 TB a MERGE over a 1000-executor cluster therefore shuffles only
+  * the source-side join and writes only the delta; the unmatched 99.99% of
+  * the table is never rewritten.
+  *
+  * Reads reuse the V1 relation's file-skipping pruning verbatim
+  * ([[GraftRelation.buildScan]] behind a [[V1Scan]] adapter), so zone
+  * maps, Blooms, and IN-list probes prune files under catalog-resolved
+  * scans exactly as under path-resolved ones; `__f`/`__pos` surface as
+  * METADATA COLUMNS ([[SupportsMetadataColumns]]) for row provenance.
+  *
+  * Snapshot isolation: a row-level operation pins the table's current
+  * version when the statement is planned; the scan reads exactly that
+  * snapshot and the commit validates against it — concurrent blind
+  * appends rebase underneath, anything else conflicts loudly
+  * ([[ManifestTable.publishStaged]]'s DV-aware rules).
+  *
+  * Scope (honest limits, documented not hidden): single identity
+  * partition column (the [[ManifestTable]] layout), no ALTER TABLE (data-
+  * layer additive evolution still works through merge commits), no
+  * LOCATION clause (path-addressed tables are the V1 format's job), CTAS
+  * is create-then-append (non-atomic — a failed CTAS leaves an empty
+  * table, the non-staging-catalog contract).
+  *
+  * Reference: the BigQuery warehouse the reference DML-loads into
+  * (reference: src/create_tables.sql, src/process_insert_update_weather_data.py:110-162)
+  * is an SQL-first surface; this catalog closes the same-surface gap for
+  * graft tables.
+  */
+class GraftCatalog extends TableCatalog with SupportsNamespaces {
+
+  private var catName: String = _
+  private var warehouse: String = _
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
+    catName = name
+    warehouse = Option(options.get("warehouse")).getOrElse(
+      throw new IllegalArgumentException(
+        s"graft catalog '$name' requires spark.sql.catalog.$name.warehouse"))
+  }
+
+  override def name(): String = catName
+
+  private def spark: SparkSession = SparkSession.active
+
+  private def fsAt(path: String): (FileSystem, Path) = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    (fs, p)
+  }
+
+  private def dirOf(namespace: Array[String]): String =
+    (warehouse +: namespace.toSeq).mkString("/")
+
+  private def rootOf(ident: Identifier): String =
+    dirOf(ident.namespace()) + "/" + ident.name()
+
+  private def isTable(root: String): Boolean = {
+    val (fs, p) = fsAt(root)
+    fs.exists(new Path(p, GraftDdl.FileName)) || ManifestTable.exists(spark, root)
+  }
+
+  private def display(ident: Identifier): String =
+    (catName +: ident.namespace().toSeq :+ ident.name()).mkString(".")
+
+  // ------------------------------ tables -------------------------------
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val (fs, p) = fsAt(dirOf(namespace))
+    if (!fs.exists(p)) throw new NoSuchNamespaceException(namespace)
+    fs.listStatus(p).toSeq
+      .filter(st => st.isDirectory && isTable(st.getPath.toString))
+      .map(st => Identifier.of(namespace, st.getPath.getName)).toArray
+  }
+
+  override def tableExists(ident: Identifier): Boolean = isTable(rootOf(ident))
+
+  override def loadTable(ident: Identifier): Table = {
+    val root = rootOf(ident)
+    if (!isTable(root)) throw new NoSuchTableException(ident)
+    new GraftV2Table(root, display(ident), None)
+  }
+
+  /** `VERSION AS OF <v>` — manifest-version time travel. */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val root = rootOf(ident)
+    if (!isTable(root)) throw new NoSuchTableException(ident)
+    val v = try version.toLong catch {
+      case _: NumberFormatException => throw new IllegalArgumentException(
+        s"graft VERSION AS OF takes a manifest version number, got '$version'")
+    }
+    new GraftV2Table(root, display(ident), Some(v))
+  }
+
+  override def loadTable(ident: Identifier, timestamp: Long): Table =
+    throw new UnsupportedOperationException(
+      "graft tables time-travel by version (VERSION AS OF n), not timestamp")
+
+  override def createTable(ident: Identifier, schema: StructType,
+                           partitions: Array[Transform],
+                           properties: java.util.Map[String, String]): Table = {
+    val root = rootOf(ident)
+    if (isTable(root)) throw new TableAlreadyExistsException(ident)
+    val props = properties.asScala.toMap
+    props.get(TableCatalog.PROP_PROVIDER).foreach { p =>
+      require(p.equalsIgnoreCase("graft"),
+        s"graft catalog tables use the graft provider (got USING $p)")
+    }
+    require(!props.contains(TableCatalog.PROP_LOCATION),
+      "graft catalog tables live under the warehouse; path-addressed tables " +
+        "are served by spark.read.format(\"graft\").load(path)")
+    val partCol = partitions.toSeq match {
+      case Seq() => None
+      case Seq(t) => t.references().toSeq match {
+        case Seq(r) if t.name() == "identity" && r.fieldNames().length == 1 =>
+          Some(r.fieldNames()(0))
+        case _ => throw new UnsupportedOperationException(
+          s"graft tables support a single identity partition column, got $t")
+      }
+      case ts => throw new UnsupportedOperationException(
+        s"graft tables support a single identity partition column, got ${ts.mkString(", ")}")
+    }
+    partCol.foreach(pc => require(schema.fieldNames.contains(pc),
+      s"partition column $pc is not in the table schema"))
+    val kept = props.view.filterKeys(k =>
+      !Set(TableCatalog.PROP_PROVIDER, TableCatalog.PROP_OWNER,
+        TableCatalog.PROP_COMMENT, TableCatalog.PROP_EXTERNAL,
+        TableCatalog.PROP_TABLE_TYPE).contains(k)).toMap
+    GraftDdl.save(spark, root, schema, partCol, kept)
+    new GraftV2Table(root, display(ident), None)
+  }
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table =
+    throw new UnsupportedOperationException(
+      "ALTER TABLE is not supported on graft tables; additive column evolution " +
+        "lands through merge commits at the data layer")
+
+  override def dropTable(ident: Identifier): Boolean = {
+    val root = rootOf(ident)
+    val (fs, p) = fsAt(root)
+    if (!isTable(root)) false else fs.delete(p, true)
+  }
+
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
+    val oldRoot = rootOf(oldIdent)
+    if (!isTable(oldRoot)) throw new NoSuchTableException(oldIdent)
+    if (isTable(rootOf(newIdent))) throw new TableAlreadyExistsException(newIdent)
+    val (fs, src) = fsAt(oldRoot)
+    val dst = new Path(rootOf(newIdent))
+    fs.mkdirs(dst.getParent)
+    require(fs.rename(src, dst), s"rename $src -> $dst failed")
+  }
+
+  // ---------------------------- namespaces -----------------------------
+
+  override def listNamespaces(): Array[Array[String]] = {
+    val (fs, p) = fsAt(warehouse)
+    if (!fs.exists(p)) Array.empty
+    else fs.listStatus(p).toSeq
+      .filter(st => st.isDirectory && !isTable(st.getPath.toString))
+      .map(st => Array(st.getPath.getName)).toArray
+  }
+
+  override def listNamespaces(namespace: Array[String]): Array[Array[String]] =
+    if (namespace.isEmpty) listNamespaces()
+    else {
+      val (fs, p) = fsAt(dirOf(namespace))
+      if (!fs.exists(p)) throw new NoSuchNamespaceException(namespace)
+      fs.listStatus(p).toSeq
+        .filter(st => st.isDirectory && !isTable(st.getPath.toString))
+        .map(st => namespace :+ st.getPath.getName).toArray
+    }
+
+  override def namespaceExists(namespace: Array[String]): Boolean =
+    namespace.isEmpty || fsAt(dirOf(namespace))._1.exists(new Path(dirOf(namespace)))
+
+  override def loadNamespaceMetadata(namespace: Array[String]): java.util.Map[String, String] = {
+    if (!namespaceExists(namespace)) throw new NoSuchNamespaceException(namespace)
+    Map.empty[String, String].asJava
+  }
+
+  override def createNamespace(namespace: Array[String],
+                               metadata: java.util.Map[String, String]): Unit = {
+    val (fs, p) = fsAt(dirOf(namespace))
+    fs.mkdirs(p)
+  }
+
+  override def alterNamespace(namespace: Array[String], changes: NamespaceChange*): Unit =
+    throw new UnsupportedOperationException("graft namespaces carry no metadata")
+
+  override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean = {
+    val (fs, p) = fsAt(dirOf(namespace))
+    if (!fs.exists(p)) false
+    else {
+      require(cascade || fs.listStatus(p).isEmpty,
+        s"namespace ${namespace.mkString(".")} is not empty (use CASCADE)")
+      fs.delete(p, true)
+    }
+  }
+}
+
+/** The `_ddl.json` table-metadata sidecar: declared schema (column ORDER
+  * and types as written in CREATE TABLE), partition column, and table
+  * properties (`statsCols` / `bloomCols` feed every commit's skipping
+  * sidecars). Tables created path-first (no sidecar) are still loadable —
+  * schema and partition column fall back to the manifest's own inference.
+  */
+private[sources] object GraftDdl {
+  val FileName = "_ddl.json"
+
+  final case class Ddl(schema: Option[StructType], partCol: Option[String],
+                       props: Map[String, String])
+
+  def save(spark: SparkSession, root: String, schema: StructType,
+           partCol: Option[String], props: Map[String, String]): Unit = {
+    val p = new Path(root, FileName)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val m = new com.fasterxml.jackson.databind.ObjectMapper()
+    val node = m.createObjectNode()
+    node.put("schema", schema.json)
+    partCol.foreach(node.put("partCol", _))
+    val pn = node.putObject("props")
+    props.foreach { case (k, v) => pn.put(k, v) }
+    val out = fs.create(p, true)
+    try out.write(m.writeValueAsBytes(node)) finally out.close()
+  }
+
+  def load(spark: SparkSession, root: String): Option[Ddl] = {
+    val p = new Path(root, FileName)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val bytes = try {
+        val buf = new java.io.ByteArrayOutputStream()
+        val chunk = new Array[Byte](8192)
+        var n = in.read(chunk)
+        while (n >= 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
+        buf.toByteArray
+      } finally in.close()
+      val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(bytes)
+      val schema = Option(node.get("schema")).map(s =>
+        org.apache.spark.sql.types.DataType.fromJson(s.asText()).asInstanceOf[StructType])
+      val partCol = Option(node.get("partCol")).map(_.asText())
+      val props = Option(node.get("props")).map { pn =>
+        pn.properties().asScala.map(e => e.getKey -> e.getValue.asText()).toMap
+      }.getOrElse(Map.empty)
+      Some(Ddl(schema, partCol, props))
+    }
+  }
+}
+
+/** One graft table as a V2 [[Table]]: reads via the V1-scan adapter
+  * (zone/Bloom file skipping intact), writes via the V1 write fallback
+  * (blind-append / snapshot commits), metadata-only DELETE via
+  * [[SupportsDeleteV2]], and delta-based row-level DML via
+  * [[SupportsRowLevelOperations]] — see [[GraftCatalog]] for the surface.
+  */
+class GraftV2Table(val root: String, displayName: String, asOf: Option[Long])
+    extends Table with SupportsRead with SupportsWrite with SupportsDeleteV2
+    with SupportsRowLevelOperations with SupportsMetadataColumns {
+
+  private def spark: SparkSession = SparkSession.active
+
+  private lazy val ddl: Option[GraftDdl.Ddl] = GraftDdl.load(spark, root)
+
+  override def name(): String = displayName
+
+  override lazy val schema: StructType =
+    ddl.flatMap(_.schema).getOrElse(ManifestTable.inferSchema(spark, root, asOf))
+
+  private[sources] def partCol: Option[String] =
+    ddl.flatMap(_.partCol).orElse(ManifestTable.partitionColumn(spark, root))
+
+  private def propCols(key: String): Seq[String] =
+    ddl.flatMap(_.props.get(key)).map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(Nil)
+
+  override def partitioning(): Array[Transform] =
+    partCol.map(Expressions.identity).toArray
+
+  override def properties(): java.util.Map[String, String] =
+    (ddl.map(_.props).getOrElse(Map.empty) + (TableCatalog.PROP_PROVIDER -> "graft")).asJava
+
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE,
+      TableCapability.TRUNCATE, TableCapability.OVERWRITE_BY_FILTER)
+
+  override def metadataColumns(): Array[MetadataColumn] =
+    Array(GraftMetaColumns.File, GraftMetaColumns.Pos)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new GraftScanBuilder(root, schema, asOf)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    require(asOf.isEmpty, "cannot write to a time-travel (VERSION AS OF) graft table")
+    new GraftWriteBuilder(root, schema, partCol,
+      propCols("statsCols"), propCols("bloomCols"))
+  }
+
+  // ------------------ metadata-only DELETE (DV commit) ------------------
+
+  override def canDeleteWhere(predicates: Array[Predicate]): Boolean =
+    predicates.forall(p => V2Predicates.toColumn(p).isDefined)
+
+  override def deleteWhere(predicates: Array[Predicate]): Unit = {
+    require(asOf.isEmpty, "cannot DELETE from a time-travel graft table")
+    if (ManifestTable.currentVersion(spark, root).isEmpty) return // empty table: no-op
+    val cond = predicates.toSeq.flatMap(V2Predicates.toColumn)
+      .reduceOption(_ && _).getOrElse(lit(true))
+    ManifestTable.deleteWhere(spark, root, schema, cond)
+  }
+
+  // ----------------- row-level DML (UPDATE / MERGE) ---------------------
+
+  override def newRowLevelOperationBuilder(
+      info: RowLevelOperationInfo): RowLevelOperationBuilder = {
+    require(asOf.isEmpty, "cannot run DML against a time-travel graft table")
+    val sc = propCols("statsCols"); val bc = propCols("bloomCols")
+    () => new GraftRowLevelOperation(info.command(), root, schema, partCol, sc, bc)
+  }
+}
+
+private[sources] object GraftMetaColumns {
+  val File: MetadataColumn = new MetadataColumn {
+    override def name: String = "__f"
+    override def dataType: org.apache.spark.sql.types.DataType = StringType
+    override def isNullable: Boolean = false
+    override def comment: String = "scheme-free path of the row's parquet file"
+  }
+  val Pos: MetadataColumn = new MetadataColumn {
+    override def name: String = "__pos"
+    override def dataType: org.apache.spark.sql.types.DataType = LongType
+    override def isNullable: Boolean = false
+    override def comment: String = "row index within the file (deletion-vector coordinate)"
+  }
+}
+
+/** Scan builder shared by plain reads and row-level-operation target
+  * scans. Filters push as HINTS (zone ranges / Bloom points prune files;
+  * Spark re-applies every predicate — the correct file-skipping posture),
+  * columns prune, and a required schema containing `__f`/`__pos` switches
+  * to the with-metadata snapshot read (no file skipping there: a DML scan
+  * must see every candidate row of its pinned version).
+  */
+private[sources] class GraftScanBuilder(root: String, tableSchema: StructType,
+                                        asOf: Option[Long])
+    extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+
+  private var required: StructType = tableSchema
+  private var filters: Array[Filter] = Array.empty
+
+  override def pushFilters(fs: Array[Filter]): Array[Filter] = {
+    filters = fs
+    fs // all residual: skipping prunes files, the engine applies exact predicates
+  }
+
+  override def pushedFilters(): Array[Filter] = filters
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def build(): Scan = new GraftV1ScanImpl(root, tableSchema, required, filters, asOf)
+}
+
+private[sources] class GraftV1ScanImpl(root: String, tableSchema: StructType,
+                                       required: StructType, filters: Array[Filter],
+                                       asOf: Option[Long]) extends V1Scan {
+
+  override def readSchema(): StructType = required
+
+  override def description(): String =
+    s"GraftScan(root=$root, asOf=$asOf, columns=${required.fieldNames.mkString(",")})"
+
+  override def toV1TableScan[T <: BaseRelation with TableScan](context: SQLContext): T =
+    new GraftV1TableScan(context, root, tableSchema, required, filters, asOf)
+      .asInstanceOf[T]
+}
+
+private[sources] class GraftV1TableScan(ctx: SQLContext, root: String,
+                                        tableSchema: StructType, required: StructType,
+                                        filters: Array[Filter], asOf: Option[Long])
+    extends BaseRelation with TableScan {
+
+  override def sqlContext: SQLContext = ctx
+  override def schema: StructType = required
+  override def needConversion: Boolean = false
+
+  override def buildScan(): RDD[Row] = {
+    val ss = ctx.sparkSession
+    val wantsMeta = required.fieldNames.exists(n => n == "__f" || n == "__pos")
+    if (asOf.isEmpty && ManifestTable.currentVersion(ss, root).isEmpty) {
+      // created-but-never-committed table: an empty relation, not an error
+      ss.createDataFrame(ss.sparkContext.emptyRDD[Row], required)
+        .queryExecution.toRdd.asInstanceOf[RDD[Row]]
+    } else if (wantsMeta) {
+      ManifestTable.readWithMeta(ss, root, tableSchema, asOf)
+        .select(required.fieldNames.map(col).toIndexedSeq: _*)
+        .queryExecution.toRdd.asInstanceOf[RDD[Row]]
+    } else if (asOf.isDefined) {
+      ManifestTable.read(ss, root, tableSchema, asOf)
+        .select(required.fieldNames.map(col).toIndexedSeq: _*)
+        .queryExecution.toRdd.asInstanceOf[RDD[Row]]
+    } else {
+      // current-version data-only scan: exactly the V1 relation's pruned path
+      GraftRelation(ctx, root, tableSchema, None).buildScan(required.fieldNames, filters)
+    }
+  }
+}
+
+/** INSERT INTO (append) / INSERT OVERWRITE (snapshot) via the V1 write
+  * fallback — the same staged commits as the programmatic and V1-format
+  * paths, so catalog writes inherit the optimistic-concurrency rules.
+  */
+private[sources] class GraftWriteBuilder(root: String, tableSchema: StructType,
+                                         partCol: Option[String], statsCols: Seq[String],
+                                         bloomCols: Seq[String])
+    extends WriteBuilder with SupportsTruncate {
+
+  private var overwrite = false
+
+  override def truncate(): WriteBuilder = { overwrite = true; this }
+
+  override def build(): Write = new V1Write {
+    override def toInsertableRelation(): InsertableRelation = new InsertableRelation {
+      override def insert(data: DataFrame, ow: Boolean): Unit = {
+        val aligned = data.toDF(tableSchema.fieldNames.toIndexedSeq: _*)
+        if (overwrite || ow)
+          ManifestTable.commit(aligned, root, partCol, carryForward = false,
+            statsCols = statsCols, bloomCols = bloomCols)
+        else
+          ManifestTable.append(aligned, root, partCol, statsCols, bloomCols)
+      }
+    }
+  }
+}
+
+/** V2 `Predicate` → DSL `Column` for the shapes [[ManifestTable.deleteWhere]]
+  * (and its skipping-hint extraction) understands. Anything untranslatable
+  * returns None → `canDeleteWhere` declines and Spark routes the DELETE
+  * through the row-level rewrite instead — never a wrong answer, just the
+  * costlier (scan-backed) plan.
+  */
+private[sources] object V2Predicates {
+
+  def toColumn(p: Predicate): Option[Column] = p match {
+    case _: AlwaysTrue => Some(lit(true))
+    case _: AlwaysFalse => Some(lit(false))
+    case a: VAnd => for { l <- toColumn(a.left()); r <- toColumn(a.right()) } yield l && r
+    case o: VOr => for { l <- toColumn(o.left()); r <- toColumn(o.right()) } yield l || r
+    case n: VNot => toColumn(n.child()).map(!_)
+    case _ => scalar(p)
+  }
+
+  private def operand(e: VExpr): Option[Column] = e match {
+    case r: NamedReference if r.fieldNames().length == 1 => Some(col(r.fieldNames()(0)))
+    case l: VLit[_] => Some(lit(
+      org.apache.spark.sql.catalyst.CatalystTypeConverters
+        .convertToScala(l.value, l.dataType)))
+    case _ => None
+  }
+
+  private def scalar(p: Predicate): Option[Column] = {
+    val ch = p.children()
+    def bin(f: (Column, Column) => Column): Option[Column] =
+      if (ch.length != 2) None
+      else for { l <- operand(ch(0)); r <- operand(ch(1)) } yield f(l, r)
+    p.name() match {
+      case "=" => bin(_ === _)
+      case "<=>" => bin(_ <=> _)
+      case "<" => bin(_ < _)
+      case "<=" => bin(_ <= _)
+      case ">" => bin(_ > _)
+      case ">=" => bin(_ >= _)
+      case "IN" if ch.length >= 2 =>
+        (ch.head, ch.tail.toSeq) match {
+          case (r: NamedReference, vs) if r.fieldNames().length == 1 =>
+            val lits = vs.flatMap {
+              case l: VLit[_] => Some(
+                org.apache.spark.sql.catalyst.CatalystTypeConverters
+                  .convertToScala(l.value, l.dataType))
+              case _ => None
+            }
+            if (lits.length == vs.length) Some(col(r.fieldNames()(0)).isin(lits: _*))
+            else None
+          case _ => None
+        }
+      case "IS_NULL" if ch.length == 1 => operandField(ch(0)).map(_.isNull)
+      case "IS_NOT_NULL" if ch.length == 1 => operandField(ch(0)).map(_.isNotNull)
+      case _ => None
+    }
+  }
+
+  private def operandField(e: VExpr): Option[Column] = e match {
+    case r: NamedReference if r.fieldNames().length == 1 => Some(col(r.fieldNames()(0)))
+    case _ => None
+  }
+}
+
+/** Delta-based row-level operation (the Iceberg position-delta shape):
+  * rowId = `(__f, __pos)`, updates split into delete + reinsert, and the
+  * write lands as ONE merge-on-read commit. The table's current version is
+  * pinned HERE — scan and commit both speak about the same snapshot.
+  */
+private[sources] class GraftRowLevelOperation(cmd: RowLevelOperation.Command,
+                                              root: String, tableSchema: StructType,
+                                              partCol: Option[String],
+                                              statsCols: Seq[String], bloomCols: Seq[String])
+    extends RowLevelOperation with SupportsDelta {
+
+  private val baseVersion: Option[Long] =
+    ManifestTable.currentVersion(SparkSession.active, root)
+
+  override def command(): RowLevelOperation.Command = cmd
+
+  override def description(): String = s"GraftRowLevelOperation($cmd, $root, base=$baseVersion)"
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new GraftScanBuilder(root, tableSchema, baseVersion)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): DeltaWriteBuilder =
+    new DeltaWriteBuilder {
+      override def build(): DeltaWrite =
+        new GraftDeltaWrite(root, tableSchema, partCol, statsCols, bloomCols,
+          baseVersion, info)
+    }
+
+  override def rowId(): Array[NamedReference] =
+    Array(Expressions.column("__f"), Expressions.column("__pos"))
+
+  override def representUpdateAsDeleteAndInsert(): Boolean = true
+}
+
+private[sources] object GraftDeltaWrite {
+  val DelSchema: StructType = StructType(Seq(
+    StructField("__f", StringType, nullable = false),
+    StructField("__pos", LongType, nullable = false)))
+}
+
+private[sources] class GraftDeltaWrite(root: String, tableSchema: StructType,
+                                       partCol: Option[String], statsCols: Seq[String],
+                                       bloomCols: Seq[String], baseVersion: Option[Long],
+                                       info: LogicalWriteInfo) extends DeltaWrite {
+
+  private val staging: String =
+    root + "/.stage-" + java.util.UUID.randomUUID().toString.take(12) + "-dml"
+
+  override def description(): String = s"GraftDeltaWrite($root, base=$baseVersion)"
+
+  override def toBatch(): DeltaBatchWrite = {
+    val rowIdSchema =
+      if (info.rowIdSchema().isPresent) info.rowIdSchema().get()
+      else GraftDeltaWrite.DelSchema
+    new GraftDeltaBatchWrite(root, tableSchema, partCol, statsCols, bloomCols,
+      baseVersion, info.schema(), rowIdSchema, staging)
+  }
+}
+
+/** Driver half of the delta write: executors hand back the staged parquet
+  * file lists; commit folds them into one [[ManifestTable.commitDelta]].
+  * Only files named in COMMITTED task messages are read — a speculative or
+  * failed attempt's stragglers in the staging dir are never picked up.
+  */
+private[sources] class GraftDeltaBatchWrite(root: String, tableSchema: StructType,
+                                            partCol: Option[String], statsCols: Seq[String],
+                                            bloomCols: Seq[String], baseVersion: Option[Long],
+                                            dataSchema: StructType, rowIdSchema: StructType,
+                                            staging: String) extends DeltaBatchWrite {
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DeltaWriterFactory =
+    GraftDeltaWriterFactory(staging, dataSchema, rowIdSchema)
+
+  private def cleanup(spark: SparkSession): Unit = {
+    val p = new Path(staging)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+  }
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val spark = SparkSession.active
+    try {
+      val msgs = messages.toSeq.collect { case m: GraftDeltaCommitMessage => m }
+      val dataFiles = msgs.flatMap(_.dataFile)
+      val delFiles = msgs.flatMap(_.delFile)
+      if (dataFiles.nonEmpty || delFiles.nonEmpty) {
+        // align to the table schema by NAME — the delta projection's order
+        // is Spark's, the committed layout is the table's
+        val batch =
+          if (dataFiles.isEmpty) None
+          else Some(spark.read.schema(dataSchema).parquet(dataFiles: _*)
+            .select(tableSchema.fieldNames.map(col).toIndexedSeq: _*))
+        baseVersion match {
+          case Some(v) =>
+            val positions =
+              if (delFiles.isEmpty) spark.createDataFrame(
+                spark.sparkContext.emptyRDD[Row], GraftDeltaWrite.DelSchema)
+              else spark.read.schema(GraftDeltaWrite.DelSchema).parquet(delFiles: _*)
+            ManifestTable.commitDelta(spark, root, v, batch, positions, partCol,
+              statsCols, bloomCols)
+          case None =>
+            // DML against a created-but-empty table: nothing existed to
+            // delete, the inserts are a plain first append
+            require(delFiles.isEmpty,
+              "row-level DML produced deletes against a table with no committed version")
+            batch.foreach(b =>
+              ManifestTable.append(b, root, partCol, statsCols, bloomCols))
+        }
+      }
+    } finally cleanup(spark)
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    cleanup(SparkSession.active)
+}
+
+private[sources] final case class GraftDeltaCommitMessage(
+    dataFile: Option[String], delFile: Option[String]) extends WriterCommitMessage
+
+private[sources] final case class GraftDeltaWriterFactory(
+    staging: String, dataSchema: StructType, rowIdSchema: StructType)
+    extends DeltaWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DeltaWriter[InternalRow] =
+    new GraftDeltaTaskWriter(staging, dataSchema, rowIdSchema, partitionId, taskId)
+}
+
+/** Executor half: inserts stream to a staged data parquet, deletes to a
+  * staged `(__f, __pos)` parquet — both through Spark's own
+  * `ParquetWriteSupport` (full type fidelity, micros timestamps), opened
+  * lazily so a task that saw no rows of a kind leaves no file. An UPDATE
+  * arrives as delete + reinsert ([[GraftRowLevelOperation
+  * .representUpdateAsDeleteAndInsert]]); `update` is implemented anyway
+  * for completeness.
+  */
+private[sources] class GraftDeltaTaskWriter(staging: String, dataSchema: StructType,
+                                            rowIdSchema: StructType, partitionId: Int,
+                                            taskId: Long) extends DeltaWriter[InternalRow] {
+
+  private val fIdx = rowIdSchema.fieldIndex("__f")
+  private val posIdx = rowIdSchema.fieldIndex("__pos")
+
+  private var dataW: org.apache.parquet.hadoop.ParquetWriter[InternalRow] = _
+  private var delW: org.apache.parquet.hadoop.ParquetWriter[InternalRow] = _
+  private val dataPath = s"$staging/data/p$partitionId-t$taskId.parquet"
+  private val delPath = s"$staging/del/p$partitionId-t$taskId.parquet"
+
+  private def dataWriter = {
+    if (dataW == null) dataW = RowParquet.open(dataPath, dataSchema)
+    dataW
+  }
+  private def delWriter = {
+    if (delW == null) delW = RowParquet.open(delPath, GraftDeltaWrite.DelSchema)
+    delW
+  }
+
+  override def insert(row: InternalRow): Unit = dataWriter.write(row)
+
+  override def delete(meta: InternalRow, id: InternalRow): Unit =
+    delWriter.write(new GenericInternalRow(
+      Array[Any](id.getUTF8String(fIdx), id.getLong(posIdx))))
+
+  override def update(meta: InternalRow, id: InternalRow, row: InternalRow): Unit = {
+    delete(meta, id); insert(row)
+  }
+
+  override def commit(): WriterCommitMessage = {
+    val hadData = dataW != null; val hadDel = delW != null
+    close()
+    GraftDeltaCommitMessage(if (hadData) Some(dataPath) else None,
+      if (hadDel) Some(delPath) else None)
+  }
+
+  override def abort(): Unit = {
+    close()
+    val conf = new Configuration()
+    Seq(dataPath, delPath).foreach { s =>
+      val p = new Path(s); p.getFileSystem(conf).delete(p, false)
+    }
+  }
+
+  override def close(): Unit = {
+    if (dataW != null) { dataW.close(); dataW = null }
+    if (delW != null) { delW.close(); delW = null }
+  }
+}
+
+/** A parquet writer for `InternalRow`s on the EXECUTOR, built from
+  * parquet-hadoop's public builder around Spark's own `ParquetWriteSupport`
+  * — the exact row-to-parquet conversion the engine's write path uses, so
+  * staged delta files read back bit-identical to engine-written ones.
+  * The two conf keys are the ones `ParquetWriteSupport.init` asserts on.
+  */
+private[sources] object RowParquet {
+
+  private class B(path: Path)
+      extends org.apache.parquet.hadoop.ParquetWriter.Builder[InternalRow, B](path) {
+    override def self(): B = this
+    override def getWriteSupport(conf: Configuration)
+        : org.apache.parquet.hadoop.api.WriteSupport[InternalRow] =
+      new org.apache.spark.sql.execution.datasources.parquet.ParquetWriteSupport()
+  }
+
+  def open(path: String, schema: StructType)
+      : org.apache.parquet.hadoop.ParquetWriter[InternalRow] = {
+    import org.apache.spark.sql.internal.SQLConf
+    val conf = new Configuration()
+    org.apache.spark.sql.execution.datasources.parquet.ParquetWriteSupport
+      .setSchema(schema, conf)
+    // every key SparkToParquetSchemaConverter(Configuration) reads without
+    // a default — absent keys NPE inside the executor task
+    conf.set(SQLConf.PARQUET_WRITE_LEGACY_FORMAT.key, "false")
+    conf.set(SQLConf.PARQUET_OUTPUT_TIMESTAMP_TYPE.key, "TIMESTAMP_MICROS")
+    conf.set(SQLConf.PARQUET_FIELD_ID_WRITE_ENABLED.key, "false")
+    conf.set(SQLConf.PARQUET_ANNOTATE_VARIANT_LOGICAL_TYPE.key, "false")
+    val p = new Path(path)
+    p.getFileSystem(conf).mkdirs(p.getParent)
+    new B(p).withConf(conf).build()
+  }
+}

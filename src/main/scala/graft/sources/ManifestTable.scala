@@ -403,6 +403,19 @@ object ManifestTable {
     readSnapshot(spark, root, schema, v, withMeta = false)
   }
 
+  /** [[read]] with the `__f`/`__pos` file-identity columns kept (scheme-
+    * free path + parquet row index — the coordinates the deletion-vector
+    * machinery keys on). The row-level SQL DML scan ([[GraftCatalog]])
+    * reads through this so each target row carries the rowId a positional
+    * delete needs; everything else should use [[read]].
+    */
+  def readWithMeta(spark: SparkSession, root: String, schema: StructType,
+                   asOfVersion: Option[Long] = None): DataFrame = {
+    val v = asOfVersion.orElse(currentVersion(spark, root)).getOrElse(
+      throw new IllegalStateException(s"manifest table $root has no committed version"))
+    readSnapshot(spark, root, schema, v, withMeta = true)
+  }
+
   /** Scheme-free path: `file:///a/b` and `file:/a/b` both normalize to
     * `/a/b`, so a deletion vector's stored paths compare stably against
     * `_metadata.file_path` regardless of how the scheme rendered.
@@ -1401,6 +1414,64 @@ object ManifestTable {
     // manifest's own #dv comes from dvStage, not the carry)
     publishStaged(spark, root, stage, Some(cur), entriesOf(fs, rootP, cur),
       touchedNames, dvOf(fs, rootP, cur), stats, blooms, retryable = true,
+      appendEntries = true, dvStage = Some(dvStage))
+  }
+
+  /** [[mergeDv]] with the deleted POSITIONS handed in directly instead of
+    * computed from keys — the commit primitive under SQL row-level DML
+    * ([[GraftCatalog]]): Spark's MERGE/UPDATE/DELETE rewrite has already
+    * joined the target scan and produced exactly the `(__f, __pos)` rowIds
+    * to mask and the rows to land, so re-deriving positions from keys would
+    * be a second scan. `batch = None` is a pure positional delete (the
+    * [[deleteWhere]] shape). Positions must come from a [[readWithMeta]]
+    * scan of `baseVersion`'s snapshot (same path normalization as the DV).
+    *
+    * Bytes written = O(batch rows + positions); concurrency follows
+    * [[mergeDv]]: the staged positions rebase past blind appends only, any
+    * winner that rewrote data or changed the DV conflicts loudly. The SQL
+    * write path skips the publish entirely when the DML matched nothing
+    * (no staged files), so a no-op MERGE never burns a version number.
+    */
+  def commitDelta(spark: SparkSession, root: String, baseVersion: Long,
+                  batch: Option[DataFrame], positions: DataFrame,
+                  partCol: Option[String], statsCols: Seq[String] = Nil,
+                  bloomCols: Seq[String] = Nil): Long = {
+    import org.apache.spark.sql.functions.col
+    val (fs, rootP) = fsOf(spark, root)
+    val stage = new Path(rootP,
+      ".stage-" + java.util.UUID.randomUUID().toString.take(12))
+    batch match {
+      case Some(b) => partCol match {
+        case Some(pc) => b.write.partitionBy(pc).mode("overwrite").parquet(stage.toString)
+        case None => b.write.mode("overwrite").parquet(stage.toString)
+      }
+      case None => fs.mkdirs(stage)
+    }
+    val touchedNames: Seq[String] = batch match {
+      case Some(_) => partCol match {
+        case Some(_) => fs.listStatus(stage)
+          .filter(st => st.isDirectory && st.getPath.getName.contains("="))
+          .map(_.getPath.getName).toSeq
+        case None => Seq("")
+      }
+      case None => Nil
+    }
+    val newDel = positions.select(col("__f"), col("__pos"))
+    val allDel = dvOf(fs, rootP, baseVersion) match {
+      case Some(d) => spark.read.parquet(dvDir(root, d)).unionByName(newDel)
+      case None => newDel
+    }
+    val dvStage = new Path(rootP,
+      ".stage-" + java.util.UUID.randomUUID().toString.take(12) + "-dv")
+    allDel.dropDuplicates("__f", "__pos").write.mode("overwrite").parquet(dvStage.toString)
+    val stats =
+      if (statsCols.nonEmpty && batch.isDefined) harvestStats(fs, stage, statsCols) else Nil
+    val blooms =
+      if (bloomCols.nonEmpty && batch.isDefined) harvestBlooms(spark, fs, stage, bloomCols)
+      else Nil
+    publishStaged(spark, root, stage, Some(baseVersion),
+      entriesOf(fs, rootP, baseVersion), touchedNames,
+      dvOf(fs, rootP, baseVersion), stats, blooms, retryable = true,
       appendEntries = true, dvStage = Some(dvStage))
   }
 

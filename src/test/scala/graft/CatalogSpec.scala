@@ -1,0 +1,173 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.{GraftCatalog, ManifestTable}
+
+/** The DSv2 catalog front door (`GraftCatalog`): SQL DDL + the full DML
+  * surface (INSERT / DELETE / UPDATE / MERGE INTO) over manifest tables,
+  * including the merge-on-read row-level path (SupportsDelta) and the
+  * metadata-only DELETE (SupportsDeleteV2). Mirrors the reference's
+  * SQL-first warehouse surface (reference: src/create_tables.sql,
+  * src/process_insert_update_weather_data.py:110-162).
+  */
+class CatalogSpec extends SparkSuite {
+
+  private lazy val wh: String = {
+    val dir = Files.createTempDirectory("graft-cat-wh").toString
+    spark.conf.set("spark.sql.catalog.gcat", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gcat.warehouse", dir)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gcat.db")
+    dir
+  }
+
+  private def freshTable(name: String): String = {
+    wh // force catalog registration
+    spark.sql(s"DROP TABLE IF EXISTS gcat.db.$name")
+    spark.sql(
+      s"""CREATE TABLE gcat.db.$name (k BIGINT, v STRING, p STRING)
+         |PARTITIONED BY (p)""".stripMargin)
+    s"gcat.db.$name"
+  }
+
+  private def rowsOf(t: String): Set[(Long, String, String)] = {
+    import spark.implicits._
+    spark.table(t).select("k", "v", "p").as[(Long, String, String)].collect().toSet
+  }
+
+  test("CREATE TABLE + INSERT INTO + SELECT round-trips partitioned data") {
+    val t = freshTable("t1")
+    spark.sql(s"INSERT INTO $t VALUES (1, 'a', 'x'), (2, 'b', 'y'), (3, 'c', 'x')")
+    assert(rowsOf(t) == Set((1L, "a", "x"), (2L, "b", "y"), (3L, "c", "x")))
+    // second INSERT is a blind append, not a replace
+    spark.sql(s"INSERT INTO $t VALUES (4, 'd', 'y')")
+    assert(rowsOf(t).size == 4)
+    // physically partitioned: the table root holds p=... dirs under v dirs
+    val root = s"$wh/db/t1"
+    val v1 = new java.io.File(s"$root/v00000001")
+    assert(v1.exists() && v1.listFiles().exists(_.getName.startsWith("p=")),
+      s"expected hive-style partition dirs under $v1")
+  }
+
+  test("INSERT OVERWRITE replaces the snapshot") {
+    val t = freshTable("t2")
+    spark.sql(s"INSERT INTO $t VALUES (1, 'a', 'x'), (2, 'b', 'y')")
+    spark.sql(s"INSERT OVERWRITE $t VALUES (9, 'z', 'x')")
+    assert(rowsOf(t) == Set((9L, "z", "x")))
+  }
+
+  test("simple-predicate DELETE is a metadata-only DV commit") {
+    val t = freshTable("t3")
+    spark.sql(s"INSERT INTO $t VALUES (1, 'a', 'x'), (2, 'b', 'y'), (3, 'c', 'x')")
+    val root = s"$wh/db/t3"
+    val vBefore = ManifestTable.currentVersion(spark, root).get
+    spark.sql(s"DELETE FROM $t WHERE k < 3")
+    assert(rowsOf(t) == Set((3L, "c", "x")))
+    val vAfter = ManifestTable.currentVersion(spark, root).get
+    assert(vAfter == vBefore + 1)
+    // metadata-only: the delete wrote a DV dir, no new data version dir
+    val dDir = new java.io.File(f"$root/d$vAfter%08d")
+    val vDir = new java.io.File(f"$root/v$vAfter%08d")
+    assert(dDir.exists(), s"expected deletion-vector dir $dDir")
+    assert(!vDir.exists() || vDir.listFiles().forall(!_.getName.endsWith(".parquet")),
+      "a simple DELETE must not rewrite data files")
+  }
+
+  test("UPDATE lands as a merge-on-read delta (O(changed rows) write)") {
+    val t = freshTable("t4")
+    spark.sql(s"INSERT INTO $t VALUES (1, 'a', 'x'), (2, 'b', 'y'), (3, 'c', 'x')")
+    spark.sql(s"UPDATE $t SET v = 'B' WHERE k = 2")
+    assert(rowsOf(t) == Set((1L, "a", "x"), (2L, "B", "y"), (3L, "c", "x")))
+    // the delta version's data dir holds only the 1 reinserted row
+    val root = s"$wh/db/t4"
+    val v = ManifestTable.currentVersion(spark, root).get
+    val reinserted = spark.read.parquet(f"$root/v$v%08d")
+    assert(reinserted.count() == 1)
+  }
+
+  test("complex-predicate DELETE routes through the row-level delta path") {
+    val t = freshTable("t5")
+    spark.sql(s"INSERT INTO $t VALUES (1, 'a', 'x'), (2, 'b', 'y'), (3, 'c', 'x'), (4, 'd', 'y')")
+    spark.sql(s"DELETE FROM $t WHERE k % 2 = 0") // % is not V2Predicate-translatable
+    assert(rowsOf(t) == Set((1L, "a", "x"), (3L, "c", "x")))
+  }
+
+  test("MERGE INTO: matched update, matched delete, not-matched insert, one commit") {
+    val t = freshTable("t6")
+    spark.sql(s"INSERT INTO $t VALUES (1, 'a', 'x'), (2, 'b', 'y'), (3, 'c', 'x')")
+    val root = s"$wh/db/t6"
+    val vBefore = ManifestTable.currentVersion(spark, root).get
+    spark.createDataFrame(Seq(
+      (2L, "B2", "y"), (3L, "DEL", "x"), (5L, "e", "y")))
+      .toDF("k", "v", "p").createOrReplaceTempView("merge_src")
+    spark.sql(
+      s"""MERGE INTO $t tgt USING merge_src src ON tgt.k = src.k
+         |WHEN MATCHED AND src.v = 'DEL' THEN DELETE
+         |WHEN MATCHED THEN UPDATE SET v = src.v
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    assert(rowsOf(t) == Set((1L, "a", "x"), (2L, "B2", "y"), (5L, "e", "y")))
+    assert(ManifestTable.currentVersion(spark, root).get == vBefore + 1,
+      "the whole MERGE must land as ONE commit")
+  }
+
+  test("VERSION AS OF time travel reads the pinned snapshot") {
+    val t = freshTable("t7")
+    spark.sql(s"INSERT INTO $t VALUES (1, 'a', 'x')")
+    spark.sql(s"INSERT INTO $t VALUES (2, 'b', 'y')")
+    spark.sql(s"DELETE FROM $t WHERE k = 1")
+    import spark.implicits._
+    val asOf1 = spark.sql(s"SELECT k FROM $t VERSION AS OF 1").as[Long].collect().toSet
+    val asOf2 = spark.sql(s"SELECT k FROM $t VERSION AS OF 2").as[Long].collect().toSet
+    val now = spark.sql(s"SELECT k FROM $t").as[Long].collect().toSet
+    assert(asOf1 == Set(1L) && asOf2 == Set(1L, 2L) && now == Set(2L))
+  }
+
+  test("metadata columns __f/__pos surface row provenance") {
+    val t = freshTable("t8")
+    spark.sql(s"INSERT INTO $t VALUES (1, 'a', 'x'), (2, 'b', 'x')")
+    val got = spark.sql(s"SELECT k, __f, __pos FROM $t").collect()
+    assert(got.length == 2)
+    assert(got.forall(r => r.getString(1).endsWith(".parquet")))
+    assert(got.forall(r => r.getLong(2) >= 0))
+    assert(got.map(r => (r.getString(1), r.getLong(2))).distinct.length == 2,
+      "each row must carry a distinct (file, pos) identity")
+  }
+
+  test("a stale-base delta commit rebases past a concurrent blind append") {
+    val t = freshTable("t9")
+    spark.sql(s"INSERT INTO $t VALUES (1, 'a', 'x'), (2, 'b', 'y')")
+    val root = s"$wh/db/t9"
+    val schema = spark.table(t).schema
+    // pin the base version (what a row-level op does at planning time) …
+    val base = ManifestTable.currentVersion(spark, root).get
+    val positions = ManifestTable.readWithMeta(spark, root, schema, Some(base))
+      .filter(col("k") === 1).select("__f", "__pos")
+    val reinsert = spark.createDataFrame(Seq((1L, "A", "x"))).toDF("k", "v", "p")
+    // … a blind append lands in between …
+    ManifestTable.append(
+      spark.createDataFrame(Seq((7L, "g", "x"))).toDF("k", "v", "p"),
+      root, Some("p"))
+    // … and the delta commit (deliberately stale base) must rebase, not lose it
+    ManifestTable.commitDelta(spark, root, base, Some(reinsert), positions, Some("p"))
+    assert(rowsOf(t) == Set((1L, "A", "x"), (2L, "b", "y"), (7L, "g", "x")))
+  }
+
+  test("DROP TABLE and RENAME TABLE") {
+    val t = freshTable("t10")
+    spark.sql(s"INSERT INTO $t VALUES (1, 'a', 'x')")
+    spark.sql(s"ALTER TABLE $t RENAME TO db.t10r")
+    assert(rowsOf("gcat.db.t10r") == Set((1L, "a", "x")))
+    spark.sql("DROP TABLE gcat.db.t10r")
+    assert(!spark.catalog.tableExists("gcat.db.t10r"))
+  }
+
+  test("CTAS creates and loads in one statement") {
+    wh
+    spark.sql("DROP TABLE IF EXISTS gcat.db.t11")
+    spark.sql("CREATE TABLE gcat.db.t11 AS SELECT 1L AS k, 'a' AS v")
+    import spark.implicits._
+    assert(spark.table("gcat.db.t11").as[(Long, String)].collect().toSeq == Seq((1L, "a")))
+  }
+}
