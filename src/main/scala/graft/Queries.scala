@@ -5001,7 +5001,86 @@ object Queries {
       SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS tp,
         CAST(CAST(sum(o_orderkey) AS BIGINT) AS BIGINT) AS ok_sum
-      FROM fin GROUP BY o_orderstatus"""))
+      FROM fin GROUP BY o_orderstatus""")),
+
+    // SQL schema evolution on the catalog front door: rows committed
+    // BEFORE an ALTER TABLE ADD COLUMNS backfill NULL on read (snapshot
+    // reads pass an explicit schema, so old parquet files simply lack the
+    // column — zero data rewritten, the only evolution cost a 100 TB
+    // table can afford), rows after carry real values, and one aggregate
+    // proves both generations coexist in a single scan.
+    ("q188_sql_schema_evolution", (s: SparkSession, d: String) => {
+      import graft.sources.GraftCatalog
+      val o = t(s, d, "orders").select(col("o_orderkey"), col("o_custkey"),
+        col("o_orderstatus"), col("o_totalprice"))
+      val wh = java.nio.file.Files.createTempDirectory("q188-cat").toString
+      s.conf.set("spark.sql.catalog.gq188", classOf[GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.gq188.warehouse", wh)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS gq188.db")
+      s.sql("DROP TABLE IF EXISTS gq188.db.orders")
+      s.sql("""CREATE TABLE gq188.db.orders (
+        o_orderkey BIGINT, o_orderstatus STRING, o_totalprice DOUBLE)
+        PARTITIONED BY (o_orderstatus)""")
+      o.createOrReplaceTempView("q188_src")
+      s.sql("""INSERT INTO gq188.db.orders
+        SELECT o_orderkey, o_orderstatus, o_totalprice FROM q188_src
+        WHERE o_orderkey % 2 = 1""")
+      s.sql("ALTER TABLE gq188.db.orders ADD COLUMNS (o_tier BIGINT)")
+      s.sql("""INSERT INTO gq188.db.orders
+        SELECT o_orderkey, o_orderstatus, o_totalprice, o_custkey % 7 AS o_tier
+        FROM q188_src WHERE o_orderkey % 2 = 0""")
+      s.sql("""SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+        CAST(count(o_tier) AS BIGINT) AS n_tier,
+        sum(coalesce(o_tier, -1)) AS tier_sum,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS tp
+        FROM gq188.db.orders GROUP BY o_orderstatus""")
+    }, Some("""WITH fin AS (
+        SELECT o_orderkey, o_orderstatus, o_totalprice,
+          CASE WHEN o_orderkey % 2 = 0 THEN o_custkey % 7 ELSE NULL END AS o_tier
+        FROM orders)
+      SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+        CAST(count(o_tier) AS BIGINT) AS n_tier,
+        CAST(CAST(sum(coalesce(o_tier, -1)) AS BIGINT) AS BIGINT) AS tier_sum,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS tp
+      FROM fin GROUP BY o_orderstatus""")),
+
+    // SQL maintenance procedures (the OPTIMIZE/VACUUM/RESTORE verbs Delta
+    // and Iceberg ship as `CALL`): row_count answers from metadata only
+    // (footer counts minus DV positions — no data scan), compact folds the
+    // DV-masked snapshot into one clean data version (rows must be
+    // value-identical before and after — the invariant this query gates),
+    // and vacuum reclaims the fragmented layout under a retention window.
+    // The oracle sees only the declarative effect: base minus deletes.
+    ("q189_sql_maintenance", (s: SparkSession, d: String) => {
+      import graft.sources.GraftCatalog
+      val o = t(s, d, "orders").select(col("o_orderkey"), col("o_custkey"),
+        col("o_orderstatus"), col("o_totalprice"))
+      val wh = java.nio.file.Files.createTempDirectory("q189-cat").toString
+      s.conf.set("spark.sql.catalog.gq189", classOf[GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.gq189.warehouse", wh)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS gq189.db")
+      s.sql("DROP TABLE IF EXISTS gq189.db.orders")
+      s.sql("""CREATE TABLE gq189.db.orders (
+        o_orderkey BIGINT, o_custkey BIGINT, o_orderstatus STRING,
+        o_totalprice DOUBLE) PARTITIONED BY (o_orderstatus)""")
+      o.createOrReplaceTempView("q189_src")
+      s.sql("INSERT INTO gq189.db.orders SELECT * FROM q189_src")
+      s.sql("DELETE FROM gq189.db.orders WHERE o_orderkey % 13 = 0")
+      val rc = s.sql("CALL gq189.system.row_count('db.orders')").collect()(0)
+      val (nLive, nDel) = (rc.getLong(0), rc.getLong(1))
+      s.sql("CALL gq189.system.compact('db.orders', 2)")
+      s.sql("CALL gq189.system.vacuum('db.orders', 1)")
+      s.sql(s"""SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS tp,
+        CAST($nLive AS BIGINT) AS n_live_meta, CAST($nDel AS BIGINT) AS n_del_meta
+        FROM gq189.db.orders GROUP BY o_orderstatus""")
+    }, Some("""WITH kept AS (SELECT * FROM orders WHERE o_orderkey % 13 <> 0)
+      SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS tp,
+        (SELECT CAST(count(*) AS BIGINT) FROM kept) AS n_live_meta,
+        (SELECT CAST(count(*) AS BIGINT) FROM orders WHERE o_orderkey % 13 = 0)
+          AS n_del_meta
+      FROM kept GROUP BY o_orderstatus"""))
   )
 
   /** The BM25 replay shared by q72/q123 — postings, df, dl, corpus stats,

@@ -16,7 +16,7 @@ import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownF
 import org.apache.spark.sql.connector.write._
 import org.apache.spark.sql.functions.{col, lit}
 import org.apache.spark.sql.sources.{BaseRelation, Filter, InsertableRelation, TableScan}
-import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+import org.apache.spark.sql.types.{IntegerType, LongType, StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 /** DataSource V2 CATALOG over [[ManifestTable]] — the SQL-DML front door
@@ -38,6 +38,9 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   *   DELETE FROM gcat.db.t WHERE k < 10          -- deletion-vector commit
   *   UPDATE gcat.db.t SET v = 'x' WHERE k = 5    -- merge-on-read delta
   *   MERGE INTO gcat.db.t USING src ON ...       -- full MERGE, O(changed rows)
+  *   ALTER TABLE gcat.db.t ADD COLUMNS (c2 DOUBLE) -- metadata-only evolution
+  *   TRUNCATE TABLE gcat.db.t                    -- one empty snapshot commit
+  *   CALL gcat.system.vacuum(`table` => 'db.t')  -- maintenance (GraftProcedures)
   * }}}
   *
   * The write amplification story carries over intact: DELETE with a
@@ -69,18 +72,19 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * ([[ManifestTable.publishStaged]]'s DV-aware rules).
   *
   * Scope (honest limits, documented not hidden): single identity
-  * partition column (the [[ManifestTable]] layout), no ALTER TABLE (data-
-  * layer additive evolution still works through merge commits), no
-  * LOCATION clause (path-addressed tables are the V1 format's job), CTAS
-  * is create-then-append (non-atomic — a failed CTAS leaves an empty
-  * table, the non-staging-catalog contract).
+  * partition column (the [[ManifestTable]] layout), ALTER TABLE restricted
+  * to nullable appended columns + property changes (anything else would
+  * re-interpret committed files), no LOCATION clause (path-addressed
+  * tables are the V1 format's job), CTAS is create-then-append
+  * (non-atomic — a failed CTAS leaves an empty table, the
+  * non-staging-catalog contract).
   *
   * Reference: the BigQuery warehouse the reference DML-loads into
   * (reference: src/create_tables.sql, src/process_insert_update_weather_data.py:110-162)
   * is an SQL-first surface; this catalog closes the same-surface gap for
   * graft tables.
   */
-class GraftCatalog extends TableCatalog with SupportsNamespaces {
+class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCatalog {
 
   private var catName: String = _
   private var warehouse: String = _
@@ -183,10 +187,45 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     new GraftV2Table(root, display(ident), None)
   }
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      "ALTER TABLE is not supported on graft tables; additive column evolution " +
-        "lands through merge commits at the data layer")
+  /** ALTER TABLE, restricted to what a snapshot layout can honor without
+    * rewriting history: ADD COLUMNS (nullable, appended — old files lack
+    * the column and every snapshot read passes an explicit schema, so
+    * existing rows backfill NULL for free) and table-property changes
+    * (`statsCols`/`bloomCols` take effect on the NEXT commit's sidecars).
+    * Renames/drops/type-changes would re-interpret already-committed
+    * files and are refused loudly.
+    */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val root = rootOf(ident)
+    if (!isTable(root)) throw new NoSuchTableException(ident)
+    val cur = GraftDdl.load(spark, root)
+    var schema = cur.flatMap(_.schema).getOrElse(
+      ManifestTable.inferSchema(spark, root))
+    var props = cur.map(_.props).getOrElse(Map.empty)
+    val partCol = cur.flatMap(_.partCol)
+      .orElse(ManifestTable.partitionColumn(spark, root))
+    changes.foreach {
+      case a: TableChange.AddColumn =>
+        require(a.fieldNames().length == 1,
+          "graft tables support top-level column adds only, got " +
+            a.fieldNames().mkString("."))
+        val nm = a.fieldNames()(0)
+        require(!schema.fieldNames.exists(_.equalsIgnoreCase(nm)),
+          s"column $nm already exists")
+        require(a.isNullable,
+          s"added column $nm must be nullable — existing rows backfill NULL")
+        require(a.position() == null,
+          "graft column adds append at the end (no FIRST/AFTER)")
+        schema = StructType(schema.fields :+ StructField(nm, a.dataType(), nullable = true))
+      case p: TableChange.SetProperty => props += (p.property() -> p.value())
+      case p: TableChange.RemoveProperty => props -= p.property()
+      case other => throw new UnsupportedOperationException(
+        "graft tables support ADD COLUMNS and table-property changes only " +
+          s"(renames/drops/type changes would re-interpret committed files), got $other")
+    }
+    GraftDdl.save(spark, root, schema, partCol, props)
+    new GraftV2Table(root, display(ident), None)
+  }
 
   override def dropTable(ident: Identifier): Boolean = {
     val root = rootOf(ident)
@@ -202,6 +241,32 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     val dst = new Path(rootOf(newIdent))
     fs.mkdirs(dst.getParent)
     require(fs.rename(src, dst), s"rename $src -> $dst failed")
+  }
+
+  // ---------------------------- procedures -----------------------------
+
+  /** Resolve a procedure's `table` argument ("ns.table" relative to this
+    * catalog) to the live V2 table — shared by every maintenance proc.
+    */
+  private[sources] def tableNamed(name: String): GraftV2Table = {
+    val parts = name.split("\\.")
+    require(parts.length >= 1 && parts.forall(_.nonEmpty),
+      s"procedure table argument must be 'namespace.table' or 'table', got '$name'")
+    loadTable(Identifier.of(parts.init, parts.last)).asInstanceOf[GraftV2Table]
+  }
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    if (namespace.toSeq == Seq("system"))
+      GraftProcedures.all.map(p => Identifier.of(namespace, p)).toArray
+    else Array.empty
+
+  override def loadProcedure(ident: Identifier): org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure = {
+    require(ident.namespace().toSeq == Seq("system"),
+      s"graft procedures live under $catName.system, got ${display(ident)}")
+    GraftProcedures.load(this, ident.name()).getOrElse(
+      throw new IllegalArgumentException(
+        s"unknown procedure ${display(ident)} — known: " +
+          GraftProcedures.all.map(n => s"$catName.system.$n").mkString(", ")))
   }
 
   // ---------------------------- namespaces -----------------------------
@@ -329,6 +394,8 @@ class GraftV2Table(val root: String, displayName: String, asOf: Option[Long])
     ddl.flatMap(_.props.get(key)).map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
       .getOrElse(Nil)
 
+  private[sources] def statsColsProp: Seq[String] = propCols("statsCols")
+
   override def partitioning(): Array[Transform] =
     partCol.map(Expressions.identity).toArray
 
@@ -349,6 +416,21 @@ class GraftV2Table(val root: String, displayName: String, asOf: Option[Long])
     require(asOf.isEmpty, "cannot write to a time-travel (VERSION AS OF) graft table")
     new GraftWriteBuilder(root, schema, partCol,
       propCols("statsCols"), propCols("bloomCols"))
+  }
+
+  /** TRUNCATE TABLE as ONE empty snapshot commit — `SupportsDeleteV2`'s
+    * default would mask every live row through a table-sized deletion
+    * vector; an empty snapshot costs one manifest write and lets vacuum
+    * reclaim the data.
+    */
+  override def truncateTable(): Boolean = {
+    require(asOf.isEmpty, "cannot TRUNCATE a time-travel graft table")
+    if (ManifestTable.currentVersion(spark, root).isDefined) {
+      val empty = spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      ManifestTable.commit(empty, root, partCol, carryForward = false)
+    }
+    true
   }
 
   // ------------------ metadata-only DELETE (DV commit) ------------------
@@ -766,5 +848,151 @@ private[sources] object RowParquet {
     val p = new Path(path)
     p.getFileSystem(conf).mkdirs(p.getParent)
     new B(p).withConf(conf).build()
+  }
+}
+
+/** The SQL maintenance surface: `CALL gcat.system.<proc>(…)` over the
+  * [[ManifestTable]] operator set — the OPTIMIZE/VACUUM/RESTORE verbs
+  * Delta and Iceberg expose as procedures, served here so an operator
+  * never needs the programmatic API:
+  *
+  * {{{
+  *   CALL gcat.system.row_count(`table` => 'db.t')       -- metadata-only
+  *   CALL gcat.system.detail(`table` => 'db.t')          -- per-version health
+  *   CALL gcat.system.compact(`table` => 'db.t')         -- small-file OPTIMIZE
+  *   CALL gcat.system.zorder(`table` => 'db.t', columns => 'a,b', target_files => 8)
+  *   CALL gcat.system.restore(`table` => 'db.t', version => 3)
+  *   CALL gcat.system.vacuum(`table` => 'db.t', retain => 1)
+  * }}}
+  *
+  * Every procedure returns its result as rows (a [[LocalScan]] — the
+  * values are already driver-side metadata, never a distributed scan).
+  * Cost classes carry over: row_count/detail/restore/vacuum are O(files)
+  * metadata; compact/zorder scan live data once (the price of the
+  * rewrite they exist to perform).
+  */
+private[sources] object GraftProcedures {
+  import java.util.{Iterator => JIterator}
+
+  import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
+  import org.apache.spark.unsafe.types.UTF8String
+
+  val all: Seq[String] =
+    Seq("row_count", "detail", "compact", "zorder", "restore", "vacuum")
+
+  private def in(name: String, dt: org.apache.spark.sql.types.DataType) =
+    ProcedureParameter.in(name, dt).build()
+  private def inDef(name: String, dt: org.apache.spark.sql.types.DataType, dflt: String) =
+    ProcedureParameter.in(name, dt).defaultValue(dflt).build()
+
+  /** One-scan result: the rows are computed ON THE DRIVER before the scan
+    * is returned (procedure bodies are metadata ops or commits whose heavy
+    * lifting already ran as Spark jobs of their own).
+    */
+  private final class ResultScan(out: StructType, rs: Array[InternalRow])
+      extends org.apache.spark.sql.connector.read.LocalScan {
+    override def readSchema(): StructType = out
+    override def rows(): Array[InternalRow] = rs
+    override def description(): String = "GraftProcedureResult"
+  }
+
+  private abstract class P(procName: String, params: Seq[ProcedureParameter],
+                           out: StructType)
+      extends UnboundProcedure with BoundProcedure {
+    override def name(): String = procName
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def parameters(): Array[ProcedureParameter] = params.toArray
+    override def isDeterministic: Boolean = false
+    def run(args: InternalRow): Seq[InternalRow]
+    override def call(input: InternalRow): JIterator[org.apache.spark.sql.connector.read.Scan] =
+      java.util.List.of[org.apache.spark.sql.connector.read.Scan](
+        new ResultScan(out, run(input).toArray)).iterator()
+  }
+
+  private def row(vs: Any*): InternalRow = new GenericInternalRow(vs.toArray)
+  private def utf8(s: String): UTF8String = UTF8String.fromString(s)
+
+  def load(cat: GraftCatalog, name: String): Option[UnboundProcedure] = name match {
+
+    case "row_count" => Some(new P("row_count",
+      Seq(in("table", StringType)),
+      StructType(Seq(StructField("rows", LongType), StructField("deleted_rows", LongType)))) {
+      override def description(): String =
+        "metadata-only snapshot row count (parquet footers minus deletion-vector positions)"
+      override def run(args: InternalRow): Seq[InternalRow] = {
+        val t = cat.tableNamed(args.getUTF8String(0).toString)
+        val s = SparkSession.active
+        Seq(row(ManifestTable.rowCount(s, t.root), ManifestTable.deletedRowCount(s, t.root)))
+      }
+    })
+
+    case "detail" => Some(new P("detail",
+      Seq(in("table", StringType)),
+      StructType(Seq(StructField("data_version", LongType),
+        StructField("partitions", LongType), StructField("files", LongType),
+        StructField("bytes", LongType)))) {
+      override def description(): String =
+        "per-live-data-version health: partition refs, file count, bytes (O(files) listing)"
+      override def run(args: InternalRow): Seq[InternalRow] = {
+        val t = cat.tableNamed(args.getUTF8String(0).toString)
+        ManifestTable.detail(SparkSession.active, t.root).map { case (v, p, f, b) =>
+          row(v, p.toLong, f.toLong, b)
+        }
+      }
+    })
+
+    case "compact" => Some(new P("compact",
+      Seq(in("table", StringType), inDef("files_per_partition", IntegerType, "1")),
+      StructType(Seq(StructField("version", LongType)))) {
+      override def description(): String =
+        "OPTIMIZE: rewrite the snapshot to files_per_partition files per partition"
+      override def run(args: InternalRow): Seq[InternalRow] = {
+        val t = cat.tableNamed(args.getUTF8String(0).toString)
+        val v = ManifestTable.compact(SparkSession.active, t.root, t.schema,
+          t.partCol, args.getInt(1), t.statsColsProp)
+        Seq(row(v))
+      }
+    })
+
+    case "zorder" => Some(new P("zorder",
+      Seq(in("table", StringType), in("columns", StringType),
+        inDef("target_files", IntegerType, "8")),
+      StructType(Seq(StructField("version", LongType)))) {
+      override def description(): String =
+        "OPTIMIZE ZORDER BY: rewrite the snapshot clustered along a Z-curve over the columns"
+      override def run(args: InternalRow): Seq[InternalRow] = {
+        val t = cat.tableNamed(args.getUTF8String(0).toString)
+        val cols = args.getUTF8String(1).toString.split(",").map(_.trim).filter(_.nonEmpty)
+        val v = ManifestTable.compactZOrder(SparkSession.active, t.root, t.schema,
+          t.partCol, cols.toIndexedSeq, args.getInt(2), t.statsColsProp)
+        Seq(row(v))
+      }
+    })
+
+    case "restore" => Some(new P("restore",
+      Seq(in("table", StringType), in("version", LongType)),
+      StructType(Seq(StructField("version", LongType)))) {
+      override def description(): String =
+        "roll back to a still-on-disk version as a NEW metadata-only commit"
+      override def run(args: InternalRow): Seq[InternalRow] = {
+        val t = cat.tableNamed(args.getUTF8String(0).toString)
+        Seq(row(ManifestTable.restore(SparkSession.active, t.root, args.getLong(1))))
+      }
+    })
+
+    case "vacuum" => Some(new P("vacuum",
+      Seq(in("table", StringType), inDef("retain", IntegerType, "1")),
+      StructType(Seq(StructField("current_version", LongType)))) {
+      override def description(): String =
+        "reclaim data/DV/sidecar dirs unreferenced by the retained manifests"
+      override def run(args: InternalRow): Seq[InternalRow] = {
+        val t = cat.tableNamed(args.getUTF8String(0).toString)
+        val s = SparkSession.active
+        ManifestTable.vacuum(s, t.root, args.getInt(1))
+        Seq(row(ManifestTable.currentVersion(s, t.root).getOrElse(-1L)))
+      }
+    })
+
+    case _ => None
   }
 }

@@ -163,6 +163,76 @@ class CatalogSpec extends SparkSuite {
     assert(!spark.catalog.tableExists("gcat.db.t10r"))
   }
 
+  test("ALTER TABLE ADD COLUMNS backfills NULL and accepts new-schema inserts") {
+    val t = freshTable("t12")
+    spark.sql(s"INSERT INTO $t VALUES (1, 'a', 'x')")
+    spark.sql(s"ALTER TABLE $t ADD COLUMNS (score DOUBLE)")
+    spark.sql(s"INSERT INTO $t VALUES (2, 'b', 'y', 0.5)")
+    val got = spark.sql(s"SELECT k, score FROM $t").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    assert(got == Map(1L -> None, 2L -> Some(0.5)))
+    // history-rewriting changes refuse loudly
+    intercept[Exception] { spark.sql(s"ALTER TABLE $t RENAME COLUMN v TO w") }
+    intercept[Exception] { spark.sql(s"ALTER TABLE $t DROP COLUMN v") }
+    intercept[Exception] { spark.sql(s"ALTER TABLE $t ADD COLUMNS (nn BIGINT NOT NULL)") }
+  }
+
+  test("ALTER TABLE SET TBLPROPERTIES feeds the next commit's skipping sidecars") {
+    val t = freshTable("t13")
+    spark.sql(s"ALTER TABLE $t SET TBLPROPERTIES ('statsCols' = 'k')")
+    spark.sql(s"INSERT INTO $t VALUES (1, 'a', 'x'), (9, 'b', 'y')")
+    val root = s"$wh/db/t13"
+    val v = ManifestTable.currentVersion(spark, root).get
+    val stats = new java.io.File(f"$root/_stats.$v%08d")
+    assert(stats.exists(), s"expected zone-map sidecar $stats from the statsCols property")
+    val props = spark.sql(s"SHOW TBLPROPERTIES $t").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(props.get("statsCols").contains("k"))
+  }
+
+  test("TRUNCATE TABLE is one empty snapshot commit") {
+    val t = freshTable("t14")
+    spark.sql(s"INSERT INTO $t VALUES (1, 'a', 'x'), (2, 'b', 'y')")
+    val root = s"$wh/db/t14"
+    val vBefore = ManifestTable.currentVersion(spark, root).get
+    spark.sql(s"TRUNCATE TABLE $t")
+    assert(spark.table(t).count() == 0)
+    assert(ManifestTable.currentVersion(spark, root).get == vBefore + 1)
+    // and the table stays writable afterwards
+    spark.sql(s"INSERT INTO $t VALUES (3, 'c', 'x')")
+    assert(rowsOf(t) == Set((3L, "c", "x")))
+  }
+
+  test("CALL system procedures: row_count, detail, compact, restore, vacuum") {
+    val t = freshTable("t15")
+    spark.sql(s"INSERT INTO $t VALUES (1, 'a', 'x'), (2, 'b', 'y')") // v1
+    spark.sql(s"INSERT INTO $t VALUES (3, 'c', 'x')") // v2
+    spark.sql(s"DELETE FROM $t WHERE k = 3") // v3 (DV)
+    val rc = spark.sql("CALL gcat.system.row_count('db.t15')").collect()(0)
+    assert(rc.getLong(0) == 2 && rc.getLong(1) == 1,
+      s"expected 2 live / 1 deleted, got $rc")
+    assert(spark.sql("CALL gcat.system.detail('db.t15')").count() == 2,
+      "two live data versions before compaction")
+    val cv = spark.sql("CALL gcat.system.compact('db.t15')").collect()(0).getLong(0)
+    assert(rowsOf(t) == Set((1L, "a", "x"), (2L, "b", "y")))
+    assert(spark.sql("CALL gcat.system.detail('db.t15')").count() == 1,
+      "compaction folds the snapshot into one data version")
+    spark.sql(s"CALL gcat.system.restore('db.t15', ${cv - 3})") // back to v1
+    assert(rowsOf(t) == Set((1L, "a", "x"), (2L, "b", "y")))
+    spark.sql("CALL gcat.system.vacuum('db.t15', 1)")
+    assert(rowsOf(t) == Set((1L, "a", "x"), (2L, "b", "y")),
+      "vacuum must not reclaim data referenced by the retained manifests")
+  }
+
+  test("CALL zorder rewrites clustered and value-identical") {
+    val t = freshTable("t16")
+    spark.sql(s"INSERT INTO $t SELECT id, CAST(id AS STRING), " +
+      "CASE WHEN id % 2 = 0 THEN 'x' ELSE 'y' END FROM range(100)")
+    val before = rowsOf(t)
+    spark.sql("CALL gcat.system.zorder('db.t16', 'k', 4)")
+    assert(rowsOf(t) == before)
+  }
+
   test("CTAS creates and loads in one statement") {
     wh
     spark.sql("DROP TABLE IF EXISTS gcat.db.t11")
