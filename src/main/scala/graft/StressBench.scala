@@ -617,6 +617,55 @@ object StressBench {
         }
       org.apache.spark.sql.graft.Checkpoints.release(e)
     }
+    // r14: SQL MERGE write-amplification curve — the GraftCatalog row-level
+    // DML path measured end-to-end through spark.sql. A FIXED ~500-row
+    // MERGE INTO lands in a catalog table at 1x/4x/16x: wall time may grow
+    // with the corpus (the rewrite's target scan is one honest pass — a
+    // DML scan reads its whole pinned snapshot), but bytes written must
+    // stay ~flat (delta files + DV positions only — never a partition
+    // rewrite). Catalog name is per-factor: Spark caches catalog instances
+    // by name, so a reused name would pin the first factor's warehouse.
+    if (onlyOps.forall(_.exists("sql_merge".startsWith))) {
+      def dirBytes(d: java.io.File): Long =
+        if (!d.exists) 0L
+        else d.listFiles.map(x =>
+          if (x.isDirectory) dirBytes(x) else x.length).sum
+      for (f <- Seq(1, 4, 16)) {
+        val rows = Tables(spark, sfDir, "lineitem")
+          .select((col("l_orderkey") * 10 + col("l_linenumber")).as("id0"),
+            col("l_extendedprice").as("v"))
+          .crossJoin(spark.range(f).select(col("id").as("rep")))
+          .select((col("id0") * f + col("rep")).as("id"),
+            concat(lit("p"), pmod(col("id0") * f + col("rep"), lit(8))).as("p"),
+            col("v"))
+        val cat = s"gsm$f"
+        val wh = java.nio.file.Files.createTempDirectory(s"sqlmerge$f").toString
+        spark.conf.set(s"spark.sql.catalog.$cat",
+          classOf[graft.sources.GraftCatalog].getName)
+        spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+        spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.db")
+        spark.sql(s"CREATE TABLE $cat.db.t (id BIGINT, p STRING, v DOUBLE) " +
+          "PARTITIONED BY (p)")
+        rows.createOrReplaceTempView("sm_rows")
+        spark.sql(s"INSERT INTO $cat.db.t SELECT id, p, v FROM sm_rows")
+        // lineitem repeats (l_orderkey, l_linenumber): dedupe the SOURCE —
+        // Spark's MergeRows validator rightly aborts when several source
+        // rows hit one target row (MERGE_CARDINALITY_VIOLATION). The
+        // modulus scales with f so the batch stays FIXED-size (~125 rows)
+        // while the corpus grows — flat kb_written is then the claim.
+        rows.filter(col("id") % lit(4801L * f) === 0).withColumn("v", col("v") * 2)
+          .dropDuplicates("id").localCheckpoint().createOrReplaceTempView("sm_batch")
+        val t0 = System.nanoTime()
+        spark.sql(s"""MERGE INTO $cat.db.t t USING sm_batch s ON t.id = s.id
+          WHEN MATCHED THEN UPDATE SET v = s.v
+          WHEN NOT MATCHED THEN INSERT *""")
+        val sec = (System.nanoTime() - t0) / 1e9
+        val root = s"$wh/db/t"
+        val written = dirBytes(new java.io.File(s"$root/v00000002")) +
+          dirBytes(new java.io.File(s"$root/d00000002"))
+        println(f"""[stress] {"op":"sql_merge","factor":$f,"sec":$sec%.2f,"kb_written":${written / 1e3}%.1f}""")
+      }
+    }
     spark.stop()
   }
 }

@@ -134,8 +134,16 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
 
   override def loadTable(ident: Identifier): Table = {
     val root = rootOf(ident)
-    if (!isTable(root)) throw new NoSuchTableException(ident)
-    new GraftV2Table(root, display(ident), None)
+    if (isTable(root)) new GraftV2Table(root, display(ident), None)
+    else {
+      // Iceberg-style metadata tables: gcat.db.t.history / gcat.db.t.files
+      // (a real table named `history` under namespace db.t wins above)
+      val parentRoot = dirOf(ident.namespace())
+      if (ident.namespace().nonEmpty && GraftMetaTables.names.contains(ident.name())
+          && isTable(parentRoot))
+        new GraftMetaTable(parentRoot, display(ident), ident.name())
+      else throw new NoSuchTableException(ident)
+    }
   }
 
   /** `VERSION AS OF <v>` — manifest-version time travel. */
@@ -995,4 +1003,64 @@ private[sources] object GraftProcedures {
 
     case _ => None
   }
+}
+
+/** Iceberg-style METADATA TABLES — `SELECT * FROM gcat.db.t.history` /
+  * `gcat.db.t.files`: commit history (one row per on-disk manifest) and
+  * the current snapshot's live-file inventory. Both answer from
+  * O(manifests)/O(files) driver-side metadata through a [[LocalScan]] —
+  * inspecting a 100 TB table's layout never touches data. `files.path`
+  * normalizes exactly like the `__f` provenance column, so
+  * `files JOIN (SELECT __f FROM t)` is a direct equality.
+  */
+private[sources] object GraftMetaTables {
+  val names: Set[String] = Set("history", "files")
+
+  def schemaOf(kind: String): StructType = kind match {
+    case "history" => StructType(Seq(
+      StructField("version", LongType, nullable = false),
+      StructField("partition_entries", IntegerType, nullable = false),
+      StructField("dv", LongType, nullable = true),
+      StructField("is_current", org.apache.spark.sql.types.BooleanType, nullable = false)))
+    case "files" => StructType(Seq(
+      StructField("path", StringType, nullable = false),
+      StructField("partition", StringType, nullable = false),
+      StructField("data_version", LongType, nullable = false),
+      StructField("bytes", LongType, nullable = false)))
+  }
+
+  def rows(spark: SparkSession, root: String, kind: String): Array[InternalRow] = {
+    import org.apache.spark.unsafe.types.UTF8String
+    kind match {
+      case "history" => ManifestTable.history(spark, root).map { case (v, n, dv, cur) =>
+        new GenericInternalRow(Array[Any](v, n, dv.map(Long.box).orNull, cur))
+          : InternalRow
+      }.toArray
+      case "files" =>
+        if (ManifestTable.currentVersion(spark, root).isEmpty) Array.empty
+        else ManifestTable.liveFileList(spark, root).map { case (p, part, dv, b) =>
+          new GenericInternalRow(Array[Any](
+            UTF8String.fromString(p), UTF8String.fromString(part), dv, b)): InternalRow
+        }.toArray
+    }
+  }
+}
+
+private[sources] class GraftMetaTable(parentRoot: String, displayName: String,
+                                      kind: String) extends Table with SupportsRead {
+
+  override def name(): String = displayName
+
+  override lazy val schema: StructType = GraftMetaTables.schemaOf(kind)
+
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    () => new org.apache.spark.sql.connector.read.LocalScan {
+      override def readSchema(): StructType = schema
+      override def rows(): Array[InternalRow] =
+        GraftMetaTables.rows(SparkSession.active, parentRoot, kind)
+      override def description(): String = s"GraftMetaTable($kind, $parentRoot)"
+    }
 }

@@ -1669,6 +1669,42 @@ object ManifestTable {
     }
   }
 
+  /** Per-manifest-version commit history — (version, partitionEntries,
+    * dvPointer, isCurrent) for every manifest still on disk, the
+    * `t.history` metadata table's source ([[GraftMetaTable]]). O(manifests)
+    * metadata reads; vacuumed-away versions simply stop appearing.
+    */
+  def history(spark: SparkSession, root: String): Seq[(Long, Int, Option[Long], Boolean)] = {
+    val (fs, rootP) = fsOf(spark, root)
+    val cur = currentVersion(spark, root)
+    versions(spark, root).sorted.map(v =>
+      (v, entriesOf(fs, rootP, v).size, dvOf(fs, rootP, v), cur.contains(v)))
+  }
+
+  /** Live data files of the current snapshot — (schemeFreePath,
+    * partitionDir, dataVersion, bytes), the `t.files` metadata table's
+    * source ([[GraftMetaTable]]). O(files) driver-side listing, no data
+    * scan; paths normalize exactly like the deletion vector's so they join
+    * against `__f` provenance directly.
+    */
+  def liveFileList(spark: SparkSession, root: String): Seq[(String, String, Long, Long)] = {
+    val v = currentVersion(spark, root).getOrElse(
+      throw new IllegalStateException(s"manifest table $root has no committed version"))
+    val (fs, rootP) = fsOf(spark, root)
+    entriesOf(fs, rootP, v).groupBy(_._2).toSeq.sortBy(_._1).flatMap { case (dv, parts) =>
+      val vdir = new Path(rootP, "v" + fmt(dv))
+      val dirs = parts.map(_._1).distinct
+      listDataFiles(fs, vdir).filter(rel =>
+        dirs.contains("") || dirs.exists(p => rel.startsWith(p + "/")))
+        .map { rel =>
+          val q = fs.makeQualified(new Path(vdir, rel))
+          val part = if (rel.contains("/")) rel.substring(0, rel.lastIndexOf('/')) else ""
+          (q.toString.replaceFirst("^[a-zA-Z][a-zA-Z0-9+.-]*:/+", "/"), part, dv,
+            fs.getFileStatus(q).getLen)
+        }
+    }
+  }
+
   /** RESTORE — roll the table back to a still-on-disk version by
     * publishing a NEW manifest with the old version's entries and DV
     * pointer (Delta `RESTORE TABLE ... TO VERSION`): pure metadata, zero

@@ -233,6 +233,28 @@ class CatalogSpec extends SparkSuite {
     assert(rowsOf(t) == before)
   }
 
+  test("metadata tables t.history and t.files answer from metadata") {
+    val t = freshTable("t17")
+    spark.sql(s"INSERT INTO $t VALUES (1, 'a', 'x'), (2, 'b', 'y')") // v1
+    spark.sql(s"INSERT INTO $t VALUES (3, 'c', 'x')") // v2
+    spark.sql(s"DELETE FROM $t WHERE k = 1") // v3 (DV)
+    val hist = spark.sql(s"SELECT version, dv, is_current FROM $t.history ORDER BY version")
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) None else Some(r.getLong(1)), r.getBoolean(2)))
+    assert(hist.map(_._1).toSeq == Seq(1L, 2L, 3L))
+    assert(hist.last == ((3L, Some(3L), true)), s"v3 must carry the DV pointer: ${hist.toSeq}")
+    assert(hist.count(_._3) == 1)
+    val files = spark.sql(s"SELECT path, partition, bytes FROM $t.files").collect()
+    assert(files.length >= 2 && files.forall(_.getString(0).endsWith(".parquet")))
+    assert(files.map(_.getString(1)).toSet == Set("p=x", "p=y"))
+    assert(files.forall(_.getLong(2) > 0))
+    // files.path joins directly against __f row provenance
+    val joined = spark.sql(
+      s"SELECT count(*) FROM (SELECT DISTINCT __f FROM $t) r JOIN $t.files f ON r.__f = f.path")
+      .collect()(0).getLong(0)
+    assert(joined >= 1, "live __f provenance must resolve through t.files")
+  }
+
   test("CTAS creates and loads in one statement") {
     wh
     spark.sql("DROP TABLE IF EXISTS gcat.db.t11")
