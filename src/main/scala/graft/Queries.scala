@@ -5080,7 +5080,56 @@ object Queries {
         (SELECT CAST(count(*) AS BIGINT) FROM kept) AS n_live_meta,
         (SELECT CAST(count(*) AS BIGINT) FROM orders WHERE o_orderkey % 13 = 0)
           AS n_del_meta
-      FROM kept GROUP BY o_orderstatus"""))
+      FROM kept GROUP BY o_orderstatus""")),
+
+    // Metadata-only aggregate pushdown on the SQL catalog: a global
+    // COUNT(*)/MIN/MAX over a graft table is answered from the manifest —
+    // footer row counts and zone-map sidecar bounds, O(files) driver
+    // metadata, ZERO data I/O (CatalogSpec asserts the LocalTableScan
+    // plan; the same statement over a 100 TB table reads no data file).
+    // The pre-delete aggregate spans TWO data versions (bounds merge
+    // across commits); the post-delete COUNT stays pushed because
+    // rowCount is DV-exact, while MIN/MAX would decline under a DV —
+    // pushdown never answers inexactly, it falls back to the scan.
+    ("q190_sql_agg_pushdown", (s: SparkSession, d: String) => {
+      import graft.sources.GraftCatalog
+      val li = t(s, d, "lineitem").select(col("l_orderkey"), col("l_quantity"),
+        col("l_extendedprice"), col("l_returnflag"))
+      val wh = java.nio.file.Files.createTempDirectory("q190-cat").toString
+      s.conf.set("spark.sql.catalog.gq190", classOf[GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.gq190.warehouse", wh)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS gq190.db")
+      s.sql("DROP TABLE IF EXISTS gq190.db.li")
+      s.sql("""CREATE TABLE gq190.db.li (
+        l_orderkey BIGINT, l_quantity DOUBLE, l_extendedprice DOUBLE,
+        l_returnflag STRING) PARTITIONED BY (l_returnflag)
+        TBLPROPERTIES ('statsCols'='l_orderkey,l_quantity,l_extendedprice')""")
+      li.createOrReplaceTempView("q190_src")
+      s.sql("INSERT INTO gq190.db.li SELECT * FROM q190_src WHERE l_orderkey % 2 = 1")
+      s.sql("INSERT INTO gq190.db.li SELECT * FROM q190_src WHERE l_orderkey % 2 = 0")
+      // collect BEFORE the DELETE: a DataFrame plans lazily at action
+      // time, so a kept-lazy `pre` would be pushed down against the
+      // post-delete snapshot (typed lit()s re-embed the values exactly)
+      val pre = s.sql("""SELECT CAST(count(*) AS BIGINT) AS n_pre,
+        min(l_orderkey) AS min_ok, max(l_orderkey) AS max_ok,
+        min(l_quantity) AS min_q, max(l_quantity) AS max_q,
+        min(l_extendedprice) AS min_ep, max(l_extendedprice) AS max_ep
+        FROM gq190.db.li""").collect()(0)
+      s.sql("DELETE FROM gq190.db.li WHERE l_orderkey % 7 = 0")
+      s.sql("SELECT CAST(count(*) AS BIGINT) AS n_after_dv FROM gq190.db.li")
+        .select(lit(pre.getLong(0)).as("n_pre"),
+          lit(pre.getLong(1)).as("min_ok"), lit(pre.getLong(2)).as("max_ok"),
+          lit(pre.getDouble(3)).as("min_q"), lit(pre.getDouble(4)).as("max_q"),
+          lit(pre.getDouble(5)).as("min_ep"), lit(pre.getDouble(6)).as("max_ep"),
+          col("n_after_dv"))
+    }, Some("""SELECT CAST(count(*) AS BIGINT) AS n_pre,
+        CAST(min(l_orderkey) AS BIGINT) AS min_ok,
+        CAST(max(l_orderkey) AS BIGINT) AS max_ok,
+        min(l_quantity) AS min_q, max(l_quantity) AS max_q,
+        min(l_extendedprice) AS min_ep, max(l_extendedprice) AS max_ep,
+        (SELECT CAST(count(*) AS BIGINT) FROM lineitem WHERE l_orderkey % 7 <> 0)
+          AS n_after_dv
+      FROM lineitem"""))
   )
 
   /** The BM25 replay shared by q72/q123 — postings, df, dl, corpus stats,

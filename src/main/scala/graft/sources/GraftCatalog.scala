@@ -12,11 +12,12 @@ import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog._
 import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference, Transform, Expression => VExpr, Literal => VLit}
 import org.apache.spark.sql.connector.expressions.filter.{AlwaysFalse, AlwaysTrue, Predicate, And => VAnd, Not => VNot, Or => VOr}
-import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns, V1Scan}
+import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar, Max, Min}
+import org.apache.spark.sql.connector.read.{LocalScan, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns, V1Scan}
 import org.apache.spark.sql.connector.write._
 import org.apache.spark.sql.functions.{col, lit}
 import org.apache.spark.sql.sources.{BaseRelation, Filter, InsertableRelation, TableScan}
-import org.apache.spark.sql.types.{IntegerType, LongType, StringType, StructField, StructType}
+import org.apache.spark.sql.types.{ByteType, DataType, DateType, DoubleType, FloatType, IntegerType, LongType, ShortType, StringType, StructField, StructType, TimestampNTZType, TimestampType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 /** DataSource V2 CATALOG over [[ManifestTable]] — the SQL-DML front door
@@ -488,10 +489,15 @@ private[sources] object GraftMetaColumns {
   */
 private[sources] class GraftScanBuilder(root: String, tableSchema: StructType,
                                         asOf: Option[Long])
-    extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownFilters
+    with SupportsPushDownRequiredColumns with SupportsPushDownAggregates {
 
   private var required: StructType = tableSchema
   private var filters: Array[Filter] = Array.empty
+  private var aggResult: Option[(StructType, Array[Any])] = None
+  // supportCompletePushDown and pushAggregation both plan the same
+  // Aggregation; cache by reference so the metadata pass runs once
+  private var planned: Option[(Aggregation, Option[(StructType, Array[Any])])] = None
 
   override def pushFilters(fs: Array[Filter]): Array[Filter] = {
     filters = fs
@@ -503,7 +509,101 @@ private[sources] class GraftScanBuilder(root: String, tableSchema: StructType,
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan = new GraftV1ScanImpl(root, tableSchema, required, filters, asOf)
+  // ------------- metadata-only COMPLETE aggregate pushdown --------------
+  // A global (no GROUP BY, no residual filter) COUNT(*) / MIN / MAX is the
+  // `SELECT count(*) FROM t` fast path a lakehouse answers from its
+  // manifest: COUNT(*) = live footer row counts minus DV positions
+  // ([[ManifestTable.rowCount]], DV-correct), MIN/MAX = zone-map sidecar
+  // bounds ([[ManifestTable.colBounds]] — numeric columns only, declined
+  // whenever a DV or a stats gap makes the bound inexact). At 100 TB the
+  // answer is O(files) driver metadata instead of a full data scan; any
+  // aggregate this seam can't answer EXACTLY declines pushdown and Spark
+  // plans the ordinary scan-backed aggregation — never a wrong answer.
+
+  override def supportCompletePushDown(agg: Aggregation): Boolean = plan(agg).isDefined
+
+  override def pushAggregation(agg: Aggregation): Boolean = plan(agg) match {
+    case some @ Some(_) => aggResult = some; true
+    case None => false
+  }
+
+  private def plan(agg: Aggregation): Option[(StructType, Array[Any])] = {
+    planned match {
+      case Some((a, r)) if a eq agg => return r
+      case _ =>
+    }
+    val r = doPlan(agg)
+    planned = Some((agg, r))
+    r
+  }
+
+  /** Internal value of a zone bound under the table column's type —
+    * 'L' zones carry Long strings, 'D' zones Double strings; the
+    * column's declared type picks the Catalyst representation.
+    */
+  private def boundValue(dt: DataType, s: String): Option[Any] = dt match {
+    case LongType | TimestampType | TimestampNTZType => Some(s.toLong)
+    case IntegerType | DateType => Some(s.toLong.toInt)
+    case ShortType => Some(s.toLong.toShort)
+    case ByteType => Some(s.toLong.toByte)
+    case DoubleType => Some(s.toDouble)
+    case FloatType => Some(s.toDouble.toFloat)
+    case _ => None // strings (truncatable stats), decimals (unscaled zones)
+  }
+
+  private def doPlan(agg: Aggregation): Option[(StructType, Array[Any])] = {
+    if (asOf.isDefined || filters.nonEmpty || agg.groupByExpressions().nonEmpty)
+      return None
+    val spark = SparkSession.active
+    val fields = scala.collection.mutable.ArrayBuffer[StructField]()
+    val values = scala.collection.mutable.ArrayBuffer[Any]()
+    lazy val countStar: Long =
+      if (ManifestTable.currentVersion(spark, root).isEmpty) 0L
+      else ManifestTable.rowCount(spark, root)
+    val boundsOf = scala.collection.mutable.Map[String, Option[Option[(Char, String, String)]]]()
+    def fieldOf(e: VExpr): Option[StructField] = e match {
+      case r: NamedReference if r.fieldNames().length == 1 =>
+        tableSchema.fields.find(_.name.equalsIgnoreCase(r.fieldNames()(0)))
+      case _ => None
+    }
+    def minMax(column: VExpr, wantMax: Boolean): Boolean = fieldOf(column) match {
+      case Some(f) if boundValue(f.dataType, "0").isDefined =>
+        boundsOf.getOrElseUpdate(f.name,
+          ManifestTable.colBounds(spark, root, f.name)) match {
+          case Some(b) =>
+            val v = b.flatMap { case (_, mn, mx) =>
+              try boundValue(f.dataType, if (wantMax) mx else mn)
+              catch { case _: NumberFormatException => return false }
+            }
+            fields += StructField(
+              (if (wantMax) "max_" else "min_") + f.name, f.dataType)
+            values += v.orNull
+            true
+          case None => false
+        }
+      case _ => false
+    }
+    agg.aggregateExpressions().foreach {
+      case _: CountStar =>
+        fields += StructField("count_star", LongType, nullable = false)
+        values += countStar
+      case m: Min => if (!minMax(m.column(), wantMax = false)) return None
+      case m: Max => if (!minMax(m.column(), wantMax = true)) return None
+      case _ => return None
+    }
+    Some((StructType(fields.toSeq), values.toArray))
+  }
+
+  override def build(): Scan = aggResult match {
+    case Some((aggSchema, vals)) => new LocalScan {
+      override def readSchema(): StructType = aggSchema
+      override def rows(): Array[InternalRow] =
+        Array(new GenericInternalRow(vals))
+      override def description(): String =
+        s"GraftMetadataAggregate(root=$root, ${aggSchema.fieldNames.mkString(",")})"
+    }
+    case None => new GraftV1ScanImpl(root, tableSchema, required, filters, asOf)
+  }
 }
 
 private[sources] class GraftV1ScanImpl(root: String, tableSchema: StructType,

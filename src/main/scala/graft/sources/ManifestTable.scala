@@ -1789,6 +1789,53 @@ object ManifestTable {
         .dropDuplicates("__f", "__pos").count()).getOrElse(0L)
   }
 
+  /** Exact global (min, max) of a top-level NUMERIC column across the
+    * current snapshot, answered from zone-map sidecars only — O(files)
+    * driver-side metadata, zero data I/O (the `SELECT min(x) FROM t` fast
+    * path a lakehouse serves from its manifest; the aggregate-pushdown
+    * seam in [[graft.sources.GraftScanBuilder]] rides this). Returns
+    * `None` (cannot answer exactly — caller must scan) when:
+    *  - any live data version committed without a `_stats` sidecar, or any
+    *    live file lacks a zone for the column (a partition column never
+    *    has one — it is directory-encoded, not in the footers);
+    *  - the zone tag isn't numeric ('L'/'D'): parquet BINARY footer stats
+    *    may be TRUNCATED bounds, exact only as a pruning range, never as a
+    *    min/max answer;
+    *  - a deletion vector is present — a masked row could hold the
+    *    extreme, so the zone bound is no longer attained.
+    * `Some(None)` = the column is NULL in every live row (SQL `min` =
+    * NULL); `Some(Some((tag, minS, maxS)))` otherwise, bounds as the
+    * sidecar's locale-free strings ('L' parses as Long, 'D' as Double).
+    */
+  def colBounds(spark: SparkSession, root: String,
+                column: String): Option[Option[(Char, String, String)]] = {
+    val v = currentVersion(spark, root).getOrElse(return Some(None))
+    val (fs, rootP) = fsOf(spark, root)
+    if (dvOf(fs, rootP, v).isDefined) return None
+    val zones = scala.collection.mutable.ArrayBuffer[ColZone]()
+    entriesOf(fs, rootP, v).groupBy(_._2).foreach { case (dv, parts) =>
+      val stats = loadStats(fs, rootP, dv).getOrElse(return None)
+      val vdir = new Path(rootP, "v" + fmt(dv))
+      val dirs = parts.map(_._1).distinct
+      listDataFiles(fs, vdir).filter(rel =>
+        dirs.contains("") || dirs.exists(p => rel.startsWith(p + "/")))
+        .foreach { rel =>
+          stats.get(rel).flatMap(_.get(column)) match {
+            case Some(z) if z.tag == 'L' || z.tag == 'D' => zones += z
+            case _ => return None
+          }
+        }
+    }
+    val nn = zones.filterNot(_.allNull).toSeq
+    if (nn.isEmpty) Some(None)
+    else Some(Some(nn.head.tag match {
+      case 'L' => ('L', nn.map(_.minS.toLong).min.toString,
+        nn.map(_.maxS.toLong).max.toString)
+      case _ => ('D', nn.map(_.minS.toDouble).min.toString,
+        nn.map(_.maxS.toDouble).max.toString)
+    }))
+  }
+
   /** Reclaim manifests more than `retainVersions` behind current, and data
     * versions none of the RETAINED manifests reference (plus stray commit
     * temp files) — bounded retention for a long-lived table.

@@ -262,4 +262,74 @@ class CatalogSpec extends SparkSuite {
     import spark.implicits._
     assert(spark.table("gcat.db.t11").as[(Long, String)].collect().toSeq == Seq((1L, "a")))
   }
+
+  // ------------- metadata-only aggregate pushdown (q190 seam) -------------
+
+  private def aggTable(name: String): String = {
+    wh
+    spark.sql(s"DROP TABLE IF EXISTS gcat.db.$name")
+    spark.sql(
+      s"""CREATE TABLE gcat.db.$name (k BIGINT, v STRING, p STRING)
+         |PARTITIONED BY (p) TBLPROPERTIES ('statsCols'='k')""".stripMargin)
+    s"gcat.db.$name"
+  }
+
+  private def planOf(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("global COUNT(*)/MIN/MAX answer from metadata, no data scan") {
+    val t = aggTable("agg1")
+    spark.sql(s"INSERT INTO $t VALUES (5,'a','x'), (2,'b','y'), (9,'c','x'), (7,'d','y')")
+    spark.sql(s"INSERT INTO $t VALUES (11,'e','x')") // second data version: bounds merge
+    val df = spark.sql(s"SELECT count(*) AS n, min(k) AS mn, max(k) AS mx FROM $t")
+    val plan = planOf(df)
+    assert(plan.contains("LocalTableScan"), s"expected metadata-only plan, got:\n$plan")
+    assert(!plan.contains("GraftScan") && !plan.contains("Scan graft"),
+      s"expected no data scan, got:\n$plan")
+    val r = df.collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == (5L, 2L, 11L))
+  }
+
+  test("a deletion vector keeps COUNT(*) pushed but declines MIN/MAX") {
+    val t = aggTable("agg2")
+    spark.sql(s"INSERT INTO $t VALUES (5,'a','x'), (2,'b','y'), (9,'c','x'), (7,'d','y')")
+    spark.sql(s"DELETE FROM $t WHERE k = 2") // DV commit: min row is masked
+    val cdf = spark.sql(s"SELECT count(*) AS n FROM $t")
+    assert(planOf(cdf).contains("LocalTableScan"),
+      s"count(*) should stay metadata-only under a DV:\n${planOf(cdf)}")
+    assert(cdf.collect()(0).getLong(0) == 3L)
+    val mdf = spark.sql(s"SELECT min(k) AS mn FROM $t")
+    assert(!planOf(mdf).contains("LocalTableScan"),
+      s"min under a DV must scan (the zone bound is unattained):\n${planOf(mdf)}")
+    assert(mdf.collect()(0).getLong(0) == 5L)
+  }
+
+  test("aggregate pushdown declines on filters, grouping, and uncovered columns") {
+    val t = aggTable("agg3")
+    spark.sql(s"INSERT INTO $t VALUES (5,'a','x'), (2,'b','y'), (9,'c','x')")
+    for (sql <- Seq(
+      s"SELECT count(*) AS n FROM $t WHERE p = 'x'", // residual filter
+      s"SELECT p, count(*) AS n FROM $t GROUP BY p", // grouping
+      s"SELECT min(v) AS mv FROM $t", // string: truncatable stats
+      s"SELECT min(p) AS mp FROM $t", // partition column: no zones
+      s"SELECT count(*) AS n, avg(k) AS a FROM $t")) { // unsupported agg
+      assert(!planOf(spark.sql(sql)).contains("LocalTableScan"),
+        s"should not push: $sql\n${planOf(spark.sql(sql))}")
+    }
+    // and the scan-backed answers stay right
+    assert(spark.sql(s"SELECT count(*) AS n FROM $t WHERE p = 'x'")
+      .collect()(0).getLong(0) == 2L)
+    assert(spark.sql(s"SELECT min(v) AS mv FROM $t").collect()(0).getString(0) == "a")
+  }
+
+  test("empty and all-NULL tables push NULL bounds and zero counts") {
+    val t = aggTable("agg4")
+    val df = spark.sql(s"SELECT count(*) AS n, min(k) AS mn FROM $t")
+    assert(planOf(df).contains("LocalTableScan"), planOf(df))
+    val r = df.collect()(0)
+    assert(r.getLong(0) == 0L && r.isNullAt(1))
+    spark.sql(s"INSERT INTO $t VALUES (CAST(NULL AS BIGINT),'a','x')")
+    val r2 = spark.sql(s"SELECT count(*) AS n, max(k) AS mx FROM $t").collect()(0)
+    assert(r2.getLong(0) == 1L && r2.isNullAt(1))
+  }
 }
