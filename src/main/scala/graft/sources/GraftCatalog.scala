@@ -811,7 +811,9 @@ private[sources] class GraftDeltaBatchWrite(root: String, tableSchema: StructTyp
                                             staging: String) extends DeltaBatchWrite {
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DeltaWriterFactory =
-    GraftDeltaWriterFactory(staging, dataSchema, rowIdSchema)
+    GraftDeltaWriterFactory(staging, dataSchema, rowIdSchema,
+      new org.apache.spark.util.SerializableConfiguration(
+        SparkSession.active.sparkContext.hadoopConfiguration))
 
   private def cleanup(spark: SparkSession): Unit = {
     val p = new Path(staging)
@@ -833,10 +835,12 @@ private[sources] class GraftDeltaBatchWrite(root: String, tableSchema: StructTyp
             .select(tableSchema.fieldNames.map(col).toIndexedSeq: _*))
         baseVersion match {
           case Some(v) =>
+            // insert-only DML stages no DV at all (commitDelta carries the
+            // base pointer forward) — a pure append commit
             val positions =
-              if (delFiles.isEmpty) spark.createDataFrame(
-                spark.sparkContext.emptyRDD[Row], GraftDeltaWrite.DelSchema)
-              else spark.read.schema(GraftDeltaWrite.DelSchema).parquet(delFiles: _*)
+              if (delFiles.isEmpty) None
+              else Some(spark.read.schema(GraftDeltaWrite.DelSchema)
+                .parquet(delFiles: _*))
             ManifestTable.commitDelta(spark, root, v, batch, positions, partCol,
               statsCols, bloomCols)
           case None =>
@@ -859,10 +863,12 @@ private[sources] final case class GraftDeltaCommitMessage(
     dataFile: Option[String], delFile: Option[String]) extends WriterCommitMessage
 
 private[sources] final case class GraftDeltaWriterFactory(
-    staging: String, dataSchema: StructType, rowIdSchema: StructType)
+    staging: String, dataSchema: StructType, rowIdSchema: StructType,
+    conf: org.apache.spark.util.SerializableConfiguration)
     extends DeltaWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DeltaWriter[InternalRow] =
-    new GraftDeltaTaskWriter(staging, dataSchema, rowIdSchema, partitionId, taskId)
+    new GraftDeltaTaskWriter(staging, dataSchema, rowIdSchema, partitionId, taskId,
+      conf.value)
 }
 
 /** Executor half: inserts stream to a staged data parquet, deletes to a
@@ -875,7 +881,8 @@ private[sources] final case class GraftDeltaWriterFactory(
   */
 private[sources] class GraftDeltaTaskWriter(staging: String, dataSchema: StructType,
                                             rowIdSchema: StructType, partitionId: Int,
-                                            taskId: Long) extends DeltaWriter[InternalRow] {
+                                            taskId: Long, hadoopConf: Configuration)
+    extends DeltaWriter[InternalRow] {
 
   private val fIdx = rowIdSchema.fieldIndex("__f")
   private val posIdx = rowIdSchema.fieldIndex("__pos")
@@ -886,11 +893,12 @@ private[sources] class GraftDeltaTaskWriter(staging: String, dataSchema: StructT
   private val delPath = s"$staging/del/p$partitionId-t$taskId.parquet"
 
   private def dataWriter = {
-    if (dataW == null) dataW = RowParquet.open(dataPath, dataSchema)
+    if (dataW == null) dataW = RowParquet.open(dataPath, dataSchema, hadoopConf)
     dataW
   }
   private def delWriter = {
-    if (delW == null) delW = RowParquet.open(delPath, GraftDeltaWrite.DelSchema)
+    if (delW == null)
+      delW = RowParquet.open(delPath, GraftDeltaWrite.DelSchema, hadoopConf)
     delW
   }
 
@@ -913,9 +921,8 @@ private[sources] class GraftDeltaTaskWriter(staging: String, dataSchema: StructT
 
   override def abort(): Unit = {
     close()
-    val conf = new Configuration()
     Seq(dataPath, delPath).foreach { s =>
-      val p = new Path(s); p.getFileSystem(conf).delete(p, false)
+      val p = new Path(s); p.getFileSystem(hadoopConf).delete(p, false)
     }
   }
 
@@ -941,10 +948,13 @@ private[sources] object RowParquet {
       new org.apache.spark.sql.execution.datasources.parquet.ParquetWriteSupport()
   }
 
-  def open(path: String, schema: StructType)
+  def open(path: String, schema: StructType, base: Configuration)
       : org.apache.parquet.hadoop.ParquetWriter[InternalRow] = {
     import org.apache.spark.sql.internal.SQLConf
-    val conf = new Configuration()
+    // start from the SESSION's Hadoop configuration (shipped to the task
+    // via SerializableConfiguration) — a fresh Configuration() would drop
+    // object-store credentials / custom fs impls on the executor
+    val conf = new Configuration(base)
     org.apache.spark.sql.execution.datasources.parquet.ParquetWriteSupport
       .setSchema(schema, conf)
     // every key SparkToParquetSchemaConverter(Configuration) reads without

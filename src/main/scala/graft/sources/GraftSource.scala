@@ -125,8 +125,10 @@ class GraftSource extends RelationProvider with SchemaRelationProvider
     * upserts + deletes — making readStream→writeStream continuous
     * replication), `compactEvery` (fold the merge-on-read append log into
     * one clean version every N batches and vacuum with one version
-    * retained — the inline OPTIMIZE cadence). Batch-id marker makes crash
-    * replays exactly-once.
+    * retained — the inline OPTIMIZE cadence). The batch id rides a
+    * `#batch` directive inside each manifest commit (one atomic rename),
+    * so crash replays are exactly-once in every mode, blind append
+    * included.
     */
   override def createSink(sqlContext: SQLContext,
                           parameters: Map[String, String],

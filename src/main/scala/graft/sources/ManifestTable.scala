@@ -105,13 +105,45 @@ object ManifestTable {
     manifestBody(fs, root, v).linesIterator
       .find(_.startsWith("#dv\t")).map(_.stripPrefix("#dv\t").toLong)
 
+  // ------------------- atomic commit-metadata directives -----------------
+  //
+  // A streaming sink that records its last-committed batch id in a SEPARATE
+  // marker file has a crash window (commit lands, marker doesn't → the
+  // replayed batch double-appends). Riding the id on a `#batch` directive
+  // INSIDE the manifest makes commit + batch-record one atomic rename —
+  // the Delta txn-appId/version idempotence pattern. The directive is
+  // scoped per-thread because every commit shape funnels through
+  // [[publishManifest]] and the sink drives its commits synchronously.
+
+  private val commitDirectives = new scala.util.DynamicVariable[Seq[String]](Nil)
+
+  /** Run `f` with every manifest this thread publishes carrying a
+    * `#batch\t<id>` directive — the [[GraftStreamSink]] exactly-once seam.
+    */
+  def withBatchId[T](id: Long)(f: => T): T =
+    commitDirectives.withValue(Seq(s"#batch\t$id"))(f)
+
+  /** The highest `#batch` id recorded in any still-on-disk manifest —
+    * scan newest-first so the common case reads ONE manifest. `None` when
+    * no retained manifest carries one (vacuum can trim history past the
+    * last sink commit; callers combine with their own marker fast path).
+    */
+  def lastBatchId(spark: SparkSession, root: String): Option[Long] = {
+    val (fs, rootP) = fsOf(spark, root)
+    versions(spark, root).reverseIterator.flatMap { v =>
+      manifestBody(fs, rootP, v).linesIterator
+        .find(_.startsWith("#batch\t")).map(_.stripPrefix("#batch\t").toLong)
+    }.nextOption()
+  }
+
   /** Stage `body` to a dot-temp name and atomically rename it into place as
     * manifest `v` — the one commit point every mutation shares.
     */
   private[graft] def publishManifest(fs: FileSystem, rootP: Path, v: Long,
                                      entries: Seq[(String, Long)], dv: Option[Long]): Unit = {
     val body = (entries.distinct.sorted.map { case (n, d) => s"$n\t$d" }
-      ++ dv.map(d => s"#dv\t$d").toSeq).mkString("", "\n", "\n")
+      ++ dv.map(d => s"#dv\t$d").toSeq
+      ++ commitDirectives.value).mkString("", "\n", "\n")
     val tmp = new Path(rootP, s".manifest-$v.tmp")
     val out = fs.create(tmp, true)
     try out.write(body.getBytes("UTF-8")) finally out.close()
@@ -213,7 +245,7 @@ object ManifestTable {
       dvCarry0: Option[Long], stats: Seq[(String, String, ColZone)],
       blooms: Seq[(String, String, Array[Long])], retryable: Boolean,
       appendEntries: Boolean = false, blindAppend: Boolean = false,
-      dvStage: Option[Path] = None): Long = {
+      dvStage: Option[Path] = None, mergeRules: Boolean = false): Long = {
     val (fs, rootP) = fsOf(spark, root)
     val baseSets = entrySetsOf(baseEntries)
     var myNext = baseV.map(_ + 1).getOrElse(1L)
@@ -234,12 +266,15 @@ object ManifestTable {
       if (blindAppend) {
         // a BLIND APPEND references no base state, so it commutes with ANY
         // winner (Delta's blind-append rule) — no conflict check
-      } else if (dvStage.isDefined) {
+      } else if (dvStage.isDefined || mergeRules) {
         // a merge commit's staged positions and DV union stay valid iff the
         // winner changed no existing file (base entries all still present —
         // blind appends only) and left the DV pointer untouched; a rewrite
         // would orphan masked positions (resurrecting superseded rows), a
-        // concurrent delete/merge changed the DV this commit unioned from
+        // concurrent delete/merge changed the DV this commit unioned from.
+        // `mergeRules` keeps these exact semantics for an insert-only DML
+        // commit that stages NO DV (its not-matched set was still computed
+        // against the base snapshot)
         if (newDv != dvCarry0 || !baseEntries.toSet.subsetOf(newEntries.toSet))
           throw new IllegalStateException(
             "commit conflict: a concurrent writer rewrote data or changed the deletion " +
@@ -572,8 +607,23 @@ object ManifestTable {
             case BINARY => 'S'
             case _ => ' ' // INT96/BOOLEAN/FIXED: no zone map
           }
+          val pairs = cs.map(c => (c, c.getStatistics))
+          // A chunk reporting NO min/max while holding fewer nulls than
+          // values contains non-null values the writer refused to bound:
+          // Spark 4's parquet writer drops float/double min/max ENTIRELY
+          // when a chunk contains NaN (probed r15 — mixed [1.0, 3.0, NaN]
+          // and all-NaN chunks both come back hasNonNullValue=false,
+          // numNulls=0). Spark ranks NaN above every value, so treating
+          // such a chunk as all-null would let pruning drop NaN rows and
+          // colBounds answer NULL where the scan answers NaN. Emit no zone
+          // at all: pruning keeps the file, aggregate pushdown declines.
+          val untrusted = pairs.exists { case (c, s) =>
+            s != null && !s.isEmpty && !s.hasNonNullValue &&
+              (s.getNumNulls < 0 || s.getNumNulls < c.getValueCount)
+          }
           val stats = cs.map(_.getStatistics)
-          if (tag == ' ' || stats.exists(s => s == null || s.isEmpty)) None
+          if (tag == ' ' || untrusted ||
+              stats.exists(s => s == null || s.isEmpty)) None
           else if (stats.forall(!_.hasNonNullValue))
             Some((rel, colName, ColZone(tag, "", "", allNull = true)))
           else {
@@ -1423,17 +1473,25 @@ object ManifestTable {
     * joined the target scan and produced exactly the `(__f, __pos)` rowIds
     * to mask and the rows to land, so re-deriving positions from keys would
     * be a second scan. `batch = None` is a pure positional delete (the
-    * [[deleteWhere]] shape). Positions must come from a [[readWithMeta]]
-    * scan of `baseVersion`'s snapshot (same path normalization as the DV).
+    * [[deleteWhere]] shape); `positions = None` is an INSERT-ONLY commit
+    * (e.g. a MERGE whose every source row was not-matched) — it stages no
+    * DV at all and carries the base version's DV pointer forward unchanged,
+    * so insert-only DML stays a pure append commit: zero
+    * O(accumulated-deletes) rewrite bytes, and a DV-free table stays
+    * DV-free (keeping [[colBounds]] aggregate pushdown alive). Positions
+    * must come from a [[readWithMeta]] scan of `baseVersion`'s snapshot
+    * (same path normalization as the DV).
     *
     * Bytes written = O(batch rows + positions); concurrency follows
-    * [[mergeDv]]: the staged positions rebase past blind appends only, any
-    * winner that rewrote data or changed the DV conflicts loudly. The SQL
-    * write path skips the publish entirely when the DML matched nothing
-    * (no staged files), so a no-op MERGE never burns a version number.
+    * [[mergeDv]] in EVERY shape (insert-only included — its not-matched
+    * set was computed against the base snapshot): the staged commit
+    * rebases past blind appends only, any winner that rewrote data or
+    * changed the DV conflicts loudly. The SQL write path skips the publish
+    * entirely when the DML matched nothing (no staged files), so a no-op
+    * MERGE never burns a version number.
     */
   def commitDelta(spark: SparkSession, root: String, baseVersion: Long,
-                  batch: Option[DataFrame], positions: DataFrame,
+                  batch: Option[DataFrame], positions: Option[DataFrame],
                   partCol: Option[String], statsCols: Seq[String] = Nil,
                   bloomCols: Seq[String] = Nil): Long = {
     import org.apache.spark.sql.functions.col
@@ -1456,14 +1514,17 @@ object ManifestTable {
       }
       case None => Nil
     }
-    val newDel = positions.select(col("__f"), col("__pos"))
-    val allDel = dvOf(fs, rootP, baseVersion) match {
-      case Some(d) => spark.read.parquet(dvDir(root, d)).unionByName(newDel)
-      case None => newDel
+    val dvStage = positions.map { pos =>
+      val newDel = pos.select(col("__f"), col("__pos"))
+      val allDel = dvOf(fs, rootP, baseVersion) match {
+        case Some(d) => spark.read.parquet(dvDir(root, d)).unionByName(newDel)
+        case None => newDel
+      }
+      val ds = new Path(rootP,
+        ".stage-" + java.util.UUID.randomUUID().toString.take(12) + "-dv")
+      allDel.dropDuplicates("__f", "__pos").write.mode("overwrite").parquet(ds.toString)
+      ds
     }
-    val dvStage = new Path(rootP,
-      ".stage-" + java.util.UUID.randomUUID().toString.take(12) + "-dv")
-    allDel.dropDuplicates("__f", "__pos").write.mode("overwrite").parquet(dvStage.toString)
     val stats =
       if (statsCols.nonEmpty && batch.isDefined) harvestStats(fs, stage, statsCols) else Nil
     val blooms =
@@ -1472,7 +1533,7 @@ object ManifestTable {
     publishStaged(spark, root, stage, Some(baseVersion),
       entriesOf(fs, rootP, baseVersion), touchedNames,
       dvOf(fs, rootP, baseVersion), stats, blooms, retryable = true,
-      appendEntries = true, dvStage = Some(dvStage))
+      appendEntries = true, dvStage = dvStage, mergeRules = true)
   }
 
   private val WatermarkName = "_replica.watermark"
@@ -1828,11 +1889,26 @@ object ManifestTable {
     }
     val nn = zones.filterNot(_.allNull).toSeq
     if (nn.isEmpty) Some(None)
+    // Mixed tags (physical int64/double drift across data versions of a
+    // path-first table) would .toLong a double string — decline, don't throw.
+    else if (nn.map(_.tag).distinct.size > 1) None
     else Some(Some(nn.head.tag match {
       case 'L' => ('L', nn.map(_.minS.toLong).min.toString,
         nn.map(_.maxS.toLong).max.toString)
-      case _ => ('D', nn.map(_.minS.toDouble).min.toString,
-        nn.map(_.maxS.toDouble).max.toString)
+      case _ =>
+        val mins = nn.map(_.minS.toDouble)
+        val maxs = nn.map(_.maxS.toDouble)
+        // Parquet double footer stats are NaN-unsafe: depending on writer
+        // vintage a NaN row either poisons min/max or is silently skipped,
+        // while Spark's aggregate ordering ranks NaN greatest — a footer
+        // answer could differ from the scan answer. Decline when any bound
+        // is non-finite; a finite bound can still hide skipped NaNs only in
+        // writers that drop them, which also drop the stats entirely for
+        // all-NaN pages — the conservative rule below also refuses bounds
+        // equal to ±Infinity for the same reason.
+        if (mins.exists(d => d.isNaN || d.isInfinite) ||
+            maxs.exists(d => d.isNaN || d.isInfinite)) return None
+        ('D', mins.min.toString, maxs.max.toString)
     }))
   }
 

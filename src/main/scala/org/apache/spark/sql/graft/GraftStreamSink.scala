@@ -27,13 +27,16 @@ import graft.sources.ManifestTable
   *    declarative pipeline with no driver code in the middle.
   *
   * EXACTLY-ONCE: Structured Streaming replays the same `batchId` after a
-  * crash; the sink records the last committed id as a numbered
-  * `_sink.batch.<id>` marker (created AFTER the table commit —
-  * at-least-once; the id rides the file NAME so the marker appears
-  * atomically) and skips batches at or below the highest marker, so a
-  * replayed batch never double-appends. One streaming writer per table,
-  * like every manifest committer; the keyed-merge shapes are additionally
-  * idempotent per batch content.
+  * crash; every table commit of a batch carries a `#batch\t<id>` directive
+  * INSIDE the manifest ([[ManifestTable.withBatchId]]) — commit and
+  * batch-id record appear in ONE atomic rename, so there is no window
+  * where the data landed but the id didn't (the marker-after-commit gap
+  * that would double-append a replayed blind-append batch). A numbered
+  * `_sink.batch.<id>` marker file is still written after the commit purely
+  * as a listing fast path (the id rides the file NAME so it appears
+  * atomically); recovery takes the max of both. One streaming writer per
+  * table, like every manifest committer; the keyed-merge shapes are
+  * additionally idempotent per batch content.
   *
   * Lives in `org.apache.spark.sql.graft`: the V1 sink seam
   * (`execution.streaming.Sink`) and the streaming→batch plan re-rooting
@@ -45,11 +48,13 @@ class GraftStreamSink(sqlContext: SQLContext, root: String,
 
   private val spark = sqlContext.sparkSession
 
-  // the batch id rides the marker's NAME, not its content: a numbered
-  // `_sink.batch.<id>` file APPEARS atomically (create+close of an empty
-  // file — no truncate-then-write window where a crash leaves a partial
-  // marker that wedges every restart), the highest number wins, and older
-  // markers are best-effort swept after each commit
+  // fast-path marker: the batch id rides the file's NAME, not its content
+  // (create+close of an empty file appears atomically — no
+  // truncate-then-write window where a crash leaves a partial marker that
+  // wedges every restart); the highest number wins, older markers are
+  // best-effort swept after each commit. The ATOMIC record is the
+  // manifest's own #batch directive; the marker additionally survives a
+  // vacuum that trims history past the last sink commit.
   private val MarkerPrefix = "_sink.batch."
 
   private def fs0 = new Path(root)
@@ -65,7 +70,10 @@ class GraftStreamSink(sqlContext: SQLContext, root: String,
       .toSeq
   }
 
-  private def lastCommitted(): Long = markerIds().foldLeft(-1L)(math.max)
+  // the manifest directive is the atomic truth; markers are a fast path
+  // that can lag one batch behind after a crash in the marker-write window
+  private def lastCommitted(): Long =
+    (markerIds() ++ ManifestTable.lastBatchId(spark, root)).foldLeft(-1L)(math.max)
 
   private def writeMarker(batchId: Long): Unit = {
     val fs = fs0
@@ -84,42 +92,44 @@ class GraftStreamSink(sqlContext: SQLContext, root: String,
         isStreaming = false)
       .localCheckpoint()
     try {
-      if (cdf) {
-        require(mergeKeys.nonEmpty,
-          "graft sink: cdf mode requires option 'mergeKey' (the table's merge key columns)")
-        require(batch.columns.contains("_change_type"),
-          "graft sink: cdf mode expects a _change_type column (a graft change-feed stream)")
-        val tableSchema = StructType(data.schema.fields.filterNot(_.name == "_change_type"))
-        val ups = batch.filter(col("_change_type").isin("insert", "update_postimage"))
-          .drop("_change_type")
-        val delCols = (mergeKeys ++ partCol.toSeq).distinct
-        val dels = batch.filter(col("_change_type") === "delete")
-          .select(delCols.map(col): _*)
-        val delParts = partCol.map { pc =>
-          dels.select(col(pc)).distinct().collect()
-            .map(r => ManifestTable.partDirName(pc, r.get(0))).toSeq
+      ManifestTable.withBatchId(batchId) {
+        if (cdf) {
+          require(mergeKeys.nonEmpty,
+            "graft sink: cdf mode requires option 'mergeKey' (the table's merge key columns)")
+          require(batch.columns.contains("_change_type"),
+            "graft sink: cdf mode expects a _change_type column (a graft change-feed stream)")
+          val tableSchema = StructType(data.schema.fields.filterNot(_.name == "_change_type"))
+          val ups = batch.filter(col("_change_type").isin("insert", "update_postimage"))
+            .drop("_change_type")
+          val delCols = (mergeKeys ++ partCol.toSeq).distinct
+          val dels = batch.filter(col("_change_type") === "delete")
+            .select(delCols.map(col): _*)
+          val delParts = partCol.map { pc =>
+            dels.select(col(pc)).distinct().collect()
+              .map(r => ManifestTable.partDirName(pc, r.get(0))).toSeq
+          }
+          if (!ManifestTable.exists(spark, root)) {
+            ManifestTable.commit(ups, root, partCol)
+            // a mixed first batch (dst dropped while the source checkpoint
+            // survived) must not silently drop its delete rows
+            if (dels.limit(1).count() > 0)
+              ManifestTable.mergeDv(ups.limit(0), root, tableSchema, mergeKeys,
+                partCol, Nil, Nil, Some(dels), delParts)
+          } else if (ups.limit(1).count() + dels.limit(1).count() > 0)
+            ManifestTable.mergeDv(ups, root, tableSchema, mergeKeys, partCol,
+              Nil, Nil, Some(dels), delParts)
+        } else if (mergeKeys.nonEmpty) {
+          if (!ManifestTable.exists(spark, root))
+            ManifestTable.commit(batch, root, partCol)
+          else if (batch.limit(1).count() > 0)
+            ManifestTable.mergeDv(batch, root, data.schema, mergeKeys, partCol,
+              Nil, Nil, None, None)
+        } else {
+          if (!ManifestTable.exists(spark, root))
+            ManifestTable.commit(batch, root, partCol)
+          else if (batch.limit(1).count() > 0)
+            ManifestTable.append(batch, root, partCol)
         }
-        if (!ManifestTable.exists(spark, root)) {
-          ManifestTable.commit(ups, root, partCol)
-          // a mixed first batch (dst dropped while the source checkpoint
-          // survived) must not silently drop its delete rows
-          if (dels.limit(1).count() > 0)
-            ManifestTable.mergeDv(ups.limit(0), root, tableSchema, mergeKeys,
-              partCol, Nil, Nil, Some(dels), delParts)
-        } else if (ups.limit(1).count() + dels.limit(1).count() > 0)
-          ManifestTable.mergeDv(ups, root, tableSchema, mergeKeys, partCol,
-            Nil, Nil, Some(dels), delParts)
-      } else if (mergeKeys.nonEmpty) {
-        if (!ManifestTable.exists(spark, root))
-          ManifestTable.commit(batch, root, partCol)
-        else if (batch.limit(1).count() > 0)
-          ManifestTable.mergeDv(batch, root, data.schema, mergeKeys, partCol,
-            Nil, Nil, None, None)
-      } else {
-        if (!ManifestTable.exists(spark, root))
-          ManifestTable.commit(batch, root, partCol)
-        else if (batch.limit(1).count() > 0)
-          ManifestTable.append(batch, root, partCol)
       }
       writeMarker(batchId)
       // the merge-on-read + OPTIMIZE pairing, inline: per-batch appends

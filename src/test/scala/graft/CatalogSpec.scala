@@ -150,7 +150,7 @@ class CatalogSpec extends SparkSuite {
       spark.createDataFrame(Seq((7L, "g", "x"))).toDF("k", "v", "p"),
       root, Some("p"))
     // … and the delta commit (deliberately stale base) must rebase, not lose it
-    ManifestTable.commitDelta(spark, root, base, Some(reinsert), positions, Some("p"))
+    ManifestTable.commitDelta(spark, root, base, Some(reinsert), Some(positions), Some("p"))
     assert(rowsOf(t) == Set((1L, "A", "x"), (2L, "b", "y"), (7L, "g", "x")))
   }
 
@@ -331,5 +331,39 @@ class CatalogSpec extends SparkSuite {
     spark.sql(s"INSERT INTO $t VALUES (CAST(NULL AS BIGINT),'a','x')")
     val r2 = spark.sql(s"SELECT count(*) AS n, max(k) AS mx FROM $t").collect()(0)
     assert(r2.getLong(0) == 1L && r2.isNullAt(1))
+  }
+
+  test("insert-only MERGE stays a pure append: no DV staged, pushdown alive") {
+    val t = freshTable("t_insonly")
+    spark.sql(s"INSERT INTO $t VALUES (1, 'a', 'x'), (2, 'b', 'y')")
+    val root = s"$wh/db/t_insonly"
+    def dvDirs: Set[String] = new java.io.File(root).listFiles()
+      .map(_.getName).filter(n => n.startsWith("d") && n.drop(1).forall(_.isDigit)).toSet
+    assert(dvDirs.isEmpty)
+    spark.createDataFrame(Seq((5L, "e", "y"), (6L, "f", "x")))
+      .toDF("k", "v", "p").createOrReplaceTempView("ins_src")
+    spark.sql(
+      s"""MERGE INTO $t tgt USING ins_src src ON tgt.k = src.k
+         |WHEN MATCHED THEN UPDATE SET v = src.v
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    assert(rowsOf(t) == Set((1L, "a", "x"), (2L, "b", "y"), (5L, "e", "y"), (6L, "f", "x")))
+    // no source row matched → zero delete positions → NO deletion vector is
+    // written; a DV-free table stays DV-free so MIN/MAX pushdown survives
+    assert(dvDirs.isEmpty,
+      s"insert-only MERGE must not stage a deletion vector, found $dvDirs")
+    // and on a table that already HAS a DV, an insert-only MERGE must not
+    // rewrite the accumulated DV (no NEW d-dir beyond the existing ones)
+    spark.sql(s"DELETE FROM $t WHERE k = 1")
+    val dvAfterDelete = dvDirs
+    assert(dvAfterDelete.size == 1)
+    spark.createDataFrame(Seq((7L, "g", "x"))).toDF("k", "v", "p")
+      .createOrReplaceTempView("ins_src2")
+    spark.sql(
+      s"""MERGE INTO $t tgt USING ins_src2 src ON tgt.k = src.k
+         |WHEN MATCHED THEN UPDATE SET v = src.v
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    assert(dvDirs == dvAfterDelete,
+      "insert-only MERGE must carry the existing DV pointer forward, not rewrite it")
+    assert(rowsOf(t) == Set((2L, "b", "y"), (5L, "e", "y"), (6L, "f", "x"), (7L, "g", "x")))
   }
 }

@@ -1916,6 +1916,50 @@ class SourcesSpec extends SparkSuite {
     val df = SparkEntry.entry(spark)
     assert(df.count() > 0)
   }
+
+  test("zone maps are NaN-safe: NaN files never pruned, colBounds declines") {
+    import spark.implicits._
+    import graft.sources.ManifestTable
+    import graft.sources.ManifestTable.ColRange
+    // Spark's parquet writer drops double min/max ENTIRELY when a chunk
+    // contains NaN (probed r15: mixed [1,3,NaN] comes back with no bounds,
+    // numNulls=0) — and Spark ranks NaN above every value, so `x > 100`
+    // MATCHES NaN. A harvest that mislabels such a file all-null would let
+    // pruning drop the NaN rows and colBounds answer NULL.
+    val root = java.nio.file.Files.createTempDirectory("mannan").toString + "/t"
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("x", org.apache.spark.sql.types.DoubleType)))
+    // file A: clean [1.0, 3.0]; file B: mixed with NaN; file C: all-NaN
+    val df = Seq((1L, 1.0, 0), (2L, 3.0, 0),
+      (3L, 2.0, 1), (4L, Double.NaN, 1),
+      (5L, Double.NaN, 2), (6L, Double.NaN, 2))
+      .toDF("id", "x", "f").repartition(3, col("f")).drop("f")
+    ManifestTable.commit(df, root, partCol = None, statsCols = Seq("x"))
+    // aggregate pushdown must decline: the footer answer (max=3.0) would
+    // differ from the scan answer (NaN)
+    assert(ManifestTable.colBounds(spark, root, "x").isEmpty)
+    // x > 100 matches the three NaN rows under Spark semantics; pruning
+    // must keep the NaN-bearing files even though no finite bound survives
+    val got = ManifestTable.readPruned(spark, root, schema,
+        Seq(ColRange("x", 100.0, null)))
+      .filter(col("x") > 100.0).select("id").as[Long].collect().toSet
+    assert(got == Set(4L, 5L, 6L), s"got=$got")
+    // genuinely all-NULL double column still prunes and answers NULL bounds
+    val root2 = java.nio.file.Files.createTempDirectory("mannan2").toString + "/t"
+    ManifestTable.commit(
+      Seq((1L, null: java.lang.Double), (2L, null: java.lang.Double))
+        .toDF("id", "x"), root2, partCol = None, statsCols = Seq("x"))
+    assert(ManifestTable.colBounds(spark, root2, "x") == Some(None))
+    // mixed physical tags across data versions (long x then double x):
+    // colBounds declines rather than throwing on .toLong of a double string
+    val root3 = java.nio.file.Files.createTempDirectory("mannan3").toString + "/t"
+    ManifestTable.commit(Seq((1L, 5L)).toDF("id", "x"), root3, None,
+      statsCols = Seq("x"))
+    ManifestTable.append(Seq((2L, 7.5)).toDF("id", "x"), root3, None,
+      statsCols = Seq("x"))
+    assert(ManifestTable.colBounds(spark, root3, "x").isEmpty)
+  }
 }
 
 /** Deterministic fake fetch client for the S1 keyed-fetch tests — file-scope

@@ -476,6 +476,18 @@ class StreamingSpec extends SparkSuite {
     // a genuinely new batch id lands
     sink.addBatch(2L, Seq((4L, "b")).toDF("id", "p"))
     assert(rows() == Set((1L, "a"), (2L, "b"), (3L, "a"), (4L, "b")))
+    // CRASH WINDOW: the commit landed but the process died before the
+    // marker file was written. The #batch directive inside the manifest is
+    // the atomic record — a replay of the same batch id must STILL skip,
+    // even with every marker file gone.
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(new org.apache.hadoop.fs.Path(root))
+      .filter(_.getPath.getName.startsWith("_sink.batch."))
+      .foreach(st => fs.delete(st.getPath, false))
+    sink.addBatch(2L, Seq((4L, "b")).toDF("id", "p"))
+    assert(rows() == Set((1L, "a"), (2L, "b"), (3L, "a"), (4L, "b")),
+      "marker-less replay after a marker-write-window crash must not double-append")
   }
 
   test("graft sink compactEvery bounds file and version counts across many merge batches") {
