@@ -80,6 +80,21 @@ object Bench {
     // matching queries (local profiling; the driver leaves it unset)
     val only: Option[Seq[String]] =
       sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSeq)
+    // Per-query budgets (VERDICT r14 #8): tools/bench_budgets.json records
+    // the best demonstrated idle-ish seconds per numeric query id (from
+    // prior round artifacts — regenerate with tools/gen_budgets.py). Any
+    // query > 1.5x its budget is named in `over_budget`, so a single-query
+    // regression surfaces in the round artifact instead of hiding inside
+    // the suite total. The 2x suite gate stays the driver's; this is the
+    // fine-grained tripwire.
+    val budgets: Map[Int, Double] = {
+      val p = java.nio.file.Paths.get("tools/bench_budgets.json")
+      if (!java.nio.file.Files.exists(p)) Map.empty
+      else """"(\d+)":([0-9.]+)""".r
+        .findAllMatchIn(java.nio.file.Files.readString(p))
+        .map(m => m.group(1).toInt -> m.group(2).toDouble).toMap
+    }
+    val OverBudgetFactor = 1.5
     val ordered = SparkEntry.queries.toSeq
       .filter { case (name, _) => only.forall(_.exists(name.startsWith)) }
       .sortBy { case (name, _) =>
@@ -100,6 +115,15 @@ object Bench {
       }.mkString("{", ",", "}")
       val failed = results.filter(_._2 < 0).map(_._1)
       val total = results.map(_._2).filter(_ >= 0).sum
+      // name:observed:budget for every query past its tripwire; sub-300ms
+      // observations are noise-floor and never flagged
+      val overBudget = results.flatMap { case (k, v, _, _) =>
+        for {
+          id <- """\d+""".r.findFirstIn(k).map(_.toInt)
+          b <- budgets.get(id)
+          if v >= 0.3 && v > b * OverBudgetFactor
+        } yield s""""$k":{"sec":$v,"budget":$b}"""
+      }
       val sj = streaming.map { case (k, v) => "\"" + k + "\":" + v }
         .mkString("{", ",", "}")
       val reqJson = requeued.map { case (k, la, d) =>
@@ -123,6 +147,7 @@ object Bench {
           s""""ts_start":$tsStart,"ts_end":${System.currentTimeMillis() / 1000},""" +
           s""""queries":$qs,""" +
           s""""failed":${failed.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
+          s""""over_budget":${overBudget.mkString("{", ",", "}")},""" +
           s""""partial":$partial,"completed":${results.size},""" +
           s""""total_queries":${ordered.size},""" +
           s""""total_sec":$total,"sf":"$sfDir"}"""
@@ -215,7 +240,16 @@ object Bench {
         case None => "null"
       }).mkString("[", ",", "]")
       val failed = done.filter(_._2 < 0).map("\"" + _._1 + "\"")
+      // over-budget tripwires as compact "id x ratio" strings (usually [])
+      val over = done.flatMap { case (name, v, _, _) =>
+        for {
+          id <- """\d+""".r.findFirstIn(name).map(_.toInt)
+          b <- budgets.get(id)
+          if v >= 0.3 && v > b * OverBudgetFactor
+        } yield "\"" + id + "x" + num(v / b, 2) + "\""
+      }
       s"""{"t_by_id":$t,""" +
+        s""""over":${over.mkString("[", ",", "]")},""" +
         s""""failed":${failed.mkString("[", ",", "]")},""" +
         s""""completed":${done.size},"total_queries":${ordered.size},""" +
         s""""total_sec":${num(total)},"sf":"$sfDir"}"""

@@ -5107,9 +5107,9 @@ object Queries {
       li.createOrReplaceTempView("q190_src")
       s.sql("INSERT INTO gq190.db.li SELECT * FROM q190_src WHERE l_orderkey % 2 = 1")
       s.sql("INSERT INTO gq190.db.li SELECT * FROM q190_src WHERE l_orderkey % 2 = 0")
-      // collect BEFORE the DELETE: a DataFrame plans lazily at action
-      // time, so a kept-lazy `pre` would be pushed down against the
-      // post-delete snapshot (typed lit()s re-embed the values exactly)
+      // `pre` is a materialized Row, not a DataFrame — the eager collect
+      // IS the pre-delete snapshot pin (lit()s re-embed the values; keep
+      // it a Row: a lazy frame here would re-plan post-delete)
       val pre = s.sql("""SELECT CAST(count(*) AS BIGINT) AS n_pre,
         min(l_orderkey) AS min_ok, max(l_orderkey) AS max_ok,
         min(l_quantity) AS min_q, max(l_quantity) AS max_q,
