@@ -1208,8 +1208,11 @@ object ManifestTable {
     // [[rowCount]]/[[deletedRowCount]] subtract).
     val tag = java.util.UUID.randomUUID().toString.take(12)
     val dvStage = new Path(rootP, s".stage-$tag-dv")
-    allDel.dropDuplicates("__f", "__pos")
-      .write.mode("overwrite").parquet(dvStage.toString)
+    // no dedupe needed: newDel's positions are unique (one row, one
+    // position) and DISJOINT from the base DV (readSnapshot anti-joins it
+    // — a masked row can't match the predicate again), so the union
+    // preserves the stored-DV uniqueness invariant without a shuffle
+    allDel.write.mode("overwrite").parquet(dvStage.toString)
     val stage = new Path(rootP, s".stage-$tag")
     fs.mkdirs(stage)
     publishStaged(spark, root, stage, Some(cur), entriesOf(fs, rootP, cur),
@@ -1441,8 +1444,17 @@ object ManifestTable {
         .join(broadcast(keyDf.select(keys.map(col): _*).distinct()), keys, "left_semi")
         .select(col("__f"), col("__pos"))
     val upDel = positionsOf(batch, partCol.map(_ => touchedNames.toSet))
+    // dedupe positions when BOTH legs exist: a key in both the upsert and
+    // delete legs masks the same (file, pos) twice — harmless to the read
+    // anti-join but it would double-subtract in
+    // [[rowCount]]/[[deletedRowCount]]. The dedupe shuffles only the DELTA
+    // (O(matched)); the base DV needs none — stored DVs are duplicate-free
+    // by this very discipline, and the delta is disjoint from the base
+    // (positionsOf scans the DV-masked snapshot)
     val newDel = deleteKeys match {
-      case Some(dk) => upDel.unionByName(positionsOf(dk, deletePartitions.map(_.toSet)))
+      case Some(dk) =>
+        upDel.unionByName(positionsOf(dk, deletePartitions.map(_.toSet)))
+          .dropDuplicates("__f", "__pos")
       case None => upDel
     }
     val allDel = dvOf(fs, rootP, cur) match {
@@ -1451,10 +1463,7 @@ object ManifestTable {
     }
     val dvStage = new Path(rootP,
       ".stage-" + java.util.UUID.randomUUID().toString.take(12) + "-dv")
-    // dedupe positions: a key in BOTH the upsert and delete legs masks the
-    // same (file, pos) twice — harmless to the read anti-join but it would
-    // double-subtract in [[rowCount]]/[[deletedRowCount]]
-    allDel.dropDuplicates("__f", "__pos").write.mode("overwrite").parquet(dvStage.toString)
+    allDel.write.mode("overwrite").parquet(dvStage.toString)
     val stats =
       if (statsCols.nonEmpty) harvestStats(fs, stage, statsCols) else Nil
     val blooms =
@@ -1515,14 +1524,19 @@ object ManifestTable {
       case None => Nil
     }
     val dvStage = positions.map { pos =>
+      // dedupe the DELTA only (O(changed rows)): Spark's row-level rewrite
+      // can emit a rowId once per matched source row; the accumulated base
+      // DV is duplicate-free by construction and disjoint from the delta
+      // (the DML scan reads the DV-masked pinned snapshot)
       val newDel = pos.select(col("__f"), col("__pos"))
+        .dropDuplicates("__f", "__pos")
       val allDel = dvOf(fs, rootP, baseVersion) match {
         case Some(d) => spark.read.parquet(dvDir(root, d)).unionByName(newDel)
         case None => newDel
       }
       val ds = new Path(rootP,
         ".stage-" + java.util.UUID.randomUUID().toString.take(12) + "-dv")
-      allDel.dropDuplicates("__f", "__pos").write.mode("overwrite").parquet(ds.toString)
+      allDel.write.mode("overwrite").parquet(ds.toString)
       ds
     }
     val stats =
