@@ -85,7 +85,8 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * is an SQL-first surface; this catalog closes the same-surface gap for
   * graft tables.
   */
-class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCatalog {
+class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCatalog
+    with StagingTableCatalog {
 
   private var catName: String = _
   private var warehouse: String = _
@@ -127,7 +128,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
     val (fs, p) = fsAt(dirOf(namespace))
     if (!fs.exists(p)) throw new NoSuchNamespaceException(namespace)
     fs.listStatus(p).toSeq
-      .filter(st => st.isDirectory && isTable(st.getPath.toString))
+      .filter(st => st.isDirectory && !st.getPath.getName.startsWith(".") &&
+        isTable(st.getPath.toString))
       .map(st => Identifier.of(namespace, st.getPath.getName)).toArray
   }
 
@@ -158,15 +160,29 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
     new GraftV2Table(root, display(ident), Some(v))
   }
 
-  override def loadTable(ident: Identifier, timestamp: Long): Table =
-    throw new UnsupportedOperationException(
-      "graft tables time-travel by version (VERSION AS OF n), not timestamp")
-
-  override def createTable(ident: Identifier, schema: StructType,
-                           partitions: Array[Transform],
-                           properties: java.util.Map[String, String]): Table = {
+  /** `TIMESTAMP AS OF <t>` — Spark hands the instant in epoch MICROSECONDS;
+    * floor-resolve it to the newest manifest committed at or before it
+    * (every manifest records its commit wall-clock as a `#ts` directive,
+    * [[ManifestTable.versionAtTimestamp]]) and serve that snapshot exactly
+    * like `VERSION AS OF`.
+    */
+  override def loadTable(ident: Identifier, timestamp: Long): Table = {
     val root = rootOf(ident)
-    if (isTable(root)) throw new TableAlreadyExistsException(ident)
+    if (!isTable(root)) throw new NoSuchTableException(ident)
+    val v = ManifestTable.versionAtTimestamp(spark, root, timestamp).getOrElse(
+      throw new IllegalArgumentException(
+        s"TIMESTAMP AS OF: ${display(ident)} has no commit at or before " +
+          s"epoch-µs $timestamp (earlier than the first retained commit)"))
+    new GraftV2Table(root, display(ident), Some(v))
+  }
+
+  /** Shared CREATE-shape validation: provider/location checks, the
+    * single-identity-partition rule, and property filtering. Returns
+    * (partCol, keptProps) without touching the filesystem.
+    */
+  private def validateCreate(schema: StructType, partitions: Array[Transform],
+                             properties: java.util.Map[String, String])
+      : (Option[String], Map[String, String]) = {
     val props = properties.asScala.toMap
     props.get(TableCatalog.PROP_PROVIDER).foreach { p =>
       require(p.equalsIgnoreCase("graft"),
@@ -192,6 +208,15 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
       !Set(TableCatalog.PROP_PROVIDER, TableCatalog.PROP_OWNER,
         TableCatalog.PROP_COMMENT, TableCatalog.PROP_EXTERNAL,
         TableCatalog.PROP_TABLE_TYPE).contains(k)).toMap
+    (partCol, kept)
+  }
+
+  override def createTable(ident: Identifier, schema: StructType,
+                           partitions: Array[Transform],
+                           properties: java.util.Map[String, String]): Table = {
+    val root = rootOf(ident)
+    if (isTable(root)) throw new TableAlreadyExistsException(ident)
+    val (partCol, kept) = validateCreate(schema, partitions, properties)
     GraftDdl.save(spark, root, schema, partCol, kept)
     new GraftV2Table(root, display(ident), None)
   }
@@ -234,6 +259,53 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
     }
     GraftDdl.save(spark, root, schema, partCol, props)
     new GraftV2Table(root, display(ident), None)
+  }
+
+  // --------------------- atomic CTAS / RTAS (staging) -------------------
+  //
+  // Spark routes CREATE/REPLACE TABLE ... AS SELECT through the staging
+  // seam when the catalog implements StagingTableCatalog: the query writes
+  // into an INVISIBLE staged table first and only commitStagedChanges makes
+  // it exist — a failed CTAS leaves NO table (the r14 non-atomicity gap,
+  // VERDICT #2), and RTAS flips the snapshot atomically WITHOUT losing the
+  // old table's history (time travel to pre-REPLACE versions keeps
+  // working). The staged data is MOVED into place (dir rename for create,
+  // [[ManifestTable.adoptSnapshot]] for replace), never rewritten — RTAS
+  // write amplification stays O(new data), not 2×.
+
+  private def stagingRootFor(ident: Identifier): String =
+    dirOf(ident.namespace()) + "/.stage-ctas-" + ident.name() + "-" +
+      java.util.UUID.randomUUID().toString.take(12)
+
+  override def stageCreate(ident: Identifier, schema: StructType,
+                           partitions: Array[Transform],
+                           properties: java.util.Map[String, String]): StagedTable = {
+    if (isTable(rootOf(ident))) throw new TableAlreadyExistsException(ident)
+    stage(ident, schema, partitions, properties, mayExist = false)
+  }
+
+  override def stageReplace(ident: Identifier, schema: StructType,
+                            partitions: Array[Transform],
+                            properties: java.util.Map[String, String]): StagedTable = {
+    if (!isTable(rootOf(ident))) throw new NoSuchTableException(ident)
+    stage(ident, schema, partitions, properties, mayExist = true)
+  }
+
+  override def stageCreateOrReplace(ident: Identifier, schema: StructType,
+                                    partitions: Array[Transform],
+                                    properties: java.util.Map[String, String]): StagedTable =
+    stage(ident, schema, partitions, properties, mayExist = true)
+
+  private def stage(ident: Identifier, schema: StructType,
+                    partitions: Array[Transform],
+                    properties: java.util.Map[String, String],
+                    mayExist: Boolean): StagedTable = {
+    val (partCol, kept) = validateCreate(schema, partitions, properties)
+    val stagingRoot = stagingRootFor(ident)
+    val (fs, sp) = fsAt(stagingRoot)
+    fs.mkdirs(sp)
+    GraftDdl.save(spark, stagingRoot, schema, partCol, kept)
+    new StagedGraftTable(ident, stagingRoot, rootOf(ident), display(ident), mayExist)
   }
 
   override def dropTable(ident: Identifier): Boolean = {
@@ -462,6 +534,79 @@ class GraftV2Table(val root: String, displayName: String, asOf: Option[Long])
     require(asOf.isEmpty, "cannot run DML against a time-travel graft table")
     val sc = propCols("statsCols"); val bc = propCols("bloomCols")
     () => new GraftRowLevelOperation(info.command(), root, schema, partCol, sc, bc)
+  }
+}
+
+/** A CTAS/RTAS staging table: a fully functional [[GraftV2Table]] rooted at
+  * an INVISIBLE `.stage-ctas-*` dir (dot-prefixed dirs are excluded from
+  * listTables and unreachable as identifiers), so the AS-SELECT write runs
+  * against it with every normal commit path — and only commitStagedChanges
+  * makes the table exist:
+  *
+  *  - CREATE: one claim-marker-verified dir rename into place (Hadoop
+  *    rename onto an existing dir nests silently and returns true — the
+  *    marker proves the claim; a lost race cleans up and fails loudly).
+  *    A failed or aborted CTAS leaves NO table, not an empty one.
+  *  - REPLACE: the staged snapshot folds into the existing table as ONE
+  *    snapshot commit that MOVES the staged data version
+  *    ([[ManifestTable.adoptSnapshot]] — zero rewrite), then the new DDL
+  *    sidecar installs. The manifest rename is the atomic flip; a reader in
+  *    the brief sidecar-install window sees the new snapshot under the old
+  *    declared schema (absent columns read NULL — never a torn snapshot),
+  *    and pre-REPLACE versions stay time-travelable until vacuum.
+  */
+private[sources] class StagedGraftTable(ident: Identifier, stagingRoot: String,
+                                        finalRoot: String, displayName: String,
+                                        mayExist: Boolean)
+    extends GraftV2Table(stagingRoot, displayName, None) with StagedTable {
+
+  private def sparkNow: SparkSession = SparkSession.active
+
+  override def commitStagedChanges(): Unit = {
+    val spark = sparkNow
+    val p = new Path(stagingRoot)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dst = new Path(finalRoot)
+    val exists = fs.exists(new Path(dst, GraftDdl.FileName)) ||
+      ManifestTable.exists(spark, finalRoot)
+    if (exists) {
+      if (!mayExist) {
+        abortStagedChanges()
+        throw new TableAlreadyExistsException(ident)
+      }
+      val ddl = GraftDdl.load(spark, stagingRoot).getOrElse(
+        throw new IllegalStateException(s"staged table $stagingRoot lost its DDL sidecar"))
+      if (ManifestTable.exists(spark, stagingRoot))
+        ManifestTable.adoptSnapshot(spark, stagingRoot, finalRoot)
+      else {
+        // RTAS of an empty SELECT: nothing was written to the stage, but the
+        // replace must still empty the target — one empty snapshot commit
+        val empty = spark.createDataFrame(
+          spark.sparkContext.emptyRDD[Row], ddl.schema.get)
+        ManifestTable.commit(empty, finalRoot, ddl.partCol, carryForward = false)
+      }
+      GraftDdl.save(spark, finalRoot, ddl.schema.get, ddl.partCol, ddl.props)
+      fs.delete(p, true)
+    } else {
+      val claim = ".ctas-claim-" + java.util.UUID.randomUUID().toString.take(12)
+      fs.create(new Path(p, claim), true).close()
+      fs.mkdirs(dst.getParent)
+      val renamed = fs.rename(p, dst)
+      if (!renamed || !fs.exists(new Path(dst, claim))) {
+        // lost a concurrent-create race: a rename onto the winner's dir
+        // nested our payload inside it — remove the orphan and fail loudly
+        if (renamed) fs.delete(new Path(dst, p.getName), true)
+        else fs.delete(p, true)
+        throw new TableAlreadyExistsException(ident)
+      }
+      fs.delete(new Path(dst, claim), false)
+    }
+  }
+
+  override def abortStagedChanges(): Unit = {
+    val spark = sparkNow
+    val p = new Path(stagingRoot)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
   }
 }
 
@@ -1131,26 +1276,54 @@ private[sources] object GraftMetaTables {
       StructField("version", LongType, nullable = false),
       StructField("partition_entries", IntegerType, nullable = false),
       StructField("dv", LongType, nullable = true),
-      StructField("is_current", org.apache.spark.sql.types.BooleanType, nullable = false)))
+      StructField("is_current", org.apache.spark.sql.types.BooleanType, nullable = false),
+      // commit wall-clock (µs rides TimestampType's internal form directly);
+      // NULL for manifests published before the #ts directive existed
+      StructField("commit_ts", TimestampType, nullable = true)))
     case "files" => StructType(Seq(
       StructField("path", StringType, nullable = false),
       StructField("partition", StringType, nullable = false),
       StructField("data_version", LongType, nullable = false),
-      StructField("bytes", LongType, nullable = false)))
+      StructField("bytes", LongType, nullable = false),
+      // the skipping-sidecar view: WHY a file is (not) pruned. Zone bounds
+      // surface in their sidecar string form (tag 'L' = integral, 'D' =
+      // double, 'S' = string — cast per the table column's type); columns
+      // in zone_null_only hold no non-null value in this file (prunable by
+      // ANY range); bloom_cols carry a point-lookup Bloom filter.
+      StructField("zone_mins",
+        org.apache.spark.sql.types.MapType(StringType, StringType), nullable = false),
+      StructField("zone_maxs",
+        org.apache.spark.sql.types.MapType(StringType, StringType), nullable = false),
+      StructField("zone_null_only",
+        org.apache.spark.sql.types.ArrayType(StringType), nullable = false),
+      StructField("bloom_cols",
+        org.apache.spark.sql.types.ArrayType(StringType), nullable = false)))
   }
 
   def rows(spark: SparkSession, root: String, kind: String): Array[InternalRow] = {
     import org.apache.spark.unsafe.types.UTF8String
     kind match {
-      case "history" => ManifestTable.history(spark, root).map { case (v, n, dv, cur) =>
-        new GenericInternalRow(Array[Any](v, n, dv.map(Long.box).orNull, cur))
-          : InternalRow
+      case "history" => ManifestTable.history(spark, root).map { case (v, n, dv, cur, ts) =>
+        new GenericInternalRow(Array[Any](v, n, dv.map(Long.box).orNull, cur,
+          ts.map(Long.box).orNull)): InternalRow
       }.toArray
       case "files" =>
+        import org.apache.spark.sql.catalyst.util.{ArrayBasedMapData, GenericArrayData}
+        def strMap(kv: Seq[(String, String)]) = new ArrayBasedMapData(
+          new GenericArrayData(kv.map(e => UTF8String.fromString(e._1)).toArray[Any]),
+          new GenericArrayData(kv.map(e => UTF8String.fromString(e._2)).toArray[Any]))
+        def strArr(xs: Seq[String]) =
+          new GenericArrayData(xs.map(UTF8String.fromString).toArray[Any])
         if (ManifestTable.currentVersion(spark, root).isEmpty) Array.empty
-        else ManifestTable.liveFileList(spark, root).map { case (p, part, dv, b) =>
-          new GenericInternalRow(Array[Any](
-            UTF8String.fromString(p), UTF8String.fromString(part), dv, b)): InternalRow
+        else ManifestTable.liveFileSkipping(spark, root).map {
+          case (p, part, dv, b, zones, bloomCols) =>
+            val nonNull = zones.filterNot(_._5)
+            new GenericInternalRow(Array[Any](
+              UTF8String.fromString(p), UTF8String.fromString(part), dv, b,
+              strMap(nonNull.map(z => z._1 -> z._3)),
+              strMap(nonNull.map(z => z._1 -> z._4)),
+              strArr(zones.filter(_._5).map(_._1)),
+              strArr(bloomCols))): InternalRow
         }.toArray
     }
   }

@@ -136,13 +136,43 @@ object ManifestTable {
     }.nextOption()
   }
 
+  /** Commit wall-clock of manifest `v` in epoch MICROSECONDS (the `#ts`
+    * directive), `None` for manifests published before the directive
+    * existed.
+    */
+  def commitTimestampMicros(spark: SparkSession, root: String, v: Long): Option[Long] = {
+    val (fs, rootP) = fsOf(spark, root)
+    manifestBody(fs, rootP, v).linesIterator
+      .find(_.startsWith("#ts\t")).map(_.stripPrefix("#ts\t").toLong)
+  }
+
+  /** `TIMESTAMP AS OF` floor-resolution: the highest still-on-disk version
+    * whose commit wall-clock is <= `tsMicros` (Delta/Iceberg semantics —
+    * "the table as it was at that instant"). Versions carrying no `#ts`
+    * directive predate the directive and sort before every stamped one.
+    * None when `tsMicros` is earlier than the first retained commit.
+    */
+  def versionAtTimestamp(spark: SparkSession, root: String, tsMicros: Long): Option[Long] = {
+    val (fs, rootP) = fsOf(spark, root)
+    versions(spark, root).sorted.takeWhile { v =>
+      manifestBody(fs, rootP, v).linesIterator
+        .find(_.startsWith("#ts\t")).map(_.stripPrefix("#ts\t").toLong)
+        .forall(_ <= tsMicros)
+    }.lastOption
+  }
+
   /** Stage `body` to a dot-temp name and atomically rename it into place as
     * manifest `v` — the one commit point every mutation shares.
     */
   private[graft] def publishManifest(fs: FileSystem, rootP: Path, v: Long,
                                      entries: Seq[(String, Long)], dv: Option[Long]): Unit = {
+    // every manifest records its commit wall-clock (µs) as a `#ts`
+    // directive — the TIMESTAMP AS OF resolution point. Clock values are
+    // deliberately kept OFF oracled query paths (wall time isn't
+    // replayable); they feed loadTable(ident, timestamp) and `t.history`.
     val body = (entries.distinct.sorted.map { case (n, d) => s"$n\t$d" }
       ++ dv.map(d => s"#dv\t$d").toSeq
+      ++ Seq(s"#ts\t${System.currentTimeMillis() * 1000L}")
       ++ commitDirectives.value).mkString("", "\n", "\n")
     val tmp = new Path(rootP, s".manifest-$v.tmp")
     val out = fs.create(tmp, true)
@@ -1332,6 +1362,44 @@ object ManifestTable {
       stats, blooms, retryable = true, appendEntries = true, blindAppend = true)
   }
 
+  /** Fold the CURRENT snapshot of a single-writer STAGING table into
+    * `dstRoot` as ONE snapshot commit, MOVING its data dir and
+    * re-publishing its skipping sidecars — zero data rewrite, so an atomic
+    * REPLACE TABLE AS SELECT costs O(new data) write bytes, not 2×
+    * ([[GraftCatalog]]'s stageReplace commit step). The staging table must
+    * hold exactly one data version and no deletion vector (a CTAS write
+    * commits exactly once). Fails loudly on a commit collision like every
+    * snapshot commit (a whole-table replace never commutes); `dstRoot`'s
+    * previous versions stay on disk for time travel until vacuumed.
+    */
+  def adoptSnapshot(spark: SparkSession, srcRoot: String, dstRoot: String): Long = {
+    val (fs, srcP) = fsOf(spark, srcRoot)
+    val srcV = currentVersion(spark, srcRoot).getOrElse(
+      throw new IllegalStateException(
+        s"adoptSnapshot: staging table $srcRoot never committed"))
+    val entries = entriesOf(fs, srcP, srcV)
+    require(dvOf(fs, srcP, srcV).isEmpty,
+      s"adoptSnapshot: staging table $srcRoot carries a deletion vector")
+    val dataV = entries.map(_._2).distinct match {
+      case Seq(d) => d
+      case ds => throw new IllegalStateException(
+        s"adoptSnapshot: staging table $srcRoot holds ${ds.size} data versions (expected 1)")
+    }
+    val stats = loadStats(fs, srcP, dataV).getOrElse(Map.empty).toSeq.flatMap {
+      case (rel, cols) => cols.toSeq.map { case (c, z) => (rel, c, z) } }
+    val blooms = loadBlooms(fs, srcP, dataV).getOrElse(Map.empty).toSeq.flatMap {
+      case (rel, cols) => cols.toSeq.map { case (c, a) => (rel, c, a) } }
+    val (_, dstP) = fsOf(spark, dstRoot)
+    fs.mkdirs(dstP)
+    val stage = new Path(dstP,
+      ".stage-" + java.util.UUID.randomUUID().toString.take(12))
+    require(fs.rename(new Path(srcP, "v" + fmt(dataV)), stage),
+      s"adoptSnapshot: moving staged data into $dstRoot failed")
+    val base = currentVersion(spark, dstRoot)
+    publishStaged(spark, dstRoot, stage, base, Nil, entries.map(_._1).distinct,
+      None, stats, blooms, retryable = false)
+  }
+
   /** Schema of the current (or `asOfVersion`) snapshot, inferred from the
     * live data versions' parquet footers (merged across versions, so an
     * additively-evolved table reports the union) plus the hive-style
@@ -1745,15 +1813,24 @@ object ManifestTable {
   }
 
   /** Per-manifest-version commit history — (version, partitionEntries,
-    * dvPointer, isCurrent) for every manifest still on disk, the
-    * `t.history` metadata table's source ([[GraftMetaTable]]). O(manifests)
-    * metadata reads; vacuumed-away versions simply stop appearing.
+    * dvPointer, isCurrent, commitTsMicros) for every manifest still on
+    * disk, the `t.history` metadata table's source ([[GraftMetaTable]]).
+    * O(manifests) metadata reads; vacuumed-away versions simply stop
+    * appearing.
     */
-  def history(spark: SparkSession, root: String): Seq[(Long, Int, Option[Long], Boolean)] = {
+  def history(spark: SparkSession,
+              root: String): Seq[(Long, Int, Option[Long], Boolean, Option[Long])] = {
     val (fs, rootP) = fsOf(spark, root)
     val cur = currentVersion(spark, root)
-    versions(spark, root).sorted.map(v =>
-      (v, entriesOf(fs, rootP, v).size, dvOf(fs, rootP, v), cur.contains(v)))
+    versions(spark, root).sorted.map { v =>
+      val body = manifestBody(fs, rootP, v)
+      val dv = body.linesIterator.find(_.startsWith("#dv\t"))
+        .map(_.stripPrefix("#dv\t").toLong)
+      val ts = body.linesIterator.find(_.startsWith("#ts\t"))
+        .map(_.stripPrefix("#ts\t").toLong)
+      val n = body.linesIterator.count(l => l.nonEmpty && !l.startsWith("#"))
+      (v, n, dv, cur.contains(v), ts)
+    }
   }
 
   /** Live data files of the current snapshot — (schemeFreePath,
@@ -1776,6 +1853,36 @@ object ManifestTable {
           val part = if (rel.contains("/")) rel.substring(0, rel.lastIndexOf('/')) else ""
           (q.toString.replaceFirst("^[a-zA-Z][a-zA-Z0-9+.-]*:/+", "/"), part, dv,
             fs.getFileStatus(q).getLen)
+        }
+    }
+  }
+
+  /** [[liveFileList]] plus each file's SKIPPING SIDECAR view — the "why was
+    * this file (not) pruned" answer `t.files` surfaces: per-column zone
+    * ranges `(col, tag, min, max, allNull)` exactly as [[readPruned]]
+    * evaluates them, and the columns carrying a Bloom filter. O(files)
+    * listing + O(data versions) sidecar reads, no data scan.
+    */
+  def liveFileSkipping(spark: SparkSession, root: String)
+      : Seq[(String, String, Long, Long, Seq[(String, Char, String, String, Boolean)], Seq[String])] = {
+    val v = currentVersion(spark, root).getOrElse(
+      throw new IllegalStateException(s"manifest table $root has no committed version"))
+    val (fs, rootP) = fsOf(spark, root)
+    entriesOf(fs, rootP, v).groupBy(_._2).toSeq.sortBy(_._1).flatMap { case (dv, parts) =>
+      val vdir = new Path(rootP, "v" + fmt(dv))
+      val dirs = parts.map(_._1).distinct
+      val stats = loadStats(fs, rootP, dv).getOrElse(Map.empty)
+      val blooms = loadBlooms(fs, rootP, dv).getOrElse(Map.empty)
+      listDataFiles(fs, vdir).filter(rel =>
+        dirs.contains("") || dirs.exists(p => rel.startsWith(p + "/")))
+        .map { rel =>
+          val q = fs.makeQualified(new Path(vdir, rel))
+          val part = if (rel.contains("/")) rel.substring(0, rel.lastIndexOf('/')) else ""
+          val zones = stats.getOrElse(rel, Map.empty).toSeq.sortBy(_._1)
+            .map { case (c, z) => (c, z.tag, z.minS, z.maxS, z.allNull) }
+          val bloomCols = blooms.getOrElse(rel, Map.empty).keys.toSeq.sorted
+          (q.toString.replaceFirst("^[a-zA-Z][a-zA-Z0-9+.-]*:/+", "/"), part, dv,
+            fs.getFileStatus(q).getLen, zones, bloomCols)
         }
     }
   }

@@ -124,6 +124,40 @@ class CatalogSpec extends SparkSuite {
     assert(asOf1 == Set(1L) && asOf2 == Set(1L, 2L) && now == Set(2L))
   }
 
+  test("TIMESTAMP AS OF floor-resolves to the snapshot live at that instant") {
+    val t = freshTable("t_tsasof")
+    spark.sql(s"INSERT INTO $t VALUES (1, 'a', 'x')") // v1
+    Thread.sleep(20)
+    val mid = System.currentTimeMillis() // strictly after v1, before v2
+    Thread.sleep(20)
+    spark.sql(s"INSERT INTO $t VALUES (2, 'b', 'y')") // v2
+    import spark.implicits._
+    // session TZ is UTC; render the captured instant in it
+    val iso = java.time.Instant.ofEpochMilli(mid)
+      .atZone(java.time.ZoneOffset.UTC).toLocalDateTime.toString
+    val atMid = spark.sql(s"SELECT k FROM $t TIMESTAMP AS OF '$iso'")
+      .as[Long].collect().toSet
+    assert(atMid == Set(1L), s"at $iso only v1 was committed, got $atMid")
+    // at now(), both commits are visible
+    val nowIso = java.time.Instant.ofEpochMilli(System.currentTimeMillis() + 1000)
+      .atZone(java.time.ZoneOffset.UTC).toLocalDateTime.toString
+    assert(spark.sql(s"SELECT k FROM $t TIMESTAMP AS OF '$nowIso'")
+      .as[Long].collect().toSet == Set(1L, 2L))
+    // earlier than the first retained commit: loud refusal
+    val early = java.time.Instant.ofEpochMilli(mid - 3600L * 1000)
+      .atZone(java.time.ZoneOffset.UTC).toLocalDateTime.toString
+    val e = intercept[Exception] {
+      spark.sql(s"SELECT k FROM $t TIMESTAMP AS OF '$early'").collect()
+    }
+    assert(e.getMessage.contains("TIMESTAMP AS OF") ||
+      Option(e.getCause).exists(_.getMessage.contains("TIMESTAMP AS OF")))
+    // t.history surfaces the commit wall-clock, monotone across versions
+    val ts = spark.sql(s"SELECT version, commit_ts FROM $t.history ORDER BY version")
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1)))
+    assert(ts.length == 2 && ts.forall(_._2 != null))
+    assert(!ts(0)._2.after(ts(1)._2), s"commit_ts must be monotone: ${ts.toSeq}")
+  }
+
   test("metadata columns __f/__pos surface row provenance") {
     val t = freshTable("t8")
     spark.sql(s"INSERT INTO $t VALUES (1, 'a', 'x'), (2, 'b', 'x')")
@@ -255,12 +289,105 @@ class CatalogSpec extends SparkSuite {
     assert(joined >= 1, "live __f provenance must resolve through t.files")
   }
 
+  test("t.files skipping columns explain exactly which files a predicate keeps") {
+    wh
+    spark.sql("DROP TABLE IF EXISTS gcat.db.t_skip")
+    spark.sql(
+      """CREATE TABLE gcat.db.t_skip (k BIGINT, v STRING, p STRING)
+        |PARTITIONED BY (p) TBLPROPERTIES ('statsCols'='k', 'bloomCols'='v')""".stripMargin)
+    val t = "gcat.db.t_skip"
+    // two data versions with disjoint k ranges per partition → prunable files
+    spark.sql(s"INSERT INTO $t SELECT id, CAST(id AS STRING), " +
+      "CASE WHEN id % 2 = 0 THEN 'x' ELSE 'y' END FROM range(0, 100)")
+    spark.sql(s"INSERT INTO $t SELECT id, CAST(id AS STRING), " +
+      "CASE WHEN id % 2 = 0 THEN 'x' ELSE 'y' END FROM range(1000, 1100)")
+    val root = s"$wh/db/t_skip"
+    val lo = 500L
+    // the observable pruning effect of k >= 500 …
+    val (kept, total) = ManifestTable.pruneCounts(spark, root,
+      Seq(ManifestTable.ColRange("k", lo, null)))
+    assert(total > kept && kept > 0, s"fixture must actually prune ($kept/$total)")
+    // … must equal evaluating the SAME predicate over t.files' zone columns
+    val files = spark.sql(
+      s"""SELECT path, CAST(zone_mins['k'] AS BIGINT) AS mn,
+         |  CAST(zone_maxs['k'] AS BIGINT) AS mx,
+         |  array_contains(zone_null_only, 'k') AS k_null_only,
+         |  bloom_cols FROM $t.files""".stripMargin).collect()
+    assert(files.nonEmpty)
+    val metaKept = files.count { r =>
+      !r.getBoolean(3) && (r.isNullAt(2) || r.getLong(2) >= lo)
+    }
+    assert(metaKept == kept,
+      s"metadata-table predicate evaluation ($metaKept) must match pruneCounts ($kept)")
+    assert(files.forall(_.getSeq[String](4).contains("v")),
+      "every file must report its Bloom column")
+  }
+
   test("CTAS creates and loads in one statement") {
     wh
     spark.sql("DROP TABLE IF EXISTS gcat.db.t11")
     spark.sql("CREATE TABLE gcat.db.t11 AS SELECT 1L AS k, 'a' AS v")
     import spark.implicits._
     assert(spark.table("gcat.db.t11").as[(Long, String)].collect().toSeq == Seq((1L, "a")))
+  }
+
+  test("a failed CTAS leaves NO table and no staging debris") {
+    wh
+    spark.sql("DROP TABLE IF EXISTS gcat.db.t_ctasfail")
+    // ANSI division by zero throws mid-write, after the staged table exists
+    intercept[Exception] {
+      spark.sql("CREATE TABLE gcat.db.t_ctasfail AS " +
+        "SELECT id AS k, 10 / (id - 5) AS v FROM range(10)")
+    }
+    assert(!spark.catalog.tableExists("gcat.db.t_ctasfail"),
+      "a failed CTAS must not leave a (partial or empty) table behind")
+    val debris = new java.io.File(s"$wh/db").listFiles()
+      .map(_.getName).filter(_.startsWith(".stage-ctas-"))
+    assert(debris.isEmpty, s"aborted staging dirs must be cleaned up: ${debris.toSeq}")
+    // and the name stays usable
+    spark.sql("CREATE TABLE gcat.db.t_ctasfail AS SELECT 1L AS k")
+    assert(spark.table("gcat.db.t_ctasfail").count() == 1)
+    spark.sql("DROP TABLE gcat.db.t_ctasfail")
+  }
+
+  test("REPLACE TABLE AS SELECT flips atomically and keeps old versions readable") {
+    wh
+    spark.sql("DROP TABLE IF EXISTS gcat.db.t_rtas")
+    spark.sql("CREATE TABLE gcat.db.t_rtas (k BIGINT, v STRING, p STRING) PARTITIONED BY (p)")
+    spark.sql("INSERT INTO gcat.db.t_rtas VALUES (1, 'a', 'x'), (2, 'b', 'y')") // v1
+    val preVersion = ManifestTable.currentVersion(spark, s"$wh/db/t_rtas").get
+    // a FAILED replace must leave the old table fully intact
+    intercept[Exception] {
+      spark.sql("REPLACE TABLE gcat.db.t_rtas AS " +
+        "SELECT id AS k, 10 / (id - 3) AS bad FROM range(10)")
+    }
+    assert(rowsOf("gcat.db.t_rtas") == Set((1L, "a", "x"), (2L, "b", "y")),
+      "failed REPLACE must not touch the table")
+    // a successful replace is one snapshot commit; the old snapshot stays
+    // time-travelable
+    spark.sql("REPLACE TABLE gcat.db.t_rtas AS " +
+      "SELECT id AS k, concat('n', id) AS name FROM range(3)")
+    val now = spark.sql("SELECT k, name FROM gcat.db.t_rtas").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(now == Set((0L, "n0"), (1L, "n1"), (2L, "n2")))
+    import spark.implicits._
+    val old = spark.sql(s"SELECT k FROM gcat.db.t_rtas VERSION AS OF $preVersion")
+      .as[Long].collect().toSet
+    assert(old == Set(1L, 2L), "pre-REPLACE snapshot must stay readable")
+    // RTAS moved the staged files (no rewrite): exactly one new data version
+    assert(ManifestTable.currentVersion(spark, s"$wh/db/t_rtas").get == preVersion + 1)
+    spark.sql("DROP TABLE gcat.db.t_rtas")
+  }
+
+  test("CREATE OR REPLACE TABLE works on both missing and existing tables") {
+    wh
+    spark.sql("DROP TABLE IF EXISTS gcat.db.t_corp")
+    spark.sql("CREATE OR REPLACE TABLE gcat.db.t_corp AS SELECT 1L AS k")
+    import spark.implicits._
+    assert(spark.table("gcat.db.t_corp").as[Long].collect().toSeq == Seq(1L))
+    spark.sql("CREATE OR REPLACE TABLE gcat.db.t_corp AS SELECT 2L AS k")
+    assert(spark.table("gcat.db.t_corp").as[Long].collect().toSeq == Seq(2L))
+    spark.sql("DROP TABLE gcat.db.t_corp")
   }
 
   // ------------- metadata-only aggregate pushdown (q190 seam) -------------
