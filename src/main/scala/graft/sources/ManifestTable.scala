@@ -174,7 +174,13 @@ object ManifestTable {
       ++ dv.map(d => s"#dv\t$d").toSeq
       ++ Seq(s"#ts\t${System.currentTimeMillis() * 1000L}")
       ++ commitDirectives.value).mkString("", "\n", "\n")
-    val tmp = new Path(rootP, s".manifest-$v.tmp")
+    // the tmp name must be UNIQUE PER WRITER: two same-base writers race
+    // the same manifest number, and a shared tmp name lets the loser's
+    // body overwrite the winner's between its write and its link (the
+    // winner would then publish the loser's entries under its own claim —
+    // a silent lost update), or vanish under the winner's createLink
+    val tmp = new Path(rootP,
+      s".manifest-$v-${java.util.UUID.randomUUID().toString.take(8)}.tmp")
     val out = fs.create(tmp, true)
     try out.write(body.getBytes("UTF-8")) finally out.close()
     val dst = new Path(rootP, ManifestPrefix + fmt(v))
@@ -190,27 +196,78 @@ object ManifestTable {
       s"commit collision: $dst already exists — another writer committed version $v " +
         "from the same base; this commit attempt is abandoned (its data version dir is " +
         "orphaned and reclaimed by the next vacuum) unless the caller retries optimistically")
-    if (fs.getScheme == "file") {
-      val t = java.nio.file.Paths.get(fs.makeQualified(tmp).toUri.getPath)
-      val d = java.nio.file.Paths.get(fs.makeQualified(dst).toUri.getPath)
-      try {
-        java.nio.file.Files.createLink(d, t)
-        java.nio.file.Files.delete(t)
-        // fs.create wrote the tmp through ChecksumFileSystem, leaving a
-        // hidden `..manifest-N.tmp.crc` sidecar the nio delete above does
-        // not touch (and listStatus never surfaces) — drop it here or one
-        // orphan accumulates per commit forever
-        java.nio.file.Files.deleteIfExists(
-          t.resolveSibling("." + t.getFileName.toString + ".crc"))
-      } catch {
-        case _: java.nio.file.FileAlreadyExistsException => throw collision()
-      }
-    } else {
-      if (fs.exists(dst)) throw collision()
-      require(fs.rename(tmp, dst),
-        s"manifest commit rename $tmp -> $dst failed — table stays at the previous version")
+    if (!commitArbiter.publishExclusive(fs, tmp, dst)) {
+      fs.delete(tmp, false) // the loser's staged body is debris
+      throw collision()
     }
   }
+
+  /** The cross-writer MUTUAL-EXCLUSION primitive the whole commit protocol
+    * rests on: atomically install `tmp` as manifest `dst` IFF `dst` does
+    * not already exist — "false" (lost) must be the outcome for all but
+    * exactly one writer racing the same destination, with no window in
+    * which a reader can observe a partial `dst`.
+    *
+    * [[FsCommitArbiter]] is the default (create-exclusive hard link on a
+    * local FS, exists+rename where rename refuses an existing destination —
+    * HDFS). An OBJECT-STORE deployment plugs its conditional-put here and
+    * everything above this seam (claim protocol, rebase rules, DV
+    * conflicts) carries over unchanged: S3 `PutObject` with
+    * `If-None-Match: *` (returns 412 = lost), GCS `ifGenerationMatch=0`,
+    * ADLS `If-None-Match: *` — upload the body directly instead of
+    * renaming `tmp`. A DynamoDB/lock-service arbiter (the pre-conditional-
+    * put S3A commit pattern) also fits: acquire `dst`'s name, re-check
+    * non-existence, rename, release.
+    */
+  trait CommitArbiter {
+    /** true = this writer owns `dst` (its body is `tmp`'s, fully visible);
+      * false = `dst` already existed (the collision outcome). Any other
+      * failure should throw.
+      */
+    def publishExclusive(fs: FileSystem, tmp: Path, dst: Path): Boolean
+  }
+
+  /** Filesystem arbiter: on `file:` a hard-link creation (link(2) fails
+    * atomically with EEXIST — a true mutex, no check-then-rename window);
+    * elsewhere exists+rename, which HDFS makes safe (its rename refuses an
+    * existing destination) — object stores must NOT rely on this fallback
+    * (their rename is copy+delete with last-writer-wins): plug a
+    * conditional-put [[CommitArbiter]] instead.
+    */
+  object FsCommitArbiter extends CommitArbiter {
+    override def publishExclusive(fs: FileSystem, tmp: Path, dst: Path): Boolean = {
+      if (fs.getScheme == "file") {
+        val t = java.nio.file.Paths.get(fs.makeQualified(tmp).toUri.getPath)
+        val d = java.nio.file.Paths.get(fs.makeQualified(dst).toUri.getPath)
+        try {
+          java.nio.file.Files.createLink(d, t)
+          java.nio.file.Files.delete(t)
+          // fs.create wrote the tmp through ChecksumFileSystem, leaving a
+          // hidden `..manifest-N.tmp.crc` sidecar the nio delete above does
+          // not touch (and listStatus never surfaces) — drop it here or one
+          // orphan accumulates per commit forever
+          java.nio.file.Files.deleteIfExists(
+            t.resolveSibling("." + t.getFileName.toString + ".crc"))
+          true
+        } catch {
+          case _: java.nio.file.FileAlreadyExistsException => false
+        }
+      } else {
+        if (fs.exists(dst)) false
+        else {
+          require(fs.rename(tmp, dst),
+            s"manifest commit rename $tmp -> $dst failed — table stays at the previous version")
+          true
+        }
+      }
+    }
+  }
+
+  /** Pluggable arbiter (process-wide): swap in an object-store
+    * conditional-put implementation before the first commit. The default
+    * covers local FS and HDFS.
+    */
+  @volatile var commitArbiter: CommitArbiter = FsCommitArbiter
 
   /** Max optimistic-retry attempts for a colliding carry-forward merge
     * commit before giving up.

@@ -188,6 +188,49 @@ class CatalogSpec extends SparkSuite {
     assert(rowsOf(t) == Set((1L, "A", "x"), (2L, "b", "y"), (7L, "g", "x")))
   }
 
+  test("SQL MERGE racing a concurrent DELETE conflicts loudly, never resurrects") {
+    val t = freshTable("t_mrgrace")
+    spark.sql(s"INSERT INTO $t VALUES (1, 'a', 'x'), (2, 'b', 'x'), (3, 'c', 'y')")
+    val root = s"$wh/db/t_mrgrace"
+    val schema = spark.table(t).schema
+    spark.createDataFrame(Seq((2L, "B2", "x"), (9L, "i", "y")))
+      .toDF("k", "v", "p").createOrReplaceTempView("mrg_race_src")
+    val mergeSql =
+      s"""MERGE INTO $t tgt USING mrg_race_src src ON tgt.k = src.k
+         |WHEN MATCHED THEN UPDATE SET v = src.v
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin
+    // ordering A: a DELETE lands INSIDE the merge's claim→publish window —
+    // injected through the commit-arbiter seam at the merge's own publish
+    // point, the exact interleaving a second cluster driver produces
+    val fired = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val prev = ManifestTable.commitArbiter
+    ManifestTable.commitArbiter = new ManifestTable.CommitArbiter {
+      override def publishExclusive(fs: org.apache.hadoop.fs.FileSystem,
+                                    tmp: org.apache.hadoop.fs.Path,
+                                    dst: org.apache.hadoop.fs.Path): Boolean = {
+        if (fired.compareAndSet(false, true))
+          ManifestTable.deleteWhere(spark, root, schema, col("k") === 1L)
+        ManifestTable.FsCommitArbiter.publishExclusive(fs, tmp, dst)
+      }
+    }
+    val e = try intercept[Exception] { spark.sql(mergeSql) }
+    finally ManifestTable.commitArbiter = prev
+    def messages(x: Throwable): Seq[String] =
+      if (x == null) Nil else Option(x.getMessage).toSeq ++ messages(x.getCause)
+    assert(messages(e).exists(_.contains("commit conflict")),
+      s"expected a loud commit conflict, got: ${messages(e)}")
+    // state equals the serial order "DELETE only": the aborted merge left
+    // nothing, and the deleted row did not resurrect
+    assert(rowsOf(t) == Set((2L, "b", "x"), (3L, "c", "y")))
+    // ordering B: rerun the merge against the current snapshot — serial
+    // delete→merge state
+    spark.sql(mergeSql)
+    assert(rowsOf(t) == Set((2L, "B2", "x"), (3L, "c", "y"), (9L, "i", "y")))
+    // and a DELETE after the merge holds too (merge→delete serial order)
+    spark.sql(s"DELETE FROM $t WHERE k = 9")
+    assert(rowsOf(t) == Set((2L, "B2", "x"), (3L, "c", "y")))
+  }
+
   test("DROP TABLE and RENAME TABLE") {
     val t = freshTable("t10")
     spark.sql(s"INSERT INTO $t VALUES (1, 'a', 'x')")
