@@ -1,5 +1,38 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Per-query time budgets (VERDICT r14 #8, repaired r16): the best
+  * demonstrated idle-ish seconds per numeric query id, regenerated from
+  * round artifacts by `tools/gen_budgets.py`. Separated from [[Bench]] so a
+  * unit test can parse the CHECKED-IN file with the production parser —
+  * the r15 version of this parser had a regex that never matched the file
+  * it shipped with (`"(\d+)":([0-9.]+)` vs the file's `"1": 0.718` — a
+  * space after the colon), so `over_budget` was silently `{}` on every
+  * run, including the one it was built to adjudicate (VERDICT r15 #1).
+  * Two defenses now: `\s*` in the regex, and a FAIL-LOUD guard — a budgets
+  * file that exists but parses empty aborts the bench instead of shipping
+  * a tripwire that can never fire.
+  */
+object BenchBudgets {
+  val DefaultPath = "tools/bench_budgets.json"
+  /** Any query running > this factor over its budget is flagged. */
+  val OverBudgetFactor = 1.5
+
+  def load(path: String = DefaultPath): Map[Int, Double] = {
+    val p = java.nio.file.Paths.get(path)
+    if (!java.nio.file.Files.exists(p)) Map.empty
+    else {
+      val m = """"(\d+)"\s*:\s*([0-9.]+)""".r
+        .findAllMatchIn(java.nio.file.Files.readString(p))
+        .map(m => m.group(1).toInt -> m.group(2).toDouble).toMap
+      require(m.nonEmpty,
+        s"budgets file $path exists but parsed to ZERO entries — parser/format drift; " +
+          "regenerate with tools/gen_budgets.py or fix the regex (the r15 dead-tripwire bug)")
+      m
+    }
+  }
+}
+
 /** Benchmark main: runs every registered query against
   * SPARK_GRAFT_SF_DIR and prints one JSON line. Each query is consumed by a
   * `noop`-format write so every row and column is fully evaluated — a bare
@@ -14,51 +47,85 @@ import org.apache.spark.sql.SparkSession
   * co-tenant load spikes to unchanged queries (3-7x swings in BOTH
   * directions), so each query takes the MIN over several timed runs, the
   * JSON records the machine's 1-minute load average at start and end plus
-  * wall-clock timestamps, and two additions make noise diagnosable per
-  * round: (a) a LOAD GATE — when the start load average exceeds
-  * `HotLoadThreshold` the per-query run count rises from 3 to 5, buying a
-  * better min on a machine already known to be busy; (b) the full PER-RUN
-  * time array ships in the JSON (`runs_sec`), so a judge can tell a real
-  * regression (all runs slow) from one co-tenant hiccup (one slow outlier
-  * the min already discarded). A query counts as failed only when EVERY
-  * timed run fails; a transient single-run failure falls back to the min of
-  * the successful runs (ADVICE r03), visible as a -1 entry in its run array.
+  * wall-clock timestamps, and the full PER-RUN time array ships in the JSON
+  * (`runs_sec`), so a judge can tell a real regression (all runs slow) from
+  * one co-tenant hiccup (one slow outlier the min already discarded). A
+  * query counts as failed only when EVERY timed run fails; a transient
+  * single-run failure falls back to the min of the successful runs
+  * (ADVICE r03), visible as a -1 entry in its run array.
   *
-  * Timeout robustness (VERDICT r06 #1/#2): BENCH_r06.json was rc=124 with
-  * NOTHING parseable — the whole round's perf signal gone. Two fixes:
-  * (a) the artifact is rewritten after EVERY query (`"partial":true` until
-  * the final write), so an induced kill still leaves per-query numbers for
-  * everything that finished; (b) queries run in NUMERIC id order, not
-  * lexicographic (which put the heaviest new queries q100+ FIRST in r6), so
-  * a partial artifact covers the stable early suite.
+  * The r05-r15 HOT-LOAD GATE (start load > 2.0 → 5 timed runs instead
+  * of 3) is GONE (VERDICT r15 #2): on a box that is already contended,
+  * extra runs on the SAME contended box mostly buy wall clock, not a
+  * better min — the r15 driver run started at load 4.22, the gate nearly
+  * doubled its wall time, and it timed out at 183/190 with no artifact.
+  * The post-sweep AUTO-REQUEUE below is the adjudication mechanism that
+  * actually works (retry AFTER the spike has passed). The gate flag still
+  * ships in the JSON for diagnosis.
+  *
+  * Timeout robustness (VERDICT r06 #1/#2, r15 #2): BENCH_r06 and BENCH_r15
+  * were both rc=124 with nothing parseable. Defenses, in layers:
+  * (a) the artifact is rewritten atomically after EVERY query
+  * (`"partial":true` until the final write), so an induced kill still
+  * leaves per-query numbers for everything that finished; (b) queries run
+  * in NUMERIC id order so a partial artifact covers the stable early
+  * suite; (c) r16: a WALL-CLOCK DEADLINE (SPARK_GRAFT_BENCH_DEADLINE_SEC,
+  * default 2700 s — inside the driver's ~1 h window): when the deadline
+  * passes, the sweep stops, the final artifact and the compact timings
+  * line are emitted immediately with `"partial":true`, and the process
+  * exits rc=0 — a slow box now costs coverage of the tail queries, never
+  * the whole round's artifact; (d) r16: log level drops to ERROR for the
+  * sweep, because the r15 tail capture was 2000 chars of `localCheckpoint`
+  * WARN spam with zero timings in it; (e) r16: the compact timings line
+  * reprints every 10 queries, so even a hard kill's stdout tail carries a
+  * recent whole-suite snapshot.
   *
   * Tail-capture completeness (VERDICT r11 #6): the driver preserves only a
-  * ~2000-char stdout tail, which fits ~60 of 130 full-name timings. The
+  * ~2000-char stdout tail, which fits ~60 of 190 full-name timings. The
   * FINAL printed line is therefore a compact id-keyed timings JSON (also at
-  * `$SPARK_GRAFT_BENCH_OUT.compact`) that carries the whole suite. Between queries,
-  * `Checkpoints.sweep` unpersists leftover localCheckpoint blocks —
-  * `clearCache()` alone does not free them, which is exactly the r6 leak
-  * that poisoned 54 unchanged queries by ~3x.
+  * `$SPARK_GRAFT_BENCH_OUT.compact`) that carries the whole suite. Between
+  * queries, `Checkpoints.sweep` unpersists leftover localCheckpoint
+  * blocks — `clearCache()` alone does not free them, which is exactly the
+  * r6 leak that poisoned 54 unchanged queries by ~3x.
   */
 object Bench {
-  private val BaseRuns = 3
-  private val HotRuns = 5
-  /** 1-minute load average at start above which the machine is presumed
-    * contended and the run count rises. The r04/r05 noise band appeared with
-    * start loads of 2-4.6 on this 32-cpu box — well under saturation, so the
-    * gate triggers on "anything nontrivial already running", not "busy".
+  private val TimedRuns = 3
+  /** 1-minute load average above which the box is presumed contended —
+    * recorded in the artifact (and gating the auto-requeue), no longer
+    * escalating run counts (see scaladoc).
     */
   private val HotLoadThreshold = 2.0
+  private val DefaultDeadlineSec = 2700.0
 
   def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/bench.json")
+    run(
+      sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"),
+      cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"),
+      outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/bench.json"),
+      deadlineSec = sys.env.get("SPARK_GRAFT_BENCH_DEADLINE_SEC")
+        .map(_.toDouble).getOrElse(DefaultDeadlineSec),
+      // SPARK_GRAFT_BENCH_ONLY: comma-separated name prefixes — time only
+      // matching queries (local profiling; the driver leaves it unset)
+      only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSeq))
+  }
+
+  /** The whole sweep, parameterized so BenchSpec can drive the deadline
+    * path in-process (deadlineSec = 0 must still emit a valid artifact +
+    * compact line with partial:true — the r15 failure mode, now tested).
+    */
+  def run(sfDir: String, cpus: String, outFile: String,
+          deadlineSec: Double, only: Option[Seq[String]],
+          streamingProbes: Boolean = true): Unit = {
     def loadAvg: Double =
       java.lang.management.ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
     val tsStart = System.currentTimeMillis() / 1000
+    val nanoStart = System.nanoTime()
+    def elapsedSec: Double = (System.nanoTime() - nanoStart) / 1e9
     val loadStart = loadAvg
-    val timedRuns = if (loadStart > HotLoadThreshold) HotRuns else BaseRuns
+    // BenchSpec drives run() in-process against the suites' shared session;
+    // stopping a session the bench didn't create would kill every suite
+    // that runs after it in the forked JVM
+    val ownsSession = SparkSession.getDefaultSession.isEmpty
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -66,39 +133,32 @@ object Bench {
       .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // ERROR, not WARN: the r15 round artifact's whole 2000-char tail was
+    // localCheckpoint WARN spam — any tail capture must carry timings
+    spark.sparkContext.setLogLevel("ERROR")
     org.apache.spark.sql.graft.GraftFunctions.installOptimizations(spark)
     // Per-query warm-up run: whole-stage codegen compiles each query's
-    // generated classes on first execution (measured at 3-18s of pure Janino/
-    // JIT time on the heavier plans) — steady-state throughput is what a
-    // long-running cluster job sees, so time the post-warm-up runs.
-    // clearCache() between runs forces persisted intermediates to be honestly
-    // recomputed inside the timed window.
-    // numeric id order: q1..q110, so a timed-out partial artifact covers the
-    // stable early suite instead of starting at the heaviest new queries
-    // SPARK_GRAFT_BENCH_ONLY: comma-separated name prefixes — time only
-    // matching queries (local profiling; the driver leaves it unset)
-    val only: Option[Seq[String]] =
-      sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSeq)
-    // Per-query budgets (VERDICT r14 #8): tools/bench_budgets.json records
-    // the best demonstrated idle-ish seconds per numeric query id (from
-    // prior round artifacts — regenerate with tools/gen_budgets.py). Any
-    // query > 1.5x its budget is named in `over_budget`, so a single-query
-    // regression surfaces in the round artifact instead of hiding inside
-    // the suite total. The 2x suite gate stays the driver's; this is the
-    // fine-grained tripwire.
-    val budgets: Map[Int, Double] = {
-      val p = java.nio.file.Paths.get("tools/bench_budgets.json")
-      if (!java.nio.file.Files.exists(p)) Map.empty
-      else """"(\d+)":([0-9.]+)""".r
-        .findAllMatchIn(java.nio.file.Files.readString(p))
-        .map(m => m.group(1).toInt -> m.group(2).toDouble).toMap
-    }
-    val OverBudgetFactor = 1.5
+    // generated classes on first execution (measured at 3-18s of pure
+    // Janino/JIT time on the heavier plans) — steady-state throughput is
+    // what a long-running cluster job sees, so time the post-warm-up runs.
+    // clearCache() between runs forces persisted intermediates to be
+    // honestly recomputed inside the timed window.
+    val budgets: Map[Int, Double] = BenchBudgets.load()
     val ordered = SparkEntry.queries.toSeq
       .filter { case (name, _) => only.forall(_.exists(name.startsWith)) }
       .sortBy { case (name, _) =>
         ("""\d+""".r.findFirstIn(name).map(_.toInt).getOrElse(Int.MaxValue), name)
+      }
+    def num(v: Double, digits: Int = 3): String =
+      String.format(java.util.Locale.ROOT, s"%.${digits}f", Double.box(v))
+    def overBudgetOf(results: Seq[(String, Double, Seq[Double], Double)]) =
+      results.flatMap { case (k, v, _, _) =>
+        for {
+          id <- """\d+""".r.findFirstIn(k).map(_.toInt)
+          b <- budgets.get(id)
+          // sub-300ms observations are noise-floor and never flagged
+          if v >= 0.3 && v > b * BenchBudgets.OverBudgetFactor
+        } yield (k, id, v, b)
       }
     def emit(results: Seq[(String, Double, Seq[Double], Double)],
              streaming: Seq[(String, Double)], partial: Boolean,
@@ -115,14 +175,8 @@ object Bench {
       }.mkString("{", ",", "}")
       val failed = results.filter(_._2 < 0).map(_._1)
       val total = results.map(_._2).filter(_ >= 0).sum
-      // name:observed:budget for every query past its tripwire; sub-300ms
-      // observations are noise-floor and never flagged
-      val overBudget = results.flatMap { case (k, v, _, _) =>
-        for {
-          id <- """\d+""".r.findFirstIn(k).map(_.toInt)
-          b <- budgets.get(id)
-          if v >= 0.3 && v > b * OverBudgetFactor
-        } yield s""""$k":{"sec":$v,"budget":$b}"""
+      val overBudget = overBudgetOf(results).map { case (k, _, v, b) =>
+        s""""$k":{"sec":$v,"budget":$b}"""
       }
       val sj = streaming.map { case (k, v) => "\"" + k + "\":" + v }
         .mkString("{", ",", "}")
@@ -141,7 +195,9 @@ object Bench {
           s""""runs_sec":$runsJson,""" +
           s""""load_avg_per_query":$loadJson,""" +
           s""""requeued":$reqJson,""" +
-          s""""streaming":$sj,"runs_per_query":$timedRuns,""" +
+          s""""streaming":$sj,"runs_per_query":$TimedRuns,""" +
+          s""""budgets_loaded":${budgets.size},""" +
+          s""""deadline_sec":${num(deadlineSec, 1)},""" +
           s""""load_gate":{"threshold":$HotLoadThreshold,"hot":${loadStart > HotLoadThreshold}},""" +
           s""""load_avg_start":$loadStart,"load_avg_end":$loadAvg,""" +
           s""""ts_start":$tsStart,"ts_end":${System.currentTimeMillis() / 1000},""" +
@@ -161,29 +217,69 @@ object Bench {
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
       json
     }
-    val done = scala.collection.mutable.ArrayBuffer.empty[(String, Double, Seq[Double], Double)]
-    ordered.foreach { case (name, fn) =>
-      try {
-        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        spark.catalog.clearCache()
-        org.apache.spark.sql.graft.Checkpoints.sweep(spark)
-      } catch { case e: Throwable => System.err.println(s"[bench] warm $name: $e") }
-      val runs = (1 to timedRuns).map { _ =>
-        val t0 = System.nanoTime()
-        val ok =
-          try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
-          catch { case e: Throwable => System.err.println(s"[bench] $name: $e"); false }
-        val d = (System.nanoTime() - t0) / 1e9
-        spark.catalog.clearCache()
-        // iterative results intentionally keep their final checkpoint alive;
-        // the harness has consumed the output, so drop the blocks NOW —
-        // clearCache() does not (the r6 leak)
-        org.apache.spark.sql.graft.Checkpoints.sweep(spark)
-        if (ok) d else -1.0
+    // COMPACT timings line (VERDICT r11 #6, r12 #2): the round artifact is
+    // a ~2000-char stdout TAIL. The id-KEYED map stopped fitting around 170
+    // queries (BENCH_r12 clipped q01-q11 mid-map), so the timings ride as
+    // an id-INDEXED array — `t_by_id[i]` is query id i+1's min seconds
+    // (-1 failed, null not run; names recover from SparkEntry.queries,
+    // whose numeric ids are unique by construction). ~6 chars per query
+    // keeps the whole suite + headline near 1.2k chars. Locale-pinned
+    // formatting: f"" interpolation is locale-sensitive — a comma-decimal
+    // JVM locale would emit invalid JSON.
+    def compactOf(results: Seq[(String, Double, Seq[Double], Double)],
+                  partial: Boolean): String = {
+      val byId = results.flatMap { case (name, v, _, _) =>
+        """\d+""".r.findFirstIn(name).map(_.toInt -> v)
+      }.toMap
+      val maxId = if (byId.isEmpty) 0 else byId.keys.max
+      val t = (1 to maxId).map(i => byId.get(i) match {
+        case Some(v) if v >= 0 => num(v)
+        case Some(_) => "-1"
+        case None => "null"
+      }).mkString("[", ",", "]")
+      val failed = results.filter(_._2 < 0).map("\"" + _._1 + "\"")
+      // over-budget tripwires as compact "id x ratio" strings (usually [])
+      val over = overBudgetOf(results).map { case (_, id, v, b) =>
+        "\"" + id + "x" + num(v / b, 2) + "\""
       }
-      val good = runs.filter(_ >= 0)
-      done += ((name, if (good.isEmpty) -1.0 else good.min, runs, loadAvg))
-      emit(done.toSeq, Nil, partial = true)
+      val total = results.map(_._2).filter(_ >= 0).sum
+      s"""{"t_by_id":$t,""" +
+        s""""over":${over.mkString("[", ",", "]")},""" +
+        s""""failed":${failed.mkString("[", ",", "]")},""" +
+        s""""partial":$partial,""" +
+        s""""completed":${results.size},"total_queries":${ordered.size},""" +
+        s""""total_sec":${num(total)},"sf":"$sfDir"}"""
+    }
+    val done = scala.collection.mutable.ArrayBuffer.empty[(String, Double, Seq[Double], Double)]
+    var deadlineHit = false
+    ordered.foreach { case (name, fn) =>
+      if (elapsedSec > deadlineSec) deadlineHit = true
+      else {
+        try {
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          spark.catalog.clearCache()
+          org.apache.spark.sql.graft.Checkpoints.sweep(spark)
+        } catch { case e: Throwable => System.err.println(s"[bench] warm $name: $e") }
+        val runs = (1 to TimedRuns).map { _ =>
+          val t0 = System.nanoTime()
+          val ok =
+            try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+            catch { case e: Throwable => System.err.println(s"[bench] $name: $e"); false }
+          val d = (System.nanoTime() - t0) / 1e9
+          spark.catalog.clearCache()
+          // iterative results intentionally keep their final checkpoint
+          // alive; the harness has consumed the output, so drop the blocks
+          // NOW — clearCache() does not (the r6 leak)
+          org.apache.spark.sql.graft.Checkpoints.sweep(spark)
+          if (ok) d else -1.0
+        }
+        val good = runs.filter(_ >= 0)
+        done += ((name, if (good.isEmpty) -1.0 else good.min, runs, loadAvg))
+        emit(done.toSeq, Nil, partial = true)
+        // a hard kill's stdout tail should carry a recent whole-suite
+        // snapshot, not just WARN spam (the r15 failure mode)
+        if (done.size % 10 == 0) println(compactOf(done.toSeq, partial = true))
+      }
     }
     // AUTO-REQUEUE (VERDICT r08 #4): a query whose first pass ENDED on a hot
     // machine gets ONE more timed run after the sweep completes, when the
@@ -196,9 +292,10 @@ object Bench {
     // the noise floor, and requeueing half the suite (the bench's own load
     // hovers near the threshold) would stretch the wall clock for nothing
     val requeued = scala.collection.mutable.ArrayBuffer.empty[(String, Double, Double)]
-    for (i <- done.indices) {
+    for (i <- done.indices if !deadlineHit) {
       val (name, best, runs, la) = done(i)
-      if (la > HotLoadThreshold && best >= 0.3) {
+      if (elapsedSec > deadlineSec) deadlineHit = true
+      else if (la > HotLoadThreshold && best >= 0.3) {
         val fn = SparkEntry.queries(name)
         val t0 = System.nanoTime()
         val ok =
@@ -214,50 +311,18 @@ object Bench {
         }
       }
     }
-    val streaming = benchStreaming(spark)
-    val json = emit(done.toSeq, streaming, partial = false, requeued.toSeq)
+    // streaming probes cost ~30-60 s — past the deadline the priority is
+    // landing the artifact, not one more metric
+    val streaming =
+      if (!streamingProbes || deadlineHit || elapsedSec > deadlineSec) Nil
+      else benchStreaming(spark)
+    val json = emit(done.toSeq, streaming, partial = deadlineHit, requeued.toSeq)
     println(json)
-    // COMPACT timings line, printed LAST (VERDICT r11 #6, r12 #2): the
-    // round artifact is a ~2000-char stdout TAIL. The id-KEYED map stopped
-    // fitting around 170 queries (BENCH_r12 clipped q01-q11 mid-map), so
-    // the timings ride as an id-INDEXED array — `t_by_id[i]` is query
-    // id i+1's min seconds (-1 failed, null not run; names recover from
-    // SparkEntry.queries, whose numeric ids are unique by construction).
-    // ~6 chars per query keeps the whole suite + headline near 1.2k chars.
-    // Locale-pinned formatting: f"" interpolation is locale-sensitive — a
-    // comma-decimal JVM locale would emit invalid JSON.
-    def num(v: Double, digits: Int = 3): String =
-      String.format(java.util.Locale.ROOT, s"%.${digits}f", Double.box(v))
-    val total = done.map(_._2).filter(_ >= 0).sum
-    val compact = {
-      val byId = done.flatMap { case (name, v, _, _) =>
-        """\d+""".r.findFirstIn(name).map(_.toInt -> v)
-      }.toMap
-      val maxId = if (byId.isEmpty) 0 else byId.keys.max
-      val t = (1 to maxId).map(i => byId.get(i) match {
-        case Some(v) if v >= 0 => num(v)
-        case Some(_) => "-1"
-        case None => "null"
-      }).mkString("[", ",", "]")
-      val failed = done.filter(_._2 < 0).map("\"" + _._1 + "\"")
-      // over-budget tripwires as compact "id x ratio" strings (usually [])
-      val over = done.flatMap { case (name, v, _, _) =>
-        for {
-          id <- """\d+""".r.findFirstIn(name).map(_.toInt)
-          b <- budgets.get(id)
-          if v >= 0.3 && v > b * OverBudgetFactor
-        } yield "\"" + id + "x" + num(v / b, 2) + "\""
-      }
-      s"""{"t_by_id":$t,""" +
-        s""""over":${over.mkString("[", ",", "]")},""" +
-        s""""failed":${failed.mkString("[", ",", "]")},""" +
-        s""""completed":${done.size},"total_queries":${ordered.size},""" +
-        s""""total_sec":${num(total)},"sf":"$sfDir"}"""
-    }
+    val compact = compactOf(done.toSeq, partial = deadlineHit)
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(outFile + ".compact"), compact + "\n")
     println(compact)
-    spark.stop()
+    if (ownsSession) spark.stop()
   }
 
   /** Streaming throughput (VERDICT r03 #7): the CDC merge sink and the

@@ -1,0 +1,71 @@
+package graft
+
+/** The bench harness's own failure modes as tests (VERDICT r15 #1/#2):
+  * the r15 round shipped a per-query regression tripwire whose budget
+  * parser never matched the checked-in file (`over_budget` was `{}` on
+  * every run — dead code adjudicating nothing), and the bench itself timed
+  * out on a hot box leaving NO artifact. Both are now pinned:
+  * the production parser must read the checked-in budgets file non-empty,
+  * an unparseable-but-present file must abort loudly, and a blown deadline
+  * must still emit a valid artifact + compact line with `"partial":true`.
+  */
+class BenchSpec extends SparkSuite {
+
+  test("budget parser reads the checked-in file (the r15 dead-tripwire regression)") {
+    val budgets = BenchBudgets.load()
+    assert(budgets.size >= 190, s"expected >=190 budgets, parsed ${budgets.size}")
+    // spot-check a known entry round-trips as a sane positive time
+    assert(budgets.values.forall(v => v > 0 && v < 600), budgets.filter(_._2 <= 0))
+    assert(budgets.contains(1) && budgets.contains(190), budgets.keys.toSeq.sorted.take(5))
+  }
+
+  test("a budgets file that exists but parses empty aborts loudly") {
+    val p = java.nio.file.Files.createTempFile("budgets-drifted", ".json")
+    java.nio.file.Files.writeString(p, """{"q1" = 0.5}""") // format drift: no "id": num pairs
+    val e = intercept[IllegalArgumentException](BenchBudgets.load(p.toString))
+    assert(e.getMessage.contains("ZERO entries"), e.getMessage)
+  }
+
+  test("a missing budgets file is a silent no-tripwire run, not a failure") {
+    assert(BenchBudgets.load("/nonexistent/budgets.json").isEmpty)
+  }
+
+  test("blown deadline still emits a valid artifact and compact line with partial:true") {
+    val out = java.nio.file.Files.createTempDirectory("bench-deadline")
+      .resolve("bench.json").toString
+    // deadline 0 = every query is already past the deadline: the r15
+    // failure mode (timeout -> rc=124 -> no artifact) must now degrade to
+    // an EMPTY-but-valid artifact pair instead
+    Bench.run(sfDir = "/root/testdata/sf0.001", cpus = "4", outFile = out,
+      deadlineSec = 0.0, only = Some(Seq("q01")))
+    val art = java.nio.file.Files.readString(java.nio.file.Paths.get(out))
+    assert(art.contains("\"partial\":true"), art)
+    assert(art.contains("\"completed\":0"), art)
+    assert(art.contains("\"budgets_loaded\":"), art)
+    val compact = java.nio.file.Files.readString(java.nio.file.Paths.get(out + ".compact"))
+    assert(compact.contains("\"partial\":true"), compact)
+    assert(compact.contains("\"t_by_id\":[]"), compact)
+    // the shared suite session must survive the bench run
+    assert(!spark.sparkContext.isStopped)
+  }
+
+  test("inside the deadline the sweep completes and the artifact finalizes") {
+    val out = java.nio.file.Files.createTempDirectory("bench-ok")
+      .resolve("bench.json").toString
+    Bench.run(sfDir = "/root/testdata/sf0.001", cpus = "4", outFile = out,
+      deadlineSec = 600.0, only = Some(Seq("q01")), streamingProbes = false)
+    val art = java.nio.file.Files.readString(java.nio.file.Paths.get(out))
+    assert(art.contains("\"partial\":false"), art)
+    assert(art.contains("\"completed\":1"), art)
+    // q01 has a budget and a sane run lands well under 1.5x of it on this
+    // box only when idle — so just assert over_budget is syntactically a
+    // (possibly empty) object populated by a LIVE parser, and that the
+    // budgets actually loaded
+    assert(art.contains("\"over_budget\":{"), art)
+    assert("\"budgets_loaded\":(\\d+)".r.findFirstMatchIn(art)
+      .exists(_.group(1).toInt >= 190), art)
+    val compact = java.nio.file.Files.readString(java.nio.file.Paths.get(out + ".compact"))
+    assert(compact.contains("\"completed\":1"), compact)
+    assert(!spark.sparkContext.isStopped)
+  }
+}
