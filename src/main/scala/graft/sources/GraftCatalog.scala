@@ -403,48 +403,128 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
   * properties (`statsCols` / `bloomCols` feed every commit's skipping
   * sidecars). Tables created path-first (no sidecar) are still loadable —
   * schema and partition column fall back to the manifest's own inference.
+  *
+  * RTAS atomicity (ADVICE r15): an RTAS that publishes the new snapshot
+  * manifest FIRST and installs the sidecar SECOND has a crash window that
+  * leaves the table PERMANENTLY serving new data through the old declared
+  * schema. The fix is Delta's metaData-action-in-log pattern, adapted to
+  * the sidecar: the new DDL is [[stage]]d under an invisible unique
+  * `.ddl-*.json` name inside the FINAL table root, the adoptSnapshot
+  * manifest carries a `#ddl\t<staged name>` directive, and the ONE atomic
+  * manifest rename flips data and schema together — [[load]] treats the
+  * newest retained manifest's `#ddl` directive as authoritative while its
+  * staged file still exists, and PROMOTES it (install `_ddl.json`, delete
+  * the staged file) as a self-healing step, after which the sidecar is
+  * authoritative again (so later ALTERs, which rewrite only the sidecar,
+  * are never shadowed). A staged file named by no manifest (crashed or
+  * aborted RTAS that never committed) is inert debris; a staged file
+  * OLDER than the newest `#ddl` directive can never regain authority.
   */
 private[sources] object GraftDdl {
   val FileName = "_ddl.json"
+  val StagedPrefix = ".ddl-"
 
   final case class Ddl(schema: Option[StructType], partCol: Option[String],
                        props: Map[String, String])
 
-  def save(spark: SparkSession, root: String, schema: StructType,
-           partCol: Option[String], props: Map[String, String]): Unit = {
-    val p = new Path(root, FileName)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+  private def render(schema: StructType, partCol: Option[String],
+                     props: Map[String, String]): Array[Byte] = {
     val m = new com.fasterxml.jackson.databind.ObjectMapper()
     val node = m.createObjectNode()
     node.put("schema", schema.json)
     partCol.foreach(node.put("partCol", _))
     val pn = node.putObject("props")
     props.foreach { case (k, v) => pn.put(k, v) }
+    m.writeValueAsBytes(node)
+  }
+
+  private def parse(bytes: Array[Byte]): Ddl = {
+    val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(bytes)
+    val schema = Option(node.get("schema")).map(s =>
+      org.apache.spark.sql.types.DataType.fromJson(s.asText()).asInstanceOf[StructType])
+    val partCol = Option(node.get("partCol")).map(_.asText())
+    val props = Option(node.get("props")).map { pn =>
+      pn.properties().asScala.map(e => e.getKey -> e.getValue.asText()).toMap
+    }.getOrElse(Map.empty)
+    Ddl(schema, partCol, props)
+  }
+
+  private def readBytes(fs: org.apache.hadoop.fs.FileSystem, p: Path): Array[Byte] = {
+    val in = fs.open(p)
+    try {
+      val buf = new java.io.ByteArrayOutputStream()
+      val chunk = new Array[Byte](8192)
+      var n = in.read(chunk)
+      while (n >= 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
+      buf.toByteArray
+    } finally in.close()
+  }
+
+  def save(spark: SparkSession, root: String, schema: StructType,
+           partCol: Option[String], props: Map[String, String]): Unit = {
+    val p = new Path(root, FileName)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val out = fs.create(p, true)
-    try out.write(m.writeValueAsBytes(node)) finally out.close()
+    try out.write(render(schema, partCol, props)) finally out.close()
+  }
+
+  /** Write the DDL under a unique invisible staged name inside `root` and
+    * return that NAME — the payload of the `#ddl` manifest directive the
+    * RTAS commit carries ([[ManifestTable.withDirective]]).
+    */
+  def stage(spark: SparkSession, root: String, schema: StructType,
+            partCol: Option[String], props: Map[String, String]): String = {
+    val name = StagedPrefix + java.util.UUID.randomUUID().toString.take(12) + ".json"
+    val p = new Path(root, name)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(render(schema, partCol, props)) finally out.close()
+    name
+  }
+
+  /** The staged-DDL authority, if one is live: the NEWEST retained
+    * manifest carrying a `#ddl` directive whose staged file still exists
+    * (i.e. an RTAS committed but its sidecar promotion has not completed).
+    * Gated on a cheap staged-file listing so the common no-RTAS load never
+    * scans manifests.
+    */
+  private def stagedAuthority(spark: SparkSession, root: String): Option[(Path, Ddl)] = {
+    val rootP = new Path(root)
+    val fs = rootP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(rootP)) return None
+    val stagedNames = fs.listStatus(rootP).map(_.getPath.getName)
+      .filter(n => n.startsWith(StagedPrefix) && n.endsWith(".json")).toSet
+    if (stagedNames.isEmpty) return None
+    ManifestTable.versions(spark, root).reverseIterator
+      .flatMap(v => ManifestTable.directiveOf(spark, root, v, "ddl"))
+      .nextOption()                       // ONLY the newest directive counts
+      .filter(stagedNames.contains)       // promoted already -> sidecar rules
+      .flatMap { name =>
+        val p = new Path(rootP, name)
+        // a CONCURRENT loader can promote-and-delete between our listing
+        // and this read — by then the sidecar it installed is authoritative
+        try Some((p, parse(readBytes(fs, p))))
+        catch { case _: java.io.FileNotFoundException => None }
+      }
   }
 
   def load(spark: SparkSession, root: String): Option[Ddl] = {
-    val p = new Path(root, FileName)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) None
-    else {
-      val in = fs.open(p)
-      val bytes = try {
-        val buf = new java.io.ByteArrayOutputStream()
-        val chunk = new Array[Byte](8192)
-        var n = in.read(chunk)
-        while (n >= 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
-        buf.toByteArray
-      } finally in.close()
-      val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(bytes)
-      val schema = Option(node.get("schema")).map(s =>
-        org.apache.spark.sql.types.DataType.fromJson(s.asText()).asInstanceOf[StructType])
-      val partCol = Option(node.get("partCol")).map(_.asText())
-      val props = Option(node.get("props")).map { pn =>
-        pn.properties().asScala.map(e => e.getKey -> e.getValue.asText()).toMap
-      }.getOrElse(Map.empty)
-      Some(Ddl(schema, partCol, props))
+    stagedAuthority(spark, root) match {
+      case Some((stagedP, d)) =>
+        // promote: install the sidecar, then retire the staged authority —
+        // self-heals the crash window between the RTAS manifest rename and
+        // sidecar install. Failure to promote (read-only reader) still
+        // serves the correct schema from the staged copy.
+        try {
+          d.schema.foreach(s => save(spark, root, s, d.partCol, d.props))
+          val fs = stagedP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          fs.delete(stagedP, false)
+        } catch { case scala.util.control.NonFatal(_) => () }
+        Some(d)
+      case None =>
+        val p = new Path(root, FileName)
+        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (!fs.exists(p)) None else Some(parse(readBytes(fs, p)))
     }
   }
 }
@@ -454,10 +534,27 @@ private[sources] object GraftDdl {
   * (blind-append / snapshot commits), metadata-only DELETE via
   * [[SupportsDeleteV2]], and delta-based row-level DML via
   * [[SupportsRowLevelOperations]] — see [[GraftCatalog]] for the surface.
+  *
+  * STREAMING by name (VERDICT r15 #2): [[V2TableWithV1Fallback]] routes
+  * `spark.readStream.table("gcat.db.t")` and
+  * `writeStream.format("graft").toTable("gcat.db.t")` through the SAME V1
+  * streaming seam the path-addressed form uses
+  * ([[graft.sources.GraftSource]]'s Stream{Source,Sink}Provider) — the
+  * analyzer resolves the fallback [[CatalogTable]] to a
+  * `StreamingRelation` over the `graft` provider whenever the V2 table
+  * lacks MICRO_BATCH_READ. Reader `.option(...)`s do NOT flow through
+  * that analyzer path (it passes empty options by design), so the
+  * change-feed source's required `key` rides in the fallback's storage
+  * properties, sourced from TBLPROPERTIES (`key` or its DML-side alias
+  * `mergeKey`), alongside pass-throughs `startingVersion` /
+  * `maxVersionsPerBatch`. The write side keeps the writer's own options
+  * (only the table LOCATION flows from the fallback), so sink modes stay
+  * `.option("mergeKey", ...)`-addressed as documented on the provider.
   */
 class GraftV2Table(val root: String, displayName: String, asOf: Option[Long])
     extends Table with SupportsRead with SupportsWrite with SupportsDeleteV2
-    with SupportsRowLevelOperations with SupportsMetadataColumns {
+    with SupportsRowLevelOperations with SupportsMetadataColumns
+    with org.apache.spark.sql.graft.V1FallbackTable {
 
   private def spark: SparkSession = SparkSession.active
 
@@ -489,6 +586,32 @@ class GraftV2Table(val root: String, displayName: String, asOf: Option[Long])
 
   override def metadataColumns(): Array[MetadataColumn] =
     Array(GraftMetaColumns.File, GraftMetaColumns.Pos)
+
+  /** The V1 streaming fallback (see class doc): consulted ONLY on the
+    * `readStream.table` / `writeStream.toTable` analyzer paths, never for
+    * batch resolution.
+    */
+  override def v1Table: org.apache.spark.sql.catalyst.catalog.CatalogTable = {
+    require(asOf.isEmpty, "cannot stream a time-travel graft table")
+    val props = ddl.map(_.props).getOrElse(Map.empty)
+    val passThrough = Seq("key", "startingVersion", "maxVersionsPerBatch")
+      .flatMap(k => props.get(k).map(k -> _)).toMap
+    val streamProps =
+      if (passThrough.contains("key")) passThrough
+      else props.get("mergeKey").fold(passThrough)(v => passThrough + ("key" -> v))
+    val (cat, db, tbl) = displayName.split('.') match {
+      case Array(c, d, t) => (Some(c), Some(d), t)
+      case Array(d, t) => (None, Some(d), t)
+      case _ => (None, None, displayName)
+    }
+    org.apache.spark.sql.catalyst.catalog.CatalogTable(
+      identifier = org.apache.spark.sql.catalyst.TableIdentifier(tbl, db, cat),
+      tableType = org.apache.spark.sql.catalyst.catalog.CatalogTableType.EXTERNAL,
+      storage = org.apache.spark.sql.catalyst.catalog.CatalogStorageFormat.empty.copy(
+        locationUri = Some(new Path(root).toUri), properties = streamProps),
+      schema = schema,
+      provider = Some("graft"))
+  }
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftScanBuilder(root, schema, asOf)
@@ -549,11 +672,11 @@ class GraftV2Table(val root: String, displayName: String, asOf: Option[Long])
   *    A failed or aborted CTAS leaves NO table, not an empty one.
   *  - REPLACE: the staged snapshot folds into the existing table as ONE
   *    snapshot commit that MOVES the staged data version
-  *    ([[ManifestTable.adoptSnapshot]] — zero rewrite), then the new DDL
-  *    sidecar installs. The manifest rename is the atomic flip; a reader in
-  *    the brief sidecar-install window sees the new snapshot under the old
-  *    declared schema (absent columns read NULL — never a torn snapshot),
-  *    and pre-REPLACE versions stay time-travelable until vacuum.
+  *    ([[ManifestTable.adoptSnapshot]] — zero rewrite). The new DDL rides
+  *    the SAME atomic manifest rename as a `#ddl` directive pointing at a
+  *    pre-staged sidecar copy ([[GraftDdl]]), so data and schema flip
+  *    together — no reader ever sees new data under the old declared
+  *    schema — and pre-REPLACE versions stay time-travelable until vacuum.
   */
 private[sources] class StagedGraftTable(ident: Identifier, stagingRoot: String,
                                         finalRoot: String, displayName: String,
@@ -576,16 +699,34 @@ private[sources] class StagedGraftTable(ident: Identifier, stagingRoot: String,
       }
       val ddl = GraftDdl.load(spark, stagingRoot).getOrElse(
         throw new IllegalStateException(s"staged table $stagingRoot lost its DDL sidecar"))
-      if (ManifestTable.exists(spark, stagingRoot))
-        ManifestTable.adoptSnapshot(spark, stagingRoot, finalRoot)
-      else {
-        // RTAS of an empty SELECT: nothing was written to the stage, but the
-        // replace must still empty the target — one empty snapshot commit
-        val empty = spark.createDataFrame(
-          spark.sparkContext.emptyRDD[Row], ddl.schema.get)
-        ManifestTable.commit(empty, finalRoot, ddl.partCol, carryForward = false)
+      // ATOMIC schema flip (ADVICE r15): the new DDL rides the SAME manifest
+      // rename as the new data — stage the sidecar invisibly in the final
+      // root, carry its name as a `#ddl` directive on the snapshot commit,
+      // and promote after. A crash anywhere leaves either (old data, old
+      // schema) or (new data, new schema + unpromoted staged sidecar that
+      // the next load self-heals) — never new data under the old schema.
+      val stagedDdl = GraftDdl.stage(spark, finalRoot,
+        ddl.schema.get, ddl.partCol, ddl.props)
+      try ManifestTable.withDirective(s"#ddl\t$stagedDdl") {
+        if (ManifestTable.exists(spark, stagingRoot))
+          ManifestTable.adoptSnapshot(spark, stagingRoot, finalRoot)
+        else {
+          // RTAS of an empty SELECT: nothing was written to the stage, but
+          // the replace must still empty the target — one empty snapshot
+          // commit
+          val empty = spark.createDataFrame(
+            spark.sparkContext.emptyRDD[Row], ddl.schema.get)
+          ManifestTable.commit(empty, finalRoot, ddl.partCol, carryForward = false)
+        }
+      } catch {
+        case e: Throwable =>
+          // a failed snapshot commit references no staged sidecar — don't
+          // leave it as debris
+          fs.delete(new Path(dst, stagedDdl), false)
+          throw e
       }
-      GraftDdl.save(spark, finalRoot, ddl.schema.get, ddl.partCol, ddl.props)
+      // eager promotion (load would also self-heal on first access)
+      GraftDdl.load(spark, finalRoot)
       fs.delete(p, true)
     } else {
       val claim = ".ctas-claim-" + java.util.UUID.randomUUID().toString.take(12)

@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.hadoop.fs.{FileStatus, FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.types.StructType
 
@@ -105,6 +105,15 @@ object ManifestTable {
     manifestBody(fs, root, v).linesIterator
       .find(_.startsWith("#dv\t")).map(_.stripPrefix("#dv\t").toLong)
 
+  /** Manifest `v`'s commit wall-clock directive (`#ts`, epoch µs) — the ONE
+    * parser for the directive (ADVICE r15: three inlined copies had started
+    * to drift); [[commitTimestampMicros]]/[[history]]/[[versionAtTimestamp]]
+    * all route here.
+    */
+  private def tsOf(fs: FileSystem, root: Path, v: Long): Option[Long] =
+    manifestBody(fs, root, v).linesIterator
+      .find(_.startsWith("#ts\t")).map(_.stripPrefix("#ts\t").toLong)
+
   // ------------------- atomic commit-metadata directives -----------------
   //
   // A streaming sink that records its last-committed batch id in a SEPARATE
@@ -120,8 +129,27 @@ object ManifestTable {
   /** Run `f` with every manifest this thread publishes carrying a
     * `#batch\t<id>` directive — the [[GraftStreamSink]] exactly-once seam.
     */
-  def withBatchId[T](id: Long)(f: => T): T =
-    commitDirectives.withValue(Seq(s"#batch\t$id"))(f)
+  def withBatchId[T](id: Long)(f: => T): T = withDirective(s"#batch\t$id")(f)
+
+  /** Run `f` with every manifest this thread publishes carrying an extra
+    * directive line (APPENDED to any already in scope) — the general form
+    * behind [[withBatchId]] and the RTAS `#ddl` schema flip
+    * ([[graft.sources.GraftDdl]]): metadata that must become visible in the
+    * SAME atomic rename as the data lands here. The line must be
+    * newline-free (`#key\t<single-line payload>`).
+    */
+  def withDirective[T](line: String)(f: => T): T = {
+    require(!line.contains("\n") && line.startsWith("#"),
+      s"manifest directive must be one '#key\\t...' line: $line")
+    commitDirectives.withValue(commitDirectives.value :+ line)(f)
+  }
+
+  /** Directive payload (`#<key>\t<payload>`) of manifest `v`, if present. */
+  def directiveOf(spark: SparkSession, root: String, v: Long, key: String): Option[String] = {
+    val (fs, rootP) = fsOf(spark, root)
+    manifestBody(fs, rootP, v).linesIterator
+      .find(_.startsWith(s"#$key\t")).map(_.stripPrefix(s"#$key\t"))
+  }
 
   /** The highest `#batch` id recorded in any still-on-disk manifest —
     * scan newest-first so the common case reads ONE manifest. `None` when
@@ -142,8 +170,7 @@ object ManifestTable {
     */
   def commitTimestampMicros(spark: SparkSession, root: String, v: Long): Option[Long] = {
     val (fs, rootP) = fsOf(spark, root)
-    manifestBody(fs, rootP, v).linesIterator
-      .find(_.startsWith("#ts\t")).map(_.stripPrefix("#ts\t").toLong)
+    tsOf(fs, rootP, v)
   }
 
   /** `TIMESTAMP AS OF` floor-resolution: the highest still-on-disk version
@@ -151,13 +178,21 @@ object ManifestTable {
     * "the table as it was at that instant"). Versions carrying no `#ts`
     * directive predate the directive and sort before every stamped one.
     * None when `tsMicros` is earlier than the first retained commit.
+    *
+    * Skew hardening (ADVICE r15): [[publishManifest]] now monotonizes `#ts`
+    * at publish time, but histories written by r15 multi-process writers
+    * with skewed wall clocks can carry a LATER version with a SMALLER
+    * stamp. Resolution therefore orders by the RUNNING MAX of the stamps
+    * (each version's effective time is "no earlier than any predecessor" —
+    * Delta's commit-timestamp adjustment applied at read time), so a
+    * skewed stamp can never hide the versions after it.
     */
   def versionAtTimestamp(spark: SparkSession, root: String, tsMicros: Long): Option[Long] = {
     val (fs, rootP) = fsOf(spark, root)
-    versions(spark, root).sorted.takeWhile { v =>
-      manifestBody(fs, rootP, v).linesIterator
-        .find(_.startsWith("#ts\t")).map(_.stripPrefix("#ts\t").toLong)
-        .forall(_ <= tsMicros)
+    var runMax = Long.MinValue
+    versions(spark, root).takeWhile { v =>
+      tsOf(fs, rootP, v).foreach(ts => runMax = math.max(runMax, ts))
+      runMax == Long.MinValue || runMax <= tsMicros
     }.lastOption
   }
 
@@ -170,9 +205,23 @@ object ManifestTable {
     // directive — the TIMESTAMP AS OF resolution point. Clock values are
     // deliberately kept OFF oracled query paths (wall time isn't
     // replayable); they feed loadTable(ident, timestamp) and `t.history`.
+    // MONOTONIZED at publish (ADVICE r15, Delta's in-commit-timestamp
+    // adjustment): multi-process writers' wall clocks skew, so the stamp is
+    // max(newest prior stamp + 1, now) — `t.history` stays monotone and
+    // floor-resolution can't skip a version. The +1 also disambiguates two
+    // commits inside one clock millisecond (the µs stamp has ms
+    // granularity: currentTimeMillis * 1000 — without it they'd tie and
+    // floor-resolution would defensibly-but-surprisingly pick the later).
+    val prevTs = (if (fs.exists(rootP)) fs.listStatus(rootP) else Array.empty[FileStatus])
+      .map(_.getPath.getName)
+      .filter(_.startsWith(ManifestPrefix))
+      .map(_.stripPrefix(ManifestPrefix).toLong).filter(_ < v)
+      .sorted.reverseIterator.flatMap(pv => tsOf(fs, rootP, pv)).nextOption()
+    val ts = math.max(prevTs.map(_ + 1L).getOrElse(Long.MinValue),
+      System.currentTimeMillis() * 1000L)
     val body = (entries.distinct.sorted.map { case (n, d) => s"$n\t$d" }
       ++ dv.map(d => s"#dv\t$d").toSeq
-      ++ Seq(s"#ts\t${System.currentTimeMillis() * 1000L}")
+      ++ Seq(s"#ts\t$ts")
       ++ commitDirectives.value).mkString("", "\n", "\n")
     // the tmp name must be UNIQUE PER WRITER: two same-base writers race
     // the same manifest number, and a shared tmp name lets the loser's
@@ -254,11 +303,17 @@ object ManifestTable {
         }
       } else {
         if (fs.exists(dst)) false
-        else {
-          require(fs.rename(tmp, dst),
-            s"manifest commit rename $tmp -> $dst failed — table stays at the previous version")
-          true
-        }
+        else if (fs.rename(tmp, dst)) true
+        // HDFS rename returns false when dst appeared between the exists
+        // check and the rename — that is the LOST-RACE outcome the trait
+        // contract promises as `false` (so publishStaged's carry-forward
+        // retry rebases), not a rename failure (ADVICE r15). Only a false
+        // return with dst still absent is a genuine FS failure worth a
+        // loud abort.
+        else if (fs.exists(dst)) false
+        else throw new java.io.IOException(
+          s"manifest commit rename $tmp -> $dst failed with no competing commit " +
+            "present — table stays at the previous version")
       }
     }
   }
@@ -1880,13 +1935,9 @@ object ManifestTable {
     val (fs, rootP) = fsOf(spark, root)
     val cur = currentVersion(spark, root)
     versions(spark, root).sorted.map { v =>
-      val body = manifestBody(fs, rootP, v)
-      val dv = body.linesIterator.find(_.startsWith("#dv\t"))
-        .map(_.stripPrefix("#dv\t").toLong)
-      val ts = body.linesIterator.find(_.startsWith("#ts\t"))
-        .map(_.stripPrefix("#ts\t").toLong)
-      val n = body.linesIterator.count(l => l.nonEmpty && !l.startsWith("#"))
-      (v, n, dv, cur.contains(v), ts)
+      val n = manifestBody(fs, rootP, v).linesIterator
+        .count(l => l.nonEmpty && !l.startsWith("#"))
+      (v, n, dvOf(fs, rootP, v), cur.contains(v), tsOf(fs, rootP, v))
     }
   }
 

@@ -422,6 +422,67 @@ class CatalogSpec extends SparkSuite {
     spark.sql("DROP TABLE gcat.db.t_rtas")
   }
 
+  test("RTAS flips data AND schema in one atomic manifest commit (#ddl directive)") {
+    wh
+    spark.sql("DROP TABLE IF EXISTS gcat.db.t_rtas_schema")
+    spark.sql("CREATE TABLE gcat.db.t_rtas_schema (k BIGINT, v STRING, p STRING) PARTITIONED BY (p)")
+    spark.sql("INSERT INTO gcat.db.t_rtas_schema VALUES (1, 'a', 'x')")
+    spark.sql("REPLACE TABLE gcat.db.t_rtas_schema AS " +
+      "SELECT id AS k2, concat('s', id) AS s FROM range(2)")
+    val root = s"$wh/db/t_rtas_schema"
+    // the replacing commit carries the schema flip as a manifest directive —
+    // the ONE atomic rename that also published the data
+    val v = ManifestTable.currentVersion(spark, root).get
+    val dir = ManifestTable.directiveOf(spark, root, v, "ddl")
+    assert(dir.exists(_.startsWith(".ddl-")), s"expected a #ddl directive on v$v, got $dir")
+    // the renamed-away column is GONE (not NULL under the old schema)
+    assert(spark.table("gcat.db.t_rtas_schema").columns.toSeq == Seq("k2", "s"))
+    assert(spark.sql("SELECT k2, s FROM gcat.db.t_rtas_schema").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet == Set((0L, "s0"), (1L, "s1")))
+    // promotion completed: sidecar authoritative again, staged copy retired
+    val files = new java.io.File(root).listFiles().map(_.getName)
+    assert(!files.exists(_.startsWith(".ddl-")), "staged DDL must be promoted away")
+    assert(new String(Files.readAllBytes(
+      java.nio.file.Paths.get(root, "_ddl.json"))).contains("k2"))
+    spark.sql("DROP TABLE gcat.db.t_rtas_schema")
+  }
+
+  test("a crashed RTAS (manifest flipped, sidecar not yet installed) self-heals on load") {
+    val t = freshTable("t_ddlheal")
+    spark.sql(s"INSERT INTO $t VALUES (1, 'a', 'x')")
+    val root = s"$wh/db/t_ddlheal"
+    // hand-build the exact torn state a crash between the RTAS manifest
+    // rename and the sidecar install leaves behind: new data committed
+    // whose manifest names a staged-but-never-promoted DDL sidecar
+    val newSchema = new org.apache.spark.sql.types.StructType()
+      .add("k2", org.apache.spark.sql.types.LongType)
+      .add("s", org.apache.spark.sql.types.StringType)
+    val m = new com.fasterxml.jackson.databind.ObjectMapper()
+    val node = m.createObjectNode()
+    node.put("schema", newSchema.json)
+    node.putObject("props")
+    val stagedName = ".ddl-healtest.json"
+    Files.write(java.nio.file.Paths.get(root, stagedName), m.writeValueAsBytes(node))
+    import spark.implicits._
+    ManifestTable.withDirective(s"#ddl\t$stagedName") {
+      ManifestTable.commit(Seq((10L, "zz")).toDF("k2", "s"), root, None,
+        carryForward = false)
+    }
+    // a fresh load serves the NEW schema (never new data under old schema)
+    val out = spark.table(t)
+    assert(out.columns.toSeq == Seq("k2", "s"),
+      s"torn RTAS must heal to the new schema, got ${out.columns.toSeq}")
+    assert(out.as[(Long, String)].collect().toSet == Set((10L, "zz")))
+    // ... and self-heals durably: sidecar installed, staged authority retired
+    assert(!Files.exists(java.nio.file.Paths.get(root, stagedName)),
+      "load must promote the staged DDL into the sidecar")
+    assert(new String(Files.readAllBytes(
+      java.nio.file.Paths.get(root, "_ddl.json"))).contains("k2"))
+    // subsequent loads (sidecar-authoritative path) agree
+    assert(spark.table(t).columns.toSeq == Seq("k2", "s"))
+    spark.sql(s"DROP TABLE $t")
+  }
+
   test("CREATE OR REPLACE TABLE works on both missing and existing tables") {
     wh
     spark.sql("DROP TABLE IF EXISTS gcat.db.t_corp")

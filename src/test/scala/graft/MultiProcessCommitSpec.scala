@@ -106,10 +106,81 @@ class MultiProcessCommitSpec extends SparkSuite {
     } finally ManifestTable.commitArbiter = prev
   }
 
+  test("commit timestamps monotonize across skewed writer clocks (#ts = max(prior+1, now))") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-ts-skew").resolve("t").toString
+    ManifestTable.commit(Seq((1L, "a")).toDF("k", "v"), root, None) // v1
+    // simulate a fast-clock multi-process writer: push v1's stamp an hour
+    // into the future, as a skewed peer JVM would have
+    val mf = java.nio.file.Paths.get(root, "_manifest.00000001")
+    val future = (System.currentTimeMillis() + 3600L * 1000) * 1000L
+    val edited = new String(Files.readAllBytes(mf), "UTF-8").linesIterator
+      .map(l => if (l.startsWith("#ts\t")) s"#ts\t$future" else l)
+      .mkString("", "\n", "\n")
+    Files.write(mf, edited.getBytes("UTF-8"))
+    // this writer's wall clock is now BEHIND the newest stamp: publish must
+    // monotonize, not regress — or TIMESTAMP AS OF would hide v2 forever
+    ManifestTable.commit(Seq((2L, "b")).toDF("k", "v"), root, None) // v2
+    val ts2 = ManifestTable.commitTimestampMicros(spark, root, 2L).get
+    assert(ts2 == future + 1,
+      s"expected max(prior #ts + 1, now) = ${future + 1}, got $ts2")
+    assert(ManifestTable.versionAtTimestamp(spark, root, future).contains(1L))
+    assert(ManifestTable.versionAtTimestamp(spark, root, future + 1).contains(2L))
+    assert(ManifestTable.versionAtTimestamp(spark, root, Long.MaxValue).contains(2L))
+  }
+
+  test("arbiter fallback: rename refused by a mid-window competitor = lost race (false), not a failure") {
+    val dir = Files.createTempDirectory("graft-arb-fb")
+    def init(fs: org.apache.hadoop.fs.RawLocalFileSystem) = {
+      fs.initialize(new java.net.URI("file:///"),
+        new org.apache.hadoop.conf.Configuration())
+      fs.setWriteChecksum(false); fs.setVerifyChecksum(false)
+      fs
+    }
+    // competitor publishes dst between the exists check and the rename:
+    // the contract says false (publishStaged rebases), never a throw
+    val racy = init(new LostRaceFs)
+    val tmp1 = new org.apache.hadoop.fs.Path(dir.resolve("tmp1").toString)
+    val dst1 = new org.apache.hadoop.fs.Path(dir.resolve("_manifest.00000007").toString)
+    racy.create(tmp1).close()
+    assert(!ManifestTable.FsCommitArbiter.publishExclusive(racy, tmp1, dst1),
+      "a lost race must return false so the carry-forward retry can rebase")
+    // rename fails with NO competing commit present: that is a genuine FS
+    // failure and must abort loudly
+    val dead = init(new DeadRenameFs)
+    val tmp2 = new org.apache.hadoop.fs.Path(dir.resolve("tmp2").toString)
+    val dst2 = new org.apache.hadoop.fs.Path(dir.resolve("_manifest.00000008").toString)
+    dead.create(tmp2).close()
+    intercept[java.io.IOException] {
+      ManifestTable.FsCommitArbiter.publishExclusive(dead, tmp2, dst2)
+    }
+  }
+
   private def readLog(f: java.io.File): String =
     if (!f.exists()) "<no log>"
     else {
       val s = new String(Files.readAllBytes(f.toPath), "UTF-8")
       if (s.length <= 4000) s else s.substring(s.length - 4000)
     }
+}
+
+/** HDFS-semantics stand-ins for [[ManifestTable.FsCommitArbiter]]'s non-local
+  * branch (scheme != "file" routes around the hard-link mutex). File-scope so
+  * no spec `$outer` rides along if one ever reaches an executor closure.
+  */
+private class LostRaceFs extends org.apache.hadoop.fs.RawLocalFileSystem {
+  override def getScheme: String = "fakehdfs"
+  // the competitor's publish lands INSIDE the exists-check/rename window,
+  // and HDFS rename refuses an existing destination by returning false
+  override def rename(src: org.apache.hadoop.fs.Path,
+                      dst: org.apache.hadoop.fs.Path): Boolean = {
+    if (!exists(dst)) create(dst).close()
+    false
+  }
+}
+
+private class DeadRenameFs extends org.apache.hadoop.fs.RawLocalFileSystem {
+  override def getScheme: String = "fakehdfs"
+  override def rename(src: org.apache.hadoop.fs.Path,
+                      dst: org.apache.hadoop.fs.Path): Boolean = false
 }

@@ -556,4 +556,39 @@ class StreamingSpec extends SparkSuite {
     assert(snap(dst) == snap(src))
     assert(snap(dst) == Set((1L, "a", 1L), (2L, "b", 22L), (4L, "a", 4L)))
   }
+
+  test("catalog-name streaming: readStream.table -> writeStream.toTable replicates by name") {
+    import spark.implicits._
+    // fresh catalog name per warehouse — Spark caches catalog instances
+    val wh = java.nio.file.Files.createTempDirectory("gstream-wh").toString
+    spark.conf.set("spark.sql.catalog.gstream",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gstream.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gstream.db")
+    // the change-feed source's merge key comes from TBLPROPERTIES (reader
+    // options don't flow through the analyzer's V1 streaming fallback)
+    spark.sql("CREATE TABLE gstream.db.src (id BIGINT, p STRING, v BIGINT) " +
+      "PARTITIONED BY (p) TBLPROPERTIES ('mergeKey'='id')")
+    spark.sql("CREATE TABLE gstream.db.dst (id BIGINT, p STRING, v BIGINT) " +
+      "PARTITIONED BY (p)")
+    spark.sql("INSERT INTO gstream.db.src VALUES (1,'a',1),(2,'b',2),(3,'b',3)")
+    val ckpt = java.nio.file.Files.createTempDirectory("gstream-ck").toString
+    val q = spark.readStream.table("gstream.db.src")
+      .writeStream.format("graft")
+      .option("partitionBy", "p").option("mergeKey", "id").option("cdf", "true")
+      .option("checkpointLocation", ckpt)
+      .toTable("gstream.db.dst")
+    try {
+      q.processAllAvailable() // seed replicated
+      // one commit per DML shape: merge-on-read UPDATE, DV DELETE, append
+      spark.sql("UPDATE gstream.db.src SET v = 22 WHERE id = 2")
+      spark.sql("DELETE FROM gstream.db.src WHERE id = 3")
+      spark.sql("INSERT INTO gstream.db.src VALUES (4,'a',4)")
+      q.processAllAvailable()
+    } finally q.stop()
+    def snap(t: String) = spark.table(t).select("id", "p", "v")
+      .as[(Long, String, Long)].collect().toSet
+    assert(snap("gstream.db.dst") == snap("gstream.db.src"))
+    assert(snap("gstream.db.dst") == Set((1L, "a", 1L), (2L, "b", 22L), (4L, "a", 4L)))
+  }
 }
