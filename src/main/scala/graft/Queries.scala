@@ -5129,7 +5129,77 @@ object Queries {
         min(l_extendedprice) AS min_ep, max(l_extendedprice) AS max_ep,
         (SELECT CAST(count(*) AS BIGINT) FROM lineitem WHERE l_orderkey % 7 <> 0)
           AS n_after_dv
-      FROM lineitem"""))
+      FROM lineitem""")),
+
+    // Decontamination TRACEABILITY (VERDICT r15 #3): q183 flags a training
+    // doc as contaminated; this answers WHICH benchmark doc(s) it leaked
+    // from — top-3 benchmark ids per flagged doc by colliding-window
+    // count, ties pinned on bench_id. The pair aggregate keys only on
+    // colliding (train, bench) pairs; the rank-limit compiles to a bounded
+    // per-partition heap, never a corpus sort.
+    ("q191_decontam_trace", (s: SparkSession, d: String) => {
+      val docs = t(s, d, "documents")
+      val bench = docs.filter(pmod(col("doc_id"), lit(11)) === 0)
+      val train = docs.filter(pmod(col("doc_id"), lit(11)) =!= 0)
+      graft.llm.Decontam.gramTrace(train, bench, "doc_id", "text", n = 4, k = 3)
+    }, Some("""WITH d AS (SELECT doc_id,
+        list_filter(string_split_regex(trim(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')), ' '),
+                    x -> x <> '') AS w
+        FROM documents),
+      bg AS (SELECT DISTINCT doc_id AS bench_id, md5(array_to_string(
+          w[CAST(pos AS INTEGER):CAST(pos + 3 AS INTEGER)], ' ')) AS g
+        FROM (SELECT doc_id, w, unnest(range(1, len(w) - 2)) AS pos
+          FROM d WHERE doc_id % 11 = 0)),
+      tg AS (SELECT doc_id, md5(array_to_string(
+          w[CAST(pos AS INTEGER):CAST(pos + 3 AS INTEGER)], ' ')) AS g
+        FROM (SELECT doc_id, w, unnest(range(1, len(w) - 2)) AS pos
+          FROM d WHERE doc_id % 11 <> 0)),
+      pairs AS (SELECT tg.doc_id, bg.bench_id, CAST(count(*) AS BIGINT) AS pair_hits
+        FROM tg JOIN bg USING (g) GROUP BY tg.doc_id, bg.bench_id),
+      ranked AS (SELECT doc_id, bench_id, pair_hits,
+          CAST(row_number() OVER (PARTITION BY doc_id
+            ORDER BY pair_hits DESC, bench_id) AS INTEGER) AS rk
+        FROM pairs)
+      SELECT doc_id, bench_id, pair_hits, rk FROM ranked WHERE rk <= 3""")),
+
+    // CTAS + TIMESTAMP AS OF on the hard gate (VERDICT r15 #4): create the
+    // table via CREATE TABLE ... AS SELECT (v1), append (v2), read v1's
+    // commit wall-clock back from t.history, and floor-resolve a
+    // TIMESTAMP AS OF at that instant — replayable because the oracle
+    // recomputes both snapshots from the same source rows; a wrong floor
+    // resolution (v2 instead of v1) hash-mismatches n_ts/tp_ts.
+    ("q192_ctas_timestamp_travel", (s: SparkSession, d: String) => {
+      import graft.sources.GraftCatalog
+      val o = t(s, d, "orders").select(col("o_orderkey"), col("o_orderstatus"),
+        col("o_totalprice"))
+      val wh = java.nio.file.Files.createTempDirectory("q192-cat").toString
+      s.conf.set("spark.sql.catalog.gq192", classOf[GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.gq192.warehouse", wh)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS gq192.db")
+      s.sql("DROP TABLE IF EXISTS gq192.db.o")
+      o.createOrReplaceTempView("q192_src")
+      s.sql("CREATE TABLE gq192.db.o AS SELECT * FROM q192_src WHERE o_orderkey % 2 = 1")
+      s.sql("INSERT INTO gq192.db.o SELECT * FROM q192_src WHERE o_orderkey % 2 = 0")
+      // v1's commit instant, read back from the table's own history
+      // (session TZ is UTC); floor semantics: ts1 <= t < ts2 resolves v1,
+      // and publish-time monotonization guarantees ts2 >= ts1 + 1 µs
+      val ts1 = s.sql("SELECT commit_ts FROM gq192.db.o.history ORDER BY version")
+        .collect()(0).getTimestamp(0)
+      val iso = ts1.toInstant.atZone(java.time.ZoneOffset.UTC)
+        .toLocalDateTime.toString
+      def agg(rel: String, suf: String) = s.sql(
+        s"""SELECT CAST(count(*) AS BIGINT) AS n_$suf,
+            ${dsumSql("o_totalprice")} AS tp_$suf FROM $rel""")
+      agg(s"gq192.db.o TIMESTAMP AS OF '$iso'", "ts")
+        .crossJoin(agg("gq192.db.o VERSION AS OF 1", "v1"))
+        .crossJoin(agg("gq192.db.o", "cur"))
+    }, Some(s"""SELECT
+        (SELECT CAST(count(*) AS BIGINT) FROM orders WHERE o_orderkey % 2 = 1) AS n_ts,
+        (SELECT ${dsumSql("o_totalprice")} FROM orders WHERE o_orderkey % 2 = 1) AS tp_ts,
+        (SELECT CAST(count(*) AS BIGINT) FROM orders WHERE o_orderkey % 2 = 1) AS n_v1,
+        (SELECT ${dsumSql("o_totalprice")} FROM orders WHERE o_orderkey % 2 = 1) AS tp_v1,
+        (SELECT CAST(count(*) AS BIGINT) FROM orders) AS n_cur,
+        (SELECT ${dsumSql("o_totalprice")} FROM orders) AS tp_cur"""))
   )
 
   /** The BM25 replay shared by q72/q123 — postings, df, dl, corpus stats,

@@ -55,6 +55,38 @@ object Decontam {
       .filter(col("hits") > 0)
   }
 
+  /** Contamination TRACEABILITY (the audit [[gramHits]] can't answer):
+    * for every flagged training doc, WHICH benchmark doc(s) it collides
+    * with — `(doc_id, bench_id, pair_hits, rk)`, the top `k` benchmark
+    * docs per training doc by colliding-window count, ties pinned on
+    * `bench_id` so the report is deterministic. `pair_hits` counts the
+    * training doc's gram WINDOWS found in that benchmark doc's gram SET
+    * (the [[gramHits]] convention per pair); a window shared by several
+    * benchmark docs counts toward each, so per-doc pair sums can exceed
+    * the [[gramHits]] total.
+    *
+    * Scale: the benchmark `(g, bench_id)` pairs stay eval-set-sized and
+    * broadcast; the per-pair aggregate keys on `(doc_id, bench_id)` over
+    * COLLIDING windows only (inner join), and the top-k ranking
+    * partitions on `doc_id` AFTER that aggregate — the window shuffle
+    * carries one row per contaminated pair, never the corpus. The
+    * rank-limit filter compiles to a bounded per-partition heap
+    * (WindowGroupLimit), no full sort of the pair relation.
+    */
+  def gramTrace(train: DataFrame, bench: DataFrame, idCol: String,
+                textCol: String, n: Int, k: Int = 3): DataFrame = {
+    require(n >= 1, s"n=$n")
+    require(k >= 1, s"k=$k")
+    val bg = gramRows(bench, idCol, textCol, n)
+      .select(col("g"), col("doc_id").as("bench_id")).distinct()
+    val pairs = gramRows(train, idCol, textCol, n)
+      .join(broadcast(bg), Seq("g"))
+      .groupBy("doc_id", "bench_id").agg(count(lit(1)).as("pair_hits"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("pair_hits").desc, col("bench_id"))
+    pairs.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+  }
+
   /** Training docs with at most `maxHits` colliding n-gram windows — the
     * applied scrub ([[gramHits]] is the audit). Docs shorter than `n`
     * tokens pass (no windows, nothing to collide).

@@ -614,6 +614,35 @@ class LlmSpec extends SparkSuite {
       .count() == 4L)
   }
 
+  test("Decontam.gramTrace attributes a planted quote to the right benchmark doc") {
+    import spark.implicits._
+    import graft.llm.Decontam
+    val bench = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog"),
+      (200L, "pack my box with five dozen liquor jugs today"),
+      (300L, "sphinx of black quartz judge my vow now please"))
+      .toDF("doc_id", "text")
+    val train = Seq(
+      // quotes doc 200 heavily (5 windows) and doc 100 lightly (1 window)
+      (1L, "opening words pack my box with five dozen liquor jugs then " +
+        "the quick brown fox appears briefly"),
+      (2L, "no benchmark content at all in this training document"),
+      // quotes a doc-300 span (two colliding windows)
+      (3L, "prefix sphinx of black quartz judge suffix"))
+      .toDF("doc_id", "text")
+    val trace = Decontam.gramTrace(train, bench, "doc_id", "text", n = 4, k = 3)
+      .as[(Long, Long, Long, Int)].collect()
+    val byDoc = trace.groupBy(_._1)
+    assert(!byDoc.contains(2L), "clean doc must not appear in the trace")
+    // doc 1: rank 1 = the heavier source (200), rank 2 = the light one (100)
+    val d1 = byDoc(1L).sortBy(_._4).map(r => (r._2, r._3, r._4)).toSeq
+    assert(d1 == Seq((200L, 5L, 1), (100L, 1L, 2)),
+      s"planted quote must trace to benchmark 200 first, got $d1")
+    // doc 3: one matched benchmark (two colliding windows), rank 1
+    assert(byDoc(3L).toSeq == Seq((3L, 300L, 2L, 1)),
+      s"got ${byDoc(3L).toSeq}")
+  }
+
   test("gram_hashes is callable from SQL text") {
     org.apache.spark.sql.graft.GraftFunctions.registerAll(spark)
     val got = spark.sql("SELECT gram_hashes('abcdefghij', 8) AS g")

@@ -452,4 +452,13 @@ class PlanSpec extends SparkSuite {
     assert(fin.contains("BroadcastHashJoin"), p)
     assert(!fin.contains("CartesianProduct") && !fin.contains("BroadcastNestedLoopJoin"), p)
   }
+
+  test("q191: trace joins broadcast and the top-k rank is a bounded heap, not a sort-all") {
+    val p = finalPlan("q191_decontam_trace")
+    val fin = p.split("== Initial Plan ==").head
+    assert(fin.contains("BroadcastHashJoin"), p)
+    assert(fin.contains("WindowGroupLimit"),
+      s"rank<=k must push a bounded per-partition heap:\n$p")
+    assert(!fin.contains("CartesianProduct") && !fin.contains("BroadcastNestedLoopJoin"), p)
+  }
 }
