@@ -15,8 +15,45 @@ import org.apache.spark.sql.SparkSession
   */
 object BenchBudgets {
   val DefaultPath = "tools/bench_budgets.json"
-  /** Any query running > this factor over its budget is flagged. */
-  val OverBudgetFactor = 1.5
+  /** Any query running > this factor over its AMBIENT-SCALED budget is
+    * flagged. Budgets are cross-round minima, so a co-tenant-loaded box
+    * (the r15 fiasco, and the measured r16 case: suite-wide median ratio
+    * 1.64 with p90 2.38 under ambient load) runs EVERYTHING 1.5-2.5x
+    * over budget — a box-wide slowdown moves every ratio together, a
+    * REGRESSION moves one query. So the flag compares against
+    * `budget * ambient` where ambient = max(1, median ratio of the whole
+    * sweep): on the loaded box above, 111 ratio-only flags reduce to 0,
+    * while a real regression (r15's adjudication case was 0.35 s -> 36 s
+    * = 63x the ambient-scaled budget; even a genuine 3x on an otherwise
+    * idle box) still fires.
+    */
+  val OverBudgetFactor = 2.0
+  /** ... AND more than this many seconds over the ambient-scaled budget:
+    * sub-second queries jitter past any ratio on a shared box; a
+    * suite-relevant regression clears 1 s of absolute excess by
+    * construction.
+    */
+  val OverBudgetMinExcessSec = 1.0
+
+  /** The flag predicate, pure so the unit test pins it: noise floor
+    * (sub-300 ms never flags), ambient-relative ratio, AND absolute
+    * excess over the ambient-scaled budget.
+    */
+  def isOver(sec: Double, budget: Double, ambient: Double = 1.0): Boolean = {
+    val expected = budget * math.max(1.0, ambient)
+    sec >= 0.3 && sec > expected * OverBudgetFactor &&
+      sec - expected > OverBudgetMinExcessSec
+  }
+
+  /** The sweep's box-slowdown estimate: the median observed/budget ratio
+    * (never below 1 — a faster-than-best box tightens nothing).
+    */
+  def ambientOf(ratios: Seq[Double]): Double =
+    if (ratios.isEmpty) 1.0
+    else {
+      val s = ratios.sorted
+      math.max(1.0, s(s.size / 2))
+    }
 
   def load(path: String = DefaultPath): Map[Int, Double] = {
     val p = java.nio.file.Paths.get(path)
@@ -151,15 +188,24 @@ object Bench {
       }
     def num(v: Double, digits: Int = 3): String =
       String.format(java.util.Locale.ROOT, s"%.${digits}f", Double.box(v))
-    def overBudgetOf(results: Seq[(String, Double, Seq[Double], Double)]) =
+    def ratiosOf(results: Seq[(String, Double, Seq[Double], Double)]): Seq[Double] =
+      results.flatMap { case (k, v, _, _) =>
+        for {
+          id <- """\d+""".r.findFirstIn(k).map(_.toInt)
+          b <- budgets.get(id) if v > 0
+        } yield v / b
+      }
+    def overBudgetOf(results: Seq[(String, Double, Seq[Double], Double)]) = {
+      // box-slowdown normalization: see BenchBudgets.OverBudgetFactor
+      val ambient = BenchBudgets.ambientOf(ratiosOf(results))
       results.flatMap { case (k, v, _, _) =>
         for {
           id <- """\d+""".r.findFirstIn(k).map(_.toInt)
           b <- budgets.get(id)
-          // sub-300ms observations are noise-floor and never flagged
-          if v >= 0.3 && v > b * BenchBudgets.OverBudgetFactor
+          if BenchBudgets.isOver(v, b, ambient)
         } yield (k, id, v, b)
       }
+    }
     def emit(results: Seq[(String, Double, Seq[Double], Double)],
              streaming: Seq[(String, Double)], partial: Boolean,
              requeued: Seq[(String, Double, Double)] = Nil): String = {
@@ -197,6 +243,7 @@ object Bench {
           s""""requeued":$reqJson,""" +
           s""""streaming":$sj,"runs_per_query":$TimedRuns,""" +
           s""""budgets_loaded":${budgets.size},""" +
+          s""""ambient_ratio":${num(BenchBudgets.ambientOf(ratiosOf(results)), 2)},""" +
           s""""deadline_sec":${num(deadlineSec, 1)},""" +
           s""""load_gate":{"threshold":$HotLoadThreshold,"hot":${loadStart > HotLoadThreshold}},""" +
           s""""load_avg_start":$loadStart,"load_avg_end":$loadAvg,""" +
@@ -292,10 +339,14 @@ object Bench {
     // the noise floor, and requeueing half the suite (the bench's own load
     // hovers near the threshold) would stretch the wall clock for nothing
     val requeued = scala.collection.mutable.ArrayBuffer.empty[(String, Double, Double)]
+    // over-budget queries ALWAYS get the retry: the tripwire exists to
+    // adjudicate them, and a post-sweep run (co-tenant spike passed) either
+    // clears a transient flag or confirms a real regression in-artifact
+    val flagged = overBudgetOf(done.toSeq).map(_._1).toSet
     for (i <- done.indices if !deadlineHit) {
       val (name, best, runs, la) = done(i)
       if (elapsedSec > deadlineSec) deadlineHit = true
-      else if (la > HotLoadThreshold && best >= 0.3) {
+      else if ((la > HotLoadThreshold || flagged.contains(name)) && best >= 0.3) {
         val fn = SparkEntry.queries(name)
         val t0 = System.nanoTime()
         val ok =

@@ -2163,6 +2163,14 @@ object ManifestTable {
       val retained = versions(spark, root).filter(_ >= floor)
       val live = retained.flatMap(v => entriesOf(fs, rootP, v).map(_._2)).toSet
       val liveDv = retained.flatMap(v => dvOf(fs, rootP, v)).toSet
+      // the one staged-DDL file that may still hold schema authority: the
+      // NEWEST retained manifest's #ddl payload (see GraftDdl — an
+      // unpromoted RTAS schema flip). Everything else .ddl-* is debris
+      // from a crashed-before-commit or superseded RTAS.
+      val liveDdl = retained.sorted.reverseIterator
+        .flatMap(v => manifestBody(fs, rootP, v).linesIterator
+          .find(_.startsWith("#ddl\t")).map(_.stripPrefix("#ddl\t")))
+        .nextOption()
       fs.listStatus(rootP).foreach { st =>
         val n = st.getPath.getName
         if (st.isDirectory && n.startsWith("v") && n.drop(1).forall(_.isDigit)
@@ -2189,6 +2197,10 @@ object ManifestTable {
           fs.delete(st.getPath, true) // crashed commits' orphaned stages —
           // vacuum must not run concurrently with an in-flight commit
           // (the same retention-window contract as the version floor)
+        else if (!st.isDirectory && n.startsWith(GraftDdl.StagedPrefix)
+            && n.endsWith(".json") && !liveDdl.contains(n))
+          fs.delete(st.getPath, false) // crashed/superseded RTAS staged
+          // schemas (same no-in-flight-commit contract as .stage-*)
       }
       // ChecksumFileSystem hides `.crc` sidecars from listStatus — sweep
       // manifest-tmp crcs orphaned by pre-fix commits with raw nio

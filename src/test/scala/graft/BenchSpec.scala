@@ -30,6 +30,30 @@ class BenchSpec extends SparkSuite {
     assert(BenchBudgets.load("/nonexistent/budgets.json").isEmpty)
   }
 
+  test("over-budget flag needs ambient-relative ratio AND absolute excess") {
+    assert(!BenchBudgets.isOver(0.39, 0.24), "1.6x on a sub-second query is jitter")
+    assert(!BenchBudgets.isOver(0.29, 0.10), "under the noise floor")
+    assert(!BenchBudgets.isOver(3.5, 2.0), "1.75x: under the 2x regression bar")
+    assert(BenchBudgets.isOver(36.0, 0.35), "the r15 adjudication case")
+    assert(BenchBudgets.isOver(36.0, 0.35, ambient = 1.64),
+      "the r15 case must fire through a loaded box's ambient too")
+    assert(BenchBudgets.isOver(6.2, 2.0), "3.1x and +4.2s on a heavy query")
+    // the r16 measured co-tenant run: suite-wide median ratio 1.64 — the
+    // whole box is slow, not one query; ambient normalization clears what
+    // ratio-only flagged (111 spurious entries on that artifact)
+    assert(!BenchBudgets.isOver(3.53, 1.29, ambient = 1.64),
+      "1.67x residual under sustained load is noise")
+    assert(!BenchBudgets.isOver(0.97, 0.15, ambient = 1.64),
+      "a 6.5x RAW ratio on a sub-second query still clears via the excess gate")
+    assert(BenchBudgets.isOver(10.0, 1.29, ambient = 1.64),
+      "a genuine 4.7x residual regression fires through the ambient")
+    // ambient estimator: median of ratios, floored at 1
+    assert(BenchBudgets.ambientOf(Nil) == 1.0)
+    assert(BenchBudgets.ambientOf(Seq(0.8, 0.9, 0.7)) == 1.0,
+      "a faster-than-best box must not tighten budgets")
+    assert(math.abs(BenchBudgets.ambientOf(Seq(1.2, 1.6, 1.8, 1.5, 2.4)) - 1.6) < 1e-9)
+  }
+
   test("blown deadline still emits a valid artifact and compact line with partial:true") {
     val out = java.nio.file.Files.createTempDirectory("bench-deadline")
       .resolve("bench.json").toString

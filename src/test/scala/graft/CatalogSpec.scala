@@ -483,6 +483,38 @@ class CatalogSpec extends SparkSuite {
     spark.sql(s"DROP TABLE $t")
   }
 
+  test("vacuum sweeps RTAS staged-DDL debris but keeps an unpromoted live authority") {
+    val t = freshTable("t_ddlvac")
+    spark.sql(s"INSERT INTO $t VALUES (1, 'a', 'x')")
+    val root = s"$wh/db/t_ddlvac"
+    // debris: a staged DDL referenced by no manifest (crashed before commit)
+    val junk = java.nio.file.Paths.get(root, ".ddl-junk.json")
+    Files.write(junk, "{}".getBytes("UTF-8"))
+    // live authority: staged DDL named by the newest manifest, unpromoted
+    val newSchema = new org.apache.spark.sql.types.StructType()
+      .add("k2", org.apache.spark.sql.types.LongType)
+      .add("s", org.apache.spark.sql.types.StringType)
+    val m = new com.fasterxml.jackson.databind.ObjectMapper()
+    val node = m.createObjectNode()
+    node.put("schema", newSchema.json)
+    node.putObject("props")
+    val liveName = ".ddl-livetest.json"
+    val live = java.nio.file.Paths.get(root, liveName)
+    Files.write(live, m.writeValueAsBytes(node))
+    import spark.implicits._
+    ManifestTable.withDirective(s"#ddl\t$liveName") {
+      ManifestTable.commit(Seq((10L, "zz")).toDF("k2", "s"), root, None,
+        carryForward = false)
+    }
+    ManifestTable.vacuum(spark, root, retainVersions = 3)
+    assert(!Files.exists(junk), "unreferenced staged DDL must be reclaimed")
+    assert(Files.exists(live), "the newest #ddl authority must survive vacuum")
+    // the heal still completes after the sweep
+    assert(spark.table(t).columns.toSeq == Seq("k2", "s"))
+    assert(!Files.exists(live), "load must still promote after vacuum")
+    spark.sql(s"DROP TABLE $t")
+  }
+
   test("CREATE OR REPLACE TABLE works on both missing and existing tables") {
     wh
     spark.sql("DROP TABLE IF EXISTS gcat.db.t_corp")
