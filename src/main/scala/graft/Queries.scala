@@ -5069,6 +5069,9 @@ object Queries {
       val rc = s.sql("CALL gq189.system.row_count('db.orders')").collect()(0)
       val (nLive, nDel) = (rc.getLong(0), rc.getLong(1))
       s.sql("CALL gq189.system.compact('db.orders', 2)")
+      // hot-partition OPTIMIZE: rewrite ONE status partition, carry-forward
+      // the rest — value-identity against the same oracle is the invariant
+      s.sql("CALL gq189.system.compact('db.orders', 1, 'O')")
       s.sql("CALL gq189.system.vacuum('db.orders', 1)")
       s.sql(s"""SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS tp,

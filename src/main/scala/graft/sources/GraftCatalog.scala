@@ -1346,14 +1346,25 @@ private[sources] object GraftProcedures {
     })
 
     case "compact" => Some(new P("compact",
-      Seq(in("table", StringType), inDef("files_per_partition", IntegerType, "1")),
+      Seq(in("table", StringType), inDef("files_per_partition", IntegerType, "1"),
+        inDef("partition", StringType, "''")),
       StructType(Seq(StructField("version", LongType)))) {
       override def description(): String =
-        "OPTIMIZE: rewrite the snapshot to files_per_partition files per partition"
+        "OPTIMIZE: rewrite the snapshot (or, with `partition`, ONLY that " +
+          "partition value — O(partition) bytes, carry-forward commit) to " +
+          "files_per_partition files per partition"
       override def run(args: InternalRow): Seq[InternalRow] = {
         val t = cat.tableNamed(args.getUTF8String(0).toString)
-        val v = ManifestTable.compact(SparkSession.active, t.root, t.schema,
-          t.partCol, args.getInt(1), t.statsColsProp)
+        val pv = Option(args.getUTF8String(2)).map(_.toString).filter(_.nonEmpty)
+        val v = pv match {
+          case Some(value) =>
+            val pc = t.partCol.getOrElse(throw new IllegalArgumentException(
+              s"compact(partition => ...) needs a partitioned table"))
+            ManifestTable.compactPartition(SparkSession.active, t.root, t.schema,
+              pc, value, args.getInt(1), t.statsColsProp)
+          case None => ManifestTable.compact(SparkSession.active, t.root, t.schema,
+            t.partCol, args.getInt(1), t.statsColsProp)
+        }
         Seq(row(v))
       }
     })

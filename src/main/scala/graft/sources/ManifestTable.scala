@@ -1837,6 +1837,37 @@ object ManifestTable {
     commit(out, root, partCol, carryForward = false, statsCols = statsCols)
   }
 
+  /** OPTIMIZE scoped to ONE partition — the hot-partition case: a
+    * streaming table accretes small files in TODAY'S partition, and
+    * rewriting the other N-1 partitions of a 100 TB table to fix it is
+    * the wrong plan shape. Reads ONLY the named partition (the literal is
+    * cast to the column's type so the partition-pruned scan stays a
+    * directory prune), rewrites it to `filesPerPartition` files with
+    * deleted rows baked out, and commits CARRY-FORWARD: untouched
+    * partitions' entries ride along unrewritten (their deletion-vector
+    * rows stay masked — the DV pointer carries; its stale entries for the
+    * replaced files die with them), and the rewrite supersedes every
+    * previous entry of the touched partition. Bytes written =
+    * O(partition), not O(table). A value matching no partition is a
+    * metadata-only no-op version bump.
+    */
+  def compactPartition(spark: SparkSession, root: String, schema: StructType,
+                       partCol: String, partValue: String,
+                       filesPerPartition: Int = 1,
+                       statsCols: Seq[String] = Nil): Long = {
+    require(filesPerPartition >= 1, s"filesPerPartition=$filesPerPartition")
+    import org.apache.spark.sql.functions._
+    val dt = schema(partCol).dataType
+    val df = read(spark, root, schema)
+      .filter(col(partCol) === lit(partValue).cast(dt))
+    val out =
+      if (filesPerPartition == 1) df.repartition(col(partCol))
+      else df.repartition(col(partCol),
+        pmod(xxhash64(schema.fieldNames.filterNot(_ == partCol).map(col).toSeq: _*),
+          lit(filesPerPartition.toLong)))
+    commit(out, root, Some(partCol), carryForward = true, statsCols = statsCols)
+  }
+
   /** OPTIMIZE ZORDER — multi-column clustering compaction: rewrite the
     * current snapshot ordered along a Z-curve over `zorderBy`, so the
     * [[readPruned]] zone maps become selective on EVERY listed column at

@@ -483,6 +483,24 @@ class CatalogSpec extends SparkSuite {
     spark.sql(s"DROP TABLE $t")
   }
 
+  test("CALL compact(partition => ...) rewrites ONLY the hot partition, carry-forward") {
+    val t = freshTable("t_pcompact")
+    spark.sql(s"INSERT INTO $t VALUES (1, 'a', 'x'), (100, 'q', 'y'), (101, 'r', 'y')") // v1
+    for (i <- 2 to 5) spark.sql(s"INSERT INTO $t VALUES ($i, 'a$i', 'x')") // v2..v5: small files
+    spark.sql(s"DELETE FROM $t WHERE k = 3 OR k = 100") // v6: DV masks one row per partition
+    val before = rowsOf(t)
+    spark.sql("CALL gcat.system.compact('db.t_pcompact', 1, 'x')").collect()
+    assert(rowsOf(t) == before, "partition-scoped compact must be value-identical")
+    val files = spark.sql(s"SELECT path FROM $t.files").collect().map(_.getString(0))
+    val xs = files.filter(_.contains("p=x")); val ys = files.filter(_.contains("p=y"))
+    assert(xs.length == 1, s"p=x must collapse to one file, got ${xs.toSeq}")
+    assert(ys.nonEmpty && ys.forall(_.contains("v00000001")),
+      s"p=y must stay in its ORIGINAL data version (zero rewrite), got ${ys.toSeq}")
+    // the baked-out row stays gone and the carried DV keeps masking p=y's
+    assert(!rowsOf(t).exists(r => r._1 == 3L || r._1 == 100L))
+    spark.sql(s"DROP TABLE $t")
+  }
+
   test("vacuum sweeps RTAS staged-DDL debris but keeps an unpromoted live authority") {
     val t = freshTable("t_ddlvac")
     spark.sql(s"INSERT INTO $t VALUES (1, 'a', 'x')")
