@@ -666,6 +666,56 @@ object StressBench {
         println(f"""[stress] {"op":"sql_merge","factor":$f,"sec":$sec%.2f,"kb_written":${written / 1e3}%.1f}""")
       }
     }
+    // r16: HOT-PARTITION COMPACT curve — partition-scoped OPTIMIZE's
+    // O(partition) claim measured. 8f partitions of ~constant size (the
+    // 100 TB layout posture: growing corpus = more partitions, not bigger
+    // ones); ONE partition fragments via 5 small appends. Whole-table
+    // compact must write O(table) (grows ~16x across the sweep);
+    // compactPartition must write O(partition) (~flat) while reading only
+    // the fragmented partition's files.
+    if (onlyOps.forall(_.exists("hot_compact".startsWith))) {
+      import org.apache.spark.sql.types._
+      val schema = StructType(Seq(
+        StructField("id", LongType), StructField("p", StringType),
+        StructField("v", DoubleType)))
+      def dirBytes(d: java.io.File): Long =
+        if (!d.exists) 0L
+        else d.listFiles.map(x =>
+          if (x.isDirectory) dirBytes(x) else x.length).sum
+      for (f <- Seq(1, 4, 16)) {
+        val pn = 8 * f
+        val rows = Tables(spark, sfDir, "lineitem")
+          .select((col("l_orderkey") * 10 + col("l_linenumber")).as("id0"),
+            col("l_extendedprice").as("v"))
+          .crossJoin(spark.range(f).select(col("id").as("rep")))
+          .select((col("id0") * f + col("rep")).as("id"),
+            concat(lit("p"), pmod(col("id0") * f + col("rep"), lit(pn))).as("p"),
+            col("v"))
+        for (mode <- Seq("table", "partition")) {
+          val root = java.nio.file.Files.createTempDirectory(s"hotc-$mode")
+            .toString + "/t"
+          graft.sources.ManifestTable.commit(rows, root, Some("p"))
+          // fragment p0 with five fixed-size appends (the streaming-sink
+          // accretion pattern)
+          for (i <- 1 to 5)
+            graft.sources.ManifestTable.append(
+              spark.range(1000).select(
+                (col("id") + lit(100000000L + i * 1000L)).as("id"),
+                lit("p0").as("p"), (col("id") * 0.5).as("v")),
+              root, Some("p"))
+          val t0 = System.nanoTime()
+          if (mode == "table")
+            graft.sources.ManifestTable.compact(spark, root, schema, Some("p"))
+          else
+            graft.sources.ManifestTable.compactPartition(
+              spark, root, schema, "p", "p0")
+          val sec = (System.nanoTime() - t0) / 1e9
+          val v = graft.sources.ManifestTable.currentVersion(spark, root).get
+          val written = dirBytes(new java.io.File(f"$root/v$v%08d"))
+          println(f"""[stress] {"op":"hot_compact_$mode","factor":$f,"sec":$sec%.2f,"mb_written":${written / 1e6}%.1f}""")
+        }
+      }
+    }
     spark.stop()
   }
 }
