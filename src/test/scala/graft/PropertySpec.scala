@@ -413,4 +413,50 @@ class PropertySpec extends SparkSuite {
       assert(ch.collect { case ("update_postimage", a, b) => (a, b) }.toSet == expUpd, s"seed $seed upd")
     }
   }
+
+  test("gramTrace equals brute-force window attribution on random dup-heavy corpora") {
+    import spark.implicits._
+    import graft.llm.Decontam
+    val n = 3
+    for (seed <- 1 to 3) {
+      val rnd = new scala.util.Random(300 + seed)
+      // tiny vocab -> heavy cross-doc n-gram collisions by construction
+      def doc(len: Int) = (1 to len).map(_ => s"w${rnd.nextInt(8)}").mkString(" ")
+      val bench = (100L to 104L).map(i => (i, doc(4 + rnd.nextInt(8)))).toSeq
+      val train = (1L to 20L).map(i => (i, doc(rnd.nextInt(12)))).toSeq
+      def grams(text: String): Seq[Seq[String]] = {
+        val w = text.trim.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+        if (w.size < n) Nil else w.sliding(n).toSeq
+      }
+      val benchSets = bench.map { case (id, txt) => id -> grams(txt).toSet }
+      // brute force: per (train doc, bench doc) count of the train doc's
+      // gram WINDOWS present in that bench doc's gram SET
+      val expPairs = (for {
+        (tid, txt) <- train; ws = grams(txt)
+        (bid, bset) <- benchSets
+        hits = ws.count(bset.contains) if hits > 0
+      } yield (tid, bid) -> hits.toLong).toMap
+      val trace = Decontam.gramTrace(train.toDF("doc_id", "text"),
+          bench.toDF("doc_id", "text"), "doc_id", "text", n, k = 100)
+        .as[(Long, Long, Long, Int)].collect()
+      assert(trace.map(r => (r._1, r._2) -> r._3).toMap == expPairs, s"seed $seed pairs")
+      // ranks are dense per doc, ordered by (hits desc, bench_id)
+      trace.groupBy(_._1).foreach { case (tid, rows) =>
+        val byRank = rows.sortBy(_._4)
+        assert(byRank.map(_._4).toSeq == (1 to rows.length), s"seed $seed doc $tid ranks")
+        val want = rows.sortBy(r => (-r._3, r._2)).map(r => (r._2, r._3)).toSeq
+        assert(byRank.map(r => (r._2, r._3)).toSeq == want, s"seed $seed doc $tid order")
+      }
+      // the flagged-doc set reconciles with the gramHits audit, and each
+      // doc's audit total is bounded by its per-pair attribution
+      val hits = Decontam.gramHits(train.toDF("doc_id", "text"),
+          bench.toDF("doc_id", "text"), "doc_id", "text", n)
+        .as[(Long, Long, Long)].collect().map(r => r._1 -> r._3).toMap
+      assert(hits.keySet == trace.map(_._1).toSet, s"seed $seed flag sets")
+      hits.foreach { case (tid, h) =>
+        val pair = trace.filter(_._1 == tid).map(_._3)
+        assert(h >= pair.max && h <= pair.sum, s"seed $seed doc $tid bounds")
+      }
+    }
+  }
 }
