@@ -25,7 +25,11 @@ object BenchBudgets {
     * sweep): on the loaded box above, 111 ratio-only flags reduce to 0,
     * while a real regression (r15's adjudication case was 0.35 s -> 36 s
     * = 63x the ambient-scaled budget; even a genuine 3x on an otherwise
-    * idle box) still fires.
+    * idle box) still fires. Deliberate blind spot: a SUITE-WIDE slowdown
+    * raises ambient instead of flagging — distinguishing that from
+    * co-tenant load is the total_sec-vs-BASELINE gate's job (read with
+    * load_avg_* and ambient_ratio, all in the artifact); over_budget is
+    * the SINGLE-QUERY tripwire.
     */
   val OverBudgetFactor = 2.0
   /** ... AND more than this many seconds over the ambient-scaled budget:
