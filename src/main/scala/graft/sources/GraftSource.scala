@@ -137,9 +137,26 @@ class GraftSource extends RelationProvider with SchemaRelationProvider
       : org.apache.spark.sql.execution.streaming.Sink = {
     val keys = parameters.get("mergeKey")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
-    new org.apache.spark.sql.graft.GraftStreamSink(sqlContext, root(parameters),
+    val r = root(parameters)
+    val cdf = parameters.get("cdf").exists(_.toBoolean)
+    // writeStream.toTable on a MISSING table auto-creates it with the
+    // STREAM's schema — for a change-feed input that declares the
+    // `_change_type` metadata column, which a CDF-folding sink consumes
+    // and never writes (the declared column would read NULL forever).
+    // Heal the just-created DDL sidecar here, at stream start: in cdf
+    // mode a declared `_change_type` is contradictory by construction.
+    if (cdf) {
+      val spark = sqlContext.sparkSession
+      GraftDdl.load(spark, r).foreach { d =>
+        d.schema.filter(_.fieldNames.contains("_change_type")).foreach { s =>
+          GraftDdl.save(spark, r,
+            StructType(s.filterNot(_.name == "_change_type")), d.partCol, d.props)
+        }
+      }
+    }
+    new org.apache.spark.sql.graft.GraftStreamSink(sqlContext, r,
       parameters.get("partitionBy").orElse(partitionColumns.headOption),
-      keys, parameters.get("cdf").exists(_.toBoolean),
+      keys, cdf,
       parameters.get("compactEvery").map(_.toInt).getOrElse(0))
   }
 

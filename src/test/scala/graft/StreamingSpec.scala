@@ -591,4 +591,32 @@ class StreamingSpec extends SparkSuite {
     assert(snap("gstream.db.dst") == snap("gstream.db.src"))
     assert(snap("gstream.db.dst") == Set((1L, "a", 1L), (2L, "b", 22L), (4L, "a", 4L)))
   }
+
+  test("toTable auto-creates a missing target with the FOLDED schema, not the feed's") {
+    import spark.implicits._
+    val wh = java.nio.file.Files.createTempDirectory("gstream2-wh").toString
+    spark.conf.set("spark.sql.catalog.gstream2",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gstream2.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gstream2.db")
+    spark.sql("CREATE TABLE gstream2.db.src (id BIGINT, p STRING, v BIGINT) " +
+      "PARTITIONED BY (p) TBLPROPERTIES ('mergeKey'='id')")
+    spark.sql("INSERT INTO gstream2.db.src VALUES (1,'a',1),(2,'b',2)")
+    val ckpt = java.nio.file.Files.createTempDirectory("gstream2-ck").toString
+    val q = spark.readStream.table("gstream2.db.src")
+      .writeStream.format("graft")
+      .option("partitionBy", "p").option("mergeKey", "id").option("cdf", "true")
+      .option("checkpointLocation", ckpt)
+      .toTable("gstream2.db.dst") // does NOT exist: DataStreamWriter creates it
+    try q.processAllAvailable() finally q.stop()
+    val cols = spark.table("gstream2.db.dst").columns.toSeq
+    // DataStreamWriter creates the table with the STREAM's schema (which
+    // carries _change_type); the cdf sink heals the sidecar at start —
+    // the feed's metadata column must not survive as a declared
+    // always-NULL data column
+    assert(cols.toSet == Set("id", "p", "v"),
+      s"auto-created target must declare the folded schema, got $cols")
+    assert(spark.table("gstream2.db.dst").select("id", "p", "v")
+      .as[(Long, String, Long)].collect().toSet == Set((1L, "a", 1L), (2L, "b", 2L)))
+  }
 }
