@@ -5202,7 +5202,57 @@ object Queries {
         (SELECT CAST(count(*) AS BIGINT) FROM orders WHERE o_orderkey % 2 = 1) AS n_v1,
         (SELECT ${dsumSql("o_totalprice")} FROM orders WHERE o_orderkey % 2 = 1) AS tp_v1,
         (SELECT CAST(count(*) AS BIGINT) FROM orders) AS n_cur,
-        (SELECT ${dsumSql("o_totalprice")} FROM orders) AS tp_cur"""))
+        (SELECT ${dsumSql("o_totalprice")} FROM orders) AS tp_cur""")),
+
+    // CATALOG-NAME streaming on the hard gate (VERDICT r15 #2): the q177
+    // replication loop addressed entirely by table NAME — SQL DML builds
+    // the source history (merge-on-read UPDATE, DV DELETE),
+    // readStream.table serves its change feed through the V1-fallback
+    // seam (merge key from TBLPROPERTIES), and writeStream.toTable
+    // AUTO-CREATES the replica (schema healed of the feed's
+    // _change_type). The replica's aggregate must equal the oracle's
+    // sequential replay.
+    ("q193_stream_by_name", (s: SparkSession, d: String) => {
+      import graft.sources.GraftCatalog
+      val o = t(s, d, "orders").filter(pmod(col("o_orderkey"), lit(5)) === 0)
+        .select(col("o_orderkey"), col("o_custkey"),
+          col("o_orderstatus"), col("o_totalprice"))
+      val wh = java.nio.file.Files.createTempDirectory("q193-cat").toString
+      s.conf.set("spark.sql.catalog.gq193", classOf[GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.gq193.warehouse", wh)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS gq193.db")
+      s.sql("DROP TABLE IF EXISTS gq193.db.src")
+      s.sql("DROP TABLE IF EXISTS gq193.db.dst")
+      s.sql("""CREATE TABLE gq193.db.src (
+        o_orderkey BIGINT, o_custkey BIGINT, o_orderstatus STRING,
+        o_totalprice DOUBLE) PARTITIONED BY (o_orderstatus)
+        TBLPROPERTIES ('mergeKey'='o_orderkey')""")
+      o.createOrReplaceTempView("q193_src")
+      s.sql("INSERT INTO gq193.db.src SELECT * FROM q193_src") // v1: seed
+      s.sql("UPDATE gq193.db.src SET o_totalprice = o_totalprice + 300 " +
+        "WHERE o_orderkey % 53 = 0") // v2: merge-on-read delta
+      s.sql("DELETE FROM gq193.db.src WHERE o_orderkey % 67 = 0") // v3: DV
+      val ckpt = java.nio.file.Files.createTempDirectory("q193-ck").toString
+      val q = s.readStream.table("gq193.db.src")
+        .writeStream.format("graft").partitionBy("o_orderstatus")
+        .option("mergeKey", "o_orderkey").option("cdf", "true")
+        .option("checkpointLocation", ckpt)
+        .toTable("gq193.db.dst")
+      try q.processAllAvailable() finally q.stop()
+      s.sql(s"""SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+        ${dsumSql("o_totalprice")} AS s,
+        CAST(CAST(sum(o_orderkey) AS BIGINT) AS BIGINT) AS ok_sum
+        FROM gq193.db.dst GROUP BY o_orderstatus""")
+    }, Some(s"""WITH t AS (SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+        FROM orders WHERE o_orderkey % 5 = 0),
+      m1 AS (SELECT o_orderkey, o_custkey, o_orderstatus,
+          CASE WHEN o_orderkey % 53 = 0 THEN o_totalprice + 300
+               ELSE o_totalprice END AS o_totalprice FROM t),
+      m2 AS (SELECT * FROM m1 WHERE o_orderkey % 67 <> 0)
+      SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+        ${dsumSql("o_totalprice")} AS s,
+        CAST(CAST(sum(o_orderkey) AS BIGINT) AS BIGINT) AS ok_sum
+      FROM m2 GROUP BY o_orderstatus"""))
   )
 
   /** The BM25 replay shared by q72/q123 — postings, df, dl, corpus stats,
