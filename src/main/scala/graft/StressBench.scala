@@ -666,6 +666,72 @@ object StressBench {
         println(f"""[stress] {"op":"sql_merge","factor":$f,"sec":$sec%.2f,"kb_written":${written / 1e3}%.1f}""")
       }
     }
+    // r17 (VERDICT r16 #1): COMMIT-PATH microbench — the commit-heavy query
+    // family (q153/q171/q173) idled at 1.25-1.56x its r14 budgets after the
+    // r15/r16 staged-commit protocol landed, and bench data alone can't
+    // separate protocol cost from box noise. Three probes pin it:
+    //   commit_meta_raw    — N direct publishManifest calls (entries carried,
+    //                        no data): the r14-shaped commit floor — one
+    //                        prior-#ts resolve + manifest write + arbiter
+    //                        rename per commit, ZERO Spark jobs.
+    //   commit_meta_staged — N publishStaged calls with an empty stage dir
+    //                        (the r15/r16 protocol): adds the claim marker
+    //                        create/verify/delete + stage rename + rebase
+    //                        machinery. staged − raw = the protocol's
+    //                        per-commit metadata overhead, measured.
+    //   commit_full        — the q173-shaped sequence (seed + 3 mergeDv +
+    //                        1 deleteWhere + 1 compact) as sec/commit: the
+    //                        end-to-end cost those queries actually pay,
+    //                        dominated by Spark job scheduling — the
+    //                        context that says whether the metadata
+    //                        overhead is even visible.
+    if (onlyOps.forall(o => o.exists("commit_meta".startsWith) ||
+        o.exists("commit_full".startsWith))) {
+      import org.apache.spark.sql.types._
+      val schema = StructType(Seq(
+        StructField("id", LongType), StructField("p", StringType),
+        StructField("v", DoubleType)))
+      val n = 50
+      for (probe <- Seq("commit_meta_raw", "commit_meta_staged")
+           if onlyOps.forall(_.exists("commit_meta".startsWith))) {
+        val root = java.nio.file.Files.createTempDirectory(probe).toString + "/t"
+        val seed = spark.range(1000).select(col("id"),
+          concat(lit("p"), pmod(col("id"), lit(8))).as("p"),
+          (col("id") * 0.5).as("v"))
+        graft.sources.ManifestTable.commit(seed, root, Some("p"))
+        // warm the FS/code path with 3 unmeasured commits
+        for (_ <- 1 to 3) graft.sources.ManifestTable.metadataCommitProbe(
+          spark, root, staged = probe.endsWith("staged"))
+        val t0 = System.nanoTime()
+        for (_ <- 1 to n) graft.sources.ManifestTable.metadataCommitProbe(
+          spark, root, staged = probe.endsWith("staged"))
+        val sec = (System.nanoTime() - t0) / 1e9
+        println(f"""[stress] {"op":"$probe","n":$n,"ms_per_commit":${sec * 1000 / n}%.2f}""")
+      }
+      for (f <- Seq(1, 4, 16)
+           if onlyOps.forall(_.exists("commit_full".startsWith))) {
+        val rows = Tables(spark, sfDir, "lineitem")
+          .select((col("l_orderkey") * 10 + col("l_linenumber")).as("id0"),
+            col("l_extendedprice").as("v"))
+          .crossJoin(spark.range(f).select(col("id").as("rep")))
+          .select((col("id0") * f + col("rep")).as("id"),
+            concat(lit("p"), pmod(col("id0") * f + col("rep"), lit(8))).as("p"),
+            col("v"))
+        val root = java.nio.file.Files.createTempDirectory(s"cfull$f").toString + "/t"
+        val t0 = System.nanoTime()
+        graft.sources.ManifestTable.commit(rows, root, Some("p"))
+        for (i <- 1 to 3) {
+          val batch = rows.filter(col("id") % lit(4801L * f + i) === 0)
+            .withColumn("v", col("v") * 2).dropDuplicates("id")
+          graft.sources.ManifestTable.mergeDv(batch, root, schema, "id", Some("p"))
+        }
+        graft.sources.ManifestTable.deleteWhere(spark, root, schema,
+          col("id") % 977 === 0)
+        graft.sources.ManifestTable.compact(spark, root, schema, Some("p"))
+        val sec = (System.nanoTime() - t0) / 1e9
+        println(f"""[stress] {"op":"commit_full","factor":$f,"commits":6,"sec":$sec%.2f,"sec_per_commit":${sec / 6}%.3f}""")
+      }
+    }
     // r16: HOT-PARTITION COMPACT curve — partition-scoped OPTIMIZE's
     // O(partition) claim measured. 8f partitions of ~constant size (the
     // 100 TB layout posture: growing corpus = more partitions, not bigger

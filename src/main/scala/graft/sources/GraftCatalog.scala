@@ -311,6 +311,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
   override def dropTable(ident: Identifier): Boolean = {
     val root = rootOf(ident)
     val (fs, p) = fsAt(root)
+    // a recreate at the same path must never serve the dead incarnation's
+    // memoized manifest bodies (the (mtime,len) validator alone has a
+    // 1 ms blind spot)
+    ManifestTable.invalidateBodyCache(p.toString)
     if (!isTable(root)) false else fs.delete(p, true)
   }
 
@@ -464,8 +468,22 @@ private[sources] object GraftDdl {
            partCol: Option[String], props: Map[String, String]): Unit = {
     val p = new Path(root, FileName)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val out = fs.create(p, true)
+    // temp + rename, never create(overwrite) in place (ADVICE r16): the
+    // promote-on-load path makes every post-RTAS READER a sidecar writer,
+    // so a concurrent sidecar-fallback reader could otherwise observe a
+    // truncated mid-write _ddl.json and fail to parse. Readers now only
+    // ever see a complete old or complete new file (the manifest-tmp
+    // pattern; POSIX rename replaces an existing dst file atomically).
+    val tmp = new Path(root,
+      "." + FileName + "-" + java.util.UUID.randomUUID().toString.take(8) + ".tmp")
+    val out = fs.create(tmp, true)
     try out.write(render(schema, partCol, props)) finally out.close()
+    if (!fs.rename(tmp, p)) {
+      // an FS without file-replacing rename: clear dst and retry once — the
+      // delete-to-rename window only risks a fallback-path reader retrying
+      fs.delete(p, false)
+      require(fs.rename(tmp, p), s"ddl sidecar install $tmp -> $p failed")
+    }
   }
 
   /** Write the DDL under a unique invisible staged name inside `root` and
@@ -1352,7 +1370,8 @@ private[sources] object GraftProcedures {
       override def description(): String =
         "OPTIMIZE: rewrite the snapshot (or, with `partition`, ONLY that " +
           "partition value — O(partition) bytes, carry-forward commit) to " +
-          "files_per_partition files per partition"
+          "AT MOST files_per_partition files per partition (hash-bucket " +
+          "upper bound; buckets sharing a shuffle task merge)"
       override def run(args: InternalRow): Seq[InternalRow] = {
         val t = cat.tableNamed(args.getUTF8String(0).toString)
         val pv = Option(args.getUTF8String(2)).map(_.toString).filter(_.nonEmpty)

@@ -143,14 +143,28 @@ class GraftSource extends RelationProvider with SchemaRelationProvider
     // STREAM's schema — for a change-feed input that declares the
     // `_change_type` metadata column, which a CDF-folding sink consumes
     // and never writes (the declared column would read NULL forever).
-    // Heal the just-created DDL sidecar here, at stream start: in cdf
-    // mode a declared `_change_type` is contradictory by construction.
+    // Heal the just-created DDL sidecar here, at stream start — but ONLY
+    // for the auto-create case (ADVICE r16): the unguarded heal silently
+    // altered ANY pre-existing target that legitimately declared a
+    // `_change_type` data column, hiding that column's batch-written data.
+    // "Just auto-created" is pinned as "no committed manifest yet" — the
+    // analyzer's auto-create writes only the DDL sidecar, the first data
+    // commit happens in addBatch after this point, and a restarted stream
+    // finds the already-healed sidecar (no-op). A POPULATED table whose
+    // declared schema still carries `_change_type` is contradictory with a
+    // cdf sink by construction, so fail loudly instead of mutating it.
     if (cdf) {
       val spark = sqlContext.sparkSession
       GraftDdl.load(spark, r).foreach { d =>
         d.schema.filter(_.fieldNames.contains("_change_type")).foreach { s =>
-          GraftDdl.save(spark, r,
-            StructType(s.filterNot(_.name == "_change_type")), d.partCol, d.props)
+          if (ManifestTable.currentVersion(spark, r).isEmpty)
+            GraftDdl.save(spark, r,
+              StructType(s.filterNot(_.name == "_change_type")), d.partCol, d.props)
+          else throw new IllegalArgumentException(
+            s"cdf sink target $r declares a `_change_type` DATA column and already holds " +
+              "committed data — a change-feed-folding sink consumes `_change_type` and " +
+              "never writes it, so this stream would silently shadow that column. Drop " +
+              "or rename the column, or write to a different table.")
         }
       }
     }

@@ -94,10 +94,48 @@ object ManifestTable {
       }.toSeq
   }
 
+  /** Manifest bodies are IMMUTABLE once published (the create-exclusive
+    * arbiter never rewrites a number), so reads memoize per absolute path,
+    * validated by (modificationTime, length) — one cheap `getFileStatus`
+    * round trip instead of open+read+close. The commit path alone re-reads
+    * the SAME current manifest 3-5× per commit (`entriesOf` + `dvOf` ×2 +
+    * the publish's prior-`#ts` resolve), and at object-store latencies
+    * each body read is a full GET (r17 commit-path shave, measured by the
+    * StressBench `commit_meta_*` probes). The validation stamp guards the
+    * delete-and-recreate-same-path case (table drops, test temp reuse):
+    * a new incarnation's same-numbered manifest carries a different
+    * (mtime, len). Small bounded LRU — only recently-touched tables'
+    * newest manifests matter.
+    */
+  private val bodyCache = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[String, (Long, Long, String)](64, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, (Long, Long, String)]): Boolean = size > 256
+    })
+
+  /** Drop every memoized manifest body under `rootPrefix` — called by
+    * table-dropping paths so a recreate at the same path starts cold.
+    */
+  private[sources] def invalidateBodyCache(rootPrefix: String): Unit =
+    bodyCache.synchronized {
+      bodyCache.keySet.removeIf(_.startsWith(rootPrefix))
+    }
+
   private def manifestBody(fs: FileSystem, root: Path, v: Long): String = {
-    val in = fs.open(new Path(root, ManifestPrefix + fmt(v)))
-    try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-    finally in.close()
+    val p = new Path(root, ManifestPrefix + fmt(v))
+    val st = fs.getFileStatus(p)
+    val key = p.toString
+    val cached = bodyCache.get(key)
+    if (cached != null && cached._1 == st.getModificationTime && cached._2 == st.getLen)
+      cached._3
+    else {
+      val in = fs.open(p)
+      val body =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      bodyCache.put(key, (st.getModificationTime, st.getLen, body))
+      body
+    }
   }
 
   /** The deletion-vector dataset version a manifest points at, if any. */
@@ -200,7 +238,8 @@ object ManifestTable {
     * manifest `v` — the one commit point every mutation shares.
     */
   private[graft] def publishManifest(fs: FileSystem, rootP: Path, v: Long,
-                                     entries: Seq[(String, Long)], dv: Option[Long]): Unit = {
+                                     entries: Seq[(String, Long)], dv: Option[Long],
+                                     priorV: Option[Long] = None): Unit = {
     // every manifest records its commit wall-clock (µs) as a `#ts`
     // directive — the TIMESTAMP AS OF resolution point. Clock values are
     // deliberately kept OFF oracled query paths (wall time isn't
@@ -212,11 +251,22 @@ object ManifestTable {
     // commits inside one clock millisecond (the µs stamp has ms
     // granularity: currentTimeMillis * 1000 — without it they'd tie and
     // floor-resolution would defensibly-but-surprisingly pick the later).
-    val prevTs = (if (fs.exists(rootP)) fs.listStatus(rootP) else Array.empty[FileStatus])
-      .map(_.getPath.getName)
-      .filter(_.startsWith(ManifestPrefix))
-      .map(_.stripPrefix(ManifestPrefix).toLong).filter(_ < v)
-      .sorted.reverseIterator.flatMap(pv => tsOf(fs, rootP, pv)).nextOption()
+    // `priorV` (r17 shave): every caller that already resolved the base
+    // version passes it, so the common case is one memoized tsOf instead
+    // of a root LISTING + manifest read per commit — at object-store
+    // latencies the listing is the single most expensive metadata op on
+    // this path. Falls back to the full scan when the hint is absent,
+    // vanished (concurrent vacuum), or stampless (pre-r15 history).
+    val prevTs = priorV.flatMap { pv =>
+      try tsOf(fs, rootP, pv)
+      catch { case _: java.io.FileNotFoundException => None }
+    }.orElse {
+      (if (fs.exists(rootP)) fs.listStatus(rootP) else Array.empty[FileStatus])
+        .map(_.getPath.getName)
+        .filter(_.startsWith(ManifestPrefix))
+        .map(_.stripPrefix(ManifestPrefix).toLong).filter(_ < v)
+        .sorted.reverseIterator.flatMap(pv => tsOf(fs, rootP, pv)).nextOption()
+    }
     val ts = math.max(prevTs.map(_ + 1L).getOrElse(Long.MinValue),
       System.currentTimeMillis() * 1000L)
     val body = (entries.distinct.sorted.map { case (n, d) => s"$n\t$d" }
@@ -521,7 +571,8 @@ object ManifestTable {
             if (appendEntries) prev ++ touched
             else prev.filterNot(e => touchedNames.contains(e._1)) ++ touched
           publishManifest(fs, rootP, myNext, entries,
-            if (dvStage.isDefined) Some(myNext) else dvCarry)
+            if (dvStage.isDefined) Some(myNext) else dvCarry,
+            priorV = Some(myNext - 1).filter(_ > 0))
           committed = myNext
           fs.delete(new Path(vdir, claimName), false)
         } catch {
@@ -540,6 +591,35 @@ object ManifestTable {
       }
     }
     committed
+  }
+
+  /** Metadata-only commit probe for the StressBench commit-path microbench
+    * (VERDICT r16 #1): republish the CURRENT entries unchanged as the next
+    * version, either via a direct [[publishManifest]] (`staged = false` —
+    * the r14-shaped commit floor: prior-`#ts` resolve + manifest write +
+    * arbiter rename) or through the full [[publishStaged]] claim protocol
+    * with an empty stage dir (`staged = true` — adds the claim marker
+    * create/verify/delete, the stage rename, and the rebase machinery).
+    * No Spark job runs in either shape, so `staged − raw` measures the
+    * r15/r16 protocol's per-commit metadata overhead in isolation.
+    */
+  private[graft] def metadataCommitProbe(spark: SparkSession, root: String,
+                                         staged: Boolean): Long = {
+    val (fs, rootP) = fsOf(spark, root)
+    val cur = currentVersion(spark, root).getOrElse(
+      throw new IllegalStateException(s"metadataCommitProbe: $root has no committed version"))
+    val entries = entriesOf(fs, rootP, cur)
+    val dv = dvOf(fs, rootP, cur)
+    if (staged) {
+      val stage = new Path(rootP,
+        ".stage-" + java.util.UUID.randomUUID().toString.take(12))
+      fs.mkdirs(stage)
+      publishStaged(spark, root, stage, Some(cur), entries, Nil, dv, Nil, Nil,
+        retryable = false, appendEntries = true)
+    } else {
+      publishManifest(fs, rootP, cur + 1, entries, dv, priorV = Some(cur))
+      cur + 1
+    }
   }
 
   /** Committed manifest versions still on disk, ascending — the time-travel
@@ -1842,7 +1922,10 @@ object ManifestTable {
     * rewriting the other N-1 partitions of a 100 TB table to fix it is
     * the wrong plan shape. Reads ONLY the named partition (the literal is
     * cast to the column's type so the partition-pruned scan stays a
-    * directory prune), rewrites it to `filesPerPartition` files with
+    * directory prune), rewrites it to AT MOST `filesPerPartition` files
+    * (an upper bound, as in [[compact]]: the hash-bucket repartition can
+    * land two bucket values in one shuffle task, merging their files —
+    * fewer, larger files, never more) with
     * deleted rows baked out, and commits CARRY-FORWARD: untouched
     * partitions' entries ride along unrewritten (their deletion-vector
     * rows stay masked — the DV pointer carries; its stale entries for the
@@ -2042,7 +2125,8 @@ object ManifestTable {
         s"restore: $root has no version $toVersion on disk (vacuumed or never committed)")
     val cur = currentVersion(spark, root).get
     publishManifest(fs, rootP, cur + 1,
-      entriesOf(fs, rootP, toVersion), dvOf(fs, rootP, toVersion))
+      entriesOf(fs, rootP, toVersion), dvOf(fs, rootP, toVersion),
+      priorV = Some(cur))
     cur + 1
   }
 

@@ -54,6 +54,17 @@ class BenchSpec extends SparkSuite {
     assert(math.abs(BenchBudgets.ambientOf(Seq(1.2, 1.6, 1.8, 1.5, 2.4)) - 1.6) < 1e-9)
   }
 
+  test("suite-wide gate fires on a protocol-wide regression, not co-tenant load") {
+    // the tripwire's documented blind spot (VERDICT r16 #3): a slowdown
+    // hitting EVERY query raises ambient instead of flagging — the suite
+    // gate compares summed budgeted seconds against summed budgets
+    assert(!BenchBudgets.suiteOver(0.0, 0.0), "no budgets loaded: gate stays quiet")
+    assert(!BenchBudgets.suiteOver(260.0, 190.0), "r16 shape: 1.37x is ambient load")
+    assert(!BenchBudgets.suiteOver(455.0, 190.0), "2.4x: historical worst box load")
+    assert(BenchBudgets.suiteOver(500.0, 190.0), "2.6x suite-wide fires")
+    assert(BenchBudgets.suiteOver(1900.0, 190.0), "10x suite-wide certainly fires")
+  }
+
   test("blown deadline still emits a valid artifact and compact line with partial:true") {
     val out = java.nio.file.Files.createTempDirectory("bench-deadline")
       .resolve("bench.json").toString
@@ -88,6 +99,12 @@ class BenchSpec extends SparkSuite {
     assert(art.contains("\"over_budget\":{"), art)
     assert("\"budgets_loaded\":(\\d+)".r.findFirstMatchIn(art)
       .exists(_.group(1).toInt >= 190), art)
+    // r17 fields: suite gate (quiet on one idle query), coverage-derived
+    // partial with requeue truncation recorded separately, named
+    // unbudgeted ids
+    assert(art.contains("\"suite_over_budget\":false"), art)
+    assert(art.contains("\"requeue_truncated\":false"), art)
+    assert(art.contains("\"unbudgeted_ids\":["), art)
     val compact = java.nio.file.Files.readString(java.nio.file.Paths.get(out + ".compact"))
     assert(compact.contains("\"completed\":1"), compact)
     assert(!spark.sparkContext.isStopped)
