@@ -4082,8 +4082,11 @@ object Queries {
       val l = t(s, d, "lineitem")
         .select("l_orderkey", "l_partkey", "l_extendedprice")
       val root = java.nio.file.Files.createTempDirectory("q161-sagg").toString
-      Seq(0, 1, 2).foreach { b =>
-        l.filter(pmod(col("l_orderkey"), lit(3)) === b)
+      // two staged files = two micro-batches: one seeds the state table,
+      // one proves the INCREMENT (merge into existing buckets) — a third
+      // round re-proved the same leg for ~1 s of pure fixed cost (r17)
+      Seq(0, 1).foreach { b =>
+        l.filter(pmod(col("l_orderkey"), lit(2)) === b)
           .coalesce(1).write.mode("append").parquet(s"$root/stage")
       }
       val stream = s.readStream
@@ -4467,7 +4470,11 @@ object Queries {
     // merge/delete replay of the same steps.
     ("q175_cdf_replicate", (s: SparkSession, d: String) => {
       import graft.sources.ManifestTable
-      val o = t(s, d, "orders").select(col("o_orderkey"), col("o_custkey"),
+      // half of orders: the query measures the poll-replication PROTOCOL
+      // (seed snapshot + per-version replay of a rewrite merge and a DV
+      // delete); the scale curves live in StressBench cdf_stream (r17)
+      val o = t(s, d, "orders").filter(pmod(col("o_orderkey"), lit(2)) === 0)
+        .select(col("o_orderkey"), col("o_custkey"),
         col("o_orderstatus"), col("o_totalprice"))
       val schema = StructType(Seq(
         StructField("o_orderkey", LongType), StructField("o_custkey", LongType),
@@ -4492,7 +4499,7 @@ object Queries {
         .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("s"),
           sum(col("o_orderkey")).as("ok_sum"))
     }, Some(s"""WITH t AS (SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
-        FROM orders),
+        FROM orders WHERE o_orderkey % 2 = 0),
       m1 AS (SELECT o_orderkey, o_custkey, o_orderstatus,
           CASE WHEN o_orderkey % 43 = 0 THEN o_totalprice + 100
                ELSE o_totalprice END AS o_totalprice FROM t),
@@ -4543,12 +4550,17 @@ object Queries {
       val base = java.nio.file.Files.createTempDirectory("q177-str").toString
       val src = s"$base/src"; val dst = s"$base/dst"
       ManifestTable.commit(o, src, Some("o_orderstatus")) // v1: seed
-      ManifestTable.mergeDv( // v2: merge-on-read upsert
+      // v2: upserts + deletes share ONE merge-on-read commit (the q178
+      // delete-then-upsert contract: an upserted key survives its own
+      // delete leg) — r17 folded the former separate deleteWhere round in,
+      // halving the stream's diff micro-batches while both change legs
+      // still flow through the feed in the one batch
+      ManifestTable.mergeDv(
         o.filter(pmod(col("o_orderkey"), lit(47)) === 0)
           .withColumn("o_totalprice", col("o_totalprice") + 200),
-        src, schema, "o_orderkey", Some("o_orderstatus"))
-      ManifestTable.deleteWhere(s, src, schema, // v3: DV delete
-        pmod(col("o_orderkey"), lit(61)) === 0)
+        src, schema, "o_orderkey", Some("o_orderstatus"),
+        deleteKeys = Some(o.filter(pmod(col("o_orderkey"), lit(61)) === 0)
+          .select("o_orderkey", "o_orderstatus")))
       val q = s.readStream.format("graft").schema(schema)
         .option("key", "o_orderkey").load(src)
         .writeStream.foreachBatch {
@@ -4577,7 +4589,7 @@ object Queries {
       m1 AS (SELECT o_orderkey, o_custkey, o_orderstatus,
           CASE WHEN o_orderkey % 47 = 0 THEN o_totalprice + 200
                ELSE o_totalprice END AS o_totalprice FROM t),
-      m2 AS (SELECT * FROM m1 WHERE o_orderkey % 61 <> 0)
+      m2 AS (SELECT * FROM m1 WHERE o_orderkey % 61 <> 0 OR o_orderkey % 47 = 0)
       SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
         ${dsumSql("o_totalprice")} AS s,
         CAST(CAST(sum(o_orderkey) AS BIGINT) AS BIGINT) AS ok_sum
@@ -4592,7 +4604,11 @@ object Queries {
     // (delete-then-upsert replay, the q173 contract).
     ("q178_composite_merge", (s: SparkSession, d: String) => {
       import graft.sources.ManifestTable
+      // half of lineitem: the composite-key + duplicate-payload semantics
+      // are unchanged at half data (dups repeat per key, not per half);
+      // merge write-amplification curves live in StressBench dv_merge (r17)
       val base = t(s, d, "lineitem")
+        .filter(pmod(col("l_orderkey"), lit(2)) === 0)
         .groupBy(col("l_orderkey"), col("l_linenumber"))
         .agg(max(col("l_returnflag")).as("rf"), max(col("l_quantity")).as("qty"),
           max(col("l_extendedprice")).as("price"))
@@ -4626,7 +4642,7 @@ object Queries {
     }, Some(s"""WITH t AS (SELECT l_orderkey, CAST(l_linenumber AS INTEGER) AS l_linenumber,
           max(l_returnflag) AS rf, max(l_quantity) AS qty,
           max(l_extendedprice) AS price
-        FROM lineitem GROUP BY 1, 2),
+        FROM lineitem WHERE l_orderkey % 2 = 0 GROUP BY 1, 2),
       b1 AS (SELECT l_orderkey, l_linenumber, rf, qty * 2 AS qty, price FROM t
           WHERE (l_orderkey * 7 + l_linenumber) % 37 = 0
         UNION ALL SELECT l_orderkey + 10000000, l_linenumber, rf, qty, price + 1
@@ -4755,12 +4771,15 @@ object Queries {
       val base = java.nio.file.Files.createTempDirectory("q181-pipe").toString
       val src = s"$base/src"; val dst = s"$base/dst"
       ManifestTable.commit(o, src, Some("o_orderstatus")) // v1: seed
-      ManifestTable.mergeDv( // v2
+      // v2: one folded upsert+delete merge commit (r17, the q177/q178
+      // contract — upsert wins on an overlapping key), so the declarative
+      // sink drains one diff batch instead of two
+      ManifestTable.mergeDv(
         o.filter(pmod(col("o_orderkey"), lit(67)) === 0)
           .withColumn("o_totalprice", col("o_totalprice") + 300),
-        src, schema, "o_orderkey", Some("o_orderstatus"))
-      ManifestTable.deleteWhere(s, src, schema, // v3
-        pmod(col("o_orderkey"), lit(73)) === 0)
+        src, schema, "o_orderkey", Some("o_orderstatus"),
+        deleteKeys = Some(o.filter(pmod(col("o_orderkey"), lit(73)) === 0)
+          .select("o_orderkey", "o_orderstatus")))
       val q = s.readStream.format("graft").schema(schema)
         .option("key", "o_orderkey").load(src)
         .writeStream.format("graft")
@@ -4777,7 +4796,7 @@ object Queries {
       m1 AS (SELECT o_orderkey, o_custkey, o_orderstatus,
           CASE WHEN o_orderkey % 67 = 0 THEN o_totalprice + 300
                ELSE o_totalprice END AS o_totalprice FROM t),
-      m2 AS (SELECT * FROM m1 WHERE o_orderkey % 73 <> 0)
+      m2 AS (SELECT * FROM m1 WHERE o_orderkey % 73 <> 0 OR o_orderkey % 67 = 0)
       SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
         ${dsumSql("o_totalprice")} AS s,
         CAST(CAST(sum(o_orderkey) AS BIGINT) AS BIGINT) AS ok_sum
@@ -5229,9 +5248,17 @@ object Queries {
         TBLPROPERTIES ('mergeKey'='o_orderkey')""")
       o.createOrReplaceTempView("q193_src")
       s.sql("INSERT INTO gq193.db.src SELECT * FROM q193_src") // v1: seed
-      s.sql("UPDATE gq193.db.src SET o_totalprice = o_totalprice + 300 " +
-        "WHERE o_orderkey % 53 = 0") // v2: merge-on-read delta
-      s.sql("DELETE FROM gq193.db.src WHERE o_orderkey % 67 = 0") // v3: DV
+      // v2 (r17): ONE MERGE carries both the update and the delete verb as
+      // a single row-level DML commit — same final state as the former
+      // separate UPDATE + DELETE rounds (the delete clause fires first, so
+      // an overlapping key deletes, exactly the sequential replay's
+      // outcome), and the stream drains one diff micro-batch instead of two
+      s.sql("""MERGE INTO gq193.db.src t
+        USING (SELECT * FROM q193_src
+               WHERE o_orderkey % 53 = 0 OR o_orderkey % 67 = 0) s
+        ON t.o_orderkey = s.o_orderkey
+        WHEN MATCHED AND s.o_orderkey % 67 = 0 THEN DELETE
+        WHEN MATCHED THEN UPDATE SET o_totalprice = t.o_totalprice + 300""")
       val ckpt = java.nio.file.Files.createTempDirectory("q193-ck").toString
       val q = s.readStream.table("gq193.db.src")
         .writeStream.format("graft").partitionBy("o_orderstatus")
@@ -5252,7 +5279,96 @@ object Queries {
       SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
         ${dsumSql("o_totalprice")} AS s,
         CAST(CAST(sum(o_orderkey) AS BIGINT) AS BIGINT) AS ok_sum
-      FROM m2 GROUP BY o_orderstatus"""))
+      FROM m2 GROUP BY o_orderstatus""")),
+
+    // ANN index DELETE-MAINTENANCE (VERDICT r16 #5): a disk-resident
+    // IVF-flat index in the q180 layout (cell-clustered manifest table,
+    // zone+Bloom file skipping on `cell`) with the corpus ITSELF a
+    // manifest table. The index is built at corpus v1; a merge-on-read
+    // DELETE then masks rows — one of them a query's own nearest neighbor
+    // (vec_id 4 is query 4's top-1 by construction) — and the search
+    // anti-joins the probed index slice against
+    // [[graft.sources.ManifestTable.deletedKeysSince]] (the net change
+    // feed's delete/update_preimage keys between the index's build version
+    // and the corpus head: O(changed partitions) to compute, deleted-rows-
+    // sized to broadcast). Deleted vectors must never surface in top-k
+    // while survivors' ranking stays bit-identical to the oracle's replay
+    // over the filtered candidate set — the cheap, correct alternative to
+    // eager reindexing: at 100 TB the index stays immutable and every
+    // query pays one broadcast anti-join of O(deleted-since-build) keys
+    // until a scheduled rebuild swallows the mask. The anti-join is a pure
+    // row filter on the id, so the same maintenance composes unchanged
+    // with the PQ-coded index variants (q180/q131); LlmSpec drives that
+    // contract on a planted-neighbor fixture.
+    ("q194_ann_delete_maint", (s: SparkSession, d: String) => {
+      import graft.sources.ManifestTable
+      val embSchema = StructType(Seq(
+        StructField("vec_id", LongType),
+        StructField("embedding", ArrayType(FloatType))))
+      val emb0 = t(s, d, "embeddings").filter(pmod(col("vec_id"), lit(4)) === 0)
+        .select(col("vec_id"), col("embedding"))
+      val base = java.nio.file.Files.createTempDirectory("q194-adm").toString
+      val corpusRoot = s"$base/corpus"; val idxRoot = s"$base/index"
+      ManifestTable.commit(emb0, corpusRoot, None) // corpus v1
+      val cents = SimSearch.trainCentroids(emb0, centroidStride = 64, iters = 2)
+      val idxSchema = StructType(Seq(
+        StructField("vec_id", LongType), StructField("cell", LongType),
+        StructField("embedding", ArrayType(FloatType))))
+      ManifestTable.commit(
+        emb0.join(SimSearch.assignCells(emb0, cents), Seq("vec_id"))
+          .select(idxSchema.fieldNames.map(col): _*)
+          .repartitionByRange(8, col("cell"), col("vec_id")),
+        idxRoot, None, statsCols = Seq("cell"), bloomCols = Seq("cell"))
+      val builtAt = ManifestTable.currentVersion(s, corpusRoot).get
+      ManifestTable.deleteWhere(s, corpusRoot, embSchema, // corpus v2: DV
+        pmod(col("vec_id"), lit(10)) === 4)
+      val dead = ManifestTable.deletedKeysSince(s, corpusRoot, embSchema,
+        Seq("vec_id"), builtAt)
+      val q = emb0.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      val probed = SimSearch.probeCells(q, cents, nprobe = 2)
+        .select("cell").distinct().collect().map(_.getLong(0)).sorted
+      val stored = ManifestTable.readAuto(s, idxRoot, idxSchema,
+          col("cell").isin(probed.toIndexedSeq: _*))
+        .join(broadcast(dead), Seq("vec_id"), "left_anti")
+      SimSearch.ivfTopKStored(q, stored, cents, 5, nprobe = 2)
+    }, Some("""WITH corp AS (SELECT vec_id, embedding::DOUBLE[] AS v
+        FROM embeddings WHERE vec_id % 4 = 0),
+      c0 AS (SELECT vec_id AS cent_id, v AS cent FROM corp WHERE vec_id % 64 = 0),
+      a1 AS (SELECT vec_id, v, cell FROM (
+        SELECT c.vec_id, c.v, t.cent_id AS cell,
+          row_number() OVER (PARTITION BY c.vec_id
+            ORDER BY round(list_cosine_similarity(c.v, t.cent), 6) DESC, t.cent_id) AS rn
+        FROM corp c CROSS JOIN c0 t) WHERE rn = 1),
+      c1 AS (SELECT cell AS cent_id, list(m ORDER BY dim) AS cent FROM (
+          SELECT cell, dim, floor(CAST(sum(CAST(x AS DECIMAL(18,6))) AS DOUBLE) / count(*) * 1e6 + 0.5) / 1e6 AS m
+          FROM (SELECT cell, unnest(range(len(v))) AS dim, unnest(v) AS x FROM a1)
+          GROUP BY cell, dim) GROUP BY cell),
+      a2 AS (SELECT vec_id, v, cell FROM (
+        SELECT c.vec_id, c.v, t.cent_id AS cell,
+          row_number() OVER (PARTITION BY c.vec_id
+            ORDER BY round(list_cosine_similarity(c.v, t.cent), 6) DESC, t.cent_id) AS rn
+        FROM corp c CROSS JOIN c1 t) WHERE rn = 1),
+      c2 AS (SELECT cell AS cent_id, list(m ORDER BY dim) AS cent FROM (
+          SELECT cell, dim, floor(CAST(sum(CAST(x AS DECIMAL(18,6))) AS DOUBLE) / count(*) * 1e6 + 0.5) / 1e6 AS m
+          FROM (SELECT cell, unnest(range(len(v))) AS dim, unnest(v) AS x FROM a2)
+          GROUP BY cell, dim) GROUP BY cell),
+      ca AS (SELECT vec_id, v, cell FROM (
+        SELECT c.vec_id, c.v, t.cent_id AS cell,
+          row_number() OVER (PARTITION BY c.vec_id
+            ORDER BY round(list_cosine_similarity(c.v, t.cent), 6) DESC, t.cent_id) AS rn
+        FROM corp c CROSS JOIN c2 t) WHERE rn = 1),
+      q AS (SELECT vec_id AS query_id, v AS qv FROM corp WHERE vec_id < 8),
+      qa AS (SELECT query_id, qv, cell FROM (
+        SELECT q.query_id, q.qv, t.cent_id AS cell,
+          row_number() OVER (PARTITION BY q.query_id
+            ORDER BY round(list_cosine_similarity(q.qv, t.cent), 6) DESC, t.cent_id) AS rn
+        FROM q CROSS JOIN c2 t) WHERE rn <= 2),
+      sc AS (SELECT qa.query_id, ca.vec_id, round(list_cosine_similarity(qa.qv, ca.v), 6) AS cosine
+        FROM ca JOIN qa ON ca.cell = qa.cell
+        WHERE ca.vec_id % 10 <> 4),
+      w AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rnk FROM sc)
+      SELECT query_id, vec_id, cosine, CAST(rnk AS INTEGER) AS rank FROM w WHERE rnk <= 5"""))
   )
 
   /** The BM25 replay shared by q72/q123 — postings, df, dl, corpus stats,

@@ -666,6 +666,33 @@ object StressBench {
         println(f"""[stress] {"op":"sql_merge","factor":$f,"sec":$sec%.2f,"kb_written":${written / 1e3}%.1f}""")
       }
     }
+    // r17 (VERDICT r16 #8): DECONTAM TRACE at production n — q191 is
+    // fixture-driven at n=4 (short docs need collisions to exist at
+    // sf0.01); this leg runs the trace at the n≈8-real-words operating
+    // point over the 16x corpus and proves the OUTPUT stays pair-bounded
+    // (≤ flagged_docs × k rows) when the flag rate is overlap-driven, not
+    // phrase-frequency-driven. Replicas use the per-replica salt
+    // (docsTimes): cross-replica grams never collide (honest growth — a
+    // bigger corpus is new documents, not denser overlap), and the salt
+    // interleaves one token per word, so the real-word window n doubles
+    // with salting: f=1 raw text runs n=8, f=16 salted runs n=16 — both
+    // compare 8 consecutive REAL words.
+    if (onlyOps.forall(_.exists("decontam_trace".startsWith))) {
+      for ((f, n) <- Seq((1, 8), (16, 16))) {
+        val docs = docsTimes(f).localCheckpoint()
+        val bench = docs.filter(pmod(col("doc_id"), lit(11)) === 0)
+        val train = docs.filter(pmod(col("doc_id"), lit(11)) =!= 0)
+        val t0 = System.nanoTime()
+        val tr = graft.llm.Decontam.gramTrace(train, bench, "doc_id", "text",
+          n = n, k = 3).localCheckpoint()
+        val sec = (System.nanoTime() - t0) / 1e9
+        val rows = tr.count()
+        val flagged = tr.select("doc_id").distinct().count()
+        println(f"""[stress] {"op":"decontam_trace","factor":$f,"n":$n,"sec":$sec%.2f,"rows":$rows,"flagged_docs":$flagged,"pair_bound":${flagged * 3}}""")
+        org.apache.spark.sql.graft.Checkpoints.release(tr)
+        org.apache.spark.sql.graft.Checkpoints.release(docs)
+      }
+    }
     // r17 (VERDICT r16 #1): COMMIT-PATH microbench — the commit-heavy query
     // family (q153/q171/q173) idled at 1.25-1.56x its r14 budgets after the
     // r15/r16 staged-commit protocol landed, and bench data alone can't

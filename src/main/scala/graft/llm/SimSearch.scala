@@ -235,6 +235,44 @@ object SimSearch {
       .select(queryId, vecId, "cosine", "rank")
   }
 
+  /** Query-side nprobe cell probe against a frozen centroid set —
+    * (queryId, cell, q_emb). The driver collects the DISTINCT cells for a
+    * file-pruned disk read ([[graft.sources.ManifestTable.readAuto]] over
+    * a cell-clustered index table), then [[ivfTopKStored]] joins this
+    * probe against the pruned slice. Bounded by |queries| × nprobe.
+    */
+  def probeCells(queries: DataFrame, cents: DataFrame, nprobe: Int,
+                 queryId: String = "query_id"): DataFrame =
+    assignTo(cents, queries.select(col(queryId), col("embedding").as("q_emb")),
+      queryId, "q_emb", nprobe)
+      .select(col(queryId), col("cent_id").as("cell"), col("q_emb"))
+
+  /** IVF top-k over a STORED, pre-assigned index relation
+    * `(vecId, cell, embedding)` — the disk-resident IVF-flat search path:
+    * the index is built once ([[assignCells]] + a manifest-table commit
+    * clustered on `cell`), a query batch probes its cells
+    * ([[probeCells]]), reads only those cells' files, and exact-scores
+    * the slice. Same rounding and tie rules as [[ivfTopKWith]], which
+    * computes the same assignment inline instead of reading it back.
+    * Index maintenance under deletes: anti-join `stored` against
+    * [[graft.sources.ManifestTable.deletedKeysSince]] before calling
+    * (q194 — a pure row filter, so it composes identically with the PQ
+    * index variants).
+    */
+  def ivfTopKStored(queries: DataFrame, stored: DataFrame, cents: DataFrame,
+                    k: Int, nprobe: Int = 2,
+                    queryId: String = "query_id", vecId: String = "vec_id"): DataFrame = {
+    val probes = probeCells(queries, cents, nprobe, queryId)
+    val scored = stored.join(broadcast(probes), Seq("cell"))
+      .withColumn("cosine", round(VectorFunctions.cosineSim(col("q_emb"), col("embedding")), 6))
+      .filter(!isnan(col("cosine")))
+    val w = Window.partitionBy(col(queryId))
+      .orderBy(col("cosine").desc, col(vecId))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(queryId, vecId, "cosine", "rank")
+  }
+
   /** IVF top-k on stride-seeded (untrained) centroids. */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
               centroidStride: Int = 64, nprobe: Int = 2,

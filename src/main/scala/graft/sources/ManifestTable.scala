@@ -1280,6 +1280,30 @@ object ManifestTable {
     }
   }
 
+  /** Keys whose rows were REMOVED or SUPERSEDED since `fromV` — the
+    * derived-artifact maintenance feed (VERDICT r16 #5): a disk ANN index
+    * (or any secondary structure) built at corpus version `fromV` must
+    * stop serving rows a later `deleteWhere`/SQL DELETE masked, and rows a
+    * later merge REWROTE are stale in the index too (their encoded form no
+    * longer matches), so both `delete` and `update_preimage` rows of the
+    * net [[changes]] feed count. O(changed partitions) I/O, and the result
+    * is deleted+updated-rows-sized — broadcast it against the index scan
+    * (`left_anti`) at query time, or feed it to a reindex job. Empty when
+    * nothing changed.
+    */
+  def deletedKeysSince(spark: SparkSession, root: String, schema: StructType,
+                       keys: Seq[String], fromV: Long): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val cur = currentVersion(spark, root).getOrElse(
+      throw new IllegalStateException(s"manifest table $root has no committed version"))
+    if (cur <= fromV)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(keys.map(k => schema(k))))
+    else changes(spark, root, schema, keys, fromV, cur)
+      .filter(col("_change_type").isin("delete", "update_preimage"))
+      .select(keys.map(col): _*).distinct()
+  }
+
   /** Partition dirs whose deletion-vector masking differs between the two
     * DV datasets — the sym-diff of masked positions → files → partition
     * dirs, bounded by partitions-with-deletes, so the collect is

@@ -1391,6 +1391,55 @@ class LlmSpec extends SparkSuite {
     assert(got.forall(_._2 < 20L))
   }
 
+  test("ann delete-maintenance: masked neighbor vanishes from top-k, survivors keep exact ranks") {
+    import spark.implicits._
+    import graft.sources.ManifestTable
+    import graft.llm.ProductQuant
+    import org.apache.spark.sql.types._
+    // two clusters; vec 1 is the PLANTED nearest neighbor of query vec 0
+    def mk(r: Range, base: Double) = r.map { i =>
+      (i.toLong, Array.tabulate(8)(j => base.toFloat + 0.01f * i + 0.001f * j))
+    }
+    val corpus = (mk(0 until 20, 0.0) ++ mk(20 until 40, 10.0)).toDF("vec_id", "embedding")
+    val embSchema = StructType(Seq(StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType))))
+    val root = java.nio.file.Files.createTempDirectory("adm").toString + "/corpus"
+    ManifestTable.commit(corpus, root, None)
+    val coarse = ProductQuant.trainCodebooks(corpus, m = 1, dims = 8,
+      centroidStride = 10, iters = 2, ks = 4)
+    val cb = ProductQuant.trainCodebooks(corpus, m = 2, dims = 4,
+      centroidStride = 10, iters = 2, ks = 4)
+    val index = ProductQuant.encodeBatch(corpus, coarse, cb, m = 2, dims = 4)
+      .localCheckpoint()
+    val builtAt = ManifestTable.currentVersion(spark, root).get
+    val queries = corpus.filter(col("vec_id") === 0L)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    def search(idx: org.apache.spark.sql.DataFrame) =
+      ProductQuant.ivfPqSearch(queries, idx, coarse, cb,
+        k = 5, m = 2, dims = 4, nprobe = 2)
+        .as[(Long, Long, Double, Int)].collect().sortBy(_._4)
+    val before = search(index)
+    assert(before.map(_._2).contains(1L), s"planted neighbor must rank pre-delete: ${before.toSeq}")
+    // DELETE the planted neighbor (plus a far-cluster row) -> the index
+    // must stop serving both via the deletedKeysSince anti-join
+    ManifestTable.deleteWhere(spark, root, embSchema,
+      col("vec_id") === 1L || col("vec_id") === 25L)
+    val dead = ManifestTable.deletedKeysSince(spark, root, embSchema,
+      Seq("vec_id"), builtAt)
+    assert(dead.as[Long].collect().toSet == Set(1L, 25L))
+    val after = search(index.join(broadcast(dead), Seq("vec_id"), "left_anti"))
+    assert(!after.map(_._2).contains(1L) && !after.map(_._2).contains(25L))
+    // survivors keep their exact relative order and ADC scores: the
+    // maintained result equals the unmaintained one with dead rows dropped
+    // and ranks recomputed
+    val expect = before.filter(r => r._2 != 1L && r._2 != 25L).map(r => (r._2, r._3))
+    assert(after.map(r => (r._2, r._3)).startsWith(expect),
+      s"survivor ranking drifted: before=${before.toSeq} after=${after.toSeq}")
+    // a no-op window (index head == corpus head) yields an empty feed
+    assert(ManifestTable.deletedKeysSince(spark, root, embSchema, Seq("vec_id"),
+      ManifestTable.currentVersion(spark, root).get).isEmpty)
+  }
+
   test("sq8: codes bounded, degenerate dims safe, cluster ranking survives quantization") {
     import spark.implicits._
     // dim 7 is CONSTANT (degenerate: mx == mn) — codes to 0, reconstructs mn
