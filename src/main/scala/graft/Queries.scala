@@ -5368,7 +5368,66 @@ object Queries {
         FROM ca JOIN qa ON ca.cell = qa.cell
         WHERE ca.vec_id % 10 <> 4),
       w AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rnk FROM sc)
-      SELECT query_id, vec_id, cosine, CAST(rnk AS INTEGER) AS rank FROM w WHERE rnk <= 5"""))
+      SELECT query_id, vec_id, cosine, CAST(rnk AS INTEGER) AS rank FROM w WHERE rnk <= 5""")),
+
+    // FIELD-ID COLUMN RENAME on the hard gate (VERDICT r16 #6): `ALTER
+    // TABLE ... RENAME COLUMN` is a METADATA-ONLY sidecar edit — files
+    // written before the rename keep the old parquet column name but
+    // their stable field ids, and every read (current snapshot, the
+    // VERSION AS OF pre-rename snapshot, the row-level UPDATE's target
+    // scan) resolves columns BY ID ([[graft.sources.FieldIds]], the
+    // Iceberg field-id mechanism on parquet's `field_id` annotation).
+    // The final aggregate spans both file generations under the new
+    // name plus a time-travel read of the PRE-rename snapshot; a
+    // by-name resolution would NULL the renamed column for v1's files
+    // and hash-mismatch every p_* column. At 100 TB this is the whole
+    // point: a rename costs one sidecar write, never an O(table)
+    // rewrite, and reads stay one-pass.
+    ("q195_rename_evolution", (s: SparkSession, d: String) => {
+      import graft.sources.GraftCatalog
+      val o = t(s, d, "orders").select(col("o_orderkey"), col("o_totalprice"),
+        col("o_orderstatus"))
+      val wh = java.nio.file.Files.createTempDirectory("q195-cat").toString
+      s.conf.set("spark.sql.catalog.gq195", classOf[GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.gq195.warehouse", wh)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS gq195.db")
+      s.sql("DROP TABLE IF EXISTS gq195.db.o")
+      o.createOrReplaceTempView("q195_src")
+      s.sql("""CREATE TABLE gq195.db.o (
+        o_orderkey BIGINT, o_totalprice DOUBLE, o_orderstatus STRING)
+        PARTITIONED BY (o_orderstatus)""")
+      // v1: pre-rename file generation
+      s.sql("""INSERT INTO gq195.db.o
+        SELECT o_orderkey, o_totalprice, o_orderstatus FROM q195_src
+        WHERE o_orderkey % 2 = 1""")
+      s.sql("ALTER TABLE gq195.db.o RENAME COLUMN o_totalprice TO price")
+      // v2: post-rename file generation
+      s.sql("""INSERT INTO gq195.db.o
+        SELECT o_orderkey, o_totalprice AS price, o_orderstatus FROM q195_src
+        WHERE o_orderkey % 2 = 0""")
+      // v3: row-level UPDATE keyed on the renamed column, touching BOTH
+      // generations (its staged delta files round-trip by id too)
+      s.sql("UPDATE gq195.db.o SET price = price + 100 WHERE o_orderkey % 7 = 0")
+      s.sql(s"""SELECT c.o_orderstatus, c.n_cur, c.p_cur, v.n_v1, v.p_v1
+        FROM (SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_cur,
+                ${dsumSql("price")} AS p_cur
+              FROM gq195.db.o GROUP BY o_orderstatus) c
+        JOIN (SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_v1,
+                ${dsumSql("price")} AS p_v1
+              FROM gq195.db.o VERSION AS OF 1 GROUP BY o_orderstatus) v
+        ON c.o_orderstatus = v.o_orderstatus""")
+    }, Some(s"""WITH t AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
+      cur AS (SELECT o_orderkey, o_orderstatus,
+          CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 100
+               ELSE o_totalprice END AS price FROM t),
+      v1 AS (SELECT o_orderkey, o_orderstatus, o_totalprice AS price
+             FROM t WHERE o_orderkey % 2 = 1)
+      SELECT c.o_orderstatus, c.n_cur, c.p_cur, v.n_v1, v.p_v1
+      FROM (SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_cur,
+              ${dsumSql("price")} AS p_cur FROM cur GROUP BY o_orderstatus) c
+      JOIN (SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_v1,
+              ${dsumSql("price")} AS p_v1 FROM v1 GROUP BY o_orderstatus) v
+      ON c.o_orderstatus = v.o_orderstatus"""))
   )
 
   /** The BM25 replay shared by q72/q123 — postings, df, dl, corpus stats,

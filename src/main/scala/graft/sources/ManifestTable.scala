@@ -715,10 +715,14 @@ object ManifestTable {
     * `restrictTo` limits assembly to the named partition dirs (the
     * [[changes]] pruning path).
     */
-  private def readSnapshot(spark: SparkSession, root: String, schema: StructType,
+  private def readSnapshot(spark: SparkSession, root: String, schema0: StructType,
                            v: Long, withMeta: Boolean,
                            restrictTo: Option[Set[String]] = None): DataFrame = {
     import org.apache.spark.sql.functions.col
+    // resolve columns by FIELD ID when the table declares ids ([[FieldIds]])
+    // — files written under since-renamed names surface under the current
+    // name with values intact; id-less tables read by name as ever
+    val schema = FieldIds.attach(schema0, FieldIds.of(spark, root))
     val (fs, rootP) = fsOf(spark, root)
     val entries = entriesOf(fs, rootP, v)
       .filter { case (p, _) => restrictTo.forall(_.contains(p)) }
@@ -1107,11 +1111,13 @@ object ManifestTable {
     * skipping layer; with `ranges = Nil` this is exactly [[read]].
     * Versions committed without stats read whole.
     */
-  def readPruned(spark: SparkSession, root: String, schema: StructType,
+  def readPruned(spark: SparkSession, root: String, schema0: StructType,
                  ranges: Seq[ColRange],
                  points: Seq[(String, Any)] = Nil,
                  pointsAny: Seq[(String, Seq[Any])] = Nil): DataFrame = {
     import org.apache.spark.sql.functions.col
+    // by-id column resolution for id-carrying tables, as in [[readSnapshot]]
+    val schema = FieldIds.attach(schema0, FieldIds.of(spark, root))
     // resolve the manifest version ONCE — a second currentVersion() lookup
     // for the DV could race a concurrent commit and pair version N's files
     // with version N+1's (possibly absent) deletion vector
@@ -1500,11 +1506,14 @@ object ManifestTable {
     * skipping — one scan of the JUST-written version (O(commit) I/O),
     * published as a `_bloom` sidecar under the same ordering guarantee.
     */
-  def commit(df: DataFrame, root: String, partCol: Option[String],
+  def commit(df0: DataFrame, root: String, partCol: Option[String],
              carryForward: Boolean = true,
              statsCols: Seq[String] = Nil,
              bloomCols: Seq[String] = Nil): Long = {
-    val spark = df.sparkSession
+    val spark = df0.sparkSession
+    // id-carrying tables write EVERY data file id-annotated, whatever path
+    // produced the frame — one id-less file would fail later by-id reads
+    val df = FieldIds.attachDf(df0, FieldIds.of(spark, root))
     val (fs, rootP) = fsOf(spark, root)
     val stage = new Path(rootP,
       ".stage-" + java.util.UUID.randomUUID().toString.take(12))
@@ -1549,10 +1558,11 @@ object ManifestTable {
     * conflict. The caller owns key uniqueness (appending an existing key
     * duplicates it — use [[mergeDv]] for upserts).
     */
-  def append(df: DataFrame, root: String, partCol: Option[String],
+  def append(df0: DataFrame, root: String, partCol: Option[String],
              statsCols: Seq[String] = Nil,
              bloomCols: Seq[String] = Nil): Long = {
-    val spark = df.sparkSession
+    val spark = df0.sparkSession
+    val df = FieldIds.attachDf(df0, FieldIds.of(spark, root)) // as in [[commit]]
     val (fs, rootP) = fsOf(spark, root)
     val stage = new Path(rootP,
       ".stage-" + java.util.UUID.randomUUID().toString.take(12))
@@ -1692,14 +1702,15 @@ object ManifestTable {
   /** Composite-key [[mergeDv]] — see the single-key overload for the
     * contracts and scale posture.
     */
-  def mergeDv(batch: DataFrame, root: String, schema: StructType,
+  def mergeDv(batch0: DataFrame, root: String, schema: StructType,
               keys: Seq[String], partCol: Option[String],
               statsCols: Seq[String], bloomCols: Seq[String],
               deleteKeys: Option[DataFrame],
               deletePartitions: Option[Seq[String]]): Long = {
     import org.apache.spark.sql.functions.{broadcast, col}
     require(keys.nonEmpty, "mergeDv: at least one key column is required")
-    val spark = batch.sparkSession
+    val spark = batch0.sparkSession
+    val batch = FieldIds.attachDf(batch0, FieldIds.of(spark, root)) // as in [[commit]]
     val (fs, rootP) = fsOf(spark, root)
     val cur = currentVersion(spark, root).getOrElse(
       throw new IllegalStateException(
@@ -1784,10 +1795,11 @@ object ManifestTable {
     * MERGE never burns a version number.
     */
   def commitDelta(spark: SparkSession, root: String, baseVersion: Long,
-                  batch: Option[DataFrame], positions: Option[DataFrame],
+                  batch0: Option[DataFrame], positions: Option[DataFrame],
                   partCol: Option[String], statsCols: Seq[String] = Nil,
                   bloomCols: Seq[String] = Nil): Long = {
     import org.apache.spark.sql.functions.col
+    val batch = batch0.map(b => FieldIds.attachDf(b, FieldIds.of(spark, root)))
     val (fs, rootP) = fsOf(spark, root)
     val stage = new Path(rootP,
       ".stage-" + java.util.UUID.randomUUID().toString.take(12))

@@ -248,9 +248,9 @@ class CatalogSpec extends SparkSuite {
     val got = spark.sql(s"SELECT k, score FROM $t").collect()
       .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
     assert(got == Map(1L -> None, 2L -> Some(0.5)))
-    // history-rewriting changes refuse loudly
-    intercept[Exception] { spark.sql(s"ALTER TABLE $t RENAME COLUMN v TO w") }
-    intercept[Exception] { spark.sql(s"ALTER TABLE $t DROP COLUMN v") }
+    // history-rewriting changes refuse loudly (RENAME/DROP COLUMN are
+    // supported via field ids — see the field-id tests below)
+    intercept[Exception] { spark.sql(s"ALTER TABLE $t ALTER COLUMN k TYPE DOUBLE") }
     intercept[Exception] { spark.sql(s"ALTER TABLE $t ADD COLUMNS (nn BIGINT NOT NULL)") }
   }
 
@@ -646,5 +646,154 @@ class CatalogSpec extends SparkSuite {
     assert(dvDirs == dvAfterDelete,
       "insert-only MERGE must carry the existing DV pointer forward, not rewrite it")
     assert(rowsOf(t) == Set((2L, "b", "y"), (5L, "e", "y"), (6L, "f", "x"), (7L, "g", "x")))
+  }
+
+  // ----------------- field-id column renames (VERDICT r16 #6) -----------------
+
+  test("RENAME COLUMN is metadata-only: old files resolve by field id") {
+    import spark.implicits._
+    val t = freshTable("fid1")
+    spark.sql(s"INSERT INTO $t VALUES (1, 'a', 'x'), (2, 'b', 'y')")
+    val root = s"$wh/db/fid1"
+    val vBefore = ManifestTable.currentVersion(spark, root).get
+    spark.sql(s"ALTER TABLE $t RENAME COLUMN v TO label")
+    // metadata-only: no new manifest version, no data rewrite
+    assert(ManifestTable.currentVersion(spark, root).get == vBefore)
+    // pre-rename files' values surface under the NEW name
+    assert(spark.table(t).select("k", "label").as[(Long, String)].collect().toSet
+      == Set((1L, "a"), (2L, "b")))
+    intercept[Exception] { spark.table(t).select("v").collect() }
+    // post-rename inserts land under the new name; one read spans both
+    // file generations (old files by id, new files by id)
+    spark.sql(s"INSERT INTO $t VALUES (3, 'c', 'x')")
+    assert(spark.table(t).select("k", "label").as[(Long, String)].collect().toSet
+      == Set((1L, "a"), (2L, "b"), (3L, "c")))
+  }
+
+  test("post-rename DML and compaction keep both file generations intact") {
+    import spark.implicits._
+    val t = freshTable("fid2")
+    spark.sql(s"INSERT INTO $t VALUES (1, 'a', 'x'), (2, 'b', 'y'), (3, 'c', 'x')")
+    spark.sql(s"ALTER TABLE $t RENAME COLUMN v TO label")
+    spark.sql(s"INSERT INTO $t VALUES (4, 'd', 'y')")
+    // row-level UPDATE keyed on the renamed column, hitting an OLD file's row
+    spark.sql(s"UPDATE $t SET label = 'B' WHERE label = 'b'")
+    // metadata-only DELETE with a predicate on the renamed column
+    spark.sql(s"DELETE FROM $t WHERE label = 'c'")
+    // MERGE through the delta writer (staged files must round-trip by id)
+    spark.createDataFrame(Seq((4L, "D", "y"), (5L, "e", "x")))
+      .toDF("k", "label", "p").createOrReplaceTempView("fid2_src")
+    spark.sql(
+      s"""MERGE INTO $t tgt USING fid2_src src ON tgt.k = src.k
+         |WHEN MATCHED THEN UPDATE SET label = src.label
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    def state: Set[(Long, String)] =
+      spark.table(t).select("k", "label").as[(Long, String)].collect().toSet
+    assert(state == Set((1L, "a"), (2L, "B"), (4L, "D"), (5L, "e")))
+    // OPTIMIZE rewrites by id: mixed-generation files fold into one clean
+    // version with every value intact (a by-name rewrite would NULL the
+    // renamed column for pre-rename files — silent data loss)
+    spark.sql(s"CALL gcat.system.compact(`table` => 'db.fid2')")
+    assert(state == Set((1L, "a"), (2L, "B"), (4L, "D"), (5L, "e")))
+  }
+
+  test("time travel after a rename reads old versions under the NEW name") {
+    import spark.implicits._
+    val t = freshTable("fid3")
+    spark.sql(s"INSERT INTO $t VALUES (1, 'a', 'x')") // v1
+    spark.sql(s"ALTER TABLE $t RENAME COLUMN v TO label")
+    spark.sql(s"INSERT INTO $t VALUES (2, 'b', 'y')") // v2
+    // the rename applies retroactively (current schema, old data — the
+    // Iceberg name-resolution rule): v1 reads under `label`
+    assert(spark.sql(s"SELECT k, label FROM $t VERSION AS OF 1")
+      .as[(Long, String)].collect().toSet == Set((1L, "a")))
+    assert(spark.sql(s"SELECT k, label FROM $t VERSION AS OF 2")
+      .as[(Long, String)].collect().toSet == Set((1L, "a"), (2L, "b")))
+  }
+
+  test("RENAME refuses pre-field-id tables, partition columns, and collisions") {
+    val t = freshTable("fid4")
+    spark.sql(s"INSERT INTO $t VALUES (1, 'a', 'x')")
+    // partition column: directory names embed it
+    val e1 = intercept[Exception] { spark.sql(s"ALTER TABLE $t RENAME COLUMN p TO q") }
+    assert(e1.getMessage.contains("partition"), e1.getMessage)
+    // collision with an existing column (case-insensitive)
+    val e2 = intercept[Exception] { spark.sql(s"ALTER TABLE $t RENAME COLUMN v TO K") }
+    assert(e2.getMessage.contains("already exists"), e2.getMessage)
+    // a pre-field-id table (its files are un-annotated): loud refusal, not
+    // a silent by-name read that would NULL old files
+    val legacyRoot = s"$wh/db/fid_legacy"
+    ManifestTable.commit(
+      spark.createDataFrame(Seq((1L, "a", "x"))).toDF("k", "v", "p"),
+      legacyRoot, Some("p"))
+    val e3 = intercept[Exception] {
+      spark.sql(s"ALTER TABLE gcat.db.fid_legacy RENAME COLUMN v TO label")
+    }
+    assert(e3.getMessage.contains("field id"), e3.getMessage)
+  }
+
+  test("ADD COLUMN after a rename extends the id space; skipping keys follow") {
+    import spark.implicits._
+    val t = freshTable("fid5")
+    spark.sql(s"ALTER TABLE $t SET TBLPROPERTIES ('statsCols' = 'v')")
+    spark.sql(s"INSERT INTO $t VALUES (1, 'a', 'x')")
+    spark.sql(s"ALTER TABLE $t RENAME COLUMN v TO label")
+    // the statsCols property followed the rename (old sidecars simply stop
+    // matching — unpruned, never wrong)
+    val props = spark.sql(s"SHOW TBLPROPERTIES $t").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(props.get("statsCols").contains("label"), props.toString)
+    spark.sql(s"ALTER TABLE $t ADD COLUMNS (extra BIGINT)")
+    spark.sql(s"INSERT INTO $t VALUES (2, 'b', 'y', 20)")
+    assert(spark.table(t).select("k", "label", "extra")
+      .as[(Long, String, Option[Long])].collect().toSet
+      == Set((1L, "a", None), (2L, "b", Some(20L))))
+    // and the new column is renamable in turn (it got a registered id)
+    spark.sql(s"ALTER TABLE $t RENAME COLUMN extra TO bonus")
+    assert(spark.table(t).select("k", "bonus").as[(Long, Option[Long])]
+      .collect().toSet == Set((1L, None), (2L, Some(20L))))
+  }
+
+  test("DROP COLUMN is metadata-only and a re-added same name NEVER resurrects") {
+    import spark.implicits._
+    val t = freshTable("fid7")
+    spark.sql(s"INSERT INTO $t VALUES (1, 'a', 'x'), (2, 'b', 'y')")
+    val root = s"$wh/db/fid7"
+    val vBefore = ManifestTable.currentVersion(spark, root).get
+    spark.sql(s"ALTER TABLE $t DROP COLUMN v")
+    assert(ManifestTable.currentVersion(spark, root).get == vBefore,
+      "DROP COLUMN must not rewrite data")
+    assert(spark.table(t).columns.toSeq == Seq("k", "p"))
+    intercept[Exception] { spark.table(t).select("v").collect() }
+    // re-ADD the SAME name: the old files still hold 'a'/'b' bytes under
+    // column name `v`, but the new column has a FRESH field id — the
+    // resurrection guard means every pre-existing row reads NULL
+    spark.sql(s"ALTER TABLE $t ADD COLUMNS (v STRING)")
+    assert(spark.table(t).select("k", "v").as[(Long, Option[String])]
+      .collect().toSet == Set((1L, None), (2L, None)),
+      "a re-added same-name column must NOT resurrect dropped values")
+    // and new writes to it round-trip normally
+    spark.sql(s"INSERT INTO $t VALUES (3, 'z', 'c')")
+    assert(spark.table(t).select("k", "v").as[(Long, Option[String])]
+      .collect().toSet == Set((1L, None), (2L, None), (3L, Some("c"))))
+    // guard rails: partition column and sole-column drops refuse
+    intercept[Exception] { spark.sql(s"ALTER TABLE $t DROP COLUMN p") }
+  }
+
+  test("RTAS keeps shared columns' field ids; CTAS assigns fresh ones") {
+    import spark.implicits._
+    val t = freshTable("fid6")
+    spark.sql(s"INSERT INTO $t VALUES (1, 'a', 'x')")
+    spark.sql(s"ALTER TABLE $t RENAME COLUMN v TO label")
+    // RTAS with a shared column name: pre-REPLACE versions stay readable
+    // under the same ids
+    spark.sql(
+      s"REPLACE TABLE $t USING graft AS SELECT k, label, p FROM $t WHERE k >= 1")
+    assert(spark.table(t).select("k", "label").as[(Long, String)]
+      .collect().toSet == Set((1L, "a")))
+    // and the replaced table's columns keep renaming cleanly
+    spark.sql(s"ALTER TABLE $t RENAME COLUMN label TO tag")
+    assert(spark.table(t).select("k", "tag").as[(Long, String)]
+      .collect().toSet == Set((1L, "a")))
   }
 }
