@@ -56,8 +56,9 @@ class GraftSource extends RelationProvider with SchemaRelationProvider
 
   private def streamSchema(sqlContext: SQLContext, schema: Option[StructType],
                            parameters: Map[String, String]): StructType =
-    schema.getOrElse(
-      ManifestTable.inferSchema(sqlContext.sparkSession, root(parameters)))
+    schema.orElse( // declared-over-inferred, as in the batch createRelation
+      GraftDdl.load(sqlContext.sparkSession, root(parameters)).flatMap(_.schema))
+      .getOrElse(ManifestTable.inferSchema(sqlContext.sparkSession, root(parameters)))
 
   override def sourceSchema(sqlContext: SQLContext, schema: Option[StructType],
                             providerName: String,
@@ -106,7 +107,12 @@ class GraftSource extends RelationProvider with SchemaRelationProvider
                               parameters: Map[String, String]): BaseRelation = {
     val r = root(parameters)
     val asOf = parameters.get("versionAsOf").map(_.toLong)
-    val schema = ManifestTable.inferSchema(sqlContext.sparkSession, r, asOf)
+    // prefer the DECLARED schema when a DDL sidecar exists: footer
+    // inference over a renamed field-id table would surface BOTH the old
+    // and new column names (the union across file generations), where the
+    // declared schema reads every generation under the current names by id
+    val schema = GraftDdl.load(sqlContext.sparkSession, r).flatMap(_.schema)
+      .getOrElse(ManifestTable.inferSchema(sqlContext.sparkSession, r, asOf))
     if (wantsCdf(parameters)) cdfRelation(sqlContext, parameters, schema)
     else GraftRelation(sqlContext, r, schema, asOf)
   }

@@ -780,6 +780,21 @@ class CatalogSpec extends SparkSuite {
     intercept[Exception] { spark.sql(s"ALTER TABLE $t DROP COLUMN p") }
   }
 
+  test("schema-less V1 loads of a renamed table read the declared schema") {
+    import spark.implicits._
+    val t = freshTable("fid8")
+    spark.sql(s"INSERT INTO $t VALUES (1, 'a', 'x')")
+    spark.sql(s"ALTER TABLE $t RENAME COLUMN v TO label")
+    spark.sql(s"INSERT INTO $t VALUES (2, 'b', 'y')")
+    // footer inference would union BOTH generations' column names (v AND
+    // label, each half-NULL); the declared sidecar schema reads every
+    // generation under the current names by id
+    val df = spark.read.format("graft").load(s"$wh/db/fid8")
+    assert(df.columns.toSeq == Seq("k", "label", "p"), df.columns.toSeq)
+    assert(df.select("k", "label").as[(Long, String)].collect().toSet
+      == Set((1L, "a"), (2L, "b")))
+  }
+
   test("RTAS keeps shared columns' field ids; CTAS assigns fresh ones") {
     import spark.implicits._
     val t = freshTable("fid6")

@@ -36,6 +36,18 @@ for path in sys.argv[1:]:
         art = json.loads(raw)
         if isinstance(art, dict) and isinstance(art.get("tail"), str):
             raw = art["tail"]
+        elif isinstance(art, dict) and isinstance(art.get("queries"), dict):
+            # a full bench JSON: use ONLY the per-query seconds map — the
+            # regex fallback below would also swallow look-alike name-keyed
+            # maps (load_avg_per_query fed bogus sub-second "budgets" once)
+            n = 0
+            for name, v in art["queries"].items():
+                m = re.match(r"q(\d+)", name)
+                if m and isinstance(v, (int, float)):
+                    feed(int(m.group(1)), float(v))
+                    n += 1
+            if n:
+                continue
     except ValueError:
         pass
     got = 0
