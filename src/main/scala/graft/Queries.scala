@@ -5427,7 +5427,59 @@ object Queries {
               ${dsumSql("price")} AS p_cur FROM cur GROUP BY o_orderstatus) c
       JOIN (SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_v1,
               ${dsumSql("price")} AS p_v1 FROM v1 GROUP BY o_orderstatus) v
-      ON c.o_orderstatus = v.o_orderstatus"""))
+      ON c.o_orderstatus = v.o_orderstatus""")),
+
+    // LOSSLESS TYPE WIDENING (r17): `ALTER COLUMN ... TYPE` int→bigint and
+    // float→double as METADATA-ONLY edits — the first generation's files
+    // stay physically INT32/FLOAT and the parquet reader promotes them at
+    // scan time, while the post-widen generation holds values that exceed
+    // the old types' ranges outright. The whitelist (not the reader) is
+    // the safety boundary: the vectorized reader also tolerates NARROWING
+    // with silent overflow, so the catalog refuses anything lossy.
+    // Determinism: generation 1's floats are integer-valued (float-exact
+    // up to 2^24, so the double promotion and the decimal-routed sum are
+    // exact on both engines — a fractional float's decimal expansion can
+    // land on a .5e-7 half and diverge, the q124/q100 rule).
+    ("q196_type_widening", (s: SparkSession, d: String) => {
+      import graft.sources.GraftCatalog
+      val o = t(s, d, "orders").select(col("o_orderkey"), col("o_totalprice"),
+        col("o_orderstatus"))
+      val wh = java.nio.file.Files.createTempDirectory("q196-cat").toString
+      s.conf.set("spark.sql.catalog.gq196", classOf[GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.gq196.warehouse", wh)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS gq196.db")
+      s.sql("DROP TABLE IF EXISTS gq196.db.o")
+      o.createOrReplaceTempView("q196_src")
+      s.sql("""CREATE TABLE gq196.db.o (k INT, price FLOAT, status STRING)
+        PARTITIONED BY (status)""")
+      // generation 1: physically narrow (INT32 + FLOAT) files
+      s.sql("""INSERT INTO gq196.db.o
+        SELECT CAST(o_orderkey AS INT) AS k,
+               CAST(CAST(o_totalprice AS BIGINT) AS FLOAT) AS price,
+               o_orderstatus AS status
+        FROM q196_src WHERE o_orderkey % 2 = 1""")
+      s.sql("ALTER TABLE gq196.db.o ALTER COLUMN k TYPE BIGINT")
+      s.sql("ALTER TABLE gq196.db.o ALTER COLUMN price TYPE DOUBLE")
+      // generation 2: values an INT/FLOAT could not hold exactly
+      s.sql("""INSERT INTO gq196.db.o
+        SELECT o_orderkey + 10000000000 AS k, o_totalprice AS price,
+               o_orderstatus AS status
+        FROM q196_src WHERE o_orderkey % 2 = 0""")
+      s.sql(s"""SELECT status, CAST(count(*) AS BIGINT) AS n,
+          CAST(sum(k) AS BIGINT) AS k_sum, ${dsumSql("price")} AS p_sum
+        FROM gq196.db.o GROUP BY status""")
+    }, Some(s"""WITH g1 AS (SELECT CAST(o_orderkey AS BIGINT) AS k,
+          CAST(CAST(CAST(trunc(o_totalprice) AS BIGINT) AS REAL) AS DOUBLE) AS price,
+          o_orderstatus AS status
+        FROM orders WHERE o_orderkey % 2 = 1),
+      g2 AS (SELECT o_orderkey + 10000000000 AS k, o_totalprice AS price,
+          o_orderstatus AS status
+        FROM orders WHERE o_orderkey % 2 = 0),
+      u AS (SELECT * FROM g1 UNION ALL SELECT * FROM g2)
+      SELECT status, CAST(count(*) AS BIGINT) AS n,
+        CAST(CAST(sum(k) AS BIGINT) AS BIGINT) AS k_sum,
+        ${dsumSql("price")} AS p_sum
+      FROM u GROUP BY status"""))
   )
 
   /** The BM25 replay shared by q72/q123 — postings, df, dl, corpus stats,

@@ -342,12 +342,46 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
             }
           }
         }
+      // ALTER COLUMN TYPE, restricted to LOSSLESS widenings (the Iceberg
+      // type-promotion set plus the byte/short chain): the parquet reader
+      // promotes the physical value at scan time, so old files read
+      // correctly at the wider type and the change is metadata-only. The
+      // whitelist is the safety boundary, not the reader — the vectorized
+      // reader also TOLERATES narrowing (int32 read as SHORT silently
+      // overflows out-of-range values), so anything outside the set
+      // refuses loudly. No field ids required: widening is by-name-safe.
+      case u: TableChange.UpdateColumnType =>
+        require(u.fieldNames().length == 1,
+          "graft tables support top-level column type changes only, got " +
+            u.fieldNames().mkString("."))
+        val nm = u.fieldNames()(0)
+        val f = schema.fields.find(_.name == nm)
+          .getOrElse(throw new IllegalArgumentException(s"no such column $nm"))
+        def widens(a: DataType, b: DataType): Boolean = (a, b) match {
+          case (ByteType, ShortType | IntegerType | LongType) => true
+          case (ShortType, IntegerType | LongType) => true
+          case (IntegerType, LongType) => true
+          case (FloatType, DoubleType) => true
+          case (da: org.apache.spark.sql.types.DecimalType,
+                db: org.apache.spark.sql.types.DecimalType) =>
+            db.scale >= da.scale &&
+              db.precision - db.scale >= da.precision - da.scale
+          case _ => false
+        }
+        require(widens(f.dataType, u.newDataType()),
+          s"ALTER COLUMN $nm TYPE: only lossless widenings are supported " +
+            "(byte/short/int -> wider integral, float -> double, decimal " +
+            "precision-and-scale growth that keeps the integer-digit room); " +
+            s"${f.dataType.simpleString} -> ${u.newDataType().simpleString} " +
+            "would re-interpret committed files")
+        schema = StructType(schema.fields.map(x =>
+          if (x.name == nm) x.copy(dataType = u.newDataType()) else x))
       case p: TableChange.SetProperty => props += (p.property() -> p.value())
       case p: TableChange.RemoveProperty => props -= p.property()
       case other => throw new UnsupportedOperationException(
-        "graft tables support ADD COLUMNS, RENAME COLUMN, DROP COLUMN, and " +
-          s"table-property changes only (type changes would re-interpret " +
-          s"committed files), got $other")
+        "graft tables support ADD COLUMNS, RENAME COLUMN, DROP COLUMN, " +
+          "lossless ALTER COLUMN TYPE widenings, and table-property changes " +
+          s"only, got $other")
     }
     GraftDdl.save(spark, root, schema, partCol, props)
     new GraftV2Table(root, display(ident), None)

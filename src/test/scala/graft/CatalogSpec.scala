@@ -795,6 +795,40 @@ class CatalogSpec extends SparkSuite {
       == Set((1L, "a"), (2L, "b")))
   }
 
+  test("ALTER COLUMN TYPE widens losslessly; old files promote at scan time") {
+    import org.apache.spark.sql.types._
+    wh
+    spark.sql("DROP TABLE IF EXISTS gcat.db.fid9")
+    val t = "gcat.db.fid9"
+    spark.sql(s"""CREATE TABLE $t (k INT, f FLOAT, d DECIMAL(5,2), p STRING)
+                 |PARTITIONED BY (p)""".stripMargin)
+    spark.sql(s"INSERT INTO $t VALUES " +
+      "(1, CAST(1.5 AS FLOAT), CAST(9.75 AS DECIMAL(5,2)), 'x')")
+    spark.sql(s"ALTER TABLE $t ALTER COLUMN k TYPE BIGINT")
+    spark.sql(s"ALTER TABLE $t ALTER COLUMN f TYPE DOUBLE")
+    spark.sql(s"ALTER TABLE $t ALTER COLUMN d TYPE DECIMAL(12,2)")
+    assert(spark.table(t).schema("k").dataType == LongType)
+    // post-widen inserts exceed the OLD types' ranges — one read spans both
+    // file generations, the old one promoted by the reader
+    spark.sql(s"INSERT INTO $t VALUES " +
+      s"(${Long.MaxValue}, 1e100, CAST(1234567890.12 AS DECIMAL(12,2)), 'y')")
+    val got = spark.table(t).select("k", "f", "d")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDecimal(2).toPlainString)).toSet
+    assert(got == Set((1L, 1.5d, "9.75"), (Long.MaxValue, 1e100, "1234567890.12")), got)
+    // refusals: narrowing back, and decimal growth that shrinks the
+    // integer-digit room (the reader TOLERATES narrowing — silently
+    // overflowing — which is exactly why the catalog is the safety gate)
+    intercept[Exception] { spark.sql(s"ALTER TABLE $t ALTER COLUMN k TYPE INT") }
+    intercept[Exception] { spark.sql(s"ALTER TABLE $t ALTER COLUMN d TYPE DECIMAL(12,6)") }
+    intercept[Exception] { spark.sql(s"ALTER TABLE $t ALTER COLUMN f TYPE STRING") }
+    // widening composes with field-id renames: old generation resolves by
+    // id AND promotes to the widened type under the new name
+    spark.sql(s"ALTER TABLE $t RENAME COLUMN k TO kk")
+    import spark.implicits._
+    assert(spark.table(t).select("kk").as[Long].collect().toSet
+      == Set(1L, Long.MaxValue))
+  }
+
   test("RTAS keeps shared columns' field ids; CTAS assigns fresh ones") {
     import spark.implicits._
     val t = freshTable("fid6")
