@@ -5479,7 +5479,61 @@ object Queries {
       SELECT status, CAST(count(*) AS BIGINT) AS n,
         CAST(CAST(sum(k) AS BIGINT) AS BIGINT) AS k_sum,
         ${dsumSql("price")} AS p_sum
-      FROM u GROUP BY status"""))
+      FROM u GROUP BY status""")),
+
+    // FULL TRI-CLAUSE MERGE (r17): `WHEN NOT MATCHED BY SOURCE` — the
+    // upstream-sync shape (rows that vanished from the source are deleted
+    // or demoted in the SAME single commit as matched updates and
+    // source-only inserts; the reference's replication loop does this as
+    // a separate delete pass — reference:
+    // src/process_insert_update_weather_data.py:166-187). Spark's
+    // row-level rewrite emits target-only rowIds through the same
+    // SupportsDelta writer: one target scan, one commit, bytes written =
+    // O(changed rows). The oracle replays the four clauses as set logic.
+    ("q197_merge_by_source", (s: SparkSession, d: String) => {
+      import graft.sources.GraftCatalog
+      val o = t(s, d, "orders").select(col("o_orderkey"), col("o_totalprice"),
+        col("o_orderstatus"))
+      val wh = java.nio.file.Files.createTempDirectory("q197-cat").toString
+      s.conf.set("spark.sql.catalog.gq197", classOf[GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.gq197.warehouse", wh)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS gq197.db")
+      s.sql("DROP TABLE IF EXISTS gq197.db.t")
+      o.createOrReplaceTempView("q197_src")
+      s.sql("""CREATE TABLE gq197.db.t (
+        o_orderkey BIGINT, o_totalprice DOUBLE, o_orderstatus STRING)
+        PARTITIONED BY (o_orderstatus)""")
+      s.sql("""INSERT INTO gq197.db.t
+        SELECT * FROM q197_src WHERE o_orderkey % 3 = 0""")
+      s.sql("""MERGE INTO gq197.db.t t USING (
+          SELECT o_orderkey, o_totalprice + 100 AS o_totalprice, o_orderstatus
+          FROM q197_src WHERE o_orderkey % 3 = 0 AND o_orderkey % 2 = 0
+          UNION ALL
+          SELECT o_orderkey, o_totalprice, o_orderstatus
+          FROM q197_src WHERE o_orderkey % 3 = 1 AND o_orderkey % 5 = 0) s
+        ON t.o_orderkey = s.o_orderkey
+        WHEN MATCHED THEN UPDATE SET o_totalprice = s.o_totalprice
+        WHEN NOT MATCHED THEN INSERT *
+        WHEN NOT MATCHED BY SOURCE AND t.o_orderstatus = 'F' THEN DELETE
+        WHEN NOT MATCHED BY SOURCE THEN
+          UPDATE SET o_totalprice = t.o_totalprice + 5""")
+      s.sql(s"""SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+          ${dsumSql("o_totalprice")} AS tp
+        FROM gq197.db.t GROUP BY o_orderstatus""")
+    }, Some(s"""WITH t0 AS (SELECT o_orderkey, o_totalprice, o_orderstatus
+        FROM orders WHERE o_orderkey % 3 = 0),
+      matched AS (SELECT o_orderkey, o_totalprice + 100 AS o_totalprice,
+          o_orderstatus FROM t0 WHERE o_orderkey % 2 = 0),
+      inserted AS (SELECT o_orderkey, o_totalprice, o_orderstatus
+        FROM orders WHERE o_orderkey % 3 = 1 AND o_orderkey % 5 = 0),
+      by_src AS (SELECT o_orderkey, o_totalprice + 5 AS o_totalprice,
+          o_orderstatus FROM t0
+        WHERE o_orderkey % 2 = 1 AND o_orderstatus <> 'F'),
+      u AS (SELECT * FROM matched UNION ALL SELECT * FROM inserted
+        UNION ALL SELECT * FROM by_src)
+      SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+        ${dsumSql("o_totalprice")} AS tp
+      FROM u GROUP BY o_orderstatus"""))
   )
 
   /** The BM25 replay shared by q72/q123 — postings, df, dl, corpus stats,
