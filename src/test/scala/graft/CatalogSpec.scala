@@ -829,6 +829,43 @@ class CatalogSpec extends SparkSuite {
       == Set(1L, Long.MaxValue))
   }
 
+  test("an out-of-band sidecar rename (another process) refreshes the id memo by stamp") {
+    import spark.implicits._
+    import java.nio.file.{Files => JFiles}
+    val t = freshTable("fid10")
+    spark.sql(s"INSERT INTO $t VALUES (1, 'a', 'x')") // warms FieldIds memo {v->id}
+    val sidecar = new java.io.File(s"$wh/db/fid10/_ddl.json").toPath
+    val originalBytes = JFiles.readAllBytes(sidecar)
+    // capture the RENAMED sidecar, then restore the original so the memo
+    // (re-warmed below) holds the PRE-rename mapping
+    spark.sql(s"ALTER TABLE $t RENAME COLUMN v TO label")
+    val renamedBytes = JFiles.readAllBytes(sidecar)
+    def installOutOfBand(bytes: Array[Byte]): Unit = {
+      // byte-for-byte what a foreign process's GraftDdl.save does: a
+      // Hadoop-FS temp write + rename (keeps the LocalFileSystem CRC
+      // sidecar in sync), WITHOUT this process's FieldIds.invalidate hook
+      val p = new org.apache.hadoop.fs.Path(sidecar.toString)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val tmp = new org.apache.hadoop.fs.Path(p.getParent, "._ddl-oob.tmp")
+      val out = fs.create(tmp, true)
+      try out.write(bytes) finally out.close()
+      fs.delete(p, false)
+      assert(fs.rename(tmp, p))
+    }
+    installOutOfBand(originalBytes)
+    spark.sql(s"INSERT INTO $t VALUES (2, 'b', 'y')") // re-warms memo {v->id}
+    assert(spark.table(t).select("k", "v").as[(Long, String)].collect().toSet
+      == Set((1L, "a"), (2L, "b")))
+    // the "other process" renames; the stale in-process memo still maps the
+    // OLD name — a pure memo would write the next file with NO id for
+    // `label` (and the later by-id read would fail loudly); the (mtime, len)
+    // stamp must refresh it instead
+    installOutOfBand(renamedBytes)
+    spark.sql(s"INSERT INTO $t VALUES (3, 'c', 'x')")
+    assert(spark.table(t).select("k", "label").as[(Long, String)].collect().toSet
+      == Set((1L, "a"), (2L, "b"), (3L, "c")))
+  }
+
   test("RTAS keeps shared columns' field ids; CTAS assigns fresh ones") {
     import spark.implicits._
     val t = freshTable("fid6")
