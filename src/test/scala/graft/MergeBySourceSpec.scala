@@ -11,7 +11,7 @@ import org.apache.spark.sql.functions._
   * target-only rowIds through the same delta writer, so no extra scan or
   * second commit is needed — verified oracled in q197.
   */
-class NmbsProbeSpec extends SparkSuite {
+class MergeBySourceSpec extends SparkSuite {
   test("MERGE WHEN NOT MATCHED BY SOURCE deletes and updates target-only rows") {
     val dir = java.nio.file.Files.createTempDirectory("nmbs-wh").toString
     spark.conf.set("spark.sql.catalog.gnm", classOf[graft.sources.GraftCatalog].getName)

@@ -11,7 +11,7 @@ import org.apache.spark.sql.types._
   * safety boundary), and promotion composes with field-id resolution
   * (so a renamed column can be widened and old generations still read).
   */
-class WideningProbeSpec extends SparkSuite {
+class ParquetWideningSpec extends SparkSuite {
 
   test("the reader promotes every whitelisted widening") {
     val dir = java.nio.file.Files.createTempDirectory("widen").toString
