@@ -827,6 +827,19 @@ class CatalogSpec extends SparkSuite {
     import spark.implicits._
     assert(spark.table(t).select("kk").as[Long].collect().toSet
       == Set(1L, Long.MaxValue))
+    // PARTITION column widening: dir names are the value's string form, so
+    // int dirs parse unchanged at the wider type; post-widen inserts land
+    // values outside int range in NEW dirs
+    spark.sql("DROP TABLE IF EXISTS gcat.db.fid9p")
+    spark.sql("CREATE TABLE gcat.db.fid9p (v STRING, pk INT) PARTITIONED BY (pk)")
+    spark.sql("INSERT INTO gcat.db.fid9p VALUES ('a', 5)")
+    spark.sql("ALTER TABLE gcat.db.fid9p ALTER COLUMN pk TYPE BIGINT")
+    spark.sql(s"INSERT INTO gcat.db.fid9p VALUES ('b', ${Long.MaxValue})")
+    assert(spark.table("gcat.db.fid9p").select("v", "pk").as[(String, Long)]
+      .collect().toSet == Set(("a", 5L), ("b", Long.MaxValue)))
+    // and the partition filter still directory-prunes at the new type
+    assert(spark.table("gcat.db.fid9p").filter(col("pk") === 5L)
+      .select("v").as[String].collect().toSeq == Seq("a"))
   }
 
   test("an out-of-band sidecar rename (another process) refreshes the id memo by stamp") {
