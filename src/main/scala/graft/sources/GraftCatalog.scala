@@ -376,12 +376,22 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
             "would re-interpret committed files")
         schema = StructType(schema.fields.map(x =>
           if (x.name == nm) x.copy(dataType = u.newDataType()) else x))
+      // column comments are pure sidecar metadata (DESCRIBE/SHOW CREATE
+      // surface them from the declared schema's field metadata)
+      case c: TableChange.UpdateColumnComment =>
+        require(c.fieldNames().length == 1,
+          "graft tables support top-level column comments only, got " +
+            c.fieldNames().mkString("."))
+        val nm = c.fieldNames()(0)
+        require(schema.fieldNames.contains(nm), s"no such column $nm")
+        schema = StructType(schema.fields.map(f =>
+          if (f.name == nm) f.withComment(c.newComment()) else f))
       case p: TableChange.SetProperty => props += (p.property() -> p.value())
       case p: TableChange.RemoveProperty => props -= p.property()
       case other => throw new UnsupportedOperationException(
         "graft tables support ADD COLUMNS, RENAME COLUMN, DROP COLUMN, " +
-          "lossless ALTER COLUMN TYPE widenings, and table-property changes " +
-          s"only, got $other")
+          "lossless ALTER COLUMN TYPE widenings, column comments, and " +
+          s"table-property changes only, got $other")
     }
     GraftDdl.save(spark, root, schema, partCol, props)
     new GraftV2Table(root, display(ident), None)

@@ -879,6 +879,21 @@ class CatalogSpec extends SparkSuite {
       == Set((1L, "a"), (2L, "b"), (3L, "c")))
   }
 
+  test("SHOW CREATE TABLE renders; column comments are sidecar metadata") {
+    val t = freshTable("fid11")
+    val ddl = spark.sql(s"SHOW CREATE TABLE $t").collect()(0).getString(0)
+    assert(ddl.contains("CREATE TABLE") && ddl.contains("PARTITIONED BY"), ddl)
+    spark.sql(s"ALTER TABLE $t ALTER COLUMN v COMMENT 'the value column'")
+    val desc = spark.sql(s"DESCRIBE TABLE $t").collect()
+      .map(r => r.getString(0) -> r.getString(2)).toMap
+    assert(desc.get("v").contains("the value column"), desc.toString)
+    // the comment survives subsequent evolution (rename keeps metadata)
+    spark.sql(s"ALTER TABLE $t RENAME COLUMN v TO label")
+    val desc2 = spark.sql(s"DESCRIBE TABLE $t").collect()
+      .map(r => r.getString(0) -> r.getString(2)).toMap
+    assert(desc2.get("label").contains("the value column"), desc2.toString)
+  }
+
   test("RTAS keeps shared columns' field ids; CTAS assigns fresh ones") {
     import spark.implicits._
     val t = freshTable("fid6")
