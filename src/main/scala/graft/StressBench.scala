@@ -809,6 +809,50 @@ object StressBench {
         }
       }
     }
+    // r17: FIELD-ID RENAME at scale — the metadata-only claim measured.
+    // The SAME full-scan aggregate is timed over the same committed data
+    // before the rename (by-name column resolution) and after it (by
+    // parquet field id), plus the rename itself. Expectation: rename cost
+    // FLAT across factors (one sidecar write, zero data I/O), read cost
+    // UNCHANGED (id resolution happens inside the reader's schema
+    // clipping, not as an operator) — where a rewrite-based rename would
+    // grow 16x and a name-based engine would silently NULL the column.
+    if (onlyOps.forall(_.exists("rename_scale".startsWith))) {
+      for (f <- Seq(1, 4, 16)) {
+        val wh = java.nio.file.Files.createTempDirectory(s"ren$f").toString
+        val cat = s"grs$f" // fresh catalog name per warehouse (cached by name)
+        spark.conf.set(s"spark.sql.catalog.$cat",
+          "graft.sources.GraftCatalog")
+        spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+        spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.db")
+        spark.sql(s"CREATE TABLE $cat.db.t (id BIGINT, v DOUBLE, p STRING) " +
+          "PARTITIONED BY (p)")
+        Tables(spark, sfDir, "lineitem")
+          .select((col("l_orderkey") * 10 + col("l_linenumber")).as("id0"),
+            col("l_extendedprice").as("v"),
+            concat(lit("p"), pmod(col("l_orderkey"), lit(8))).as("p"))
+          .crossJoin(spark.range(f).select(col("id").as("rep")))
+          .select((col("id0") * f + col("rep")).as("id"), col("v"), col("p"))
+          .createOrReplaceTempView(s"ren_src_$f")
+        spark.sql(s"INSERT INTO $cat.db.t SELECT id, v, p FROM ren_src_$f")
+        def aggTime(vcol: String): Double = {
+          val t0 = System.nanoTime()
+          // sum() declines the metadata aggregate pushdown, so this is a
+          // genuine full scan of every data file
+          spark.sql(s"SELECT count(*) AS n, sum($vcol) AS s FROM $cat.db.t")
+            .collect()
+          (System.nanoTime() - t0) / 1e9
+        }
+        aggTime("v") // warm (plan + page cache)
+        val pre = aggTime("v")
+        val tr0 = System.nanoTime()
+        spark.sql(s"ALTER TABLE $cat.db.t RENAME COLUMN v TO val_renamed")
+        val renameSec = (System.nanoTime() - tr0) / 1e9
+        aggTime("val_renamed") // warm the by-id plan
+        val post = aggTime("val_renamed")
+        println(f"""[stress] {"op":"rename_scale","factor":$f,"pre_read_sec":$pre%.3f,"rename_sec":$renameSec%.4f,"post_read_sec":$post%.3f}""")
+      }
+    }
     spark.stop()
   }
 }
