@@ -3877,11 +3877,19 @@ object Queries {
     // the coefficient divisor is never zero; the total rides along as
     // sum(tri) div 3 (each triangle counted once per corner).
     ("q156_triangles", (s: SparkSession, d: String) => {
+      // edge build: ONE groupBy shuffle + in-row pair explosion instead of
+      // a self-join (which shuffles lineitem twice and joins) — per-order
+      // part sets are tiny (TPC-H <= 7 lineitems/order), so the quadratic
+      // pair expansion is in-row and cheap; sort_array + i<j slices emit
+      // each pair once in (a < b) orientation, identical to the join's
       val li = t(s, d, "lineitem")
-        .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
-      val e = li.as("x").join(li.as("y"),
-          col("x.o") === col("y.o") && col("x.p") < col("y.p"))
-        .select(col("x.p").as("a"), col("y.p").as("b")).distinct()
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      val e = li.groupBy("o").agg(sort_array(collect_set(col("p"))).as("ps"))
+        .select(explode(expr(
+          "flatten(transform(ps, (x, i) -> " +
+            "transform(slice(ps, i + 2, size(ps)), y -> struct(x AS a, y AS b))))"))
+          .as("ab"))
+        .select(col("ab.a").as("a"), col("ab.b").as("b")).distinct()
       val stats = graft.ops.LinkGraph.triangleStats(e)
       val tot = stats.agg(expr("sum(tri) div 3").as("total_triangles"))
       stats.filter(col("tri") >= 1)
