@@ -592,6 +592,43 @@ class StreamingSpec extends SparkSuite {
     assert(snap("gstream.db.dst") == Set((1L, "a", 1L), (2L, "b", 22L), (4L, "a", 4L)))
   }
 
+  test("a coordinated column rename between stream runs resumes from the same checkpoint") {
+    import spark.implicits._
+    val wh = java.nio.file.Files.createTempDirectory("gstream3-wh").toString
+    spark.conf.set("spark.sql.catalog.gstream3",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gstream3.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gstream3.db")
+    spark.sql("CREATE TABLE gstream3.db.src (id BIGINT, p STRING, v BIGINT) " +
+      "PARTITIONED BY (p) TBLPROPERTIES ('mergeKey'='id')")
+    spark.sql("CREATE TABLE gstream3.db.dst (id BIGINT, p STRING, v BIGINT) " +
+      "PARTITIONED BY (p)")
+    spark.sql("INSERT INTO gstream3.db.src VALUES (1,'a',1),(2,'b',2)")
+    val ckpt = java.nio.file.Files.createTempDirectory("gstream3-ck").toString
+    def run(): Unit = {
+      val q = spark.readStream.table("gstream3.db.src")
+        .writeStream.format("graft")
+        .option("partitionBy", "p").option("mergeKey", "id").option("cdf", "true")
+        .option("checkpointLocation", ckpt)
+        .toTable("gstream3.db.dst")
+      try q.processAllAvailable() finally q.stop()
+    }
+    run() // seed replicated under the old name
+    // coordinated evolution: rename on BOTH ends between runs (the offset
+    // log stores source VERSIONS, not column names, and the replication
+    // query is stateless — so the same checkpoint must resume; pre-rename
+    // source versions replay by field id under the new name)
+    spark.sql("ALTER TABLE gstream3.db.src RENAME COLUMN v TO val2")
+    spark.sql("ALTER TABLE gstream3.db.dst RENAME COLUMN v TO val2")
+    spark.sql("UPDATE gstream3.db.src SET val2 = 22 WHERE id = 2")
+    spark.sql("INSERT INTO gstream3.db.src VALUES (3,'a',3)")
+    run()
+    def snap(t: String) = spark.table(t).select("id", "p", "val2")
+      .as[(Long, String, Long)].collect().toSet
+    assert(snap("gstream3.db.dst") == snap("gstream3.db.src"))
+    assert(snap("gstream3.db.dst") == Set((1L, "a", 1L), (2L, "b", 22L), (3L, "a", 3L)))
+  }
+
   test("toTable auto-creates a missing target with the FOLDED schema, not the feed's") {
     import spark.implicits._
     val wh = java.nio.file.Files.createTempDirectory("gstream2-wh").toString
