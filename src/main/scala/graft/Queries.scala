@@ -5541,7 +5541,67 @@ object Queries {
         UNION ALL SELECT * FROM by_src)
       SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
         ${dsumSql("o_totalprice")} AS tp
-      FROM u GROUP BY o_orderstatus"""))
+      FROM u GROUP BY o_orderstatus""")),
+
+    // SCHEMA EVOLUTION UNDER STREAMING (r17): a column rename lands
+    // BETWEEN two runs of a name-addressed replication stream — the
+    // change-feed offset log stores source VERSIONS, not column names, so
+    // the SAME checkpoint resumes after a coordinated rename on both ends,
+    // and the pre-rename source versions replay BY FIELD ID under the new
+    // name. At 100 TB this is the operational contract that matters:
+    // schema evolution never forces a replica rebuild or a fresh
+    // checkpoint, because neither the offsets nor the files are rewritten.
+    ("q198_stream_rename_resume", (s: SparkSession, d: String) => {
+      import graft.sources.GraftCatalog
+      val o = t(s, d, "orders").filter(pmod(col("o_orderkey"), lit(7)) === 0)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      val wh = java.nio.file.Files.createTempDirectory("q198-cat").toString
+      s.conf.set("spark.sql.catalog.gq198", classOf[GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.gq198.warehouse", wh)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS gq198.db")
+      s.sql("DROP TABLE IF EXISTS gq198.db.src")
+      s.sql("DROP TABLE IF EXISTS gq198.db.dst")
+      s.sql("""CREATE TABLE gq198.db.src (
+        o_orderkey BIGINT, o_totalprice DOUBLE, o_orderstatus STRING)
+        PARTITIONED BY (o_orderstatus)
+        TBLPROPERTIES ('mergeKey'='o_orderkey')""")
+      s.sql("""CREATE TABLE gq198.db.dst (
+        o_orderkey BIGINT, o_totalprice DOUBLE, o_orderstatus STRING)
+        PARTITIONED BY (o_orderstatus)""")
+      o.createOrReplaceTempView("q198_src")
+      s.sql("""INSERT INTO gq198.db.src
+        SELECT o_orderkey, o_totalprice, o_orderstatus FROM q198_src""")
+      val ckpt = java.nio.file.Files.createTempDirectory("q198-ck").toString
+      def run(): Unit = {
+        val q = s.readStream.table("gq198.db.src")
+          .writeStream.format("graft").partitionBy("o_orderstatus")
+          .option("mergeKey", "o_orderkey").option("cdf", "true")
+          .option("checkpointLocation", ckpt)
+          .toTable("gq198.db.dst")
+        try q.processAllAvailable() finally q.stop()
+      }
+      run() // seed replicated under the OLD name
+      s.sql("ALTER TABLE gq198.db.src RENAME COLUMN o_totalprice TO price")
+      s.sql("ALTER TABLE gq198.db.dst RENAME COLUMN o_totalprice TO price")
+      // one MERGE carries both verbs (delete-first matched clause, the
+      // q193 pattern) so the resumed stream drains ONE diff micro-batch
+      s.sql("""MERGE INTO gq198.db.src t
+        USING (SELECT o_orderkey FROM q198_src
+               WHERE o_orderkey % 3 = 0 OR o_orderkey % 11 = 0) s
+        ON t.o_orderkey = s.o_orderkey
+        WHEN MATCHED AND s.o_orderkey % 11 = 0 THEN DELETE
+        WHEN MATCHED THEN UPDATE SET price = t.price + 40""")
+      run() // SAME checkpoint resumes post-rename
+      s.sql(s"""SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+        ${dsumSql("price")} AS p FROM gq198.db.dst GROUP BY o_orderstatus""")
+    }, Some(s"""WITH t0 AS (SELECT o_orderkey, o_orderstatus, o_totalprice
+        FROM orders WHERE o_orderkey % 7 = 0),
+      m1 AS (SELECT o_orderkey, o_orderstatus,
+          CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice + 40
+               ELSE o_totalprice END AS price FROM t0),
+      m2 AS (SELECT * FROM m1 WHERE o_orderkey % 11 <> 0)
+      SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+        ${dsumSql("price")} AS p FROM m2 GROUP BY o_orderstatus"""))
   )
 
   /** The BM25 replay shared by q72/q123 — postings, df, dl, corpus stats,
