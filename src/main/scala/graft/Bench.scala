@@ -75,6 +75,20 @@ object BenchBudgets {
       math.max(1.0, s(s.size / 2))
     }
 
+  /** Post-sweep requeue order (VERDICT r17 #3): tripwire-FLAGGED queries
+    * retry FIRST — they are the retries that adjudicate the artifact's own
+    * `over_budget` field, so a deadline expiring mid-requeue must never
+    * truncate exactly them (r17 shipped `requeue_truncated: true` with both
+    * flags unretried). Among the rest, hottest first-pass load first: the
+    * hotter the box was, the more a post-sweep retry can move the min.
+    * Pure over (index, name, firstPassLoad) so BenchSpec pins it.
+    */
+  def requeueOrder(entries: Seq[(Int, String, Double)],
+                   flagged: Set[String]): Seq[Int] =
+    entries.sortBy { case (_, name, la) =>
+      (!flagged.contains(name), -la)
+    }.map(_._1)
+
   def load(path: String = DefaultPath): Map[Int, Double] = {
     val p = java.nio.file.Paths.get(path)
     if (!java.nio.file.Files.exists(p)) Map.empty
@@ -389,7 +403,12 @@ object Bench {
     // adjudicate them, and a post-sweep run (co-tenant spike passed) either
     // clears a transient flag or confirms a real regression in-artifact
     val flagged = overBudgetOf(done.toSeq).map(_._1).toSet
-    for (i <- done.indices if !deadlineHit) {
+    // flagged-first retry order (see BenchBudgets.requeueOrder): the
+    // deadline can only ever truncate the least-consequential retries
+    val retryOrder = BenchBudgets.requeueOrder(
+      done.toSeq.zipWithIndex.map { case ((n, _, _, la), i) => (i, n, la) },
+      flagged)
+    for (i <- retryOrder if !deadlineHit) {
       val (name, best, runs, la) = done(i)
       if (elapsedSec > deadlineSec) deadlineHit = true
       else if ((la > HotLoadThreshold || flagged.contains(name)) && best >= 0.3) {

@@ -299,6 +299,16 @@ object ManifestTable {
       fs.delete(tmp, false) // the loser's staged body is debris
       throw collision()
     }
+    // a successful claim of version 1 proves this is a FRESH incarnation of
+    // the root (every incarnation's history starts at 1) — any memoized
+    // bodies under it belong to a dead delete-and-recreated table, which the
+    // (mtime,len) stamp alone can miss when the new same-numbered manifest
+    // lands with identical length inside the same ms tick (ADVICE r17).
+    // Cross-process recreates stay covered by the stamp's mtime in all but
+    // that same-tick-same-length sliver; this closes the in-process paths
+    // (direct ManifestTable users, test temp-dir reuse) that bypass
+    // GraftCatalog.dropTable's explicit invalidation.
+    if (v == 1L) invalidateBodyCache(rootP.toString)
   }
 
   /** The cross-writer MUTUAL-EXCLUSION primitive the whole commit protocol

@@ -109,4 +109,23 @@ class BenchSpec extends SparkSuite {
     assert(compact.contains("\"completed\":1"), compact)
     assert(!spark.sparkContext.isStopped)
   }
+
+  test("requeue order retries tripwire-flagged queries before hot-load ones") {
+    // VERDICT r17 #3: r17's artifact shipped requeue_truncated with both
+    // over_budget flags unretried — the deadline cut sweep-ordered retries
+    // exactly where they mattered. The order must put flagged ids first
+    // (regardless of sweep position or load), then the rest hottest-first,
+    // so a truncation can only ever drop the least-consequential retries.
+    val entries = Seq(
+      (0, "q01_cold", 5.0),   // hot-load, unflagged, early in sweep
+      (1, "q72_bm25", 0.2),   // FLAGGED, cool box, late
+      (2, "q50_mid", 3.0),    // hot-load, unflagged
+      (3, "q188_ddl", 0.1),   // FLAGGED, cool box, last
+      (4, "q02_idle", 1.0))   // cool, unflagged
+    val order = BenchBudgets.requeueOrder(entries, Set("q72_bm25", "q188_ddl"))
+    // both flagged ids precede every unflagged id
+    assert(order.take(2).toSet == Set(1, 3), order)
+    // the unflagged tail is hottest-first
+    assert(order.drop(2) == Seq(0, 2, 4), order)
+  }
 }

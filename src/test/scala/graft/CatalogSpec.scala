@@ -910,4 +910,182 @@ class CatalogSpec extends SparkSuite {
     assert(spark.table(t).select("k", "tag").as[(Long, String)]
       .collect().toSet == Set((1L, "a")))
   }
+
+  // ------------- nested-field schema evolution (VERDICT r17 #1) ----------
+  // The reference's document model is nested (current.condition.text —
+  // reference src/process_insert_update_weather_data.py:87-90); these pin
+  // the whole ALTER surface below top level: struct members, array
+  // elements, map values, across file generations and time travel.
+
+  private def nestedTable(name: String): String = {
+    wh
+    spark.sql(s"DROP TABLE IF EXISTS gcat.db.$name")
+    spark.sql(
+      s"""CREATE TABLE gcat.db.$name (
+         |  id BIGINT,
+         |  cur STRUCT<cond: STRUCT<text: STRING, code: INT>, temp_c: DOUBLE>,
+         |  tags ARRAY<STRUCT<name: STRING, conf: DOUBLE>>)""".stripMargin)
+    s"gcat.db.$name"
+  }
+
+  test("nested RENAME spans file generations: struct member and array element") {
+    import spark.implicits._
+    val t = nestedTable("nest1")
+    spark.sql(s"INSERT INTO $t VALUES " +
+      "(1, named_struct('cond', named_struct('text','Sunny','code',1000),'temp_c',31.5)," +
+      " array(named_struct('name','hot','conf',0.9)))")
+    spark.sql(s"ALTER TABLE $t RENAME COLUMN cur.cond.text TO description")
+    spark.sql(s"ALTER TABLE $t RENAME COLUMN tags.element.conf TO confidence")
+    spark.sql(s"INSERT INTO $t VALUES " +
+      "(2, named_struct('cond', named_struct('description','Rain','code',1063),'temp_c',22.0)," +
+      " array(named_struct('name','wet','confidence',0.8)))")
+    // both generations' values surface under the NEW names (by-id reads;
+    // a by-name engine would NULL the pre-rename file's column)
+    assert(spark.sql(s"SELECT id, cur.cond.description, tags[0].confidence " +
+      s"FROM $t ORDER BY id").as[(Long, String, Double)].collect().toSeq
+      == Seq((1L, "Sunny", 0.9), (2L, "Rain", 0.8)))
+    // renames apply RETROACTIVELY under time travel (the r17 contract)
+    assert(spark.sql(s"SELECT cur.cond.description FROM $t VERSION AS OF 1")
+      .as[String].collect().toSeq == Seq("Sunny"))
+  }
+
+  test("nested ADD backfills NULL; nested DROP + re-add never resurrects") {
+    import spark.implicits._
+    val t = nestedTable("nest2")
+    spark.sql(s"INSERT INTO $t VALUES " +
+      "(1, named_struct('cond', named_struct('text','Sunny','code',1000),'temp_c',31.5)," +
+      " array(named_struct('name','hot','conf',0.9)))")
+    spark.sql(s"ALTER TABLE $t ADD COLUMN cur.humidity INT")
+    spark.sql(s"INSERT INTO $t VALUES " +
+      "(2, named_struct('cond', named_struct('text','Fog','code',1030),'temp_c',15.0,'humidity',97)," +
+      " array(named_struct('name','grey','conf',0.5)))")
+    assert(spark.sql(s"SELECT id, cur.humidity FROM $t ORDER BY id")
+      .as[(Long, Option[Int])].collect().toSeq
+      == Seq((1L, None), (2L, Some(97))))
+    // drop + re-add the same nested name: the retired id never resurrects
+    // the dropped files' values (they read NULL under the fresh id)
+    spark.sql(s"ALTER TABLE $t DROP COLUMN cur.humidity")
+    spark.sql(s"ALTER TABLE $t ADD COLUMN cur.humidity INT")
+    assert(spark.sql(s"SELECT id, cur.humidity FROM $t ORDER BY id")
+      .as[(Long, Option[Int])].collect().toSeq
+      == Seq((1L, None), (2L, None)))
+  }
+
+  test("dropping a struct retires its whole id subtree") {
+    import spark.implicits._
+    val t = nestedTable("nest3")
+    spark.sql(s"INSERT INTO $t VALUES " +
+      "(1, named_struct('cond', named_struct('text','Sunny','code',1000),'temp_c',31.5)," +
+      " array(named_struct('name','hot','conf',0.9)))")
+    spark.sql(s"ALTER TABLE $t DROP COLUMN cur")
+    // re-add a struct with the SAME nested names: every leaf got a fresh
+    // id, so the dropped generation's values must stay dead at EVERY depth
+    spark.sql(s"ALTER TABLE $t ADD COLUMN cur STRUCT<cond: STRUCT<text: STRING, code: INT>, temp_c: DOUBLE>")
+    assert(spark.sql(s"SELECT id, cur.cond.text, cur.temp_c FROM $t")
+      .as[(Long, Option[String], Option[Double])].collect().toSeq
+      == Seq((1L, None, None)))
+  }
+
+  test("nested ALTER COLUMN TYPE widens losslessly; old files promote at scan") {
+    import spark.implicits._
+    val t = nestedTable("nest4")
+    spark.sql(s"INSERT INTO $t VALUES " +
+      "(1, named_struct('cond', named_struct('text','Sunny','code',1000),'temp_c',31.5)," +
+      " array(named_struct('name','hot','conf',0.9)))")
+    spark.sql(s"ALTER TABLE $t ALTER COLUMN cur.cond.code TYPE BIGINT")
+    spark.sql(s"INSERT INTO $t VALUES " +
+      "(2, named_struct('cond', named_struct('text','Rain','code',4294967296L),'temp_c',22.0)," +
+      " array(named_struct('name','wet','conf',0.8)))")
+    assert(spark.sql(s"SELECT id, cur.cond.code FROM $t ORDER BY id")
+      .as[(Long, Long)].collect().toSeq
+      == Seq((1L, 1000L), (2L, 4294967296L)))
+    // a change outside the whitelist still refuses even when Spark's
+    // analyzer would allow the upcast (long -> double re-interprets the
+    // committed int64 bytes at the parquet layer)
+    val e = intercept[Exception] {
+      spark.sql(s"ALTER TABLE $t ALTER COLUMN cur.cond.code TYPE DOUBLE")
+    }
+    assert(e.getMessage.contains("lossless"), e.getMessage)
+  }
+
+  test("nested rename/drop refuse at positions without field ids") {
+    wh
+    // a pre-field-id table (path-first commit, no sidecar): nested renames
+    // must refuse as loudly as top-level ones — its files carry no ids at
+    // ANY depth, so old files could not resolve the new name
+    val root = s"$wh/db/nest_legacy"
+    val df = spark.sql(
+      "SELECT 1L AS id, named_struct('a', 1, 'b', 'x') AS s, 'p0' AS p")
+    ManifestTable.commit(df, root, Some("p"))
+    val e = intercept[Exception] {
+      spark.sql(s"ALTER TABLE gcat.db.nest_legacy RENAME COLUMN s.a TO z")
+    }
+    assert(e.getMessage.contains("field id"), e.getMessage)
+    val e2 = intercept[Exception] {
+      spark.sql(s"ALTER TABLE gcat.db.nest_legacy DROP COLUMN s.a")
+    }
+    assert(e2.getMessage.contains("field id"), e2.getMessage)
+  }
+
+  test("legacy comma-format field-id sidecars (r17 tables) still parse and rename") {
+    import spark.implicits._
+    val t = freshTable("legfmt")
+    spark.sql(s"INSERT INTO $t VALUES (1, 'a', 'x')")
+    // rewrite the sidecar's id map to the pre-r18 comma-joined form, as an
+    // r17-created table would carry (out-of-band edit; the stamp-validated
+    // memo picks it up)
+    val sidecar = java.nio.file.Paths.get(s"$wh/db/legfmt/_ddl.json")
+    val body = java.nio.file.Files.readString(sidecar)
+    assert(body.contains("{\\\"k\\\":1"), body) // JSON form today
+    val legacy = body.replace("{\\\"k\\\":1,\\\"v\\\":2,\\\"p\\\":3}", "k:1,v:2,p:3")
+    assert(legacy != body, "substitution must hit")
+    java.nio.file.Files.writeString(sidecar, legacy)
+    // the NIO write bypassed hadoop's LocalFS checksum shadow — drop it
+    java.nio.file.Files.deleteIfExists(
+      sidecar.getParent.resolve("._ddl.json.crc"))
+    spark.sql(s"ALTER TABLE $t RENAME COLUMN v TO label")
+    assert(spark.table(t).select("k", "label").as[(Long, String)]
+      .collect().toSet == Set((1L, "a")))
+  }
+
+  test("RENAME COLUMN follows the mergeKey property (ADVICE r17)") {
+    val t = freshTable("mkren")
+    spark.sql(s"ALTER TABLE $t SET TBLPROPERTIES ('mergeKey' = 'k')")
+    spark.sql(s"INSERT INTO $t VALUES (1, 'a', 'x')")
+    spark.sql(s"ALTER TABLE $t RENAME COLUMN k TO kid")
+    val props = spark.sql(s"SHOW TBLPROPERTIES $t").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(props.get("mergeKey").contains("kid"), props.toString)
+  }
+
+  test("dotted column names refuse at CREATE, ADD and RENAME (path safety)") {
+    wh
+    spark.sql("DROP TABLE IF EXISTS gcat.db.dotty")
+    val e1 = intercept[Exception] {
+      spark.sql("CREATE TABLE gcat.db.dotty (`a.b` INT, c STRING)")
+    }
+    assert(e1.getMessage.contains("may not contain"), e1.getMessage)
+    val t = freshTable("dotty2")
+    val e2 = intercept[Exception] {
+      spark.sql(s"ALTER TABLE $t ADD COLUMNS (`x.y` INT)")
+    }
+    assert(e2.getMessage.contains("may not contain"), e2.getMessage)
+    val e3 = intercept[Exception] {
+      spark.sql(s"ALTER TABLE $t RENAME COLUMN v TO `v.2`")
+    }
+    assert(e3.getMessage.contains("may not contain"), e3.getMessage)
+  }
+
+  test("cannot drop the only field of a struct (parquet groups cannot be empty)") {
+    wh
+    spark.sql("DROP TABLE IF EXISTS gcat.db.nest5")
+    spark.sql("CREATE TABLE gcat.db.nest5 (id BIGINT, s STRUCT<only: INT>)")
+    val e = intercept[Exception] {
+      spark.sql("ALTER TABLE gcat.db.nest5 DROP COLUMN s.only")
+    }
+    assert(e.getMessage.contains("only field"), e.getMessage)
+    // dropping the struct itself is the documented way out
+    spark.sql("ALTER TABLE gcat.db.nest5 DROP COLUMN s")
+    assert(spark.table("gcat.db.nest5").schema.fieldNames.toSeq == Seq("id"))
+  }
 }
