@@ -5601,7 +5601,130 @@ object Queries {
                ELSE o_totalprice END AS price FROM t0),
       m2 AS (SELECT * FROM m1 WHERE o_orderkey % 11 <> 0)
       SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
-        ${dsumSql("price")} AS p FROM m2 GROUP BY o_orderstatus"""))
+        ${dsumSql("price")} AS p FROM m2 GROUP BY o_orderstatus""")),
+
+    // NESTED-FIELD SCHEMA EVOLUTION on the hard gate (VERDICT r17 #1):
+    // field ids extend through structs, arrays and maps, so RENAME COLUMN
+    // works BELOW top level — a struct member two levels down
+    // (cur.cond.status), a depth-1 member (cur.clerk) and an
+    // array-element member (tags.element.w) are all renamed between two
+    // file generations, and the aggregate spans both generations under
+    // the new names plus a pre-rename time-travel read. The reference's
+    // document model is literally nested (current.condition.text —
+    // reference src/process_insert_update_weather_data.py:87-90), so a
+    // lake ingesting it hits nested evolution on its first migration. A
+    // by-name read would NULL every renamed position for generation-1
+    // files; resolution is by parquet field id at EVERY depth. Still
+    // metadata-only: two sidecar writes, zero file rewrites, any scale.
+    ("q199_nested_evolution", (s: SparkSession, d: String) => {
+      import graft.sources.GraftCatalog
+      val o = t(s, d, "orders").select(col("o_orderkey"), col("o_totalprice"),
+        col("o_orderstatus"), col("o_orderpriority"))
+      val wh = java.nio.file.Files.createTempDirectory("q199-cat").toString
+      s.conf.set("spark.sql.catalog.gq199", classOf[GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.gq199.warehouse", wh)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS gq199.db")
+      s.sql("DROP TABLE IF EXISTS gq199.db.w")
+      o.createOrReplaceTempView("q199_src")
+      s.sql("""CREATE TABLE gq199.db.w (
+        k BIGINT,
+        cur STRUCT<cond: STRUCT<status: STRING, price: DOUBLE>, clerk: STRING>,
+        tags ARRAY<STRUCT<t: STRING, w: DOUBLE>>)""")
+      // generation 1: files under the ORIGINAL nested names
+      s.sql("""INSERT INTO gq199.db.w
+        SELECT o_orderkey AS k,
+          named_struct('cond',
+            named_struct('status', o_orderstatus, 'price', o_totalprice),
+            'clerk', o_orderpriority) AS cur,
+          array(named_struct('t', o_orderstatus,
+            'w', CAST(o_orderkey % 10 AS DOUBLE))) AS tags
+        FROM q199_src WHERE o_orderkey % 2 = 1""")
+      s.sql("ALTER TABLE gq199.db.w RENAME COLUMN cur.cond.status TO state")
+      s.sql("ALTER TABLE gq199.db.w RENAME COLUMN cur.clerk TO agent")
+      s.sql("ALTER TABLE gq199.db.w RENAME COLUMN tags.element.w TO weight")
+      // generation 2: files under the NEW nested names
+      s.sql("""INSERT INTO gq199.db.w
+        SELECT o_orderkey AS k,
+          named_struct('cond',
+            named_struct('state', o_orderstatus, 'price', o_totalprice),
+            'agent', o_orderpriority) AS cur,
+          array(named_struct('t', o_orderstatus,
+            'weight', CAST(o_orderkey % 10 AS DOUBLE))) AS tags
+        FROM q199_src WHERE o_orderkey % 2 = 0""")
+      s.sql(s"""SELECT c.state, c.n_cur, c.p_cur, c.w_cur, c.a_cur,
+          v.n_v1, v.p_v1
+        FROM (SELECT cur.cond.state AS state, CAST(count(*) AS BIGINT) AS n_cur,
+                ${dsumSql("cur.cond.price")} AS p_cur,
+                CAST(sum(CAST(tags[0].weight AS BIGINT)) AS BIGINT) AS w_cur,
+                CAST(count(DISTINCT cur.agent) AS BIGINT) AS a_cur
+              FROM gq199.db.w GROUP BY cur.cond.state) c
+        JOIN (SELECT cur.cond.state AS state, CAST(count(*) AS BIGINT) AS n_v1,
+                ${dsumSql("cur.cond.price")} AS p_v1
+              FROM gq199.db.w VERSION AS OF 1 GROUP BY cur.cond.state) v
+        ON c.state = v.state""")
+    }, Some(s"""WITH t AS (SELECT o_orderkey AS k, o_orderstatus AS st,
+          o_totalprice AS pr, o_orderpriority AS ag FROM orders),
+      v1 AS (SELECT * FROM t WHERE k % 2 = 1)
+      SELECT c.state, c.n_cur, c.p_cur, c.w_cur, c.a_cur, v.n_v1, v.p_v1
+      FROM (SELECT st AS state, CAST(count(*) AS BIGINT) AS n_cur,
+              ${dsumSql("pr")} AS p_cur,
+              CAST(CAST(sum(k % 10) AS BIGINT) AS BIGINT) AS w_cur,
+              CAST(count(DISTINCT ag) AS BIGINT) AS a_cur
+            FROM t GROUP BY st) c
+      JOIN (SELECT st AS state, CAST(count(*) AS BIGINT) AS n_v1,
+              ${dsumSql("pr")} AS p_v1 FROM v1 GROUP BY st) v
+      ON c.state = v.state""")),
+
+    // DROP + RE-ADD RESURRECTION GUARD on the hard gate (VERDICT r17 #6),
+    // at a NESTED position: DROP COLUMN s.v retires the field's id behind
+    // the high-water mark, so re-adding the SAME name allocates a fresh
+    // id and generation-1 files' values must read NULL under it — the
+    // classic by-name resurrection bug (old files still physically hold
+    // the column's bytes) made impossible by id resolution. The sibling
+    // s.note keeps its id through the surgery, so BOTH generations keep
+    // serving it. count(*) vs count(s.v) vs count(s.note) per group is
+    // exactly the three-way split a resurrection or a sibling casualty
+    // would corrupt.
+    ("q200_drop_readd_guard", (s: SparkSession, d: String) => {
+      import graft.sources.GraftCatalog
+      val o = t(s, d, "orders").select(col("o_orderkey"), col("o_totalprice"),
+        col("o_orderstatus"), col("o_orderpriority"))
+      val wh = java.nio.file.Files.createTempDirectory("q200-cat").toString
+      s.conf.set("spark.sql.catalog.gq200", classOf[GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.gq200.warehouse", wh)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS gq200.db")
+      s.sql("DROP TABLE IF EXISTS gq200.db.o")
+      o.createOrReplaceTempView("q200_src")
+      s.sql("""CREATE TABLE gq200.db.o (
+        k BIGINT, s STRUCT<v: DOUBLE, note: STRING>, status STRING)
+        PARTITIONED BY (status)""")
+      // generation 1: s.v populated everywhere
+      s.sql("""INSERT INTO gq200.db.o
+        SELECT o_orderkey AS k,
+          named_struct('v', o_totalprice, 'note', o_orderpriority) AS s,
+          o_orderstatus AS status
+        FROM q200_src WHERE o_orderkey % 2 = 1""")
+      s.sql("ALTER TABLE gq200.db.o DROP COLUMN s.v")
+      s.sql("ALTER TABLE gq200.db.o ADD COLUMN s.v DOUBLE")
+      // generation 2: the re-added s.v (fresh id), offset so any
+      // resurrected generation-1 value would shift the sum
+      s.sql("""INSERT INTO gq200.db.o
+        SELECT o_orderkey AS k,
+          named_struct('note', o_orderpriority, 'v', o_totalprice + 1000) AS s,
+          o_orderstatus AS status
+        FROM q200_src WHERE o_orderkey % 2 = 0""")
+      s.sql(s"""SELECT status, CAST(count(*) AS BIGINT) AS n_all,
+          CAST(count(s.v) AS BIGINT) AS n_v,
+          ${dsumSql("s.v")} AS v_sum,
+          CAST(count(s.note) AS BIGINT) AS n_note
+        FROM gq200.db.o GROUP BY status""")
+    }, Some(s"""WITH t AS (SELECT o_orderkey AS k, o_orderstatus AS status,
+          o_totalprice AS pr, o_orderpriority AS note FROM orders)
+      SELECT status, CAST(count(*) AS BIGINT) AS n_all,
+        CAST(count(CASE WHEN k % 2 = 0 THEN 1 END) AS BIGINT) AS n_v,
+        ${dsumSql("CASE WHEN k % 2 = 0 THEN pr + 1000 END")} AS v_sum,
+        CAST(count(note) AS BIGINT) AS n_note
+      FROM t GROUP BY status"""))
   )
 
   /** The BM25 replay shared by q72/q123 — postings, df, dl, corpus stats,
