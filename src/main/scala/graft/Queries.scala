@@ -5304,10 +5304,13 @@ object Queries {
     // over the filtered candidate set — the cheap, correct alternative to
     // eager reindexing: at 100 TB the index stays immutable and every
     // query pays one broadcast anti-join of O(deleted-since-build) keys
-    // until a scheduled rebuild swallows the mask. The anti-join is a pure
-    // row filter on the id, so the same maintenance composes unchanged
-    // with the PQ-coded index variants (q180/q131); LlmSpec drives that
-    // contract on a planted-neighbor fixture.
+    // until a rebuild swallows the mask — that rebuild is now a first-
+    // class verb (`CALL system.rebuild_index`, r18): q201 replays THIS
+    // scenario through it against the same oracle, and SCALING.md's
+    // ann_rebuild curve measures the mask-vs-flat gap. The anti-join is a
+    // pure row filter on the id, so the same maintenance composes
+    // unchanged with the PQ-coded index variants (q180/q131); LlmSpec
+    // drives that contract on a planted-neighbor fixture.
     ("q194_ann_delete_maint", (s: SparkSession, d: String) => {
       import graft.sources.ManifestTable
       val embSchema = StructType(Seq(
@@ -5724,7 +5727,136 @@ object Queries {
         CAST(count(CASE WHEN k % 2 = 0 THEN 1 END) AS BIGINT) AS n_v,
         ${dsumSql("CASE WHEN k % 2 = 0 THEN pr + 1000 END")} AS v_sum,
         CAST(count(note) AS BIGINT) AS n_note
-      FROM t GROUP BY status"""))
+      FROM t GROUP BY status""")),
+
+    // ANN REBUILD LIFECYCLE on the hard gate (VERDICT r17 #2, closing
+    // q194's documented deferral): the same corpus-delete scenario as
+    // q194, but resolved by `CALL system.rebuild_index` instead of the
+    // query-time mask — the procedure gauges the deleted fraction since
+    // the index's `#basedOn` corpus version, rewrites the index to
+    // SURVIVORS (one broadcast anti-join; frozen-model cells need no
+    // re-encode), re-clusters by cell and re-stamps `#basedOn` in the
+    // same atomic commit. The post-rebuild search runs with NO mask and
+    // must be bit-identical to q194's masked answer (the two queries
+    // share one oracle). At 100 TB: queries pay the O(deleted) mask only
+    // between rebuilds; the rebuild itself is one survivor-sized write.
+    ("q201_ann_rebuild", (s: SparkSession, d: String) => {
+      import graft.sources.{GraftCatalog, ManifestTable}
+      val emb0 = t(s, d, "embeddings").filter(pmod(col("vec_id"), lit(4)) === 0)
+        .select(col("vec_id"), col("embedding"))
+      val wh = java.nio.file.Files.createTempDirectory("q201-cat").toString
+      s.conf.set("spark.sql.catalog.gq201", classOf[GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.gq201.warehouse", wh)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS gq201.db")
+      s.sql("DROP TABLE IF EXISTS gq201.db.corpus")
+      s.sql("DROP TABLE IF EXISTS gq201.db.idx")
+      emb0.createOrReplaceTempView("q201_src")
+      s.sql("CREATE TABLE gq201.db.corpus (vec_id BIGINT, embedding ARRAY<FLOAT>)")
+      s.sql("INSERT INTO gq201.db.corpus SELECT * FROM q201_src")
+      val corpusRoot = s"$wh/db/corpus"; val idxRoot = s"$wh/db/idx"
+      val cents = SimSearch.trainCentroids(emb0, centroidStride = 64, iters = 2)
+      s.sql("""CREATE TABLE gq201.db.idx (
+        vec_id BIGINT, cell BIGINT, embedding ARRAY<FLOAT>)
+        TBLPROPERTIES ('statsCols' = 'cell', 'bloomCols' = 'cell')""")
+      ManifestTable.withBasedOn(
+        ManifestTable.currentVersion(s, corpusRoot).get) {
+        ManifestTable.commit(
+          emb0.join(SimSearch.assignCells(emb0, cents), Seq("vec_id"))
+            .select(col("vec_id"), col("cell"), col("embedding"))
+            .repartitionByRange(8, col("cell"), col("vec_id")),
+          idxRoot, None, carryForward = false,
+          statsCols = Seq("cell"), bloomCols = Seq("cell"))
+      }
+      s.sql("DELETE FROM gq201.db.corpus WHERE vec_id % 10 = 4")
+      val res = s.sql("""CALL gq201.system.rebuild_index(index => 'db.idx',
+        corpus => 'db.corpus', key => 'vec_id', threshold => 0.01,
+        cluster_by => 'cell')""").collect()(0)
+      require(res.getBoolean(0), s"rebuild should have fired: $res")
+      // post-rebuild: file-pruned probes, NO delete mask
+      val q = emb0.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      val idxSchema = StructType(Seq(
+        StructField("vec_id", LongType), StructField("cell", LongType),
+        StructField("embedding", ArrayType(FloatType))))
+      val probed = SimSearch.probeCells(q, cents, nprobe = 2)
+        .select("cell").distinct().collect().map(_.getLong(0)).sorted
+      val stored = ManifestTable.readAuto(s, idxRoot, idxSchema,
+        col("cell").isin(probed.toIndexedSeq: _*))
+      SimSearch.ivfTopKStored(q, stored, cents, 5, nprobe = 2)
+    }, Some("""WITH corp AS (SELECT vec_id, embedding::DOUBLE[] AS v
+        FROM embeddings WHERE vec_id % 4 = 0),
+      c0 AS (SELECT vec_id AS cent_id, v AS cent FROM corp WHERE vec_id % 64 = 0),
+      a1 AS (SELECT vec_id, v, cell FROM (
+        SELECT c.vec_id, c.v, t.cent_id AS cell,
+          row_number() OVER (PARTITION BY c.vec_id
+            ORDER BY round(list_cosine_similarity(c.v, t.cent), 6) DESC, t.cent_id) AS rn
+        FROM corp c CROSS JOIN c0 t) WHERE rn = 1),
+      c1 AS (SELECT cell AS cent_id, list(m ORDER BY dim) AS cent FROM (
+          SELECT cell, dim, floor(CAST(sum(CAST(x AS DECIMAL(18,6))) AS DOUBLE) / count(*) * 1e6 + 0.5) / 1e6 AS m
+          FROM (SELECT cell, unnest(range(len(v))) AS dim, unnest(v) AS x FROM a1)
+          GROUP BY cell, dim) GROUP BY cell),
+      a2 AS (SELECT vec_id, v, cell FROM (
+        SELECT c.vec_id, c.v, t.cent_id AS cell,
+          row_number() OVER (PARTITION BY c.vec_id
+            ORDER BY round(list_cosine_similarity(c.v, t.cent), 6) DESC, t.cent_id) AS rn
+        FROM corp c CROSS JOIN c1 t) WHERE rn = 1),
+      c2 AS (SELECT cell AS cent_id, list(m ORDER BY dim) AS cent FROM (
+          SELECT cell, dim, floor(CAST(sum(CAST(x AS DECIMAL(18,6))) AS DOUBLE) / count(*) * 1e6 + 0.5) / 1e6 AS m
+          FROM (SELECT cell, unnest(range(len(v))) AS dim, unnest(v) AS x FROM a2)
+          GROUP BY cell, dim) GROUP BY cell),
+      ca AS (SELECT vec_id, v, cell FROM (
+        SELECT c.vec_id, c.v, t.cent_id AS cell,
+          row_number() OVER (PARTITION BY c.vec_id
+            ORDER BY round(list_cosine_similarity(c.v, t.cent), 6) DESC, t.cent_id) AS rn
+        FROM corp c CROSS JOIN c2 t) WHERE rn = 1),
+      q AS (SELECT vec_id AS query_id, v AS qv FROM corp WHERE vec_id < 8),
+      qa AS (SELECT query_id, qv, cell FROM (
+        SELECT q.query_id, q.qv, t.cent_id AS cell,
+          row_number() OVER (PARTITION BY q.query_id
+            ORDER BY round(list_cosine_similarity(q.qv, t.cent), 6) DESC, t.cent_id) AS rn
+        FROM q CROSS JOIN c2 t) WHERE rn <= 2),
+      sc AS (SELECT qa.query_id, ca.vec_id, round(list_cosine_similarity(qa.qv, ca.v), 6) AS cosine
+        FROM ca JOIN qa ON ca.cell = qa.cell
+        WHERE ca.vec_id % 10 <> 4),
+      w AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rnk FROM sc)
+      SELECT query_id, vec_id, cosine, CAST(rnk AS INTEGER) AS rank FROM w WHERE rnk <= 5""")),
+
+    // NESTED-COLUMN DATA SKIPPING on the hard gate (r18, completing the
+    // nested-evolution story): zone maps and Bloom filters on DOTTED leaf
+    // paths — parquet footers key chunk stats by exactly that path, the
+    // Bloom harvest selects by it, and `readAuto` folds GetStructField
+    // chains in the predicate to the same dotted name. The reference's
+    // document model is nested (`current.condition.text`), so at 100 TB
+    // its selective queries live or die on nested skipping: here a range
+    // on `o.m.key` (range-clustered) prunes files via nested zones and an
+    // equality on `o.m.status` rides the nested Bloom, with the full
+    // predicate re-applied on the survivors — prune-then-filter is always
+    // a correct superset, and the oracle pins exactness.
+    ("q202_nested_skipping", (s: SparkSession, d: String) => {
+      import graft.sources.ManifestTable
+      val o = t(s, d, "orders").select(col("o_orderkey").as("k"),
+        struct(
+          struct(col("o_orderkey").as("key"),
+            col("o_orderstatus").as("status")).as("m"),
+          col("o_totalprice").as("price")).as("o"))
+      val root = java.nio.file.Files.createTempDirectory("q202-ns").toString + "/t"
+      ManifestTable.commit(o.repartitionByRange(8, col("k")), root, None,
+        statsCols = Seq("o.m.key"), bloomCols = Seq("o.m.status"))
+      val schema = StructType(Seq(
+        StructField("k", LongType),
+        StructField("o", StructType(Seq(
+          StructField("m", StructType(Seq(
+            StructField("key", LongType),
+            StructField("status", StringType)))),
+          StructField("price", DoubleType))))))
+      ManifestTable.readAuto(s, root, schema,
+          col("o.m.key") >= 64L && col("o.m.key") < 2048L &&
+            col("o.m.status") === "F")
+        .agg(count(lit(1)).cast("long").as("n"), dsum(col("o.price")).as("p"))
+    }, Some(s"""SELECT CAST(count(*) AS BIGINT) AS n,
+        ${dsumSql("o_totalprice")} AS p
+      FROM orders
+      WHERE o_orderkey >= 64 AND o_orderkey < 2048 AND o_orderstatus = 'F'"""))
   )
 
   /** The BM25 replay shared by q72/q123 — postings, df, dl, corpus stats,

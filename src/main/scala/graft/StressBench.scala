@@ -853,6 +853,117 @@ object StressBench {
         println(f"""[stress] {"op":"rename_scale","factor":$f,"pre_read_sec":$pre%.3f,"rename_sec":$renameSec%.4f,"post_read_sec":$post%.3f}""")
       }
     }
+
+    // r18 (VERDICT r17 #2): ANN delete-maintenance LIFECYCLE — q194's
+    // query-time mask is O(deleted keys) per query, so under churn every
+    // query pays a growing changes-scan + broadcast anti-join. The
+    // rebuild (survivor anti-join rewrite + #basedOn re-stamp, the
+    // rebuild_index procedure body) is paid ONCE; afterwards the mask
+    // reads empty. masked_sec vs post_sec at growing corpus scale is the
+    // flat-after-rebuild claim, rebuild_sec its amortized price.
+    if (onlyOps.forall(_.exists("ann_rebuild".startsWith))) {
+      import graft.llm.SimSearch
+      import graft.sources.ManifestTable
+      for (f <- Seq(1, 4, 16)) {
+        val base = java.nio.file.Files.createTempDirectory(s"annrb$f").toString
+        val corpusRoot = s"$base/corpus"; val idxRoot = s"$base/index"
+        val emb = embTimes(f).localCheckpoint()
+        val embSchema = emb.schema
+        ManifestTable.commit(emb, corpusRoot, None)
+        val cents = SimSearch.trainCentroids(emb, centroidStride = 64, iters = 2)
+        val builtAt = ManifestTable.currentVersion(spark, corpusRoot).get
+        ManifestTable.withBasedOn(builtAt) {
+          ManifestTable.commit(
+            emb.join(SimSearch.assignCells(emb, cents), Seq("vec_id"))
+              .select(col("vec_id"), col("cell"), col("embedding"))
+              .repartitionByRange(8, col("cell"), col("vec_id")),
+            idxRoot, None, statsCols = Seq("cell"), bloomCols = Seq("cell"))
+        }
+        // churn: ~30% of the corpus deleted since the index was built
+        ManifestTable.deleteWhere(spark, corpusRoot, embSchema,
+          pmod(col("vec_id"), lit(10)) < 3)
+        val idxSchema = org.apache.spark.sql.types.StructType(Seq(
+          embSchema("vec_id"),
+          org.apache.spark.sql.types.StructField("cell",
+            org.apache.spark.sql.types.LongType),
+          embSchema("embedding")))
+        val q = emb.filter(col("vec_id") < 16)
+          .select(col("vec_id").as("query_id"), col("embedding"))
+        def maskedQuery(): DataFrame = {
+          val dead = ManifestTable.deletedKeysSince(spark, corpusRoot,
+            embSchema, Seq("vec_id"), builtAt)
+          SimSearch.ivfTopKStored(q,
+            ManifestTable.read(spark, idxRoot, idxSchema)
+              .join(broadcast(dead), Seq("vec_id"), "left_anti"),
+            cents, 5, nprobe = 2)
+        }
+        def plainQuery(): DataFrame = SimSearch.ivfTopKStored(q,
+          ManifestTable.read(spark, idxRoot, idxSchema), cents, 5, nprobe = 2)
+        def secs(df: => DataFrame): Double = {
+          df.write.format("noop").mode("overwrite").save() // warm
+          spark.catalog.clearCache()
+          val t0 = System.nanoTime()
+          df.write.format("noop").mode("overwrite").save()
+          spark.catalog.clearCache()
+          (System.nanoTime() - t0) / 1e9
+        }
+        val maskedSec = secs(maskedQuery())
+        val tr0 = System.nanoTime()
+        val dead = ManifestTable.deletedKeysSince(spark, corpusRoot,
+          embSchema, Seq("vec_id"), builtAt)
+        ManifestTable.withBasedOn(
+          ManifestTable.currentVersion(spark, corpusRoot).get) {
+          ManifestTable.commit(
+            ManifestTable.read(spark, idxRoot, idxSchema)
+              .join(broadcast(dead), Seq("vec_id"), "left_anti")
+              .repartitionByRange(8, col("cell"), col("vec_id")),
+            idxRoot, None, carryForward = false,
+            statsCols = Seq("cell"), bloomCols = Seq("cell"))
+        }
+        val rebuildSec = (System.nanoTime() - tr0) / 1e9
+        val postSec = secs(plainQuery())
+        println(f"""[stress] {"op":"ann_rebuild","factor":$f,"masked_sec":$maskedSec%.3f,"rebuild_sec":$rebuildSec%.3f,"post_sec":$postSec%.3f}""")
+      }
+    }
+
+    // r18 (VERDICT r17 #8): WIDE-SCHEMA commit/read curve — the field-id
+    // seam attaches per-field metadata on every write and parses the
+    // sidecar id map on every read, so this measures whether that cost
+    // stays per-COLUMN-flat as schemas widen 10 -> 100 -> 1000 columns
+    // (cell count is held constant: rows shrink as columns grow, so any
+    // superlinear growth is schema overhead, not data volume). alter_sec
+    // times one RENAME at width (full sidecar rewrite + memo refresh).
+    if (onlyOps.forall(_.exists("wide_schema".startsWith))) {
+      for (w <- Seq(10, 100, 1000)) {
+        val wh = java.nio.file.Files.createTempDirectory(s"wide$w").toString
+        val cat = s"gws$w" // fresh catalog name per warehouse (cached by name)
+        spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+        spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+        spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.db")
+        val colDdl = (1 to w).map(i => s"c$i DOUBLE").mkString(", ")
+        spark.sql(s"CREATE TABLE $cat.db.t (id BIGINT, $colDdl)")
+        val rows = math.max(1000, 400000 / w)
+        val src = spark.range(rows).select(
+          (col("id") +: (1 to w).map(i =>
+            pmod(col("id") * i, lit(97)).cast("double").as(s"c$i"))): _*)
+        src.createOrReplaceTempView(s"wide_src_$w")
+        val ti0 = System.nanoTime()
+        spark.sql(s"INSERT INTO $cat.db.t SELECT * FROM wide_src_$w")
+        val insertSec = (System.nanoTime() - ti0) / 1e9
+        def readSec(): Double = {
+          val t0 = System.nanoTime()
+          spark.sql(s"SELECT sum(c1) AS a, sum(c$w) AS b, count(*) AS n " +
+            s"FROM $cat.db.t").collect()
+          (System.nanoTime() - t0) / 1e9
+        }
+        readSec() // warm
+        val rd = readSec()
+        val ta0 = System.nanoTime()
+        spark.sql(s"ALTER TABLE $cat.db.t RENAME COLUMN c2 TO c2_renamed")
+        val alterSec = (System.nanoTime() - ta0) / 1e9
+        println(f"""[stress] {"op":"wide_schema","cols":$w,"rows":$rows,"insert_sec":$insertSec%.3f,"read_sec":$rd%.3f,"alter_sec":$alterSec%.4f}""")
+      }
+    }
     spark.stop()
   }
 }

@@ -373,20 +373,28 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
            else if (p.startsWith(from + ".")) to + p.substring(from.length)
            else p) -> i
         }))
-        // skipping-sidecar property lists follow a TOP-LEVEL rename (they
-        // hold top-level column names; nested renames can't touch them);
-        // zone/bloom sidecars of PRIOR versions stay keyed by the old name
-        // and simply stop matching (no skip for old files — correct, just
-        // unpruned); the next commit publishes stats under the new name.
-        // mergeKey follows too (ADVICE r17): the streaming-read seam and
-        // cdf sinks resolve it against the CURRENT schema at stream start,
-        // so a stale pointer at the dead name would fail the next run.
+        // skipping-sidecar property lists follow the rename at ANY depth
+        // (entries are dotted paths since r18 nested skipping — a renamed
+        // struct re-prefixes every entry under it); zone/bloom sidecars of
+        // PRIOR versions stay keyed by the old name and simply stop
+        // matching (no skip for old files — correct, just unpruned); the
+        // next commit publishes stats under the new name. mergeKey (a
+        // top-level key) follows too (ADVICE r17): the streaming-read seam
+        // and cdf sinks resolve it against the CURRENT schema at stream
+        // start, so a stale pointer at the dead name would fail the next run.
+        def followRename(entry: String): String =
+          if (entry == from) to
+          else if (entry.startsWith(from + ".")) to + entry.substring(from.length)
+          else entry
+        Seq("statsCols", "bloomCols").foreach { k =>
+          props.get(k).foreach { v =>
+            props += (k -> v.split(",").map(c => followRename(c.trim)).mkString(","))
+          }
+        }
         if (path.length == 1)
-          Seq("statsCols", "bloomCols", "mergeKey").foreach { k =>
-            props.get(k).foreach { v =>
-              props += (k -> v.split(",").map(c =>
-                if (c.trim == from) to else c.trim).mkString(","))
-            }
+          props.get("mergeKey").foreach { v =>
+            props += ("mergeKey" -> v.split(",").map(c =>
+              if (c.trim == from) to else c.trim).mkString(","))
           }
       // DROP COLUMN as a METADATA-ONLY edit: committed files keep the
       // column's bytes, reads simply stop requesting it, and vacuum-after-
@@ -426,13 +434,15 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
           // never be re-issued either — same resurrection argument per leaf)
           props += (FieldIds.Prop -> FieldIds.render(
             ids.filterNot { case (p, _) => p == nm || p.startsWith(nm + ".") }))
-          if (path.length == 1)
-            Seq("statsCols", "bloomCols").foreach { k =>
-              props.get(k).foreach { v =>
-                val keep = v.split(",").map(_.trim).filterNot(_ == nm)
-                if (keep.isEmpty) props -= k else props += (k -> keep.mkString(","))
-              }
+          // skipping lists drop the column's entries at ANY depth (a
+          // dropped struct takes its whole dotted subtree with it)
+          Seq("statsCols", "bloomCols").foreach { k =>
+            props.get(k).foreach { v =>
+              val keep = v.split(",").map(_.trim)
+                .filterNot(c => c == nm || c.startsWith(nm + "."))
+              if (keep.isEmpty) props -= k else props += (k -> keep.mkString(","))
             }
+          }
         }
       // ALTER COLUMN TYPE, restricted to LOSSLESS widenings (the Iceberg
       // type-promotion set plus the byte/short chain): the parquet reader
@@ -830,6 +840,18 @@ private[sources] object FieldIds {
   def attachDf(df: DataFrame, ids: Map[String, Int]): DataFrame =
     if (ids.isEmpty) df
     else {
+      // SCHEMA ENFORCEMENT (r18): on an id table, a frame column with no
+      // id mapping means the writer's schema has DRIFTED from the table's
+      // (e.g. it still uses a since-renamed name after a concurrent ALTER
+      // refreshed this process's memo) — writing it would produce an
+      // un-annotated column that every by-id read resolves to NULL, a
+      // silent loss. Refuse loudly; the writer re-resolves the current
+      // schema and retries (the MultiProcessAlterRaceSpec contract).
+      val unknown = df.schema.fieldNames.filterNot(ids.contains)
+      if (unknown.nonEmpty) throw new IllegalStateException(
+        s"schema drift: column(s) ${unknown.mkString(", ")} carry no field id " +
+          s"in the table's current id map (${ids.keys.toSeq.sorted.mkString(", ")}) " +
+          "— the table was likely ALTERed concurrently; re-read its schema and retry")
       val attached = attach(df.schema, ids)
       df.select(attached.fields.zip(df.schema.fields).map { case (t, s) =>
         val base = col("`" + t.name.replace("`", "``") + "`")
@@ -1038,6 +1060,19 @@ private[sources] object GraftDdl {
       }
   }
 
+  /** Parse a STAGED sidecar by name without promoting it — the write
+    * seam's lookahead for commits that flip the schema atomically with
+    * their own `#ddl` directive ([[ManifestTable.fieldIdsForWrite]]): the
+    * staged DDL becomes authoritative the instant that commit's manifest
+    * renames in, so the data it writes must carry the STAGED map's ids,
+    * not the still-live old sidecar's.
+    */
+  def loadStaged(spark: SparkSession, root: String, name: String): Option[Ddl] = {
+    val p = new Path(root, name)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None else Some(parse(readBytes(fs, p)))
+  }
+
   def load(spark: SparkSession, root: String): Option[Ddl] = {
     stagedAuthority(spark, root) match {
       case Some((stagedP, d)) =>
@@ -1054,7 +1089,24 @@ private[sources] object GraftDdl {
       case None =>
         val p = new Path(root, FileName)
         val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        if (!fs.exists(p)) None else Some(parse(readBytes(fs, p)))
+        // TRANSIENT-read tolerance (r18, found by the two-JVM ALTER race):
+        // the sidecar install is one atomic data-file rename, but
+        // Hadoop's LocalFileSystem moves the `.crc` shadow SEPARATELY — a
+        // reader landing between the two sees a ChecksumException (and an
+        // object store's eventual list could briefly miss the fresh
+        // rename). The file is tiny and the install atomic, so a short
+        // bounded retry always converges to a complete old or new body.
+        var attempt = 0
+        while (true) {
+          try {
+            return if (!fs.exists(p)) None else Some(parse(readBytes(fs, p)))
+          } catch {
+            case e: java.io.IOException if attempt < 5 =>
+              attempt += 1
+              Thread.sleep(20L * attempt)
+          }
+        }
+        None // unreachable
     }
   }
 }
@@ -1113,6 +1165,7 @@ class GraftV2Table(val root: String, displayName: String, asOf: Option[Long])
       .getOrElse(Nil)
 
   private[sources] def statsColsProp: Seq[String] = propCols("statsCols")
+  private[sources] def bloomColsProp: Seq[String] = propCols("bloomCols")
 
   override def partitioning(): Array[Transform] =
     partCol.map(Expressions.identity).toArray
@@ -1820,6 +1873,8 @@ private[sources] object RowParquet {
   *   CALL gcat.system.zorder(`table` => 'db.t', columns => 'a,b', target_files => 8)
   *   CALL gcat.system.restore(`table` => 'db.t', version => 3)
   *   CALL gcat.system.vacuum(`table` => 'db.t', retain => 1)
+  *   CALL gcat.system.rebuild_index(index => 'db.idx', corpus => 'db.c',
+  *     key => 'vec_id', threshold => 0.1, cluster_by => 'cell')
   * }}}
   *
   * Every procedure returns its result as rows (a [[LocalScan]] — the
@@ -1835,7 +1890,8 @@ private[sources] object GraftProcedures {
   import org.apache.spark.unsafe.types.UTF8String
 
   val all: Seq[String] =
-    Seq("row_count", "detail", "compact", "zorder", "restore", "vacuum")
+    Seq("row_count", "detail", "compact", "zorder", "restore", "vacuum",
+      "rebuild_index")
 
   private def in(name: String, dt: org.apache.spark.sql.types.DataType) =
     ProcedureParameter.in(name, dt).build()
@@ -1946,6 +2002,65 @@ private[sources] object GraftProcedures {
       override def run(args: InternalRow): Seq[InternalRow] = {
         val t = cat.tableNamed(args.getUTF8String(0).toString)
         Seq(row(ManifestTable.restore(SparkSession.active, t.root, args.getLong(1))))
+      }
+    })
+
+    // ANN-INDEX REBUILD LIFECYCLE (VERDICT r17 #2): q194's query-time
+    // anti-join masks corpus keys deleted since the index's `#basedOn`
+    // corpus version — correct at any scale, but the mask grows with
+    // churn and every query pays its broadcast. This closes the loop:
+    // gauge the deleted fraction against the index size, and when it
+    // clears `threshold`, rewrite the index to SURVIVORS ONLY (one
+    // broadcast anti-join — codes/cells were encoded under a frozen
+    // model, so surviving rows' entries are already correct and nothing
+    // is re-encoded), re-cluster, and re-stamp `#basedOn` at the CURRENT
+    // corpus version in the same atomic commit. Post-rebuild queries
+    // carry an EMPTY mask until the next deletion. Under threshold the
+    // call is a pure metadata+changes gauge, O(changed partitions) I/O.
+    case "rebuild_index" => Some(new P("rebuild_index",
+      Seq(in("index", StringType), in("corpus", StringType), in("key", StringType),
+        inDef("threshold", DoubleType, "0.0"), inDef("cluster_by", StringType, "''")),
+      StructType(Seq(StructField("rebuilt", org.apache.spark.sql.types.BooleanType),
+        StructField("deleted_fraction", DoubleType),
+        StructField("based_on", LongType), StructField("version", LongType)))) {
+      override def description(): String =
+        "drop corpus-deleted keys from an ANN index when the deleted " +
+          "fraction since its #basedOn corpus version clears `threshold`, " +
+          "re-clustering by `cluster_by` and re-stamping #basedOn at the " +
+          "current corpus version — query-time delete masks return to empty"
+      override def run(args: InternalRow): Seq[InternalRow] = {
+        val s = SparkSession.active
+        val idx = cat.tableNamed(args.getUTF8String(0).toString)
+        val corp = cat.tableNamed(args.getUTF8String(1).toString)
+        val key = args.getUTF8String(2).toString
+        val threshold = args.getDouble(3)
+        val cluster = Option(args.getUTF8String(4)).map(_.toString).getOrElse("")
+          .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+        val basedOn = ManifestTable.basedOnVersion(s, idx.root).getOrElse(0L)
+        val dead = ManifestTable.deletedKeysSince(
+          s, corp.root, corp.schema, Seq(key), basedOn).cache()
+        try {
+          val nDead = dead.count()
+          val nIdx = math.max(1L, ManifestTable.rowCount(s, idx.root))
+          val fraction = nDead.toDouble / nIdx
+          if (nDead > 0 && fraction >= threshold) {
+            val survivors = ManifestTable.read(s, idx.root, idx.schema)
+              .join(org.apache.spark.sql.functions.broadcast(dead), Seq(key), "left_anti")
+            val clustered =
+              if (cluster.isEmpty) survivors
+              else survivors.repartitionByRange(
+                (cluster :+ key).map(col).toIndexedSeq: _*)
+            val corpusNow = ManifestTable.currentVersion(s, corp.root).getOrElse(0L)
+            val v = ManifestTable.withBasedOn(corpusNow) {
+              ManifestTable.commit(clustered, idx.root, idx.partCol,
+                carryForward = false, statsCols = idx.statsColsProp,
+                bloomCols = idx.bloomColsProp)
+            }
+            Seq(row(true, fraction, corpusNow, v))
+          } else
+            Seq(row(false, fraction, basedOn,
+              ManifestTable.currentVersion(s, idx.root).getOrElse(-1L)))
+        } finally dead.unpersist()
       }
     })
 

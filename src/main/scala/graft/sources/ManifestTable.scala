@@ -189,6 +189,43 @@ object ManifestTable {
       .find(_.startsWith(s"#$key\t")).map(_.stripPrefix(s"#$key\t"))
   }
 
+  /** The field-id map a COMMIT must attach to the data it writes
+    * ([[FieldIds.attachDf]] seam): normally the live sidecar's
+    * ([[FieldIds.of]]), but a commit carrying a `#ddl` directive flips the
+    * schema ATOMICALLY with its own manifest rename (the RTAS adopt /
+    * torn-flip shape) — the staged sidecar it names becomes authoritative
+    * the instant this commit lands, so the data must carry the STAGED
+    * map's ids; attaching the dying map would refuse the new columns as
+    * schema drift (r18).
+    */
+  private def fieldIdsForWrite(spark: SparkSession, root: String): Map[String, Int] =
+    commitDirectives.value
+      .find(_.startsWith("#ddl\t")).map(_.stripPrefix("#ddl\t"))
+      .flatMap(name => GraftDdl.loadStaged(spark, root, name))
+      .map(d => FieldIds.parse(d.props))
+      .getOrElse(FieldIds.of(spark, root))
+
+  /** ANN-index lifecycle base pointer (VERDICT r17 #2): an index table
+    * records WHICH corpus version it is complete as of via a `#basedOn`
+    * directive riding its build/rebuild commit — corpus deletions AFTER
+    * that version are the only keys a query-time anti-join must mask, so
+    * the mask stays O(deletions since last rebuild) instead of growing
+    * forever. A rebuild re-stamps it atomically with the rewritten data.
+    */
+  def withBasedOn[T](corpusVersion: Long)(f: => T): T =
+    withDirective(s"#basedOn\t$corpusVersion")(f)
+
+  /** Newest `#basedOn` payload across retained manifests — newest-first
+    * because incremental-ANN APPEND commits between rebuilds don't carry
+    * the directive (appended vectors postdate the corpus base by
+    * construction; the newest stamping commit stays authoritative).
+    */
+  def basedOnVersion(spark: SparkSession, root: String): Option[Long] = {
+    versions(spark, root).reverseIterator
+      .flatMap(v => directiveOf(spark, root, v, "basedOn"))
+      .map(_.toLong).nextOption()
+  }
+
   /** The highest `#batch` id recorded in any still-on-disk manifest —
     * scan newest-first so the common case reads ONE manifest. `None` when
     * no retained manifest carries one (vacuum can trim history past the
@@ -1210,9 +1247,21 @@ object ManifestTable {
     import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
     import org.apache.spark.sql.types.{StringType, IntegerType, LongType,
       ShortType, ByteType, DoubleType, FloatType, TimestampType, DateType}
+    // NESTED fields fold to their dotted path (r18): parquet footers key
+    // column-chunk stats by exactly this dot-string and the Bloom harvest
+    // selects by it, so `o.m.key > 100` prunes files the same way a
+    // top-level column would. The segment name comes from the child's
+    // SCHEMA (not the user-typed form) so case variance can't miss the
+    // harvested path.
     def nameOf(x: Expression): Option[String] = x match {
       case a: AttributeReference => Some(a.name)
       case u: UnresolvedAttribute => Some(u.name)
+      case g: GetStructField =>
+        val fieldName = g.child.dataType match {
+          case st: org.apache.spark.sql.types.StructType => st(g.ordinal).name
+          case _ => return None
+        }
+        nameOf(g.child).map(p => s"$p.$fieldName")
       case _ => None
     }
     // the analyzer wraps promoted literals in foldable Casts — fold them
@@ -1523,7 +1572,7 @@ object ManifestTable {
     val spark = df0.sparkSession
     // id-carrying tables write EVERY data file id-annotated, whatever path
     // produced the frame — one id-less file would fail later by-id reads
-    val df = FieldIds.attachDf(df0, FieldIds.of(spark, root))
+    val df = FieldIds.attachDf(df0, fieldIdsForWrite(spark, root))
     val (fs, rootP) = fsOf(spark, root)
     val stage = new Path(rootP,
       ".stage-" + java.util.UUID.randomUUID().toString.take(12))
@@ -1572,7 +1621,7 @@ object ManifestTable {
              statsCols: Seq[String] = Nil,
              bloomCols: Seq[String] = Nil): Long = {
     val spark = df0.sparkSession
-    val df = FieldIds.attachDf(df0, FieldIds.of(spark, root)) // as in [[commit]]
+    val df = FieldIds.attachDf(df0, fieldIdsForWrite(spark, root)) // as in [[commit]]
     val (fs, rootP) = fsOf(spark, root)
     val stage = new Path(rootP,
       ".stage-" + java.util.UUID.randomUUID().toString.take(12))
@@ -1720,7 +1769,7 @@ object ManifestTable {
     import org.apache.spark.sql.functions.{broadcast, col}
     require(keys.nonEmpty, "mergeDv: at least one key column is required")
     val spark = batch0.sparkSession
-    val batch = FieldIds.attachDf(batch0, FieldIds.of(spark, root)) // as in [[commit]]
+    val batch = FieldIds.attachDf(batch0, fieldIdsForWrite(spark, root)) // as in [[commit]]
     val (fs, rootP) = fsOf(spark, root)
     val cur = currentVersion(spark, root).getOrElse(
       throw new IllegalStateException(
@@ -1809,7 +1858,7 @@ object ManifestTable {
                   partCol: Option[String], statsCols: Seq[String] = Nil,
                   bloomCols: Seq[String] = Nil): Long = {
     import org.apache.spark.sql.functions.col
-    val batch = batch0.map(b => FieldIds.attachDf(b, FieldIds.of(spark, root)))
+    val batch = batch0.map(b => FieldIds.attachDf(b, fieldIdsForWrite(spark, root)))
     val (fs, rootP) = fsOf(spark, root)
     val stage = new Path(rootP,
       ".stage-" + java.util.UUID.randomUUID().toString.take(12))

@@ -146,33 +146,50 @@ object Streams {
     *
     * Scale: state is one long per OBSERVED band bucket — bounded by corpus
     * band cardinality, not stream length; hot boilerplate buckets cost one
-    * state row regardless of how many docs hit them. A production deploy
-    * bounds staleness with GroupStateTimeout + state TTL; the spec keeps
-    * NoTimeout for determinism.
+    * state row regardless of how many docs hit them. The PRODUCTION
+    * posture bounds staleness with `stateTtlMs` (ProcessingTimeTimeout):
+    * a bucket whose owner goes unseen for the TTL is EVICTED, and a band
+    * seen again afterwards RE-SEEDS under the new min id — a bounded
+    * recall loss (hits against evicted owners are missed), never a wrong
+    * hit and never a crash; run periodic batch dedup to recover the tail.
+    * Tests that need exact batch parity pass None (NoTimeout).
     */
   def nearDupGate(docs: DataFrame, textCol: String, idCol: String,
-                  shingleN: Int = 3, k: Int = 16, bands: Int = 4): Dataset[BandHit] = {
+                  shingleN: Int = 3, k: Int = 16, bands: Int = 4,
+                  stateTtlMs: Option[Long] = None): Dataset[BandHit] = {
     import docs.sparkSession.implicits._
     val banded = graft.llm.Dedup
       .perRowBands(docs, textCol, idCol, shingleN, k, bands)
       .select(col("band"), col("id").cast("long").as("doc_id"))
       .as[(String, Long)]
+    val timeoutConf =
+      if (stateTtlMs.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
     banded.groupByKey(_._1)
       .flatMapGroupsWithState[Long, BandHit](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        OutputMode.Append(), timeoutConf) {
         (band: String, rows: Iterator[(String, Long)], state: GroupState[Long]) =>
-          val ids = rows.map(_._2).toArray.sorted
-          val out = scala.collection.mutable.ArrayBuffer.empty[BandHit]
-          var owner = state.getOption
-          ids.foreach { id =>
-            owner match {
-              case None           => owner = Some(id)
-              case Some(f) if f != id => out += BandHit(id, f, band)
-              case _              => ()
+          if (state.hasTimedOut) {
+            // TTL eviction: drop the bucket owner; the next arrival on
+            // this band re-seeds a fresh bucket (see scaladoc contract)
+            state.remove()
+            Iterator.empty
+          } else {
+            val ids = rows.map(_._2).toArray.sorted
+            val out = scala.collection.mutable.ArrayBuffer.empty[BandHit]
+            var owner = state.getOption
+            ids.foreach { id =>
+              owner match {
+                case None           => owner = Some(id)
+                case Some(f) if f != id => out += BandHit(id, f, band)
+                case _              => ()
+              }
             }
+            owner.foreach(state.update)
+            // refresh the lease on every touch — TTL measures IDLE time
+            stateTtlMs.foreach(state.setTimeoutDuration)
+            out.iterator
           }
-          owner.foreach(state.update)
-          out.iterator
       }
   }
 

@@ -1076,6 +1076,92 @@ class CatalogSpec extends SparkSuite {
     assert(e3.getMessage.contains("may not contain"), e3.getMessage)
   }
 
+  test("map-value rename and array-element ADD evolve by id too") {
+    import spark.implicits._
+    wh
+    spark.sql("DROP TABLE IF EXISTS gcat.db.nest6")
+    spark.sql("""CREATE TABLE gcat.db.nest6 (
+      id BIGINT,
+      m MAP<STRING, STRUCT<v: INT>>,
+      tags ARRAY<STRUCT<name: STRING>>)""")
+    spark.sql("INSERT INTO gcat.db.nest6 VALUES " +
+      "(1, map('a', named_struct('v', 7)), array(named_struct('name', 'x')))")
+    spark.sql("ALTER TABLE gcat.db.nest6 RENAME COLUMN m.value.v TO score")
+    spark.sql("ALTER TABLE gcat.db.nest6 ADD COLUMN tags.element.w INT")
+    spark.sql("INSERT INTO gcat.db.nest6 VALUES " +
+      "(2, map('b', named_struct('score', 8)), array(named_struct('name', 'y', 'w', 3)))")
+    // gen-1's map value resolves under the new name BY ID; gen-1's array
+    // elements backfill NULL for the added member
+    assert(spark.sql("SELECT id, m[CASE WHEN id = 1 THEN 'a' ELSE 'b' END].score, " +
+      "tags[0].w FROM gcat.db.nest6 ORDER BY id")
+      .as[(Long, Option[Int], Option[Int])].collect().toSeq
+      == Seq((1L, Some(7), None), (2L, Some(8), Some(3))))
+  }
+
+  test("CALL rebuild_index drops the delete mask and re-stamps #basedOn") {
+    wh
+    import graft.llm.SimSearch
+    import org.apache.spark.sql.functions.{array, broadcast, lit, pmod}
+    spark.sql("DROP TABLE IF EXISTS gcat.db.acorp")
+    spark.sql("DROP TABLE IF EXISTS gcat.db.aidx")
+    val emb = spark.range(0, 256).select(col("id").as("vec_id"),
+      array((0 until 4).map(j =>
+        (pmod(col("id") * (j + 3), lit(17)) + lit(j)).cast("float")): _*)
+        .as("embedding"))
+    spark.sql("CREATE TABLE gcat.db.acorp (vec_id BIGINT, embedding ARRAY<FLOAT>)")
+    emb.createOrReplaceTempView("ac_src")
+    spark.sql("INSERT INTO gcat.db.acorp SELECT * FROM ac_src")
+    val corpusRoot = s"$wh/db/acorp"; val idxRoot = s"$wh/db/aidx"
+    val cents = SimSearch.trainCentroids(emb, centroidStride = 32, iters = 1)
+    spark.sql("""CREATE TABLE gcat.db.aidx (
+      vec_id BIGINT, cell BIGINT, embedding ARRAY<FLOAT>)
+      TBLPROPERTIES ('statsCols' = 'cell', 'bloomCols' = 'cell')""")
+    val corpusV = ManifestTable.currentVersion(spark, corpusRoot).get
+    ManifestTable.withBasedOn(corpusV) {
+      ManifestTable.commit(
+        emb.join(SimSearch.assignCells(emb, cents), Seq("vec_id"))
+          .select(col("vec_id"), col("cell"), col("embedding"))
+          .repartitionByRange(4, col("cell"), col("vec_id")),
+        idxRoot, None, carryForward = false,
+        statsCols = Seq("cell"), bloomCols = Seq("cell"))
+    }
+    spark.sql("DELETE FROM gcat.db.acorp WHERE vec_id % 5 = 2")
+    val q = emb.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    // pre-rebuild: the q194 shape — anti-join mask over deletions since
+    // the index's #basedOn corpus version
+    val dead = ManifestTable.deletedKeysSince(spark, corpusRoot,
+      spark.table("gcat.db.acorp").schema, Seq("vec_id"), corpusV)
+    val before = SimSearch.ivfTopKStored(q,
+      spark.table("gcat.db.aidx").join(broadcast(dead), Seq("vec_id"), "left_anti"),
+      cents, 3, nprobe = 2).collect().toSeq
+    // a gauge under threshold refuses (pure metadata, no rewrite)
+    val skip = spark.sql("""CALL gcat.system.rebuild_index(index => 'db.aidx',
+      corpus => 'db.acorp', key => 'vec_id', threshold => 0.9,
+      cluster_by => 'cell')""").collect()(0)
+    assert(!skip.getBoolean(0) && skip.getDouble(1) > 0.1, skip.toString)
+    // over threshold: rewrite to survivors, re-stamp #basedOn
+    val res = spark.sql("""CALL gcat.system.rebuild_index(index => 'db.aidx',
+      corpus => 'db.acorp', key => 'vec_id', threshold => 0.1,
+      cluster_by => 'cell')""").collect()(0)
+    assert(res.getBoolean(0), res.toString)
+    // post-rebuild: NO mask needed — results identical
+    val after = SimSearch.ivfTopKStored(q, spark.table("gcat.db.aidx"),
+      cents, 3, nprobe = 2).collect().toSeq
+    assert(after.sortBy(_.toString) == before.sortBy(_.toString),
+      s"before=$before after=$after")
+    // deleted keys are physically gone from the new snapshot
+    assert(spark.table("gcat.db.aidx")
+      .filter(pmod(col("vec_id"), lit(5)) === 2).count() == 0)
+    // the re-stamped base makes the next gauge read zero churn
+    val again = spark.sql("""CALL gcat.system.rebuild_index(index => 'db.aidx',
+      corpus => 'db.acorp', key => 'vec_id', threshold => 0.0,
+      cluster_by => 'cell')""").collect()(0)
+    assert(!again.getBoolean(0) && again.getDouble(1) == 0.0, again.toString)
+    assert(ManifestTable.basedOnVersion(spark, idxRoot)
+      .contains(ManifestTable.currentVersion(spark, corpusRoot).get))
+  }
+
   test("cannot drop the only field of a struct (parquet groups cannot be empty)") {
     wh
     spark.sql("DROP TABLE IF EXISTS gcat.db.nest5")

@@ -156,6 +156,62 @@ class MultiProcessCommitSpec extends SparkSuite {
     }
   }
 
+  test("two JVMs: ALTER renames racing catalog INSERTs — every row survives by id") {
+    // VERDICT r17 #7: the field-id memo's cross-process invalidation path
+    // (FieldIds.of stamp check) under a GENUINE two-JVM ALTER-vs-commit
+    // race — the parent rewrites the _ddl.json sidecar (rename rounds)
+    // while a forked JVM plans and commits INSERTs through its own catalog
+    // instance. A stale-memo write is harmless (renames keep ids), a
+    // mid-plan flip refuses loudly as "schema drift" and the writer
+    // retries (RaceInsertMain) — but a LOST row, a NULL under the final
+    // name, or a crash is a failure.
+    import spark.implicits._
+    val wh = Files.createTempDirectory("graft-mp-alter").toString
+    spark.conf.set("spark.sql.catalog.gmpa",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gmpa.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gmpa.db")
+    spark.sql("CREATE TABLE gmpa.db.t (k BIGINT, v BIGINT, p STRING) " +
+      "PARTITIONED BY (p)")
+    val rounds = 12
+    val javaBin = System.getProperty("java.home") + "/bin/java"
+    val cp = System.getProperty("java.class.path")
+    val log = new java.io.File(wh, "ins.log")
+    val pb = new ProcessBuilder((Seq(javaBin) ++ addOpens ++ Seq(
+      "-Xmx2g", "-Dspark.ui.enabled=false", "-cp", cp,
+      "graft.RaceInsertMain", wh, "db.t", rounds.toString)): _*)
+    pb.redirectErrorStream(true)
+    pb.redirectOutput(log)
+    val p = pb.start()
+    var cur = "v"
+    try {
+      val readyDeadline = System.currentTimeMillis() + 150000
+      while (!Files.exists(java.nio.file.Paths.get(wh, "ready.ins"))) {
+        assert(p.isAlive, s"inserter died during init:\n${readLog(log)}")
+        assert(System.currentTimeMillis() < readyDeadline,
+          s"inserter never became ready:\n${readLog(log)}")
+        Thread.sleep(50)
+      }
+      Files.createFile(java.nio.file.Paths.get(wh, "start.flag"))
+      // rename rounds interleaved with the child's INSERT loop
+      var i = 0
+      while (p.isAlive && i < 100) {
+        val next = s"v$i"
+        spark.sql(s"ALTER TABLE gmpa.db.t RENAME COLUMN $cur TO $next")
+        cur = next; i += 1
+        Thread.sleep(80)
+      }
+      assert(p.waitFor(180, TimeUnit.SECONDS), s"inserter hung:\n${readLog(log)}")
+      assert(p.exitValue() == 0, s"inserter failed:\n${readLog(log)}")
+    } finally { if (p.isAlive) p.destroyForcibly() }
+    // every row landed exactly once and resolves BY ID under the final
+    // name — a write that missed an id annotation would surface as NULL
+    val got = spark.table("gmpa.db.t").selectExpr("k", s"$cur AS v")
+      .as[(Long, Option[Long])].collect().toSet
+    assert(got == (1 to rounds).map(r => (r.toLong, Some(r * 10L))).toSet,
+      s"final state under column $cur: $got\n${readLog(log)}")
+  }
+
   private def readLog(f: java.io.File): String =
     if (!f.exists()) "<no log>"
     else {

@@ -874,6 +874,43 @@ class SourcesSpec extends SparkSuite {
     assert(spark.read.format("graft").load(root).count() == 4L)
   }
 
+  test("nested-column zone maps and Blooms prune files (dotted-path skipping, r18)") {
+    import spark.implicits._
+    import graft.sources.ManifestTable
+    val root = java.nio.file.Files.createTempDirectory("mannest").toString + "/t"
+    // parquet footers key chunk stats by the DOTTED leaf path and the
+    // Bloom harvest selects by it, so statsCols/bloomCols accept nested
+    // paths; the predicate side folds GetStructField chains to the same
+    // dotted name — nested document models prune like flat ones
+    val df = spark.range(0, 8000).select(col("id").as("k"),
+      struct(
+        struct(col("id").as("key"),
+          concat(lit("t"), col("id")).as("tag")).as("m"),
+        (col("id") * 2).cast("double").as("price")).as("o"))
+      .repartitionByRange(8, col("k"))
+    ManifestTable.commit(df, root, None,
+      statsCols = Seq("o.m.key"), bloomCols = Seq("o.m.tag"))
+    // hint extraction folds the nested reference to its dotted path
+    val (ranges, points, _) = ManifestTable.extractHintsFor(spark, df.schema,
+      col("o.m.key") >= 100L && col("o.m.key") <= 200L && col("o.m.tag") === "t111")
+    assert(ranges.map(_.col).contains("o.m.key"), ranges.toString)
+    assert(points == Seq("o.m.tag" -> "t111"), points.toString)
+    // zone pruning on the range-clustered nested key
+    val (kept, total) = ManifestTable.pruneCounts(spark, root,
+      Seq(ManifestTable.ColRange("o.m.key", 100L, 200L)))
+    assert(total == 8 && kept < total, s"kept=$kept total=$total")
+    // Bloom probing on the unclustered unique nested tag
+    val (keptB, totalB) = ManifestTable.pruneCounts(spark, root, Nil,
+      points = Seq(("o.m.tag", "t111")))
+    assert(totalB == 8 && keptB <= 2, s"keptB=$keptB totalB=$totalB")
+    // readAuto end-to-end: derives the nested hints from the predicate
+    // itself and stays exact
+    val got = ManifestTable.readAuto(spark, root, df.schema,
+      col("o.m.key").between(100L, 105L) && col("o.m.tag") =!= "t103")
+      .select("k").as[Long].collect().toSet
+    assert(got == (100L to 105L).toSet - 103L, got.toString)
+  }
+
   test("IN-list Bloom probing: any-of point probes skip files on unclustered keys") {
     import spark.implicits._
     import graft.sources.ManifestTable

@@ -70,6 +70,60 @@ class StreamingSpec extends SparkSuite {
     assert(got == Set((2L, 3.0), (2L, 30.0)))
   }
 
+  test("near-dup gate state TTL evicts idle buckets and re-seeds on re-sight") {
+    // VERDICT r17 #4: the production posture (bounded state staleness).
+    // After the TTL lapses the bucket owner is EVICTED; a band seen again
+    // re-seeds under the NEW min id — bounded recall loss against evicted
+    // owners, never a wrong hit, never a crash.
+    // Driven as single-batch Trigger.Once RUNS from one checkpoint: with
+    // a ProcessingTimeTimeout the stateful operator never reports idle
+    // (the engine keeps scheduling empty timeout-check batches), so both
+    // processAllAvailable and AvailableNow wait forever — Once processes
+    // exactly one batch (which also fires any expired timeouts) and stops.
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val src = MemoryStream[(Long, String)]
+    val ckpt = java.nio.file.Files.createTempDirectory("ndttl-ck").toString
+    // foreachBatch collector: the memory sink cannot RECOVER from a
+    // checkpoint across runs; foreachBatch can, and the hits are tiny
+    val hits = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]()
+    def run(): Set[(Long, Long)] = {
+      val q = Streams.nearDupGate(
+        src.toDF().toDF("doc_id", "text"), "text", "doc_id", shingleN = 2,
+        stateTtlMs = Some(200L))
+        .writeStream
+        .foreachBatch { (df: org.apache.spark.sql.Dataset[Streams.BandHit], _: Long) =>
+          df.collect().foreach(h => hits.add((h.doc_id, h.dup_of)))
+        }
+        .outputMode(OutputMode.Append())
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.Once())
+        .start()
+      try assert(q.awaitTermination(120000), "single-batch run never finished")
+      finally q.stop()
+      val out = scala.collection.mutable.Set.empty[(Long, Long)]
+      var h = hits.poll()
+      while (h != null) { out += h; h = hits.poll() }
+      out.toSet
+    }
+    val base = "the quick brown fox jumps over the lazy dog again and again"
+    src.addData((10L, base), (11L, base))
+    val b1 = run()
+    assert(b1.nonEmpty && b1.forall(_ == ((11L, 10L))), s"$b1")
+    Thread.sleep(1500) // let every lease lapse while the query is down
+    // this run's batch fires the expired timeouts -> the base bands evict
+    src.addData((50L, "completely different words entirely here"))
+    run()
+    // the SAME band re-seen after eviction: re-seeded under owner 20 (the
+    // evicted owner 10 is forgotten), and 21 flags against 20, not 10
+    src.addData((20L, base), (21L, base))
+    val b3 = run()
+    assert(b3.contains((21L, 20L)), s"$b3")
+    assert(!b3.exists(_._1 == 20L), s"20 must have re-seeded fresh: $b3")
+    assert(!b3.exists(h => h._1 == 21L && h._2 == 10L),
+      s"evicted owner must not resurface: $b3")
+  }
+
   test("streaming near-dup gate flags band collisions across micro-batches") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
@@ -627,6 +681,48 @@ class StreamingSpec extends SparkSuite {
       .as[(Long, String, Long)].collect().toSet
     assert(snap("gstream3.db.dst") == snap("gstream3.db.src"))
     assert(snap("gstream3.db.dst") == Set((1L, "a", 1L), (2L, "b", 22L), (3L, "a", 3L)))
+  }
+
+  test("a merge-key rename between stream runs follows the mergeKey property") {
+    // ADVICE r17: RENAME COLUMN rewrites the mergeKey table property like
+    // statsCols/bloomCols — without it the change-feed seam (TBLPROPERTIES
+    // mergeKey -> the source's 'key' option) would resolve the DEAD name
+    // and the resumed stream would fail at start.
+    import spark.implicits._
+    val wh = java.nio.file.Files.createTempDirectory("gstream4-wh").toString
+    spark.conf.set("spark.sql.catalog.gstream4",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gstream4.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gstream4.db")
+    spark.sql("CREATE TABLE gstream4.db.src (id BIGINT, p STRING, v BIGINT) " +
+      "PARTITIONED BY (p) TBLPROPERTIES ('mergeKey'='id')")
+    spark.sql("CREATE TABLE gstream4.db.dst (id BIGINT, p STRING, v BIGINT) " +
+      "PARTITIONED BY (p)")
+    spark.sql("INSERT INTO gstream4.db.src VALUES (1,'a',1),(2,'b',2)")
+    val ckpt = java.nio.file.Files.createTempDirectory("gstream4-ck").toString
+    def run(key: String): Unit = {
+      val q = spark.readStream.table("gstream4.db.src")
+        .writeStream.format("graft")
+        .option("partitionBy", "p").option("mergeKey", key).option("cdf", "true")
+        .option("checkpointLocation", ckpt)
+        .toTable("gstream4.db.dst")
+      try q.processAllAvailable() finally q.stop()
+    }
+    run("id")
+    // coordinated rename of the MERGE KEY itself on both ends
+    spark.sql("ALTER TABLE gstream4.db.src RENAME COLUMN id TO doc_id")
+    spark.sql("ALTER TABLE gstream4.db.dst RENAME COLUMN id TO doc_id")
+    val props = spark.sql("SHOW TBLPROPERTIES gstream4.db.src").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(props.get("mergeKey").contains("doc_id"), props.toString)
+    spark.sql("UPDATE gstream4.db.src SET v = 22 WHERE doc_id = 2")
+    spark.sql("INSERT INTO gstream4.db.src VALUES (3,'a',3)")
+    run("doc_id") // resumes from the SAME checkpoint under the new key name
+    def snap(t: String) = spark.table(t).select("doc_id", "p", "v")
+      .as[(Long, String, Long)].collect().toSet
+    assert(snap("gstream4.db.dst") == snap("gstream4.db.src"))
+    assert(snap("gstream4.db.dst")
+      == Set((1L, "a", 1L), (2L, "b", 22L), (3L, "a", 3L)))
   }
 
   test("toTable auto-creates a missing target with the FOLDED schema, not the feed's") {
