@@ -26,6 +26,16 @@ object Queries {
   private def t(s: SparkSession, d: String, name: String): DataFrame =
     Tables(s, d, name)
 
+  /** Fresh catalog-name suffix per invocation for queries that mix
+    * catalog SQL with DIRECT warehouse paths (q201): Spark caches catalog
+    * instances BY NAME, so a re-run's new temp warehouse conf is ignored
+    * by the cached instance while the query's path-side reads point at
+    * the new directory — a bench warm+timed pair would silently diverge.
+    * Pure-SQL catalog queries (q187/q195-q200) are immune: the cached
+    * catalog keeps resolving everything inside its original warehouse.
+    */
+  private val catSeq = new java.util.concurrent.atomic.AtomicInteger(0)
+
   /** Exact cross-engine double aggregation (see object scaladoc). */
   private def dsum(c: Column): Column = sum(c.cast("decimal(18,6)")).cast("double")
   private def dsumSql(e: String): String = s"CAST(SUM(CAST(($e) AS DECIMAL(18,6))) AS DOUBLE)"
@@ -5745,17 +5755,19 @@ object Queries {
       val emb0 = t(s, d, "embeddings").filter(pmod(col("vec_id"), lit(4)) === 0)
         .select(col("vec_id"), col("embedding"))
       val wh = java.nio.file.Files.createTempDirectory("q201-cat").toString
-      s.conf.set("spark.sql.catalog.gq201", classOf[GraftCatalog].getName)
-      s.conf.set("spark.sql.catalog.gq201.warehouse", wh)
-      s.sql("CREATE NAMESPACE IF NOT EXISTS gq201.db")
-      s.sql("DROP TABLE IF EXISTS gq201.db.corpus")
-      s.sql("DROP TABLE IF EXISTS gq201.db.idx")
+      // fresh catalog NAME per invocation ([[catSeq]]): this query mixes
+      // catalog SQL with direct warehouse paths, and Spark's by-name
+      // catalog cache would pin a re-run's SQL to the previous temp dir
+      val cat = s"gq201x${catSeq.incrementAndGet()}"
+      s.conf.set(s"spark.sql.catalog.$cat", classOf[GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+      s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.db")
       emb0.createOrReplaceTempView("q201_src")
-      s.sql("CREATE TABLE gq201.db.corpus (vec_id BIGINT, embedding ARRAY<FLOAT>)")
-      s.sql("INSERT INTO gq201.db.corpus SELECT * FROM q201_src")
+      s.sql(s"CREATE TABLE $cat.db.corpus (vec_id BIGINT, embedding ARRAY<FLOAT>)")
+      s.sql(s"INSERT INTO $cat.db.corpus SELECT * FROM q201_src")
       val corpusRoot = s"$wh/db/corpus"; val idxRoot = s"$wh/db/idx"
       val cents = SimSearch.trainCentroids(emb0, centroidStride = 64, iters = 2)
-      s.sql("""CREATE TABLE gq201.db.idx (
+      s.sql(s"""CREATE TABLE $cat.db.idx (
         vec_id BIGINT, cell BIGINT, embedding ARRAY<FLOAT>)
         TBLPROPERTIES ('statsCols' = 'cell', 'bloomCols' = 'cell')""")
       ManifestTable.withBasedOn(
@@ -5767,8 +5779,8 @@ object Queries {
           idxRoot, None, carryForward = false,
           statsCols = Seq("cell"), bloomCols = Seq("cell"))
       }
-      s.sql("DELETE FROM gq201.db.corpus WHERE vec_id % 10 = 4")
-      val res = s.sql("""CALL gq201.system.rebuild_index(index => 'db.idx',
+      s.sql(s"DELETE FROM $cat.db.corpus WHERE vec_id % 10 = 4")
+      val res = s.sql(s"""CALL $cat.system.rebuild_index(index => 'db.idx',
         corpus => 'db.corpus', key => 'vec_id', threshold => 0.01,
         cluster_by => 'cell')""").collect()(0)
       require(res.getBoolean(0), s"rebuild should have fired: $res")

@@ -1162,6 +1162,41 @@ class CatalogSpec extends SparkSuite {
       .contains(ManifestTable.currentVersion(spark, corpusRoot).get))
   }
 
+  test("#basedOn survives incremental index appends; nested renames carry statsCols") {
+    import spark.implicits._
+    wh
+    // 1) an APPEND between rebuilds must not clobber the base pointer:
+    //    newest-DIRECTIVE-wins, not newest-manifest-wins
+    val root = s"$wh/db/bo_idx"
+    ManifestTable.withBasedOn(7L) {
+      ManifestTable.commit(Seq((1L, 10L)).toDF("vec_id", "cell"), root, None)
+    }
+    ManifestTable.append(Seq((2L, 11L)).toDF("vec_id", "cell"), root, None)
+    ManifestTable.append(Seq((3L, 12L)).toDF("vec_id", "cell"), root, None)
+    assert(ManifestTable.basedOnVersion(spark, root).contains(7L))
+    ManifestTable.withBasedOn(9L) {
+      ManifestTable.commit(Seq((1L, 10L)).toDF("vec_id", "cell"), root, None,
+        carryForward = false)
+    }
+    assert(ManifestTable.basedOnVersion(spark, root).contains(9L))
+    // 2) skipping-column properties follow a NESTED rename by path prefix
+    spark.sql("DROP TABLE IF EXISTS gcat.db.nest7")
+    spark.sql("CREATE TABLE gcat.db.nest7 (id BIGINT, s STRUCT<a: STRUCT<k: BIGINT>>) " +
+      "TBLPROPERTIES ('statsCols' = 's.a.k', 'bloomCols' = 's.a.k,id')")
+    spark.sql("ALTER TABLE gcat.db.nest7 RENAME COLUMN s.a TO b")
+    val props = spark.sql("SHOW TBLPROPERTIES gcat.db.nest7").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(props.get("statsCols").contains("s.b.k"), props.toString)
+    assert(props.get("bloomCols").contains("s.b.k,id"), props.toString)
+    // ... and a nested DROP removes the dotted subtree from the lists
+    spark.sql("ALTER TABLE gcat.db.nest7 ADD COLUMN s.c BIGINT")
+    spark.sql("ALTER TABLE gcat.db.nest7 DROP COLUMN s.b")
+    val props2 = spark.sql("SHOW TBLPROPERTIES gcat.db.nest7").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(!props2.contains("statsCols"), props2.toString)
+    assert(props2.get("bloomCols").contains("id"), props2.toString)
+  }
+
   test("cannot drop the only field of a struct (parquet groups cannot be empty)") {
     wh
     spark.sql("DROP TABLE IF EXISTS gcat.db.nest5")
