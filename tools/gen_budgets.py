@@ -65,6 +65,18 @@ for path in sys.argv[1:]:
     if not got:
         print(f"warn: no per-query timings found in {path}", file=sys.stderr)
 
+# merge with the CHECKED-IN minima (r18): budgets are all-time bests, and
+# a regeneration from whatever artifacts happen to be on hand must never
+# INFLATE one — r17's file was built from a clean local run that no round
+# artifact records, and a naive regen from r16+r17 artifacts alone raised
+# q72's budget 1.27 -> 1.47, silently loosening its tripwire.
+try:
+    with open("tools/bench_budgets.json") as f:
+        for k, v in json.load(f).items():
+            feed(k, v)
+except (OSError, ValueError):
+    pass
+
 out = {k: round(v, 3) for k, v in
        sorted(budgets.items(), key=lambda kv: int(kv[0]))}
 with open("tools/bench_budgets.json", "w") as f:
