@@ -5868,7 +5868,132 @@ object Queries {
     }, Some(s"""SELECT CAST(count(*) AS BIGINT) AS n,
         ${dsumSql("o_totalprice")} AS p
       FROM orders
-      WHERE o_orderkey >= 64 AND o_orderkey < 2048 AND o_orderstatus = 'F'"""))
+      WHERE o_orderkey >= 64 AND o_orderkey < 2048 AND o_orderstatus = 'F'""")),
+
+    // HIDDEN PARTITIONING (Iceberg-style partition transforms, r18): two
+    // catalog tables partitioned by `days(ts)` and `bucket(8, user_id)` —
+    // the derived value lives ONLY in the directory name (data files carry
+    // exactly the declared schema), queries filter on the SOURCE column,
+    // and [[graft.sources.PartSpec]] maps those predicates onto the
+    // directories (a ts range keeps ~10/30 day dirs, a user_id equality
+    // keeps 1/8 bucket dirs — PartSpecSpec asserts the exact dir counts).
+    // This kills the clause the reference's hourly ETL hand-maintains
+    // (reference src/get_weather_data.py windows on localtime_epoch
+    // arithmetic): at 100 TB, forgetting the redundant day-column filter
+    // no longer costs a full scan. Two INSERT generations make the day
+    // dirs multi-version (blind appends commute).
+    ("q203_hidden_partitioning", (s: SparkSession, d: String) => {
+      import graft.sources.GraftCatalog
+      val ev = t(s, d, "events").select(col("event_id"), col("ts"),
+        col("user_id"), col("event_type"), col("value"))
+      val wh = java.nio.file.Files.createTempDirectory("q203-cat").toString
+      s.conf.set("spark.sql.catalog.gq203", classOf[GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.gq203.warehouse", wh)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS gq203.db")
+      s.sql("DROP TABLE IF EXISTS gq203.db.ev")
+      s.sql("DROP TABLE IF EXISTS gq203.db.evb")
+      ev.createOrReplaceTempView("q203_src")
+      s.sql("""CREATE TABLE gq203.db.ev (
+        event_id BIGINT, ts TIMESTAMP, user_id BIGINT,
+        event_type STRING, value DOUBLE) PARTITIONED BY (days(ts))""")
+      s.sql("INSERT INTO gq203.db.ev SELECT * FROM q203_src WHERE event_id % 2 = 1")
+      s.sql("INSERT INTO gq203.db.ev SELECT * FROM q203_src WHERE event_id % 2 = 0")
+      s.sql("""CREATE TABLE gq203.db.evb (
+        event_id BIGINT, user_id BIGINT, value DOUBLE)
+        PARTITIONED BY (bucket(8, user_id))""")
+      s.sql("INSERT INTO gq203.db.evb SELECT event_id, user_id, value FROM q203_src")
+      // 2024-01-10T00Z .. 2024-01-20T00Z in epoch micros (TZ-free literals)
+      s.sql(s"""SELECT a.event_type, a.n, a.v, a.u, b.n_pt, b.v_pt
+        FROM (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                ${dsumSql("value")} AS v,
+                CAST(count(DISTINCT user_id) AS BIGINT) AS u
+              FROM gq203.db.ev
+              WHERE ts >= timestamp_micros(1704844800000000)
+                AND ts < timestamp_micros(1705708800000000)
+              GROUP BY event_type) a
+        CROSS JOIN (SELECT CAST(count(*) AS BIGINT) AS n_pt,
+                ${dsumSql("value")} AS v_pt
+              FROM gq203.db.evb WHERE user_id = 31) b""")
+    }, Some(s"""WITH src AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts,
+          user_id, event_type, value FROM events)
+      SELECT a.event_type, a.n, a.v, a.u, b.n_pt, b.v_pt
+      FROM (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+              ${dsumSql("value")} AS v,
+              CAST(count(DISTINCT user_id) AS BIGINT) AS u
+            FROM src
+            WHERE ts >= make_timestamp(1704844800000000)
+              AND ts < make_timestamp(1705708800000000)
+            GROUP BY event_type) a
+      CROSS JOIN (SELECT CAST(count(*) AS BIGINT) AS n_pt,
+              ${dsumSql("value")} AS v_pt
+            FROM src WHERE user_id = 31) b""")),
+
+    // PARTITION-SPEC EVOLUTION (r18): an identity-partitioned events table
+    // evolves to `days(ts)` METADATA-ONLY mid-life (one sidecar write — no
+    // manifest version, no data I/O; generation 1 keeps its
+    // `event_type=...` dirs, generation 2 lands under `ts_day=...`), then
+    // row-level UPDATE and DELETE hit BOTH layouts in one pass each (the
+    // DML rowId path is layout-agnostic), and one `CALL system.compact`
+    // rewrites everything under the current spec and retires the mixed
+    // state. The result joins three reads the evolution must keep exact:
+    // the mixed snapshot after DML, a `VERSION AS OF` read of the
+    // pre-evolution generation under ITS layout, and the post-compact
+    // snapshot (bit-identical to the mixed one). An engine without spec
+    // evolution rewrites the table to repartition — O(100 TB); this is
+    // O(changed rows) DML + one sidecar write, with the compact optional.
+    ("q204_partition_evolution", (s: SparkSession, d: String) => {
+      import graft.sources.GraftCatalog
+      val ev = t(s, d, "events").select(col("event_id"), col("ts"),
+        col("user_id"), col("event_type"), col("value"))
+      val wh = java.nio.file.Files.createTempDirectory("q204-cat").toString
+      s.conf.set("spark.sql.catalog.gq204", classOf[GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.gq204.warehouse", wh)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS gq204.db")
+      s.sql("DROP TABLE IF EXISTS gq204.db.tev")
+      ev.createOrReplaceTempView("q204_src")
+      s.sql("""CREATE TABLE gq204.db.tev (
+        event_id BIGINT, ts TIMESTAMP, user_id BIGINT,
+        event_type STRING, value DOUBLE) PARTITIONED BY (event_type)""")
+      s.sql("INSERT INTO gq204.db.tev SELECT * FROM q204_src WHERE event_id % 2 = 1")
+      s.sql("CALL gq204.system.set_partitioning('db.tev', 'days(ts)')")
+      s.sql("INSERT INTO gq204.db.tev SELECT * FROM q204_src WHERE event_id % 2 = 0")
+      s.sql("UPDATE gq204.db.tev SET value = -1.0 WHERE user_id % 37 = 0")
+      s.sql("DELETE FROM gq204.db.tev WHERE event_type = 'click' AND user_id % 11 = 3")
+      // materialize the MIXED-layout aggregate before the compact rewrites
+      // the table (the returned plan is lazy; the compact must not leak
+      // into this leg) — a grouped aggregate, tiny at any corpus size
+      val mixed = s.sql(s"""SELECT event_type, CAST(count(*) AS BIGINT) AS n_mix,
+            ${dsumSql("value")} AS v_mix
+          FROM gq204.db.tev GROUP BY event_type""").localCheckpoint()
+      mixed.createOrReplaceTempView("q204_mixed")
+      s.sql("CALL gq204.system.compact('db.tev')")
+      s.sql(s"""SELECT m.event_type, m.n_mix, m.v_mix, v.n_v1, v.v_v1, c.n_c, c.v_c
+        FROM q204_mixed m
+        JOIN (SELECT event_type, CAST(count(*) AS BIGINT) AS n_v1,
+                ${dsumSql("value")} AS v_v1
+              FROM gq204.db.tev VERSION AS OF 1 GROUP BY event_type) v
+          ON m.event_type = v.event_type
+        JOIN (SELECT event_type, CAST(count(*) AS BIGINT) AS n_c,
+                ${dsumSql("value")} AS v_c
+              FROM gq204.db.tev GROUP BY event_type) c
+          ON m.event_type = c.event_type""")
+    }, Some(s"""WITH src AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts,
+          user_id, event_type, value FROM events),
+      g1 AS (SELECT * FROM src WHERE event_id % 2 = 1),
+      allr AS (SELECT * FROM src),
+      upd AS (SELECT event_id, ts, user_id, event_type,
+          CASE WHEN user_id % 37 = 0 THEN -1.0 ELSE value END AS value FROM allr),
+      cur AS (SELECT * FROM upd
+          WHERE NOT (event_type = 'click' AND user_id % 11 = 3))
+      SELECT m.event_type, m.n_mix, m.v_mix, v.n_v1, v.v_v1, c.n_c, c.v_c
+      FROM (SELECT event_type, CAST(count(*) AS BIGINT) AS n_mix,
+              ${dsumSql("value")} AS v_mix FROM cur GROUP BY event_type) m
+      JOIN (SELECT event_type, CAST(count(*) AS BIGINT) AS n_v1,
+              ${dsumSql("value")} AS v_v1 FROM g1 GROUP BY event_type) v
+        ON m.event_type = v.event_type
+      JOIN (SELECT event_type, CAST(count(*) AS BIGINT) AS n_c,
+              ${dsumSql("value")} AS v_c FROM cur GROUP BY event_type) c
+        ON m.event_type = c.event_type"""))
   )
 
   /** The BM25 replay shared by q72/q123 — postings, df, dl, corpus stats,

@@ -964,6 +964,69 @@ object StressBench {
         println(f"""[stress] {"op":"wide_schema","cols":$w,"rows":$rows,"insert_sec":$insertSec%.3f,"read_sec":$rd%.3f,"alter_sec":$alterSec%.4f}""")
       }
     }
+    // HIDDEN-PARTITION PRUNE CURVE (r18): a days(ts)-partitioned catalog
+    // table at 1x/4x/16x events; a one-day ranged aggregate through the
+    // catalog (directory-pruned before any file listing) vs the SAME
+    // aggregate forced through an unpruned full read. Both legs grow with
+    // the corpus (the day itself grows), so the claim measured here is the
+    // RATIO: pruned cost tracks the touched day's share (~1/30) at every
+    // factor — at 100 TB that ratio, not either absolute number, is what
+    // keeps a day-ranged scan O(day). evolve_sec times one
+    // set_partitioning call (metadata-only: must stay flat in f).
+    if (onlyOps.forall(_.exists("part_prune".startsWith))) {
+      for (f <- Seq(1, 4, 16)) {
+        val wh = java.nio.file.Files.createTempDirectory(s"ppr$f").toString
+        val cat = s"gpp$f" // fresh catalog name per warehouse (cached by name)
+        spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+        spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+        spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.db")
+        spark.sql(s"""CREATE TABLE $cat.db.ev (
+          user_id BIGINT, ts TIMESTAMP, event_type STRING)
+          PARTITIONED BY (days(ts))""")
+        eventsTimes(f).createOrReplaceTempView(s"ppr_src_$f")
+        val ti0 = System.nanoTime()
+        spark.sql(s"INSERT INTO $cat.db.ev SELECT user_id, ts, event_type FROM ppr_src_$f")
+        val insertSec = (System.nanoTime() - ti0) / 1e9
+        // 2024-01-15T00Z .. 2024-01-16T00Z (one day of ~30)
+        val dayPred = "ts >= timestamp_micros(1705276800000000) " +
+          "AND ts < timestamp_micros(1705363200000000)"
+        def prunedSec(): Double = {
+          val t0 = System.nanoTime()
+          spark.sql(s"SELECT count(*) AS n, count(DISTINCT user_id) AS u " +
+            s"FROM $cat.db.ev WHERE $dayPred").collect()
+          (System.nanoTime() - t0) / 1e9
+        }
+        def fullSec(): Double = {
+          val sch = org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("user_id",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("ts",
+              org.apache.spark.sql.types.TimestampType),
+            org.apache.spark.sql.types.StructField("event_type",
+              org.apache.spark.sql.types.StringType)))
+          val t0 = System.nanoTime()
+          graft.sources.ManifestTable.read(spark, s"$wh/db/ev", sch)
+            .filter(expr(dayPred))
+            .agg(count(lit(1)).as("n"), countDistinct(col("user_id")).as("u"))
+            .collect()
+          (System.nanoTime() - t0) / 1e9
+        }
+        prunedSec(); fullSec() // warm
+        val pr = prunedSec(); val fl = fullSec()
+        // the STRUCTURAL effect (what scales): directories the ranged scan
+        // assembles vs the table's — wall-clock converges to launch
+        // overhead at fixture scale, the dir ratio is the 100 TB claim
+        val (dk, dt) = graft.sources.ManifestTable.prunePartitionCounts(
+          spark, s"$wh/db/ev",
+          Seq(graft.sources.ManifestTable.ColRange("ts",
+            java.lang.Long.valueOf(1705276800000000L),
+            java.lang.Long.valueOf(1705363199999999L))))
+        val te0 = System.nanoTime()
+        spark.sql(s"CALL $cat.system.set_partitioning('db.ev', 'bucket(16, user_id)')")
+        val evolveSec = (System.nanoTime() - te0) / 1e9
+        println(f"""[stress] {"op":"part_prune","factor":$f,"insert_sec":$insertSec%.3f,"pruned_sec":$pr%.3f,"full_sec":$fl%.3f,"dirs_kept":$dk,"dirs_total":$dt,"evolve_sec":$evolveSec%.4f}""")
+      }
+    }
     spark.stop()
   }
 }

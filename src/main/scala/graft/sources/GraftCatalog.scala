@@ -185,6 +185,44 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
     * single-identity-partition rule, and property filtering. Returns
     * (partCol, keptProps) without touching the filesystem.
     */
+  /** V2 `Transform` → [[PartSpec]] — the single seam between Spark's
+    * PARTITIONED BY parse tree and the engine's partition-spec model.
+    * Numeric transform arguments arrive as connector `Literal`s (matched
+    * on the public interface — `LiteralValue` is private[sql] in source).
+    */
+  private def specOfTransform(t: Transform, schema: StructType): PartSpec = {
+    import org.apache.spark.sql.connector.expressions.{Literal => VLiteral}
+    def ref: String = t.references().toSeq match {
+      case Seq(r) if r.fieldNames().length == 1 =>
+        val c = r.fieldNames()(0)
+        require(schema.fieldNames.contains(c),
+          s"partition transform source column $c is not in the table schema")
+        c
+      case _ => throw new UnsupportedOperationException(
+        s"graft partition transforms take a single top-level source column, got $t")
+    }
+    def intArg: Int = t.arguments().collectFirst {
+      case l: VLiteral[_] => l.value() match {
+        case i: java.lang.Integer => i.intValue()
+        case l2: java.lang.Long => l2.intValue()
+        case other => other.toString.toInt
+      }
+    }.getOrElse(throw new IllegalArgumentException(
+      s"partition transform ${t.name()} needs an integer argument, got $t"))
+    t.name().toLowerCase(java.util.Locale.ROOT) match {
+      case "identity" => PartSpec.Identity(ref)
+      case "days" => PartSpec.Days(ref)
+      case "hours" => PartSpec.Hours(ref)
+      case "months" => PartSpec.Months(ref)
+      case "years" => PartSpec.Years(ref)
+      case "bucket" => PartSpec.Bucket(intArg, ref, schema(ref).dataType)
+      case "truncate" => PartSpec.Truncate(intArg, ref, schema(ref).dataType)
+      case other => throw new UnsupportedOperationException(
+        s"unsupported partition transform $other — supported: identity, days, " +
+          "hours, months, years, bucket(n, c), truncate(w, c)")
+    }
+  }
+
   private def validateCreate(schema: StructType, partitions: Array[Transform],
                              properties: java.util.Map[String, String])
       : (Option[String], Map[String, String]) = {
@@ -204,19 +242,17 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
         s"column name ${f.name} (at $p) may not contain '.' — " +
           "field-id paths are dot-separated")
     }
+    // identity or a HIDDEN transform (days/hours/months/years/bucket/
+    // truncate — [[PartSpec]]): the sidecar stores the rendered form; a
+    // plain column name remains the identity encoding, so pre-transform
+    // sidecars parse unchanged
     val partCol = partitions.toSeq match {
       case Seq() => None
-      case Seq(t) => t.references().toSeq match {
-        case Seq(r) if t.name() == "identity" && r.fieldNames().length == 1 =>
-          Some(r.fieldNames()(0))
-        case _ => throw new UnsupportedOperationException(
-          s"graft tables support a single identity partition column, got $t")
-      }
+      case Seq(t) =>
+        Some(PartSpec.validate(specOfTransform(t, schema), schema).render)
       case ts => throw new UnsupportedOperationException(
-        s"graft tables support a single identity partition column, got ${ts.mkString(", ")}")
+        s"graft tables support a single partition transform, got ${ts.mkString(", ")}")
     }
-    partCol.foreach(pc => require(schema.fieldNames.contains(pc),
-      s"partition column $pc is not in the table schema"))
     val kept = props.view.filterKeys(k =>
       !Set(TableCatalog.PROP_PROVIDER, TableCatalog.PROP_OWNER,
         TableCatalog.PROP_COMMENT, TableCatalog.PROP_EXTERNAL,
@@ -265,8 +301,21 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
     var schema = cur.flatMap(_.schema).getOrElse(
       ManifestTable.inferSchema(spark, root))
     var props = cur.map(_.props).getOrElse(Map.empty)
-    val partCol = cur.flatMap(_.partCol)
-      .orElse(ManifestTable.partitionColumn(spark, root))
+    // the partition specs whose integrity ALTER must protect: the current
+    // spec plus every historical one (evolution keeps old dirs pruning
+    // under their own spec — renaming/dropping a source column would
+    // orphan that mapping AND strand the rendered spec at a dead name)
+    val specRenders: Seq[String] = cur.flatMap(_.partCol).toSeq ++
+      cur.map(d => PartSpecs.parseHistory(d.props)).getOrElse(Nil)
+    val specs: Seq[PartSpec] =
+      try specRenders.map(r => PartSpec.parse(r, schema))
+      catch { case _: Exception => Seq.empty } // sidecar-less legacy fallback below
+    val specSources: Set[String] =
+      if (specs.nonEmpty) specs.map(_.source).toSet
+      else ManifestTable.partitionColumn(spark, root).toSet
+    val specPhys: Set[String] = specs.filterNot(_.isIdentity).map(_.physName).toSet
+    val bucketSources: Set[String] =
+      specs.collect { case b: PartSpec.Bucket => b.source }.toSet
     // ------- nested-aware navigation (VERDICT r17 #1) --------------------
     // A change's fieldNames() address any depth: struct segments by name,
     // array/map interiors via Spark's element/key/value pseudo-segments
@@ -318,6 +367,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
           s"added column $full must be nullable — existing rows backfill NULL")
         require(a.position() == null,
           "graft column adds append at the end (no FIRST/AFTER)")
+        require(path.length > 1 || !specPhys.contains(nm),
+          s"cannot add column $nm: a hidden partition spec derives a " +
+            "directory column of that name")
         editParent(a.fieldNames()) { st =>
           require(!st.fieldNames.exists(_.equalsIgnoreCase(nm)),
             s"column $full already exists")
@@ -363,8 +415,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
             "field-id support at this position (its files are not id-annotated " +
             "there, so old files could not resolve the new name) — recreate it " +
             "via CTAS to enable renames")
-        require(path.length > 1 || !partCol.contains(from),
-          s"cannot rename partition column $from: partition directory names embed it")
+        require(path.length > 1 || !specSources.contains(from),
+          s"cannot rename $from: it is a partition-spec source column " +
+            "(current or historical) — partition directory names and pruning " +
+            "mappings embed it")
+        require(path.length > 1 || !specPhys.contains(r.newName()),
+          s"cannot rename $from to ${r.newName()}: a hidden partition spec " +
+            "derives a directory column of that name")
         // the renamed position keeps its id, and every DESCENDANT path
         // (renaming a struct renames its subtree's prefixes) re-keys with
         // ids intact — file bytes never change, resolution stays by id
@@ -416,8 +473,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
               "resurrect the dropped files' values on a by-name read; recreate the " +
               "table via CTAS to enable drops")
           if (path.length == 1) {
-            require(!partCol.contains(nm),
-              s"cannot drop partition column $nm: partition directory names embed it")
+            require(!specSources.contains(nm),
+              s"cannot drop $nm: it is a partition-spec source column (current " +
+                "or historical) — partition directory names and pruning " +
+                "mappings embed it")
             require(schema.fields.length > 1, s"cannot drop the only column $nm")
             require(!props.get("mergeKey").exists(_.split(",").map(_.trim).contains(nm)),
               s"column $nm is the table's mergeKey — unset the property first")
@@ -468,6 +527,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
               db.precision - db.scale >= da.precision - da.scale
           case _ => false
         }
+        require(!bucketSources.contains(nm),
+          s"ALTER COLUMN $nm TYPE: $nm feeds a bucket partition transform, " +
+            "whose hash is type-dependent (xxhash64 hashes int and long " +
+            "differently) — widening it would scatter new rows across " +
+            "different buckets than the directories already written")
         require(widens(f.dataType, u.newDataType()),
           s"ALTER COLUMN $nm TYPE: only lossless widenings are supported " +
             "(byte/short/int -> wider integral, float -> double, decimal " +
@@ -495,7 +559,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
           "lossless ALTER COLUMN TYPE widenings, column comments, and " +
           s"table-property changes only, got $other")
     }
-    GraftDdl.save(spark, root, schema, partCol, props)
+    GraftDdl.save(spark, root, schema, cur.flatMap(_.partCol), props)
     new GraftV2Table(root, display(ident), None)
   }
 
@@ -566,6 +630,60 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
     new StagedGraftTable(ident, stagingRoot, rootOf(ident), display(ident), mayExist)
   }
 
+  /** Partition-spec EVOLUTION (`CALL <cat>.system.set_partitioning`):
+    * replace the table's active partition spec METADATA-ONLY — no data
+    * file, directory, or manifest changes. Existing directories keep
+    * their old layout and keep pruning under it (the prior spec moves to
+    * `graft.partSpecHistory`); new writes land under the new spec. An
+    * empty spec string unsets partitioning. Returns the previous render.
+    *
+    * Safety: the new spec must not derive a directory-column name a
+    * DIFFERENT historical spec already used (dir→spec resolution is by
+    * that name); re-activating a historical spec verbatim is fine and
+    * simply drops it from history. A full `compact` rewrites everything
+    * under the current spec and clears the history
+    * ([[clearPartSpecHistory]]), ending the mixed state.
+    */
+  private[sources] def setPartitioning(root: String, render0: String): Option[String] = {
+    val d = GraftDdl.load(spark, root).getOrElse(throw new IllegalStateException(
+      s"set_partitioning: $root has no DDL sidecar — only catalog tables evolve"))
+    val sch = d.schema.getOrElse(throw new IllegalStateException(
+      s"set_partitioning: $root's sidecar declares no schema"))
+    val newSpec = Option(render0.trim).filter(_.nonEmpty)
+      .map(r => PartSpec.validate(PartSpec.parse(r, sch), sch))
+    val curRender = d.partCol
+    if (curRender == newSpec.map(_.render)) return curRender // no-op
+    val history = PartSpecs.parseHistory(d.props)
+    val newHistory = (curRender.toSeq ++ history).distinct
+      .filterNot(r => newSpec.exists(_.render == r))
+    newSpec.foreach { s =>
+      val clash = newHistory.map(r => PartSpec.parse(r, sch))
+        .find(h => h.physName == s.physName && h.render != s.render)
+      require(clash.isEmpty,
+        s"set_partitioning: new spec ${s.render} derives directory column " +
+          s"${s.physName}, which prior spec ${clash.get.render} already used " +
+          "with different semantics — compact the table first")
+      require(!sch.fieldNames.contains(s.physName) || s.isIdentity,
+        s"derived partition column ${s.physName} collides with a table column")
+    }
+    val props =
+      if (newHistory.isEmpty) d.props - PartSpecs.HistoryProp
+      else d.props + (PartSpecs.HistoryProp -> PartSpecs.renderHistory(newHistory))
+    GraftDdl.save(spark, root, sch, newSpec.map(_.render), props)
+    curRender
+  }
+
+  /** Retire the spec history after a FULL rewrite (compact/zorder): every
+    * row was just re-derived under the current spec, so no directory of a
+    * prior layout is live any more.
+    */
+  private[sources] def clearPartSpecHistory(root: String): Unit =
+    for {
+      d <- GraftDdl.load(spark, root)
+      sch <- d.schema
+      if d.props.contains(PartSpecs.HistoryProp)
+    } GraftDdl.save(spark, root, sch, d.partCol, d.props - PartSpecs.HistoryProp)
+
   override def dropTable(ident: Identifier): Boolean = {
     val root = rootOf(ident)
     val (fs, p) = fsAt(root)
@@ -573,6 +691,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
     // memoized manifest bodies (the (mtime,len) validator alone has a
     // 1 ms blind spot)
     ManifestTable.invalidateBodyCache(p.toString)
+    PartSpecs.invalidate(root)
     if (!isTable(root)) false else fs.delete(p, true)
   }
 
@@ -1018,6 +1137,7 @@ private[sources] object GraftDdl {
       }
     }
     FieldIds.invalidate(root)
+    PartSpecs.invalidate(root)
   }
 
   /** Write the DDL under a unique invisible staged name inside `root` and
@@ -1160,6 +1280,20 @@ class GraftV2Table(val root: String, displayName: String, asOf: Option[Long])
   private[sources] def partCol: Option[String] =
     ddl.flatMap(_.partCol).orElse(ManifestTable.partitionColumn(spark, root))
 
+  /** The ACTIVE partition spec — identity or a hidden transform, parsed
+    * from the sidecar's rendered form against the declared schema; the
+    * path-first fallback (no sidecar) recovers an identity spec from the
+    * manifest's own directory names.
+    */
+  private[sources] def partSpec: Option[PartSpec] = ddl match {
+    // a sidecar is AUTHORITATIVE either way: partCol absent means the
+    // table is (or evolved to be) unpartitioned — falling through to the
+    // manifest-dir recovery would resurrect an evolved-away layout's
+    // derived column as a phantom identity spec
+    case Some(d) => d.partCol.map(r => PartSpec.parse(r, d.schema.getOrElse(idSchema)))
+    case None => ManifestTable.partitionColumn(spark, root).map(PartSpec.Identity)
+  }
+
   private def propCols(key: String): Seq[String] =
     ddl.flatMap(_.props.get(key)).map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
       .getOrElse(Nil)
@@ -1168,7 +1302,16 @@ class GraftV2Table(val root: String, displayName: String, asOf: Option[Long])
   private[sources] def bloomColsProp: Seq[String] = propCols("bloomCols")
 
   override def partitioning(): Array[Transform] =
-    partCol.map(Expressions.identity).toArray
+    partSpec.map {
+      case PartSpec.Identity(c) => Expressions.identity(c)
+      case PartSpec.Days(c) => Expressions.days(c)
+      case PartSpec.Hours(c) => Expressions.hours(c)
+      case PartSpec.Months(c) => Expressions.months(c)
+      case PartSpec.Years(c) => Expressions.years(c)
+      case PartSpec.Bucket(n, c, _) => Expressions.bucket(n, c)
+      case PartSpec.Truncate(w, c, _) => Expressions.apply("truncate",
+        Expressions.literal(w), Expressions.column(c))
+    }.toArray
 
   override def properties(): java.util.Map[String, String] =
     (ddl.map(_.props).getOrElse(Map.empty) + (TableCatalog.PROP_PROVIDER -> "graft")).asJava
@@ -1211,7 +1354,7 @@ class GraftV2Table(val root: String, displayName: String, asOf: Option[Long])
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     require(asOf.isEmpty, "cannot write to a time-travel (VERSION AS OF) graft table")
-    new GraftWriteBuilder(root, idSchema, partCol,
+    new GraftWriteBuilder(root, idSchema, partSpec,
       propCols("statsCols"), propCols("bloomCols"))
   }
 
@@ -1225,7 +1368,7 @@ class GraftV2Table(val root: String, displayName: String, asOf: Option[Long])
     if (ManifestTable.currentVersion(spark, root).isDefined) {
       val empty = spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], idSchema)
-      ManifestTable.commit(empty, root, partCol, carryForward = false)
+      ManifestTable.commitSpec(empty, root, partSpec, carryForward = false)
     }
     true
   }
@@ -1249,7 +1392,7 @@ class GraftV2Table(val root: String, displayName: String, asOf: Option[Long])
       info: RowLevelOperationInfo): RowLevelOperationBuilder = {
     require(asOf.isEmpty, "cannot run DML against a time-travel graft table")
     val sc = propCols("statsCols"); val bc = propCols("bloomCols")
-    () => new GraftRowLevelOperation(info.command(), root, idSchema, partCol, sc, bc)
+    () => new GraftRowLevelOperation(info.command(), root, idSchema, partSpec, sc, bc)
   }
 }
 
@@ -1309,7 +1452,9 @@ private[sources] class StagedGraftTable(ident: Identifier, stagingRoot: String,
           // commit
           val empty = spark.createDataFrame(
             spark.sparkContext.emptyRDD[Row], ddl.schema.get)
-          ManifestTable.commit(empty, finalRoot, ddl.partCol, carryForward = false)
+          ManifestTable.commitSpec(empty, finalRoot,
+            ddl.partCol.map(r => PartSpec.parse(r, ddl.schema.get)),
+            carryForward = false)
         }
       } catch {
         case e: Throwable =>
@@ -1545,7 +1690,7 @@ private[sources] class GraftV1TableScan(ctx: SQLContext, root: String,
   * paths, so catalog writes inherit the optimistic-concurrency rules.
   */
 private[sources] class GraftWriteBuilder(root: String, tableSchema: StructType,
-                                         partCol: Option[String], statsCols: Seq[String],
+                                         spec: Option[PartSpec], statsCols: Seq[String],
                                          bloomCols: Seq[String])
     extends WriteBuilder with SupportsTruncate {
 
@@ -1558,10 +1703,10 @@ private[sources] class GraftWriteBuilder(root: String, tableSchema: StructType,
       override def insert(data: DataFrame, ow: Boolean): Unit = {
         val aligned = data.toDF(tableSchema.fieldNames.toIndexedSeq: _*)
         if (overwrite || ow)
-          ManifestTable.commit(aligned, root, partCol, carryForward = false,
+          ManifestTable.commitSpec(aligned, root, spec, carryForward = false,
             statsCols = statsCols, bloomCols = bloomCols)
         else
-          ManifestTable.append(aligned, root, partCol, statsCols, bloomCols)
+          ManifestTable.appendSpec(aligned, root, spec, statsCols, bloomCols)
       }
     }
   }
@@ -1636,7 +1781,7 @@ private[sources] object V2Predicates {
   */
 private[sources] class GraftRowLevelOperation(cmd: RowLevelOperation.Command,
                                               root: String, tableSchema: StructType,
-                                              partCol: Option[String],
+                                              spec: Option[PartSpec],
                                               statsCols: Seq[String], bloomCols: Seq[String])
     extends RowLevelOperation with SupportsDelta {
 
@@ -1653,7 +1798,7 @@ private[sources] class GraftRowLevelOperation(cmd: RowLevelOperation.Command,
   override def newWriteBuilder(info: LogicalWriteInfo): DeltaWriteBuilder =
     new DeltaWriteBuilder {
       override def build(): DeltaWrite =
-        new GraftDeltaWrite(root, tableSchema, partCol, statsCols, bloomCols,
+        new GraftDeltaWrite(root, tableSchema, spec, statsCols, bloomCols,
           baseVersion, info)
     }
 
@@ -1670,7 +1815,7 @@ private[sources] object GraftDeltaWrite {
 }
 
 private[sources] class GraftDeltaWrite(root: String, tableSchema: StructType,
-                                       partCol: Option[String], statsCols: Seq[String],
+                                       spec: Option[PartSpec], statsCols: Seq[String],
                                        bloomCols: Seq[String], baseVersion: Option[Long],
                                        info: LogicalWriteInfo) extends DeltaWrite {
 
@@ -1683,7 +1828,7 @@ private[sources] class GraftDeltaWrite(root: String, tableSchema: StructType,
     val rowIdSchema =
       if (info.rowIdSchema().isPresent) info.rowIdSchema().get()
       else GraftDeltaWrite.DelSchema
-    new GraftDeltaBatchWrite(root, tableSchema, partCol, statsCols, bloomCols,
+    new GraftDeltaBatchWrite(root, tableSchema, spec, statsCols, bloomCols,
       baseVersion, info.schema(), rowIdSchema, staging)
   }
 }
@@ -1694,7 +1839,7 @@ private[sources] class GraftDeltaWrite(root: String, tableSchema: StructType,
   * failed attempt's stragglers in the staging dir are never picked up.
   */
 private[sources] class GraftDeltaBatchWrite(root: String, tableSchema: StructType,
-                                            partCol: Option[String], statsCols: Seq[String],
+                                            spec: Option[PartSpec], statsCols: Seq[String],
                                             bloomCols: Seq[String], baseVersion: Option[Long],
                                             dataSchema: StructType, rowIdSchema: StructType,
                                             staging: String) extends DeltaBatchWrite {
@@ -1730,7 +1875,7 @@ private[sources] class GraftDeltaBatchWrite(root: String, tableSchema: StructTyp
               if (delFiles.isEmpty) None
               else Some(spark.read.schema(GraftDeltaWrite.DelSchema)
                 .parquet(delFiles: _*))
-            ManifestTable.commitDelta(spark, root, v, batch, positions, partCol,
+            ManifestTable.commitDeltaSpec(spark, root, v, batch, positions, spec,
               statsCols, bloomCols)
           case None =>
             // DML against a created-but-empty table: nothing existed to
@@ -1738,7 +1883,7 @@ private[sources] class GraftDeltaBatchWrite(root: String, tableSchema: StructTyp
             require(delFiles.isEmpty,
               "row-level DML produced deletes against a table with no committed version")
             batch.foreach(b =>
-              ManifestTable.append(b, root, partCol, statsCols, bloomCols))
+              ManifestTable.appendSpec(b, root, spec, statsCols, bloomCols))
         }
       }
     } finally cleanup(spark)
@@ -1891,7 +2036,7 @@ private[sources] object GraftProcedures {
 
   val all: Seq[String] =
     Seq("row_count", "detail", "compact", "zorder", "restore", "vacuum",
-      "rebuild_index")
+      "rebuild_index", "set_partitioning")
 
   private def in(name: String, dt: org.apache.spark.sql.types.DataType) =
     ProcedureParameter.in(name, dt).build()
@@ -1968,12 +2113,18 @@ private[sources] object GraftProcedures {
         val pv = Option(args.getUTF8String(2)).map(_.toString).filter(_.nonEmpty)
         val v = pv match {
           case Some(value) =>
-            val pc = t.partCol.getOrElse(throw new IllegalArgumentException(
+            val sp = t.partSpec.getOrElse(throw new IllegalArgumentException(
               s"compact(partition => ...) needs a partitioned table"))
-            ManifestTable.compactPartition(SparkSession.active, t.root, t.schema,
-              pc, value, args.getInt(1), t.statsColsProp)
-          case None => ManifestTable.compact(SparkSession.active, t.root, t.schema,
-            t.partCol, args.getInt(1), t.statsColsProp)
+            ManifestTable.compactPartitionSpec(SparkSession.active, t.root, t.schema,
+              sp, value, args.getInt(1), t.statsColsProp)
+          case None =>
+            val full = ManifestTable.compactSpec(SparkSession.active, t.root,
+              t.schema, t.partSpec, args.getInt(1), t.statsColsProp)
+            // a full rewrite re-derives every row under the CURRENT spec —
+            // the mixed layout (and with it, any pruning/carry-forward
+            // debt of partition evolution) ends here, so retire history
+            cat.clearPartSpecHistory(t.root)
+            full
         }
         Seq(row(v))
       }
@@ -1988,9 +2139,28 @@ private[sources] object GraftProcedures {
       override def run(args: InternalRow): Seq[InternalRow] = {
         val t = cat.tableNamed(args.getUTF8String(0).toString)
         val cols = args.getUTF8String(1).toString.split(",").map(_.trim).filter(_.nonEmpty)
-        val v = ManifestTable.compactZOrder(SparkSession.active, t.root, t.schema,
-          t.partCol, cols.toIndexedSeq, args.getInt(2), t.statsColsProp)
+        val v = ManifestTable.compactZOrderSpec(SparkSession.active, t.root, t.schema,
+          t.partSpec, cols.toIndexedSeq, args.getInt(2), t.statsColsProp)
+        cat.clearPartSpecHistory(t.root) // full rewrite: mixed layout ends
         Seq(row(v))
+      }
+    })
+
+    case "set_partitioning" => Some(new P("set_partitioning",
+      Seq(in("table", StringType), in("spec", StringType)),
+      StructType(Seq(StructField("spec", StringType),
+        StructField("previous", StringType)))) {
+      override def description(): String =
+        "partition-spec evolution: metadata-only replace of the active " +
+          "partition spec (identity column name, or days/hours/months/years/" +
+          "bucket(n,c)/truncate(w,c) hidden transforms; '' unsets) — old " +
+          "directories keep their layout and keep pruning under it; a full " +
+          "compact rewrites to the new spec and ends the mixed state"
+      override def run(args: InternalRow): Seq[InternalRow] = {
+        val t = cat.tableNamed(args.getUTF8String(0).toString)
+        val render = args.getUTF8String(1).toString
+        val prev = cat.setPartitioning(t.root, render)
+        Seq(row(utf8(render.trim), utf8(prev.getOrElse(""))))
       }
     })
 
@@ -2052,7 +2222,7 @@ private[sources] object GraftProcedures {
                 (cluster :+ key).map(col).toIndexedSeq: _*)
             val corpusNow = ManifestTable.currentVersion(s, corp.root).getOrElse(0L)
             val v = ManifestTable.withBasedOn(corpusNow) {
-              ManifestTable.commit(clustered, idx.root, idx.partCol,
+              ManifestTable.commitSpec(clustered, idx.root, idx.partSpec,
                 carryForward = false, statsCols = idx.statsColsProp,
                 bloomCols = idx.bloomColsProp)
             }

@@ -189,26 +189,33 @@ class GraftSource extends RelationProvider with SchemaRelationProvider
   override def createRelation(sqlContext: SQLContext, mode: SaveMode,
                               parameters: Map[String, String], data: DataFrame): BaseRelation = {
     val r = root(parameters)
-    val partCol = parameters.get("partitionBy")
+    // an explicit partitionBy option wins; otherwise a sidecar-declared
+    // spec (identity or hidden transform) drives the write, so
+    // path-addressed saves land partitioned like the catalog table they
+    // extend
+    val spec: Option[PartSpec] = parameters.get("partitionBy")
+      .map(PartSpec.Identity(_): PartSpec)
+      .orElse(GraftDdl.load(sqlContext.sparkSession, r).flatMap(d =>
+        for { sch <- d.schema; rd <- d.partCol } yield PartSpec.parse(rd, sch)))
     val statsCols = parameters.get("statsCols").map(_.split(",").toSeq).getOrElse(Nil)
     val bloomCols = parameters.get("bloomCols").map(_.split(",").toSeq).getOrElse(Nil)
     val exists = ManifestTable.exists(sqlContext.sparkSession, r)
     mode match {
       case SaveMode.Overwrite =>
-        ManifestTable.commit(data, r, partCol, carryForward = false,
+        ManifestTable.commitSpec(data, r, spec, carryForward = false,
           statsCols = statsCols, bloomCols = bloomCols)
       case SaveMode.Append =>
-        if (exists) ManifestTable.append(data, r, partCol,
+        if (exists) ManifestTable.appendSpec(data, r, spec,
           statsCols = statsCols, bloomCols = bloomCols)
-        else ManifestTable.commit(data, r, partCol,
+        else ManifestTable.commitSpec(data, r, spec,
           statsCols = statsCols, bloomCols = bloomCols)
       case SaveMode.ErrorIfExists if exists =>
         throw new IllegalStateException(s"graft table $r already exists (ErrorIfExists)")
       case SaveMode.ErrorIfExists =>
-        ManifestTable.commit(data, r, partCol,
+        ManifestTable.commitSpec(data, r, spec,
           statsCols = statsCols, bloomCols = bloomCols)
       case SaveMode.Ignore =>
-        if (!exists) ManifestTable.commit(data, r, partCol,
+        if (!exists) ManifestTable.commitSpec(data, r, spec,
           statsCols = statsCols, bloomCols = bloomCols)
     }
     GraftRelation(sqlContext, r, data.schema, None)
@@ -241,11 +248,18 @@ final case class GraftRelation(sqlContext: SQLContext, root: String,
       "cannot INSERT into a time-travel (versionAsOf) graft relation — load the " +
         "current snapshot instead")
     val aligned = data.toDF(schema.fieldNames.toIndexedSeq: _*)
-    val partCol = ManifestTable.partitionColumn(spark, root)
+    // a sidecar is authoritative either way (partCol absent = declared
+    // unpartitioned); only sidecar-LESS path-first tables recover an
+    // identity column from the manifest's own directory names
+    val spec = GraftDdl.load(spark, root) match {
+      case Some(d) => for { sch <- d.schema; r <- d.partCol }
+        yield PartSpec.parse(r, sch)
+      case None => ManifestTable.partitionColumn(spark, root).map(PartSpec.Identity)
+    }
     if (overwrite)
-      ManifestTable.commit(aligned, root, partCol, carryForward = false)
+      ManifestTable.commitSpec(aligned, root, spec, carryForward = false)
     else
-      ManifestTable.append(aligned, root, partCol)
+      ManifestTable.appendSpec(aligned, root, spec)
   }
 
   // buildScan hands back InternalRow-backed RDDs from the delegated plan

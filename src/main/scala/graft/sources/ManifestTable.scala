@@ -783,6 +783,14 @@ object ManifestTable {
     val metaSchema = StructType(schema.fields
       :+ org.apache.spark.sql.types.StructField("__f", org.apache.spark.sql.types.StringType)
       :+ org.apache.spark.sql.types.StructField("__pos", org.apache.spark.sql.types.LongType))
+    // re-select each relation to its contract BEFORE the union: a HIDDEN
+    // partition spec's dir column is not in the requested schema, and
+    // Spark appends inferred dir columns anyway (probed r18) — and under
+    // partition EVOLUTION different data versions append differently-named
+    // columns, which would break unionByName
+    val wanted: Seq[org.apache.spark.sql.Column] =
+      if (needMeta) schema.fieldNames.toSeq.map(col) :+ col("__f") :+ col("__pos")
+      else schema.fieldNames.toSeq.map(col)
     val assembled =
       if (entries.isEmpty) {
         // a committed version whose snapshot held zero partitions (e.g. an
@@ -796,9 +804,11 @@ object ManifestTable {
         entries.groupBy(_._2).map { case (dataV, parts) =>
           val base = s"$root/v${fmt(dataV)}"
           val names = parts.map(_._1).distinct.sorted
-          if (names == Seq("")) withM(spark.read.schema(schema).parquet(base))
-          else withM(spark.read.option("basePath", base).schema(schema)
-            .parquet(names.map(p => s"$base/$p"): _*))
+          val rel =
+            if (names == Seq("")) withM(spark.read.schema(schema).parquet(base))
+            else withM(spark.read.option("basePath", base).schema(schema)
+              .parquet(names.map(p => s"$base/$p"): _*))
+          rel.select(wanted: _*)
         }.reduce(_ unionByName _)
       }
     val masked = dv match {
@@ -1093,30 +1103,142 @@ object ManifestTable {
     * the IN-list probe (the "fetch N rows by key" pattern: a file provably
     * lacking every key in the list skips).
     */
+  /** Does the hive-style dir `col=value` survive the conjunctive hints?
+    * The dir's own column name selects the spec that WROTE it (identity or
+    * hidden transform, current or historical — partition evolution leaves
+    * old-spec dirs in place and they keep pruning under their own
+    * mapping); a dir matching no known spec falls back to the legacy
+    * identity string-compare on its own column name. Everything
+    * unmappable keeps the dir — pruning is always a correct superset.
+    */
+  private def dirSurvives(dirName: String, specsByPhys: Map[String, PartSpec],
+                          ranges: Seq[ColRange], points: Seq[(String, Any)],
+                          pointsAny: Seq[(String, Seq[Any])]): Boolean = {
+    val i = dirName.indexOf('=')
+    if (i < 0) return true
+    val phys = dirName.substring(0, i)
+    val raw = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+      .unescapePathName(dirName.substring(i + 1))
+    specsByPhys.get(phys) match {
+      case Some(spec) =>
+        val src = spec.source
+        val pts = points.filter(_._1 == src)
+        val anys = pointsAny.filter(_._1 == src)
+        val rngs = if (spec.monotone) ranges.filter(_.col == src) else Nil
+        if (pts.isEmpty && anys.isEmpty && rngs.isEmpty) true
+        else if (raw == "__HIVE_DEFAULT_PARTITION__") false // hints are null-rejecting
+        else {
+          // equality: every conjunctive point must map to THIS dir's value;
+          // IN-lists need at least one member to. applyValue = None means
+          // "no constraint from this hint" (forall on None = keep).
+          val ptsOk = pts.forall(p =>
+            spec.applyValue(p._2).forall(d => String.valueOf(d) == raw))
+          val anysOk = anys.forall(a =>
+            a._2.exists(x => spec.applyValue(x).forall(d => String.valueOf(d) == raw)))
+          // ranges (monotone specs only): map bounds into the derived
+          // domain and compare typed against the dir's parsed value
+          val rngsOk = rngs.forall { r =>
+            val lo = Option(r.lo).flatMap(spec.applyValue)
+            val hi = Option(r.hi).flatMap(spec.applyValue)
+            dirValueInRange(raw, lo, hi)
+          }
+          ptsOk && anysOk && rngsOk
+        }
+      case None =>
+        // legacy path-first tables (no sidecar): identity string-compare
+        // against the dir's own column name, equality/IN only
+        points.filter(_._1 == phys).forall(p => String.valueOf(p._2) == raw) &&
+          pointsAny.filter(_._1 == phys)
+            .forall(_._2.exists(x => String.valueOf(x) == raw))
+    }
+  }
+
+  /** Typed range check of a rendered dir value against derived-domain
+    * bounds. Comparison domains tried in order: integral, double,
+    * ISO-date-vs-epoch-day (identity DATE partitioning), ASCII-only
+    * lexicographic strings (Java UTF-16 order diverges from Spark's UTF-8
+    * byte order only beyond ASCII — non-ASCII keeps the dir). Anything
+    * unparseable keeps the dir.
+    */
+  private def dirValueInRange(raw: String, lo: Option[Any], hi: Option[Any]): Boolean = {
+    def num(v: Any): Option[Long] = v match {
+      case i: java.lang.Integer => Some(i.toLong)
+      case l: java.lang.Long => Some(l)
+      case s: java.lang.Short => Some(s.toLong)
+      case b: java.lang.Byte => Some(b.toLong)
+      case _ => None
+    }
+    def dbl(v: Any): Option[Double] = v match {
+      case d: java.lang.Double => Some(d)
+      case f: java.lang.Float => Some(f.toDouble)
+      case _ => None
+    }
+    val rawLong = raw.toLongOption
+    if (rawLong.isDefined && (lo.forall(num(_).isDefined) && hi.forall(num(_).isDefined))) {
+      val x = rawLong.get
+      lo.flatMap(num).forall(x >= _) && hi.flatMap(num).forall(x <= _)
+    } else if (raw.toDoubleOption.isDefined &&
+        (lo.forall(v => dbl(v).orElse(num(v).map(_.toDouble)).isDefined) &&
+         hi.forall(v => dbl(v).orElse(num(v).map(_.toDouble)).isDefined))) {
+      val x = raw.toDouble
+      lo.flatMap(v => dbl(v).orElse(num(v).map(_.toDouble))).forall(x >= _) &&
+        hi.flatMap(v => dbl(v).orElse(num(v).map(_.toDouble))).forall(x <= _)
+    } else {
+      val asDate = try Some(java.time.LocalDate.parse(raw).toEpochDay)
+        catch { case _: Exception => None }
+      // identity DATE dirs render ISO; bounds arrive as internal epoch-day
+      // ints (Catalyst hints) or external dates (V1 sources.Filter)
+      def dateNum(v: Any): Option[Long] = v match {
+        case d: java.sql.Date => Some(d.toLocalDate.toEpochDay)
+        case d: java.time.LocalDate => Some(d.toEpochDay)
+        case other => num(other)
+      }
+      if (asDate.isDefined && lo.forall(dateNum(_).isDefined) && hi.forall(dateNum(_).isDefined)) {
+        val x = asDate.get
+        lo.flatMap(dateNum).forall(x >= _) && hi.flatMap(dateNum).forall(x <= _)
+      } else (lo, hi) match {
+        case (ls, hs) if ls.forall(_.isInstanceOf[String]) && hs.forall(_.isInstanceOf[String])
+            && raw.forall(_ < 128)
+            && ls.forall(_.asInstanceOf[String].forall(_ < 128))
+            && hs.forall(_.asInstanceOf[String].forall(_ < 128)) =>
+          ls.forall(l => raw.compareTo(l.asInstanceOf[String]) >= 0) &&
+            hs.forall(h => raw.compareTo(h.asInstanceOf[String]) <= 0)
+        case _ => true
+      }
+    }
+  }
+
+  /** `(keptDirs, totalDirs)` the given hints leave readable in the current
+    * snapshot — the observable partition-level pruning effect (file-level
+    * skipping is [[pruneCounts]]), for tests and ops telemetry.
+    */
+  def prunePartitionCounts(spark: SparkSession, root: String, ranges: Seq[ColRange],
+                           points: Seq[(String, Any)] = Nil,
+                           pointsAny: Seq[(String, Seq[Any])] = Nil): (Int, Int) = {
+    val v = currentVersion(spark, root).getOrElse(
+      throw new IllegalStateException(s"manifest table $root has no committed version"))
+    val (fs, rootP) = fsOf(spark, root)
+    val dirs = entriesOf(fs, rootP, v).map(_._1).distinct.filter(_.nonEmpty)
+    val specsByPhys = PartSpecs.of(spark, root).map(s => s.physName -> s).toMap
+    (dirs.count(d => dirSurvives(d, specsByPhys, ranges, points, pointsAny)), dirs.size)
+  }
+
   private def planPrune(spark: SparkSession, root: String, v: Long,
                         ranges: Seq[ColRange], points: Seq[(String, Any)],
                         pointsAny: Seq[(String, Seq[Any])] = Nil)
       : (Map[Long, Either[Seq[String], Seq[String]]], (Int, Int)) = {
     val (fs, rootP) = fsOf(spark, root)
     val entries = entriesOf(fs, rootP, v)
-    // PARTITION-DIR pruning before any file listing: equality / IN hints
-    // on the partition column compare against the dir's rendered value —
-    // at 10k partitions a point query lists ONE dir's files instead of
-    // the table's. Only exact-match hints apply (a range on a numeric
-    // partition value would compare lexically against the dir text);
-    // unmatched hints leave the dir in — always a correct superset.
-    def partSurvives(dirName: String): Boolean = {
-      val i = dirName.indexOf('=')
-      if (i < 0) true
-      else {
-        val pc = dirName.substring(0, i)
-        val raw = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
-          .unescapePathName(dirName.substring(i + 1))
-        points.filter(_._1 == pc).forall(p => String.valueOf(p._2) == raw) &&
-          pointsAny.filter(_._1 == pc)
-            .forall(_._2.exists(x => String.valueOf(x) == raw))
-      }
-    }
+    // PARTITION-DIR pruning before any file listing: hints on the
+    // partition SOURCE column map through the table's partition specs
+    // ([[PartSpecs.of]] — identity or hidden transforms, current AND
+    // historical, matched per-dir by the dir's own column name) — at 10k
+    // partitions a point query lists ONE dir's files instead of the
+    // table's. Unmatched hints leave the dir in — always a correct
+    // superset.
+    val specsByPhys = PartSpecs.of(spark, root).map(s => s.physName -> s).toMap
+    def partSurvives(dirName: String): Boolean =
+      dirSurvives(dirName, specsByPhys, ranges, points, pointsAny)
     var keptN = 0; var totalN = 0
     val plan = entries.groupBy(_._2).map { case (dv, parts) =>
       val partDirs = parts.map(_._1).distinct.filter(partSurvives).sorted
@@ -1178,9 +1300,15 @@ object ManifestTable {
         df.select(col("*"), normPath(col("_metadata.file_path")).as("__f"),
           col("_metadata.row_index").as("__pos"))
       else df
+    // per-relation re-select before the union, as in [[readSnapshot]]:
+    // hidden/evolved partition specs make Spark append dir columns the
+    // requested schema doesn't carry, with names varying per data version
+    val wanted: Seq[org.apache.spark.sql.Column] =
+      if (dv.isDefined) schema.fieldNames.toSeq.map(col) :+ col("__f") :+ col("__pos")
+      else schema.fieldNames.toSeq.map(col)
     val relations = plan.toSeq.flatMap { case (dataV, sel) =>
       val base = s"$root/v${fmt(dataV)}"
-      sel match {
+      val rel = sel match {
         case Left(partDirs) =>
           if (partDirs == Seq(""))
             Some(withM(spark.read.schema(schema).parquet(base)))
@@ -1191,6 +1319,7 @@ object ManifestTable {
           Some(withM(spark.read.option("basePath", base).schema(schema)
             .parquet(files.map(f => s"$base/$f"): _*)))
       }
+      rel.map(_.select(wanted: _*))
     }
     if (relations.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
@@ -1568,7 +1697,24 @@ object ManifestTable {
   def commit(df0: DataFrame, root: String, partCol: Option[String],
              carryForward: Boolean = true,
              statsCols: Seq[String] = Nil,
-             bloomCols: Seq[String] = Nil): Long = {
+             bloomCols: Seq[String] = Nil): Long =
+    commitSpec(df0, root, partCol.map(PartSpec.Identity), carryForward,
+      statsCols, bloomCols)
+
+  /** [[commit]] with a (possibly hidden-transform) partition spec — the
+    * staged write derives the physical partition column on the fly
+    * ([[PartSpec.derive]]), so data files carry exactly the declared
+    * schema while directories carry the transformed value. A carry-forward
+    * commit on a MIXED layout (partition evolution left dirs under an
+    * older spec's column name) is refused: its supersede-by-name contract
+    * cannot retire the other spec's entries for the same rows — compact
+    * (full snapshot rewrite under the current spec) first, or write
+    * through [[append]]/[[mergeDvSpec]], which stay correct under any mix.
+    */
+  def commitSpec(df0: DataFrame, root: String, spec: Option[PartSpec],
+                 carryForward: Boolean = true,
+                 statsCols: Seq[String] = Nil,
+                 bloomCols: Seq[String] = Nil): Long = {
     val spark = df0.sparkSession
     // id-carrying tables write EVERY data file id-annotated, whatever path
     // produced the frame — one id-less file would fail later by-id reads
@@ -1576,11 +1722,8 @@ object ManifestTable {
     val (fs, rootP) = fsOf(spark, root)
     val stage = new Path(rootP,
       ".stage-" + java.util.UUID.randomUUID().toString.take(12))
-    partCol match {
-      case Some(pc) => df.write.partitionBy(pc).mode("overwrite").parquet(stage.toString)
-      case None => df.write.mode("overwrite").parquet(stage.toString)
-    }
-    val touchedNames: Seq[String] = partCol match {
+    stageWrite(df, spec, stage)
+    val touchedNames: Seq[String] = spec match {
       case Some(_) => fs.listStatus(stage)
         .filter(st => st.isDirectory && st.getPath.getName.contains("="))
         .map(_.getPath.getName).toSeq
@@ -1599,14 +1742,41 @@ object ManifestTable {
     // A touched partition's rewrite supersedes all its previous entries
     // (publishStaged's appendEntries=false; mergeDv appends instead).
     val base = currentVersion(spark, root)
-    val retryable = partCol.isDefined && carryForward
+    val retryable = spec.isDefined && carryForward
     val (prev, dvCarry) =
       if (retryable)
         base.map(v => (entriesOf(fs, rootP, v), dvOf(fs, rootP, v)))
           .getOrElse((Seq.empty[(String, Long)], None))
       else (Seq.empty[(String, Long)], None)
+    if (retryable && mixedLayout(prev, spec.get))
+      throw new IllegalStateException(
+        s"carry-forward commit on $root: the table holds partitions under an " +
+          s"older partition spec than ${spec.get.render} (partition evolution) — " +
+          "a partition rewrite cannot supersede the other layout's entries for " +
+          "the same rows; compact the table (full rewrite under the current " +
+          "spec) or write through append/mergeDv")
     publishStaged(spark, root, stage, base, prev, touchedNames, dvCarry,
       stats, blooms, retryable = retryable)
+  }
+
+  /** Stage `df` partitioned per `spec` (deriving the physical column when
+    * the spec is a hidden transform — partitionBy keeps it OUT of the data
+    * files) or unpartitioned.
+    */
+  private def stageWrite(df: DataFrame, spec: Option[PartSpec], stage: Path): Unit =
+    spec match {
+      case Some(s) =>
+        s.derive(df).write.partitionBy(s.physName).mode("overwrite").parquet(stage.toString)
+      case None => df.write.mode("overwrite").parquet(stage.toString)
+    }
+
+  /** Does the entry set hold partition dirs written under a DIFFERENT
+    * physical column than `spec`'s — i.e. has partition evolution left a
+    * mixed layout that name-keyed partition reasoning cannot cover?
+    */
+  private def mixedLayout(entries: Seq[(String, Long)], spec: PartSpec): Boolean = {
+    val pfx = spec.physName + "="
+    entries.exists { case (p, _) => p.nonEmpty && !p.startsWith(pfx) }
   }
 
   /** INSERT-only commit: `df`'s rows land as a fresh data version ADDED
@@ -1619,17 +1789,23 @@ object ManifestTable {
     */
   def append(df0: DataFrame, root: String, partCol: Option[String],
              statsCols: Seq[String] = Nil,
-             bloomCols: Seq[String] = Nil): Long = {
+             bloomCols: Seq[String] = Nil): Long =
+    appendSpec(df0, root, partCol.map(PartSpec.Identity), statsCols, bloomCols)
+
+  /** [[append]] under a (possibly hidden-transform) partition spec. Blind
+    * appends stay correct under a MIXED layout (partition evolution):
+    * every appended entry is new, nothing is superseded by name.
+    */
+  def appendSpec(df0: DataFrame, root: String, spec: Option[PartSpec],
+                 statsCols: Seq[String] = Nil,
+                 bloomCols: Seq[String] = Nil): Long = {
     val spark = df0.sparkSession
     val df = FieldIds.attachDf(df0, fieldIdsForWrite(spark, root)) // as in [[commit]]
     val (fs, rootP) = fsOf(spark, root)
     val stage = new Path(rootP,
       ".stage-" + java.util.UUID.randomUUID().toString.take(12))
-    partCol match {
-      case Some(pc) => df.write.partitionBy(pc).mode("overwrite").parquet(stage.toString)
-      case None => df.write.mode("overwrite").parquet(stage.toString)
-    }
-    val touchedNames: Seq[String] = partCol match {
+    stageWrite(df, spec, stage)
+    val touchedNames: Seq[String] = spec match {
       case Some(_) => fs.listStatus(stage)
         .filter(st => st.isDirectory && st.getPath.getName.contains("="))
         .map(_.getPath.getName).toSeq
@@ -1765,7 +1941,25 @@ object ManifestTable {
               keys: Seq[String], partCol: Option[String],
               statsCols: Seq[String], bloomCols: Seq[String],
               deleteKeys: Option[DataFrame],
-              deletePartitions: Option[Seq[String]]): Long = {
+              deletePartitions: Option[Seq[String]]): Long =
+    mergeDvSpec(batch0, root, schema, keys, partCol.map(PartSpec.Identity),
+      statsCols, bloomCols, deleteKeys, deletePartitions)
+
+  /** [[mergeDv]] under a (possibly hidden-transform) partition spec.
+    * MIXED layouts (partition evolution left dirs under an older spec)
+    * stay CORRECT here: the touched-partition restriction on the position
+    * scan only holds when every live dir shares the current spec's
+    * physical column — otherwise a matched key's old row may live in an
+    * old-layout dir the batch's dir names cannot address, so the scan
+    * falls back to the full snapshot (the caller's `deletePartitions` hint
+    * is dropped for the same reason). Compact to restore the O(touched)
+    * fast path.
+    */
+  def mergeDvSpec(batch0: DataFrame, root: String, schema: StructType,
+                  keys: Seq[String], spec: Option[PartSpec],
+                  statsCols: Seq[String] = Nil, bloomCols: Seq[String] = Nil,
+                  deleteKeys: Option[DataFrame] = None,
+                  deletePartitions: Option[Seq[String]] = None): Long = {
     import org.apache.spark.sql.functions.{broadcast, col}
     require(keys.nonEmpty, "mergeDv: at least one key column is required")
     val spark = batch0.sparkSession
@@ -1776,16 +1970,14 @@ object ManifestTable {
         s"mergeDv: $root has no committed version — create the table with commit() first"))
     val stage = new Path(rootP,
       ".stage-" + java.util.UUID.randomUUID().toString.take(12))
-    partCol match {
-      case Some(pc) => batch.write.partitionBy(pc).mode("overwrite").parquet(stage.toString)
-      case None => batch.write.mode("overwrite").parquet(stage.toString)
-    }
-    val touchedNames: Seq[String] = partCol match {
+    stageWrite(batch, spec, stage)
+    val touchedNames: Seq[String] = spec match {
       case Some(_) => fs.listStatus(stage)
         .filter(st => st.isDirectory && st.getPath.getName.contains("="))
         .map(_.getPath.getName).toSeq
       case None => Seq("")
     }
+    val mixed = spec.exists(s => mixedLayout(entriesOf(fs, rootP, cur), s))
     // positions of the batch's keys in the current snapshot → DV delta.
     // The scan is restricted to the touched partitions (partCol immutable
     // per key) and the key set broadcasts: O(touched) read, O(matched) write.
@@ -1794,10 +1986,11 @@ object ManifestTable {
     // keys may live in ANY partition, so its scan is restricted only by the
     // caller's `deletePartitions` hint.
     def positionsOf(keyDf: DataFrame, restrict: Option[Set[String]]): DataFrame =
-      readSnapshot(spark, root, schema, cur, withMeta = true, restrict)
+      readSnapshot(spark, root, schema, cur, withMeta = true,
+        if (mixed) None else restrict)
         .join(broadcast(keyDf.select(keys.map(col): _*).distinct()), keys, "left_semi")
         .select(col("__f"), col("__pos"))
-    val upDel = positionsOf(batch, partCol.map(_ => touchedNames.toSet))
+    val upDel = positionsOf(batch, spec.map(_ => touchedNames.toSet))
     // dedupe positions when BOTH legs exist: a key in both the upsert and
     // delete legs masks the same (file, pos) twice — harmless to the read
     // anti-join but it would double-subtract in
@@ -1856,21 +2049,31 @@ object ManifestTable {
   def commitDelta(spark: SparkSession, root: String, baseVersion: Long,
                   batch0: Option[DataFrame], positions: Option[DataFrame],
                   partCol: Option[String], statsCols: Seq[String] = Nil,
-                  bloomCols: Seq[String] = Nil): Long = {
+                  bloomCols: Seq[String] = Nil): Long =
+    commitDeltaSpec(spark, root, baseVersion, batch0, positions,
+      partCol.map(PartSpec.Identity), statsCols, bloomCols)
+
+  /** [[commitDelta]] under a (possibly hidden-transform) partition spec.
+    * Row-level DML stays correct under MIXED layouts with no fallback
+    * needed: the positions were produced by Spark's own rewrite over the
+    * FULL pinned snapshot (never partition-restricted), and the insert leg
+    * is a blind append under the current spec.
+    */
+  def commitDeltaSpec(spark: SparkSession, root: String, baseVersion: Long,
+                      batch0: Option[DataFrame], positions: Option[DataFrame],
+                      spec: Option[PartSpec], statsCols: Seq[String] = Nil,
+                      bloomCols: Seq[String] = Nil): Long = {
     import org.apache.spark.sql.functions.col
     val batch = batch0.map(b => FieldIds.attachDf(b, fieldIdsForWrite(spark, root)))
     val (fs, rootP) = fsOf(spark, root)
     val stage = new Path(rootP,
       ".stage-" + java.util.UUID.randomUUID().toString.take(12))
     batch match {
-      case Some(b) => partCol match {
-        case Some(pc) => b.write.partitionBy(pc).mode("overwrite").parquet(stage.toString)
-        case None => b.write.mode("overwrite").parquet(stage.toString)
-      }
+      case Some(b) => stageWrite(b, spec, stage)
       case None => fs.mkdirs(stage)
     }
     val touchedNames: Seq[String] = batch match {
-      case Some(_) => partCol match {
+      case Some(_) => spec match {
         case Some(_) => fs.listStatus(stage)
           .filter(st => st.isDirectory && st.getPath.getName.contains("="))
           .map(_.getPath.getName).toSeq
@@ -1998,18 +2201,34 @@ object ManifestTable {
     */
   def compact(spark: SparkSession, root: String, schema: StructType,
               partCol: Option[String], filesPerPartition: Int = 1,
-              statsCols: Seq[String] = Nil): Long = {
+              statsCols: Seq[String] = Nil): Long =
+    compactSpec(spark, root, schema, partCol.map(PartSpec.Identity),
+      filesPerPartition, statsCols)
+
+  /** [[compact]] under a (possibly hidden-transform) partition spec. This
+    * is also the verb that ENDS a mixed layout after partition evolution:
+    * the full snapshot rewrite re-derives every row's partition under the
+    * CURRENT spec, after which the carry-forward fast paths reopen.
+    */
+  def compactSpec(spark: SparkSession, root: String, schema: StructType,
+                  spec: Option[PartSpec], filesPerPartition: Int = 1,
+                  statsCols: Seq[String] = Nil): Long = {
     require(filesPerPartition >= 1, s"filesPerPartition=$filesPerPartition")
     import org.apache.spark.sql.functions._
-    val df = read(spark, root, schema)
-    val out = partCol match {
-      case Some(pc) if filesPerPartition == 1 => df.repartition(col(pc))
-      case Some(pc) => df.repartition(col(pc),
-        pmod(xxhash64(schema.fieldNames.filterNot(_ == pc).map(col).toSeq: _*),
+    val df0 = read(spark, root, schema)
+    val df = spec.fold(df0)(_.derive(df0))
+    val out = spec match {
+      case Some(s) if filesPerPartition == 1 => df.repartition(col(s.physName))
+      case Some(s) => df.repartition(col(s.physName),
+        pmod(xxhash64(schema.fieldNames.filterNot(_ == s.physName).map(col).toSeq: _*),
           lit(filesPerPartition.toLong)))
       case None => df.repartition(filesPerPartition)
     }
-    commit(out, root, partCol, carryForward = false, statsCols = statsCols)
+    // drop the pre-derived hidden column before the commit (which re-derives
+    // for the staged write): commitSpec's id-attach treats any non-schema
+    // column as drift, and a select keeps the repartitioning
+    commitSpec(out.select(schema.fieldNames.map(col).toSeq: _*), root, spec,
+      carryForward = false, statsCols = statsCols)
   }
 
   /** OPTIMIZE scoped to ONE partition — the hot-partition case: a
@@ -2032,18 +2251,48 @@ object ManifestTable {
   def compactPartition(spark: SparkSession, root: String, schema: StructType,
                        partCol: String, partValue: String,
                        filesPerPartition: Int = 1,
-                       statsCols: Seq[String] = Nil): Long = {
+                       statsCols: Seq[String] = Nil): Long =
+    compactPartitionSpec(spark, root, schema, PartSpec.Identity(partCol),
+      partValue, filesPerPartition, statsCols)
+
+  /** [[compactPartition]] under a (possibly hidden-transform) partition
+    * spec: `partValue` names a DERIVED value (a day number, a bucket id).
+    * Inherits [[commitSpec]]'s carry-forward mixed-layout refusal — a
+    * single-partition rewrite cannot retire an evolved-away layout's
+    * entries; run the full [[compactSpec]] first.
+    */
+  def compactPartitionSpec(spark: SparkSession, root: String, schema: StructType,
+                           spec: PartSpec, partValue: String,
+                           filesPerPartition: Int = 1,
+                           statsCols: Seq[String] = Nil): Long = {
     require(filesPerPartition >= 1, s"filesPerPartition=$filesPerPartition")
     import org.apache.spark.sql.functions._
-    val dt = schema(partCol).dataType
-    val df = read(spark, root, schema)
-      .filter(col(partCol) === lit(partValue).cast(dt))
+    val pc = spec.physName
+    val df =
+      if (spec.isIdentity) {
+        // the literal is cast to the column's type so Spark's own
+        // partition-dir pruning keeps this a directory-scoped scan
+        val dt = schema(pc).dataType
+        read(spark, root, schema).filter(col(pc) === lit(partValue).cast(dt))
+      } else {
+        // hidden spec: the derived value exists only in the dir name —
+        // assemble exactly that directory (derived values render via
+        // String.valueOf, the same form partDirName escapes)
+        val cur = currentVersion(spark, root).getOrElse(
+          throw new IllegalStateException(s"manifest table $root has no committed version"))
+        val dirName = pc + "=" + org.apache.spark.sql.catalyst.catalog
+          .ExternalCatalogUtils.escapePathName(partValue)
+        spec.derive(
+          readSnapshot(spark, root, schema, cur, withMeta = false, Some(Set(dirName))))
+      }
     val out =
-      if (filesPerPartition == 1) df.repartition(col(partCol))
-      else df.repartition(col(partCol),
-        pmod(xxhash64(schema.fieldNames.filterNot(_ == partCol).map(col).toSeq: _*),
+      if (filesPerPartition == 1) df.repartition(col(pc))
+      else df.repartition(col(pc),
+        pmod(xxhash64(schema.fieldNames.filterNot(_ == pc).map(col).toSeq: _*),
           lit(filesPerPartition.toLong)))
-    commit(out, root, Some(partCol), carryForward = true, statsCols = statsCols)
+    // as in [[compactSpec]]: re-select the declared schema before the commit
+    commitSpec(out.select(schema.fieldNames.map(col).toSeq: _*), root, Some(spec),
+      carryForward = true, statsCols = statsCols)
   }
 
   /** OPTIMIZE ZORDER — multi-column clustering compaction: rewrite the
@@ -2069,12 +2318,22 @@ object ManifestTable {
     */
   def compactZOrder(spark: SparkSession, root: String, schema: StructType,
                     partCol: Option[String], zorderBy: Seq[String],
-                    targetFiles: Int, statsCols: Seq[String] = Nil): Long = {
+                    targetFiles: Int, statsCols: Seq[String] = Nil): Long =
+    compactZOrderSpec(spark, root, schema, partCol.map(PartSpec.Identity),
+      zorderBy, targetFiles, statsCols)
+
+  /** [[compactZOrder]] under a (possibly hidden-transform) partition spec:
+    * the range partitioner clusters on (derived partition value, z) so the
+    * Z-curve stays partition-local, exactly as with an identity layout.
+    */
+  def compactZOrderSpec(spark: SparkSession, root: String, schema: StructType,
+                        spec: Option[PartSpec], zorderBy: Seq[String],
+                        targetFiles: Int, statsCols: Seq[String] = Nil): Long = {
     require(zorderBy.nonEmpty && zorderBy.size <= 3,
       s"zorderBy must hold 1-3 columns (3×16 bits keeps z positive), got ${zorderBy.size}")
     require(targetFiles >= 1, s"targetFiles=$targetFiles")
     import org.apache.spark.sql.functions._
-    val df = read(spark, root, schema)
+    val df = spec.fold(read(spark, root, schema))(_.derive(read(spark, root, schema)))
     val aggs = zorderBy.flatMap(c => Seq(
       min(col(c).cast("double")).as(s"mn_$c"),
       max(col(c).cast("double")).as(s"mx_$c")))
@@ -2094,13 +2353,13 @@ object ManifestTable {
       }
     }.reduce(_ + _) // bit positions are disjoint: sum == OR
     val keyed = withStats.withColumn("__z", z)
-    val ranged = partCol match {
-      case Some(pc) => keyed.repartitionByRange(targetFiles, col(pc), col("__z"))
+    val ranged = spec match {
+      case Some(s) => keyed.repartitionByRange(targetFiles, col(s.physName), col("__z"))
       case None => keyed.repartitionByRange(targetFiles, col("__z"))
     }
     val out = ranged.sortWithinPartitions(col("__z"))
       .select(schema.fieldNames.map(col).toSeq: _*)
-    commit(out, root, partCol, carryForward = false,
+    commitSpec(out, root, spec, carryForward = false,
       statsCols = (zorderBy ++ statsCols).distinct)
   }
 

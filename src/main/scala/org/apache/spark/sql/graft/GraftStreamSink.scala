@@ -82,6 +82,15 @@ class GraftStreamSink(sqlContext: SQLContext, root: String,
       fs.delete(new Path(root, MarkerPrefix + i), false))
   }
 
+  /** The ACTIVE partition spec, resolved per batch: a sidecar-declared
+    * spec (identity or hidden transform — and any partition EVOLUTION
+    * between restarts) wins over the stream's static `partitionBy`
+    * option, which stays the identity fallback for path-first targets.
+    */
+  private def activeSpec: Option[graft.sources.PartSpec] =
+    graft.sources.PartSpecs.currentOf(spark, root)
+      .orElse(partCol.map(graft.sources.PartSpec.Identity))
+
   override def addBatch(batchId: Long, data: DataFrame): Unit = {
     if (batchId <= lastCommitted()) return // crash-replay of a committed batch
     // re-root the micro-batch plan as a batch relation (the engine hands a
@@ -101,34 +110,38 @@ class GraftStreamSink(sqlContext: SQLContext, root: String,
           val tableSchema = StructType(data.schema.fields.filterNot(_.name == "_change_type"))
           val ups = batch.filter(col("_change_type").isin("insert", "update_postimage"))
             .drop("_change_type")
-          val delCols = (mergeKeys ++ partCol.toSeq).distinct
+          val spec = activeSpec
+          val delCols = (mergeKeys ++ spec.filter(_.isIdentity).map(_.source)).distinct
           val dels = batch.filter(col("_change_type") === "delete")
             .select(delCols.map(col): _*)
-          val delParts = partCol.map { pc =>
-            dels.select(col(pc)).distinct().collect()
-              .map(r => ManifestTable.partDirName(pc, r.get(0))).toSeq
+          // the delete-leg partition hint only holds for identity specs:
+          // a hidden transform's dir value is derivable but an EVOLVED
+          // table may hold old-layout dirs — mergeDvSpec full-scans there
+          val delParts = spec.filter(_.isIdentity).map { sp =>
+            dels.select(col(sp.source)).distinct().collect()
+              .map(r => ManifestTable.partDirName(sp.source, r.get(0))).toSeq
           }
           if (!ManifestTable.exists(spark, root)) {
-            ManifestTable.commit(ups, root, partCol)
+            ManifestTable.commitSpec(ups, root, spec)
             // a mixed first batch (dst dropped while the source checkpoint
             // survived) must not silently drop its delete rows
             if (dels.limit(1).count() > 0)
-              ManifestTable.mergeDv(ups.limit(0), root, tableSchema, mergeKeys,
-                partCol, Nil, Nil, Some(dels), delParts)
+              ManifestTable.mergeDvSpec(ups.limit(0), root, tableSchema, mergeKeys,
+                spec, Nil, Nil, Some(dels), delParts)
           } else if (ups.limit(1).count() + dels.limit(1).count() > 0)
-            ManifestTable.mergeDv(ups, root, tableSchema, mergeKeys, partCol,
+            ManifestTable.mergeDvSpec(ups, root, tableSchema, mergeKeys, spec,
               Nil, Nil, Some(dels), delParts)
         } else if (mergeKeys.nonEmpty) {
           if (!ManifestTable.exists(spark, root))
-            ManifestTable.commit(batch, root, partCol)
+            ManifestTable.commitSpec(batch, root, activeSpec)
           else if (batch.limit(1).count() > 0)
-            ManifestTable.mergeDv(batch, root, data.schema, mergeKeys, partCol,
-              Nil, Nil, None, None)
+            ManifestTable.mergeDvSpec(batch, root, data.schema, mergeKeys,
+              activeSpec, Nil, Nil, None, None)
         } else {
           if (!ManifestTable.exists(spark, root))
-            ManifestTable.commit(batch, root, partCol)
+            ManifestTable.commitSpec(batch, root, activeSpec)
           else if (batch.limit(1).count() > 0)
-            ManifestTable.append(batch, root, partCol)
+            ManifestTable.appendSpec(batch, root, activeSpec)
         }
       }
       writeMarker(batchId)
@@ -140,7 +153,7 @@ class GraftStreamSink(sqlContext: SQLContext, root: String,
       if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0
           && ManifestTable.exists(spark, root)) {
         val tableSchema = ManifestTable.inferSchema(spark, root)
-        ManifestTable.compact(spark, root, tableSchema, partCol)
+        ManifestTable.compactSpec(spark, root, tableSchema, activeSpec)
         ManifestTable.vacuum(spark, root, retainVersions = 1)
       }
     } finally Checkpoints.release(batch)

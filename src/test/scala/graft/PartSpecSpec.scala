@@ -1,0 +1,382 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.sources.{GraftCatalog, ManifestTable, PartSpec, PartSpecs}
+
+/** Hidden partitioning (Iceberg-style partition transforms) + partition-
+  * spec evolution over the manifest-table layout: transform parity
+  * (Spark-side derive vs driver-side pruning replay), SQL end-to-end with
+  * directory-level pruning, the evolution lifecycle (metadata-only spec
+  * change, mixed-layout correctness under DML, carry-forward refusal,
+  * compact ending the mix), and the ALTER guards that protect spec
+  * source columns.
+  */
+class PartSpecSpec extends SparkSuite {
+
+  import spark.implicits._
+
+  private lazy val wh: String = {
+    val dir = Files.createTempDirectory("graft-ps-wh").toString
+    spark.conf.set("spark.sql.catalog.gps", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gps.warehouse", dir)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gps.db")
+    dir
+  }
+
+  private def rootOf(name: String): String = { wh; s"$wh/db/$name" }
+
+  // ---------------------------------------------------------------------
+  // transform parity: PartSpec.derive (Spark) == PartSpec.applyValue
+  // (driver) — the invariant all pruning correctness rests on
+  // ---------------------------------------------------------------------
+
+  test("days/hours parity: Spark derive == driver applyValue, incl. pre-epoch") {
+    val micros = Seq(0L, 1L, -1L, 86399999999L, 86400000000L, -86400000000L,
+      -1L * 86400000000L - 1L, 1690000000123456L, -123456789L)
+    val df = micros.toDF("us").select(timestamp_micros(col("us")).as("ts"), col("us"))
+    for (spec <- Seq(PartSpec.Days("ts"), PartSpec.Hours("ts"))) {
+      val derived = spec.derive(df).select(col("us"), col(spec.physName))
+        .as[(Long, Long)].collect().toMap
+      micros.foreach { us =>
+        assert(spec.applyValue(java.lang.Long.valueOf(us)) == Some(derived(us)),
+          s"${spec.render} applyValue($us) != derived ${derived(us)}")
+        // external (V1 sources.Filter) convention agrees too
+        val ts = java.sql.Timestamp.from(java.time.Instant.EPOCH.plusNanos(us * 1000L))
+        assert(spec.applyValue(ts) == Some(derived(us)), s"${spec.render} Timestamp($us)")
+      }
+    }
+  }
+
+  test("months/years parity across year boundaries and pre-epoch dates") {
+    val days = Seq(0L, 30L, 31L, 364L, 365L, 366L, -1L, -365L, -366L, 19723L, 10000L)
+    val df = days.toDF("d").select(date_add(to_date(lit("1970-01-01")),
+      col("d").cast("int")).as("dt"), col("d"))
+    for (spec <- Seq(PartSpec.Months("dt"), PartSpec.Years("dt"))) {
+      val derived = spec.derive(df).select(col("d"), col(spec.physName))
+        .as[(Long, Long)].collect().toMap
+      days.foreach { d =>
+        assert(spec.applyValue(java.lang.Integer.valueOf(d.toInt)) == Some(derived(d)),
+          s"${spec.render} applyValue(day $d) != derived ${derived(d)}")
+        assert(spec.applyValue(java.time.LocalDate.ofEpochDay(d)) == Some(derived(d)),
+          s"${spec.render} LocalDate(day $d)")
+      }
+    }
+  }
+
+  test("bucket parity: xxhash64 replay matches Spark per source type") {
+    val longs = Seq(0L, 1L, -5L, 123456789L, Long.MaxValue)
+    val dfL = longs.toDF("k")
+    val specL = PartSpec.Bucket(16, "k", LongType)
+    val dL = specL.derive(dfL).select(col("k"), col("k_bucket")).as[(Long, Long)]
+      .collect().toMap
+    longs.foreach(k => assert(specL.applyValue(java.lang.Long.valueOf(k)) == Some(dL(k))))
+
+    val ints = Seq(0, 1, -5, 4093)
+    val dfI = ints.toDF("k")
+    val specI = PartSpec.Bucket(16, "k", IntegerType)
+    val dI = specI.derive(dfI).select(col("k"), col("k_bucket")).as[(Int, Long)]
+      .collect().toMap
+    ints.foreach(k => assert(specI.applyValue(java.lang.Integer.valueOf(k)) == Some(dI(k))))
+    // int and long MUST be allowed to hash differently — the parity is per
+    // declared type, which is why widening a bucket source is refused
+    val strs = Seq("", "a", "vietnam", "héllo", "x")
+    val dfS = strs.toDF("s")
+    val specS = PartSpec.Bucket(8, "s", StringType)
+    val dS = specS.derive(dfS).select(col("s"), col("s_bucket")).as[(String, Long)]
+      .collect().toMap
+    strs.foreach(s => assert(specS.applyValue(s) == Some(dS(s)), s"bucket('$s')"))
+  }
+
+  test("truncate parity: codepoint strings and floor-div integrals") {
+    val strs = Seq("", "a", "abcd", "abcdefgh", "héllo", "ab😀cd")
+    val dfS = strs.toDF("s")
+    val specS = PartSpec.Truncate(3, "s", StringType)
+    val dS = specS.derive(dfS).select(col("s"), col("s_trunc")).as[(String, String)]
+      .collect().toMap
+    strs.foreach(s => assert(specS.applyValue(s) == Some(dS(s)), s"truncate('$s')"))
+
+    val longs = Seq(0L, 1L, 99L, 100L, 101L, -1L, -100L, -101L)
+    val dfL = longs.toDF("k")
+    val specL = PartSpec.Truncate(100, "k", LongType)
+    val dL = specL.derive(dfL).select(col("k"), col("k_trunc")).as[(Long, Long)]
+      .collect().toMap
+    longs.foreach(k => assert(specL.applyValue(java.lang.Long.valueOf(k)) == Some(dL(k)),
+      s"truncate($k)"))
+  }
+
+  test("parse/render round-trips and validates") {
+    val sch = StructType(Seq(StructField("ts", TimestampType),
+      StructField("k", LongType), StructField("s", StringType)))
+    for (r <- Seq("k", "days(ts)", "hours(ts)", "months(ts)", "years(ts)",
+        "bucket(16,k)", "truncate(4,s)"))
+      assert(PartSpec.parse(r, sch).render == r)
+    intercept[Exception](PartSpec.parse("days(k)", sch) match {
+      case s => PartSpec.validate(s, sch)
+    })
+    intercept[Exception](PartSpec.parse("days(nope)", sch))
+    intercept[Exception](PartSpec.parse("median(k)", sch))
+  }
+
+  // ---------------------------------------------------------------------
+  // hidden partitioning end-to-end (SQL catalog)
+  // ---------------------------------------------------------------------
+
+  test("days-partitioned table: schema stays clean, dirs carry ts_day, ranges prune dirs") {
+    wh
+    spark.sql("DROP TABLE IF EXISTS gps.db.h1")
+    spark.sql(
+      """CREATE TABLE gps.db.h1 (k BIGINT, v STRING, ts TIMESTAMP)
+        |PARTITIONED BY (days(ts))""".stripMargin)
+    val day = 86400000000L
+    (0L until 40L).map(i => (i, s"v$i", (i / 10) * day + i * 1000000L))
+      .toDF("k", "v", "us")
+      .select(col("k"), col("v"), timestamp_micros(col("us")).as("ts"))
+      .createOrReplaceTempView("h1_src")
+    spark.sql("INSERT INTO gps.db.h1 SELECT * FROM h1_src")
+    // declared schema carries NO ts_day
+    assert(spark.table("gps.db.h1").schema.fieldNames.toSeq == Seq("k", "v", "ts"))
+    // dirs carry the derived day
+    val root = rootOf("h1")
+    val v1 = new java.io.File(s"$root/v00000001")
+    val dirs = v1.listFiles().map(_.getName).filter(_.startsWith("ts_day=")).sorted
+    assert(dirs.toSeq == Seq("ts_day=0", "ts_day=1", "ts_day=2", "ts_day=3"), dirs.mkString(","))
+    // full-table read is complete and clean
+    assert(spark.table("gps.db.h1").count() == 40)
+    // a ts range on the SOURCE column prunes directories
+    val rows = spark.sql(
+      "SELECT k FROM gps.db.h1 WHERE ts >= TIMESTAMP '1970-01-02 00:00:00' " +
+        "AND ts < TIMESTAMP '1970-01-03 00:00:00'").as[Long].collect().toSet
+    assert(rows == (10L until 20L).toSet)
+    val (kept, total) = ManifestTable.prunePartitionCounts(spark, root,
+      Seq(ManifestTable.ColRange("ts", java.sql.Timestamp.valueOf("1970-01-02 00:00:00"),
+        java.sql.Timestamp.valueOf("1970-01-02 23:00:00"))))
+    assert(total == 4 && kept == 1, s"expected 1/4 dirs kept, got $kept/$total")
+  }
+
+  test("bucket-partitioned table: key equality prunes to one directory") {
+    wh
+    spark.sql("DROP TABLE IF EXISTS gps.db.h2")
+    spark.sql(
+      """CREATE TABLE gps.db.h2 (k BIGINT, v STRING)
+        |PARTITIONED BY (bucket(8, k))""".stripMargin)
+    (0L until 64L).map(i => (i, s"v$i")).toDF("k", "v").createOrReplaceTempView("h2_src")
+    spark.sql("INSERT INTO gps.db.h2 SELECT * FROM h2_src")
+    assert(spark.sql("SELECT v FROM gps.db.h2 WHERE k = 17").as[String].collect().toSeq
+      == Seq("v17"))
+    val (kept, total) = ManifestTable.prunePartitionCounts(spark, rootOf("h2"),
+      Nil, points = Seq("k" -> java.lang.Long.valueOf(17L)))
+    assert(kept == 1 && total >= 2, s"expected 1/$total dirs kept, got $kept")
+    // IN-lists prune to the union of buckets
+    val in = spark.sql("SELECT v FROM gps.db.h2 WHERE k IN (3, 17)").as[String]
+      .collect().toSet
+    assert(in == Set("v3", "v17"))
+  }
+
+  test("truncate-partitioned table prunes on string prefix equality") {
+    wh
+    spark.sql("DROP TABLE IF EXISTS gps.db.h3")
+    spark.sql(
+      """CREATE TABLE gps.db.h3 (s STRING, n BIGINT)
+        |PARTITIONED BY (truncate(2, s))""".stripMargin)
+    Seq(("aaX", 1L), ("aaY", 2L), ("abZ", 3L), ("zq", 4L)).toDF("s", "n")
+      .createOrReplaceTempView("h3_src")
+    spark.sql("INSERT INTO gps.db.h3 SELECT * FROM h3_src")
+    assert(spark.sql("SELECT n FROM gps.db.h3 WHERE s = 'aaY'").as[Long].collect().toSeq
+      == Seq(2L))
+    val (kept, total) = ManifestTable.prunePartitionCounts(spark, rootOf("h3"),
+      Nil, points = Seq("s" -> "aaY"))
+    assert(total == 3 && kept == 1, s"expected 1/3 dirs kept, got $kept/$total")
+    // monotone range on the source maps through the truncation
+    val (kr, _) = ManifestTable.prunePartitionCounts(spark, rootOf("h3"),
+      Seq(ManifestTable.ColRange("s", "ab", "ac")))
+    assert(kr == 1, s"range [ab, ac] should keep only s_trunc=ab, kept $kr")
+  }
+
+  test("DML over a hidden layout: UPDATE/DELETE/MERGE stay correct") {
+    wh
+    spark.sql("DROP TABLE IF EXISTS gps.db.h4")
+    spark.sql(
+      """CREATE TABLE gps.db.h4 (k BIGINT, v STRING, ts TIMESTAMP)
+        |PARTITIONED BY (days(ts))""".stripMargin)
+    val day = 86400000000L
+    (0L until 20L).map(i => (i, s"v$i", (i % 4) * day)).toDF("k", "v", "us")
+      .select(col("k"), col("v"), timestamp_micros(col("us")).as("ts"))
+      .createOrReplaceTempView("h4_src")
+    spark.sql("INSERT INTO gps.db.h4 SELECT * FROM h4_src")
+    spark.sql("UPDATE gps.db.h4 SET v = 'upd' WHERE k < 3")
+    spark.sql("DELETE FROM gps.db.h4 WHERE k = 10")
+    spark.sql(
+      """MERGE INTO gps.db.h4 t USING (SELECT 5L AS k, 'merged' AS v,
+        |TIMESTAMP '1970-01-09 00:00:00' AS ts) s ON t.k = s.k
+        |WHEN MATCHED THEN UPDATE SET v = s.v
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    val got = spark.table("gps.db.h4").select("k", "v").as[(Long, String)].collect().toMap
+    assert(got.size == 19 && !got.contains(10L))
+    assert(got(0L) == "upd" && got(2L) == "upd" && got(5L) == "merged" && got(7L) == "v7")
+  }
+
+  // ---------------------------------------------------------------------
+  // partition evolution
+  // ---------------------------------------------------------------------
+
+  test("evolution identity->days: metadata-only, both layouts read + prune, compact ends the mix") {
+    wh
+    spark.sql("DROP TABLE IF EXISTS gps.db.e1")
+    spark.sql(
+      """CREATE TABLE gps.db.e1 (k BIGINT, region STRING, ts TIMESTAMP)
+        |PARTITIONED BY (region)""".stripMargin)
+    val day = 86400000000L
+    def src(lo: Long, hi: Long) =
+      (lo until hi).map(i => (i, if (i % 2 == 0) "ASIA" else "EUROPE", (i % 3) * day))
+        .toDF("k", "region", "us")
+        .select(col("k"), col("region"), timestamp_micros(col("us")).as("ts"))
+    src(0, 12).createOrReplaceTempView("e1_a")
+    spark.sql("INSERT INTO gps.db.e1 SELECT * FROM e1_a")
+    val root = rootOf("e1")
+    val vBefore = ManifestTable.currentVersion(spark, root).get
+
+    val out = spark.sql("CALL gps.system.set_partitioning('db.e1', 'days(ts)')").collect()
+    assert(out.head.getString(0) == "days(ts)" && out.head.getString(1) == "region")
+    // METADATA-ONLY: no new manifest version, no data rewrite
+    assert(ManifestTable.currentVersion(spark, root).get == vBefore)
+
+    src(12, 24).createOrReplaceTempView("e1_b")
+    spark.sql("INSERT INTO gps.db.e1 SELECT * FROM e1_b")
+    // generation 2 landed under ts_day dirs, generation 1 kept region dirs
+    val dirsNow = new java.io.File(root).listFiles().filter(_.getName.startsWith("v"))
+      .flatMap(_.listFiles()).map(_.getName).filter(_.contains("=")).toSet
+    assert(dirsNow.exists(_.startsWith("region=")) && dirsNow.exists(_.startsWith("ts_day=")),
+      dirsNow.mkString(","))
+    // the full read spans both layouts
+    assert(spark.table("gps.db.e1").count() == 24)
+    // pruning works PER LAYOUT: a region point prunes gen-1 dirs, a ts
+    // range prunes gen-2 dirs, and neither touches the other generation
+    val (k1, t1) = ManifestTable.prunePartitionCounts(spark, root,
+      Nil, points = Seq("region" -> "ASIA"))
+    assert(t1 == 5 && k1 == 4, s"region=ASIA should keep 1 old + all 3 new dirs: $k1/$t1")
+    val (k2, _) = ManifestTable.prunePartitionCounts(spark, root,
+      Seq(ManifestTable.ColRange("ts",
+        java.sql.Timestamp.valueOf("1970-01-03 00:00:00"), null)))
+    assert(k2 == 3, s"ts >= day2 should keep 2 old dirs + ts_day=2, kept $k2")
+
+    // a MERGE across the mixed layout updates rows in BOTH generations
+    spark.sql(
+      """MERGE INTO gps.db.e1 t USING (SELECT * FROM VALUES (2L), (14L) AS s(k))
+        |s ON t.k = s.k WHEN MATCHED THEN UPDATE SET region = 'MIXED'""".stripMargin)
+    val regions = spark.table("gps.db.e1").select("k", "region")
+      .as[(Long, String)].collect().toMap
+    assert(regions(2L) == "MIXED" && regions(14L) == "MIXED" && regions.size == 24)
+
+    // carry-forward commits refuse the mixed layout with a compact hint
+    val sch = spark.table("gps.db.e1").schema
+    val ex = intercept[IllegalStateException] {
+      ManifestTable.commitSpec(spark.table("gps.db.e1").limit(1),
+        root, Some(PartSpec.Days("ts")))
+    }
+    assert(ex.getMessage.contains("compact"))
+
+    // compact rewrites everything under days(ts) and clears the history
+    spark.sql("CALL gps.system.compact('db.e1')")
+    val dirsAfter = new java.io.File(root).listFiles()
+      .filter(f => f.getName.startsWith("v") && !f.getName.contains("."))
+      .flatMap(v => Option(v.listFiles()).getOrElse(Array.empty))
+      .map(_.getName).filter(_.contains("="))
+    val cur = ManifestTable.currentVersion(spark, root).get
+    assert(spark.table("gps.db.e1").count() == 24)
+    assert(PartSpecs.of(spark, root).size == 1, // history cleared
+      PartSpecs.of(spark, root).map(_.render).mkString(","))
+    // and carry-forward reopens
+    ManifestTable.commitSpec(
+      src(0, 1).select(col("k"), lit("X").as("region"), col("ts")),
+      root, Some(PartSpec.Days("ts")))
+    assert(ManifestTable.currentVersion(spark, root).get > cur)
+  }
+
+  test("evolution guards: source columns are protected, phys collisions refused") {
+    wh
+    spark.sql("DROP TABLE IF EXISTS gps.db.e2")
+    spark.sql(
+      """CREATE TABLE gps.db.e2 (k BIGINT, ts TIMESTAMP, n INT)
+        |PARTITIONED BY (bucket(4, k))""".stripMargin)
+    spark.sql("INSERT INTO gps.db.e2 VALUES (1, TIMESTAMP '2020-01-01 00:00:00', 5)")
+    // rename/drop of a spec source refused (current spec)
+    assert(intercept[Exception](
+      spark.sql("ALTER TABLE gps.db.e2 RENAME COLUMN k TO kk")
+    ).getMessage.contains("partition-spec source"))
+    assert(intercept[Exception](
+      spark.sql("ALTER TABLE gps.db.e2 DROP COLUMN k")
+    ).getMessage.contains("partition-spec source"))
+    // widening a NON-source column stays allowed (control; the bucket-source
+    // refusal is covered in the e4 test)
+    spark.sql("ALTER TABLE gps.db.e2 ALTER COLUMN n TYPE BIGINT")
+    assert(spark.table("gps.db.e2").schema("n").dataType == LongType)
+    spark.sql("CALL gps.system.set_partitioning('db.e2', 'days(ts)')")
+    // k remains protected as a HISTORICAL source
+    assert(intercept[Exception](
+      spark.sql("ALTER TABLE gps.db.e2 DROP COLUMN k")
+    ).getMessage.contains("partition-spec source"))
+    // a column named like the hidden derived column is refused
+    assert(intercept[Exception](
+      spark.sql("ALTER TABLE gps.db.e2 ADD COLUMNS (ts_day INT)")
+    ).getMessage.contains("derives a"))
+    // a second spec re-using a historical phys name with different
+    // semantics is refused; re-activating the SAME spec is fine
+    assert(intercept[Exception](
+      spark.sql("CALL gps.system.set_partitioning('db.e2', 'bucket(8, k)')")
+    ).getMessage.contains("compact"))
+    spark.sql("CALL gps.system.set_partitioning('db.e2', 'bucket(4, k)')")
+    assert(PartSpecs.of(spark, rootOf("e2")).head.render == "bucket(4,k)")
+  }
+
+  test("time travel reads the pre-evolution snapshot under its own layout") {
+    wh
+    spark.sql("DROP TABLE IF EXISTS gps.db.e3")
+    spark.sql(
+      """CREATE TABLE gps.db.e3 (k BIGINT, p STRING)
+        |PARTITIONED BY (p)""".stripMargin)
+    spark.sql("INSERT INTO gps.db.e3 VALUES (1, 'a'), (2, 'b')")
+    val root = rootOf("e3")
+    val v1 = ManifestTable.currentVersion(spark, root).get
+    spark.sql("CALL gps.system.set_partitioning('db.e3', 'bucket(4, k)')")
+    spark.sql("INSERT INTO gps.db.e3 VALUES (3, 'c')")
+    assert(spark.sql(s"SELECT * FROM gps.db.e3 VERSION AS OF $v1").count() == 2)
+    assert(spark.table("gps.db.e3").count() == 3)
+  }
+
+  test("bucket widening refused, unsetting partitioning works") {
+    wh
+    spark.sql("DROP TABLE IF EXISTS gps.db.e4")
+    spark.sql(
+      """CREATE TABLE gps.db.e4 (k INT, v STRING)
+        |PARTITIONED BY (bucket(4, k))""".stripMargin)
+    spark.sql("INSERT INTO gps.db.e4 VALUES (1, 'a')")
+    assert(intercept[Exception](
+      spark.sql("ALTER TABLE gps.db.e4 ALTER COLUMN k TYPE BIGINT")
+    ).getMessage.contains("bucket"))
+    spark.sql("CALL gps.system.set_partitioning('db.e4', '')")
+    spark.sql("INSERT INTO gps.db.e4 VALUES (2, 'b')")
+    assert(spark.table("gps.db.e4").count() == 2)
+  }
+
+  test("V1 path-addressed INSERT derives the hidden partition column") {
+    wh
+    spark.sql("DROP TABLE IF EXISTS gps.db.h5")
+    spark.sql(
+      """CREATE TABLE gps.db.h5 (k BIGINT, ts TIMESTAMP)
+        |PARTITIONED BY (days(ts))""".stripMargin)
+    spark.sql("INSERT INTO gps.db.h5 VALUES (1, TIMESTAMP '1970-01-01 12:00:00')")
+    val root = rootOf("h5")
+    val df = Seq((2L, 86400000000L)).toDF("k", "us")
+      .select(col("k"), timestamp_micros(col("us")).as("ts"))
+    df.write.format("graft").mode("append").save(root)
+    assert(spark.table("gps.db.h5").count() == 2)
+    val dirs = new java.io.File(root).listFiles().filter(_.getName.startsWith("v"))
+      .flatMap(v => Option(v.listFiles()).getOrElse(Array.empty))
+      .map(_.getName).filter(_.startsWith("ts_day=")).toSet
+    assert(dirs == Set("ts_day=0", "ts_day=1"), dirs.mkString(","))
+  }
+}
