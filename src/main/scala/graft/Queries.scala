@@ -5993,7 +5993,59 @@ object Queries {
         ON m.event_type = v.event_type
       JOIN (SELECT event_type, CAST(count(*) AS BIGINT) AS n_c,
               ${dsumSql("value")} AS v_c FROM cur GROUP BY event_type) c
-        ON m.event_type = c.event_type"""))
+        ON m.event_type = c.event_type""")),
+
+    // SNAPSHOT TAGS (r18): named, vacuum-proof version pins — the
+    // reproducibility primitive ("the snapshot we trained on") a plain
+    // retention window cannot express. Two tags pin generation 1 and the
+    // post-UPDATE state; an INSERT OVERWRITE then replaces the table and
+    // `CALL system.vacuum(0)` reclaims ALL untagged history — the oracled
+    // result reads both tags BY NAME after the vacuum (their manifests,
+    // data, and DV survived), the current snapshot, and the history/tags
+    // metadata-table counts that prove the untagged middle version's
+    // manifest is actually gone (h_cnt = 3 of 4). At 100 TB a tag costs
+    // one sidecar write; the alternative is copying the table per audit.
+    ("q205_snapshot_tags", (s: SparkSession, d: String) => {
+      import graft.sources.GraftCatalog
+      val o = t(s, d, "orders").select(col("o_orderkey").as("k"),
+        col("o_orderstatus").as("status"), col("o_totalprice").as("price"))
+      val wh = java.nio.file.Files.createTempDirectory("q205-cat").toString
+      s.conf.set("spark.sql.catalog.gq205", classOf[GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.gq205.warehouse", wh)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS gq205.db")
+      s.sql("DROP TABLE IF EXISTS gq205.db.o")
+      o.createOrReplaceTempView("q205_src")
+      s.sql("CREATE TABLE gq205.db.o (k BIGINT, status STRING, price DOUBLE)")
+      s.sql("INSERT INTO gq205.db.o SELECT * FROM q205_src WHERE k % 2 = 1") // v1
+      s.sql("CALL gq205.system.create_tag('db.o', 'baseline')")
+      s.sql("INSERT INTO gq205.db.o SELECT * FROM q205_src WHERE k % 2 = 0") // v2
+      s.sql("UPDATE gq205.db.o SET status = 'X' WHERE k % 97 = 0") // v3
+      s.sql("CALL gq205.system.create_tag('db.o', 'audited')")
+      s.sql("INSERT OVERWRITE gq205.db.o SELECT * FROM q205_src WHERE k % 3 = 0") // v4
+      s.sql("CALL gq205.system.vacuum('db.o', 0)")
+      s.sql(s"""SELECT b.b_n, b.b_p, a.a_n, a.a_x, c.c_n, c.c_p, h.h_cnt, tg.tg_cnt
+        FROM (SELECT CAST(count(*) AS BIGINT) AS b_n, ${dsumSql("price")} AS b_p
+              FROM gq205.db.o VERSION AS OF 'baseline') b
+        CROSS JOIN (SELECT CAST(count(*) AS BIGINT) AS a_n,
+                CAST(count(CASE WHEN status = 'X' THEN 1 END) AS BIGINT) AS a_x
+              FROM gq205.db.o VERSION AS OF 'audited') a
+        CROSS JOIN (SELECT CAST(count(*) AS BIGINT) AS c_n,
+                ${dsumSql("price")} AS c_p FROM gq205.db.o) c
+        CROSS JOIN (SELECT CAST(count(*) AS BIGINT) AS h_cnt
+              FROM gq205.db.o.history) h
+        CROSS JOIN (SELECT CAST(count(*) AS BIGINT) AS tg_cnt
+              FROM gq205.db.o.tags) tg""")
+    }, Some(s"""WITH src AS (SELECT o_orderkey AS k, o_orderstatus AS status,
+          o_totalprice AS price FROM orders)
+      SELECT b.b_n, b.b_p, a.a_n, a.a_x, c.c_n, c.c_p,
+        CAST(3 AS BIGINT) AS h_cnt, CAST(2 AS BIGINT) AS tg_cnt
+      FROM (SELECT CAST(count(*) AS BIGINT) AS b_n, ${dsumSql("price")} AS b_p
+            FROM src WHERE k % 2 = 1) b
+      CROSS JOIN (SELECT CAST(count(*) AS BIGINT) AS a_n,
+              CAST(count(CASE WHEN k % 97 = 0 THEN 1 END) AS BIGINT) AS a_x
+            FROM src) a
+      CROSS JOIN (SELECT CAST(count(*) AS BIGINT) AS c_n,
+              ${dsumSql("price")} AS c_p FROM src WHERE k % 3 = 0) c"""))
   )
 
   /** The BM25 replay shared by q72/q123 — postings, df, dl, corpus stats,

@@ -154,13 +154,20 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
     }
   }
 
-  /** `VERSION AS OF <v>` — manifest-version time travel. */
+  /** `VERSION AS OF <v>` — manifest-version time travel. A non-numeric
+    * string resolves as a snapshot TAG (`CALL system.create_tag`):
+    * `VERSION AS OF 'baseline'` reads the tagged manifest, which vacuum
+    * never reclaims.
+    */
   override def loadTable(ident: Identifier, version: String): Table = {
     val root = rootOf(ident)
     if (!isTable(root)) throw new NoSuchTableException(ident)
-    val v = try version.toLong catch {
-      case _: NumberFormatException => throw new IllegalArgumentException(
-        s"graft VERSION AS OF takes a manifest version number, got '$version'")
+    val v = version.toLongOption.getOrElse {
+      ManifestTable.tags(spark, root).getOrElse(version.trim,
+        throw new IllegalArgumentException(
+          s"graft VERSION AS OF takes a manifest version number or a tag " +
+            s"name, got '$version' — known tags: " +
+            ManifestTable.tags(spark, root).keys.toSeq.sorted.mkString(", ")))
     }
     new GraftV2Table(root, display(ident), Some(v))
   }
@@ -1642,12 +1649,45 @@ private[sources] class GraftScanBuilder(root: String, tableSchema: StructType,
 
 private[sources] class GraftV1ScanImpl(root: String, tableSchema: StructType,
                                        required: StructType, filters: Array[Filter],
-                                       asOf: Option[Long]) extends V1Scan {
+                                       asOf: Option[Long]) extends V1Scan
+    with org.apache.spark.sql.connector.read.SupportsReportStatistics {
 
   override def readSchema(): StructType = required
 
   override def description(): String =
     s"GraftScan(root=$root, asOf=$asOf, columns=${required.fieldNames.mkString(",")})"
+
+  /** POST-PRUNING size from manifest metadata (file lengths only — no
+    * footer reads, no data I/O), so Catalyst's join planning sees what the
+    * scan will actually read: a point-pruned slice of a huge table
+    * auto-broadcasts, where the DSv2 default (defaultSizeInBytes =
+    * Long.Max for unknown) forces sort-merge on everything. Memoized per
+    * scan instance; `fileCompressionFactor` scales like Spark's own file
+    * relations. Row count deliberately unreported — bytes drive the
+    * broadcast decision and a wrong row estimate is worse than none.
+    */
+  private lazy val stats: org.apache.spark.sql.connector.read.Statistics = {
+    val spark = SparkSession.active
+    val factor = spark.conf.get("spark.sql.sources.fileCompressionFactor", "1.0").toDouble
+    val bytes: Long = ManifestTable.currentVersion(spark, root) match {
+      case None => 0L
+      case Some(cur) =>
+        val v = asOf.getOrElse(cur)
+        val (ranges, points, pointsAny) =
+          if (asOf.isDefined) (Nil, Nil, Nil) // historical reads skip nothing
+          else GraftRelation.hints(filters)
+        ManifestTable.estimatePrunedBytes(spark, root, v, ranges, points, pointsAny)
+    }
+    val sized = math.max(1L, (bytes * factor).toLong)
+    new org.apache.spark.sql.connector.read.Statistics {
+      override def sizeInBytes(): java.util.OptionalLong =
+        java.util.OptionalLong.of(sized)
+      override def numRows(): java.util.OptionalLong = java.util.OptionalLong.empty()
+    }
+  }
+
+  override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics =
+    stats
 
   override def toV1TableScan[T <: BaseRelation with TableScan](context: SQLContext): T =
     new GraftV1TableScan(context, root, tableSchema, required, filters, asOf)
@@ -2036,7 +2076,7 @@ private[sources] object GraftProcedures {
 
   val all: Seq[String] =
     Seq("row_count", "detail", "compact", "zorder", "restore", "vacuum",
-      "rebuild_index", "set_partitioning")
+      "rebuild_index", "set_partitioning", "create_tag", "drop_tag")
 
   private def in(name: String, dt: org.apache.spark.sql.types.DataType) =
     ProcedureParameter.in(name, dt).build()
@@ -2164,6 +2204,38 @@ private[sources] object GraftProcedures {
       }
     })
 
+    case "create_tag" => Some(new P("create_tag",
+      Seq(in("table", StringType), in("name", StringType),
+        inDef("version", LongType, "-1")),
+      StructType(Seq(StructField("name", StringType),
+        StructField("version", LongType)))) {
+      override def description(): String =
+        "pin a named snapshot tag (default: the current version) — " +
+          "`VERSION AS OF '<name>'` reads it and vacuum never reclaims it"
+      override def run(args: InternalRow): Seq[InternalRow] = {
+        val t = cat.tableNamed(args.getUTF8String(0).toString)
+        val name = args.getUTF8String(1).toString
+        val v = args.getLong(2) match {
+          case -1L => None
+          case x => Some(x)
+        }
+        val pinned = ManifestTable.setTag(SparkSession.active, t.root, name, v)
+        Seq(row(utf8(name), pinned))
+      }
+    })
+
+    case "drop_tag" => Some(new P("drop_tag",
+      Seq(in("table", StringType), in("name", StringType)),
+      StructType(Seq(StructField("existed", org.apache.spark.sql.types.BooleanType)))) {
+      override def description(): String =
+        "remove a snapshot tag — its versions become ordinary vacuum candidates"
+      override def run(args: InternalRow): Seq[InternalRow] = {
+        val t = cat.tableNamed(args.getUTF8String(0).toString)
+        Seq(row(ManifestTable.deleteTag(SparkSession.active, t.root,
+          args.getUTF8String(1).toString)))
+      }
+    })
+
     case "restore" => Some(new P("restore",
       Seq(in("table", StringType), in("version", LongType)),
       StructType(Seq(StructField("version", LongType)))) {
@@ -2260,9 +2332,22 @@ private[sources] object GraftProcedures {
   * `files JOIN (SELECT __f FROM t)` is a direct equality.
   */
 private[sources] object GraftMetaTables {
-  val names: Set[String] = Set("history", "files")
+  val names: Set[String] = Set("history", "files", "tags", "partitions")
 
   def schemaOf(kind: String): StructType = kind match {
+    case "tags" => StructType(Seq(
+      StructField("tag", StringType, nullable = false),
+      StructField("version", LongType, nullable = false)))
+    case "partitions" => StructType(Seq(
+      // live partition dirs of the CURRENT snapshot, with the spec that
+      // wrote each (partition evolution leaves several renders live) —
+      // the operator view of layout health (small files per dir, mixed
+      // layouts pending a compact)
+      StructField("partition", StringType, nullable = false),
+      StructField("spec", StringType, nullable = false),
+      StructField("data_versions", IntegerType, nullable = false),
+      StructField("files", IntegerType, nullable = false),
+      StructField("bytes", LongType, nullable = false)))
     case "history" => StructType(Seq(
       StructField("version", LongType, nullable = false),
       StructField("partition_entries", IntegerType, nullable = false),
@@ -2294,6 +2379,27 @@ private[sources] object GraftMetaTables {
   def rows(spark: SparkSession, root: String, kind: String): Array[InternalRow] = {
     import org.apache.spark.unsafe.types.UTF8String
     kind match {
+      case "tags" => ManifestTable.tags(spark, root).toSeq.sortBy(_._1).map {
+        case (n, v) =>
+          new GenericInternalRow(Array[Any](UTF8String.fromString(n), v)): InternalRow
+      }.toArray
+      case "partitions" =>
+        if (ManifestTable.currentVersion(spark, root).isEmpty) Array.empty
+        else {
+          val specsByPhys = PartSpecs.of(spark, root)
+            .map(s => s.physName -> s.render).toMap
+          ManifestTable.liveFileSkipping(spark, root).groupBy(_._2).toSeq
+            .sortBy(_._1).map { case (part, fs) =>
+              val spec =
+                if (part.contains("="))
+                  specsByPhys.getOrElse(part.substring(0, part.indexOf('=')), "")
+                else ""
+              new GenericInternalRow(Array[Any](
+                UTF8String.fromString(part), UTF8String.fromString(spec),
+                fs.map(_._3).distinct.size, fs.size,
+                fs.map(_._4).sum)): InternalRow
+            }.toArray
+        }
       case "history" => ManifestTable.history(spark, root).map { case (v, n, dv, cur, ts) =>
         new GenericInternalRow(Array[Any](v, n, dv.map(Long.box).orNull, cur,
           ts.map(Long.box).orNull)): InternalRow

@@ -1208,6 +1208,52 @@ object ManifestTable {
     }
   }
 
+  /** On-disk bytes the given hints leave readable in snapshot `v` — the
+    * PRUNED scan's size estimate the catalog reports to Catalyst
+    * ([[GraftV1ScanImpl.estimateStatistics]]), so join planning sees a
+    * point-pruned slice of a huge table as broadcastable instead of the
+    * DSv2 default (Long.Max = never auto-broadcast). Pure driver metadata:
+    * one file listing per surviving (data version, dir) — no footer reads,
+    * no data I/O. Always a SUPERSET of what the scan will read (the
+    * pruning contract), so it never under-reports a join side.
+    */
+  def estimatePrunedBytes(spark: SparkSession, root: String, v: Long,
+                          ranges: Seq[ColRange],
+                          points: Seq[(String, Any)] = Nil,
+                          pointsAny: Seq[(String, Seq[Any])] = Nil): Long = {
+    val (plan, _) = planPrune(spark, root, v, ranges, points, pointsAny)
+    val (fs, rootP) = fsOf(spark, root)
+    var bytes = 0L
+    plan.foreach { case (dv, sel) =>
+      val vdir = new Path(rootP, "v" + fmt(dv))
+      sel match {
+        case Left(dirs) =>
+          val all = listDataFilesWithLen(fs, vdir)
+          bytes += all.filter { case (rel, _) =>
+            dirs.contains("") || dirs.exists(d => rel.startsWith(d + "/"))
+          }.map(_._2).sum
+        case Right(files) =>
+          val lens = listDataFilesWithLen(fs, vdir).toMap
+          bytes += files.flatMap(lens.get).sum
+      }
+    }
+    bytes
+  }
+
+  private def listDataFilesWithLen(fs: FileSystem, vdir: Path): Seq[(String, Long)] = {
+    def files(p: Path): Seq[org.apache.hadoop.fs.FileStatus] =
+      if (!fs.exists(p)) Nil
+      else fs.listStatus(p).toSeq.flatMap { st =>
+        val n = st.getPath.getName
+        if (n.startsWith("_") || n.startsWith(".")) Nil
+        else if (st.isDirectory) files(st.getPath)
+        else Seq(st)
+      }
+    val base = fs.makeQualified(vdir).toString
+    files(vdir).map(st => (fs.makeQualified(st.getPath).toString
+      .stripPrefix(base).stripPrefix("/"), st.getLen))
+  }
+
   /** `(keptDirs, totalDirs)` the given hints leave readable in the current
     * snapshot — the observable partition-level pruning effect (file-level
     * skipping is [[pruneCounts]]), for tests and ops telemetry.
@@ -2624,12 +2670,105 @@ object ManifestTable {
     * retention-window contract as Delta/Iceberg VACUUM (where the window is
     * time-based rather than version-based).
     */
+  // ========================= snapshot tags ============================
+  //
+  // Named, immutable version pins (Iceberg tags): `VERSION AS OF
+  // 'baseline'` resolves through them, and [[vacuum]] NEVER reclaims a
+  // tagged manifest or the data/DV/sidecars it references — the audit
+  // and reproducibility primitive ("the snapshot we trained on", "the
+  // quarter-close books") that plain retention windows cannot express.
+  // One small `_tags.json` sidecar per table, installed via temp+atomic-
+  // rename under the same single-writer-DDL contract as `_ddl.json`.
+
+  private val TagsFile = "_tags.json"
+
+  /** All tags: name → pinned manifest version. Tags pointing at versions
+    * vacuumed before tag-aware retention existed (or hand-deleted) are
+    * surfaced as-is — resolution fails loudly at read time.
+    */
+  def tags(spark: SparkSession, root: String): Map[String, Long] = {
+    val (fs, rootP) = fsOf(spark, root)
+    val p = new Path(rootP, TagsFile)
+    if (!fs.exists(p)) return Map.empty
+    // bounded retry: LocalFileSystem renames the .crc shadow separately
+    // from the data rename, so a concurrent re-tag can expose a torn read
+    var attempt = 0
+    while (true) {
+      try {
+        val in = fs.open(p)
+        val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+          finally in.close()
+        val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(body)
+        val it = node.properties().iterator()
+        var m = Map.empty[String, Long]
+        while (it.hasNext) { val e = it.next(); m += (e.getKey -> e.getValue.asLong()) }
+        return m
+      } catch {
+        case _: java.io.FileNotFoundException => return Map.empty
+        case e: org.apache.hadoop.fs.ChecksumException if attempt < 3 =>
+          attempt += 1; Thread.sleep(10L << attempt)
+      }
+    }
+    Map.empty // unreachable
+  }
+
+  /** Pin `name` to `version` (default: the current manifest version). The
+    * version must exist on disk; re-tagging an existing name moves it
+    * (single-writer DDL contract, like every sidecar edit). Returns the
+    * pinned version.
+    */
+  def setTag(spark: SparkSession, root: String, name: String,
+             version: Option[Long] = None): Long = {
+    require(name.nonEmpty && !name.forall(_.isDigit),
+      s"tag name '$name' must be non-empty and non-numeric (numeric strings " +
+        "resolve as literal versions in VERSION AS OF)")
+    val v = version.getOrElse(currentVersion(spark, root).getOrElse(
+      throw new IllegalStateException(s"cannot tag $root: no committed version")))
+    val (fs, rootP) = fsOf(spark, root)
+    require(fs.exists(new Path(rootP, ManifestPrefix + fmt(v))),
+      s"cannot tag version $v of $root: no such manifest on disk")
+    writeTags(fs, rootP, tags(spark, root) + (name -> v))
+    v
+  }
+
+  /** Remove a tag; its versions become ordinary vacuum candidates again.
+    * Returns whether the tag existed.
+    */
+  def deleteTag(spark: SparkSession, root: String, name: String): Boolean = {
+    val (fs, rootP) = fsOf(spark, root)
+    val cur = tags(spark, root)
+    if (!cur.contains(name)) false
+    else { writeTags(fs, rootP, cur - name); true }
+  }
+
+  private def writeTags(fs: FileSystem, rootP: Path, m: Map[String, Long]): Unit = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val node = mapper.createObjectNode()
+    m.toSeq.sortBy(_._1).foreach { case (k, v) => node.put(k, v) }
+    val tmp = new Path(rootP,
+      "." + TagsFile + "-" + java.util.UUID.randomUUID().toString.take(8) + ".tmp")
+    val out = fs.create(tmp, true)
+    try out.write(mapper.writeValueAsBytes(node)) finally out.close()
+    if (!fs.rename(tmp, new Path(rootP, TagsFile))) {
+      // FS without file-replacing rename: clear and retry once (the tags
+      // file is advisory metadata under the single-writer DDL contract)
+      fs.delete(new Path(rootP, TagsFile), false)
+      require(fs.rename(tmp, new Path(rootP, TagsFile)),
+        s"tags sidecar install failed for $rootP")
+    }
+  }
+
   def vacuum(spark: SparkSession, root: String, retainVersions: Int = 0): Unit = {
     require(retainVersions >= 0, s"retainVersions must be >= 0, got $retainVersions")
     currentVersion(spark, root).foreach { cur =>
       val (fs, rootP) = fsOf(spark, root)
       val floor = cur - retainVersions
-      val retained = versions(spark, root).filter(_ >= floor)
+      // TAGGED manifests are retained whatever the window — along with
+      // every data version, DV, and skipping sidecar they reference (a
+      // tag is a promise that `VERSION AS OF 'name'` keeps answering)
+      val tagged = tags(spark, root).values.toSet
+        .filter(v => fs.exists(new Path(rootP, ManifestPrefix + fmt(v))))
+      val retained = versions(spark, root).filter(v => v >= floor || tagged.contains(v))
       val live = retained.flatMap(v => entriesOf(fs, rootP, v).map(_._2)).toSet
       val liveDv = retained.flatMap(v => dvOf(fs, rootP, v)).toSet
       // the one staged-DDL file that may still hold schema authority: the
@@ -2654,7 +2793,8 @@ object ManifestTable {
         else if (st.isDirectory && n.startsWith("d") && n.drop(1).forall(_.isDigit)
             && !liveDv.contains(n.drop(1).toLong))
           fs.delete(st.getPath, true) // deletion vectors of reclaimed manifests
-        else if (n.startsWith(ManifestPrefix) && n.stripPrefix(ManifestPrefix).toLong < floor)
+        else if (n.startsWith(ManifestPrefix) && n.stripPrefix(ManifestPrefix).toLong < floor
+            && !tagged.contains(n.stripPrefix(ManifestPrefix).toLong))
           fs.delete(st.getPath, false)
         else if (n.startsWith(StatsPrefix) && !live.contains(n.stripPrefix(StatsPrefix).toLong))
           fs.delete(st.getPath, false) // zone maps of reclaimed data versions
@@ -2662,6 +2802,8 @@ object ManifestTable {
           fs.delete(st.getPath, false) // bloom sidecars of reclaimed versions
         else if (n.startsWith(".manifest-") && n.endsWith(".tmp"))
           fs.delete(st.getPath, false)
+        else if (n.startsWith("." + TagsFile + "-") && n.endsWith(".tmp"))
+          fs.delete(st.getPath, false) // crashed tag-write staging debris
         else if (st.isDirectory && n.startsWith(".stage-"))
           fs.delete(st.getPath, true) // crashed commits' orphaned stages —
           // vacuum must not run concurrently with an in-flight commit

@@ -355,10 +355,14 @@ object GraftFunctions {
     * `spark.sql.extensions` is a static conf — so harness-provided sessions
     * use this runtime hook instead.)
     */
-  def installOptimizations(spark: SparkSession): Unit =
+  def installOptimizations(spark: SparkSession): Unit = {
     if (!spark.experimental.extraOptimizations.contains(ReplaceMd5WithFast))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ ReplaceMd5WithFast
+    if (!spark.experimental.extraOptimizations.contains(ForwardV1ScanStats))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ ForwardV1ScanStats
+  }
 }
 
 /** Optimizer rule: replace the builtin `md5` expression with [[FastMd5]]

@@ -1,0 +1,90 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.GraftCatalog
+
+/** Manifest-backed scan statistics (`SupportsReportStatistics`): Catalyst's
+  * join planning sees the PRUNED byte size of a catalog scan instead of the
+  * DSv2 unknown-size default, so a selective slice of a large table
+  * auto-broadcasts while the full table does not.
+  */
+class ScanStatsSpec extends SparkSuite {
+
+  private lazy val wh: String = {
+    val dir = Files.createTempDirectory("graft-stat-wh").toString
+    // the stats forwarding rides the installed optimizer rules
+    // (ForwardV1ScanStats), exactly as Verify/Bench sessions install them
+    org.apache.spark.sql.graft.GraftFunctions.installOptimizations(spark)
+    spark.conf.set("spark.sql.catalog.gstat", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gstat.warehouse", dir)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gstat.db")
+    dir
+  }
+
+  private def bytesOnDisk(name: String): Long = {
+    def walk(f: java.io.File): Long =
+      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).map(walk).sum
+      else if (f.getName.endsWith(".parquet")) f.length()
+      else 0L
+    walk(new java.io.File(s"$wh/db/$name"))
+  }
+
+  test("logical plan stats report on-disk bytes, not the unknown-size default") {
+    wh
+    import spark.implicits._
+    spark.sql("DROP TABLE IF EXISTS gstat.db.s1")
+    spark.sql("""CREATE TABLE gstat.db.s1 (k BIGINT, v STRING, p STRING)
+      PARTITIONED BY (p) TBLPROPERTIES ('statsCols' = 'k')""")
+    (0L until 10000L).map(i => (i, "v" * 20 + i, s"p${i % 4}")).toDF("k", "v", "p")
+      .createOrReplaceTempView("s1_src")
+    spark.sql("INSERT INTO gstat.db.s1 SELECT * FROM s1_src")
+    val full = spark.table("gstat.db.s1").queryExecution.optimizedPlan.stats
+      .sizeInBytes.toLong
+    val disk = bytesOnDisk("s1")
+    assert(full >= disk / 2 && full <= disk * 2,
+      s"full-scan stats $full should track on-disk bytes $disk")
+    // a partition-point predicate shrinks the estimate to the pruned slice
+    val sliced = spark.table("gstat.db.s1").filter(col("p") === "p1")
+      .queryExecution.optimizedPlan.stats.sizeInBytes.toLong
+    assert(sliced <= full / 2, s"pruned stats $sliced should be well under $full")
+    // a zone-pruned key range shrinks it too
+    val ranged = spark.table("gstat.db.s1").filter(col("k") < 100L)
+      .queryExecution.optimizedPlan.stats.sizeInBytes.toLong
+    assert(ranged < full, s"range-pruned stats $ranged should be under $full")
+  }
+
+  test("join planning: the pruned slice broadcasts, the full table sort-merges") {
+    wh
+    import spark.implicits._
+    spark.sql("DROP TABLE IF EXISTS gstat.db.big")
+    spark.sql("""CREATE TABLE gstat.db.big (k BIGINT, v STRING, p STRING)
+      PARTITIONED BY (p)""")
+    (0L until 20000L).map(i => (i, "w" * 30 + i, s"p${i % 8}")).toDF("k", "v", "p")
+      .createOrReplaceTempView("big_src")
+    spark.sql("INSERT INTO gstat.db.big SELECT * FROM big_src")
+    val other = (0L until 20000L).map(i => (i, i * 2)).toDF("k", "x")
+    val threshold = bytesOnDisk("big") / 4 // slice (1/8) is under, table is over
+    withSQLConf("spark.sql.autoBroadcastJoinThreshold" -> threshold.toString) {
+      val slice = spark.table("gstat.db.big").filter(col("p") === "p3")
+      val sliceJoin = other.join(slice, "k").queryExecution.sparkPlan.toString
+      assert(sliceJoin.contains("BroadcastHashJoin"),
+        s"pruned slice should auto-broadcast:\n$sliceJoin")
+      val fullJoin = other.join(spark.table("gstat.db.big"), "k")
+        .queryExecution.sparkPlan.toString
+      assert(!fullJoin.contains("BroadcastHashJoin"),
+        s"full table over threshold must not broadcast:\n$fullJoin")
+    }
+  }
+
+  private def withSQLConf(kv: (String, String)*)(f: => Unit): Unit = {
+    val olds = kv.map { case (k, _) => k -> spark.conf.getOption(k) }
+    kv.foreach { case (k, v) => spark.conf.set(k, v) }
+    try f finally olds.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+}
