@@ -6045,7 +6045,97 @@ object Queries {
               CAST(count(CASE WHEN k % 97 = 0 THEN 1 END) AS BIGINT) AS a_x
             FROM src) a
       CROSS JOIN (SELECT CAST(count(*) AS BIGINT) AS c_n,
-              ${dsumSql("price")} AS c_p FROM src WHERE k % 3 = 0) c"""))
+              ${dsumSql("price")} AS c_p FROM src WHERE k % 3 = 0) c""")),
+
+    // CHECK CONSTRAINTS (r18): Delta-style write-time data-quality gates —
+    // `graft.check.<name>` predicates fused into every write's own
+    // projection (assert_true filter: zero extra scans), ADD-time
+    // validated against the declared schema AND the live rows (one
+    // O(table) scan at declaration, the price of the guarantee). This
+    // query runs the whole ENFORCED lifecycle — CREATE-time constraint,
+    // two INSERT generations, ALTER..SET adding a second constraint over
+    // live data, a row-level UPDATE whose postimages must re-satisfy both
+    // — and the oracle proves the enforced path is bit-identical to the
+    // unguarded relational replay. (Violation paths throw; ChecksSpec
+    // pins those.) The reference hand-rolls this as per-row Python type
+    // checks feeding a dead-letter list (reference
+    // src/process_insert_update_weather_data.py) — here it is declarative
+    // and rides the engine's own write job at any scale.
+    ("q206_check_constraints", (s: SparkSession, d: String) => {
+      import graft.sources.GraftCatalog
+      val o = t(s, d, "orders").select(col("o_orderkey").as("k"),
+        col("o_orderstatus").as("status"), col("o_totalprice").as("price"))
+      val wh = java.nio.file.Files.createTempDirectory("q206-cat").toString
+      s.conf.set("spark.sql.catalog.gq206", classOf[GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.gq206.warehouse", wh)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS gq206.db")
+      s.sql("DROP TABLE IF EXISTS gq206.db.o")
+      o.createOrReplaceTempView("q206_src")
+      s.sql("""CREATE TABLE gq206.db.o (k BIGINT, status STRING, price DOUBLE)
+        TBLPROPERTIES ('graft.check.positive_price' = 'price > 0')""")
+      s.sql("INSERT INTO gq206.db.o SELECT * FROM q206_src WHERE k % 2 = 1")
+      s.sql("""ALTER TABLE gq206.db.o SET TBLPROPERTIES
+        ('graft.check.known_status' = "status IN ('O','F','P')")""")
+      s.sql("INSERT INTO gq206.db.o SELECT * FROM q206_src WHERE k % 2 = 0")
+      s.sql("UPDATE gq206.db.o SET price = price + 1.0 WHERE k % 19 = 0")
+      s.sql(s"""SELECT status, CAST(count(*) AS BIGINT) AS n,
+          ${dsumSql("price")} AS p
+        FROM gq206.db.o GROUP BY status""")
+    }, Some(s"""WITH src AS (SELECT o_orderkey AS k, o_orderstatus AS status,
+          CASE WHEN o_orderkey % 19 = 0 THEN o_totalprice + 1.0
+               ELSE o_totalprice END AS price FROM orders)
+      SELECT status, CAST(count(*) AS BIGINT) AS n, ${dsumSql("price")} AS p
+      FROM src GROUP BY status""")),
+
+    // COLUMN DEFAULT VALUES (r18): `ADD COLUMN ... DEFAULT` as a
+    // METADATA-ONLY backfill — generation-1 files never carry the added
+    // columns, yet read the frozen existence default instead of NULL
+    // (Spark's parquet reader fills requested-but-absent columns from the
+    // EXISTS_DEFAULT the DDL stored; by-id resolution keeps a dropped
+    // column's bytes unreachable under a later re-add). SET DEFAULT then
+    // retargets FUTURE inserts only. The oracle replays the three insert
+    // generations with their generation's defaults as plain CASE logic —
+    // bit-identical without any engine machinery, which is the point: at
+    // 100 TB the engine pays ONE sidecar write where a by-name engine
+    // rewrites every file to backfill.
+    ("q207_column_defaults", (s: SparkSession, d: String) => {
+      import graft.sources.GraftCatalog
+      val o = t(s, d, "orders").select(col("o_orderkey").as("k"),
+        col("o_orderstatus").as("status"), col("o_totalprice").as("price"))
+      val wh = java.nio.file.Files.createTempDirectory("q207-cat").toString
+      s.conf.set("spark.sql.catalog.gq207", classOf[GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.gq207.warehouse", wh)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS gq207.db")
+      s.sql("DROP TABLE IF EXISTS gq207.db.o")
+      o.createOrReplaceTempView("q207_src")
+      s.sql("""CREATE TABLE gq207.db.o (k BIGINT, status STRING, price DOUBLE,
+        src STRING DEFAULT 'legacy')""")
+      s.sql("""INSERT INTO gq207.db.o (k, status, price)
+        SELECT * FROM q207_src WHERE k % 3 = 0""")
+      s.sql("""ALTER TABLE gq207.db.o ADD COLUMNS
+        (region STRING DEFAULT 'UNKNOWN', prio INT DEFAULT 3)""")
+      s.sql("""INSERT INTO gq207.db.o
+        SELECT k, status, price, 'import', 'ASIA', CAST(k % 5 AS INT)
+        FROM q207_src WHERE k % 3 = 1""")
+      s.sql("ALTER TABLE gq207.db.o ALTER COLUMN src SET DEFAULT 'live'")
+      s.sql("""INSERT INTO gq207.db.o (k, status, price)
+        SELECT * FROM q207_src WHERE k % 3 = 2""")
+      s.sql(s"""SELECT src, region, CAST(count(*) AS BIGINT) AS n,
+          ${dsumSql("price")} AS p, CAST(sum(prio) AS BIGINT) AS pr
+        FROM gq207.db.o GROUP BY src, region""")
+    }, Some(s"""WITH src0 AS (SELECT o_orderkey AS k, o_orderstatus AS status,
+          o_totalprice AS price FROM orders),
+      g AS (
+        SELECT k, price, 'legacy' AS src, 'UNKNOWN' AS region, 3 AS prio
+          FROM src0 WHERE k % 3 = 0
+        UNION ALL
+        SELECT k, price, 'import', 'ASIA', CAST(k % 5 AS INT)
+          FROM src0 WHERE k % 3 = 1
+        UNION ALL
+        SELECT k, price, 'live', 'UNKNOWN', 3 FROM src0 WHERE k % 3 = 2)
+      SELECT src, region, CAST(count(*) AS BIGINT) AS n,
+        ${dsumSql("price")} AS p, CAST(CAST(sum(prio) AS BIGINT) AS BIGINT) AS pr
+      FROM g GROUP BY src, region"""))
   )
 
   /** The BM25 replay shared by q72/q123 — postings, df, dl, corpus stats,

@@ -964,6 +964,34 @@ object StressBench {
         println(f"""[stress] {"op":"wide_schema","cols":$w,"rows":$rows,"insert_sec":$insertSec%.3f,"read_sec":$rd%.3f,"alter_sec":$alterSec%.4f}""")
       }
     }
+    // CHECK-CONSTRAINT OVERHEAD (r18): the q206 claim measured — a guarded
+    // INSERT (two constraints fused into the write's own projection) vs an
+    // unguarded one over the same growing batch. The assert_true filter
+    // rides the staging job, so the delta should be expression-evaluation
+    // noise at every factor, never a second scan.
+    if (onlyOps.forall(_.exists("check_overhead".startsWith))) {
+      for (f <- Seq(1, 4, 16)) {
+        val wh = java.nio.file.Files.createTempDirectory(s"chk$f").toString
+        val cat = s"gco$f"
+        spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+        spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+        spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.db")
+        spark.sql(s"CREATE TABLE $cat.db.plain (user_id BIGINT, ts TIMESTAMP, event_type STRING)")
+        spark.sql(s"""CREATE TABLE $cat.db.guarded (user_id BIGINT, ts TIMESTAMP, event_type STRING)
+          TBLPROPERTIES (
+            'graft.check.uid_nonneg' = 'user_id >= 0',
+            'graft.check.known_type' = "event_type IN ('click','view','purchase','signup','error')")""")
+        eventsTimes(f).createOrReplaceTempView(s"chk_src_$f")
+        def ins(t: String): Double = {
+          val t0 = System.nanoTime()
+          spark.sql(s"INSERT INTO $cat.db.$t SELECT user_id, ts, event_type FROM chk_src_$f")
+          (System.nanoTime() - t0) / 1e9
+        }
+        val plain = ins("plain"); val guarded = ins("guarded")
+        println(f"""[stress] {"op":"check_overhead","factor":$f,"plain_sec":$plain%.3f,"guarded_sec":$guarded%.3f}""")
+      }
+    }
+
     // HIDDEN-PARTITION PRUNE CURVE (r18): a days(ts)-partitioned catalog
     // table at 1x/4x/16x events; a one-day ranged aggregate through the
     // catalog (directory-pruned before any file listing) vs the SAME

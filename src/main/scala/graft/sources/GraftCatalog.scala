@@ -140,6 +140,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
 
   override def tableExists(ident: Identifier): Boolean = isTable(rootOf(ident))
 
+  /** Opting into column DEFAULTs: without this the parser refuses the
+    * DEFAULT clause for tables of this catalog ([[Defaults]]).
+    */
+  override def capabilities(): java.util.Set[
+      org.apache.spark.sql.connector.catalog.TableCatalogCapability] =
+    java.util.EnumSet.of(org.apache.spark.sql.connector.catalog
+      .TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE)
+
   override def loadTable(ident: Identifier): Table = {
     val root = rootOf(ident)
     if (isTable(root)) new GraftV2Table(root, display(ident), None)
@@ -264,6 +272,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
       !Set(TableCatalog.PROP_PROVIDER, TableCatalog.PROP_OWNER,
         TableCatalog.PROP_COMMENT, TableCatalog.PROP_EXTERNAL,
         TableCatalog.PROP_TABLE_TYPE).contains(k)).toMap
+    Checks.of(kept).foreach { case (n, pr) =>
+      Checks.resolveAgainst(spark, schema, n, pr) }
     (partCol, kept)
   }
 
@@ -370,17 +380,27 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
         val full = path.mkString(".")
         require(FieldIds.validName(nm),
           s"column name $nm may not contain '.' (field-id paths are dot-separated)")
-        require(a.isNullable,
-          s"added column $full must be nullable — existing rows backfill NULL")
+        // DEFAULT makes a non-nullable add legal: committed files lack the
+        // column and read the default instead of NULL ([[Defaults]])
+        require(a.isNullable || a.defaultValue() != null,
+          s"added column $full must be nullable or carry a DEFAULT — " +
+            "existing rows must backfill something")
         require(a.position() == null,
           "graft column adds append at the end (no FIRST/AFTER)")
         require(path.length > 1 || !specPhys.contains(nm),
           s"cannot add column $nm: a hidden partition spec derives a " +
             "directory column of that name")
+        require(a.defaultValue() == null || path.length == 1,
+          s"DEFAULT on a nested add ($full) is not supported — the reader " +
+            "fills existence defaults for top-level columns")
+        val addMd = Option(a.defaultValue())
+          .fold(org.apache.spark.sql.types.Metadata.empty)(d =>
+            Defaults.metadataFor(full, a.dataType(), d))
         editParent(a.fieldNames()) { st =>
           require(!st.fieldNames.exists(_.equalsIgnoreCase(nm)),
             s"column $full already exists")
-          StructType(st.fields :+ StructField(nm, a.dataType(), nullable = true))
+          StructType(st.fields :+ StructField(nm, a.dataType(),
+            nullable = a.isNullable, metadata = addMd))
         }
         val ids = FieldIds.parse(props)
         if (ids.nonEmpty) { // id-carrying tables register the new column's id
@@ -549,6 +569,40 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
           StructType(st.fields.map(x =>
             if (x.name == path.last) x.copy(dataType = u.newDataType()) else x))
         }
+      // SET/DROP DEFAULT edits CURRENT_DEFAULT only (future inserts);
+      // EXISTS_DEFAULT stays frozen at ADD time — committed files keep
+      // reading the value the column was introduced with (standard SQL)
+      case u: TableChange.UpdateColumnDefaultValue =>
+        val path = u.fieldNames().toSeq
+        val nm = path.mkString(".")
+        val f = fieldAt(schema, path.toList)
+          .getOrElse(throw new IllegalArgumentException(s"no such column $nm"))
+        val sql = Option(u.newCurrentDefault()).map(_.getSql.trim).filter(_.nonEmpty)
+        sql.foreach { sq =>
+          // the new default must fold to a constant of the column's type
+          val folded = try spark.sql(s"SELECT CAST(($sq) AS ${f.dataType.sql})")
+            .queryExecution.optimizedPlan
+          catch { case e: Exception => throw new IllegalArgumentException(
+            s"ALTER COLUMN $nm SET DEFAULT: '$sq' does not evaluate as " +
+              s"${f.dataType.simpleString}: ${e.getMessage}") }
+          require(folded.collectLeaves().forall(
+            _.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.OneRowRelation]),
+            s"ALTER COLUMN $nm SET DEFAULT: '$sq' must be a constant expression")
+        }
+        editParent(u.fieldNames()) { st =>
+          StructType(st.fields.map { x =>
+            if (x.name != path.last) x
+            else {
+              val mb = new org.apache.spark.sql.types.MetadataBuilder()
+                .withMetadata(x.metadata)
+              sql match {
+                case Some(sq) => mb.putString(Defaults.CurrentKey, sq)
+                case None => mb.remove(Defaults.CurrentKey)
+              }
+              x.copy(metadata = mb.build())
+            }
+          })
+        }
       // column comments are pure sidecar metadata (DESCRIBE/SHOW CREATE
       // surface them from the declared schema's field metadata)
       case c: TableChange.UpdateColumnComment =>
@@ -559,6 +613,24 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
           StructType(st.fields.map(f =>
             if (f.name == path.last) f.withComment(c.newComment()) else f))
         }
+      // ADD CONSTRAINT, Delta-style: a `graft.check.<name>` property is a
+      // SQL predicate every write must satisfy (see [[Checks]]). Adding
+      // one validates (a) the predicate resolves against the CURRENT
+      // schema and (b) every EXISTING row satisfies it — an O(table) scan
+      // exactly once at ADD time, the price of the guarantee (Delta's
+      // contract); a violating history refuses loudly.
+      case p: TableChange.SetProperty if p.property().startsWith(Checks.Prefix) =>
+        val name = p.property().stripPrefix(Checks.Prefix)
+        require(name.nonEmpty, "CHECK constraint needs a name: graft.check.<name>")
+        Checks.resolveAgainst(spark, schema, name, p.value())
+        if (ManifestTable.currentVersion(spark, root).isDefined) {
+          import org.apache.spark.sql.functions.{coalesce, expr, lit, not}
+          val bad = ManifestTable.read(spark, root, schema)
+            .filter(not(coalesce(expr(p.value()), lit(true)))).limit(1).count()
+          require(bad == 0L,
+            s"cannot add CHECK constraint $name (${p.value()}): existing rows violate it")
+        }
+        props += (p.property() -> p.value())
       case p: TableChange.SetProperty => props += (p.property() -> p.value())
       case p: TableChange.RemoveProperty => props -= p.property()
       case other => throw new UnsupportedOperationException(
@@ -1065,6 +1137,123 @@ private[sources] object FieldIds {
   * aborted RTAS that never committed) is inert debris; a staged file
   * OLDER than the newest `#ddl` directive can never regain authority.
   */
+/** Column DEFAULT values (`ADD COLUMN d INT DEFAULT 7`,
+  * `ALTER COLUMN d SET/DROP DEFAULT`): the two Spark metadata keys —
+  * `CURRENT_DEFAULT` (what future INSERTs fill when the column is
+  * omitted, resolved by the analyzer against the table's column
+  * metadata) and `EXISTS_DEFAULT` (what committed files that PREDATE the
+  * column read instead of NULL, applied inside Spark's parquet reader
+  * for requested-but-absent columns — probed r18). An ADD..DEFAULT is
+  * therefore a METADATA-ONLY backfill: one sidecar write, any table
+  * size, and it composes with field ids (a DROPped-then-re-ADDed column
+  * gets a fresh id, so old files' bytes stay unreachable and the new
+  * default surfaces instead). EXISTS_DEFAULT stores the CONSTANT-FOLDED
+  * literal Spark validated at DDL time — a `current_date()` default
+  * freezes at declaration for existing rows, exactly the standard's
+  * semantics.
+  */
+object Defaults {
+  val CurrentKey = "CURRENT_DEFAULT"
+  val ExistsKey = "EXISTS_DEFAULT"
+
+  def metadataFor(name: String, dt: DataType,
+                  d: org.apache.spark.sql.connector.catalog.ColumnDefaultValue)
+      : org.apache.spark.sql.types.Metadata =
+    new org.apache.spark.sql.types.MetadataBuilder()
+      .putString(CurrentKey, d.getSql())
+      .putString(ExistsKey, literalSql(name, d.getValue()))
+      .build()
+
+  /** Render the folded connector literal as SQL the reader re-folds.
+    * Types outside this set refuse at DDL time (never at scan time).
+    */
+  def literalSql(name: String,
+                 l: org.apache.spark.sql.connector.expressions.Literal[_]): String = {
+    val v = l.value()
+    if (v == null) return "NULL"
+    l.dataType() match {
+      case _: org.apache.spark.sql.types.NumericType => String.valueOf(v)
+      case org.apache.spark.sql.types.BooleanType => String.valueOf(v)
+      case org.apache.spark.sql.types.StringType =>
+        "'" + v.toString.replace("'", "''") + "'"
+      case org.apache.spark.sql.types.DateType =>
+        // internal epoch-day int → ISO literal
+        s"DATE'${java.time.LocalDate.ofEpochDay(v.asInstanceOf[Int].toLong)}'"
+      case org.apache.spark.sql.types.TimestampType =>
+        val us = v.asInstanceOf[Long]
+        val i = java.time.Instant.ofEpochSecond(Math.floorDiv(us, 1000000L),
+          Math.floorMod(us, 1000000L) * 1000L)
+        s"TIMESTAMP'${java.time.LocalDateTime.ofInstant(i, java.time.ZoneOffset.UTC)}'"
+      case other => throw new IllegalArgumentException(
+        s"DEFAULT for column $name: unsupported default type ${other.simpleString} — " +
+          "numeric, boolean, string, date, and timestamp defaults are supported")
+    }
+  }
+}
+
+/** CHECK constraints (the Delta mechanism): table property
+  * `graft.check.<name>` holds a SQL predicate every written row must
+  * satisfy. Enforcement is FUSED into the write projection — a
+  * `assert_true`-backed filter evaluated by the same job that stages the
+  * data, so a constraint costs zero extra scans on the write path; a
+  * violating row fails the write loudly with the constraint's name.
+  * SQL semantics: a NULL predicate PASSES (the standard's unknown-is-ok
+  * rule — express non-nullness as an explicit IS NOT NULL check).
+  * ADD-time validation (predicate resolves, existing rows comply) lives
+  * in [[GraftCatalog.alterTable]]; drop via UNSET TBLPROPERTIES.
+  */
+object Checks {
+  val Prefix = "graft.check."
+
+  def of(props: Map[String, String]): Seq[(String, String)] =
+    props.toSeq.collect {
+      case (k, v) if k.startsWith(Prefix) => (k.stripPrefix(Prefix), v)
+    }.sortBy(_._1)
+
+  /** A table root's constraints from its DDL sidecar — the lookup the
+    * path-first (V1) and streaming write seams use; sidecar-less roots
+    * have none.
+    */
+  def forTable(spark: SparkSession, root: String): Map[String, String] =
+    GraftDdl.load(spark, root)
+      .map(_.props.view.filterKeys(_.startsWith(Prefix)).toMap)
+      .getOrElse(Map.empty)
+
+  /** The predicate must analyze against the declared schema (zero-row
+    * probe — no data touched) and be deterministic.
+    */
+  def resolveAgainst(spark: SparkSession, schema: StructType,
+                     name: String, pred: String): Unit = {
+    import org.apache.spark.sql.functions.expr
+    val probe = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    val analyzed = try probe.filter(expr(pred)).queryExecution.analyzed
+    catch {
+      case e: Exception => throw new IllegalArgumentException(
+        s"CHECK constraint $name: predicate '$pred' does not resolve against " +
+          s"the table schema (${schema.fieldNames.mkString(", ")}): ${e.getMessage}")
+    }
+    val det = analyzed.collectFirst {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition.deterministic
+    }.getOrElse(true)
+    require(det, s"CHECK constraint $name: predicate '$pred' must be deterministic")
+  }
+
+  /** Fuse every constraint into `df` as an asserting filter: rows that
+    * satisfy (or NULL-evaluate) pass through unchanged; a violating row
+    * throws with the constraint's name. The filter is non-foldable and
+    * column-dependent, so the optimizer keeps it in the staging write's
+    * own projection — no second pass over the batch.
+    */
+  def enforce(df: DataFrame, props: Map[String, String]): DataFrame = {
+    import org.apache.spark.sql.functions.{assert_true, coalesce, expr, lit}
+    of(props).foldLeft(df) { case (d, (name, pred)) =>
+      d.filter(assert_true(coalesce(expr(pred), lit(true)),
+        lit(s"CHECK constraint $name violated: $pred")).isNull)
+    }
+  }
+}
+
 private[sources] object GraftDdl {
   val FileName = "_ddl.json"
   val StagedPrefix = ".ddl-"
@@ -1362,7 +1551,8 @@ class GraftV2Table(val root: String, displayName: String, asOf: Option[Long])
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     require(asOf.isEmpty, "cannot write to a time-travel (VERSION AS OF) graft table")
     new GraftWriteBuilder(root, idSchema, partSpec,
-      propCols("statsCols"), propCols("bloomCols"))
+      propCols("statsCols"), propCols("bloomCols"),
+      ddl.map(_.props).getOrElse(Map.empty))
   }
 
   /** TRUNCATE TABLE as ONE empty snapshot commit — `SupportsDeleteV2`'s
@@ -1399,7 +1589,8 @@ class GraftV2Table(val root: String, displayName: String, asOf: Option[Long])
       info: RowLevelOperationInfo): RowLevelOperationBuilder = {
     require(asOf.isEmpty, "cannot run DML against a time-travel graft table")
     val sc = propCols("statsCols"); val bc = propCols("bloomCols")
-    () => new GraftRowLevelOperation(info.command(), root, idSchema, partSpec, sc, bc)
+    () => new GraftRowLevelOperation(info.command(), root, idSchema, partSpec, sc, bc,
+      ddl.map(_.props).getOrElse(Map.empty))
   }
 }
 
@@ -1731,7 +1922,8 @@ private[sources] class GraftV1TableScan(ctx: SQLContext, root: String,
   */
 private[sources] class GraftWriteBuilder(root: String, tableSchema: StructType,
                                          spec: Option[PartSpec], statsCols: Seq[String],
-                                         bloomCols: Seq[String])
+                                         bloomCols: Seq[String],
+                                         tableProps: Map[String, String] = Map.empty)
     extends WriteBuilder with SupportsTruncate {
 
   private var overwrite = false
@@ -1741,7 +1933,8 @@ private[sources] class GraftWriteBuilder(root: String, tableSchema: StructType,
   override def build(): Write = new V1Write {
     override def toInsertableRelation(): InsertableRelation = new InsertableRelation {
       override def insert(data: DataFrame, ow: Boolean): Unit = {
-        val aligned = data.toDF(tableSchema.fieldNames.toIndexedSeq: _*)
+        val aligned = Checks.enforce(
+          data.toDF(tableSchema.fieldNames.toIndexedSeq: _*), tableProps)
         if (overwrite || ow)
           ManifestTable.commitSpec(aligned, root, spec, carryForward = false,
             statsCols = statsCols, bloomCols = bloomCols)
@@ -1822,7 +2015,8 @@ private[sources] object V2Predicates {
 private[sources] class GraftRowLevelOperation(cmd: RowLevelOperation.Command,
                                               root: String, tableSchema: StructType,
                                               spec: Option[PartSpec],
-                                              statsCols: Seq[String], bloomCols: Seq[String])
+                                              statsCols: Seq[String], bloomCols: Seq[String],
+                                              tableProps: Map[String, String] = Map.empty)
     extends RowLevelOperation with SupportsDelta {
 
   private val baseVersion: Option[Long] =
@@ -1839,7 +2033,7 @@ private[sources] class GraftRowLevelOperation(cmd: RowLevelOperation.Command,
     new DeltaWriteBuilder {
       override def build(): DeltaWrite =
         new GraftDeltaWrite(root, tableSchema, spec, statsCols, bloomCols,
-          baseVersion, info)
+          baseVersion, info, tableProps)
     }
 
   override def rowId(): Array[NamedReference] =
@@ -1857,7 +2051,9 @@ private[sources] object GraftDeltaWrite {
 private[sources] class GraftDeltaWrite(root: String, tableSchema: StructType,
                                        spec: Option[PartSpec], statsCols: Seq[String],
                                        bloomCols: Seq[String], baseVersion: Option[Long],
-                                       info: LogicalWriteInfo) extends DeltaWrite {
+                                       info: LogicalWriteInfo,
+                                       tableProps: Map[String, String] = Map.empty)
+    extends DeltaWrite {
 
   private val staging: String =
     root + "/.stage-" + java.util.UUID.randomUUID().toString.take(12) + "-dml"
@@ -1869,7 +2065,7 @@ private[sources] class GraftDeltaWrite(root: String, tableSchema: StructType,
       if (info.rowIdSchema().isPresent) info.rowIdSchema().get()
       else GraftDeltaWrite.DelSchema
     new GraftDeltaBatchWrite(root, tableSchema, spec, statsCols, bloomCols,
-      baseVersion, info.schema(), rowIdSchema, staging)
+      baseVersion, info.schema(), rowIdSchema, staging, tableProps)
   }
 }
 
@@ -1882,7 +2078,9 @@ private[sources] class GraftDeltaBatchWrite(root: String, tableSchema: StructTyp
                                             spec: Option[PartSpec], statsCols: Seq[String],
                                             bloomCols: Seq[String], baseVersion: Option[Long],
                                             dataSchema: StructType, rowIdSchema: StructType,
-                                            staging: String) extends DeltaBatchWrite {
+                                            staging: String,
+                                            tableProps: Map[String, String] = Map.empty)
+    extends DeltaBatchWrite {
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DeltaWriterFactory =
     GraftDeltaWriterFactory(staging, dataSchema, rowIdSchema,
@@ -1905,8 +2103,9 @@ private[sources] class GraftDeltaBatchWrite(root: String, tableSchema: StructTyp
         // is Spark's, the committed layout is the table's
         val batch =
           if (dataFiles.isEmpty) None
-          else Some(spark.read.schema(dataSchema).parquet(dataFiles: _*)
-            .select(tableSchema.fieldNames.map(col).toIndexedSeq: _*))
+          else Some(Checks.enforce(
+            spark.read.schema(dataSchema).parquet(dataFiles: _*)
+              .select(tableSchema.fieldNames.map(col).toIndexedSeq: _*), tableProps))
         baseVersion match {
           case Some(v) =>
             // insert-only DML stages no DV at all (commitDelta carries the

@@ -43,6 +43,23 @@ class GraftSource extends RelationProvider with SchemaRelationProvider
     parameters.getOrElse("path", throw new IllegalArgumentException(
       "graft source requires a path — spark.read.format(\"graft\").load(root)"))
 
+  /** `versionAsOf` accepts a manifest version number OR a snapshot tag
+    * name ([[ManifestTable.setTag]]) — the same resolution the catalog's
+    * `VERSION AS OF` does.
+    */
+  private def asOfOf(sqlContext: SQLContext,
+                     parameters: Map[String, String]): Option[Long] =
+    parameters.get("versionAsOf").map { v =>
+      v.toLongOption.getOrElse {
+        val r = root(parameters)
+        ManifestTable.tags(sqlContext.sparkSession, r).getOrElse(v.trim,
+          throw new IllegalArgumentException(
+            s"versionAsOf takes a manifest version number or a tag name, got " +
+              s"'$v' — known tags: " + ManifestTable.tags(sqlContext.sparkSession, r)
+                .keys.toSeq.sorted.mkString(", ")))
+      }
+    }
+
   // ------------------- streaming change feed (CDF) --------------------
   //
   //   spark.readStream.format("graft").option("key", "id").load(root)
@@ -106,7 +123,7 @@ class GraftSource extends RelationProvider with SchemaRelationProvider
   override def createRelation(sqlContext: SQLContext,
                               parameters: Map[String, String]): BaseRelation = {
     val r = root(parameters)
-    val asOf = parameters.get("versionAsOf").map(_.toLong)
+    val asOf = asOfOf(sqlContext, parameters)
     // prefer the DECLARED schema when a DDL sidecar exists: footer
     // inference over a renamed field-id table would surface BOTH the old
     // and new column names (the union across file generations), where the
@@ -121,7 +138,7 @@ class GraftSource extends RelationProvider with SchemaRelationProvider
                               schema: StructType): BaseRelation =
     if (wantsCdf(parameters)) cdfRelation(sqlContext, parameters, schema)
     else GraftRelation(sqlContext, root(parameters), schema,
-      parameters.get("versionAsOf").map(_.toLong))
+      asOfOf(sqlContext, parameters))
 
   /** Streaming write side — see
     * [[org.apache.spark.sql.graft.GraftStreamSink]]. Options:
@@ -187,16 +204,18 @@ class GraftSource extends RelationProvider with SchemaRelationProvider
     * follow their standard semantics against table existence.
     */
   override def createRelation(sqlContext: SQLContext, mode: SaveMode,
-                              parameters: Map[String, String], data: DataFrame): BaseRelation = {
+                              parameters: Map[String, String], data0: DataFrame): BaseRelation = {
     val r = root(parameters)
     // an explicit partitionBy option wins; otherwise a sidecar-declared
     // spec (identity or hidden transform) drives the write, so
     // path-addressed saves land partitioned like the catalog table they
     // extend
+    val ddlOpt = GraftDdl.load(sqlContext.sparkSession, r)
     val spec: Option[PartSpec] = parameters.get("partitionBy")
       .map(PartSpec.Identity(_): PartSpec)
-      .orElse(GraftDdl.load(sqlContext.sparkSession, r).flatMap(d =>
+      .orElse(ddlOpt.flatMap(d =>
         for { sch <- d.schema; rd <- d.partCol } yield PartSpec.parse(rd, sch)))
+    val data = Checks.enforce(data0, ddlOpt.map(_.props).getOrElse(Map.empty))
     val statsCols = parameters.get("statsCols").map(_.split(",").toSeq).getOrElse(Nil)
     val bloomCols = parameters.get("bloomCols").map(_.split(",").toSeq).getOrElse(Nil)
     val exists = ManifestTable.exists(sqlContext.sparkSession, r)
@@ -247,11 +266,14 @@ final case class GraftRelation(sqlContext: SQLContext, root: String,
     require(asOf.isEmpty,
       "cannot INSERT into a time-travel (versionAsOf) graft relation — load the " +
         "current snapshot instead")
-    val aligned = data.toDF(schema.fieldNames.toIndexedSeq: _*)
     // a sidecar is authoritative either way (partCol absent = declared
     // unpartitioned); only sidecar-LESS path-first tables recover an
-    // identity column from the manifest's own directory names
-    val spec = GraftDdl.load(spark, root) match {
+    // identity column from the manifest's own directory names. The same
+    // sidecar carries CHECK constraints, enforced inside the write.
+    val ddlOpt = GraftDdl.load(spark, root)
+    val aligned = Checks.enforce(data.toDF(schema.fieldNames.toIndexedSeq: _*),
+      ddlOpt.map(_.props).getOrElse(Map.empty))
+    val spec = ddlOpt match {
       case Some(d) => for { sch <- d.schema; r <- d.partCol }
         yield PartSpec.parse(r, sch)
       case None => ManifestTable.partitionColumn(spark, root).map(PartSpec.Identity)

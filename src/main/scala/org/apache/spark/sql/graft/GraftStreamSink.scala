@@ -111,6 +111,10 @@ class GraftStreamSink(sqlContext: SQLContext, root: String,
           val ups = batch.filter(col("_change_type").isin("insert", "update_postimage"))
             .drop("_change_type")
           val spec = activeSpec
+          // CHECK constraints guard the rows that LAND (upsert postimages);
+          // delete rows carry keys only and are masks, not writes
+          val ups0 = graft.sources.Checks.enforce(ups,
+            graft.sources.Checks.forTable(spark, root))
           val delCols = (mergeKeys ++ spec.filter(_.isIdentity).map(_.source)).distinct
           val dels = batch.filter(col("_change_type") === "delete")
             .select(delCols.map(col): _*)
@@ -122,26 +126,30 @@ class GraftStreamSink(sqlContext: SQLContext, root: String,
               .map(r => ManifestTable.partDirName(sp.source, r.get(0))).toSeq
           }
           if (!ManifestTable.exists(spark, root)) {
-            ManifestTable.commitSpec(ups, root, spec)
+            ManifestTable.commitSpec(ups0, root, spec)
             // a mixed first batch (dst dropped while the source checkpoint
             // survived) must not silently drop its delete rows
             if (dels.limit(1).count() > 0)
-              ManifestTable.mergeDvSpec(ups.limit(0), root, tableSchema, mergeKeys,
+              ManifestTable.mergeDvSpec(ups0.limit(0), root, tableSchema, mergeKeys,
                 spec, Nil, Nil, Some(dels), delParts)
           } else if (ups.limit(1).count() + dels.limit(1).count() > 0)
-            ManifestTable.mergeDvSpec(ups, root, tableSchema, mergeKeys, spec,
+            ManifestTable.mergeDvSpec(ups0, root, tableSchema, mergeKeys, spec,
               Nil, Nil, Some(dels), delParts)
         } else if (mergeKeys.nonEmpty) {
+          val checked = graft.sources.Checks.enforce(batch,
+            graft.sources.Checks.forTable(spark, root))
           if (!ManifestTable.exists(spark, root))
-            ManifestTable.commitSpec(batch, root, activeSpec)
+            ManifestTable.commitSpec(checked, root, activeSpec)
           else if (batch.limit(1).count() > 0)
-            ManifestTable.mergeDvSpec(batch, root, data.schema, mergeKeys,
+            ManifestTable.mergeDvSpec(checked, root, data.schema, mergeKeys,
               activeSpec, Nil, Nil, None, None)
         } else {
+          val checked = graft.sources.Checks.enforce(batch,
+            graft.sources.Checks.forTable(spark, root))
           if (!ManifestTable.exists(spark, root))
-            ManifestTable.commitSpec(batch, root, activeSpec)
+            ManifestTable.commitSpec(checked, root, activeSpec)
           else if (batch.limit(1).count() > 0)
-            ManifestTable.appendSpec(batch, root, activeSpec)
+            ManifestTable.appendSpec(checked, root, activeSpec)
         }
       }
       writeMarker(batchId)

@@ -97,6 +97,11 @@ class TagsSpec extends SparkSuite {
     val sch = df1.schema
     assert(ManifestTable.read(spark, root, sch, Some(1L)).count() == 1)
     assert(ManifestTable.tags(spark, root) == Map("first" -> 1L))
+    // the V1 front door resolves the tag too
+    assert(spark.read.format("graft").option("versionAsOf", "first")
+      .load(root).count() == 1)
+    intercept[Exception](spark.read.format("graft")
+      .option("versionAsOf", "nope").load(root).count())
     assert(ManifestTable.deleteTag(spark, root, "first"))
     assert(!ManifestTable.deleteTag(spark, root, "first"))
   }
