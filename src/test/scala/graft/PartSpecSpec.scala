@@ -362,6 +362,41 @@ class PartSpecSpec extends SparkSuite {
     assert(spark.table("gps.db.e4").count() == 2)
   }
 
+  test("pruning stays exact under randomized predicates, NULL sources included") {
+    wh
+    spark.sql("DROP TABLE IF EXISTS gps.db.rp")
+    spark.sql(
+      """CREATE TABLE gps.db.rp (k BIGINT, ts TIMESTAMP, s STRING)
+        |PARTITIONED BY (days(ts))""".stripMargin)
+    val day = 86400000000L
+    val rnd = new scala.util.Random(42)
+    // 8 days of data + NULL timestamps (the __HIVE_DEFAULT_PARTITION__ dir)
+    val rows = (0 until 300).map { i =>
+      val us: java.lang.Long =
+        if (i % 17 == 0) null
+        else java.lang.Long.valueOf(rnd.nextInt(8).toLong * day + rnd.nextInt(86400) * 1000000L)
+      (i.toLong, us, s"s${rnd.nextInt(5)}")
+    }
+    rows.toDF("k", "us", "s")
+      .select(col("k"), timestamp_micros(col("us")).as("ts"), col("s"))
+      .createOrReplaceTempView("rp_src")
+    spark.sql("INSERT INTO gps.db.rp SELECT * FROM rp_src")
+    def expect(pred: String): Set[Long] =
+      spark.sql(s"SELECT k FROM rp_src WHERE $pred").as[Long].collect().toSet
+    def got(pred: String): Set[Long] =
+      spark.sql(s"SELECT k FROM gps.db.rp WHERE $pred").as[Long].collect().toSet
+    for (_ <- 0 until 30) {
+      val a = rnd.nextInt(9).toLong * day + rnd.nextInt(86400) * 1000000L
+      val b = a + rnd.nextInt(3 * 86400) * 1000000L
+      val preds = Seq(
+        s"ts >= timestamp_micros($a) AND ts < timestamp_micros($b)",
+        s"ts = timestamp_micros($a)",
+        s"ts >= timestamp_micros($a) AND s = 's${rnd.nextInt(5)}'",
+        s"ts IS NULL OR ts < timestamp_micros($a)") // OR: no hint, full scan
+      preds.foreach(p => assert(got(p) == expect(p), s"mismatch under: $p"))
+    }
+  }
+
   test("V1 path-addressed INSERT derives the hidden partition column") {
     wh
     spark.sql("DROP TABLE IF EXISTS gps.db.h5")
