@@ -2717,8 +2717,9 @@ object ManifestTable {
     * (single-writer DDL contract, like every sidecar edit). Returns the
     * pinned version.
     */
-  def setTag(spark: SparkSession, root: String, name: String,
+  def setTag(spark: SparkSession, root: String, name0: String,
              version: Option[Long] = None): Long = {
+    val name = name0.trim // resolution trims too — an untrimmed pin would be unreachable
     require(name.nonEmpty && !name.forall(_.isDigit),
       s"tag name '$name' must be non-empty and non-numeric (numeric strings " +
         "resolve as literal versions in VERSION AS OF)")
