@@ -964,6 +964,44 @@ object StressBench {
         println(f"""[stress] {"op":"wide_schema","cols":$w,"rows":$rows,"insert_sec":$insertSec%.3f,"read_sec":$rd%.3f,"alter_sec":$alterSec%.4f}""")
       }
     }
+    // SCAN-STATISTICS JOIN BENEFIT (r18): what the post-pruning size
+    // estimate unlocks — a fact table joined to a partition-pruned slice
+    // of a catalog dimension. With the ForwardV1ScanStats rule the pruned
+    // slice reports its real (small) bytes and auto-broadcasts; the
+    // control forces the no-stats outcome (sort-merge, via
+    // autoBroadcastJoinThreshold=-1 — exactly what a Long.Max size
+    // estimate produces at any threshold). The gap is the price every
+    // star-schema query pays when the planner can't see scan sizes.
+    if (onlyOps.forall(_.exists("scan_stats".startsWith))) {
+      org.apache.spark.sql.graft.GraftFunctions.installOptimizations(spark)
+      for (f <- Seq(1, 4, 16)) {
+        val wh = java.nio.file.Files.createTempDirectory(s"sst$f").toString
+        val cat = s"gss$f"
+        spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+        spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+        spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.db")
+        spark.sql(s"""CREATE TABLE $cat.db.dim (user_id BIGINT, event_type STRING)
+          PARTITIONED BY (event_type)""")
+        eventsTimes(f).createOrReplaceTempView(s"sst_src_$f")
+        spark.sql(s"INSERT INTO $cat.db.dim SELECT DISTINCT user_id, event_type FROM sst_src_$f")
+        val fact = eventsTimes(f).select(col("user_id"), col("ts"))
+        fact.createOrReplaceTempView(s"sst_fact_$f")
+        def join(): Double = {
+          val t0 = System.nanoTime()
+          spark.sql(s"""SELECT count(*) AS n FROM sst_fact_$f f
+            JOIN $cat.db.dim d ON f.user_id = d.user_id
+            WHERE d.event_type = 'click'""").collect()
+          (System.nanoTime() - t0) / 1e9
+        }
+        join() // warm
+        val bcast = join()
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        val smj = try { join(); join() } finally
+          spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        println(f"""[stress] {"op":"scan_stats","factor":$f,"broadcast_sec":$bcast%.3f,"sortmerge_sec":$smj%.3f}""")
+      }
+    }
+
     // CHECK-CONSTRAINT OVERHEAD (r18): the q206 claim measured — a guarded
     // INSERT (two constraints fused into the write's own projection) vs an
     // unguarded one over the same growing batch. The assert_true filter
