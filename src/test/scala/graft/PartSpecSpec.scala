@@ -397,6 +397,48 @@ class PartSpecSpec extends SparkSuite {
     }
   }
 
+  test("streaming sink follows partition evolution between runs of one checkpoint") {
+    wh
+    implicit val sq = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    spark.sql("DROP TABLE IF EXISTS gps.db.sev")
+    spark.sql(
+      """CREATE TABLE gps.db.sev (k BIGINT, ts TIMESTAMP, p STRING)
+        |PARTITIONED BY (p)""".stripMargin)
+    val root = rootOf("sev")
+    val ckpt = Files.createTempDirectory("sev-ckpt").toString
+    val src = MemoryStream[(Long, Long, String)]
+    def run(): Unit = {
+      val q = src.toDF().toDF("k", "us", "p")
+        .select(col("k"), timestamp_micros(col("us")).as("ts"), col("p"))
+        .writeStream.format("graft")
+        .option("path", root).option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(60000)
+    }
+    val day = 86400000000L
+    src.addData((1L, 0L, "a"), (2L, day, "b"))
+    run() // generation 1 lands under identity p dirs
+    spark.sql("CALL gps.system.set_partitioning('db.sev', 'days(ts)')")
+    src.addData((3L, 2 * day, "c"), (4L, 3 * day, "d"))
+    run() // generation 2: the sink re-resolves the spec per batch
+    val dirs = new java.io.File(root).listFiles().filter(_.getName.startsWith("v"))
+      .flatMap(v => Option(v.listFiles()).getOrElse(Array.empty))
+      .map(_.getName).filter(_.contains("=")).toSet
+    assert(dirs.exists(_.startsWith("p=")) && dirs.exists(_.startsWith("ts_day=")),
+      dirs.mkString(","))
+    assert(spark.table("gps.db.sev").count() == 4)
+    // both layouts prune under their own spec
+    val (k1, t1) = ManifestTable.prunePartitionCounts(spark, root,
+      Nil, points = Seq("p" -> "a"))
+    assert(t1 == 4 && k1 == 3, s"p=a keeps 1 identity dir + 2 day dirs: $k1/$t1")
+    val (k2, _) = ManifestTable.prunePartitionCounts(spark, root,
+      Seq(ManifestTable.ColRange("ts",
+        java.lang.Long.valueOf(3 * day), null)))
+    assert(k2 == 3, s"ts >= day3 keeps 2 identity dirs + ts_day=3, kept $k2")
+  }
+
   test("V1 path-addressed INSERT derives the hidden partition column") {
     wh
     spark.sql("DROP TABLE IF EXISTS gps.db.h5")
