@@ -638,7 +638,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
           "lossless ALTER COLUMN TYPE widenings, column comments, and " +
           s"table-property changes only, got $other")
     }
-    GraftDdl.save(spark, root, schema, cur.flatMap(_.partCol), props)
+    // partCol: an EXISTING sidecar is authoritative (evolving a table to
+    // unpartitioned must stick — partCol=None is a statement, not absence),
+    // but the FIRST ALTER on a sidecar-less path-first table must recover
+    // the physical layout from the manifest or every subsequent catalog
+    // write silently lands unpartitioned (ADVICE r18).
+    val partColSaved = cur.flatMap(_.partCol).orElse(
+      if (cur.isEmpty) ManifestTable.partitionColumn(spark, root) else None)
+    GraftDdl.save(spark, root, schema, partColSaved, props)
     new GraftV2Table(root, display(ident), None)
   }
 
@@ -1183,7 +1190,10 @@ object Defaults {
         val us = v.asInstanceOf[Long]
         val i = java.time.Instant.ofEpochSecond(Math.floorDiv(us, 1000000L),
           Math.floorMod(us, 1000000L) * 1000L)
-        s"TIMESTAMP'${java.time.LocalDateTime.ofInstant(i, java.time.ZoneOffset.UTC)}'"
+        // explicit-zone instant form (…T…Z): a zoneless TIMESTAMP'…'
+        // literal re-folds under the READER's session timezone, shifting
+        // the existence default by the zone offset (ADVICE r18)
+        s"TIMESTAMP'$i'"
       case other => throw new IllegalArgumentException(
         s"DEFAULT for column $name: unsupported default type ${other.simpleString} — " +
           "numeric, boolean, string, date, and timestamp defaults are supported")

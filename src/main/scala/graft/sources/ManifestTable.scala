@@ -1180,9 +1180,20 @@ object ManifestTable {
     } else if (raw.toDoubleOption.isDefined &&
         (lo.forall(v => dbl(v).orElse(num(v).map(_.toDouble)).isDefined) &&
          hi.forall(v => dbl(v).orElse(num(v).map(_.toDouble)).isDefined))) {
-      val x = raw.toDouble
-      lo.flatMap(v => dbl(v).orElse(num(v).map(_.toDouble))).forall(x >= _) &&
-        hi.flatMap(v => dbl(v).orElse(num(v).map(_.toDouble))).forall(x <= _)
+      // a FLOAT bound must compare in FLOAT domain: (double)0.1f is
+      // 0.10000000149…, while the dir text "0.1" parses to the double 0.1 —
+      // widening the bound would falsely prune the dir whose value EQUALS
+      // it (ADVICE r18). Parse the dir text as a float for float bounds;
+      // any parse mismatch keeps the dir (pruning stays a superset).
+      def boundOk(b: Any, isLo: Boolean): Boolean = b match {
+        case f: java.lang.Float =>
+          raw.toFloatOption.forall(x =>
+            if (isLo) x >= f.floatValue else x <= f.floatValue)
+        case v =>
+          dbl(v).orElse(num(v).map(_.toDouble)).forall(d =>
+            if (isLo) raw.toDouble >= d else raw.toDouble <= d)
+      }
+      lo.forall(boundOk(_, isLo = true)) && hi.forall(boundOk(_, isLo = false))
     } else {
       val asDate = try Some(java.time.LocalDate.parse(raw).toEpochDay)
         catch { case _: Exception => None }
@@ -1817,13 +1828,16 @@ object ManifestTable {
     }
 
   /** Does the entry set hold partition dirs written under a DIFFERENT
-    * physical column than `spec`'s — i.e. has partition evolution left a
-    * mixed layout that name-keyed partition reasoning cannot cover?
+    * layout than `spec`'s — i.e. has partition evolution left a mixed
+    * layout that name-keyed partition reasoning cannot cover? The EMPTY
+    * entry name (an unpartitioned-era commit) is a foreign layout too: a
+    * matched key's old row can live there, invisible to any dir-name
+    * restriction (ADVICE r18 — the old `p.nonEmpty` guard let mergeDv keep
+    * its touched-partition fast path and leave stale rows unmasked after
+    * set_partitioning evolved an unpartitioned table).
     */
-  private def mixedLayout(entries: Seq[(String, Long)], spec: PartSpec): Boolean = {
-    val pfx = spec.physName + "="
-    entries.exists { case (p, _) => p.nonEmpty && !p.startsWith(pfx) }
-  }
+  private def mixedLayout(entries: Seq[(String, Long)], spec: PartSpec): Boolean =
+    entries.exists { case (p, _) => !spec.matchesLayout(p) }
 
   /** INSERT-only commit: `df`'s rows land as a fresh data version ADDED
     * alongside every touched partition's existing entries — no read, no
@@ -2720,7 +2734,10 @@ object ManifestTable {
   def setTag(spark: SparkSession, root: String, name0: String,
              version: Option[Long] = None): Long = {
     val name = name0.trim // resolution trims too — an untrimmed pin would be unreachable
-    require(name.nonEmpty && !name.forall(_.isDigit),
+    // toLongOption, not forall(isDigit): '-5' is number-shaped too, and
+    // VERSION AS OF resolves numbers BEFORE tags — a number-shaped tag
+    // would be permanently unreachable (ADVICE r18)
+    require(name.nonEmpty && name.toLongOption.isEmpty,
       s"tag name '$name' must be non-empty and non-numeric (numeric strings " +
         "resolve as literal versions in VERSION AS OF)")
     val v = version.getOrElse(currentVersion(spark, root).getOrElse(

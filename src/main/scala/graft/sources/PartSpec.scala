@@ -58,6 +58,23 @@ sealed trait PartSpec extends Serializable {
     */
   def applyValue(v: Any): Option[Any]
 
+  /** Physical directory columns in nesting order — one for every simple
+    * spec, the segment list for [[PartSpec.Multi]].
+    */
+  def physNames: Seq[String] = Seq(physName)
+
+  /** Does a manifest entry name (a hive-style dir path, possibly nested
+    * `a=1/b=2`, possibly "" for an unpartitioned-era commit) belong to
+    * THIS spec's layout? Mixed-layout reasoning keys on this: segment
+    * count AND each segment's column name must match — the empty name
+    * matches nothing (its rows are addressable by no dir restriction).
+    */
+  def matchesLayout(entry: String): Boolean = {
+    val segs = entry.split("/")
+    segs.length == physNames.length &&
+      segs.iterator.zip(physNames.iterator).forall { case (s, n) => s.startsWith(n + "=") }
+  }
+
   /** Ensure the physical partition column exists on `df` (no-op for
     * identity, where the source column IS the physical column).
     */

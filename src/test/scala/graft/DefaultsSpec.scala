@@ -99,4 +99,26 @@ class DefaultsSpec extends SparkSuite {
     assert(spark.table("gdef.db.d5").schema("label")
       .metadata.contains("CURRENT_DEFAULT"))
   }
+
+  test("timestamp existence default is session-timezone-independent (ADVICE r18)") {
+    wh
+    spark.sql("DROP TABLE IF EXISTS gdef.db.d6")
+    spark.sql("CREATE TABLE gdef.db.d6 (k BIGINT)")
+    spark.sql("INSERT INTO gdef.db.d6 VALUES (1)")
+    val prevTz = spark.conf.get("spark.sql.session.timeZone")
+    try {
+      spark.conf.set("spark.sql.session.timeZone", "UTC")
+      spark.sql("ALTER TABLE gdef.db.d6 ADD COLUMNS " +
+        "(ts TIMESTAMP DEFAULT TIMESTAMP'2020-06-01 12:00:00')")
+      val utc = spark.table("gdef.db.d6")
+        .select(unix_micros(col("ts"))).as[Long].head()
+      assert(utc == 1591012800000000L, s"DDL-time instant wrong: $utc")
+      // a zoneless EXISTS_DEFAULT literal would re-fold under the reader's
+      // session zone and shift the backfilled value by the offset
+      spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+      val ny = spark.table("gdef.db.d6")
+        .select(unix_micros(col("ts"))).as[Long].head()
+      assert(ny == utc, s"existence default shifted with session tz: $utc vs $ny")
+    } finally spark.conf.set("spark.sql.session.timeZone", prevTz)
+  }
 }

@@ -456,4 +456,72 @@ class PartSpecSpec extends SparkSuite {
       .map(_.getName).filter(_.startsWith("ts_day=")).toSet
     assert(dirs == Set("ts_day=0", "ts_day=1"), dirs.mkString(","))
   }
+
+  test("evolution unpartitioned->partitioned: mergeDv sees the '' layout (ADVICE r18)") {
+    wh
+    spark.sql("DROP TABLE IF EXISTS gps.db.e5")
+    spark.sql("CREATE TABLE gps.db.e5 (k BIGINT, region STRING, v BIGINT)")
+    (0L until 6L).map(i => (i, if (i % 2 == 0) "ASIA" else "EUROPE", i))
+      .toDF("k", "region", "v").createOrReplaceTempView("e5_src")
+    spark.sql("INSERT INTO gps.db.e5 SELECT * FROM e5_src")
+    spark.sql("CALL gps.system.set_partitioning('db.e5', 'region')")
+    val root = rootOf("e5")
+    val sch = spark.table("gps.db.e5").schema
+    // upsert EXISTING keys through the partitioned spec: their old rows
+    // live in the unpartitioned ("") layout — the position scan must fall
+    // back to the full snapshot or the stale copies stay visible
+    val batch = Seq((0L, "ASIA", 100L), (1L, "EUROPE", 101L)).toDF("k", "region", "v")
+    ManifestTable.mergeDvSpec(batch, root, sch, Seq("k"),
+      Some(PartSpec.Identity("region")))
+    val rows = spark.table("gps.db.e5").as[(Long, String, Long)].collect()
+    assert(rows.length == 6, s"stale '' layout rows visible: ${rows.sorted.mkString(",")}")
+    val m = rows.map(r => r._1 -> r._3).toMap
+    assert(m(0L) == 100L && m(1L) == 101L && m(2L) == 2L)
+    // carry-forward snapshot commits refuse the mixed '' layout too
+    val ex = intercept[IllegalStateException] {
+      ManifestTable.commitSpec(batch, root, Some(PartSpec.Identity("region")))
+    }
+    assert(ex.getMessage.contains("compact"))
+    // compact under the current spec ends the mix; the fast path reopens
+    spark.sql("CALL gps.system.compact('db.e5')")
+    ManifestTable.mergeDvSpec(Seq((2L, "ASIA", 200L)).toDF("k", "region", "v"),
+      root, sch, Seq("k"), Some(PartSpec.Identity("region")))
+    val m2 = spark.table("gps.db.e5").as[(Long, String, Long)].collect()
+    assert(m2.length == 6 && m2.map(r => r._1 -> r._3).toMap.apply(2L) == 200L)
+  }
+
+  test("FLOAT bound equal to the dir value keeps the dir (ADVICE r18)") {
+    wh
+    spark.sql("DROP TABLE IF EXISTS gps.db.f1")
+    spark.sql("CREATE TABLE gps.db.f1 (k BIGINT, fv FLOAT) PARTITIONED BY (fv)")
+    Seq((1L, 0.1f), (2L, 0.5f), (3L, 2.5f)).toDF("k", "fv")
+      .createOrReplaceTempView("f1_src")
+    spark.sql("INSERT INTO gps.db.f1 SELECT * FROM f1_src")
+    val root = rootOf("f1")
+    // (double)0.1f != "0.1".toDouble — the bound must compare in FLOAT domain
+    val (k1, t1) = ManifestTable.prunePartitionCounts(spark, root,
+      Seq(ManifestTable.ColRange("fv", java.lang.Float.valueOf(0.1f), null)))
+    assert(t1 == 3 && k1 == 3, s"fv >= 0.1f must keep fv=0.1: $k1/$t1")
+    val (k2, _) = ManifestTable.prunePartitionCounts(spark, root,
+      Seq(ManifestTable.ColRange("fv", null, java.lang.Float.valueOf(0.1f))))
+    assert(k2 == 1, s"fv <= 0.1f keeps exactly fv=0.1: $k2")
+    assert(spark.sql(
+      "SELECT count(*) FROM gps.db.f1 WHERE fv >= CAST(0.1 AS FLOAT)")
+      .as[Long].head() == 3L)
+  }
+
+  test("first ALTER on a path-first partitioned table keeps its layout (ADVICE r18)") {
+    wh
+    val root = rootOf("pf9")
+    ManifestTable.commit(Seq((1L, "ASIA"), (2L, "EUROPE")).toDF("k", "region"),
+      root, Some("region"))
+    // the first ALTER creates the sidecar: it must RECOVER the physical
+    // layout from the manifest, not freeze partCol=None
+    spark.sql("ALTER TABLE gps.db.pf9 SET TBLPROPERTIES ('note'='x')")
+    spark.sql("INSERT INTO gps.db.pf9 VALUES (3, 'ASIA')")
+    val dirs = new java.io.File(root).listFiles().filter(_.getName.startsWith("v"))
+      .flatMap(v => Option(v.listFiles()).getOrElse(Array.empty))
+      .map(_.getName).filter(_.startsWith("region="))
+    assert(dirs.length >= 3, s"catalog write landed unpartitioned: ${dirs.mkString(",")}")
+  }
 }

@@ -56,6 +56,10 @@ class TagsSpec extends SparkSuite {
     spark.sql("INSERT INTO gtag.db.t2 VALUES (1)")
     intercept[Exception](
       spark.sql("CALL gtag.system.create_tag('db.t2', '42')").collect())
+    // '-5' is number-shaped too: VERSION AS OF resolves numbers before
+    // tags, so it would be permanently unreachable (ADVICE r18)
+    intercept[Exception](
+      spark.sql("CALL gtag.system.create_tag('db.t2', '-5')").collect())
     intercept[Exception](
       spark.sql("CALL gtag.system.create_tag('db.t2', 'ghost', 99)").collect())
   }
