@@ -6135,7 +6135,103 @@ object Queries {
         SELECT k, price, 'live', 'UNKNOWN', 3 FROM src0 WHERE k % 3 = 2)
       SELECT src, region, CAST(count(*) AS BIGINT) AS n,
         ${dsumSql("price")} AS p, CAST(CAST(sum(prio) AS BIGINT) AS BIGINT) AS pr
-      FROM g GROUP BY src, region"""))
+      FROM g GROUP BY src, region""")),
+
+    // COMPOSITE PARTITION SPECS (r19): `PARTITIONED BY (days(ts),
+    // bucket(4, user_id))` — the canonical production layout (a time
+    // dimension for retention/range pruning × a hash dimension for write
+    // fan-out and point pruning), one nested hive segment per transform
+    // (`ts_day=…/user_id_bucket=…`), both derived values living ONLY in
+    // the directory names. Table `cev` is born composite: a ts range
+    // prunes the day segments, a user_id equality prunes the bucket
+    // segments, and a predicate on both intersects (PartSpecSpec asserts
+    // the exact dir counts: 8/12, 3/12, 2/12 on its fixture). Table `mev`
+    // EVOLVES days(ts) → composite metadata-only mid-life, takes row-level
+    // UPDATE/DELETE across the mixed layouts, and one compact rewrite ends
+    // the mix — the oracled result proves the mixed and post-compact
+    // snapshots bit-equal. At 100 TB this is the layout that keeps BOTH
+    // "last week's data" and "this user's rows" from full-scanning.
+    ("q208_composite_spec", (s: SparkSession, d: String) => {
+      import graft.sources.GraftCatalog
+      val ev = t(s, d, "events").select(col("event_id"), col("ts"),
+        col("user_id"), col("event_type"), col("value"))
+      val wh = java.nio.file.Files.createTempDirectory("q208-cat").toString
+      s.conf.set("spark.sql.catalog.gq208", classOf[GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.gq208.warehouse", wh)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS gq208.db")
+      s.sql("DROP TABLE IF EXISTS gq208.db.cev")
+      s.sql("DROP TABLE IF EXISTS gq208.db.mev")
+      ev.createOrReplaceTempView("q208_src")
+      // born-composite table: both dimensions prune from day one
+      s.sql("""CREATE TABLE gq208.db.cev (
+        event_id BIGINT, ts TIMESTAMP, user_id BIGINT,
+        event_type STRING, value DOUBLE)
+        PARTITIONED BY (days(ts), bucket(4, user_id))""")
+      s.sql("INSERT INTO gq208.db.cev SELECT * FROM q208_src WHERE event_id % 2 = 1")
+      s.sql("INSERT INTO gq208.db.cev SELECT * FROM q208_src WHERE event_id % 2 = 0")
+      // evolving table: days(ts) generation, then composite generation,
+      // then DML across the mixed layouts
+      s.sql("""CREATE TABLE gq208.db.mev (
+        event_id BIGINT, ts TIMESTAMP, user_id BIGINT,
+        event_type STRING, value DOUBLE) PARTITIONED BY (days(ts))""")
+      s.sql("INSERT INTO gq208.db.mev SELECT * FROM q208_src WHERE event_id % 2 = 1")
+      s.sql("CALL gq208.system.set_partitioning('db.mev', 'days(ts),bucket(4,user_id)')")
+      s.sql("INSERT INTO gq208.db.mev SELECT * FROM q208_src WHERE event_id % 2 = 0")
+      s.sql("UPDATE gq208.db.mev SET value = -2.0 WHERE user_id % 29 = 5")
+      s.sql("DELETE FROM gq208.db.mev WHERE event_type = 'view' AND user_id % 13 = 2")
+      // materialize the mixed-layout aggregate before the compact (lazy
+      // plans — the rewrite must not leak into this leg)
+      val mixed = s.sql(s"""SELECT event_type, CAST(count(*) AS BIGINT) AS n_mix,
+            ${dsumSql("value")} AS v_mix
+          FROM gq208.db.mev GROUP BY event_type""").localCheckpoint()
+      mixed.createOrReplaceTempView("q208_mixed")
+      s.sql("CALL gq208.system.compact('db.mev')")
+      // 2024-01-10T00Z .. 2024-01-20T00Z in epoch micros (TZ-free literals)
+      s.sql(s"""SELECT a.event_type, a.n, a.v, b.n_pt, b.v_pt,
+          m.n_mix, m.v_mix, c.n_c, c.v_c
+        FROM (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                ${dsumSql("value")} AS v
+              FROM gq208.db.cev
+              WHERE ts >= timestamp_micros(1704844800000000)
+                AND ts < timestamp_micros(1705708800000000)
+              GROUP BY event_type) a
+        CROSS JOIN (SELECT CAST(count(*) AS BIGINT) AS n_pt,
+                ${dsumSql("value")} AS v_pt
+              FROM gq208.db.cev
+              WHERE ts >= timestamp_micros(1704844800000000)
+                AND ts < timestamp_micros(1705708800000000)
+                AND user_id = 31) b
+        JOIN q208_mixed m ON a.event_type = m.event_type
+        JOIN (SELECT event_type, CAST(count(*) AS BIGINT) AS n_c,
+                ${dsumSql("value")} AS v_c
+              FROM gq208.db.mev GROUP BY event_type) c
+          ON a.event_type = c.event_type""")
+    }, Some(s"""WITH src AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts,
+          user_id, event_type, value FROM events),
+      upd AS (SELECT event_id, ts, user_id, event_type,
+          CASE WHEN user_id % 29 = 5 THEN -2.0 ELSE value END AS value FROM src),
+      cur AS (SELECT * FROM upd
+          WHERE NOT (event_type = 'view' AND user_id % 13 = 2))
+      SELECT a.event_type, a.n, a.v, b.n_pt, b.v_pt,
+        m.n_mix, m.v_mix, c.n_c, c.v_c
+      FROM (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+              ${dsumSql("value")} AS v
+            FROM src
+            WHERE ts >= make_timestamp(1704844800000000)
+              AND ts < make_timestamp(1705708800000000)
+            GROUP BY event_type) a
+      CROSS JOIN (SELECT CAST(count(*) AS BIGINT) AS n_pt,
+              ${dsumSql("value")} AS v_pt
+            FROM src
+            WHERE ts >= make_timestamp(1704844800000000)
+              AND ts < make_timestamp(1705708800000000)
+              AND user_id = 31) b
+      JOIN (SELECT event_type, CAST(count(*) AS BIGINT) AS n_mix,
+              ${dsumSql("value")} AS v_mix FROM cur GROUP BY event_type) m
+        ON a.event_type = m.event_type
+      JOIN (SELECT event_type, CAST(count(*) AS BIGINT) AS n_c,
+              ${dsumSql("value")} AS v_c FROM cur GROUP BY event_type) c
+        ON a.event_type = c.event_type"""))
   )
 
   /** The BM25 replay shared by q72/q123 — postings, df, dl, corpus stats,

@@ -265,8 +265,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
       case Seq() => None
       case Seq(t) =>
         Some(PartSpec.validate(specOfTransform(t, schema), schema).render)
-      case ts => throw new UnsupportedOperationException(
-        s"graft tables support a single partition transform, got ${ts.mkString(", ")}")
+      case ts => // composite spec: one nested dir segment per transform
+        Some(PartSpec.validate(
+          PartSpec.Multi(ts.map(specOfTransform(_, schema))), schema).render)
     }
     val kept = props.view.filterKeys(k =>
       !Set(TableCatalog.PROP_PROVIDER, TableCatalog.PROP_OWNER,
@@ -327,12 +328,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
     val specs: Seq[PartSpec] =
       try specRenders.map(r => PartSpec.parse(r, schema))
       catch { case _: Exception => Seq.empty } // sidecar-less legacy fallback below
+    val specLeaves: Seq[PartSpec] = specs.flatMap(_.leaves)
     val specSources: Set[String] =
-      if (specs.nonEmpty) specs.map(_.source).toSet
+      if (specLeaves.nonEmpty) specLeaves.map(_.source).toSet
       else ManifestTable.partitionColumn(spark, root).toSet
-    val specPhys: Set[String] = specs.filterNot(_.isIdentity).map(_.physName).toSet
+    val specPhys: Set[String] =
+      specLeaves.filterNot(_.isIdentity).map(_.physName).toSet
     val bucketSources: Set[String] =
-      specs.collect { case b: PartSpec.Bucket => b.source }.toSet
+      specLeaves.collect { case b: PartSpec.Bucket => b.source }.toSet
     // ------- nested-aware navigation (VERDICT r17 #1) --------------------
     // A change's fieldNames() address any depth: struct segments by name,
     // array/map interiors via Spark's element/key/value pseudo-segments
@@ -743,14 +746,20 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
     val newHistory = (curRender.toSeq ++ history).distinct
       .filterNot(r => newSpec.exists(_.render == r))
     newSpec.foreach { s =>
-      val clash = newHistory.map(r => PartSpec.parse(r, sch))
-        .find(h => h.physName == s.physName && h.render != s.render)
-      require(clash.isEmpty,
-        s"set_partitioning: new spec ${s.render} derives directory column " +
-          s"${s.physName}, which prior spec ${clash.get.render} already used " +
-          "with different semantics — compact the table first")
-      require(!sch.fieldNames.contains(s.physName) || s.isIdentity,
-        s"derived partition column ${s.physName} collides with a table column")
+      // per LEAF on both sides: a composite field may not reuse a dir
+      // column any historical spec's field derived differently (dir→spec
+      // resolution is by segment column name)
+      val histLeaves = newHistory.flatMap(r => PartSpec.parse(r, sch).leaves)
+      s.leaves.foreach { leaf =>
+        val clash = histLeaves.find(h =>
+          h.physName == leaf.physName && h.render != leaf.render)
+        require(clash.isEmpty,
+          s"set_partitioning: new spec ${s.render} derives directory column " +
+            s"${leaf.physName}, which prior spec ${clash.get.render} already " +
+            "used with different semantics — compact the table first")
+        require(!sch.fieldNames.contains(leaf.physName) || leaf.isIdentity,
+          s"derived partition column ${leaf.physName} collides with a table column")
+      }
     }
     val props =
       if (newHistory.isEmpty) d.props - PartSpecs.HistoryProp
@@ -1508,7 +1517,7 @@ class GraftV2Table(val root: String, displayName: String, asOf: Option[Long])
   private[sources] def bloomColsProp: Seq[String] = propCols("bloomCols")
 
   override def partitioning(): Array[Transform] =
-    partSpec.map {
+    partSpec.toSeq.flatMap(_.leaves).map {
       case PartSpec.Identity(c) => Expressions.identity(c)
       case PartSpec.Days(c) => Expressions.days(c)
       case PartSpec.Hours(c) => Expressions.hours(c)
@@ -1517,6 +1526,8 @@ class GraftV2Table(val root: String, displayName: String, asOf: Option[Long])
       case PartSpec.Bucket(n, c, _) => Expressions.bucket(n, c)
       case PartSpec.Truncate(w, c, _) => Expressions.apply("truncate",
         Expressions.literal(w), Expressions.column(c))
+      case m: PartSpec.Multi => throw new IllegalStateException(
+        s"nested composite spec: ${m.render}") // leaves never yields Multi
     }.toArray
 
   override def properties(): java.util.Map[String, String] =
@@ -2595,14 +2606,16 @@ private[sources] object GraftMetaTables {
       case "partitions" =>
         if (ManifestTable.currentVersion(spark, root).isEmpty) Array.empty
         else {
-          val specsByPhys = PartSpecs.of(spark, root)
+          val specsByPhys = PartSpecs.of(spark, root).flatMap(_.leaves)
             .map(s => s.physName -> s.render).toMap
           ManifestTable.liveFileSkipping(spark, root).groupBy(_._2).toSeq
             .sortBy(_._1).map { case (part, fs) =>
-              val spec =
-                if (part.contains("="))
-                  specsByPhys.getOrElse(part.substring(0, part.indexOf('=')), "")
-                else ""
+              // composite layouts render the comma list of their segments'
+              // field specs, mirroring the sidecar form
+              val spec = part.split("/").toSeq.filter(_.contains("="))
+                .flatMap(seg =>
+                  specsByPhys.get(seg.substring(0, seg.indexOf('='))))
+                .mkString(",")
               new GenericInternalRow(Array[Any](
                 UTF8String.fromString(part), UTF8String.fromString(spec),
                 fs.map(_._3).distinct.size, fs.size,

@@ -1103,15 +1103,27 @@ object ManifestTable {
     * the IN-list probe (the "fetch N rows by key" pattern: a file provably
     * lacking every key in the list skips).
     */
-  /** Does the hive-style dir `col=value` survive the conjunctive hints?
-    * The dir's own column name selects the spec that WROTE it (identity or
-    * hidden transform, current or historical — partition evolution leaves
+  /** Does the (possibly NESTED — composite specs write
+    * `ts_day=…/user_id_bucket=…`) hive-style dir path survive the
+    * conjunctive hints? Segments are independent constraints: the dir
+    * survives only if EVERY segment does, so predicates on either (or
+    * both) composite dimension prune.
+    */
+  private def dirSurvives(dirName: String, specsByPhys: Map[String, PartSpec],
+                          ranges: Seq[ColRange], points: Seq[(String, Any)],
+                          pointsAny: Seq[(String, Seq[Any])]): Boolean =
+    dirName.split("/").forall(seg =>
+      segSurvives(seg, specsByPhys, ranges, points, pointsAny))
+
+  /** One `col=value` segment of [[dirSurvives]]. The segment's own column
+    * name selects the spec FIELD that wrote it (identity or hidden
+    * transform, current or historical — partition evolution leaves
     * old-spec dirs in place and they keep pruning under their own
-    * mapping); a dir matching no known spec falls back to the legacy
+    * mapping); a segment matching no known spec falls back to the legacy
     * identity string-compare on its own column name. Everything
     * unmappable keeps the dir — pruning is always a correct superset.
     */
-  private def dirSurvives(dirName: String, specsByPhys: Map[String, PartSpec],
+  private def segSurvives(dirName: String, specsByPhys: Map[String, PartSpec],
                           ranges: Seq[ColRange], points: Seq[(String, Any)],
                           pointsAny: Seq[(String, Seq[Any])]): Boolean = {
     val i = dirName.indexOf('=')
@@ -1276,7 +1288,7 @@ object ManifestTable {
       throw new IllegalStateException(s"manifest table $root has no committed version"))
     val (fs, rootP) = fsOf(spark, root)
     val dirs = entriesOf(fs, rootP, v).map(_._1).distinct.filter(_.nonEmpty)
-    val specsByPhys = PartSpecs.of(spark, root).map(s => s.physName -> s).toMap
+    val specsByPhys = PartSpecs.of(spark, root).flatMap(_.leaves).map(s => s.physName -> s).toMap
     (dirs.count(d => dirSurvives(d, specsByPhys, ranges, points, pointsAny)), dirs.size)
   }
 
@@ -1293,7 +1305,7 @@ object ManifestTable {
     // partitions a point query lists ONE dir's files instead of the
     // table's. Unmatched hints leave the dir in — always a correct
     // superset.
-    val specsByPhys = PartSpecs.of(spark, root).map(s => s.physName -> s).toMap
+    val specsByPhys = PartSpecs.of(spark, root).flatMap(_.leaves).map(s => s.physName -> s).toMap
     def partSurvives(dirName: String): Boolean =
       dirSurvives(dirName, specsByPhys, ranges, points, pointsAny)
     var keptN = 0; var totalN = 0
@@ -1781,9 +1793,7 @@ object ManifestTable {
       ".stage-" + java.util.UUID.randomUUID().toString.take(12))
     stageWrite(df, spec, stage)
     val touchedNames: Seq[String] = spec match {
-      case Some(_) => fs.listStatus(stage)
-        .filter(st => st.isDirectory && st.getPath.getName.contains("="))
-        .map(_.getPath.getName).toSeq
+      case Some(s) => listStagedPartDirs(fs, stage, s.physNames.length)
       case None => Seq("")
     }
     // sidecars harvest from the STAGE (rel paths are version-agnostic) and
@@ -1823,9 +1833,27 @@ object ManifestTable {
   private def stageWrite(df: DataFrame, spec: Option[PartSpec], stage: Path): Unit =
     spec match {
       case Some(s) =>
-        s.derive(df).write.partitionBy(s.physName).mode("overwrite").parquet(stage.toString)
+        s.derive(df).write.partitionBy(s.physNames: _*)
+          .mode("overwrite").parquet(stage.toString)
       case None => df.write.mode("overwrite").parquet(stage.toString)
     }
+
+  /** Relative partition dir paths under a freshly staged write — one
+    * `col=value` hive segment per spec field, nested in declaration order
+    * (`ts_day=19723/user_id_bucket=3` for a composite spec). These are the
+    * manifest ENTRY names; depth always equals the spec's field count for
+    * a write staged under that spec.
+    */
+  private def listStagedPartDirs(fs: FileSystem, stage: Path, depth: Int): Seq[String] = {
+    def go(p: Path, d: Int): Seq[String] =
+      fs.listStatus(p).toSeq
+        .filter(st => st.isDirectory && st.getPath.getName.contains("="))
+        .flatMap { st =>
+          if (d <= 1) Seq(st.getPath.getName)
+          else go(st.getPath, d - 1).map(st.getPath.getName + "/" + _)
+        }
+    go(stage, depth)
+  }
 
   /** Does the entry set hold partition dirs written under a DIFFERENT
     * layout than `spec`'s — i.e. has partition evolution left a mixed
@@ -1866,9 +1894,7 @@ object ManifestTable {
       ".stage-" + java.util.UUID.randomUUID().toString.take(12))
     stageWrite(df, spec, stage)
     val touchedNames: Seq[String] = spec match {
-      case Some(_) => fs.listStatus(stage)
-        .filter(st => st.isDirectory && st.getPath.getName.contains("="))
-        .map(_.getPath.getName).toSeq
+      case Some(s) => listStagedPartDirs(fs, stage, s.physNames.length)
       case None => Seq("")
     }
     val stats =
@@ -2032,9 +2058,7 @@ object ManifestTable {
       ".stage-" + java.util.UUID.randomUUID().toString.take(12))
     stageWrite(batch, spec, stage)
     val touchedNames: Seq[String] = spec match {
-      case Some(_) => fs.listStatus(stage)
-        .filter(st => st.isDirectory && st.getPath.getName.contains("="))
-        .map(_.getPath.getName).toSeq
+      case Some(s) => listStagedPartDirs(fs, stage, s.physNames.length)
       case None => Seq("")
     }
     val mixed = spec.exists(s => mixedLayout(entriesOf(fs, rootP, cur), s))
@@ -2134,9 +2158,7 @@ object ManifestTable {
     }
     val touchedNames: Seq[String] = batch match {
       case Some(_) => spec match {
-        case Some(_) => fs.listStatus(stage)
-          .filter(st => st.isDirectory && st.getPath.getName.contains("="))
-          .map(_.getPath.getName).toSeq
+        case Some(s) => listStagedPartDirs(fs, stage, s.physNames.length)
         case None => Seq("")
       }
       case None => Nil
@@ -2278,10 +2300,11 @@ object ManifestTable {
     val df0 = read(spark, root, schema)
     val df = spec.fold(df0)(_.derive(df0))
     val out = spec match {
-      case Some(s) if filesPerPartition == 1 => df.repartition(col(s.physName))
-      case Some(s) => df.repartition(col(s.physName),
-        pmod(xxhash64(schema.fieldNames.filterNot(_ == s.physName).map(col).toSeq: _*),
-          lit(filesPerPartition.toLong)))
+      case Some(s) if filesPerPartition == 1 =>
+        df.repartition(s.physNames.map(col): _*)
+      case Some(s) => df.repartition((s.physNames.map(col) :+
+        pmod(xxhash64(schema.fieldNames.filterNot(s.physNames.contains)
+          .map(col).toSeq: _*), lit(filesPerPartition.toLong))): _*)
       case None => df.repartition(filesPerPartition)
     }
     // drop the pre-derived hidden column before the commit (which re-derives
@@ -2335,21 +2358,30 @@ object ManifestTable {
         val dt = schema(pc).dataType
         read(spark, root, schema).filter(col(pc) === lit(partValue).cast(dt))
       } else {
-        // hidden spec: the derived value exists only in the dir name —
-        // assemble exactly that directory (derived values render via
-        // String.valueOf, the same form partDirName escapes)
+        // hidden or composite spec: the derived value(s) exist only in the
+        // dir name — assemble exactly that directory (derived values render
+        // via String.valueOf, the same form partDirName escapes). For a
+        // composite spec, `partValue` names the FULL nested dir path
+        // (`ts_day=19723/user_id_bucket=3`) — one hive segment per field.
         val cur = currentVersion(spark, root).getOrElse(
           throw new IllegalStateException(s"manifest table $root has no committed version"))
-        val dirName = pc + "=" + org.apache.spark.sql.catalyst.catalog
-          .ExternalCatalogUtils.escapePathName(partValue)
+        val dirName = spec match {
+          case m: PartSpec.Multi =>
+            require(m.matchesLayout(partValue),
+              s"composite spec ${m.render}: partValue must be the full dir " +
+                s"path ${m.physNames.map(_ + "=<v>").mkString("/")}, got '$partValue'")
+            partValue
+          case _ => pc + "=" + org.apache.spark.sql.catalyst.catalog
+            .ExternalCatalogUtils.escapePathName(partValue)
+        }
         spec.derive(
           readSnapshot(spark, root, schema, cur, withMeta = false, Some(Set(dirName))))
       }
     val out =
-      if (filesPerPartition == 1) df.repartition(col(pc))
-      else df.repartition(col(pc),
-        pmod(xxhash64(schema.fieldNames.filterNot(_ == pc).map(col).toSeq: _*),
-          lit(filesPerPartition.toLong)))
+      if (filesPerPartition == 1) df.repartition(spec.physNames.map(col): _*)
+      else df.repartition((spec.physNames.map(col) :+
+        pmod(xxhash64(schema.fieldNames.filterNot(spec.physNames.contains)
+          .map(col).toSeq: _*), lit(filesPerPartition.toLong))): _*)
     // as in [[compactSpec]]: re-select the declared schema before the commit
     commitSpec(out.select(schema.fieldNames.map(col).toSeq: _*), root, Some(spec),
       carryForward = true, statsCols = statsCols)
@@ -2414,7 +2446,8 @@ object ManifestTable {
     }.reduce(_ + _) // bit positions are disjoint: sum == OR
     val keyed = withStats.withColumn("__z", z)
     val ranged = spec match {
-      case Some(s) => keyed.repartitionByRange(targetFiles, col(s.physName), col("__z"))
+      case Some(s) => keyed.repartitionByRange(targetFiles,
+        (s.physNames.map(col) :+ col("__z")): _*)
       case None => keyed.repartitionByRange(targetFiles, col("__z"))
     }
     val out = ranged.sortWithinPartitions(col("__z"))

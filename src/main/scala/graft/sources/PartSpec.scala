@@ -63,6 +63,12 @@ sealed trait PartSpec extends Serializable {
     */
   def physNames: Seq[String] = Seq(physName)
 
+  /** Leaf specs: the parts of a [[PartSpec.Multi]], `Seq(this)` otherwise.
+    * Pruning, evolution guards, and ALTER protection reason PER LEAF — a
+    * composite layout is exactly its fields' layouts nested.
+    */
+  def leaves: Seq[PartSpec] = Seq(this)
+
   /** Does a manifest entry name (a hive-style dir path, possibly nested
     * `a=1/b=2`, possibly "" for an unpartitioned-era commit) belong to
     * THIS spec's layout? Mixed-layout reasoning keys on this: segment
@@ -260,13 +266,72 @@ object PartSpec {
     }
   }
 
+  /** A COMPOSITE spec — `PARTITIONED BY (days(ts), bucket(8, user_id))`,
+    * the canonical production layout (time dimension for retention and
+    * range pruning × hash dimension for write fan-out and key-equality
+    * pruning). Each part derives one hive dir SEGMENT, nested in
+    * declaration order: `ts_day=19723/user_id_bucket=3/…`. Pruning treats
+    * the segments INDEPENDENTLY (each under its own part's transform —
+    * see [[leaves]]), so a predicate on either source dimension prunes,
+    * and a predicate on both intersects. Rendered as the comma list of
+    * the parts' renders in the sidecar's `partCol`.
+    */
+  final case class Multi(parts: Seq[PartSpec]) extends PartSpec {
+    require(parts.length >= 2,
+      s"composite partition spec needs >= 2 transforms, got ${parts.length}")
+    require(parts.forall(p => !p.isInstanceOf[Multi]),
+      "composite partition specs do not nest")
+    require(parts.map(_.physName).distinct.length == parts.length,
+      s"composite partition spec repeats a directory column: " +
+        parts.map(_.physName).mkString(", "))
+    override def leaves: Seq[PartSpec] = parts
+    /** Leading segment's source/phys — prefix reasoning only; per-field
+      * logic must go through [[leaves]]/[[physNames]].
+      */
+    def source: String = parts.head.source
+    def physName: String = parts.head.physName
+    override def physNames: Seq[String] = parts.map(_.physName)
+    def render: String = parts.map(_.render).mkString(",")
+    def monotone: Boolean = false
+    def expr(src: Column, srcType: DataType): Column =
+      throw new UnsupportedOperationException(
+        "composite specs derive via derive(df), not a single expression")
+    def applyValue(v: Any): Option[Any] = None
+    override def derive(df: DataFrame): DataFrame =
+      parts.foldLeft(df)((d, p) => p.derive(d))
+  }
+
   private val Fn = """^\s*([a-zA-Z_]+)\s*\(\s*(.*?)\s*\)\s*$""".r
 
-  /** Parse a rendered spec against the declared schema. Plain column name
+  /** Split a rendered spec on TOP-LEVEL commas only — `days(ts),bucket(8,k)`
+    * has one top-level comma; the one inside `bucket(…)` stays put.
+    */
+  private def splitTop(s: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    val sb = new StringBuilder
+    var depth = 0
+    s.foreach {
+      case '(' => depth += 1; sb += '('
+      case ')' => depth -= 1; sb += ')'
+      case ',' if depth == 0 => out += sb.result().trim; sb.clear()
+      case c => sb += c
+    }
+    out += sb.result().trim
+    out.result().filter(_.nonEmpty)
+  }
+
+  /** Parse a rendered spec against the declared schema: a top-level comma
+    * list parses as a [[Multi]], one segment as itself. Plain column name
     * = identity (exactly the pre-hidden-partitioning sidecar form, so
     * every existing table parses unchanged).
     */
-  def parse(render: String, schema: StructType): PartSpec = {
+  def parse(render: String, schema: StructType): PartSpec =
+    splitTop(render) match {
+      case Seq(one) => parseOne(one, schema)
+      case many => Multi(many.map(parseOne(_, schema)))
+    }
+
+  private def parseOne(render: String, schema: StructType): PartSpec = {
     def typeOf(c: String): DataType = {
       require(schema.fieldNames.contains(c),
         s"partition transform source column $c is not in the table schema")
@@ -296,12 +361,18 @@ object PartSpec {
     }
   }
 
-  /** Validate a freshly parsed CURRENT spec against the schema: the
-    * derived column name must not shadow a data column (directory names
-    * would be ambiguous with an identity layout on that column), and the
-    * source type must fit the transform.
+  /** Validate a freshly parsed CURRENT spec against the schema: each
+    * leaf's derived column name must not shadow a data column (directory
+    * names would be ambiguous with an identity layout on that column),
+    * and the source type must fit the transform. [[Multi]]'s constructor
+    * already refuses repeated directory columns among its own parts.
     */
   def validate(spec: PartSpec, schema: StructType): PartSpec = {
+    spec.leaves.foreach(validateOne(_, schema))
+    spec
+  }
+
+  private def validateOne(spec: PartSpec, schema: StructType): PartSpec = {
     if (!spec.isIdentity)
       require(!schema.fieldNames.contains(spec.physName),
         s"derived partition column ${spec.physName} collides with a table column")

@@ -510,6 +510,124 @@ class PartSpecSpec extends SparkSuite {
       .as[Long].head() == 3L)
   }
 
+  test("composite spec days(ts) x bucket(4,k): nested dirs, both dimensions prune") {
+    wh
+    spark.sql("DROP TABLE IF EXISTS gps.db.c1")
+    spark.sql(
+      """CREATE TABLE gps.db.c1 (k BIGINT, ts TIMESTAMP, v DOUBLE)
+        |PARTITIONED BY (days(ts), bucket(4, k))""".stripMargin)
+    val day = 86400000000L
+    // 3 days x 16 keys -> every (day, bucket) pair occupied: 12 dirs
+    (0L until 48L).map(i => (i % 16, (i / 16) * day, i.toDouble))
+      .toDF("k", "us", "v")
+      .select(col("k"), timestamp_micros(col("us")).as("ts"), col("v"))
+      .createOrReplaceTempView("c1_src")
+    spark.sql("INSERT INTO gps.db.c1 SELECT * FROM c1_src")
+    val root = rootOf("c1")
+    // nested physical layout: v*/ts_day=<d>/k_bucket=<b>, data files carry
+    // only the declared schema
+    val dayDirs = new java.io.File(root).listFiles().filter(_.getName.startsWith("v"))
+      .flatMap(v => Option(v.listFiles()).getOrElse(Array.empty))
+      .filter(_.getName.startsWith("ts_day="))
+    assert(dayDirs.map(_.getName).toSet == Set("ts_day=0", "ts_day=1", "ts_day=2"),
+      dayDirs.map(_.getName).mkString(","))
+    val bucketDirs = dayDirs.flatMap(d => d.listFiles()).map(_.getName)
+      .filter(_.startsWith("k_bucket="))
+    assert(bucketDirs.length == 12, bucketDirs.mkString(","))
+    assert(spark.table("gps.db.c1").schema.fieldNames.toSeq == Seq("k", "ts", "v"))
+
+    // time dimension prunes: ts >= day1 keeps 8 of 12 dirs
+    val (k1, t1) = ManifestTable.prunePartitionCounts(spark, root,
+      Seq(ManifestTable.ColRange("ts",
+        java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(86400L)), null)))
+    assert(t1 == 12 && k1 == 8, s"ts range should keep 8/12: $k1/$t1")
+    // hash dimension prunes: k = 5 keeps one bucket per day (3 of 12)
+    val (k2, _) = ManifestTable.prunePartitionCounts(spark, root,
+      Nil, points = Seq("k" -> java.lang.Long.valueOf(5L)))
+    assert(k2 == 3, s"k=5 should keep 1 bucket x 3 days: $k2")
+    // both dimensions intersect: exactly 2 dirs survive
+    val (k3, _) = ManifestTable.prunePartitionCounts(spark, root,
+      Seq(ManifestTable.ColRange("ts",
+        java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(86400L)), null)),
+      points = Seq("k" -> java.lang.Long.valueOf(5L)))
+    assert(k3 == 2, s"both dims should keep 2 dirs: $k3")
+    // SQL answers stay exact through the pruned scans
+    assert(spark.sql(
+      "SELECT count(*) FROM gps.db.c1 WHERE ts >= TIMESTAMP'1970-01-02 00:00:00'")
+      .as[Long].head() == 32L)
+    assert(spark.sql("SELECT count(*) FROM gps.db.c1 WHERE k = 5").as[Long].head() == 3L)
+
+    // row-level DML over the composite layout
+    spark.sql("UPDATE gps.db.c1 SET v = -1.0 WHERE k = 5")
+    spark.sql("DELETE FROM gps.db.c1 WHERE k = 7")
+    assert(spark.table("gps.db.c1").count() == 45)
+    assert(spark.sql("SELECT sum(v) FROM gps.db.c1 WHERE k = 5")
+      .as[Double].head() == -3.0)
+
+    // blind appends land under the composite spec and commute
+    spark.sql("INSERT INTO gps.db.c1 VALUES (99, TIMESTAMP'1970-01-01 01:00:00', 9.0)")
+    assert(spark.table("gps.db.c1").count() == 46)
+
+    // partitions metadata table renders the comma spec per dir
+    val specs = spark.table("gps.db.c1.partitions")
+      .select("spec").distinct().as[String].collect().toSet
+    assert(specs == Set("days(ts),bucket(4,k)"), specs.mkString("|"))
+  }
+
+  test("evolution single->composite: mixed guards, DML correct, compact ends the mix") {
+    wh
+    spark.sql("DROP TABLE IF EXISTS gps.db.c2")
+    spark.sql(
+      """CREATE TABLE gps.db.c2 (k BIGINT, ts TIMESTAMP, v DOUBLE)
+        |PARTITIONED BY (days(ts))""".stripMargin)
+    val day = 86400000000L
+    def src(lo: Long, hi: Long) =
+      (lo until hi).map(i => (i % 8, (i % 3) * day, i.toDouble)).toDF("k", "us", "v")
+        .select(col("k"), timestamp_micros(col("us")).as("ts"), col("v"))
+    src(0, 12).createOrReplaceTempView("c2_a")
+    spark.sql("INSERT INTO gps.db.c2 SELECT * FROM c2_a")
+    val root = rootOf("c2")
+    val vBefore = ManifestTable.currentVersion(spark, root).get
+    // evolve to the composite spec: metadata-only
+    spark.sql("CALL gps.system.set_partitioning('db.c2', 'days(ts),bucket(4,k)')")
+    assert(ManifestTable.currentVersion(spark, root).get == vBefore)
+    src(12, 24).createOrReplaceTempView("c2_b")
+    spark.sql("INSERT INTO gps.db.c2 SELECT * FROM c2_b")
+    // both layouts live: flat ts_day dirs + nested ts_day/k_bucket dirs
+    val entries = spark.table("gps.db.c2.partitions").select("partition")
+      .as[String].collect().toSet
+    assert(entries.exists(e => e.startsWith("ts_day=") && !e.contains("/")), entries)
+    assert(entries.exists(e => e.contains("/k_bucket=")), entries)
+    // pruning works on both layouts at once: a ts hint maps through days()
+    // in BOTH generations
+    val (kd, td) = ManifestTable.prunePartitionCounts(spark, root,
+      Seq(ManifestTable.ColRange("ts",
+        java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(2 * 86400L)), null)))
+    assert(kd < td, s"ts hint should prune some dirs of 15: $kd/$td")
+    // a k hint prunes ONLY the composite generation's dirs
+    val (kk, _) = ManifestTable.prunePartitionCounts(spark, root,
+      Nil, points = Seq("k" -> java.lang.Long.valueOf(1L)))
+    assert(kk < td && kk >= 3, s"k hint prunes nested dirs only: $kk/$td")
+    // DML across the mixed layouts
+    spark.sql("UPDATE gps.db.c2 SET v = -1.0 WHERE k = 1")
+    assert(spark.table("gps.db.c2").count() == 24)
+    assert(spark.sql("SELECT count(*) FROM gps.db.c2 WHERE v = -1.0")
+      .as[Long].head() == 3L)
+    // carry-forward refusal while mixed
+    val ex = intercept[IllegalStateException] {
+      ManifestTable.commitSpec(spark.table("gps.db.c2").limit(1), root,
+        Some(PartSpec.parse("days(ts),bucket(4,k)", spark.table("gps.db.c2").schema)))
+    }
+    assert(ex.getMessage.contains("compact"))
+    // compact rewrites all rows under the composite spec
+    spark.sql("CALL gps.system.compact('db.c2')")
+    assert(spark.table("gps.db.c2").count() == 24)
+    val after = spark.table("gps.db.c2.partitions").select("partition")
+      .as[String].collect()
+    assert(after.forall(_.contains("/k_bucket=")), after.mkString(","))
+    assert(PartSpecs.of(spark, root).size == 1)
+  }
+
   test("first ALTER on a path-first partitioned table keeps its layout (ADVICE r18)") {
     wh
     val root = rootOf("pf9")
