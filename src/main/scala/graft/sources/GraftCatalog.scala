@@ -1869,32 +1869,40 @@ private[sources] class GraftV1ScanImpl(root: String, tableSchema: StructType,
   override def description(): String =
     s"GraftScan(root=$root, asOf=$asOf, columns=${required.fieldNames.mkString(",")})"
 
-  /** POST-PRUNING size from manifest metadata (file lengths only — no
-    * footer reads, no data I/O), so Catalyst's join planning sees what the
-    * scan will actually read: a point-pruned slice of a huge table
-    * auto-broadcasts, where the DSv2 default (defaultSizeInBytes =
-    * Long.Max for unknown) forces sort-merge on everything. Memoized per
-    * scan instance; `fileCompressionFactor` scales like Spark's own file
-    * relations. Row count deliberately unreported — bytes drive the
-    * broadcast decision and a wrong row estimate is worse than none.
+  /** POST-PRUNING size AND row count from manifest metadata (file lengths
+    * + the `_stats` sidecars' per-file footer row counts — no data I/O),
+    * so Catalyst's join planning sees what the scan will actually read: a
+    * point-pruned slice of a huge table auto-broadcasts, where the DSv2
+    * default (defaultSizeInBytes = Long.Max for unknown) forces sort-merge
+    * on everything. Memoized per scan instance; `fileCompressionFactor`
+    * scales like Spark's own file relations. numRows reports ONLY when
+    * every surviving file carries a harvested count (a partial or guessed
+    * row estimate would mislead CBO where missing bytes merely disable a
+    * broadcast — [[ManifestTable.estimatePrunedRows]]'s all-or-nothing
+    * contract), and like the bytes it is a SUPERSET of what the scan
+    * yields (DV-masked rows uncounted).
     */
   private lazy val stats: org.apache.spark.sql.connector.read.Statistics = {
     val spark = SparkSession.active
     val factor = spark.conf.get("spark.sql.sources.fileCompressionFactor", "1.0").toDouble
-    val bytes: Long = ManifestTable.currentVersion(spark, root) match {
-      case None => 0L
-      case Some(cur) =>
-        val v = asOf.getOrElse(cur)
-        val (ranges, points, pointsAny) =
-          if (asOf.isDefined) (Nil, Nil, Nil) // historical reads skip nothing
-          else GraftRelation.hints(filters)
-        ManifestTable.estimatePrunedBytes(spark, root, v, ranges, points, pointsAny)
-    }
+    val (bytes: Long, rows: Option[Long]) =
+      ManifestTable.currentVersion(spark, root) match {
+        case None => (0L, Some(0L))
+        case Some(cur) =>
+          val v = asOf.getOrElse(cur)
+          val (ranges, points, pointsAny) =
+            if (asOf.isDefined) (Nil, Nil, Nil) // historical reads skip nothing
+            else GraftRelation.hints(filters)
+          ManifestTable.estimatePruned(spark, root, v, ranges, points, pointsAny)
+      }
     val sized = math.max(1L, (bytes * factor).toLong)
     new org.apache.spark.sql.connector.read.Statistics {
       override def sizeInBytes(): java.util.OptionalLong =
         java.util.OptionalLong.of(sized)
-      override def numRows(): java.util.OptionalLong = java.util.OptionalLong.empty()
+      override def numRows(): java.util.OptionalLong = rows match {
+        case Some(n) => java.util.OptionalLong.of(n)
+        case None => java.util.OptionalLong.empty()
+      }
     }
   }
 

@@ -56,6 +56,12 @@ object ManifestTable {
     */
   private final case class ColZone(tag: Char, minS: String, maxS: String,
                                    allNull: Boolean)
+
+  /** Pseudo-column key of the per-file row-count entry in the `_stats`
+    * sidecar (tag 'N', count in `minS`). NUL-prefixed so no real column —
+    * however quoted — can collide; filtered out of every zone-map surface.
+    */
+  private val RowsCol = "\u0000rows"
   private def fsOf(spark: SparkSession, root: String): (FileSystem, Path) = {
     val p = new Path(root)
     (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
@@ -877,11 +883,18 @@ object ManifestTable {
       val f = new Path(vdir, rel)
       val reader = ParquetFileReader.open(
         HadoopInputFile.fromPath(f, fs.getConf))
-      val chunks =
-        try reader.getFooter.getBlocks.asScala.toSeq
-          .flatMap(_.getColumns.asScala)
-        finally reader.close()
-      chunks.filter(c => want.contains(c.getPath.toDotString))
+      val (chunks, fileRows) =
+        try {
+          val blocks = reader.getFooter.getBlocks.asScala.toSeq
+          (blocks.flatMap(_.getColumns.asScala), blocks.map(_.getRowCount).sum)
+        } finally reader.close()
+      // per-file ROW COUNT, riding the same footer pass as the zones: the
+      // scan-statistics seam reports numRows to Catalyst from these
+      // ([[estimatePrunedRows]]), giving CBO/join planning a row estimate
+      // as exact as the byte one. Stored under a NUL-prefixed pseudo-column
+      // no SQL identifier can collide with.
+      val rowEntry = Seq((rel, RowsCol, ColZone('N', fileRows.toString, "", allNull = false)))
+      rowEntry ++ chunks.filter(c => want.contains(c.getPath.toDotString))
         .groupBy(_.getPath.toDotString)
         .flatMap { case (colName, cs) =>
           val tag = cs.head.getPrimitiveType.getPrimitiveTypeName match {
@@ -1243,24 +1256,52 @@ object ManifestTable {
   def estimatePrunedBytes(spark: SparkSession, root: String, v: Long,
                           ranges: Seq[ColRange],
                           points: Seq[(String, Any)] = Nil,
-                          pointsAny: Seq[(String, Seq[Any])] = Nil): Long = {
+                          pointsAny: Seq[(String, Seq[Any])] = Nil): Long =
+    estimatePruned(spark, root, v, ranges, points, pointsAny)._1
+
+  /** `(bytes, rows)` the given hints leave readable in snapshot `v` — one
+    * pruned plan, one file listing, both estimates. Rows come from the
+    * `_stats` sidecars' per-file footer counts under the same SUPERSET
+    * contract as the bytes (deletion-vector-masked rows are NOT
+    * subtracted — the estimate upper-bounds what the scan yields, the
+    * safe direction for join planning); `None` when ANY surviving file
+    * lacks a row-count entry (versions committed before r19 or without
+    * statsCols) — a partial sum would UNDER-report, the direction that
+    * breaks broadcast decisions.
+    */
+  def estimatePruned(spark: SparkSession, root: String, v: Long,
+                     ranges: Seq[ColRange],
+                     points: Seq[(String, Any)] = Nil,
+                     pointsAny: Seq[(String, Seq[Any])] = Nil): (Long, Option[Long]) = {
     val (plan, _) = planPrune(spark, root, v, ranges, points, pointsAny)
     val (fs, rootP) = fsOf(spark, root)
     var bytes = 0L
+    var rows = 0L
+    var haveRows = true
     plan.foreach { case (dv, sel) =>
       val vdir = new Path(rootP, "v" + fmt(dv))
-      sel match {
-        case Left(dirs) =>
-          val all = listDataFilesWithLen(fs, vdir)
-          bytes += all.filter { case (rel, _) =>
-            dirs.contains("") || dirs.exists(d => rel.startsWith(d + "/"))
-          }.map(_._2).sum
+      val withLen = listDataFilesWithLen(fs, vdir)
+      val kept: Seq[(String, Long)] = sel match {
+        case Left(dirs) => withLen.filter { case (rel, _) =>
+          dirs.contains("") || dirs.exists(d => rel.startsWith(d + "/")) }
         case Right(files) =>
-          val lens = listDataFilesWithLen(fs, vdir).toMap
-          bytes += files.flatMap(lens.get).sum
+          val lens = withLen.toMap
+          files.flatMap(f => lens.get(f).map(f -> _))
+      }
+      bytes += kept.map(_._2).sum
+      if (haveRows && kept.nonEmpty) {
+        loadStats(fs, rootP, dv) match {
+          case None => haveRows = false
+          case Some(stats) => kept.foreach { case (rel, _) =>
+            if (haveRows) stats.get(rel).flatMap(_.get(RowsCol)) match {
+              case Some(z) => rows += z.minS.toLong
+              case None => haveRows = false
+            }
+          }
+        }
       }
     }
-    bytes
+    (bytes, if (haveRows) Some(rows) else None)
   }
 
   private def listDataFilesWithLen(fs: FileSystem, vdir: Path): Seq[(String, Long)] = {
@@ -2547,7 +2588,9 @@ object ManifestTable {
         .map { rel =>
           val q = fs.makeQualified(new Path(vdir, rel))
           val part = if (rel.contains("/")) rel.substring(0, rel.lastIndexOf('/')) else ""
-          val zones = stats.getOrElse(rel, Map.empty).toSeq.sortBy(_._1)
+          val zones = stats.getOrElse(rel, Map.empty).toSeq
+            .filterNot(_._1 == RowsCol) // row-count pseudo-entry, not a zone
+            .sortBy(_._1)
             .map { case (c, z) => (c, z.tag, z.minS, z.maxS, z.allNull) }
           val bloomCols = blooms.getOrElse(rel, Map.empty).keys.toSeq.sorted
           (q.toString.replaceFirst("^[a-zA-Z][a-zA-Z0-9+.-]*:/+", "/"), part, dv,

@@ -79,6 +79,40 @@ class ScanStatsSpec extends SparkSuite {
     }
   }
 
+  test("scan statistics report pruned row counts when harvested (r19)") {
+    wh
+    import spark.implicits._
+    import org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation
+    def scanRowCount(df: org.apache.spark.sql.DataFrame): Option[BigInt] =
+      df.queryExecution.optimizedPlan.collectFirst {
+        case r: DataSourceV2ScanRelation => r.stats.rowCount
+      }.flatten
+    spark.sql("DROP TABLE IF EXISTS gstat.db.rc")
+    spark.sql("""CREATE TABLE gstat.db.rc (k BIGINT, v STRING, p STRING)
+      PARTITIONED BY (p) TBLPROPERTIES ('statsCols' = 'k')""")
+    (0L until 10000L).map(i => (i, "v" + i, s"p${i % 4}")).toDF("k", "v", "p")
+      .createOrReplaceTempView("rc_src")
+    spark.sql("INSERT INTO gstat.db.rc SELECT * FROM rc_src")
+    // full scan: the footer-harvested counts sum to the exact cardinality
+    assert(scanRowCount(spark.table("gstat.db.rc")) == Some(BigInt(10000)),
+      "full-scan rowCount should be the exact footer sum")
+    // partition pruning shrinks the row estimate with the byte one
+    assert(scanRowCount(spark.table("gstat.db.rc").filter(col("p") === "p1"))
+      == Some(BigInt(2500)), "pruned rowCount should cover only p1")
+    // a second INSERT accretes a second stats sidecar; counts still sum
+    spark.sql("INSERT INTO gstat.db.rc SELECT k + 10000, v, p FROM rc_src")
+    assert(scanRowCount(spark.table("gstat.db.rc")) == Some(BigInt(20000)))
+    // a table committed WITHOUT statsCols has no counts: numRows must stay
+    // unreported (a guessed estimate would mislead CBO), bytes still flow
+    spark.sql("DROP TABLE IF EXISTS gstat.db.nr")
+    spark.sql("CREATE TABLE gstat.db.nr (k BIGINT, p STRING) PARTITIONED BY (p)")
+    spark.sql("INSERT INTO gstat.db.nr SELECT k, p FROM rc_src")
+    assert(scanRowCount(spark.table("gstat.db.nr")).isEmpty,
+      "row count must be all-or-nothing, never guessed")
+    assert(spark.table("gstat.db.nr").queryExecution.optimizedPlan.stats
+      .sizeInBytes < BigInt(Long.MaxValue) / 2, "bytes still reported")
+  }
+
   private def withSQLConf(kv: (String, String)*)(f: => Unit): Unit = {
     val olds = kv.map { case (k, _) => k -> spark.conf.getOption(k) }
     kv.foreach { case (k, v) => spark.conf.set(k, v) }
