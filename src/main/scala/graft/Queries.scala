@@ -6231,7 +6231,70 @@ object Queries {
         ON a.event_type = m.event_type
       JOIN (SELECT event_type, CAST(count(*) AS BIGINT) AS n_c,
               ${dsumSql("value")} AS v_c FROM cur GROUP BY event_type) c
-        ON a.event_type = c.event_type"""))
+        ON a.event_type = c.event_type""")),
+
+    // WRITE-PATH SCHEMA EVOLUTION (mergeSchema, r19): a CDC pipeline's
+    // upstream adds fields mid-life — the reference's change-stream
+    // documents are schemaless (reference
+    // src/process_insert_update_weather_data.py upserts whatever fields
+    // the Mongo doc carries), so every upstream addition used to need a
+    // coordinated ALTER before the pipeline could resume. Here generation
+    // 1 lands with 3 columns; a front-door append carrying TWO new
+    // columns (`user_id`, `event_type`) auto-evolves the declared sidecar
+    // (one metadata write, fresh field ids above high-water — the
+    // drop/re-add resurrection guard stays intact, SchemaEvolveSpec); a
+    // programmatic evolve+alignTo+mergeDv upsert then overwrites a slice
+    // of the OLD generation's keys with the new shape. Old rows read NULL
+    // for the added columns; the final aggregate groups over the evolved
+    // column across all three generations.
+    ("q209_merge_schema", (s: SparkSession, d: String) => {
+      import graft.sources.{GraftCatalog, ManifestTable, SchemaEvolve}
+      val ev = t(s, d, "events").select(col("event_id"), col("ts"),
+        col("user_id"), col("event_type"), col("value"))
+      val wh = java.nio.file.Files.createTempDirectory("q209-cat").toString
+      s.conf.set("spark.sql.catalog.gq209", classOf[GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.gq209.warehouse", wh)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS gq209.db")
+      s.sql("DROP TABLE IF EXISTS gq209.db.e")
+      ev.createOrReplaceTempView("q209_src")
+      s.sql("CREATE TABLE gq209.db.e (event_id BIGINT, ts TIMESTAMP, value DOUBLE)")
+      s.sql("""INSERT INTO gq209.db.e
+        SELECT event_id, ts, value FROM q209_src WHERE event_id % 2 = 1""")
+      val root = s"$wh/db/e"
+      // generation 2: the frame carries user_id + event_type — mergeSchema
+      // absorbs them into the declared sidecar and the write proceeds
+      ev.filter(col("event_id") % 2 === 0)
+        .write.format("graft").option("mergeSchema", "true")
+        .mode("append").save(root)
+      // generation 3: programmatic CDC upsert of a slice of the OLD keys
+      // under the evolved shape (evolve is a no-op here — schema current)
+      val batch = ev.filter(col("event_id") % 4 === 1)
+        .withColumn("value", col("value") * 2)
+      val evolved = SchemaEvolve.evolve(s, root, batch.schema)
+      ManifestTable.mergeDv(SchemaEvolve.alignTo(batch, evolved), root, evolved,
+        Seq("event_id"), None, Nil, Nil, None, None)
+      s.sql(s"""SELECT coalesce(event_type, '<none>') AS et,
+          CAST(count(*) AS BIGINT) AS n, ${dsumSql("value")} AS v,
+          CAST(count(user_id) AS BIGINT) AS u,
+          CAST(count(DISTINCT user_id) AS BIGINT) AS ud
+        FROM gq209.db.e GROUP BY coalesce(event_type, '<none>')""")
+    }, Some(s"""WITH src AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts,
+          user_id, event_type, value FROM events),
+      tbl AS (
+        SELECT event_id, value, CAST(NULL AS BIGINT) AS user_id,
+            CAST(NULL AS VARCHAR) AS event_type
+          FROM src WHERE event_id % 2 = 1 AND event_id % 4 <> 1
+        UNION ALL
+        SELECT event_id, value, user_id, event_type
+          FROM src WHERE event_id % 2 = 0
+        UNION ALL
+        SELECT event_id, value * 2, user_id, event_type
+          FROM src WHERE event_id % 4 = 1)
+      SELECT coalesce(event_type, '<none>') AS et,
+        CAST(count(*) AS BIGINT) AS n, ${dsumSql("value")} AS v,
+        CAST(count(user_id) AS BIGINT) AS u,
+        CAST(count(DISTINCT user_id) AS BIGINT) AS ud
+      FROM tbl GROUP BY coalesce(event_type, '<none>')"""))
   )
 
   /** The BM25 replay shared by q72/q123 — postings, df, dl, corpus stats,

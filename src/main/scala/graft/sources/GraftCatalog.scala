@@ -546,17 +546,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
         val nm = path.mkString(".")
         val f = fieldAt(schema, path.toList)
           .getOrElse(throw new IllegalArgumentException(s"no such column $nm"))
-        def widens(a: DataType, b: DataType): Boolean = (a, b) match {
-          case (ByteType, ShortType | IntegerType | LongType) => true
-          case (ShortType, IntegerType | LongType) => true
-          case (IntegerType, LongType) => true
-          case (FloatType, DoubleType) => true
-          case (da: org.apache.spark.sql.types.DecimalType,
-                db: org.apache.spark.sql.types.DecimalType) =>
-            db.scale >= da.scale &&
-              db.precision - db.scale >= da.precision - da.scale
-          case _ => false
-        }
+        def widens(a: DataType, b: DataType): Boolean = TypeWidening.widens(a, b)
         require(!bucketSources.contains(nm),
           s"ALTER COLUMN $nm TYPE: $nm feeds a bucket partition transform, " +
             "whose hash is type-dependent (xxhash64 hashes int and long " +
@@ -888,6 +878,28 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
   * loudly; everything else about them is unchanged — the id machinery
   * engages only when the property is present.
   */
+/** The LOSSLESS type-widening whitelist (the Iceberg type-promotion set
+  * plus the byte/short chain): the parquet reader PROMOTES the physical
+  * value at scan time, so old files read correctly at the wider type and
+  * the change is metadata-only. This whitelist is the only safety gate —
+  * the vectorized reader also TOLERATES narrowing with silent overflow.
+  * Shared by `ALTER COLUMN TYPE` and write-path schema evolution
+  * ([[SchemaEvolve]]).
+  */
+private[sources] object TypeWidening {
+  def widens(a: DataType, b: DataType): Boolean = (a, b) match {
+    case (ByteType, ShortType | IntegerType | LongType) => true
+    case (ShortType, IntegerType | LongType) => true
+    case (IntegerType, LongType) => true
+    case (FloatType, DoubleType) => true
+    case (da: org.apache.spark.sql.types.DecimalType,
+          db: org.apache.spark.sql.types.DecimalType) =>
+      db.scale >= da.scale &&
+        db.precision - db.scale >= da.precision - da.scale
+    case _ => false
+  }
+}
+
 private[sources] object FieldIds {
   val Prop = "graft.fieldIds"
   /** High-water mark: the next id to allocate, kept strictly above every

@@ -206,6 +206,15 @@ class GraftSource extends RelationProvider with SchemaRelationProvider
   override def createRelation(sqlContext: SQLContext, mode: SaveMode,
                               parameters: Map[String, String], data0: DataFrame): BaseRelation = {
     val r = root(parameters)
+    // mergeSchema=true: absorb the frame's new columns into the declared
+    // sidecar schema BEFORE the write (one metadata write), then conform
+    // the frame — the Delta write-path evolution shape ([[SchemaEvolve]])
+    val data1 =
+      if (parameters.get("mergeSchema").exists(_.equalsIgnoreCase("true"))
+          && GraftDdl.load(sqlContext.sparkSession, r).isDefined) {
+        val evolved = SchemaEvolve.evolve(sqlContext.sparkSession, r, data0.schema)
+        SchemaEvolve.alignTo(data0, evolved)
+      } else data0
     // an explicit partitionBy option wins; otherwise a sidecar-declared
     // spec (identity or hidden transform) drives the write, so
     // path-addressed saves land partitioned like the catalog table they
@@ -215,7 +224,7 @@ class GraftSource extends RelationProvider with SchemaRelationProvider
       .map(PartSpec.Identity(_): PartSpec)
       .orElse(ddlOpt.flatMap(d =>
         for { sch <- d.schema; rd <- d.partCol } yield PartSpec.parse(rd, sch)))
-    val data = Checks.enforce(data0, ddlOpt.map(_.props).getOrElse(Map.empty))
+    val data = Checks.enforce(data1, ddlOpt.map(_.props).getOrElse(Map.empty))
     val statsCols = parameters.get("statsCols").map(_.split(",").toSeq).getOrElse(Nil)
     val bloomCols = parameters.get("bloomCols").map(_.split(",").toSeq).getOrElse(Nil)
     val exists = ManifestTable.exists(sqlContext.sparkSession, r)
