@@ -6294,7 +6294,73 @@ object Queries {
         CAST(count(*) AS BIGINT) AS n, ${dsumSql("value")} AS v,
         CAST(count(user_id) AS BIGINT) AS u,
         CAST(count(DISTINCT user_id) AS BIGINT) AS ud
-      FROM tbl GROUP BY coalesce(event_type, '<none>')"""))
+      FROM tbl GROUP BY coalesce(event_type, '<none>')""")),
+
+    // BRANCHES + WRITE-AUDIT-PUBLISH (r19): the audit-before-publish
+    // workflow q205's read-only tags cannot express. A branch is a named
+    // ref over the SHARED manifest log (the Iceberg snapshots+refs model,
+    // head = max over append-only `_ref.<name>.<v>` markers): staged
+    // INSERTs and a cross-generation DELETE land on branch `audit` under
+    // the SAME CHECK constraints while main serves readers untouched; the
+    // audit leg aggregates the branch by name (`VERSION AS OF 'audit'`);
+    // `CALL system.fast_forward` publishes main := branch head METADATA-
+    // ONLY after an ancestry walk over the `#parent` directives proves
+    // main never diverged (BranchSpec pins the refusal on divergence, the
+    // vacuum pin on branch heads, and main sliding past branch-claimed
+    // version numbers). At 100 TB the audit costs zero data movement —
+    // the alternative is a staging copy of the table per release.
+    ("q210_wap", (s: SparkSession, d: String) => {
+      import graft.sources.{GraftCatalog, ManifestTable}
+      val o = t(s, d, "orders").select(col("o_orderkey").as("k"),
+        col("o_orderstatus").as("status"), col("o_totalprice").as("price"))
+      val wh = java.nio.file.Files.createTempDirectory("q210-cat").toString
+      s.conf.set("spark.sql.catalog.gq210", classOf[GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.gq210.warehouse", wh)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS gq210.db")
+      s.sql("DROP TABLE IF EXISTS gq210.db.o")
+      o.createOrReplaceTempView("q210_src")
+      s.sql("""CREATE TABLE gq210.db.o (k BIGINT, status STRING, price DOUBLE)
+        TBLPROPERTIES ('graft.check.ppos' = 'price >= 0')""")
+      s.sql("INSERT INTO gq210.db.o SELECT * FROM q210_src WHERE k % 3 = 0")
+      s.sql("CALL gq210.system.create_branch('db.o', 'audit')")
+      ManifestTable.onBranch("audit") {
+        s.sql("INSERT INTO gq210.db.o SELECT * FROM q210_src WHERE k % 3 = 1")
+        s.sql("DELETE FROM gq210.db.o WHERE k % 30 = 3")
+      }
+      // audit the branch BY NAME while main still serves the old snapshot;
+      // materialize the pre-publish main aggregate (lazy plans — the
+      // fast-forward below must not leak into this leg)
+      val before = s.sql(s"""SELECT status, CAST(count(*) AS BIGINT) AS n_b,
+          ${dsumSql("price")} AS p_b
+        FROM gq210.db.o GROUP BY status""").localCheckpoint()
+      before.createOrReplaceTempView("q210_before")
+      val branch = s.sql(s"""SELECT status, CAST(count(*) AS BIGINT) AS n_br,
+          ${dsumSql("price")} AS p_br
+        FROM gq210.db.o VERSION AS OF 'audit' GROUP BY status""").localCheckpoint()
+      branch.createOrReplaceTempView("q210_branch")
+      s.sql("CALL gq210.system.fast_forward('db.o', 'audit')")
+      s.sql(s"""SELECT b.status, b.n_b, b.p_b, r.n_br, r.p_br, a.n_a, a.p_a
+        FROM q210_before b
+        JOIN q210_branch r ON b.status = r.status
+        JOIN (SELECT status, CAST(count(*) AS BIGINT) AS n_a,
+                ${dsumSql("price")} AS p_a
+              FROM gq210.db.o GROUP BY status) a
+          ON b.status = a.status""")
+    }, Some(s"""WITH src AS (SELECT o_orderkey AS k, o_orderstatus AS status,
+          o_totalprice AS price FROM orders),
+      g1 AS (SELECT * FROM src WHERE k % 3 = 0),
+      br AS (SELECT * FROM (SELECT * FROM g1 UNION ALL
+               SELECT * FROM src WHERE k % 3 = 1)
+             WHERE k % 30 <> 3)
+      SELECT b.status, b.n_b, b.p_b, r.n_br, r.p_br, a.n_a, a.p_a
+      FROM (SELECT status, CAST(count(*) AS BIGINT) AS n_b,
+              ${dsumSql("price")} AS p_b FROM g1 GROUP BY status) b
+      JOIN (SELECT status, CAST(count(*) AS BIGINT) AS n_br,
+              ${dsumSql("price")} AS p_br FROM br GROUP BY status) r
+        ON b.status = r.status
+      JOIN (SELECT status, CAST(count(*) AS BIGINT) AS n_a,
+              ${dsumSql("price")} AS p_a FROM br GROUP BY status) a
+        ON b.status = a.status"""))
   )
 
   /** The BM25 replay shared by q72/q123 — postings, df, dl, corpus stats,

@@ -170,13 +170,15 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
   override def loadTable(ident: Identifier, version: String): Table = {
     val root = rootOf(ident)
     if (!isTable(root)) throw new NoSuchTableException(ident)
-    val v = version.toLongOption.getOrElse {
-      ManifestTable.tags(spark, root).getOrElse(version.trim,
-        throw new IllegalArgumentException(
-          s"graft VERSION AS OF takes a manifest version number or a tag " +
-            s"name, got '$version' — known tags: " +
-            ManifestTable.tags(spark, root).keys.toSeq.sorted.mkString(", ")))
-    }
+    val v = version.toLongOption.orElse(
+      ManifestTable.tags(spark, root).get(version.trim)).orElse(
+      ManifestTable.refs(spark, root).get(version.trim)) // branch head
+      .getOrElse(throw new IllegalArgumentException(
+        s"graft VERSION AS OF takes a manifest version number, a tag name, " +
+          s"or a branch name, got '$version' — known tags: " +
+          ManifestTable.tags(spark, root).keys.toSeq.sorted.mkString(", ") +
+          "; branches: " +
+          ManifestTable.refs(spark, root).keys.toSeq.sorted.mkString(", ")))
     new GraftV2Table(root, display(ident), Some(v))
   }
 
@@ -2316,7 +2318,8 @@ private[sources] object GraftProcedures {
 
   val all: Seq[String] =
     Seq("row_count", "detail", "compact", "zorder", "restore", "vacuum",
-      "rebuild_index", "set_partitioning", "create_tag", "drop_tag")
+      "rebuild_index", "set_partitioning", "create_tag", "drop_tag",
+      "create_branch", "drop_branch", "fast_forward")
 
   private def in(name: String, dt: org.apache.spark.sql.types.DataType) =
     ProcedureParameter.in(name, dt).build()
@@ -2476,6 +2479,47 @@ private[sources] object GraftProcedures {
       }
     })
 
+    case "create_branch" => Some(new P("create_branch",
+      Seq(in("table", StringType), in("name", StringType)),
+      StructType(Seq(StructField("branch", StringType),
+        StructField("fork_version", LongType)))) {
+      override def description(): String =
+        "fork a writable branch at the current main head — writes inside " +
+          "ManifestTable.onBranch (or after VERSION AS OF '<branch>' reads) " +
+          "land on it, main stays untouched until fast_forward"
+      override def run(args: InternalRow): Seq[InternalRow] = {
+        val t = cat.tableNamed(args.getUTF8String(0).toString)
+        val name = args.getUTF8String(1).toString
+        val fork = ManifestTable.createBranch(SparkSession.active, t.root, name)
+        Seq(row(utf8(name), fork))
+      }
+    })
+
+    case "drop_branch" => Some(new P("drop_branch",
+      Seq(in("table", StringType), in("name", StringType)),
+      StructType(Seq(StructField("existed", org.apache.spark.sql.types.BooleanType)))) {
+      override def description(): String =
+        "remove a branch — its exclusive snapshots become vacuum candidates"
+      override def run(args: InternalRow): Seq[InternalRow] = {
+        val t = cat.tableNamed(args.getUTF8String(0).toString)
+        Seq(row(ManifestTable.dropBranch(SparkSession.active, t.root,
+          args.getUTF8String(1).toString)))
+      }
+    })
+
+    case "fast_forward" => Some(new P("fast_forward",
+      Seq(in("table", StringType), in("branch", StringType)),
+      StructType(Seq(StructField("main_head", LongType)))) {
+      override def description(): String =
+        "publish a branch: main := branch head, metadata-only, refused if " +
+          "main diverged since the fork — the write-audit-publish final step"
+      override def run(args: InternalRow): Seq[InternalRow] = {
+        val t = cat.tableNamed(args.getUTF8String(0).toString)
+        Seq(row(ManifestTable.fastForward(SparkSession.active, t.root,
+          args.getUTF8String(1).toString)))
+      }
+    })
+
     case "restore" => Some(new P("restore",
       Seq(in("table", StringType), in("version", LongType)),
       StructType(Seq(StructField("version", LongType)))) {
@@ -2572,12 +2616,15 @@ private[sources] object GraftProcedures {
   * `files JOIN (SELECT __f FROM t)` is a direct equality.
   */
 private[sources] object GraftMetaTables {
-  val names: Set[String] = Set("history", "files", "tags", "partitions")
+  val names: Set[String] = Set("history", "files", "tags", "partitions", "branches")
 
   def schemaOf(kind: String): StructType = kind match {
     case "tags" => StructType(Seq(
       StructField("tag", StringType, nullable = false),
       StructField("version", LongType, nullable = false)))
+    case "branches" => StructType(Seq(
+      StructField("branch", StringType, nullable = false),
+      StructField("head", LongType, nullable = false)))
     case "partitions" => StructType(Seq(
       // live partition dirs of the CURRENT snapshot, with the spec that
       // wrote each (partition evolution leaves several renders live) —
@@ -2620,6 +2667,10 @@ private[sources] object GraftMetaTables {
     import org.apache.spark.unsafe.types.UTF8String
     kind match {
       case "tags" => ManifestTable.tags(spark, root).toSeq.sortBy(_._1).map {
+        case (n, v) =>
+          new GenericInternalRow(Array[Any](UTF8String.fromString(n), v)): InternalRow
+      }.toArray
+      case "branches" => ManifestTable.refs(spark, root).toSeq.sortBy(_._1).map {
         case (n, v) =>
           new GenericInternalRow(Array[Any](UTF8String.fromString(n), v)): InternalRow
       }.toArray

@@ -50,13 +50,19 @@ class GraftSource extends RelationProvider with SchemaRelationProvider
   private def asOfOf(sqlContext: SQLContext,
                      parameters: Map[String, String]): Option[Long] =
     parameters.get("versionAsOf").map { v =>
-      v.toLongOption.getOrElse {
+      v.toLongOption.orElse {
         val r = root(parameters)
-        ManifestTable.tags(sqlContext.sparkSession, r).getOrElse(v.trim,
-          throw new IllegalArgumentException(
-            s"versionAsOf takes a manifest version number or a tag name, got " +
-              s"'$v' — known tags: " + ManifestTable.tags(sqlContext.sparkSession, r)
-                .keys.toSeq.sorted.mkString(", ")))
+        ManifestTable.tags(sqlContext.sparkSession, r).get(v.trim)
+          .orElse(ManifestTable.refs(sqlContext.sparkSession, r).get(v.trim))
+      }.getOrElse {
+        val r = root(parameters)
+        throw new IllegalArgumentException(
+          s"versionAsOf takes a manifest version number, a tag name, or a " +
+            s"branch name, got '$v' — known tags: " +
+            ManifestTable.tags(sqlContext.sparkSession, r)
+              .keys.toSeq.sorted.mkString(", ") + "; branches: " +
+            ManifestTable.refs(sqlContext.sparkSession, r)
+              .keys.toSeq.sorted.mkString(", "))
       }
     }
 

@@ -67,18 +67,39 @@ object ManifestTable {
     (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
   }
 
-  /** Highest committed version, or None for a table that has never
+  /** Head version of the session's ref, or None for a table that has never
     * committed (orphan data dirs from a crashed first commit don't count —
     * only a manifest makes a version real).
+    *
+    * UNBRANCHED tables (no `_ref.*` markers — every table until
+    * [[createBranch]]): the highest manifest number, as ever. BRANCHED
+    * tables share one manifest log across lineages (the Iceberg
+    * snapshots+refs model), so "current" is the head MARKER of the
+    * session's ref — `main` outside [[onBranch]] — not the numeric max;
+    * the ref check rides the same listing, zero extra I/O.
     */
   def currentVersion(spark: SparkSession, root: String): Option[Long] = {
     val (fs, p) = fsOf(spark, root)
     if (!fs.exists(p)) None
     else {
-      val vs = fs.listStatus(p).map(_.getPath.getName)
-        .filter(_.startsWith(ManifestPrefix))
+      val names = fs.listStatus(p).map(_.getPath.getName)
+      val vs = names.filter(_.startsWith(ManifestPrefix))
         .map(_.stripPrefix(ManifestPrefix).toLong)
-      if (vs.isEmpty) None else Some(vs.max)
+      if (vs.isEmpty) None
+      else if (!names.exists(_.startsWith(RefPrefix))) {
+        if (commitRefTL.get().isDefined) throw new IllegalStateException(
+          s"no such branch '${currentRef}' on $root — the table has no branches " +
+            "(CALL system.create_branch first)")
+        Some(vs.max)
+      } else {
+        val pfx = RefPrefix + currentRef + "."
+        val heads = names.filter(_.startsWith(pfx))
+          .flatMap(_.stripPrefix(pfx).toLongOption)
+        if (heads.isEmpty) throw new IllegalStateException(
+          s"no such branch '${currentRef}' on $root — known: " +
+            refNamesOf(names).sorted.mkString(", "))
+        Some(heads.max)
+      }
     }
   }
 
@@ -493,7 +514,18 @@ object ManifestTable {
       dvStage: Option[Path] = None, mergeRules: Boolean = false): Long = {
     val (fs, rootP) = fsOf(spark, root)
     val baseSets = entrySetsOf(baseEntries)
+    // BRANCHED tables (refs present): lineages share the manifest log, so
+    // the claim number floor is the GLOBAL max (another lineage may hold
+    // base+1..) while the semantic base stays this ref's head; after the
+    // publish, one atomic marker create advances the ref.
+    val refName = currentRef
+    val hasRefs = refsExist(fs, rootP)
+    if (commitRefTL.get().isDefined && !hasRefs) throw new IllegalStateException(
+      s"no such branch '$refName' on $root — the table has no branches " +
+        "(CALL system.create_branch first)")
+    var lineageBase = baseV
     var myNext = baseV.map(_ + 1).getOrElse(1L)
+    if (hasRefs) myNext = math.max(myNext, maxManifestV(fs, rootP) + 1)
     var prev = baseEntries
     var dvCarry = dvCarry0
     var attempt = 0
@@ -502,9 +534,21 @@ object ManifestTable {
     fs.create(new Path(stage, claimName), true).close()
     // rebase on the winner's manifest, or abort on budget/conflict/non-retryable
     def reResolve(cause: IllegalStateException): Unit = {
+      if (hasRefs && refs(spark, root).get(refName) == lineageBase) {
+        // a FOREIGN lineage took the number: our ref's head is unchanged,
+        // so nothing needs rebasing — slide to a free number and retry
+        // (legal even for non-retryable snapshot commits: no state of ours
+        // was invalidated)
+        attempt += 1
+        if (attempt > CommitRetries) throw cause
+        myNext = math.max(maxManifestV(fs, rootP), myNext) + 1
+        return
+      }
       attempt += 1
       if (attempt > CommitRetries || !retryable) throw cause
-      val newCur = currentVersion(spark, root).filter(_ >= myNext).getOrElse(throw cause)
+      val newCur =
+        if (hasRefs) refs(spark, root).getOrElse(refName, throw cause)
+        else currentVersion(spark, root).filter(_ >= myNext).getOrElse(throw cause)
       val newEntries = entriesOf(fs, rootP, newCur)
       val newSets = entrySetsOf(newEntries)
       val newDv = dvOf(fs, rootP, newCur)
@@ -551,7 +595,8 @@ object ManifestTable {
       }
       prev = newEntries
       dvCarry = newDv
-      myNext = newCur + 1
+      lineageBase = Some(newCur)
+      myNext = (if (hasRefs) math.max(maxManifestV(fs, rootP), newCur) else newCur) + 1
     }
     // the version number our data dir currently sits at (None: still staged)
     var stageCur = stage
@@ -623,10 +668,17 @@ object ManifestTable {
           val entries =
             if (appendEntries) prev ++ touched
             else prev.filterNot(e => touchedNames.contains(e._1)) ++ touched
-          publishManifest(fs, rootP, myNext, entries,
+          def pub(): Unit = publishManifest(fs, rootP, myNext, entries,
             if (dvStage.isDefined) Some(myNext) else dvCarry,
             priorV = Some(myNext - 1).filter(_ > 0))
+          // branched: record the lineage parent atomically with the rename
+          // (fast-forward's ancestry walk) and advance the ref marker — a
+          // crash between the two leaves an orphan manifest, never a torn ref
+          if (hasRefs)
+            withDirective(s"#parent\t${lineageBase.getOrElse(0L)}")(pub())
+          else pub()
           committed = myNext
+          if (hasRefs) refMark(fs, rootP, refName, committed)
           fs.delete(new Path(vdir, claimName), false)
         } catch {
           case e: IllegalStateException if e.getMessage.startsWith("commit collision") =>
@@ -687,6 +739,15 @@ object ManifestTable {
       .filter(_.startsWith(ManifestPrefix))
       .map(_.stripPrefix(ManifestPrefix).toLong).toSeq.sorted
   }
+
+  /** Numeric max over ALL manifests, every lineage — the claim-number
+    * floor on branched tables (0 when none exist).
+    */
+  private def maxManifestV(fs: FileSystem, rootP: Path): Long =
+    (if (fs.exists(rootP)) fs.listStatus(rootP) else Array.empty[FileStatus])
+      .map(_.getPath.getName).filter(_.startsWith(ManifestPrefix))
+      .map(_.stripPrefix(ManifestPrefix).toLong)
+      .foldLeft(0L)(math.max)
 
   /** The committed table as of the current manifest — or, with
     * `asOfVersion`, TIME TRAVEL to any still-on-disk manifest (immutable
@@ -2614,10 +2675,18 @@ object ManifestTable {
       throw new IllegalStateException(
         s"restore: $root has no version $toVersion on disk (vacuumed or never committed)")
     val cur = currentVersion(spark, root).get
-    publishManifest(fs, rootP, cur + 1,
+    val hasRefs = refsExist(fs, rootP)
+    // branched: claim above the GLOBAL max (another lineage may hold cur+1)
+    // and advance this ref's marker; the #parent keeps fast-forward walkable
+    val next = (if (hasRefs) math.max(maxManifestV(fs, rootP), cur) else cur) + 1
+    def pub(): Unit = publishManifest(fs, rootP, next,
       entriesOf(fs, rootP, toVersion), dvOf(fs, rootP, toVersion),
       priorV = Some(cur))
-    cur + 1
+    if (hasRefs) {
+      withDirective(s"#parent\t$cur")(pub())
+      refMark(fs, rootP, currentRef, next)
+    } else pub()
+    next
   }
 
   /** Row count of the current snapshot from METADATA only: live data
@@ -2816,6 +2885,9 @@ object ManifestTable {
     require(name.nonEmpty && name.toLongOption.isEmpty,
       s"tag name '$name' must be non-empty and non-numeric (numeric strings " +
         "resolve as literal versions in VERSION AS OF)")
+    require(!refs(spark, root).contains(name),
+      s"tag name '$name' collides with an existing branch (both resolve in " +
+        "VERSION AS OF)")
     val v = version.getOrElse(currentVersion(spark, root).getOrElse(
       throw new IllegalStateException(s"cannot tag $root: no committed version")))
     val (fs, rootP) = fsOf(spark, root)
@@ -2852,15 +2924,173 @@ object ManifestTable {
     }
   }
 
+  // ------------------------------ branches ------------------------------
+  //
+  // Write-audit-publish (the Iceberg snapshots+refs model): every lineage
+  // shares ONE manifest log (version numbers stay globally unique, claimed
+  // through the same staged protocol), and a REF — a named head pointer —
+  // selects which manifest a reader/writer means by "current". `main` is
+  // the implicit ref every session uses; [[onBranch]] retargets a session
+  // scope at another ref, so EVERY existing write shape (append, snapshot
+  // commit, mergeDv, SQL DML) lands on the branch unchanged, and every
+  // read inside the scope audits the branch's snapshot. [[fastForward]]
+  // publishes: main := branch head, after an ancestry walk proves main
+  // never diverged (each branched commit records its lineage parent as a
+  // `#parent` directive, atomic with the manifest rename).
+  //
+  // A ref head is NOT a mutable file: it is the MAX over append-only
+  // `_ref.<name>.<v>` marker files (one atomic create per commit — the
+  // exactly-once marker-in-the-filename pattern), so two same-branch
+  // writers serialized by the manifest claim can never regress the head
+  // by racing a read-modify-write; stale markers are vacuum debris.
+  //
+  // Caveat (documented, not hidden): the change feed ([[changes]],
+  // GraftChangeFeedSource) walks the NUMERIC version sequence and assumes
+  // a linear history — branch commits interleave numbers, so CDF over a
+  // branched table's history window is unsupported; fast-forwarded
+  // results re-enter main's lineage and feed CDF normally from there.
+
+  private val RefPrefix = "_ref."
+  val MainRef = "main"
+
+  // a PLAIN ThreadLocal, deliberately not DynamicVariable: DynamicVariable
+  // rides an InheritableThreadLocal, and any pool thread Spark creates
+  // inside an onBranch scope would inherit the branch FOREVER — leaking
+  // branch reads into later main queries. Plain ThreadLocal fails toward
+  // main instead; reads pin their version at plan time on the calling
+  // thread, so execution threads never consult the ref.
+  private val commitRefTL = new ThreadLocal[Option[String]] {
+    override def initialValue(): Option[String] = None
+  }
+  private def withRef[T](v: Option[String])(f: => T): T = {
+    val prev = commitRefTL.get(); commitRefTL.set(v)
+    try f finally commitRefTL.set(prev)
+  }
+
+  /** The session-scope ref name — `main` unless inside [[onBranch]]. */
+  private[sources] def currentRef: String = commitRefTL.get().getOrElse(MainRef)
+
+  /** Run `f` with every read resolving and every commit landing on branch
+    * `name` — the WAP scope. Thread-scoped like [[withDirective]] (commits
+    * funnel through this thread); streaming queries spawn their own
+    * threads and are NOT branch-scoped.
+    */
+  def onBranch[T](name: String)(f: => T): T = {
+    require(name == MainRef || validRefName(name), s"invalid branch name '$name'")
+    withRef(Some(name).filterNot(_ == MainRef))(f)
+  }
+
+  private def validRefName(n: String): Boolean =
+    n.nonEmpty && n.toLongOption.isEmpty && n != MainRef &&
+      n.forall(c => c.isLetterOrDigit || c == '_' || c == '-')
+
+  private def refNamesOf(names: Seq[String]): Seq[String] =
+    names.filter(_.startsWith(RefPrefix)).flatMap { n =>
+      val s = n.stripPrefix(RefPrefix)
+      val i = s.lastIndexOf('.')
+      if (i <= 0) None else Some(s.substring(0, i))
+    }.distinct
+
+  /** Branch → head version. Empty for unbranched tables. */
+  def refs(spark: SparkSession, root: String): Map[String, Long] = {
+    val (fs, rootP) = fsOf(spark, root)
+    if (!fs.exists(rootP)) Map.empty
+    else fs.listStatus(rootP).map(_.getPath.getName).toSeq
+      .filter(_.startsWith(RefPrefix))
+      .flatMap { n =>
+        val s = n.stripPrefix(RefPrefix)
+        val i = s.lastIndexOf('.')
+        if (i <= 0) None
+        else s.substring(i + 1).toLongOption.map(s.substring(0, i) -> _)
+      }
+      .groupBy(_._1).map { case (name, vs) => name -> vs.map(_._2).max }
+  }
+
+  private def refMark(fs: FileSystem, rootP: Path, name: String, v: Long): Unit =
+    fs.create(new Path(rootP, RefPrefix + name + "." + fmt(v)), true).close()
+
+  private[sources] def refsExist(fs: FileSystem, rootP: Path): Boolean =
+    fs.exists(rootP) &&
+      fs.listStatus(rootP).exists(_.getPath.getName.startsWith(RefPrefix))
+
+  /** Create branch `name` at the current MAIN head (materializing main's
+    * own marker on first use — the moment a table becomes "branched").
+    * Returns the fork version. Single-writer DDL-family contract.
+    */
+  def createBranch(spark: SparkSession, root: String, name: String): Long = {
+    require(validRefName(name),
+      s"branch name '$name' must be non-empty, non-numeric, not '$MainRef', " +
+        "and use only letters, digits, '_', '-'")
+    require(!tags(spark, root).contains(name),
+      s"branch name '$name' collides with an existing tag (both resolve in " +
+        "VERSION AS OF)")
+    val (fs, rootP) = fsOf(spark, root)
+    val cur = withRef(None)(currentVersion(spark, root)).getOrElse(
+      throw new IllegalStateException(s"cannot branch $root: no committed version"))
+    require(!refs(spark, root).contains(name), s"branch '$name' already exists on $root")
+    if (!refsExist(fs, rootP)) refMark(fs, rootP, MainRef, cur)
+    refMark(fs, rootP, name, cur)
+    cur
+  }
+
+  /** Drop branch `name` (never `main`); its exclusive snapshots become
+    * ordinary vacuum candidates. Returns whether it existed.
+    */
+  def dropBranch(spark: SparkSession, root: String, name: String): Boolean = {
+    require(name != MainRef, "cannot drop the main branch")
+    val (fs, rootP) = fsOf(spark, root)
+    val mine = if (!fs.exists(rootP)) Nil
+      else fs.listStatus(rootP).map(_.getPath.getName).toSeq
+        .filter(n => n.startsWith(RefPrefix + name + ".") &&
+          n.stripPrefix(RefPrefix + name + ".").toLongOption.isDefined)
+    mine.foreach(n => fs.delete(new Path(rootP, n), false))
+    mine.nonEmpty
+  }
+
+  /** Publish: main := branch head, METADATA-ONLY (one marker create), iff
+    * main is an ANCESTOR of the branch head — walked down the `#parent`
+    * directives each branched commit records; a diverged main refuses
+    * loudly (fast-forward would silently drop main's own commits).
+    * Returns the new main head.
+    */
+  def fastForward(spark: SparkSession, root: String, name: String): Long = {
+    val (fs, rootP) = fsOf(spark, root)
+    val heads = refs(spark, root)
+    val bHead = heads.getOrElse(name, throw new IllegalArgumentException(
+      s"fast_forward: no such branch '$name' on $root — known: " +
+        heads.keys.toSeq.sorted.mkString(", ")))
+    val mHead = heads.getOrElse(MainRef, throw new IllegalStateException(
+      s"fast_forward: $root has branch markers but no main marker (corrupt refs)"))
+    if (bHead == mHead) return mHead
+    var v = bHead
+    var reached = false
+    while (!reached && v > mHead)
+      directiveOf(spark, root, v, "parent").flatMap(_.toLongOption) match {
+        case Some(p) => if (p == mHead) reached = true else v = p
+        case None => v = -1L
+      }
+    require(reached,
+      s"fast_forward: main (at $mHead) is not an ancestor of branch '$name' " +
+        s"(at $bHead) — main advanced since the fork; merge the branch's " +
+        "changes explicitly instead")
+    refMark(fs, rootP, MainRef, bHead)
+    bHead
+  }
+
   def vacuum(spark: SparkSession, root: String, retainVersions: Int = 0): Unit = {
     require(retainVersions >= 0, s"retainVersions must be >= 0, got $retainVersions")
-    currentVersion(spark, root).foreach { cur =>
+    // the retention window floors on MAIN whatever scope called us —
+    // vacuum is a whole-table operation, not a per-branch one
+    withRef(None)(currentVersion(spark, root)).foreach { cur =>
       val (fs, rootP) = fsOf(spark, root)
       val floor = cur - retainVersions
-      // TAGGED manifests are retained whatever the window — along with
-      // every data version, DV, and skipping sidecar they reference (a
-      // tag is a promise that `VERSION AS OF 'name'` keeps answering)
-      val tagged = tags(spark, root).values.toSet
+      // TAGGED manifests and BRANCH HEADS are retained whatever the
+      // window — along with every data version, DV, and skipping sidecar
+      // they reference (a tag is a promise that `VERSION AS OF 'name'`
+      // keeps answering; a branch head is a promise its lineage stays
+      // readable and fast-forwardable)
+      val refHeads = refs(spark, root)
+      val tagged = (tags(spark, root).values.toSet ++ refHeads.values)
         .filter(v => fs.exists(new Path(rootP, ManifestPrefix + fmt(v))))
       val retained = versions(spark, root).filter(v => v >= floor || tagged.contains(v))
       val live = retained.flatMap(v => entriesOf(fs, rootP, v).map(_._2)).toSet
@@ -2898,6 +3128,16 @@ object ManifestTable {
           fs.delete(st.getPath, false)
         else if (n.startsWith("." + TagsFile + "-") && n.endsWith(".tmp"))
           fs.delete(st.getPath, false) // crashed tag-write staging debris
+        else if (n.startsWith(RefPrefix)) {
+          // superseded ref markers (head = max per name; the rest is debris)
+          val s = n.stripPrefix(RefPrefix)
+          val i = s.lastIndexOf('.')
+          if (i > 0) for {
+            v <- s.substring(i + 1).toLongOption
+            head <- refHeads.get(s.substring(0, i))
+            if v < head
+          } fs.delete(st.getPath, false)
+        }
         else if (st.isDirectory && n.startsWith(".stage-"))
           fs.delete(st.getPath, true) // crashed commits' orphaned stages —
           // vacuum must not run concurrently with an in-flight commit
