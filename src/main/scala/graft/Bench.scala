@@ -161,6 +161,26 @@ object BenchBudgets {
   */
 object Bench {
   private val TimedRuns = 3
+
+  /** The `t_by_id` array of the compact tail line: id-INDEXED min seconds
+    * (-1 failed, null not run; names recover from SparkEntry.queries).
+    * Object-level so BenchSpec pins the rendered SIZE budget — the round
+    * artifact is a ~2000-char stdout tail and this array is its dominant
+    * term. Precision is adaptive (2 digits under 10 s, 1 digit above):
+    * ~5 chars/query keeps 250 queries near 1.3k chars; fixed 3-digit
+    * rendering would brush the 2000-char cliff around 250 (the r13
+    * truncation lesson, one format generation later).
+    */
+  private[graft] def tByIdJson(byId: Map[Int, Double]): String = {
+    def n(v: Double): String = String.format(java.util.Locale.ROOT,
+      if (v < 10.0) "%.2f" else "%.1f", Double.box(v))
+    val maxId = if (byId.isEmpty) 0 else byId.keys.max
+    (1 to maxId).map(i => byId.get(i) match {
+      case Some(v) if v >= 0 => n(v)
+      case Some(_) => "-1"
+      case None => "null"
+    }).mkString("[", ",", "]")
+  }
   /** 1-minute load average above which the box is presumed contended —
     * recorded in the artifact (and gating the auto-requeue), no longer
     * escalating run counts (see scaladoc).
@@ -338,12 +358,7 @@ object Bench {
       val byId = results.flatMap { case (name, v, _, _) =>
         """\d+""".r.findFirstIn(name).map(_.toInt -> v)
       }.toMap
-      val maxId = if (byId.isEmpty) 0 else byId.keys.max
-      val t = (1 to maxId).map(i => byId.get(i) match {
-        case Some(v) if v >= 0 => num(v)
-        case Some(_) => "-1"
-        case None => "null"
-      }).mkString("[", ",", "]")
+      val t = Bench.tByIdJson(byId)
       val failed = results.filter(_._2 < 0).map("\"" + _._1 + "\"")
       // over-budget tripwires as compact "id x ratio" strings (usually [])
       val over = overBudgetOf(results).map { case (_, id, v, b) =>

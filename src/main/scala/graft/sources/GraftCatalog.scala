@@ -2384,23 +2384,31 @@ private[sources] object GraftProcedures {
 
     case "compact" => Some(new P("compact",
       Seq(in("table", StringType), inDef("files_per_partition", IntegerType, "1"),
-        inDef("partition", StringType, "''")),
+        inDef("partition", StringType, "''"),
+        inDef("target_mb", IntegerType, "0")),
       StructType(Seq(StructField("version", LongType)))) {
       override def description(): String =
         "OPTIMIZE: rewrite the snapshot (or, with `partition`, ONLY that " +
           "partition value — O(partition) bytes, carry-forward commit) to " +
           "AT MOST files_per_partition files per partition (hash-bucket " +
-          "upper bound; buckets sharing a shuffle task merge)"
+          "upper bound; buckets sharing a shuffle task merge); target_mb > 0 " +
+          "instead bin-packs to ~that compressed file size whatever the " +
+          "partition skew"
       override def run(args: InternalRow): Seq[InternalRow] = {
         val t = cat.tableNamed(args.getUTF8String(0).toString)
         val pv = Option(args.getUTF8String(2)).map(_.toString).filter(_.nonEmpty)
-        val v = pv match {
-          case Some(value) =>
+        val v = (pv, args.getInt(3)) match {
+          case (Some(value), _) =>
             val sp = t.partSpec.getOrElse(throw new IllegalArgumentException(
               s"compact(partition => ...) needs a partitioned table"))
             ManifestTable.compactPartitionSpec(SparkSession.active, t.root, t.schema,
               sp, value, args.getInt(1), t.statsColsProp)
-          case None =>
+          case (None, mb) if mb > 0 =>
+            val full = ManifestTable.compactTargetBytes(SparkSession.active, t.root,
+              t.schema, t.partSpec, mb.toLong * 1024L * 1024L, t.statsColsProp)
+            cat.clearPartSpecHistory(t.root) // full rewrite, as below
+            full
+          case (None, _) =>
             val full = ManifestTable.compactSpec(SparkSession.active, t.root,
               t.schema, t.partSpec, args.getInt(1), t.statsColsProp)
             // a full rewrite re-derives every row under the CURRENT spec —
@@ -2591,14 +2599,22 @@ private[sources] object GraftProcedures {
     })
 
     case "vacuum" => Some(new P("vacuum",
-      Seq(in("table", StringType), inDef("retain", IntegerType, "1")),
+      Seq(in("table", StringType), inDef("retain", IntegerType, "1"),
+        inDef("older_than_hours", org.apache.spark.sql.types.DoubleType, "-1.0")),
       StructType(Seq(StructField("current_version", LongType)))) {
       override def description(): String =
-        "reclaim data/DV/sidecar dirs unreferenced by the retained manifests"
+        "reclaim data/DV/sidecar dirs unreferenced by the retained manifests " +
+          "— `retain` keeps that many versions behind head, `older_than_hours` " +
+          "keeps everything committed within the window (union when both)"
       override def run(args: InternalRow): Seq[InternalRow] = {
         val t = cat.tableNamed(args.getUTF8String(0).toString)
         val s = SparkSession.active
-        ManifestTable.vacuum(s, t.root, args.getInt(1))
+        val cutoff = args.getDouble(2) match {
+          case h if h >= 0.0 =>
+            Some(System.currentTimeMillis() * 1000L - (h * 3600e6).toLong)
+          case _ => None
+        }
+        ManifestTable.vacuum(s, t.root, args.getInt(1), cutoff)
         Seq(row(ManifestTable.currentVersion(s, t.root).getOrElse(-1L)))
       }
     })

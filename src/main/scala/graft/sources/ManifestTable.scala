@@ -2416,6 +2416,43 @@ object ManifestTable {
       carryForward = false, statsCols = statsCols)
   }
 
+  /** OPTIMIZE to a TARGET FILE SIZE — the knob operators actually tune
+    * (a files-per-partition count is meaningless when partition sizes are
+    * skewed 1000×): rewrite the snapshot into range-partitioned shuffle
+    * tasks sized so each emits ~`targetBytes` of compressed output.
+    * Task count = ceil(live on-disk bytes / targetBytes) — the live-bytes
+    * estimate comes from the manifest listing (driver metadata, no I/O),
+    * and the output rides the SAME compression codec, so on-disk ratios
+    * carry over. Range boundaries are SAMPLED from the actual row
+    * distribution over (partition dirs..., row hash), so a skewed
+    * partition gets proportionally many tasks — files land within ~2× of
+    * target whatever the input skew (a task straddling a dir boundary
+    * splits its output, the half-files are the 0.5× floor). Partitions
+    * smaller than the target still emit one small file each — the hive
+    * layout cannot merge across directories.
+    */
+  def compactTargetBytes(spark: SparkSession, root: String, schema: StructType,
+                         spec: Option[PartSpec], targetBytes: Long,
+                         statsCols: Seq[String] = Nil): Long = {
+    require(targetBytes >= 1L, s"targetBytes=$targetBytes")
+    import org.apache.spark.sql.functions._
+    val cur = currentVersion(spark, root).getOrElse(
+      throw new IllegalStateException(s"manifest table $root has no committed version"))
+    val (totalBytes, _) = estimatePruned(spark, root, cur, Nil)
+    val targetFiles = math.max(1L,
+      (totalBytes + targetBytes - 1) / targetBytes).min(1 << 20).toInt
+    val df0 = read(spark, root, schema)
+    val df = spec.fold(df0)(_.derive(df0))
+    val salt = xxhash64(schema.fieldNames.map(col).toSeq: _*)
+    val ranged = spec match {
+      case Some(s) =>
+        df.repartitionByRange(targetFiles, (s.physNames.map(col) :+ salt): _*)
+      case None => df.repartitionByRange(targetFiles, salt)
+    }
+    commitSpec(ranged.select(schema.fieldNames.map(col).toSeq: _*), root, spec,
+      carryForward = false, statsCols = statsCols)
+  }
+
   /** OPTIMIZE scoped to ONE partition — the hot-partition case: a
     * streaming table accretes small files in TODAY'S partition, and
     * rewriting the other N-1 partitions of a 100 TB table to fix it is
@@ -3077,13 +3114,31 @@ object ManifestTable {
     bHead
   }
 
-  def vacuum(spark: SparkSession, root: String, retainVersions: Int = 0): Unit = {
+  /** Reclaim history. Two retention windows, UNION-ed when both given
+    * (the conservative compose): `retainVersions` keeps that many
+    * manifests behind main's head (the count window inline per-commit
+    * vacuums use — must stay >= 1 there, or a concurrent reader's
+    * resolved snapshot vanishes mid-scan), and `olderThanMicros` keeps
+    * every version committed AT OR AFTER the cutoff (the wall-clock
+    * window operators actually think in — `#ts` stamps are monotone per
+    * r16, so "first version at/after the cutoff" is a well-defined
+    * floor). Versions predating the `#ts` directive count as old. The
+    * current head, tagged versions, and branch heads survive any window.
+    */
+  def vacuum(spark: SparkSession, root: String, retainVersions: Int = 0,
+             olderThanMicros: Option[Long] = None): Unit = {
     require(retainVersions >= 0, s"retainVersions must be >= 0, got $retainVersions")
     // the retention window floors on MAIN whatever scope called us —
     // vacuum is a whole-table operation, not a per-branch one
     withRef(None)(currentVersion(spark, root)).foreach { cur =>
       val (fs, rootP) = fsOf(spark, root)
-      val floor = cur - retainVersions
+      val floorByTime = olderThanMicros.map { cutoff =>
+        versions(spark, root)
+          .find(v => tsOf(fs, rootP, v).exists(_ >= cutoff)) // ascending + monotone ts
+          .getOrElse(cur)
+      }
+      val floor = floorByTime.fold(cur - retainVersions)(ft =>
+        math.min(cur - retainVersions, ft))
       // TAGGED manifests and BRANCH HEADS are retained whatever the
       // window — along with every data version, DV, and skipping sidecar
       // they reference (a tag is a promise that `VERSION AS OF 'name'`

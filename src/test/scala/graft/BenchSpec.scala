@@ -110,6 +110,21 @@ class BenchSpec extends SparkSuite {
     assert(!spark.sparkContext.isStopped)
   }
 
+  test("compact tail stays inside the 2000-char capture at 250 queries (r19)") {
+    // worst realistic shape: every id present, a mix of sub-10s (2-digit)
+    // and 10-100s (1-digit) timings, a few failures
+    val byId = (1 to 250).map { i =>
+      i -> (if (i % 17 == 0) -1.0 else if (i % 9 == 0) 42.7 else 3.141)
+    }.toMap
+    val t = Bench.tByIdJson(byId)
+    // the rest of the compact line (over/failed/partial/completed/total/sf)
+    // has run ~180-300 chars historically; keep >= 400 chars of headroom
+    assert(t.length <= 1600, s"t_by_id at 250 queries is ${t.length} chars")
+    // rendering contract: 1-indexed, -1 for failures, null for gaps
+    val small = Bench.tByIdJson(Map(1 -> 1.0, 3 -> -1.0, 5 -> 12.34))
+    assert(small == "[1.00,null,-1,null,12.3]", small)
+  }
+
   test("requeue order retries tripwire-flagged queries before hot-load ones") {
     // VERDICT r17 #3: r17's artifact shipped requeue_truncated with both
     // over_budget flags unretried — the deadline cut sweep-ordered retries

@@ -1997,6 +1997,75 @@ class SourcesSpec extends SparkSuite {
       statsCols = Seq("x"))
     assert(ManifestTable.colBounds(spark, root3, "x").isEmpty)
   }
+
+  test("time-based vacuum: olderThan keeps the window, count window unions (r19)") {
+    import spark.implicits._
+    import graft.sources.ManifestTable
+    val root = Files.createTempDirectory("graft-vt").toString + "/t"
+    (1 to 5).foreach { i =>
+      ManifestTable.commit(Seq((i.toLong, s"v$i")).toDF("k", "v"), root, None)
+    }
+    // cutoff = v3's commit stamp: versions 3..5 are inside the window
+    val ts3 = ManifestTable.history(spark, root)
+      .find(_._1 == 3L).flatMap(_._5).get
+    ManifestTable.vacuum(spark, root, retainVersions = 0, olderThanMicros = Some(ts3))
+    assert(ManifestTable.versions(spark, root) == Seq(3L, 4L, 5L))
+    // reclaimed data versions are gone from disk, retained ones read
+    val vdirs = new java.io.File(root).listFiles()
+      .map(_.getName).filter(n => n.startsWith("v") && n.drop(1).forall(_.isDigit))
+    assert(vdirs.map(_.drop(1).toLong).toSet == Set(3L, 4L, 5L), vdirs.mkString(","))
+    assert(spark.read.format("graft").option("versionAsOf", 3).load(root).count() == 1)
+    // the count window unions in: retain 4 behind head keeps v2.. — but v2
+    // is already gone; a fresh table shows the min() compose
+    val root2 = Files.createTempDirectory("graft-vt2").toString + "/t"
+    (1 to 5).foreach { i =>
+      ManifestTable.commit(Seq((i.toLong, s"v$i")).toDF("k", "v"), root2, None)
+    }
+    val ts5 = ManifestTable.history(spark, root2)
+      .find(_._1 == 5L).flatMap(_._5).get
+    // time window alone would keep only v5; retain=3 keeps v2.. — union wins
+    ManifestTable.vacuum(spark, root2, retainVersions = 3, olderThanMicros = Some(ts5))
+    assert(ManifestTable.versions(spark, root2) == Seq(2L, 3L, 4L, 5L))
+  }
+
+  test("compact to a target file size bin-packs under partition skew (r19)") {
+    import spark.implicits._
+    import graft.sources.ManifestTable
+    val root = Files.createTempDirectory("graft-tb").toString + "/t"
+    // skewed: partition A ~40k near-incompressible rows, partition B tiny
+    val big = (0L until 40000L).map(i => (i, "A",
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(i.toString.getBytes).map(b => f"${b & 0xff}%02x").mkString * 2))
+    val small = (0L until 50L).map(i => (i + 100000L, "B", "tiny" + i))
+    val df = (big ++ small).toDF("k", "p", "payload")
+    // land it fragmented first: many small files
+    ManifestTable.commit(df.repartition(40), root, Some("p"))
+    val schema = df.schema
+    val target = 256L * 1024L
+    ManifestTable.compactTargetBytes(spark, root, schema,
+      Some(graft.sources.PartSpec.Identity("p")), target)
+    // row identity
+    val back = spark.read.format("graft").load(root)
+    assert(back.count() == 40050L)
+    assert(back.agg(sum("k")).as[Long].head() ==
+      (big.map(_._1).sum + small.map(_._1).sum))
+    val cur = ManifestTable.currentVersion(spark, root).get
+    def filesOf(dir: String): Seq[java.io.File] = {
+      val d = new java.io.File(f"$root/v$cur%08d/$dir")
+      Option(d.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.getName.endsWith(".parquet")).toSeq
+    }
+    val aFiles = filesOf("p=A")
+    val bFiles = filesOf("p=B")
+    assert(bFiles.size == 1, s"tiny partition should emit one file: ${bFiles.size}")
+    assert(aFiles.size >= 4, s"skewed partition should split: ${aFiles.size} files")
+    // every file within 2x of target; all but the boundary stragglers at
+    // least ~0.4x (range tasks straddling a dir boundary split their output)
+    assert(aFiles.forall(_.length() <= target * 2),
+      aFiles.map(_.length()).sorted.mkString(","))
+    assert(aFiles.count(_.length() < (target * 2) / 5) <= 2,
+      aFiles.map(_.length()).sorted.mkString(","))
+  }
 }
 
 /** Deterministic fake fetch client for the S1 keyed-fetch tests — file-scope
