@@ -6162,20 +6162,21 @@ object Queries {
       s.sql("DROP TABLE IF EXISTS gq208.db.cev")
       s.sql("DROP TABLE IF EXISTS gq208.db.mev")
       ev.createOrReplaceTempView("q208_src")
-      // born-composite table: both dimensions prune from day one
+      // born-composite table: both dimensions prune from day one (blind-
+      // append multi-version day dirs are q203's claim — one commit here;
+      // per-commit cost is O(dir product), so the query stays lean)
       s.sql("""CREATE TABLE gq208.db.cev (
         event_id BIGINT, ts TIMESTAMP, user_id BIGINT,
         event_type STRING, value DOUBLE)
         PARTITIONED BY (days(ts), bucket(4, user_id))""")
-      s.sql("INSERT INTO gq208.db.cev SELECT * FROM q208_src WHERE event_id % 2 = 1")
-      s.sql("INSERT INTO gq208.db.cev SELECT * FROM q208_src WHERE event_id % 2 = 0")
+      s.sql("INSERT INTO gq208.db.cev SELECT * FROM q208_src")
       // evolving table: days(ts) generation, then composite generation,
       // then DML across the mixed layouts
       s.sql("""CREATE TABLE gq208.db.mev (
         event_id BIGINT, ts TIMESTAMP, user_id BIGINT,
         event_type STRING, value DOUBLE) PARTITIONED BY (days(ts))""")
       s.sql("INSERT INTO gq208.db.mev SELECT * FROM q208_src WHERE event_id % 2 = 1")
-      s.sql("CALL gq208.system.set_partitioning('db.mev', 'days(ts),bucket(4,user_id)')")
+      s.sql("CALL gq208.system.set_partitioning('db.mev', 'days(ts),bucket(2,user_id)')")
       s.sql("INSERT INTO gq208.db.mev SELECT * FROM q208_src WHERE event_id % 2 = 0")
       s.sql("UPDATE gq208.db.mev SET value = -2.0 WHERE user_id % 29 = 5")
       s.sql("DELETE FROM gq208.db.mev WHERE event_type = 'view' AND user_id % 13 = 2")
@@ -6252,13 +6253,16 @@ object Queries {
       val ev = t(s, d, "events").select(col("event_id"), col("ts"),
         col("user_id"), col("event_type"), col("value"))
       val wh = java.nio.file.Files.createTempDirectory("q209-cat").toString
-      s.conf.set("spark.sql.catalog.gq209", classOf[GraftCatalog].getName)
-      s.conf.set("spark.sql.catalog.gq209.warehouse", wh)
-      s.sql("CREATE NAMESPACE IF NOT EXISTS gq209.db")
-      s.sql("DROP TABLE IF EXISTS gq209.db.e")
+      // fresh catalog NAME per invocation ([[catSeq]]): this query mixes
+      // catalog SQL with direct warehouse paths, and Spark's by-name
+      // catalog cache would pin a re-run's SQL to the previous temp dir
+      val cat = s"gq209x${catSeq.incrementAndGet()}"
+      s.conf.set(s"spark.sql.catalog.$cat", classOf[GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+      s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.db")
       ev.createOrReplaceTempView("q209_src")
-      s.sql("CREATE TABLE gq209.db.e (event_id BIGINT, ts TIMESTAMP, value DOUBLE)")
-      s.sql("""INSERT INTO gq209.db.e
+      s.sql(s"CREATE TABLE $cat.db.e (event_id BIGINT, ts TIMESTAMP, value DOUBLE)")
+      s.sql(s"""INSERT INTO $cat.db.e
         SELECT event_id, ts, value FROM q209_src WHERE event_id % 2 = 1""")
       val root = s"$wh/db/e"
       // generation 2: the frame carries user_id + event_type — mergeSchema
@@ -6277,7 +6281,7 @@ object Queries {
           CAST(count(*) AS BIGINT) AS n, ${dsumSql("value")} AS v,
           CAST(count(user_id) AS BIGINT) AS u,
           CAST(count(DISTINCT user_id) AS BIGINT) AS ud
-        FROM gq209.db.e GROUP BY coalesce(event_type, '<none>')""")
+        FROM $cat.db.e GROUP BY coalesce(event_type, '<none>')""")
     }, Some(s"""WITH src AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts,
           user_id, event_type, value FROM events),
       tbl AS (

@@ -19,6 +19,10 @@ object StressBench {
     // probes (local iteration on one op's curve without the full sweep)
     val onlyOps: Option[Seq[String]] =
       if (args.length > 1) Some(args(1).split(",").toSeq) else None
+    // replication factors for every curve — override for deeper sweeps
+    // (e.g. SPARK_GRAFT_STRESS_FACTORS=1,16,64 for the 64x refresh)
+    val factors: Seq[Int] = sys.env.get("SPARK_GRAFT_STRESS_FACTORS")
+      .map(_.split(",").map(_.trim.toInt).toSeq).getOrElse(Seq(1, 4, 16))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -103,7 +107,7 @@ object StressBench {
       println(f"""[stress] {"op":"$label","factor":$f,"sec":${(System.nanoTime() - t0) / 1e9}%.2f}""")
     }
 
-    for (f <- Seq(1, 4, 16)) {
+    for (f <- factors) {
       time("minhash_pairs", f)(
         graft.llm.Dedup.minhashPairs(docsTimes(f), "text", "doc_id", 3, 16, 4, 0.5))
       time("winnow", f)(
@@ -457,7 +461,7 @@ object StressBench {
         if (!d.exists) 0L
         else d.listFiles.map(x =>
           if (x.isDirectory) dirBytes(x) else x.length).sum
-      for (f <- Seq(1, 4, 16)) {
+      for (f <- factors) {
         val rows = Tables(spark, sfDir, "lineitem")
           .select((col("l_orderkey") * 10 + col("l_linenumber")).as("id0"),
             col("l_extendedprice").as("v"))
@@ -499,7 +503,7 @@ object StressBench {
       val schema = StructType(Seq(
         StructField("id", LongType), StructField("p", StringType),
         StructField("v", DoubleType)))
-      for (f <- Seq(1, 4, 16)) {
+      for (f <- factors) {
         val pn = 8 * f
         val rows = Tables(spark, sfDir, "lineitem")
           .select((col("l_orderkey") * 10 + col("l_linenumber")).as("id0"),
@@ -547,7 +551,7 @@ object StressBench {
     if (onlyOps.forall(_.exists("ann_disk".startsWith))) {
       import graft.llm.ProductQuant
       import org.apache.spark.sql.types._
-      for (f <- Seq(1, 4, 16)) {
+      for (f <- factors) {
         val e = embTimes(f).localCheckpoint()
         val frac = ProductQuant.trainFracFor(e, 4096)
         val sample = ProductQuant.sampleFor(e, frac, "vec_id")
@@ -630,7 +634,7 @@ object StressBench {
         if (!d.exists) 0L
         else d.listFiles.map(x =>
           if (x.isDirectory) dirBytes(x) else x.length).sum
-      for (f <- Seq(1, 4, 16)) {
+      for (f <- factors) {
         val rows = Tables(spark, sfDir, "lineitem")
           .select((col("l_orderkey") * 10 + col("l_linenumber")).as("id0"),
             col("l_extendedprice").as("v"))
@@ -735,7 +739,7 @@ object StressBench {
         val sec = (System.nanoTime() - t0) / 1e9
         println(f"""[stress] {"op":"$probe","n":$n,"ms_per_commit":${sec * 1000 / n}%.2f}""")
       }
-      for (f <- Seq(1, 4, 16)
+      for (f <- factors
            if onlyOps.forall(_.exists("commit_full".startsWith))) {
         val rows = Tables(spark, sfDir, "lineitem")
           .select((col("l_orderkey") * 10 + col("l_linenumber")).as("id0"),
@@ -775,7 +779,7 @@ object StressBench {
         if (!d.exists) 0L
         else d.listFiles.map(x =>
           if (x.isDirectory) dirBytes(x) else x.length).sum
-      for (f <- Seq(1, 4, 16)) {
+      for (f <- factors) {
         val pn = 8 * f
         val rows = Tables(spark, sfDir, "lineitem")
           .select((col("l_orderkey") * 10 + col("l_linenumber")).as("id0"),
@@ -818,7 +822,7 @@ object StressBench {
     // clipping, not as an operator) — where a rewrite-based rename would
     // grow 16x and a name-based engine would silently NULL the column.
     if (onlyOps.forall(_.exists("rename_scale".startsWith))) {
-      for (f <- Seq(1, 4, 16)) {
+      for (f <- factors) {
         val wh = java.nio.file.Files.createTempDirectory(s"ren$f").toString
         val cat = s"grs$f" // fresh catalog name per warehouse (cached by name)
         spark.conf.set(s"spark.sql.catalog.$cat",
@@ -864,7 +868,7 @@ object StressBench {
     if (onlyOps.forall(_.exists("ann_rebuild".startsWith))) {
       import graft.llm.SimSearch
       import graft.sources.ManifestTable
-      for (f <- Seq(1, 4, 16)) {
+      for (f <- factors) {
         val base = java.nio.file.Files.createTempDirectory(s"annrb$f").toString
         val corpusRoot = s"$base/corpus"; val idxRoot = s"$base/index"
         val emb = embTimes(f).localCheckpoint()
@@ -974,7 +978,7 @@ object StressBench {
     // star-schema query pays when the planner can't see scan sizes.
     if (onlyOps.forall(_.exists("scan_stats".startsWith))) {
       org.apache.spark.sql.graft.GraftFunctions.installOptimizations(spark)
-      for (f <- Seq(1, 4, 16)) {
+      for (f <- factors) {
         val wh = java.nio.file.Files.createTempDirectory(s"sst$f").toString
         val cat = s"gss$f"
         spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
@@ -1008,7 +1012,7 @@ object StressBench {
     // rides the staging job, so the delta should be expression-evaluation
     // noise at every factor, never a second scan.
     if (onlyOps.forall(_.exists("check_overhead".startsWith))) {
-      for (f <- Seq(1, 4, 16)) {
+      for (f <- factors) {
         val wh = java.nio.file.Files.createTempDirectory(s"chk$f").toString
         val cat = s"gco$f"
         spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
@@ -1040,7 +1044,7 @@ object StressBench {
     // keeps a day-ranged scan O(day). evolve_sec times one
     // set_partitioning call (metadata-only: must stay flat in f).
     if (onlyOps.forall(_.exists("part_prune".startsWith))) {
-      for (f <- Seq(1, 4, 16)) {
+      for (f <- factors) {
         val wh = java.nio.file.Files.createTempDirectory(s"ppr$f").toString
         val cat = s"gpp$f" // fresh catalog name per warehouse (cached by name)
         spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")

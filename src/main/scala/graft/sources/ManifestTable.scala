@@ -1893,7 +1893,7 @@ object ManifestTable {
     val (fs, rootP) = fsOf(spark, root)
     val stage = new Path(rootP,
       ".stage-" + java.util.UUID.randomUUID().toString.take(12))
-    stageWrite(df, spec, stage)
+    stageWrite(df, spec, stage, root)
     val touchedNames: Seq[String] = spec match {
       case Some(s) => listStagedPartDirs(fs, stage, s.physNames.length)
       case None => Seq("")
@@ -1932,13 +1932,50 @@ object ManifestTable {
     * the spec is a hidden transform — partitionBy keeps it OUT of the data
     * files) or unpartitioned.
     */
-  private def stageWrite(df: DataFrame, spec: Option[PartSpec], stage: Path): Unit =
+  private def stageWrite(df: DataFrame, spec: Option[PartSpec], stage: Path,
+                         root: String): Unit =
     spec match {
       case Some(s) =>
-        s.derive(df).write.partitionBy(s.physNames: _*)
+        val derived = s.derive(df)
+        // OPTIMIZED WRITE (the Delta optimizedWrite idea, default ON like
+        // DBR's): cluster the staged rows by the partition tuple so each
+        // dir gets ONE file per commit instead of one per (task × dir) —
+        // without it a composite spec's dir PRODUCT (days × buckets) times
+        // the input parallelism explodes into thousands of tiny files per
+        // commit, and every later scan/DML pays the per-file open tax.
+        // `graft.optimizeWrite=false` opts a table out — set it when
+        // single commits carry partition-sized data (the one-task-per-dir
+        // serialization would bottleneck there; compact(target_mb) is the
+        // right splitter afterwards).
+        val out =
+          if (optimizeWrite(df.sparkSession, root, s))
+            derived.repartition(s.physNames
+              .map(org.apache.spark.sql.functions.col): _*)
+          else derived
+        out.write.partitionBy(s.physNames: _*)
           .mode("overwrite").parquet(stage.toString)
       case None => df.write.mode("overwrite").parquet(stage.toString)
     }
+
+  // DECLARED (sidecar) tables only — they own the property that opts out;
+  // path-first tables keep the legacy task-per-dir write byte-for-byte
+  // (their callers pre-shape their own parallelism)
+  private def optimizeWrite(spark: SparkSession, root: String, s: PartSpec): Boolean =
+    !preShuffled.get() && (GraftDdl.load(spark, root) match {
+      case None => false
+      case Some(d) =>
+        !d.props.get("graft.optimizeWrite").exists(_.equalsIgnoreCase("false"))
+    })
+
+  // compaction paths choose their own clustering (hash buckets, byte-sized
+  // ranges, Z-order) — the optimized-write repartition would destroy it
+  private val preShuffled = new ThreadLocal[java.lang.Boolean] {
+    override def initialValue(): java.lang.Boolean = false
+  }
+  private def withPreShuffled[T](f: => T): T = {
+    val prev = preShuffled.get(); preShuffled.set(true)
+    try f finally preShuffled.set(prev)
+  }
 
   /** Relative partition dir paths under a freshly staged write — one
     * `col=value` hive segment per spec field, nested in declaration order
@@ -1994,7 +2031,7 @@ object ManifestTable {
     val (fs, rootP) = fsOf(spark, root)
     val stage = new Path(rootP,
       ".stage-" + java.util.UUID.randomUUID().toString.take(12))
-    stageWrite(df, spec, stage)
+    stageWrite(df, spec, stage, root)
     val touchedNames: Seq[String] = spec match {
       case Some(s) => listStagedPartDirs(fs, stage, s.physNames.length)
       case None => Seq("")
@@ -2158,7 +2195,7 @@ object ManifestTable {
         s"mergeDv: $root has no committed version — create the table with commit() first"))
     val stage = new Path(rootP,
       ".stage-" + java.util.UUID.randomUUID().toString.take(12))
-    stageWrite(batch, spec, stage)
+    stageWrite(batch, spec, stage, root)
     val touchedNames: Seq[String] = spec match {
       case Some(s) => listStagedPartDirs(fs, stage, s.physNames.length)
       case None => Seq("")
@@ -2255,7 +2292,7 @@ object ManifestTable {
     val stage = new Path(rootP,
       ".stage-" + java.util.UUID.randomUUID().toString.take(12))
     batch match {
-      case Some(b) => stageWrite(b, spec, stage)
+      case Some(b) => stageWrite(b, spec, stage, root)
       case None => fs.mkdirs(stage)
     }
     val touchedNames: Seq[String] = batch match {
@@ -2412,8 +2449,8 @@ object ManifestTable {
     // drop the pre-derived hidden column before the commit (which re-derives
     // for the staged write): commitSpec's id-attach treats any non-schema
     // column as drift, and a select keeps the repartitioning
-    commitSpec(out.select(schema.fieldNames.map(col).toSeq: _*), root, spec,
-      carryForward = false, statsCols = statsCols)
+    withPreShuffled(commitSpec(out.select(schema.fieldNames.map(col).toSeq: _*),
+      root, spec, carryForward = false, statsCols = statsCols))
   }
 
   /** OPTIMIZE to a TARGET FILE SIZE — the knob operators actually tune
@@ -2449,8 +2486,8 @@ object ManifestTable {
         df.repartitionByRange(targetFiles, (s.physNames.map(col) :+ salt): _*)
       case None => df.repartitionByRange(targetFiles, salt)
     }
-    commitSpec(ranged.select(schema.fieldNames.map(col).toSeq: _*), root, spec,
-      carryForward = false, statsCols = statsCols)
+    withPreShuffled(commitSpec(ranged.select(schema.fieldNames.map(col).toSeq: _*),
+      root, spec, carryForward = false, statsCols = statsCols))
   }
 
   /** OPTIMIZE scoped to ONE partition — the hot-partition case: a
@@ -2522,8 +2559,8 @@ object ManifestTable {
         pmod(xxhash64(schema.fieldNames.filterNot(spec.physNames.contains)
           .map(col).toSeq: _*), lit(filesPerPartition.toLong))): _*)
     // as in [[compactSpec]]: re-select the declared schema before the commit
-    commitSpec(out.select(schema.fieldNames.map(col).toSeq: _*), root, Some(spec),
-      carryForward = true, statsCols = statsCols)
+    withPreShuffled(commitSpec(out.select(schema.fieldNames.map(col).toSeq: _*),
+      root, Some(spec), carryForward = true, statsCols = statsCols))
   }
 
   /** OPTIMIZE ZORDER — multi-column clustering compaction: rewrite the
@@ -2591,8 +2628,8 @@ object ManifestTable {
     }
     val out = ranged.sortWithinPartitions(col("__z"))
       .select(schema.fieldNames.map(col).toSeq: _*)
-    commitSpec(out, root, spec, carryForward = false,
-      statsCols = (zorderBy ++ statsCols).distinct)
+    withPreShuffled(commitSpec(out, root, spec, carryForward = false,
+      statsCols = (zorderBy ++ statsCols).distinct))
   }
 
   /** Table health report — one row per live data version: its manifest

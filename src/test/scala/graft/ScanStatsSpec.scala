@@ -36,8 +36,11 @@ class ScanStatsSpec extends SparkSuite {
     wh
     import spark.implicits._
     spark.sql("DROP TABLE IF EXISTS gstat.db.s1")
+    // optimizeWrite=false keeps one file per (task x dir): the zone-range
+    // leg needs several files per partition with distinct k ranges
     spark.sql("""CREATE TABLE gstat.db.s1 (k BIGINT, v STRING, p STRING)
-      PARTITIONED BY (p) TBLPROPERTIES ('statsCols' = 'k')""")
+      PARTITIONED BY (p) TBLPROPERTIES ('statsCols' = 'k',
+        'graft.optimizeWrite' = 'false')""")
     (0L until 10000L).map(i => (i, "v" * 20 + i, s"p${i % 4}")).toDF("k", "v", "p")
       .createOrReplaceTempView("s1_src")
     spark.sql("INSERT INTO gstat.db.s1 SELECT * FROM s1_src")
