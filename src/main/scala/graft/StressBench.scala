@@ -874,7 +874,12 @@ object StressBench {
         val emb = embTimes(f).localCheckpoint()
         val embSchema = emb.schema
         ManifestTable.commit(emb, corpusRoot, None)
-        val cents = SimSearch.trainCentroids(emb, centroidStride = 64, iters = 2)
+        // stride scales WITH the factor so the CELL COUNT stays constant:
+        // this leg measures the rebuild lifecycle, and letting centroids
+        // grow as n/64 made assignment O(n * n/64) — the 64x sweep ran the
+        // 1x leg's work 4096x (a fixture artifact, not a rebuild property;
+        // the coprime-stride lesson's sibling)
+        val cents = SimSearch.trainCentroids(emb, centroidStride = 64 * f, iters = 2)
         val builtAt = ManifestTable.currentVersion(spark, corpusRoot).get
         ManifestTable.withBasedOn(builtAt) {
           ManifestTable.commit(

@@ -1899,9 +1899,9 @@ private[sources] class GraftV1ScanImpl(root: String, tableSchema: StructType,
   private lazy val stats: org.apache.spark.sql.connector.read.Statistics = {
     val spark = SparkSession.active
     val factor = spark.conf.get("spark.sql.sources.fileCompressionFactor", "1.0").toDouble
-    val (bytes: Long, rows: Option[Long]) =
+    val (bytes: Long, rows: Option[Long], ndv: Map[String, Long]) =
       ManifestTable.currentVersion(spark, root) match {
-        case None => (0L, Some(0L))
+        case None => (0L, Some(0L), Map.empty[String, Long])
         case Some(cur) =>
           val v = asOf.getOrElse(cur)
           val (ranges, points, pointsAny) =
@@ -1910,6 +1910,26 @@ private[sources] class GraftV1ScanImpl(root: String, tableSchema: StructType,
           ManifestTable.estimatePruned(spark, root, v, ranges, points, pointsAny)
       }
     val sized = math.max(1L, (bytes * factor).toLong)
+    // per-column NDV from the bloom columns' merged KMV sketches (exactly
+    // the kept files — the pruned-slice distinct count CBO's join and
+    // distinct-aggregation estimation wants); only columns this scan
+    // actually projects report
+    val colStats: java.util.Map[
+        org.apache.spark.sql.connector.expressions.NamedReference,
+        org.apache.spark.sql.connector.read.colstats.ColumnStatistics] = {
+      val m = new java.util.HashMap[
+        org.apache.spark.sql.connector.expressions.NamedReference,
+        org.apache.spark.sql.connector.read.colstats.ColumnStatistics]()
+      ndv.foreach { case (c, n) =>
+        if (required.fieldNames.contains(c))
+          m.put(org.apache.spark.sql.connector.expressions.Expressions.column(c),
+            new org.apache.spark.sql.connector.read.colstats.ColumnStatistics {
+              override def distinctCount(): java.util.OptionalLong =
+                java.util.OptionalLong.of(n)
+            })
+      }
+      m
+    }
     new org.apache.spark.sql.connector.read.Statistics {
       override def sizeInBytes(): java.util.OptionalLong =
         java.util.OptionalLong.of(sized)
@@ -1917,6 +1937,9 @@ private[sources] class GraftV1ScanImpl(root: String, tableSchema: StructType,
         case Some(n) => java.util.OptionalLong.of(n)
         case None => java.util.OptionalLong.empty()
       }
+      override def columnStats(): java.util.Map[
+          org.apache.spark.sql.connector.expressions.NamedReference,
+          org.apache.spark.sql.connector.read.colstats.ColumnStatistics] = colStats
     }
   }
 

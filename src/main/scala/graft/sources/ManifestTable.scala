@@ -40,6 +40,7 @@ object ManifestTable {
 
   private val ManifestPrefix = "_manifest."
   private val StatsPrefix = "_stats."
+  private val NdvPrefix = "_ndv."
   private def fmt(v: Long) = f"$v%08d"
 
   /** Inclusive column-range predicate for [[readPruned]]: rows with
@@ -511,7 +512,8 @@ object ManifestTable {
       dvCarry0: Option[Long], stats: Seq[(String, String, ColZone)],
       blooms: Seq[(String, String, Array[Long])], retryable: Boolean,
       appendEntries: Boolean = false, blindAppend: Boolean = false,
-      dvStage: Option[Path] = None, mergeRules: Boolean = false): Long = {
+      dvStage: Option[Path] = None, mergeRules: Boolean = false,
+      ndv: Seq[(String, String, Array[Long])] = Nil): Long = {
     val (fs, rootP) = fsOf(spark, root)
     val baseSets = entrySetsOf(baseEntries)
     // BRANCHED tables (refs present): lineages share the manifest log, so
@@ -648,6 +650,7 @@ object ManifestTable {
         dirAt = Some(myNext)
         if (stats.nonEmpty) writeStats(fs, rootP, myNext, stats)
         if (blooms.nonEmpty) writeBlooms(fs, rootP, myNext, blooms)
+        if (ndv.nonEmpty) writeNdv(fs, rootP, myNext, ndv)
         // claim the staged DV dataset into d<myNext>. Safe to reclaim a
         // pre-existing d-dir: every DV writer stages and claims its data
         // dir FIRST (deleteWhere included), so a d<myNext> with no
@@ -689,7 +692,7 @@ object ManifestTable {
             // data dir and DV slide on the next claim pass via dirAt/dvAt.
             val before = myNext
             reResolve(e)
-            Seq(StatsPrefix, BloomPrefix).foreach { pfx =>
+            Seq(StatsPrefix, BloomPrefix, NdvPrefix).foreach { pfx =>
               fs.delete(new Path(rootP, pfx + fmt(before)), false)
             }
         }
@@ -1112,6 +1115,130 @@ object ManifestTable {
     }
   }
 
+  // ---------------------- NDV sketches (per-file KMV) --------------------
+  //
+  // Column statistics for the planner (CBO join/filter estimation wants
+  // distinct counts, not just bytes): per (file, bloom column) the k
+  // smallest distinct 60-bit md5 hashes — the [[org.apache.spark.sql
+  // .graft.KmvSketch]] state, persisted. KMV sketches UNION exactly
+  // (k smallest of a union = k smallest of the concatenated minima), so a
+  // pruned scan's NDV estimate merges exactly the files it will read —
+  // the same granularity as the byte/row estimates. Rides the SAME
+  // commit-scoped scan as the Bloom harvest (bloom columns are the join
+  // keys, exactly where NDV matters), costs one bounded aggregate
+  // (≤ NdvK longs per file per column shipped to the driver).
+
+  private val NdvK = 128
+
+  private def harvestNdv(spark: SparkSession, fs: FileSystem, vdir: Path,
+                         bloomCols: Seq[String]): Seq[(String, String, Array[Long])] = {
+    import org.apache.spark.sql.functions._
+    val base = new Path(fs.makeQualified(vdir).toString).toUri.getPath
+    val universe = listDataFiles(fs, vdir)
+    val df = spark.read.parquet(vdir.toString)
+    bloomCols.flatMap { c =>
+      // the portable 60-bit md5 hash (q95/q116 convention)
+      val hv = conv(substring(md5(col(c).cast("string")), 1, 15), 16, 10)
+        .cast("long")
+      val got = df.select(input_file_name().as("f"), hv.as("h"))
+        .filter(col("h").isNotNull)
+        .groupBy("f")
+        .agg(org.apache.spark.sql.graft.KmvColumns.kmvState(col("h"), NdvK).as("m"))
+        .collect()
+        .map { r =>
+          val rel = new Path(r.getString(0)).toUri.getPath
+            .stripPrefix(base).stripPrefix("/")
+          (rel, c, r.getSeq[Long](1).toArray)
+        }
+      // an all-NULL file drops out of the aggregate — record it as an
+      // EMPTY sketch (zero distinct values, exact), never a missing one
+      // (which would drop the whole column from pruned estimates)
+      val have = got.map(_._1).toSet
+      got.toSeq ++ universe.filterNot(have).map((_, c, Array.empty[Long]))
+    }
+  }
+
+  private def writeNdv(fs: FileSystem, rootP: Path, dataVersion: Long,
+                       ndv: Seq[(String, String, Array[Long])]): Unit = {
+    val body = ndv.map { case (rel, c, arr) =>
+      s"${hex(rel)}\t${hex(c)}\t${arr.map(v => f"$v%016x").mkString}"
+    }.mkString("", "\n", "\n")
+    val out = fs.create(new Path(rootP, NdvPrefix + fmt(dataVersion)), true)
+    try out.write(body.getBytes("UTF-8")) finally out.close()
+  }
+
+  /** relPath → (col → KMV minima) of a data version; None when the version
+    * committed without NDV sketches.
+    */
+  private def loadNdv(fs: FileSystem, rootP: Path,
+                      dataVersion: Long): Option[Map[String, Map[String, Array[Long]]]] = {
+    val p = new Path(rootP, NdvPrefix + fmt(dataVersion))
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val body =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      Some(body.linesIterator.filter(_.nonEmpty).map { line =>
+        val Array(rel, c, hs) = line.split("\t", 3)
+        val arr = hs.grouped(16).map(java.lang.Long.parseUnsignedLong(_, 16)).toArray
+        (unhex(rel), unhex(c), arr)
+      }.toSeq.groupBy(_._1).map { case (rel, rows) =>
+        rel -> rows.map(r => r._2 -> r._3).toMap
+      })
+    }
+  }
+
+  /** Column → estimated distinct count over exactly the files the given
+    * hints leave readable — ALL-OR-NOTHING per column (a file without a
+    * sketch drops the column: a partial union UNDER-estimates). Exact when
+    * the merged minima stay under k; DV-masked rows are uncounted
+    * (superset, like bytes/rows). An empty file set yields no columns.
+    */
+  def estimatePrunedNdv(spark: SparkSession, root: String, v: Long,
+                        ranges: Seq[ColRange],
+                        points: Seq[(String, Any)] = Nil,
+                        pointsAny: Seq[(String, Seq[Any])] = Nil): Map[String, Long] =
+    ndvOfPerFile(keptSketches(spark, root, v, ranges, points, pointsAny))
+
+  private def keptSketches(spark: SparkSession, root: String, v: Long,
+                           ranges: Seq[ColRange], points: Seq[(String, Any)],
+                           pointsAny: Seq[(String, Seq[Any])])
+      : Seq[Map[String, Array[Long]]] = {
+    val (plan, _) = planPrune(spark, root, v, ranges, points, pointsAny)
+    val (fs, rootP) = fsOf(spark, root)
+    plan.toSeq.flatMap { case (dv, sel) =>
+      val vdir = new Path(rootP, "v" + fmt(dv))
+      val kept: Seq[String] = sel match {
+        case Left(dirs) => listDataFiles(fs, vdir).filter(rel =>
+          dirs.contains("") || dirs.exists(d => rel.startsWith(d + "/")))
+        case Right(files) => files
+      }
+      if (kept.isEmpty) Nil
+      else {
+        // a kept file with NO sketch line for a column means that version
+        // never harvested it
+        val sketches = loadNdv(fs, rootP, dv).getOrElse(Map.empty)
+        kept.map(rel => sketches.getOrElse(rel, Map.empty))
+      }
+    }
+  }
+
+  private def ndvOfPerFile(perFile: Seq[Map[String, Array[Long]]]): Map[String, Long] =
+    if (perFile.isEmpty) Map.empty
+    else {
+      // a column survives only when EVERY kept file carries its sketch —
+      // cross-version bloomCols drift drops the column, never a partial sum
+      val cols = perFile.flatMap(_.keys).distinct
+        .filter(c => perFile.forall(_.contains(c)))
+      cols.map { c =>
+        val set = scala.collection.mutable.TreeSet.empty[Long]
+        perFile.foreach(_(c).foreach(
+          org.apache.spark.sql.graft.KmvSketch.offer(set, _, NdvK)))
+        c -> org.apache.spark.sql.graft.KmvSketch.estimate(set, NdvK)
+      }.toMap
+    }
+
   private def writeBlooms(fs: FileSystem, rootP: Path, dataVersion: Long,
                           blooms: Seq[(String, String, Array[Long])]): Unit = {
     val body = blooms.map { case (rel, c, arr) =>
@@ -1320,25 +1447,29 @@ object ManifestTable {
                           pointsAny: Seq[(String, Seq[Any])] = Nil): Long =
     estimatePruned(spark, root, v, ranges, points, pointsAny)._1
 
-  /** `(bytes, rows)` the given hints leave readable in snapshot `v` — one
-    * pruned plan, one file listing, both estimates. Rows come from the
-    * `_stats` sidecars' per-file footer counts under the same SUPERSET
-    * contract as the bytes (deletion-vector-masked rows are NOT
+  /** `(bytes, rows, ndv)` the given hints leave readable in snapshot `v` —
+    * one pruned plan, one file listing, all three estimates. Rows come
+    * from the `_stats` sidecars' per-file footer counts under the same
+    * SUPERSET contract as the bytes (deletion-vector-masked rows are NOT
     * subtracted — the estimate upper-bounds what the scan yields, the
     * safe direction for join planning); `None` when ANY surviving file
     * lacks a row-count entry (versions committed before r19 or without
     * statsCols) — a partial sum would UNDER-report, the direction that
-    * breaks broadcast decisions.
+    * breaks broadcast decisions. `ndv` maps each bloom column whose KMV
+    * sketch EVERY kept file carries to its merged distinct-count estimate
+    * (exact under `NdvK` distinct values).
     */
   def estimatePruned(spark: SparkSession, root: String, v: Long,
                      ranges: Seq[ColRange],
                      points: Seq[(String, Any)] = Nil,
-                     pointsAny: Seq[(String, Seq[Any])] = Nil): (Long, Option[Long]) = {
+                     pointsAny: Seq[(String, Seq[Any])] = Nil)
+      : (Long, Option[Long], Map[String, Long]) = {
     val (plan, _) = planPrune(spark, root, v, ranges, points, pointsAny)
     val (fs, rootP) = fsOf(spark, root)
     var bytes = 0L
     var rows = 0L
     var haveRows = true
+    val perFile = Seq.newBuilder[Map[String, Array[Long]]]
     plan.foreach { case (dv, sel) =>
       val vdir = new Path(rootP, "v" + fmt(dv))
       val withLen = listDataFilesWithLen(fs, vdir)
@@ -1350,8 +1481,8 @@ object ManifestTable {
           files.flatMap(f => lens.get(f).map(f -> _))
       }
       bytes += kept.map(_._2).sum
-      if (haveRows && kept.nonEmpty) {
-        loadStats(fs, rootP, dv) match {
+      if (kept.nonEmpty) {
+        if (haveRows) loadStats(fs, rootP, dv) match {
           case None => haveRows = false
           case Some(stats) => kept.foreach { case (rel, _) =>
             if (haveRows) stats.get(rel).flatMap(_.get(RowsCol)) match {
@@ -1360,9 +1491,12 @@ object ManifestTable {
             }
           }
         }
+        val sketches = loadNdv(fs, rootP, dv).getOrElse(Map.empty)
+        kept.foreach { case (rel, _) =>
+          perFile += sketches.getOrElse(rel, Map.empty) }
       }
     }
-    (bytes, if (haveRows) Some(rows) else None)
+    (bytes, if (haveRows) Some(rows) else None, ndvOfPerFile(perFile.result()))
   }
 
   private def listDataFilesWithLen(fs: FileSystem, vdir: Path): Seq[(String, Long)] = {
@@ -1904,6 +2038,8 @@ object ManifestTable {
       if (statsCols.nonEmpty) harvestStats(fs, stage, statsCols) else Nil
     val blooms =
       if (bloomCols.nonEmpty) harvestBlooms(spark, fs, stage, bloomCols) else Nil
+    val ndv =
+      if (bloomCols.nonEmpty) harvestNdv(spark, fs, stage, bloomCols) else Nil
     // carry-forward merge commits keep the previous entries AND the previous
     // deletion vector (untouched partitions must keep their deleted rows
     // masked); snapshot/compact commits (carryForward=false or partCol=None)
@@ -1925,7 +2061,7 @@ object ManifestTable {
           "the same rows; compact the table (full rewrite under the current " +
           "spec) or write through append/mergeDv")
     publishStaged(spark, root, stage, base, prev, touchedNames, dvCarry,
-      stats, blooms, retryable = retryable)
+      stats, blooms, retryable = retryable, ndv = ndv)
   }
 
   /** Stage `df` partitioned per `spec` (deriving the physical column when
@@ -2040,12 +2176,15 @@ object ManifestTable {
       if (statsCols.nonEmpty) harvestStats(fs, stage, statsCols) else Nil
     val blooms =
       if (bloomCols.nonEmpty) harvestBlooms(spark, fs, stage, bloomCols) else Nil
+    val ndv =
+      if (bloomCols.nonEmpty) harvestNdv(spark, fs, stage, bloomCols) else Nil
     val base = currentVersion(spark, root)
     val (prev, dvCarry) = base
       .map(v => (entriesOf(fs, rootP, v), dvOf(fs, rootP, v)))
       .getOrElse((Seq.empty[(String, Long)], None))
     publishStaged(spark, root, stage, base, prev, touchedNames, dvCarry,
-      stats, blooms, retryable = true, appendEntries = true, blindAppend = true)
+      stats, blooms, retryable = true, appendEntries = true, blindAppend = true,
+      ndv = ndv)
   }
 
   /** Fold the CURRENT snapshot of a single-writer STAGING table into
@@ -2075,6 +2214,8 @@ object ManifestTable {
       case (rel, cols) => cols.toSeq.map { case (c, z) => (rel, c, z) } }
     val blooms = loadBlooms(fs, srcP, dataV).getOrElse(Map.empty).toSeq.flatMap {
       case (rel, cols) => cols.toSeq.map { case (c, a) => (rel, c, a) } }
+    val ndv = loadNdv(fs, srcP, dataV).getOrElse(Map.empty).toSeq.flatMap {
+      case (rel, cols) => cols.toSeq.map { case (c, a) => (rel, c, a) } }
     val (_, dstP) = fsOf(spark, dstRoot)
     fs.mkdirs(dstP)
     val stage = new Path(dstP,
@@ -2083,7 +2224,7 @@ object ManifestTable {
       s"adoptSnapshot: moving staged data into $dstRoot failed")
     val base = currentVersion(spark, dstRoot)
     publishStaged(spark, dstRoot, stage, base, Nil, entries.map(_._1).distinct,
-      None, stats, blooms, retryable = false)
+      None, stats, blooms, retryable = false, ndv = ndv)
   }
 
   /** Schema of the current (or `asOfVersion`) snapshot, inferred from the
@@ -2238,12 +2379,14 @@ object ManifestTable {
       if (statsCols.nonEmpty) harvestStats(fs, stage, statsCols) else Nil
     val blooms =
       if (bloomCols.nonEmpty) harvestBlooms(spark, fs, stage, bloomCols) else Nil
+    val ndv =
+      if (bloomCols.nonEmpty) harvestNdv(spark, fs, stage, bloomCols) else Nil
     // dvCarry0 = the base DV this commit's union consumed — the rebase
     // conflict check compares the winner's DV pointer against it (the
     // manifest's own #dv comes from dvStage, not the carry)
     publishStaged(spark, root, stage, Some(cur), entriesOf(fs, rootP, cur),
       touchedNames, dvOf(fs, rootP, cur), stats, blooms, retryable = true,
-      appendEntries = true, dvStage = Some(dvStage))
+      appendEntries = true, dvStage = Some(dvStage), ndv = ndv)
   }
 
   /** [[mergeDv]] with the deleted POSITIONS handed in directly instead of
@@ -2323,10 +2466,13 @@ object ManifestTable {
     val blooms =
       if (bloomCols.nonEmpty && batch.isDefined) harvestBlooms(spark, fs, stage, bloomCols)
       else Nil
+    val ndv =
+      if (bloomCols.nonEmpty && batch.isDefined) harvestNdv(spark, fs, stage, bloomCols)
+      else Nil
     publishStaged(spark, root, stage, Some(baseVersion),
       entriesOf(fs, rootP, baseVersion), touchedNames,
       dvOf(fs, rootP, baseVersion), stats, blooms, retryable = true,
-      appendEntries = true, dvStage = dvStage, mergeRules = true)
+      appendEntries = true, dvStage = dvStage, mergeRules = true, ndv = ndv)
   }
 
   private val WatermarkName = "_replica.watermark"
@@ -2475,7 +2621,7 @@ object ManifestTable {
     import org.apache.spark.sql.functions._
     val cur = currentVersion(spark, root).getOrElse(
       throw new IllegalStateException(s"manifest table $root has no committed version"))
-    val (totalBytes, _) = estimatePruned(spark, root, cur, Nil)
+    val (totalBytes, _, _) = estimatePruned(spark, root, cur, Nil)
     val targetFiles = math.max(1L,
       (totalBytes + targetBytes - 1) / targetBytes).min(1 << 20).toInt
     val df0 = read(spark, root, schema)
@@ -3216,6 +3362,8 @@ object ManifestTable {
           fs.delete(st.getPath, false) // zone maps of reclaimed data versions
         else if (n.startsWith(BloomPrefix) && !live.contains(n.stripPrefix(BloomPrefix).toLong))
           fs.delete(st.getPath, false) // bloom sidecars of reclaimed versions
+        else if (n.startsWith(NdvPrefix) && !live.contains(n.stripPrefix(NdvPrefix).toLong))
+          fs.delete(st.getPath, false) // NDV sketches of reclaimed versions
         else if (n.startsWith(".manifest-") && n.endsWith(".tmp"))
           fs.delete(st.getPath, false)
         else if (n.startsWith("." + TagsFile + "-") && n.endsWith(".tmp"))

@@ -116,6 +116,47 @@ class ScanStatsSpec extends SparkSuite {
       .sizeInBytes < BigInt(Long.MaxValue) / 2, "bytes still reported")
   }
 
+  test("column NDV from bloom-column KMV sketches reaches scan statistics (r19)") {
+    wh
+    import spark.implicits._
+    import org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation
+    import graft.sources.ManifestTable
+    spark.sql("DROP TABLE IF EXISTS gstat.db.nv")
+    spark.sql("""CREATE TABLE gstat.db.nv (k BIGINT, u BIGINT, p STRING)
+      PARTITIONED BY (p) TBLPROPERTIES ('statsCols' = 'k', 'bloomCols' = 'u')""")
+    // u has 100 distinct values (< the sketch k) -> the estimate is EXACT
+    (0L until 10000L).map(i => (i, i % 100, s"p${i % 4}")).toDF("k", "u", "p")
+      .createOrReplaceTempView("nv_src")
+    spark.sql("INSERT INTO gstat.db.nv SELECT * FROM nv_src")
+    val root = s"$wh/db/nv"
+    val cur = ManifestTable.currentVersion(spark, root).get
+    assert(ManifestTable.estimatePrunedNdv(spark, root, cur, Nil)
+      == Map("u" -> 100L))
+    // partition pruning narrows the sketch union to the kept files: within
+    // p1 (i % 4 == 1, and 100 % 4 == 0) u takes exactly 25 residues
+    assert(ManifestTable.estimatePrunedNdv(spark, root, cur, Nil,
+      points = Seq("p" -> "p1")) == Map("u" -> 25L))
+    // the scan's V2 statistics surface it as a per-column distinctCount
+    val rel = spark.table("gstat.db.nv").queryExecution.optimizedPlan
+      .collectFirst { case r: DataSourceV2ScanRelation => r }.get
+    val v2 = rel.scan
+      .asInstanceOf[org.apache.spark.sql.connector.read.SupportsReportStatistics]
+      .estimateStatistics()
+    val byName = v2.columnStats()
+    import scala.jdk.CollectionConverters._
+    val got = byName.asScala.map { case (ref, cs) =>
+      ref.fieldNames().mkString(".") -> cs.distinctCount() }
+    assert(got.get("u").exists(o => o.isPresent && o.getAsLong == 100L), got)
+    // an all-NULL batch records EMPTY sketches, never missing ones — the
+    // column keeps reporting instead of dropping out
+    Seq((90000L, Option.empty[Long], "p1")).toDF("k", "u", "p")
+      .createOrReplaceTempView("nv_null")
+    spark.sql("INSERT INTO gstat.db.nv SELECT * FROM nv_null")
+    val cur2 = ManifestTable.currentVersion(spark, root).get
+    assert(ManifestTable.estimatePrunedNdv(spark, root, cur2, Nil)
+      == Map("u" -> 100L))
+  }
+
   private def withSQLConf(kv: (String, String)*)(f: => Unit): Unit = {
     val olds = kv.map { case (k, _) => k -> spark.conf.getOption(k) }
     kv.foreach { case (k, v) => spark.conf.set(k, v) }
