@@ -6364,7 +6364,65 @@ object Queries {
         ON b.status = r.status
       JOIN (SELECT status, CAST(count(*) AS BIGINT) AS n_a,
               ${dsumSql("price")} AS p_a FROM br GROUP BY status) a
-        ON b.status = a.status"""))
+        ON b.status = a.status""")),
+
+    // SCAN-STATISTICS ESTIMATES, ORACLED (r19): the row counts and column
+    // NDV a catalog scan reports to Catalyst are not heuristics — rows are
+    // exact footer sums over the pruned file set, and NDV is a KMV sketch
+    // over PORTABLE md5 hashes, so DuckDB replays both bit-for-bit (the
+    // q116 estimator replayed at the metadata layer: union of per-file
+    // bottom-k sketches == global bottom-k, the KMV property). Two scopes:
+    // the full table and a partition-pruned slice — proving the estimates
+    // track exactly what the pruned plan will read, which is what makes
+    // them safe to hand to join planning at 100 TB.
+    ("q211_scan_stats", (s: SparkSession, d: String) => {
+      import graft.sources.{GraftCatalog, ManifestTable}
+      val ev = t(s, d, "events").select(col("event_id"), col("user_id"),
+        col("event_type"))
+      val wh = java.nio.file.Files.createTempDirectory("q211-cat").toString
+      val cat = s"gq211x${catSeq.incrementAndGet()}" // mixes SQL + raw paths
+      s.conf.set(s"spark.sql.catalog.$cat", classOf[GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+      s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.db")
+      ev.createOrReplaceTempView("q211_src")
+      s.sql(s"""CREATE TABLE $cat.db.e (
+        event_id BIGINT, user_id BIGINT, event_type STRING)
+        PARTITIONED BY (event_type)
+        TBLPROPERTIES ('statsCols' = 'event_id', 'bloomCols' = 'user_id')""")
+      s.sql(s"INSERT INTO $cat.db.e SELECT * FROM q211_src")
+      val root = s"$wh/db/e"
+      val cur = ManifestTable.currentVersion(s, root).get
+      val (_, fullRows, fullNdv) = ManifestTable.estimatePruned(s, root, cur, Nil)
+      val (_, clickRows, clickNdv) = ManifestTable.estimatePruned(s, root, cur,
+        Nil, points = Seq("event_type" -> "click"))
+      import s.implicits._
+      Seq(("full", fullRows.get, fullNdv("user_id")),
+        ("click", clickRows.get, clickNdv("user_id")))
+        .toDF("scope", "n_rows", "ndv")
+    }, Some("""WITH src AS (SELECT event_id, user_id, event_type FROM events),
+      fh AS (SELECT DISTINCT
+          ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS hv
+        FROM src WHERE user_id IS NOT NULL),
+      fk AS (SELECT hv, row_number() OVER (ORDER BY hv) AS rn FROM fh),
+      ch AS (SELECT DISTINCT
+          ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS hv
+        FROM src WHERE user_id IS NOT NULL AND event_type = 'click'),
+      ck AS (SELECT hv, row_number() OVER (ORDER BY hv) AS rn FROM ch)
+      SELECT 'full' AS scope,
+        (SELECT CAST(count(*) AS BIGINT) FROM src) AS n_rows,
+        CASE WHEN (SELECT count(*) FROM fh) < 128
+          THEN (SELECT CAST(count(*) AS BIGINT) FROM fh)
+          ELSE CAST(floor(127.0 * 1152921504606846976.0 /
+            CAST((SELECT hv FROM fk WHERE rn = 128) AS DOUBLE)) AS BIGINT)
+        END AS ndv
+      UNION ALL
+      SELECT 'click',
+        (SELECT CAST(count(*) AS BIGINT) FROM src WHERE event_type = 'click'),
+        CASE WHEN (SELECT count(*) FROM ch) < 128
+          THEN (SELECT CAST(count(*) AS BIGINT) FROM ch)
+          ELSE CAST(floor(127.0 * 1152921504606846976.0 /
+            CAST((SELECT hv FROM ck WHERE rn = 128) AS DOUBLE)) AS BIGINT)
+        END"""))
   )
 
   /** The BM25 replay shared by q72/q123 — postings, df, dl, corpus stats,

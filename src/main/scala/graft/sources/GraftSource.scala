@@ -221,13 +221,25 @@ class GraftSource extends RelationProvider with SchemaRelationProvider
         val evolved = SchemaEvolve.evolve(sqlContext.sparkSession, r, data0.schema)
         SchemaEvolve.alignTo(data0, evolved)
       } else data0
-    // an explicit partitionBy option wins; otherwise a sidecar-declared
-    // spec (identity or hidden transform) drives the write, so
-    // path-addressed saves land partitioned like the catalog table they
-    // extend
+    // an explicit partitionBy option wins — it accepts the full rendered
+    // spec grammar (a bare column name = identity, as ever; transforms and
+    // comma-separated composites too: `days(ts),bucket(4,k)`); otherwise a
+    // sidecar-declared spec drives the write, so path-addressed saves land
+    // partitioned like the catalog table they extend
+    val ddlOpt0 = GraftDdl.load(sqlContext.sparkSession, r)
+    val optSpec: Option[PartSpec] = parameters.get("partitionBy")
+      .map(rd => PartSpec.validate(PartSpec.parse(rd, data1.schema), data1.schema))
+    // a TRANSFORM spec on a sidecar-less root bootstraps the DDL sidecar:
+    // the spec must live SOMEWHERE for pruning to map predicates through
+    // it and for reads to resolve the declared (derived-column-free)
+    // schema — without this, the hidden layout would leak its dir columns
+    // into inferred reads and never prune (an identity partitionBy keeps
+    // the legacy sidecar-less behavior byte-for-byte)
+    if (ddlOpt0.isEmpty && optSpec.exists(!_.isIdentity))
+      GraftDdl.save(sqlContext.sparkSession, r, data1.schema,
+        optSpec.map(_.render), Map.empty)
     val ddlOpt = GraftDdl.load(sqlContext.sparkSession, r)
-    val spec: Option[PartSpec] = parameters.get("partitionBy")
-      .map(PartSpec.Identity(_): PartSpec)
+    val spec: Option[PartSpec] = optSpec
       .orElse(ddlOpt.flatMap(d =>
         for { sch <- d.schema; rd <- d.partCol } yield PartSpec.parse(rd, sch)))
     val data = Checks.enforce(data1, ddlOpt.map(_.props).getOrElse(Map.empty))

@@ -628,6 +628,30 @@ class PartSpecSpec extends SparkSuite {
     assert(PartSpecs.of(spark, root).size == 1)
   }
 
+  test("V1 front door partitionBy option accepts transform renders (r19)") {
+    val root = java.nio.file.Files.createTempDirectory("graft-fd-spec").toString + "/t"
+    val day = 86400000000L
+    val df = (0L until 24L).map(i => (i % 8, (i % 3) * day, i.toDouble))
+      .toDF("k", "us", "v")
+      .select(col("k"), timestamp_micros(col("us")).as("ts"), col("v"))
+    df.write.format("graft").option("partitionBy", "days(ts),bucket(4,k)")
+      .mode("overwrite").save(root)
+    val dirs = new java.io.File(root).listFiles().filter(_.getName.startsWith("v"))
+      .flatMap(v => Option(v.listFiles()).getOrElse(Array.empty))
+      .filter(_.getName.startsWith("ts_day="))
+    assert(dirs.length == 3, dirs.map(_.getName).mkString(","))
+    assert(dirs.flatMap(_.listFiles()).count(_.getName.startsWith("k_bucket=")) > 3)
+    val back = spark.read.format("graft").load(root)
+    assert(back.count() == 24)
+    // data files carry only the declared columns (hidden layout): the
+    // transform write BOOTSTRAPPED a sidecar, so reads resolve the
+    // declared schema and pruning maps predicates through the spec
+    assert(back.schema.fieldNames.toSet == Set("k", "ts", "v"))
+    val (kp, tp) = ManifestTable.prunePartitionCounts(spark, root, Nil,
+      points = Seq("k" -> java.lang.Long.valueOf(5L)))
+    assert(kp < tp && kp >= 1, s"bootstrap spec should prune: $kp/$tp")
+  }
+
   test("first ALTER on a path-first partitioned table keeps its layout (ADVICE r18)") {
     wh
     val root = rootOf("pf9")
