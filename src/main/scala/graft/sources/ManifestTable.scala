@@ -1092,27 +1092,54 @@ object ManifestTable {
   }
 
   private def harvestBlooms(spark: SparkSession, fs: FileSystem, vdir: Path,
-                            bloomCols: Seq[String]): Seq[(String, String, Array[Long])] = {
+                            bloomCols: Seq[String]): Seq[(String, String, Array[Long])] =
+    harvestBloomsAndNdv(spark, fs, vdir, bloomCols)._1
+
+  /** ONE aggregation job per bloom column serves BOTH skipping sidecars:
+    * `groupBy(file).agg(bloom_words, kmv_state)` — the native Bloom
+    * aggregate ([[org.apache.spark.sql.graft.BloomWordsAgg]], position
+    * math pinned bit-for-bit against [[bloomPositions]]/[[pointPositions]]
+    * by BloomAggSpec) ORs bit positions straight into the word buffer, so
+    * the old explode(k×)+groupBy(file,word) shuffle AND a second NDV pass
+    * are both gone — the per-commit harvest now costs less than the r18
+    * Bloom harvest alone.
+    */
+  private def harvestBloomsAndNdv(spark: SparkSession, fs: FileSystem, vdir: Path,
+                                  bloomCols: Seq[String])
+      : (Seq[(String, String, Array[Long])], Seq[(String, String, Array[Long])]) = {
     import org.apache.spark.sql.functions._
     // input_file_name() and makeQualified render the scheme differently
     // (file:/// vs file:/) — compare scheme-free URI paths
     val base = new Path(fs.makeQualified(vdir).toString).toUri.getPath
+    val universe = listDataFiles(fs, vdir)
     val df = spark.read.parquet(vdir.toString)
-    bloomCols.flatMap { c =>
-      val words = df.select(input_file_name().as("f"), col(c).cast("string").as("v"))
+    val both = bloomCols.map { c =>
+      // the portable 60-bit md5 hash (q95/q116 convention)
+      val hv = conv(substring(md5(col("v")), 1, 15), 16, 10).cast("long")
+      val rows = df.select(input_file_name().as("f"), col(c).cast("string").as("v"))
         .filter(col("v").isNotNull)
-        .select(col("f"), explode(bloomPositions(col("v"))).as("pos"))
-        .select(col("f"), (col("pos") / 64).cast("int").as("w"),
-          expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))").as("mask"))
-        .groupBy("f", "w").agg(expr("bit_or(mask)").as("bits"))
+        .select(col("f"), col("v"), hv.as("h"))
+        .groupBy("f")
+        .agg(org.apache.spark.sql.graft.BloomWordsAgg
+          .column(col("v"), BloomBits, BloomHashes).as("bw"),
+          org.apache.spark.sql.graft.KmvColumns.kmvState(col("h"), NdvK).as("m"))
         .collect()
-      words.groupBy(_.getString(0)).map { case (file, rows) =>
-        val arr = new Array[Long](BloomBits / 64)
-        rows.foreach(r => arr(r.getInt(1)) = r.getLong(2))
-        val rel = new Path(file).toUri.getPath.stripPrefix(base).stripPrefix("/")
-        (rel, c, arr)
+      val got = rows.map { r =>
+        val rel = new Path(r.getString(0)).toUri.getPath
+          .stripPrefix(base).stripPrefix("/")
+        (rel, r.getSeq[Long](1).toArray, r.getSeq[Long](2).toArray)
       }
+      val blooms = got.toSeq.map { case (rel, bw, _) => (rel, c, bw) }
+      // an all-NULL file drops out of the aggregate — record an EMPTY NDV
+      // sketch (zero distinct, exact), never a missing one (which would
+      // drop the whole column from pruned estimates); Bloom entries stay
+      // absent for such files as before (harvest filters isNotNull)
+      val have = got.map(_._1).toSet
+      val ndv = got.toSeq.map { case (rel, _, m) => (rel, c, m) } ++
+        universe.filterNot(have).map((_, c, Array.empty[Long]))
+      (blooms, ndv)
     }
+    (both.flatMap(_._1), both.flatMap(_._2))
   }
 
   // ---------------------- NDV sketches (per-file KMV) --------------------
@@ -1129,34 +1156,6 @@ object ManifestTable {
   // (≤ NdvK longs per file per column shipped to the driver).
 
   private val NdvK = 128
-
-  private def harvestNdv(spark: SparkSession, fs: FileSystem, vdir: Path,
-                         bloomCols: Seq[String]): Seq[(String, String, Array[Long])] = {
-    import org.apache.spark.sql.functions._
-    val base = new Path(fs.makeQualified(vdir).toString).toUri.getPath
-    val universe = listDataFiles(fs, vdir)
-    val df = spark.read.parquet(vdir.toString)
-    bloomCols.flatMap { c =>
-      // the portable 60-bit md5 hash (q95/q116 convention)
-      val hv = conv(substring(md5(col(c).cast("string")), 1, 15), 16, 10)
-        .cast("long")
-      val got = df.select(input_file_name().as("f"), hv.as("h"))
-        .filter(col("h").isNotNull)
-        .groupBy("f")
-        .agg(org.apache.spark.sql.graft.KmvColumns.kmvState(col("h"), NdvK).as("m"))
-        .collect()
-        .map { r =>
-          val rel = new Path(r.getString(0)).toUri.getPath
-            .stripPrefix(base).stripPrefix("/")
-          (rel, c, r.getSeq[Long](1).toArray)
-        }
-      // an all-NULL file drops out of the aggregate — record it as an
-      // EMPTY sketch (zero distinct values, exact), never a missing one
-      // (which would drop the whole column from pruned estimates)
-      val have = got.map(_._1).toSet
-      got.toSeq ++ universe.filterNot(have).map((_, c, Array.empty[Long]))
-    }
-  }
 
   private def writeNdv(fs: FileSystem, rootP: Path, dataVersion: Long,
                        ndv: Seq[(String, String, Array[Long])]): Unit = {
@@ -2036,10 +2035,9 @@ object ManifestTable {
     // are dropped next to whatever number the claim lands on
     val stats =
       if (statsCols.nonEmpty) harvestStats(fs, stage, statsCols) else Nil
-    val blooms =
-      if (bloomCols.nonEmpty) harvestBlooms(spark, fs, stage, bloomCols) else Nil
-    val ndv =
-      if (bloomCols.nonEmpty) harvestNdv(spark, fs, stage, bloomCols) else Nil
+    val (blooms, ndv) =
+      if (bloomCols.nonEmpty) harvestBloomsAndNdv(spark, fs, stage, bloomCols)
+      else (Nil, Nil)
     // carry-forward merge commits keep the previous entries AND the previous
     // deletion vector (untouched partitions must keep their deleted rows
     // masked); snapshot/compact commits (carryForward=false or partCol=None)
@@ -2174,10 +2172,9 @@ object ManifestTable {
     }
     val stats =
       if (statsCols.nonEmpty) harvestStats(fs, stage, statsCols) else Nil
-    val blooms =
-      if (bloomCols.nonEmpty) harvestBlooms(spark, fs, stage, bloomCols) else Nil
-    val ndv =
-      if (bloomCols.nonEmpty) harvestNdv(spark, fs, stage, bloomCols) else Nil
+    val (blooms, ndv) =
+      if (bloomCols.nonEmpty) harvestBloomsAndNdv(spark, fs, stage, bloomCols)
+      else (Nil, Nil)
     val base = currentVersion(spark, root)
     val (prev, dvCarry) = base
       .map(v => (entriesOf(fs, rootP, v), dvOf(fs, rootP, v)))
@@ -2377,10 +2374,9 @@ object ManifestTable {
     allDel.write.mode("overwrite").parquet(dvStage.toString)
     val stats =
       if (statsCols.nonEmpty) harvestStats(fs, stage, statsCols) else Nil
-    val blooms =
-      if (bloomCols.nonEmpty) harvestBlooms(spark, fs, stage, bloomCols) else Nil
-    val ndv =
-      if (bloomCols.nonEmpty) harvestNdv(spark, fs, stage, bloomCols) else Nil
+    val (blooms, ndv) =
+      if (bloomCols.nonEmpty) harvestBloomsAndNdv(spark, fs, stage, bloomCols)
+      else (Nil, Nil)
     // dvCarry0 = the base DV this commit's union consumed — the rebase
     // conflict check compares the winner's DV pointer against it (the
     // manifest's own #dv comes from dvStage, not the carry)
@@ -2463,12 +2459,10 @@ object ManifestTable {
     }
     val stats =
       if (statsCols.nonEmpty && batch.isDefined) harvestStats(fs, stage, statsCols) else Nil
-    val blooms =
-      if (bloomCols.nonEmpty && batch.isDefined) harvestBlooms(spark, fs, stage, bloomCols)
-      else Nil
-    val ndv =
-      if (bloomCols.nonEmpty && batch.isDefined) harvestNdv(spark, fs, stage, bloomCols)
-      else Nil
+    val (blooms, ndv) =
+      if (bloomCols.nonEmpty && batch.isDefined)
+        harvestBloomsAndNdv(spark, fs, stage, bloomCols)
+      else (Nil, Nil)
     publishStaged(spark, root, stage, Some(baseVersion),
       entriesOf(fs, rootP, baseVersion), touchedNames,
       dvOf(fs, rootP, baseVersion), stats, blooms, retryable = true,
