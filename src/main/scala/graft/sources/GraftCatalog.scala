@@ -1892,9 +1892,10 @@ private[sources] class GraftV1ScanImpl(root: String, tableSchema: StructType,
     * scales like Spark's own file relations. numRows reports ONLY when
     * every surviving file carries a harvested count (a partial or guessed
     * row estimate would mislead CBO where missing bytes merely disable a
-    * broadcast — [[ManifestTable.estimatePrunedRows]]'s all-or-nothing
-    * contract), and like the bytes it is a SUPERSET of what the scan
-    * yields (DV-masked rows uncounted).
+    * broadcast — [[ManifestTable.estimatePruned]]'s all-or-nothing
+    * contract) and NEVER when a deletion vector is present (the masked
+    * rows would inflate an exact-looking count into CBO's cardinality
+    * estimation; bytes alone keep their superset contract).
     */
   private lazy val stats: org.apache.spark.sql.connector.read.Statistics = {
     val spark = SparkSession.active

@@ -214,12 +214,19 @@ class GraftSource extends RelationProvider with SchemaRelationProvider
     val r = root(parameters)
     // mergeSchema=true: absorb the frame's new columns into the declared
     // sidecar schema BEFORE the write (one metadata write), then conform
-    // the frame — the Delta write-path evolution shape ([[SchemaEvolve]])
+    // the frame — the Delta write-path evolution shape ([[SchemaEvolve]]).
+    // An EXISTING sidecar-less (path-first) table has no declared schema
+    // to evolve: fail loudly via SchemaEvolve.evolve's message rather than
+    // silently dropping the option (ADVICE r19 — a user appending a
+    // drifted frame got neither evolution nor an error). A fresh root is
+    // different: the first write DEFINES the schema, nothing can drift.
     val data1 =
-      if (parameters.get("mergeSchema").exists(_.equalsIgnoreCase("true"))
-          && GraftDdl.load(sqlContext.sparkSession, r).isDefined) {
-        val evolved = SchemaEvolve.evolve(sqlContext.sparkSession, r, data0.schema)
-        SchemaEvolve.alignTo(data0, evolved)
+      if (parameters.get("mergeSchema").exists(_.equalsIgnoreCase("true"))) {
+        if (GraftDdl.load(sqlContext.sparkSession, r).isDefined ||
+            ManifestTable.exists(sqlContext.sparkSession, r)) {
+          val evolved = SchemaEvolve.evolve(sqlContext.sparkSession, r, data0.schema)
+          SchemaEvolve.alignTo(data0, evolved)
+        } else data0
       } else data0
     // an explicit partitionBy option wins — it accepts the full rendered
     // spec grammar (a bare column name = identity, as ever; transforms and

@@ -536,11 +536,15 @@ object ManifestTable {
     fs.create(new Path(stage, claimName), true).close()
     // rebase on the winner's manifest, or abort on budget/conflict/non-retryable
     def reResolve(cause: IllegalStateException): Unit = {
-      if (hasRefs && refs(spark, root).get(refName) == lineageBase) {
-        // a FOREIGN lineage took the number: our ref's head is unchanged,
-        // so nothing needs rebasing — slide to a free number and retry
-        // (legal even for non-retryable snapshot commits: no state of ours
-        // was invalidated)
+      if (hasRefs && refs(spark, root).get(refName) == lineageBase
+          && sameLineageHead(fs, rootP, refName, lineageBase) == lineageBase) {
+        // every manifest above our head belongs to a FOREIGN lineage (our
+        // ref's marker is unchanged AND no unmarked child carries our
+        // `#ref` — a same-ref winner inside its publish→refMark window
+        // would otherwise be mistaken for foreign and its rows silently
+        // dropped from the head, ADVICE r19): nothing needs rebasing —
+        // slide to a free number and retry (legal even for non-retryable
+        // snapshot commits: no state of ours was invalidated)
         attempt += 1
         if (attempt > CommitRetries) throw cause
         myNext = math.max(maxManifestV(fs, rootP), myNext) + 1
@@ -549,7 +553,13 @@ object ManifestTable {
       attempt += 1
       if (attempt > CommitRetries || !retryable) throw cause
       val newCur =
-        if (hasRefs) refs(spark, root).getOrElse(refName, throw cause)
+        if (hasRefs) {
+          // rebase on the EFFECTIVE head: the winner's manifest (stamped
+          // `#ref`/`#parent` atomically with its rename) is the durable
+          // commit point even before its ref marker lands
+          val marked = refs(spark, root).getOrElse(refName, throw cause)
+          sameLineageHead(fs, rootP, refName, Some(marked)).getOrElse(marked)
+        }
         else currentVersion(spark, root).filter(_ >= myNext).getOrElse(throw cause)
       val newEntries = entriesOf(fs, rootP, newCur)
       val newSets = entrySetsOf(newEntries)
@@ -600,6 +610,19 @@ object ManifestTable {
       lineageBase = Some(newCur)
       myNext = (if (hasRefs) math.max(maxManifestV(fs, rootP), newCur) else newCur) + 1
     }
+    // Branched commits jump to the GLOBAL max + 1, so unlike the unbranched
+    // consecutive-number protocol a same-ref winner that landed between the
+    // caller's base-snapshot resolution and this point never forces a
+    // number collision — whether it already ref-marked (head moved) or is
+    // still inside its publish→refMark window (manifest stamped `#ref`,
+    // marker pending). Rebase up front, or this publish would fork the
+    // lineage and the winner's rows would vanish from the head once both
+    // markers land (ADVICE r19).
+    if (hasRefs && (refs(spark, root).get(refName) != lineageBase ||
+        sameLineageHead(fs, rootP, refName, lineageBase) != lineageBase))
+      reResolve(new IllegalStateException(
+        "commit collision: a same-branch writer published after this " +
+          "commit's base snapshot was resolved"))
     // the version number our data dir currently sits at (None: still staged)
     var stageCur = stage
     var dirAt: Option[Long] = None
@@ -674,11 +697,15 @@ object ManifestTable {
           def pub(): Unit = publishManifest(fs, rootP, myNext, entries,
             if (dvStage.isDefined) Some(myNext) else dvCarry,
             priorV = Some(myNext - 1).filter(_ > 0))
-          // branched: record the lineage parent atomically with the rename
-          // (fast-forward's ancestry walk) and advance the ref marker — a
-          // crash between the two leaves an orphan manifest, never a torn ref
+          // branched: record the lineage parent AND ref name atomically
+          // with the rename (fast-forward's ancestry walk; the `#ref` lets
+          // a same-ref committer racing this one's publish→refMark window
+          // adopt this manifest instead of forking the lineage — see
+          // [[sameLineageHead]]) and advance the ref marker — a crash
+          // between the two leaves an adoptable manifest, never a torn ref
           if (hasRefs)
-            withDirective(s"#parent\t${lineageBase.getOrElse(0L)}")(pub())
+            withDirective(s"#ref\t$refName")(
+              withDirective(s"#parent\t${lineageBase.getOrElse(0L)}")(pub()))
           else pub()
           committed = myNext
           if (hasRefs) refMark(fs, rootP, refName, committed)
@@ -1448,15 +1475,19 @@ object ManifestTable {
 
   /** `(bytes, rows, ndv)` the given hints leave readable in snapshot `v` —
     * one pruned plan, one file listing, all three estimates. Rows come
-    * from the `_stats` sidecars' per-file footer counts under the same
-    * SUPERSET contract as the bytes (deletion-vector-masked rows are NOT
-    * subtracted — the estimate upper-bounds what the scan yields, the
-    * safe direction for join planning); `None` when ANY surviving file
-    * lacks a row-count entry (versions committed before r19 or without
-    * statsCols) — a partial sum would UNDER-report, the direction that
-    * breaks broadcast decisions. `ndv` maps each bloom column whose KMV
-    * sketch EVERY kept file carries to its merged distinct-count estimate
-    * (exact under `NdvK` distinct values).
+    * from the `_stats` sidecars' per-file footer counts; `None` when ANY
+    * surviving file lacks a row-count entry (versions committed before
+    * r19 or without statsCols) — a partial sum would UNDER-report, the
+    * direction that breaks broadcast decisions — and `None` whenever the
+    * snapshot carries a DELETION VECTOR (ADVICE r19, the [[colBounds]]
+    * guard): the footer sums would report an exact-looking pre-delete
+    * count to CBO's cardinality estimation, and subtracting the DV from
+    * metadata alone is unsafe (inert positions on superseded files and
+    * legacy duplicate pairs would OVER-subtract — the under-report
+    * direction). Bytes keep the superset contract regardless — a size
+    * overcount merely declines a broadcast. `ndv` maps each bloom column
+    * whose KMV sketch EVERY kept file carries to its merged
+    * distinct-count estimate (exact under `NdvK` distinct values).
     */
   def estimatePruned(spark: SparkSession, root: String, v: Long,
                      ranges: Seq[ColRange],
@@ -1467,7 +1498,7 @@ object ManifestTable {
     val (fs, rootP) = fsOf(spark, root)
     var bytes = 0L
     var rows = 0L
-    var haveRows = true
+    var haveRows = dvOf(fs, rootP, v).isEmpty
     val perFile = Seq.newBuilder[Map[String, Array[Long]]]
     plan.foreach { case (dv, sel) =>
       val vdir = new Path(rootP, "v" + fmt(dv))
@@ -2897,7 +2928,8 @@ object ManifestTable {
       entriesOf(fs, rootP, toVersion), dvOf(fs, rootP, toVersion),
       priorV = Some(cur))
     if (hasRefs) {
-      withDirective(s"#parent\t$cur")(pub())
+      withDirective(s"#ref\t$currentRef")(
+        withDirective(s"#parent\t$cur")(pub()))
       refMark(fs, rootP, currentRef, next)
     } else pub()
     next
@@ -3222,6 +3254,54 @@ object ManifestTable {
 
   private def refMark(fs: FileSystem, rootP: Path, name: String, v: Long): Unit =
     fs.create(new Path(rootP, RefPrefix + name + "." + fmt(v)), true).close()
+
+  /** Ref `refName`'s EFFECTIVE head: `from` advanced along any chain of
+    * published-but-not-yet-ref-marked children of the same lineage. The
+    * ref marker is a SEPARATE create AFTER the manifest rename, so a
+    * writer inside that publish→refMark window (or crashed in it) is
+    * invisible to [[refs]] yet durably committed — the manifest rename is
+    * the commit point. A second same-ref writer that ignored such a child
+    * and slid to a fresh number would publish a SIBLING of the same
+    * parent; head = max marker would then silently drop the child's rows
+    * although its writer returned success (ADVICE r19). Children are
+    * matched on BOTH directives each branched commit stamps atomically
+    * with its rename: `#parent` == the walk's current head AND `#ref` ==
+    * this ref — parent alone cannot tell two lineages forked at the same
+    * version apart. Manifests from before the `#ref` stamp (or whose body
+    * vanishes mid-walk to a concurrent vacuum) are never adopted — that
+    * fails toward the pre-fix behavior, not toward adopting a foreign
+    * commit. An ambiguous fork (two published same-ref children of one
+    * parent — reachable only through the documented claim grace-window
+    * clobber) resolves to the LOWEST-numbered child, deterministically.
+    */
+  private def sameLineageHead(fs: FileSystem, rootP: Path, refName: String,
+                              from: Option[Long]): Option[Long] = {
+    var h = from
+    val above = (if (fs.exists(rootP)) fs.listStatus(rootP) else Array.empty[FileStatus])
+      .map(_.getPath.getName).filter(_.startsWith(ManifestPrefix))
+      .map(_.stripPrefix(ManifestPrefix).toLong)
+      .filter(_ > h.getOrElse(0L)).sorted
+    if (above.isEmpty) return h
+    val meta: Map[Long, (Option[Long], Option[String])] = above.flatMap { v =>
+      try {
+        val body = manifestBody(fs, rootP, v)
+        val p = body.linesIterator.find(_.startsWith("#parent\t"))
+          .flatMap(_.stripPrefix("#parent\t").toLongOption)
+        val r = body.linesIterator.find(_.startsWith("#ref\t"))
+          .map(_.stripPrefix("#ref\t"))
+        Some(v -> (p, r))
+      } catch { case _: java.io.IOException => None }
+    }.toMap
+    var advanced = true
+    while (advanced) {
+      val cur = h.getOrElse(0L)
+      above.find(v => v > cur && meta.get(v).contains((Some(cur), Some(refName)))) match {
+        case Some(c) => h = Some(c)
+        case None => advanced = false
+      }
+    }
+    h
+  }
 
   private[sources] def refsExist(fs: FileSystem, rootP: Path): Boolean =
     fs.exists(rootP) &&

@@ -156,4 +156,42 @@ class BranchSpec extends SparkSuite {
     })
     assert(ex.getMessage.contains("no such branch"), ex.getMessage)
   }
+
+  test("a published-but-unmarked same-ref commit is adopted, not forked (ADVICE r19)") {
+    wh
+    spark.sql("DROP TABLE IF EXISTS gbr.db.t6")
+    spark.sql("CREATE TABLE gbr.db.t6 (k BIGINT)")
+    spark.sql("INSERT INTO gbr.db.t6 VALUES (1)")
+    spark.sql("CALL gbr.system.create_branch('db.t6', 'wip')")
+    val root = rootOf("t6")
+    ManifestTable.onBranch("wip") {
+      spark.sql("INSERT INTO gbr.db.t6 VALUES (2)")
+    }
+    // Simulate a writer paused (or crashed) inside its publish→refMark
+    // window: the manifest — stamped #ref/#parent atomically with its
+    // rename — is on disk, the ref marker is not. Deleting the marker
+    // reproduces that filesystem state exactly.
+    val head = ManifestTable.refs(spark, root)("wip")
+    val rootP = new org.apache.hadoop.fs.Path(root)
+    val fs = rootP.getFileSystem(spark.sessionState.newHadoopConf())
+    assert(fs.delete(new org.apache.hadoop.fs.Path(rootP,
+      f"_ref.wip.$head%08d"), false))
+    assert(ManifestTable.refs(spark, root)("wip") < head) // window simulated
+    // A second same-ref writer resolves the STALE marked head as its base;
+    // without the #ref-chain walk it would slide to a fresh number and
+    // publish a SIBLING — the paused writer's row would vanish from the
+    // head once both markers land. It must rebase on (adopt) the
+    // unmarked manifest instead.
+    ManifestTable.onBranch("wip") {
+      spark.sql("INSERT INTO gbr.db.t6 VALUES (3)")
+      assert(spark.table("gbr.db.t6").as[Long].collect().toSet ==
+        Set(1L, 2L, 3L))
+    }
+    assert(spark.sql("SELECT * FROM gbr.db.t6 VERSION AS OF 'wip'")
+      .as[Long].collect().toSet == Set(1L, 2L, 3L))
+    // main never adopts the branch's manifests (same fork point, foreign
+    // #ref): its own append stays sibling-free of the wip lineage
+    spark.sql("INSERT INTO gbr.db.t6 VALUES (10)")
+    assert(spark.table("gbr.db.t6").as[Long].collect().toSet == Set(1L, 10L))
+  }
 }

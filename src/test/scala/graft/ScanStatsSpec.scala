@@ -24,6 +24,12 @@ class ScanStatsSpec extends SparkSuite {
     dir
   }
 
+  private def scanRowCount(df: org.apache.spark.sql.DataFrame): Option[BigInt] =
+    df.queryExecution.optimizedPlan.collectFirst {
+      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+        r.stats.rowCount
+    }.flatten
+
   private def bytesOnDisk(name: String): Long = {
     def walk(f: java.io.File): Long =
       if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).map(walk).sum
@@ -85,11 +91,6 @@ class ScanStatsSpec extends SparkSuite {
   test("scan statistics report pruned row counts when harvested (r19)") {
     wh
     import spark.implicits._
-    import org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation
-    def scanRowCount(df: org.apache.spark.sql.DataFrame): Option[BigInt] =
-      df.queryExecution.optimizedPlan.collectFirst {
-        case r: DataSourceV2ScanRelation => r.stats.rowCount
-      }.flatten
     spark.sql("DROP TABLE IF EXISTS gstat.db.rc")
     spark.sql("""CREATE TABLE gstat.db.rc (k BIGINT, v STRING, p STRING)
       PARTITIONED BY (p) TBLPROPERTIES ('statsCols' = 'k')""")
@@ -114,6 +115,35 @@ class ScanStatsSpec extends SparkSuite {
       "row count must be all-or-nothing, never guessed")
     assert(spark.table("gstat.db.nr").queryExecution.optimizedPlan.stats
       .sizeInBytes < BigInt(Long.MaxValue) / 2, "bytes still reported")
+  }
+
+  test("a deletion vector withdraws numRows (never an exact-looking pre-delete count)") {
+    wh
+    import spark.implicits._
+    import graft.sources.ManifestTable
+    spark.sql("DROP TABLE IF EXISTS gstat.db.dvr")
+    spark.sql("""CREATE TABLE gstat.db.dvr (k BIGINT, p STRING)
+      PARTITIONED BY (p) TBLPROPERTIES ('statsCols' = 'k')""")
+    (0L until 1000L).map(i => (i, s"p${i % 2}")).toDF("k", "p")
+      .createOrReplaceTempView("dvr_src")
+    spark.sql("INSERT INTO gstat.db.dvr SELECT * FROM dvr_src")
+    assert(scanRowCount(spark.table("gstat.db.dvr")) == Some(BigInt(1000)))
+    // merge-on-read DELETE: the footer sums now OVERCOUNT what the scan
+    // yields — numRows must decline (ADVICE r19: subtracting from metadata
+    // alone is unsafe, inert/duplicate DV positions would under-report),
+    // while bytes keep flowing under their superset contract
+    spark.sql("DELETE FROM gstat.db.dvr WHERE k < 100")
+    assert(spark.table("gstat.db.dvr").count() == 900)
+    assert(scanRowCount(spark.table("gstat.db.dvr")).isEmpty,
+      "a DV-masked snapshot must not report a pre-delete row count to CBO")
+    assert(spark.table("gstat.db.dvr").queryExecution.optimizedPlan.stats
+      .sizeInBytes < BigInt(Long.MaxValue) / 2, "bytes still reported")
+    val root = s"$wh/db/dvr"
+    val cur = ManifestTable.currentVersion(spark, root).get
+    assert(ManifestTable.estimatePruned(spark, root, cur, Nil)._2.isEmpty)
+    // compaction purges the DV into rewritten files: counts come back
+    spark.sql("CALL gstat.system.compact('db.dvr')")
+    assert(scanRowCount(spark.table("gstat.db.dvr")) == Some(BigInt(900)))
   }
 
   test("column NDV from bloom-column KMV sketches reaches scan statistics (r19)") {

@@ -52,6 +52,25 @@ class SchemaEvolveSpec extends SparkSuite {
     assert(r5 == ((None, 50L)))
   }
 
+  test("mergeSchema on an existing sidecar-less table fails loudly, never silently drops") {
+    wh
+    // path-first table: committed data, no DDL sidecar to evolve
+    val root = s"$wh/db/e_nosidecar"
+    Seq((1L, "a")).toDF("k", "v").write.format("graft").save(root)
+    val ex = intercept[IllegalStateException] {
+      Seq((2L, "b", 20L)).toDF("k", "v", "score")
+        .write.format("graft").option("mergeSchema", "true")
+        .mode("append").save(root)
+    }
+    assert(ex.getMessage.contains("no DDL sidecar"), ex.getMessage)
+    // a FRESH root is different: the first write defines the schema, so a
+    // habitual mergeSchema option is a no-op, not an error
+    val fresh = s"$wh/db/e_fresh"
+    Seq((1L, 10L)).toDF("k", "score").write.format("graft")
+      .option("mergeSchema", "true").save(fresh)
+    assert(spark.read.format("graft").load(fresh).count() == 1)
+  }
+
   test("without mergeSchema the drifted frame still refuses (no silent evolution)") {
     wh
     spark.sql("DROP TABLE IF EXISTS gse.db.e2")
