@@ -6422,7 +6422,53 @@ object Queries {
           THEN (SELECT CAST(count(*) AS BIGINT) FROM ch)
           ELSE CAST(floor(127.0 * 1152921504606846976.0 /
             CAST((SELECT hv FROM ck WHERE rn = 128) AS DOUBLE)) AS BIGINT)
-        END"""))
+        END""")),
+
+    // STORAGE-PARTITIONED JOIN (r20): lineitem and orders land in two graft
+    // tables both declared `PARTITIONED BY (bucket(8, <orderkey>))`, and
+    // the fact–fact join on the orderkey plans with ZERO Exchange — each
+    // scan reports `KeyGroupedPartitioning(bucket(8, k), 8)` and plans one
+    // key-grouped input partition per bucket, so SortMergeJoin consumes
+    // co-located buckets directly (SpjSpec asserts the plan shape; this
+    // query oracles the RESULT equals a plain join — the q167
+    // result-invisibility pattern). At 100 TB this is THE reason to bucket:
+    // the recurring fact–fact shuffle (both sides, every run) becomes a
+    // zero-movement merge. Runs on its own session so the SPJ switch and
+    // the disabled broadcast threshold never leak into other queries.
+    ("q212_spj_join", (s0: SparkSession, d: String) => {
+      import graft.sources.GraftCatalog
+      val s = s0.newSession()
+      s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val li = t(s, d, "lineitem").select(col("l_orderkey"),
+        col("l_extendedprice"), col("l_quantity"))
+      val ord = t(s, d, "orders").select(col("o_orderkey"), col("o_custkey"),
+        col("o_orderstatus"))
+      val wh = java.nio.file.Files.createTempDirectory("q212-cat").toString
+      val cat = s"gq212x${catSeq.incrementAndGet()}"
+      s.conf.set(s"spark.sql.catalog.$cat", classOf[GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+      s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.db")
+      li.createOrReplaceTempView("q212_li")
+      ord.createOrReplaceTempView("q212_ord")
+      s.sql(s"""CREATE TABLE $cat.db.li (
+        l_orderkey BIGINT, l_extendedprice DOUBLE, l_quantity DOUBLE)
+        PARTITIONED BY (bucket(8, l_orderkey))""")
+      s.sql(s"""CREATE TABLE $cat.db.ord (
+        o_orderkey BIGINT, o_custkey BIGINT, o_orderstatus STRING)
+        PARTITIONED BY (bucket(8, o_orderkey))""")
+      s.sql(s"INSERT INTO $cat.db.li SELECT * FROM q212_li")
+      s.sql(s"INSERT INTO $cat.db.ord SELECT * FROM q212_ord")
+      s.sql(s"""SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+          CAST(count(DISTINCT o_custkey) AS BIGINT) AS cust,
+          ${dsumSql("l_extendedprice")} AS rev, ${dsumSql("l_quantity")} AS qty
+        FROM $cat.db.li JOIN $cat.db.ord ON l_orderkey = o_orderkey
+        GROUP BY o_orderstatus""")
+    }, Some(s"""SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+        CAST(count(DISTINCT o_custkey) AS BIGINT) AS cust,
+        ${dsumSql("l_extendedprice")} AS rev, ${dsumSql("l_quantity")} AS qty
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY o_orderstatus"""))
   )
 
   /** The BM25 replay shared by q72/q123 — postings, df, dl, corpus stats,

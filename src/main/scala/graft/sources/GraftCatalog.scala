@@ -86,7 +86,7 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * graft tables.
   */
 class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCatalog
-    with StagingTableCatalog {
+    with StagingTableCatalog with FunctionCatalog {
 
   private var catName: String = _
   private var warehouse: String = _
@@ -817,6 +817,24 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
         s"unknown procedure ${display(ident)} — known: " +
           GraftProcedures.all.map(n => s"$catName.system.$n").mkString(", ")))
   }
+
+  // ----------------------------- functions ------------------------------
+  //
+  // One canonical function: `bucket` — the V2 face of the hidden
+  // `bucket(n, col)` partition transform ([[PartSpec.Bucket]]). Exposing
+  // it through [[FunctionCatalog]] is what lets the analyzer's
+  // V2ScanPartitioningAndOrdering rule resolve the `KeyGroupedPartitioning`
+  // a [[GraftSpjScan]] reports into a catalyst TransformExpression — the
+  // storage-partitioned-join seam (two graft tables bucketed the same way
+  // join with ZERO Exchange). Both join sides resolve the same
+  // canonicalName, so compatibility holds across catalog instances.
+
+  override def listFunctions(namespace: Array[String]): Array[Identifier] =
+    Array(Identifier.of(namespace, "bucket"))
+
+  override def loadFunction(ident: Identifier): org.apache.spark.sql.connector.catalog.functions.UnboundFunction =
+    if (ident.name().equalsIgnoreCase("bucket")) GraftBucketFunction
+    else throw new org.apache.spark.sql.catalyst.analysis.NoSuchFunctionException(ident)
 
   // ---------------------------- namespaces -----------------------------
 
@@ -1744,6 +1762,120 @@ private[sources] object GraftMetaColumns {
   * to the with-metadata snapshot read (no file skipping there: a DML scan
   * must see every candidate row of its pinned version).
   */
+/** The canonical V2 `bucket` function: `pmod(xxhash64(col), n)` — EXACTLY
+  * the expression [[PartSpec.Bucket]] writes directories with (same
+  * XxHash64, same seed 42, same floorMod), replayed here so Spark's
+  * storage-partitioned-join machinery can (a) resolve a
+  * `KeyGroupedPartitioning(bucket(n, col))` into a TransformExpression and
+  * (b) evaluate the transform if a partially-clustered plan ever needs to
+  * re-bucket rows. NULL keys hash like the writer hashes them (the hash of
+  * a null input is the seed), so the null bucket matches the layout too.
+  */
+private[sources] object GraftBucketFunction
+    extends org.apache.spark.sql.connector.catalog.functions.UnboundFunction {
+  import org.apache.spark.sql.connector.catalog.functions.{BoundFunction, ScalarFunction}
+
+  override def name(): String = "bucket"
+  override def description(): String =
+    "bucket(n, col) = pmod(xxhash64(col), n) — the graft hidden-partitioning bucket transform"
+
+  override def bind(inputType: StructType): BoundFunction = {
+    require(inputType.fields.length == 2,
+      s"bucket(numBuckets, col) takes 2 arguments, got ${inputType.length}")
+    val srcType = inputType.fields(1).dataType
+    new ScalarFunction[Integer] {
+      override def inputTypes(): Array[DataType] = Array(IntegerType, srcType)
+      override def resultType(): DataType = IntegerType
+      override def name(): String = "bucket"
+      override def canonicalName(): String = "graft.bucket"
+      override def isResultNullable: Boolean = false
+      override def produceResult(input: InternalRow): Integer = {
+        val n = input.getInt(0)
+        val v = if (input.isNullAt(1)) null else input.get(1, srcType)
+        // InterpretedHashFunction.hash(null, …) returns the seed — the same
+        // value the writer's xxhash64(col) expression folds a null into
+        Math.floorMod(org.apache.spark.sql.catalyst.expressions.XxHash64Function
+          .hash(v, srcType, 42L), n.toLong).toInt
+      }
+    }
+  }
+}
+
+/** Storage-partitioned scan (r20): when a declared `bucket(n, col)` table's
+  * snapshot is cleanly bucket-clustered ([[ManifestTable.spjLayout]]), the
+  * scan plans ONE key-grouped input partition per bucket and reports
+  * `KeyGroupedPartitioning(bucket(n, col), n)` — so an equi-join of two
+  * same-spec tables on `col` plans with ZERO Exchange (Spark's
+  * storage-partitioned join, the reason to bucket a fact–fact join at
+  * 100 TB). Rows are read by Spark's own V2 parquet reader factory
+  * ([[org.apache.spark.sql.graft.SpjBridge]]) over exactly the file set
+  * the ordinary scan would read (same dir pruning, same zone/Bloom file
+  * skipping), so results are identical to the V1 path — only the physical
+  * partitioning differs. Eligibility is checked per scan; anything
+  * irregular (DV present, evolved layout, composite spec, metadata
+  * columns, time travel) falls back to [[GraftV1ScanImpl]].
+  */
+private[sources] class GraftSpjScan(root: String, tableSchema: StructType,
+                                    required: StructType, filters: Array[Filter],
+                                    bucket: PartSpec.Bucket,
+                                    groups: Array[Seq[(String, Long)]])
+    extends Scan with org.apache.spark.sql.connector.read.Batch
+    with org.apache.spark.sql.connector.read.SupportsReportPartitioning
+    with org.apache.spark.sql.connector.read.SupportsReportStatistics {
+
+  override def readSchema(): StructType = required
+  override def toBatch: org.apache.spark.sql.connector.read.Batch = this
+
+  override def outputPartitioning()
+      : org.apache.spark.sql.connector.read.partitioning.Partitioning =
+    new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
+      Array(Expressions.bucket(bucket.n, bucket.source)), bucket.n)
+
+  // all n buckets always materialize (empty ones read zero files), so both
+  // join sides expose IDENTICAL partition-value sets — no missing-value
+  // padding paths to depend on
+  override def planInputPartitions()
+      : Array[org.apache.spark.sql.connector.read.InputPartition] =
+    Array.tabulate(bucket.n)(i =>
+      org.apache.spark.sql.graft.SpjBridge.keyedPartition(i, i, groups(i)))
+
+  override def createReaderFactory()
+      : org.apache.spark.sql.connector.read.PartitionReaderFactory =
+    org.apache.spark.sql.graft.SpjBridge.parquetReaderFactory(
+      SparkSession.active, tableSchema, required, filters)
+
+  // byte/row/NDV statistics are layout-independent — delegate to the V1
+  // scan's estimator (same pruning hints, same sidecar sums)
+  private lazy val statsDelegate =
+    new GraftV1ScanImpl(root, tableSchema, required, filters, None)
+  override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics =
+    statsDelegate.estimateStatistics()
+
+  override def description(): String =
+    s"GraftSpjScan(root=$root, bucket(${bucket.n}, ${bucket.source}), " +
+      s"files=${groups.map(_.size).sum})"
+}
+
+private[sources] object GraftSpjScan {
+  /** The scan when eligible — gated on Spark's own SPJ switch
+    * (`spark.sql.sources.v2.bucketing.enabled`) so default sessions keep
+    * the V1 plan shape byte-for-byte.
+    */
+  def forTable(spark: SparkSession, root: String, tableSchema: StructType,
+               required: StructType, filters: Array[Filter]): Option[Scan] = {
+    if (!spark.conf.get("spark.sql.sources.v2.bucketing.enabled", "false").toBoolean)
+      return None
+    if (required.isEmpty ||
+        required.fieldNames.exists(n => n == "__f" || n == "__pos")) return None
+    val v = ManifestTable.currentVersion(spark, root).getOrElse(return None)
+    val (ranges, points, pointsAny) = GraftRelation.hints(filters)
+    ManifestTable.spjLayout(spark, root, v, ranges, points, pointsAny).map {
+      case (b, groups) =>
+        new GraftSpjScan(root, tableSchema, required, filters, b, groups)
+    }
+  }
+}
+
 private[sources] class GraftScanBuilder(root: String, tableSchema: StructType,
                                         asOf: Option[Long])
     extends ScanBuilder with SupportsPushDownFilters
@@ -1869,7 +2001,13 @@ private[sources] class GraftScanBuilder(root: String, tableSchema: StructType,
       override def description(): String =
         s"GraftMetadataAggregate(root=$root, ${aggSchema.fieldNames.mkString(",")})"
     }
-    case None => new GraftV1ScanImpl(root, tableSchema, required, filters, asOf)
+    case None =>
+      // time travel keeps the V1 path (spjLayout pins the CURRENT version;
+      // historical snapshots read unpruned there by design)
+      val spj = if (asOf.isEmpty)
+        GraftSpjScan.forTable(SparkSession.active, root, tableSchema, required, filters)
+      else None
+      spj.getOrElse(new GraftV1ScanImpl(root, tableSchema, required, filters, asOf))
   }
 }
 

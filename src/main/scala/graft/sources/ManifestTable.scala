@@ -1529,6 +1529,61 @@ object ManifestTable {
     (bytes, if (haveRows) Some(rows) else None, ndvOfPerFile(perFile.result()))
   }
 
+  /** Storage-partitioned-join layout probe (r20): `Some((bucket, groups))`
+    * when snapshot `v` of a declared single-`bucket(n, col)` table can be
+    * served as one key-grouped file set per bucket — `groups(i)` lists
+    * bucket `i`'s live data files (qualified path, length) after the same
+    * hint pruning the ordinary scan applies (dir pruning + zone/Bloom file
+    * skipping via [[planPrune]]). `None` — the caller falls back to the
+    * ordinary shuffling scan, always correct — when:
+    *  - the active spec is not exactly one `bucket(n, col)` leaf (identity,
+    *    time transforms, and composites don't key-group on a join column);
+    *  - any live entry is not a `col_bucket=<i>` dir (the layout evolved —
+    *    pre-evolution data is not bucket-clustered);
+    *  - a deletion vector is present (the raw per-bucket file read has no
+    *    position-mask seam — resurrecting deleted rows is never an option).
+    */
+  def spjLayout(spark: SparkSession, root: String, v: Long,
+                ranges: Seq[ColRange], points: Seq[(String, Any)],
+                pointsAny: Seq[(String, Seq[Any])])
+      : Option[(PartSpec.Bucket, Array[Seq[(String, Long)]])] = {
+    val (fs, rootP) = fsOf(spark, root)
+    if (dvOf(fs, rootP, v).isDefined) return None
+    val bucket = GraftDdl.load(spark, root).flatMap(d =>
+      for { sch <- d.schema; rd <- d.partCol } yield PartSpec.parse(rd, sch)) match {
+      case Some(b: PartSpec.Bucket) => b
+      case _ => return None
+    }
+    val prefix = bucket.physName + "="
+    def bucketOf(dir: String): Option[Int] =
+      if (!dir.startsWith(prefix) || dir.contains("/")) None
+      else dir.stripPrefix(prefix).toIntOption.filter(i => i >= 0 && i < bucket.n)
+    // every live entry must be a conforming one-level bucket dir — a ""
+    // entry or a foreign dir is pre-evolution data outside the clustering
+    if (!entriesOf(fs, rootP, v).forall(e => bucketOf(e._1).isDefined))
+      return None
+    val groups = Array.fill(bucket.n)(Seq.newBuilder[(String, Long)])
+    val (plan, _) = planPrune(spark, root, v, ranges, points, pointsAny)
+    plan.foreach { case (dataV, sel) =>
+      val vdir = new Path(rootP, "v" + fmt(dataV))
+      val withLen = listDataFilesWithLen(fs, vdir)
+      val kept: Seq[(String, Long)] = sel match {
+        case Left(dirs) => withLen.filter { case (rel, _) =>
+          dirs.exists(d => rel.startsWith(d + "/")) }
+        case Right(files) =>
+          val lens = withLen.toMap
+          files.flatMap(f => lens.get(f).map(f -> _))
+      }
+      kept.foreach { case (rel, len) =>
+        val i = bucketOf(rel.substring(0, math.max(rel.lastIndexOf('/'), 0)))
+          .getOrElse(throw new IllegalStateException(
+            s"spjLayout: live file $rel escaped the checked bucket-dir layout"))
+        groups(i) += ((fs.makeQualified(new Path(vdir, rel)).toString, len))
+      }
+    }
+    Some((bucket, groups.map(_.result().toSeq)))
+  }
+
   private def listDataFilesWithLen(fs: FileSystem, vdir: Path): Seq[(String, Long)] = {
     def files(p: Path): Seq[org.apache.hadoop.fs.FileStatus] =
       if (!fs.exists(p)) Nil

@@ -453,6 +453,19 @@ class PlanSpec extends SparkSuite {
     assert(!fin.contains("CartesianProduct") && !fin.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("q212: the fact–fact join rides two SPJ scans with no join-side Exchange") {
+    val p = finalPlan("q212_spj_join")
+    val fin = p.split("== Initial Plan ==").head
+    assert("GraftSpjScan".r.findAllIn(fin).size == 2,
+      s"both sides must take the key-grouped scan path:\n$p")
+    // the aggregation above the join still shuffles (count distinct expands
+    // twice); the JOIN KEYS must never — that's the storage-partitioned win
+    assert(!fin.contains("hashpartitioning(l_orderkey") &&
+      !fin.contains("hashpartitioning(o_orderkey"),
+      s"join keys must not reach an Exchange:\n$p")
+    assert(fin.contains("SortMergeJoin"), p)
+  }
+
   test("q191: trace joins broadcast and the top-k rank is a bounded heap, not a sort-all") {
     val p = finalPlan("q191_decontam_trace")
     val fin = p.split("== Initial Plan ==").head

@@ -1,0 +1,138 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.sources.GraftCatalog
+
+/** Storage-partitioned joins (r20): two graft tables declared
+  * `PARTITIONED BY (bucket(n, k))` join on `k` with ZERO Exchange when
+  * Spark's V2 bucketing switch is on — the scan reports
+  * `KeyGroupedPartitioning(bucket(n, k))` and plans one key-grouped input
+  * partition per bucket. Results are asserted IDENTICAL to the ordinary
+  * shuffling plan (the q167 result-invisibility pattern), and every
+  * irregular shape (switch off, deletion vector, composite spec) falls
+  * back to the V1 scan.
+  */
+class SpjSpec extends SparkSuite {
+
+  import spark.implicits._
+
+  private lazy val wh: String = {
+    val dir = Files.createTempDirectory("graft-spj-wh").toString
+    spark.conf.set("spark.sql.catalog.gspj", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gspj.warehouse", dir)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gspj.db")
+    dir
+  }
+
+  /** Run `f` with SPJ on/off AND auto-broadcast disabled: at fixture scale
+    * the scan statistics (correctly) broadcast the small side, which hides
+    * the co-partitioning this suite asserts — at the fact–fact scale SPJ
+    * exists for, neither side broadcasts.
+    */
+  private def withSpj[T](on: Boolean)(f: => T): T = {
+    val kv = Seq(
+      "spark.sql.sources.v2.bucketing.enabled" -> on.toString,
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val prev = kv.map { case (k, _) => k -> spark.conf.getOption(k) }
+    kv.foreach { case (k, v) => spark.conf.set(k, v) }
+    try f finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
+  private def finalPlan(df: DataFrame): String = {
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    p.split("== Initial Plan ==").head // AQE: judge the FINAL section only
+  }
+
+  private def mkTables(): Unit = {
+    wh
+    spark.sql("DROP TABLE IF EXISTS gspj.db.fact_a")
+    spark.sql("DROP TABLE IF EXISTS gspj.db.fact_b")
+    spark.sql("""CREATE TABLE gspj.db.fact_a (k BIGINT, va STRING)
+      PARTITIONED BY (bucket(4, k))""")
+    spark.sql("""CREATE TABLE gspj.db.fact_b (k BIGINT, vb STRING)
+      PARTITIONED BY (bucket(4, k))""")
+    (0L until 500L).map(i => (i, s"a$i")).toDF("k", "va")
+      .createOrReplaceTempView("spj_a")
+    // overlapping but not identical key range; some keys repeat
+    (250L until 750L).flatMap(i => Seq((i, s"b$i"), (i, s"b${i}x")))
+      .toDF("k", "vb").createOrReplaceTempView("spj_b")
+    spark.sql("INSERT INTO gspj.db.fact_a SELECT * FROM spj_a")
+    spark.sql("INSERT INTO gspj.db.fact_b SELECT * FROM spj_b")
+  }
+
+  private def joined(): DataFrame =
+    spark.table("gspj.db.fact_a").join(spark.table("gspj.db.fact_b"), "k")
+      .select($"k", $"va", $"vb")
+
+  test("bucketed-bucketed equi-join plans with zero Exchange; results unchanged") {
+    mkTables()
+    val expected = withSpj(on = false) {
+      val df = joined()
+      val p = finalPlan(df)
+      assert(p.contains("Exchange"), s"control plan must shuffle:\n$p")
+      df.as[(Long, String, String)].collect().toSet
+    }
+    withSpj(on = true) {
+      val df = joined()
+      val p = finalPlan(df)
+      assert(!p.contains("Exchange"), s"SPJ plan must not shuffle:\n$p")
+      assert(p.contains("SortMergeJoin"), p)
+      assert(df.as[(Long, String, String)].collect().toSet == expected)
+    }
+  }
+
+  test("appends keep the layout key-grouped; filters still prune inside SPJ") {
+    mkTables()
+    // a second commit per table: multiple data versions per bucket dir
+    spark.sql("INSERT INTO gspj.db.fact_a SELECT k + 1000, va FROM spj_a")
+    spark.sql("INSERT INTO gspj.db.fact_b SELECT k + 1000, vb FROM spj_b")
+    val expected = withSpj(on = false) {
+      joined().filter($"k" >= 1200L).as[(Long, String, String)].collect().toSet
+    }
+    withSpj(on = true) {
+      val df = joined().filter($"k" >= 1200L)
+      val p = finalPlan(df)
+      assert(!p.contains("Exchange"), s"SPJ plan must not shuffle:\n$p")
+      assert(df.as[(Long, String, String)].collect().toSet == expected)
+      assert(expected.nonEmpty)
+    }
+  }
+
+  test("a deletion vector falls back to the shuffling scan — correct, never resurrect") {
+    mkTables()
+    spark.sql("DELETE FROM gspj.db.fact_b WHERE k < 300")
+    val expected = withSpj(on = false) {
+      joined().as[(Long, String, String)].collect().toSet
+    }
+    withSpj(on = true) {
+      val df = joined()
+      val p = finalPlan(df)
+      assert(p.contains("Exchange"), s"DV snapshot must fall back:\n$p")
+      assert(df.as[(Long, String, String)].collect().toSet == expected)
+      assert(expected.forall(_._1 >= 300L))
+    }
+  }
+
+  test("group-by on the bucket key aggregates without an Exchange") {
+    mkTables()
+    val expected = withSpj(on = false) {
+      spark.table("gspj.db.fact_b").groupBy($"k").agg(count(lit(1)).as("c"))
+        .as[(Long, Long)].collect().toSet
+    }
+    withSpj(on = true) {
+      val df = spark.table("gspj.db.fact_b").groupBy($"k")
+        .agg(count(lit(1)).as("c"))
+      val p = finalPlan(df)
+      assert(!p.contains("Exchange"), s"bucket-keyed agg must not shuffle:\n$p")
+      assert(df.as[(Long, Long)].collect().toSet == expected)
+    }
+  }
+}
