@@ -6277,27 +6277,51 @@ object Queries {
       val evolved = SchemaEvolve.evolve(s, root, batch.schema)
       ManifestTable.mergeDv(SchemaEvolve.alignTo(batch, evolved), root, evolved,
         Seq("event_id"), None, Nil, Nil, None, None)
+      // generation 4 (r20): SQL `MERGE WITH SCHEMA EVOLUTION` — the source
+      // carries a THIRD new column (`score`); Spark's analyzer rule diffs
+      // it against the target, ALTERs through the catalog (fresh field id),
+      // then resolves the star assignments against the evolved schema. The
+      // matched half rewrites gen-2 rows with their score; the not-matched
+      // half (offset keys) inserts brand-new rows.
+      val m4 = ev.filter(col("event_id") % 10 === 2)
+        .withColumn("score", col("event_id") % 7)
+      m4.unionByName(m4.withColumn("event_id", col("event_id") + 1000000000L))
+        .createOrReplaceTempView("q209_m")
+      s.sql(s"""MERGE WITH SCHEMA EVOLUTION INTO $cat.db.e tgt
+        USING q209_m src ON tgt.event_id = src.event_id
+        WHEN MATCHED THEN UPDATE SET *
+        WHEN NOT MATCHED THEN INSERT *""")
       s.sql(s"""SELECT coalesce(event_type, '<none>') AS et,
           CAST(count(*) AS BIGINT) AS n, ${dsumSql("value")} AS v,
           CAST(count(user_id) AS BIGINT) AS u,
-          CAST(count(DISTINCT user_id) AS BIGINT) AS ud
+          CAST(count(DISTINCT user_id) AS BIGINT) AS ud,
+          CAST(count(score) AS BIGINT) AS sn,
+          coalesce(CAST(sum(score) AS BIGINT), 0) AS ss
         FROM $cat.db.e GROUP BY coalesce(event_type, '<none>')""")
     }, Some(s"""WITH src AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts,
           user_id, event_type, value FROM events),
       tbl AS (
         SELECT event_id, value, CAST(NULL AS BIGINT) AS user_id,
-            CAST(NULL AS VARCHAR) AS event_type
+            CAST(NULL AS VARCHAR) AS event_type, CAST(NULL AS BIGINT) AS score
           FROM src WHERE event_id % 2 = 1 AND event_id % 4 <> 1
         UNION ALL
-        SELECT event_id, value, user_id, event_type
-          FROM src WHERE event_id % 2 = 0
+        SELECT event_id, value, user_id, event_type, CAST(NULL AS BIGINT)
+          FROM src WHERE event_id % 2 = 0 AND event_id % 10 <> 2
         UNION ALL
-        SELECT event_id, value * 2, user_id, event_type
-          FROM src WHERE event_id % 4 = 1)
+        SELECT event_id, value * 2, user_id, event_type, CAST(NULL AS BIGINT)
+          FROM src WHERE event_id % 4 = 1
+        UNION ALL
+        SELECT event_id, value, user_id, event_type, event_id % 7
+          FROM src WHERE event_id % 10 = 2
+        UNION ALL
+        SELECT event_id + 1000000000, value, user_id, event_type, event_id % 7
+          FROM src WHERE event_id % 10 = 2)
       SELECT coalesce(event_type, '<none>') AS et,
         CAST(count(*) AS BIGINT) AS n, ${dsumSql("value")} AS v,
         CAST(count(user_id) AS BIGINT) AS u,
-        CAST(count(DISTINCT user_id) AS BIGINT) AS ud
+        CAST(count(DISTINCT user_id) AS BIGINT) AS ud,
+        CAST(count(score) AS BIGINT) AS sn,
+        coalesce(CAST(CAST(sum(score) AS BIGINT) AS BIGINT), 0) AS ss
       FROM tbl GROUP BY coalesce(event_type, '<none>')""")),
 
     // BRANCHES + WRITE-AUDIT-PUBLISH (r19): the audit-before-publish

@@ -763,6 +763,52 @@ object StressBench {
         println(f"""[stress] {"op":"commit_full","factor":$f,"commits":6,"sec":$sec%.2f,"sec_per_commit":${sec / 6}%.3f}""")
       }
     }
+    // r20 (VERDICT r19 #4): REF/METADATA-LOG resolution at high commit
+    // counts — a streaming sink committing every minute for days
+    // accumulates O(commits) manifests and `_ref` markers, and every head
+    // resolution lists the table root. Three numbers per factor:
+    //   commit_ms       — staged metadata commit cost as the log grows
+    //                     (each commit lists the root for maxManifestV +
+    //                     ref resolution, so this is the O(log) tax);
+    //   resolve_ms_before / after — head resolution (currentVersion +
+    //                     refs) against the full log vs after ONE
+    //                     vacuum(retainVersions=5), which folds superseded
+    //                     ref markers (head = max survives) and trims
+    //                     manifests — the metadata-checkpoint story: flat
+    //                     resolution restored by routine retention, no
+    //                     separate checkpoint file format needed.
+    if (onlyOps.forall(_.exists("ref_resolution".startsWith))) {
+      import graft.sources.ManifestTable
+      for (f <- factors) {
+        val n = 300 * f
+        val root = java.nio.file.Files.createTempDirectory(s"refres$f")
+          .toString + "/t"
+        val seed = spark.range(100).select(col("id"),
+          concat(lit("p"), pmod(col("id"), lit(4))).as("p"),
+          (col("id") * 0.5).as("v"))
+        ManifestTable.commit(seed, root, Some("p"))
+        ManifestTable.createBranch(spark, root, "wip") // markers in play
+        val tc0 = System.nanoTime()
+        for (_ <- 1 to n)
+          ManifestTable.metadataCommitProbe(spark, root, staged = true)
+        val commitMs = (System.nanoTime() - tc0) / 1e6 / n
+        def resolveMs(k: Int): Double = {
+          val t0 = System.nanoTime()
+          for (_ <- 1 to k) {
+            ManifestTable.currentVersion(spark, root)
+            ManifestTable.refs(spark, root)
+          }
+          (System.nanoTime() - t0) / 1e6 / k
+        }
+        val before = resolveMs(50)
+        val tv0 = System.nanoTime()
+        ManifestTable.vacuum(spark, root, retainVersions = 5)
+        val vacSec = (System.nanoTime() - tv0) / 1e9
+        val after = resolveMs(50)
+        val rootEntries = new java.io.File(root).listFiles.length
+        println(f"""[stress] {"op":"ref_resolution","factor":$f,"commits":$n,"commit_ms":$commitMs%.2f,"resolve_ms_before":$before%.2f,"resolve_ms_after":$after%.2f,"vacuum_sec":$vacSec%.2f,"root_entries_after":$rootEntries}""")
+      }
+    }
     // r16: HOT-PARTITION COMPACT curve — partition-scoped OPTIMIZE's
     // O(partition) claim measured. 8f partitions of ~constant size (the
     // 100 TB layout posture: growing corpus = more partitions, not bigger

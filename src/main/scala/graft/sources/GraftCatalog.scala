@@ -1136,13 +1136,45 @@ private[sources] object FieldIds {
       catch { case _: java.io.FileNotFoundException => (-1L, -1L) }
     memo.get(root) match {
       case (`stamp`, ids) => enable(spark, ids)
-      case _ =>
+      case prev =>
         // full load (staged-#ddl authority + self-healing promote included)
         // only on miss — i.e. first touch per process, or a sidecar change
-        val ids =
-          if (stamp == (-1L, -1L) && !hasStaged(fs, root)) Map.empty[String, Int]
-          else GraftDdl.load(spark, root).map(d => parse(d.props)).getOrElse(Map.empty)
-        memo.put(root, (stamp, ids))
+        def statNow(): (Long, Long) =
+          try { val st = fs.getFileStatus(p); (st.getModificationTime, st.getLen) }
+          catch { case _: java.io.FileNotFoundException => (-1L, -1L) }
+        // None = the sidecar existed at stat time but the load missed it
+        // (or vice versa) — a transient stat-vs-load disagreement, never a
+        // steady state. Some(empty) = genuinely id-less (path-first root,
+        // or a declared pre-field-id table) — the common case, zero retries.
+        def loadNow(st: (Long, Long)): Option[Map[String, Int]] =
+          if (st == (-1L, -1L) && !hasStaged(fs, root)) Some(Map.empty[String, Int])
+          else GraftDdl.load(spark, root).map(d => parse(d.props))
+        // An id-carrying table's sidecar cannot legitimately become id-less
+        // mid-process: an empty/missing read here means a CONCURRENT
+        // ALTER's install is inside its replacement window in another JVM
+        // (found by the two-JVM ALTER race, r20 — the insert that lost
+        // this race wrote ONE id-less file and bricked every later read of
+        // the table). Wait out the window; if the sidecar truly vanished,
+        // failing the write loudly beats poisoning the table.
+        val prevIds = Option(prev).map(_._2).getOrElse(Map.empty[String, Int])
+        var st = stamp
+        var loaded = loadNow(st)
+        var attempt = 0
+        while (attempt < 5 &&
+            (loaded.isEmpty || (loaded.get.isEmpty && prevIds.nonEmpty))) {
+          attempt += 1
+          Thread.sleep(20L * attempt)
+          st = statNow()
+          loaded = loadNow(st)
+        }
+        val ids = loaded.getOrElse(Map.empty)
+        if (ids.isEmpty && prevIds.nonEmpty)
+          throw new IllegalStateException(
+            s"field-id sidecar for $root vanished: the table declared field ids " +
+              s"(${prevIds.size} columns) but ${GraftDdl.FileName} is unreadable " +
+              "after retries — refusing to proceed with an id-less schema (one " +
+              "id-less data file would fail every later read of this table)")
+        memo.put(root, (st, ids))
         enable(spark, ids)
     }
   }
@@ -1566,8 +1598,16 @@ class GraftV2Table(val root: String, displayName: String, asOf: Option[Long])
     (ddl.map(_.props).getOrElse(Map.empty) + (TableCatalog.PROP_PROVIDER -> "graft")).asJava
 
   override def capabilities(): java.util.Set[TableCapability] =
+    // AUTOMATIC_SCHEMA_EVOLUTION (r20): opts into the analyzer's native
+    // `MERGE INTO … WITH SCHEMA EVOLUTION` — ResolveMergeIntoSchemaEvolution
+    // diffs the MERGE source against this schema and applies the additive
+    // delta through [[GraftCatalog.alterTable]] BEFORE resolving the
+    // assignments, which closes the long-documented "SQL MERGE cannot
+    // auto-evolve" gap through a public seam (the explicit keyword keeps
+    // un-annotated MERGEs refusing drift, Delta's opt-in posture)
     java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE,
-      TableCapability.TRUNCATE, TableCapability.OVERWRITE_BY_FILTER)
+      TableCapability.TRUNCATE, TableCapability.OVERWRITE_BY_FILTER,
+      TableCapability.AUTOMATIC_SCHEMA_EVOLUTION)
 
   override def metadataColumns(): Array[MetadataColumn] =
     Array(GraftMetaColumns.File, GraftMetaColumns.Pos)
@@ -2018,6 +2058,23 @@ private[sources] class GraftV1ScanImpl(root: String, tableSchema: StructType,
 
   override def readSchema(): StructType = required
 
+  /** Zone-bound string → the CATALYST value `transformV2Stats` stores into
+    * `ColumnStat.min/max` (internal representation: Long for timestamps,
+    * Int for dates). Types outside the numeric/time family report no
+    * bounds — string zone bounds may be truncated (pruning-safe, but not
+    * an exact extreme).
+    */
+  private def boundStatValue(dt: DataType, tag: Char, s: String): Option[Any] =
+    (tag, dt) match {
+      case ('L', LongType | TimestampType | TimestampNTZType) => Some(s.toLong)
+      case ('L', IntegerType | DateType) => Some(s.toLong.toInt)
+      case ('L', ShortType) => Some(s.toLong.toShort)
+      case ('L', ByteType) => Some(s.toLong.toByte)
+      case ('D', DoubleType) => Some(s.toDouble)
+      case ('D', FloatType) => Some(s.toDouble.toFloat)
+      case _ => None
+    }
+
   override def description(): String =
     s"GraftScan(root=$root, asOf=$asOf, columns=${required.fieldNames.mkString(",")})"
 
@@ -2052,7 +2109,13 @@ private[sources] class GraftV1ScanImpl(root: String, tableSchema: StructType,
     // per-column NDV from the bloom columns' merged KMV sketches (exactly
     // the kept files — the pruned-slice distinct count CBO's join and
     // distinct-aggregation estimation wants); only columns this scan
-    // actually projects report
+    // actually projects report. Bounds ride along from the exact zone-map
+    // fold ([[ManifestTable.colBounds]]) when the column also carries
+    // zones: CBO's equality estimation intersects the literal with the
+    // [min, max] range, and a distinctCount WITHOUT a range makes it
+    // estimate ZERO rows (probed r20) — worse than no stats at all.
+    // colBounds' global bounds are a superset of any pruned slice's, the
+    // safe direction for selectivity.
     val colStats: java.util.Map[
         org.apache.spark.sql.connector.expressions.NamedReference,
         org.apache.spark.sql.connector.read.colstats.ColumnStatistics] = {
@@ -2060,12 +2123,28 @@ private[sources] class GraftV1ScanImpl(root: String, tableSchema: StructType,
         org.apache.spark.sql.connector.expressions.NamedReference,
         org.apache.spark.sql.connector.read.colstats.ColumnStatistics]()
       ndv.foreach { case (c, n) =>
-        if (required.fieldNames.contains(c))
+        if (required.fieldNames.contains(c)) {
+          val bounds: Option[(Any, Any)] = for {
+            f <- tableSchema.fields.find(_.name == c)
+            bs <- ManifestTable.colBounds(spark, root, c)
+            (tag, mn, mx) <- bs
+            lo <- boundStatValue(f.dataType, tag, mn)
+            hi <- boundStatValue(f.dataType, tag, mx)
+          } yield (lo, hi)
           m.put(org.apache.spark.sql.connector.expressions.Expressions.column(c),
             new org.apache.spark.sql.connector.read.colstats.ColumnStatistics {
               override def distinctCount(): java.util.OptionalLong =
                 java.util.OptionalLong.of(n)
+              override def min(): java.util.Optional[Object] = bounds match {
+                case Some((lo, _)) => java.util.Optional.of(lo.asInstanceOf[Object])
+                case None => java.util.Optional.empty()
+              }
+              override def max(): java.util.Optional[Object] = bounds match {
+                case Some((_, hi)) => java.util.Optional.of(hi.asInstanceOf[Object])
+                case None => java.util.Optional.empty()
+              }
             })
+        }
       }
       m
     }

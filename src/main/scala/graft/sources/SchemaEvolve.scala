@@ -29,10 +29,17 @@ import org.apache.spark.sql.types._
   * dropped column's retired id — by-id resurrection stays impossible. One
   * sidecar write per evolution; a no-op diff writes nothing.
   *
-  * Honest limit: SQL `MERGE INTO` cannot auto-evolve — Spark's analyzer
-  * resolves the MERGE assignments against the target schema before any
-  * connector code runs. The seams that evolve are the DataFrame front
-  * door (`df.write.format("graft").option("mergeSchema", "true")`) and
+  * SQL `MERGE` evolves too (r20), behind the explicit keyword: `MERGE
+  * WITH SCHEMA EVOLUTION INTO …` — [[graft.sources.GraftV2Table]]
+  * advertises `TableCapability.AUTOMATIC_SCHEMA_EVOLUTION`, so Spark's
+  * own `ResolveMergeIntoSchemaEvolution` diffs the MERGE source against
+  * the target and applies the additive delta through
+  * [[graft.sources.GraftCatalog.alterTable]] (fresh field ids, sidecar
+  * write) BEFORE resolving the assignments. An un-annotated MERGE keeps
+  * refusing drift on explicit assignments and ignoring extra source
+  * columns on star assignments — the Delta opt-in posture. The seams that
+  * evolve without SQL are the DataFrame front door
+  * (`df.write.format("graft").option("mergeSchema", "true")`) and
   * programmatic callers ([[evolve]] + [[alignTo]] before
   * `ManifestTable.mergeDv`/`appendSpec`).
   */

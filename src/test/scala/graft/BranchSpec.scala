@@ -157,6 +157,46 @@ class BranchSpec extends SparkSuite {
     assert(ex.getMessage.contains("no such branch"), ex.getMessage)
   }
 
+  test("change feed across a fast-forward chains; cross-lineage windows refuse") {
+    wh
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    spark.sql("DROP TABLE IF EXISTS gbr.db.t7")
+    spark.sql("CREATE TABLE gbr.db.t7 (k BIGINT, v STRING)")
+    spark.sql("INSERT INTO gbr.db.t7 VALUES (1, 'a')") // v1 = main head
+    val root = rootOf("t7")
+    val schema = StructType(Seq(
+      StructField("k", LongType), StructField("v", StringType)))
+    spark.sql("CALL gbr.system.create_branch('db.t7', 'wip')")
+    ManifestTable.onBranch("wip") {
+      spark.sql("INSERT INTO gbr.db.t7 VALUES (2, 'b')") // v2, parent 1, ref wip
+    }
+    spark.sql("INSERT INTO gbr.db.t7 VALUES (3, 'c')") // v3, parent 1, ref main
+    // a consumer at main's head sequence: (1, 3) chains via #parent — valid
+    val mainFeed = ManifestTable.changes(spark, root, schema, "k", 1L, 3L)
+      .select("_change_type", "k").as[(String, Long)].collect().toSet
+    assert(mainFeed == Set(("insert", 3L)), mainFeed)
+    // raw numeric window across the two lineages: refused loudly (the old
+    // behavior silently diffed two unrelated snapshots — branch row
+    // reported deleted, main row inserted)
+    val ex = intercept[IllegalStateException](
+      ManifestTable.changes(spark, root, schema, "k", 2L, 3L).collect())
+    assert(ex.getMessage.contains("not an ancestor"), ex.getMessage)
+    // fast-forward re-enters the branch lineage: refused while main has
+    // its own commit, valid after branching from the merged state
+    spark.sql("CALL gbr.system.create_branch('db.t7', 'wip2')")
+    ManifestTable.onBranch("wip2") {
+      spark.sql("INSERT INTO gbr.db.t7 VALUES (4, 'd')") // v4, parent 3
+    }
+    val before = ManifestTable.refs(spark, root)("main")
+    spark.sql("CALL gbr.system.fast_forward('db.t7', 'wip2')")
+    val after = ManifestTable.refs(spark, root)("main")
+    // the consumer's (previous head, new head) window stays valid across
+    // the fast-forward — no re-seed
+    val ffFeed = ManifestTable.changes(spark, root, schema, "k", before, after)
+      .select("_change_type", "k").as[(String, Long)].collect().toSet
+    assert(ffFeed == Set(("insert", 4L)), ffFeed)
+  }
+
   test("a published-but-unmarked same-ref commit is adopted, not forked (ADVICE r19)") {
     wh
     spark.sql("DROP TABLE IF EXISTS gbr.db.t6")

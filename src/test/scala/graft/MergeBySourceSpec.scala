@@ -34,4 +34,38 @@ class MergeBySourceSpec extends SparkSuite {
     assert(graft.sources.ManifestTable.currentVersion(spark, root).get == vBefore + 1,
       "all four clauses must land as ONE commit")
   }
+
+  test("MERGE WITH SCHEMA EVOLUTION lands a new source column (r20)") {
+    val dir = java.nio.file.Files.createTempDirectory("mse-wh").toString
+    spark.conf.set("spark.sql.catalog.gms", classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gms.warehouse", dir)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gms.db")
+    spark.sql("CREATE TABLE gms.db.t (k BIGINT, v STRING)")
+    spark.sql("INSERT INTO gms.db.t VALUES (1,'a'), (2,'b')")
+    spark.createDataFrame(Seq((2L, "B", 20L), (9L, "i", 90L)))
+      .toDF("k", "v", "score").createOrReplaceTempView("mse_src")
+    // WITHOUT the keyword: star assignments resolve against the TARGET —
+    // the extra source column is silently ignored, never evolved (the
+    // opt-in posture; an explicit `INSERT (k, v, score)` would refuse)
+    spark.sql("""MERGE INTO gms.db.t tgt USING mse_src src ON tgt.k = src.k
+      WHEN MATCHED AND false THEN UPDATE SET *""")
+    assert(spark.table("gms.db.t").schema.fieldNames.toSeq == Seq("k", "v"))
+    intercept[Exception](spark.sql(
+      """MERGE INTO gms.db.t tgt USING mse_src src ON tgt.k = src.k
+         WHEN NOT MATCHED THEN INSERT (k, v, score) VALUES (src.k, src.v, src.score)"""))
+    // WITH SCHEMA EVOLUTION: the analyzer diffs source vs target, applies
+    // the additive delta through the catalog's ALTER seam (fresh field id,
+    // sidecar write), then resolves the assignments against the evolved
+    // schema — old rows read NULL for the new column
+    spark.sql("""MERGE WITH SCHEMA EVOLUTION INTO gms.db.t tgt
+      USING mse_src src ON tgt.k = src.k
+      WHEN MATCHED THEN UPDATE SET *
+      WHEN NOT MATCHED THEN INSERT *""")
+    import spark.implicits._
+    val got = spark.table("gms.db.t").select("k", "v", "score")
+      .as[(Long, String, Option[Long])].collect().toSet
+    assert(got == Set((1L, "a", None), (2L, "B", Some(20L)), (9L, "i", Some(90L))),
+      got)
+    assert(spark.table("gms.db.t").schema.fieldNames.toSeq == Seq("k", "v", "score"))
+  }
 }

@@ -187,6 +187,58 @@ class ScanStatsSpec extends SparkSuite {
       == Map("u" -> 100L))
   }
 
+  test("CBO: harvested NDV drives equality selectivity and flips a join to broadcast (r20)") {
+    wh
+    import spark.implicits._
+    spark.sql("DROP TABLE IF EXISTS gstat.db.cb")
+    spark.sql("DROP TABLE IF EXISTS gstat.db.cr")
+    // u: 64 distinct residues, UNIFORM ACROSS EVERY FILE — a point probe
+    // keeps every file (bloom skipping can't shrink the scan), so the ONLY
+    // thing that can shrink the filter's estimate is CBO's 1/ndv equality
+    // selectivity over the harvested KMV distinct count
+    spark.sql("""CREATE TABLE gstat.db.cb (k BIGINT, u BIGINT, pay STRING)
+      TBLPROPERTIES ('statsCols' = 'k,u', 'bloomCols' = 'u')""")
+    (0L until 20000L).map(i => (i, i % 64, "x" * 64)).toDF("k", "u", "pay")
+      .createOrReplaceTempView("cb_src")
+    spark.sql("INSERT INTO gstat.db.cb SELECT * FROM cb_src")
+    spark.sql("CREATE TABLE gstat.db.cr (k BIGINT, r STRING)")
+    (0L until 20000L).map(i => (i, "y" * 64)).toDF("k", "r")
+      .createOrReplaceTempView("cr_src")
+    spark.sql("INSERT INTO gstat.db.cr SELECT * FROM cr_src")
+    // the PLAN-TIME decision (initial plan, never executed): AQE's runtime
+    // re-planning would broadcast the tiny filtered side either way once
+    // real sizes are known — CBO's value is committing to the right plan
+    // BEFORE paying the first shuffle, which is what this asserts
+    def joinPlan(): String = {
+      val df = spark.table("gstat.db.cb").filter($"u" === 7L)
+        .join(spark.table("gstat.db.cr"), "k")
+      df.queryExecution.executedPlan.toString
+    }
+    // threshold between the two estimates: unfiltered side ~100s of KB,
+    // CBO-scaled (1/64) a few KB
+    val confs = Seq("spark.sql.autoBroadcastJoinThreshold" -> "65536")
+    withSQLConf(confs :+ ("spark.sql.cbo.enabled" -> "false"): _*) {
+      val p = joinPlan()
+      assert(p.contains("SortMergeJoin"),
+        s"without CBO the full-size filter estimate must sort-merge:\n$p")
+    }
+    withSQLConf(confs :+ ("spark.sql.cbo.enabled" -> "true"): _*) {
+      // the harvested KMV distinct count surfaces on the SCAN's attributes…
+      val base = spark.table("gstat.db.cb").queryExecution.optimizedPlan.stats
+      assert(base.attributeStats.exists { case (a, cs) =>
+        a.name == "u" && cs.distinctCount.contains(BigInt(64)) },
+        s"harvested NDV must surface as an attribute stat under CBO: $base")
+      // …and the equality filter estimates rows/ndv ≈ 20000/64 ≈ 312
+      val filtered = spark.table("gstat.db.cb").filter($"u" === 7L)
+        .queryExecution.optimizedPlan.stats
+      assert(filtered.rowCount.exists(rc => rc > BigInt(200) && rc < BigInt(500)),
+        s"1/ndv selectivity must reach the filter estimate: $filtered")
+      val p = joinPlan()
+      assert(p.contains("BroadcastHashJoin"),
+        s"CBO + NDV must scale the filter output under the threshold:\n$p")
+    }
+  }
+
   private def withSQLConf(kv: (String, String)*)(f: => Unit): Unit = {
     val olds = kv.map { case (k, _) => k -> spark.conf.getOption(k) }
     kv.foreach { case (k, v) => spark.conf.set(k, v) }
