@@ -763,6 +763,65 @@ object StressBench {
         println(f"""[stress] {"op":"commit_full","factor":$f,"commits":6,"sec":$sec%.2f,"sec_per_commit":${sec / 6}%.3f}""")
       }
     }
+    // r20 (VERDICT r19 #2): STORAGE-PARTITIONED JOIN curve — two graft
+    // tables bucketed `bucket(32, k)`, fact–fact join on k at growing
+    // scale, measured BOTH ways on fresh sessions: the ordinary shuffling
+    // SortMergeJoin (control) vs the key-grouped SPJ scan
+    // (spark.sql.sources.v2.bucketing.enabled). Reported shuffle bytes
+    // come from task metrics: the control pays O(both sides) network every
+    // run; SPJ pays ZERO join-side shuffle at every factor — at 100 TB
+    // that recurring both-sides shuffle IS the reason to bucket.
+    if (onlyOps.forall(_.exists("spj_join".startsWith))) {
+      for (f <- factors) {
+        val wh = java.nio.file.Files.createTempDirectory(s"spjst$f").toString
+        val cat = s"gspjf$f"
+        spark.conf.set(s"spark.sql.catalog.$cat",
+          classOf[graft.sources.GraftCatalog].getName)
+        spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+        spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.db")
+        val base = Tables(spark, sfDir, "lineitem")
+          .select((col("l_orderkey") * 10 + col("l_linenumber")).as("id0"),
+            col("l_extendedprice").as("v"))
+          .crossJoin(spark.range(f).select(col("id").as("rep")))
+          .select((col("id0") * f + col("rep")).as("k"), col("v"))
+        base.createOrReplaceTempView("spjst_a")
+        base.select(col("k"), (col("v") * 0.5).as("w"))
+          .filter(col("k") % 3 =!= 0).createOrReplaceTempView("spjst_b")
+        spark.sql(s"""CREATE TABLE $cat.db.a (k BIGINT, v DOUBLE)
+          PARTITIONED BY (bucket(32, k))""")
+        spark.sql(s"""CREATE TABLE $cat.db.b (k BIGINT, w DOUBLE)
+          PARTITIONED BY (bucket(32, k))""")
+        spark.sql(s"INSERT INTO $cat.db.a SELECT * FROM spjst_a")
+        spark.sql(s"INSERT INTO $cat.db.b SELECT * FROM spjst_b")
+        val n = spark.table(s"$cat.db.a").count()
+        for (mode <- Seq("shuffle", "spj")) {
+          val s2 = spark.newSession()
+          s2.conf.set(s"spark.sql.catalog.$cat",
+            classOf[graft.sources.GraftCatalog].getName)
+          s2.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+          s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+          s2.conf.set("spark.sql.sources.v2.bucketing.enabled",
+            (mode == "spj").toString)
+          val shuf = new java.util.concurrent.atomic.AtomicLong()
+          val lsn = new org.apache.spark.scheduler.SparkListener {
+            override def onTaskEnd(
+                t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+              if (t.taskMetrics != null)
+                shuf.addAndGet(t.taskMetrics.shuffleWriteMetrics.bytesWritten)
+          }
+          spark.sparkContext.addSparkListener(lsn)
+          try {
+            val t0 = System.nanoTime()
+            val out = s2.sql(s"""SELECT CAST(count(*) AS BIGINT) AS n,
+                CAST(SUM(CAST(v + w AS DECIMAL(18,6))) AS DOUBLE) AS s
+              FROM $cat.db.a JOIN $cat.db.b ON a.k = b.k""").collect()
+            val sec = (System.nanoTime() - t0) / 1e9
+            Thread.sleep(800) // listener bus drain before reading the sum
+            println(f"""[stress] {"op":"spj_join","mode":"$mode","factor":$f,"rows":$n,"joined":${out.head.getLong(0)},"sec":$sec%.2f,"shuffle_mb":${shuf.get() / 1e6}%.1f}""")
+          } finally spark.sparkContext.removeSparkListener(lsn)
+        }
+      }
+    }
     // r20 (VERDICT r19 #4): REF/METADATA-LOG resolution at high commit
     // counts — a streaming sink committing every minute for days
     // accumulates O(commits) manifests and `_ref` markers, and every head
