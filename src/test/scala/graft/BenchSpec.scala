@@ -47,6 +47,19 @@ class BenchSpec extends SparkSuite {
       "a 6.5x RAW ratio on a sub-second query still clears via the excess gate")
     assert(BenchBudgets.isOver(10.0, 1.29, ambient = 1.64),
       "a genuine 4.7x residual regression fires through the ambient")
+    // the ambient normalizer's documented blind spot, pinned (VERDICT r19
+    // #7): q163's r19 case — 0.26s budget, 0.87s measured, ambient 1.40 —
+    // clears the absolute-excess bar (0.5s < 1s) so it must NOT hard-flag…
+    assert(!BenchBudgets.isOver(0.87, 0.26, ambient = 1.40),
+      "sub-second 3x under load stays out of over_budget by design")
+    // …but it must be VISIBLE in the artifact's soft_over list, which the
+    // idle re-run adjudicates (r20: an idle sweep measured it at 0.33s —
+    // ambient, not a regression)
+    assert(BenchBudgets.isSoftOver(0.87, 0.26, ambient = 1.40),
+      "the q163 shape must surface as a soft exceedance")
+    assert(!BenchBudgets.isSoftOver(36.0, 0.35), "hard flags are never soft")
+    assert(!BenchBudgets.isSoftOver(0.39, 0.24), "sub-2x jitter stays silent")
+    assert(!BenchBudgets.isSoftOver(0.29, 0.10), "noise floor applies to soft too")
     // ambient estimator: median of ratios, floored at 1
     assert(BenchBudgets.ambientOf(Nil) == 1.0)
     assert(BenchBudgets.ambientOf(Seq(0.8, 0.9, 0.7)) == 1.0,
