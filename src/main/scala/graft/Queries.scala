@@ -6151,6 +6151,11 @@ object Queries {
     // the mix — the oracled result proves the mixed and post-compact
     // snapshots bit-equal. At 100 TB this is the layout that keeps BOTH
     // "last week's data" and "this user's rows" from full-scanning.
+    // Split in r20 (VERDICT r19 #8): the suite's slowest query carried TWO
+    // commit-lifecycle stories — a future regression couldn't name its
+    // half. q208 keeps the BORN-COMPOSITE table (one commit, both
+    // dimensions pruning from day one); q213 carries the evolving-table
+    // DML + compact lifecycle.
     ("q208_composite_spec", (s: SparkSession, d: String) => {
       import graft.sources.GraftCatalog
       val ev = t(s, d, "events").select(col("event_id"), col("ts"),
@@ -6160,7 +6165,6 @@ object Queries {
       s.conf.set("spark.sql.catalog.gq208.warehouse", wh)
       s.sql("CREATE NAMESPACE IF NOT EXISTS gq208.db")
       s.sql("DROP TABLE IF EXISTS gq208.db.cev")
-      s.sql("DROP TABLE IF EXISTS gq208.db.mev")
       ev.createOrReplaceTempView("q208_src")
       // born-composite table: both dimensions prune from day one (blind-
       // append multi-version day dirs are q203's claim — one commit here;
@@ -6170,26 +6174,8 @@ object Queries {
         event_type STRING, value DOUBLE)
         PARTITIONED BY (days(ts), bucket(4, user_id))""")
       s.sql("INSERT INTO gq208.db.cev SELECT * FROM q208_src")
-      // evolving table: days(ts) generation, then composite generation,
-      // then DML across the mixed layouts
-      s.sql("""CREATE TABLE gq208.db.mev (
-        event_id BIGINT, ts TIMESTAMP, user_id BIGINT,
-        event_type STRING, value DOUBLE) PARTITIONED BY (days(ts))""")
-      s.sql("INSERT INTO gq208.db.mev SELECT * FROM q208_src WHERE event_id % 2 = 1")
-      s.sql("CALL gq208.system.set_partitioning('db.mev', 'days(ts),bucket(2,user_id)')")
-      s.sql("INSERT INTO gq208.db.mev SELECT * FROM q208_src WHERE event_id % 2 = 0")
-      s.sql("UPDATE gq208.db.mev SET value = -2.0 WHERE user_id % 29 = 5")
-      s.sql("DELETE FROM gq208.db.mev WHERE event_type = 'view' AND user_id % 13 = 2")
-      // materialize the mixed-layout aggregate before the compact (lazy
-      // plans — the rewrite must not leak into this leg)
-      val mixed = s.sql(s"""SELECT event_type, CAST(count(*) AS BIGINT) AS n_mix,
-            ${dsumSql("value")} AS v_mix
-          FROM gq208.db.mev GROUP BY event_type""").localCheckpoint()
-      mixed.createOrReplaceTempView("q208_mixed")
-      s.sql("CALL gq208.system.compact('db.mev')")
       // 2024-01-10T00Z .. 2024-01-20T00Z in epoch micros (TZ-free literals)
-      s.sql(s"""SELECT a.event_type, a.n, a.v, b.n_pt, b.v_pt,
-          m.n_mix, m.v_mix, c.n_c, c.v_c
+      s.sql(s"""SELECT a.event_type, a.n, a.v, b.n_pt, b.v_pt
         FROM (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
                 ${dsumSql("value")} AS v
               FROM gq208.db.cev
@@ -6201,20 +6187,10 @@ object Queries {
               FROM gq208.db.cev
               WHERE ts >= timestamp_micros(1704844800000000)
                 AND ts < timestamp_micros(1705708800000000)
-                AND user_id = 31) b
-        JOIN q208_mixed m ON a.event_type = m.event_type
-        JOIN (SELECT event_type, CAST(count(*) AS BIGINT) AS n_c,
-                ${dsumSql("value")} AS v_c
-              FROM gq208.db.mev GROUP BY event_type) c
-          ON a.event_type = c.event_type""")
+                AND user_id = 31) b""")
     }, Some(s"""WITH src AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts,
-          user_id, event_type, value FROM events),
-      upd AS (SELECT event_id, ts, user_id, event_type,
-          CASE WHEN user_id % 29 = 5 THEN -2.0 ELSE value END AS value FROM src),
-      cur AS (SELECT * FROM upd
-          WHERE NOT (event_type = 'view' AND user_id % 13 = 2))
-      SELECT a.event_type, a.n, a.v, b.n_pt, b.v_pt,
-        m.n_mix, m.v_mix, c.n_c, c.v_c
+          user_id, event_type, value FROM events)
+      SELECT a.event_type, a.n, a.v, b.n_pt, b.v_pt
       FROM (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
               ${dsumSql("value")} AS v
             FROM src
@@ -6226,13 +6202,56 @@ object Queries {
             FROM src
             WHERE ts >= make_timestamp(1704844800000000)
               AND ts < make_timestamp(1705708800000000)
-              AND user_id = 31) b
-      JOIN (SELECT event_type, CAST(count(*) AS BIGINT) AS n_mix,
+              AND user_id = 31) b""")),
+
+    // The evolving half of the old q208: days(ts) generation, METADATA-ONLY
+    // evolution to a composite spec, a second generation under the new
+    // layout, row-level UPDATE and DELETE across the MIXED layouts, the
+    // mixed-snapshot aggregate, then one compact that retires the mix —
+    // post-compact results bit-identical to the mixed ones.
+    ("q213_composite_evolve", (s: SparkSession, d: String) => {
+      import graft.sources.GraftCatalog
+      val ev = t(s, d, "events").select(col("event_id"), col("ts"),
+        col("user_id"), col("event_type"), col("value"))
+      val wh = java.nio.file.Files.createTempDirectory("q213-cat").toString
+      s.conf.set("spark.sql.catalog.gq213", classOf[GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.gq213.warehouse", wh)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS gq213.db")
+      s.sql("DROP TABLE IF EXISTS gq213.db.mev")
+      ev.createOrReplaceTempView("q213_src")
+      s.sql("""CREATE TABLE gq213.db.mev (
+        event_id BIGINT, ts TIMESTAMP, user_id BIGINT,
+        event_type STRING, value DOUBLE) PARTITIONED BY (days(ts))""")
+      s.sql("INSERT INTO gq213.db.mev SELECT * FROM q213_src WHERE event_id % 2 = 1")
+      s.sql("CALL gq213.system.set_partitioning('db.mev', 'days(ts),bucket(2,user_id)')")
+      s.sql("INSERT INTO gq213.db.mev SELECT * FROM q213_src WHERE event_id % 2 = 0")
+      s.sql("UPDATE gq213.db.mev SET value = -2.0 WHERE user_id % 29 = 5")
+      s.sql("DELETE FROM gq213.db.mev WHERE event_type = 'view' AND user_id % 13 = 2")
+      // materialize the mixed-layout aggregate before the compact (lazy
+      // plans — the rewrite must not leak into this leg)
+      val mixed = s.sql(s"""SELECT event_type, CAST(count(*) AS BIGINT) AS n_mix,
+            ${dsumSql("value")} AS v_mix
+          FROM gq213.db.mev GROUP BY event_type""").localCheckpoint()
+      mixed.createOrReplaceTempView("q213_mixed")
+      s.sql("CALL gq213.system.compact('db.mev')")
+      s.sql(s"""SELECT m.event_type, m.n_mix, m.v_mix, c.n_c, c.v_c
+        FROM q213_mixed m
+        JOIN (SELECT event_type, CAST(count(*) AS BIGINT) AS n_c,
+                ${dsumSql("value")} AS v_c
+              FROM gq213.db.mev GROUP BY event_type) c
+          ON m.event_type = c.event_type""")
+    }, Some(s"""WITH src AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts,
+          user_id, event_type, value FROM events),
+      upd AS (SELECT event_id, ts, user_id, event_type,
+          CASE WHEN user_id % 29 = 5 THEN -2.0 ELSE value END AS value FROM src),
+      cur AS (SELECT * FROM upd
+          WHERE NOT (event_type = 'view' AND user_id % 13 = 2))
+      SELECT m.event_type, m.n_mix, m.v_mix, c.n_c, c.v_c
+      FROM (SELECT event_type, CAST(count(*) AS BIGINT) AS n_mix,
               ${dsumSql("value")} AS v_mix FROM cur GROUP BY event_type) m
-        ON a.event_type = m.event_type
       JOIN (SELECT event_type, CAST(count(*) AS BIGINT) AS n_c,
               ${dsumSql("value")} AS v_c FROM cur GROUP BY event_type) c
-        ON a.event_type = c.event_type""")),
+        ON m.event_type = c.event_type""")),
 
     // WRITE-PATH SCHEMA EVOLUTION (mergeSchema, r19): a CDC pipeline's
     // upstream adds fields mid-life — the reference's change-stream
