@@ -830,11 +830,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
   // canonicalName, so compatibility holds across catalog instances.
 
   override def listFunctions(namespace: Array[String]): Array[Identifier] =
-    Array(Identifier.of(namespace, "bucket"))
+    GraftPartFunctions.names.map(Identifier.of(namespace, _)).toArray
 
   override def loadFunction(ident: Identifier): org.apache.spark.sql.connector.catalog.functions.UnboundFunction =
-    if (ident.name().equalsIgnoreCase("bucket")) GraftBucketFunction
-    else throw new org.apache.spark.sql.catalyst.analysis.NoSuchFunctionException(ident)
+    GraftPartFunctions.load(ident.name()).getOrElse(
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchFunctionException(ident))
 
   // ---------------------------- namespaces -----------------------------
 
@@ -1802,63 +1802,113 @@ private[sources] object GraftMetaColumns {
   * to the with-metadata snapshot read (no file skipping there: a DML scan
   * must see every candidate row of its pinned version).
   */
-/** The canonical V2 `bucket` function: `pmod(xxhash64(col), n)` — EXACTLY
-  * the expression [[PartSpec.Bucket]] writes directories with (same
-  * XxHash64, same seed 42, same floorMod), replayed here so Spark's
-  * storage-partitioned-join machinery can (a) resolve a
-  * `KeyGroupedPartitioning(bucket(n, col))` into a TransformExpression and
-  * (b) evaluate the transform if a partially-clustered plan ever needs to
-  * re-bucket rows. NULL keys hash like the writer hashes them (the hash of
-  * a null input is the seed), so the null bucket matches the layout too.
+/** The canonical V2 partition-transform functions — each replays EXACTLY
+  * the expression its [[PartSpec]] leaf writes directories with, so
+  * Spark's storage-partitioned-join machinery can (a) resolve a reported
+  * `KeyGroupedPartitioning` into TransformExpressions (the analyzer's
+  * V2ScanPartitioningAndOrdering needs the table catalog to serve the
+  * function) and (b) evaluate a transform if a partially-clustered plan
+  * ever needs to re-bucket rows:
+  *  - `bucket(n, col)` = `pmod(xxhash64(col), 42-seeded, n)` as Int; NULL
+  *    keys hash like the writer hashes them (the hash of a null input is
+  *    the seed), so the null bucket matches the layout;
+  *  - `days`/`hours`/`months`/`years` = the TZ-free epoch folds of the
+  *    corresponding leaves, as Long ([[PartSpec.Days]] et al.'s
+  *    `applyValue`, which already accepts Catalyst-internal values: Long
+  *    micros for timestamps, Int epoch days for dates).
+  * Compatibility across scans is by `canonicalName` equality — both join
+  * sides of a graft–graft SPJ resolve the same names.
   */
-private[sources] object GraftBucketFunction
-    extends org.apache.spark.sql.connector.catalog.functions.UnboundFunction {
-  import org.apache.spark.sql.connector.catalog.functions.{BoundFunction, ScalarFunction}
+private[sources] object GraftPartFunctions {
+  import org.apache.spark.sql.connector.catalog.functions.{BoundFunction, ScalarFunction, UnboundFunction}
 
-  override def name(): String = "bucket"
-  override def description(): String =
-    "bucket(n, col) = pmod(xxhash64(col), n) — the graft hidden-partitioning bucket transform"
+  val names: Seq[String] = Seq("bucket", "days", "hours", "months", "years")
 
-  override def bind(inputType: StructType): BoundFunction = {
-    require(inputType.fields.length == 2,
-      s"bucket(numBuckets, col) takes 2 arguments, got ${inputType.length}")
-    val srcType = inputType.fields(1).dataType
-    new ScalarFunction[Integer] {
-      override def inputTypes(): Array[DataType] = Array(IntegerType, srcType)
-      override def resultType(): DataType = IntegerType
-      override def name(): String = "bucket"
-      override def canonicalName(): String = "graft.bucket"
-      override def isResultNullable: Boolean = false
-      override def produceResult(input: InternalRow): Integer = {
-        val n = input.getInt(0)
-        val v = if (input.isNullAt(1)) null else input.get(1, srcType)
-        // InterpretedHashFunction.hash(null, …) returns the seed — the same
-        // value the writer's xxhash64(col) expression folds a null into
-        Math.floorMod(org.apache.spark.sql.catalyst.expressions.XxHash64Function
-          .hash(v, srcType, 42L), n.toLong).toInt
+  def load(name: String): Option[UnboundFunction] = name.toLowerCase match {
+    case "bucket" => Some(BucketFn)
+    case "days" => Some(timeFn("days", PartSpec.Days("x")))
+    case "hours" => Some(timeFn("hours", PartSpec.Hours("x")))
+    case "months" => Some(timeFn("months", PartSpec.Months("x")))
+    case "years" => Some(timeFn("years", PartSpec.Years("x")))
+    case _ => None
+  }
+
+  private object BucketFn extends UnboundFunction {
+    override def name(): String = "bucket"
+    override def description(): String =
+      "bucket(n, col) = pmod(xxhash64(col), n) — the graft hidden-partitioning bucket transform"
+    override def bind(inputType: StructType): BoundFunction = {
+      require(inputType.fields.length == 2,
+        s"bucket(numBuckets, col) takes 2 arguments, got ${inputType.length}")
+      val srcType = inputType.fields(1).dataType
+      new ScalarFunction[Integer] {
+        override def inputTypes(): Array[DataType] = Array(IntegerType, srcType)
+        override def resultType(): DataType = IntegerType
+        override def name(): String = "bucket"
+        override def canonicalName(): String = "graft.bucket"
+        override def isResultNullable: Boolean = false
+        override def produceResult(input: InternalRow): Integer = {
+          val n = input.getInt(0)
+          val v = if (input.isNullAt(1)) null else input.get(1, srcType)
+          // InterpretedHashFunction.hash(null, …) returns the seed — the
+          // same value the writer's xxhash64(col) folds a null into
+          Math.floorMod(org.apache.spark.sql.catalyst.expressions.XxHash64Function
+            .hash(v, srcType, 42L), n.toLong).toInt
+        }
       }
     }
   }
+
+  private def timeFn(fnName: String, leaf: PartSpec): UnboundFunction =
+    new UnboundFunction {
+      override def name(): String = fnName
+      override def description(): String =
+        s"$fnName(col) — the graft hidden-partitioning time transform (TZ-free epoch fold)"
+      override def bind(inputType: StructType): BoundFunction = {
+        require(inputType.fields.length == 1,
+          s"$fnName(col) takes 1 argument, got ${inputType.length}")
+        val srcType = inputType.fields.head.dataType
+        new ScalarFunction[java.lang.Long] {
+          override def inputTypes(): Array[DataType] = Array(srcType)
+          override def resultType(): DataType = LongType
+          override def name(): String = fnName
+          override def canonicalName(): String = s"graft.$fnName"
+          override def produceResult(input: InternalRow): java.lang.Long =
+            if (input.isNullAt(0)) null
+            else leaf.applyValue(input.get(0, srcType)) match {
+              case Some(l: Long) => java.lang.Long.valueOf(l)
+              case _ => null
+            }
+        }
+      }
+    }
 }
 
-/** Storage-partitioned scan (r20): when a declared `bucket(n, col)` table's
-  * snapshot is cleanly bucket-clustered ([[ManifestTable.spjLayout]]), the
-  * scan plans ONE key-grouped input partition per bucket and reports
-  * `KeyGroupedPartitioning(bucket(n, col), n)` — so an equi-join of two
-  * same-spec tables on `col` plans with ZERO Exchange (Spark's
-  * storage-partitioned join, the reason to bucket a fact–fact join at
-  * 100 TB). Rows are read by Spark's own V2 parquet reader factory
+/** Storage-partitioned scan (r20): when a declared bucket-bearing table's
+  * snapshot is cleanly layout-clustered ([[ManifestTable.spjLayout]] —
+  * a single `bucket(n, col)` leaf, or a composite of time transforms plus
+  * a bucket, the `days(ts), bucket(n, k)` production layout), the scan
+  * plans ONE key-grouped input partition per partition tuple and reports
+  * `KeyGroupedPartitioning(transforms, |groups|)` — so an equi-join of
+  * two same-spec tables on the bucket column plans with ZERO Exchange
+  * (Spark's storage-partitioned join, the reason to bucket a fact–fact
+  * join at 100 TB). Composite layouts additionally need Spark's
+  * `spark.sql.sources.v2.bucketing.pushPartValues.enabled` (pad days one
+  * side lacks) and, when joining on the bucket key alone,
+  * `spark.sql.sources.v2.bucketing.allowJoinKeysSubsetOfPartitionKeys
+  * .enabled` — both Spark's own SPJ switches, same as Iceberg. Rows are
+  * read by Spark's own V2 parquet reader factory
   * ([[org.apache.spark.sql.graft.SpjBridge]]) over exactly the file set
   * the ordinary scan would read (same dir pruning, same zone/Bloom file
   * skipping), so results are identical to the V1 path — only the physical
   * partitioning differs. Eligibility is checked per scan; anything
-  * irregular (DV present, evolved layout, composite spec, metadata
+  * irregular (DV present, evolved layout, other transforms, metadata
   * columns, time travel) falls back to [[GraftV1ScanImpl]].
   */
 private[sources] class GraftSpjScan(root: String, tableSchema: StructType,
                                     required: StructType, filters: Array[Filter],
-                                    bucket: PartSpec.Bucket,
-                                    groups: Array[Seq[(String, Long)]])
+                                    leaves: Seq[PartSpec],
+                                    groups: Seq[(Seq[Any], Seq[(String, Long)])])
     extends Scan with org.apache.spark.sql.connector.read.Batch
     with org.apache.spark.sql.connector.read.SupportsReportPartitioning
     with org.apache.spark.sql.connector.read.SupportsReportStatistics {
@@ -1866,18 +1916,26 @@ private[sources] class GraftSpjScan(root: String, tableSchema: StructType,
   override def readSchema(): StructType = required
   override def toBatch: org.apache.spark.sql.connector.read.Batch = this
 
+  private def v2Transform(leaf: PartSpec): Transform = leaf match {
+    case b: PartSpec.Bucket => Expressions.bucket(b.n, b.source)
+    case d: PartSpec.Days => Expressions.days(d.source)
+    case h: PartSpec.Hours => Expressions.hours(h.source)
+    case m: PartSpec.Months => Expressions.months(m.source)
+    case y: PartSpec.Years => Expressions.years(y.source)
+    case other => throw new IllegalStateException(
+      s"spjLayout admitted a non-SPJ transform: ${other.render}")
+  }
+
   override def outputPartitioning()
       : org.apache.spark.sql.connector.read.partitioning.Partitioning =
     new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
-      Array(Expressions.bucket(bucket.n, bucket.source)), bucket.n)
+      leaves.map(l => v2Transform(l): VExpr).toArray, groups.size)
 
-  // all n buckets always materialize (empty ones read zero files), so both
-  // join sides expose IDENTICAL partition-value sets — no missing-value
-  // padding paths to depend on
   override def planInputPartitions()
       : Array[org.apache.spark.sql.connector.read.InputPartition] =
-    Array.tabulate(bucket.n)(i =>
-      org.apache.spark.sql.graft.SpjBridge.keyedPartition(i, i, groups(i)))
+    groups.zipWithIndex.map { case ((key, files), i) =>
+      org.apache.spark.sql.graft.SpjBridge.keyedPartition(i, key, files)
+    }.toArray
 
   override def createReaderFactory()
       : org.apache.spark.sql.connector.read.PartitionReaderFactory =
@@ -1892,8 +1950,8 @@ private[sources] class GraftSpjScan(root: String, tableSchema: StructType,
     statsDelegate.estimateStatistics()
 
   override def description(): String =
-    s"GraftSpjScan(root=$root, bucket(${bucket.n}, ${bucket.source}), " +
-      s"files=${groups.map(_.size).sum})"
+    s"GraftSpjScan(root=$root, spec=${leaves.map(_.render).mkString(",")}, " +
+      s"groups=${groups.size}, files=${groups.map(_._2.size).sum})"
 }
 
 private[sources] object GraftSpjScan {
@@ -1910,8 +1968,17 @@ private[sources] object GraftSpjScan {
     val v = ManifestTable.currentVersion(spark, root).getOrElse(return None)
     val (ranges, points, pointsAny) = GraftRelation.hints(filters)
     ManifestTable.spjLayout(spark, root, v, ranges, points, pointsAny).map {
-      case (b, groups) =>
-        new GraftSpjScan(root, tableSchema, required, filters, b, groups)
+      case (leaves, groups) =>
+        // the reported clustering transforms resolve against the scan
+        // OUTPUT: a pruned-away source column (joining on k without
+        // selecting ts under a days(ts),bucket(n,k) spec) would silently
+        // drop the partitioning — keep leaf sources in the read schema
+        // (legal: pruning is best-effort, Spark projects above the scan)
+        val withSources = StructType(required.fields ++
+          leaves.map(_.source).distinct
+            .filterNot(required.fieldNames.contains)
+            .flatMap(c => tableSchema.fields.find(_.name == c)))
+        new GraftSpjScan(root, tableSchema, withSources, filters, leaves, groups)
     }
   }
 }

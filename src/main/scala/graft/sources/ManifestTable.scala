@@ -1529,40 +1529,75 @@ object ManifestTable {
     (bytes, if (haveRows) Some(rows) else None, ndvOfPerFile(perFile.result()))
   }
 
-  /** Storage-partitioned-join layout probe (r20): `Some((bucket, groups))`
-    * when snapshot `v` of a declared single-`bucket(n, col)` table can be
-    * served as one key-grouped file set per bucket — `groups(i)` lists
-    * bucket `i`'s live data files (qualified path, length) after the same
-    * hint pruning the ordinary scan applies (dir pruning + zone/Bloom file
-    * skipping via [[planPrune]]). `None` — the caller falls back to the
-    * ordinary shuffling scan, always correct — when:
-    *  - the active spec is not exactly one `bucket(n, col)` leaf (identity,
-    *    time transforms, and composites don't key-group on a join column);
-    *  - any live entry is not a `col_bucket=<i>` dir (the layout evolved —
-    *    pre-evolution data is not bucket-clustered);
-    *  - a deletion vector is present (the raw per-bucket file read has no
-    *    position-mask seam — resurrecting deleted rows is never an option).
+  /** Storage-partitioned-join layout probe (r20): `Some((leaves, groups))`
+    * when snapshot `v` of a declared bucket-bearing table can be served as
+    * one key-grouped file set per partition tuple — each `groups` entry is
+    * (typed leaf values, live data files (qualified path, length)) after
+    * the same hint pruning the ordinary scan applies (dir pruning +
+    * zone/Bloom file skipping via [[planPrune]]). Eligible specs: a single
+    * `bucket(n, col)` leaf, or a composite whose leaves are all
+    * bucket/days/hours/months/years WITH at least one bucket (the
+    * join-key dimension; `days(ts), bucket(n, k)` — the canonical
+    * production layout). Leaf value types match the catalog's V2 function
+    * results: Int for bucket ids, Long for time transforms. A pure
+    * single-bucket layout enumerates ALL n buckets (empty ones included —
+    * both join sides then expose identical partition-value sets);
+    * composite layouts list OBSERVED tuples only (days are unbounded),
+    * which Spark pads via `spark.sql.sources.v2.bucketing.pushPartValues`.
+    * `None` — the caller falls back to the ordinary shuffling scan,
+    * always correct — when the spec has other leaf shapes, any live entry
+    * does not conform to the current layout (evolution mix, or a NULL
+    * time value's __HIVE_DEFAULT_PARTITION__ dir), or a deletion vector
+    * is present (the raw per-bucket file read has no position-mask seam —
+    * resurrecting deleted rows is never an option).
     */
   def spjLayout(spark: SparkSession, root: String, v: Long,
                 ranges: Seq[ColRange], points: Seq[(String, Any)],
                 pointsAny: Seq[(String, Seq[Any])])
-      : Option[(PartSpec.Bucket, Array[Seq[(String, Long)]])] = {
+      : Option[(Seq[PartSpec], Seq[(Seq[Any], Seq[(String, Long)])])] = {
     val (fs, rootP) = fsOf(spark, root)
     if (dvOf(fs, rootP, v).isDefined) return None
-    val bucket = GraftDdl.load(spark, root).flatMap(d =>
-      for { sch <- d.schema; rd <- d.partCol } yield PartSpec.parse(rd, sch)) match {
-      case Some(b: PartSpec.Bucket) => b
-      case _ => return None
+    val leaves: Seq[PartSpec] = GraftDdl.load(spark, root).flatMap(d =>
+      for { sch <- d.schema; rd <- d.partCol } yield PartSpec.parse(rd, sch))
+      .map(_.leaves).getOrElse(return None)
+    val eligible = leaves.nonEmpty &&
+      leaves.exists(_.isInstanceOf[PartSpec.Bucket]) &&
+      leaves.forall {
+        case _: PartSpec.Bucket | _: PartSpec.Days | _: PartSpec.Hours |
+             _: PartSpec.Months | _: PartSpec.Years => true
+        case _ => false
+      }
+    if (!eligible) return None
+    def parseLeaf(leaf: PartSpec, s: String): Option[Any] = leaf match {
+      case b: PartSpec.Bucket => s.toIntOption.filter(i => i >= 0 && i < b.n)
+      case _ => s.toLongOption
     }
-    val prefix = bucket.physName + "="
-    def bucketOf(dir: String): Option[Int] =
-      if (!dir.startsWith(prefix) || dir.contains("/")) None
-      else dir.stripPrefix(prefix).toIntOption.filter(i => i >= 0 && i < bucket.n)
-    // every live entry must be a conforming one-level bucket dir — a ""
-    // entry or a foreign dir is pre-evolution data outside the clustering
-    if (!entriesOf(fs, rootP, v).forall(e => bucketOf(e._1).isDefined))
+    // "ts_day=19723/k_bucket=3" -> Seq(19723L, 3) under the declared leaves
+    def dirValues(name: String): Option[Seq[Any]] = {
+      val segs = name.split('/')
+      if (segs.length != leaves.length) return None
+      val out = Seq.newBuilder[Any]
+      segs.iterator.zip(leaves.iterator).foreach { case (seg, leaf) =>
+        val pfx = leaf.physName + "="
+        if (!seg.startsWith(pfx)) return None
+        parseLeaf(leaf, seg.stripPrefix(pfx)) match {
+          case Some(x) => out += x
+          case None => return None
+        }
+      }
+      Some(out.result())
+    }
+    // every live entry must conform to the CURRENT layout — a "" entry or
+    // a foreign dir is pre-evolution data outside the clustering
+    if (!entriesOf(fs, rootP, v).forall(e => dirValues(e._1).isDefined))
       return None
-    val groups = Array.fill(bucket.n)(Seq.newBuilder[(String, Long)])
+    val groups = scala.collection.mutable.LinkedHashMap[
+      Seq[Any], scala.collection.mutable.Builder[(String, Long), Seq[(String, Long)]]]()
+    leaves match {
+      case Seq(b: PartSpec.Bucket) =>
+        (0 until b.n).foreach(i => groups(Seq(i)) = Seq.newBuilder)
+      case _ => ()
+    }
     val (plan, _) = planPrune(spark, root, v, ranges, points, pointsAny)
     plan.foreach { case (dataV, sel) =>
       val vdir = new Path(rootP, "v" + fmt(dataV))
@@ -1575,13 +1610,14 @@ object ManifestTable {
           files.flatMap(f => lens.get(f).map(f -> _))
       }
       kept.foreach { case (rel, len) =>
-        val i = bucketOf(rel.substring(0, math.max(rel.lastIndexOf('/'), 0)))
+        val key = dirValues(rel.substring(0, math.max(rel.lastIndexOf('/'), 0)))
           .getOrElse(throw new IllegalStateException(
-            s"spjLayout: live file $rel escaped the checked bucket-dir layout"))
-        groups(i) += ((fs.makeQualified(new Path(vdir, rel)).toString, len))
+            s"spjLayout: live file $rel escaped the checked layout"))
+        groups.getOrElseUpdate(key, Seq.newBuilder) +=
+          ((fs.makeQualified(new Path(vdir, rel)).toString, len))
       }
     }
-    Some((bucket, groups.map(_.result().toSeq)))
+    Some((leaves, groups.toSeq.map { case (k, b) => (k, b.result()) }))
   }
 
   private def listDataFilesWithLen(fs: FileSystem, vdir: Path): Seq[(String, Long)] = {

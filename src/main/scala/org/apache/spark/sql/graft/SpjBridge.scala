@@ -20,10 +20,9 @@ import org.apache.spark.util.SerializableConfiguration
   * `KeyGroupedPartitioning` groups on.
   */
 private[graft] class KeyedFilePartition(idx: Int, fs0: Array[PartitionedFile],
-                                        key: Int)
+                                        key: Array[Any])
     extends FilePartition(idx, fs0) with HasPartitionKey {
-  override def partitionKey(): InternalRow =
-    new GenericInternalRow(Array[Any](key))
+  override def partitionKey(): InternalRow = new GenericInternalRow(key)
 }
 
 /** Shim-package seam for the graft storage-partitioned scan
@@ -37,16 +36,17 @@ private[graft] class KeyedFilePartition(idx: Int, fs0: Array[PartitionedFile],
   */
 object SpjBridge {
 
-  /** One whole-file-per-entry partition for bucket `bucketId` — files are
-    * deliberately unsplit: the bucket is the co-location quantum a
+  /** One whole-file-per-entry partition for the partition tuple `key`
+    * (Int bucket ids, Long time-transform values) — files are
+    * deliberately unsplit: the tuple is the co-location quantum a
     * storage-partitioned join keys on.
     */
-  def keyedPartition(index: Int, bucketId: Int,
+  def keyedPartition(index: Int, key: Seq[Any],
                      files: Seq[(String, Long)]): InputPartition =
     new KeyedFilePartition(index, files.map { case (p, len) =>
       new PartitionedFile(InternalRow.empty, SparkPath.fromPathString(p),
         0L, len, Array.empty, 0L, len, Map.empty)
-    }.toArray, bucketId)
+    }.toArray, key.toArray)
 
   def parquetReaderFactory(spark: SparkSession, dataSchema: StructType,
                            readSchema: StructType,

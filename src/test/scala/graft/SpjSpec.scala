@@ -11,10 +11,12 @@ import graft.sources.GraftCatalog
   * `PARTITIONED BY (bucket(n, k))` join on `k` with ZERO Exchange when
   * Spark's V2 bucketing switch is on — the scan reports
   * `KeyGroupedPartitioning(bucket(n, k))` and plans one key-grouped input
-  * partition per bucket. Results are asserted IDENTICAL to the ordinary
-  * shuffling plan (the q167 result-invisibility pattern), and every
-  * irregular shape (switch off, deletion vector, composite spec) falls
-  * back to the V1 scan.
+  * partition per bucket; composite `(days(ts), bucket(n, k))` tables join
+  * on the bucket key alone under Spark's subset-join-keys switches, with
+  * asymmetric day coverage padded by pushPartValues. Results are asserted
+  * IDENTICAL to the ordinary shuffling plan (the q167 result-invisibility
+  * pattern), and every irregular shape (switch off, deletion vector,
+  * evolved layout) falls back to the V1 scan.
   */
 class SpjSpec extends SparkSuite {
 
@@ -118,6 +120,58 @@ class SpjSpec extends SparkSuite {
       assert(p.contains("Exchange"), s"DV snapshot must fall back:\n$p")
       assert(df.as[(Long, String, String)].collect().toSet == expected)
       assert(expected.forall(_._1 >= 300L))
+    }
+  }
+
+  test("composite (days + bucket) tables join on the bucket key with zero Exchange") {
+    wh
+    spark.sql("DROP TABLE IF EXISTS gspj.db.ca")
+    spark.sql("DROP TABLE IF EXISTS gspj.db.cb")
+    spark.sql("""CREATE TABLE gspj.db.ca (k BIGINT, ts TIMESTAMP, va STRING)
+      PARTITIONED BY (days(ts), bucket(4, k))""")
+    spark.sql("""CREATE TABLE gspj.db.cb (k BIGINT, ts TIMESTAMP, vb STRING)
+      PARTITIONED BY (days(ts), bucket(4, k))""")
+    // DIFFERENT day coverage per side: side B misses day 0 and adds day 5 —
+    // pushPartValues must pad the asymmetric partition-value sets
+    (0L until 400L).map(i =>
+        (i, java.sql.Timestamp.valueOf(s"2024-01-0${1 + (i % 4)} 10:00:00"), s"a$i"))
+      .toDF("k", "ts", "va").createOrReplaceTempView("cspj_a")
+    (100L until 500L).map(i =>
+        (i, java.sql.Timestamp.valueOf(s"2024-01-0${2 + (i % 4)} 11:00:00"), s"b$i"))
+      .toDF("k", "ts", "vb").createOrReplaceTempView("cspj_b")
+    spark.sql("INSERT INTO gspj.db.ca SELECT * FROM cspj_a")
+    spark.sql("INSERT INTO gspj.db.cb SELECT * FROM cspj_b")
+    // The partition-source column (ts) must stay in scope through the
+    // join: Spark's alias-aware projection degrades KeyGroupedPartitioning
+    // to Unknown when a pruning Project drops a transform's source column
+    // (probed r20) — an inherent SPJ constraint, same as Iceberg's.
+    def joined2(): DataFrame =
+      spark.table("gspj.db.ca").as("a")
+        .join(spark.table("gspj.db.cb").as("b"), $"a.k" === $"b.k")
+        .select($"a.k", $"a.ts", $"b.ts".as("ts_b"), $"a.va", $"b.vb")
+    val expected = withSpj(on = false) {
+      joined2().as[(Long, java.sql.Timestamp, java.sql.Timestamp, String, String)]
+        .collect().toSet
+    }
+    assert(expected.nonEmpty)
+    // Spark's own composite-SPJ switches (same set Iceberg documents):
+    // pad the asymmetric day sets, allow join keys ⊂ partition keys, and
+    // drop the exact-cluster-keys co-partition requirement
+    val extra = Seq(
+      "spark.sql.sources.v2.bucketing.pushPartValues.enabled" -> "true",
+      "spark.sql.sources.v2.bucketing.allowJoinKeysSubsetOfPartitionKeys.enabled" -> "true",
+      "spark.sql.requireAllClusterKeysForCoPartition" -> "false")
+    val prev = extra.map { case (key, _) => key -> spark.conf.getOption(key) }
+    extra.foreach { case (key, v) => spark.conf.set(key, v) }
+    try withSpj(on = true) {
+      val df = joined2()
+      val p = finalPlan(df)
+      assert(!p.contains("Exchange"), s"composite SPJ must not shuffle:\n$p")
+      assert(df.as[(Long, java.sql.Timestamp, java.sql.Timestamp, String, String)]
+        .collect().toSet == expected)
+    } finally prev.foreach {
+      case (key, Some(v)) => spark.conf.set(key, v)
+      case (key, None) => spark.conf.unset(key)
     }
   }
 
