@@ -6512,6 +6512,57 @@ object Queries {
         ${dsumSql("l_extendedprice")} AS rev, ${dsumSql("l_quantity")} AS qty
       FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       GROUP BY o_orderstatus"""))
+  ) ++ Seq[(String, (SparkSession, String) => DataFrame, Option[String])](
+
+    // COMPOSITE-LAYOUT STORAGE-PARTITIONED JOIN (r20, second leg): two
+    // `(days(ts), bucket(8, user_id))` tables — the canonical production
+    // layout — self-join the events stream's odd and even halves on the
+    // FULL partition tuple's sources (user_id, ts): same user, same
+    // instant, across the two halves. Both scans key-group on (day,
+    // bucket) and the join plans with ZERO Exchange (full-tuple SPJ needs
+    // no subset switches; pushPartValues pads any day one half lacks).
+    // The oracle replays the plain self-join — the q167/q212
+    // result-invisibility pattern. Runs on its own session so the SPJ
+    // switches never leak into other queries.
+    ("q214_spj_composite", (s0: SparkSession, d: String) => {
+      import graft.sources.GraftCatalog
+      val s = s0.newSession()
+      s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      s.conf.set("spark.sql.sources.v2.bucketing.pushPartValues.enabled", "true")
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      // hour-truncated event time: raw (user, ts) pairs are UNIQUE in the
+      // fixture, so the co-presence join below would be empty — the hour
+      // grain is the "same user active in the same hour" session shape
+      val ev = t(s, d, "events").select(col("event_id"),
+        date_trunc("hour", col("ts")).as("ts"),
+        col("user_id"), col("event_type"), col("value"))
+      val wh = java.nio.file.Files.createTempDirectory("q214-cat").toString
+      val cat = s"gq214x${catSeq.incrementAndGet()}"
+      s.conf.set(s"spark.sql.catalog.$cat", classOf[GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+      s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.db")
+      ev.createOrReplaceTempView("q214_src")
+      Seq("odd" -> 1, "even" -> 0).foreach { case (nm, r) =>
+        s.sql(s"""CREATE TABLE $cat.db.$nm (
+          event_id BIGINT, ts TIMESTAMP, user_id BIGINT,
+          event_type STRING, value DOUBLE)
+          PARTITIONED BY (days(ts), bucket(4, user_id))""")
+        s.sql(s"INSERT INTO $cat.db.$nm SELECT * FROM q214_src WHERE event_id % 2 = $r")
+      }
+      s.sql(s"""SELECT a.event_type AS et_a, b.event_type AS et_b,
+          CAST(count(*) AS BIGINT) AS n, ${dsumSql("a.value + b.value")} AS v
+        FROM $cat.db.odd a JOIN $cat.db.even b
+          ON a.user_id = b.user_id AND a.ts = b.ts
+        GROUP BY a.event_type, b.event_type""")
+    }, Some(s"""WITH src AS (SELECT event_id,
+          date_trunc('hour', CAST(ts AS TIMESTAMP)) AS ts,
+          user_id, event_type, value FROM events)
+      SELECT a.event_type AS et_a, b.event_type AS et_b,
+        CAST(count(*) AS BIGINT) AS n, ${dsumSql("a.value + b.value")} AS v
+      FROM (SELECT * FROM src WHERE event_id % 2 = 1) a
+      JOIN (SELECT * FROM src WHERE event_id % 2 = 0) b
+        ON a.user_id = b.user_id AND a.ts = b.ts
+      GROUP BY a.event_type, b.event_type"""))
   )
 
   /** The BM25 replay shared by q72/q123 — postings, df, dl, corpus stats,

@@ -822,6 +822,72 @@ object StressBench {
         }
       }
     }
+    // r20 second pass: COMPOSITE-LAYOUT SPJ curve — two `(days(ts),
+    // bucket(16, k))` tables joined on the bucket key ALONE (join keys ⊂
+    // partition keys, Spark's subset switches + pushPartValues padding the
+    // day sets; ts carried through the join — the alias-aware-projection
+    // constraint). Control = the ordinary shuffling SortMergeJoin. The
+    // join fan-out is held at ~320 pairs/key so the curve isolates the
+    // shuffle, not the join arithmetic.
+    if (onlyOps.forall(_.exists("spj_composite".startsWith))) {
+      val epoch = 1704067200000000L // 2024-01-01T00Z µs
+      for (f <- factors) {
+        val wh = java.nio.file.Files.createTempDirectory(s"spjc$f").toString
+        val cat = s"gspjc$f"
+        spark.conf.set(s"spark.sql.catalog.$cat",
+          classOf[graft.sources.GraftCatalog].getName)
+        spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+        spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.db")
+        val users = 5000L * f
+        def rows(n: Long): org.apache.spark.sql.DataFrame =
+          spark.range(n).select(
+            pmod(col("id"), lit(users)).as("k"),
+            timestamp_micros(lit(epoch) +
+              pmod(col("id"), lit(30L)) * 86400000000L).as("ts"),
+            (col("id") % 97 * 0.5).as("v"))
+        rows(200000L * f).createOrReplaceTempView("spjc_a")
+        rows(40000L * f).withColumnRenamed("v", "w")
+          .createOrReplaceTempView("spjc_b")
+        spark.sql(s"""CREATE TABLE $cat.db.a (k BIGINT, ts TIMESTAMP, v DOUBLE)
+          PARTITIONED BY (days(ts), bucket(16, k))""")
+        spark.sql(s"""CREATE TABLE $cat.db.b (k BIGINT, ts TIMESTAMP, w DOUBLE)
+          PARTITIONED BY (days(ts), bucket(16, k))""")
+        spark.sql(s"INSERT INTO $cat.db.a SELECT * FROM spjc_a")
+        spark.sql(s"INSERT INTO $cat.db.b SELECT * FROM spjc_b")
+        for (mode <- Seq("shuffle", "spj")) {
+          val s2 = spark.newSession()
+          s2.conf.set(s"spark.sql.catalog.$cat",
+            classOf[graft.sources.GraftCatalog].getName)
+          s2.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+          s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+          Seq("spark.sql.sources.v2.bucketing.enabled",
+            "spark.sql.sources.v2.bucketing.pushPartValues.enabled",
+            "spark.sql.sources.v2.bucketing.allowJoinKeysSubsetOfPartitionKeys.enabled")
+            .foreach(k => s2.conf.set(k, (mode == "spj").toString))
+          if (mode == "spj")
+            s2.conf.set("spark.sql.requireAllClusterKeysForCoPartition", "false")
+          val shuf = new java.util.concurrent.atomic.AtomicLong()
+          val lsn = new org.apache.spark.scheduler.SparkListener {
+            override def onTaskEnd(
+                t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+              if (t.taskMetrics != null)
+                shuf.addAndGet(t.taskMetrics.shuffleWriteMetrics.bytesWritten)
+          }
+          spark.sparkContext.addSparkListener(lsn)
+          try {
+            val t0 = System.nanoTime()
+            // max(ts) keeps the partition-source column alive to the join
+            val out = s2.sql(s"""SELECT CAST(count(*) AS BIGINT) AS n,
+                CAST(SUM(CAST(v + w AS DECIMAL(18,6))) AS DOUBLE) AS s,
+                max(a.ts) AS mta, max(b.ts) AS mtb
+              FROM $cat.db.a a JOIN $cat.db.b b ON a.k = b.k""").collect()
+            val sec = (System.nanoTime() - t0) / 1e9
+            Thread.sleep(800) // listener bus drain before reading the sum
+            println(f"""[stress] {"op":"spj_composite","mode":"$mode","factor":$f,"joined":${out.head.getLong(0)},"sec":$sec%.2f,"shuffle_mb":${shuf.get() / 1e6}%.1f}""")
+          } finally spark.sparkContext.removeSparkListener(lsn)
+        }
+      }
+    }
     // r20 (VERDICT r19 #4): REF/METADATA-LOG resolution at high commit
     // counts — a streaming sink committing every minute for days
     // accumulates O(commits) manifests and `_ref` markers, and every head

@@ -466,6 +466,18 @@ class PlanSpec extends SparkSuite {
     assert(fin.contains("SortMergeJoin"), p)
   }
 
+  test("q214: the composite-layout self-join key-groups on (day, bucket) with no join-side Exchange") {
+    val p = finalPlan("q214_spj_composite")
+    val fin = p.split("== Initial Plan ==").head
+    assert("GraftSpjScan".r.findAllIn(fin).size == 2,
+      s"both halves must take the key-grouped scan path:\n$p")
+    // the aggregation above still shuffles on the event-type pair; the
+    // JOIN keys (user_id, ts) must never reach an Exchange
+    assert(!fin.contains("hashpartitioning(user_id"),
+      s"join keys must not reach an Exchange:\n$p")
+    assert(fin.contains("SortMergeJoin"), p)
+  }
+
   test("q191: trace joins broadcast and the top-k rank is a bounded heap, not a sort-all") {
     val p = finalPlan("q191_decontam_trace")
     val fin = p.split("== Initial Plan ==").head

@@ -123,6 +123,43 @@ class SpjSpec extends SparkSuite {
     }
   }
 
+  test("one-side shuffle: an unbucketed frame shuffles INTO the table's layout") {
+    mkTables()
+    // an ad-hoc frame (a staged micro-batch, a lookup set) joining a
+    // bucketed fact: with storage-partitioned shuffle enabled, Spark
+    // EVALUATES the catalog's bucket function to re-partition ONLY the
+    // frame side into the table's existing layout — the fact side moves
+    // zero bytes. This is the proof the V2 bucket function is genuinely
+    // evaluable (produceResult replays pmod(xxhash64, n) exactly): a
+    // mismatched replay would route rows to the wrong bucket and DROP
+    // join matches silently — the result assertion below would fail.
+    val adhoc = (200L until 600L).map(i => (i, s"x$i")).toDF("k", "vx")
+    adhoc.createOrReplaceTempView("spj_adhoc")
+    def joined3(): DataFrame =
+      spark.table("gspj.db.fact_a").join(spark.table("spj_adhoc"), "k")
+        .select($"k", $"va", $"vx")
+    val expected = withSpj(on = false) {
+      joined3().as[(Long, String, String)].collect().toSet
+    }
+    assert(expected.size == 300)
+    val key = "spark.sql.sources.v2.bucketing.shuffle.enabled"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "true")
+    try withSpj(on = true) {
+      val df = joined3()
+      val p = finalPlan(df)
+      // exactly ONE exchange (the ad-hoc side), keyed by the table's
+      // bucket function — the fact scan stays exchange-free
+      assert("Exchange".r.findAllIn(p).size == 1, s"one shuffle, frame side only:\n$p")
+      assert(p.contains("KeyGroupedPartitioning") || p.contains("keygroupedpartitioning"),
+        s"the frame must shuffle INTO the key-grouped layout:\n$p")
+      assert(df.as[(Long, String, String)].collect().toSet == expected)
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("composite (days + bucket) tables join on the bucket key with zero Exchange") {
     wh
     spark.sql("DROP TABLE IF EXISTS gspj.db.ca")
