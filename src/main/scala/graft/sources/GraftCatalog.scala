@@ -1905,7 +1905,8 @@ private[sources] object GraftPartFunctions {
   * irregular (DV present, evolved layout, other transforms, metadata
   * columns, time travel) falls back to [[GraftV1ScanImpl]].
   */
-private[sources] class GraftSpjScan(root: String, tableSchema: StructType,
+private[sources] class GraftSpjScan(session: SparkSession, root: String,
+                                    tableSchema: StructType,
                                     required: StructType, filters: Array[Filter],
                                     leaves: Seq[PartSpec],
                                     groups: Seq[(Seq[Any], Seq[(String, Long)])])
@@ -1937,10 +1938,15 @@ private[sources] class GraftSpjScan(root: String, tableSchema: StructType,
       org.apache.spark.sql.graft.SpjBridge.keyedPartition(i, key, files)
     }.toArray
 
+  // the PLANNING session, captured at construction: createReaderFactory
+  // runs at execution time on whatever thread drives the job, where
+  // SparkSession.active can be a DIFFERENT session (a q212-style
+  // newSession Dataset collected from the parent session's thread) — the
+  // factory must snapshot the conf the plan was built under
   override def createReaderFactory()
       : org.apache.spark.sql.connector.read.PartitionReaderFactory =
     org.apache.spark.sql.graft.SpjBridge.parquetReaderFactory(
-      SparkSession.active, tableSchema, required, filters)
+      session, tableSchema, required, filters)
 
   // byte/row/NDV statistics are layout-independent — delegate to the V1
   // scan's estimator (same pruning hints, same sidecar sums)
@@ -1978,7 +1984,8 @@ private[sources] object GraftSpjScan {
           leaves.map(_.source).distinct
             .filterNot(required.fieldNames.contains)
             .flatMap(c => tableSchema.fields.find(_.name == c)))
-        new GraftSpjScan(root, tableSchema, withSources, filters, leaves, groups)
+        new GraftSpjScan(spark, root, tableSchema, withSources, filters,
+          leaves, groups)
     }
   }
 }
