@@ -69,14 +69,26 @@ object HashEmbed {
       .select(col("term"), Sampling.lnMicro(col("n"), col("df")).as("im"))
     val wv = post.join(idf, Seq("term"))
       .select(col("doc_id"), col("term"), (col("tf") * col("im")).as("wm"))
-    // components only for terms that SURVIVED the df gate — the cap's point
-    val comp = termComponents(idf.select("term"), dims)
-    wv.join(comp, Seq("term"))
-      .groupBy("doc_id", "dim").agg(sum(col("wm") * col("c")).as("v"))
-      .groupBy("doc_id")
-      .agg(array_sort(collect_list(struct(col("dim"), col("v")))).as("dv"))
+    // components only for terms that SURVIVED the df gate — the cap's point.
+    // Packed to ONE dim-ordered array<long> row per term (optimization r21,
+    // guide §2.3 "shuffle fewer bytes"): the old per-(term, dim) component
+    // relation multiplied every posting ×dims through the join, shuffling
+    // |postings|·dims rows into the (doc, dim) aggregate. Packed, the join
+    // stays |postings|-sized and the per-doc aggregate is `dims` flat
+    // codegen'd long-sum columns (the minhash k-min-columns pattern) — a
+    // map-side-combined hash aggregate shipping one row per doc. Integer
+    // sums are exact and order-independent, so the result is bit-identical.
+    val compPacked = termComponents(idf.select("term"), dims)
+      .groupBy("term")
+      .agg(array_sort(collect_list(struct(col("dim"), col("c")))).as("dc"))
+      .select(col("term"), transform(col("dc"), _.getField("c")).as("cs"))
+    val sums = (0 until dims).map(i =>
+      sum(element_at(col("cs"), i + 1) * col("wm")).as(s"__v$i"))
+    wv.join(compPacked, Seq("term"))
+      .groupBy(col("doc_id"))
+      .agg(sums.head, sums.tail: _*)
       .select(col("doc_id"),
-        transform(col("dv"), e => e.getField("v").cast("double") / lit(1e12))
-          .as("embedding"))
+        transform(array((0 until dims).map(i => col(s"__v$i")): _*),
+          v => v.cast("double") / lit(1e12)).as("embedding"))
   }
 }

@@ -50,19 +50,45 @@ object ProductQuant {
       s => slice(v, s * dims + 1, lit(dims)))).as(Seq("sub", "sv")))
   }
 
-  /** Nearest-codebook-entry assignment per (row, subspace): broadcast
-    * codebook equi-joined on `sub`, per-(id, sub) top-`keep` window (bounded
-    * by codebook size, never corpus-wide). `keep` > 1 is the IVF-style
-    * multi-cell query probe.
+  /** Nearest-codebook-entry assignment per (row, subspace). `keep` > 1 is
+    * the IVF-style multi-cell query probe (query-batch-sized input only).
+    *
+    * `keep == 1` — the corpus-sized path (encode + every Lloyd round) — is
+    * MAP-ONLY (optimization r21, guide §2.4 "remove shuffles outright"):
+    * the codebook collapses to one array row per sub (≤ks entries, a
+    * bounded model), broadcast, and each (id, sub) row folds over it
+    * inside the codegen'd NearestSqEntry expression — the same round-6
+    * distance and cid-ascending tie pin the old per-(id, sub) window
+    * applied, with no ks-fold row blowup, no Exchange and no sort. The
+    * window form kept `keep·N` rows per group AFTER shuffling every scored
+    * row to its group's reducer (WindowGroupLimit pruned the volume but
+    * still paid two sorts + one exchange); this evaluates the identical
+    * fold per row inside the scan projection, so encode is zero-shuffle at
+    * any scale.
+    *
+    * `keep > 1` keeps the broadcast-join + bounded-window shape: its only
+    * caller is the per-QUERY probe (|Q|·ks rows), where the window costs
+    * nothing and the multi-row output shape is exactly what a window gives.
     */
   private def assign(sv: DataFrame, codebook: DataFrame, id: String,
                      keep: Int = 1): DataFrame = {
-    val scored = sv.join(broadcast(codebook), Seq("sub"))
-      .withColumn("d", round(sqDist(col("sv"), col("cv")), 6))
-    val w = Window.partitionBy(col(id), col("sub"))
-      .orderBy(col("d").asc, col("cid"))
-    scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= keep)
-      .drop("cv", "rn")
+    if (keep == 1) {
+      val cbArr = codebook.groupBy("sub")
+        .agg(collect_list(struct(col("cid"), col("cv"))).as("__cents"))
+      sv.join(broadcast(cbArr), Seq("sub"))
+        .withColumn("__best", org.apache.spark.sql.graft.GraftColumns
+          .nearestSqEntry(col("sv"), col("__cents")))
+        .select(col("sub"), col(id), col("sv"),
+          col("__best").getField("cid").as("cid"),
+          col("__best").getField("d").as("d"))
+    } else {
+      val scored = sv.join(broadcast(codebook), Seq("sub"))
+        .withColumn("d", round(sqDist(col("sv"), col("cv")), 6))
+      val w = Window.partitionBy(col(id), col("sub"))
+        .orderBy(col("d").asc, col("cid"))
+      scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= keep)
+        .drop("cv", "rn")
+    }
   }
 
   /** Per-subspace codebooks after `iters` Lloyd rounds from the stride

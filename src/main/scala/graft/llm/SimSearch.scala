@@ -180,18 +180,38 @@ object SimSearch {
     */
   private def assignTo(cents: DataFrame, df: DataFrame, id: String,
                        emb: String, keep: Int): DataFrame = {
-    val scored = df.crossJoin(broadcast(cents))
-      .withColumn("cscore", round(VectorFunctions.cosineSim(col(emb), col("cent_emb")), 6))
-      // zero-norm vectors score NaN against EVERY centroid — without this
-      // filter they land in a cell purely by NaN-ordering tie-break, an
-      // engine-dependent accident. Same convention as every ranking path:
-      // unrankable vectors are excluded (here: unassignable), so a zero-norm
-      // row simply has no cell rather than an arbitrary one.
-      .filter(!isnan(col("cscore")))
-    val w = Window.partitionBy(col(id)).orderBy(col("cscore").desc, col("cent_id"))
-    scored.withColumn("crank", row_number().over(w))
-      .filter(col("crank") <= keep)
-      .drop("cent_emb", "cscore", "crank")
+    if (keep == 1) {
+      // Map-only top-1 assignment (optimization r21, guide §2.4): the
+      // centroid set collapses to ONE broadcast array row and each input
+      // row folds over it inside the codegen'd NearestCosineEntry
+      // expression — the same round-6 score and cent_id tie pin as the
+      // old per-id window, with no |cents|-fold row blowup, no Exchange,
+      // no sort. NaN scores are skipped inside the fold; a row where
+      // EVERY centroid scores NaN (zero-norm vector) yields null and the
+      // filter drops it — the old "unassignable rows get no cell"
+      // convention.
+      val centsArr = cents.groupBy()
+        .agg(collect_list(struct(col("cent_id"), col("cent_emb"))).as("__cents"))
+      df.crossJoin(broadcast(centsArr))
+        .withColumn("__best", org.apache.spark.sql.graft.GraftColumns
+          .nearestCosineEntry(col(emb), col("__cents")))
+        .filter(col("__best").isNotNull)
+        .withColumn("cent_id", col("__best").getField("cent_id"))
+        .drop("__cents", "__best")
+    } else {
+      val scored = df.crossJoin(broadcast(cents))
+        .withColumn("cscore", round(VectorFunctions.cosineSim(col(emb), col("cent_emb")), 6))
+        // zero-norm vectors score NaN against EVERY centroid — without this
+        // filter they land in a cell purely by NaN-ordering tie-break, an
+        // engine-dependent accident. Same convention as every ranking path:
+        // unrankable vectors are excluded (here: unassignable), so a zero-norm
+        // row simply has no cell rather than an arbitrary one.
+        .filter(!isnan(col("cscore")))
+      val w = Window.partitionBy(col(id)).orderBy(col("cscore").desc, col("cent_id"))
+      scored.withColumn("crank", row_number().over(w))
+        .filter(col("crank") <= keep)
+        .drop("cent_emb", "cscore", "crank")
+    }
   }
 
   /** The (vecId, cell) index assignment for a trained/seeded centroid set —
@@ -228,12 +248,24 @@ object SimSearch {
     val scored = corpusCells.join(broadcast(queryCells), Seq("cell"))
       .withColumn("cosine", round(VectorFunctions.cosineSim(col("q_emb"), col("c_emb")), 6))
       .filter(!isnan(col("cosine"))) // zero-norm vectors are unrankable
-    val w = Window.partitionBy(col(queryId))
-      .orderBy(col("cosine").desc, col(vecId))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(queryId, vecId, "cosine", "rank")
+    cosineRankTail(scored, k, queryId, vecId)
   }
+
+  /** Bounded-heap per-query top-k over (queryId, vecId, cosine) — the
+    * [[bruteForceTopKAgg]] tail shared by the IVF/bucketed search paths
+    * (optimization r21): the window form shuffled every candidate row and
+    * sorted whole query groups; the TopKByScore aggregate partial-aggregates
+    * map-side (≤ k rows per query per mapper). Same (cosine desc, vecId asc)
+    * order and tie pins — row-identical output.
+    */
+  private def cosineRankTail(scored: DataFrame, k: Int,
+                             queryId: String, vecId: String): DataFrame =
+    scored.groupBy(col(queryId))
+      .agg(org.apache.spark.sql.graft.TopKColumns
+        .topKByScore(col("cosine"), col(vecId), k).as("top"))
+      .select(col(queryId), posexplode(col("top")).as(Seq("pos", "entry")))
+      .select(col(queryId), col("entry.id").as(vecId),
+        col("entry.score").as("cosine"), (col("pos") + 1).cast("int").as("rank"))
 
   /** Query-side nprobe cell probe against a frozen centroid set —
     * (queryId, cell, q_emb). The driver collects the DISTINCT cells for a
@@ -266,11 +298,7 @@ object SimSearch {
     val scored = stored.join(broadcast(probes), Seq("cell"))
       .withColumn("cosine", round(VectorFunctions.cosineSim(col("q_emb"), col("embedding")), 6))
       .filter(!isnan(col("cosine")))
-    val w = Window.partitionBy(col(queryId))
-      .orderBy(col("cosine").desc, col(vecId))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(queryId, vecId, "cosine", "rank")
+    cosineRankTail(scored, k, queryId, vecId)
   }
 
   /** IVF top-k on stride-seeded (untrained) centroids. */
@@ -430,10 +458,6 @@ object SimSearch {
       .withColumn("cosine",
         round(VectorFunctions.cosineSim(col("q_emb"), col("c_emb")), 6))
       .filter(!isnan(col("cosine"))) // zero-norm vectors are unrankable
-    val w = Window.partitionBy(col(queryId))
-      .orderBy(col("cosine").desc, col(vecId))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(queryId, vecId, "cosine", "rank")
+    cosineRankTail(scored, k, queryId, vecId)
   }
 }

@@ -128,6 +128,84 @@ case class DotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Nearest packed-codebook entry by (round-6 squared L2 asc, cid asc):
+  * `struct<d: double, cid: bigint>` of the winner, null for an empty entry
+  * array. The map-only replacement for the broadcast-join + per-(id, sub)
+  * window argmin in [[graft.llm.ProductQuant]] (optimization r21): the
+  * codebook is bounded model state, so folding it per row inside codegen
+  * removes the ks-fold row blowup, the exchange and both sorts the window
+  * form paid — and the tight double loop replaces the interpreted
+  * zip_with/aggregate fold, which is why the pure-Catalyst fold variant
+  * measured SLOWER than the window (array HOFs are not codegen'd).
+  */
+case class NearestSqEntry(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+  import org.apache.spark.sql.types._
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("d", DoubleType, nullable = false),
+    StructField("cid", LongType, nullable = false)))
+  override def inputTypes: Seq[AbstractDataType] = Seq(
+    ArrayType(DoubleType),
+    ArrayType(StructType(Seq(
+      StructField("cid", LongType),
+      StructField("cv", ArrayType(DoubleType))))))
+  override def nullable: Boolean = true
+  override def prettyName: String = "nearest_sq_entry"
+
+  override protected def nullSafeEval(v: Any, cents: Any): Any =
+    graft.functions.VectorImpl.nearestSq(
+      v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      cents.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => s"""
+      Object graftNearestR = graft.functions.VectorImpl.nearestSq($a, $b);
+      if (graftNearestR == null) { ${ev.isNull} = true; }
+      else { ${ev.value} = (org.apache.spark.sql.catalyst.InternalRow) graftNearestR; }""")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Nearest centroid by (round-6 cosine desc, cent_id asc):
+  * `struct<cscore: double, cent_id: bigint>`, null when no centroid scores
+  * a real number (zero-norm input, or empty centroid set) — the
+  * [[graft.llm.SimSearch]] assignTo convention, fused into one codegen'd
+  * fold for the same reasons as [[NearestSqEntry]].
+  */
+case class NearestCosineEntry(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+  import org.apache.spark.sql.types._
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("cscore", DoubleType, nullable = false),
+    StructField("cent_id", LongType, nullable = false)))
+  override def inputTypes: Seq[AbstractDataType] = Seq(
+    ArrayType(DoubleType),
+    ArrayType(StructType(Seq(
+      StructField("cent_id", LongType),
+      StructField("cent_emb", ArrayType(DoubleType))))))
+  override def nullable: Boolean = true
+  override def prettyName: String = "nearest_cosine_entry"
+
+  override protected def nullSafeEval(v: Any, cents: Any): Any =
+    graft.functions.VectorImpl.nearestCosine(
+      v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      cents.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => s"""
+      Object graftNearestR = graft.functions.VectorImpl.nearestCosine($a, $b);
+      if (graftNearestR == null) { ${ev.isNull} = true; }
+      else { ${ev.value} = (org.apache.spark.sql.catalyst.InternalRow) graftNearestR; }""")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** 64-bit SimHash of a token array: FNV-1a hash per token, bitwise majority
   * vote across tokens. Near-duplicate documents differ in few bits, so
   * `bit_count(a ^ b)` is a Hamming-distance verifier (llm/Dedup). Native
@@ -425,6 +503,16 @@ object GraftColumns {
     ExpressionUtils.column(CosineSimilarity(
       ExpressionUtils.expression(a.cast("array<double>")),
       ExpressionUtils.expression(b.cast("array<double>"))))
+
+  def nearestSqEntry(v: Column, cents: Column): Column =
+    ExpressionUtils.column(NearestSqEntry(
+      ExpressionUtils.expression(v.cast("array<double>")),
+      ExpressionUtils.expression(cents)))
+
+  def nearestCosineEntry(v: Column, cents: Column): Column =
+    ExpressionUtils.column(NearestCosineEntry(
+      ExpressionUtils.expression(v.cast("array<double>")),
+      ExpressionUtils.expression(cents)))
 
   def dotProduct(a: Column, b: Column): Column =
     ExpressionUtils.column(DotProduct(
