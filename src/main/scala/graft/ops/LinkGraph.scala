@@ -142,11 +142,19 @@ object LinkGraph {
         when(lower, col("b")).otherwise(col("a")).as("w"),
         when(lower, col("db")).otherwise(col("da")).as("dw"))
       .localCheckpoint()
+    // shuffled-hash, not sort-merge (optimization r21, guide §3.1): the
+    // wedge self-join and the closing join dominate the operator; SMJ pays
+    // a full sort of BOTH sides per join, where a per-partition hash build
+    // of one side skips every sort. Build sides: `y`/`ed` — bounded by the
+    // oriented edge relation, whose per-key width the degree orientation
+    // already caps at O(√m). Join strategy only; output rows identical.
     val x = ed.select(col("u"), col("w").as("p"), col("dw").as("dp"))
     val y = ed.select(col("u"), col("w").as("q"), col("dw").as("dq"))
-    val wedges = x.join(y, Seq("u"))
+    val wedges = x.join(y.hint("shuffle_hash"), Seq("u"))
       .filter(col("dp") < col("dq") || (col("dp") === col("dq") && col("p") < col("q")))
-    val tris = wedges.join(ed.select(col("u").as("p"), col("w").as("q")), Seq("p", "q"))
+    val tris = wedges.join(
+        ed.select(col("u").as("p"), col("w").as("q")).hint("shuffle_hash"),
+        Seq("p", "q"))
       .select(col("u"), col("p"), col("q"))
     val tn = tris.select(explode(array(col("u"), col("p"), col("q"))).as("v"))
       .groupBy("v").agg(count(lit(1)).as("tri"))
