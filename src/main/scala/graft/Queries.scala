@@ -4071,7 +4071,9 @@ object Queries {
             .as("probe"))
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("probe_id")).orderBy(col("sim").desc, col("c_custkey"))
-      cust.crossJoin(broadcast(probes))
+      // |cust|×|probes| jaro-winkler scores ran in ONE task (single-row-group
+      // scan) — fan the corpus side out before the broadcast fan-out
+      Tables.fanOut(cust, col("c_custkey")).crossJoin(broadcast(probes))
         .withColumn("sim", graft.llm.Sampling.round6(
           graft.functions.Fuzzy.jaroWinkler(col("c_name"), col("probe"))))
         .withColumn("__rn", row_number().over(w))

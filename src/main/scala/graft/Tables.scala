@@ -33,6 +33,26 @@ object Tables {
     } else df
   }
 
+  /** Fan heavy per-row work out of a parallelism-starved scan (optimization
+    * r21, guide §2.5 "repartition immediately after the read"): a parquet
+    * scan's parallelism is bounded by its ROW GROUPS, not its split count —
+    * a one-row-group file runs its whole downstream projection in one task
+    * however many splits the planner cuts (measured: q160's 2.2M
+    * jaro-winkler scores in 1 task with 31 cores idle). When the scan's
+    * natural parallelism is under half the session's cores, hash-repartition
+    * by `key` to the core count BEFORE the expensive projection; at
+    * production scale the input has >= cores row groups and this is a no-op
+    * by construction — the check is against the actual scan partitioning,
+    * never a constant. Hash-by-key (not round-robin) keeps the placement
+    * deterministic under task retries with no sort-before-repartition pass.
+    * Callers pass the relation BEFORE the heavy projection so the shuffle
+    * carries input bytes once, exactly like the scan would have read them.
+    */
+  def fanOut(df: DataFrame, keys: org.apache.spark.sql.Column*): DataFrame = {
+    val cores = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions * 2 <= cores) df.repartition(cores, keys: _*) else df
+  }
+
   private def read(spark: SparkSession, name: String, path: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // every table goes through the connector seam: a deployment points

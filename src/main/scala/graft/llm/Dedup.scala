@@ -168,7 +168,9 @@ object Dedup {
     */
   private[graft] def shingleRel(df: DataFrame, textCol: String, idCol: String,
                          shingleN: Int): DataFrame =
-    df.select(
+    // tokenize+shingle is the relation's dominant per-row cost — fan it out
+    // of a row-group-bounded scan (Tables.fanOut scaladoc)
+    graft.Tables.fanOut(df, col(idCol)).select(
       col(idCol).as("id"),
       TextStats.tokens(normalize(col(textCol))).as("w"))
       .select(col("id"), shinglesFromTokens(col("w"), shingleN).as("sh"))
@@ -352,7 +354,10 @@ object Dedup {
                         blocks: Int = 7, maxHamming: Int = 6,
                         maxBucket: Int = Int.MaxValue): DataFrame =
     sweptPairsFromHashes(
-      df.select(col(idCol).as("id"), simhash(col(textCol)).as("sh")),
+      // tokenize+FNV+simhash is the operator's dominant per-row cost — fan
+      // it out of a row-group-bounded scan (Tables.fanOut scaladoc)
+      graft.Tables.fanOut(df, col(idCol))
+        .select(col(idCol).as("id"), simhash(col(textCol)).as("sh")),
       blocks, maxHamming, maxBucket)
 
   /** [[simhashPairsSwept]] over precomputed (id, sh) hashes.

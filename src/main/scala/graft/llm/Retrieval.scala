@@ -26,9 +26,13 @@ object Retrieval {
     (0L, "spark join hash"), (1L, "vector stream merge"),
     (2L, "customer order window"), (3L, "slow scan filter table"))
 
-  /** (doc, term, tf) postings plus per-document length. */
+  /** (doc, term, tf) postings plus per-document length. Tokenization is
+    * fanned out of a row-group-bounded scan (Tables.fanOut scaladoc) — the
+    * explode+aggregate shuffles identically either way.
+    */
   def postings(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    docs.select(col(idCol).as("doc_id"),
+    graft.Tables.fanOut(docs, col(idCol))
+      .select(col(idCol).as("doc_id"),
         explode(TextStats.tokens(lower(col(textCol)))).as("term"))
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
 

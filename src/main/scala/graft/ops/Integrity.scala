@@ -123,7 +123,11 @@ object Integrity {
     val declaredArr = array(declared.map(lit): _*)
     val unknown = array_except(actual, declaredArr).as("unknown_fields")
     val missing = array_except(declaredArr, actual).as("missing_fields")
-    val tagged = df.select(col("*"), unknown, missing)
+    // per-row JSON key extraction is the operator's whole cost — fan it out
+    // of a row-group-bounded scan (Tables.fanOut scaladoc), keyed on the
+    // document itself
+    val tagged = graft.Tables.fanOut(df, col(jsonCol))
+      .select(col("*"), unknown, missing)
     (tagged.filter(size(col("unknown_fields")) === 0 &&
         size(col("missing_fields")) === 0)
        .drop("unknown_fields", "missing_fields"),

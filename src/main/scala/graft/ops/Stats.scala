@@ -39,7 +39,12 @@ object Stats {
         dsum(col(c)).as(s"s_$c"),
         dsum(col(c) * col(c)).as(s"ss_$c"))) ++
       pairs.map { case (a, b) => dsum(col(a) * col(b)).as(s"sp_${a}_$b") }
-    val model = df.agg(aggs.head, aggs.tail: _*)
+    // the decimal-routed partial sums are the whole cost — fan them out of
+    // a row-group-bounded scan, carrying only the metric columns through
+    // the (fixture-scale no-op at production row-group counts) shuffle
+    val slim = graft.Tables.fanOut(
+      df.select(cols.map(col): _*), cols.map(col): _*)
+    val model = slim.agg(aggs.head, aggs.tail: _*)
     val rows = pairs.map { case (a, b) =>
       val num = col("n") * col(s"sp_${a}_$b") - col(s"s_$a") * col(s"s_$b")
       val den = sqrt(col("n") * col(s"ss_$a") - col(s"s_$a") * col(s"s_$a")) *

@@ -64,10 +64,18 @@ class PlanSpec extends SparkSuite {
   }
 
   test("per-row scalar queries (lang_id, clean_text, rep_signals, shape_audit) have no Exchange") {
-    for (q <- Seq("q30_lang_id", "q79_clean_text", "q81_rep_signals", "q114_shape_audit")) {
+    for (q <- Seq("q30_lang_id", "q79_clean_text", "q81_rep_signals")) {
       val p = plan(q)
       assert(!p.contains("Exchange"), s"$q shuffles a per-row pipeline:\n$p")
     }
+    // shape_audit keeps the per-row property EXCEPT for the deliberate
+    // scan-parallelism fan-out (Tables.fanOut, optimization r21): the ONLY
+    // allowed exchange is the explicit REPARTITION_BY_NUM, never an
+    // algorithmic (hash-for-aggregation/join) shuffle
+    val p = plan("q114_shape_audit")
+    val exchanges = "Exchange [^\n]*".r.findAllIn(p).toSeq
+    assert(exchanges.forall(_.contains("REPARTITION_BY_NUM")),
+      s"q114 grew a non-fan-out shuffle:\n$p")
   }
 
   test("q72: BM25 corpus stats ride a broadcast; no cartesian product") {
