@@ -1167,6 +1167,21 @@ private[sources] object FieldIds {
           st = statNow()
           loaded = loadNow(st)
         }
+        // loaded == None after every retry while the stat stamp STILL says
+        // the sidecar exists is the same poisoning hazard with no prior
+        // memo (ADVICE r20): a first-touch process falling back to
+        // Map.empty here would memoize "id-less" under the current stamp
+        // and write the one id-less file that bricks every later read —
+        // refuse loudly instead. The Map.empty fallback stays only for the
+        // genuinely sidecar-less root: no _ddl.json at final stat (an
+        // orphan staged .ddl-*.json with no manifest directive is
+        // pre-publish crash debris, not authority — vacuum sweeps it).
+        if (loaded.isEmpty && st != (-1L, -1L))
+          throw new IllegalStateException(
+            s"field-id sidecar for $root is unreadable: ${GraftDdl.FileName} " +
+              "exists but did not load after retries — refusing to guess an " +
+              "id-less schema (one id-less data file would fail every later " +
+              "read of an id-carrying table)")
         val ids = loaded.getOrElse(Map.empty)
         if (ids.isEmpty && prevIds.nonEmpty)
           throw new IllegalStateException(

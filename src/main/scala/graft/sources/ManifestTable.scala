@@ -2239,9 +2239,18 @@ object ManifestTable {
             derived.repartition(s.physNames
               .map(org.apache.spark.sql.functions.col): _*)
           else derived
+        // committer algorithm v2 (task commit renames straight into the
+        // destination, optimization r21): a STAGE dir is single-writer and
+        // invisible until publishStaged's atomic manifest rename — the v1
+        // committer's job-level two-phase rename only re-moved every file a
+        // second time to protect atomicity the manifest protocol already
+        // owns. A failed stage is discarded wholesale either way.
         out.write.partitionBy(s.physNames: _*)
+          .option("mapreduce.fileoutputcommitter.algorithm.version", "2")
           .mode("overwrite").parquet(stage.toString)
-      case None => df.write.mode("overwrite").parquet(stage.toString)
+      case None => df.write
+        .option("mapreduce.fileoutputcommitter.algorithm.version", "2")
+        .mode("overwrite").parquet(stage.toString)
     }
 
   // DECLARED (sidecar) tables only — they own the property that opts out;
