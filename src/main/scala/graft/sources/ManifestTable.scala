@@ -828,6 +828,19 @@ object ManifestTable {
 
   private def dvDir(root: String, d: Long): String = s"$root/d${fmt(d)}"
 
+  /** Deletion-vector file schema — fixed by [[GraftDeltaWrite.DelSchema]]
+    * and every DV writer. Supplying it on read skips parquet schema
+    * inference (a driver-side footer merge + its listing) per DV-masked
+    * scan — measured as a recurring 1-task job in every DML lifecycle
+    * query (r22).
+    */
+  private val DvSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("__f", org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("__pos", org.apache.spark.sql.types.LongType)))
+
+  private def readDv(spark: SparkSession, root: String, d: Long): DataFrame =
+    spark.read.schema(DvSchema).parquet(dvDir(root, d))
+
   /** The table's physical partition column, recovered from the current
     * manifest's hive-style entry names (`col=value`) — None for an
     * unpartitioned table. The front door's write side uses this so an
@@ -910,7 +923,7 @@ object ManifestTable {
       }
     val masked = dv match {
       case Some(d) => assembled.join(
-        spark.read.parquet(dvDir(root, d)), Seq("__f", "__pos"), "left_anti")
+        readDv(spark, root, d), Seq("__f", "__pos"), "left_anti")
       case None => assembled
     }
     // file sources surface partition columns LAST whatever the requested
@@ -970,7 +983,12 @@ object ManifestTable {
     import org.apache.parquet.hadoop.util.HadoopInputFile
     import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
     val want = statsCols.toSet
-    listDataFiles(fs, vdir).flatMap { rel =>
+    // footer reads are independent per file and I/O-bound — a serial loop
+    // charges ~5-15 ms/file of DRIVER wall time to every commit (a 60-dir
+    // commit pays ~0.5 s between jobs); a bounded pool overlaps them.
+    // Order is preserved (parMapOrdered), so the sidecar bytes are
+    // identical to the serial harvest's.
+    parMapOrdered(listDataFiles(fs, vdir)) { rel =>
       val f = new Path(vdir, rel)
       val reader = ParquetFileReader.open(
         HadoopInputFile.fromPath(f, fs.getConf))
@@ -1029,6 +1047,30 @@ object ManifestTable {
             Some((rel, colName, ColZone(tag, mn, mx, allNull = false)))
           }
         }
+    }.flatten
+  }
+
+  /** Map `f` over `xs` on a bounded thread pool, preserving input order.
+    * For independent driver-side I/O (parquet footer reads) only — `f`
+    * must not touch Spark session state.
+    */
+  private def parMapOrdered[A, B](xs: Seq[A], threads: Int = 16)(f: A => B): Seq[B] = {
+    if (xs.lengthCompare(2) < 0) xs.map(f)
+    else {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.min(threads, xs.size))
+      try {
+        import scala.jdk.CollectionConverters._
+        val futs = pool.invokeAll(
+          xs.map(x => new java.util.concurrent.Callable[B] {
+            override def call(): B = f(x)
+          }).asJava)
+        try futs.asScala.toSeq.map(_.get())
+        catch {
+          // rethrow the task's own failure, as the serial loop would
+          case e: java.util.concurrent.ExecutionException => throw e.getCause
+        }
+      } finally pool.shutdown()
     }
   }
 
@@ -1753,7 +1795,7 @@ object ManifestTable {
       val assembled = relations.reduce(_ unionByName _)
       val masked = dv match {
         case Some(d) => assembled.join(
-          spark.read.parquet(dvDir(root, d)), Seq("__f", "__pos"), "left_anti")
+          readDv(spark, root, d), Seq("__f", "__pos"), "left_anti")
         case None => assembled
       }
       masked.select(schema.fieldNames.map(col).toSeq: _*)
@@ -1943,7 +1985,7 @@ object ManifestTable {
         org.apache.spark.sql.types.StructField("__f", org.apache.spark.sql.types.StringType),
         org.apache.spark.sql.types.StructField("__pos", org.apache.spark.sql.types.LongType))))
     def dvDf(o: Option[Long]) =
-      o.map(x => spark.read.parquet(dvDir(root, x))).getOrElse(empty)
+      o.map(x => readDv(spark, root, x)).getOrElse(empty)
     val da = dvDf(a); val db = dvDf(b)
     db.exceptAll(da).unionByName(da.exceptAll(db))
       .select(col("__f")).distinct().collect().map { r =>
@@ -2092,7 +2134,7 @@ object ManifestTable {
     val newDel = readSnapshot(spark, root, schema, cur, withMeta = true)
       .filter(predicate).select(col("__f"), col("__pos"))
     val allDel = dvOf(fs, rootP, cur) match {
-      case Some(d) => spark.read.parquet(dvDir(root, d)).unionByName(newDel)
+      case Some(d) => readDv(spark, root, d).unionByName(newDel)
       case None => newDel
     }
     // STAGE the DV and claim at publish like every other commit: writing
@@ -2234,10 +2276,20 @@ object ManifestTable {
         // single commits carry partition-sized data (the one-task-per-dir
         // serialization would bottleneck there; compact(target_mb) is the
         // right splitter afterwards).
+        // REPARTITION_BY_NUM (count pinned, r22): `repartition(cols)` alone
+        // lets AQE coalesce the post-shuffle write stage to ONE task on a
+        // small commit, which then pays the per-file fixed cost (open,
+        // footer, close, task-commit rename) for every partition dir
+        // SERIALLY — measured 1.3 s/commit at 30 dirs. Pinning the bucket
+        // count keeps the one-file-per-dir clustering (all rows of a dir
+        // tuple still hash to one bucket) while spreading the dirs across
+        // the executors' cores; count derives from the cluster
+        // (defaultParallelism), not a local constant.
         val out =
           if (optimizeWrite(df.sparkSession, root, s))
-            derived.repartition(s.physNames
-              .map(org.apache.spark.sql.functions.col): _*)
+            derived.repartition(
+              math.max(1, df.sparkSession.sparkContext.defaultParallelism),
+              s.physNames.map(org.apache.spark.sql.functions.col): _*)
           else derived
         // committer algorithm v2 (task commit renames straight into the
         // destination, optimization r21): a STAGE dir is single-writer and
@@ -2528,7 +2580,7 @@ object ManifestTable {
       case None => upDel
     }
     val allDel = dvOf(fs, rootP, cur) match {
-      case Some(d) => spark.read.parquet(dvDir(root, d)).unionByName(newDel)
+      case Some(d) => readDv(spark, root, d).unionByName(newDel)
       case None => newDel
     }
     val dvStage = new Path(rootP,
@@ -2611,7 +2663,7 @@ object ManifestTable {
       val newDel = pos.select(col("__f"), col("__pos"))
         .dropDuplicates("__f", "__pos")
       val allDel = dvOf(fs, rootP, baseVersion) match {
-        case Some(d) => spark.read.parquet(dvDir(root, d)).unionByName(newDel)
+        case Some(d) => readDv(spark, root, d).unionByName(newDel)
         case None => newDel
       }
       val ds = new Path(rootP,
@@ -2740,10 +2792,14 @@ object ManifestTable {
     import org.apache.spark.sql.functions._
     val df0 = read(spark, root, schema)
     val df = spec.fold(df0)(_.derive(df0))
+    // bucket count pinned (r22, as in stageWrite): an un-numbered
+    // repartition lets AQE coalesce the rewrite to ONE task on a small
+    // snapshot, serializing every partition dir's per-file write cost
+    val par = math.max(1, spark.sparkContext.defaultParallelism)
     val out = spec match {
       case Some(s) if filesPerPartition == 1 =>
-        df.repartition(s.physNames.map(col): _*)
-      case Some(s) => df.repartition((s.physNames.map(col) :+
+        df.repartition(par, s.physNames.map(col): _*)
+      case Some(s) => df.repartition(par, (s.physNames.map(col) :+
         pmod(xxhash64(schema.fieldNames.filterNot(s.physNames.contains)
           .map(col).toSeq: _*), lit(filesPerPartition.toLong))): _*)
       case None => df.repartition(filesPerPartition)
@@ -3113,7 +3169,7 @@ object ManifestTable {
         import org.apache.spark.sql.functions.broadcast
         val liveDf = spark.createDataset(liveFiles.map(_._2))(
           org.apache.spark.sql.Encoders.STRING).toDF("__f")
-        spark.read.parquet(dvDir(root, d)).dropDuplicates("__f", "__pos")
+        readDv(spark, root, d).dropDuplicates("__f", "__pos")
           .join(broadcast(liveDf), Seq("__f"), "left_semi").count()
     }
     total - masked
@@ -3126,7 +3182,7 @@ object ManifestTable {
     val cur = currentVersion(spark, root).getOrElse(return 0L)
     val (fs, rootP) = fsOf(spark, root)
     dvOf(fs, rootP, cur)
-      .map(d => spark.read.parquet(dvDir(root, d))
+      .map(d => readDv(spark, root, d)
         .dropDuplicates("__f", "__pos").count()).getOrElse(0L)
   }
 

@@ -158,11 +158,16 @@ case class NearestSqEntry(left: Expression, right: Expression)
       v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
       cents.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    // ctx.freshName: two nearest-* folds fused into one codegen method must
+    // not collide on the temp local (janino dup-var => silent interpreted
+    // fallback for the whole stage).
+    val r = ctx.freshName("graftNearestR")
     nullSafeCodeGen(ctx, ev, (a, b) => s"""
-      Object graftNearestR = graft.functions.VectorImpl.nearestSq($a, $b);
-      if (graftNearestR == null) { ${ev.isNull} = true; }
-      else { ${ev.value} = (org.apache.spark.sql.catalyst.InternalRow) graftNearestR; }""")
+      Object $r = graft.functions.VectorImpl.nearestSq($a, $b);
+      if ($r == null) { ${ev.isNull} = true; }
+      else { ${ev.value} = (org.apache.spark.sql.catalyst.InternalRow) $r; }""")
+  }
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Expression =
@@ -195,11 +200,13 @@ case class NearestCosineEntry(left: Expression, right: Expression)
       v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
       cents.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val r = ctx.freshName("graftNearestR")
     nullSafeCodeGen(ctx, ev, (a, b) => s"""
-      Object graftNearestR = graft.functions.VectorImpl.nearestCosine($a, $b);
-      if (graftNearestR == null) { ${ev.isNull} = true; }
-      else { ${ev.value} = (org.apache.spark.sql.catalyst.InternalRow) graftNearestR; }""")
+      Object $r = graft.functions.VectorImpl.nearestCosine($a, $b);
+      if ($r == null) { ${ev.isNull} = true; }
+      else { ${ev.value} = (org.apache.spark.sql.catalyst.InternalRow) $r; }""")
+  }
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Expression =

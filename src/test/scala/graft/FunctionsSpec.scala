@@ -290,4 +290,45 @@ class FunctionsSpec extends SparkSuite {
     assert(math.abs(spark.sql("SELECT jaro_winkler('MARTHA', 'MARHTA')")
       .as[Double].head() - 0.9611111111111111) < 1e-12)
   }
+
+  test("two nearest-* folds fuse into one codegen stage (freshName collision)") {
+    import org.apache.spark.sql.graft.GraftColumns
+    // Non-nullable inputs => nullSafeCodeGen emits NO scoping braces, so two
+    // folds in one generated method would collide on a fixed temp local name
+    // (janino dup-var -> silent interpreted fallback). fallback=false turns
+    // that silent fallback into a hard failure the test can see.
+    val prev = spark.conf.getOption("spark.sql.codegen.fallback")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val df = spark.range(2).select(
+        array(col("id").cast("double"), lit(1.0)).as("v1"),
+        array(lit(2.0), col("id").cast("double")).as("v2"),
+        array(
+          struct(col("id").as("cid"), array(lit(0.0), lit(0.0)).as("cv")),
+          struct((col("id") + 10L).as("cid"),
+            array(lit(2.0), lit(1.0)).as("cv"))).as("cents"),
+        array(
+          struct(col("id").as("cent_id"),
+            array(lit(1.0), lit(0.0)).as("cent_emb")),
+          struct((col("id") + 10L).as("cent_id"),
+            array(lit(0.0), lit(1.0)).as("cent_emb"))).as("ccents"))
+      val out = df.select(
+        GraftColumns.nearestSqEntry(col("v1"), col("cents")).as("a"),
+        GraftColumns.nearestSqEntry(col("v2"), col("cents")).as("b"),
+        GraftColumns.nearestCosineEntry(col("v1"), col("ccents")).as("c"),
+        GraftColumns.nearestCosineEntry(col("v2"), col("ccents")).as("d"))
+      val rows = out.orderBy(col("a.cid")).collect()
+      assert(rows.length == 2)
+      // id=0: v1=[0,1]; cents cid=0 cv=[0,0] d=1, cid=10 cv=[2,1] d=5 -> (1,0)
+      val a0 = rows(0).getStruct(0)
+      assert(a0.getDouble(0) == 1.0 && a0.getLong(1) == 0L)
+      // the projection itself must be whole-stage-codegen'd
+      assert(out.queryExecution.executedPlan.toString.contains("WholeStageCodegen"))
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.codegen.fallback", v)
+        case None => spark.conf.unset("spark.sql.codegen.fallback")
+      }
+    }
+  }
 }
