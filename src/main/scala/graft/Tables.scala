@@ -47,6 +47,15 @@ object Tables {
     * deterministic under task retries with no sort-before-repartition pass.
     * Callers pass the relation BEFORE the heavy projection so the shuffle
     * carries input bytes once, exactly like the scan would have read them.
+    *
+    * KNOWN BLIND SPOT (ADVICE r21): the guard reads the SPLIT count
+    * (`df.rdd.getNumPartitions`), not the row-group count — one large
+    * single-row-group file cut into many mostly-empty splits passes the
+    * check and skips the repartition. Splits-vs-row-groups only diverge
+    * when maxPartitionBytes is far below the row-group size; the fixture
+    * and any sanely-written parquet keep them aligned. The probe also
+    * costs one extra physical planning of `df` (driver file listing) —
+    * acceptable for the heavy-projection callers this guards.
     */
   def fanOut(df: DataFrame, keys: org.apache.spark.sql.Column*): DataFrame = {
     val cores = df.sparkSession.sparkContext.defaultParallelism

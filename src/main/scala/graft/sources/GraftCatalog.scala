@@ -1176,12 +1176,16 @@ private[sources] object FieldIds {
         // genuinely sidecar-less root: no _ddl.json at final stat (an
         // orphan staged .ddl-*.json with no manifest directive is
         // pre-publish crash debris, not authority — vacuum sweeps it).
-        if (loaded.isEmpty && st != (-1L, -1L))
+        // hasStaged: ids may live ONLY in a staged-#ddl directive while the
+        // published sidecar is still absent — a persistent load failure
+        // there is the same poisoning hazard, not a sidecar-less root
+        // (ADVICE r21)
+        if (loaded.isEmpty && (st != (-1L, -1L) || hasStaged(fs, root)))
           throw new IllegalStateException(
             s"field-id sidecar for $root is unreadable: ${GraftDdl.FileName} " +
-              "exists but did not load after retries — refusing to guess an " +
-              "id-less schema (one id-less data file would fail every later " +
-              "read of an id-carrying table)")
+              "(or its staged-#ddl authority) exists but did not load after " +
+              "retries — refusing to guess an id-less schema (one id-less " +
+              "data file would fail every later read of an id-carrying table)")
         val ids = loaded.getOrElse(Map.empty)
         if (ids.isEmpty && prevIds.nonEmpty)
           throw new IllegalStateException(

@@ -1174,14 +1174,20 @@ object ManifestTable {
     * Bloom harvest alone.
     */
   private def harvestBloomsAndNdv(spark: SparkSession, fs: FileSystem, vdir: Path,
-                                  bloomCols: Seq[String])
+                                  bloomCols: Seq[String],
+                                  schema: Option[StructType] = None)
       : (Seq[(String, String, Array[Long])], Seq[(String, String, Array[Long])]) = {
     import org.apache.spark.sql.functions._
     // input_file_name() and makeQualified render the scheme differently
     // (file:/// vs file:/) — compare scheme-free URI paths
     val base = new Path(fs.makeQualified(vdir).toString).toUri.getPath
     val universe = listDataFiles(fs, vdir)
-    val df = spark.read.parquet(vdir.toString)
+    // callers pass the just-written frame's schema so the harvest skips
+    // parquet schema inference (a footer-merge job per commit, r22); any
+    // hidden-transform partition column the schema omits is appended by
+    // Spark's dir discovery, and the harvest selects only bloomCols anyway
+    val df = schema.fold(spark.read)(s => spark.read.schema(s))
+      .parquet(vdir.toString)
     val both = bloomCols.map { c =>
       // the portable 60-bit md5 hash (q95/q116 convention)
       val hv = conv(substring(md5(col("v")), 1, 15), 16, 10).cast("long")
@@ -2231,7 +2237,7 @@ object ManifestTable {
     val stats =
       if (statsCols.nonEmpty) harvestStats(fs, stage, statsCols) else Nil
     val (blooms, ndv) =
-      if (bloomCols.nonEmpty) harvestBloomsAndNdv(spark, fs, stage, bloomCols)
+      if (bloomCols.nonEmpty) harvestBloomsAndNdv(spark, fs, stage, bloomCols, Some(df.schema))
       else (Nil, Nil)
     // carry-forward merge commits keep the previous entries AND the previous
     // deletion vector (untouched partitions must keep their deleted rows
@@ -2297,6 +2303,14 @@ object ManifestTable {
         // committer's job-level two-phase rename only re-moved every file a
         // second time to protect atomicity the manifest protocol already
         // owns. A failed stage is discarded wholesale either way.
+        // CAVEAT (ADVICE r21): v2's task commit is not atomic per task. A
+        // task-commit failure mid-rename aborts the JOB loudly (rename onto
+        // an existing file fails) and the whole stage is discarded — safe —
+        // but with spark.speculation enabled, a dead attempt's orphan part
+        // files could survive inside a stage that later publishes. Keep
+        // speculation OFF on manifest-table write paths (it defaults off;
+        // the deterministic hash repartition above gives retried tasks
+        // identical content either way).
         out.write.partitionBy(s.physNames: _*)
           .option("mapreduce.fileoutputcommitter.algorithm.version", "2")
           .mode("overwrite").parquet(stage.toString)
@@ -2387,7 +2401,7 @@ object ManifestTable {
     val stats =
       if (statsCols.nonEmpty) harvestStats(fs, stage, statsCols) else Nil
     val (blooms, ndv) =
-      if (bloomCols.nonEmpty) harvestBloomsAndNdv(spark, fs, stage, bloomCols)
+      if (bloomCols.nonEmpty) harvestBloomsAndNdv(spark, fs, stage, bloomCols, Some(df.schema))
       else (Nil, Nil)
     val base = currentVersion(spark, root)
     val (prev, dvCarry) = base
@@ -2589,7 +2603,7 @@ object ManifestTable {
     val stats =
       if (statsCols.nonEmpty) harvestStats(fs, stage, statsCols) else Nil
     val (blooms, ndv) =
-      if (bloomCols.nonEmpty) harvestBloomsAndNdv(spark, fs, stage, bloomCols)
+      if (bloomCols.nonEmpty) harvestBloomsAndNdv(spark, fs, stage, bloomCols, Some(batch.schema))
       else (Nil, Nil)
     // dvCarry0 = the base DV this commit's union consumed — the rebase
     // conflict check compares the winner's DV pointer against it (the
@@ -2675,7 +2689,7 @@ object ManifestTable {
       if (statsCols.nonEmpty && batch.isDefined) harvestStats(fs, stage, statsCols) else Nil
     val (blooms, ndv) =
       if (bloomCols.nonEmpty && batch.isDefined)
-        harvestBloomsAndNdv(spark, fs, stage, bloomCols)
+        harvestBloomsAndNdv(spark, fs, stage, bloomCols, batch.map(_.schema))
       else (Nil, Nil)
     publishStaged(spark, root, stage, Some(baseVersion),
       entriesOf(fs, rootP, baseVersion), touchedNames,

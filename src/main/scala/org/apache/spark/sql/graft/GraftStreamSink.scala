@@ -95,11 +95,49 @@ class GraftStreamSink(sqlContext: SQLContext, root: String,
     if (batchId <= lastCommitted()) return // crash-replay of a committed batch
     // re-root the micro-batch plan as a batch relation (the engine hands a
     // streaming-tagged plan; writes need the batch form), materialized once
-    // because the merge shapes consume it several times
-    val batch = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    // because the merge shapes consume it several times.
+    //
+    // Batch statistics RIDE the checkpoint's materialization pass (r22):
+    // the emptiness probes (`ups.limit(1).count()`, `dels.limit(1).count()`)
+    // and the delete-partition-hint collect were three more driver actions
+    // per micro-batch over an already-materialized tiny relation — pure
+    // scheduler round-trips. Accumulators can over-count on task retry,
+    // which is harmless for BOTH uses: emptiness (a retried task re-adds
+    // rows it HAS, never inventing one for an empty batch) and the delete
+    // partition-value SET (re-added values dedupe driver-side).
+    val rerooted = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .internalCreateDataFrame(data.queryExecution.toRdd, data.schema,
         isStreaming = false)
-      .localCheckpoint()
+    // classify ONLY in cdf mode: a non-cdf stream may legitimately carry a
+    // _change_type column (change-feed rows appended verbatim) — there the
+    // old emptiness probe counted every row, so must we
+    val ctIdx = if (cdf) data.schema.fieldNames.indexOf("_change_type") else -1
+    val specEarly = activeSpec
+    val srcIdx = specEarly.filter(_.isIdentity)
+      .map(sp => data.schema.fieldNames.indexOf(sp.source)).getOrElse(-1)
+    val upsAcc = spark.sparkContext.longAccumulator(s"graft.sink.ups.$batchId")
+    val delAcc = spark.sparkContext.longAccumulator(s"graft.sink.dels.$batchId")
+    val delVals = spark.sparkContext
+      .collectionAccumulator[Any](s"graft.sink.delvals.$batchId")
+    val enc = org.apache.spark.sql.Encoders.row(data.schema)
+    val batch = rerooted.mapPartitions { it =>
+      it.map { r =>
+        if (ctIdx < 0) upsAcc.add(1L)
+        else r.getString(ctIdx) match {
+          case "delete" =>
+            delAcc.add(1L)
+            if (srcIdx >= 0) delVals.add(r.get(srcIdx))
+          case "insert" | "update_postimage" => upsAcc.add(1L)
+          case _ => ()
+        }
+        r
+      }
+    }(enc).localCheckpoint()
+    val nUps = upsAcc.value; val nDels = delAcc.value
+    val delValsDistinct: Seq[Any] = {
+      import scala.jdk.CollectionConverters._
+      delVals.value.asScala.toSeq.distinct
+    }
     try {
       ManifestTable.withBatchId(batchId) {
         if (cdf) {
@@ -110,7 +148,7 @@ class GraftStreamSink(sqlContext: SQLContext, root: String,
           val tableSchema = StructType(data.schema.fields.filterNot(_.name == "_change_type"))
           val ups = batch.filter(col("_change_type").isin("insert", "update_postimage"))
             .drop("_change_type")
-          val spec = activeSpec
+          val spec = specEarly
           // CHECK constraints guard the rows that LAND (upsert postimages);
           // delete rows carry keys only and are masks, not writes
           val ups0 = graft.sources.Checks.enforce(ups,
@@ -122,17 +160,16 @@ class GraftStreamSink(sqlContext: SQLContext, root: String,
           // a hidden transform's dir value is derivable but an EVOLVED
           // table may hold old-layout dirs — mergeDvSpec full-scans there
           val delParts = spec.filter(_.isIdentity).map { sp =>
-            dels.select(col(sp.source)).distinct().collect()
-              .map(r => ManifestTable.partDirName(sp.source, r.get(0))).toSeq
+            delValsDistinct.map(v => ManifestTable.partDirName(sp.source, v))
           }
           if (!ManifestTable.exists(spark, root)) {
             ManifestTable.commitSpec(ups0, root, spec)
             // a mixed first batch (dst dropped while the source checkpoint
             // survived) must not silently drop its delete rows
-            if (dels.limit(1).count() > 0)
+            if (nDels > 0)
               ManifestTable.mergeDvSpec(ups0.limit(0), root, tableSchema, mergeKeys,
                 spec, Nil, Nil, Some(dels), delParts)
-          } else if (ups.limit(1).count() + dels.limit(1).count() > 0)
+          } else if (nUps + nDels > 0)
             ManifestTable.mergeDvSpec(ups0, root, tableSchema, mergeKeys, spec,
               Nil, Nil, Some(dels), delParts)
         } else if (mergeKeys.nonEmpty) {
@@ -140,7 +177,7 @@ class GraftStreamSink(sqlContext: SQLContext, root: String,
             graft.sources.Checks.forTable(spark, root))
           if (!ManifestTable.exists(spark, root))
             ManifestTable.commitSpec(checked, root, activeSpec)
-          else if (batch.limit(1).count() > 0)
+          else if (nUps > 0)
             ManifestTable.mergeDvSpec(checked, root, data.schema, mergeKeys,
               activeSpec, Nil, Nil, None, None)
         } else {
@@ -148,7 +185,7 @@ class GraftStreamSink(sqlContext: SQLContext, root: String,
             graft.sources.Checks.forTable(spark, root))
           if (!ManifestTable.exists(spark, root))
             ManifestTable.commitSpec(checked, root, activeSpec)
-          else if (batch.limit(1).count() > 0)
+          else if (nUps > 0)
             ManifestTable.appendSpec(checked, root, activeSpec)
         }
       }

@@ -322,8 +322,11 @@ class FunctionsSpec extends SparkSuite {
       // id=0: v1=[0,1]; cents cid=0 cv=[0,0] d=1, cid=10 cv=[2,1] d=5 -> (1,0)
       val a0 = rows(0).getStruct(0)
       assert(a0.getDouble(0) == 1.0 && a0.getLong(1) == 0L)
-      // the projection itself must be whole-stage-codegen'd
-      assert(out.queryExecution.executedPlan.toString.contains("WholeStageCodegen"))
+      // the projection itself must be whole-stage-codegen'd: the plan
+      // string marks fused stages with the `*(n)` prefix
+      val plan = out.queryExecution.executedPlan.toString
+      assert("""\*\(\d+\) Project""".r.findFirstIn(plan).isDefined,
+        s"nearest-* projection not whole-stage-codegen'd:\n$plan")
     } finally {
       prev match {
         case Some(v) => spark.conf.set("spark.sql.codegen.fallback", v)
