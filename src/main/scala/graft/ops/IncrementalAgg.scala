@@ -62,16 +62,27 @@ object IncrementalAgg {
     */
   def applyBatch(spark: SparkSession, root: String, delta: DataFrame,
                  key: String, valueCol: String, nBuckets: Int = 64): Long = {
-    val da = aggregateDelta(delta, key, valueCol, nBuckets)
-      .localCheckpoint() // feeds the touched-set probe AND the merge once
+    // the touched-bucket set RIDES the checkpoint's materialization pass
+    // (r22, the stream-sink pattern): the former distinct().collect() was a
+    // second driver action over the just-checkpointed delta. Accumulator
+    // re-adds from a retried task dedupe below — the set stays exact.
+    val acc = spark.sparkContext.collectionAccumulator[String]("graft.iagg.touched")
+    val shaped = aggregateDelta(delta, key, valueCol, nBuckets)
+    val bIdx = shaped.schema.fieldNames.indexOf("bucket")
+    val enc = org.apache.spark.sql.Encoders.row(shaped.schema)
+    val da = shaped.mapPartitions { it =>
+      it.map { r => acc.add(r.getString(bIdx)); r }
+    }(enc).localCheckpoint() // feeds the touched-set probe AND the merge once
     if (!ManifestTable.exists(spark, root))
       ManifestTable.commit(da, root, Some("bucket"))
     else {
-      // bounded driver collect (≤ nBuckets strings): a LITERAL partition
+      // bounded driver set (≤ nBuckets strings): a LITERAL partition
       // filter prunes the scan statically — no reliance on runtime DPP
       // reaching through the manifest read's union
-      val touched = da.select("bucket").distinct()
-        .collect().map(_.getString(0)).toSeq
+      val touched = {
+        import scala.jdk.CollectionConverters._
+        acc.value.asScala.toSeq.distinct
+      }
       val state = ManifestTable.read(spark, root, stateSchema)
         .filter(col("bucket").isin(touched: _*))
       ManifestTable.commit(mergeStates(state, da), root, Some("bucket"))
@@ -124,13 +135,21 @@ object IncrementalAgg {
   def applyDistinctBatch(spark: SparkSession, root: String, delta: DataFrame,
                          key: String, hash: org.apache.spark.sql.Column,
                          k: Int = 64, nBuckets: Int = 64): Long = {
-    val da = aggregateDistinctDelta(delta, key, hash, k, nBuckets)
-      .localCheckpoint()
+    // touched buckets ride the checkpoint pass, as in [[applyBatch]] (r22)
+    val acc = spark.sparkContext.collectionAccumulator[String]("graft.iagg.dtouched")
+    val shaped = aggregateDistinctDelta(delta, key, hash, k, nBuckets)
+    val bIdx = shaped.schema.fieldNames.indexOf("bucket")
+    val enc = org.apache.spark.sql.Encoders.row(shaped.schema)
+    val da = shaped.mapPartitions { it =>
+      it.map { r => acc.add(r.getString(bIdx)); r }
+    }(enc).localCheckpoint()
     if (!ManifestTable.exists(spark, root))
       ManifestTable.commit(da, root, Some("bucket"))
     else {
-      val touched = da.select("bucket").distinct()
-        .collect().map(_.getString(0)).toSeq
+      val touched = {
+        import scala.jdk.CollectionConverters._
+        acc.value.asScala.toSeq.distinct
+      }
       val state = ManifestTable.read(spark, root, distinctStateSchema)
         .filter(col("bucket").isin(touched: _*))
       ManifestTable.commit(mergeDistinctStates(state, da, k), root, Some("bucket"))

@@ -2566,7 +2566,11 @@ object ManifestTable {
       case Some(s) => listStagedPartDirs(fs, stage, s.physNames.length)
       case None => Seq("")
     }
-    val mixed = spec.exists(s => mixedLayout(entriesOf(fs, rootP, cur), s))
+    // one manifest read serves the mixed-layout check and the publish args
+    // (was three reads of the same file per merge commit)
+    val curEntries = entriesOf(fs, rootP, cur)
+    val curDv = dvOf(fs, rootP, cur)
+    val mixed = spec.exists(s => mixedLayout(curEntries, s))
     // positions of the batch's keys in the current snapshot → DV delta.
     // The scan is restricted to the touched partitions (partCol immutable
     // per key) and the key set broadcasts: O(touched) read, O(matched) write.
@@ -2593,7 +2597,7 @@ object ManifestTable {
           .dropDuplicates("__f", "__pos")
       case None => upDel
     }
-    val allDel = dvOf(fs, rootP, cur) match {
+    val allDel = curDv match {
       case Some(d) => readDv(spark, root, d).unionByName(newDel)
       case None => newDel
     }
@@ -2608,8 +2612,8 @@ object ManifestTable {
     // dvCarry0 = the base DV this commit's union consumed — the rebase
     // conflict check compares the winner's DV pointer against it (the
     // manifest's own #dv comes from dvStage, not the carry)
-    publishStaged(spark, root, stage, Some(cur), entriesOf(fs, rootP, cur),
-      touchedNames, dvOf(fs, rootP, cur), stats, blooms, retryable = true,
+    publishStaged(spark, root, stage, Some(cur), curEntries,
+      touchedNames, curDv, stats, blooms, retryable = true,
       appendEntries = true, dvStage = Some(dvStage), ndv = ndv)
   }
 
